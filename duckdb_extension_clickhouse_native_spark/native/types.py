@@ -1,0 +1,311 @@
+"""ClickHouse type-string parsing and Spark/Arrow type mapping.
+
+Clean-room re-expression of the reference's type parser
+(/root/reference/src/lib.rs:106-141 ``parse_column_type`` and
+lib.rs:78-104 ``parse_enum_values``) extended well beyond the
+reference's 5 supported types: we additionally cover the full
+fixed-width integer/float family, Date/Date32/DateTime/DateTime64,
+Bool, FixedString(n), Enum16, Nullable(T), Array(T) and Tuple(...).
+
+The reference maps UInt64 -> Int32 lossily (lib.rs:336-344); we are
+lossless by default (Int64) with an opt-in ``lossy_uint64`` compat
+flag (see reader options) for byte-faithful oracle diffs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+
+
+class UnsupportedTypeError(ValueError):
+    """Raised for ClickHouse types we cannot decode.
+
+    The reference emits a literal ``<unsupported:T>`` string and then
+    desynchronizes the byte stream (lib.rs:168-170) — that is a bug,
+    not semantics, so we fail loudly instead.
+    """
+
+
+@dataclass
+class CHType:
+    """A parsed ClickHouse type expression."""
+
+    base: str
+    params: Optional[str] = None  # raw text inside the outer parens
+    inner: Optional["CHType"] = None  # for Nullable/Array/LowCardinality
+    tuple_items: list["CHType"] = field(default_factory=list)
+    enum_map: dict[int, str] = field(default_factory=dict)  # Enum8/16
+    fixed_len: int = 0  # FixedString(n)
+    scale: int = 0  # DateTime64 precision
+    nullable: bool = False
+
+    @property
+    def name(self) -> str:
+        if self.params is not None:
+            return f"{self.base}({self.params})"
+        return self.base
+
+
+# fixed-width physical layouts: base -> (numpy dtype string, byte width)
+FIXED_WIDTH: dict[str, tuple[str, int]] = {
+    "UInt8": ("<u1", 1),
+    "UInt16": ("<u2", 2),
+    "UInt32": ("<u4", 4),
+    "UInt64": ("<u8", 8),
+    "Int8": ("<i1", 1),
+    "Int16": ("<i2", 2),
+    "Int32": ("<i4", 4),
+    "Int64": ("<i8", 8),
+    "Float32": ("<f4", 4),
+    "Float64": ("<f8", 8),
+    "Bool": ("<u1", 1),
+    "Date": ("<u2", 2),  # days since 1970-01-01
+    "Date32": ("<i4", 4),  # days since 1970-01-01 (signed)
+    "DateTime": ("<u4", 4),  # seconds since epoch
+    "DateTime64": ("<i8", 8),  # ticks at 10^-scale seconds
+    "Enum8": ("<i1", 1),
+    "Enum16": ("<i2", 2),
+}
+
+_ENUM_ITEM = re.compile(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)")
+
+
+def parse_enum_values(params: str) -> dict[int, str]:
+    """Parse ``'a' = 1, 'b' = 2`` into {1: 'a', 2: 'b'}.
+
+    Mirrors the reference's parse_enum_values (lib.rs:78-104) but
+    handles escaped quotes inside labels.
+    """
+    out: dict[int, str] = {}
+    for m in _ENUM_ITEM.finditer(params):
+        label = m.group(1).replace("\\'", "'").replace("\\\\", "\\")
+        out[int(m.group(2))] = label
+    return out
+
+
+def _split_top_level(params: str) -> list[str]:
+    """Split a parameter list on commas at paren/quote depth zero."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur: list[str] = []
+    i = 0
+    while i < len(params):
+        c = params[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(params):
+                cur.append(params[i + 1])
+                i += 1
+            elif c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_type(type_str: str) -> CHType:
+    """Parse a ClickHouse type string into a CHType tree.
+
+    Like the reference (lib.rs:106-141): split ``Base(params)`` at the
+    first ``(`` then dispatch on the base name — but recursive for
+    wrapper types.
+    """
+    s = type_str.strip()
+    if "(" in s and s.endswith(")"):
+        base = s[: s.index("(")].strip()
+        params = s[s.index("(") + 1 : -1]
+    else:
+        base, params = s, None
+
+    t = CHType(base=base, params=params)
+
+    if base in ("Nullable", "LowCardinality"):
+        if params is None:
+            raise UnsupportedTypeError(f"{base} needs a parameter: {type_str!r}")
+        inner = parse_type(params)
+        if base == "Nullable":
+            inner.nullable = True
+            inner.params = None if inner.params is None else inner.params
+            return inner
+        # LowCardinality(T) uses a dictionary-encoded wire layout we
+        # decode separately; keep the wrapper.
+        t.inner = inner
+        return t
+    if base == "Array":
+        if params is None:
+            raise UnsupportedTypeError(f"Array needs a parameter: {type_str!r}")
+        t.inner = parse_type(params)
+        return t
+    if base == "Tuple":
+        if params is None:
+            raise UnsupportedTypeError(f"Tuple needs parameters: {type_str!r}")
+        for item in _split_top_level(params):
+            # named tuple elements: "name Type"
+            piece = item.strip()
+            sp = piece.find(" ")
+            if sp > 0 and "(" not in piece[:sp] and "'" not in piece[:sp]:
+                maybe_type = piece[sp + 1 :].strip()
+                try:
+                    t.tuple_items.append(parse_type(maybe_type))
+                    continue
+                except UnsupportedTypeError:
+                    pass
+            t.tuple_items.append(parse_type(piece))
+        return t
+    if base in ("Enum8", "Enum16"):
+        if params:
+            t.enum_map = parse_enum_values(params)
+        return t
+    if base == "FixedString":
+        if params is None:
+            raise UnsupportedTypeError(f"FixedString needs a length: {type_str!r}")
+        t.fixed_len = int(params)
+        return t
+    if base == "DateTime64":
+        if params:
+            parts = _split_top_level(params)
+            t.scale = int(parts[0])
+        else:
+            t.scale = 3
+        return t
+    if base == "DateTime" and params:
+        # DateTime('UTC') — timezone is display metadata; storage is
+        # epoch seconds regardless.
+        return t
+    if base == "Decimal" and params:
+        # Decimal(P, S)
+        parts = _split_top_level(params)
+        t.scale = int(parts[1]) if len(parts) > 1 else 0
+        t.fixed_len = int(parts[0])
+        return t
+    if base in ("Decimal32", "Decimal64", "Decimal128") and params:
+        t.scale = int(params)
+        t.fixed_len = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[base]
+        return t
+    if base in FIXED_WIDTH or base == "String" or base == "UUID":
+        return t
+    raise UnsupportedTypeError(f"unsupported ClickHouse type: {type_str!r}")
+
+
+def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
+    """Map a parsed CH type to the Arrow type our reader emits.
+
+    Reference mapping (lib.rs:253-261 / clickhouse_scan.rs:31-45) is
+    lossy for UInt64; ours is lossless by default.
+    """
+    b = t.base
+    if b == "String" or b == "FixedString" or b == "UUID":
+        return pa.string()
+    if b in ("Enum8", "Enum16"):
+        return pa.string()  # decoded labels, like the reference (lib.rs:157-166)
+    if b == "UInt8":
+        return pa.int32() if lossy_uint64 else pa.int16()
+    if b == "UInt16":
+        return pa.int32()
+    if b == "UInt32":
+        return pa.int64()
+    if b == "UInt64":
+        return pa.int32() if lossy_uint64 else pa.int64()
+    if b == "Int8":
+        return pa.int8()
+    if b == "Int16":
+        return pa.int16()
+    if b == "Int32":
+        return pa.int32()
+    if b == "Int64":
+        return pa.int64()
+    if b == "Float32":
+        return pa.float32()
+    if b == "Float64":
+        return pa.float64()
+    if b == "Bool":
+        return pa.bool_()
+    if b in ("Date", "Date32"):
+        return pa.date32()
+    if b == "DateTime":
+        return pa.timestamp("us")
+    if b == "DateTime64":
+        return pa.timestamp("us")
+    if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
+        return pa.decimal128(t.fixed_len, t.scale)
+    if b == "Array":
+        assert t.inner is not None
+        return pa.list_(to_arrow(t.inner, lossy_uint64=lossy_uint64))
+    if b == "Tuple":
+        return pa.struct(
+            [
+                pa.field(f"_{i+1}", to_arrow(it, lossy_uint64=lossy_uint64))
+                for i, it in enumerate(t.tuple_items)
+            ]
+        )
+    if b == "LowCardinality":
+        assert t.inner is not None
+        return to_arrow(t.inner, lossy_uint64=lossy_uint64)
+    raise UnsupportedTypeError(f"no arrow mapping for {t.name}")
+
+
+def from_arrow(dt: pa.DataType) -> CHType:
+    """Inverse map for the writer: Arrow/Spark type -> CH type."""
+    if pa.types.is_string(dt) or pa.types.is_large_string(dt):
+        return CHType("String")
+    if pa.types.is_boolean(dt):
+        return CHType("Bool")
+    if pa.types.is_int8(dt):
+        return CHType("Int8")
+    if pa.types.is_int16(dt):
+        return CHType("Int16")
+    if pa.types.is_int32(dt):
+        return CHType("Int32")
+    if pa.types.is_int64(dt):
+        return CHType("Int64")
+    if pa.types.is_uint8(dt):
+        return CHType("UInt8")
+    if pa.types.is_uint16(dt):
+        return CHType("UInt16")
+    if pa.types.is_uint32(dt):
+        return CHType("UInt32")
+    if pa.types.is_uint64(dt):
+        return CHType("UInt64")
+    if pa.types.is_float32(dt):
+        return CHType("Float32")
+    if pa.types.is_float64(dt):
+        return CHType("Float64")
+    if pa.types.is_date32(dt):
+        return CHType("Date32")
+    if pa.types.is_timestamp(dt):
+        t = CHType("DateTime64", params="6")
+        t.scale = 6
+        return t
+    if pa.types.is_decimal(dt):
+        t = CHType("Decimal", params=f"{dt.precision}, {dt.scale}")
+        t.fixed_len = dt.precision
+        t.scale = dt.scale
+        return t
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        t = CHType("Array")
+        t.inner = from_arrow(dt.value_type)
+        t.params = t.inner.name
+        return t
+    if pa.types.is_binary(dt) or pa.types.is_large_binary(dt):
+        return CHType("String")
+    raise UnsupportedTypeError(f"cannot write arrow type {dt}")

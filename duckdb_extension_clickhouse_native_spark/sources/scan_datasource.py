@@ -1,0 +1,220 @@
+"""``clickhouse_scan`` Spark DataSource — remote ClickHouse query source.
+
+Spark-first re-expression of the reference's ``clickhouse_scan``
+DuckDB table function (/root/reference/src/clickhouse_scan.rs:47-265):
+ship a SQL string to a ClickHouse server, expose the result as a
+relation. The entire inner query executes on the server — full
+pushdown by construction (clickhouse_scan.rs:78,131).
+
+Deliberate fixes over the reference:
+* schema via a zero-row probe, not a full duplicate execution
+  (clickhouse_scan.rs bind executes the whole query, :78, then init
+  executes it AGAIN, :126-131);
+* values stay typed end-to-end as Native blocks -> Arrow batches (the
+  reference stringifies every cell then re-parses, :134-157,212-240);
+* optional JDBC-style split reads: ``partition_column`` +
+  ``num_partitions`` (+ ``lower_bound``/``upper_bound``) wrap the
+  query in range predicates so N executors fetch in parallel — the
+  reference is strictly single-stream.
+
+Usage::
+
+    df = (spark.read.format("clickhouse_scan")
+          .option("query", "SELECT * FROM system.numbers LIMIT 100")
+          .option("url", "http://localhost:8123")  # or tcp://host:9000
+          .load())
+
+    df.write.format("clickhouse_scan").option("table", "db.t").save()
+
+Env fallbacks (same as reference, README.md:19-23): CLICKHOUSE_URL,
+CLICKHOUSE_USER, CLICKHOUSE_PASSWORD.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, List, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructField, StructType
+
+from .http_client import ClickHouseHTTPClient, resolve_connection, schema_probe_query
+from .native_datasource import _ch_to_spark
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+FORMAT_NAME = "clickhouse_scan"
+
+
+@dataclass
+class ScanPartition(InputPartition):
+    query: str
+
+
+def _split_queries(query: str, options: dict) -> list[str]:
+    col = options.get("partition_column")
+    n = int(options.get("num_partitions", "1"))
+    if not col or n <= 1:
+        return [query]
+    lo = options.get("lower_bound")
+    hi = options.get("upper_bound")
+    if lo is None or hi is None:
+        raise ValueError(
+            "partition_column requires lower_bound and upper_bound "
+            "(numeric, inclusive/exclusive)"
+        )
+    lo_i, hi_i = int(lo), int(hi)
+    width = max(1, (hi_i - lo_i + n - 1) // n)
+    out = []
+    base = query.rstrip().rstrip(";")
+    for i in range(n):
+        a = lo_i + i * width
+        b = lo_i + (i + 1) * width
+        if i == 0:
+            pred = f"{col} < {b}"
+        elif i == n - 1:
+            pred = f"{col} >= {a}"
+        else:
+            pred = f"{col} >= {a} AND {col} < {b}"
+        out.append(f"SELECT * FROM ({base}) AS __split WHERE {pred}")
+    return out
+
+
+class ClickHouseScanReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.spark_schema = schema
+        self.options = options
+        self.query = options.get("query")
+        if not self.query:
+            raise ValueError("clickhouse_scan requires a 'query' option")
+        self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [ScanPartition(q) for q in _split_queries(self.query, self.options)]
+
+    def read(self, partition: ScanPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from ..native.codec import iter_blocks
+
+        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        target = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType)) for f in self.spark_schema.fields]
+        )
+        stream = client.execute_native(partition.query)
+        for blk in iter_blocks(stream, lossy_uint64=self.lossy_uint64):
+            batch = blk.to_record_batch()
+            arrays = []
+            for fld in target:
+                idx = batch.schema.get_field_index(fld.name)
+                col = batch.column(idx)
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+@dataclass
+class ScanWriteCommit(WriterCommitMessage):
+    rows: int
+
+
+class ClickHouseScanWriter(DataSourceArrowWriter):
+    """INSERT INTO <table> FORMAT Native over HTTP, batched per Spark
+    partition — a sink the reference does not have."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("clickhouse_scan write requires a 'table' option")
+        self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
+        import io
+
+        from ..native.types import from_arrow
+        from ..native.writer import write_native_stream
+
+        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        rows = 0
+        buf = io.BytesIO()
+        ch_types = None
+        for batch in iterator:
+            if ch_types is None:
+                ch_types = [from_arrow(f.type) for f in batch.schema]
+            rows += write_native_stream(buf, [batch], ch_types=ch_types)
+            if buf.tell() >= self.max_insert_bytes:
+                client.insert_native(self.table, buf.getvalue())
+                buf = io.BytesIO()
+        if buf.tell():
+            client.insert_native(self.table, buf.getvalue())
+        return ScanWriteCommit(rows=rows)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:  # inserts are not transactional
+        return None
+
+
+class ClickHouseScanDataSource(DataSource):
+    """spark.read.format("clickhouse_scan") — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from ..native.codec import read_block_header, read_str
+        from ..native.types import parse_type
+        import io
+
+        query = self.options.get("query")
+        if not query:
+            raise ValueError("clickhouse_scan requires a 'query' option")
+        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
+        try:
+            stream = client.execute_native(schema_probe_query(query))
+            raw = stream.read()
+        except Exception:
+            # servers that reject the subquery wrapper (e.g. non-SELECT
+            # statements): fall back to executing the query itself, like
+            # the reference does unconditionally (clickhouse_scan.rs:78)
+            stream = client.execute_native(query)
+            raw = stream.read()
+        buf = io.BytesIO(raw)
+        hdr = read_block_header(buf)
+        fields: list[StructField] = []
+        if hdr is not None:
+            n_cols, n_rows = hdr
+            from ..native.codec import skip_column
+
+            for _ in range(n_cols):
+                name = read_str(buf)
+                t = parse_type(read_str(buf))
+                skip_column(buf, t, n_rows)
+                if lossy and t.base in ("UInt64", "UInt8"):
+                    from pyspark.sql.types import IntegerType
+
+                    fields.append(StructField(name, IntegerType(), True))
+                else:
+                    fields.append(StructField(name, _ch_to_spark(t), True))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> ClickHouseScanReader:
+        return ClickHouseScanReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ClickHouseScanWriter:
+        return ClickHouseScanWriter(schema, dict(self.options))
