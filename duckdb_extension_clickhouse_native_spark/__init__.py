@@ -48,6 +48,9 @@ def get_spark(app_name: str = "chsql-native-spark", cpus: int | None = None):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # driver testdata has INT64 TIMESTAMP(NANOS) parquet columns which
+        # Spark rejects by default; read as long and convert explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

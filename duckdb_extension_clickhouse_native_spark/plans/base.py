@@ -1,0 +1,131 @@
+"""Query-registry plumbing for the conformance suite.
+
+Every operator claimed in SURVEY.md §2 gets a named entry: a Spark
+builder ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+an equivalent DuckDB oracle SQL string over the same parquet tables.
+The driver hash-compares both at sf=0.01 (CORRECTNESS_r{N}.json).
+
+Determinism rules used throughout (so value-hashes match bit-for-bit):
+* money/quantity aggregates: cast each term to DECIMAL before SUM —
+  decimal addition is exact and order-independent, unlike double sums
+  which vary with partition order;
+* averages: exact decimal sum cast to DOUBLE, divided by COUNT —
+  identical IEEE doubles on both engines;
+* no LIMIT without a total ORDER BY; ties always broken by a key;
+* session timezone pinned to UTC; parquet ns-timestamps surface as
+  TIMESTAMP_NTZ in Spark and TIMESTAMP in DuckDB (same values).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register temp views.
+
+    Filters/projections on these push down to the parquet scan
+    (Catalyst handles PushedFilters/ReadSchema).
+    """
+    from pyspark.sql.types import LongType
+
+    out = {}
+    for name in names or TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # nanosAsLong surfaces the ns-precision column as int64; convert
+            # to microsecond TIMESTAMP_NTZ (matching DuckDB's CAST(ts AS
+            # TIMESTAMP) truncation used in every oracle)
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class Query:
+    """One conformance entry."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None  # DuckDB SQL; None -> rows-only check
+    tags: list[str] = field(default_factory=list)
+    description: str = ""
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._queries: dict[str, Query] = {}
+
+    def add(self, q: Query) -> None:
+        if q.name in self._queries:
+            raise ValueError(f"duplicate query name {q.name}")
+        self._queries[q.name] = q
+
+    def sql_query(
+        self,
+        name: str,
+        spark_sql: str,
+        oracle: Optional[str] = None,
+        tables: Optional[list[str]] = None,
+        tags: Optional[list[str]] = None,
+        description: str = "",
+    ) -> None:
+        """Register a query whose Spark side is Spark SQL over temp
+        views. ``oracle`` defaults to the same SQL text (the dialects
+        overlap for plain relational queries)."""
+
+        def build(spark: SparkSession, sf_dir: str, _sql=spark_sql, _tables=tables) -> DataFrame:
+            load_tables(spark, sf_dir, _tables)
+            return spark.sql(_sql)
+
+        self.add(
+            Query(
+                name=name,
+                build=build,
+                oracle=oracle if oracle is not None else spark_sql,
+                tags=tags or [],
+                description=description,
+            )
+        )
+
+    def df_query(
+        self,
+        name: str,
+        build: Callable[[SparkSession, str], DataFrame],
+        oracle: Optional[str] = None,
+        tags: Optional[list[str]] = None,
+        description: str = "",
+    ) -> None:
+        self.add(Query(name=name, build=build, oracle=oracle, tags=tags or [], description=description))
+
+    def queries(self) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+        return {n: q.build for n, q in self._queries.items()}
+
+    def oracles(self) -> dict[str, str]:
+        return {n: q.oracle for n, q in self._queries.items() if q.oracle is not None}
+
+    def all(self) -> dict[str, Query]:
+        return dict(self._queries)
+
+
+REGISTRY = Registry()

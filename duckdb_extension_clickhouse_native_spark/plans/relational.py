@@ -1,0 +1,769 @@
+"""Host-surface conformance queries — SURVEY.md §2.2.
+
+The reference delegates every relational operator to its host engine
+(DuckDB above the table functions — /root/reference/README.md:63-72
+shows count/max/WHERE/LIMIT running above the scan) or to the remote
+ClickHouse server. In our engine the host surface IS Spark SQL /
+DataFrame + Catalyst; this module exercises that surface category by
+category so the driver can hash-compare each against DuckDB.
+
+Where the Spark and DuckDB SQL dialects coincide the same text is
+used for both sides (guaranteeing column-name alignment); DataFrame-
+API builders are used for the join/window/setop families to exercise
+that surface too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .base import REGISTRY, load_tables
+
+# ---------------------------------------------------------------------------
+# scan / projection / filter / limit  (README.md:54,63-72 surface)
+# ---------------------------------------------------------------------------
+
+REGISTRY.sql_query(
+    "scan_project_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+    tables=["orders"],
+    tags=["scan", "filter"],
+    description="projection + predicate; Catalyst pushes both into the parquet scan",
+)
+
+REGISTRY.sql_query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tables=["orders"],
+    tags=["sort", "limit"],
+    description="top-k: Spark plans TakeOrderedAndProject, no full sort",
+)
+
+# ---------------------------------------------------------------------------
+# aggregation (README.md:63-69: count(*), max(number) over the scan)
+# ---------------------------------------------------------------------------
+
+REGISTRY.sql_query(
+    "agg_global",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem
+    """,
+    tables=["lineitem"],
+    tags=["agg"],
+    description="ungrouped aggregate — the reference's own smoke queries",
+)
+
+REGISTRY.sql_query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tables=["lineitem"],
+    tags=["agg", "flagship"],
+    description="TPC-H Q1 pricing summary (flagship query)",
+)
+
+REGISTRY.sql_query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tables=["lineitem"],
+    tags=["agg", "filter"],
+    description="TPC-H Q6: tight filter + single aggregate",
+)
+
+REGISTRY.sql_query(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    tables=["customer"],
+    tags=["distinct"],
+)
+
+REGISTRY.sql_query(
+    "group_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+    tables=["orders"],
+    tags=["agg", "having"],
+)
+
+REGISTRY.sql_query(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tables=["orders"],
+    tags=["agg", "rollup"],
+)
+
+REGISTRY.sql_query(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tables=["lineitem"],
+    tags=["agg", "cube"],
+)
+
+REGISTRY.sql_query(
+    "grouping_sets_events",
+    """
+    SELECT event_type, CAST(year(ts) AS INT) AS yr, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr), ())
+    """,
+    tables=["events"],
+    tags=["agg", "grouping_sets"],
+)
+
+REGISTRY.df_query(
+    "approx_distinct_parts",
+    lambda spark, sf_dir: load_tables(spark, sf_dir, ["lineitem"])["lineitem"].agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    ),
+    oracle=None,  # HLL sketches differ across engines by design — rows-only check
+    tags=["agg", "approx"],
+    description="approx_count_distinct (HLL) next to the exact count",
+)
+
+# ---------------------------------------------------------------------------
+# joins — inner/left/right/full/semi/anti/cross/non-equi (§2.2)
+# ---------------------------------------------------------------------------
+
+
+def _q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
+    # customer is the small side at every SF -> broadcast it
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("decimal(38,6)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+REGISTRY.df_query(
+    "q3_shipping_priority",
+    _q3_shipping,
+    oracle="""
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=["join", "agg", "topk"],
+    description="TPC-H Q3: 3-way join, broadcast dim, top-10",
+)
+
+
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    )
+    # dims (region/nation) broadcast; fact-fact joins shuffle on keys
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("decimal(38,6)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+REGISTRY.df_query(
+    "q5_local_supplier",
+    _q5_local_supplier,
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=["join", "agg"],
+    description="TPC-H Q5: 6-way join with broadcast dims",
+)
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("decimal(38,6)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+REGISTRY.df_query(
+    "q10_returned_items",
+    _q10_returned_items,
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=["join", "agg", "topk"],
+    description="TPC-H Q10: returned-item ranking",
+)
+
+
+def _join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    agg = t["orders"].groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        t["customer"]
+        .join(agg, t["customer"].c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey", "c_name", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+        )
+    )
+
+
+REGISTRY.df_query(
+    "join_left_outer",
+    _join_left,
+    oracle="""
+    SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    """,
+    tags=["join"],
+)
+
+
+def _join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    c = t["customer"].groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = t["supplier"].groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+REGISTRY.df_query(
+    "join_full_outer",
+    _join_full,
+    oracle="""
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c_nationkey = s_nationkey
+    """,
+    tags=["join"],
+)
+
+
+def _join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    has_orders = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_semi")
+        .select(F.lit("with_orders").alias("bucket"), "c_custkey")
+    )
+    no_orders = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select(F.lit("without_orders").alias("bucket"), "c_custkey")
+    )
+    return has_orders.unionAll(no_orders)
+
+
+REGISTRY.df_query(
+    "join_semi_anti",
+    _join_semi_anti,
+    oracle="""
+    SELECT 'with_orders' AS bucket, c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=["join", "semi", "anti", "setop"],
+    description="left-semi (EXISTS) + left-anti (NOT EXISTS) in one result",
+)
+
+REGISTRY.sql_query(
+    "join_right_outer",
+    """
+    SELECT n_name, s_suppkey
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+    tables=["supplier", "nation"],
+    tags=["join"],
+)
+
+REGISTRY.sql_query(
+    "join_cross_small",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    tables=["region"],
+    tags=["join", "cross"],
+)
+
+REGISTRY.sql_query(
+    "join_non_equi_range",
+    """
+    SELECT p_partkey, p_name, l_orderkey, l_linenumber
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+                 AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+    WHERE p_size >= 48
+    """,
+    tables=["part", "lineitem"],
+    tags=["join", "non_equi"],
+    description="equi key + range residual (band join)",
+)
+
+# ---------------------------------------------------------------------------
+# window functions (§2.2: ranking / analytic / frames)
+# ---------------------------------------------------------------------------
+
+
+def _window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rk", F.rank().over(w))
+        .withColumn("drk", F.dense_rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+    )
+
+
+REGISTRY.df_query(
+    "window_topk_per_group",
+    _window_rank,
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK() OVER w AS BIGINT) AS rk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) t WHERE rn <= 3
+    """,
+    tags=["window", "topk"],
+    description="top-3 orders per customer via ranking window",
+)
+
+
+def _window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)).alias(
+            "gap_seconds"
+        ),
+    )
+
+
+REGISTRY.df_query(
+    "window_lag_lead",
+    _window_lag_lead,
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           LAG(event_type, 1) OVER w AS prev_type,
+           LEAD(event_type, 1) OVER w AS next_type,
+           EPOCH(CAST(ts AS TIMESTAMP)) - LAG(EPOCH(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    tags=["window"],
+    description="lag/lead + inter-event gap per user",
+)
+
+
+def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("decimal(38,4)")
+        .alias("running_value"),
+        F.count("*").over(w.rowsBetween(-2, 0)).alias("n_last3"),
+        F.max(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("decimal(38,4)")
+        .alias("user_max_value"),
+    )
+
+
+REGISTRY.df_query(
+    "window_frames",
+    _window_frames,
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) OVER
+                (PARTITION BY user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(38,4)) AS user_max_value
+    FROM events
+    """,
+    tags=["window", "frames"],
+    description="running sum / sliding count / partition max frames",
+)
+
+REGISTRY.sql_query(
+    "window_ntile_percent",
+    """
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 8) AS pct_rank
+    FROM customer
+    """,
+    tables=["customer"],
+    tags=["window"],
+)
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+def _setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust_nations = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    supp_nations = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    both = cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect"))
+    only_cust = cust_nations.exceptAll(supp_nations).distinct().withColumn(
+        "op", F.lit("except")
+    )
+    union_distinct = cust_nations.union(supp_nations).distinct().withColumn(
+        "op", F.lit("union")
+    )
+    return both.unionAll(only_cust).unionAll(union_distinct)
+
+
+REGISTRY.df_query(
+    "setops_nations",
+    _setops,
+    oracle="""
+    SELECT nationkey, 'intersect' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT nationkey, 'except' AS op FROM
+      (SELECT DISTINCT nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) e) t2
+    UNION ALL
+    SELECT nationkey, 'union' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier) t3
+    """,
+    tags=["setop"],
+    description="INTERSECT / EXCEPT ALL+DISTINCT / UNION in one result",
+)
+
+# ---------------------------------------------------------------------------
+# scalar functions (string / date / math / conditional) — §2.2 row
+# ---------------------------------------------------------------------------
+
+REGISTRY.sql_query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS low_brand,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(CONCAT('  ', p_brand, ' ')) AS trimmed,
+           LPAD(CAST(p_size AS STRING), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+    FROM part
+    """,
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS low_brand,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(CONCAT('  ', p_brand, ' ')) AS trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+    FROM part
+    """,
+    tables=["part"],
+    tags=["scalar", "string"],
+)
+
+REGISTRY.sql_query(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+    tables=["orders"],
+    tags=["scalar", "date"],
+)
+
+REGISTRY.sql_query(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_diff,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           ROUND(SQRT(l_quantity), 8) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 8) AS price_ln,
+           CAST(MOD(l_orderkey, 7) AS BIGINT) AS key_mod,
+           ROUND(POWER(l_discount, 2), 10) AS disc_sq
+    FROM lineitem
+    """,
+    tables=["lineitem"],
+    tags=["scalar", "math"],
+)
+
+REGISTRY.sql_query(
+    "scalar_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           IF(c_acctbal >= 0, 1, 0) AS non_negative
+    FROM customer
+    """,
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS non_negative
+    FROM customer
+    """,
+    tables=["customer"],
+    tags=["scalar", "conditional"],
+)
+
+REGISTRY.sql_query(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+    tables=["events"],
+    tags=["scalar", "json"],
+    description="JSON field extraction (regexp-based so both dialects agree)",
+)
+
+# ---------------------------------------------------------------------------
+# pivot / time-bucketed aggregation over events
+# ---------------------------------------------------------------------------
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+REGISTRY.df_query(
+    "pivot_event_counts",
+    _pivot_events,
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=["pivot", "agg"],
+    description="pivot = grouped conditional counts",
+)
+
+REGISTRY.sql_query(
+    "events_time_buckets",
+    """
+    SELECT date_trunc('hour', ts) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, event_type
+    """,
+    tables=["events"],
+    tags=["agg", "time"],
+    description="hourly tumbling-window aggregation (batch analogue of streaming windows)",
+)
+
+
+def register() -> None:
+    """Import side effect — all queries above are already registered."""
