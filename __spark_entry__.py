@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All queries live in ``duckdb_extension_clickhouse_native_spark.plans``
+(SURVEY.md §2 coverage: §2.1 source queries in plans/sources.py, §2.2
+host surface in plans/relational.py, pipeline operators in
+plans/pipeline.py).
 """
 
 from __future__ import annotations
@@ -13,26 +17,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# importing these modules populates the registry
+from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
+    pipeline,
+    relational,
+    sources,
+)
+from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
+    q = REGISTRY.all()["q1_pricing_summary"]
+    return q.build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return REGISTRY.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted entries (approximate
+    sketches, float BLAS paths) get the driver's rows-only check."""
+    return REGISTRY.oracles()

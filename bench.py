@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+The headline set spans the engine's surfaces: the Native-source scan
+(the reference's own benchmark shape — count over ~600k rows at
+sf0.1, cf. BASELINE.md's 1M-row count), TPC-H-style joins/aggs,
+windows/sessionization, and the pipeline operators (MinHash LSH,
+SimHash, ANN top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "native_scan_count_max",   # reference's benchmark query shape
+    "native_filter_project",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "agg_global",
+    "window_topk_per_group",
+    "events_sessionize",
+    "asof_join_events_orders",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_fast",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from duckdb_extension_clickhouse_native_spark import get_spark
+    from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
+        pipeline,
+        relational,
+        sources,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    spark = get_spark(app_name="chsql-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + python worker pool so per-query numbers measure the
+    # queries, not session spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    all_q = REGISTRY.all()
+    results: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = all_q[name]
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

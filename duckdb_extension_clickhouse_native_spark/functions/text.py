@@ -1,0 +1,143 @@
+"""Text-analysis functions for the document pipeline: language ID,
+quality scoring, token counting, fingerprinting.
+
+All four are pure column expressions (JVM-side, whole-stage-codegen
+friendly — no Python in the hot path) with DuckDB-parity templates
+for the oracle gate. At 100 TB these run map-side with zero shuffle.
+"""
+
+from __future__ import annotations
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "los", "un", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+    "fr": ["le", "la", "de", "et", "que", "les", "un", "une"],
+}
+
+
+def _d(dialect: str) -> dict:
+    from ..operators.dedup import DUCK, SPARK
+
+    return SPARK if dialect == "spark" else DUCK
+
+
+def _quote_list(words: list[str], dialect: str) -> str:
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+
+def _stop_count(dialect: str, toks: str, words: list[str]) -> str:
+    lst = _quote_list(words, dialect)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> array_contains({lst}, t)))"
+    return f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+
+
+def lang_id_sql(dialect: str) -> str:
+    """N-gram/stopword-heuristic language ID with a deterministic
+    tie-break (list order en > es > zh > fr)."""
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    scores = ",\n             ".join(
+        f"{_stop_count(dialect, 'toks', ws)} AS s_{lang}" for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    cond = []
+    for i, lang in enumerate(langs[:-1]):
+        ge = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        cond.append(f"WHEN {ge} THEN '{lang}'")
+    case = "CASE " + " ".join(cond) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, {toks} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, true_lang,
+             {scores}
+      FROM toks
+    )
+    SELECT doc_id, true_lang, {case} AS predicted_lang,
+           CAST(s_en + s_es + s_zh + s_fr AS BIGINT) AS stopword_hits
+    FROM scored
+    """
+
+
+def quality_sql(dialect: str) -> str:
+    """Quality scoring: length / punctuation / stopword-ratio features
+    and a deterministic composite score."""
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    n_toks = d["len"].format(arr="toks")
+    n_distinct = d["len"].format(arr=d["distinct"].format(arr="toks"))
+    stop_en = _stop_count(dialect, "toks", STOPWORDS["en"])
+    regex_count = (
+        "size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))"
+        if dialect == "spark"
+        else "len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {toks} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS len_chars,
+             CAST({n_toks} AS BIGINT) AS n_tokens,
+             CAST({n_distinct} AS BIGINT) AS n_distinct_tokens,
+             CAST({stop_en} AS BIGINT) AS n_stopwords,
+             CAST({regex_count} AS BIGINT) AS n_punct
+      FROM t
+    )
+    SELECT doc_id, len_chars, n_tokens, n_distinct_tokens, n_stopwords, n_punct,
+           CAST(len_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_span,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           ROUND(
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0))
+           , 8) AS quality_score
+    FROM feat
+    """
+
+
+def token_count_sql(dialect: str) -> str:
+    """Whitespace token count + a BPE-ish regex token count (letter
+    runs / digit runs / single symbols) + an estimated-token heuristic."""
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    n_ws = d["len"].format(arr=toks)
+    bpe = (
+        "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))"
+        if dialect == "spark"
+        else "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({n_ws} AS BIGINT) AS n_ws_tokens,
+           CAST({bpe} AS BIGINT) AS n_bpe_tokens,
+           CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens
+    FROM documents
+    """
+
+
+def fingerprint_sql(dialect: str) -> str:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (rolling-hash-class dedup key), plus a prefix
+    fingerprint over the first 8 tokens."""
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    if dialect == "spark":
+        sorted_join = "concat_ws(' ', array_sort(array_distinct(toks)))"
+        prefix_join = "concat_ws(' ', slice(toks, 1, 8))"
+    else:
+        sorted_join = "array_to_string(list_sort(list_distinct(toks)), ' ')"
+        prefix_join = "array_to_string(toks[1:8], ' ')"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           md5({sorted_join}) AS set_fingerprint,
+           md5({prefix_join}) AS prefix_fingerprint
+    FROM t
+    """

@@ -506,6 +506,8 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         buf.write(days.astype("<u2" if b == "Date" else "<i4").tobytes())
         return
     if b == "DateTime64":
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
         us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         scale = t.scale
         if scale == 6:
@@ -517,6 +519,8 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         buf.write(ticks.astype("<i8").tobytes())
         return
     if b == "DateTime":
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
         us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         buf.write((us // 1_000_000).astype("<u4").tobytes())
         return

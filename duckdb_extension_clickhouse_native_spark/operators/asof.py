@@ -1,0 +1,161 @@
+"""As-of join — an operator Spark lacks natively (the reference's host
+DuckDB has ASOF JOIN; SURVEY.md §2.2 join row).
+
+Implementation: hash-bucket the join key into ~#cores*4 buckets,
+``applyInPandas`` per BUCKET (not per key — thousands of tiny pandas
+groups would drown in per-group overhead), and run one vectorized
+``pandas.merge_asof(..., by=key)`` per bucket. At 100 TB this is one
+shuffle on the bucket id with per-bucket local sorts — the standard
+shuffle-merge shape, no driver involvement, and bucket count scales
+with the cluster, not the key cardinality.
+
+Semantics (deterministic, matching the DuckDB oracle formulation):
+for each left row, the greatest right timestamp <= left timestamp
+within the same key (backward as-of). The right side is pre-aggregated
+to one row per (key, ts) so right-side ties cannot make the result
+ambiguous.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 128
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    out_schema: str,
+    value_cols: list[str],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Generic backward as-of join: for every left row, attach the
+    latest right row (by ``right_ts``) with right_ts <= left_ts and
+    equal ``key``. Right must be unique per (key, right_ts)."""
+    lcols = left.columns
+    l = left.withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    r = right.withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    l = l.withColumn("__side", F.lit(0))
+    r = r.withColumn("__side", F.lit(1))
+    # align columns for the union
+    for c in r.columns:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    for c in l.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+    both = l.unionByName(r.select(l.columns))
+
+    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
+        le = group[group["__side"] == 0][lcols].sort_values(left_ts, kind="mergesort")
+        ri = (
+            group[group["__side"] == 1][[key, right_ts] + value_cols]
+            .dropna(subset=[right_ts])
+            .sort_values(right_ts, kind="mergesort")
+        )
+        if le.empty:
+            return pd.DataFrame(columns=lcols + [right_ts] + value_cols)
+        if ri.empty:
+            out = le.copy()
+            out[right_ts] = pd.NaT
+            for c in value_cols:
+                out[c] = None
+            return out
+        merged = pd.merge_asof(
+            le, ri, left_on=left_ts, right_on=right_ts, by=key, direction="backward"
+        )
+        return merged[lcols + [right_ts] + value_cols]
+
+    return both.groupBy("__bucket").applyInPandas(merge, schema=out_schema)
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the customer's most recent order date at event
+    time (user_id == o_custkey), plus that day's max order price."""
+    from ..plans.base import load_tables
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    events = t["events"].select("event_id", "user_id", "ts")
+    orders = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_ts"),
+        )
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("last_order_price")
+        )
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_order_ts",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "last_order_ts timestamp_ntz, last_order_price decimal(38,4)"
+        ),
+        value_cols=["last_order_price"],
+    )
+
+
+ASOF_ORACLE_SQL = """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS last_order_price
+      FROM orders GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             MAX(d.order_ts) AS last_order_ts
+      FROM events e
+      LEFT JOIN daily d
+        ON d.user_id = e.user_id AND d.order_ts <= CAST(e.ts AS TIMESTAMP)
+      GROUP BY e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT m.event_id, m.user_id, m.ts, m.last_order_ts, d.last_order_price
+    FROM matched m
+    LEFT JOIN daily d ON d.user_id = m.user_id AND d.order_ts = m.last_order_ts
+"""
+
+
+def sessionize_sql(dialect: str, gap_seconds: int = 1800) -> str:
+    """Sessionization: a new session starts when the gap since the
+    user's previous event exceeds ``gap_seconds``. lag + conditional
+    cumsum — one window, one shuffle on user_id."""
+    if dialect == "spark":
+        epoch = "CAST(ts AS DOUBLE)"
+    else:
+        epoch = "EPOCH(CAST(ts AS TIMESTAMP))"
+    return f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, {epoch} AS t,
+             LAG({epoch}, 1) OVER (PARTITION BY user_id ORDER BY {epoch}, event_id) AS prev_t
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_id, user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > {gap_seconds} THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT event_id, user_id, t,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           ROUND(MAX(t) - MIN(t), 6) AS duration_seconds
+    FROM sessions
+    GROUP BY user_id, session_no
+    """

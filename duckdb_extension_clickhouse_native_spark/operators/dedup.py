@@ -1,0 +1,293 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no operators at all — SURVEY.md
+§2.1), these are the dedup primitives a 100 TB document pipeline
+needs, each expressed Spark-first:
+
+* exact dedup            — hash groupBy (one shuffle on the hash key)
+* fingerprint dedup      — normalize -> md5 -> groupBy
+* MinHash + LSH          — shingle -> k mins -> band -> bucket join;
+                           candidate pairs verified by token Jaccard
+* SimHash                — per-token 32-bit hash votes -> hamming bands
+* n-gram Jaccard         — shared-shingle candidate pairs -> Jaccard
+* embedding near-dup     — sign-LSH bucket -> exact cosine (dedup.py
+                           sibling in similarity.py)
+
+Every builder here emits BOTH dialects (Spark SQL and DuckDB SQL)
+from one template, so the driver's oracle comparison is parity by
+construction: identical md5-based hashing, identical integer/decimal
+arithmetic, identical tie-breaks.
+
+Scale notes (100 TB): all stages are embarrassingly parallel except
+the band-bucket join, which shuffles on (band_idx, band_key) — a
+well-distributed md5 key, so no skew; candidate verification joins
+fetch only the two token arrays per pair. Nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+SPARK = {
+    "tokens": "split({col}, ' ')",
+    "strpos": "instr({hay}, {needle})",
+    "list_transform": "transform({arr}, {lam})",
+    "list_min": "array_min({arr})",
+    "list_sum_bigint": "aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+    "range1": "sequence(1, {n})",  # inclusive 1..n, empty when n<1 needs guard
+    "slice3": "slice({arr}, {i}, 3)",
+    "arr_join": "concat_ws(' ', {arr})",
+    "distinct": "array_distinct({arr})",
+    "intersect_len": "size(array_intersect({a}, {b}))",
+    "len": "size({arr})",
+    "string": "STRING",
+    "elem": "element_at({arr}, {i})",
+    "mklist": "array({x})",
+    "xor": "({a} ^ {b})",
+}
+
+DUCK = {
+    "tokens": "string_split({col}, ' ')",
+    "strpos": "strpos({hay}, {needle})",
+    "list_transform": "list_transform({arr}, {lam})",
+    "list_min": "list_min({arr})",
+    "list_sum_bigint": "CAST(list_sum(list_append(list_prepend(CAST(0 AS BIGINT), {arr}), CAST(0 AS BIGINT))) AS BIGINT)",
+    "range1": "range(1, {n} + 1)",  # end-exclusive; empty when n<1 (no guard needed)
+    "slice3": "{arr}[{i}:{i}+2]",
+    "arr_join": "array_to_string({arr}, ' ')",
+    "distinct": "list_distinct({arr})",
+    "intersect_len": "len(list_intersect({a}, {b}))",
+    "len": "len({arr})",
+    "string": "VARCHAR",
+    "elem": "{arr}[{i}]",
+    "mklist": "[{x}]",
+    "xor": "xor({a}, {b})",
+}
+
+
+def _shingles_expr(d: dict, tokens: str) -> str:
+    """3-token shingle strings; docs shorter than 3 tokens get one
+    shingle = the whole text."""
+    n = d["len"].format(arr=tokens)
+    body = d["list_transform"].format(
+        arr=d["range1"].format(n=f"{n} - 2"),
+        lam="i -> " + d["arr_join"].format(arr=d["slice3"].format(arr=tokens, i="i")),
+    )
+    whole = d["mklist"].format(x=d["arr_join"].format(arr=tokens))
+    return f"CASE WHEN {n} >= 3 THEN {body} ELSE {whole} END"
+
+
+def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold: float = 0.4) -> str:
+    """Candidate near-dup pairs via MinHash banding, verified by exact
+    token Jaccard. ``n_hashes`` mins split into ``bands`` bands; docs
+    sharing any band bucket are candidates.
+
+    MinHash_i(doc) = min over shingles s of md5('<i>|' || s) -- md5 is
+    identical in both engines and hex strings order identically, so
+    signatures (and therefore buckets, pairs, and Jaccard values) are
+    engine-independent.
+
+    Shape (scale-minded): distinct shingles are exploded ONCE and the
+    k mins are one grouped aggregation over the shingle rows (k MIN
+    columns) -- no nested array re-scans per hash; the band-bucket
+    join shuffles on an md5 key (uniform, skew-free); verification
+    touches only candidate pairs.
+    """
+    d = SPARK if dialect == "spark" else DUCK
+    rows = n_hashes // bands
+    explode_fn = "explode" if dialect == "spark" else "unnest"
+    mins = ",\n             ".join(
+        f"MIN(md5(concat('{i}|', shingle))) AS m{i}" for i in range(n_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(concat(" + ", ".join(f"m{b*rows+r}" for r in range(rows)) + f")) AS band{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(bands)
+    )
+    inter = d["intersect_len"].format(a="a.toks_d", b="b.toks_d")
+    la = d["len"].format(arr="a.toks_d")
+    lb = d["len"].format(arr="b.toks_d")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, {d['distinct'].format(arr='toks')} AS toks_d,
+             {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh
+      FROM docs
+    ),
+    sh_rows AS (
+      SELECT doc_id, {explode_fn}(sh) AS shingle FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh_rows GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, {band_keys} FROM sigs
+    ),
+    band_rows AS ({band_rows}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band_rows a JOIN band_rows b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({inter} AS DOUBLE) /
+             CAST({la} + {lb} - {inter} AS DOUBLE) AS jaccard
+      FROM candidates c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
+    """Per-document 64-bit SimHash + near-dup pairs.
+
+    The 64-bit signature is computed as two 32-bit halves (so every
+    intermediate fits comfortably in BIGINT): hash_half(token) =
+    integer value of hex chars [1..8] / [9..16] of md5(token), built
+    nibble-by-nibble with strpos/instr so both engines compute
+    identical integers without conv()/from_hex().
+
+    Shape (scale-minded): explode tokens ONCE, hash each token row
+    once, then 64 conditional-SUM vote columns in a single groupBy --
+    rows = docs x tokens, not docs x tokens x bits. Candidates share
+    one of four 16-bit bands; pairs within ``hamming_max`` emitted.
+    """
+    d = SPARK if dialect == "spark" else DUCK
+    toks_d = d["distinct"].format(arr=d["tokens"].format(col="text"))
+    explode = (
+        f"SELECT doc_id, explode({toks_d}) AS t FROM documents"
+        if dialect == "spark"
+        else f"SELECT doc_id, unnest({toks_d}) AS t FROM documents"
+    )
+
+    def half(offset: int) -> str:
+        return " + ".join(
+            "CAST(("
+            + d["strpos"].format(
+                hay="'0123456789abcdef'", needle=f"substr(h, {offset + j + 1}, 1)"
+            )
+            + f" - 1) AS BIGINT) * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{j}, "
+        f"SUM(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{j}"
+        for j in range(32)
+    )
+    sim_lo = " + ".join(
+        f"(CASE WHEN vl{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    )
+    sim_hi = " + ".join(
+        f"(CASE WHEN vh{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)" for j in range(32)
+    )
+    bands = ", ".join(
+        f"CAST((sim_lo >> {16 * b}) & 65535 AS BIGINT) AS band{b}" for b in range(2)
+    ) + ", " + ", ".join(
+        f"CAST((sim_hi >> {16 * b}) & 65535 AS BIGINT) AS band{b + 2}" for b in range(2)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sim_lo, sim_hi, {b} AS band_idx, band{b} AS band_val FROM sig_bands"
+        for b in range(4)
+    )
+    xor_lo = d["xor"].format(a="lo_a", b="lo_b")
+    xor_hi = d["xor"].format(a="hi_a", b="hi_b")
+    hamming = f"(bit_count({xor_lo}) + bit_count({xor_hi}))"
+    return f"""
+    WITH tok AS ({explode}),
+    hashed AS (
+      SELECT doc_id, {half(0)} AS h_lo, {half(8)} AS h_hi
+      FROM (SELECT doc_id, md5(t) AS h FROM tok) m
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, {sim_lo} AS sim_lo, {sim_hi} AS sim_hi FROM votes
+    ),
+    sig_bands AS (
+      SELECT doc_id, sim_lo, sim_hi, {bands} FROM sigs
+    ),
+    band_rows AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+             b.sim_lo AS lo_b, b.sim_hi AS hi_b
+      FROM band_rows a JOIN band_rows b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({hamming} AS BIGINT) AS hamming
+    FROM pairs
+    WHERE {hamming} <= {hamming_max}
+    """
+
+
+def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs.
+
+    Candidate generation: docs sharing at least one shingle (explode +
+    self-join on the shingle — the classic inverted-index join). On
+    random text shared 3-shingles are rare, so the candidate set stays
+    near-linear; at 100 TB the shuffle key is the shingle hash.
+    """
+    d = SPARK if dialect == "spark" else DUCK
+    explode_shingle = (
+        "SELECT doc_id, explode(sh_d) AS shingle FROM shingled"
+        if dialect == "spark"
+        else "SELECT doc_id, unnest(sh_d) AS shingle FROM shingled"
+    )
+    inter = d["intersect_len"].format(a="a.sh_d", b="b.sh_d")
+    la = d["len"].format(arr="a.sh_d")
+    lb = d["len"].format(arr="b.sh_d")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh_d FROM docs
+    ),
+    inverted AS ({explode_shingle}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inverted a JOIN inverted b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({inter} AS DOUBLE) /
+             CAST({la} + {lb} - {inter} AS DOUBLE) AS jaccard
+      FROM candidates c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+EXACT_DEDUP_SQL = """
+    SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+"""
+
+FINGERPRINT_DEDUP_SQL = """
+    SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) AS fingerprint,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""

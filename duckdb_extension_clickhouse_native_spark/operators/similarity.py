@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the pipeline north star:
+
+* ``cosine_topk_sql`` — brute-force exact top-k, oracle-checkable:
+  dot/norm sums accumulate in DECIMAL so the value is independent of
+  summation order (and therefore identical in Spark and DuckDB).
+* ``signlsh_pairs_sql`` — the scale path: sign-LSH (hyperplane-sign
+  bucketing on leading dimensions) shrinks the candidate set, then
+  exact cosine within buckets. At 100 TB the bucket id is the shuffle
+  key; each bucket's pair loop is local to one executor.
+* ``cosine_topk_fast`` — numpy/pandas-UDF brute force for bench use
+  (float math, not oracle-hashable; 10-100x faster than the lambda
+  form).
+
+Float parity note: elements are float32; each product is computed in
+DOUBLE (exact for f32*f32) then cast to DECIMAL(30,18) — a rounding
+that is identical in both engines — and summed exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DIM = 64
+
+
+def _dot_expr(dialect: str, a: str, b: str, dim: int = DIM) -> str:
+    if dialect == "spark":
+        term = (
+            f"CAST(CAST(element_at({a}, i) AS DOUBLE) * "
+            f"CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(30,18))"
+        )
+        return (
+            f"aggregate(sequence(1, {dim}), CAST(0 AS DECIMAL(38,18)), "
+            f"(acc, i) -> CAST(acc + {term} AS DECIMAL(38,18)))"
+        )
+    term = f"CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,18))"
+    return f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> {term})) AS DECIMAL(38,18))"
+
+
+def cosine_topk_sql(dialect: str, query_vec_id: int = 0, k: int = 10, dim: int = DIM) -> str:
+    """Exact cosine top-k against the embedding of ``query_vec_id``."""
+    dot = _dot_expr(dialect, "e.embedding", "q.embedding", dim)
+    na = _dot_expr(dialect, "e.embedding", "e.embedding", dim)
+    nb = _dot_expr(dialect, "q.embedding", "q.embedding", dim)
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(CAST({dot} AS DOUBLE) /
+             (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 12) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {query_vec_id}
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+def signlsh_pairs_sql(dialect: str, sign_dims: int = 10, threshold: float = 0.4, dim: int = DIM) -> str:
+    """Near-duplicate embedding pairs: sign-LSH bucket (2^sign_dims
+    buckets from the signs of the leading dimensions) then exact cosine
+    within each bucket. The sign of a float is exact, so bucket
+    assignment is engine-independent."""
+    d_elem = (lambda arr, i: f"element_at({arr}, {i})") if dialect == "spark" else (
+        lambda arr, i: f"{arr}[{i}]"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {d_elem('embedding', j + 1)} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(sign_dims)
+    )
+    dot = _dot_expr(dialect, "a.embedding", "b.embedding", dim)
+    na = _dot_expr(dialect, "a.embedding", "a.embedding", dim)
+    nb = _dot_expr(dialect, "b.embedding", "b.embedding", dim)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(CAST({dot} AS DOUBLE) /
+             (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 12) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+    """
+
+
+def ivf_topk_sql(dialect: str, query_vec_id: int = 0, n_centroids: int = 16, n_probe: int = 4, k: int = 10, dim: int = DIM) -> str:
+    """IVF-style ANN: 'centroids' are the first ``n_centroids`` vectors
+    (deterministic training stand-in); every vector is assigned to its
+    nearest centroid by exact cosine; the query probes the
+    ``n_probe`` nearest centroid lists and takes the exact top-k inside
+    them. Recall < 1 by design — the point is the pruning shape, which
+    at scale turns a full scan into n_probe/n_centroids of the data."""
+    dot_ec = _dot_expr(dialect, "e.embedding", "c.embedding", dim)
+    ne = _dot_expr(dialect, "e.embedding", "e.embedding", dim)
+    nc = _dot_expr(dialect, "c.embedding", "c.embedding", dim)
+    dot_eq = _dot_expr(dialect, "e.embedding", "q.embedding", dim)
+    nq = _dot_expr(dialect, "q.embedding", "q.embedding", dim)
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+    assignments AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos_ec DESC, cid) AS rn
+      FROM (
+        SELECT e.vec_id, c.cid,
+               ROUND(CAST({dot_ec} AS DOUBLE) /
+               (sqrt(CAST({ne} AS DOUBLE)) * sqrt(CAST({nc} AS DOUBLE))), 12) AS cos_ec
+        FROM embeddings e CROSS JOIN centroids c
+      ) s
+    ),
+    assigned AS (SELECT vec_id, cid FROM assignments WHERE rn = 1),
+    probe_lists AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY
+                 CAST({dot_ec.replace('e.embedding', 'q.embedding')} AS DOUBLE) /
+                 (sqrt(CAST({nq} AS DOUBLE)) * sqrt(CAST({nc} AS DOUBLE))) DESC, c.cid) AS rn
+        FROM centroids c CROSS JOIN q
+      ) p WHERE rn <= {n_probe}
+    ),
+    candidates AS (
+      SELECT a.vec_id FROM assigned a JOIN probe_lists p ON a.cid = p.cid
+      WHERE a.vec_id <> {query_vec_id}
+    )
+    SELECT e.vec_id,
+           ROUND(CAST({dot_eq} AS DOUBLE) /
+           (sqrt(CAST({ne} AS DOUBLE)) * sqrt(CAST({nq} AS DOUBLE))), 12) AS cosine
+    FROM embeddings e JOIN candidates USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+def cosine_topk_fast(spark, sf_dir: str, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Bench-path brute-force top-k: Arrow-batched pandas UDF doing the
+    dot products in numpy (one BLAS matmul per batch). Distributed:
+    each partition scores locally, Spark's TakeOrderedAndProject merges
+    per-partition top-k — no full sort, no driver collect of scores."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    from ..plans.base import ensure_session
+
+    ensure_session(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    bq = spark.sparkContext.broadcast(q / qn)
+
+    @F.pandas_udf(DoubleType())
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.asarray(col.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        return pd.Series((m @ bq.value) / np.where(norms == 0, 1.0, norms))
+
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", cos(F.col("embedding")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )

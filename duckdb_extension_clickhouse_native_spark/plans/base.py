@@ -38,6 +38,76 @@ TABLES = [
 ]
 
 
+def ensure_session(spark: SparkSession) -> SparkSession:
+    """Make an externally-created SparkSession (e.g. the driver's)
+    behave like ours: UTC timezone (oracle parity), ns-parquet
+    tolerance, Python filter pushdown, AQE, and both DataSources
+    registered. All of these are runtime-settable."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    if not getattr(spark, "_chsql_sources_registered", False):
+        _ship_package(spark)
+        try:
+            from .. import register
+
+            register(spark)
+        except Exception:
+            pass  # already registered
+        try:
+            spark._chsql_sources_registered = True
+        except Exception:
+            pass
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor / planner Python
+    workers even when the driver was launched outside the repo
+    (pickled UDF closures and the Python DataSource are both imported
+    by name worker-side). On a real cluster this is exactly how the
+    engine ships: one zip via addPyFile."""
+    import os
+    import tempfile
+    import zipfile
+
+    import duckdb_extension_clickhouse_native_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    stamp = 0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                stamp = max(stamp, int(os.path.getmtime(os.path.join(root, f))))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"chsql_native_spark_pkg_{stamp}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            os.path.basename(pkg_dir), os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register temp views.
 
@@ -46,6 +116,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = N
     """
     from pyspark.sql.types import LongType
 
+    ensure_session(spark)
     out = {}
     for name in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,198 @@
+"""Training-data pipeline conformance queries: dedup, similarity
+search, text analysis, multimodal plumbing, as-of/sessionization.
+
+These are first-class operators beyond the reference's own surface
+(north star in BASELINE.json). Spark side and DuckDB oracle are
+generated from shared dialect templates, so hash-parity is by
+construction; see operators/dedup.py for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.multimodal import MEDIA_FEATURES_ORACLE_SQL, media_features_query
+from ..functions.text import fingerprint_sql, lang_id_sql, quality_sql, token_count_sql
+from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
+from ..operators.dedup import (
+    EXACT_DEDUP_SQL,
+    FINGERPRINT_DEDUP_SQL,
+    minhash_lsh_sql,
+    ngram_jaccard_sql,
+    simhash_sql,
+)
+from ..operators.similarity import (
+    cosine_topk_fast,
+    cosine_topk_sql,
+    ivf_topk_sql,
+    signlsh_pairs_sql,
+)
+from .base import REGISTRY, load_tables
+
+
+def _sql_pair(name: str, spark_sql: str, duck_sql: str, tables: list[str], tags: list[str], description: str = "") -> None:
+    def build(spark: SparkSession, sf_dir: str, _sql=spark_sql, _tables=tables) -> DataFrame:
+        load_tables(spark, sf_dir, _tables)
+        return spark.sql(_sql)
+
+    from .base import Query
+
+    REGISTRY.add(
+        Query(name=name, build=build, oracle=duck_sql, tags=tags, description=description)
+    )
+
+
+# -- deduplication ----------------------------------------------------------
+
+_sql_pair(
+    "dedup_exact",
+    EXACT_DEDUP_SQL,
+    EXACT_DEDUP_SQL,
+    ["documents"],
+    ["dedup"],
+    "exact dedup: one shuffle on the text hash, keep min doc_id",
+)
+
+_sql_pair(
+    "dedup_fingerprint",
+    FINGERPRINT_DEDUP_SQL,
+    FINGERPRINT_DEDUP_SQL,
+    ["documents"],
+    ["dedup"],
+    "normalized-text md5 fingerprint dedup",
+)
+
+_sql_pair(
+    "dedup_minhash_lsh",
+    minhash_lsh_sql("spark"),
+    minhash_lsh_sql("duckdb"),
+    ["documents"],
+    ["dedup", "lsh", "flagship"],
+    "MinHash(12) banded LSH candidates verified by token Jaccard",
+)
+
+_sql_pair(
+    "dedup_simhash",
+    simhash_sql("spark"),
+    simhash_sql("duckdb"),
+    ["documents"],
+    ["dedup", "simhash"],
+    "32-bit SimHash byte-band candidates within hamming<=6",
+)
+
+_sql_pair(
+    "dedup_ngram_jaccard",
+    ngram_jaccard_sql("spark"),
+    ngram_jaccard_sql("duckdb"),
+    ["documents"],
+    ["dedup", "ngram"],
+    "inverted-index shingle join + exact Jaccard",
+)
+
+# -- similarity search ------------------------------------------------------
+
+_sql_pair(
+    "sim_topk_bruteforce",
+    cosine_topk_sql("spark"),
+    cosine_topk_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "ann"],
+    "exact cosine top-10 (decimal-exact dot products)",
+)
+
+_sql_pair(
+    "sim_pairs_signlsh",
+    signlsh_pairs_sql("spark"),
+    signlsh_pairs_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "lsh"],
+    "sign-LSH bucketed near-dup embedding pairs (the 100TB path)",
+)
+
+_sql_pair(
+    "sim_topk_ivf",
+    ivf_topk_sql("spark"),
+    ivf_topk_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "ann", "ivf"],
+    "IVF-style probe: nearest-centroid partition + n_probe lists",
+)
+
+REGISTRY.df_query(
+    "sim_topk_fast",
+    lambda spark, sf_dir: cosine_topk_fast(spark, sf_dir),
+    oracle=None,  # float32 BLAS sums are not bit-stable across engines — rows-only
+    tags=["similarity", "ann", "bench"],
+    description="numpy pandas-UDF brute force (bench path; same answer as sim_topk_bruteforce)",
+)
+
+# -- text analysis ----------------------------------------------------------
+
+_sql_pair(
+    "text_lang_id",
+    lang_id_sql("spark"),
+    lang_id_sql("duckdb"),
+    ["documents"],
+    ["text"],
+    "stopword-heuristic language ID",
+)
+
+_sql_pair(
+    "text_quality",
+    quality_sql("spark"),
+    quality_sql("duckdb"),
+    ["documents"],
+    ["text"],
+    "length/punct/type-token quality features + composite score",
+)
+
+_sql_pair(
+    "text_token_count",
+    token_count_sql("spark"),
+    token_count_sql("duckdb"),
+    ["documents"],
+    ["text"],
+    "whitespace + BPE-ish regex + estimated token counts",
+)
+
+_sql_pair(
+    "text_fingerprint",
+    fingerprint_sql("spark"),
+    fingerprint_sql("duckdb"),
+    ["documents"],
+    ["text"],
+    "sorted-token-set md5 + 8-token prefix fingerprints",
+)
+
+# -- multimodal plumbing ----------------------------------------------------
+
+REGISTRY.df_query(
+    "multimodal_features",
+    media_features_query,
+    oracle=MEDIA_FEATURES_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf"],
+    description="binary media column -> mapInPandas stub decode -> typed features",
+)
+
+# -- as-of join + sessionization -------------------------------------------
+
+REGISTRY.df_query(
+    "asof_join_events_orders",
+    asof_join_events_orders,
+    oracle=ASOF_ORACLE_SQL,
+    tags=["asof", "join", "pandas_udf"],
+    description="backward as-of join via applyInPandas merge_asof per key",
+)
+
+_sql_pair(
+    "events_sessionize",
+    sessionize_sql("spark"),
+    sessionize_sql("duckdb"),
+    ["events"],
+    ["session", "window"],
+    "gap-based sessionization: lag + conditional cumsum",
+)
+
+
+def register() -> None:
+    """Import side effect — queries registered above."""

@@ -1,0 +1,175 @@
+"""Conformance queries that exercise the two DataSources themselves —
+the part of SURVEY.md §2.1 that IS the reference's own code.
+
+Each query materializes driver parquet into ClickHouse Native files
+(cached per sf_dir under /tmp), reads them back through
+``spark.read.format("clickhouse_native")``, and runs the reference's
+own smoke queries above the scan (count/max — README.md:63-69,
+filter+projection — README.md:72). The DuckDB oracle reads the
+original parquet, so a hash match proves the full
+write -> Native bytes -> partitioned scan -> Arrow pipeline is
+value-faithful.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY, load_tables
+
+_LOCK = threading.Lock()
+
+
+def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: int = 4) -> str:
+    """Materialize ``{sf_dir}/{table}.parquet`` as Native files (once
+    per sf_dir+table per process)."""
+    import pyarrow.parquet as pq
+
+    from ..native.writer import write_native_file
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), "chsql_native_fixtures", tag, table)
+    done = os.path.join(out_dir, "_DONE")
+    with _LOCK:
+        if not os.path.exists(done):
+            os.makedirs(out_dir, exist_ok=True)
+            t = pq.read_table(f"{sf_dir}/{table}.parquet")
+            n = t.num_rows
+            per = max(1, (n + n_files - 1) // n_files)
+            for i in range(n_files):
+                piece = t.slice(i * per, per)
+                if piece.num_rows == 0:
+                    break
+                write_native_file(
+                    os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                    piece,
+                    block_rows=max(4096, per // 4),
+                )
+            with open(done, "w") as f:
+                f.write("")
+    return out_dir
+
+
+def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, table)
+    reader = spark.read.format("clickhouse_native")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def _native_count_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's own golden assertions: count(*) + max over the scan
+    # (test/sql/chsql_native.test:17-20, README.md:63-69)
+    df = _native_df(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_shipdate").alias("min_shipdate"),
+    )
+
+
+REGISTRY.df_query(
+    "native_scan_count_max",
+    _native_count_max,
+    oracle="""
+    SELECT COUNT(*) AS n_rows, MAX(l_orderkey) AS max_orderkey,
+           MIN(l_shipdate) AS min_shipdate
+    FROM lineitem
+    """,
+    tags=["source", "native"],
+    description="reference smoke test: aggregate above the Native scan",
+)
+
+
+def _native_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filter + projection above the scan (README.md:72's WHERE/LIMIT shape,
+    # made deterministic); predicate is absorbed by pushFilters and
+    # evaluated on Arrow batches inside the reader
+    df = _native_df(spark, sf_dir, "orders", columns="o_orderkey,o_orderstatus,o_totalprice")
+    return (
+        df.filter((F.col("o_orderstatus") != "O") & (F.col("o_totalprice") > 200000))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+REGISTRY.df_query(
+    "native_filter_project",
+    _native_filter_project,
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'O' AND o_totalprice > 200000
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=["source", "native", "pushdown"],
+    description="projection (byte-skip) + filter pushdown through the Native reader",
+)
+
+
+def _native_join_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native scan joined against a parquet table — mixed-source plan
+    li = _native_df(spark, sf_dir, "lineitem")
+    t = load_tables(spark, sf_dir, ["part"])
+    return (
+        li.join(F.broadcast(t["part"]), li.l_partkey == t["part"].p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("total_qty"),
+        )
+    )
+
+
+REGISTRY.df_query(
+    "native_join_mixed_sources",
+    _native_join_parquet,
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=["source", "native", "join"],
+    description="Native scan joined to parquet dim (broadcast)",
+)
+
+
+def _native_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string-heavy table through the Native writer/reader
+    df = _native_df(spark, sf_dir, "documents")
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+REGISTRY.df_query(
+    "native_roundtrip_documents",
+    _native_roundtrip_documents,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MAX(LENGTH(text)) AS max_len
+    FROM documents GROUP BY lang
+    """,
+    tags=["source", "native", "strings"],
+    description="string/UTF-8 fidelity through the Native roundtrip",
+)
+
+
+def register() -> None:
+    """Import side effect — queries registered above."""

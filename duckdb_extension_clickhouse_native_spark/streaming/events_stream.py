@@ -1,0 +1,153 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY.md §2.2: streaming absent); this
+module adds the streaming analogues a pipeline needs: windowed
+aggregation with watermarked late-data handling, and a custom
+stateful operator via ``applyInPandasWithState``. Tests drive these
+with a file source over the driver's parquet + a memory sink and
+``processAllAvailable()`` so they run deterministically offline.
+
+On a real cluster the same code runs against Kafka/file streams —
+only the reader changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch in tests); ns epoch converted to TIMESTAMP."""
+    from ..plans.base import ensure_session
+
+    ensure_session(spark)
+    # the file stream source needs a directory; expose events.parquet
+    # alone via a symlink dir (streaming the raw sf_dir would ingest
+    # every table)
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(tempfile.gettempdir(), "chsql_stream_src", tag)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts with a watermark: the streaming analogue
+    of the batch ``events_time_buckets`` conformance query. State for
+    windows older than the watermark is dropped — bounded memory on an
+    unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts double, session_no bigint, n_events bigint"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_no bigint, n_events bigint, last_ts double"
+)
+
+
+def running_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: per-user gap-based session tracking
+    via applyInPandasWithState (the streaming twin of the batch
+    ``events_sessionize`` query). State = (last_ts, session_no,
+    n_events) per user — O(users) memory, partitioned by key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, session_no, n_events = state.get
+        else:
+            last_ts, session_no, n_events = float("-inf"), 0, 0
+        saw_rows = False
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            saw_rows = True
+            for t in sorted(pdf["ts_sec"].tolist()):
+                if t - last_ts > gap_seconds:
+                    session_no += 1
+                    n_events = 0
+                last_ts = t
+                n_events += 1
+        if not saw_rows:
+            return
+        state.update((last_ts, session_no, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_no": [session_no],
+                "n_events": [n_events],
+                "last_ts": [last_ts],
+            }
+        )
+
+    prepared = events.select(
+        "user_id", F.col("ts").cast("double").alias("ts_sec")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion over the available files
+    and return the memory-sink table name."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

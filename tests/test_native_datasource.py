@@ -1,0 +1,100 @@
+"""End-to-end tests for the clickhouse_native Spark DataSource."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from duckdb_extension_clickhouse_native_spark.native import write_native_file
+
+
+@pytest.fixture(scope="module")
+def lineitem_native(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native")
+    t = pq.read_table(f"{SF_SMALL}/lineitem.parquet")
+    p = str(d / "lineitem.clickhouse")
+    write_native_file(p, t, block_rows=1500)
+    return p, t.num_rows
+
+
+def test_count_and_agg_match_oracle(spark, lineitem_native):
+    path, n = lineitem_native
+    df = spark.read.format("clickhouse_native").load(path)
+    assert df.count() == n
+    got = df.filter(F.col("l_quantity") > 25).agg(
+        F.count("*").alias("n"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    want = duckdb.sql(
+        f"SELECT count(*), max(l_orderkey) FROM '{SF_SMALL}/lineitem.parquet' "
+        "WHERE l_quantity > 25"
+    ).fetchone()
+    assert (got["n"], got["mx"]) == want
+
+
+def test_filter_pushdown_matches_post_filter(spark, lineitem_native):
+    path, _ = lineitem_native
+    df = spark.read.format("clickhouse_native").load(path)
+    pushed = df.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30)
+    ).count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/lineitem.parquet' "
+        "WHERE l_returnflag = 'R' AND l_quantity >= 30"
+    ).fetchone()[0]
+    assert pushed == want
+
+
+def test_projection_option(spark, lineitem_native):
+    path, n = lineitem_native
+    df = (
+        spark.read.format("clickhouse_native")
+        .option("columns", "l_orderkey,l_quantity")
+        .load(path)
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.count() == n
+
+
+def test_split_blocks_partitioning(spark, lineitem_native):
+    path, n = lineitem_native
+    df = (
+        spark.read.format("clickhouse_native")
+        .option("split_blocks", "true")
+        .option("target_partition_bytes", str(64 * 1024))
+        .load(path)
+    )
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == n
+
+
+def test_write_and_read_back(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    out = str(tmp_path / "orders_native")
+    src.write.format("clickhouse_native").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("clickhouse_native").load(out)
+    assert back.count() == src.count()
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in src.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+    assert a == b
+
+
+def test_directory_and_glob_reads(spark, tmp_path):
+    t = pq.read_table(f"{SF_SMALL}/region.parquet")
+    for i in range(3):
+        write_native_file(str(tmp_path / f"r{i}.clickhouse"), t)
+    df_dir = spark.read.format("clickhouse_native").load(str(tmp_path))
+    df_glob = spark.read.format("clickhouse_native").load(str(tmp_path / "r*.clickhouse"))
+    assert df_dir.count() == 3 * t.num_rows
+    assert df_glob.count() == 3 * t.num_rows
+    assert df_dir.rdd.getNumPartitions() == 3
+
+
+def test_missing_file_is_planning_error(spark):
+    with pytest.raises(Exception):
+        spark.read.format("clickhouse_native").load("/nonexistent/x.clickhouse").count()

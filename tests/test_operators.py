@@ -1,0 +1,155 @@
+"""Operator-level tests: as-of join semantics, multimodal plumbing,
+fast-vs-exact ANN agreement."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+
+def test_asof_join_handcrafted(spark):
+    from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01T10:00:00")),
+            (2, 10, ts("2024-01-01T12:00:00")),
+            (3, 20, ts("2024-01-01T09:00:00")),  # before any right row
+            (4, 30, ts("2024-01-01T09:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01T09:30:00"), 100.0),
+            (10, ts("2024-01-01T11:00:00"), 200.0),
+            (20, ts("2024-01-01T23:00:00"), 300.0),
+        ],
+        "user_id long, rts timestamp_ntz, price double",
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        out_schema=(
+            "event_id long, user_id long, ts timestamp_ntz, "
+            "rts timestamp_ntz, price double"
+        ),
+        value_cols=["price"],
+        n_buckets=4,
+    )
+    rows = {r["event_id"]: (r["rts"], r["price"]) for r in out.collect()}
+    assert rows[1] == (ts("2024-01-01T09:30:00"), 100.0)
+    assert rows[2] == (ts("2024-01-01T11:00:00"), 200.0)
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
+    assert len(rows) == 4
+
+
+def test_multimodal_stub_features(spark):
+    from duckdb_extension_clickhouse_native_spark.functions.multimodal import (
+        decode_image_stub,
+        extract_media_features,
+        media_table,
+        real_decode,
+    )
+
+    f = decode_image_stub(b"abcd1234")
+    assert f["byte_len"] == 8
+    assert f["header_hex"] == "61626364"
+    assert f["checksum_mod"] == sum(b"abcd1234") % 1_000_003
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG")
+
+    df = extract_media_features(media_table(spark, SF_SMALL))
+    row = df.filter(F.col("doc_id") == 0).collect()[0]
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT text FROM '{SF_SMALL}/documents.parquet' WHERE doc_id = 0"
+    ).fetchone()[0].encode()
+    assert row["byte_len"] == len(raw)
+    assert row["checksum_mod"] == sum(raw) % 1_000_003
+
+
+def test_fast_topk_agrees_with_exact(spark):
+    """The numpy pandas-UDF path must return the same neighbor SET as
+    the decimal-exact SQL path (scores may differ in the last ulp)."""
+    from duckdb_extension_clickhouse_native_spark.operators.similarity import (
+        cosine_topk_fast,
+        cosine_topk_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["embeddings"])
+    exact = {r["vec_id"] for r in spark.sql(cosine_topk_sql("spark")).collect()}
+    fast = {r["vec_id"] for r in cosine_topk_fast(spark, SF_SMALL).collect()}
+    assert exact == fast
+
+
+def test_streaming_windowed_counts(spark):
+    from duckdb_extension_clickhouse_native_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    assert stream.isStreaming
+    name = run_to_memory(windowed_counts(stream), "wc_test", output_mode="append")
+    # watermark holds back the tail window in append mode; completed
+    # windows must match the batch aggregation for the same buckets
+    got = spark.sql(f"SELECT * FROM {name}")
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    got_rows = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    batch_rows = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got_rows
+    for k, v in got_rows.items():
+        assert batch_rows.get(k) == v
+
+
+def test_streaming_stateful_sessions(spark):
+    from duckdb_extension_clickhouse_native_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        running_sessions,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    name = run_to_memory(
+        running_sessions(stream), "sessions_test", output_mode="update"
+    )
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.count() > 0
+    # final per-user session_no must equal the batch sessionization's max
+    from duckdb_extension_clickhouse_native_spark.operators.asof import sessionize_sql
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["events"])
+    batch = spark.sql(sessionize_sql("spark"))
+    want = {
+        r["user_id"]: r["mx"]
+        for r in batch.groupBy("user_id").agg(F.max("session_no").alias("mx")).collect()
+    }
+    # memory sink in update mode appends every update; take the last per user
+    final = {
+        r["user_id"]: r["session_no"]
+        for r in out.withColumn("rn", F.monotonically_increasing_id())
+        .orderBy("rn")
+        .collect()
+    }
+    for uid, sess in final.items():
+        assert want.get(uid) == sess, uid

@@ -1,0 +1,46 @@
+"""The conformance sweep: every registry query vs its DuckDB oracle at
+sf0.001 — a fast local mirror of the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from conftest import SF_SMALL
+from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+from oracle_harness import duckdb_connection, compare
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+ALL = sorted(REGISTRY.all())
+
+
+def test_entry_contract_shapes():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs)
+    # strong majority must be oracle-checked, not rows-only
+    assert len(oracles) >= 0.9 * len(qs)
+
+
+def test_entry_flagship(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, oracle_con, name):
+    q = REGISTRY.all()[name]
+    df = q.build(spark, SF_SMALL)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only check, mirroring the driver
+        return
+    good, msg = compare(df, oracle_con, q.oracle)
+    assert good, f"{name}: {msg}"
