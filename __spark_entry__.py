@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # importing these modules populates the registry
 from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
+    advanced,
     pipeline,
     relational,
     sources,

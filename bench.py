@@ -47,6 +47,7 @@ def main() -> None:
 
     from duckdb_extension_clickhouse_native_spark import get_spark
     from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
+        advanced,
         pipeline,
         relational,
         sources,

@@ -27,18 +27,33 @@ from pyspark.sql import DataFrame
 DIM = 64
 
 
+SCALE = 10 ** 15  # fixed-point scale for exact cross-engine sums
+
+
 def _dot_expr(dialect: str, a: str, b: str, dim: int = DIM) -> str:
+    """Fixed-point dot product: each f32*f32 product (exact in DOUBLE)
+    is floored at 1e-15 resolution to a BIGINT; the integer sum is
+    order-independent and bit-identical across engines. DECIMAL
+    accumulation is NOT portable here: Spark rounds double->decimal
+    HALF_UP, DuckDB HALF_EVEN, and over 64 elements the bias shows up
+    in the last digits; FLOOR of the same double is the same integer
+    everywhere."""
     if dialect == "spark":
         term = (
-            f"CAST(CAST(element_at({a}, i) AS DOUBLE) * "
-            f"CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(30,18))"
+            f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * "
+            f"CAST(element_at({b}, i) AS DOUBLE) * {SCALE}) AS BIGINT)"
         )
         return (
-            f"aggregate(sequence(1, {dim}), CAST(0 AS DECIMAL(38,18)), "
-            f"(acc, i) -> CAST(acc + {term} AS DECIMAL(38,18)))"
+            f"(aggregate(sequence(1, {dim}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + {term}) / CAST({SCALE} AS DOUBLE))"
         )
-    term = f"CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,18))"
-    return f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> {term})) AS DECIMAL(38,18))"
+    term = (
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {SCALE}) AS BIGINT)"
+    )
+    return (
+        f"(CAST(list_sum(list_transform(range(1, {dim} + 1), i -> {term})) AS BIGINT)"
+        f" / CAST({SCALE} AS DOUBLE))"
+    )
 
 
 def cosine_topk_sql(dialect: str, query_vec_id: int = 0, k: int = 10, dim: int = DIM) -> str:

@@ -1,0 +1,247 @@
+"""Advanced host-surface conformance: subqueries, CTEs, lateral
+explode, array functions, regex, deterministic sampling — the long
+tail of SURVEY.md §2.2's 'scalar functions / host SQL' rows.
+
+Determinism notes: scalar subquery thresholds use the decimal-sum
+average (bit-identical across engines); hash-based sampling uses md5
+prefixes (identical in both) rather than TABLESAMPLE (engine RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY, load_tables
+
+REGISTRY.sql_query(
+    "subquery_scalar_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM orders
+    )
+    """,
+    tables=["orders"],
+    tags=["subquery"],
+    description="scalar subquery threshold (decimal-exact average)",
+)
+
+REGISTRY.sql_query(
+    "subquery_in",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    )
+    """,
+    tables=["customer", "orders"],
+    tags=["subquery", "semi"],
+)
+
+REGISTRY.sql_query(
+    "subquery_correlated_exists",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM customer
+      WHERE c_nationkey = s_nationkey AND c_acctbal < 0
+    )
+    """,
+    tables=["supplier", "customer"],
+    tags=["subquery", "correlated"],
+)
+
+REGISTRY.sql_query(
+    "cte_monthly_rank",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mon,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT yr, mon, n_orders, total,
+             CAST(RANK() OVER (PARTITION BY yr ORDER BY total DESC, mon) AS BIGINT) AS rk
+      FROM monthly
+    )
+    SELECT yr, mon, n_orders, total, rk FROM ranked WHERE rk <= 3
+    """,
+    tables=["orders"],
+    tags=["cte", "window"],
+    description="CTE chain: aggregate -> window rank -> filter",
+)
+
+REGISTRY.sql_query(
+    "q18_large_volume",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, qty_sum
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty_sum
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+    tables=["orders", "customer", "lineitem"],
+    tags=["join", "having", "subquery"],
+    description="TPC-H Q18 shape: having-filtered agg joined back",
+)
+
+REGISTRY.sql_query(
+    "q2_min_per_group",
+    """
+    SELECT p.p_partkey, p.p_name, li.l_suppkey, li.l_extendedprice
+    FROM part p
+    JOIN lineitem li ON li.l_partkey = p.p_partkey
+    JOIN (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ) m ON m.l_partkey = li.l_partkey AND li.l_extendedprice = m.min_price
+    WHERE p.p_size <= 5
+    """,
+    tables=["part", "lineitem"],
+    tags=["join", "subquery"],
+    description="TPC-H Q2 shape: min-per-group subquery join",
+)
+
+REGISTRY.sql_query(
+    "explode_token_freq",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT explode(split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    tables=["documents"],
+    tags=["lateral", "explode"],
+    description="lateral explode / unnest + global top-k",
+)
+
+REGISTRY.sql_query(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+           size(embedding) AS dim,
+           CAST(element_at(embedding, 1) AS DOUBLE) AS first_val,
+           CAST(element_at(embedding, 64) AS DOUBLE) AS last_val,
+           (aggregate(embedding, CAST(0 AS BIGINT),
+                (acc, x) -> acc + CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000000000) AS BIGINT))
+                / CAST(1000000000000000 AS DOUBLE)) AS elem_sum,
+           CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           (CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000000000) AS BIGINT))) AS BIGINT)
+                / CAST(1000000000000000 AS DOUBLE)) AS elem_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    tables=["embeddings"],
+    tags=["array"],
+    description="array size/index/filter/aggregate over embeddings",
+)
+
+REGISTRY.sql_query(
+    "regex_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_type, '[aeiou]', '_') AS devoweled,
+           CASE WHEN p_name LIKE '%lu%' THEN 1 ELSE 0 END AS like_hit,
+           CASE WHEN p_brand RLIKE 'Brand#[0-9]+' THEN 1 ELSE 0 END AS regex_hit
+    FROM part
+    """,
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN p_name LIKE '%lu%' THEN 1 ELSE 0 END AS like_hit,
+           CASE WHEN regexp_matches(p_brand, 'Brand#[0-9]+') THEN 1 ELSE 0 END AS regex_hit
+    FROM part
+    """,
+    tables=["part"],
+    tags=["regex", "string"],
+    description="regexp extract/replace (note duckdb needs the 'g' flag to match Spark's replace-all)",
+)
+
+REGISTRY.sql_query(
+    "sample_hash_based",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 1) IN ('0', '1')
+    """,
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tables=["orders"],
+    tags=["sample"],
+    description="deterministic 1/8 hash sample (engine-independent, unlike TABLESAMPLE)",
+)
+
+
+def _union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    c = t["customer"].select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = t["supplier"].select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s)  # column order differs on purpose
+
+
+REGISTRY.df_query(
+    "union_by_name",
+    _union_by_name,
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+    UNION ALL BY NAME
+    SELECT 'supplier' AS kind, s_acctbal AS acctbal, s_name AS name FROM supplier
+    """,
+    tags=["setop"],
+)
+
+REGISTRY.sql_query(
+    "values_inline_join",
+    """
+    SELECT r_regionkey, r_name, v.code
+    FROM region
+    JOIN (VALUES (0, 'AF'), (1, 'AM'), (2, 'AS'), (3, 'EU'), (4, 'ME')) AS v(k, code)
+      ON r_regionkey = v.k
+    """,
+    tables=["region"],
+    tags=["values", "join"],
+)
+
+
+def register() -> None:
+    """Import side effect — queries registered above."""
