@@ -48,6 +48,14 @@ def get_spark(app_name: str = "chsql-native-spark", cpus: int | None = None):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # InferFiltersFromGenerate clones the full generator expression into
+        # an inferred size()>0 filter; for our computed shingle/token arrays
+        # that re-evaluates an O(tokens^2) expression per row (3-4x slowdown
+        # on the dedup family) and never prunes anything
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # driver testdata has INT64 TIMESTAMP(NANOS) parquet columns which
         # Spark rejects by default; read as long and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -49,6 +49,12 @@ def ensure_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.python.filterPushdown.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # see get_spark: the inferred size()>0 filter re-evaluates computed
+        # shingle/token arrays per row — 3-4x slowdown on the dedup family
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ]:
         try:
             spark.conf.set(k, v)
