@@ -293,9 +293,27 @@ def _decode_fixed(buf: BinaryIO, t: CHType, rows: int, *, lossy_uint64: bool) ->
     return pa.array(arr)
 
 
+def _skip_bytes(buf: BinaryIO, n: int) -> None:
+    """Advance ``n`` bytes; seek when possible, else chunked reads
+    (compressed frames / HTTP bodies are not seekable)."""
+    if n <= 0:
+        return
+    try:
+        if buf.seekable():
+            buf.seek(n, io.SEEK_CUR)
+            return
+    except (AttributeError, OSError):
+        pass
+    while n > 0:
+        got = buf.read(min(n, 1 << 20))
+        if not got:
+            raise EOFError("EOF while skipping column payload")
+        n -= len(got)
+
+
 def _skip_fixed(buf: BinaryIO, t: CHType, rows: int) -> None:
     _, width = FIXED_WIDTH[t.base]
-    buf.seek(width * rows, io.SEEK_CUR)
+    _skip_bytes(buf, width * rows)
 
 
 def decode_column(
@@ -397,20 +415,20 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     (used for projection pushdown and block-boundary indexing)."""
     b = t.base
     if t.nullable:
-        buf.seek(rows, io.SEEK_CUR)
+        _skip_bytes(buf, rows)
         inner = CHType(**{**t.__dict__, "nullable": False})
         skip_column(buf, inner, rows)
         return
     if b == "String":
         for _ in range(rows):
             n = read_varuint(buf)
-            buf.seek(n, io.SEEK_CUR)
+            _skip_bytes(buf, n)
         return
     if b == "FixedString":
-        buf.seek(t.fixed_len * rows, io.SEEK_CUR)
+        _skip_bytes(buf, t.fixed_len * rows)
         return
     if b == "UUID":
-        buf.seek(16 * rows, io.SEEK_CUR)
+        _skip_bytes(buf, 16 * rows)
         return
     if b == "Array":
         assert t.inner is not None
@@ -426,7 +444,7 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
         return
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
         width = 4 if t.fixed_len <= 9 else 8 if t.fixed_len <= 18 else 16
-        buf.seek(width * rows, io.SEEK_CUR)
+        _skip_bytes(buf, width * rows)
         return
     if b in FIXED_WIDTH:
         _skip_fixed(buf, t, rows)
@@ -520,13 +538,19 @@ def iter_blocks(
         yield blk
 
 
-def read_file_schema(path: str) -> list[tuple[str, CHType]]:
+def read_file_schema(
+    path: str, *, compression: str = "auto"
+) -> list[tuple[str, CHType]]:
     """Parse only the FIRST block's headers — schema discovery without
     a full file parse (fixes the reference's parse-twice lifecycle,
     lib.rs:251+274). Column payloads before later headers are skipped
-    bytewise."""
+    bytewise. Transparently unwraps compressed frames (compress.py)."""
+    from .compress import maybe_compressed_reader
+
     with open(path, "rb") as f:
-        buf = io.BufferedReader(f, buffer_size=1 << 16)
+        buf = maybe_compressed_reader(
+            io.BufferedReader(f, buffer_size=1 << 16), compression=compression
+        )
         hdr = read_block_header(buf)
         if hdr is None:
             return []
@@ -605,16 +629,20 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         buf.write(days.astype("<u2" if b == "Date" else "<i4").tobytes())
         return
     if b == "DateTime64":
+        # rescale from the array's own unit — never a lossy pa.cast
+        # (ns-precision parquet data must survive the write intact)
         if pa.types.is_timestamp(arr.type):
-            arr = arr.cast(pa.timestamp("us"))
-        us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        scale = t.scale
-        if scale == 6:
-            ticks = us
-        elif scale > 6:
-            ticks = us * (10 ** (scale - 6))
+            unit_scale = {"s": 0, "ms": 3, "us": 6, "ns": 9}[arr.type.unit]
         else:
-            ticks = us // (10 ** (6 - scale))
+            unit_scale = 6
+        raw = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        scale = t.scale
+        if scale == unit_scale:
+            ticks = raw
+        elif scale > unit_scale:
+            ticks = raw * (10 ** (scale - unit_scale))
+        else:
+            ticks = raw // (10 ** (unit_scale - scale))
         buf.write(ticks.astype("<i8").tobytes())
         return
     if b == "DateTime":

@@ -293,8 +293,11 @@ def from_arrow(dt: pa.DataType) -> CHType:
     if pa.types.is_date32(dt):
         return CHType("Date32")
     if pa.types.is_timestamp(dt):
-        t = CHType("DateTime64", params="6")
-        t.scale = 6
+        # preserve source precision: ns data (e.g. parquet ns columns)
+        # must not be truncated on write
+        scale = {"s": 0, "ms": 3, "us": 6, "ns": 9}[dt.unit]
+        t = CHType("DateTime64", params=str(scale))
+        t.scale = scale
         return t
     if pa.types.is_decimal(dt):
         t = CHType("Decimal", params=f"{dt.precision}, {dt.scale}")

@@ -97,7 +97,10 @@ def write_native_file(
     *,
     ch_types: Optional[list[CHType]] = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    compression: Optional[str] = None,
 ) -> int:
+    """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
+    wrap the stream in ClickHouse compressed frames (compress.py)."""
     if isinstance(table, pa.RecordBatch):
         batches: list[pa.RecordBatch] = [table]
         schema = table.schema
@@ -106,10 +109,19 @@ def write_native_file(
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
     with open(path, "wb") as f:
-        buf = io.BufferedWriter(f, buffer_size=1 << 20)
-        n = write_native_stream(
-            buf, batches, ch_types=types, block_rows=block_rows, schema=schema
-        )
+        buf: BinaryIO = io.BufferedWriter(f, buffer_size=1 << 20)
+        if compression is not None:
+            from .compress import CompressedWriter
+
+            comp = CompressedWriter(buf, method=compression)
+            n = write_native_stream(
+                comp, batches, ch_types=types, block_rows=block_rows, schema=schema
+            )
+            comp.flush()
+        else:
+            n = write_native_stream(
+                buf, batches, ch_types=types, block_rows=block_rows, schema=schema
+            )
         buf.flush()
     return n
 

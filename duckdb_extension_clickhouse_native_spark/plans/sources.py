@@ -171,5 +171,61 @@ REGISTRY.df_query(
 )
 
 
+def _native_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LZ4 compressed-frame path (the feature the reference leaves
+    # unimplemented, README.md:133): write once per sf_dir, scan + agg
+    from .base import ensure_session
+
+    ensure_session(spark)
+    import pyarrow.parquet as pq
+
+    from ..native.writer import write_native_file
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "chsql_native_fixtures", tag, "events_lz4"
+    )
+    done = os.path.join(out_dir, "_DONE")
+    with _LOCK:
+        if not os.path.exists(done):
+            os.makedirs(out_dir, exist_ok=True)
+            t = pq.read_table(f"{sf_dir}/events.parquet")
+            per = max(1, (t.num_rows + 3) // 4)
+            for i in range(4):
+                piece = t.slice(i * per, per)
+                if piece.num_rows == 0:
+                    break
+                write_native_file(
+                    os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                    piece,
+                    block_rows=max(4096, per // 4),
+                    compression="lz4",
+                )
+            with open(done, "w") as f:
+                f.write("")
+    df = spark.read.format("clickhouse_native").load(out_dir)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+REGISTRY.df_query(
+    "native_compressed_scan",
+    _native_compressed_scan,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=["source", "native", "compression"],
+    description="LZ4 compressed-frame Native scan (frames + CityHash128 checksums)",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

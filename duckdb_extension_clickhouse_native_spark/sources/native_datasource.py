@@ -168,6 +168,10 @@ class ClickHouseNativeReader(DataSourceReader):
             self.columns = {c.strip() for c in cols_opt.split(",")}
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
         self.scrub_strings = str(options.get("scrub_strings", "false")).lower() == "true"
+        self.compression = str(options.get("compression", "auto")).lower()
+        self.verify_checksum = (
+            str(options.get("verify_checksum", "false")).lower() == "true"
+        )
         self.split_blocks = str(options.get("split_blocks", "false")).lower() == "true"
         self.target_bytes = int(options.get("target_partition_bytes", 128 * 1024 * 1024))
         self.pushed: List[Filter] = []
@@ -208,9 +212,15 @@ class ClickHouseNativeReader(DataSourceReader):
         if not self.split_blocks or len(paths) > 8:
             return [NativeFilePartition(p) for p in paths]
         from ..native.codec import scan_block_offsets
+        from ..native.compress import is_compressed_file
 
         parts: list[NativeFilePartition] = []
         for p in paths:
+            if self.compression != "none" and is_compressed_file(p):
+                # compressed frames are not byte-splittable: whole file
+                # is one partition; parallelism comes from many files
+                parts.append(NativeFilePartition(p))
+                continue
             offsets = scan_block_offsets(p)
             size = os.path.getsize(p)
             if not offsets:
@@ -260,10 +270,19 @@ class ClickHouseNativeReader(DataSourceReader):
 
         want = self.columns
         target = self._arrow_schema()
+        from ..native.compress import maybe_compressed_reader
+
         with open(partition.path, "rb") as f:
             if partition.start_offset:
+                # block-split partitions only exist for uncompressed files
                 f.seek(partition.start_offset)
-            buf = io.BufferedReader(f, buffer_size=1 << 20)
+                buf = io.BufferedReader(f, buffer_size=1 << 20)
+            else:
+                buf = maybe_compressed_reader(
+                    io.BufferedReader(f, buffer_size=1 << 20),
+                    compression=self.compression,
+                    verify_checksum=self.verify_checksum,
+                )
             n = 0
             for blk in iter_blocks(
                 buf,
@@ -355,6 +374,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("clickhouse_native write requires a path")
         self.block_rows = int(options.get("block_rows", 65_409))
+        self.compression = options.get("compression")  # None | lz4 | zstd | none
         self.overwrite = overwrite
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> NativeWriteCommit:
@@ -368,9 +388,12 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         rows = 0
         ch_types = None
         with open(fname, "wb") as f:
-            buf = io.BufferedWriter(f, buffer_size=1 << 20)
-            batches = []
-            first = None
+            raw = io.BufferedWriter(f, buffer_size=1 << 20)
+            buf = raw
+            if self.compression and self.compression != "none":
+                from ..native.compress import CompressedWriter
+
+                buf = CompressedWriter(raw, method=self.compression)
             for batch in iterator:
                 if ch_types is None:
                     ch_types = [from_arrow(fld.type) for fld in batch.schema]
@@ -378,6 +401,8 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                     buf, [batch], ch_types=ch_types, block_rows=self.block_rows
                 )
             buf.flush()
+            if buf is not raw:
+                raw.flush()
         if rows == 0:
             os.remove(fname)
             return NativeWriteCommit(path="", rows=0)
@@ -407,7 +432,10 @@ class ClickHouseNativeDataSource(DataSource):
         if not path:
             raise ValueError("clickhouse_native requires a path")
         paths = _resolve_paths(path)
-        cols = read_file_schema(paths[0])
+        cols = read_file_schema(
+            paths[0],
+            compression=str(self.options.get("compression", "auto")).lower(),
+        )
         lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
         want = None
         if self.options.get("columns"):

@@ -1,0 +1,116 @@
+"""Compressed-frame codec tests: LZ4/ZSTD/None frames, CityHash128
+checksums, auto-detection, and the Spark DataSource path.
+
+The reference leaves compression explicitly unimplemented
+(/root/reference/README.md:133); this is the M6 addition from
+SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_SMALL
+from duckdb_extension_clickhouse_native_spark.native.codec import (
+    iter_blocks,
+    read_file_schema,
+)
+from duckdb_extension_clickhouse_native_spark.native.compress import (
+    ChecksumError,
+    CompressedReader,
+    CompressedWriter,
+    cityhash128,
+    is_compressed_file,
+    maybe_compressed_reader,
+)
+from duckdb_extension_clickhouse_native_spark.native.writer import write_native_file
+
+
+def test_cityhash128_deterministic_and_length_sensitive():
+    assert cityhash128(b"") == cityhash128(b"")
+    seen = set()
+    for n in [0, 1, 3, 4, 7, 8, 9, 15, 16, 17, 63, 64, 127, 128, 129, 255, 1024]:
+        h = cityhash128(bytes(range(256))[:n] * (n // 256 + 1))
+        seen.add(h)
+    assert len(seen) == 17  # every length hashes differently
+    # single-bit change flips the hash
+    a = bytearray(os.urandom(512))
+    h1 = cityhash128(bytes(a))
+    a[200] ^= 1
+    assert cityhash128(bytes(a)) != h1
+
+
+@pytest.mark.parametrize("method", ["lz4", "zstd", "none"])
+def test_frame_stream_roundtrip(method):
+    payload = os.urandom(100_000) + b"compressible " * 50_000
+    raw = io.BytesIO()
+    w = CompressedWriter(raw, method=method, frame_bytes=64 * 1024)
+    w.write(payload)
+    w.flush()
+    raw.seek(0)
+    r = CompressedReader(raw, verify_checksum=True)
+    assert r.read() == payload
+
+
+def test_checksum_detects_corruption():
+    raw = io.BytesIO()
+    w = CompressedWriter(raw, method="lz4")
+    w.write(b"hello frame " * 1000)
+    w.flush()
+    data = bytearray(raw.getvalue())
+    data[30] ^= 0xFF  # flip a payload byte, keep stored checksum
+    r = CompressedReader(io.BytesIO(bytes(data)), verify_checksum=True)
+    with pytest.raises((ChecksumError, Exception)):
+        r.read()
+
+
+@pytest.mark.parametrize("method", ["lz4", "zstd"])
+def test_native_file_compressed_roundtrip(method, tmp_path):
+    t = pq.read_table(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / f"orders.{method}.clickhouse")
+    write_native_file(path, t, block_rows=700, compression=method)
+    assert is_compressed_file(path)
+    assert os.path.getsize(path) < t.nbytes  # actually compressed
+    names = [n for n, _ in read_file_schema(path)]
+    assert names == t.schema.names
+    with open(path, "rb") as f:
+        buf = maybe_compressed_reader(io.BufferedReader(f), verify_checksum=True)
+        blocks = list(iter_blocks(buf))
+    assert sum(b.n_rows for b in blocks) == t.num_rows
+    got = pa.Table.from_batches([b.to_record_batch() for b in blocks])
+    assert got.column("o_orderkey").to_pylist() == t.column("o_orderkey").to_pylist()
+    assert got.column("o_orderstatus").to_pylist() == t.column("o_orderstatus").to_pylist()
+
+
+def test_plain_file_passes_auto_detection(tmp_path):
+    t = pq.read_table(f"{SF_SMALL}/nation.parquet")
+    path = str(tmp_path / "nation.clickhouse")
+    write_native_file(path, t)
+    assert not is_compressed_file(path)
+    with open(path, "rb") as f:
+        buf = maybe_compressed_reader(io.BufferedReader(f))
+        rows = sum(b.n_rows for b in iter_blocks(buf))
+    assert rows == t.num_rows
+
+
+def test_spark_datasource_compressed_roundtrip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    out = str(tmp_path / "supplier_lz4")
+    (
+        src.write.format("clickhouse_native")
+        .option("compression", "lz4")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert any(
+        is_compressed_file(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".clickhouse")
+    )
+    back = spark.read.format("clickhouse_native").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
