@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -358,6 +359,116 @@ class ClickHouseNativeReader(DataSourceReader):
         raise ValueError(f"unsupported pushed filter {f}")
 
 
+class ClickHouseNativeStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over a growing directory of Native files —
+    ``spark.readStream.format("clickhouse_native").load(dir)``.
+
+    The reference is batch-only; this is the Structured Streaming
+    analogue SURVEY.md §2.2 sketches: an offset is the per-file count
+    of complete blocks seen, a micro-batch is the new block ranges
+    since the last offset. Files may keep growing (blocks are
+    self-delimiting, a truncated tail block is simply not counted
+    yet) and new files may appear at any time.
+
+    Scale note: offset discovery is a header-skip scan (no payload
+    decode) on the driver; block decoding happens executor-side via
+    the same partition reader as the batch path. Compressed files are
+    treated as single atomic units (frames are not block-indexable) —
+    they must be fully written when first discovered.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = ClickHouseNativeReader(schema, options)
+        self.path = self._batch.path
+        self._offset_cache: dict = {}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _complete_block_offsets(self, p: str) -> list:
+        from ..native.codec import scan_block_offsets
+
+        try:
+            return scan_block_offsets(p)
+        except EOFError:
+            # file mid-write: count only blocks that are fully on disk
+            from ..native.codec import (
+                read_block_header,
+                read_str,
+                skip_column,
+            )
+            import io as _io
+
+            from ..native.types import parse_type
+
+            out = []
+            with open(p, "rb") as f:
+                buf = _io.BufferedReader(f, buffer_size=1 << 20)
+                try:
+                    while True:
+                        pos = buf.tell()
+                        hdr = read_block_header(buf)
+                        if hdr is None:
+                            break
+                        n_cols, n_rows = hdr
+                        if n_cols == 0 and n_rows == 0:
+                            break
+                        for _ in range(n_cols):
+                            read_str(buf)
+                            t = parse_type(read_str(buf))
+                            skip_column(buf, t, n_rows)
+                        out.append((pos, n_rows))
+                except EOFError:
+                    pass
+            return out
+
+    def latestOffset(self) -> dict:
+        from ..native.compress import is_compressed_file
+
+        files = {}
+        for p in _resolve_paths(self.path):
+            try:
+                if is_compressed_file(p):
+                    # atomic unit: one pseudo-block for the whole file
+                    files[p] = 1
+                    self._offset_cache[p] = None
+                else:
+                    offsets = self._complete_block_offsets(p)
+                    files[p] = len(offsets)
+                    self._offset_cache[p] = offsets
+            except (OSError, ValueError):
+                continue  # not readable yet; pick up next batch
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        done = start.get("files", {})
+        parts: list[NativeFilePartition] = []
+        for p, n_end in end.get("files", {}).items():
+            n_start = done.get(p, 0)
+            if n_end <= n_start:
+                continue
+            offsets = self._offset_cache.get(p)
+            if offsets is None:
+                parts.append(NativeFilePartition(p))  # compressed whole file
+            else:
+                parts.append(
+                    NativeFilePartition(p, offsets[n_start][0], n_end - n_start)
+                )
+        # Spark requires >=1 partition per micro-batch; emit an empty
+        # no-op range when nothing is new
+        if not parts:
+            parts.append(NativeFilePartition("", 0, 0))
+        return parts
+
+    def read(self, partition: NativeFilePartition) -> Iterator["pa.RecordBatch"]:
+        if not partition.path:
+            return iter(())
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 @dataclass
 class NativeWriteCommit(WriterCommitMessage):
     path: str
@@ -450,6 +561,9 @@ class ClickHouseNativeDataSource(DataSource):
                 dt = _ch_to_spark(t)
             fields.append(StructField(name, dt, nullable=True))
         return StructType(fields)
+
+    def streamReader(self, schema: StructType) -> ClickHouseNativeStreamReader:
+        return ClickHouseNativeStreamReader(schema, dict(self.options))
 
     def reader(self, schema: StructType) -> ClickHouseNativeReader:
         return ClickHouseNativeReader(schema, dict(self.options))
