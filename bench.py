@@ -69,6 +69,12 @@ def main() -> None:
 
     for table in ("lineitem", "orders", "documents"):
         native_fixture_dir(spark, sf_dir, table)
+    # warm the Python DataSource worker pool (driver-side planner +
+    # executor workers) with a tiny scan: first-use spin-up is ~3s of
+    # process startup that would otherwise be billed to the first
+    # native query
+    tiny = native_fixture_dir(spark, sf_dir, "documents")
+    spark.read.format("clickhouse_native").load(tiny).limit(1).count()
 
     all_q = REGISTRY.all()
     results: dict[str, float] = {}

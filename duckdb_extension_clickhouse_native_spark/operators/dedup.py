@@ -102,10 +102,20 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
         "md5(concat(" + ", ".join(f"m{b*rows+r}" for r in range(rows)) + f")) AS band{b}"
         for b in range(bands)
     )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded"
-        for b in range(bands)
-    )
+    # bands are UNPIVOTED with a generator, not UNION ALL: union branches
+    # would make Catalyst recompute the whole sigs aggregation once per
+    # band per join side (8x at bands=4)
+    band_arr = ", ".join(f"band{b}" for b in range(bands))
+    if dialect == "spark":
+        band_rows = (
+            "SELECT doc_id, band_idx, band_key FROM banded "
+            f"LATERAL VIEW posexplode(array({band_arr})) t AS band_idx, band_key"
+        )
+    else:
+        band_rows = (
+            f"SELECT doc_id, generate_subscripts([{band_arr}], 1) - 1 AS band_idx, "
+            f"unnest([{band_arr}]) AS band_key FROM banded"
+        )
     inter = d["intersect_len"].format(a="a.toks_d", b="b.toks_d")
     la = d["len"].format(arr="a.toks_d")
     lb = d["len"].format(arr="b.toks_d")
@@ -196,13 +206,26 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
     ) + ", " + ", ".join(
         f"CAST((sim_hi >> {16 * b}) & 65535 AS BIGINT) AS band{b + 2}" for b in range(2)
     )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sim_lo, sim_hi, {b} AS band_idx, band{b} AS band_val FROM sig_bands"
-        for b in range(4)
-    )
+    # generator unpivot, not UNION ALL — see minhash_lsh_sql
+    band_arr = ", ".join(f"band{b}" for b in range(4))
+    if dialect == "spark":
+        band_rows = (
+            "SELECT doc_id, sim_lo, sim_hi, band_idx, band_val FROM sig_bands "
+            f"LATERAL VIEW posexplode(array({band_arr})) t AS band_idx, band_val"
+        )
+    else:
+        band_rows = (
+            f"SELECT doc_id, sim_lo, sim_hi, "
+            f"generate_subscripts([{band_arr}], 1) - 1 AS band_idx, "
+            f"unnest([{band_arr}]) AS band_val FROM sig_bands"
+        )
     xor_lo = d["xor"].format(a="lo_a", b="lo_b")
     xor_hi = d["xor"].format(a="hi_a", b="hi_b")
     hamming = f"(bit_count({xor_lo}) + bit_count({xor_hi}))"
+    # hamming filter applied INSIDE the band join, before DISTINCT —
+    # an order-of-magnitude fewer rows go through the dedup exchange
+    join_xor_lo = d["xor"].format(a="a.sim_lo", b="b.sim_lo")
+    join_xor_hi = d["xor"].format(a="a.sim_hi", b="b.sim_hi")
     return f"""
     WITH tok AS ({explode}),
     hashed AS (
@@ -228,11 +251,11 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
       FROM band_rows a JOIN band_rows b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
+      WHERE (bit_count({join_xor_lo}) + bit_count({join_xor_hi})) <= {hamming_max}
     )
     SELECT doc_a, doc_b,
            CAST({hamming} AS BIGINT) AS hamming
     FROM pairs
-    WHERE {hamming} <= {hamming_max}
     """
 
 
@@ -250,9 +273,10 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
         if dialect == "spark"
         else "SELECT doc_id, unnest(sh_d) AS shingle FROM shingled"
     )
-    inter = d["intersect_len"].format(a="a.sh_d", b="b.sh_d")
-    la = d["len"].format(arr="a.sh_d")
-    lb = d["len"].format(arr="b.sh_d")
+    # |A ∩ B| = COUNT(*) of shared rows in the inverted index (shingles
+    # are distinct per doc), so one grouped COUNT replaces the
+    # DISTINCT-candidates pass plus the two array_intersect re-joins —
+    # only the tiny per-doc size table is joined back
     return f"""
     WITH docs AS (
       SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
@@ -260,19 +284,23 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
     shingled AS (
       SELECT doc_id, {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh_d FROM docs
     ),
+    sized AS (
+      SELECT doc_id, {d['len'].format(arr='sh_d')} AS n_sh FROM shingled
+    ),
     inverted AS ({explode_shingle}),
-    candidates AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       FROM inverted a JOIN inverted b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     ),
     verified AS (
-      SELECT c.doc_a, c.doc_b,
-             CAST({inter} AS DOUBLE) /
-             CAST({la} + {lb} - {inter} AS DOUBLE) AS jaccard
-      FROM candidates c
-      JOIN shingled a ON a.doc_id = c.doc_a
-      JOIN shingled b ON b.doc_id = c.doc_b
+      SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
     """
