@@ -23,6 +23,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     pipeline,
     relational,
     sources,
+    stats,
     tpch,
 )
 from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY

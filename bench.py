@@ -51,6 +51,7 @@ def main() -> None:
         pipeline,
         relational,
         sources,
+        stats,
         tpch,
     )
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY

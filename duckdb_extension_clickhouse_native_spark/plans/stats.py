@@ -1,0 +1,193 @@
+"""Statistical / ordered-aggregate conformance — more of the host
+surface the reference delegates to its engine (SURVEY.md §2.2
+"Aggregation" row): exact percentiles, arg-min/max, bitwise
+aggregates, ordered array collection, and moment statistics.
+
+Engine-determinism notes (these all hash-compare against DuckDB):
+* percentiles: both engines implement exact linear-interpolation
+  percentile over sorted values (Spark ``percentile``, DuckDB
+  ``quantile_cont``) — identical doubles;
+* min_by/max_by: the ordering value embeds the unique key as a
+  zero-padded tie-break suffix, because arg-extrema on a tied value
+  are otherwise engine-dependent;
+* variance/stddev/correlation: NOT the built-in one-pass aggregates
+  (engines disagree in the last ulps depending on summation order) —
+  computed from exact DECIMAL power sums, cast to DOUBLE at the end,
+  so both engines evaluate the same closed-form expression on the
+  same exact inputs; the result is rounded (var: 2, stddev: 4,
+  corr: 9 decimals) because the final double arithmetic can still
+  differ by one ulp between engines;
+* collected arrays are sorted inside the aggregate.
+
+Scale notes: every query is a single grouped aggregation with
+map-side partial aggregation; the percentile aggregates shuffle the
+group's values but groups here are low-cardinality flags. At 100 TB
+swap ``percentile`` for ``approx_percentile`` (t-digest) — kept exact
+here because the conformance gate hash-compares values.
+"""
+
+from __future__ import annotations
+
+from .base import REGISTRY
+
+# --- exact percentiles ------------------------------------------------------
+REGISTRY.sql_query(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           percentile(l_quantity, 0.5) AS p50,
+           percentile(l_quantity, 0.9) AS p90,
+           percentile(l_quantity, 0.99) AS p99,
+           percentile(l_extendedprice, 0.25) AS price_p25
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tables=["lineitem"],
+    tags=["agg", "percentile"],
+    description="exact interpolated percentiles per group",
+)
+
+# --- arg-extrema with deterministic tie-break -------------------------------
+_ORD = "{fn}('%018.4f#%012d', o_totalprice, o_orderkey)"
+
+REGISTRY.sql_query(
+    "argminmax_orders",
+    f"""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, {_ORD.format(fn='format_string')}) AS priciest_order,
+           min_by(o_orderkey, {_ORD.format(fn='format_string')}) AS cheapest_order,
+           max_by(o_custkey, {_ORD.format(fn='format_string')}) AS priciest_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    oracle=f"""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, {_ORD.format(fn='printf')}) AS priciest_order,
+           min_by(o_orderkey, {_ORD.format(fn='printf')}) AS cheapest_order,
+           max_by(o_custkey, {_ORD.format(fn='printf')}) AS priciest_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tables=["orders"],
+    tags=["agg", "argminmax"],
+    description="min_by/max_by with zero-padded composite ordering key",
+)
+
+# --- bitwise aggregates -----------------------------------------------------
+REGISTRY.sql_query(
+    "bitwise_aggregates",
+    """
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS lines_and,
+           bit_or(l_linenumber) AS lines_or,
+           bit_xor(l_linenumber) AS lines_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tables=["lineitem"],
+    tags=["agg", "bitwise"],
+    description="bitwise AND/OR/XOR aggregates (order-independent)",
+)
+
+# --- ordered array collection ----------------------------------------------
+REGISTRY.sql_query(
+    "collect_sorted_arrays",
+    """
+    SELECT c_mktsegment,
+           sort_array(collect_list(c_custkey)) AS custkeys,
+           size(collect_list(c_custkey)) AS n
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_mktsegment
+    """,
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(c_custkey)) AS custkeys,
+           len(list(c_custkey)) AS n
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_mktsegment
+    """,
+    tables=["customer"],
+    tags=["agg", "array"],
+    description="array_agg sorted inside the aggregate (deterministic)",
+)
+
+# --- moments from exact decimal power sums ----------------------------------
+REGISTRY.sql_query(
+    "moments_totalprice",
+    """
+    WITH sums AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s2
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           s1 / n AS mean_price,
+           round((s2 - s1 * s1 / n) / (n - 1), 2) AS var_price,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price
+    FROM sums
+    """,
+    tables=["orders"],
+    tags=["agg", "stats"],
+    description="variance/stddev from exact decimal power sums (engine-stable)",
+)
+
+REGISTRY.sql_query(
+    "corr_qty_price",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 9) AS corr_qty_price
+    FROM sums
+    """,
+    tables=["lineitem"],
+    tags=["agg", "stats"],
+    description="Pearson correlation from exact decimal power sums",
+)
+
+# --- conditional / filtered aggregates --------------------------------------
+REGISTRY.sql_query(
+    "filtered_aggregates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,4)) AS sum_f,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS rich_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tables=["orders"],
+    tags=["agg", "filter-clause"],
+    description="FILTER-clause aggregates (identical dialect both engines)",
+)
+
+
+def register() -> None:
+    """Import side effect — queries registered above."""
