@@ -401,13 +401,116 @@ def decode_column(
         vals = [decimal.Decimal(v).scaleb(-t.scale).quantize(q) for v in ints]
         return pa.array(vals, type=pa.decimal128(t.fixed_len, t.scale))
     if b == "LowCardinality":
-        raise UnsupportedTypeError(
-            "LowCardinality columns are not supported yet; "
-            "re-export with FORMAT Native after CAST to the plain type"
+        return _decode_low_cardinality(
+            buf, t, rows, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64
         )
     if b in FIXED_WIDTH:
         return _decode_fixed(buf, t, rows, lossy_uint64=lossy_uint64)
     raise UnsupportedTypeError(f"cannot decode type {t.name}")
+
+
+# LowCardinality wire constants (public layout, cf. ClickHouse
+# SerializationLowCardinality: a shared-dictionary version stamp, then
+# per-granule flags | index-width, additional keys, and indices)
+_LC_VERSION = 1  # SharedDictionariesWithAdditionalKeys
+_LC_HAS_ADDITIONAL_KEYS = 1 << 9
+_LC_NEED_GLOBAL_DICT = 1 << 8
+_LC_NEED_UPDATE_DICT = 1 << 10
+_LC_INDEX_DTYPES = ["<u1", "<u2", "<u4", "<u8"]
+
+
+def _read_u64(buf: BinaryIO) -> int:
+    raw = buf.read(8)
+    if len(raw) != 8:
+        raise EOFError("EOF inside LowCardinality header")
+    return struct.unpack("<Q", raw)[0]
+
+
+def _decode_low_cardinality(
+    buf: BinaryIO,
+    t: CHType,
+    rows: int,
+    *,
+    scrub_strings: bool,
+    lossy_uint64: bool,
+) -> pa.Array:
+    """Dictionary-encoded column: version, flags|width, dictionary of
+    additional keys (inner type; index 0 is the NULL placeholder when
+    the inner type is Nullable), row count, then indices."""
+    assert t.inner is not None
+    inner = t.inner
+    version = _read_u64(buf)
+    if version != _LC_VERSION:
+        raise UnsupportedTypeError(
+            f"LowCardinality keys-serialization version {version} not supported"
+        )
+    if rows == 0:
+        return pa.nulls(0, to_arrow(inner, lossy_uint64=lossy_uint64))
+    flags = _read_u64(buf)
+    if not flags & _LC_HAS_ADDITIONAL_KEYS:
+        raise UnsupportedTypeError(
+            "LowCardinality global-dictionary serialization not supported "
+            f"(flags {flags:#x})"
+        )
+    width_code = flags & 0xFF
+    if width_code > 3:
+        raise UnsupportedTypeError(f"bad LowCardinality index width {width_code}")
+    n_keys = _read_u64(buf)
+    dense_inner = CHType(**{**inner.__dict__, "nullable": False})
+    dictionary = decode_column(
+        buf, dense_inner, n_keys, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64
+    )
+    n_rows = _read_u64(buf)
+    if n_rows != rows:
+        raise ValueError(f"LowCardinality row count {n_rows} != block rows {rows}")
+    dtype = _LC_INDEX_DTYPES[width_code]
+    width = int(dtype[2:])
+    raw = buf.read(width * rows)
+    if len(raw) != width * rows:
+        raise EOFError("EOF inside LowCardinality indices")
+    idx = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    values = dictionary.take(pa.array(idx))
+    if inner.nullable:
+        # index 0 is the default-value placeholder meaning NULL
+        valid = pa.array(idx != 0)
+        values = pa.compute.if_else(valid, values, pa.scalar(None, values.type))
+    return values
+
+
+def _encode_low_cardinality(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
+    assert t.inner is not None
+    inner = t.inner
+    buf.write(struct.pack("<Q", _LC_VERSION))
+    if len(arr) == 0:
+        return
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    nullable = inner.nullable or arr.null_count > 0
+    dense_inner = CHType(**{**inner.__dict__, "nullable": False})
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - combined upstream
+        arr = arr.combine_chunks()
+    encoded = pa.compute.dictionary_encode(arr)
+    dictionary = encoded.dictionary
+    indices = encoded.indices.to_numpy(zero_copy_only=False)
+    if nullable:
+        # prepend the NULL placeholder at index 0 (the inner default)
+        placeholder = pa.array([_default_fill(dictionary.type)], type=dictionary.type)
+        dictionary = pa.concat_arrays([placeholder, dictionary])
+        idx = np.where(
+            np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False)),
+            0,
+            np.nan_to_num(indices.astype("float64"), nan=0).astype(np.int64) + 1,
+        ).astype(np.int64)
+    else:
+        idx = indices.astype(np.int64)
+    n_keys = len(dictionary)
+    width_code = 0 if n_keys <= 0xFF else 1 if n_keys <= 0xFFFF else 2 if n_keys <= 0xFFFFFFFF else 3
+    flags = _LC_HAS_ADDITIONAL_KEYS | width_code
+    buf.write(struct.pack("<Q", flags))
+    buf.write(struct.pack("<Q", n_keys))
+    encode_column(buf, dense_inner, dictionary)
+    buf.write(struct.pack("<Q", len(arr)))
+    buf.write(idx.astype(_LC_INDEX_DTYPES[width_code]).tobytes())
 
 
 def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
@@ -441,6 +544,25 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     if b == "Tuple":
         for it in t.tuple_items:
             skip_column(buf, it, rows)
+        return
+    if b == "LowCardinality":
+        assert t.inner is not None
+        version = _read_u64(buf)
+        if version != _LC_VERSION:
+            raise UnsupportedTypeError(
+                f"LowCardinality keys-serialization version {version}"
+            )
+        if rows == 0:
+            return
+        flags = _read_u64(buf)
+        if not flags & _LC_HAS_ADDITIONAL_KEYS:
+            raise UnsupportedTypeError("LowCardinality global dictionary")
+        n_keys = _read_u64(buf)
+        dense = CHType(**{**t.inner.__dict__, "nullable": False})
+        skip_column(buf, dense, n_keys)
+        n_rows = _read_u64(buf)
+        width = int(_LC_INDEX_DTYPES[flags & 0xFF][2:])
+        _skip_bytes(buf, width * n_rows)
         return
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
         width = 4 if t.fixed_len <= 9 else 8 if t.fixed_len <= 18 else 16
@@ -600,7 +722,9 @@ def _encode_fixed_np(arr: pa.Array, dtype: str) -> bytes:
 def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
-    if t.nullable or arr.null_count > 0:
+    if (t.nullable or arr.null_count > 0) and b != "LowCardinality":
+        # nulls in a LowCardinality column live inside the dictionary
+        # (index 0 placeholder), never as an outer Nullable mask
         mask = np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False), dtype=np.uint8)
         buf.write(mask.tobytes())
         arr = pa.compute.fill_null(arr, _default_fill(arr.type))
@@ -657,6 +781,9 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
             val = v.as_py()
             unscaled = int(val.scaleb(t.scale).to_integral_value()) if val is not None else 0
             buf.write(unscaled.to_bytes(width, "little", signed=True))
+        return
+    if b == "LowCardinality":
+        _encode_low_cardinality(buf, t, arr)
         return
     if b in FIXED_WIDTH:
         dtype, _ = FIXED_WIDTH[b]

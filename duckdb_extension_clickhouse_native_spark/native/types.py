@@ -45,6 +45,11 @@ class CHType:
 
     @property
     def name(self) -> str:
+        if self.base in ("LowCardinality", "Array") and self.inner is not None:
+            inner = self.inner.name
+            if self.inner.nullable:
+                inner = f"Nullable({inner})"
+            return f"{self.base}({inner})"
         if self.params is not None:
             return f"{self.base}({self.params})"
         return self.base
@@ -266,6 +271,10 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
 
 def from_arrow(dt: pa.DataType) -> CHType:
     """Inverse map for the writer: Arrow/Spark type -> CH type."""
+    if pa.types.is_dictionary(dt):
+        t = CHType("LowCardinality")
+        t.inner = from_arrow(dt.value_type)
+        return t
     if pa.types.is_string(dt) or pa.types.is_large_string(dt):
         return CHType("String")
     if pa.types.is_boolean(dt):

@@ -84,8 +84,16 @@ def _write_block_with_nullable_names(
     for i in range(batch.num_columns):
         t = types[i]
         col = batch.column(i)
-        nullable = t.nullable or col.null_count > 0
-        eff = CHType(**{**t.__dict__, "nullable": nullable})
+        if t.base == "LowCardinality":
+            # Nullable cannot wrap LowCardinality — nulls go inside:
+            # LowCardinality(Nullable(T))
+            eff = t
+            if col.null_count > 0 and t.inner is not None and not t.inner.nullable:
+                eff = CHType(**{**t.__dict__})
+                eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
+        else:
+            nullable = t.nullable or col.null_count > 0
+            eff = CHType(**{**t.__dict__, "nullable": nullable})
         write_str(buf, batch.schema.names[i])
         write_str(buf, _type_name(eff))
         encode_column(buf, eff, col)
