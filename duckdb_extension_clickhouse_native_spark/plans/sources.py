@@ -227,5 +227,78 @@ REGISTRY.df_query(
 )
 
 
+_SCAN_AGG_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _scan_remote_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clickhouse_scan full-pushdown semantics (SURVEY.md §2.1 #11-15):
+    # the ENTIRE SQL string executes server-side (here: the in-process
+    # DuckDB-backed mock speaking the public Native-over-HTTP surface,
+    # clickhouse_scan.rs:78 pushdown-by-construction)
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _SCAN_AGG_SQL)
+        .option("url", url)
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_agg",
+    _scan_remote_agg,
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "pushdown"],
+    description="clickhouse_scan: whole query executes remotely, typed Native fetch",
+)
+
+
+def _scan_remote_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JDBC-style split read: 4 range-partitioned fetches of one remote
+    # query (the reference is strictly single-stream, README.md:51)
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 150000",
+        )
+        .option("url", url)
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .option("lower_bound", "0")
+        .option("upper_bound", "200000")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_split",
+    _scan_remote_split,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice > 150000
+    """,
+    tags=["source", "scan", "parallel"],
+    description="clickhouse_scan: 4-way range-partitioned parallel fetch",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

@@ -1,0 +1,107 @@
+"""In-process stand-in for a ClickHouse server (HTTP interface,
+``FORMAT Native`` responses), backed by DuckDB over the driver's
+parquet tables.
+
+Purpose: make the ``clickhouse_scan`` source (SURVEY.md §2.1 #11-15)
+exercisable inside the driver's correctness gate without a live
+ClickHouse — the conformance queries spin this up lazily and point
+``spark.read.format("clickhouse_scan")`` at 127.0.0.1. The protocol
+surface it emulates is exactly what the real server speaks publicly:
+POST body ``<sql> FORMAT Native`` -> Native-framed typed blocks, and
+``?query=INSERT INTO ...`` with a Native body for writes.
+
+Only suitable for local[-mode] conformance runs; against a real
+cluster you point the same DataSource at a real ClickHouse URL and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+_SERVERS: dict[str, str] = {}
+_LOCK = threading.Lock()
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def mock_clickhouse_url(sf_dir: str) -> str:
+    """Start (once per process per sf_dir) a DuckDB-backed mock
+    ClickHouse HTTP server over ``{sf_dir}/*.parquet``; returns its
+    base URL."""
+    with _LOCK:
+        if sf_dir in _SERVERS:
+            return _SERVERS[sf_dir]
+
+        import duckdb
+
+        from ..native.codec import iter_blocks
+        from ..native.writer import arrow_to_native_bytes
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        con.execute("CREATE TABLE IF NOT EXISTS _ingest (k BIGINT, v VARCHAR)")
+        qlock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                qs = dict(
+                    urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query)
+                )
+                try:
+                    if "query" in qs and qs["query"].upper().startswith("INSERT"):
+                        q = qs["query"]
+                        table = q.split()[2].split("(")[0]
+                        with qlock:
+                            for blk in iter_blocks(io.BytesIO(body)):
+                                rb = blk.to_record_batch()
+                                con.register("_ins_batch", rb)
+                                con.execute(
+                                    f"INSERT INTO {table} SELECT * FROM _ins_batch"
+                                )
+                                con.unregister("_ins_batch")
+                        self.send_response(200)
+                        self.end_headers()
+                        return
+                    q = body.decode().strip()
+                    if q.endswith("FORMAT Native"):
+                        q = q[: -len("FORMAT Native")]
+                    with qlock:
+                        tbl = con.execute(q).fetch_arrow_table()
+                    payload = arrow_to_native_bytes(tbl)
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except Exception as e:
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        _SERVERS[sf_dir] = url
+        return url
