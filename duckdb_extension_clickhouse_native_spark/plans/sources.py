@@ -25,15 +25,19 @@ from .base import REGISTRY, load_tables
 _LOCK = threading.Lock()
 
 
-def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: int = 4) -> str:
+def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: int = 16) -> str:
     """Materialize ``{sf_dir}/{table}.parquet`` as Native files (once
-    per sf_dir+table per process)."""
+    per sf_dir+table per process). 16 files by default: one Spark
+    partition per file is the scan's parallelism (the 100 TB layout is
+    many files, not one big one)."""
     import pyarrow.parquet as pq
 
     from ..native.writer import write_native_file
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(tempfile.gettempdir(), "chsql_native_fixtures", tag, table)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "chsql_native_fixtures", tag, f"{table}-{n_files}"
+    )
     done = os.path.join(out_dir, "_DONE")
     with _LOCK:
         if not os.path.exists(done):
