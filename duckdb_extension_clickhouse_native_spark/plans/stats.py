@@ -189,5 +189,52 @@ REGISTRY.sql_query(
 )
 
 
+# --- skew-safe two-phase (salted) aggregation -------------------------------
+# The classic mitigation when one group key dominates (here event_type
+# has only a handful of values over 100k+ rows): aggregate on
+# (key, salt) first so the hot key spreads over N reducers, then
+# combine the partials. The final result is independent of the salt
+# function, so each engine uses its own hash — the oracle still
+# matches exactly.
+REGISTRY.sql_query(
+    "skew_salted_agg",
+    """
+    WITH partials AS (
+      SELECT event_type, pmod(hash(event_id), 16) AS salt,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v,
+             MAX(value) AS mx
+      FROM events
+      GROUP BY event_type, pmod(hash(event_id), 16)
+    )
+    SELECT event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(v) AS DECIMAL(38,6)) AS total_value,
+           MAX(mx) AS max_value
+    FROM partials
+    GROUP BY event_type
+    """,
+    oracle="""
+    WITH partials AS (
+      SELECT event_type, event_id % 16 AS salt,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v,
+             MAX(value) AS mx
+      FROM events
+      GROUP BY event_type, event_id % 16
+    )
+    SELECT event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(v) AS DECIMAL(38,6)) AS total_value,
+           MAX(mx) AS max_value
+    FROM partials
+    GROUP BY event_type
+    """,
+    tables=["events"],
+    tags=["agg", "skew", "scale"],
+    description="two-phase salted aggregation for hot keys (salt-independent result)",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
