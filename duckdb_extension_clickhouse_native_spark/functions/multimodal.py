@@ -101,3 +101,109 @@ MEDIA_FEATURES_ORACLE_SQL = """
                 i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) % 1000003 AS checksum_mod
     FROM documents
 """
+
+RESIZE_TARGET = 64  # "pixels" (bytes) after downsampling
+
+
+def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """'Resize' stub: stride-subsample the payload down to ≤ target
+    bytes — the exact plumbing a real thumbnailer needs (binary in,
+    smaller binary + new dims out), with a deterministic fake kernel.
+    Map-only stage, no shuffle."""
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            def one(data: bytes) -> tuple[bytes, int, int]:
+                stride = max(1, -(-len(data) // target))  # ceil div
+                small = data[::stride]
+                return small, len(small), sum(small) % 1_000_003
+
+            res = pdf["media"].map(one)
+            out = pdf[["doc_id"]].copy()
+            out["resized"] = [r[0] for r in res]
+            out["out_len"] = [r[1] for r in res]
+            out["out_checksum"] = [r[2] for r in res]
+            yield out
+
+    return df.mapInPandas(
+        resize, schema="doc_id bigint, resized binary, out_len bigint, out_checksum bigint"
+    )
+
+
+def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(media_table(spark, sf_dir)).select(
+        "doc_id", "out_len", "out_checksum"
+    )
+
+
+MEDIA_RESIZE_ORACLE_SQL = f"""
+    WITH strided AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(text) + 1,
+                     GREATEST(1, CAST(ceil(length(text) / {RESIZE_TARGET}.0) AS INT))),
+               i -> ascii(substr(text, i, 1))) AS px
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(px) AS BIGINT) AS out_len,
+           CAST(COALESCE(list_sum(px), 0) AS BIGINT) % 1000003 AS out_checksum
+    FROM strided
+"""
+
+FRAME_BYTES = 256  # bytes per "frame"
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame-sampling stub: treat the payload as a fixed-frame 'video'
+    and keep every ``stride``-th frame — one output ROW per sampled
+    frame (mapInPandas fan-out), the shape a real video pipeline needs.
+    """
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                n = -(-len(data) // frame_bytes)  # ceil
+                for fi in range(0, n, stride):
+                    fr = data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    rows.append(
+                        (doc_id, fi, len(fr), sum(fr) % 1_000_003)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_checksum"]
+            )
+
+    return df.mapInPandas(
+        frames,
+        schema="doc_id bigint, frame_idx int, frame_len bigint, frame_checksum bigint",
+    )
+
+
+def media_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir))
+
+
+MEDIA_FRAMES_ORACLE_SQL = f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT),
+                          {FRAME_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+                AS BIGINT) AS frame_len,
+           CAST(COALESCE(list_sum(list_transform(
+                range(frame_idx * {FRAME_BYTES} + 1,
+                      frame_idx * {FRAME_BYTES} + 1
+                      + length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))),
+                i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) % 1000003 AS frame_checksum
+    FROM idx
+"""

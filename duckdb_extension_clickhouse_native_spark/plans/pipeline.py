@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.multimodal import MEDIA_FEATURES_ORACLE_SQL, media_features_query
+from ..functions.multimodal import (
+    MEDIA_FEATURES_ORACLE_SQL,
+    MEDIA_FRAMES_ORACLE_SQL,
+    MEDIA_RESIZE_ORACLE_SQL,
+    media_features_query,
+    media_frames_query,
+    media_resize_query,
+)
 from ..functions.text import fingerprint_sql, lang_id_sql, quality_sql, token_count_sql
 from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
 from ..operators.dedup import (
@@ -172,6 +179,22 @@ REGISTRY.df_query(
     oracle=MEDIA_FEATURES_ORACLE_SQL,
     tags=["multimodal", "pandas_udf"],
     description="binary media column -> mapInPandas stub decode -> typed features",
+)
+
+REGISTRY.df_query(
+    "multimodal_resize",
+    media_resize_query,
+    oracle=MEDIA_RESIZE_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf"],
+    description="stride-downsample resize stub: binary in, smaller binary + dims out",
+)
+
+REGISTRY.df_query(
+    "multimodal_frame_sample",
+    media_frames_query,
+    oracle=MEDIA_FRAMES_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf", "fanout"],
+    description="fixed-frame video sampling stub: one row per kept frame (mapInPandas fan-out)",
 )
 
 # -- as-of join + sessionization -------------------------------------------
