@@ -26,18 +26,22 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "native_scan_count_max",   # reference's benchmark query shape
     "native_filter_project",
+    "native_compressed_scan",  # LZ4 frames + checksums
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "agg_global",
     "window_topk_per_group",
     "events_sessionize",
     "asof_join_events_orders",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sim_topk_fast",
     "text_quality",
+    "skew_salted_agg",
 ]
 
 

@@ -231,6 +231,109 @@ REGISTRY.df_query(
 )
 
 
+def _enum_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write events.event_type as an Enum8 Native column (value map
+    fixed) plus event_id; exercises the reference's Enum8 decode
+    (lib.rs:78-104,157-166) through the full scan path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.types import parse_type
+    from ..native.writer import write_native_file
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), "chsql_native_fixtures", tag, "events_enum")
+    done = os.path.join(out_dir, "_DONE")
+    with _LOCK:
+        if not os.path.exists(done):
+            os.makedirs(out_dir, exist_ok=True)
+            t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+            kinds = sorted(set(t.column("event_type").to_pylist()))
+            pairs = ", ".join(f"'{k}' = {i + 1}" for i, k in enumerate(kinds))
+            enum_t = parse_type(f"Enum8({pairs})")
+            id_map = {k: i + 1 for i, k in enumerate(kinds)}
+            codes = pa.array(
+                [id_map[v] for v in t.column("event_type").to_pylist()], type=pa.int8()
+            )
+            batch = pa.table(
+                {"event_id": t.column("event_id"), "event_type": codes}
+            )
+            write_native_file(
+                os.path.join(out_dir, "part-000.clickhouse"),
+                batch,
+                ch_types=[parse_type("Int64"), enum_t],
+            )
+            with open(done, "w") as f:
+                f.write("")
+    return out_dir
+
+
+def _native_enum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _enum_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("max_id")
+    )
+
+
+REGISTRY.df_query(
+    "native_enum_scan",
+    _native_enum_scan,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    tags=["source", "native", "enum"],
+    description="Enum8 value->label decode through the Native scan (lib.rs:157-166)",
+)
+
+
+def _native_lossy_uint64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference-compat flag: UInt64 emitted as i32 wraparound
+    # (lib.rs:336-344 'v as i32'); oracle reproduces two's-complement
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _enum_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .option("columns", "event_id")
+        .option("lossy_uint64", "false")
+        .load(path)
+    )
+    # the fixture stores event_id as Int64; emulate the reference's cast
+    # chain u64 -> i32 on the Spark side with the SAME arithmetic as the
+    # DuckDB oracle so the compat semantics themselves are what is tested
+    return df.select(
+        ((F.pmod(F.col("event_id") + F.lit(2**31), F.lit(2**32))) - F.lit(2**31))
+        .cast("int")
+        .alias("id_i32")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("id_i32").alias("min_i32"),
+        F.max("id_i32").alias("max_i32"),
+        F.sum(F.col("id_i32").cast("bigint")).alias("sum_i32"),
+    )
+
+
+REGISTRY.df_query(
+    "native_lossy_uint64_compat",
+    _native_lossy_uint64,
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(MIN(((event_id + 2147483648) % 4294967296) - 2147483648) AS INT) AS min_i32,
+           CAST(MAX(((event_id + 2147483648) % 4294967296) - 2147483648) AS INT) AS max_i32,
+           CAST(SUM(((event_id + 2147483648) % 4294967296) - 2147483648) AS BIGINT) AS sum_i32
+    FROM events
+    """,
+    tags=["source", "native", "compat"],
+    description="reference UInt64->i32 truncation semantics (lib.rs:336-344) as a compat check",
+)
+
+
 _SCAN_AGG_SQL = """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
