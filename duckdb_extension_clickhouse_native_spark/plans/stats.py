@@ -236,5 +236,48 @@ REGISTRY.sql_query(
 )
 
 
+# --- time-based RANGE window frame ------------------------------------------
+REGISTRY.sql_query(
+    "window_time_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS v_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+    tables=["events"],
+    tags=["window", "range-frame", "time"],
+    description="sliding 1-hour RANGE frame over event time (identical dialect)",
+)
+
+# --- ordered string aggregation ---------------------------------------------
+REGISTRY.sql_query(
+    "stringagg_rich_customers",
+    """
+    SELECT c_mktsegment,
+           concat_ws(',', sort_array(collect_list(c_name))) AS names,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal > 9900
+    GROUP BY c_mktsegment
+    """,
+    oracle="""
+    SELECT c_mktsegment,
+           COALESCE(string_agg(c_name, ',' ORDER BY c_name), '') AS names,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal > 9900
+    GROUP BY c_mktsegment
+    """,
+    tables=["customer"],
+    tags=["agg", "string"],
+    description="ordered string aggregation (sorted collect vs string_agg ORDER BY)",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
