@@ -283,6 +283,14 @@ def _decode_fixed(buf: BinaryIO, t: CHType, rows: int, *, lossy_uint64: bool) ->
         if lossy_uint64:
             # reference behavior: v as i32 (lib.rs:336-344)
             return pa.array(arr.astype(np.int64).astype(np.int32).astype(np.int32))
+        if arr.size and bool((arr >> np.uint64(63)).any()):
+            # Int64 cannot represent the upper half of u64; silent
+            # two's-complement wrap would serve wrong negatives
+            raise ValueError(
+                "UInt64 column contains values >= 2^63, which LongType "
+                "cannot represent; use lossy_uint64=true for the "
+                "reference's truncation semantics, or cast server-side"
+            )
         return pa.array(arr.view(np.int64), type=pa.int64())
     if b == "UInt8":
         return pa.array(arr.astype(np.int32 if lossy_uint64 else np.int16))
@@ -397,8 +405,12 @@ def decode_column(
             ints = np.frombuffer(raw, dtype=f"<i{width}").tolist()
         import decimal
 
-        q = decimal.Decimal(1).scaleb(-t.scale)
-        vals = [decimal.Decimal(v).scaleb(-t.scale).quantize(q) for v in ints]
+        # default context precision (28) would raise/round on 29+ digit
+        # unscaled values; decimal128 carries up to 38
+        with decimal.localcontext() as ctx:
+            ctx.prec = 40
+            q = decimal.Decimal(1).scaleb(-t.scale)
+            vals = [decimal.Decimal(v).scaleb(-t.scale).quantize(q) for v in ints]
         return pa.array(vals, type=pa.decimal128(t.fixed_len, t.scale))
     if b == "LowCardinality":
         return _decode_low_cardinality(
@@ -776,11 +788,17 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         buf.write((us // 1_000_000).astype("<u4").tobytes())
         return
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
+        import decimal
+
         width = 4 if t.fixed_len <= 9 else 8 if t.fixed_len <= 18 else 16
-        for v in arr:
-            val = v.as_py()
-            unscaled = int(val.scaleb(t.scale).to_integral_value()) if val is not None else 0
-            buf.write(unscaled.to_bytes(width, "little", signed=True))
+        with decimal.localcontext() as ctx:
+            ctx.prec = 40  # see decode: default prec 28 < decimal128's 38
+            for v in arr:
+                val = v.as_py()
+                unscaled = (
+                    int(val.scaleb(t.scale).to_integral_value()) if val is not None else 0
+                )
+                buf.write(unscaled.to_bytes(width, "little", signed=True))
         return
     if b == "LowCardinality":
         _encode_low_cardinality(buf, t, arr)
@@ -809,9 +827,25 @@ def _default_fill(dt: pa.DataType):
 
 
 def write_block(buf: BinaryIO, batch: pa.RecordBatch, ch_types: list[CHType]) -> None:
+    """Write one Native block. The declared type string always matches
+    the payload: a null-bearing column is promoted to ``Nullable(T)``
+    (the mask encode_column emits) — or, for LowCardinality, to
+    ``LowCardinality(Nullable(T))`` since Nullable may not wrap LC."""
     write_varuint(buf, batch.num_columns)
     write_varuint(buf, batch.num_rows)
     for i in range(batch.num_columns):
+        t = ch_types[i]
+        col = batch.column(i)
+        if t.base == "LowCardinality":
+            eff = t
+            if col.null_count > 0 and t.inner is not None and not t.inner.nullable:
+                eff = CHType(**{**t.__dict__})
+                eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
+            name = eff.name
+        else:
+            nullable = t.nullable or col.null_count > 0
+            eff = CHType(**{**t.__dict__, "nullable": nullable})
+            name = f"Nullable({eff.name})" if nullable else eff.name
         write_str(buf, batch.schema.names[i])
-        write_str(buf, ch_types[i].name)
-        encode_column(buf, ch_types[i], batch.column(i))
+        write_str(buf, name)
+        encode_column(buf, eff, col)

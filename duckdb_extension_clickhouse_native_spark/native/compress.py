@@ -364,16 +364,31 @@ def maybe_compressed_reader(
         return buf
     if compression in ("lz4", "zstd", "compressed"):
         return CompressedReader(buf, verify_checksum=verify_checksum)
+    seekable = False
+    try:
+        seekable = buf.seekable()
+    except AttributeError:
+        pass
     head = buf.read(CHECKSUM_SIZE + HEADER_SIZE)
-    rest: BinaryIO = _Concat(head, buf)
-    if len(head) == CHECKSUM_SIZE + HEADER_SIZE and head[CHECKSUM_SIZE] in (
+    compressed = len(head) == CHECKSUM_SIZE + HEADER_SIZE and head[CHECKSUM_SIZE] in (
         METHOD_LZ4,
         METHOD_ZSTD,
         METHOD_NONE,
-    ):
+    )
+    if compressed:
         comp_size = struct.unpack("<I", head[17:21])[0]
-        if comp_size >= HEADER_SIZE:
-            return CompressedReader(rest, verify_checksum=verify_checksum)
+        compressed = comp_size >= HEADER_SIZE
+    if seekable:
+        # hand back the original seekable stream for plain files — the
+        # codec's vectorized string decode and byte-seek column skipping
+        # only engage on seekable sources
+        buf.seek(-len(head), io.SEEK_CUR)
+        if compressed:
+            return CompressedReader(buf, verify_checksum=verify_checksum)
+        return buf
+    rest: BinaryIO = _Concat(head, buf)
+    if compressed:
+        return CompressedReader(rest, verify_checksum=verify_checksum)
     return rest
 
 

@@ -7,9 +7,11 @@ reference's 5 supported types: we additionally cover the full
 fixed-width integer/float family, Date/Date32/DateTime/DateTime64,
 Bool, FixedString(n), Enum16, Nullable(T), Array(T) and Tuple(...).
 
-The reference maps UInt64 -> Int32 lossily (lib.rs:336-344); we are
-lossless by default (Int64) with an opt-in ``lossy_uint64`` compat
-flag (see reader options) for byte-faithful oracle diffs.
+The reference maps UInt64 -> Int32 lossily (lib.rs:336-344); we
+default to Int64 and RAISE on values >= 2^63 (LongType cannot hold
+them — an error beats a silent two's-complement wrap), with an opt-in
+``lossy_uint64`` compat flag (see reader options) for byte-faithful
+oracle diffs against the reference's truncation.
 """
 
 from __future__ import annotations

@@ -30,10 +30,6 @@ def _ch_types_for_schema(
     return [from_arrow(f.type) for f in schema]
 
 
-def _type_name(t: CHType) -> str:
-    return f"Nullable({t.name})" if t.nullable else t.name
-
-
 def write_native_stream(
     buf: BinaryIO,
     batches: Iterable[pa.RecordBatch],
@@ -77,26 +73,8 @@ def write_native_stream(
 def _write_block_with_nullable_names(
     buf: BinaryIO, batch: pa.RecordBatch, types: list[CHType]
 ) -> None:
-    from .codec import encode_column, write_str, write_varuint
-
-    write_varuint(buf, batch.num_columns)
-    write_varuint(buf, batch.num_rows)
-    for i in range(batch.num_columns):
-        t = types[i]
-        col = batch.column(i)
-        if t.base == "LowCardinality":
-            # Nullable cannot wrap LowCardinality — nulls go inside:
-            # LowCardinality(Nullable(T))
-            eff = t
-            if col.null_count > 0 and t.inner is not None and not t.inner.nullable:
-                eff = CHType(**{**t.__dict__})
-                eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
-        else:
-            nullable = t.nullable or col.null_count > 0
-            eff = CHType(**{**t.__dict__, "nullable": nullable})
-        write_str(buf, batch.schema.names[i])
-        write_str(buf, _type_name(eff))
-        encode_column(buf, eff, col)
+    # codec.write_block owns the nullable/LowCardinality naming rules
+    write_block(buf, batch, types)
 
 
 def write_native_file(

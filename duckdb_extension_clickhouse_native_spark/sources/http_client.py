@@ -87,8 +87,13 @@ class ClickHouseHTTPClient:
     def execute_native(self, query: str) -> BinaryIO:
         """Run a SELECT with ``FORMAT Native``; returns the raw stream
         (feed to ``native.codec.iter_blocks``)."""
-        q = query.rstrip().rstrip(";")
-        if "format" not in q.lower().rsplit("\n", 1)[-1]:
+        import re
+
+        q = query.rstrip().rstrip(";").rstrip()
+        # only a trailing "FORMAT <name>" clause counts — a substring
+        # match would false-positive on formatDateTime(...), a column
+        # named "format", etc., and the server would answer TabSeparated
+        if not re.search(r"\bFORMAT\s+\w+$", q, re.IGNORECASE):
             q = f"{q} FORMAT Native"
         return self._request(q)
 

@@ -296,6 +296,12 @@ class ClickHouseNativeReader(DataSourceReader):
                 arrays = []
                 for fld in target:
                     idx = batch.schema.get_field_index(fld.name)
+                    if idx < 0:
+                        raise ValueError(
+                            f"column {fld.name!r} missing from block in "
+                            f"{partition.path!r} (file schema drift? schema() "
+                            f"inspects only the first file)"
+                        )
                     col = batch.column(idx)
                     if col.type != fld.type:
                         col = col.cast(fld.type)
@@ -328,7 +334,13 @@ class ClickHouseNativeReader(DataSourceReader):
 
         if isinstance(f, Not):
             return pc.invert(self._filter_mask(batch, f.child))
-        col = batch.column(batch.schema.get_field_index(f.attribute[0]))
+        fidx = batch.schema.get_field_index(f.attribute[0])
+        if fidx < 0:
+            raise ValueError(
+                f"pushed filter references column {f.attribute[0]!r} absent "
+                "from the decoded batch (add it to the 'columns' option)"
+            )
+        col = batch.column(fidx)
         if isinstance(f, IsNull):
             return pc.is_null(col)
         if isinstance(f, IsNotNull):
@@ -380,10 +392,20 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._batch = ClickHouseNativeReader(schema, options)
         self.path = self._batch.path
-        self._offset_cache: dict = {}
 
     def initialOffset(self) -> dict:
         return {"files": {}}
+
+    @staticmethod
+    def _entry(v) -> dict:
+        """Normalize an offset entry; {'n': blocks, 'bytes': consumed}.
+        'bytes' makes the offset self-contained: recovery after a
+        driver restart re-derives the seek position from the
+        checkpointed JSON alone (never from in-memory state). -1 bytes
+        marks an unsplittable (compressed) whole file."""
+        if isinstance(v, dict):
+            return v
+        return {"n": int(v), "bytes": 0}  # legacy int offsets: re-read
 
     def _complete_block_offsets(self, p: str) -> list:
         from ..native.codec import scan_block_offsets
@@ -430,29 +452,58 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
             try:
                 if is_compressed_file(p):
                     # atomic unit: one pseudo-block for the whole file
-                    files[p] = 1
-                    self._offset_cache[p] = None
+                    files[p] = {"n": 1, "bytes": -1}
                 else:
                     offsets = self._complete_block_offsets(p)
-                    files[p] = len(offsets)
-                    self._offset_cache[p] = offsets
+                    if offsets:
+                        last_pos, _ = offsets[-1]
+                        # consumed bytes = end of the last complete block:
+                        # next block (if any) starts exactly there
+                        end_bytes = self._end_of_blocks(p, offsets)
+                    else:
+                        end_bytes = 0
+                    files[p] = {"n": len(offsets), "bytes": end_bytes}
             except (OSError, ValueError):
                 continue  # not readable yet; pick up next batch
         return {"files": files}
 
+    def _end_of_blocks(self, p: str, offsets: list) -> int:
+        """Byte position just past the last complete block (== the file
+        size unless a truncated tail block is mid-write)."""
+        import io as _io
+
+        from ..native.codec import read_block_header, read_str, skip_column
+        from ..native.types import parse_type
+
+        last_pos, _ = offsets[-1]
+        with open(p, "rb") as f:
+            f.seek(last_pos)
+            buf = _io.BufferedReader(f, buffer_size=1 << 20)
+            hdr = read_block_header(buf)
+            n_cols, n_rows = hdr
+            for _ in range(n_cols):
+                read_str(buf)
+                t = parse_type(read_str(buf))
+                skip_column(buf, t, n_rows)
+            # BufferedReader.tell() is absolute (f was seeked before wrap)
+            return buf.tell()
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         done = start.get("files", {})
         parts: list[NativeFilePartition] = []
-        for p, n_end in end.get("files", {}).items():
-            n_start = done.get(p, 0)
-            if n_end <= n_start:
+        for p, v_end in end.get("files", {}).items():
+            e = self._entry(v_end)
+            s = self._entry(done[p]) if p in done else {"n": 0, "bytes": 0}
+            if e["n"] <= s["n"]:
                 continue
-            offsets = self._offset_cache.get(p)
-            if offsets is None:
+            if e["bytes"] == -1:
                 parts.append(NativeFilePartition(p))  # compressed whole file
             else:
+                # seek position comes from the CHECKPOINTED start offset,
+                # so recovery after restart replays exactly the committed
+                # range — no driver-memory state involved
                 parts.append(
-                    NativeFilePartition(p, offsets[n_start][0], n_end - n_start)
+                    NativeFilePartition(p, s["bytes"], e["n"] - s["n"])
                 )
         # Spark requires >=1 partition per micro-batch; emit an empty
         # no-op range when nothing is new
@@ -487,6 +538,16 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         self.block_rows = int(options.get("block_rows", 65_409))
         self.compression = options.get("compression")  # None | lz4 | zstd | none
         self.overwrite = overwrite
+        # snapshot pre-existing part files on the driver; commit()
+        # removes them so overwrite is all-or-nothing (abort leaves the
+        # old data untouched)
+        self._stale: List[str] = []
+        if overwrite and os.path.isdir(self.path):
+            self._stale = [
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".clickhouse")
+            ]
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> NativeWriteCommit:
         import io
@@ -520,6 +581,10 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         return NativeWriteCommit(path=fname, rows=rows)
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:
+        new_files = {m.path for m in messages if m and m.path}
+        for old in self._stale:
+            if old not in new_files and os.path.exists(old):
+                os.remove(old)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 

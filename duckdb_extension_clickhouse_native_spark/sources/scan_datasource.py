@@ -116,6 +116,11 @@ class ClickHouseScanReader(DataSourceReader):
             arrays = []
             for fld in target:
                 idx = batch.schema.get_field_index(fld.name)
+                if idx < 0:
+                    raise ValueError(
+                        f"server result is missing column {fld.name!r} "
+                        "declared by the schema probe"
+                    )
                 col = batch.column(idx)
                 if col.type != fld.type:
                     col = col.cast(fld.type)
