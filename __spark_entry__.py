@@ -24,6 +24,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     relational,
     sources,
     stats,
+    streaming_queries,
     tpch,
 )
 from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY

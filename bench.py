@@ -56,6 +56,7 @@ def main() -> None:
         relational,
         sources,
         stats,
+        streaming_queries,
         tpch,
     )
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY

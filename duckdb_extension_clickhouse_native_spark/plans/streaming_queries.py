@@ -1,0 +1,111 @@
+"""Streaming conformance — Structured Streaming runs driven to
+completion over bounded input, with the FINAL state hash-compared to
+batch SQL over the same data (a stronger check than rows-only: the
+streaming and batch semantics must agree exactly).
+
+The reference is batch-only (SURVEY.md §2.2 'Streaming: absent');
+these entries are the north-star extension, exercised through real
+micro-batch execution (file source, memory sink,
+``processAllAvailable``), not batch shortcuts.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .base import REGISTRY
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    name = f"stream_conf_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import read_events_stream, windowed_counts
+
+    events = read_events_stream(spark, sf_dir)
+    # complete mode: every window's final value is emitted, so the
+    # result equals the batch group-by exactly
+    return _drain(windowed_counts(events), "complete")
+
+
+REGISTRY.df_query(
+    "stream_windowed_counts",
+    _stream_windowed_counts,
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
+           time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+             + INTERVAL 5 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=["streaming", "window", "watermark"],
+    description="watermarked tumbling-window stream, final state == batch group-by",
+)
+
+
+def _stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import read_events_stream, running_sessions
+
+    events = read_events_stream(spark, sf_dir)
+    return _drain(running_sessions(events), "update").select(
+        "user_id", "session_no", "n_events", "last_ts"
+    )
+
+
+REGISTRY.df_query(
+    "stream_stateful_sessions",
+    _stream_stateful_sessions,
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sessions AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MAX(sess) AS BIGINT) AS session_no,
+           CAST(COUNT(*) FILTER (
+             WHERE sess = (SELECT MAX(s2.sess) FROM sessions s2
+                           WHERE s2.user_id = sessions.user_id)
+           ) AS BIGINT) AS n_events,
+           MAX(t) AS last_ts
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=["streaming", "stateful", "applyInPandasWithState"],
+    description="gap-based session state via applyInPandasWithState, final state == batch sessionization",
+)
+
+
+def register() -> None:
+    """Import side effect — queries registered above."""
