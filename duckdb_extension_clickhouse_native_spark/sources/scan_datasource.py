@@ -92,8 +92,10 @@ class ClickHouseScanReader(DataSourceReader):
         self.spark_schema = schema
         self.options = options
         self.query = options.get("query")
+        if not self.query and options.get("table"):
+            self.query = f"SELECT * FROM {options['table']}"
         if not self.query:
-            raise ValueError("clickhouse_scan requires a 'query' option")
+            raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -186,8 +188,12 @@ class ClickHouseScanDataSource(DataSource):
         import io
 
         query = self.options.get("query")
+        if not query and self.options.get("table"):
+            # JDBC-style sugar: table option -> full-table query
+            query = f"SELECT * FROM {self.options['table']}"
+            self.options["query"] = query
         if not query:
-            raise ValueError("clickhouse_scan requires a 'query' option")
+            raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
         client = ClickHouseHTTPClient(resolve_connection(self.options))
         lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
         try:
