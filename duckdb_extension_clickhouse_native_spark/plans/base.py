@@ -66,8 +66,11 @@ def ensure_session(spark: SparkSession) -> SparkSession:
             from .. import register
 
             register(spark)
-        except Exception:
-            pass  # already registered
+        except Exception as ex:
+            # only a duplicate registration is benign; anything else
+            # would surface later as a baffling "data source not found"
+            if "exist" not in str(ex).lower() and "already" not in str(ex).lower():
+                raise
         try:
             spark._chsql_sources_registered = True
         except Exception:

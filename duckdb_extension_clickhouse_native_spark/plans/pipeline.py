@@ -38,14 +38,9 @@ from .base import REGISTRY, load_tables
 
 
 def _sql_pair(name: str, spark_sql: str, duck_sql: str, tables: list[str], tags: list[str], description: str = "") -> None:
-    def build(spark: SparkSession, sf_dir: str, _sql=spark_sql, _tables=tables) -> DataFrame:
-        load_tables(spark, sf_dir, _tables)
-        return spark.sql(_sql)
-
-    from .base import Query
-
-    REGISTRY.add(
-        Query(name=name, build=build, oracle=duck_sql, tags=tags, description=description)
+    # thin alias over the registry's dual-dialect registration
+    REGISTRY.sql_query(
+        name, spark_sql, oracle=duck_sql, tables=tables, tags=tags, description=description
     )
 
 

@@ -25,38 +25,54 @@ from .base import REGISTRY, load_tables
 _LOCK = threading.Lock()
 
 
-def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: int = 16) -> str:
-    """Materialize ``{sf_dir}/{table}.parquet`` as Native files (once
-    per sf_dir+table per process). 16 files by default: one Spark
-    partition per file is the scan's parallelism (the 100 TB layout is
-    many files, not one big one)."""
+def _materialize_fixture(sf_dir: str, table: str, key: str, write_fn) -> str:
+    """Shared fixture scaffold: cache dir keyed on the FULL source path
+    plus the parquet's (mtime, size) content stamp — a regenerated or
+    differently-located dataset never reuses stale Native files.
+    ``write_fn(out_dir, arrow_table)`` does the actual writing; a
+    ``_DONE`` marker makes the materialization appear atomic."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
-    from ..native.writer import write_native_file
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    st = os.stat(src)
+    stamp = f"{int(st.st_mtime)}-{st.st_size}"
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
     out_dir = os.path.join(
-        tempfile.gettempdir(), "chsql_native_fixtures", tag, f"{table}-{n_files}"
+        tempfile.gettempdir(), "chsql_native_fixtures", tag, f"{key}-{stamp}"
     )
     done = os.path.join(out_dir, "_DONE")
     with _LOCK:
         if not os.path.exists(done):
             os.makedirs(out_dir, exist_ok=True)
-            t = pq.read_table(f"{sf_dir}/{table}.parquet")
-            n = t.num_rows
-            per = max(1, (n + n_files - 1) // n_files)
-            for i in range(n_files):
-                piece = t.slice(i * per, per)
-                if piece.num_rows == 0:
-                    break
-                write_native_file(
-                    os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
-                    piece,
-                    block_rows=max(4096, per // 4),
-                )
+            write_fn(out_dir, pq.read_table(src))
             with open(done, "w") as f:
                 f.write("")
     return out_dir
+
+
+def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: int = 16) -> str:
+    """Materialize ``{sf_dir}/{table}.parquet`` as Native files (once
+    per source-content per process). 16 files by default: one Spark
+    partition per file is the scan's parallelism (the 100 TB layout is
+    many files, not one big one)."""
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        n = t.num_rows
+        per = max(1, (n + n_files - 1) // n_files)
+        for i in range(n_files):
+            piece = t.slice(i * per, per)
+            if piece.num_rows == 0:
+                break
+            write_native_file(
+                os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                piece,
+                block_rows=max(4096, per // 4),
+            )
+
+    return _materialize_fixture(sf_dir, table, f"{table}-{n_files}", write)
 
 
 def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataFrame:
@@ -181,32 +197,23 @@ def _native_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .base import ensure_session
 
     ensure_session(spark)
-    import pyarrow.parquet as pq
 
     from ..native.writer import write_native_file
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "chsql_native_fixtures", tag, "events_lz4"
-    )
-    done = os.path.join(out_dir, "_DONE")
-    with _LOCK:
-        if not os.path.exists(done):
-            os.makedirs(out_dir, exist_ok=True)
-            t = pq.read_table(f"{sf_dir}/events.parquet")
-            per = max(1, (t.num_rows + 3) // 4)
-            for i in range(4):
-                piece = t.slice(i * per, per)
-                if piece.num_rows == 0:
-                    break
-                write_native_file(
-                    os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
-                    piece,
-                    block_rows=max(4096, per // 4),
-                    compression="lz4",
-                )
-            with open(done, "w") as f:
-                f.write("")
+    def write(out_dir: str, t) -> None:
+        per = max(1, (t.num_rows + 3) // 4)
+        for i in range(4):
+            piece = t.slice(i * per, per)
+            if piece.num_rows == 0:
+                break
+            write_native_file(
+                os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                piece,
+                block_rows=max(4096, per // 4),
+                compression="lz4",
+            )
+
+    out_dir = _materialize_fixture(sf_dir, "events", "events-lz4", write)
     df = spark.read.format("clickhouse_native").load(out_dir)
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -236,36 +243,26 @@ def _enum_fixture(spark: SparkSession, sf_dir: str) -> str:
     fixed) plus event_id; exercises the reference's Enum8 decode
     (lib.rs:78-104,157-166) through the full scan path."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..native.types import parse_type
     from ..native.writer import write_native_file
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(tempfile.gettempdir(), "chsql_native_fixtures", tag, "events_enum")
-    done = os.path.join(out_dir, "_DONE")
-    with _LOCK:
-        if not os.path.exists(done):
-            os.makedirs(out_dir, exist_ok=True)
-            t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
-            kinds = sorted(set(t.column("event_type").to_pylist()))
-            pairs = ", ".join(f"'{k}' = {i + 1}" for i, k in enumerate(kinds))
-            enum_t = parse_type(f"Enum8({pairs})")
-            id_map = {k: i + 1 for i, k in enumerate(kinds)}
-            codes = pa.array(
-                [id_map[v] for v in t.column("event_type").to_pylist()], type=pa.int8()
-            )
-            batch = pa.table(
-                {"event_id": t.column("event_id"), "event_type": codes}
-            )
-            write_native_file(
-                os.path.join(out_dir, "part-000.clickhouse"),
-                batch,
-                ch_types=[parse_type("Int64"), enum_t],
-            )
-            with open(done, "w") as f:
-                f.write("")
-    return out_dir
+    def write(out_dir: str, t) -> None:
+        kinds = sorted(set(t.column("event_type").to_pylist()))
+        pairs = ", ".join(f"'{k}' = {i + 1}" for i, k in enumerate(kinds))
+        enum_t = parse_type(f"Enum8({pairs})")
+        id_map = {k: i + 1 for i, k in enumerate(kinds)}
+        codes = pa.array(
+            [id_map[v] for v in t.column("event_type").to_pylist()], type=pa.int8()
+        )
+        batch = pa.table({"event_id": t.column("event_id"), "event_type": codes})
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("Int64"), enum_t],
+        )
+
+    return _materialize_fixture(sf_dir, "events", "events-enum", write)
 
 
 def _native_enum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

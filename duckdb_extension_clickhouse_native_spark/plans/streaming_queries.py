@@ -62,11 +62,22 @@ REGISTRY.df_query(
 
 
 def _stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from ..streaming.events_stream import read_events_stream, running_sessions
 
     events = read_events_stream(spark, sf_dir)
-    return _drain(running_sessions(events), "update").select(
-        "user_id", "session_no", "n_events", "last_ts"
+    updates = _drain(running_sessions(events), "update")
+    # update mode emits one state row per user per micro-batch; keep
+    # only the FINAL state (session counters are monotone per user)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("session_no"), F.desc("n_events"), F.desc("last_ts")
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "session_no", "n_events", "last_ts")
     )
 
 

@@ -47,12 +47,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    import hashlib
+
+    # key by the FULL path (two sf_dirs can share a basename) and
+    # re-link when the target moved or the old link is dangling
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(target.encode()).hexdigest()[:12]
     stream_dir = os.path.join(tempfile.gettempdir(), "chsql_stream_src", tag)
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    # the file stream source does not recurse into subdirectories: link
+    # each part file when the source is a parquet DIRECTORY, else one
+    # link for the single file
+    if os.path.isdir(target):
+        sources = [
+            os.path.join(target, f)
+            for f in sorted(os.listdir(target))
+            if f.endswith(".parquet")
+        ]
+    else:
+        sources = [target]
+    expected = {f"events-{i:03d}.parquet": src for i, src in enumerate(sources)}
+    for f in os.listdir(stream_dir):
+        if f not in expected:  # stale link from an older layout
+            os.remove(os.path.join(stream_dir, f))
+    for name, src in expected.items():
+        link = os.path.join(stream_dir, name)
+        if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+            os.remove(link)
+        if not os.path.lexists(link):
+            os.symlink(src, link)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -104,19 +127,21 @@ def running_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             last_ts, session_no, n_events = state.get
         else:
             last_ts, session_no, n_events = float("-inf"), 0, 0
-        saw_rows = False
+        # accumulate ALL chunks first: a large group arrives as several
+        # Arrow chunks, and sorting per chunk would process out-of-order
+        # timestamps against the wrong last_ts
+        all_ts: list[float] = []
         for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            saw_rows = True
-            for t in sorted(pdf["ts_sec"].tolist()):
-                if t - last_ts > gap_seconds:
-                    session_no += 1
-                    n_events = 0
-                last_ts = t
-                n_events += 1
-        if not saw_rows:
+            if not pdf.empty:
+                all_ts.extend(pdf["ts_sec"].tolist())
+        if not all_ts:
             return
+        for t in sorted(all_ts):
+            if t - last_ts > gap_seconds:
+                session_no += 1
+                n_events = 0
+            last_ts = t
+            n_events += 1
         state.update((last_ts, session_no, n_events))
         yield pd.DataFrame(
             {
