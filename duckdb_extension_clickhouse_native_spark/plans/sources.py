@@ -331,6 +331,50 @@ REGISTRY.df_query(
 )
 
 
+def _native_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array(Float32) through the full write -> Native bytes -> scan
+    # path: per-label count + exact component sums over the vectors
+    # component values are floats; engines round float->decimal
+    # differently in the last digit, so the checksum uses exact integer
+    # math: floor(x * 1e6) summed as BIGINT (floor of a double is
+    # bit-deterministic everywhere)
+    df = _native_df(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(embedding, CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("vec_sum"),
+        F.size("embedding").alias("dim"),
+    ).groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.max("dim").alias("dim"),
+        F.sum("vec_sum").alias("total_scaled_sum"),
+    )
+
+
+REGISTRY.df_query(
+    "native_embeddings_roundtrip",
+    _native_embeddings_roundtrip,
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST(COALESCE(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), 0)
+                  AS BIGINT) AS vec_sum,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
+           CAST(SUM(vec_sum) AS BIGINT) AS total_scaled_sum
+    FROM v GROUP BY label
+    """,
+    tags=["source", "native", "array"],
+    description="Array(Float32) fidelity through the Native write/scan roundtrip",
+)
+
+
 _SCAN_AGG_SQL = """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
