@@ -61,6 +61,25 @@ def test_stream_picks_up_new_files_and_appended_blocks(spark, tmp_path):
         q.stop()
 
 
+def test_stream_compressed_file_as_atomic_unit(spark, tmp_path):
+    # a compressed file is not block-indexable: it must arrive as one
+    # whole-file micro-batch unit alongside plain files
+    t = pq.read_table(f"{SF_SMALL}/nation.parquet")
+    src = str(tmp_path / "stream_comp")
+    os.makedirs(src)
+    write_native_file(os.path.join(src, "a.clickhouse"), t.slice(0, 10))
+    write_native_file(
+        os.path.join(src, "b.clickhouse"), t.slice(10, 8), compression="lz4"
+    )
+    q = _start(spark, src, "native_stream_t3")
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM native_stream_t3").collect()[0][0]
+        assert n == 18
+    finally:
+        q.stop()
+
+
 def test_stream_ignores_truncated_tail_block(spark, tmp_path):
     t = pq.read_table(f"{SF_SMALL}/nation.parquet")
     src = str(tmp_path / "stream_trunc")
