@@ -26,6 +26,7 @@ strings via a single-pass offset scan into Arrow buffers.
 from __future__ import annotations
 
 import io
+import os
 import struct
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator, Optional
@@ -700,24 +701,36 @@ def read_file_schema(
 
 def scan_block_offsets(path: str) -> list[tuple[int, int]]:
     """One sequential pass returning [(byte_offset, n_rows), ...] per
-    block — the planning index that lets Spark split one file into
-    parallel partitions (the reference is single-threaded,
-    README.md:51)."""
+    COMPLETE block — the planning index that lets Spark split one file
+    into parallel partitions (the reference is single-threaded,
+    README.md:51).
+
+    Truncation-safe: a partial tail block (a writer mid-append, or a
+    cut-off copy) is simply not counted. Note seek() happily moves
+    past EOF, so fixed-width skips must be validated against the file
+    size — a block only counts if it ends at tell() <= size.
+    """
     out: list[tuple[int, int]] = []
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         buf = io.BufferedReader(f, buffer_size=1 << 20)
         while True:
             pos = buf.tell()
-            hdr = read_block_header(buf)
-            if hdr is None:
-                return out
-            n_cols, n_rows = hdr
-            if n_cols == 0 and n_rows == 0:
-                return out
-            for _ in range(n_cols):
-                read_str(buf)
-                t = parse_type(read_str(buf))
-                skip_column(buf, t, n_rows)
+            try:
+                hdr = read_block_header(buf)
+                if hdr is None:
+                    return out
+                n_cols, n_rows = hdr
+                if n_cols == 0 and n_rows == 0:
+                    return out
+                for _ in range(n_cols):
+                    read_str(buf)
+                    t = parse_type(read_str(buf))
+                    skip_column(buf, t, n_rows)
+            except EOFError:
+                return out  # truncated tail block: not counted
+            if buf.tell() > size:
+                return out  # seek ran past EOF: payload incomplete
             out.append((pos, n_rows))
 
 

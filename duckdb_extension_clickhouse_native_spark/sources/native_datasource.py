@@ -408,41 +408,11 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
         return {"n": int(v), "bytes": 0}  # legacy int offsets: re-read
 
     def _complete_block_offsets(self, p: str) -> list:
+        # scan_block_offsets is truncation-safe: a mid-write tail block
+        # is simply not counted yet
         from ..native.codec import scan_block_offsets
 
-        try:
-            return scan_block_offsets(p)
-        except EOFError:
-            # file mid-write: count only blocks that are fully on disk
-            from ..native.codec import (
-                read_block_header,
-                read_str,
-                skip_column,
-            )
-            import io as _io
-
-            from ..native.types import parse_type
-
-            out = []
-            with open(p, "rb") as f:
-                buf = _io.BufferedReader(f, buffer_size=1 << 20)
-                try:
-                    while True:
-                        pos = buf.tell()
-                        hdr = read_block_header(buf)
-                        if hdr is None:
-                            break
-                        n_cols, n_rows = hdr
-                        if n_cols == 0 and n_rows == 0:
-                            break
-                        for _ in range(n_cols):
-                            read_str(buf)
-                            t = parse_type(read_str(buf))
-                            skip_column(buf, t, n_rows)
-                        out.append((pos, n_rows))
-                except EOFError:
-                    pass
-            return out
+        return scan_block_offsets(p)
 
     def latestOffset(self) -> dict:
         from ..native.compress import is_compressed_file

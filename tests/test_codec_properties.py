@@ -22,6 +22,7 @@ from duckdb_extension_clickhouse_native_spark.native.writer import arrow_to_nati
 
 
 @given(st.integers(min_value=0, max_value=2**64 - 1))
+@settings(deadline=None)
 def test_varuint_roundtrip(v):
     buf = io.BytesIO()
     write_varuint(buf, v)
@@ -30,6 +31,7 @@ def test_varuint_roundtrip(v):
 
 
 @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200))
+@settings(deadline=None)
 def test_int64_column_roundtrip(vals):
     t = parse_type("Int64")
     arr = pa.array(vals, type=pa.int64())
@@ -84,3 +86,52 @@ def test_block_stream_roundtrip_float(vals, block_rows):
     blocks = list(iter_blocks(io.BytesIO(blob)))
     got = [v for b in blocks for v in b.to_record_batch().column(0).to_pylist()]
     assert got == vals
+
+
+@given(
+    st.binary(max_size=5000),
+    st.integers(min_value=1, max_value=512),
+    st.sampled_from(["lz4", "zstd", "none"]),
+)
+@settings(deadline=None, max_examples=40)
+def test_compressed_frames_roundtrip_property(data, frame_bytes, method):
+    from duckdb_extension_clickhouse_native_spark.native.compress import (
+        CompressedReader,
+        CompressedWriter,
+    )
+
+    raw = io.BytesIO()
+    w = CompressedWriter(raw, method=method, frame_bytes=frame_bytes)
+    w.write(data)
+    w.flush()
+    raw.seek(0)
+    assert CompressedReader(raw, verify_checksum=True).read() == data
+
+
+@given(st.integers(min_value=0, max_value=400), st.integers(min_value=2, max_value=25))
+@settings(deadline=None, max_examples=40)
+def test_truncated_file_counts_only_complete_blocks(cut, block_rows):
+    # a mid-write file must never crash offset discovery, and only
+    # fully-written blocks may be counted
+    import pyarrow as pa  # noqa: F811
+
+    from pyspark.sql.types import StructType
+
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        ClickHouseNativeStreamReader,
+    )
+    import os
+    import tempfile
+
+    tbl = pa.table({"x": pa.array(list(range(50)), type=pa.int64())})
+    blob = arrow_to_native_bytes(tbl, block_rows=block_rows)
+    cut = min(cut, len(blob))
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.clickhouse")
+    with open(p, "wb") as f:
+        f.write(blob[:cut])
+    r = ClickHouseNativeStreamReader(StructType([]), {"path": d})
+    off = r.latestOffset()
+    ent = off["files"].get(p, {"n": 0, "bytes": 0})
+    assert 0 <= ent["n"] <= -(-50 // block_rows)
+    assert 0 <= ent["bytes"] <= cut

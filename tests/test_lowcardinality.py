@@ -113,6 +113,32 @@ def test_lc_block_writer_with_nulls_moves_nullable_inside():
     assert got.column("c").to_pylist() == ["a", None, "b", "a"]
 
 
+def test_lc_through_spark_datasource(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    t = pa.table(
+        {
+            "color": pa.array(["red", "blue", None, "red"] * 50),
+            "n": pa.array(list(range(200)), type=pa.int64()),
+        }
+    )
+    p = str(tmp_path / "lc.clickhouse")
+    write_native_file(
+        p,
+        t,
+        ch_types=[parse_type("LowCardinality(Nullable(String))"), parse_type("Int64")],
+        block_rows=60,
+    )
+    df = spark.read.format("clickhouse_native").load(p)
+    rows = df.groupBy("color").count().collect()
+    got = {r["color"]: r["count"] for r in rows}
+    assert got == {"red": 100, "blue": 50, None: 50}
+    assert df.count() == 200
+
+
 @pytest.mark.parametrize("bad_version", [0, 2, 99])
 def test_lc_rejects_unknown_version(bad_version):
     import struct
