@@ -331,6 +331,41 @@ REGISTRY.df_query(
 )
 
 
+def _native_split_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single huge file split into block-range partitions (the other
+    # scale path: when the data is NOT many files, the reader plans
+    # ranges of blocks from one header-skip pass)
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "lineitem", n_files=1)
+    df = (
+        spark.read.format("clickhouse_native")
+        .option("split_blocks", "true")
+        .option("target_partition_bytes", str(1 * 1024 * 1024))
+        .load(path)
+    )
+    return df.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("qty"),
+    )
+
+
+REGISTRY.df_query(
+    "native_split_blocks_scan",
+    _native_split_blocks,
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=["source", "native", "parallel"],
+    description="block-range partitioned scan of one large Native file",
+)
+
+
 def _native_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Array(Float32) through the full write -> Native bytes -> scan
     # path: per-label count + exact component sums over the vectors
