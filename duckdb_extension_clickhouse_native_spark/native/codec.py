@@ -37,6 +37,7 @@ import pyarrow as pa
 from .types import CHType, FIXED_WIDTH, UnsupportedTypeError, parse_type, to_arrow
 
 MAX_VARINT_BYTES = 10
+_MASK64_U = (1 << 64) - 1
 
 
 def read_varuint(buf: BinaryIO) -> int:
@@ -815,6 +816,26 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         return
     if b == "LowCardinality":
         _encode_low_cardinality(buf, t, arr)
+        return
+    if b == "UUID":
+        # canonical hex strings -> (hi64, lo64) little-endian pair,
+        # the inverse of the decode layout
+        for v in arr.cast(pa.string()):
+            s = (v.as_py() or "0" * 32).replace("-", "")
+            n = int(s, 16)
+            buf.write(struct.pack("<QQ", (n >> 64) & _MASK64_U, n & _MASK64_U))
+        return
+    if b == "FixedString":
+        width = t.fixed_len
+        for v in arr.cast(pa.string()):
+            raw = (v.as_py() or "").encode("utf-8")[:width]
+            buf.write(raw.ljust(width, b"\x00"))
+        return
+    if b == "Tuple":
+        if not pa.types.is_struct(arr.type):
+            raise UnsupportedTypeError("Tuple encode expects a struct array")
+        for i, it in enumerate(t.tuple_items):
+            encode_column(buf, it, arr.field(i))
         return
     if b in FIXED_WIDTH:
         dtype, _ = FIXED_WIDTH[b]

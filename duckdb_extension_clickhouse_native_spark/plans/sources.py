@@ -366,6 +366,109 @@ REGISTRY.df_query(
 )
 
 
+def _type_matrix_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """UUID / FixedString / Tuple / Decimal columns synthesized from
+    orders — the full §1.3-extended type matrix through the actual
+    write -> bytes -> scan path (the reference supports none of these,
+    README.md:140)."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    from ..native.types import parse_type
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        cust = t.column("o_custkey").to_pylist()
+        price = t.column("o_totalprice").to_pylist()
+        uuids = []
+        for k in keys:
+            h = _hl.md5(str(k).encode()).hexdigest()
+            uuids.append(f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
+        batch = pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "order_uuid": pa.array(uuids, type=pa.string()),
+                "status_fs": pa.array(status, type=pa.string()),
+                "cust_price": pa.StructArray.from_arrays(
+                    [
+                        pa.array(cust, type=pa.int64()),
+                        pa.array(price, type=pa.float64()),
+                    ],
+                    ["_1", "_2"],
+                ),
+                "price_dec": pa.array(price, type=pa.float64()).cast(
+                    pa.decimal128(18, 4)
+                ),
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[
+                parse_type("Int64"),
+                parse_type("UUID"),
+                parse_type("FixedString(4)"),
+                parse_type("Tuple(Int64, Float64)"),
+                parse_type("Decimal(18, 4)"),
+            ],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-typematrix", write)
+
+
+def _native_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _type_matrix_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return df.select(
+        "o_orderkey",
+        "order_uuid",
+        "status_fs",
+        F.col("cust_price._1").alias("custkey"),
+        F.col("cust_price._2").alias("price_f"),
+        "price_dec",
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("order_uuid").alias("min_uuid"),
+        F.max("order_uuid").alias("max_uuid"),
+        F.countDistinct("status_fs").alias("n_status"),
+        F.sum("custkey").alias("sum_cust"),
+        F.cast("decimal(38,4)", F.sum("price_dec")).alias("sum_dec"),
+        F.max("price_f").alias("max_price"),
+    )
+
+
+REGISTRY.df_query(
+    "native_type_matrix",
+    _native_type_matrix,
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h,
+             o_orderstatus, o_custkey, o_totalprice
+      FROM orders
+    )
+    SELECT COUNT(*) AS n,
+           MIN(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
+                      substr(h,17,4),'-',substr(h,21,12))) AS min_uuid,
+           MAX(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
+                      substr(h,17,4),'-',substr(h,21,12))) AS max_uuid,
+           COUNT(DISTINCT o_orderstatus) AS n_status,
+           SUM(o_custkey) AS sum_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_dec,
+           MAX(o_totalprice) AS max_price
+    FROM u
+    """,
+    tags=["source", "native", "types"],
+    description="UUID/FixedString/Tuple/Decimal fidelity through the Native scan",
+)
+
+
 def _native_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Array(Float32) through the full write -> Native bytes -> scan
     # path: per-label count + exact component sums over the vectors
