@@ -82,18 +82,22 @@ def main() -> None:
     tiny = native_fixture_dir(spark, sf_dir, "documents")
     spark.read.format("clickhouse_native").load(tiny).limit(1).count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     all_q = REGISTRY.all()
     results: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         q = all_q[name]
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        results[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = float("inf")
+        n = 0
+        for _ in range(runs):  # best-of-N: steady-state, not first-plan compile
+            t0 = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 4)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -101,6 +105,7 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": round(total, 4),
                 "unit": "sec",
+                "timing": f"best-of-{runs} per query (steady-state)",
                 "queries": results,
                 "sf": sf_dir,
             }
