@@ -82,7 +82,7 @@ def main() -> None:
     tiny = native_fixture_dir(spark, sf_dir, "documents")
     spark.read.format("clickhouse_native").load(tiny).limit(1).count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     all_q = REGISTRY.all()
     results: dict[str, float] = {}
     total = 0.0

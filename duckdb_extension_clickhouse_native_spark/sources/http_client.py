@@ -36,20 +36,28 @@ class ConnectionInfo:
 
 def resolve_connection(options: dict) -> ConnectionInfo:
     url = options.get("url") or os.environ.get("CLICKHOUSE_URL") or DEFAULT_URL
-    user = options.get("user") or os.environ.get("CLICKHOUSE_USER")
-    password = options.get("password") or os.environ.get("CLICKHOUSE_PASSWORD")
     database = options.get("database")
 
+    if "://" not in url:
+        # scheme-less 'host:port' would otherwise parse as scheme='host'
+        # with an empty hostname and silently fall back to localhost
+        url = "http://" + url
     parsed = urllib.parse.urlsplit(url)
     scheme = parsed.scheme or "http"
     host = parsed.hostname or "localhost"
     port = parsed.port
     qs = dict(urllib.parse.parse_qsl(parsed.query))
     secure = qs.get("secure", "false").lower() == "true"
-    if parsed.username and not user:
-        user = parsed.username
-    if parsed.password and not password:
-        password = parsed.password
+    # per-field precedence: explicit option > URL-embedded > env — env
+    # must never override credentials the user wrote into the URL
+    user = (
+        options.get("user") or parsed.username or os.environ.get("CLICKHOUSE_USER")
+    )
+    password = (
+        options.get("password")
+        or parsed.password
+        or os.environ.get("CLICKHOUSE_PASSWORD")
+    )
 
     if scheme == "tcp":
         # reference-style native-protocol URL: map to the HTTP interface

@@ -26,18 +26,75 @@ from typing import Optional
 _SERVERS: dict[str, str] = {}
 _LOCK = threading.Lock()
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+# the driver's table set — single source of truth in plans.base
+from ..plans.base import TABLES  # noqa: E402
+
+
+def build_handler(con, insert_hook=None, execute_inserts=True):
+    """Handler class factory over a DuckDB connection — the single
+    implementation of the mock protocol (POST body ``<sql> FORMAT
+    Native`` -> Native bytes; ``?query=INSERT INTO t`` + Native body ->
+    insert). ``insert_hook(table, record_batches)`` runs after each
+    INSERT (test fixtures record them); ``execute_inserts=False`` only
+    records (for fixtures whose target tables aren't real)."""
+    from ..native.codec import iter_blocks
+    from ..native.writer import arrow_to_native_bytes
+
+    qlock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            qs = dict(
+                urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query)
+            )
+            try:
+                if "query" in qs and qs["query"].upper().startswith("INSERT"):
+                    q = qs["query"]
+                    table = q.split()[2].split("(")[0]
+                    batches = []
+                    with qlock:
+                        for blk in iter_blocks(io.BytesIO(body)):
+                            rb = blk.to_record_batch()
+                            batches.append(rb)
+                            if execute_inserts:
+                                con.register("_ins_batch", rb)
+                                con.execute(
+                                    f"INSERT INTO {table} SELECT * FROM _ins_batch"
+                                )
+                                con.unregister("_ins_batch")
+                    if insert_hook is not None:
+                        insert_hook(table, batches)
+                    self.send_response(200)
+                    self.end_headers()
+                    return
+                q = body.decode().strip()
+                if q.endswith("FORMAT Native"):
+                    q = q[: -len("FORMAT Native")]
+                with qlock:
+                    tbl = con.execute(q).fetch_arrow_table()
+                payload = arrow_to_native_bytes(tbl)
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception as e:
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+    return Handler
+
+
+def serve(handler) -> str:
+    """Start a daemon ThreadingHTTPServer on an ephemeral port; returns
+    its base URL."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{srv.server_address[1]}"
 
 
 def mock_clickhouse_url(sf_dir: str) -> str:
@@ -50,58 +107,12 @@ def mock_clickhouse_url(sf_dir: str) -> str:
 
         import duckdb
 
-        from ..native.codec import iter_blocks
-        from ..native.writer import arrow_to_native_bytes
-
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
         con.execute("CREATE TABLE IF NOT EXISTS _ingest (k BIGINT, v VARCHAR)")
-        qlock = threading.Lock()
-
-        class Handler(BaseHTTPRequestHandler):
-            def do_POST(self):
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
-                qs = dict(
-                    urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query)
-                )
-                try:
-                    if "query" in qs and qs["query"].upper().startswith("INSERT"):
-                        q = qs["query"]
-                        table = q.split()[2].split("(")[0]
-                        with qlock:
-                            for blk in iter_blocks(io.BytesIO(body)):
-                                rb = blk.to_record_batch()
-                                con.register("_ins_batch", rb)
-                                con.execute(
-                                    f"INSERT INTO {table} SELECT * FROM _ins_batch"
-                                )
-                                con.unregister("_ins_batch")
-                        self.send_response(200)
-                        self.end_headers()
-                        return
-                    q = body.decode().strip()
-                    if q.endswith("FORMAT Native"):
-                        q = q[: -len("FORMAT Native")]
-                    with qlock:
-                        tbl = con.execute(q).fetch_arrow_table()
-                    payload = arrow_to_native_bytes(tbl)
-                    self.send_response(200)
-                    self.end_headers()
-                    self.wfile.write(payload)
-                except Exception as e:
-                    self.send_response(500)
-                    self.end_headers()
-                    self.wfile.write(str(e).encode())
-
-            def log_message(self, *a):  # noqa: N802
-                pass
-
-        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
-        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        url = serve(build_handler(con))
         _SERVERS[sf_dir] = url
         return url

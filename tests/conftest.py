@@ -23,20 +23,17 @@ def spark():
     s.stop()
 
 
-class _MockCHHandler:
-    """ClickHouse-HTTP-mock: executes the query in DuckDB and answers
-    in Native format (SELECT ... FORMAT Native) or accepts Native
-    INSERT bodies."""
-
-
 @pytest.fixture(scope="session")
 def mock_ch_server():
+    """ClickHouse-HTTP mock: executes queries in DuckDB and answers in
+    Native format; INSERT bodies are recorded (not executed) so tests
+    can assert on them. Protocol implementation is shared with the
+    package's conformance mock (sources/mock_server.py)."""
     import duckdb
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from duckdb_extension_clickhouse_native_spark.native import iter_blocks
-    from duckdb_extension_clickhouse_native_spark.native.writer import (
-        arrow_to_native_bytes,
+    from duckdb_extension_clickhouse_native_spark.sources.mock_server import (
+        build_handler,
+        serve,
     )
 
     state = {"inserted": []}
@@ -48,49 +45,9 @@ def mock_ch_server():
     )
     lock = threading.Lock()
 
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            import io
-            import urllib.parse
+    def record(table, batches):
+        with lock:
+            state["inserted"].append((table, batches))
 
-            length = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(length)
-            qs = dict(
-                urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query)
-            )
-            try:
-                if "query" in qs:  # INSERT with Native body
-                    q = qs["query"]
-                    assert q.upper().startswith("INSERT INTO")
-                    table = q.split()[2]
-                    rows = []
-                    for blk in iter_blocks(io.BytesIO(body)):
-                        rows.append(blk.to_record_batch())
-                    with lock:
-                        state["inserted"].append((table, rows))
-                    self.send_response(200)
-                    self.end_headers()
-                    self.wfile.write(b"")
-                    return
-                q = body.decode().strip()
-                assert q.endswith("FORMAT Native"), q
-                q = q[: -len("FORMAT Native")]
-                with lock:
-                    tbl = con.execute(q).fetch_arrow_table()
-                payload = arrow_to_native_bytes(tbl)
-                self.send_response(200)
-                self.end_headers()
-                self.wfile.write(payload)
-            except Exception as e:  # pragma: no cover
-                self.send_response(500)
-                self.end_headers()
-                self.wfile.write(str(e).encode())
-
-        def log_message(self, *a):
-            pass
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    port = srv.server_address[1]
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    yield {"url": f"http://127.0.0.1:{port}", "state": state}
-    srv.shutdown()
+    url = serve(build_handler(con, insert_hook=record, execute_inserts=False))
+    yield {"url": url, "state": state}

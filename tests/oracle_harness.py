@@ -37,6 +37,10 @@ def _canon(v: Any) -> Any:
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            # normalize to UTC before dropping tzinfo — stripping a
+            # non-UTC offset would canonicalize to local wall time
+            v = v.astimezone(datetime.timezone.utc)
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
         return ("d", v.isoformat())
