@@ -259,13 +259,23 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
     """
 
 
-def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
-    """Exact n-gram (3-token shingle) Jaccard near-dup pairs.
+def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) -> str:
+    """n-gram (3-token shingle) Jaccard near-dup pairs over the
+    df-filtered shingle universe.
 
-    Candidate generation: docs sharing at least one shingle (explode +
-    self-join on the shingle — the classic inverted-index join). On
-    random text shared 3-shingles are rare, so the candidate set stays
-    near-linear; at 100 TB the shuffle key is the shingle hash.
+    Shingles with document frequency > ``max_df`` are dropped BEFORE
+    pairing — the n-gram analogue of stopword removal: boilerplate
+    phrases shared by everyone both (a) explode the inverted-index
+    self-join quadratically (a df-k shingle yields k^2/2 join rows)
+    and (b) inflate similarity between unrelated docs. Jaccard is then
+    computed exactly on the surviving (discriminative) shingles:
+    |A∩B| is a grouped COUNT over the shared index rows and |A|,|B|
+    come from a per-doc count — no array re-scans anywhere.
+
+    Scale: every stage is keyed on the shingle hash or doc id; the df
+    cap bounds each reducer's worst case at C(max_df, 2) pairs per
+    shingle regardless of corpus size — this is what makes the
+    operator safe at 100 TB.
     """
     d = SPARK if dialect == "spark" else DUCK
     explode_shingle = (
@@ -273,10 +283,6 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
         if dialect == "spark"
         else "SELECT doc_id, unnest(sh_d) AS shingle FROM shingled"
     )
-    # |A ∩ B| = COUNT(*) of shared rows in the inverted index (shingles
-    # are distinct per doc), so one grouped COUNT replaces the
-    # DISTINCT-candidates pass plus the two array_intersect re-joins —
-    # only the tiny per-doc size table is joined back
     return f"""
     WITH docs AS (
       SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
@@ -284,13 +290,19 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5) -> str:
     shingled AS (
       SELECT doc_id, {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh_d FROM docs
     ),
-    sized AS (
-      SELECT doc_id, {d['len'].format(arr='sh_d')} AS n_sh FROM shingled
-    ),
     inverted AS ({explode_shingle}),
+    rare AS (
+      SELECT shingle FROM inverted GROUP BY shingle HAVING COUNT(*) <= {max_df}
+    ),
+    inverted_f AS (
+      SELECT i.doc_id, i.shingle FROM inverted i JOIN rare r ON i.shingle = r.shingle
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM inverted_f GROUP BY doc_id
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM inverted a JOIN inverted b
+      FROM inverted_f a JOIN inverted_f b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
