@@ -393,6 +393,28 @@ def decode_column(
             for it in t.tuple_items
         ]
         return pa.StructArray.from_arrays(parts, [f"_{i+1}" for i in range(len(parts))])
+    if b == "Map":
+        # Array(Tuple(K, V)) layout: u64 cumulative offsets, then the
+        # key payload, then the value payload
+        raw = buf.read(8 * rows)
+        if len(raw) != 8 * rows:
+            raise EOFError("EOF inside Map offsets")
+        offsets = np.frombuffer(raw, dtype="<u8").astype(np.int64)
+        total = int(offsets[-1]) if rows else 0
+        keys = decode_column(
+            buf, t.tuple_items[0], total,
+            scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+        )
+        items = decode_column(
+            buf, t.tuple_items[1], total,
+            scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+        )
+        arrow_offsets = np.empty(rows + 1, dtype=np.int32)
+        arrow_offsets[0] = 0
+        arrow_offsets[1:] = offsets
+        return pa.MapArray.from_arrays(
+            pa.array(arrow_offsets, type=pa.int32()), keys, items
+        )
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
         width = 4 if t.fixed_len <= 9 else 8 if t.fixed_len <= 18 else 16
         raw = buf.read(width * rows)
@@ -558,6 +580,14 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     if b == "Tuple":
         for it in t.tuple_items:
             skip_column(buf, it, rows)
+        return
+    if b == "Map":
+        raw = buf.read(8 * rows)
+        if len(raw) != 8 * rows:
+            raise EOFError("EOF inside Map offsets")
+        total = int(np.frombuffer(raw, dtype="<u8")[-1]) if rows else 0
+        skip_column(buf, t.tuple_items[0], total)
+        skip_column(buf, t.tuple_items[1], total)
         return
     if b == "LowCardinality":
         assert t.inner is not None
@@ -748,9 +778,10 @@ def _encode_fixed_np(arr: pa.Array, dtype: str) -> bytes:
 def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
-    if (t.nullable or arr.null_count > 0) and b != "LowCardinality":
+    if (t.nullable or arr.null_count > 0) and b not in ("LowCardinality", "Map"):
         # nulls in a LowCardinality column live inside the dictionary
-        # (index 0 placeholder), never as an outer Nullable mask
+        # (index 0 placeholder), never as an outer Nullable mask;
+        # Nullable(Map) does not exist in ClickHouse (nulls -> empty map)
         mask = np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False), dtype=np.uint8)
         buf.write(mask.tobytes())
         arr = pa.compute.fill_null(arr, _default_fill(arr.type))
@@ -837,6 +868,23 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         for i, it in enumerate(t.tuple_items):
             encode_column(buf, it, arr.field(i))
         return
+    if b == "Map":
+        if not pa.types.is_map(arr.type):
+            raise UnsupportedTypeError("Map encode expects a map array")
+        if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+            arr = arr.combine_chunks()
+        # .keys/.items are the FULL child arrays even for a sliced map;
+        # the offsets window [offs[0], offs[-1]] selects this slice's
+        # entries. Null rows carry zero-length windows (ClickHouse has
+        # no Nullable(Map); nulls round-trip as empty maps).
+        offs = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        lengths = np.diff(offs)
+        cum = np.cumsum(lengths).astype("<u8")
+        buf.write(cum.tobytes())
+        start, end = int(offs[0]), int(offs[-1])
+        encode_column(buf, t.tuple_items[0], arr.keys.slice(start, end - start))
+        encode_column(buf, t.tuple_items[1], arr.items.slice(start, end - start))
+        return
     if b in FIXED_WIDTH:
         dtype, _ = FIXED_WIDTH[b]
         buf.write(_encode_fixed_np(arr, dtype))
@@ -855,7 +903,7 @@ def _default_fill(dt: pa.DataType):
         return 0
     if pa.types.is_date(dt):
         return 0
-    if pa.types.is_list(dt):
+    if pa.types.is_list(dt) or pa.types.is_map(dt):
         return []
     return 0
 
@@ -875,6 +923,9 @@ def write_block(buf: BinaryIO, batch: pa.RecordBatch, ch_types: list[CHType]) ->
             if col.null_count > 0 and t.inner is not None and not t.inner.nullable:
                 eff = CHType(**{**t.__dict__})
                 eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
+            name = eff.name
+        elif t.base == "Map":
+            eff = t  # Nullable(Map) is not a ClickHouse type
             name = eff.name
         else:
             nullable = t.nullable or col.null_count > 0

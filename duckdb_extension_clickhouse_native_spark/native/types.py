@@ -163,6 +163,16 @@ def parse_type(type_str: str) -> CHType:
             raise UnsupportedTypeError(f"Array needs a parameter: {type_str!r}")
         t.inner = parse_type(params)
         return t
+    if base == "Map":
+        # wire layout is Array(Tuple(K, V)): offsets, then the key and
+        # value payloads (public ClickHouse serialization)
+        if params is None:
+            raise UnsupportedTypeError(f"Map needs parameters: {type_str!r}")
+        kv = _split_top_level(params)
+        if len(kv) != 2:
+            raise UnsupportedTypeError(f"Map needs exactly K, V: {type_str!r}")
+        t.tuple_items = [parse_type(kv[0]), parse_type(kv[1])]
+        return t
     if base == "Tuple":
         if params is None:
             raise UnsupportedTypeError(f"Tuple needs parameters: {type_str!r}")
@@ -268,6 +278,11 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
     if b == "LowCardinality":
         assert t.inner is not None
         return to_arrow(t.inner, lossy_uint64=lossy_uint64)
+    if b == "Map":
+        return pa.map_(
+            to_arrow(t.tuple_items[0], lossy_uint64=lossy_uint64),
+            to_arrow(t.tuple_items[1], lossy_uint64=lossy_uint64),
+        )
     raise UnsupportedTypeError(f"no arrow mapping for {t.name}")
 
 
@@ -314,6 +329,11 @@ def from_arrow(dt: pa.DataType) -> CHType:
         t = CHType("Decimal", params=f"{dt.precision}, {dt.scale}")
         t.fixed_len = dt.precision
         t.scale = dt.scale
+        return t
+    if pa.types.is_map(dt):
+        t = CHType("Map")
+        t.tuple_items = [from_arrow(dt.key_type), from_arrow(dt.item_type)]
+        t.params = f"{t.tuple_items[0].name}, {t.tuple_items[1].name}"
         return t
     if pa.types.is_list(dt) or pa.types.is_large_list(dt):
         t = CHType("Array")

@@ -145,6 +145,10 @@ def _ch_to_spark(t) -> DataType:
         return StructType(
             [StructField(f"_{i+1}", _ch_to_spark(it)) for i, it in enumerate(t.tuple_items)]
         )
+    if b == "Map":
+        from pyspark.sql.types import MapType
+
+        return MapType(_ch_to_spark(t.tuple_items[0]), _ch_to_spark(t.tuple_items[1]))
     from ..native.types import UnsupportedTypeError
 
     raise UnsupportedTypeError(f"no spark mapping for {t.name}")
