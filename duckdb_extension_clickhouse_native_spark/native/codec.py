@@ -373,6 +373,31 @@ def decode_column(
             h = f"{v:032x}"
             vals.append(f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
         return pa.array(vals, type=pa.string())
+    if b == "IPv4":
+        # stored as UInt32 LE whose numeric value IS the address
+        import ipaddress
+
+        raw = buf.read(4 * rows)
+        if len(raw) != 4 * rows:
+            raise EOFError("EOF inside IPv4 column")
+        ints = np.frombuffer(raw, dtype="<u4")
+        return pa.array(
+            [str(ipaddress.IPv4Address(int(v))) for v in ints], type=pa.string()
+        )
+    if b == "IPv6":
+        # 16 network-order bytes (FixedString(16) layout)
+        import ipaddress
+
+        raw = buf.read(16 * rows)
+        if len(raw) != 16 * rows:
+            raise EOFError("EOF inside IPv6 column")
+        return pa.array(
+            [
+                str(ipaddress.IPv6Address(raw[i * 16 : (i + 1) * 16]))
+                for i in range(rows)
+            ],
+            type=pa.string(),
+        )
     if b == "Array":
         assert t.inner is not None
         raw = buf.read(8 * rows)
@@ -567,6 +592,12 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
         _skip_bytes(buf, t.fixed_len * rows)
         return
     if b == "UUID":
+        _skip_bytes(buf, 16 * rows)
+        return
+    if b == "IPv4":
+        _skip_bytes(buf, 4 * rows)
+        return
+    if b == "IPv6":
         _skip_bytes(buf, 16 * rows)
         return
     if b == "Array":
@@ -861,6 +892,19 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         for v in arr.cast(pa.string()):
             raw = (v.as_py() or "").encode("utf-8")[:width]
             buf.write(raw.ljust(width, b"\x00"))
+        return
+    if b == "IPv4":
+        import ipaddress
+
+        for v in arr.cast(pa.string()):
+            n = int(ipaddress.IPv4Address(v.as_py() or "0.0.0.0"))
+            buf.write(struct.pack("<I", n))
+        return
+    if b == "IPv6":
+        import ipaddress
+
+        for v in arr.cast(pa.string()):
+            buf.write(ipaddress.IPv6Address(v.as_py() or "::").packed)
         return
     if b == "Tuple":
         if not pa.types.is_struct(arr.type):

@@ -219,7 +219,7 @@ def parse_type(type_str: str) -> CHType:
         t.scale = int(params)
         t.fixed_len = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[base]
         return t
-    if base in FIXED_WIDTH or base == "String" or base == "UUID":
+    if base in FIXED_WIDTH or base in ("String", "UUID", "IPv4", "IPv6"):
         return t
     raise UnsupportedTypeError(f"unsupported ClickHouse type: {type_str!r}")
 
@@ -231,7 +231,7 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
     lossy for UInt64; ours is lossless by default.
     """
     b = t.base
-    if b == "String" or b == "FixedString" or b == "UUID":
+    if b in ("String", "FixedString", "UUID", "IPv4", "IPv6"):
         return pa.string()
     if b in ("Enum8", "Enum16"):
         return pa.string()  # decoded labels, like the reference (lib.rs:157-166)

@@ -114,7 +114,7 @@ def _ch_to_spark(t) -> DataType:
 
     assert isinstance(t, CHType)
     b = t.base
-    if b in ("String", "FixedString", "UUID", "Enum8", "Enum16"):
+    if b in ("String", "FixedString", "UUID", "Enum8", "Enum16", "IPv4", "IPv6"):
         return StringType()
     m = {
         "Int8": ByteType(),

@@ -90,3 +90,17 @@ def test_map_through_spark_datasource(spark, tmp_path):
     # full values survive
     blocks = list(iter_blocks(open(p, "rb")))
     assert sum(b.n_rows for b in blocks) == 60
+
+
+def test_ipv4_ipv6_roundtrip():
+    # the last §1.3 "not supported anywhere" entries (README.md:140)
+    for ts, vals in [
+        ("IPv4", ["1.2.3.4", "255.255.255.255", "0.0.0.0"]),
+        ("IPv6", ["::1", "2001:db8::ff00:42:8329", "fe80::1"]),
+    ]:
+        t = parse_type(ts)
+        arr = pa.array(vals, type=pa.string())
+        buf = io.BytesIO()
+        encode_column(buf, t, arr)
+        buf.seek(0)
+        assert decode_column(buf, t, len(vals)).to_pylist() == vals
