@@ -384,9 +384,11 @@ def _type_matrix_fixture(spark: SparkSession, sf_dir: str) -> str:
         cust = t.column("o_custkey").to_pylist()
         price = t.column("o_totalprice").to_pylist()
         uuids = []
+        ips = []
         for k in keys:
             h = _hl.md5(str(k).encode()).hexdigest()
             uuids.append(f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
+            ips.append(f"10.{(k >> 16) & 255}.{(k >> 8) & 255}.{k & 255}")
         batch = pa.table(
             {
                 "o_orderkey": pa.array(keys, type=pa.int64()),
@@ -402,6 +404,11 @@ def _type_matrix_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "price_dec": pa.array(price, type=pa.float64()).cast(
                     pa.decimal128(18, 4)
                 ),
+                "src_ip": pa.array(ips, type=pa.string()),
+                "props_map": pa.array(
+                    [{"st": s} for s in status],
+                    type=pa.map_(pa.string(), pa.string()),
+                ),
             }
         )
         write_native_file(
@@ -413,6 +420,8 @@ def _type_matrix_fixture(spark: SparkSession, sf_dir: str) -> str:
                 parse_type("FixedString(4)"),
                 parse_type("Tuple(Int64, Float64)"),
                 parse_type("Decimal(18, 4)"),
+                parse_type("IPv4"),
+                parse_type("Map(String, String)"),
             ],
         )
 
@@ -432,6 +441,8 @@ def _native_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust_price._1").alias("custkey"),
         F.col("cust_price._2").alias("price_f"),
         "price_dec",
+        "src_ip",
+        F.element_at("props_map", "st").alias("map_status"),
     ).agg(
         F.count("*").alias("n"),
         F.min("order_uuid").alias("min_uuid"),
@@ -440,6 +451,8 @@ def _native_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("custkey").alias("sum_cust"),
         F.cast("decimal(38,4)", F.sum("price_dec")).alias("sum_dec"),
         F.max("price_f").alias("max_price"),
+        F.max("src_ip").alias("max_ip"),
+        F.countDistinct("map_status").alias("n_map_status"),
     )
 
 
@@ -461,11 +474,15 @@ REGISTRY.df_query(
            COUNT(DISTINCT o_orderstatus) AS n_status,
            SUM(o_custkey) AS sum_cust,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_dec,
-           MAX(o_totalprice) AS max_price
+           MAX(o_totalprice) AS max_price,
+           MAX(concat('10.', CAST((o_orderkey >> 16) & 255 AS VARCHAR), '.',
+                      CAST((o_orderkey >> 8) & 255 AS VARCHAR), '.',
+                      CAST(o_orderkey & 255 AS VARCHAR))) AS max_ip,
+           COUNT(DISTINCT o_orderstatus) AS n_map_status
     FROM u
     """,
     tags=["source", "native", "types"],
-    description="UUID/FixedString/Tuple/Decimal fidelity through the Native scan",
+    description="UUID/FixedString/Tuple/Decimal/IPv4/Map fidelity through the Native scan",
 )
 
 
