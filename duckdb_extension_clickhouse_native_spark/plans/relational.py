@@ -21,6 +21,66 @@ from pyspark.sql.window import Window as W
 
 from .base import REGISTRY, load_tables
 
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per session per sf) bucketed+sorted copies of
+    orders/lineitem co-partitioned on the join key — Spark's answer to
+    'co-located joins' at scale: both sides hash into the same 8
+    buckets at WRITE time, so the join needs no shuffle at READ time
+    (the plan's only exchange is the final aggregation's)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .base import ensure_session
+
+    ensure_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    names = (f"chsql_b_orders_{tag}", f"chsql_b_lineitem_{tag}")
+    base = os.path.join(tempfile.gettempdir(), "chsql_bucketed", tag)
+    specs = [
+        (names[0], f"{sf_dir}/orders.parquet", "o_orderkey"),
+        (names[1], f"{sf_dir}/lineitem.parquet", "l_orderkey"),
+    ]
+    for name, src, key in specs:
+        if not spark.catalog.tableExists(name):
+            (
+                spark.read.parquet(src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return names
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+        FROM {t_orders} JOIN {t_lineitem} ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+REGISTRY.df_query(
+    "join_bucketed_colocated",
+    _bucketed_join,
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=["join", "bucketing", "scale"],
+    description="bucketed co-located join: both sides pre-hashed into 8 buckets, shuffle-free join",
+)
+
 # ---------------------------------------------------------------------------
 # scan / projection / filter / limit  (README.md:54,63-72 surface)
 # ---------------------------------------------------------------------------
