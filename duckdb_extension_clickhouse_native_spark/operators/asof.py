@@ -90,7 +90,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("last_order_price")
         )
     )
@@ -102,7 +102,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="last_order_ts",
         out_schema=(
             "event_id bigint, user_id bigint, ts timestamp_ntz, "
-            "last_order_ts timestamp_ntz, last_order_price decimal(38,4)"
+            "last_order_ts timestamp_ntz, last_order_price double"
         ),
         value_cols=["last_order_price"],
     )
@@ -111,7 +111,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_ORACLE_SQL = """
     WITH daily AS (
       SELECT o_custkey AS user_id, o_orderdate AS order_ts,
-             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS last_order_price
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS last_order_price
       FROM orders GROUP BY 1, 2
     ),
     matched AS (

@@ -63,7 +63,7 @@ REGISTRY.sql_query(
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
              CAST(month(o_orderdate) AS INT) AS mon,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM orders GROUP BY 1, 2
     ),
     ranked AS (
@@ -86,7 +86,7 @@ REGISTRY.sql_query(
     JOIN customer ON o_custkey = c_custkey
     JOIN (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty_sum
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
     ) big ON o_orderkey = big.l_orderkey

@@ -61,7 +61,7 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus,
                COUNT(*) AS n_lines,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
         FROM {t_orders} JOIN {t_lineitem} ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus
         """
@@ -73,7 +73,7 @@ REGISTRY.df_query(
     _bucketed_join,
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -121,7 +121,7 @@ REGISTRY.sql_query(
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
     FROM lineitem
     """,
@@ -135,10 +135,10 @@ REGISTRY.sql_query(
     """
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -156,7 +156,7 @@ REGISTRY.sql_query(
 REGISTRY.sql_query(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -179,7 +179,7 @@ REGISTRY.sql_query(
     "group_having",
     """
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 3
@@ -195,7 +195,7 @@ REGISTRY.sql_query(
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -221,7 +221,7 @@ REGISTRY.sql_query(
     "grouping_sets_events",
     """
     SELECT event_type, CAST(year(ts) AS INT) AS yr, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (yr), (event_type, yr), ())
     """,
@@ -258,7 +258,7 @@ def _q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("decimal(38,6)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -270,7 +270,7 @@ REGISTRY.df_query(
     _q3_shipping,
     oracle="""
     SELECT l_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -307,7 +307,7 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("decimal(38,6)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -318,7 +318,7 @@ REGISTRY.df_query(
     _q5_local_supplier,
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -346,7 +346,7 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).cast("decimal(38,6)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -358,7 +358,7 @@ REGISTRY.df_query(
     _q10_returned_items,
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -567,12 +567,12 @@ def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(F.col("value").cast("decimal(18,4)"))
         .over(w.rowsBetween(W.unboundedPreceding, 0))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("running_value"),
         F.count("*").over(w.rowsBetween(-2, 0)).alias("n_last3"),
         F.max(F.col("value").cast("decimal(18,4)"))
         .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("user_max_value"),
     )
 
@@ -584,12 +584,12 @@ REGISTRY.df_query(
     SELECT user_id, event_id,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_value,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3,
            CAST(MAX(CAST(value AS DECIMAL(18,4))) OVER
                 (PARTITION BY user_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(38,4)) AS user_max_value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS user_max_value
     FROM events
     """,
     tags=["window", "frames"],
@@ -805,7 +805,7 @@ REGISTRY.sql_query(
     SELECT date_trunc('hour', ts) AS hour_bucket,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
@@ -814,7 +814,7 @@ REGISTRY.sql_query(
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, event_type

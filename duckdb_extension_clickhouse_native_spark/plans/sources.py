@@ -148,7 +148,7 @@ def _native_join_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("total_qty"),
         )
     )
@@ -159,7 +159,7 @@ REGISTRY.df_query(
     _native_join_parquet,
     oracle="""
     SELECT p_brand, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -218,7 +218,7 @@ def _native_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(38,6)")
+        .cast("double")
         .alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
@@ -229,7 +229,7 @@ REGISTRY.df_query(
     _native_compressed_scan,
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type
     """,
@@ -348,7 +348,7 @@ def _native_split_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("qty"),
     )
 
@@ -358,7 +358,7 @@ REGISTRY.df_query(
     _native_split_blocks,
     oracle="""
     SELECT l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
     FROM lineitem GROUP BY l_linestatus
     """,
     tags=["source", "native", "parallel"],
@@ -449,7 +449,7 @@ def _native_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("order_uuid").alias("max_uuid"),
         F.countDistinct("status_fs").alias("n_status"),
         F.sum("custkey").alias("sum_cust"),
-        F.cast("decimal(38,4)", F.sum("price_dec")).alias("sum_dec"),
+        F.sum("price_dec").cast("double").alias("sum_dec"),
         F.max("price_f").alias("max_price"),
         F.max("src_ip").alias("max_ip"),
         F.countDistinct("map_status").alias("n_map_status"),
@@ -473,7 +473,7 @@ REGISTRY.df_query(
                       substr(h,17,4),'-',substr(h,21,12))) AS max_uuid,
            COUNT(DISTINCT o_orderstatus) AS n_status,
            SUM(o_custkey) AS sum_cust,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_dec,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_dec,
            MAX(o_totalprice) AS max_price,
            MAX(concat('10.', CAST((o_orderkey >> 16) & 255 AS VARCHAR), '.',
                       CAST((o_orderkey >> 8) & 255 AS VARCHAR), '.',
@@ -533,7 +533,7 @@ REGISTRY.df_query(
 _SCAN_AGG_SQL = """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key
     FROM orders
     GROUP BY o_orderstatus

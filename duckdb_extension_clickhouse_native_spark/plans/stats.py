@@ -178,7 +178,7 @@ REGISTRY.sql_query(
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,4)) AS sum_f,
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
            COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS rich_custs
     FROM orders
     GROUP BY o_orderpriority
@@ -209,7 +209,7 @@ REGISTRY.sql_query(
     )
     SELECT event_type,
            SUM(n) AS n_events,
-           CAST(SUM(v) AS DECIMAL(38,6)) AS total_value,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
            MAX(mx) AS max_value
     FROM partials
     GROUP BY event_type
@@ -225,7 +225,7 @@ REGISTRY.sql_query(
     )
     SELECT event_type,
            SUM(n) AS n_events,
-           CAST(SUM(v) AS DECIMAL(38,6)) AS total_value,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
            MAX(mx) AS max_value
     FROM partials
     GROUP BY event_type
@@ -241,7 +241,7 @@ REGISTRY.sql_query(
     "window_time_range_frame",
     """
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS v_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS v_1h,
            COUNT(*) OVER w AS n_1h
     FROM events
     WINDOW w AS (

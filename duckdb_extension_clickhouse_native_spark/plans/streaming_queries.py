@@ -52,7 +52,7 @@ REGISTRY.df_query(
              + INTERVAL 5 MINUTE AS window_end,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,

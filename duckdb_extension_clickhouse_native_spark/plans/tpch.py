@@ -55,7 +55,7 @@ REGISTRY.sql_query(
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
+           CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation,
              n2.n_name AS cust_nation,
@@ -116,7 +116,7 @@ REGISTRY.sql_query(
     "q9_product_profit",
     """
     SELECT nation, o_year,
-           CAST(SUM(amount) AS DECIMAL(38,6)) AS sum_profit
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
@@ -149,7 +149,7 @@ REGISTRY.sql_query(
       WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, CAST(value AS DECIMAL(38,4)) AS value
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
     FROM partval
     WHERE CAST(value AS DOUBLE) > (
       SELECT 0.001 * CAST(SUM(value) AS DOUBLE) FROM partval
@@ -231,7 +231,7 @@ REGISTRY.sql_query(
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(total_revenue AS DECIMAL(38,6)) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier
     JOIN revenue ON s_suppkey = supplier_no
     WHERE CAST(total_revenue AS DOUBLE) = (
@@ -286,7 +286,7 @@ REGISTRY.sql_query(
     "q19_discounted_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DECIMAL(38,6)) AS revenue
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -358,7 +358,7 @@ REGISTRY.sql_query(
     """
     SELECT c_nationkey AS cntrycode,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS totacctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       AND CAST(c_acctbal AS DOUBLE) > (

@@ -96,7 +96,7 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

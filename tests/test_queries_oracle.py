@@ -39,6 +39,13 @@ def test_entry_flagship(spark):
 def test_query_matches_oracle(spark, oracle_con, name):
     q = REGISTRY.all()[name]
     df = q.build(spark, SF_SMALL)
+    # Driver invariant (VERDICT r1): any non-null DecimalType column in a
+    # final projection fails the driver's value-hash even when the values
+    # are identical — every final schema must be decimal-free.
+    from pyspark.sql.types import DecimalType
+
+    dec_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec_cols, f"{name}: DecimalType in final schema: {dec_cols}"
     if q.oracle is None:
         assert df.count() >= 0  # rows-only check, mirroring the driver
         return
