@@ -56,8 +56,19 @@ def _dot_expr(dialect: str, a: str, b: str, dim: int = DIM) -> str:
     )
 
 
-def cosine_topk_sql(dialect: str, query_vec_id: int = 0, k: int = 10, dim: int = DIM) -> str:
-    """Exact cosine top-k against the embedding of ``query_vec_id``."""
+def cosine_topk_sql(
+    dialect: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = DIM,
+    round_digits: int = 12,
+) -> str:
+    """Exact cosine top-k against the embedding of ``query_vec_id``.
+
+    ``round_digits=6`` is the shared oracle for the float BLAS path
+    (``cosine_topk_fast``): numpy f64 dots differ from the exact
+    fixed-point value by ~1e-16 relative, so a 6-digit round maps both
+    to the same double except on a ~1e-9-probability boundary."""
     dot = _dot_expr(dialect, "e.embedding", "q.embedding", dim)
     na = _dot_expr(dialect, "e.embedding", "e.embedding", dim)
     nb = _dot_expr(dialect, "q.embedding", "q.embedding", dim)
@@ -66,7 +77,7 @@ def cosine_topk_sql(dialect: str, query_vec_id: int = 0, k: int = 10, dim: int =
     scored AS (
       SELECT e.vec_id, e.label,
              ROUND(CAST({dot} AS DOUBLE) /
-             (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 12) AS cosine
+             (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), {round_digits}) AS cosine
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> {query_vec_id}
     )
@@ -182,7 +193,14 @@ def cosine_topk_fast(spark, sf_dir: str, query_vec_id: int = 0, k: int = 10) -> 
 
     return (
         emb.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", "label", cos(F.col("embedding")).alias("cosine"))
+        # round to 6 digits so the value is hash-comparable with the
+        # exact fixed-point oracle (see cosine_topk_sql round_digits);
+        # order by the rounded value + vec_id for a deterministic top-k
+        .select(
+            "vec_id",
+            "label",
+            F.round(cos(F.col("embedding")), 6).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )

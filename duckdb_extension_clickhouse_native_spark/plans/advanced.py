@@ -19,7 +19,7 @@ REGISTRY.sql_query(
     """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
       FROM orders
     )

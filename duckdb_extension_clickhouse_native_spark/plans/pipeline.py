@@ -123,7 +123,10 @@ _sql_pair(
 REGISTRY.df_query(
     "sim_topk_fast",
     lambda spark, sf_dir: cosine_topk_fast(spark, sf_dir),
-    oracle=None,  # float32 BLAS sums are not bit-stable across engines — rows-only
+    # shared oracle with sim_topk_bruteforce, rounded to 6 digits: the
+    # numpy f64 dot differs from the exact fixed-point value by ~1e-16
+    # relative, so both engines land on the same rounded double
+    oracle=cosine_topk_sql("duckdb", round_digits=6),
     tags=["similarity", "ann", "bench"],
     description="numpy pandas-UDF brute force (bench path; same answer as sim_topk_bruteforce)",
 )

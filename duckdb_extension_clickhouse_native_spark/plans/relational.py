@@ -158,8 +158,8 @@ REGISTRY.sql_query(
     """
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -232,12 +232,34 @@ REGISTRY.sql_query(
 REGISTRY.df_query(
     "approx_distinct_parts",
     lambda spark, sf_dir: load_tables(spark, sf_dir, ["lineitem"])["lineitem"].agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+        F.when(
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey")
+                    - F.count_distinct("l_partkey")
+                )
+                / F.count_distinct("l_partkey")
+            )
+            < 0.2,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("approx_ok"),
     ),
-    oracle=None,  # HLL sketches differ across engines by design — rows-only check
+    # HLL sketch values differ across engines by design; the checkable
+    # contract is the error bound: each engine's own approx count must
+    # land within 20% of the exact count (both emit approx_ok = 1).
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           CASE WHEN abs(approx_count_distinct(l_partkey)
+                         - COUNT(DISTINCT l_partkey))
+                     / COUNT(DISTINCT l_partkey) < 0.2
+                THEN 1 ELSE 0 END AS approx_ok
+    FROM lineitem
+    """,
     tags=["agg", "approx"],
-    description="approx_count_distinct (HLL) next to the exact count",
+    description="approx_count_distinct (HLL) bounded-error check vs the exact count",
 )
 
 # ---------------------------------------------------------------------------
