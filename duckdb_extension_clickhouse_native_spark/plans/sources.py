@@ -603,5 +603,43 @@ REGISTRY.df_query(
 )
 
 
+_TCP_AGG_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def _scan_tcp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same full-pushdown semantics as scan_remote_agg, but over the
+    # native TCP protocol — the transport the reference actually uses
+    # (clickhouse_scan.rs:73-78). The tcp:// URL is honored as a real
+    # port-9000-style connection (handshake + Query + Native blocks),
+    # served by the in-process mock TCP server.
+    from .base import ensure_session
+    from ..sources.mock_tcp_server import mock_clickhouse_tcp_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_tcp_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _TCP_AGG_SQL)
+        .option("url", url)
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_tcp_agg",
+    _scan_tcp_agg,
+    oracle=_TCP_AGG_SQL,
+    tags=["source", "scan", "tcp"],
+    description="clickhouse_scan over the native TCP protocol (tcp:// URL, port-9000 transport)",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

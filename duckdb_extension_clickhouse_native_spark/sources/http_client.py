@@ -10,8 +10,10 @@ stringify-then-reparse path (clickhouse_scan.rs:134-157,212-240).
 
 Connection resolution mirrors the reference (clickhouse_scan.rs:55-71):
 explicit option > ``CLICKHOUSE_URL`` / ``CLICKHOUSE_USER`` /
-``CLICKHOUSE_PASSWORD`` env vars > default localhost. ``tcp://`` URLs
-(the reference's scheme) are transparently remapped to HTTP ports.
+``CLICKHOUSE_PASSWORD`` env vars > default localhost. ``tcp://`` and
+``clickhouse://`` URLs (the reference's scheme) select the native TCP
+transport (``tcp_client.py``, port 9000 / TLS 9440); ``http(s)://``
+selects this HTTP client. Both speak Native blocks end-to-end.
 """
 
 from __future__ import annotations
@@ -32,6 +34,12 @@ class ConnectionInfo:
     user: Optional[str] = None
     password: Optional[str] = None
     database: Optional[str] = None
+    transport: str = "http"  # "http" | "tcp"
+    host: str = "localhost"
+    port: int = 8123
+    secure: bool = False
+    verify: bool = True
+    compression: bool = False
 
 
 def resolve_connection(options: dict) -> ConnectionInfo:
@@ -47,7 +55,7 @@ def resolve_connection(options: dict) -> ConnectionInfo:
     host = parsed.hostname or "localhost"
     port = parsed.port
     qs = dict(urllib.parse.parse_qsl(parsed.query))
-    secure = qs.get("secure", "false").lower() == "true"
+    secure = qs.get("secure", "false").lower() == "true" or port == 9440
     # per-field precedence: explicit option > URL-embedded > env — env
     # must never override credentials the user wrote into the URL
     user = (
@@ -58,15 +66,44 @@ def resolve_connection(options: dict) -> ConnectionInfo:
         or parsed.password
         or os.environ.get("CLICKHOUSE_PASSWORD")
     )
+    verify = str(options.get("verify", qs.get("verify", "true"))).lower() != "false"
+    compression = (
+        str(options.get("compression", qs.get("compression", "false"))).lower()
+        == "true"
+    )
 
-    if scheme == "tcp":
-        # reference-style native-protocol URL: map to the HTTP interface
-        scheme = "https" if secure or port == 9440 else "http"
-        port = 8443 if scheme == "https" else 8123
+    if scheme in ("tcp", "clickhouse"):
+        # the reference's native-protocol scheme (clickhouse_scan.rs:73-78):
+        # honored as a real TCP connection, TLS on 9440 (README.md:22)
+        if port is None:
+            port = 9440 if secure else 9000
+        return ConnectionInfo(
+            base_url=f"tcp://{host}:{port}",
+            user=user,
+            password=password,
+            database=database,
+            transport="tcp",
+            host=host,
+            port=port,
+            secure=secure,
+            verify=verify,
+            compression=compression,
+        )
+    if scheme == "https":
+        secure = True
     if port is None:
         port = 8443 if scheme == "https" else 8123
     return ConnectionInfo(
-        base_url=f"{scheme}://{host}:{port}", user=user, password=password, database=database
+        base_url=f"{scheme}://{host}:{port}",
+        user=user,
+        password=password,
+        database=database,
+        transport="http",
+        host=host,
+        port=port,
+        secure=secure,
+        verify=verify,
+        compression=compression,
     )
 
 
@@ -117,6 +154,66 @@ class ClickHouseHTTPClient:
                 return r.read().strip() == b"Ok."
         except Exception:
             return False
+
+    # -- transport-neutral interface (shared with ClickHouseTCPClient) ------
+
+    def execute_blocks(self, query: str, *, lossy_uint64: bool = False):
+        from ..native.codec import iter_blocks
+
+        return iter_blocks(self.execute_native(query), lossy_uint64=lossy_uint64)
+
+    def probe_schema(self, query: str):
+        """(name, CHType) pairs from a zero-row execution of ``query``."""
+        from ..native.codec import read_block_header, read_str, skip_column
+        from ..native.types import parse_type
+
+        buf = io.BytesIO(self.execute_native(query).read())
+        hdr = read_block_header(buf)
+        out = []
+        if hdr is not None:
+            n_cols, n_rows = hdr
+            for _ in range(n_cols):
+                name = read_str(buf)
+                t = parse_type(read_str(buf))
+                skip_column(buf, t, n_rows)
+                out.append((name, t))
+        return out
+
+    def insert_batches(self, table: str, batches, ch_types=None) -> int:
+        import io as _io
+
+        from ..native.types import from_arrow
+        from ..native.writer import write_native_stream
+
+        rows = 0
+        buf = _io.BytesIO()
+        for batch in batches:
+            types = ch_types or [from_arrow(f.type) for f in batch.schema]
+            rows += write_native_stream(buf, [batch], ch_types=types)
+        self.insert_native(table, buf.getvalue())
+        return rows
+
+
+def make_client(conn: ConnectionInfo, timeout: float = 300.0):
+    """Transport factory: ``tcp://`` / ``clickhouse://`` URLs get the
+    native TCP client (the reference's transport), ``http(s)://`` the
+    HTTP client. Both expose execute_blocks / probe_schema /
+    insert_batches over the same Native codec."""
+    if conn.transport == "tcp":
+        from .tcp_client import ClickHouseTCPClient
+
+        return ClickHouseTCPClient(
+            conn.host,
+            conn.port,
+            database=conn.database or "default",
+            user=conn.user or "default",
+            password=conn.password or "",
+            secure=conn.secure,
+            verify=conn.verify,
+            compression=conn.compression,
+            timeout=timeout,
+        )
+    return ClickHouseHTTPClient(conn, timeout=timeout)
 
 
 def schema_probe_query(query: str) -> str:

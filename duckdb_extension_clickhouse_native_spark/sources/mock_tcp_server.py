@@ -1,0 +1,212 @@
+"""In-process mock ClickHouse server speaking the native TCP protocol,
+backed by DuckDB over the driver's parquet tables — the TCP twin of
+``mock_server.py`` (HTTP).
+
+Purpose: exercise the ``clickhouse_scan`` source over the transport
+the reference actually uses (/root/reference/src/clickhouse_scan.rs:73-78)
+inside the driver's correctness gate, with no live ClickHouse.
+Implements the server side of the protocol slice in
+``tcp_protocol.py``: Hello handshake, Query -> header block + data
+blocks + EndOfStream, INSERT -> structure block + client blocks,
+Ping -> Pong, errors -> Exception packets. Honors the client's
+requested compression (LZ4 frames with CityHash128 checksums).
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+from typing import Optional
+
+from ..native.types import from_arrow
+from . import tcp_protocol as proto
+
+_SERVERS: dict[str, tuple[str, int]] = {}
+_LOCK = threading.Lock()
+
+SERVER_REVISION = proto.CLIENT_REVISION  # negotiate the documented slice
+
+from ..plans.base import TABLES  # noqa: E402
+
+
+def _empty_batch(schema):
+    """A 0-row RecordBatch with the given schema (``Table.to_batches``
+    on an empty table can return no batches at all)."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in schema], schema=schema
+    )
+
+
+def build_tcp_handler(con, insert_hook=None, execute_inserts=True):
+    """Handler factory over a DuckDB connection (mirrors
+    ``mock_server.build_handler``)."""
+    qlock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):  # noqa: C901 — the protocol state machine
+            try:
+                code = proto.read_varuint(self.rfile)
+                if code != proto.CLIENT_HELLO:
+                    return
+                _name, client_rev, _db, _user, _pw = proto.read_client_hello(self.rfile)
+                revision = min(client_rev, SERVER_REVISION)
+                proto.write_server_hello(self.wfile, SERVER_REVISION)
+                self.wfile.flush()
+                while True:
+                    try:
+                        code = proto.read_varuint(self.rfile)
+                    except EOFError:
+                        return
+                    if code == proto.CLIENT_PING:
+                        proto.write_varuint(self.wfile, proto.SERVER_PONG)
+                        self.wfile.flush()
+                    elif code == proto.CLIENT_QUERY:
+                        self._handle_query(revision)
+                    elif code == proto.CLIENT_CANCEL:
+                        continue
+                    else:
+                        return
+            except Exception:
+                return  # connection-level failure: drop, client reconnects
+
+        def _read_client_blocks(self, revision: int, compression: int):
+            """Drain client Data packets until the empty terminator."""
+            batches = []
+            while True:
+                code = proto.read_varuint(self.rfile)
+                if code != proto.CLIENT_DATA:
+                    raise ValueError(f"expected client Data, got {code}")
+                blk = proto.read_data_packet(
+                    self.rfile, revision, compression=compression
+                )
+                if blk is None:
+                    return batches
+                if blk.n_rows:
+                    batches.append(blk.to_record_batch())
+
+        def _handle_query(self, revision: int) -> None:
+            try:
+                _qid, query, compression = proto.read_query_packet(self.rfile, revision)
+            except Exception as e:
+                proto.write_exception(self.wfile, 1002, "ProtocolError", str(e))
+                self.wfile.flush()
+                return
+            q = query.strip().rstrip(";").strip()
+            try:
+                if q.upper().startswith("INSERT"):
+                    table = q.split()[2].split("(")[0]
+                    # end-of-external-tables block from the query packet
+                    self._read_client_blocks(revision, compression)
+                    # answer with the destination structure (header block)
+                    with qlock:
+                        probe = con.execute(
+                            f"SELECT * FROM {table} WHERE 1=0"
+                        ).fetch_arrow_table()
+                    proto.write_data_packet(
+                        self.wfile,
+                        _empty_batch(probe.schema),
+                        [from_arrow(f.type) for f in probe.schema],
+                        revision,
+                        compression=compression,
+                        packet_type=proto.SERVER_DATA,
+                    )
+                    self.wfile.flush()
+                    batches = self._read_client_blocks(revision, compression)
+                    n = 0
+                    import pyarrow as pa
+
+                    with qlock:
+                        for rb in batches:
+                            n += rb.num_rows
+                            if execute_inserts:
+                                rb = pa.Table.from_batches([rb])
+                                con.register("_tcp_ins", rb)
+                                con.execute(
+                                    f"INSERT INTO {table} SELECT * FROM _tcp_ins"
+                                )
+                                con.unregister("_tcp_ins")
+                    if insert_hook is not None:
+                        insert_hook(table, batches)
+                    proto.write_varuint(self.wfile, proto.SERVER_END_OF_STREAM)
+                    self.wfile.flush()
+                    return
+                # SELECT path: drain the end-of-external-tables block first
+                self._read_client_blocks(revision, compression)
+                if q.endswith("FORMAT Native"):
+                    q = q[: -len("FORMAT Native")].rstrip()
+                with qlock:
+                    tbl = con.execute(q).fetch_arrow_table()
+                ch_types = [from_arrow(f.type) for f in tbl.schema]
+                # leading header block: schema, zero rows (real-server shape)
+                proto.write_data_packet(
+                    self.wfile,
+                    _empty_batch(tbl.schema) if tbl.schema.names else None,
+                    ch_types if tbl.schema.names else None,
+                    revision,
+                    compression=compression,
+                    packet_type=proto.SERVER_DATA,
+                )
+                total = 0
+                for rb in tbl.to_batches(max_chunksize=65_409):
+                    if rb.num_rows == 0:
+                        continue
+                    proto.write_data_packet(
+                        self.wfile,
+                        rb,
+                        ch_types,
+                        revision,
+                        compression=compression,
+                        packet_type=proto.SERVER_DATA,
+                    )
+                    total += rb.num_rows
+                proto.write_progress(self.wfile, revision, total, 0)
+                proto.write_varuint(self.wfile, proto.SERVER_END_OF_STREAM)
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                raise
+            except Exception as e:
+                try:
+                    proto.write_exception(
+                        self.wfile, 1001, type(e).__name__, str(e)
+                    )
+                    self.wfile.flush()
+                except Exception:
+                    pass
+
+    return Handler
+
+
+class _ThreadingTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def serve_tcp(handler) -> tuple[str, int]:
+    """Start a daemon TCP server on an ephemeral port; returns (host, port)."""
+    srv = _ThreadingTCPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv.server_address[0], srv.server_address[1]
+
+
+def mock_clickhouse_tcp_url(sf_dir: str) -> str:
+    """Start (once per process per sf_dir) a DuckDB-backed mock
+    ClickHouse native-TCP server over ``{sf_dir}/*.parquet``; returns a
+    ``tcp://host:port`` URL for the scan DataSource."""
+    with _LOCK:
+        if sf_dir in _SERVERS:
+            host, port = _SERVERS[sf_dir]
+            return f"tcp://{host}:{port}"
+
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        con.execute("CREATE TABLE IF NOT EXISTS _ingest (k BIGINT, v VARCHAR)")
+        host, port = serve_tcp(build_tcp_handler(con))
+        _SERVERS[sf_dir] = (host, port)
+        return f"tcp://{host}:{port}"

@@ -44,7 +44,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-from .http_client import ClickHouseHTTPClient, resolve_connection, schema_probe_query
+from .http_client import make_client, resolve_connection, schema_probe_query
 from .native_datasource import _ch_to_spark
 
 if TYPE_CHECKING:
@@ -106,14 +106,11 @@ class ClickHouseScanReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
-        from ..native.codec import iter_blocks
-
-        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        client = make_client(resolve_connection(self.options))
         target = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in self.spark_schema.fields]
         )
-        stream = client.execute_native(partition.query)
-        for blk in iter_blocks(stream, lossy_uint64=self.lossy_uint64):
+        for blk in client.execute_blocks(partition.query, lossy_uint64=self.lossy_uint64):
             batch = blk.to_record_batch()
             arrays = []
             for fld in target:
@@ -148,24 +145,23 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
-        import io
-
         from ..native.types import from_arrow
-        from ..native.writer import write_native_stream
 
-        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        client = make_client(resolve_connection(self.options))
         rows = 0
-        buf = io.BytesIO()
+        pending: list = []
+        pending_bytes = 0
         ch_types = None
         for batch in iterator:
             if ch_types is None:
                 ch_types = [from_arrow(f.type) for f in batch.schema]
-            rows += write_native_stream(buf, [batch], ch_types=ch_types)
-            if buf.tell() >= self.max_insert_bytes:
-                client.insert_native(self.table, buf.getvalue())
-                buf = io.BytesIO()
-        if buf.tell():
-            client.insert_native(self.table, buf.getvalue())
+            pending.append(batch)
+            pending_bytes += batch.nbytes
+            if pending_bytes >= self.max_insert_bytes:
+                rows += client.insert_batches(self.table, pending, ch_types)
+                pending, pending_bytes = [], 0
+        if pending:
+            rows += client.insert_batches(self.table, pending, ch_types)
         return ScanWriteCommit(rows=rows)
 
     def commit(self, messages) -> None:
@@ -183,10 +179,6 @@ class ClickHouseScanDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        from ..native.codec import read_block_header, read_str
-        from ..native.types import parse_type
-        import io
-
         query = self.options.get("query")
         if not query and self.options.get("table"):
             # JDBC-style sugar: table option -> full-table query
@@ -194,34 +186,23 @@ class ClickHouseScanDataSource(DataSource):
             self.options["query"] = query
         if not query:
             raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
-        client = ClickHouseHTTPClient(resolve_connection(self.options))
+        client = make_client(resolve_connection(self.options))
         lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
         try:
-            stream = client.execute_native(schema_probe_query(query))
-            raw = stream.read()
+            pairs = client.probe_schema(schema_probe_query(query))
         except Exception:
             # servers that reject the subquery wrapper (e.g. non-SELECT
             # statements): fall back to executing the query itself, like
             # the reference does unconditionally (clickhouse_scan.rs:78)
-            stream = client.execute_native(query)
-            raw = stream.read()
-        buf = io.BytesIO(raw)
-        hdr = read_block_header(buf)
+            pairs = client.probe_schema(query)
         fields: list[StructField] = []
-        if hdr is not None:
-            n_cols, n_rows = hdr
-            from ..native.codec import skip_column
+        for name, t in pairs:
+            if lossy and t.base in ("UInt64", "UInt8"):
+                from pyspark.sql.types import IntegerType
 
-            for _ in range(n_cols):
-                name = read_str(buf)
-                t = parse_type(read_str(buf))
-                skip_column(buf, t, n_rows)
-                if lossy and t.base in ("UInt64", "UInt8"):
-                    from pyspark.sql.types import IntegerType
-
-                    fields.append(StructField(name, IntegerType(), True))
-                else:
-                    fields.append(StructField(name, _ch_to_spark(t), True))
+                fields.append(StructField(name, IntegerType(), True))
+            else:
+                fields.append(StructField(name, _ch_to_spark(t), True))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> ClickHouseScanReader:

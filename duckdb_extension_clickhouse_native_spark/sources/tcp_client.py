@@ -1,0 +1,283 @@
+"""ClickHouse native TCP client (port 9000, TLS on 9440).
+
+Transport parity with the reference, which connects over the native
+protocol via clickhouse-rs (/root/reference/src/clickhouse_scan.rs:73-78)
+and supports TLS per /root/reference/README.md:22. ``tcp://`` URLs are
+now honored as real native-protocol connections instead of being
+remapped to the HTTP ports.
+
+The payload format on this transport is the same Native block codec
+the file source uses (``native/codec.py``) — the TCP layer only adds
+the handshake, packet framing and BlockInfo envelope
+(``tcp_protocol.py``). Optional LZ4 frame compression reuses
+``native/compress.py``.
+"""
+
+from __future__ import annotations
+
+import socket
+import ssl
+import uuid
+from typing import Iterator, List, Optional
+
+from ..native.codec import Block
+from ..native.types import CHType
+from . import tcp_protocol as proto
+
+
+class ClickHouseTCPClient:
+    """One connection, sequential queries (matching the reference's
+    one-stream-per-scan model; Spark-side parallelism comes from one
+    client per input partition, see scan_datasource)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 9000,
+        *,
+        database: str = "default",
+        user: str = "default",
+        password: str = "",
+        secure: bool = False,
+        verify: bool = True,
+        compression: bool = False,
+        timeout: float = 300.0,
+    ):
+        self.host = host
+        self.port = port
+        self.database = database or "default"
+        self.user = user or "default"
+        self.password = password or ""
+        self.secure = secure
+        self.verify = verify
+        self.compression = (
+            proto.COMPRESSION_ENABLED if compression else proto.COMPRESSION_DISABLED
+        )
+        self.timeout = timeout
+        self._sock: Optional[socket.socket] = None
+        self._rfile = None
+        self._wfile = None
+        self.server_hello: Optional[proto.ServerHello] = None
+
+    # -- connection lifecycle ------------------------------------------------
+
+    def connect(self) -> "ClickHouseTCPClient":
+        if self._sock is not None:
+            return self
+        sock = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        if self.secure:
+            ctx = ssl.create_default_context()
+            if not self.verify:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            sock = ctx.wrap_socket(sock, server_hostname=self.host)
+        self._sock = sock
+        self._rfile = sock.makefile("rb")
+        self._wfile = sock.makefile("wb")
+        proto.write_client_hello(self._wfile, self.database, self.user, self.password)
+        self._wfile.flush()
+        self.server_hello = proto.read_server_hello(self._rfile)
+        return self
+
+    @property
+    def revision(self) -> int:
+        if self.server_hello is None:
+            raise RuntimeError("not connected")
+        return self.server_hello.negotiated_revision
+
+    def close(self) -> None:
+        for f in (self._rfile, self._wfile):
+            try:
+                if f is not None:
+                    f.close()
+            except Exception:
+                pass
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except Exception:
+                pass
+        self._sock = self._rfile = self._wfile = None
+        self.server_hello = None
+
+    def __enter__(self) -> "ClickHouseTCPClient":
+        return self.connect()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- queries --------------------------------------------------------------
+
+    def ping(self) -> bool:
+        try:
+            self.connect()
+            proto.write_varuint(self._wfile, proto.CLIENT_PING)
+            self._wfile.flush()
+            code = proto.read_varuint(self._rfile)
+            return code == proto.SERVER_PONG
+        except Exception:
+            return False
+
+    def _send_query(self, query: str) -> None:
+        self.connect()
+        proto.write_query_packet(
+            self._wfile,
+            self.revision,
+            query,
+            user=self.user,
+            query_id=uuid.uuid4().hex,
+            compression=self.compression,
+        )
+        # end of external-table data: one empty client Data block
+        proto.write_data_packet(
+            self._wfile, None, None, self.revision, compression=self.compression
+        )
+        self._wfile.flush()
+
+    def execute_blocks(
+        self, query: str, *, lossy_uint64: bool = False
+    ) -> Iterator[Block]:
+        """Run a SELECT; yield non-empty result Blocks until the server's
+        EndOfStream. Progress/ProfileInfo/Log/Totals/Extremes packets are
+        consumed and discarded."""
+        self._send_query(query)
+        while True:
+            code = proto.read_varuint(self._rfile)
+            if code == proto.SERVER_DATA:
+                blk = proto.read_data_packet(
+                    self._rfile,
+                    self.revision,
+                    compression=self.compression,
+                    lossy_uint64=lossy_uint64,
+                )
+                if blk is not None and blk.n_rows > 0:
+                    yield blk
+            elif code in (proto.SERVER_TOTALS, proto.SERVER_EXTREMES):
+                proto.read_data_packet(
+                    self._rfile, self.revision, compression=self.compression
+                )
+            elif code == proto.SERVER_LOG:
+                # server logs are never compressed
+                proto.read_data_packet(self._rfile, self.revision)
+            elif code == proto.SERVER_PROGRESS:
+                proto.read_progress(self._rfile, self.revision)
+            elif code == proto.SERVER_PROFILE_INFO:
+                proto.read_profile_info(self._rfile)
+            elif code == proto.SERVER_TABLE_COLUMNS:
+                proto.read_str(self._rfile)
+                proto.read_str(self._rfile)
+            elif code == proto.SERVER_EXCEPTION:
+                raise proto.read_exception(self._rfile)
+            elif code == proto.SERVER_END_OF_STREAM:
+                return
+            else:
+                raise ValueError(f"unexpected server packet type {code}")
+
+    def probe_schema(self, query: str) -> list[tuple[str, CHType]]:
+        """Schema from the server's leading header block (0 rows) —
+        the TCP twin of the HTTP zero-row probe."""
+        self._send_query(query)
+        schema: list[tuple[str, CHType]] = []
+        got = False
+        while True:
+            code = proto.read_varuint(self._rfile)
+            if code == proto.SERVER_DATA:
+                if self.revision >= proto.REV_TEMPORARY_TABLES:
+                    proto.read_str(self._rfile)
+                src = self._rfile
+                if self.compression == proto.COMPRESSION_ENABLED:
+                    from ..native.compress import CompressedReader
+
+                    src = CompressedReader(self._rfile, verify_checksum=True)
+                proto.read_block_info(src)
+                from ..native.codec import read_block_header, read_str, skip_column
+                from ..native.types import parse_type
+
+                hdr = read_block_header(src)
+                if hdr is not None and not got:
+                    n_cols, n_rows = hdr
+                    for _ in range(n_cols):
+                        name = read_str(src)
+                        t = parse_type(read_str(src))
+                        skip_column(src, t, n_rows)
+                        schema.append((name, t))
+                    if n_cols:
+                        got = True
+                elif hdr is not None:
+                    n_cols, n_rows = hdr
+                    for _ in range(n_cols):
+                        read_str(src)
+                        skip_column(src, parse_type(read_str(src)), n_rows)
+            elif code in (proto.SERVER_TOTALS, proto.SERVER_EXTREMES):
+                proto.read_data_packet(
+                    self._rfile, self.revision, compression=self.compression
+                )
+            elif code == proto.SERVER_LOG:
+                proto.read_data_packet(self._rfile, self.revision)
+            elif code == proto.SERVER_PROGRESS:
+                proto.read_progress(self._rfile, self.revision)
+            elif code == proto.SERVER_PROFILE_INFO:
+                proto.read_profile_info(self._rfile)
+            elif code == proto.SERVER_TABLE_COLUMNS:
+                proto.read_str(self._rfile)
+                proto.read_str(self._rfile)
+            elif code == proto.SERVER_EXCEPTION:
+                raise proto.read_exception(self._rfile)
+            elif code == proto.SERVER_END_OF_STREAM:
+                return schema
+            else:
+                raise ValueError(f"unexpected server packet type {code}")
+
+    def insert_batches(self, table: str, batches, ch_types: Optional[List[CHType]] = None) -> int:
+        """INSERT over the native protocol: the server answers the
+        insert query with its table-structure header block, then the
+        client streams data blocks and a terminating empty block."""
+        self._send_query(f"INSERT INTO {table} VALUES")
+        # wait for the server's structure block (or an exception)
+        while True:
+            code = proto.read_varuint(self._rfile)
+            if code == proto.SERVER_DATA:
+                proto.read_data_packet(
+                    self._rfile, self.revision, compression=self.compression
+                )
+                break
+            if code == proto.SERVER_PROGRESS:
+                proto.read_progress(self._rfile, self.revision)
+            elif code == proto.SERVER_LOG:
+                proto.read_data_packet(self._rfile, self.revision)
+            elif code == proto.SERVER_TABLE_COLUMNS:
+                proto.read_str(self._rfile)
+                proto.read_str(self._rfile)
+            elif code == proto.SERVER_EXCEPTION:
+                raise proto.read_exception(self._rfile)
+            else:
+                raise ValueError(f"unexpected packet {code} while starting INSERT")
+        rows = 0
+        from ..native.types import from_arrow
+
+        for batch in batches:
+            types = ch_types or [from_arrow(f.type) for f in batch.schema]
+            proto.write_data_packet(
+                self._wfile,
+                batch,
+                types,
+                self.revision,
+                compression=self.compression,
+            )
+            rows += batch.num_rows
+        proto.write_data_packet(
+            self._wfile, None, None, self.revision, compression=self.compression
+        )
+        self._wfile.flush()
+        while True:
+            code = proto.read_varuint(self._rfile)
+            if code == proto.SERVER_END_OF_STREAM:
+                return rows
+            if code == proto.SERVER_PROGRESS:
+                proto.read_progress(self._rfile, self.revision)
+            elif code == proto.SERVER_LOG:
+                proto.read_data_packet(self._rfile, self.revision)
+            elif code == proto.SERVER_EXCEPTION:
+                raise proto.read_exception(self._rfile)
+            else:
+                raise ValueError(f"unexpected packet {code} after INSERT data")

@@ -1,6 +1,6 @@
-"""Connection-resolution tests for the clickhouse_scan HTTP client:
-precedence (option > URL-embedded > env), tcp:// remapping, and
-scheme-less URLs (reference env fallbacks: clickhouse_scan.rs:55-71)."""
+"""Connection-resolution tests for the clickhouse_scan client:
+precedence (option > URL-embedded > env), tcp:// transport selection,
+and scheme-less URLs (reference env fallbacks: clickhouse_scan.rs:55-71)."""
 
 from __future__ import annotations
 
@@ -42,16 +42,38 @@ def test_scheme_less_url_gets_http():
     assert c.base_url.startswith("http://myhost:9999")
 
 
-def test_tcp_url_remaps_to_http_port():
+def test_tcp_url_selects_native_transport():
     c = resolve_connection({"url": "tcp://ch.example.com:9000"})
-    assert c.base_url.startswith("http://ch.example.com:8123")
+    assert c.transport == "tcp"
+    assert (c.host, c.port, c.secure) == ("ch.example.com", 9000, False)
 
 
-def test_tcp_secure_remaps_to_https():
-    c = resolve_connection({"url": "tcp://ch.example.com:9440?secure=true"})
-    assert c.base_url.startswith("https://ch.example.com:8443")
+def test_tcp_default_port():
+    c = resolve_connection({"url": "tcp://ch.example.com"})
+    assert c.transport == "tcp" and c.port == 9000
+
+
+def test_tcp_secure_defaults_to_9440():
+    c = resolve_connection({"url": "tcp://ch.example.com?secure=true"})
+    assert c.transport == "tcp" and c.port == 9440 and c.secure
+
+
+def test_tcp_port_9440_implies_tls():
+    c = resolve_connection({"url": "tcp://ch.example.com:9440"})
+    assert c.transport == "tcp" and c.secure
+
+
+def test_clickhouse_scheme_is_tcp():
+    c = resolve_connection({"url": "clickhouse://u:p@ch.example.com:9000"})
+    assert c.transport == "tcp" and c.user == "u" and c.password == "p"
+
+
+def test_http_url_stays_http():
+    c = resolve_connection({"url": "http://h:8123"})
+    assert c.transport == "http"
 
 
 def test_default_localhost():
     c = resolve_connection({})
     assert c.base_url.startswith("http://localhost:8123")
+    assert c.transport == "http"

@@ -12,12 +12,14 @@ from duckdb_extension_clickhouse_native_spark.sources.http_client import (
 )
 
 
-def test_resolve_connection_tcp_remap(monkeypatch):
+def test_resolve_connection_tcp_transport(monkeypatch):
+    # tcp:// URLs are honored as native-protocol connections (the
+    # reference's transport, clickhouse_scan.rs:73-78), not remapped
     monkeypatch.delenv("CLICKHOUSE_URL", raising=False)
     c = resolve_connection({"url": "tcp://myhost:9000"})
-    assert c.base_url == "http://myhost:8123"
+    assert c.transport == "tcp" and (c.host, c.port) == ("myhost", 9000)
     c = resolve_connection({"url": "tcp://u:p@remote:9440/?secure=true"})
-    assert c.base_url == "https://remote:8443"
+    assert c.transport == "tcp" and c.port == 9440 and c.secure
     assert c.user == "u" and c.password == "p"
 
 

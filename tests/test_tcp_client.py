@@ -1,0 +1,176 @@
+"""Native TCP protocol tests: handshake, SELECT, schema probe, INSERT,
+LZ4-compressed transport, server exceptions, and the clickhouse_scan
+DataSource over a tcp:// URL (transport parity with the reference,
+clickhouse_scan.rs:73-78)."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pytest
+
+from duckdb_extension_clickhouse_native_spark.sources import tcp_protocol as proto
+from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
+    build_tcp_handler,
+    serve_tcp,
+)
+from duckdb_extension_clickhouse_native_spark.sources.tcp_client import (
+    ClickHouseTCPClient,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def tcp_server():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMALL}/orders.parquet'"
+    )
+    con.execute("CREATE TABLE sink (k BIGINT, v VARCHAR)")
+    host, port = serve_tcp(build_tcp_handler(con))
+    yield host, port, con
+
+
+def _client(tcp_server, **kw) -> ClickHouseTCPClient:
+    host, port, _ = tcp_server
+    return ClickHouseTCPClient(host, port, **kw)
+
+
+def test_handshake_negotiates_revision(tcp_server):
+    c = _client(tcp_server)
+    c.connect()
+    assert c.server_hello is not None
+    assert c.revision == min(c.server_hello.revision, proto.CLIENT_REVISION)
+    assert c.server_hello.timezone == "UTC"
+    c.close()
+
+
+def test_ping_pong(tcp_server):
+    assert _client(tcp_server).ping()
+
+
+def test_select_blocks(tcp_server):
+    c = _client(tcp_server)
+    blocks = list(c.execute_blocks("SELECT COUNT(*) AS n, MAX(o_orderkey) AS mx FROM orders"))
+    assert len(blocks) == 1
+    d = blocks[0].to_record_batch().to_pydict()
+    assert d["n"] == [1500] and d["mx"] == [1499]
+
+
+def test_full_scan_row_count(tcp_server):
+    c = _client(tcp_server)
+    rows = sum(b.n_rows for b in c.execute_blocks("SELECT o_orderkey FROM orders"))
+    assert rows == 1500
+
+
+def test_schema_probe(tcp_server):
+    c = _client(tcp_server)
+    pairs = c.probe_schema("SELECT o_orderkey, o_totalprice FROM orders WHERE 1=0")
+    assert [(n, t.base) for n, t in pairs] == [
+        ("o_orderkey", "Int64"),
+        ("o_totalprice", "Float64"),
+    ]
+
+
+def test_server_exception_raised(tcp_server):
+    c = _client(tcp_server)
+    with pytest.raises(proto.ClickHouseServerException) as ei:
+        list(c.execute_blocks("SELECT no_such_column FROM orders"))
+    assert ei.value.code == 1001
+
+
+def test_insert_roundtrip(tcp_server):
+    host, port, con = tcp_server
+    c = ClickHouseTCPClient(host, port)
+    batch = pa.record_batch(
+        {"k": pa.array([10, 11], pa.int64()), "v": pa.array(["x", "y"])}
+    )
+    assert c.insert_batches("sink", [batch]) == 2
+    got = con.execute("SELECT k, v FROM sink WHERE k >= 10 ORDER BY k").fetchall()
+    assert got == [(10, "x"), (11, "y")]
+
+
+def test_compressed_select_and_insert(tcp_server):
+    host, port, con = tcp_server
+    c = ClickHouseTCPClient(host, port, compression=True)
+    blocks = list(c.execute_blocks("SELECT COUNT(*) AS n FROM orders"))
+    assert blocks[0].to_record_batch().to_pydict()["n"] == [1500]
+    batch = pa.record_batch({"k": pa.array([42], pa.int64()), "v": pa.array(["z"])})
+    assert c.insert_batches("sink", [batch]) == 1
+    assert con.execute("SELECT v FROM sink WHERE k = 42").fetchone() == ("z",)
+
+
+def test_block_info_roundtrip():
+    buf = io.BytesIO()
+    proto.write_block_info(buf)
+    buf.seek(0)
+    info = proto.read_block_info(buf)
+    assert info == {"is_overflows": 0, "bucket_num": -1}
+    assert buf.read() == b""  # fully consumed
+
+
+def test_client_info_roundtrip():
+    buf = io.BytesIO()
+    rev = proto.CLIENT_REVISION
+    proto.write_client_info(buf, rev, "alice", "qid-1")
+    buf.seek(0)
+    info = proto.read_client_info(buf, rev)
+    assert info["initial_user"] == "alice"
+    assert info["initial_query_id"] == "qid-1"
+    assert info["client_revision"] == proto.CLIENT_REVISION
+    assert buf.read() == b""
+
+
+def test_query_packet_roundtrip():
+    buf = io.BytesIO()
+    rev = proto.CLIENT_REVISION
+    proto.write_query_packet(buf, rev, "SELECT 1", user="bob", query_id="q7")
+    buf.seek(0)
+    assert proto.read_varuint(buf) == proto.CLIENT_QUERY
+    qid, query, compression = proto.read_query_packet(buf, rev)
+    assert (qid, query, compression) == ("q7", "SELECT 1", 0)
+    assert buf.read() == b""
+
+
+def test_scan_datasource_over_tcp(spark):
+    """spark.read.format('clickhouse_scan') with a tcp:// URL — the full
+    executor-side path over the native protocol."""
+    from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
+        mock_clickhouse_tcp_url,
+    )
+
+    url = mock_clickhouse_tcp_url(SF_SMALL)
+    assert url.startswith("tcp://")
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option("query", "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100")
+        .option("url", url)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert df.schema["o_orderkey"].dataType.typeName() == "long"
+
+
+def test_scan_datasource_tcp_split(spark):
+    from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
+        mock_clickhouse_tcp_url,
+    )
+
+    url = mock_clickhouse_tcp_url(SF_SMALL)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option("query", "SELECT o_orderkey FROM orders")
+        .option("url", url)
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .option("lower_bound", "0")
+        .option("upper_bound", "1500")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1500
