@@ -1,0 +1,110 @@
+"""Filesystem abstraction for Native-file path resolution and reads.
+
+At 100 TB the data lives on object storage or HDFS, not the local
+disk, so every read-side path operation routes through here:
+
+* plain paths (no ``scheme://``) take the local fast path —
+  ``os`` / ``glob`` / builtin ``open``, zero overhead;
+* URI paths (``file://``, ``s3://``, ``hdfs://``, ``gs://``, ...) go
+  through ``pyarrow.fs.FileSystem.from_uri`` — the same FS layer
+  Spark's own parquet reader rides, credential handling included.
+
+``file://`` URIs exercise the remote code path against local files,
+which is how the tests cover it without an object store.
+
+The write path (ClickHouseNativeWriter) remains local-only: writes on
+a real cluster land one part-file per task, which needs
+commit-protocol support per store; reads are the 100 TB-critical
+surface (the reference is read-only too, lib.rs).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob as globmod
+import io
+import os
+import posixpath
+from typing import BinaryIO, Tuple
+
+_GLOB_CHARS = ("*", "?", "[")
+
+_DATA_SUFFIXES = (".clickhouse", ".native", ".bin")
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _fs_and_path(path: str) -> Tuple[object, str, str]:
+    """(pyarrow FileSystem, in-fs path, scheme prefix for round-trips)."""
+    from pyarrow import fs as pafs
+
+    scheme = path.split("://", 1)[0]
+    fs, p = pafs.FileSystem.from_uri(path)
+    return fs, p, scheme
+
+
+def _rebuild(scheme: str, p: str) -> str:
+    # LocalFileSystem paths are absolute ('/x/y'); bucket-style paths
+    # are 'bucket/key' — both round-trip as scheme://<path>
+    return f"{scheme}://{p}"
+
+
+def resolve_paths(path: str) -> list[str]:
+    """Expand a file / glob / directory path into concrete data files.
+
+    Directory listings prefer the Native-file suffixes and fall back to
+    every non-underscore file (skipping _SUCCESS and friends).
+    """
+    if not is_uri(path):
+        if os.path.isdir(path):
+            out = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(_DATA_SUFFIXES)
+            )
+            if not out:
+                out = sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if not f.startswith("_")
+                )
+            return out
+        hits = sorted(globmod.glob(path))
+        return hits if hits else [path]
+
+    from pyarrow.fs import FileSelector, FileType
+
+    fs, p, scheme = _fs_and_path(path.split("*")[0].split("?")[0].split("[")[0] if any(c in path for c in _GLOB_CHARS) else path)
+    if any(c in path for c in _GLOB_CHARS):
+        pattern = path.split("://", 1)[1]
+        base = posixpath.dirname(pattern.split("*")[0].split("?")[0].split("[")[0])
+        infos = fs.get_file_info(FileSelector(base, recursive=False))
+        names = [i.path for i in infos if i.type == FileType.File]
+        hits = sorted(n for n in names if fnmatch.fnmatch(n, pattern))
+        return [_rebuild(scheme, h) for h in hits] if hits else [path]
+    info = fs.get_file_info([p])[0]
+    if info.type == FileType.Directory:
+        infos = fs.get_file_info(FileSelector(p, recursive=False))
+        names = sorted(i.path for i in infos if i.type == FileType.File)
+        out = [n for n in names if n.endswith(_DATA_SUFFIXES)]
+        if not out:
+            out = [n for n in names if not posixpath.basename(n).startswith("_")]
+        return [_rebuild(scheme, n) for n in out]
+    return [path]
+
+
+def open_input(path: str, buffer_size: int = 1 << 20) -> BinaryIO:
+    """Seekable binary reader for local paths and URIs alike."""
+    if not is_uri(path):
+        return io.BufferedReader(open(path, "rb"), buffer_size=buffer_size)
+    fs, p, _ = _fs_and_path(path)
+    return fs.open_input_file(p)  # random-access (read/seek/tell)
+
+
+def file_size(path: str) -> int:
+    if not is_uri(path):
+        return os.path.getsize(path)
+    fs, p, _ = _fs_and_path(path)
+    return fs.get_file_info([p])[0].size

@@ -337,6 +337,10 @@ def decode_column(
     """Decode one column's payload (reference read_column_data,
     lib.rs:143-175 — extended to the full type matrix)."""
     b = t.base
+    if b == "Unsupported":
+        # reference-compat placeholder (lib.rs:168-170): emit the literal
+        # and consume nothing — see parse_type(unsupported_as_varchar=True)
+        return pa.array([f"<unsupported:{t.params}>"] * rows, type=pa.string())
     if t.nullable:
         mask_raw = buf.read(rows)
         if len(mask_raw) != rows:
@@ -578,6 +582,8 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     """Advance past one column's payload without materializing values
     (used for projection pushdown and block-boundary indexing)."""
     b = t.base
+    if b == "Unsupported":
+        return  # placeholder type: payload length unknowable, consume nothing
     if t.nullable:
         _skip_bytes(buf, rows)
         inner = CHType(**{**t.__dict__, "nullable": False})
@@ -692,6 +698,7 @@ def read_block(
     columns: Optional[set[str]] = None,
     scrub_strings: bool = False,
     lossy_uint64: bool = False,
+    unsupported_as_varchar: bool = False,
 ) -> Optional[Block]:
     """Read one block; None at EOF or on the 0-row end marker
     (reference lib.rs:215-224). ``columns`` projects: payloads of
@@ -706,7 +713,7 @@ def read_block(
     for _ in range(n_cols):
         name = read_str(buf)
         type_str = read_str(buf)
-        t = parse_type(type_str)
+        t = parse_type(type_str, unsupported_as_varchar=unsupported_as_varchar)
         if columns is not None and name not in columns:
             skip_column(buf, t, n_rows)
             continue
@@ -723,12 +730,17 @@ def iter_blocks(
     columns: Optional[set[str]] = None,
     scrub_strings: bool = False,
     lossy_uint64: bool = False,
+    unsupported_as_varchar: bool = False,
 ) -> Iterator[Block]:
     """Lazy block iterator — bounded memory, unlike the reference's
     whole-file materialization (lib.rs:274)."""
     while True:
         blk = read_block(
-            buf, columns=columns, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64
+            buf,
+            columns=columns,
+            scrub_strings=scrub_strings,
+            lossy_uint64=lossy_uint64,
+            unsupported_as_varchar=unsupported_as_varchar,
         )
         if blk is None:
             return
@@ -736,18 +748,17 @@ def iter_blocks(
 
 
 def read_file_schema(
-    path: str, *, compression: str = "auto"
+    path: str, *, compression: str = "auto", unsupported_as_varchar: bool = False
 ) -> list[tuple[str, CHType]]:
     """Parse only the FIRST block's headers — schema discovery without
     a full file parse (fixes the reference's parse-twice lifecycle,
     lib.rs:251+274). Column payloads before later headers are skipped
     bytewise. Transparently unwraps compressed frames (compress.py)."""
+    from ..filesystem import open_input
     from .compress import maybe_compressed_reader
 
-    with open(path, "rb") as f:
-        buf = maybe_compressed_reader(
-            io.BufferedReader(f, buffer_size=1 << 16), compression=compression
-        )
+    with open_input(path, buffer_size=1 << 16) as f:
+        buf = maybe_compressed_reader(f, compression=compression)
         hdr = read_block_header(buf)
         if hdr is None:
             return []
@@ -755,7 +766,7 @@ def read_file_schema(
         out: list[tuple[str, CHType]] = []
         for _ in range(n_cols):
             name = read_str(buf)
-            t = parse_type(read_str(buf))
+            t = parse_type(read_str(buf), unsupported_as_varchar=unsupported_as_varchar)
             out.append((name, t))
             skip_column(buf, t, n_rows)
         return out
@@ -772,10 +783,11 @@ def scan_block_offsets(path: str) -> list[tuple[int, int]]:
     past EOF, so fixed-width skips must be validated against the file
     size — a block only counts if it ends at tell() <= size.
     """
+    from ..filesystem import file_size, open_input
+
     out: list[tuple[int, int]] = []
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        buf = io.BufferedReader(f, buffer_size=1 << 20)
+    size = file_size(path)
+    with open_input(path) as buf:
         while True:
             pos = buf.tell()
             try:

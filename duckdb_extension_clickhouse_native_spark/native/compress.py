@@ -394,7 +394,9 @@ def maybe_compressed_reader(
 
 def is_compressed_file(path: str) -> bool:
     """Cheap head-probe: does this file carry compressed frames?"""
-    with open(path, "rb") as f:
+    from ..filesystem import open_input
+
+    with open_input(path, buffer_size=1 << 10) as f:
         head = f.read(CHECKSUM_SIZE + HEADER_SIZE)
     if len(head) < CHECKSUM_SIZE + HEADER_SIZE:
         return False

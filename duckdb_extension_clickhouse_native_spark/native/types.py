@@ -130,12 +130,14 @@ def _split_top_level(params: str) -> list[str]:
     return parts
 
 
-def parse_type(type_str: str) -> CHType:
+def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType:
     """Parse a ClickHouse type string into a CHType tree.
 
     Like the reference (lib.rs:106-141): split ``Base(params)`` at the
     first ``(`` then dispatch on the base name — but recursive for
-    wrapper types.
+    wrapper types. ``unsupported_as_varchar=True`` reproduces the
+    reference's placeholder behavior for unknown types (see below);
+    the default raises ``UnsupportedTypeError``.
     """
     s = type_str.strip()
     if "(" in s and s.endswith(")"):
@@ -221,6 +223,14 @@ def parse_type(type_str: str) -> CHType:
         return t
     if base in FIXED_WIDTH or base in ("String", "UUID", "IPv4", "IPv6"):
         return t
+    if unsupported_as_varchar:
+        # reference-compat mode (lib.rs:168-170): represent the column
+        # as a '<unsupported:T>' varchar placeholder instead of raising.
+        # Like the reference, this does NOT consume the column's payload
+        # bytes (their length is unknowable for an unknown type), so the
+        # stream desynchronizes unless the column is last — which is why
+        # raising remains the default.
+        return CHType("Unsupported", params=type_str)
     raise UnsupportedTypeError(f"unsupported ClickHouse type: {type_str!r}")
 
 
@@ -231,6 +241,8 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
     lossy for UInt64; ours is lossless by default.
     """
     b = t.base
+    if b == "Unsupported":
+        return pa.string()  # '<unsupported:T>' placeholder (lib.rs:168-170)
     if b in ("String", "FixedString", "UUID", "IPv4", "IPv6"):
         return pa.string()
     if b in ("Enum8", "Enum16"):

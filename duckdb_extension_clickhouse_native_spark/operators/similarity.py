@@ -88,11 +88,41 @@ def cosine_topk_sql(
     """
 
 
+def signlsh_dims_for(
+    n_vectors: int, target_occupancy: int = 1024, max_dims: int = DIM
+) -> int:
+    """Bucket-count sizing for sign-LSH at scale: pick ``sign_dims`` so
+    the EXPECTED bucket occupancy ``n / 2^dims`` stays at or below
+    ``target_occupancy`` — which bounds the in-bucket pair join at
+    ~C(target, 2) comparisons per bucket regardless of corpus size (the
+    same reducer-bounding idea as the ngram-Jaccard df-cap).
+
+    A fixed ``sign_dims=10`` (1024 buckets) is fine for conformance
+    corpora but quadratic-per-bucket at 100 TB: 10^10 vectors / 1024
+    buckets ~ 10^7 per bucket -> 10^13 pairs per reducer. With this
+    sizing, 10^10 vectors -> sign_dims 24 (16.7M buckets, ~600
+    vectors/bucket). Dims are capped at the embedding dimensionality
+    (one hyperplane per leading dimension); corpora needing more than
+    2^DIM buckets should band multiple hyperplane sets instead.
+    """
+    import math
+
+    if n_vectors <= target_occupancy:
+        return min(10, max_dims)
+    dims = math.ceil(math.log2(n_vectors / target_occupancy))
+    return max(10, min(dims, max_dims))
+
+
 def signlsh_pairs_sql(dialect: str, sign_dims: int = 10, threshold: float = 0.4, dim: int = DIM) -> str:
     """Near-duplicate embedding pairs: sign-LSH bucket (2^sign_dims
     buckets from the signs of the leading dimensions) then exact cosine
     within each bucket. The sign of a float is exact, so bucket
-    assignment is engine-independent."""
+    assignment is engine-independent.
+
+    ``sign_dims`` must scale with the corpus (see ``signlsh_dims_for``):
+    the conformance default of 10 suits the 500-vector test corpus; at
+    100 TB pass ``signlsh_dims_for(n)`` so per-bucket pair joins stay
+    bounded."""
     d_elem = (lambda arr, i: f"element_at({arr}, {i})") if dialect == "spark" else (
         lambda arr, i: f"{arr}[{i}]"
     )

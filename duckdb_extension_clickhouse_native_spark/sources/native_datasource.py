@@ -32,6 +32,10 @@ Options:
     lossy_uint64    'true' -> reference-compatible UInt64->Int32
                     truncation (lib.rs:336-344); default lossless Int64
     scrub_strings   'true' -> strip NUL/U+FFFD like lib.rs:68-76
+    unsupported_as_varchar  'true' -> unknown column types become
+                    '<unsupported:T>' varchar placeholders like
+                    lib.rs:168-170 (payload bytes are NOT consumed, so
+                    only safe when that column is last); default raises
     split_blocks    'true' -> split files into block-range partitions
                     (driver does one header-scan pass per file)
     target_partition_bytes  approx bytes per partition when splitting
@@ -93,19 +97,11 @@ FORMAT_NAME = "clickhouse_native"
 
 
 def _resolve_paths(path: str) -> list[str]:
-    if os.path.isdir(path):
-        out = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".clickhouse") or f.endswith(".native") or f.endswith(".bin")
-        )
-        if not out:
-            out = sorted(
-                os.path.join(path, f) for f in os.listdir(path) if not f.startswith("_")
-            )
-        return out
-    hits = sorted(globmod.glob(path))
-    return hits if hits else [path]
+    # local fast path + pyarrow.fs for object-store/HDFS URIs — see
+    # duckdb_extension_clickhouse_native_spark/filesystem.py
+    from ..filesystem import resolve_paths
+
+    return resolve_paths(path)
 
 
 def _ch_to_spark(t) -> DataType:
@@ -135,6 +131,8 @@ def _ch_to_spark(t) -> DataType:
     }
     if b in m:
         return m[b]
+    if b == "Unsupported":
+        return StringType()  # '<unsupported:T>' placeholder (lib.rs:168-170)
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
         return DecimalType(t.fixed_len, t.scale)
     if b == "Array":
@@ -172,6 +170,9 @@ class ClickHouseNativeReader(DataSourceReader):
         if cols_opt:
             self.columns = {c.strip() for c in cols_opt.split(",")}
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
+        self.unsupported_as_varchar = (
+            str(options.get("unsupported_as_varchar", "false")).lower() == "true"
+        )
         self.scrub_strings = str(options.get("scrub_strings", "false")).lower() == "true"
         self.compression = str(options.get("compression", "auto")).lower()
         self.verify_checksum = (
@@ -227,7 +228,9 @@ class ClickHouseNativeReader(DataSourceReader):
                 parts.append(NativeFilePartition(p))
                 continue
             offsets = scan_block_offsets(p)
-            size = os.path.getsize(p)
+            from ..filesystem import file_size
+
+            size = file_size(p)
             if not offsets:
                 continue
             # group consecutive blocks into ~target_bytes ranges
@@ -277,14 +280,16 @@ class ClickHouseNativeReader(DataSourceReader):
         target = self._arrow_schema()
         from ..native.compress import maybe_compressed_reader
 
-        with open(partition.path, "rb") as f:
+        from ..filesystem import open_input
+
+        with open_input(partition.path) as f:
             if partition.start_offset:
                 # block-split partitions only exist for uncompressed files
                 f.seek(partition.start_offset)
-                buf = io.BufferedReader(f, buffer_size=1 << 20)
+                buf = f
             else:
                 buf = maybe_compressed_reader(
-                    io.BufferedReader(f, buffer_size=1 << 20),
+                    f,
                     compression=self.compression,
                     verify_checksum=self.verify_checksum,
                 )
@@ -294,6 +299,7 @@ class ClickHouseNativeReader(DataSourceReader):
                 columns=want,
                 scrub_strings=self.scrub_strings,
                 lossy_uint64=self.lossy_uint64,
+                unsupported_as_varchar=self.unsupported_as_varchar,
             ):
                 batch = blk.to_record_batch()
                 # align column order + types with the declared schema
@@ -449,10 +455,11 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
         from ..native.codec import read_block_header, read_str, skip_column
         from ..native.types import parse_type
 
+        from ..filesystem import open_input
+
         last_pos, _ = offsets[-1]
-        with open(p, "rb") as f:
-            f.seek(last_pos)
-            buf = _io.BufferedReader(f, buffer_size=1 << 20)
+        with open_input(p) as buf:
+            buf.seek(last_pos)
             hdr = read_block_header(buf)
             n_cols, n_rows = hdr
             for _ in range(n_cols):
@@ -585,6 +592,10 @@ class ClickHouseNativeDataSource(DataSource):
         cols = read_file_schema(
             paths[0],
             compression=str(self.options.get("compression", "auto")).lower(),
+            unsupported_as_varchar=(
+                str(self.options.get("unsupported_as_varchar", "false")).lower()
+                == "true"
+            ),
         )
         lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
         want = None
