@@ -20,12 +20,16 @@ __version__ = "0.1.0"
 
 def register(spark) -> None:
     """Register both data sources on a SparkSession — the analogue of
-    the reference's extension_entrypoint (lib.rs:368-373)."""
+    the reference's extension_entrypoint (lib.rs:368-373) — plus the
+    ``clickhouse_native(path)`` / ``clickhouse_scan(query)`` SQL table
+    functions matching the reference's invocation shape (lib.rs:363-365)."""
     from .sources.native_datasource import ClickHouseNativeDataSource
     from .sources.scan_datasource import ClickHouseScanDataSource
+    from .sources.table_functions import register_table_functions
 
     spark.dataSource.register(ClickHouseNativeDataSource)
     spark.dataSource.register(ClickHouseScanDataSource)
+    register_table_functions(spark)
 
 
 def get_spark(app_name: str = "chsql-native-spark", cpus: int | None = None):

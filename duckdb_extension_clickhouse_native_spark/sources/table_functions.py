@@ -1,0 +1,147 @@
+"""SQL table-function invocation shape, matching the reference UX.
+
+The reference exposes ``SELECT * FROM clickhouse_native('path')``
+(lib.rs:363-365) and ``clickhouse_scan('query')``
+(clickhouse_scan.rs:47). Spark's Python DataSources are invoked via
+``spark.read.format(...)``, so this module closes the UX gap two ways:
+
+* Python UDTFs registered as ``clickhouse_native(path)`` /
+  ``clickhouse_scan(query)`` — the literal reference syntax works in
+  ``spark.sql`` queries. The UDTF ``analyze()`` hook derives the result
+  schema from the file header / server probe at plan time, exactly like
+  the reference's bind step. This path funnels rows through one Python
+  worker, so it is the convenience shim, not the scale path.
+* ``clickhouse_native_view`` / ``clickhouse_scan_view`` helpers that
+  register a temp view backed by the real DataSource (full pushdown,
+  per-file parallelism) — the scale path, one call.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _native_schema(path: str):
+    from pyspark.sql.types import StructField, StructType
+
+    from ..filesystem import resolve_paths
+    from ..native.codec import read_file_schema
+    from .native_datasource import _ch_to_spark
+
+    first = resolve_paths(path)[0]
+    return StructType(
+        [
+            StructField(name, _ch_to_spark(t), True)
+            for name, t in read_file_schema(first)
+        ]
+    )
+
+
+def make_native_udtf():
+    """UDTF class for ``clickhouse_native(path)`` — schema resolved
+    from the file header at analyze time."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ClickHouseNativeUDTF:
+        @staticmethod
+        def analyze(path: AnalyzeArgument) -> AnalyzeResult:
+            if path.value is None:
+                raise ValueError(
+                    "clickhouse_native(path) requires a literal path string"
+                )
+            return AnalyzeResult(schema=_native_schema(str(path.value)))
+
+        def eval(self, path: str) -> Iterator[tuple]:
+            from ..filesystem import open_input, resolve_paths
+            from ..native.codec import iter_blocks
+            from ..native.compress import maybe_compressed_reader
+
+            for p in resolve_paths(path):
+                with open_input(p) as f:
+                    buf = maybe_compressed_reader(f)
+                    for blk in iter_blocks(buf):
+                        for row in blk.to_record_batch().to_pylist():
+                            yield tuple(row.values())
+
+    return udtf(ClickHouseNativeUDTF)
+
+
+def make_scan_udtf():
+    """UDTF class for ``clickhouse_scan(query)`` — schema via the
+    zero-row server probe, rows over the negotiated transport."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from .http_client import make_client, resolve_connection, schema_probe_query
+    from .native_datasource import _ch_to_spark
+
+    class ClickHouseScanUDTF:
+        @staticmethod
+        def analyze(
+            query: AnalyzeArgument, url: Optional[AnalyzeArgument] = None
+        ) -> AnalyzeResult:
+            if query.value is None:
+                raise ValueError(
+                    "clickhouse_scan(query[, url]) requires a literal SQL string"
+                )
+            opts = {"url": str(url.value)} if url is not None and url.value else {}
+            client = make_client(resolve_connection(opts))
+            try:
+                pairs = client.probe_schema(schema_probe_query(str(query.value)))
+            except Exception:
+                pairs = client.probe_schema(str(query.value))
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(n, _ch_to_spark(t), True) for n, t in pairs]
+                )
+            )
+
+        def eval(self, query: str, url: Optional[str] = None) -> Iterator[tuple]:
+            opts = {"url": url} if url else {}
+            client = make_client(resolve_connection(opts))
+            for blk in client.execute_blocks(query):
+                for row in blk.to_record_batch().to_pylist():
+                    yield tuple(row.values())
+
+    return udtf(ClickHouseScanUDTF)
+
+
+def register_table_functions(spark: SparkSession) -> None:
+    """Make ``SELECT * FROM clickhouse_native('p')`` /
+    ``clickhouse_scan('q')`` work in spark.sql (reference lib.rs:363-365)."""
+    spark.udtf.register("clickhouse_native", make_native_udtf())
+    spark.udtf.register("clickhouse_scan", make_scan_udtf())
+
+
+def clickhouse_native_view(
+    spark: SparkSession,
+    path: str,
+    view_name: str = "clickhouse_native_data",
+    **options: str,
+) -> DataFrame:
+    """Temp view over the real DataSource (scale path): one call, then
+    plain SQL. Returns the backing DataFrame."""
+    reader = spark.read.format("clickhouse_native")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    df.createOrReplaceTempView(view_name)
+    return df
+
+
+def clickhouse_scan_view(
+    spark: SparkSession,
+    query: str,
+    view_name: str = "clickhouse_scan_data",
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.format("clickhouse_scan").option("query", query)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    df.createOrReplaceTempView(view_name)
+    return df

@@ -1,0 +1,69 @@
+"""SQL table-function invocation shape (reference lib.rs:363-365):
+``SELECT * FROM clickhouse_native('path')`` / ``clickhouse_scan('q')``
+via Python UDTFs with plan-time schema resolution, plus the
+DataSource-backed view helpers (the scale path)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def native_file(tmp_path_factory):
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    p = tmp_path_factory.mktemp("tf") / "orders.clickhouse"
+    t = pq.read_table(f"{SF_SMALL}/orders.parquet")
+    write_native_file(str(p), t, block_rows=500)
+    return str(p)
+
+
+def test_udtf_native_agg(spark, native_file):
+    row = spark.sql(
+        f"SELECT count(*) AS n, max(o_orderkey) AS mx "
+        f"FROM clickhouse_native('{native_file}')"
+    ).collect()[0]
+    assert (row.n, row.mx) == (1500, 1499)
+
+
+def test_udtf_native_schema_at_plan_time(spark, native_file):
+    df = spark.sql(f"SELECT * FROM clickhouse_native('{native_file}')")
+    assert "o_orderkey" in df.columns and "o_totalprice" in df.columns
+
+
+def test_udtf_native_requires_literal(spark, native_file):
+    with pytest.raises(Exception, match="literal|foldable|constant"):
+        spark.sql(
+            "SELECT * FROM clickhouse_native(CAST(rand() AS STRING))"
+        ).collect()
+
+
+def test_udtf_scan_remote(spark):
+    # env vars don't reach Spark's separate planner/executor Python
+    # workers, so the URL rides as the optional second literal argument
+    # (the reference similarly accepts explicit connection params)
+    from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
+        mock_clickhouse_tcp_url,
+    )
+
+    url = mock_clickhouse_tcp_url(SF_SMALL)
+    row = spark.sql(
+        "SELECT * FROM clickhouse_scan("
+        f"'SELECT COUNT(*) AS n FROM orders', '{url}')"
+    ).collect()[0]
+    assert row.n == 1500
+
+
+def test_view_helpers(spark, native_file):
+    from duckdb_extension_clickhouse_native_spark.sources.table_functions import (
+        clickhouse_native_view,
+    )
+
+    df = clickhouse_native_view(spark, native_file, "tf_orders_view")
+    assert df.count() == 1500
+    assert spark.sql("SELECT COUNT(*) AS n FROM tf_orders_view").collect()[0].n == 1500
