@@ -156,6 +156,80 @@ def test_scan_datasource_over_tcp(spark):
     assert df.schema["o_orderkey"].dataType.typeName() == "long"
 
 
+@pytest.fixture(scope="module")
+def tls_tcp_server(tmp_path_factory):
+    """Mock TCP server wrapped in TLS with a self-signed cert — the
+    9440-style secure transport (reference README.md:22)."""
+    import datetime
+    import socketserver
+    import ssl
+    import threading
+
+    import duckdb
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    d = tmp_path_factory.mktemp("tls")
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(days=1))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .sign(key, hashes.SHA256())
+    )
+    certfile, keyfile = str(d / "cert.pem"), str(d / "key.pem")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMALL}/orders.parquet'")
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+
+    class TLSServer(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+        def get_request(self):
+            sock, addr = super().get_request()
+            return ctx.wrap_socket(sock, server_side=True), addr
+
+    srv = TLSServer(("127.0.0.1", 0), build_tcp_handler(con))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv.server_address
+
+
+def test_tls_select(tls_tcp_server):
+    host, port = tls_tcp_server
+    # self-signed cert -> verify=False (a real deployment pins a CA)
+    c = ClickHouseTCPClient(host, port, secure=True, verify=False)
+    blocks = list(c.execute_blocks("SELECT COUNT(*) AS n FROM orders"))
+    assert blocks[0].to_record_batch().to_pydict()["n"] == [1500]
+
+
+def test_tls_verify_on_rejects_self_signed(tls_tcp_server):
+    host, port = tls_tcp_server
+    c = ClickHouseTCPClient(host, port, secure=True, verify=True)
+    with pytest.raises(Exception):
+        c.connect()
+
+
 def test_scan_datasource_tcp_split(spark):
     from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
         mock_clickhouse_tcp_url,
