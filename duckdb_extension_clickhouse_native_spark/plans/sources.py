@@ -649,5 +649,143 @@ REGISTRY.df_query(
 )
 
 
+def _scan_tcp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-way range-partitioned parallel fetch over the native TCP
+    # protocol: one TCP connection per Spark input partition
+    from .base import ensure_session
+    from ..sources.mock_tcp_server import mock_clickhouse_tcp_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_tcp_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+            "WHERE o_totalprice > 100000",
+        )
+        .option("url", url)
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .option("lower_bound", "0")
+        .option("upper_bound", "200000")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_tcp_split",
+    _scan_tcp_split,
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_totalprice > 100000
+    """,
+    tags=["source", "scan", "tcp", "parallel"],
+    description="clickhouse_scan over TCP: 4-way range-partitioned parallel fetch",
+)
+
+
+def _scan_tcp_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INSERT over the native TCP protocol (structure block -> data
+    # blocks -> EndOfStream), then read the table back — the write path
+    # the reference does not have, over the transport it does.
+    import uuid as _uuid
+
+    from .base import ensure_session
+    from ..sources.http_client import make_client, resolve_connection
+    from ..sources.mock_tcp_server import mock_clickhouse_tcp_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_tcp_url(sf_dir)
+    table = f"rt_{_uuid.uuid4().hex[:12]}"
+    admin = make_client(resolve_connection({"url": url}))
+    list(admin.execute_blocks(f"CREATE TABLE {table} (k BIGINT, v VARCHAR)"))
+    src = (
+        load_tables(spark, sf_dir, ["orders"])["orders"]
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.col("o_orderstatus").alias("v"),
+        )
+    )
+    (
+        src.repartition(2)
+        .write.format("clickhouse_scan")
+        .option("url", url)
+        .option("table", table)
+        .mode("append")
+        .save()
+    )
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("url", url)
+        .option("query", f"SELECT k, v FROM {table}")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_tcp_write_roundtrip",
+    _scan_tcp_write_roundtrip,
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS v
+    FROM orders WHERE o_orderkey < 200
+    """,
+    tags=["source", "scan", "tcp", "write"],
+    description="TCP INSERT streaming (write path) then read-back, vs the source rows",
+)
+
+
+def _native_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming over the Native file source: the fixture dir
+    # is consumed as micro-batches (one file per trigger), drained to
+    # completion; final state must equal the batch aggregate exactly.
+    import uuid as _uuid
+
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "orders")
+    stream = (
+        spark.readStream.format("clickhouse_native")
+        .option("maxFilesPerTrigger", "1")
+        .load(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    name = f"native_stream_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+REGISTRY.df_query(
+    "native_stream_agg",
+    _native_stream_agg,
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=["source", "native", "streaming"],
+    description="Structured Streaming over Native files: drained micro-batches == batch group-by",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
