@@ -36,6 +36,7 @@ HEADLINE = [
     "window_topk_per_group",
     "events_sessionize",
     "asof_join_events_orders",
+    "asof_join_window",       # same semantics, pure-window plan (no Python)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

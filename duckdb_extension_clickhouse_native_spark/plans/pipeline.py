@@ -205,6 +205,45 @@ REGISTRY.df_query(
     description="backward as-of join via applyInPandas merge_asof per key",
 )
 
+# Same as-of semantics expressed as pure composition (brief strategy (a)):
+# union both sides, one window sort per user, last-non-null fill. Fully
+# JVM-side / whole-stage-codegen — no Python worker in the path. Order
+# rows sort before event rows at equal timestamps (is_event tie-break),
+# matching merge_asof's backward <= semantics.
+REGISTRY.sql_query(
+    "asof_join_window",
+    """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price
+      FROM orders GROUP BY 1, 2
+    ),
+    unioned AS (
+      SELECT user_id, CAST(order_ts AS TIMESTAMP_NTZ) AS ts, 0 AS is_event,
+             CAST(NULL AS BIGINT) AS event_id, order_ts, price
+      FROM daily
+      UNION ALL
+      SELECT user_id, ts, 1 AS is_event, event_id,
+             CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, ts, is_event, event_id,
+             CAST(last(order_ts, true) OVER w AS TIMESTAMP_NTZ) AS last_order_ts,
+             last(price, true) OVER w AS last_order_price
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_event
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, last_order_ts, last_order_price
+    FROM filled WHERE is_event = 1
+    """,
+    oracle=ASOF_ORACLE_SQL,
+    tables=["events", "orders"],
+    tags=["asof", "join", "window"],
+    description="as-of join as pure window composition (union + last-non-null fill, no Python)",
+)
+
 _sql_pair(
     "events_sessionize",
     sessionize_sql("spark"),
