@@ -1,0 +1,91 @@
+"""Corpus retrieval scoring: BM25 ranking and stratified sampling.
+
+BM25 is the standard lexical relevance score a data pipeline uses for
+query-driven corpus selection ("find docs about X to upsample").
+Shape at scale: token explode -> tf per (doc, term) with the term
+filter applied BEFORE the shuffle (only rows matching query terms
+survive the map side); df and the corpus stats are tiny aggregates
+broadcast back; final score is one shuffle keyed on doc_id over hit
+rows only. The corpus is never shuffled whole.
+
+Float parity: tf/df/doclen are exact integers in both engines; avgdl
+is an exact integer sum divided once; the only transcendental is
+ln(), so the final score is rounded to 6 digits (same double except
+on a ~1e-9-probability rounding boundary — the same rule as
+cosine_topk_fast's shared oracle).
+
+Stratified sampling: exact fraction per (lang, source) stratum via a
+deterministic md5 rank — the per-group analogue of the global
+hash-sample (plans/advanced.py). One window shuffle keyed on the
+stratum; no randomness, so both engines keep identical rows.
+"""
+
+from __future__ import annotations
+
+DEFAULT_TERMS = ("vector", "hash", "window", "stream")
+
+
+def bm25_sql(
+    dialect: str,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """Top-k docs by BM25 over ``terms`` (IDF per Robertson-Sparck
+    Jones with the +1 floor, as in Lucene)."""
+    if dialect == "spark":
+        explode = "SELECT doc_id, explode(split(text, ' ')) AS token FROM documents"
+        dl = "size(split(text, ' '))"
+    else:
+        explode = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        dl = "len(string_split(text, ' '))"
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH inv AS ({explode}),
+    hits AS (SELECT doc_id, token FROM inv WHERE token IN ({term_list})),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY token),
+    doclen AS (SELECT doc_id, {dl} AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(
+               ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * CAST(l.dl AS DOUBLE) / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN df d ON t.token = d.token
+      JOIN doclen l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+def stratified_sample_sql(dialect: str, fraction: float = 0.1) -> str:
+    """Deterministic ``fraction`` sample per (lang, source) stratum:
+    rank by md5(doc_id) inside the stratum, keep ceil(fraction * n)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS {s})), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum
+      FROM documents
+    )
+    SELECT lang, source, doc_id, n_stratum
+    FROM ranked
+    WHERE rn <= CAST(ceil({fraction} * n_stratum) AS BIGINT)
+    """

@@ -21,6 +21,10 @@ from ..functions.multimodal import (
 )
 from ..functions.text import fingerprint_sql, lang_id_sql, quality_sql, token_count_sql
 from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
+from ..operators.components import components_oracle_sql, connected_components
+from ..operators.clustering import kmeans_sql
+from ..operators.decontam import decontaminate_sql
+from ..operators.retrieval import bm25_sql, stratified_sample_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
@@ -242,6 +246,55 @@ REGISTRY.sql_query(
     tables=["events", "orders"],
     tags=["asof", "join", "window"],
     description="as-of join as pure window composition (union + last-non-null fill, no Python)",
+)
+
+# -- decontamination / retrieval / stratified sampling ----------------------
+
+_sql_pair(
+    "decontaminate_ngram",
+    decontaminate_sql("spark"),
+    decontaminate_sql("duckdb"),
+    ["documents"],
+    ["decontam", "ngram"],
+    "benchmark decontamination: n-gram overlap vs eval set (broadcast bench side)",
+)
+
+_sql_pair(
+    "bm25_topk",
+    bm25_sql("spark"),
+    bm25_sql("duckdb"),
+    ["documents"],
+    ["retrieval", "bm25"],
+    "BM25 top-20 for a fixed query (term-filtered map side, hit-only shuffle)",
+)
+
+_sql_pair(
+    "sample_stratified",
+    stratified_sample_sql("spark"),
+    stratified_sample_sql("duckdb"),
+    ["documents"],
+    ["sample", "window"],
+    "exact-fraction deterministic sample per (lang, source) stratum",
+)
+
+_sql_pair(
+    "kmeans_embeddings",
+    kmeans_sql("spark"),
+    kmeans_sql("duckdb"),
+    ["embeddings"],
+    ["clustering", "kmeans", "iterative"],
+    "2-iteration Lloyd k-means in exact fixed-point (hash-comparable clustering)",
+)
+
+# -- dedup cluster assignment (iterative) -----------------------------------
+
+REGISTRY.df_query(
+    "dedup_connected_components",
+    connected_components,
+    oracle=components_oracle_sql(),
+    tags=["dedup", "iterative", "clustering"],
+    description="pair graph -> cluster ids via iterative min-label propagation "
+    "(DataFrame loop, localCheckpoint per round); recursive-CTE oracle",
 )
 
 _sql_pair(

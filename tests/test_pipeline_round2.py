@@ -1,0 +1,92 @@
+"""Round-2 pipeline operators: connected-components clustering,
+decontamination, BM25, stratified sampling, fixed-point k-means.
+
+The oracle sweep (test_queries_oracle) already hash-compares each
+against DuckDB; these tests pin the SEMANTICS that the hash can't
+express — chaining through the pair graph, exact per-stratum
+fractions, k-means partitioning invariants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401 - populates REGISTRY
+from conftest import SF_SMALL
+from duckdb_extension_clickhouse_native_spark.operators.components import (
+    connected_components,
+)
+from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+
+def test_connected_components_chain(spark, tmp_path):
+    """A~B by shared 8-token prefix, B~C by shared token set: all three
+    must land in ONE component even though A and C share no key —
+    the chaining property plain pair-dedup lacks."""
+    texts = [
+        "a b c d e f g h z z",  # doc 0: prefix key of doc 1
+        "a b c d e f g h x y",  # doc 1
+        "y x h g f e d c b a",  # doc 2: token set of doc 1, other prefix
+        "q r s t u v w q r s",  # doc 3: unrelated singleton
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in connected_components(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["component"] == rows[1]["component"] == rows[2]["component"] == 0
+    assert rows[0]["n_members"] == 3
+    assert rows[0]["is_kept"] == 1 and rows[1]["is_kept"] == 0
+    assert rows[3]["component"] == 3 and rows[3]["n_members"] == 1
+
+
+def test_stratified_sample_exact_fraction(spark):
+    q = REGISTRY.all()["sample_stratified"]
+    kept = q.build(spark, SF_SMALL)
+    per_stratum = (
+        kept.groupBy("lang", "source", "n_stratum")
+        .agg(F.count("*").alias("n_kept"))
+        .collect()
+    )
+    assert per_stratum
+    for r in per_stratum:
+        assert r["n_kept"] == math.ceil(0.1 * r["n_stratum"])
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    q = REGISTRY.all()["kmeans_embeddings"]
+    rows = q.build(spark, SF_SMALL).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs  # exact partition
+    assert len(rows) <= 8 and len({r["cid"] for r in rows}) == len(rows)
+    assert all(r["inertia"] >= 0 for r in rows)
+
+
+def test_decontamination_flags_only_train_docs(spark):
+    q = REGISTRY.all()["decontaminate_ngram"]
+    rows = q.build(spark, SF_SMALL).collect()
+    # benchmark docs must never appear in the contamination report
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert all(r["n_shared_ngrams"] >= 1 for r in rows)
+
+
+def test_bm25_scores_ranked_and_bounded(spark):
+    q = REGISTRY.all()["bm25_topk"]
+    rows = q.build(spark, SF_SMALL).collect()
+    assert rows, "bm25 result must be non-empty"
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
