@@ -153,3 +153,32 @@ def test_streaming_stateful_sessions(spark):
     }
     for uid, sess in final.items():
         assert want.get(uid) == sess, uid
+
+
+def test_hex_int_conv_equivalence(spark):
+    """Spark's conv()-based hex->int must equal the DuckDB-side
+    nibble-by-nibble construction for every (offset, width) the dedup
+    family uses — these values feed signatures and buckets, so the two
+    dialects MUST agree bit-for-bit."""
+    from duckdb_extension_clickhouse_native_spark.operators.dedup import (
+        DUCK,
+        SPARK,
+        _hex_int_expr,
+    )
+
+    cases = [(0, 15), (0, 7), (0, 8), (8, 8)]
+    checks = ", ".join(
+        # evaluate the DuckDB nibble formula in Spark: instr and strpos
+        # share semantics, so the template port is mechanical
+        f"SUM(CASE WHEN {_hex_int_expr(SPARK, 'h', off, n)} = "
+        f"{_hex_int_expr(DUCK, 'h', off, n).replace('strpos(', 'instr(')} "
+        f"THEN 1 ELSE 0 END) AS eq_{off}_{n}"
+        for off, n in cases
+    )
+    row = spark.sql(
+        f"SELECT COUNT(*) AS n, {checks} "
+        "FROM (SELECT md5(CAST(id AS STRING)) AS h FROM range(2000)) m"
+    ).collect()[0]
+    assert row["n"] == 2000
+    for off, n in cases:
+        assert row[f"eq_{off}_{n}"] == 2000, (off, n)
