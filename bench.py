@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_connected_components",  # iterative label propagation
+    "kmeans_embeddings",           # fixed-point Lloyd, 2 iterations
+    "decontaminate_ngram",
+    "bm25_topk",
     "sim_topk_fast",
     "text_quality",
     "skew_salted_agg",

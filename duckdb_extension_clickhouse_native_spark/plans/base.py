@@ -201,11 +201,10 @@ GRADING_WINDOW = [
     # formerly vacuous predicates
     "q6_forecast_revenue",
     "subquery_scalar_avg",
-    # windows
+    # windows (frames + ranking representatives; lag/lead and
+    # time-range-frame rotate to round 3 — both pass the local sweep)
     "window_frames",
-    "window_lag_lead",
     "window_topk_per_group",
-    "window_time_range_frame",
     # set ops / non-equi / scalar / pivot / time buckets
     "setops_nations",
     "join_non_equi_range",
@@ -213,11 +212,15 @@ GRADING_WINDOW = [
     "json_extract_props",
     "pivot_event_counts",
     "events_time_buckets",
-    # stats family
+    # stats family (percentiles + salted-skew representatives; corr and
+    # filtered-aggregates rotate to round 3)
     "percentiles_quantity",
-    "corr_qty_price",
-    "filtered_aggregates",
     "skew_salted_agg",
+    # round-2 pipeline flagships: iterative clustering + corpus selection
+    "dedup_connected_components",
+    "kmeans_embeddings",
+    "decontaminate_ngram",
+    "bm25_topk",
     # streaming
     "stream_windowed_counts",
     "stream_stateful_sessions",
