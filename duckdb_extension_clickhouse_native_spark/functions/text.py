@@ -141,3 +141,57 @@ def fingerprint_sql(dialect: str) -> str:
            md5({prefix_join}) AS prefix_fingerprint
     FROM t
     """
+
+
+def repetition_sql(dialect: str) -> str:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1): duplicate-token fraction, top-bigram fraction, duplicate-
+    bigram fraction, plus the composite keep/drop flag. The standard
+    pre-training filter for degenerate/templated text.
+
+    Shape: unigram stats are pure array expressions (map-side, zero
+    shuffle); bigram stats need a per-(doc, bigram) count — one
+    aggregation keyed on doc_id whose partial (map-side combine)
+    collapses each doc's bigrams before the exchange. Spark keys
+    bigrams as xxhash64(t_i, t_{i+1}) (dialect-asymmetry rule: the
+    bigram never reaches the output, only counts do); the DuckDB
+    oracle uses exact strings. Fractions are single divisions of
+    exact integers — engine-identical doubles."""
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    if dialect == "spark":
+        bigrams = (
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> xxhash64(element_at(toks, i), element_at(toks, i + 1)))"
+        )
+        explode_bi = f"SELECT doc_id, explode({bigrams}) AS bg FROM t WHERE size(toks) >= 2"
+    else:
+        bigrams = (
+            "list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])"
+        )
+        explode_bi = f"SELECT doc_id, unnest({bigrams}) AS bg FROM t WHERE len(toks) >= 2"
+    n_tok = d["len"].format(arr="toks")
+    n_uniq = d["len"].format(arr=d["distinct"].format(arr="toks"))
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    uni AS (
+      SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tok,
+             CAST({n_uniq} AS BIGINT) AS n_uniq
+      FROM t
+    ),
+    bi AS ({explode_bi}),
+    bi_counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+    bi_stats AS (
+      SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS max_bi, COUNT(*) AS uniq_bi
+      FROM bi_counts GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           ROUND(1.0 - CAST(u.n_uniq AS DOUBLE) / u.n_tok, 6) AS dup_token_frac,
+           ROUND(COALESCE(CAST(b.max_bi AS DOUBLE) / b.n_bi, 0.0), 6) AS top_bigram_frac,
+           ROUND(COALESCE(1.0 - CAST(b.uniq_bi AS DOUBLE) / b.n_bi, 0.0), 6) AS dup_bigram_frac,
+           CAST(CASE WHEN 1.0 - CAST(u.n_uniq AS DOUBLE) / u.n_tok > 0.7
+                       OR COALESCE(CAST(b.max_bi AS DOUBLE) / b.n_bi, 0.0) > 0.2
+                     THEN 0 ELSE 1 END AS INT) AS keep_flag
+    FROM uni u LEFT JOIN bi_stats b ON u.doc_id = b.doc_id
+    """

@@ -19,11 +19,18 @@ from ..functions.multimodal import (
     media_frames_query,
     media_resize_query,
 )
-from ..functions.text import fingerprint_sql, lang_id_sql, quality_sql, token_count_sql
+from ..functions.text import (
+    fingerprint_sql,
+    lang_id_sql,
+    quality_sql,
+    repetition_sql,
+    token_count_sql,
+)
 from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
 from ..operators.components import components_oracle_sql, connected_components
 from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
+from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import bm25_sql, stratified_sample_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
@@ -165,6 +172,15 @@ _sql_pair(
 )
 
 _sql_pair(
+    "text_repetition",
+    repetition_sql("spark"),
+    repetition_sql("duckdb"),
+    ["documents"],
+    ["text", "quality"],
+    "Gopher repetition signals: dup-token/top-bigram/dup-bigram fractions + keep flag",
+)
+
+_sql_pair(
     "text_fingerprint",
     fingerprint_sql("spark"),
     fingerprint_sql("duckdb"),
@@ -284,6 +300,15 @@ _sql_pair(
     ["embeddings"],
     ["clustering", "kmeans", "iterative"],
     "2-iteration Lloyd k-means in exact fixed-point (hash-comparable clustering)",
+)
+
+REGISTRY.df_query(
+    "pack_sequences",
+    pack_sequences,
+    oracle=packing_oracle_sql(),
+    tags=["packing", "pandas_udf", "stateful"],
+    description="greedy first-fit packing of docs into 512-token context windows, "
+    "per hash shard (applyInPandas); recursive-CTE oracle",
 )
 
 # -- dedup cluster assignment (iterative) -----------------------------------

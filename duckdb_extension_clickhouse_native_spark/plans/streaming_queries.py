@@ -118,5 +118,33 @@ REGISTRY.df_query(
 )
 
 
+def _stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` over the key columns,
+    driven through real micro-batches; the set of emitted keys must
+    equal batch DISTINCT exactly (each key appears once, whichever
+    micro-batch it first arrived in).
+
+    State note: keyed dedup state here is unbounded (fine for the
+    bounded conformance stream); at 100 TB on a real stream use
+    ``dropDuplicatesWithinWatermark`` so state evicts with the event-
+    time watermark — same plan shape, bounded state."""
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _drain(deduped, "append")
+
+
+REGISTRY.df_query(
+    "stream_dedup_keys",
+    _stream_dedup_keys,
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup"],
+    description="streaming dropDuplicates; emitted key set == batch DISTINCT",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

@@ -90,3 +90,58 @@ def test_bm25_scores_ranked_and_bounded(spark):
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_pack_sequences_invariants(spark):
+    q = REGISTRY.all()["pack_sequences"]
+    df = q.build(spark, SF_SMALL)
+    bins = (
+        df.groupBy("shard", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("fill"),
+            F.count("*").alias("n_docs"),
+        )
+        .collect()
+    )
+    assert bins
+    for r in bins:
+        # capacity holds, except a bin holding one oversized doc
+        assert r["fill"] <= 512 or r["n_docs"] == 1, r
+    # bin ids are contiguous from 0 within each shard
+    per_shard = {}
+    for r in bins:
+        per_shard.setdefault(r["shard"], []).append(r["bin_id"])
+    for shard, ids in per_shard.items():
+        assert sorted(ids) == list(range(len(ids))), shard
+    # packing is greedy in doc_id order: bin_id is monotone in doc_id
+    rows = df.orderBy("shard", "doc_id").collect()
+    last = {}
+    for r in rows:
+        assert r["bin_id"] >= last.get(r["shard"], 0)
+        last[r["shard"]] = r["bin_id"]
+
+
+def test_repetition_flags_degenerate_text(spark, tmp_path):
+    """A doc that is one phrase repeated must be dropped; varied text
+    kept."""
+    texts = [
+        "spam spam spam spam spam spam spam spam spam spam",
+        "the quick brown fox jumps over a lazy sleeping dog",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from duckdb_extension_clickhouse_native_spark.functions.text import repetition_sql
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, str(tmp_path), ["documents"])
+    rows = {r["doc_id"]: r for r in spark.sql(repetition_sql("spark")).collect()}
+    assert rows[0]["keep_flag"] == 0 and rows[0]["dup_token_frac"] == 0.9
+    assert rows[1]["keep_flag"] == 1 and rows[1]["dup_token_frac"] == 0.0
