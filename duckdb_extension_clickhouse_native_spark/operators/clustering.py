@@ -49,6 +49,14 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
             f"CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {SCALE}) AS BIGINT) AS xf "
             "FROM embeddings"
         )
+    # Spark-only broadcast hints: the centroid table (k x dim rows) and
+    # the per-vector assignment (1 row/vector vs dim rows/vector in
+    # vecs) are always the small sides — Catalyst's size estimates for
+    # CTE outputs miss this and fall back to sort-merge. DuckDB ignores
+    # hints it never sees (the oracle text simply omits them).
+    h_cent = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    h_best = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
+    h_means = "/*+ BROADCAST(m) */ " if dialect == "spark" else ""
     parts = [
         f"vecs AS ({explode_dims})",
         f"""seeds AS (
@@ -64,7 +72,7 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     ]
     for t in range(iters):
         parts.append(f"""assign{t} AS (
-      SELECT v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
+      SELECT {h_cent}v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
       FROM vecs v JOIN cent{t} c ON v.d = c.d
       GROUP BY v.vec_id, c.cid
     )""")
@@ -79,19 +87,19 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         # truncates toward zero, DuckDB // floors — they disagree on
         # negative sums; FLOOR of the (exact) double agrees everywhere
         parts.append(f"""means{t} AS (
-      SELECT b.cid, v.d,
+      SELECT {h_best}b.cid, v.d,
              CAST(FLOOR(CAST(SUM(v.xf) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cf
       FROM best{t} b JOIN vecs v ON b.vec_id = v.vec_id
       GROUP BY b.cid, v.d
     )""")
         # empty clusters keep their previous centroid (deterministic)
         parts.append(f"""cent{t + 1} AS (
-      SELECT o.cid, o.d, COALESCE(m.cf, o.cf) AS cf
+      SELECT {h_means}o.cid, o.d, COALESCE(m.cf, o.cf) AS cf
       FROM cent{t} o LEFT JOIN means{t} m ON o.cid = m.cid AND o.d = m.d
     )""")
     # final assignment against the post-iteration centroids
     parts.append(f"""assign_final AS (
-      SELECT v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
+      SELECT {h_cent}v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
       FROM vecs v JOIN cent{iters} c ON v.d = c.d
       GROUP BY v.vec_id, c.cid
     )""")
