@@ -7,8 +7,11 @@ training-data pipeline runs after candidate generation (clusters
 chain: A~B, B~C puts A,C in one cluster even if A!~C).
 
 Spark side: iterative min-label propagation with the DataFrame API —
-labels start as own doc_id; each round every node takes the min label
-among itself and its neighbors; stop when no label changed. This is
+labels seed as the per-doc min star root (the first round, folded
+into one SQL window); each round every node takes the min label
+among itself and its neighbors; stop when no label changed (detected
+by the strictly-decreasing decimal label-sum — one scan per round,
+no old-vs-new join). This is
 the genuinely iterative algorithm the brief calls out (no single SQL
 expresses a fixpoint in Spark), so the builder loops on the driver
 while ALL data stays distributed: each round is one shuffle keyed on
@@ -48,7 +51,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _edges_sql(dialect: str) -> str:
+def _star_cte(dialect: str) -> str:
+    """Shared CTE prefix: tokenized docs -> two md5 key families ->
+    per-(doc, key) star root."""
     if dialect == "spark":
         tokens = "split(text, ' ')"
         prefix8 = "concat_ws(' ', slice(toks, 1, 8))"
@@ -66,7 +71,11 @@ def _edges_sql(dialect: str) -> str:
     ),
     star AS (
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS root FROM keyed
-    )
+    )"""
+
+
+def _edges_sql(dialect: str) -> str:
+    return f"""{_star_cte(dialect)}
     SELECT DISTINCT root AS src, doc_id AS dst FROM star WHERE doc_id <> root
     """
 
@@ -93,6 +102,16 @@ def components_oracle_sql() -> str:
     """
 
 
+def _seed_labels_sql(dialect: str) -> str:
+    """Initial label = min star root across both key families — this
+    IS the first propagation round (each doc's only neighbors are its
+    roots, whose initial labels are themselves), computed as one
+    window + groupBy instead of a join round."""
+    return f"""{_star_cte(dialect)}
+    SELECT doc_id AS id, MIN(root) AS label FROM star GROUP BY doc_id
+    """
+
+
 def connected_components(
     spark: SparkSession, sf_dir: str, max_iters: int = 30
 ) -> DataFrame:
@@ -108,9 +127,13 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    labels = spark.table("documents").select(
-        F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = spark.sql(_seed_labels_sql("spark")).localCheckpoint(eager=True)
+    # labels only ever decrease, so the decimal label-sum strictly
+    # decreases iff any label changed — one scan per round instead of
+    # an old-vs-new join (decimal: no overflow at any corpus size)
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
 
     for _ in range(max_iters):
         msgs = (
@@ -123,15 +146,13 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} rounds; "
