@@ -19,12 +19,15 @@ doc_id, the convergence test is a count aggregate, and
 ``localCheckpoint`` truncates the growing lineage each round (at
 cluster scale: ``checkpoint`` to durable storage instead).
 
-Rounds needed = max over components of the eccentricity of its
-min-label node — for dedup graphs (dense near-cliques from shared
-fingerprints) a handful. For adversarially long path graphs the
-O(log n) alternating large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond") drops in with the
-same per-round join shape.
+Each round pairs the propagation step with a pointer-jump (path
+halving) — label <- label's label — so label chains contract
+exponentially and rounds are O(log diameter) rather than
+O(diameter): a CHAINED near-dup corpus (doc i ~ doc i+1, the
+adversarial case for plain propagation) converges in ~log2(n)
+rounds (pinned by test_connected_components_long_chain). This is
+the same acceleration idea as alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond")
+with a simpler per-round shape: one neighbor join + one self join.
 
 Oracle: DuckDB recursive CTE computing min reachable label over the
 symmetric edge closure — exact fixpoint semantics, feasible at oracle
@@ -136,16 +139,37 @@ def connected_components(
     ).collect()[0]["s"]
 
     for _ in range(max_iters):
+        # (1) propagate: min label over self + neighbors
         msgs = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # truncate lineage per round
+        prop = (
+            labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
         )
+        # (2) pointer-jump (path halving): label <- label's label.
+        # Plain propagation needs O(diameter) rounds — a chained
+        # near-dup corpus (doc i ~ doc i+1) makes that O(n). The jump
+        # contracts label chains exponentially, so rounds are
+        # O(log diameter); every label value is itself a doc id, so
+        # the self-join always finds its row (left join for safety).
+        jumped = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("id").alias("label"), F.col("label").alias("label2")
+                ).alias("b"),
+                "label",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("label2", "label")).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)  # truncate lineage
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -155,8 +179,7 @@ def connected_components(
         prev_sum = new_sum
     else:
         raise RuntimeError(
-            f"label propagation did not converge in {max_iters} rounds; "
-            "use large-star/small-star for high-diameter graphs"
+            f"label propagation did not converge in {max_iters} rounds"
         )
 
     sized = labels.groupBy("label").agg(F.count("*").alias("n_members"))

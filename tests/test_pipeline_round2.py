@@ -145,3 +145,44 @@ def test_repetition_flags_degenerate_text(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql(repetition_sql("spark")).collect()}
     assert rows[0]["keep_flag"] == 0 and rows[0]["dup_token_frac"] == 0.9
     assert rows[1]["keep_flag"] == 1 and rows[1]["dup_token_frac"] == 0.0
+
+
+def test_connected_components_long_chain(spark, tmp_path):
+    """Adversarial chain: doc i ~ doc i+1 only (alternating prefix /
+    token-set keys), a path graph of 40 docs. Plain propagation would
+    need ~40 rounds; the pointer-jump loop must converge inside
+    max_iters=10 (~log2) and still produce ONE component."""
+    n = 40
+    texts = []
+    prefix = [f"p0w{j}" for j in range(8)]
+    tail_i = 0
+    for i in range(n):
+        if i == 0:
+            toks = prefix + [f"t{tail_i}"]
+        elif i % 2 == 1:
+            # prefix edge with doc i-1: same first 8 tokens, new tail
+            tail_i += 1
+            toks = prefix + [f"t{tail_i}"]
+        else:
+            # token-set edge with doc i-1: same tokens, rotated (new
+            # first-8 => no prefix edge), establishing the next prefix
+            prev = texts[-1].split(" ")
+            toks = prev[::-1]
+            prefix = toks[:8]
+            # break the set-equality with the NEXT odd doc by adding
+            # nothing — the next odd doc reuses this prefix + new tail
+        texts.append(" ".join(toks))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = connected_components(spark, str(tmp_path), max_iters=10).collect()
+    comps = {r["component"] for r in rows}
+    assert comps == {0}, f"expected one chain component, got {sorted(comps)[:5]}"
+    assert all(r["n_members"] == n for r in rows)
