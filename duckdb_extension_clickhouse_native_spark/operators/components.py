@@ -115,22 +115,20 @@ def _seed_labels_sql(dialect: str) -> str:
     """
 
 
-def connected_components(
-    spark: SparkSession, sf_dir: str, max_iters: int = 30
+def propagate_min_labels(
+    edges: DataFrame, seed_labels: DataFrame, max_iters: int = 30
 ) -> DataFrame:
-    """Per-doc cluster assignment: (doc_id, component, n_members,
-    is_kept) where component = min doc_id reachable in the near-dup
-    graph and is_kept marks the canonical survivor."""
-    from ..plans.base import load_tables
-
-    load_tables(spark, sf_dir, ["documents"])
-    edges = spark.sql(_edges_sql("spark"))
+    """Generic accelerated min-label propagation: ``edges`` (src, dst)
+    undirected-as-given, ``seed_labels`` (id, label) covering every
+    node. Returns the fixpoint labels (id, label) = each node's
+    component minimum. Used by both document CC and embedding
+    semantic-dedup clustering."""
     # symmetric closure: propagation must flow both directions
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    labels = spark.sql(_seed_labels_sql("spark")).localCheckpoint(eager=True)
+    labels = seed_labels.localCheckpoint(eager=True)
     # labels only ever decrease, so the decimal label-sum strictly
     # decreases iff any label changed — one scan per round instead of
     # an old-vs-new join (decimal: no overflow at any corpus size)
@@ -181,12 +179,17 @@ def connected_components(
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} rounds"
         )
+    return labels
 
+
+def _cluster_report(labels: DataFrame, id_name: str) -> DataFrame:
+    """(id, label) fixpoint -> (id_name, component, n_members,
+    is_kept)."""
     sized = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
         labels.join(sized, "label")
         .select(
-            F.col("id").alias("doc_id"),
+            F.col("id").alias(id_name),
             F.col("label").alias("component"),
             "n_members",
             F.when(F.col("id") == F.col("label"), 1).otherwise(0)
@@ -194,3 +197,74 @@ def connected_components(
             .alias("is_kept"),
         )
     )
+
+
+def connected_components(
+    spark: SparkSession, sf_dir: str, max_iters: int = 30
+) -> DataFrame:
+    """Per-doc cluster assignment: (doc_id, component, n_members,
+    is_kept) where component = min doc_id reachable in the near-dup
+    graph and is_kept marks the canonical survivor."""
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    edges = spark.sql(_edges_sql("spark"))
+    seeds = spark.sql(_seed_labels_sql("spark"))
+    labels = propagate_min_labels(edges, seeds, max_iters)
+    return _cluster_report(labels, "doc_id")
+
+
+SEMANTIC_THRESHOLD = 0.2  # synthetic embeddings are near-orthogonal;
+# real corpora use ~0.9 — the threshold only scales the pair count
+
+
+def semantic_clusters_oracle_sql(threshold: float = SEMANTIC_THRESHOLD) -> str:
+    """Recursive-CTE fixpoint over the sign-LSH pair graph — the exact
+    composition the Spark side runs (LSH pairs are engine-identical:
+    fixed-point cosine, no hashing)."""
+    from .similarity import signlsh_pairs_cte
+
+    return f"""
+    WITH RECURSIVE {signlsh_pairs_cte("duckdb", threshold=threshold)},
+    sym AS (
+      SELECT vec_a AS src, vec_b AS dst FROM lsh_pairs
+      UNION SELECT vec_b, vec_a FROM lsh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+    ),
+    comp AS (SELECT id AS vec_id, MIN(label) AS component FROM reach GROUP BY id),
+    sized AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+    SELECT c.vec_id, c.component, s.n_members,
+           CAST(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM comp c JOIN sized s ON c.component = s.component
+    """
+
+
+def semantic_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMANTIC_THRESHOLD,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Semantic dedup end-to-end: sign-LSH near-dup embedding pairs ->
+    connected components -> per-vector cluster assignment (vec_id,
+    component, n_members, is_kept). The 'keep one per semantic
+    cluster' decision a pipeline runs after embedding near-dup mining;
+    transitive by construction (A~B, B~C clusters A,C together even
+    when A,C share no LSH bucket)."""
+    from ..plans.base import load_tables
+    from .similarity import signlsh_pairs_sql
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    pairs = spark.sql(signlsh_pairs_sql("spark", threshold=threshold))
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    seeds = spark.table("embeddings").select(
+        F.col("vec_id").alias("id"), F.col("vec_id").alias("label")
+    )
+    labels = propagate_min_labels(edges, seeds, max_iters)
+    return _cluster_report(labels, "vec_id")

@@ -113,16 +113,12 @@ def signlsh_dims_for(
     return max(10, min(dims, max_dims))
 
 
-def signlsh_pairs_sql(dialect: str, sign_dims: int = 10, threshold: float = 0.4, dim: int = DIM) -> str:
-    """Near-duplicate embedding pairs: sign-LSH bucket (2^sign_dims
-    buckets from the signs of the leading dimensions) then exact cosine
-    within each bucket. The sign of a float is exact, so bucket
-    assignment is engine-independent.
-
-    ``sign_dims`` must scale with the corpus (see ``signlsh_dims_for``):
-    the conformance default of 10 suits the 500-vector test corpus; at
-    100 TB pass ``signlsh_dims_for(n)`` so per-bucket pair joins stay
-    bounded."""
+def signlsh_pairs_cte(dialect: str, sign_dims: int = 10, threshold: float = 0.4, dim: int = DIM) -> str:
+    """The sign-LSH pair pipeline as a CTE-list fragment
+    (``bucketed AS (...), lsh_pairs AS (...)``) so composites — e.g.
+    the semantic-dedup clustering oracle — can embed it inside their
+    own WITH clause. ``lsh_pairs`` has (vec_a, vec_b, cosine), already
+    threshold-filtered."""
     d_elem = (lambda arr, i: f"element_at({arr}, {i})") if dialect == "spark" else (
         lambda arr, i: f"{arr}[{i}]"
     )
@@ -133,18 +129,33 @@ def signlsh_pairs_sql(dialect: str, sign_dims: int = 10, threshold: float = 0.4,
     dot = _dot_expr(dialect, "a.embedding", "b.embedding", dim)
     na = _dot_expr(dialect, "a.embedding", "a.embedding", dim)
     nb = _dot_expr(dialect, "b.embedding", "b.embedding", dim)
-    return f"""
-    WITH bucketed AS (
+    return f"""bucketed AS (
       SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
     ),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             ROUND(CAST({dot} AS DOUBLE) /
-             (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 12) AS cosine
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+    lsh_pairs AS (
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(CAST({dot} AS DOUBLE) /
+               (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 12) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) scored WHERE cosine >= {threshold}
+    )"""
+
+
+def signlsh_pairs_sql(dialect: str, sign_dims: int = 10, threshold: float = 0.4, dim: int = DIM) -> str:
+    """Near-duplicate embedding pairs: sign-LSH bucket (2^sign_dims
+    buckets from the signs of the leading dimensions) then exact cosine
+    within each bucket. The sign of a float is exact, so bucket
+    assignment is engine-independent.
+
+    ``sign_dims`` must scale with the corpus (see ``signlsh_dims_for``):
+    the conformance default of 10 suits the 500-vector test corpus; at
+    100 TB pass ``signlsh_dims_for(n)`` so per-bucket pair joins stay
+    bounded."""
+    return f"""
+    WITH {signlsh_pairs_cte(dialect, sign_dims, threshold, dim)}
+    SELECT vec_a, vec_b, cosine FROM lsh_pairs
     """
 
 

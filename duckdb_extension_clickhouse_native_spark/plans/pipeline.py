@@ -27,7 +27,12 @@ from ..functions.text import (
     token_count_sql,
 )
 from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
-from ..operators.components import components_oracle_sql, connected_components
+from ..operators.components import (
+    components_oracle_sql,
+    connected_components,
+    semantic_clusters,
+    semantic_clusters_oracle_sql,
+)
 from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
@@ -312,6 +317,15 @@ REGISTRY.df_query(
 )
 
 # -- dedup cluster assignment (iterative) -----------------------------------
+
+REGISTRY.df_query(
+    "dedup_semantic_clusters",
+    semantic_clusters,
+    oracle=semantic_clusters_oracle_sql(),
+    tags=["dedup", "similarity", "iterative", "clustering"],
+    description="semantic dedup end-to-end: sign-LSH pairs -> connected components "
+    "-> keep-one-per-cluster assignment; recursive-CTE oracle",
+)
 
 REGISTRY.df_query(
     "dedup_connected_components",

@@ -186,3 +186,31 @@ def test_connected_components_long_chain(spark, tmp_path):
     comps = {r["component"] for r in rows}
     assert comps == {0}, f"expected one chain component, got {sorted(comps)[:5]}"
     assert all(r["n_members"] == n for r in rows)
+
+
+def test_semantic_clusters_transitive_over_pairs(spark):
+    """Every sign-LSH pair must land in one cluster, and clusters are
+    transitive closures (some have >2 members even though LSH pairs
+    are binary)."""
+    from duckdb_extension_clickhouse_native_spark.operators.components import (
+        SEMANTIC_THRESHOLD,
+        semantic_clusters,
+    )
+    from duckdb_extension_clickhouse_native_spark.operators.similarity import (
+        signlsh_pairs_sql,
+    )
+
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in semantic_clusters(spark, SF_SMALL).collect()
+    }
+    pairs = spark.sql(
+        signlsh_pairs_sql("spark", threshold=SEMANTIC_THRESHOLD)
+    ).collect()
+    assert pairs, "threshold must produce pairs at sf0.001"
+    for p in pairs:
+        assert comp[p["vec_a"]] == comp[p["vec_b"]]
+    # exactly one keeper per component
+    n_components = len(set(comp.values()))
+    kept = sum(1 for v, c in comp.items() if v == c)
+    assert kept == n_components
