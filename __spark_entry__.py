@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted entries (approximate
-    sketches, float BLAS paths) get the driver's rows-only check."""
+    """DuckDB-equivalent SQL per query — every registered query has a
+    real oracle (approximate sketches use bounded-error booleans, float
+    BLAS paths share a rounded exact oracle)."""
     return REGISTRY.oracles()
