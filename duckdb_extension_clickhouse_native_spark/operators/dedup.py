@@ -385,6 +385,96 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) ->
     """
 
 
+def incremental_dedup_sql(
+    dialect: str, delta_mod: int = 5, threshold: float = 0.5, max_df: int = 20
+) -> str:
+    """Incremental (delta-vs-base) dedup — the daily-ingestion shape:
+    new documents (``doc_id % delta_mod == 0``, standing in for an
+    ingest batch) are checked against the existing corpus only; the
+    verdict per delta doc is ``near_dup`` (with its best base match
+    and Jaccard) or ``new``. Delta docs are never compared with each
+    other — that intra-batch pass is ``dedup_ngram_jaccard``'s job.
+
+    Scale shape: in production the base inverted index is a
+    MATERIALIZED table bucketed by shingle (built once, appended per
+    batch); the delta probe joins a small batch against it — the
+    batch side broadcasts, only hit rows shuffle, and the base corpus
+    is never rescanned. Here both sides derive from one corpus scan
+    (conformance), with the same df-cap as dedup_ngram_jaccard
+    bounding every reducer. Spark keys shingles with xxhash64 triples,
+    DuckDB with exact strings (dialect-asymmetry rule — the shingle
+    never reaches the output)."""
+    if dialect == "spark":
+        triples = (
+            "CASE WHEN size(toks) >= 3 THEN "
+            "array_distinct(transform(sequence(1, size(toks) - 2), "
+            "i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), "
+            "element_at(toks, i + 2)))) "
+            "ELSE array(xxhash64(text)) END"
+        )
+        index = f"""
+    inverted AS (
+      SELECT doc_id, explode({triples}) AS shingle
+      FROM (SELECT doc_id, text, split(text, ' ') AS toks FROM documents) docs
+    ),
+    inverted_f AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM inverted
+      ) w WHERE df <= {max_df}
+    )"""
+    else:
+        d = DUCK
+        index = f"""
+    docs AS (
+      SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh_d FROM docs
+    ),
+    inverted AS (SELECT doc_id, unnest(sh_d) AS shingle FROM shingled),
+    rare AS (
+      SELECT shingle FROM inverted GROUP BY shingle HAVING COUNT(*) <= {max_df}
+    ),
+    inverted_f AS (
+      SELECT i.doc_id, i.shingle FROM inverted i JOIN rare r ON i.shingle = r.shingle
+    )"""
+    return f"""
+    WITH {index},
+    sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM inverted_f GROUP BY doc_id),
+    delta AS (SELECT doc_id, shingle FROM inverted_f WHERE doc_id % {delta_mod} = 0),
+    base AS (SELECT doc_id, shingle FROM inverted_f WHERE doc_id % {delta_mod} <> 0),
+    inter AS (
+      SELECT d.doc_id AS delta_id, b.doc_id AS base_id, COUNT(*) AS n_inter
+      FROM delta d JOIN base b ON d.shingle = b.shingle
+      GROUP BY d.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT delta_id, base_id,
+             CAST(n_inter AS DOUBLE) /
+             CAST(sd.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sized sd ON sd.doc_id = delta_id
+      JOIN sized sb ON sb.doc_id = base_id
+    ),
+    best AS (
+      SELECT delta_id, base_id, jaccard FROM (
+        SELECT delta_id, base_id, jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY delta_id ORDER BY jaccard DESC, base_id) AS rn
+        FROM scored WHERE jaccard >= {threshold}
+      ) r WHERE rn = 1
+    )
+    SELECT a.doc_id,
+           CASE WHEN b.base_id IS NULL THEN 'new' ELSE 'near_dup' END AS status,
+           b.base_id AS match_id,
+           b.jaccard AS jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {delta_mod} = 0) a
+    LEFT JOIN best b ON a.doc_id = b.delta_id
+    """
+
+
 EXACT_DEDUP_SQL = """
     SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
     FROM documents

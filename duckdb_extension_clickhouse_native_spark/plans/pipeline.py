@@ -40,6 +40,7 @@ from ..operators.retrieval import bm25_sql, stratified_sample_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
+    incremental_dedup_sql,
     minhash_lsh_sql,
     ngram_jaccard_sql,
     simhash_sql,
@@ -105,6 +106,15 @@ _sql_pair(
     ["documents"],
     ["dedup", "ngram"],
     "inverted-index shingle join + exact Jaccard",
+)
+
+_sql_pair(
+    "dedup_incremental",
+    incremental_dedup_sql("spark"),
+    incremental_dedup_sql("duckdb"),
+    ["documents"],
+    ["dedup", "incremental", "ngram"],
+    "delta-vs-base near-dup check (ingest-batch shape): near_dup with best match, or new",
 )
 
 # -- similarity search ------------------------------------------------------

@@ -214,3 +214,17 @@ def test_semantic_clusters_transitive_over_pairs(spark):
     n_components = len(set(comp.values()))
     kept = sum(1 for v, c in comp.items() if v == c)
     assert kept == n_components
+
+
+def test_incremental_dedup_statuses(spark):
+    q = REGISTRY.all()["dedup_incremental"]
+    rows = q.build(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 5 == 0  # only delta docs are reported
+        if r["status"] == "near_dup":
+            assert r["match_id"] is not None and r["match_id"] % 5 != 0
+            assert r["jaccard"] >= 0.5
+        else:
+            assert r["status"] == "new"
+            assert r["match_id"] is None and r["jaccard"] is None
