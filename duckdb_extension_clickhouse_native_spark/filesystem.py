@@ -20,7 +20,6 @@ surface (the reference is read-only too, lib.rs).
 
 from __future__ import annotations
 
-import fnmatch
 import glob as globmod
 import io
 import os
@@ -34,6 +33,32 @@ _DATA_SUFFIXES = (".clickhouse", ".native", ".bin")
 
 def is_uri(path: str) -> bool:
     return "://" in path
+
+
+def _glob_to_regex(pat: str):
+    """Glob -> regex where ``*`` and ``?`` do NOT cross ``/`` (the
+    glob.glob semantics the local path already has)."""
+    import re
+
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("^" + "".join(out) + "$")
 
 
 def _fs_and_path(path: str) -> Tuple[object, str, str]:
@@ -80,9 +105,16 @@ def resolve_paths(path: str) -> list[str]:
     if any(c in path for c in _GLOB_CHARS):
         pattern = path.split("://", 1)[1]
         base = posixpath.dirname(pattern.split("*")[0].split("?")[0].split("[")[0])
-        infos = fs.get_file_info(FileSelector(base, recursive=False))
-        names = [i.path for i in infos if i.type == FileType.File]
-        hits = sorted(n for n in names if fnmatch.fnmatch(n, pattern))
+        # recursive listing + a separator-aware glob regex: a wildcard
+        # in an INTERMEDIATE component ('data/*/part.native') must
+        # descend into subdirectories (non-recursive listing would
+        # match nothing), while '*' itself must not cross '/'
+        # (fnmatch's would) — mirroring glob.glob on the local path
+        infos = fs.get_file_info(FileSelector(base, recursive=True))
+        rx = _glob_to_regex(pattern)
+        hits = sorted(
+            i.path for i in infos if i.type == FileType.File and rx.match(i.path)
+        )
         return [_rebuild(scheme, h) for h in hits] if hits else [path]
     info = fs.get_file_info([p])[0]
     if info.type == FileType.Directory:

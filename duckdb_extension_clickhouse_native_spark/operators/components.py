@@ -56,22 +56,31 @@ from pyspark.sql import functions as F
 
 def _star_cte(dialect: str) -> str:
     """Shared CTE prefix: tokenized docs -> two md5 key families ->
-    per-(doc, key) star root."""
+    per-(doc, key) star root.
+
+    Spark unpivots the two keys with a generator, not UNION ALL —
+    Catalyst inlines a CTE per union branch, so the tokenization
+    would run twice per build (the project-wide unpivot rule; the
+    DuckDB oracle keeps UNION ALL, where CTEs materialize)."""
     if dialect == "spark":
         tokens = "split(text, ' ')"
         prefix8 = "concat_ws(' ', slice(toks, 1, 8))"
         sorted_set = "concat_ws(' ', array_sort(array_distinct(toks)))"
+        keyed = (
+            f"SELECT doc_id, explode(array(md5({prefix8}), md5({sorted_set}))) AS k "
+            "FROM docs"
+        )
     else:
         tokens = "string_split(text, ' ')"
         prefix8 = "array_to_string(toks[1:8], ' ')"
         sorted_set = "array_to_string(list_sort(list_distinct(toks)), ' ')"
+        keyed = (
+            f"SELECT doc_id, md5({prefix8}) AS k FROM docs "
+            f"UNION ALL SELECT doc_id, md5({sorted_set}) AS k FROM docs"
+        )
     return f"""
     WITH docs AS (SELECT doc_id, {tokens} AS toks FROM documents),
-    keyed AS (
-      SELECT doc_id, md5({prefix8}) AS k FROM docs
-      UNION ALL
-      SELECT doc_id, md5({sorted_set}) AS k FROM docs
-    ),
+    keyed AS ({keyed}),
     star AS (
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS root FROM keyed
     )"""

@@ -157,6 +157,9 @@ class ClickHouseHTTPClient:
 
     # -- transport-neutral interface (shared with ClickHouseTCPClient) ------
 
+    def close(self) -> None:
+        """No persistent connection — urllib opens one per request."""
+
     def execute_blocks(self, query: str, *, lossy_uint64: bool = False):
         from ..native.codec import iter_blocks
 
@@ -187,11 +190,34 @@ class ClickHouseHTTPClient:
 
         rows = 0
         buf = _io.BytesIO()
+        types = ch_types
         for batch in batches:
-            types = ch_types or [from_arrow(f.type) for f in batch.schema]
+            if types is None:  # derive once, from the first batch
+                types = [from_arrow(f.type) for f in batch.schema]
             rows += write_native_stream(buf, [batch], ch_types=types)
         self.insert_native(table, buf.getvalue())
         return rows
+
+
+def probe_schema_pairs(options: dict, query: str):
+    """Schema probe with the subquery-wrapper fallback (servers that
+    reject it — e.g. non-SELECT statements — get the query itself, as
+    the reference runs unconditionally, clickhouse_scan.rs:78). Each
+    attempt uses a FRESH, deterministically-closed client: after a
+    failure mid-stream a TCP connection may be desynchronized, so
+    reconnecting is the only safe retry."""
+    client = make_client(resolve_connection(options))
+    try:
+        return client.probe_schema(schema_probe_query(query))
+    except Exception:
+        pass
+    finally:
+        client.close()
+    client = make_client(resolve_connection(options))
+    try:
+        return client.probe_schema(query)
+    finally:
+        client.close()
 
 
 def make_client(conn: ConnectionInfo, timeout: float = 300.0):

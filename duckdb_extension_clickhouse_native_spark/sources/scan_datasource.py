@@ -44,7 +44,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-from .http_client import make_client, resolve_connection, schema_probe_query
+from .http_client import (
+    make_client,
+    probe_schema_pairs as _probe_schema_pairs,
+    resolve_connection,
+)
 from .native_datasource import _ch_to_spark
 
 if TYPE_CHECKING:
@@ -110,21 +114,26 @@ class ClickHouseScanReader(DataSourceReader):
         target = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in self.spark_schema.fields]
         )
-        for blk in client.execute_blocks(partition.query, lossy_uint64=self.lossy_uint64):
-            batch = blk.to_record_batch()
-            arrays = []
-            for fld in target:
-                idx = batch.schema.get_field_index(fld.name)
-                if idx < 0:
-                    raise ValueError(
-                        f"server result is missing column {fld.name!r} "
-                        "declared by the schema probe"
-                    )
-                col = batch.column(idx)
-                if col.type != fld.type:
-                    col = col.cast(fld.type)
-                arrays.append(col)
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        try:
+            for blk in client.execute_blocks(partition.query, lossy_uint64=self.lossy_uint64):
+                batch = blk.to_record_batch()
+                arrays = []
+                for fld in target:
+                    idx = batch.schema.get_field_index(fld.name)
+                    if idx < 0:
+                        raise ValueError(
+                            f"server result is missing column {fld.name!r} "
+                            "declared by the schema probe"
+                        )
+                    col = batch.column(idx)
+                    if col.type != fld.type:
+                        col = col.cast(fld.type)
+                    arrays.append(col)
+                yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        finally:
+            # deterministic socket release — an abandoned generator
+            # (downstream exception) must not hold the fd until GC
+            client.close()
 
 
 @dataclass
@@ -148,21 +157,24 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         from ..native.types import from_arrow
 
         client = make_client(resolve_connection(self.options))
-        rows = 0
-        pending: list = []
-        pending_bytes = 0
-        ch_types = None
-        for batch in iterator:
-            if ch_types is None:
-                ch_types = [from_arrow(f.type) for f in batch.schema]
-            pending.append(batch)
-            pending_bytes += batch.nbytes
-            if pending_bytes >= self.max_insert_bytes:
+        try:
+            rows = 0
+            pending: list = []
+            pending_bytes = 0
+            ch_types = None
+            for batch in iterator:
+                if ch_types is None:
+                    ch_types = [from_arrow(f.type) for f in batch.schema]
+                pending.append(batch)
+                pending_bytes += batch.nbytes
+                if pending_bytes >= self.max_insert_bytes:
+                    rows += client.insert_batches(self.table, pending, ch_types)
+                    pending, pending_bytes = [], 0
+            if pending:
                 rows += client.insert_batches(self.table, pending, ch_types)
-                pending, pending_bytes = [], 0
-        if pending:
-            rows += client.insert_batches(self.table, pending, ch_types)
-        return ScanWriteCommit(rows=rows)
+            return ScanWriteCommit(rows=rows)
+        finally:
+            client.close()
 
     def commit(self, messages) -> None:
         return None
@@ -186,15 +198,8 @@ class ClickHouseScanDataSource(DataSource):
             self.options["query"] = query
         if not query:
             raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
-        client = make_client(resolve_connection(self.options))
         lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
-        try:
-            pairs = client.probe_schema(schema_probe_query(query))
-        except Exception:
-            # servers that reject the subquery wrapper (e.g. non-SELECT
-            # statements): fall back to executing the query itself, like
-            # the reference does unconditionally (clickhouse_scan.rs:78)
-            pairs = client.probe_schema(query)
+        pairs = _probe_schema_pairs(self.options, query)
         fields: list[StructField] = []
         for name, t in pairs:
             if lossy and t.base in ("UInt64", "UInt8"):

@@ -30,11 +30,13 @@ def _native_schema(path: str):
     from ..native.codec import read_file_schema
     from .native_datasource import _ch_to_spark
 
-    first = resolve_paths(path)[0]
+    paths = resolve_paths(path)
+    if not paths:
+        raise FileNotFoundError(f"no ClickHouse Native files found at {path!r}")
     return StructType(
         [
             StructField(name, _ch_to_spark(t), True)
-            for name, t in read_file_schema(first)
+            for name, t in read_file_schema(paths[0])
         ]
     )
 
@@ -56,15 +58,27 @@ def make_native_udtf():
 
         def eval(self, path: str) -> Iterator[tuple]:
             from ..filesystem import open_input, resolve_paths
-            from ..native.codec import iter_blocks
+            from ..native.codec import iter_blocks, read_file_schema
             from ..native.compress import maybe_compressed_reader
 
-            for p in resolve_paths(path):
+            paths = resolve_paths(path)
+            if not paths:
+                raise FileNotFoundError(
+                    f"no ClickHouse Native files found at {path!r}"
+                )
+            # emit every row in the ANALYZE-TIME column order (derived
+            # the same way analyze() derives it — from the first file's
+            # header): files in a directory may store columns in
+            # different orders, and dict-order emission would silently
+            # misassign values (row[name] raises on a missing column,
+            # which beats a silent null)
+            names = [n for n, _ in read_file_schema(paths[0])]
+            for p in paths:
                 with open_input(p) as f:
                     buf = maybe_compressed_reader(f)
                     for blk in iter_blocks(buf):
                         for row in blk.to_record_batch().to_pylist():
-                            yield tuple(row.values())
+                            yield tuple(row[n] for n in names)
 
     return udtf(ClickHouseNativeUDTF)
 
@@ -76,7 +90,7 @@ def make_scan_udtf():
     from pyspark.sql.types import StructField, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
-    from .http_client import make_client, resolve_connection, schema_probe_query
+    from .http_client import make_client, probe_schema_pairs, resolve_connection
     from .native_datasource import _ch_to_spark
 
     class ClickHouseScanUDTF:
@@ -89,11 +103,7 @@ def make_scan_udtf():
                     "clickhouse_scan(query[, url]) requires a literal SQL string"
                 )
             opts = {"url": str(url.value)} if url is not None and url.value else {}
-            client = make_client(resolve_connection(opts))
-            try:
-                pairs = client.probe_schema(schema_probe_query(str(query.value)))
-            except Exception:
-                pairs = client.probe_schema(str(query.value))
+            pairs = probe_schema_pairs(opts, str(query.value))
             return AnalyzeResult(
                 schema=StructType(
                     [StructField(n, _ch_to_spark(t), True) for n, t in pairs]
@@ -103,9 +113,20 @@ def make_scan_udtf():
         def eval(self, query: str, url: Optional[str] = None) -> Iterator[tuple]:
             opts = {"url": url} if url else {}
             client = make_client(resolve_connection(opts))
-            for blk in client.execute_blocks(query):
-                for row in blk.to_record_batch().to_pylist():
-                    yield tuple(row.values())
+            try:
+                # align every block to the first block's column order
+                # (the server is self-consistent per response, but
+                # alignment by name costs nothing and keeps the
+                # invariant explicit)
+                names: Optional[list] = None
+                for blk in client.execute_blocks(query):
+                    batch = blk.to_record_batch()
+                    if names is None:
+                        names = list(batch.schema.names)
+                    for row in batch.to_pylist():
+                        yield tuple(row[n] for n in names)
+            finally:
+                client.close()
 
     return udtf(ClickHouseScanUDTF)
 

@@ -134,24 +134,18 @@ class ClickHouseTCPClient:
         )
         self._wfile.flush()
 
-    def execute_blocks(
-        self, query: str, *, lossy_uint64: bool = False
-    ) -> Iterator[Block]:
-        """Run a SELECT; yield non-empty result Blocks until the server's
-        EndOfStream. Progress/ProfileInfo/Log/Totals/Extremes packets are
-        consumed and discarded."""
-        self._send_query(query)
+    def _data_packets(self) -> Iterator[None]:
+        """The single server-packet state machine: yields once per
+        SERVER_DATA packet with the stream positioned at its payload
+        (caller consumes it before advancing), silently consuming
+        Totals/Extremes/Log/Progress/ProfileInfo/TableColumns, raising
+        on Exception, returning on EndOfStream. Every query flow
+        (execute, probe, insert) drives this one pump, so a protocol
+        addition lands in exactly one place."""
         while True:
             code = proto.read_varuint(self._rfile)
             if code == proto.SERVER_DATA:
-                blk = proto.read_data_packet(
-                    self._rfile,
-                    self.revision,
-                    compression=self.compression,
-                    lossy_uint64=lossy_uint64,
-                )
-                if blk is not None and blk.n_rows > 0:
-                    yield blk
+                yield
             elif code in (proto.SERVER_TOTALS, proto.SERVER_EXTREMES):
                 proto.read_data_packet(
                     self._rfile, self.revision, compression=self.compression
@@ -173,90 +167,77 @@ class ClickHouseTCPClient:
             else:
                 raise ValueError(f"unexpected server packet type {code}")
 
+    def execute_blocks(
+        self, query: str, *, lossy_uint64: bool = False
+    ) -> Iterator[Block]:
+        """Run a SELECT; yield non-empty result Blocks until the server's
+        EndOfStream. Progress/ProfileInfo/Log/Totals/Extremes packets are
+        consumed and discarded."""
+        self._send_query(query)
+        for _ in self._data_packets():
+            blk = proto.read_data_packet(
+                self._rfile,
+                self.revision,
+                compression=self.compression,
+                lossy_uint64=lossy_uint64,
+            )
+            if blk is not None and blk.n_rows > 0:
+                yield blk
+
     def probe_schema(self, query: str) -> list[tuple[str, CHType]]:
         """Schema from the server's leading header block (0 rows) —
         the TCP twin of the HTTP zero-row probe."""
+        from ..native.codec import read_block_header, read_str, skip_column
+        from ..native.types import parse_type
+
         self._send_query(query)
         schema: list[tuple[str, CHType]] = []
         got = False
-        while True:
-            code = proto.read_varuint(self._rfile)
-            if code == proto.SERVER_DATA:
-                if self.revision >= proto.REV_TEMPORARY_TABLES:
-                    proto.read_str(self._rfile)
-                src = self._rfile
-                if self.compression == proto.COMPRESSION_ENABLED:
-                    from ..native.compress import CompressedReader
-
-                    src = CompressedReader(self._rfile, verify_checksum=True)
-                proto.read_block_info(src)
-                from ..native.codec import read_block_header, read_str, skip_column
-                from ..native.types import parse_type
-
-                hdr = read_block_header(src)
-                if hdr is not None and not got:
-                    n_cols, n_rows = hdr
-                    for _ in range(n_cols):
-                        name = read_str(src)
-                        t = parse_type(read_str(src))
-                        skip_column(src, t, n_rows)
-                        schema.append((name, t))
-                    if n_cols:
-                        got = True
-                elif hdr is not None:
-                    n_cols, n_rows = hdr
-                    for _ in range(n_cols):
-                        read_str(src)
-                        skip_column(src, parse_type(read_str(src)), n_rows)
-            elif code in (proto.SERVER_TOTALS, proto.SERVER_EXTREMES):
-                proto.read_data_packet(
-                    self._rfile, self.revision, compression=self.compression
-                )
-            elif code == proto.SERVER_LOG:
-                proto.read_data_packet(self._rfile, self.revision)
-            elif code == proto.SERVER_PROGRESS:
-                proto.read_progress(self._rfile, self.revision)
-            elif code == proto.SERVER_PROFILE_INFO:
-                proto.read_profile_info(self._rfile)
-            elif code == proto.SERVER_TABLE_COLUMNS:
+        for _ in self._data_packets():
+            if self.revision >= proto.REV_TEMPORARY_TABLES:
                 proto.read_str(self._rfile)
-                proto.read_str(self._rfile)
-            elif code == proto.SERVER_EXCEPTION:
-                raise proto.read_exception(self._rfile)
-            elif code == proto.SERVER_END_OF_STREAM:
-                return schema
-            else:
-                raise ValueError(f"unexpected server packet type {code}")
+            src = self._rfile
+            if self.compression == proto.COMPRESSION_ENABLED:
+                from ..native.compress import CompressedReader
+
+                src = CompressedReader(self._rfile, verify_checksum=True)
+            proto.read_block_info(src)
+            hdr = read_block_header(src)
+            if hdr is None:
+                continue
+            n_cols, n_rows = hdr
+            for _ in range(n_cols):
+                name = read_str(src)
+                t = parse_type(read_str(src))
+                skip_column(src, t, n_rows)
+                if not got:
+                    schema.append((name, t))
+            if n_cols and not got:
+                got = True
+        return schema
 
     def insert_batches(self, table: str, batches, ch_types: Optional[List[CHType]] = None) -> int:
         """INSERT over the native protocol: the server answers the
         insert query with its table-structure header block, then the
         client streams data blocks and a terminating empty block."""
-        self._send_query(f"INSERT INTO {table} VALUES")
-        # wait for the server's structure block (or an exception)
-        while True:
-            code = proto.read_varuint(self._rfile)
-            if code == proto.SERVER_DATA:
-                proto.read_data_packet(
-                    self._rfile, self.revision, compression=self.compression
-                )
-                break
-            if code == proto.SERVER_PROGRESS:
-                proto.read_progress(self._rfile, self.revision)
-            elif code == proto.SERVER_LOG:
-                proto.read_data_packet(self._rfile, self.revision)
-            elif code == proto.SERVER_TABLE_COLUMNS:
-                proto.read_str(self._rfile)
-                proto.read_str(self._rfile)
-            elif code == proto.SERVER_EXCEPTION:
-                raise proto.read_exception(self._rfile)
-            else:
-                raise ValueError(f"unexpected packet {code} while starting INSERT")
-        rows = 0
         from ..native.types import from_arrow
 
+        self._send_query(f"INSERT INTO {table} VALUES")
+        # wait for the server's structure block (or an exception)
+        structure_seen = False
+        for _ in self._data_packets():
+            proto.read_data_packet(
+                self._rfile, self.revision, compression=self.compression
+            )
+            structure_seen = True
+            break
+        if not structure_seen:
+            raise ValueError("server closed the stream before the INSERT structure block")
+        rows = 0
+        types = ch_types
         for batch in batches:
-            types = ch_types or [from_arrow(f.type) for f in batch.schema]
+            if types is None:  # derive once, from the first batch
+                types = [from_arrow(f.type) for f in batch.schema]
             proto.write_data_packet(
                 self._wfile,
                 batch,
@@ -269,15 +250,6 @@ class ClickHouseTCPClient:
             self._wfile, None, None, self.revision, compression=self.compression
         )
         self._wfile.flush()
-        while True:
-            code = proto.read_varuint(self._rfile)
-            if code == proto.SERVER_END_OF_STREAM:
-                return rows
-            if code == proto.SERVER_PROGRESS:
-                proto.read_progress(self._rfile, self.revision)
-            elif code == proto.SERVER_LOG:
-                proto.read_data_packet(self._rfile, self.revision)
-            elif code == proto.SERVER_EXCEPTION:
-                raise proto.read_exception(self._rfile)
-            else:
-                raise ValueError(f"unexpected packet {code} after INSERT data")
+        for _ in self._data_packets():
+            raise ValueError("unexpected data packet after INSERT data")
+        return rows

@@ -289,11 +289,10 @@ def write_query_packet(
     write_str(buf, query_id)
     if revision >= REV_CLIENT_INFO:
         write_client_info(buf, revision, user, query_id)
-    # settings: (name, flags, value) triples, empty name terminates
-    if revision >= REV_SETTINGS_SERIALIZED_AS_STRINGS:
-        write_str(buf, "")
-    else:
-        write_str(buf, "")
+    # settings: (name, flags, value) triples, empty name terminates —
+    # an EMPTY settings list is the same single empty string whether or
+    # not the revision serializes setting values as strings
+    write_str(buf, "")
     if revision >= REV_INTERSERVER_SECRET:
         write_str(buf, "")
     write_varuint(buf, STAGE_COMPLETE)

@@ -81,3 +81,24 @@ def test_datasource_split_blocks_over_uri(spark, native_dir):
         .load(f"file://{native_dir}/part-0.clickhouse")
     )
     assert df.count() == 3
+
+
+def test_uri_glob_intermediate_wildcard(tmp_path):
+    """A wildcard in an intermediate path component must descend into
+    subdirectories (glob.glob semantics) on the URI path too."""
+    from duckdb_extension_clickhouse_native_spark.filesystem import resolve_paths
+
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "part.native").write_bytes(b"x")
+        (d / "other.txt").write_bytes(b"y")
+    hits = resolve_paths(f"file://{tmp_path}/*/part.native")
+    assert len(hits) == 2
+    assert all(h.endswith("part.native") for h in hits)
+    # '*' must not cross '/': no match for the nested layout
+    deep = tmp_path / "a" / "deep"
+    deep.mkdir()
+    (deep / "part.native").write_bytes(b"z")
+    hits2 = resolve_paths(f"file://{tmp_path}/*/part.native")
+    assert len(hits2) == 2
