@@ -207,3 +207,132 @@ MEDIA_FRAMES_ORACLE_SQL = f"""
                 i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) % 1000003 AS frame_checksum
     FROM idx
 """
+
+
+# -- perceptual-hash near-dup over media payloads ---------------------------
+
+PHASH_BANDS = 8          # 8 bands x 8 bits over the 64-bit signature
+PHASH_HAMMING_MAX = 12   # near-dup threshold
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """aHash-style 64-bit perceptual hash per media payload: the bytes
+    are split into 64 positional frames and bit j is set when frame
+    j's mean exceeds the global mean — the integer-exact comparison
+    ``sum(frame) * n > total * len(frame)`` avoids float division so
+    Spark and the SQL oracle agree bit-for-bit. Against a real decoder
+    this is the classic 8x8-downsample aHash; the stub operates on the
+    raw payload bytes. Map-only stage (signature parallelism = input
+    partitions); emitted as two 32-bit halves to stay BIGINT-safe."""
+    import pandas as pd
+
+    def sig(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            lo_col, hi_col = [], []
+            for data in pdf["media"]:
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                total = int(arr.sum())
+                bits = 0
+                for j in range(64):
+                    lo, hi = (j * n) // 64, ((j + 1) * n) // 64
+                    seg = arr[lo:hi]
+                    if seg.size and int(seg.sum()) * n > total * seg.size:
+                        bits |= 1 << j
+                lo_col.append(bits & 0xFFFFFFFF)
+                hi_col.append(bits >> 32)
+            out = pdf[["doc_id"]].copy()
+            out["ph_lo"] = pd.Series(lo_col, dtype="int64")
+            out["ph_hi"] = pd.Series(hi_col, dtype="int64")
+            yield out
+
+    return df.mapInPandas(sig, schema="doc_id bigint, ph_lo bigint, ph_hi bigint")
+
+
+def media_phash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs: perceptual hash via mapInPandas, then
+    SQL band-bucket candidates (8x8-bit bands, one shuffle on the
+    band key) with the hamming filter inside the join — the simhash
+    plan shape applied to the multimodal column."""
+    sigs = phash_media(media_table(spark, sf_dir))
+    sigs.createOrReplaceTempView("media_phash_sigs")
+    bands = ", ".join(
+        f"CAST((ph_lo >> {8 * b}) & 255 AS BIGINT) AS band{b}" for b in range(4)
+    ) + ", " + ", ".join(
+        f"CAST((ph_hi >> {8 * b}) & 255 AS BIGINT) AS band{b + 4}" for b in range(4)
+    )
+    band_arr = ", ".join(f"band{b}" for b in range(PHASH_BANDS))
+    return spark.sql(f"""
+    WITH sig_bands AS (
+      SELECT doc_id, ph_lo, ph_hi, {bands} FROM media_phash_sigs
+    ),
+    band_rows AS (
+      SELECT doc_id, ph_lo, ph_hi, band_idx, band_val FROM sig_bands
+      LATERAL VIEW posexplode(array({band_arr})) t AS band_idx, band_val
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(a.ph_lo ^ b.ph_lo) + bit_count(a.ph_hi ^ b.ph_hi) AS hamming
+    FROM band_rows a JOIN band_rows b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(a.ph_lo ^ b.ph_lo) + bit_count(a.ph_hi ^ b.ph_hi) <= {PHASH_HAMMING_MAX}
+    """)
+
+
+def _phash_sig_cte_duckdb() -> str:
+    # frame j = byte positions (j*n)//64 .. ((j+1)*n)//64 (0-based,
+    # end-exclusive) == 1-based inclusive list slice [lo+1 : hi]
+    bit_lo = " + ".join(
+        f"(CASE WHEN len(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) > 0 "
+        f"AND list_sum(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) * n "
+        f"> total * len(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    bit_hi = " + ".join(
+        f"(CASE WHEN len(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) > 0 "
+        f"AND list_sum(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) * n "
+        f"> total * len(b[(({j} * n) // 64) + 1 : (({j} + 1) * n) // 64]) "
+        f"THEN CAST({2 ** (j - 32)} AS BIGINT) ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    return f"""px AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS b,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id, b, n, CAST(COALESCE(list_sum(b), 0) AS BIGINT) AS total FROM px
+    ),
+    sigs AS (
+      SELECT doc_id, {bit_lo} AS ph_lo, {bit_hi} AS ph_hi FROM tot
+    )"""
+
+
+def media_phash_pairs_oracle_sql() -> str:
+    bands = ", ".join(
+        f"CAST((ph_lo >> {8 * b}) & 255 AS BIGINT) AS band{b}" for b in range(4)
+    ) + ", " + ", ".join(
+        f"CAST((ph_hi >> {8 * b}) & 255 AS BIGINT) AS band{b + 4}" for b in range(4)
+    )
+    band_arr = ", ".join(f"band{b}" for b in range(PHASH_BANDS))
+    return f"""
+    WITH {_phash_sig_cte_duckdb()},
+    sig_bands AS (SELECT doc_id, ph_lo, ph_hi, {bands} FROM sigs),
+    band_rows AS (
+      SELECT doc_id, ph_lo, ph_hi,
+             generate_subscripts([{band_arr}], 1) - 1 AS band_idx,
+             unnest([{band_arr}]) AS band_val
+      FROM sig_bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) AS hamming
+    FROM band_rows a JOIN band_rows b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) <= {PHASH_HAMMING_MAX}
+    """

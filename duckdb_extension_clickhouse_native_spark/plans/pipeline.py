@@ -17,6 +17,8 @@ from ..functions.multimodal import (
     MEDIA_RESIZE_ORACLE_SQL,
     media_features_query,
     media_frames_query,
+    media_phash_pairs_oracle_sql,
+    media_phash_pairs_query,
     media_resize_query,
 )
 from ..functions.text import (
@@ -228,6 +230,15 @@ REGISTRY.df_query(
     oracle=MEDIA_FRAMES_ORACLE_SQL,
     tags=["multimodal", "pandas_udf", "fanout"],
     description="fixed-frame video sampling stub: one row per kept frame (mapInPandas fan-out)",
+)
+
+REGISTRY.df_query(
+    "media_phash_pairs",
+    media_phash_pairs_query,
+    oracle=media_phash_pairs_oracle_sql(),
+    tags=["multimodal", "dedup", "pandas_udf", "lsh"],
+    description="perceptual-hash (aHash-style) media near-dup pairs: mapInPandas "
+    "signature + 8x8-bit band candidates + hamming filter",
 )
 
 # -- as-of join + sessionization -------------------------------------------

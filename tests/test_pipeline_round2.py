@@ -228,3 +228,13 @@ def test_incremental_dedup_statuses(spark):
         else:
             assert r["status"] == "new"
             assert r["match_id"] is None and r["jaccard"] is None
+
+
+def test_media_phash_pairs_bounds(spark):
+    q = REGISTRY.all()["media_phash_pairs"]
+    rows = q.build(spark, SF_SMALL).collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 12
+        assert r["doc_a"] < r["doc_b"]
+    # pairs are unique
+    assert len({(r["doc_a"], r["doc_b"]) for r in rows}) == len(rows)
