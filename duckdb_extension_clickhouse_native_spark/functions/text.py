@@ -195,3 +195,65 @@ def repetition_sql(dialect: str) -> str:
                      THEN 0 ELSE 1 END AS INT) AS keep_flag
     FROM uni u LEFT JOIN bi_stats b ON u.doc_id = b.doc_id
     """
+
+
+# PII patterns share one backslash-free subset of Java-regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only, so both
+# engines tokenize the exact same spans.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[(]?[0-9]{3}[)]?[ -][0-9]{3}-[0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scrub_sql(dialect: str) -> str:
+    """PII redaction over documents: count + replace emails, phone
+    numbers and IPv4 addresses with typed placeholder tokens.
+
+    The synthetic corpus contains no PII, so a deterministic overlay
+    derived from doc_id is appended first (emails on doc_id%3=0, one of
+    two phone shapes on %4 in {0,2}, an IP on %5=0) — the redaction then
+    has non-trivial, row-varying work to do (non-vacuous by
+    construction). At 100 TB this is a pure map-side projection: no
+    shuffle, whole-stage codegen, regex on the JVM/native side.
+    """
+    is_spark = dialect == "spark"
+    str_t = "STRING" if is_spark else "VARCHAR"
+
+    def n_matches(expr: str, pat: str) -> str:
+        if is_spark:
+            return f"CAST(size(regexp_extract_all({expr}, '{pat}', 0)) AS INT)"
+        return f"CAST(len(regexp_extract_all({expr}, '{pat}', 0)) AS INT)"
+
+    def scrub(expr: str, pat: str, token: str) -> str:
+        if is_spark:
+            return f"regexp_replace({expr}, '{pat}', '{token}')"
+        return f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+
+    redacted = scrub(
+        scrub(scrub("injected", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"),
+        PII_IPV4,
+        "<IP>",
+    )
+    return f"""
+    WITH overlay AS (
+      SELECT doc_id,
+             concat(
+               text,
+               CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+                    CAST(doc_id AS {str_t}), '@example.com') ELSE '' END,
+               CASE WHEN doc_id % 4 = 0 THEN concat(' call (415) 555-',
+                    lpad(CAST(doc_id % 10000 AS {str_t}), 4, '0')) ELSE '' END,
+               CASE WHEN doc_id % 4 = 2 THEN ' or 650-555-0199' ELSE '' END,
+               CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.0.',
+                    CAST(doc_id % 256 AS {str_t}), '.7') ELSE '' END
+             ) AS injected
+      FROM documents
+    )
+    SELECT doc_id,
+           {n_matches('injected', PII_EMAIL)} AS n_emails,
+           {n_matches('injected', PII_PHONE)} AS n_phones,
+           {n_matches('injected', PII_IPV4)} AS n_ips,
+           md5({redacted}) AS redacted_fp,
+           CAST(length({redacted}) AS BIGINT) AS redacted_len
+    FROM overlay
+    """

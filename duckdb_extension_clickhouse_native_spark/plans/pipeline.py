@@ -24,6 +24,7 @@ from ..functions.multimodal import (
 from ..functions.text import (
     fingerprint_sql,
     lang_id_sql,
+    pii_scrub_sql,
     quality_sql,
     repetition_sql,
     token_count_sql,
@@ -195,6 +196,15 @@ _sql_pair(
     ["documents"],
     ["text", "quality"],
     "Gopher repetition signals: dup-token/top-bigram/dup-bigram fractions + keep flag",
+)
+
+_sql_pair(
+    "text_pii_scrub",
+    pii_scrub_sql("spark"),
+    pii_scrub_sql("duckdb"),
+    ["documents"],
+    ["text", "pii"],
+    "email/phone/IPv4 count + placeholder redaction (map-only, codegen regex)",
 )
 
 _sql_pair(

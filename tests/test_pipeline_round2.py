@@ -238,3 +238,40 @@ def test_media_phash_pairs_bounds(spark):
         assert r["doc_a"] < r["doc_b"]
     # pairs are unique
     assert len({(r["doc_a"], r["doc_b"]) for r in rows}) == len(rows)
+
+
+def test_pii_scrub_redacts_and_counts(spark, tmp_path):
+    """Real PII in the text body is counted and replaced with typed
+    placeholders; clean text is untouched (fp = md5 of original)."""
+    texts = [
+        "reach me at alice.smith+x@corp.example.org today",
+        "server 192.168.1.250 answered (415) 555-0042 and 650-555-0199",
+        "no personal data here at all",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 7, 11], pa.int64()),  # avoid overlay mods
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from duckdb_extension_clickhouse_native_spark.functions.text import pii_scrub_sql
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, str(tmp_path), ["documents"])
+    rows = {r["doc_id"]: r for r in spark.sql(pii_scrub_sql("spark")).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (1, 0, 0)
+    assert (rows[7]["n_emails"], rows[7]["n_phones"], rows[7]["n_ips"]) == (0, 2, 1)
+    assert (rows[11]["n_emails"], rows[11]["n_phones"], rows[11]["n_ips"]) == (0, 0, 0)
+    import hashlib
+
+    # doc 11 hits no overlay branch (11%3,%4 in {3,2}... 11%4=3, 11%3=2,
+    # 11%5=1) and has no PII: redaction must be the identity
+    assert rows[11]["redacted_fp"] == hashlib.md5(texts[2].encode()).hexdigest()
+    # doc 7 (7%4=3, 7%3=1, 7%5=2): both phone shapes + the IP redacted
+    expected7 = "server <IP> answered <PHONE> and <PHONE>"
+    assert rows[7]["redacted_fp"] == hashlib.md5(expected7.encode()).hexdigest()
+    assert rows[7]["redacted_len"] == len(expected7)
