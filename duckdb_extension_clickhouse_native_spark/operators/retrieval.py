@@ -89,3 +89,57 @@ def stratified_sample_sql(dialect: str, fraction: float = 0.1) -> str:
     FROM ranked
     WHERE rn <= CAST(ceil({fraction} * n_stratum) AS BIGINT)
     """
+
+
+def mixture_sample_sql(dialect: str, target_pct: int = 40) -> str:
+    """Temperature-weighted mixture sampling across sources (the data-
+    mixing step of a training pipeline): each source gets a quota
+    proportional to ``tokens_s ** 0.5`` (temperature T=0.5 flattens the
+    natural size distribution, upweighting small sources), then picks
+    its quota deterministically by md5 rank.
+
+    Engine parity is by exact integer arithmetic end-to-end: sqrt() is
+    IEEE-correctly-rounded (identical doubles per value in both
+    engines), each weight is floored to integer micro-units so the
+    cross-source SUM is a BIGINT (order-independent — a double SUM(w)
+    would round differently under each engine's summation order), and
+    quotas use integer division on ``target_pct`` as a rational.
+
+    Scale shape: source stats are one tiny agg (|sources| rows,
+    broadcast back), ranking is one window shuffle keyed on source —
+    salt heavy sources at 100 TB if a single source dominates.
+    """
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    ntok = (
+        "size(split(text, ' '))" if dialect == "spark" else "len(string_split(text, ' '))"
+    )
+    return f"""
+    WITH src_stats AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST({ntok} AS BIGINT)) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    weights AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM src_stats
+    ),
+    totals AS (SELECT SUM(w) AS sum_w, SUM(n_docs) AS n_total FROM weights),
+    quotas AS (
+      SELECT w.source, w.n_docs,
+             LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
+               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS quota
+      FROM weights w CROSS JOIN totals t
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS {s})), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, q.quota
+    FROM ranked r JOIN quotas q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """

@@ -39,7 +39,7 @@ from ..operators.components import (
 from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
-from ..operators.retrieval import bm25_sql, stratified_sample_sql
+from ..operators.retrieval import bm25_sql, mixture_sample_sql, stratified_sample_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
@@ -327,6 +327,15 @@ _sql_pair(
     ["documents"],
     ["sample", "window"],
     "exact-fraction deterministic sample per (lang, source) stratum",
+)
+
+_sql_pair(
+    "sample_mixture_temperature",
+    mixture_sample_sql("spark"),
+    mixture_sample_sql("duckdb"),
+    ["documents"],
+    ["sample", "mixture"],
+    "T=0.5 temperature mixture quotas per source (exact-integer quota math)",
 )
 
 _sql_pair(

@@ -275,3 +275,40 @@ def test_pii_scrub_redacts_and_counts(spark, tmp_path):
     expected7 = "server <IP> answered <PHONE> and <PHONE>"
     assert rows[7]["redacted_fp"] == hashlib.md5(expected7.encode()).hexdigest()
     assert rows[7]["redacted_len"] == len(expected7)
+
+
+def test_mixture_sample_temperature_flattens(spark, tmp_path):
+    """T=0.5 upweights small sources: a 9x token imbalance must yield
+    only a 3x quota imbalance (sqrt), and quotas respect source size."""
+    rows = []
+    for i in range(90):
+        rows.append((i, "tok " * 10, "en", "big", 40))
+    for i in range(90, 100):
+        rows.append((i, "tok " * 10, "en", "small", 40))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1].strip() for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        mixture_sample_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, str(tmp_path), ["documents"])
+    out = spark.sql(mixture_sample_sql("spark")).collect()
+    quotas = {}
+    for r in out:
+        quotas[r["source"]] = r["quota"]
+    # natural proportions are 90:10; sqrt-temperature gives 3:1
+    assert quotas["big"] == 3 * quotas["small"]
+    # per-source picks == quota, and every pick is a real doc of that source
+    from collections import Counter
+
+    picks = Counter(r["source"] for r in out)
+    assert picks["big"] == quotas["big"] and picks["small"] == quotas["small"]
