@@ -245,3 +245,97 @@ def cosine_topk_fast(spark, sf_dir: str, query_vec_id: int = 0, k: int = 10) -> 
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
+
+
+def pq_topk_sql(
+    dialect: str,
+    query_vec_id: int = 0,
+    m_sub: int = 4,
+    k_sub: int = 16,
+    k: int = 10,
+    dim: int = DIM,
+) -> str:
+    """Product-quantization ANN: encode every embedding as ``m_sub``
+    codebook indices (one per 16-dim subspace), then answer top-k by
+    asymmetric distance (ADC) — the query's exact per-subspace distance
+    table looked up against each vector's codes and summed.
+
+    The compression story at 100 TB: the codes relation is
+    ``m_sub * log2(k_sub)`` bits per vector (here 4x4 = 2 bytes vs 256
+    bytes of f32 — 128x), is computed ONCE at ingest, and the ADC scan
+    touches only codes + a broadcast distance table of
+    ``m_sub * k_sub`` rows; the float embeddings are never re-read at
+    query time. Recall < 1 by design (quantization error) — the shape
+    is the point, as with IVF.
+
+    Codebooks use the deterministic training stand-in from
+    ``ivf_topk_sql``: subspace ``m``'s codebook = the ``m``-th
+    subvectors of the first ``k_sub`` embeddings. All arithmetic is
+    1e-6 fixed-point BIGINT (FLOOR of the same double in both engines;
+    integer sums are order-free), so codes, distances and the final
+    ranking are bit-identical across Spark and DuckDB. Ties in the
+    argmin break on the lower code id.
+
+    ``pq_code`` packs the per-subspace codes little-endian base-k_sub
+    so the encoding itself is asserted by the oracle hash, not just the
+    neighbor list.
+    """
+    fp = 10 ** 6
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        explode_dims = (
+            "SELECT vec_id, d AS d0, CAST(FLOOR(CAST(v AS DOUBLE) * "
+            f"{fp}) AS BIGINT) AS xf "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS d, v"
+        )
+    else:
+        explode_dims = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d0, "
+            f"CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {fp}) AS BIGINT) AS xf "
+            "FROM embeddings"
+        )
+    sub_dim = dim // m_sub
+    h_cb = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    h_qt = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+    WITH dims AS ({explode_dims}),
+    sub AS (
+      SELECT vec_id, d0 {idiv} {sub_dim} AS m, d0 % {sub_dim} AS dl, xf
+      FROM dims
+    ),
+    codebook AS (
+      SELECT vec_id AS c, m, dl, xf AS cf FROM sub WHERE vec_id < {k_sub}
+    ),
+    enc_dist AS (
+      SELECT {h_cb}s.vec_id, s.m, c.c,
+             SUM((s.xf - c.cf) * (s.xf - c.cf)) AS d2
+      FROM sub s JOIN codebook c ON s.m = c.m AND s.dl = c.dl
+      GROUP BY s.vec_id, s.m, c.c
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM enc_dist
+      ) r WHERE rn = 1
+    ),
+    packed AS (
+      SELECT vec_id,
+             CAST(SUM(code * CAST(power({k_sub}, m) AS BIGINT)) AS BIGINT) AS pq_code
+      FROM codes GROUP BY vec_id
+    ),
+    qtab AS (
+      SELECT m, c, d2 FROM enc_dist WHERE vec_id = {query_vec_id}
+    ),
+    adc AS (
+      SELECT {h_qt}cd.vec_id, SUM(q.d2) AS approx_d2
+      FROM codes cd JOIN qtab q ON cd.m = q.m AND cd.code = q.c
+      WHERE cd.vec_id <> {query_vec_id}
+      GROUP BY cd.vec_id
+    )
+    SELECT a.vec_id, p.pq_code, a.approx_d2
+    FROM adc a JOIN packed p ON a.vec_id = p.vec_id
+    ORDER BY a.approx_d2, a.vec_id
+    LIMIT {k}
+    """

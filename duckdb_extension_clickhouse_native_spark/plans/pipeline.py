@@ -52,6 +52,7 @@ from ..operators.similarity import (
     cosine_topk_fast,
     cosine_topk_sql,
     ivf_topk_sql,
+    pq_topk_sql,
     signlsh_pairs_sql,
 )
 from .base import REGISTRY, load_tables
@@ -147,6 +148,15 @@ _sql_pair(
     ["embeddings"],
     ["similarity", "ann", "ivf"],
     "IVF-style probe: nearest-centroid partition + n_probe lists",
+)
+
+_sql_pair(
+    "sim_topk_pq",
+    pq_topk_sql("spark"),
+    pq_topk_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "ann", "pq"],
+    "product-quantization ADC top-10: 2-byte codes + broadcast distance table",
 )
 
 REGISTRY.df_query(

@@ -312,3 +312,19 @@ def test_mixture_sample_temperature_flattens(spark, tmp_path):
 
     picks = Counter(r["source"] for r in out)
     assert picks["big"] == quotas["big"] and picks["small"] == quotas["small"]
+
+
+def test_pq_codebook_members_self_encode(spark):
+    """Each of the first 16 vectors IS a codebook entry in every
+    subspace, so its argmin distance is 0 and its packed code is
+    vec_id * (1 + 16 + 256 + 4096)."""
+    from duckdb_extension_clickhouse_native_spark.operators.similarity import pq_topk_sql
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])
+    # widen the top-k so codebook members show up in the result
+    rows = spark.sql(pq_topk_sql("spark", k=500)).collect()
+    got = {r["vec_id"]: r["pq_code"] for r in rows if r["vec_id"] < 16}
+    assert len(got) >= 10  # most codebook members are present somewhere
+    for vid, code in got.items():
+        assert code == vid * 4369, (vid, code)
