@@ -45,6 +45,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "bm25_topk",
     "sim_topk_fast",
+    "sim_topk_pq",              # PQ codes + ADC (the compressed-corpus path)
     "text_quality",
     "skew_salted_agg",
 ]

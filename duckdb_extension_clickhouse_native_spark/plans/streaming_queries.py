@@ -146,5 +146,34 @@ REGISTRY.df_query(
 )
 
 
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import click_purchase_join, read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    return _drain(click_purchase_join(events), "append")
+
+
+REGISTRY.df_query(
+    "stream_interval_join",
+    _stream_interval_join,
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           p.value AS purchase_value,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    """,
+    tags=["streaming", "join", "watermark"],
+    description="watermarked stream-stream interval join (click->purchase attribution) == batch join",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

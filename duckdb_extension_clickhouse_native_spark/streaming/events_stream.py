@@ -176,3 +176,54 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def click_purchase_join(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within ``minutes`` after it.
+
+    Both sides carry a watermark and the join condition bounds purchase
+    time relative to click time, so state on each side evicts once the
+    watermark passes the interval — bounded memory on an unbounded
+    stream (the canonical attribution-join shape). Inner-join matches
+    emit as soon as both rows have arrived; no output waits on the
+    watermark, so over a bounded stream the result equals the batch
+    join exactly.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("purchase_value"),
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_us"),
+    )
