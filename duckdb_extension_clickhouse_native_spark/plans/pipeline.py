@@ -40,6 +40,7 @@ from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import bm25_sql, mixture_sample_sql, stratified_sample_sql
+from ..operators.sharding import shard_assign_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
@@ -346,6 +347,16 @@ _sql_pair(
     ["documents"],
     ["sample", "mixture"],
     "T=0.5 temperature mixture quotas per source (exact-integer quota math)",
+)
+
+_sql_pair(
+    "shard_assignment",
+    shard_assign_sql("spark", two_phase=True),
+    shard_assign_sql("duckdb", two_phase=False),
+    ["documents"],
+    ["sharding", "write"],
+    "two-phase distributed global rank -> exact 64-doc training shards "
+    "(oracle runs the naive single-window form: same result)",
 )
 
 _sql_pair(

@@ -328,3 +328,38 @@ def test_pq_codebook_members_self_encode(spark):
     assert len(got) >= 10  # most codebook members are present somewhere
     for vid, code in got.items():
         assert code == vid * 4369, (vid, code)
+
+
+def test_shard_writer_exact_sizes_and_order(spark, tmp_path):
+    """Shards are exact-size (remainder in the last), cover every doc
+    once, and rows within a shard are hash-ordered (grank ascending)."""
+    from duckdb_extension_clickhouse_native_spark.operators.sharding import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, "/root/testdata/sf0.001", out, shard_docs=16)
+    back = spark.read.parquet(out)
+    n = back.count()
+    sizes = {r[0]: r[1] for r in back.groupBy("shard_id").count().collect()}
+    last = max(sizes)
+    for sid, c in sizes.items():
+        assert c == 16 or (sid == last and c == n - 16 * last)
+    assert back.select("doc_id").distinct().count() == n
+    # within-shard order: granks in shard 0 are 0..15 and contiguous
+    g0 = [r[0] for r in back.filter("shard_id = 0").select("grank").collect()]
+    assert sorted(g0) == list(range(16))
+
+
+def test_shard_two_phase_equals_naive(spark):
+    """The distributed two-phase rank and the naive global window
+    produce identical shard summaries (Spark vs Spark, shard size 32)."""
+    from duckdb_extension_clickhouse_native_spark.operators.sharding import (
+        shard_assign_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001", ["documents"])
+    two = spark.sql(shard_assign_sql("spark", shard_docs=32, two_phase=True))
+    naive = spark.sql(shard_assign_sql("spark", shard_docs=32, two_phase=False))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, naive.collect()))
