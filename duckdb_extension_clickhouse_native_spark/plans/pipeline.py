@@ -50,6 +50,7 @@ from ..operators.dedup import (
     simhash_sql,
 )
 from ..operators.similarity import (
+    ann_recall_sql,
     cosine_topk_fast,
     cosine_topk_sql,
     ivf_topk_sql,
@@ -158,6 +159,15 @@ _sql_pair(
     ["embeddings"],
     ["similarity", "ann", "pq"],
     "product-quantization ADC top-10: 2-byte codes + broadcast distance table",
+)
+
+_sql_pair(
+    "sim_ann_recall",
+    ann_recall_sql("spark"),
+    ann_recall_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "ann", "eval"],
+    "recall@10 of PQ-ADC and IVF vs the exact top-k (index quality gate)",
 )
 
 REGISTRY.df_query(

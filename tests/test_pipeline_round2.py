@@ -315,19 +315,20 @@ def test_mixture_sample_temperature_flattens(spark, tmp_path):
 
 
 def test_pq_codebook_members_self_encode(spark):
-    """Each of the first 16 vectors IS a codebook entry in every
-    subspace, so its argmin distance is 0 and its packed code is
-    vec_id * (1 + 16 + 256 + 4096)."""
+    """Each of the first k_sub vectors IS a codebook entry in every
+    subspace, so its argmin distance is 0 and its packed base-32 code
+    is vec_id * sum(32^m for m in 0..7)."""
     from duckdb_extension_clickhouse_native_spark.operators.similarity import pq_topk_sql
     from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
 
     load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])
     # widen the top-k so codebook members show up in the result
     rows = spark.sql(pq_topk_sql("spark", k=500)).collect()
-    got = {r["vec_id"]: r["pq_code"] for r in rows if r["vec_id"] < 16}
-    assert len(got) >= 10  # most codebook members are present somewhere
+    got = {r["vec_id"]: r["pq_code"] for r in rows if r["vec_id"] < 32}
+    assert len(got) >= 20  # most codebook members are present somewhere
+    unit = sum(32**m for m in range(8))
     for vid, code in got.items():
-        assert code == vid * 4369, (vid, code)
+        assert code == vid * unit, (vid, code)
 
 
 def test_shard_writer_exact_sizes_and_order(spark, tmp_path):
