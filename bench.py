@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_topk_pq",              # PQ codes + ADC (the compressed-corpus path)
     "text_quality",
     "skew_salted_agg",
+    "pipeline_end_to_end",      # quality->dedup->mixture->shards, one plan
 ]
 
 

@@ -1,0 +1,117 @@
+"""The whole training-data pipeline as ONE declarative query:
+
+    quality filter -> exact dedup -> temperature mixture sample
+    -> two-phase shard assignment
+
+Each stage is the same logic as its standalone conformance twin
+(``text_quality``, ``dedup_exact``, ``sample_mixture_temperature``,
+``shard_assignment``), composed in a single WITH chain — so Catalyst
+sees the full pipeline and can pipeline map-side stages, prune
+columns across stage boundaries, and reuse exchanges. The point:
+curation at 100 TB is not a sequence of materialized jobs, it is one
+plan with four shuffles (dedup group-by, mixture window, two-phase
+rank window, shard group-by), each keyed differently but none global.
+
+Cross-engine exactness: the quality score is a rounded composite of
+integer features, quotas are exact integer arithmetic, ranks are md5
+ordered — every stage inherits its twin's parity rules, so the final
+per-shard summary hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+
+def pipeline_e2e_sql(
+    dialect: str,
+    quality_min: float = 0.65,
+    target_pct: int = 60,
+    shard_docs: int = 32,
+) -> str:
+    """Per-shard summary of the fully curated corpus."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        n_toks = "size(toks)"
+        n_distinct = "size(array_distinct(toks))"
+        n_punct = "size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))"
+    else:
+        toks = "string_split(text, ' ')"
+        n_toks = "len(toks)"
+        n_distinct = "len(list_distinct(toks))"
+        n_punct = "len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))"
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, source, text,
+             CAST({n_toks} AS BIGINT) AS n_tok,
+             CAST({n_distinct} AS BIGINT) AS n_uniq,
+             CAST({n_punct} AS BIGINT) AS n_punct
+      FROM (SELECT doc_id, source, text, {toks} AS toks FROM documents) t
+    ),
+    kept AS (
+      SELECT doc_id, source, text, n_tok
+      FROM feat
+      WHERE ROUND(
+              0.4 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE))
+            + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_tok AS DOUBLE), 1.0))
+            , 8) >= {quality_min}
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ),
+    clean AS (
+      SELECT k.doc_id, k.source, k.n_tok FROM kept k
+      JOIN dedup u ON k.doc_id = u.doc_id
+    ),
+    src_stats AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tok
+      FROM clean GROUP BY source
+    ),
+    weights AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(src_tok AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM src_stats
+    ),
+    totals AS (SELECT SUM(w) AS sum_w, SUM(n_docs) AS n_total FROM weights),
+    quotas AS (
+      SELECT w.source,
+             LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
+               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS quota
+      FROM weights w CROSS JOIN totals t
+    ),
+    src_ranked AS (
+      SELECT doc_id, source, n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS {s})), doc_id) AS rn
+      FROM clean
+    ),
+    sampled AS (
+      SELECT r.doc_id, r.n_tok, md5(CAST(r.doc_id AS {s})) AS k
+      FROM src_ranked r JOIN quotas q ON r.source = q.source
+      WHERE r.rn <= q.quota
+    ),
+    bucketed AS (SELECT doc_id, n_tok, k, substring(k, 1, 2) AS b FROM sampled),
+    local_rank AS (
+      SELECT doc_id, n_tok, b,
+             ROW_NUMBER() OVER (PARTITION BY b ORDER BY k, doc_id) AS lrn
+      FROM bucketed
+    ),
+    bucket_offsets AS (
+      SELECT b, COALESCE(SUM(n) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM (SELECT b, COUNT(*) AS n FROM bucketed GROUP BY b) z
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.n_tok, o.off + l.lrn - 1 AS grank
+      FROM local_rank l JOIN bucket_offsets o ON l.b = o.b
+    )
+    SELECT grank {idiv} {shard_docs} AS shard_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM ranked
+    GROUP BY grank {idiv} {shard_docs}
+    """

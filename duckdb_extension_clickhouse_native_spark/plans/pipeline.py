@@ -40,6 +40,7 @@ from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import bm25_sql, mixture_sample_sql, stratified_sample_sql
+from ..operators.pipeline_e2e import pipeline_e2e_sql
 from ..operators.sharding import shard_assign_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
@@ -357,6 +358,15 @@ _sql_pair(
     ["documents"],
     ["sample", "mixture"],
     "T=0.5 temperature mixture quotas per source (exact-integer quota math)",
+)
+
+_sql_pair(
+    "pipeline_end_to_end",
+    pipeline_e2e_sql("spark"),
+    pipeline_e2e_sql("duckdb"),
+    ["documents"],
+    ["pipeline", "flagship"],
+    "quality filter -> dedup -> mixture sample -> shard assignment as ONE plan",
 )
 
 _sql_pair(
