@@ -9,8 +9,15 @@ Each stage is the same logic as its standalone conformance twin
 sees the full pipeline and can pipeline map-side stages, prune
 columns across stage boundaries, and reuse exchanges. The point:
 curation at 100 TB is not a sequence of materialized jobs, it is one
-plan with four shuffles (dedup group-by, mixture window, two-phase
-rank window, shard group-by), each keyed differently but none global.
+plan whose shuffles (dedup keep-first window, mixture window, two-phase
+rank window, shard group-by) are each keyed differently but never
+global. Dedup keeps the first doc per text-hash with a window, not a
+keep-list self-join — one shuffle instead of two plus a join, and no
+re-derivation of the upstream CTEs on the join's second branch. The
+``clean`` relation still feeds two consumers (the tiny per-source
+aggregate and the ranking window); Catalyst inlines CTEs per
+reference, so at real scale persist ``clean`` (or cut the pipeline
+there) to avoid recomputing the quality features twice.
 
 Cross-engine exactness: the quality score is a rounded composite of
 integer features, quotas are exact integer arithmetic, ranks are md5
@@ -57,12 +64,12 @@ def pipeline_e2e_sql(
             + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_tok AS DOUBLE), 1.0))
             , 8) >= {quality_min}
     ),
-    dedup AS (
-      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
-    ),
     clean AS (
-      SELECT k.doc_id, k.source, k.n_tok FROM kept k
-      JOIN dedup u ON k.doc_id = u.doc_id
+      SELECT doc_id, source, n_tok FROM (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
+        FROM kept
+      ) z WHERE dup_rn = 1
     ),
     src_stats AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tok
