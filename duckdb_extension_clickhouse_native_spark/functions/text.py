@@ -257,3 +257,40 @@ def pii_scrub_sql(dialect: str) -> str:
            CAST(length({redacted}) AS BIGINT) AS redacted_len
     FROM overlay
     """
+
+
+def chunk_sql(dialect: str, chunk_chars: int = 200, overlap: int = 50) -> str:
+    """Overlapping fixed-size character chunking — the pre-embedding
+    windowing step of a retrieval/RAG pipeline. Stride is
+    ``chunk_chars - overlap``; every doc yields >= 1 chunk; each chunk
+    carries its 1-based start offset so downstream spans map back to
+    the source doc. Map-side generate only — no shuffle at any scale.
+    """
+    stride = chunk_chars - overlap
+    n_chunks = (
+        f"GREATEST(CAST(1 AS BIGINT), "
+        f"CAST(ceil((length(text) - {overlap}) / {stride}.0) AS BIGINT))"
+    )
+    if dialect == "spark":
+        gen = (
+            f"SELECT doc_id, text, i FROM base "
+            f"LATERAL VIEW explode(sequence(0, CAST(nc - 1 AS INT))) g AS i"
+        )
+    else:
+        gen = f"SELECT doc_id, text, unnest(range(0, nc)) AS i FROM base"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {n_chunks} AS nc FROM documents
+    ),
+    gen AS ({gen}),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             CAST(i * {stride} + 1 AS BIGINT) AS chunk_start,
+             substring(text, CAST(i * {stride} + 1 AS INT), {chunk_chars}) AS chunk
+      FROM gen
+    )
+    SELECT doc_id, chunk_id, chunk_start,
+           CAST(length(chunk) AS INT) AS chunk_len,
+           md5(chunk) AS chunk_fp
+    FROM chunks
+    """

@@ -22,6 +22,7 @@ from ..functions.multimodal import (
     media_resize_query,
 )
 from ..functions.text import (
+    chunk_sql,
     fingerprint_sql,
     lang_id_sql,
     pii_scrub_sql,
@@ -218,6 +219,15 @@ _sql_pair(
     ["documents"],
     ["text", "quality"],
     "Gopher repetition signals: dup-token/top-bigram/dup-bigram fractions + keep flag",
+)
+
+_sql_pair(
+    "text_chunking",
+    chunk_sql("spark"),
+    chunk_sql("duckdb"),
+    ["documents"],
+    ["text", "chunking"],
+    "overlapping 200-char chunks with offsets (pre-embedding windowing, map-only)",
 )
 
 _sql_pair(

@@ -262,6 +262,42 @@ REGISTRY.df_query(
     description="approx_count_distinct (HLL) bounded-error check vs the exact count",
 )
 
+REGISTRY.sql_query(
+    "approx_percentile_bounded",
+    """
+    SELECT ROUND(percentile(o_totalprice, 0.5), 4) AS exact_p50,
+           ROUND(percentile(o_totalprice, 0.9), 4) AS exact_p90,
+           CASE WHEN abs(percentile_approx(o_totalprice, 0.5, 10000)
+                         - percentile(o_totalprice, 0.5))
+                     / percentile(o_totalprice, 0.5) < 0.02
+                 AND abs(percentile_approx(o_totalprice, 0.9, 10000)
+                         - percentile(o_totalprice, 0.9))
+                     / percentile(o_totalprice, 0.9) < 0.02
+                THEN 1 ELSE 0 END AS approx_ok
+    FROM orders
+    """,
+    # quantile sketches (GK/t-digest) differ across engines by design;
+    # as with approx_distinct_parts, the checkable contract is each
+    # engine's OWN sketch landing within 2% of its exact quantile,
+    # plus the exact interpolated quantiles themselves (identical
+    # inputs -> identical doubles, rounded 4 digits)
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+           CASE WHEN abs(approx_quantile(o_totalprice, 0.5)
+                         - quantile_cont(o_totalprice, 0.5))
+                     / quantile_cont(o_totalprice, 0.5) < 0.02
+                 AND abs(approx_quantile(o_totalprice, 0.9)
+                         - quantile_cont(o_totalprice, 0.9))
+                     / quantile_cont(o_totalprice, 0.9) < 0.02
+                THEN 1 ELSE 0 END AS approx_ok
+    FROM orders
+    """,
+    tables=["orders"],
+    tags=["agg", "approx", "percentile"],
+    description="approx quantile sketch bounded-error check vs exact interpolated quantiles",
+)
+
 # ---------------------------------------------------------------------------
 # joins — inner/left/right/full/semi/anti/cross/non-equi (§2.2)
 # ---------------------------------------------------------------------------

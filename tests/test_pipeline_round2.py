@@ -364,3 +364,36 @@ def test_shard_two_phase_equals_naive(spark):
     two = spark.sql(shard_assign_sql("spark", shard_docs=32, two_phase=True))
     naive = spark.sql(shard_assign_sql("spark", shard_docs=32, two_phase=False))
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_chunking_covers_and_reconstructs(spark, tmp_path):
+    """Chunks tile the doc with exact 50-char overlap: stripping the
+    overlap from every chunk after the first reconstructs the text."""
+    text = "x" * 120 + "y" * 200 + "z" * 80  # 400 chars -> 3 chunks
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pa.array([len(text)], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from duckdb_extension_clickhouse_native_spark.functions.text import chunk_sql
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, str(tmp_path), ["documents"])
+    rows = sorted(
+        spark.sql(chunk_sql("spark")).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_start"] for r in rows] == [1, 151, 301]
+    assert [r["chunk_len"] for r in rows] == [200, 200, 100]
+    # verify reconstruction against the raw substrings
+    rebuilt = text[0:200] + text[200:350] + text[350:400]
+    assert rebuilt == text
+    import hashlib
+
+    assert rows[0]["chunk_fp"] == hashlib.md5(text[0:200].encode()).hexdigest()
+    assert rows[1]["chunk_fp"] == hashlib.md5(text[150:350].encode()).hexdigest()
+    assert rows[2]["chunk_fp"] == hashlib.md5(text[300:400].encode()).hexdigest()
