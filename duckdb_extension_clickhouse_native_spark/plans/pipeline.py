@@ -40,7 +40,12 @@ from ..operators.components import (
 from ..operators.clustering import kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
-from ..operators.retrieval import bm25_sql, mixture_sample_sql, stratified_sample_sql
+from ..operators.retrieval import (
+    bm25_sql,
+    hybrid_rrf_sql,
+    mixture_sample_sql,
+    stratified_sample_sql,
+)
 from ..operators.pipeline_e2e import pipeline_e2e_sql
 from ..operators.sharding import shard_assign_sql
 from ..operators.dedup import (
@@ -350,6 +355,15 @@ _sql_pair(
     ["documents"],
     ["retrieval", "bm25"],
     "BM25 top-20 for a fixed query (term-filtered map side, hit-only shuffle)",
+)
+
+_sql_pair(
+    "hybrid_search_rrf",
+    hybrid_rrf_sql("spark"),
+    hybrid_rrf_sql("duckdb"),
+    ["documents", "embeddings"],
+    ["retrieval", "similarity", "fusion"],
+    "BM25 + cosine rankings fused by RRF (hybrid retrieval, top-k-bounded join)",
 )
 
 _sql_pair(
