@@ -281,3 +281,65 @@ REGISTRY.sql_query(
 
 def register() -> None:
     """Import side effect — queries registered above."""
+
+
+def _profile_sql(dialect: str) -> str:
+    """Single-pass table profiler over lineitem's measure columns (the
+    SUMMARIZE/describe utility a warehouse user expects): one wide
+    aggregate row, then an unpivot of the already-computed scalars.
+
+    Spark unpivots with ``stack`` INSIDE the same projection — one scan,
+    one aggregate, no re-read per column. The DuckDB oracle uses UNION
+    ALL branches over the one-row CTE (DuckDB materializes CTEs, so its
+    plan is also single-scan — and only correctness matters there).
+    Averages are exact decimal sums divided once, per the money rules.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+            f"ROUND(MIN({c}), 6) AS mn_{c}, ROUND(MAX({c}), 6) AS mx_{c}, "
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({c}) AS av_{c}"
+        )
+    wide = ",\n             ".join(aggs)
+    if dialect == "spark":
+        stack_args = ", ".join(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, ROUND(av_{c}, 6)" for c in cols
+        )
+        unpivot = (
+            f"SELECT n_rows, stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nonnull, n_distinct, min_val, max_val, avg_val) FROM s"
+        )
+        return f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             {wide}
+      FROM lineitem
+    )
+    SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, avg_val
+    FROM ({unpivot}) u
+    """
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct, "
+        f"mn_{c} AS min_val, mx_{c} AS max_val, ROUND(av_{c}, 6) AS avg_val FROM s"
+        for c in cols
+    )
+    return f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             {wide}
+      FROM lineitem
+    )
+    {branches}
+    """
+
+
+REGISTRY.sql_query(
+    "profile_lineitem",
+    _profile_sql("spark"),
+    oracle=_profile_sql("duckdb"),
+    tables=["lineitem"],
+    tags=["stats", "profile"],
+    description="single-pass per-column profiler (count/distinct/min/max/avg) via stack unpivot",
+)
