@@ -1,0 +1,97 @@
+"""Property-based tests for the round-2 SQL primitives, driven through
+DuckDB (both dialect variants where the Spark text is DuckDB-parsable,
+else the DuckDB text) so hypothesis can run hundreds of corpora without
+a Spark session. The Spark-vs-DuckDB agreement of the SAME generators
+is covered separately by the oracle sweep; these pin the algebraic
+invariants on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+    mixture_sample_sql,
+)
+from duckdb_extension_clickhouse_native_spark.operators.sharding import (
+    shard_assign_sql,
+)
+
+
+def _docs_table(doc_ids, n_tokens_each, sources):
+    texts = ["tok " * n for n in n_tokens_each]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": [t.strip() for t in texts],
+            "lang": ["en"] * len(doc_ids),
+            "source": sources,
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # doc_id
+        st.integers(min_value=1, max_value=30),  # tokens
+        st.sampled_from(["a", "b", "c"]),  # source
+    ),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus, st.integers(min_value=1, max_value=17))
+@settings(deadline=None, max_examples=60)
+def test_two_phase_rank_equals_naive(rows, shard_docs):
+    """The distributed two-phase global rank partitions the corpus into
+    exactly the shards the naive single-window form produces, for any
+    doc-id set and shard size."""
+    t = _docs_table(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    two = con.execute(
+        shard_assign_sql("duckdb", shard_docs=shard_docs, two_phase=True)
+        + " ORDER BY shard_id"
+    ).fetchall()
+    naive = con.execute(
+        shard_assign_sql("duckdb", shard_docs=shard_docs, two_phase=False)
+        + " ORDER BY shard_id"
+    ).fetchall()
+    assert two == naive
+    # exact sizes: every shard is full except possibly the last
+    n = len(rows)
+    sizes = [r[1] for r in two]
+    assert sum(sizes) == n
+    assert all(s == shard_docs for s in sizes[:-1])
+
+
+@given(corpus, st.integers(min_value=1, max_value=100))
+@settings(deadline=None, max_examples=60)
+def test_mixture_quota_invariants(rows, target_pct):
+    """Quotas never exceed source size, are at least 1 per source, and
+    the selection picks exactly quota docs per source."""
+    t = _docs_table(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    sel = con.execute(
+        "SELECT source, quota, COUNT(*) FROM ("
+        + mixture_sample_sql("duckdb", target_pct=target_pct)
+        + ") GROUP BY source, quota"
+    ).fetchall()
+    per_source = {}
+    for r in rows:
+        per_source[r[2]] = per_source.get(r[2], 0) + 1
+    assert sel, "at least one source selected"
+    for source, quota, n_sel in sel:
+        assert 1 <= quota <= per_source[source]
+        assert n_sel == quota
