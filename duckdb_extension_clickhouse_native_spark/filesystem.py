@@ -97,7 +97,14 @@ def resolve_paths(path: str) -> list[str]:
                 )
             return out
         hits = sorted(globmod.glob(path))
-        return hits if hits else [path]
+        if hits:
+            # a glob may match directories (e.g. batch-* output of the
+            # streaming sink); expand each into its data files
+            out = []
+            for h in hits:
+                out.extend(resolve_paths(h) if os.path.isdir(h) else [h])
+            return out
+        return [path]
 
     from pyarrow.fs import FileSelector, FileType
 

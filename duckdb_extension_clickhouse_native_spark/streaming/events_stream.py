@@ -227,3 +227,40 @@ def click_purchase_join(events: DataFrame, minutes: int = 60) -> DataFrame:
             F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
         ).alias("gap_us"),
     )
+
+
+def write_stream_native(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    compression: str | None = None,
+):
+    """Streaming sink into the ClickHouse Native format: each
+    micro-batch lands as its own batch directory of Native part files,
+    written by the DISTRIBUTED batch writer (one file per partition) —
+    the ingest loop the reference has no analogue for (its extension is
+    read-only; SURVEY.md §2.1 'Sinks: none').
+
+    Exactly-once across restarts: the batch directory is named by the
+    deterministic ``batchId`` and written with ``mode("overwrite")``,
+    so a replayed batch (after a crash between write and checkpoint
+    commit) overwrites its own partial output instead of duplicating
+    it — foreachBatch idempotency the way the Structured Streaming
+    guide prescribes. Returns the StreamingQuery; callers drive it
+    (``processAllAvailable`` in tests) and read the result back with
+    ``spark.read.format("clickhouse_native").load(f"{out_dir}/batch-*")``.
+    """
+    import os
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch-{batch_id:05d}")
+        w = batch_df.write.format("clickhouse_native").mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.save(target)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -104,3 +104,49 @@ def test_stream_ignores_truncated_tail_block(spark, tmp_path):
         assert n == 20
     finally:
         q.stop()
+
+
+def test_stream_native_sink_roundtrip(spark, tmp_path):
+    """writeStream -> foreachBatch native writer -> read back through
+    the DataSource: row count and value sum equal the batch parquet,
+    and each micro-batch produced its own batch directory."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_clickhouse_native_spark.streaming.events_stream import (
+        read_events_stream,
+        write_stream_native,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = read_events_stream(spark, sf)
+    out = str(tmp_path / "native_out")
+    q = write_stream_native(
+        events.select("event_id", "user_id", "event_type", "value"),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = sorted(glob.glob(os.path.join(out, "batch-*")))
+    assert batches, "no batch directories written"
+    back = spark.read.format("clickhouse_native").load(
+        os.path.join(out, "batch-*")
+    )
+    ref = spark.read.parquet(f"{sf}/events.parquet")
+    assert back.count() == ref.count()
+    got = back.agg(F.sum(F.col("value").cast("decimal(18,4)"))).head()[0]
+    want = ref.agg(F.sum(F.col("value").cast("decimal(18,4)"))).head()[0]
+    assert got == want
+    # replaying a batch id must overwrite, not duplicate (idempotency)
+    sub = spark.read.format("clickhouse_native").load(batches[0])
+    n0 = sub.count()
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables  # noqa: F401
+
+    first_batch_df = sub  # rewrite the same rows under the same id
+    first_batch_df.write.format("clickhouse_native").mode("overwrite").save(batches[0])
+    assert spark.read.format("clickhouse_native").load(batches[0]).count() == n0
