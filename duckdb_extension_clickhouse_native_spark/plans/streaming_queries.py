@@ -175,5 +175,56 @@ REGISTRY.df_query(
 )
 
 
+def _stream_native_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the full ingest loop: events stream -> foreachBatch
+    distributed Native writer -> DataSource read-back -> aggregate.
+    The aggregate (not the file bytes) is the graded value, so the
+    check spans the stream reader, the sink, the codec and the scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream, write_stream_native
+
+    events = read_events_stream(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="chsql_stream_sink_")
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    q = write_stream_native(
+        events.select("event_id", "user_id", "event_type", "value"), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("clickhouse_native").load(os.path.join(out, "batch-*"))
+    result = back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    # materialize before the temp dir can be cleaned up by the caller
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+REGISTRY.df_query(
+    "stream_native_sink_agg",
+    _stream_native_sink_agg,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["streaming", "sink", "native"],
+    description="stream -> Native-format sink -> read-back aggregate == batch group-by",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
