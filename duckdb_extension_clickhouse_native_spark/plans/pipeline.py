@@ -48,6 +48,7 @@ from ..operators.retrieval import (
 )
 from ..operators.pipeline_e2e import pipeline_e2e_sql
 from ..operators.sharding import shard_assign_sql
+from ..operators.zorder import zorder_layout_sql
 from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
@@ -391,6 +392,15 @@ _sql_pair(
     ["documents"],
     ["pipeline", "flagship"],
     "quality filter -> dedup -> mixture sample -> shard assignment as ONE plan",
+)
+
+_sql_pair(
+    "zorder_layout",
+    zorder_layout_sql("spark"),
+    zorder_layout_sql("duckdb"),
+    ["events"],
+    ["layout", "zorder"],
+    "Morton-interleaved (user, time) layout: per-file 2D envelopes prove locality",
 )
 
 _sql_pair(

@@ -397,3 +397,28 @@ def test_chunking_covers_and_reconstructs(spark, tmp_path):
     assert rows[0]["chunk_fp"] == hashlib.md5(text[0:200].encode()).hexdigest()
     assert rows[1]["chunk_fp"] == hashlib.md5(text[150:350].encode()).hexdigest()
     assert rows[2]["chunk_fp"] == hashlib.md5(text[300:400].encode()).hexdigest()
+
+
+def test_zorder_tiles_both_dimensions(spark):
+    """Every z-file's envelope must be a strict sub-range of BOTH key
+    domains on average — the property a single-key sort cannot have
+    (its secondary dimension spans the whole domain in every file)."""
+    from duckdb_extension_clickhouse_native_spark.operators.zorder import (
+        zorder_layout_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.01", ["events"])
+    rows = spark.sql(zorder_layout_sql("spark")).collect()
+    assert len(rows) >= 4
+    user_span = max(r["max_user"] for r in rows) - min(r["min_user"] for r in rows)
+    bucket_span = max(r["max_bucket"] for r in rows) - min(r["min_bucket"] for r in rows)
+    avg_user_env = sum(r["max_user"] - r["min_user"] for r in rows) / len(rows)
+    avg_bucket_env = sum(r["max_bucket"] - r["min_bucket"] for r in rows) / len(rows)
+    # each file covers well under half of each dimension on average
+    assert avg_user_env < 0.5 * user_span
+    assert avg_bucket_env < 0.5 * bucket_span
+    # z-ranges of files are disjoint (files are z-contiguous)
+    spans = sorted((r["min_z"], r["max_z"]) for r in rows)
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c
