@@ -187,3 +187,68 @@ def hybrid_rrf_sql(dialect: str, k_each: int = 20, k: int = 10, rrf_k: int = 60)
     ORDER BY rrf DESC, doc_id
     LIMIT {k}
     """
+
+
+def importance_select_sql(
+    dialect: str, target_source: str = "src0", top_n: int = 50
+) -> str:
+    """Data selection by target-distribution matching (the DSIR idea):
+    score every candidate doc by how much its unigrams look like a
+    small high-quality target corpus (here: the ``target_source``
+    slice), and keep the top-N. The scale shape: one token explode, a
+    vocab-sized weight table joined BROADCAST onto the token stream,
+    one doc-keyed aggregation.
+
+    Cross-engine exactness: classic DSIR sums per-token LOG likelihood
+    ratios, but ln() is libm-dependent (Java Math.log vs C std::log
+    can differ in the last ulp, and a fixed-point floor would amplify
+    one ulp into a hash mismatch). This variant sums the *ratio*
+    itself, add-one smoothed, as an exact integer:
+
+        w(tok) = (2*t_cnt+1)(2*c_total+V) * 1e6
+                 div (2*t_total+V)(2*c_cnt+1)
+
+    — a monotone per-token affinity with the same selection behavior,
+    BIGINT end-to-end (fits while corpus tokens < ~1e9 per reducer;
+    shard the weight table beyond that). Doc score = mean token
+    weight, one double division at the end.
+    """
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        explode = (
+            "SELECT doc_id, source, explode(split(text, ' ')) AS tok FROM documents"
+        )
+    else:
+        explode = (
+            "SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents"
+        )
+    return f"""
+    WITH toks AS ({explode}),
+    counts AS (
+      SELECT tok, COUNT(*) AS c_cnt,
+             SUM(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END) AS t_cnt
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(c_cnt) AS c_total, SUM(t_cnt) AS t_total, COUNT(*) AS vocab
+      FROM counts
+    ),
+    w AS (
+      SELECT tok,
+             ((2 * t_cnt + 1) * (2 * c_total + vocab) * 1000000)
+               {idiv} ((2 * t_total + vocab) * (2 * c_cnt + 1)) AS wf
+      FROM counts CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT t.doc_id, SUM(w.wf) AS sw, COUNT(*) AS n_tok
+      FROM toks t JOIN w ON t.tok = w.tok
+      WHERE t.source <> '{target_source}'
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           ROUND(CAST(sw AS DOUBLE) / (1000000.0 * n_tok), 9) AS affinity
+    FROM scored
+    ORDER BY affinity DESC, doc_id
+    LIMIT {top_n}
+    """

@@ -43,6 +43,7 @@ from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import (
     bm25_sql,
     hybrid_rrf_sql,
+    importance_select_sql,
     mixture_sample_sql,
     stratified_sample_sql,
 )
@@ -365,6 +366,15 @@ _sql_pair(
     ["documents", "embeddings"],
     ["retrieval", "similarity", "fusion"],
     "BM25 + cosine rankings fused by RRF (hybrid retrieval, top-k-bounded join)",
+)
+
+_sql_pair(
+    "select_importance_target",
+    importance_select_sql("spark"),
+    importance_select_sql("duckdb"),
+    ["documents"],
+    ["retrieval", "selection", "dsir"],
+    "target-distribution importance selection (exact-integer ratio weights)",
 )
 
 _sql_pair(
