@@ -175,6 +175,36 @@ REGISTRY.df_query(
 )
 
 
+def _stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: the same events stream read TWICE
+    and unioned (every row a guaranteed duplicate), then
+    ``dropDuplicatesWithinWatermark`` on the key — state evicts with
+    the event-time watermark instead of growing forever, which is what
+    makes streaming dedup viable on an unbounded 100 TB stream (the
+    plain ``dropDuplicates`` entry keeps all keys). Each key's first
+    arrival is emitted; the emitted key set must equal batch DISTINCT."""
+    from ..streaming.events_stream import read_events_stream
+
+    doubled = read_events_stream(spark, sf_dir).unionAll(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "4 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _drain(deduped, "append")
+
+
+REGISTRY.df_query(
+    "stream_dedup_watermarked",
+    _stream_dedup_watermarked,
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+    tags=["streaming", "dedup", "watermark"],
+    description="dropDuplicatesWithinWatermark over a doubled stream == batch DISTINCT (bounded state)",
+)
+
+
 def _stream_native_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the full ingest loop: events stream -> foreachBatch
     distributed Native writer -> DataSource read-back -> aggregate.
