@@ -95,3 +95,29 @@ def test_mixture_quota_invariants(rows, target_pct):
     for source, quota, n_sel in sel:
         assert 1 <= quota <= per_source[source]
         assert n_sel == quota
+
+
+def test_importance_select_prefers_target_like_docs():
+    """A candidate doc written in the target corpus's vocabulary must
+    outrank one sharing no tokens with the target, and target docs
+    themselves never appear in the selection."""
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        importance_select_sql,
+    )
+
+    target_docs = ["alpha beta gamma delta"] * 5
+    like_target = "alpha beta alpha gamma"
+    unlike_target = "zeta eta theta iota"
+    doc_ids = list(range(7))
+    texts = target_docs + [like_target, unlike_target]
+    sources = ["src0"] * 5 + ["web", "web"]
+    t = _docs_table(doc_ids, [4] * 7, sources)
+    t = t.set_column(1, "text", pa.array(texts))
+    con = duckdb.connect()
+    con.register("documents", t)
+    rows = con.execute(
+        importance_select_sql("duckdb", top_n=10) + ""
+    ).fetchall()
+    got = {r[0]: r[1] for r in rows}
+    assert set(got) == {5, 6}, "only non-target docs are selectable"
+    assert got[5] > got[6], "target-vocabulary doc must score higher"
