@@ -133,7 +133,9 @@ def sessionize_sql(dialect: str, gap_seconds: int = 1800) -> str:
     user's previous event exceeds ``gap_seconds``. lag + conditional
     cumsum — one window, one shuffle on user_id."""
     if dialect == "spark":
-        epoch = "CAST(ts AS DOUBLE)"
+        # double cast: TIMESTAMP_NTZ -> TIMESTAMP (no-op under UTC
+        # session tz) -> epoch seconds; NTZ cannot cast to DOUBLE directly
+        epoch = "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)"
     else:
         epoch = "EPOCH(CAST(ts AS TIMESTAMP))"
     return f"""

@@ -113,7 +113,7 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
-    SELECT cid, COUNT(*) AS n_members, SUM(dist) AS inertia,
+    SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS inertia,
            MIN(vec_id) AS rep_vec
     FROM best_final
     GROUP BY cid

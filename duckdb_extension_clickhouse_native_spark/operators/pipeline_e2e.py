@@ -83,8 +83,8 @@ def pipeline_e2e_sql(
     totals AS (SELECT SUM(w) AS sum_w, SUM(n_docs) AS n_total FROM weights),
     quotas AS (
       SELECT w.source,
-             LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
-               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS quota
+             CAST(LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
+               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS BIGINT) AS quota
       FROM weights w CROSS JOIN totals t
     ),
     src_ranked AS (
@@ -114,9 +114,9 @@ def pipeline_e2e_sql(
       SELECT l.doc_id, l.n_tok, o.off + l.lrn - 1 AS grank
       FROM local_rank l JOIN bucket_offsets o ON l.b = o.b
     )
-    SELECT grank {idiv} {shard_docs} AS shard_id,
+    SELECT CAST(grank {idiv} {shard_docs} AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM ranked

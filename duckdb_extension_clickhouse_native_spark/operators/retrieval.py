@@ -128,8 +128,8 @@ def mixture_sample_sql(dialect: str, target_pct: int = 40) -> str:
     totals AS (SELECT SUM(w) AS sum_w, SUM(n_docs) AS n_total FROM weights),
     quotas AS (
       SELECT w.source, w.n_docs,
-             LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
-               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS quota
+             CAST(LEAST(w.n_docs, GREATEST(CAST(1 AS BIGINT),
+               ({target_pct} * t.n_total * w.w) {idiv} (100 * t.sum_w))) AS BIGINT) AS quota
       FROM weights w CROSS JOIN totals t
     ),
     ranked AS (

@@ -77,9 +77,9 @@ def shard_assign_sql(dialect: str, shard_docs: int = 64, two_phase: bool = True)
     )"""
     return f"""
     WITH {ranked}
-    SELECT grank {idiv} {shard_docs} AS shard_id,
+    SELECT CAST(grank {idiv} {shard_docs} AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM ranked

@@ -335,7 +335,7 @@ def pq_topk_sql(
       SELECT m, c, d2 FROM enc_dist WHERE vec_id = {query_vec_id}
     ),
     adc AS (
-      SELECT {h_qt}cd.vec_id, SUM(q.d2) AS approx_d2
+      SELECT {h_qt}cd.vec_id, CAST(SUM(q.d2) AS BIGINT) AS approx_d2
       FROM codes cd JOIN qtab q ON cd.m = q.m AND cd.code = q.c
       WHERE cd.vec_id <> {query_vec_id}
       GROUP BY cd.vec_id

@@ -55,7 +55,7 @@ def zorder_layout_sql(
     """
     idiv = "DIV" if dialect == "spark" else "//"
     minute = (
-        "unix_micros(ts) DIV 60000000"
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000"
         if dialect == "spark"
         else "epoch_us(CAST(ts AS TIMESTAMP)) // 60000000"
     )

@@ -123,19 +123,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = N
     Filters/projections on these push down to the parquet scan
     (Catalyst handles PushedFilters/ReadSchema).
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ensure_session(spark)
     out = {}
     for name in names or TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            # nanosAsLong surfaces the ns-precision column as int64; convert
-            # to microsecond TIMESTAMP_NTZ (matching DuckDB's CAST(ts AS
-            # TIMESTAMP) truncation used in every oracle)
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
+        if name == "events":
+            # normalize ts to TIMESTAMP (LTZ) whatever the file stores:
+            # int64 ns (nanosAsLong era) or timestamp[us] (surfaces as
+            # TIMESTAMP_NTZ). Session tz is pinned UTC, so the NTZ->LTZ
+            # cast preserves the wall-clock values DuckDB's CAST(ts AS
+            # TIMESTAMP) sees, and epoch casts (CAST AS DOUBLE,
+            # unix_micros) stay legal downstream.
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -167,74 +173,75 @@ class Query:
 # core joins, subqueries, scan/sort) rotates out — CORRECTNESS_r01.json
 # remains in-repo as their evidence; ungraded leftovers rotate into the
 # round-3 window.
+# ROUND-5 WINDOW. Composition:
+#   - the 8 rows red in r2-r4, all fixed this round (6 HUGEINT oracle
+#     typings + 2 streaming rows broken by the events.ts storage-type
+#     change) — kept in to prove them green;
+#   - 42 of the 49 never-driver-graded entries. Deferred to round 6
+#     (families already green via a driver-graded representative):
+#     text_repetition, text_chunking, text_pii_scrub,
+#     scalar_string_funcs, scalar_math_funcs, scalar_conditional,
+#     asof_join_window.
+# Everything else was graded green in r1/r2 (CORRECTNESS_r0{1,2}.json
+# is the standing evidence) and rotates out.
 GRADING_WINDOW = [
-    # §2.1 reference surface: native file source + remote scan
-    "native_scan_count_max",
-    "native_filter_project",
-    "native_join_mixed_sources",
+    # previously red, fixed this round — prove green
     "native_roundtrip_documents",
-    "native_compressed_scan",
-    "native_enum_scan",
-    "native_lossy_uint64_compat",
-    "native_split_blocks_scan",
     "native_type_matrix",
-    "native_embeddings_roundtrip",
-    "scan_remote_agg",
-    "scan_remote_split",
-    "scan_tcp_agg",
-    # decimal-fixed aggregation / join rows
-    "agg_global",
-    "q1_pricing_summary",
-    "group_having",
-    "rollup_orders",
-    "grouping_sets_events",
-    "cte_monthly_rank",
-    "q18_large_volume",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "asof_join_events_orders",
-    "join_bucketed_colocated",
-    # formerly no_oracle, now real oracles
-    "approx_distinct_parts",
-    "sim_topk_fast",
-    # formerly vacuous predicates
-    "q6_forecast_revenue",
-    "subquery_scalar_avg",
-    # windows (frames representative; topk-per-group, lag/lead and
-    # time-range-frame rotate to round 3 — all pass the local sweep)
-    "window_frames",
-    # set ops / non-equi / scalar / pivot / time buckets
-    "setops_nations",
-    "join_non_equi_range",
-    "scalar_date_funcs",
-    "json_extract_props",
-    "pivot_event_counts",
-    "events_time_buckets",
-    # stats family (percentiles + salted-skew representatives; corr and
-    # filtered-aggregates rotate to round 3)
-    "percentiles_quantity",
     "skew_salted_agg",
-    # round-2 pipeline flagships: iterative clustering + corpus selection
-    "dedup_connected_components",
     "kmeans_embeddings",
-    "decontaminate_ngram",
-    "bm25_topk",
-    # streaming
-    "stream_windowed_counts",
-    "stream_stateful_sessions",
-    # TPC-H q4-q22 representatives (q4's exists-subquery shape is
-    # covered by q22's NOT EXISTS — both pass the local sweep; q11,
-    # q15, q22 rotate to round 3 in favor of the new flagships below)
-    "q7_volume_shipping",
-    "q9_product_profit",
-    # round-2 session-2 flagships: full curation pipeline in one plan,
-    # PQ-ADC ANN, hybrid retrieval fusion, and the streaming Native
-    # ingest loop (stream -> sink -> scan -> agg)
     "pipeline_end_to_end",
     "sim_topk_pq",
-    "hybrid_search_rrf",
-    "stream_native_sink_agg",
+    "stream_windowed_counts",
+    "stream_stateful_sessions",
+    # §2.1 reference surface not yet graded: TCP split-read + write
+    "scan_tcp_split",
+    "scan_tcp_write_roundtrip",
+    "native_stream_agg",
+    # dedup / similarity / curation pipeline flagships
+    "dedup_incremental",
+    "dedup_semantic_clusters",
+    "sim_ann_recall",
+    "media_phash_pairs",
+    "select_importance_target",
+    "sample_stratified",
+    "sample_mixture_temperature",
+    "zorder_layout",
+    "shard_assignment",
+    "pack_sequences",
+    # window family
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_ntile_percent",
+    "window_time_range_frame",
+    # aggregate / stats family
+    "approx_percentile_bounded",
+    "argminmax_orders",
+    "bitwise_aggregates",
+    "collect_sorted_arrays",
+    "moments_totalprice",
+    "corr_qty_price",
+    "filtered_aggregates",
+    "stringagg_rich_customers",
+    "profile_lineitem",
+    # streaming family
+    "stream_dedup_keys",
+    "stream_interval_join",
+    "stream_dedup_watermarked",
+    # TPC-H remainder
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
 ]
 
 

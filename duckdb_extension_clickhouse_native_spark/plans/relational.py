@@ -595,9 +595,10 @@ def _window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lag("event_type", 1).over(w).alias("prev_type"),
         F.lead("event_type", 1).over(w).alias("next_type"),
-        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)).alias(
-            "gap_seconds"
-        ),
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double"), 1).over(w)
+        ).alias("gap_seconds"),
     )
 
 

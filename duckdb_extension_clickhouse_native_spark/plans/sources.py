@@ -186,7 +186,7 @@ REGISTRY.df_query(
     "native_roundtrip_documents",
     _native_roundtrip_documents,
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(LENGTH(text)) AS max_len
     FROM documents GROUP BY lang
     """,
@@ -480,7 +480,7 @@ REGISTRY.df_query(
            MAX(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
                       substr(h,17,4),'-',substr(h,21,12))) AS max_uuid,
            COUNT(DISTINCT o_orderstatus) AS n_status,
-           SUM(o_custkey) AS sum_cust,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_dec,
            MAX(o_totalprice) AS max_price,
            MAX(concat('10.', CAST((o_orderkey >> 16) & 255 AS VARCHAR), '.',

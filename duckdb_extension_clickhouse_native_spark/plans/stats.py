@@ -224,7 +224,7 @@ REGISTRY.sql_query(
       GROUP BY event_type, event_id % 16
     )
     SELECT event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS total_value,
            MAX(mx) AS max_value
     FROM partials

@@ -23,6 +23,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# nanos-era fallback layout; read_events_stream prefers the actual
+# parquet footer schema (the driver's data has stored ts as int64-ns
+# and as timestamp[us] across rounds — both are normalized to
+# TIMESTAMP below)
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -76,14 +80,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(link)
         if not os.path.lexists(link):
             os.symlink(src, link)
+    # use the file's real schema (the stream source needs one declared
+    # up front): ts has been int64-ns in some rounds and timestamp[us]
+    # in others; normalize either to TIMESTAMP (LTZ, session tz UTC)
+    from pyspark.sql.types import LongType as _Long, TimestampNTZType as _NTZ
+
+    try:
+        schema = spark.read.parquet(stream_dir).schema
+    except Exception:
+        schema = EVENTS_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, _Long):
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    if isinstance(ts_type, _NTZ):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:

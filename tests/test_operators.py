@@ -107,9 +107,10 @@ def test_streaming_windowed_counts(spark):
     # watermark holds back the tail window in append mode; completed
     # windows must match the batch aggregation for the same buckets
     got = spark.sql(f"SELECT * FROM {name}")
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
     batch = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        load_tables(spark, SF_SMALL, ["events"])["events"]
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")

@@ -3,7 +3,9 @@
 its DuckDB oracle at the given sf dir (default sf0.01, the driver's
 scale). Exit code 1 on any mismatch.
 
-Run: python tools/sweep_oracle.py [sf_dir] [cpus]
+Run: python tools/sweep_oracle.py [sf_dir] [cpus] [name_substr,...]
+(optional third arg: comma-separated substrings — only queries whose
+name contains one of them are swept)
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    name_filter = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
     from duckdb_extension_clickhouse_native_spark import get_spark
     import __spark_entry__  # noqa: F401 - populates REGISTRY
@@ -32,6 +35,8 @@ def main() -> int:
     bad = []
     t0 = time.time()
     for name, q in sorted(REGISTRY.all().items()):
+        if name_filter and not any(s in name for s in name_filter):
+            continue
         try:
             df = q.build(spark, sf_dir)
             if q.oracle is None:
