@@ -77,12 +77,16 @@ def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: in
 
 def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataFrame:
     from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
 
     ensure_session(spark)
     path = native_fixture_dir(spark, sf_dir, table)
     reader = spark.read.format("clickhouse_native")
     for k, v in options.items():
         reader = reader.option(k, v)
+    # driver-side header read + explicit schema: skips the Python-worker
+    # schema() planning roundtrip (~0.3 s fixed latency per query)
+    reader = reader.schema(infer_native_schema({**options, "path": path}))
     return reader.load(path)
 
 

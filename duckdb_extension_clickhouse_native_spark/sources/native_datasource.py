@@ -575,6 +575,43 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 os.remove(m.path)
 
 
+def infer_native_schema(options: dict) -> StructType:
+    """Header-only schema discovery for a Native path (first file's
+    block header; reference lib.rs:251 parses the whole file instead).
+
+    Module-level so the DRIVER can call it in-process and pass the
+    result to ``spark.read.schema(...)`` — with an explicit schema
+    Spark skips the separate Python-worker schema() roundtrip, which
+    is ~0.3 s of fixed per-query planning latency."""
+    from ..native.codec import read_file_schema
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("clickhouse_native requires a path")
+    paths = _resolve_paths(path)
+    cols = read_file_schema(
+        paths[0],
+        compression=str(options.get("compression", "auto")).lower(),
+        unsupported_as_varchar=(
+            str(options.get("unsupported_as_varchar", "false")).lower() == "true"
+        ),
+    )
+    lossy = str(options.get("lossy_uint64", "false")).lower() == "true"
+    want = None
+    if options.get("columns"):
+        want = {c.strip() for c in options["columns"].split(",")}
+    fields = []
+    for name, t in cols:
+        if want is not None and name not in want:
+            continue
+        if lossy and t.base in ("UInt64", "UInt8"):
+            dt: DataType = IntegerType()
+        else:
+            dt = _ch_to_spark(t)
+        fields.append(StructField(name, dt, nullable=True))
+    return StructType(fields)
+
+
 class ClickHouseNativeDataSource(DataSource):
     """spark.read.format("clickhouse_native") — see module docstring."""
 
@@ -583,34 +620,7 @@ class ClickHouseNativeDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        from ..native.codec import read_file_schema
-
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("clickhouse_native requires a path")
-        paths = _resolve_paths(path)
-        cols = read_file_schema(
-            paths[0],
-            compression=str(self.options.get("compression", "auto")).lower(),
-            unsupported_as_varchar=(
-                str(self.options.get("unsupported_as_varchar", "false")).lower()
-                == "true"
-            ),
-        )
-        lossy = str(self.options.get("lossy_uint64", "false")).lower() == "true"
-        want = None
-        if self.options.get("columns"):
-            want = {c.strip() for c in self.options["columns"].split(",")}
-        fields = []
-        for name, t in cols:
-            if want is not None and name not in want:
-                continue
-            if lossy and t.base in ("UInt64", "UInt8"):
-                dt: DataType = IntegerType()
-            else:
-                dt = _ch_to_spark(t)
-            fields.append(StructField(name, dt, nullable=True))
-        return StructType(fields)
+        return infer_native_schema(dict(self.options))
 
     def streamReader(self, schema: StructType) -> ClickHouseNativeStreamReader:
         return ClickHouseNativeStreamReader(schema, dict(self.options))
