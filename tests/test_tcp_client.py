@@ -248,3 +248,34 @@ def test_scan_datasource_tcp_split(spark):
     )
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 1500
+
+
+# --- live-server integration (opt-in) --------------------------------------
+# The mock above covers the protocol offline; this exercises the SAME
+# client against a real ClickHouse when one is reachable. Skips cleanly
+# in the sandbox (no server). Point CLICKHOUSE_TCP at host:port[:secure]
+# e.g. CLICKHOUSE_TCP=localhost:9000 or CLICKHOUSE_TCP=play.host:9440:secure
+# (the reference keeps its live-server test commented out,
+# test/sql/chsql_native.test:22-26 — this is the runnable equivalent).
+import os  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CLICKHOUSE_TCP"),
+    reason="no live ClickHouse server configured (set CLICKHOUSE_TCP=host:port[:secure])",
+)
+def test_live_server_select_one():
+    parts = os.environ["CLICKHOUSE_TCP"].split(":")
+    host, port = parts[0], int(parts[1])
+    secure = len(parts) > 2 and parts[2] == "secure"
+    c = ClickHouseTCPClient(
+        host,
+        port,
+        secure=secure,
+        user=os.environ.get("CLICKHOUSE_USER", "default"),
+        password=os.environ.get("CLICKHOUSE_PASSWORD", ""),
+    )
+    blocks = list(c.execute_blocks("SELECT 1 AS one, 'x' AS s"))
+    got = blocks[0].to_record_batch().to_pydict()
+    assert got["one"] == [1]
+    assert got["s"] == ["x"]
