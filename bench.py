@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_connected_components",  # iterative label propagation
     "kmeans_embeddings",           # fixed-point Lloyd, 2 iterations
+    "kmeans_fast",                 # same result, broadcast-numpy mapInPandas
     "decontaminate_ngram",
     "bm25_topk",
     "sim_topk_fast",

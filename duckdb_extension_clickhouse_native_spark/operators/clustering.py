@@ -118,3 +118,129 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     FROM best_final
     GROUP BY cid
     """
+
+def kmeans_fast(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
+    """The PRODUCTION shape of ``kmeans_sql``, bit-identical result.
+
+    Same fixed-point semantics (floor-1e-6 coordinates, exact BIGINT
+    distances, FLOOR(double-division) centroid updates, md5 seeds) but
+    the n x k distance computation runs as numpy int64 matrix ops
+    against a broadcast centroid array inside ``mapInPandas`` — the
+    swap the SQL form's docstring promises for real scale:
+
+    * per iteration the cluster shuffle carries k x dim PARTIAL-SUM
+      rows per input batch (a few KB), not k rows per vector — at
+      10^10 vectors the SQL form shuffles 8 x 10^10 rows per
+      iteration, this shuffles ~10^6;
+    * the centroid matrix (k x dim int64, ~4 KB at the defaults) ships
+      in the UDF closure — the broadcast-variable pattern at real k;
+    * the only driver-side data are the k x dim centroid updates per
+      iteration (legitimate iterative control, like the CC loop).
+
+    Registered with the SAME DuckDB oracle as ``kmeans_embeddings``:
+    the driver's hash-compare proves the fast path exact, not just
+    close."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..plans.base import load_tables
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select("vec_id", "embedding")
+
+    def to_fixed(mat: "np.ndarray") -> "np.ndarray":
+        # xf = FLOOR(CAST(v AS DOUBLE) * SCALE): float32 -> float64 is
+        # exact, the multiply rounds identically to both engines' double
+        return np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
+
+    # seeds: the k smallest md5(vec_id) — the same expression as the SQL
+    # form, evaluated once (k rows collected)
+    seed_ids = [
+        r.vec_id
+        for r in spark.sql(
+            f"""
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cid
+              FROM embeddings
+            ) WHERE cid < {k} ORDER BY cid
+            """
+        ).collect()
+    ]
+    seed_vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    cent = np.stack(
+        [to_fixed(np.asarray(seed_vecs[v], dtype=np.float32)) for v in seed_ids]
+    )  # (k, dim) int64
+
+    def dists_to(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # exact int64 squared distances, (n, k); ties resolve to the
+        # lowest cid via argmin's first-minimum rule (== ORDER BY dist, cid)
+        diff = X[:, None, :] - C[None, :, :]
+        return np.einsum("nkd,nkd->nk", diff, diff)
+
+    for _ in range(iters):
+        C = cent
+
+        def partials(batches, C=C, k=k, dim=dim):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = to_fixed(np.stack(list(pdf["embedding"])))
+                best = np.argmin(dists_to(X, C), axis=1)
+                cids, cnts, sums = [], [], []
+                for cid in range(k):
+                    mask = best == cid
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    cids.append(cid)
+                    cnts.append(n)
+                    sums.append(X[mask].sum(axis=0).tolist())
+                yield pd.DataFrame({"cid": cids, "cnt": cnts, "sums": sums})
+
+        # combine batch partials engine-side; centroid update uses the
+        # exact SQL expression (FLOOR of the exact double division)
+        rows = (
+            emb.mapInPandas(partials, "cid int, cnt bigint, sums array<bigint>")
+            .select("cid", "cnt", F.posexplode("sums").alias("d", "s"))
+            .groupBy("cid", "d")
+            .agg(F.sum("s").alias("ssum"), F.sum("cnt").alias("n"))
+            .withColumn(
+                "cf", F.expr("CAST(FLOOR(CAST(ssum AS DOUBLE) / n) AS BIGINT)")
+            )
+            .select("cid", "d", "cf")
+            .collect()
+        )
+        nxt = cent.copy()  # clusters with no members keep their centroid
+        for r in rows:
+            nxt[r.cid, r.d] = r.cf
+        cent = nxt
+
+    C = cent
+
+    def assign(batches, C=C):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = to_fixed(np.stack(list(pdf["embedding"])))
+            d = dists_to(X, C)
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": best.astype(np.int32),
+                    "dist": d[np.arange(len(best)), best],
+                }
+            )
+
+    final = emb.mapInPandas(assign, "vec_id bigint, cid int, dist bigint")
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+        F.min("vec_id").alias("rep_vec"),
+    )

@@ -433,6 +433,23 @@ _sql_pair(
 )
 
 REGISTRY.df_query(
+    "kmeans_fast",
+    lambda spark, sf_dir: __import__(
+        "duckdb_extension_clickhouse_native_spark.operators.clustering",
+        fromlist=["kmeans_fast"],
+    ).kmeans_fast(spark, sf_dir),
+    # SAME oracle as kmeans_embeddings: the broadcast-numpy mapInPandas
+    # path must reproduce the exact fixed-point result, not approximate it
+    oracle=kmeans_sql("duckdb"),
+    tags=["clustering", "kmeans", "mapInPandas", "scale"],
+    description=(
+        "production-shape k-means: broadcast centroid matrix + numpy int64 "
+        "distances in mapInPandas, kxdim partial-sum shuffle; bit-identical "
+        "to the SQL form"
+    ),
+)
+
+REGISTRY.df_query(
     "pack_sequences",
     pack_sequences,
     oracle=packing_oracle_sql(),

@@ -183,3 +183,25 @@ def test_hex_int_conv_equivalence(spark):
     assert row["n"] == 2000
     for off, n in cases:
         assert row[f"eq_{off}_{n}"] == 2000, (off, n)
+
+
+def test_kmeans_fast_matches_sql_form_exactly(spark):
+    """The broadcast-numpy mapInPandas k-means must reproduce the
+    fixed-point SQL form bit-for-bit — same assignments, inertia and
+    representatives — or its shared oracle would be a lie."""
+    from duckdb_extension_clickhouse_native_spark.operators.clustering import (
+        kmeans_fast,
+        kmeans_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["embeddings"])
+    want = {
+        r.cid: (r.n_members, r.inertia, r.rep_vec)
+        for r in spark.sql(kmeans_sql("spark")).collect()
+    }
+    got = {
+        r.cid: (r.n_members, r.inertia, r.rep_vec)
+        for r in kmeans_fast(spark, SF_SMALL).collect()
+    }
+    assert got == want
