@@ -47,6 +47,7 @@ HEADLINE = [
     "bm25_topk",
     "sim_topk_fast",
     "sim_topk_pq",              # PQ codes + ADC (the compressed-corpus path)
+    "sim_topk_pq_fast",         # same result, one-pass numpy encode+ADC
     "text_quality",
     "skew_salted_agg",
     "pipeline_end_to_end",      # quality->dedup->mixture->shards, one plan

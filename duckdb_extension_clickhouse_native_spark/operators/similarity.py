@@ -363,3 +363,96 @@ def ann_recall_sql(dialect: str, query_vec_id: int = 0, k: int = 10) -> str:
             ON i.vec_id = e2.vec_id) AS INT) AS ivf_hits_at_{k},
       CAST({k} AS INT) AS k
     """
+
+
+def pq_topk_fast(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    m_sub: int = 8,
+    k_sub: int = 32,
+    k: int = 10,
+    dim: int = DIM,
+):
+    """The PRODUCTION shape of ``pq_topk_sql``, bit-identical result.
+
+    Same fixed-point PQ semantics (floor-1e-6 coordinates, first-k_sub
+    codebooks, argmin codes with low-code tie-break, base-k_sub packed
+    pq_code, ADC against the query's exact distance table) — but encode
+    + ADC run as numpy int64 matrix ops in ONE ``mapInPandas`` pass:
+
+    * the codebook (m_sub x k_sub x sub_dim int64, ~16 KB) and the
+      query distance table (m_sub x k_sub) ship in the UDF closure —
+      at real scale these are Spark broadcast variables;
+    * the SQL form shuffles n x m_sub x k_sub enc_dist rows (2048 rows
+      per vector at the defaults) through a groupBy + window; the fast
+      path shuffles NOTHING until the final top-k, which
+      TakeOrderedAndProject collapses map-side;
+    * at ingest the same pass would persist (vec_id, pq_code) — 5 bytes
+      of codes per vector, the 51x-compression story the SQL docstring
+      describes.
+
+    Registered with the SAME DuckDB oracle as ``sim_topk_pq``: the
+    grading hash proves the fast path exact (codes AND distances),
+    not just overlapping."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..plans.base import load_tables
+
+    fp = 10**6
+    sub_dim = dim // m_sub
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select("vec_id", "embedding")
+
+    def to_fixed(mat: "np.ndarray") -> "np.ndarray":
+        return np.floor(mat.astype(np.float64) * fp).astype(np.int64)
+
+    # codebook = subvectors of the first k_sub embeddings (the SQL
+    # form's deterministic training stand-in); tiny, collected once
+    head = {
+        r.vec_id: to_fixed(np.asarray(r.embedding, dtype=np.float32))
+        for r in emb.filter(F.col("vec_id") < max(k_sub, query_vec_id + 1)).collect()
+    }
+    # (m_sub, k_sub, sub_dim): codebook[m][c] = code c's centroid in subspace m
+    codebook = np.stack(
+        [
+            np.stack([head[c].reshape(m_sub, sub_dim)[m] for c in range(k_sub)])
+            for m in range(m_sub)
+        ]
+    )
+    q = head[query_vec_id].reshape(m_sub, sub_dim)
+    # query distance table (m_sub, k_sub): exact int64 d2 per (m, code)
+    qdiff = q[:, None, :] - codebook
+    qtab = np.einsum("mcd,mcd->mc", qdiff, qdiff)
+    powers = (k_sub ** np.arange(m_sub)).astype(np.int64)
+
+    def encode_adc(batches, CB=codebook, QT=qtab, P=powers):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = pdf["vec_id"].to_numpy() != query_vec_id
+            if not keep.any():
+                continue
+            X = to_fixed(np.stack(list(pdf["embedding"][keep]))).reshape(
+                -1, m_sub, sub_dim
+            )
+            # (n, m_sub, k_sub) exact distances -> argmin codes
+            # (first-minimum rule == the SQL low-code tie-break)
+            diff = X[:, :, None, :] - CB[None, :, :, :]
+            codes = np.argmin(np.einsum("nmcd,nmcd->nmc", diff, diff), axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "pq_code": codes @ P,
+                    "approx_d2": np.take_along_axis(
+                        QT[None, :, :].repeat(len(codes), 0), codes[:, :, None], 2
+                    )[:, :, 0].sum(axis=1),
+                }
+            )
+
+    out = emb.mapInPandas(
+        encode_adc, "vec_id bigint, pq_code bigint, approx_d2 bigint"
+    )
+    return out.orderBy("approx_d2", "vec_id").limit(k)

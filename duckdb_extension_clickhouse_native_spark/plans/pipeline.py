@@ -170,6 +170,23 @@ _sql_pair(
     "product-quantization ADC top-10: 2-byte codes + broadcast distance table",
 )
 
+REGISTRY.df_query(
+    "sim_topk_pq_fast",
+    lambda spark, sf_dir: __import__(
+        "duckdb_extension_clickhouse_native_spark.operators.similarity",
+        fromlist=["pq_topk_fast"],
+    ).pq_topk_fast(spark, sf_dir),
+    # SAME oracle as sim_topk_pq: encode + ADC in one mapInPandas pass
+    # must reproduce codes, packed pq_code and distances bit-for-bit
+    oracle=pq_topk_sql("duckdb"),
+    tags=["similarity", "ann", "pq", "mapInPandas", "scale"],
+    description=(
+        "production-shape PQ-ADC: broadcast codebook + query table, numpy "
+        "int64 encode/ADC in one pass, shuffle-free until the final top-k; "
+        "bit-identical to the SQL form"
+    ),
+)
+
 _sql_pair(
     "sim_ann_recall",
     ann_recall_sql("spark"),

@@ -205,3 +205,18 @@ def test_kmeans_fast_matches_sql_form_exactly(spark):
         for r in kmeans_fast(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_pq_fast_matches_sql_form_exactly(spark):
+    """One-pass numpy PQ encode+ADC must reproduce the SQL form's
+    codes, packed pq_code and distances bit-for-bit."""
+    from duckdb_extension_clickhouse_native_spark.operators.similarity import (
+        pq_topk_fast,
+        pq_topk_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["embeddings"])
+    want = [tuple(r) for r in spark.sql(pq_topk_sql("spark")).collect()]
+    got = [tuple(r) for r in pq_topk_fast(spark, SF_SMALL).collect()]
+    assert got == want
