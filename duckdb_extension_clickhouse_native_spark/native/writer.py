@@ -10,6 +10,7 @@ of our round-trip test fixtures.
 from __future__ import annotations
 
 import io
+import os
 from typing import BinaryIO, Iterable, Optional
 
 import pyarrow as pa
@@ -77,6 +78,46 @@ def _write_block_with_nullable_names(
     write_block(buf, batch, types)
 
 
+def stats_sidecar_path(data_path: str) -> str:
+    """``part-000.clickhouse`` -> ``_part-000.clickhouse.stats.json`` in
+    the same directory. The leading underscore keeps the sidecar out of
+    every directory listing (``resolve_paths`` skips ``_``-files), like
+    ``_SUCCESS``."""
+    d, base = os.path.split(data_path)
+    return os.path.join(d, f"_{base}.stats.json")
+
+
+def _column_stats(table: pa.Table | pa.RecordBatch) -> dict:
+    """Per-column min/max/null-count for JSON-representable scalar
+    types (int/float/string) — the file-level pruning index the scan's
+    ``partitions()`` uses to skip whole files against pushed filters
+    (the Native-format analogue of parquet footer statistics)."""
+    import pyarrow.compute as pc
+
+    cols = {}
+    arrs = (
+        {f.name: table.column(i) for i, f in enumerate(table.schema)}
+        if isinstance(table, pa.Table)
+        else {f.name: table.column(i) for i, f in enumerate(table.schema)}
+    )
+    for name, arr in arrs.items():
+        t = arr.type
+        if not (
+            pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t)
+        ):
+            continue
+        nulls = arr.null_count
+        if len(arr) == nulls:
+            cols[name] = {"min": None, "max": None, "nulls": nulls}
+            continue
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(mn, float) and (mn != mn or mx != mx):  # all-NaN guard
+            continue
+        cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+    return cols
+
+
 def write_native_file(
     path: str,
     table: pa.Table | pa.RecordBatch,
@@ -84,9 +125,12 @@ def write_native_file(
     ch_types: Optional[list[CHType]] = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     compression: Optional[str] = None,
+    stats: bool = True,
 ) -> int:
     """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
-    wrap the stream in ClickHouse compressed frames (compress.py)."""
+    wrap the stream in ClickHouse compressed frames (compress.py).
+    ``stats=True`` also writes a ``_<name>.stats.json`` min/max sidecar
+    enabling file-level predicate skipping at scan planning."""
     if isinstance(table, pa.RecordBatch):
         batches: list[pa.RecordBatch] = [table]
         schema = table.schema
@@ -109,6 +153,14 @@ def write_native_file(
                 buf, batches, ch_types=types, block_rows=block_rows, schema=schema
             )
         buf.flush()
+    if stats:
+        import json
+
+        side = {"rows": int(table.num_rows), "columns": _column_stats(table)}
+        tmp = stats_sidecar_path(path) + ".tmp"
+        with open(tmp, "w") as sf:
+            json.dump(side, sf)
+        os.replace(tmp, stats_sidecar_path(path))
     return n
 
 

@@ -159,6 +159,64 @@ class NativeFilePartition(InputPartition):
     n_blocks: int = -1  # -1 = to EOF
 
 
+def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
+    """True iff the sidecar PROVES filter ``f`` false for every row of
+    the file. Conservative: unknown filter shapes, missing columns, or
+    type mismatches never skip. Comparison filters reject NULL rows by
+    SQL semantics, so min/max over non-null values is sufficient."""
+    cols = stats.get("columns", {})
+    rows = int(stats.get("rows", 0))
+    if rows == 0:
+        return False  # empty file costs nothing; don't reason about it
+    if isinstance(f, IsNull):
+        c = cols.get(f.attribute[0])
+        return c is not None and int(c.get("nulls", 1)) == 0
+    if isinstance(f, IsNotNull):
+        c = cols.get(f.attribute[0])
+        return c is not None and int(c.get("nulls", 0)) == rows
+    if isinstance(f, EqualNullSafe) and f.value is None:
+        c = cols.get(f.attribute[0])
+        return c is not None and int(c.get("nulls", 1)) == 0
+    if not isinstance(
+        f, (EqualTo, EqualNullSafe, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+    ):
+        return False
+    c = cols.get(f.attribute[0])
+    if c is None:
+        return False
+    mn, mx = c.get("min"), c.get("max")
+    if mn is None:
+        # all values NULL: every comparison filter is false
+        return True
+
+    def comparable(v) -> bool:
+        if isinstance(v, bool) or v is None:
+            return False
+        if isinstance(v, (int, float)):
+            return isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        if isinstance(v, str):
+            return isinstance(mn, str)
+        return False
+
+    if isinstance(f, In):
+        vals = list(f.value)
+        return all(comparable(v) and (v < mn or v > mx) for v in vals) and bool(vals)
+    v = f.value
+    if not comparable(v):
+        return False
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return v < mn or v > mx
+    if isinstance(f, GreaterThan):
+        return mx <= v
+    if isinstance(f, GreaterThanOrEqual):
+        return mx < v
+    if isinstance(f, LessThan):
+        return mn >= v
+    if isinstance(f, LessThanOrEqual):
+        return mn > v
+    return False
+
+
 class ClickHouseNativeReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.spark_schema = schema
@@ -180,6 +238,7 @@ class ClickHouseNativeReader(DataSourceReader):
         )
         self.split_blocks = str(options.get("split_blocks", "false")).lower() == "true"
         self.target_bytes = int(options.get("target_partition_bytes", 128 * 1024 * 1024))
+        self.skipping = str(options.get("skipping", "true")).lower() == "true"
         self.pushed: List[Filter] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
@@ -213,8 +272,36 @@ class ClickHouseNativeReader(DataSourceReader):
         attr = f.attribute
         return len(attr) == 1  # no nested columns
 
+    def _prune_paths(self, paths: list) -> list:
+        """File-level data skipping: drop files whose min/max sidecar
+        (written by our writer, ``_<name>.stats.json``) proves every
+        pushed filter false for every row — the Native-format analogue
+        of parquet footer stats + partition pruning, evaluated ONCE at
+        planning so skipped files cost zero tasks. Files without a
+        sidecar are always read; an empty result keeps one file so the
+        plan retains a partition (its executor-side filter yields 0
+        rows)."""
+        import json
+
+        from ..native.writer import stats_sidecar_path
+
+        kept = []
+        for p in paths:
+            try:
+                with open(stats_sidecar_path(p)) as f:
+                    st = json.load(f)
+            except (OSError, ValueError):
+                kept.append(p)
+                continue
+            if any(_filter_excludes_file(flt, st) for flt in self.pushed):
+                continue
+            kept.append(p)
+        return kept if kept else paths[:1]
+
     def partitions(self) -> Sequence[InputPartition]:
         paths = _resolve_paths(self.path)
+        if self.skipping and self.pushed:
+            paths = self._prune_paths(paths)
         if not self.split_blocks or len(paths) > 8:
             return [NativeFilePartition(p) for p in paths]
         from ..native.codec import scan_block_offsets
@@ -532,14 +619,22 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> NativeWriteCommit:
         import io
+        import json
 
         from ..native.types import from_arrow
-        from ..native.writer import write_native_stream
+        from ..native.writer import (
+            _column_stats,
+            stats_sidecar_path,
+            write_native_stream,
+        )
 
         os.makedirs(self.path, exist_ok=True)
         fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.clickhouse")
         rows = 0
         ch_types = None
+        # per-batch incremental min/max/null merge -> the same skipping
+        # sidecar write_native_file emits (no buffering of the stream)
+        merged: dict = {}
         with open(fname, "wb") as f:
             raw = io.BufferedWriter(f, buffer_size=1 << 20)
             buf = raw
@@ -553,26 +648,54 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 rows += write_native_stream(
                     buf, [batch], ch_types=ch_types, block_rows=self.block_rows
                 )
+                for name, st in _column_stats(batch).items():
+                    cur = merged.get(name)
+                    if cur is None:
+                        merged[name] = dict(st)
+                        continue
+                    cur["nulls"] += st["nulls"]
+                    if st["min"] is not None and (
+                        cur["min"] is None or st["min"] < cur["min"]
+                    ):
+                        cur["min"] = st["min"]
+                    if st["max"] is not None and (
+                        cur["max"] is None or st["max"] > cur["max"]
+                    ):
+                        cur["max"] = st["max"]
             buf.flush()
             if buf is not raw:
                 raw.flush()
         if rows == 0:
             os.remove(fname)
             return NativeWriteCommit(path="", rows=0)
+        tmp = stats_sidecar_path(fname) + ".tmp"
+        with open(tmp, "w") as sf:
+            json.dump({"rows": rows, "columns": merged}, sf)
+        os.replace(tmp, stats_sidecar_path(fname))
         return NativeWriteCommit(path=fname, rows=rows)
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:
+        from ..native.writer import stats_sidecar_path
+
         new_files = {m.path for m in messages if m and m.path}
         for old in self._stale:
             if old not in new_files and os.path.exists(old):
                 os.remove(old)
+                side = stats_sidecar_path(old)
+                if os.path.exists(side):
+                    os.remove(side)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
     def abort(self, messages: List[Optional[NativeWriteCommit]]) -> None:
+        from ..native.writer import stats_sidecar_path
+
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+                side = stats_sidecar_path(m.path)
+                if os.path.exists(side):
+                    os.remove(side)
 
 
 def infer_native_schema(options: dict) -> StructType:

@@ -1,0 +1,152 @@
+"""File-level data skipping: the writer's min/max sidecar + the
+reader's planning-time pruning must (a) skip exactly the files a
+pushed predicate excludes and (b) never change query results."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNull,
+    LessThan,
+    StringStartsWith,
+)
+
+from duckdb_extension_clickhouse_native_spark.native.writer import (
+    stats_sidecar_path,
+    write_native_file,
+)
+from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+    ClickHouseNativeReader,
+    _filter_excludes_file,
+    infer_native_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def range_dir(tmp_path_factory):
+    """4 files with disjoint k ranges: [0,250) [250,500) [500,750) [750,1000)."""
+    d = str(tmp_path_factory.mktemp("skip"))
+    for i in range(4):
+        lo = i * 250
+        t = pa.table(
+            {
+                "k": pa.array(range(lo, lo + 250), type=pa.int64()),
+                "name": pa.array([f"file{i}-row{j}" for j in range(250)]),
+            }
+        )
+        write_native_file(os.path.join(d, f"part-{i:03d}.clickhouse"), t)
+    return d
+
+
+def _reader(d, **opts) -> ClickHouseNativeReader:
+    options = {"path": d, **opts}
+    return ClickHouseNativeReader(infer_native_schema(options), options)
+
+
+def test_sidecar_written_and_listed_nowhere(range_dir):
+    side = stats_sidecar_path(os.path.join(range_dir, "part-000.clickhouse"))
+    st = json.load(open(side))
+    assert st["rows"] == 250
+    assert st["columns"]["k"] == {"min": 0, "max": 249, "nulls": 0}
+    assert st["columns"]["name"]["min"].startswith("file0")
+    from duckdb_extension_clickhouse_native_spark.filesystem import resolve_paths
+
+    assert all(p.endswith(".clickhouse") for p in resolve_paths(range_dir))
+
+
+def test_partitions_pruned_by_pushed_filters(range_dir):
+    r = _reader(range_dir)
+    list(r.pushFilters([LessThan(("k",), 250)]))
+    assert len(r.partitions()) == 1  # only file 0 can match
+    r = _reader(range_dir)
+    list(r.pushFilters([GreaterThan(("k",), 499)]))
+    assert len(r.partitions()) == 2  # files 2 and 3
+    r = _reader(range_dir)
+    list(r.pushFilters([EqualTo(("k",), 600)]))
+    assert len(r.partitions()) == 1
+    r = _reader(range_dir)
+    list(r.pushFilters([In(("k",), (10, 990))]))
+    assert len(r.partitions()) == 2  # first and last file
+    # unsatisfiable predicate keeps ONE partition (empty result, valid plan)
+    r = _reader(range_dir)
+    list(r.pushFilters([EqualTo(("k",), -5)]))
+    assert len(r.partitions()) == 1
+    # skipping can be disabled
+    r = _reader(range_dir, skipping="false")
+    list(r.pushFilters([EqualTo(("k",), -5)]))
+    assert len(r.partitions()) == 4
+
+
+def test_results_identical_with_and_without_skipping(spark, range_dir):
+    base = spark.read.format("clickhouse_native")
+    want = (
+        base.option("skipping", "false")
+        .load(range_dir)
+        .filter((F.col("k") >= 240) & (F.col("k") < 260))
+        .orderBy("k")
+        .collect()
+    )
+    got = (
+        base.load(range_dir)
+        .filter((F.col("k") >= 240) & (F.col("k") < 260))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in want] == list(range(240, 260))
+    assert got == want
+
+
+def test_conservative_cases_never_skip(range_dir):
+    st = {"rows": 250, "columns": {"k": {"min": 0, "max": 249, "nulls": 0}}}
+    # unknown filter shapes, missing columns, type mismatches: no skip
+    assert not _filter_excludes_file(StringStartsWith(("name",), "zz"), st)
+    assert not _filter_excludes_file(EqualTo(("missing",), 1), st)
+    assert not _filter_excludes_file(EqualTo(("k",), "not-an-int"), st)
+    assert not _filter_excludes_file(EqualTo(("k",), True), st)
+    assert not _filter_excludes_file(IsNull(("k",)), {"rows": 250, "columns": {}})
+    # satisfied range: no skip
+    assert not _filter_excludes_file(EqualTo(("k",), 100), st)
+    # no-nulls file: IS NULL is provably empty
+    assert _filter_excludes_file(IsNull(("k",)), st)
+    # all-null column: comparisons provably empty
+    st_null = {"rows": 5, "columns": {"k": {"min": None, "max": None, "nulls": 5}}}
+    assert _filter_excludes_file(GreaterThan(("k",), 0), st_null)
+
+
+def test_missing_sidecar_reads_everything(range_dir, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "nosidecar")
+    os.makedirs(d)
+    for f in os.listdir(range_dir):
+        if not f.startswith("_"):
+            shutil.copy(os.path.join(range_dir, f), os.path.join(d, f))
+    r = _reader(d)
+    list(r.pushFilters([LessThan(("k",), 250)]))
+    assert len(r.partitions()) == 4
+
+
+def test_distributed_writer_emits_sidecars_and_prunes(spark, tmp_path):
+    out = str(tmp_path / "dist")
+    spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS s") \
+        .repartitionByRange(4, "k") \
+        .write.format("clickhouse_native").mode("overwrite").save(out)
+    data = [f for f in os.listdir(out) if f.endswith(".clickhouse")]
+    sides = [f for f in os.listdir(out) if f.endswith(".stats.json")]
+    assert len(data) == 4 and len(sides) == 4
+    r = _reader(out)
+    list(r.pushFilters([LessThan(("k",), 250)]))
+    assert len(r.partitions()) == 1
+    got = (
+        spark.read.format("clickhouse_native").load(out)
+        .filter(F.col("k") < 250).count()
+    )
+    assert got == 250
