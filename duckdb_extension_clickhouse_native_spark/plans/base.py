@@ -203,6 +203,10 @@ class Query:
 #     text_repetition, text_chunking, text_pii_scrub,
 #     scalar_string_funcs, scalar_math_funcs, scalar_conditional,
 #     asof_join_window.
+# ROUND-6 ROTATION PLAN: swap in the 7 deferred entries above plus the
+# round-5 additions (kmeans_fast, sim_topk_pq_fast,
+# native_zorder_skip_scan) for 10 of this window's green rows (keep
+# any row that grades red in r5 for one more round instead).
 # Everything else was graded green in r1/r2 (CORRECTNESS_r0{1,2}.json
 # is the standing evidence) and rotates out.
 GRADING_WINDOW = [
