@@ -79,7 +79,16 @@ def main() -> None:
             rows.append((n, qname, best, n_out))
             print(f"  {n} docs {qname}: {best:.2f}s ({n_out} rows)", file=sys.stderr)
 
-    with open(os.path.join(REPO, "SCALE_PIPELINE.md"), "w") as f:
+    # preserve sections other probes appended (e.g. the sign-LSH
+    # occupancy-sizing table from tools/signlsh_scale_probe.py)
+    target = os.path.join(REPO, "SCALE_PIPELINE.md")
+    appended = ""
+    if os.path.exists(target):
+        old = open(target).read()
+        idx = old.find("\n## Sign-LSH")
+        if idx >= 0:
+            appended = old[idx:]
+    with open(target, "w") as f:
         f.write(
             "# Pipeline-operator scaling (dedup flagships)\n\n"
             "Corpus = sf0.1 documents replicated with deterministic "
@@ -102,6 +111,8 @@ def main() -> None:
                     f"- {qname}: {SIZES[2] // SIZES[0]}x docs -> "
                     f"{d[SIZES[2]] / d[SIZES[0]]:.1f}x time\n"
                 )
+        if appended:
+            f.write(appended)
     print("wrote SCALE_PIPELINE.md")
     spark.stop()
 
