@@ -7,13 +7,17 @@ hashing, so bit-identical values still hash-mismatch against Spark:
 * DECIMAL  -> r1: 12 red rows (fixed by casting final columns to DOUBLE)
 * HUGEINT  -> r2: 6 red rows (DuckDB SUM(BIGINT) returns INT128, the
   driver decays it to float64 while Spark emits int64)
+* LIST     -> r5: 1 red row (the canonicalizer sort_values/factorize
+  step throws `unhashable type: 'list'` on array-typed cells —
+  serialize arrays to a string, e.g. array_to_string(list_sort(...)))
 
-Rule: every oracle result column must be one of {BIGINT, INTEGER,
-SMALLINT, TINYINT, DOUBLE, VARCHAR, DATE, TIMESTAMP, TIMESTAMP_NS,
-BOOLEAN, or a LIST/STRUCT thereof}. HUGEINT/UHUGEINT/DECIMAL/FLOAT
-are rejected: wrap the offending aggregate in CAST(... AS BIGINT) /
-CAST(... AS DOUBLE) in the ORACLE SQL (the Spark side already emits
-the 64-bit type).
+Rule: every oracle result column must be a SCALAR one of {BIGINT,
+INTEGER, SMALLINT, TINYINT, DOUBLE, VARCHAR, DATE, TIMESTAMP,
+TIMESTAMP_NS, BOOLEAN}. HUGEINT/UHUGEINT/DECIMAL/FLOAT are rejected:
+wrap the offending aggregate in CAST(... AS BIGINT) / CAST(... AS
+DOUBLE) in the ORACLE SQL (the Spark side already emits the 64-bit
+type). LIST/ARRAY/STRUCT/MAP are rejected outright: the driver cannot
+hash them — serialize to VARCHAR in the final projection on BOTH sides.
 
 Runs DuckDB only (no Spark) — LIMIT 0 per oracle, so it is fast enough
 for pytest. Usage: python tools/oracle_type_audit.py [sf_dir]
@@ -48,14 +52,15 @@ ALLOWED = {
 
 
 def _type_ok(type_str: str) -> bool:
-    """A composite (LIST/STRUCT/MAP) is fine iff every scalar leaf it
-    mentions is allowed — extract leaf type words and check each."""
-    leaves = re.findall(
-        r"HUGEINT|UHUGEINT|DECIMAL\(\d+,\s*\d+\)|FLOAT|REAL|UBIGINT", type_str.upper()
-    )
-    return not leaves and any(a in type_str.upper() for a in ALLOWED) or (
-        not leaves and type_str.upper() in ALLOWED
-    )
+    """Only allowed SCALAR types pass. Composites (LIST/ARRAY/STRUCT/
+    MAP) are rejected outright — the driver's canonicalizer cannot sort
+    or hash them (r5: pandas factorize raises on list cells)."""
+    up = type_str.upper()
+    if re.search(r"\[\]|\bLIST\b|\bARRAY\b|\bSTRUCT\b|\bMAP\b|\bUNION\b", up):
+        return False
+    if re.search(r"HUGEINT|UHUGEINT|DECIMAL\(\d+,\s*\d+\)|FLOAT|REAL|UBIGINT", up):
+        return False
+    return up in ALLOWED
 
 
 def audit(sf_dir: str) -> dict[str, list[str]]:
