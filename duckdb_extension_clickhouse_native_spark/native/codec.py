@@ -141,66 +141,108 @@ def _strings_from_parts(parts: list[bytes], offsets: np.ndarray, rows: int, scru
     return arr.cast(pa.string())
 
 
+def _supports_chunk_scan(buf: BinaryIO) -> bool:
+    """The bulk-scan string paths over-read and must hand back the
+    surplus: possible on seekable sources (negative seek) and on
+    streams exposing ``pushback`` (CompressedReader)."""
+    try:
+        if buf.seekable():
+            return True
+    except AttributeError:
+        pass
+    return hasattr(buf, "pushback")
+
+
+def _restore_surplus(buf: BinaryIO, surplus) -> None:
+    if not len(surplus):
+        return
+    try:
+        buf.seek(-len(surplus), io.SEEK_CUR)
+        return
+    except (AttributeError, OSError, io.UnsupportedOperation):
+        pass
+    buf.pushback(bytes(surplus))
+
+
+def _refill(buf: BinaryIO, chunk: int) -> bytes:
+    """Fetch more column bytes for a chunk scan. Seekable files read a
+    full chunk (blocking on a regular file is free); non-seekable
+    sources use ``read1`` when available so an interactive socket
+    (native-TCP) is never asked for bytes beyond the frames already
+    sent — only called when the column genuinely continues, so at
+    least one more frame is guaranteed to be in flight."""
+    try:
+        if buf.seekable():
+            return buf.read(chunk)
+    except AttributeError:
+        pass
+    read1 = getattr(buf, "read1", None)
+    if read1 is not None:
+        return read1(chunk)
+    return buf.read(chunk)
+
+
 def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
-    """Fast path for seekable sources: bulk-read, scan length prefixes
-    in a tight integer loop (no per-row I/O or slicing), then extract
-    the whole payload in ONE numpy masked copy. Surplus bytes are
-    seeked back. ~3-5x the per-row read() loop."""
+    """Fast path for seekable/pushback sources: bulk-read, scan length
+    prefixes in a tight integer loop (no per-row I/O or slicing), then
+    extract the whole payload in ONE numpy masked copy. Surplus bytes
+    are returned to the stream. ~3-5x the per-row read() loop."""
     CHUNK = 4 << 20
-    data = buf.read(CHUNK)
+    # bytearray: refills grow in place (amortized), instead of
+    # re-copying the whole accumulated column per 4 MiB chunk
+    data = bytearray(_refill(buf, CHUNK))
     pos = 0
     lengths = np.empty(rows, dtype=np.int64)
     prefix_starts = np.empty(rows, dtype=np.int64)
     prefix_sizes = np.empty(rows, dtype=np.int8)
     i = 0
-    at_eof = False
     while i < rows:
         dlen = len(data)
-        # scan as far as this buffer allows
-        try:
-            while i < rows:
-                if not at_eof and pos + 10 > dlen:
+        # scan as far as this buffer allows — bounds-EXACT, so a refill
+        # is requested only when a string truly overruns the buffer
+        # (an interactive source is never asked for bytes that are not
+        # guaranteed to follow)
+        while i < rows:
+            if pos >= dlen:
+                break
+            b0 = data[pos]
+            if b0 < 0x80:
+                n = b0
+                adv = 1
+            else:
+                n = b0 & 0x7F
+                shift = 7
+                adv = 1
+                truncated = False
+                while True:
+                    if pos + adv >= dlen:
+                        truncated = True
+                        break
+                    byte = data[pos + adv]
+                    adv += 1
+                    n |= (byte & 0x7F) << shift
+                    if not (byte & 0x80):
+                        break
+                    shift += 7
+                if truncated:
                     break
-                b0 = data[pos]
-                if b0 < 0x80:
-                    n = b0
-                    adv = 1
-                else:
-                    n = b0 & 0x7F
-                    shift = 7
-                    adv = 1
-                    while True:
-                        byte = data[pos + adv]
-                        adv += 1
-                        n |= (byte & 0x7F) << shift
-                        if not (byte & 0x80):
-                            break
-                        shift += 7
-                if pos + adv + n > dlen:
-                    if at_eof:
-                        raise EOFError("EOF inside string column")
-                    break
-                prefix_starts[i] = pos
-                prefix_sizes[i] = adv
-                lengths[i] = n
-                pos += adv + n
-                i += 1
-        except IndexError:
-            raise EOFError("EOF inside string column") from None
+            if pos + adv + n > dlen:
+                break
+            prefix_starts[i] = pos
+            prefix_sizes[i] = adv
+            lengths[i] = n
+            pos += adv + n
+            i += 1
         if i < rows:
             # grow the buffer (positions recorded so far stay valid —
             # the buffer always starts at the column's first byte)
-            more = buf.read(CHUNK)
+            more = _refill(buf, CHUNK)
             if not more:
-                if at_eof:
-                    raise EOFError("EOF inside string column")
-                at_eof = True
-            data = data + more
+                raise EOFError("EOF inside string column")
+            data += more
         else:
             break
-    surplus = len(data) - pos
-    if surplus:
-        buf.seek(-surplus, io.SEEK_CUR)
+    _restore_surplus(buf, memoryview(data)[pos:])
     consumed = np.frombuffer(data, dtype=np.uint8, count=pos)
     # drop the varint prefix bytes with one boolean mask -> payload
     mask = np.ones(pos, dtype=bool)
@@ -235,7 +277,7 @@ def _decode_strings(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
     Python string objects)."""
     if rows == 0:
         return pa.array([], type=pa.string())
-    if buf.seekable():
+    if _supports_chunk_scan(buf):
         return _decode_strings_seekable(buf, rows, scrub=scrub)
     offsets = np.empty(rows + 1, dtype=np.int64)
     offsets[0] = 0
@@ -327,59 +369,60 @@ def _skip_fixed(buf: BinaryIO, t: CHType, rows: int) -> None:
 
 
 def _skip_strings_seekable(buf: BinaryIO, rows: int) -> None:
-    """Skip ``rows`` varuint-prefixed strings on a seekable source by
-    bulk-reading and scanning prefixes in a tight in-memory loop, then
-    seeking back the surplus — the skip twin of
+    """Skip ``rows`` varuint-prefixed strings on a seekable/pushback
+    source by bulk-reading and scanning prefixes in a tight in-memory
+    loop, then returning the surplus — the skip twin of
     ``_decode_strings_seekable``. The per-row ``read_varuint(buf)``
     loop costs two buffered-IO calls per string; projections over
     string-heavy tables (e.g. two columns out of lineitem) spend more
-    time skipping than decoding without this."""
+    time skipping than decoding without this. Unlike the decode twin,
+    no history is needed, so the consumed prefix is dropped on every
+    refill (keeping it would copy the whole accumulated column per
+    4 MiB chunk — O(n^2))."""
     CHUNK = 4 << 20
-    data = buf.read(CHUNK)
+    data = _refill(buf, CHUNK)
     pos = 0
     i = 0
-    at_eof = False
     while i < rows:
         dlen = len(data)
-        try:
-            while i < rows:
-                if not at_eof and pos + 10 > dlen:
+        # bounds-exact scan; see _decode_strings_seekable for why
+        while i < rows:
+            if pos >= dlen:
+                break
+            b0 = data[pos]
+            if b0 < 0x80:
+                n = b0
+                adv = 1
+            else:
+                n = b0 & 0x7F
+                shift = 7
+                adv = 1
+                truncated = False
+                while True:
+                    if pos + adv >= dlen:
+                        truncated = True
+                        break
+                    byte = data[pos + adv]
+                    adv += 1
+                    n |= (byte & 0x7F) << shift
+                    if not (byte & 0x80):
+                        break
+                    shift += 7
+                if truncated:
                     break
-                b0 = data[pos]
-                if b0 < 0x80:
-                    n = b0
-                    adv = 1
-                else:
-                    n = b0 & 0x7F
-                    shift = 7
-                    adv = 1
-                    while True:
-                        byte = data[pos + adv]
-                        adv += 1
-                        n |= (byte & 0x7F) << shift
-                        if not (byte & 0x80):
-                            break
-                        shift += 7
-                if pos + adv + n > dlen:
-                    if at_eof:
-                        raise EOFError("EOF inside string column")
-                    break
-                pos += adv + n
-                i += 1
-        except IndexError:
-            raise EOFError("EOF inside string column") from None
+            if pos + adv + n > dlen:
+                break
+            pos += adv + n
+            i += 1
         if i < rows:
-            more = buf.read(CHUNK)
+            more = _refill(buf, CHUNK)
             if not more:
-                if at_eof:
-                    raise EOFError("EOF inside string column")
-                at_eof = True
-            data = data + more
+                raise EOFError("EOF inside string column")
+            data = data[pos:] + more
+            pos = 0
         else:
             break
-    surplus = len(data) - pos
-    if surplus:
-        buf.seek(-surplus, io.SEEK_CUR)
+    _restore_surplus(buf, memoryview(data)[pos:])
 
 
 def decode_column(
@@ -646,7 +689,7 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
         skip_column(buf, inner, rows)
         return
     if b == "String":
-        if rows and buf.seekable():
+        if rows and _supports_chunk_scan(buf):
             _skip_strings_seekable(buf, rows)
         else:
             for _ in range(rows):

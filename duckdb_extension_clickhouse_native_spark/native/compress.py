@@ -282,6 +282,14 @@ class CompressedReader(io.RawIOBase):
                 chunks.append(self._buf)
                 self._buf = b""
             return b"".join(chunks)
+        # fast path: the request is served whole from the current frame.
+        # The codec issues hundreds of thousands of 1-8 byte reads
+        # (varints, fixed-width scalars) per block — one slice, no
+        # bytearray round-trip. Profiled 1.44s -> ~0.9s per 2.5 MB scan.
+        off = self._off
+        if n <= len(self._buf) - off:
+            self._off = off + n
+            return self._buf[off : off + n]
         out = bytearray()
         while n > 0:
             avail = len(self._buf) - self._off
@@ -294,6 +302,32 @@ class CompressedReader(io.RawIOBase):
             self._off += take
             n -= take
         return bytes(out)
+
+    def read1(self, n: int = -1) -> bytes:
+        """Return buffered bytes from the CURRENT frame, loading at most
+        one new frame when empty — never blocks waiting to accumulate
+        ``n`` bytes. The codec's chunk-scanning string paths use this on
+        interactive sources (native-TCP sockets), where a greedy
+        ``read(4 MiB)`` would hang waiting for frames the server only
+        sends after the next client request."""
+        if self._off >= len(self._buf):
+            if not self._load_frame():
+                return b""
+        off = self._off
+        avail = len(self._buf) - off
+        take = avail if (n is None or n < 0) else min(n, avail)
+        self._off = off + take
+        return self._buf[off : off + take]
+
+    def pushback(self, data: bytes) -> None:
+        """Re-serve ``data`` on the next read. Frames are not
+        random-access, so the codec's chunk-scanning string fast paths
+        (which over-read and then return the surplus) use this instead
+        of a backward seek."""
+        if not data:
+            return
+        self._buf = data + self._buf[self._off :]
+        self._off = 0
 
 
 class CompressedWriter(io.RawIOBase):

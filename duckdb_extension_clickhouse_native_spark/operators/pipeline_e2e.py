@@ -13,11 +13,17 @@ plan whose shuffles (dedup keep-first window, mixture window, two-phase
 rank window, shard group-by) are each keyed differently but never
 global. Dedup keeps the first doc per text-hash with a window, not a
 keep-list self-join — one shuffle instead of two plus a join, and no
-re-derivation of the upstream CTEs on the join's second branch. The
-``clean`` relation still feeds two consumers (the tiny per-source
-aggregate and the ranking window); Catalyst inlines CTEs per
-reference, so at real scale persist ``clean`` (or cut the pipeline
-there) to avoid recomputing the quality features twice.
+re-derivation of the upstream CTEs on the join's second branch.
+
+The ``clean`` relation feeds two consumers (the tiny per-source
+aggregate and the ranking window). Catalyst inlines CTEs per
+reference, so the Spark path PERSISTS ``clean`` (MEMORY_AND_DISK)
+before fanning out — the expensive text-feature map stage
+(split/array_distinct/regexp per doc) runs once, not once per
+consumer. That is the production posture at 100 TB too: cut the
+pipeline at the cleaned corpus, which is orders of magnitude smaller
+than the raw input (three scalar columns, post-filter, post-dedup).
+The DuckDB oracle remains the single WITH-chain SQL — same rows.
 
 Cross-engine exactness: the quality score is a rounded composite of
 integer features, quotas are exact integer arithmetic, ranks are md5
@@ -27,16 +33,11 @@ per-shard summary hash-matches DuckDB.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
 
-def pipeline_e2e_sql(
-    dialect: str,
-    quality_min: float = 0.65,
-    target_pct: int = 60,
-    shard_docs: int = 32,
-) -> str:
-    """Per-shard summary of the fully curated corpus."""
-    s = "STRING" if dialect == "spark" else "VARCHAR"
-    idiv = "DIV" if dialect == "spark" else "//"
+
+def clean_corpus_sql(dialect: str, quality_min: float = 0.65) -> str:
+    """quality filter -> exact dedup; yields (doc_id, source, n_tok)."""
     if dialect == "spark":
         toks = "split(text, ' ')"
         n_toks = "size(toks)"
@@ -48,32 +49,43 @@ def pipeline_e2e_sql(
         n_distinct = "len(list_distinct(toks))"
         n_punct = "len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))"
     return f"""
-    WITH feat AS (
-      SELECT doc_id, source, text,
-             CAST({n_toks} AS BIGINT) AS n_tok,
-             CAST({n_distinct} AS BIGINT) AS n_uniq,
-             CAST({n_punct} AS BIGINT) AS n_punct
-      FROM (SELECT doc_id, source, text, {toks} AS toks FROM documents) t
-    ),
-    kept AS (
-      SELECT doc_id, source, text, n_tok
-      FROM feat
-      WHERE ROUND(
-              0.4 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-            + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE))
-            + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_tok AS DOUBLE), 1.0))
-            , 8) >= {quality_min}
-    ),
-    clean AS (
-      SELECT doc_id, source, n_tok FROM (
-        SELECT doc_id, source, n_tok,
-               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
-        FROM kept
-      ) z WHERE dup_rn = 1
-    ),
-    src_stats AS (
+    SELECT doc_id, source, n_tok FROM (
+      SELECT doc_id, source, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
+      FROM (
+        SELECT doc_id, source, text,
+               CAST({n_toks} AS BIGINT) AS n_tok
+        FROM (
+          SELECT doc_id, source, text, {toks} AS toks,
+                 CAST({n_toks} AS BIGINT) AS n_tok0,
+                 CAST({n_distinct} AS BIGINT) AS n_uniq,
+                 CAST({n_punct} AS BIGINT) AS n_punct
+          FROM documents
+        ) f
+        WHERE ROUND(
+                0.4 * LEAST(CAST(n_tok0 AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok0 AS DOUBLE))
+              + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_tok0 AS DOUBLE), 1.0))
+              , 8) >= {quality_min}
+      ) kept
+    ) z WHERE dup_rn = 1
+    """
+
+
+def pipeline_tail_sql(
+    dialect: str,
+    clean_rel: str = "clean",
+    target_pct: int = 60,
+    shard_docs: int = 32,
+) -> str:
+    """mixture sample -> two-phase shard rank -> per-shard summary,
+    reading the cleaned corpus from relation ``clean_rel``."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH src_stats AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tok
-      FROM clean GROUP BY source
+      FROM {clean_rel} GROUP BY source
     ),
     weights AS (
       SELECT source, n_docs,
@@ -92,7 +104,7 @@ def pipeline_e2e_sql(
              ROW_NUMBER() OVER (
                PARTITION BY source
                ORDER BY md5(CAST(doc_id AS {s})), doc_id) AS rn
-      FROM clean
+      FROM {clean_rel}
     ),
     sampled AS (
       SELECT r.doc_id, r.n_tok, md5(CAST(r.doc_id AS {s})) AS k
@@ -122,3 +134,33 @@ def pipeline_e2e_sql(
     FROM ranked
     GROUP BY grank {idiv} {shard_docs}
     """
+
+
+def pipeline_e2e_sql(
+    dialect: str,
+    quality_min: float = 0.65,
+    target_pct: int = 60,
+    shard_docs: int = 32,
+) -> str:
+    """Per-shard summary of the fully curated corpus, as ONE SQL string
+    (the DuckDB oracle; also valid Spark SQL)."""
+    return (
+        f"WITH clean AS ({clean_corpus_sql(dialect, quality_min)})"
+        + pipeline_tail_sql(dialect, "clean", target_pct, shard_docs).replace(
+            "WITH ", ", ", 1
+        )
+    )
+
+
+def pipeline_e2e_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark production path: persist the cleaned corpus before the
+    two-consumer fan-out so the text-feature extraction runs once."""
+    from pyspark import StorageLevel
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    clean = spark.sql(clean_corpus_sql("spark"))
+    clean.persist(StorageLevel.MEMORY_AND_DISK)
+    clean.createOrReplaceTempView("pipeline_clean_corpus")
+    return spark.sql(pipeline_tail_sql("spark", "pipeline_clean_corpus"))

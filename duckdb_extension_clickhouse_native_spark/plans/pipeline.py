@@ -47,7 +47,7 @@ from ..operators.retrieval import (
     mixture_sample_sql,
     stratified_sample_sql,
 )
-from ..operators.pipeline_e2e import pipeline_e2e_sql
+from ..operators.pipeline_e2e import pipeline_e2e_query, pipeline_e2e_sql
 from ..operators.sharding import shard_assign_sql
 from ..operators.zorder import zorder_layout_sql
 from ..operators.dedup import (
@@ -412,13 +412,15 @@ _sql_pair(
     "T=0.5 temperature mixture quotas per source (exact-integer quota math)",
 )
 
-_sql_pair(
+# Spark side persists the cleaned corpus before the two-consumer
+# fan-out (see operators/pipeline_e2e.py); the oracle stays the single
+# WITH-chain SQL — identical rows.
+REGISTRY.df_query(
     "pipeline_end_to_end",
-    pipeline_e2e_sql("spark"),
-    pipeline_e2e_sql("duckdb"),
-    ["documents"],
-    ["pipeline", "flagship"],
-    "quality filter -> dedup -> mixture sample -> shard assignment as ONE plan",
+    pipeline_e2e_query,
+    oracle=pipeline_e2e_sql("duckdb"),
+    tags=["pipeline", "flagship"],
+    description="quality filter -> dedup -> mixture sample -> shard assignment as ONE plan",
 )
 
 _sql_pair(
