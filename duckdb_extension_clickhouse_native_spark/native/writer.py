@@ -87,11 +87,39 @@ def stats_sidecar_path(data_path: str) -> str:
     return os.path.join(d, f"_{base}.stats.json")
 
 
+_STR_STATS_MAX = 64
+
+
+def _truncated_string_stats(mn: str, mx: str) -> tuple[str, Optional[str]]:
+    """Cap sidecar string stats like parquet writers: min truncates
+    freely downward (a prefix sorts <= the original); max truncates and
+    bumps the final codepoint so it stays an upper bound. Returns
+    (min, max-or-None); None means no valid bounded max exists and the
+    caller should drop the column. Long-text columns (documents.text)
+    would otherwise embed two full document bodies per file in the
+    sidecar that planning json.load()s for every file on every query."""
+    if len(mn) > _STR_STATS_MAX:
+        mn = mn[:_STR_STATS_MAX]
+    if len(mx) > _STR_STATS_MAX:
+        prefix = mx[:_STR_STATS_MAX]
+        for i in range(len(prefix) - 1, -1, -1):
+            c = ord(prefix[i])
+            if c < 0x10FFFF:
+                c += 1
+                if 0xD800 <= c <= 0xDFFF:  # not a valid scalar codepoint
+                    c = 0xE000
+                return mn, prefix[:i] + chr(c)
+        return mn, None
+    return mn, mx
+
+
 def _column_stats(table: pa.Table | pa.RecordBatch) -> dict:
     """Per-column min/max/null-count for JSON-representable scalar
     types (int/float/string) — the file-level pruning index the scan's
     ``partitions()`` uses to skip whole files against pushed filters
     (the Native-format analogue of parquet footer statistics)."""
+    import math
+
     import pyarrow.compute as pc
 
     cols = {}
@@ -110,10 +138,23 @@ def _column_stats(table: pa.Table | pa.RecordBatch) -> dict:
         if len(arr) == nulls:
             cols[name] = {"min": None, "max": None, "nulls": nulls}
             continue
+        if pa.types.is_floating(t):
+            # Arrow min_max silently SKIPS NaN, but under Spark SQL
+            # semantics NaN sorts above every double — a NaN-blind max
+            # would let 'col > v' pruning drop files whose NaN rows
+            # match. Omit the column entirely when any NaN is present
+            # (conservative: no stats -> file never skipped). Also keeps
+            # non-RFC Infinity tokens out of the JSON sidecar.
+            if bool(pc.any(pc.is_nan(arr)).as_py()):
+                continue
         mm = pc.min_max(arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
-        if isinstance(mn, float) and (mn != mn or mx != mx):  # all-NaN guard
+        if isinstance(mn, float) and not (math.isfinite(mn) and math.isfinite(mx)):
             continue
+        if isinstance(mn, str):
+            mn, mx = _truncated_string_stats(mn, mx)
+            if mx is None:
+                continue
         cols[name] = {"min": mn, "max": mx, "nulls": nulls}
     return cols
 

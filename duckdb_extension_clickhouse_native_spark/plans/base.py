@@ -117,11 +117,25 @@ def _ship_package(spark: SparkSession) -> None:
         pass  # already added in this context
 
 
-# (app_id, sf_dir, table) -> DataFrame. DataFrames are lazy plans, so
-# caching them only skips the repeated driver-side read.parquet footer
-# planning (~50-100 ms/table/query across a 50-query grading run);
-# views are still (re-)registered on every call.
+# (app_id, sf_dir, table, mtime, size) -> DataFrame. DataFrames are
+# lazy plans, so caching them only skips the repeated driver-side
+# read.parquet footer planning (~50-100 ms/table/query across a
+# 50-query grading run); views are still (re-)registered on every
+# call. The (mtime, size) content stamp means a parquet regenerated
+# mid-process gets a fresh plan instead of one referencing deleted
+# part files; stale entries for the old stamp are dropped on sight so
+# the cache stays bounded by the live table count.
 _TABLE_CACHE: dict = {}
+
+
+def _table_stamp(sf_dir: str, name: str) -> tuple[int, int]:
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return (int(st.st_mtime), st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None) -> dict[str, DataFrame]:
@@ -135,12 +149,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Optional[list[str]] = N
     ensure_session(spark)
     out = {}
     for name in names or TABLES:
-        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+        base_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+        key = base_key + _table_stamp(sf_dir, name)
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
             cached.createOrReplaceTempView(name)
             out[name] = cached
             continue
+        # drop any entry for an older content stamp of the same table
+        for k in [k for k in _TABLE_CACHE if k[:3] == base_key]:
+            del _TABLE_CACHE[k]
         df = _load_one_table(spark, sf_dir, name)
         _TABLE_CACHE[key] = df
         df.createOrReplaceTempView(name)

@@ -150,3 +150,43 @@ def test_distributed_writer_emits_sidecars_and_prunes(spark, tmp_path):
         .filter(F.col("k") < 250).count()
     )
     assert got == 250
+
+
+def test_column_stats_nan_inf_and_long_strings():
+    """ADVICE r5: NaN/inf float columns must be OMITTED from the sidecar
+    (Spark sorts NaN above every double, so a NaN-blind max mis-prunes;
+    Infinity is not valid JSON), and long string stats are capped with
+    min truncated downward / max bumped to stay an upper bound."""
+    import json
+
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        _STR_STATS_MAX,
+        _column_stats,
+        _truncated_string_stats,
+    )
+
+    t = pa.table(
+        {
+            "has_nan": pa.array([1.0, float("nan"), 2.0]),
+            "has_inf": pa.array([1.0, float("inf"), 2.0]),
+            "clean": pa.array([1.0, 2.0, 3.0]),
+            "long_s": pa.array(["a" * 200, "b" * 200, "c" * 200]),
+        }
+    )
+    cols = _column_stats(t)
+    assert "has_nan" not in cols
+    assert "has_inf" not in cols
+    assert cols["clean"] == {"min": 1.0, "max": 3.0, "nulls": 0}
+    ls = cols["long_s"]
+    assert len(ls["min"]) <= _STR_STATS_MAX and len(ls["max"]) <= _STR_STATS_MAX
+    assert ls["min"] <= "a" * 200 and ls["max"] >= "c" * 200
+    # the sidecar must serialize as strict (RFC) JSON
+    json.loads(json.dumps(cols))
+
+    # truncation invariants hold for adversarial code points
+    mn, mx = _truncated_string_stats("x" * 100, chr(0xD7FF) * 100)
+    assert mn <= "x" * 100 and mx is not None and mx >= chr(0xD7FF) * 100
+    mn, mx = _truncated_string_stats("a", chr(0x10FFFF) * 100)
+    assert mx is None  # no bounded max exists -> caller drops the column
