@@ -212,79 +212,80 @@ class Query:
 # core joins, subqueries, scan/sort) rotates out — CORRECTNESS_r01.json
 # remains in-repo as their evidence; ungraded leftovers rotate into the
 # round-3 window.
-# ROUND-5 WINDOW. Composition:
-#   - the 8 rows red in r2-r4, all fixed this round (6 HUGEINT oracle
-#     typings + 2 streaming rows broken by the events.ts storage-type
-#     change) — kept in to prove them green;
-#   - 42 of the 49 never-driver-graded entries. Deferred to round 6
-#     (families already green via a driver-graded representative):
-#     text_repetition, text_chunking, text_pii_scrub,
-#     scalar_string_funcs, scalar_math_funcs, scalar_conditional,
-#     asof_join_window.
-# ROUND-6 ROTATION PLAN: swap in the 7 deferred entries above plus the
-# round-5 additions (kmeans_fast, sim_topk_pq_fast,
-# native_zorder_skip_scan) for 10 of this window's green rows (keep
-# any row that grades red in r5 for one more round instead).
-# Everything else was graded green in r1/r2 (CORRECTNESS_r0{1,2}.json
-# is the standing evidence) and rotates out.
+# ROUND-5 WINDOW graded 49/50 green (CORRECTNESS_r05.json); the one
+# red, collect_sorted_arrays, was the array-typed-oracle canonicalizer
+# trap, fixed round 6 (plans/stats.py — serialized to a string).
+# ROUND-6 WINDOW (this round). Composition, per the r5 rotation plan:
+#   - the 11 rows never driver-graded green: the 10 never-in-window
+#     entries + collect_sorted_arrays (red r5, fixed — prove green);
+#   - 7 rows whose execution paths CHANGED this round and must re-prove:
+#     pipeline_end_to_end (clean-stage persist), stream_native_sink_agg
+#     (fixture-cached sink, lazy result), asof_join_events_orders
+#     (parallelism-derived buckets), native_compressed_scan +
+#     native_roundtrip_documents + scan_tcp_split +
+#     scan_tcp_write_roundtrip (bounds-exact string scanners / read1
+#     frame reads in native/codec.py + native/compress.py);
+#   - 32 of the 34 rows whose only green evidence is round 1 —
+#     re-cycled so no row's newest green predates the events.ts
+#     testdata drift. Deferred to round 7 (only 50 slots):
+#     values_inline_join, union_by_name.
+# Cumulative evidence: every other query's newest green is r4 or r5
+# (CORRECTNESS_r0{4,5}.json in-repo); the full local sweep
+# (tools/sweep_oracle.py, 136/136) runs before every round commit.
 GRADING_WINDOW = [
-    # previously red, fixed this round — prove green
-    "native_roundtrip_documents",
-    "native_type_matrix",
-    "skew_salted_agg",
-    "kmeans_embeddings",
+    # never driver-graded green
+    "collect_sorted_arrays",
+    "sim_topk_pq_fast",
+    "kmeans_fast",
+    "native_zorder_skip_scan",
+    "text_repetition",
+    "text_chunking",
+    "text_pii_scrub",
+    "asof_join_window",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional",
+    # execution paths changed round 6 — re-prove
     "pipeline_end_to_end",
-    "sim_topk_pq",
-    "stream_windowed_counts",
-    "stream_stateful_sessions",
-    # §2.1 reference surface not yet graded: TCP split-read + write
+    "stream_native_sink_agg",
+    "asof_join_events_orders",
+    "native_compressed_scan",
+    "native_roundtrip_documents",
     "scan_tcp_split",
     "scan_tcp_write_roundtrip",
-    "native_stream_agg",
-    # dedup / similarity / curation pipeline flagships
-    "dedup_incremental",
-    "dedup_semantic_clusters",
-    "sim_ann_recall",
-    "media_phash_pairs",
-    "select_importance_target",
-    "sample_stratified",
-    "sample_mixture_temperature",
-    "zorder_layout",
-    "shard_assignment",
-    "pack_sequences",
-    # window family
-    "window_topk_per_group",
-    "window_lag_lead",
-    "window_ntile_percent",
-    "window_time_range_frame",
-    # aggregate / stats family
-    "approx_percentile_bounded",
-    "argminmax_orders",
-    "bitwise_aggregates",
-    "collect_sorted_arrays",
-    "moments_totalprice",
-    "corr_qty_price",
-    "filtered_aggregates",
-    "stringagg_rich_customers",
-    "profile_lineitem",
-    # streaming family
-    "stream_dedup_keys",
-    "stream_interval_join",
-    "stream_dedup_watermarked",
-    # TPC-H remainder
-    "q4_order_priority",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
+    # r1-only green evidence — re-cycle
+    "subquery_in",
+    "subquery_correlated_exists",
+    "q2_min_per_group",
+    "explode_token_freq",
+    "array_functions_embeddings",
+    "regex_functions",
+    "sample_hash_based",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "sim_pairs_signlsh",
+    "sim_topk_ivf",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "events_sessionize",
+    "scan_project_filter",
+    "topk_orders",
+    "distinct_segments",
+    "cube_lineitem",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi_anti",
+    "join_right_outer",
+    "join_cross_small",
 ]
 
 
