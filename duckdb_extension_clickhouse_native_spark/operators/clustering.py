@@ -32,10 +32,22 @@ from __future__ import annotations
 SCALE = 10**6
 
 
-def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def kmeans_sql(
+    dialect: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vecs_rel: str | None = None,
+) -> str:
     """Per-cluster summary after ``iters`` Lloyd iterations:
     (cid, n_members, inertia, rep_vec). Inertia is the exact
-    fixed-point sum of squared distances (BIGINT)."""
+    fixed-point sum of squared distances (BIGINT).
+
+    ``vecs_rel``: name of a pre-materialized (vec_id, d, xf) relation.
+    When given, the exploded-dims CTE is omitted and every stage reads
+    that relation instead — the Spark path persists it once (Catalyst
+    inlines CTEs, so the explode would otherwise recompute per
+    consumer: cent0 + one assign/means per iteration + final)."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
     if dialect == "spark":
         explode_dims = (
@@ -57,23 +69,26 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     h_cent = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     h_best = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
     h_means = "/*+ BROADCAST(m) */ " if dialect == "spark" else ""
-    parts = [
-        f"vecs AS ({explode_dims})",
+    vecs = vecs_rel or "vecs"
+    parts = []
+    if vecs_rel is None:
+        parts.append(f"vecs AS ({explode_dims})")
+    parts += [
         f"""seeds AS (
       SELECT vec_id,
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS {s})), vec_id) - 1 AS cid
       FROM embeddings
     )""",
-        """cent0 AS (
+        f"""cent0 AS (
       SELECT s.cid, v.d, v.xf AS cf
-      FROM seeds s JOIN vecs v ON s.vec_id = v.vec_id
-      WHERE s.cid < %d
-    )""" % k,
+      FROM seeds s JOIN {vecs} v ON s.vec_id = v.vec_id
+      WHERE s.cid < {k}
+    )""",
     ]
     for t in range(iters):
         parts.append(f"""assign{t} AS (
       SELECT {h_cent}v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
-      FROM vecs v JOIN cent{t} c ON v.d = c.d
+      FROM {vecs} v JOIN cent{t} c ON v.d = c.d
       GROUP BY v.vec_id, c.cid
     )""")
         parts.append(f"""best{t} AS (
@@ -89,7 +104,7 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         parts.append(f"""means{t} AS (
       SELECT {h_best}b.cid, v.d,
              CAST(FLOOR(CAST(SUM(v.xf) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cf
-      FROM best{t} b JOIN vecs v ON b.vec_id = v.vec_id
+      FROM best{t} b JOIN {vecs} v ON b.vec_id = v.vec_id
       GROUP BY b.cid, v.d
     )""")
         # empty clusters keep their previous centroid (deterministic)
@@ -100,7 +115,7 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     # final assignment against the post-iteration centroids
     parts.append(f"""assign_final AS (
       SELECT {h_cent}v.vec_id, c.cid, SUM((v.xf - c.cf) * (v.xf - c.cf)) AS dist
-      FROM vecs v JOIN cent{iters} c ON v.d = c.d
+      FROM {vecs} v JOIN cent{iters} c ON v.d = c.d
       GROUP BY v.vec_id, c.cid
     )""")
     parts.append("""best_final AS (
@@ -118,6 +133,31 @@ def kmeans_sql(dialect: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     FROM best_final
     GROUP BY cid
     """
+
+def kmeans_query(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
+    """Spark path for ``kmeans_embeddings``: persist the exploded
+    fixed-point (vec_id, d, xf) relation once — it feeds cent0 plus an
+    assign and a means join per iteration plus the final assignment
+    (6 consumers at iters=2), and Catalyst's CTE inlining would re-run
+    the posexplode for each. Persisting the explode is also the scale
+    posture: it is dim rows x 2 BIGINTs per vector, the working set
+    every Lloyd iteration re-reads."""
+    from pyspark import StorageLevel
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    vecs = spark.sql(
+        "SELECT vec_id, d + 1 AS d, CAST(FLOOR(CAST(v AS DOUBLE) * "
+        f"{SCALE}) AS BIGINT) AS xf "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) t AS d, v"
+    )
+    vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.createOrReplaceTempView("kmeans_vecs_fixed")
+    return spark.sql(
+        kmeans_sql("spark", k=k, iters=iters, dim=dim, vecs_rel="kmeans_vecs_fixed")
+    )
+
 
 def kmeans_fast(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
     """The PRODUCTION shape of ``kmeans_sql``, bit-identical result.

@@ -326,28 +326,11 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) ->
     shingle regardless of corpus size — this is what makes the
     operator safe at 100 TB.
     """
-    d = SPARK if dialect == "spark" else DUCK
     if dialect == "spark":
-        triples = (
-            "CASE WHEN size(toks) >= 3 THEN "
-            "array_distinct(transform(sequence(1, size(toks) - 2), "
-            "i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), "
-            "element_at(toks, i + 2)))) "
-            "ELSE array(xxhash64(text)) END"
-        )
         index = f"""
-    inverted AS (
-      SELECT doc_id, explode({triples}) AS shingle
-      FROM (SELECT doc_id, text, split(text, ' ') AS toks FROM documents) docs
-    ),
-    inverted_f AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle,
-               COUNT(*) OVER (PARTITION BY shingle) AS df
-        FROM inverted
-      ) w WHERE df <= {max_df}
-    )"""
+    inverted_f AS ({ngram_inverted_spark_sql(max_df)})"""
     else:
+        d = DUCK
         index = f"""
     docs AS (
       SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
@@ -362,14 +345,40 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) ->
     inverted_f AS (
       SELECT i.doc_id, i.shingle FROM inverted i JOIN rare r ON i.shingle = r.shingle
     )"""
+    return f"WITH {index},{ngram_pairs_tail_sql('inverted_f', threshold)}"
+
+
+def ngram_inverted_spark_sql(max_df: int = 20) -> str:
+    """The df-filtered inverted index as a standalone Spark SELECT —
+    (doc_id, shingle BIGINT) with document frequency <= max_df."""
+    triples = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(toks) - 2), "
+        "i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))) "
+        "ELSE array(xxhash64(text)) END"
+    )
     return f"""
-    WITH {index},
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM (
+          SELECT doc_id, explode({triples}) AS shingle
+          FROM (SELECT doc_id, text, split(text, ' ') AS toks FROM documents) docs
+        ) inverted
+      ) w WHERE df <= {max_df}"""
+
+
+def ngram_pairs_tail_sql(inverted_rel: str, threshold: float = 0.5) -> str:
+    """Exact Jaccard pair verification over a (doc_id, shingle)
+    inverted-index relation (CTE-chain tail; both dialects)."""
+    return f"""
     sized AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM inverted_f GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM {inverted_rel} GROUP BY doc_id
     ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM inverted_f a JOIN inverted_f b
+      FROM {inverted_rel} a JOIN {inverted_rel} b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
@@ -383,6 +392,27 @@ def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) ->
     )
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
     """
+
+
+def ngram_jaccard_query(spark, sf_dir: str):
+    """Spark production path for ``dedup_ngram_jaccard``: persist the
+    df-filtered inverted index before its three consumers (per-doc
+    sizes + both self-join sides) — Catalyst inlines CTEs, so without
+    this the explode + df-window recomputes 3x (measured 4 Generate/
+    Window nodes in the executed plan, 1.67 s -> ~1.0 s at sf0.1).
+    Materializing the filtered inverted index is also the 100 TB
+    posture: it is the unit you checkpoint before the quadratic-ish
+    pairing stage, and it is small (two BIGINTs per posting,
+    boilerplate shingles already dropped)."""
+    from pyspark import StorageLevel
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    inv = spark.sql(ngram_inverted_spark_sql())
+    inv.persist(StorageLevel.MEMORY_AND_DISK)
+    inv.createOrReplaceTempView("ngram_inverted_f")
+    return spark.sql("WITH " + ngram_pairs_tail_sql("ngram_inverted_f").lstrip())
 
 
 def incremental_dedup_sql(

@@ -37,7 +37,7 @@ from ..operators.components import (
     semantic_clusters,
     semantic_clusters_oracle_sql,
 )
-from ..operators.clustering import kmeans_sql
+from ..operators.clustering import kmeans_query, kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import (
@@ -55,6 +55,7 @@ from ..operators.dedup import (
     FINGERPRINT_DEDUP_SQL,
     incremental_dedup_sql,
     minhash_lsh_sql,
+    ngram_jaccard_query,
     ngram_jaccard_sql,
     simhash_sql,
 )
@@ -114,13 +115,14 @@ _sql_pair(
     "32-bit SimHash byte-band candidates within hamming<=6",
 )
 
-_sql_pair(
+# Spark side persists the df-filtered inverted index before its three
+# consumers (see ngram_jaccard_query); the oracle stays one SQL string.
+REGISTRY.df_query(
     "dedup_ngram_jaccard",
-    ngram_jaccard_sql("spark"),
-    ngram_jaccard_sql("duckdb"),
-    ["documents"],
-    ["dedup", "ngram"],
-    "inverted-index shingle join + exact Jaccard",
+    ngram_jaccard_query,
+    oracle=ngram_jaccard_sql("duckdb"),
+    tags=["dedup", "ngram"],
+    description="inverted-index shingle join + exact Jaccard",
 )
 
 _sql_pair(
@@ -442,13 +444,14 @@ _sql_pair(
     "(oracle runs the naive single-window form: same result)",
 )
 
-_sql_pair(
+# Spark side persists the exploded fixed-point dims once (6 consumers
+# across the Lloyd iterations); the oracle stays one SQL string.
+REGISTRY.df_query(
     "kmeans_embeddings",
-    kmeans_sql("spark"),
-    kmeans_sql("duckdb"),
-    ["embeddings"],
-    ["clustering", "kmeans", "iterative"],
-    "2-iteration Lloyd k-means in exact fixed-point (hash-comparable clustering)",
+    kmeans_query,
+    oracle=kmeans_sql("duckdb"),
+    tags=["clustering", "kmeans", "iterative"],
+    description="2-iteration Lloyd k-means in exact fixed-point (hash-comparable clustering)",
 )
 
 REGISTRY.df_query(
