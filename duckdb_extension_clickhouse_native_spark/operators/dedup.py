@@ -155,9 +155,6 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
             f"SELECT doc_id, generate_subscripts([{band_arr}], 1) - 1 AS band_idx, "
             f"unnest([{band_arr}]) AS band_key FROM banded"
         )
-    inter = d["intersect_len"].format(a="a.toks_d", b="b.toks_d")
-    la = d["len"].format(arr="a.toks_d")
-    lb = d["len"].format(arr="b.toks_d")
     return f"""
     WITH docs AS (
       SELECT doc_id, {d['tokens'].format(col='text')} AS toks FROM documents
@@ -182,10 +179,21 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
     banded AS (
       SELECT doc_id, {band_keys} FROM sigs
     ),
-    band_rows AS ({band_rows}),
+    band_rows AS ({band_rows}),{minhash_verify_tail_sql(d, 'band_rows', 'shingled', threshold)}"""
+
+
+def minhash_verify_tail_sql(
+    d: dict, band_rel: str, shingled_rel: str, threshold: float
+) -> str:
+    """Band-bucket candidate join + exact-Jaccard verification over
+    pre-built band-row and shingled relations (CTE-chain tail)."""
+    inter = d["intersect_len"].format(a="a.toks_d", b="b.toks_d")
+    la = d["len"].format(arr="a.toks_d")
+    lb = d["len"].format(arr="b.toks_d")
+    return f"""
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band_rows a JOIN band_rows b
+      FROM {band_rel} a JOIN {band_rel} b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
@@ -194,14 +202,70 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
              CAST({inter} AS DOUBLE) /
              CAST({la} + {lb} - {inter} AS DOUBLE) AS jaccard
       FROM candidates c
-      JOIN shingled a ON a.doc_id = c.doc_a
-      JOIN shingled b ON b.doc_id = c.doc_b
+      JOIN {shingled_rel} a ON a.doc_id = c.doc_a
+      JOIN {shingled_rel} b ON b.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
     """
 
 
-def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
+def minhash_lsh_query(
+    spark, sf_dir: str, n_hashes: int = 12, bands: int = 4, threshold: float = 0.4
+):
+    """Spark production path for ``dedup_minhash_lsh``: persist the
+    shingled docs (consumed by the signature chain AND both sides of
+    the verification join) and the band rows (both sides of the
+    candidate self-join). Catalyst inlines CTEs, so the single-SQL form
+    re-tokenizes and re-hashes the corpus ~4x. At 100 TB these two
+    relations are exactly the checkpoints you materialize: shingled is
+    corpus-sized (read 3x), band_rows is 4 small rows per doc."""
+    from pyspark import StorageLevel
+
+    from ..plans.base import load_tables
+
+    d = SPARK
+    load_tables(spark, sf_dir, ["documents"])
+    shingled = spark.sql(f"""
+      SELECT doc_id, {d['distinct'].format(arr='toks')} AS toks_d,
+             {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh
+      FROM (SELECT doc_id, {d['tokens'].format(col='text')} AS toks
+            FROM documents) docs""")
+    shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    shingled.createOrReplaceTempView("mh_shingled")
+    _PRIME = 2_147_483_647
+    _as = [2 * i * i + 3 * i + 5 for i in range(n_hashes)]
+    _bs = [7919 * (i + 1) for i in range(n_hashes)]
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"MIN(({_as[i]} * h30 + {_bs[i]}) % {_PRIME}) AS m{i}" for i in range(n_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(concat("
+        + ", '|', ".join(f"CAST(m{b*rows+r} AS {d['string']})" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    band_arr = ", ".join(f"band{b}" for b in range(bands))
+    band_rows = spark.sql(f"""
+      WITH sh_hashed AS (
+        SELECT doc_id, {_hex_int_expr(d, 'md5(shingle)', nibbles=7)} AS h30
+        FROM (SELECT doc_id, explode(sh) AS shingle FROM mh_shingled) sh_rows
+      ),
+      banded AS (
+        SELECT doc_id, {band_keys}
+        FROM (SELECT doc_id, {mins} FROM sh_hashed GROUP BY doc_id) sigs
+      )
+      SELECT doc_id, band_idx, band_key FROM banded
+      LATERAL VIEW posexplode(array({band_arr})) t AS band_idx, band_key""")
+    band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows.createOrReplaceTempView("mh_band_rows")
+    return spark.sql(
+        "WITH "
+        + minhash_verify_tail_sql(d, "mh_band_rows", "mh_shingled", threshold).lstrip()
+    )
+
+
+def simhash_sql(dialect: str, hamming_max: int = 3, chain_only: bool = False) -> str:
     """Per-document 64-bit SimHash + near-dup pairs.
 
     The 64-bit signature is computed as two 32-bit halves (so every
@@ -255,14 +319,7 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
             f"generate_subscripts([{band_arr}], 1) - 1 AS band_idx, "
             f"unnest([{band_arr}]) AS band_val FROM sig_bands"
         )
-    xor_lo = d["xor"].format(a="lo_a", b="lo_b")
-    xor_hi = d["xor"].format(a="hi_a", b="hi_b")
-    hamming = f"(bit_count({xor_lo}) + bit_count({xor_hi}))"
-    # hamming filter applied INSIDE the band join, before DISTINCT —
-    # an order-of-magnitude fewer rows go through the dedup exchange
-    join_xor_lo = d["xor"].format(a="a.sim_lo", b="b.sim_lo")
-    join_xor_hi = d["xor"].format(a="a.sim_hi", b="b.sim_hi")
-    return f"""
+    chain = f"""
     WITH tok AS ({explode}),
     hashed AS (
       SELECT doc_id, {half(0)} AS h_lo, {half(8)} AS h_hi
@@ -279,12 +336,29 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
     sig_bands AS (
       SELECT doc_id, sim_lo, sim_hi, {bands} FROM sigs
     ),
-    band_rows AS ({band_rows}),
+    band_rows AS ({band_rows})"""
+    if chain_only:
+        return f"{chain} SELECT * FROM band_rows"
+    return f"{chain},{simhash_pairs_tail_sql(d, 'band_rows', hamming_max)}"
+
+
+def simhash_pairs_tail_sql(d: dict, band_rel: str, hamming_max: int) -> str:
+    """Band-bucket candidate self-join + hamming filter over a
+    pre-built (doc_id, sim_lo, sim_hi, band_idx, band_val) relation
+    (CTE-chain tail)."""
+    xor_lo = d["xor"].format(a="lo_a", b="lo_b")
+    xor_hi = d["xor"].format(a="hi_a", b="hi_b")
+    hamming = f"(bit_count({xor_lo}) + bit_count({xor_hi}))"
+    # hamming filter applied INSIDE the band join, before DISTINCT —
+    # an order-of-magnitude fewer rows go through the dedup exchange
+    join_xor_lo = d["xor"].format(a="a.sim_lo", b="b.sim_lo")
+    join_xor_hi = d["xor"].format(a="a.sim_hi", b="b.sim_hi")
+    return f"""
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sim_lo AS lo_a, a.sim_hi AS hi_a,
              b.sim_lo AS lo_b, b.sim_hi AS hi_b
-      FROM band_rows a JOIN band_rows b
+      FROM {band_rel} a JOIN {band_rel} b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
       WHERE (bit_count({join_xor_lo}) + bit_count({join_xor_hi})) <= {hamming_max}
@@ -293,6 +367,25 @@ def simhash_sql(dialect: str, hamming_max: int = 3) -> str:
            CAST({hamming} AS BIGINT) AS hamming
     FROM pairs
     """
+
+
+def simhash_query(spark, sf_dir: str, hamming_max: int = 3):
+    """Spark production path for ``dedup_simhash``: the single-SQL form
+    recomputes the whole explode -> hash -> 64-vote chain on BOTH sides
+    of the band self-join (Catalyst inlines CTEs). Persist the band
+    rows — 4 rows x 5 BIGINT-ish columns per doc, the natural
+    checkpoint before the quadratic-ish candidate stage at 100 TB."""
+    from pyspark import StorageLevel
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    band_rows = spark.sql(simhash_sql("spark", hamming_max, chain_only=True))
+    band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows.createOrReplaceTempView("sh_band_rows")
+    return spark.sql(
+        "WITH " + simhash_pairs_tail_sql(SPARK, "sh_band_rows", hamming_max).lstrip()
+    )
 
 
 def ngram_jaccard_sql(dialect: str, threshold: float = 0.5, max_df: int = 20) -> str:

@@ -54,9 +54,11 @@ from ..operators.dedup import (
     EXACT_DEDUP_SQL,
     FINGERPRINT_DEDUP_SQL,
     incremental_dedup_sql,
+    minhash_lsh_query,
     minhash_lsh_sql,
     ngram_jaccard_query,
     ngram_jaccard_sql,
+    simhash_query,
     simhash_sql,
 )
 from ..operators.similarity import (
@@ -97,22 +99,23 @@ _sql_pair(
     "normalized-text md5 fingerprint dedup",
 )
 
-_sql_pair(
+# Spark sides persist the shingled/band-row relations consumed by both
+# sides of the candidate self-joins (see the *_query docstrings); the
+# oracles stay single SQL strings.
+REGISTRY.df_query(
     "dedup_minhash_lsh",
-    minhash_lsh_sql("spark"),
-    minhash_lsh_sql("duckdb"),
-    ["documents"],
-    ["dedup", "lsh", "flagship"],
-    "MinHash(12) banded LSH candidates verified by token Jaccard",
+    minhash_lsh_query,
+    oracle=minhash_lsh_sql("duckdb"),
+    tags=["dedup", "lsh", "flagship"],
+    description="MinHash(12) banded LSH candidates verified by token Jaccard",
 )
 
-_sql_pair(
+REGISTRY.df_query(
     "dedup_simhash",
-    simhash_sql("spark"),
-    simhash_sql("duckdb"),
-    ["documents"],
-    ["dedup", "simhash"],
-    "32-bit SimHash byte-band candidates within hamming<=6",
+    simhash_query,
+    oracle=simhash_sql("duckdb"),
+    tags=["dedup", "simhash"],
+    description="32-bit SimHash byte-band candidates within hamming<=6",
 )
 
 # Spark side persists the df-filtered inverted index before its three
