@@ -114,3 +114,108 @@ def test_spark_datasource_compressed_roundtrip(spark, tmp_path):
     )
     back = spark.read.format("clickhouse_native").load(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+class _OneShotSocketSim(io.RawIOBase):
+    """Byte source that, like a socket, BLOCKS (here: raises) if read
+    past the bytes currently 'sent' — proves the chunk-scanning string
+    paths never over-read an interactive stream."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if self._pos >= len(self._data):
+            raise AssertionError(
+                "read past the end of the sent bytes: the codec "
+                "over-read an interactive stream (would hang a socket)"
+            )
+        if n is None or n < 0:
+            n = len(self._data) - self._pos
+        out = self._data[self._pos : self._pos + n]
+        self._pos += len(out)
+        return out
+
+
+def _frame_bytes(payload: bytes, frame_bytes: int, method: str = "lz4") -> bytes:
+    sink = io.BytesIO()
+    w = CompressedWriter(sink, method=method, frame_bytes=frame_bytes)
+    w.write(payload)
+    w.flush()
+    return sink.getvalue()
+
+
+def test_string_decode_across_tiny_frames_no_overread():
+    """Strings straddling frame boundaries decode exactly, and the
+    decode consumes ONLY the column's bytes — nothing of the next
+    column, and never a byte past what was 'sent'. Exercises the
+    bounds-exact scanner + read1 + pushback (round-6 TCP-hang fix)."""
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        _decode_strings,
+        _decode_fixed,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+
+    vals = ["", "a", "xy" * 40, "é中" * 9, "tail"] * 13
+    col = bytearray()
+    for v in vals:
+        b = v.encode("utf-8")
+        # varuint length (all < 128 here) + payload
+        col.append(len(b))
+        col += b
+    trailer = (123456789).to_bytes(8, "little")  # next column: one Int64
+    # frame size far smaller than the column: many straddles
+    for frame in (7, 16, 64, 1 << 20):
+        framed = _frame_bytes(bytes(col) + trailer, frame)
+        src = CompressedReader(_OneShotSocketSim(framed), verify_checksum=True)
+        arr = _decode_strings(src, len(vals), scrub=False)
+        assert arr.to_pylist() == vals, f"frame={frame}"
+        nxt = _decode_fixed(src, parse_type("Int64"), 1, lossy_uint64=False)
+        assert nxt.to_pylist() == [123456789], f"frame={frame}"
+
+
+def test_string_skip_across_tiny_frames_no_overread():
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        _decode_fixed,
+        skip_column,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+
+    vals = ["skip me", "", "x" * 130, "end"] * 9  # includes 2-byte varint (130)
+    col = bytearray()
+    for v in vals:
+        b = v.encode()
+        n = len(b)
+        while n >= 0x80:
+            col.append((n & 0x7F) | 0x80)
+            n >>= 7
+        col.append(n)
+        col += b
+    trailer = (-7).to_bytes(8, "little", signed=True)
+    for frame in (5, 33, 1 << 20):
+        framed = _frame_bytes(bytes(col) + trailer, frame)
+        src = CompressedReader(_OneShotSocketSim(framed), verify_checksum=True)
+        skip_column(src, parse_type("String"), len(vals))
+        nxt = _decode_fixed(src, parse_type("Int64"), 1, lossy_uint64=False)
+        assert nxt.to_pylist() == [-7], f"frame={frame}"
+
+
+def test_pushback_then_read_and_read1():
+    framed = _frame_bytes(b"hello world, this is frame data", 8)
+    r = CompressedReader(io.BytesIO(framed))
+    first = r.read(5)
+    assert first == b"hello"
+    r.pushback(b"hello")
+    assert r.read(11) == b"hello world"
+    r.pushback(b"XY")
+    assert r.read1(1) == b"X"
+    # read1 serves the buffered content (pushback + current-frame
+    # remainder) without loading further frames
+    chunk = r.read1(100)
+    assert chunk.startswith(b"Y")
+    rest = chunk[1:] + r.read()
+    assert rest == b", this is frame data"
