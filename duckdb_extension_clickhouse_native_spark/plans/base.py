@@ -235,6 +235,12 @@ class Query:
 # Cumulative evidence: every other query's newest green is r4 or r5
 # (CORRECTNESS_r0{4,5}.json in-repo); the full local sweep
 # (tools/sweep_oracle.py, 136/136) runs before every round commit.
+# ROUND-7 ROTATION PLAN: swap in the 3 deferred rows
+# (values_inline_join, union_by_name, join_cross_small), then start
+# re-cycling the r4-green cohort (42 rows — the oldest evidence once
+# r6 grades); prioritize any row whose execution path changes in r7
+# (candidate: sim_topk_pq if it gets the persisted-intermediate
+# treatment its plan shows it needs — 6 Generate/6 Window nodes).
 GRADING_WINDOW = [
     # never driver-graded green
     "collect_sorted_arrays",
