@@ -135,3 +135,64 @@ def test_truncated_file_counts_only_complete_blocks(cut, block_rows):
     ent = off["files"].get(p, {"n": 0, "bytes": 0})
     assert 0 <= ent["n"] <= -(-50 // block_rows)
     assert 0 <= ent["bytes"] <= cut
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    vals=st.lists(st.text(max_size=300), min_size=1, max_size=60),
+    frame=st.integers(min_value=1, max_value=4096),
+)
+def test_string_decode_property_any_frame_size(vals, frame):
+    """Strings of any content/length decode exactly through compressed
+    frames of ANY size (including 1-byte frames that split every varint
+    and every UTF-8 sequence), and the scanner leaves the stream
+    positioned exactly after the column."""
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        _decode_fixed,
+        _decode_strings,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.compress import (
+        CompressedReader,
+        CompressedWriter,
+    )
+
+    col = bytearray()
+    for v in vals:
+        b = v.encode("utf-8")
+        n = len(b)
+        while n >= 0x80:
+            col.append((n & 0x7F) | 0x80)
+            n >>= 7
+        col.append(n)
+        col += b
+    col += (42).to_bytes(8, "little")  # trailing Int64 sentinel
+    sink = io.BytesIO()
+    w = CompressedWriter(sink, method="lz4", frame_bytes=frame)
+    w.write(bytes(col))
+    w.flush()
+    r = CompressedReader(io.BytesIO(sink.getvalue()), verify_checksum=True)
+    arr = _decode_strings(r, len(vals), scrub=False)
+    assert arr.to_pylist() == vals
+    assert _decode_fixed(r, parse_type("Int64"), 1, lossy_uint64=False).to_pylist() == [42]
+
+
+@settings(deadline=None, max_examples=100)
+@given(
+    mn=st.text(max_size=200),
+    mx=st.text(max_size=200),
+)
+def test_truncated_string_stats_bound_invariants(mn, mx):
+    """Truncated sidecar stats must stay valid bounds: min' <= min and
+    (when kept) max' >= max — pruning may get weaker, never wrong."""
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        _STR_STATS_MAX,
+        _truncated_string_stats,
+    )
+
+    lo, hi = (mn, mx) if mn <= mx else (mx, mn)
+    lo2, hi2 = _truncated_string_stats(lo, hi)
+    assert lo2 <= lo
+    assert len(lo2) <= _STR_STATS_MAX
+    if hi2 is not None:
+        assert hi2 >= hi
+        assert len(hi2) <= _STR_STATS_MAX
