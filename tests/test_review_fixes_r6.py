@@ -14,8 +14,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import pytest
-
 from conftest import SF_SMALL
 
 
@@ -41,7 +39,6 @@ def test_table_cache_invalidates_on_parquet_rewrite(spark, tmp_path):
     assert n1 == 3, "stale plan served after the parquet was rewritten"
 
 
-@pytest.mark.slow
 def test_stream_sink_idempotent_and_resumable(spark):
     import __spark_entry__  # noqa: F401 — populates REGISTRY
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
