@@ -39,11 +39,45 @@ def decode_image_stub(data: bytes) -> dict:
     }
 
 
-def real_decode(data: bytes):  # pragma: no cover - documented stub
-    raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "plug PIL.Image.open / soundfile.read here"
-    )
+def _pil():  # feature probe: PIL is absent in this container, present
+    try:  # on a real cluster image — use it the moment it exists
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def real_decode(data: bytes) -> dict:
+    """Real byte->pixels decode, used when PIL is importable at
+    runtime: returns (width, height, channels, mean_pixel) from the
+    actual decoded image. Without PIL this raises
+    ``NotImplementedError`` — the conformance entries stay on
+    ``decode_image_stub`` regardless (their oracle needs a decoder
+    DuckDB can mirror), so the stub path is untouched either way."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image/audio decode libraries are not available in this "
+            "environment; install PIL (or plug soundfile.read for audio)"
+        )
+    import io as _io
+
+    with Image.open(_io.BytesIO(bytes(data))) as img:
+        img.load()
+        bands = len(img.getbands())
+        px = list(img.getdata())
+        flat = (
+            [c for p in px for c in (p if isinstance(p, tuple) else (p,))]
+            if px
+            else []
+        )
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": bands,
+            "mean_pixel": (sum(flat) / len(flat)) if flat else 0.0,
+        }
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:

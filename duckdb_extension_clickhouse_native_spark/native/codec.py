@@ -156,11 +156,21 @@ def _supports_chunk_scan(buf: BinaryIO) -> bool:
 def _restore_surplus(buf: BinaryIO, surplus) -> None:
     if not len(surplus):
         return
+    seekable = False
     try:
-        buf.seek(-len(surplus), io.SEEK_CUR)
-        return
-    except (AttributeError, OSError, io.UnsupportedOperation):
+        seekable = bool(buf.seekable())
+    except AttributeError:
         pass
+    if seekable:
+        try:
+            buf.seek(-len(surplus), io.SEEK_CUR)
+            return
+        except (OSError, io.UnsupportedOperation):
+            # a source that claims seekable() but cannot seek backwards:
+            # fall through to pushback only if it exists, else surface
+            # the real seek error instead of an AttributeError
+            if not hasattr(buf, "pushback"):
+                raise
     buf.pushback(bytes(surplus))
 
 
@@ -182,20 +192,64 @@ def _refill(buf: BinaryIO, chunk: int) -> bytes:
     return buf.read(chunk)
 
 
+# Raw-buffer residency bound for the chunked string scan: once this
+# many consumed bytes accumulate, their payload is flushed into the
+# (amortized) output accumulator and the raw prefix is dropped — so a
+# multi-GB string block costs ~1x payload + this window, not 2x the
+# whole column (raw bytes AND payload copy resident at once).
+_SCAN_WINDOW = 8 << 20
+# test hook: peak bytes resident in the raw scan buffer (see
+# tests/test_codec_properties.py bounded-residency property)
+_SCAN_STATS = {"peak_buffer": 0}
+
+
 def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
     """Fast path for seekable/pushback sources: bulk-read, scan length
     prefixes in a tight integer loop (no per-row I/O or slicing), then
-    extract the whole payload in ONE numpy masked copy. Surplus bytes
-    are returned to the stream. ~3-5x the per-row read() loop."""
+    extract payload spans with numpy masked copies. Surplus bytes are
+    returned to the stream. ~3-5x the per-row read() loop.
+
+    Residency: the raw buffer is trimmed every ``_SCAN_WINDOW``
+    consumed bytes (the masked payload copy moves into one amortized
+    accumulator), so peak memory is ~payload + window regardless of
+    the block's string-column size."""
     CHUNK = 4 << 20
     # bytearray: refills grow in place (amortized), instead of
     # re-copying the whole accumulated column per 4 MiB chunk
     data = bytearray(_refill(buf, CHUNK))
+    if len(data) > _SCAN_STATS["peak_buffer"]:
+        _SCAN_STATS["peak_buffer"] = len(data)
     pos = 0
     lengths = np.empty(rows, dtype=np.int64)
     prefix_starts = np.empty(rows, dtype=np.int64)
     prefix_sizes = np.empty(rows, dtype=np.int8)
-    i = 0
+    payload = bytearray()
+    i = 0  # rows decoded so far
+    w0 = 0  # first row of the not-yet-flushed window
+
+    def flush() -> None:
+        """Move the consumed span's payload (prefixes masked out) into
+        the accumulator and drop the span from the raw buffer. Row
+        positions recorded after a flush are relative to the trimmed
+        buffer, which is what the scan loop sees."""
+        nonlocal pos, w0
+        if i > w0:
+            view = np.frombuffer(data, dtype=np.uint8, count=pos)
+            mask = np.ones(pos, dtype=bool)
+            starts = prefix_starts[w0:i]
+            sizes = prefix_sizes[w0:i]
+            mask[starts] = False
+            for extra in range(2, int(sizes.max(initial=1)) + 1):
+                idx = starts[sizes >= extra]
+                mask[idx + (extra - 1)] = False
+            part = view[mask]  # fancy index -> independent copy
+            view = None  # release the buffer export before the resize
+            payload.extend(memoryview(part))
+        if pos:
+            del data[:pos]
+            pos = 0
+        w0 = i
+
     while i < rows:
         dlen = len(data)
         # scan as far as this buffer allows — bounds-EXACT, so a refill
@@ -234,29 +288,25 @@ def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Arr
             pos += adv + n
             i += 1
         if i < rows:
-            # grow the buffer (positions recorded so far stay valid —
-            # the buffer always starts at the column's first byte)
+            if pos >= _SCAN_WINDOW:
+                # trim consumed bytes before growing further
+                flush()
             more = _refill(buf, CHUNK)
             if not more:
                 raise EOFError("EOF inside string column")
             data += more
+            if len(data) > _SCAN_STATS["peak_buffer"]:
+                _SCAN_STATS["peak_buffer"] = len(data)
         else:
             break
-    _restore_surplus(buf, memoryview(data)[pos:])
-    consumed = np.frombuffer(data, dtype=np.uint8, count=pos)
-    # drop the varint prefix bytes with one boolean mask -> payload
-    mask = np.ones(pos, dtype=bool)
-    mask[prefix_starts] = False
-    for extra in range(2, int(prefix_sizes.max(initial=1)) + 1):
-        idx = prefix_starts[prefix_sizes >= extra]
-        mask[idx + (extra - 1)] = False
-    payload = consumed[mask].tobytes()
+    flush()  # trims all consumed bytes; what remains IS the surplus
+    _restore_surplus(buf, data)
     offsets = np.empty(rows + 1, dtype=np.int64)
     offsets[0] = 0
     np.cumsum(lengths, out=offsets[1:])
     if scrub and (b"\x00" in payload or b"\xef\xbf\xbd" in payload):
         vals = [
-            payload[offsets[r] : offsets[r + 1]]
+            bytes(payload[offsets[r] : offsets[r + 1]])
             .decode("utf-8", "replace")
             .replace("\x00", "")
             .replace("�", "")
@@ -266,7 +316,9 @@ def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Arr
     arr = pa.Array.from_buffers(
         pa.large_string(),
         rows,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+        # memoryview: zero-copy hand-off of the accumulator (it is
+        # never resized after this point)
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(memoryview(payload))],
     )
     return arr.cast(pa.string())
 

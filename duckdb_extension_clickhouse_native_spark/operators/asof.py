@@ -25,6 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+BROADCAST_MAX_RIGHT_ROWS = 1_000_000  # ~tens of MB at asof row widths
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,10 +37,60 @@ def asof_join(
     out_schema: str,
     value_cols: list[str],
     n_buckets: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Generic backward as-of join: for every left row, attach the
     latest right row (by ``right_ts``) with right_ts <= left_ts and
-    equal ``key``. Right must be unique per (key, right_ts)."""
+    equal ``key``. Right must be unique per (key, right_ts); left rows
+    must be distinct (they are grouped back per-row on the broadcast
+    path).
+
+    ``strategy``: ``"bucket"`` is the general shuffle-merge shape
+    described above; ``"broadcast"`` skips the union+bucket machinery
+    entirely when the pre-aggregated right side is small — a
+    BroadcastHashJoin on (key, right_ts <= left_ts) followed by a
+    per-left-row ``max_by``, so the big left side is NEVER shuffled
+    before the final 1-row-per-left aggregation (partial aggregation
+    collapses each left row's matches map-side). At 100x the left,
+    that is strictly less data movement whenever right fits the
+    broadcast threshold. ``"auto"`` persists + counts the (small,
+    pre-aggregated) right once and picks broadcast under
+    ``BROADCAST_MAX_RIGHT_ROWS``."""
+    if strategy == "auto":
+        from ..plans.base import track_persist
+
+        # the count materializes the persisted right, which the chosen
+        # join then reuses — one cheap job on the small side, not two
+        track_persist(right)
+        strategy = (
+            "broadcast"
+            if right.count() <= BROADCAST_MAX_RIGHT_ROWS
+            else "bucket"
+        )
+    if strategy == "broadcast":
+        from pyspark.sql.types import StructType
+
+        lcols = left.columns
+        rkey = f"__r_{key}"
+        j = left.join(
+            F.broadcast(right.withColumnRenamed(key, rkey)),
+            on=(F.col(key) == F.col(rkey)) & (F.col(right_ts) <= F.col(left_ts)),
+            how="left",
+        )
+        out = j.groupBy(*lcols).agg(
+            F.max(right_ts).alias(right_ts),
+            *[
+                F.max_by(F.col(c), F.col(right_ts)).alias(c)
+                for c in value_cols
+            ],
+        )
+        fields = {f.name: f.dataType for f in StructType.fromDDL(out_schema)}
+        return out.select(
+            *[
+                F.col(c).cast(fields[c]).alias(c)
+                for c in lcols + [right_ts] + value_cols
+            ]
+        )
     if n_buckets is None:
         # one pandas group per core: merge_asof is O(n) after the sort,
         # so fewer, larger groups amortize the per-group Arrow + pandas

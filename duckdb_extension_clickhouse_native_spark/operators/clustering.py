@@ -142,9 +142,7 @@ def kmeans_query(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
     the posexplode for each. Persisting the explode is also the scale
     posture: it is dim rows x 2 BIGINTs per vector, the working set
     every Lloyd iteration re-reads."""
-    from pyspark import StorageLevel
-
-    from ..plans.base import load_tables
+    from ..plans.base import load_tables, track_persist
 
     load_tables(spark, sf_dir, ["embeddings"])
     vecs = spark.sql(
@@ -152,7 +150,7 @@ def kmeans_query(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
         f"{SCALE}) AS BIGINT) AS xf "
         "FROM embeddings LATERAL VIEW posexplode(embedding) t AS d, v"
     )
-    vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    track_persist(vecs)
     vecs.createOrReplaceTempView("kmeans_vecs_fixed")
     return spark.sql(
         kmeans_sql("spark", k=k, iters=iters, dim=dim, vecs_rel="kmeans_vecs_fixed")

@@ -219,9 +219,7 @@ def minhash_lsh_query(
     re-tokenizes and re-hashes the corpus ~4x. At 100 TB these two
     relations are exactly the checkpoints you materialize: shingled is
     corpus-sized (read 3x), band_rows is 4 small rows per doc."""
-    from pyspark import StorageLevel
-
-    from ..plans.base import load_tables
+    from ..plans.base import load_tables, track_persist
 
     d = SPARK
     load_tables(spark, sf_dir, ["documents"])
@@ -230,7 +228,7 @@ def minhash_lsh_query(
              {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh
       FROM (SELECT doc_id, {d['tokens'].format(col='text')} AS toks
             FROM documents) docs""")
-    shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    track_persist(shingled)
     shingled.createOrReplaceTempView("mh_shingled")
     _PRIME = 2_147_483_647
     _as = [2 * i * i + 3 * i + 5 for i in range(n_hashes)]
@@ -257,7 +255,7 @@ def minhash_lsh_query(
       )
       SELECT doc_id, band_idx, band_key FROM banded
       LATERAL VIEW posexplode(array({band_arr})) t AS band_idx, band_key""")
-    band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    track_persist(band_rows)
     band_rows.createOrReplaceTempView("mh_band_rows")
     return spark.sql(
         "WITH "
@@ -375,13 +373,11 @@ def simhash_query(spark, sf_dir: str, hamming_max: int = 3):
     of the band self-join (Catalyst inlines CTEs). Persist the band
     rows — 4 rows x 5 BIGINT-ish columns per doc, the natural
     checkpoint before the quadratic-ish candidate stage at 100 TB."""
-    from pyspark import StorageLevel
-
-    from ..plans.base import load_tables
+    from ..plans.base import load_tables, track_persist
 
     load_tables(spark, sf_dir, ["documents"])
     band_rows = spark.sql(simhash_sql("spark", hamming_max, chain_only=True))
-    band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    track_persist(band_rows)
     band_rows.createOrReplaceTempView("sh_band_rows")
     return spark.sql(
         "WITH " + simhash_pairs_tail_sql(SPARK, "sh_band_rows", hamming_max).lstrip()
@@ -497,13 +493,11 @@ def ngram_jaccard_query(spark, sf_dir: str):
     posture: it is the unit you checkpoint before the quadratic-ish
     pairing stage, and it is small (two BIGINTs per posting,
     boilerplate shingles already dropped)."""
-    from pyspark import StorageLevel
-
-    from ..plans.base import load_tables
+    from ..plans.base import load_tables, track_persist
 
     load_tables(spark, sf_dir, ["documents"])
     inv = spark.sql(ngram_inverted_spark_sql())
-    inv.persist(StorageLevel.MEMORY_AND_DISK)
+    track_persist(inv)
     inv.createOrReplaceTempView("ngram_inverted_f")
     return spark.sql("WITH " + ngram_pairs_tail_sql("ngram_inverted_f").lstrip())
 

@@ -254,6 +254,9 @@ def pq_topk_sql(
     k_sub: int = 32,
     k: int = 10,
     dim: int = DIM,
+    sub_rel: str | None = None,
+    enc_rel: str | None = None,
+    codes_rel: str | None = None,
 ) -> str:
     """Product-quantization ANN: encode every embedding as ``m_sub``
     codebook indices (one per 16-dim subspace), then answer top-k by
@@ -282,12 +285,19 @@ def pq_topk_sql(
     so the encoding itself is asserted by the oracle hash, not just the
     neighbor list. ``m_sub * log2(k_sub)`` must stay <= 62 bits for the
     BIGINT packing.
+
+    ``sub_rel`` / ``enc_rel`` / ``codes_rel``: names of pre-materialized
+    relations for the exploded fixed-point dims, the (vec, m, code)
+    distance grid and the argmin codes. The Spark path persists all
+    three (``pq_topk_query``) because Catalyst inlines CTEs per
+    consumer — sub feeds codebook + enc_dist, enc_dist feeds codes +
+    qtab, codes feeds packed + adc, so the inlined plan re-runs the
+    explode ~6x (6 Generate/6 Window nodes in the r6 executed plan).
     """
     import math
 
     assert m_sub * math.log2(k_sub) <= 62, "pq_code would overflow BIGINT"
     fp = 10 ** 6
-    s = "STRING" if dialect == "spark" else "VARCHAR"
     idiv = "DIV" if dialect == "spark" else "//"
     if dialect == "spark":
         explode_dims = (
@@ -304,45 +314,134 @@ def pq_topk_sql(
     sub_dim = dim // m_sub
     h_cb = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     h_qt = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
-    return f"""
-    WITH dims AS ({explode_dims}),
-    sub AS (
+    parts = []
+    if sub_rel is None:
+        parts.append(f"dims AS ({explode_dims})")
+        parts.append(
+            f"""sub AS (
       SELECT vec_id, d0 {idiv} {sub_dim} AS m, d0 % {sub_dim} AS dl, xf
       FROM dims
-    ),
-    codebook AS (
-      SELECT vec_id AS c, m, dl, xf AS cf FROM sub WHERE vec_id < {k_sub}
-    ),
-    enc_dist AS (
+    )"""
+        )
+        sub_rel = "sub"
+    if enc_rel is None:
+        parts.append(
+            f"codebook AS (SELECT vec_id AS c, m, dl, xf AS cf FROM {sub_rel} WHERE vec_id < {k_sub})"
+        )
+        parts.append(
+            f"""enc_dist AS (
       SELECT {h_cb}s.vec_id, s.m, c.c,
              SUM((s.xf - c.cf) * (s.xf - c.cf)) AS d2
-      FROM sub s JOIN codebook c ON s.m = c.m AND s.dl = c.dl
+      FROM {sub_rel} s JOIN codebook c ON s.m = c.m AND s.dl = c.dl
       GROUP BY s.vec_id, s.m, c.c
-    ),
-    codes AS (
+    )"""
+        )
+        enc_rel = "enc_dist"
+    if codes_rel is None:
+        parts.append(
+            f"""codes AS (
       SELECT vec_id, m, c AS code FROM (
         SELECT vec_id, m, c,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
-        FROM enc_dist
+        FROM {enc_rel}
       ) r WHERE rn = 1
-    ),
-    packed AS (
+    )"""
+        )
+        codes_rel = "codes"
+    parts += [
+        f"""packed AS (
       SELECT vec_id,
              CAST(SUM(code * CAST(power({k_sub}, m) AS BIGINT)) AS BIGINT) AS pq_code
-      FROM codes GROUP BY vec_id
-    ),
-    qtab AS (
-      SELECT m, c, d2 FROM enc_dist WHERE vec_id = {query_vec_id}
-    ),
-    adc AS (
+      FROM {codes_rel} GROUP BY vec_id
+    )""",
+        f"""qtab AS (
+      SELECT m, c, d2 FROM {enc_rel} WHERE vec_id = {query_vec_id}
+    )""",
+        f"""adc AS (
       SELECT {h_qt}cd.vec_id, CAST(SUM(q.d2) AS BIGINT) AS approx_d2
-      FROM codes cd JOIN qtab q ON cd.m = q.m AND cd.code = q.c
+      FROM {codes_rel} cd JOIN qtab q ON cd.m = q.m AND cd.code = q.c
       WHERE cd.vec_id <> {query_vec_id}
       GROUP BY cd.vec_id
-    )
+    )""",
+    ]
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
     SELECT a.vec_id, p.pq_code, a.approx_d2
     FROM adc a JOIN packed p ON a.vec_id = p.vec_id
     ORDER BY a.approx_d2, a.vec_id
+    LIMIT {k}
+    """
+
+
+def pq_topk_spark_sql(
+    query_vec_id: int = 0,
+    m_sub: int = 8,
+    k_sub: int = 32,
+    k: int = 10,
+    dim: int = DIM,
+) -> str:
+    """The optimized Spark form of ``pq_topk_sql`` — bit-identical
+    output, ~40% of the naive CTE chain's wall time (r6: 1.24 s, this:
+    ~0.7 s at sf0.1). What changed and why (the r7 'persisted
+    intermediate' item — restructuring beat persisting here):
+
+    * distances per (vec, m, code) come from ONE sub-vector broadcast
+      join with an unrolled ``sub_dim``-term codegen expression (no
+      per-dl explode: the naive form materialized n x dim x k_sub = 10M
+      rows before its group-by; this emits n x m_sub x k_sub directly
+      and whole-stage-codegens the arithmetic — lambda HOFs like
+      ``aggregate(zip_with(...))`` measured ~2x slower, they interpret
+      per element);
+    * argmin codes via ``min_by(c, struct(d2, c))`` — one hash
+      aggregate with map-side partials (rows for a vector never leave
+      their input partition before the partial), not a
+      sort+ROW_NUMBER window;
+    * ``packed`` and ``adc`` FUSED into one aggregation: every (m,
+      code) has exactly one qtab row, so the pq_code and the ADC sum
+      come out of the same broadcast-join + group-by — one shuffle of
+      ~n rows instead of two plus a join;
+    * the only multi-consumer CTE left (``enc`` -> codes + qtab) is
+      cheap on its second read: qtab's ``vec_id = q`` pushes into the
+      join's probe side, so no persist is needed at all.
+
+    At 100 TB the shape is unchanged from the docstring above: codes
+    are computed once at ingest (the 51x compression), the distance
+    table broadcasts, the scan groups map-side. DuckDB oracle stays
+    ``pq_topk_sql("duckdb")`` — integer-exact, hash-identical."""
+    fp = 10**6
+    sub_dim = dim // m_sub
+    terms = " + ".join(
+        f"(element_at(s.xfa, {j}) - element_at(c.cfa, {j})) * "
+        f"(element_at(s.xfa, {j}) - element_at(c.cfa, {j}))"
+        for j in range(1, sub_dim + 1)
+    )
+    return f"""
+    WITH sub AS (
+      SELECT vec_id, m,
+             transform(slice(embedding, m * {sub_dim} + 1, {sub_dim}),
+                       v -> CAST(FLOOR(CAST(v AS DOUBLE) * {fp}) AS BIGINT)) AS xfa
+      FROM embeddings LATERAL VIEW explode(sequence(0, {m_sub - 1})) t AS m
+    ),
+    enc AS (
+      SELECT /*+ BROADCAST(c) */ s.vec_id, s.m, c.c, {terms} AS d2
+      FROM sub s
+      JOIN (SELECT vec_id AS c, m, xfa AS cfa FROM sub WHERE vec_id < {k_sub}) c
+        ON s.m = c.m
+    ),
+    codes AS (
+      SELECT vec_id, m, min_by(c, struct(d2, c)) AS code FROM enc GROUP BY vec_id, m
+    ),
+    qtab AS (SELECT m, c, d2 FROM enc WHERE vec_id = {query_vec_id}),
+    result AS (
+      SELECT /*+ BROADCAST(q) */ cd.vec_id,
+             CAST(SUM(cd.code * CAST(power({k_sub}, cd.m) AS BIGINT)) AS BIGINT) AS pq_code,
+             CAST(SUM(q.d2) AS BIGINT) AS approx_d2
+      FROM codes cd JOIN qtab q ON cd.m = q.m AND cd.code = q.c
+      WHERE cd.vec_id <> {query_vec_id} GROUP BY cd.vec_id
+    )
+    SELECT vec_id, pq_code, approx_d2 FROM result
+    ORDER BY approx_d2, vec_id
     LIMIT {k}
     """
 
@@ -353,7 +452,11 @@ def ann_recall_sql(dialect: str, query_vec_id: int = 0, k: int = 10) -> str:
     One row: hits@k for PQ-ADC and IVF (both deterministic, so the
     value is engine-identical and hash-comparable)."""
     exact = cosine_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
-    pq = pq_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
+    pq = (
+        pq_topk_spark_sql(query_vec_id=query_vec_id, k=k)
+        if dialect == "spark"
+        else pq_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
+    )
     ivf = ivf_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
     return f"""
     SELECT

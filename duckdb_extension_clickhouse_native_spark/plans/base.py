@@ -133,7 +133,9 @@ def _table_stamp(sf_dir: str, name: str) -> tuple[int, int]:
 
     try:
         st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
-        return (int(st.st_mtime), st.st_size)
+        # ns resolution: a rewrite within the same wall-clock second
+        # (same byte size) must still invalidate the cached plan
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return (0, 0)
 
@@ -186,6 +188,65 @@ def _load_one_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Persisted intermediates tracked for release. Several query builders
+# persist multi-consumer relations (dedup shingles, kmeans dims, PQ
+# codes, the pipeline clean stage); without release, a 50-query grading
+# run plus bench reruns accumulates dead cached/spilled blocks until
+# context shutdown. Builds run sequentially (driver, bench, tests), so
+# the moment query B starts building, query A's result has been
+# consumed and its caches are dead weight — Registry wraps every build
+# to call release_persists() first.
+_LIVE_PERSISTS: list = []
+_SCOPED_CONFS: list = []
+
+
+def release_persists() -> None:
+    """Unpersist every tracked intermediate from prior builds and
+    restore any scoped session confs they set."""
+    while _LIVE_PERSISTS:
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    while _SCOPED_CONFS:
+        spark, key, old = _SCOPED_CONFS.pop()
+        try:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        except Exception:
+            pass
+
+
+def scoped_conf(spark: SparkSession, key: str, value) -> None:
+    """Set a session conf for the lifetime of the CURRENT query build
+    (builds run sequentially; the next build's release_persists()
+    restores the prior value). Used for data-derived partition sizing:
+    Spark reads ``spark.sql.shuffle.partitions`` at execution time and
+    its AQE coalesce floor (``parallelismFirst``) refuses to go below
+    cluster parallelism, so a query whose post-filter working set is
+    tiny must set its own reducer count — the same sizing a 100 TB
+    deployment does in the other direction."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    _SCOPED_CONFS.append((spark, key, old))
+    spark.conf.set(key, str(value))
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist a multi-consumer intermediate (MEMORY_AND_DISK) and
+    track it so the next build's release_persists() frees it."""
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
 @dataclass
 class Query:
     """One conformance entry."""
@@ -235,66 +296,82 @@ class Query:
 # Cumulative evidence: every other query's newest green is r4 or r5
 # (CORRECTNESS_r0{4,5}.json in-repo); the full local sweep
 # (tools/sweep_oracle.py, 136/136) runs before every round commit.
-# ROUND-7 ROTATION PLAN: swap in the 3 deferred rows
-# (values_inline_join, union_by_name, join_cross_small), then start
-# re-cycling the r4-green cohort (42 rows — the oldest evidence once
-# r6 grades); prioritize any row whose execution path changes in r7
-# (candidate: sim_topk_pq if it gets the persisted-intermediate
-# treatment its plan shows it needs — 6 Generate/6 Window nodes).
+# ROUND-7 WINDOW (this round), executing the r6 pinned plan:
+#   - the 3 rows whose only green was r1 (deferred from r6 for
+#     50-slot reasons): values_inline_join, union_by_name,
+#     join_cross_small — first in;
+#   - 9 rows whose execution paths CHANGED in r7 and must re-prove:
+#     sim_topk_pq + sim_ann_recall (restructured fused PQ Spark SQL —
+#     unrolled codegen distances, min_by codes, fused packed+adc),
+#     pipeline_end_to_end (fused tail + byte-derived reducer sizing),
+#     asof_join_events_orders (broadcast-right fast path),
+#     stream_native_sink_agg (cross-process sink lock + stamp prune),
+#     dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
+#     kmeans_embeddings (tracked-persist release mechanism);
+#   - 38 of the 39 rows whose newest green is r4 — the whole cohort
+#     except agg_global, deferred to round 8 to make the slot for
+#     sim_ann_recall under the changed-path priority rule (agg_global
+#     is the lowest-risk row in the registry: a single ungrouped
+#     aggregate whose exact plan shape is re-exercised by the graded
+#     q1/cube/rollup family and the bench every round).
+# The codec string-scanner changes (bounded-residency flush) re-prove
+# through the r4 cohort's native_*/scan_tcp_* rows in this window.
+# ROUND-8 PLAN: agg_global first, then recycle the r5-green cohort
+# (the oldest evidence once r7 grades), changed paths take priority.
 GRADING_WINDOW = [
-    # never driver-graded green
-    "collect_sorted_arrays",
-    "sim_topk_pq_fast",
-    "kmeans_fast",
-    "native_zorder_skip_scan",
-    "text_repetition",
-    "text_chunking",
-    "text_pii_scrub",
-    "asof_join_window",
-    "scalar_string_funcs",
-    "scalar_math_funcs",
-    "scalar_conditional",
-    # execution paths changed round 6 — re-prove
-    "kmeans_embeddings",
+    # r1-only green evidence — the last three, deferred from r6
+    "values_inline_join",
+    "union_by_name",
+    "join_cross_small",
+    # execution paths changed round 7 — re-prove
+    "sim_topk_pq",
+    "sim_ann_recall",
     "pipeline_end_to_end",
-    "stream_native_sink_agg",
     "asof_join_events_orders",
-    "native_compressed_scan",
-    "native_roundtrip_documents",
-    "scan_tcp_split",
-    "scan_tcp_write_roundtrip",
-    # r1-only green evidence — re-cycle
-    "subquery_in",
-    "subquery_correlated_exists",
-    "q2_min_per_group",
-    "explode_token_freq",
-    "array_functions_embeddings",
-    "regex_functions",
-    "sample_hash_based",
-    "dedup_exact",
-    "dedup_fingerprint",
+    "stream_native_sink_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "sim_topk_bruteforce",
-    "sim_pairs_signlsh",
-    "sim_topk_ivf",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "events_sessionize",
-    "scan_project_filter",
-    "topk_orders",
-    "distinct_segments",
-    "cube_lineitem",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi_anti",
-    "join_right_outer",
+    "kmeans_embeddings",
+    # r4-green cohort (newest evidence r4; all but agg_global)
+    "approx_distinct_parts",
+    "bm25_topk",
+    "cte_monthly_rank",
+    "decontaminate_ngram",
+    "dedup_connected_components",
+    "events_time_buckets",
+    "group_having",
+    "grouping_sets_events",
+    "hybrid_search_rrf",
+    "join_bucketed_colocated",
+    "join_non_equi_range",
+    "json_extract_props",
+    "native_embeddings_roundtrip",
+    "native_enum_scan",
+    "native_filter_project",
+    "native_join_mixed_sources",
+    "native_lossy_uint64_compat",
+    "native_scan_count_max",
+    "native_split_blocks_scan",
+    "percentiles_quantity",
+    "pivot_event_counts",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "rollup_orders",
+    "scalar_date_funcs",
+    "scan_remote_agg",
+    "scan_remote_split",
+    "scan_tcp_agg",
+    "setops_nations",
+    "sim_topk_fast",
+    "subquery_scalar_avg",
+    "window_frames",
 ]
 
 
@@ -305,6 +382,15 @@ class Registry:
     def add(self, q: Query) -> None:
         if q.name in self._queries:
             raise ValueError(f"duplicate query name {q.name}")
+        inner = q.build
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # builds run sequentially; caches persisted by the previous
+            # build are dead by the time this one starts
+            release_persists()
+            return inner(spark, sf_dir)
+
+        q.build = build
         self._queries[q.name] = q
 
     def sql_query(

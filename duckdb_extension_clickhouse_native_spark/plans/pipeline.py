@@ -66,6 +66,7 @@ from ..operators.similarity import (
     cosine_topk_fast,
     cosine_topk_sql,
     ivf_topk_sql,
+    pq_topk_spark_sql,
     pq_topk_sql,
     signlsh_pairs_sql,
 )
@@ -166,9 +167,12 @@ _sql_pair(
     "IVF-style probe: nearest-centroid partition + n_probe lists",
 )
 
+# Spark side is the restructured form (unrolled codegen distances,
+# min_by codes, fused packed+adc — see pq_topk_spark_sql docstring);
+# the r6 plan's 6-Generate/6-Window recompute is gone without a persist.
 _sql_pair(
     "sim_topk_pq",
-    pq_topk_sql("spark"),
+    pq_topk_spark_sql(),
     pq_topk_sql("duckdb"),
     ["embeddings"],
     ["similarity", "ann", "pq"],

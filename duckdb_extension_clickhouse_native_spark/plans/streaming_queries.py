@@ -21,6 +21,78 @@ from .base import REGISTRY
 _SINK_LOCK = threading.Lock()
 
 
+def _cross_process_lock(work: str):
+    """O_EXCL lockfile guarding the sink fixture across PROCESSES (the
+    threading lock only covers this interpreter; parallel pytest or a
+    concurrent grading run could otherwise both miss ``_DONE`` and
+    drive two StreamingQuery instances into the same checkpoint).
+    Returns a context manager. A lock whose recorded pid is dead is
+    stale (holder crashed) and is broken; a live holder is waited on."""
+    import contextlib
+    import os
+    import time
+
+    lock_path = os.path.join(work, "_LOCK")
+
+    @contextlib.contextmanager
+    def guard():
+        os.makedirs(work, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(lock_path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                alive = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists, owned by another user
+                if not alive:
+                    try:
+                        os.unlink(lock_path)  # stale: holder is gone
+                    except OSError:
+                        pass
+                    continue
+                time.sleep(0.2)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock_path)
+            except OSError:
+                pass
+
+    return guard()
+
+
+def _prune_stale_sink_dirs(parent: str, keep: str) -> None:
+    """Drop older content-stamped sink dirs for the same source — each
+    events.parquet rewrite mints a new stamp, and without pruning the
+    dead ones accumulate in the system temp dir unboundedly."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for name in entries:
+        full = os.path.join(parent, name)
+        if name.startswith("stream-sink-") and full != keep:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     spark = stream_df.sparkSession
     name = f"stream_conf_{uuid.uuid4().hex[:12]}"
@@ -241,19 +313,23 @@ def _stream_native_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(work, "_DONE")
     with _SINK_LOCK:
         if not os.path.exists(done):
-            os.makedirs(work, exist_ok=True)
-            events = read_events_stream(spark, sf_dir)
-            q = write_stream_native(
-                events.select("event_id", "user_id", "event_type", "value"),
-                out,
-                ckpt,
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            with open(done, "w") as f:
-                f.write("")
+            _prune_stale_sink_dirs(os.path.dirname(work), keep=work)
+            with _cross_process_lock(work):
+                # re-check under the lock: another process may have
+                # finished the sink while this one waited
+                if not os.path.exists(done):
+                    events = read_events_stream(spark, sf_dir)
+                    q = write_stream_native(
+                        events.select("event_id", "user_id", "event_type", "value"),
+                        out,
+                        ckpt,
+                    )
+                    try:
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                    with open(done, "w") as f:
+                        f.write("")
     back = spark.read.format("clickhouse_native").load(os.path.join(out, "batch-*"))
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),

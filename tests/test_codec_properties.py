@@ -196,3 +196,28 @@ def test_truncated_string_stats_bound_invariants(mn, mx):
     if hi2 is not None:
         assert hi2 >= hi
         assert len(hi2) <= _STR_STATS_MAX
+
+
+def test_string_decode_residency_bounded():
+    """Decoding a >64 MiB string column keeps the raw scan buffer under
+    the flush window + one refill chunk + one max-string overrun: the
+    consumed prefix is dropped as payload is flushed, so a huge block
+    cannot hold 2x its bytes resident (VERDICT r6 item 4)."""
+    from duckdb_extension_clickhouse_native_spark.native import codec
+
+    rows = 4400
+    val = b"x" * 16384  # ~72 MiB total payload
+    t = parse_type("String")
+    arr = pa.array([val.decode()] * rows, type=pa.string())
+    buf = io.BytesIO()
+    encode_column(buf, t, arr)
+    assert buf.tell() > (64 << 20)
+    buf.seek(0)
+    codec._SCAN_STATS["peak_buffer"] = 0
+    out = decode_column(buf, t, rows)
+    assert out.to_pylist() == [val.decode()] * rows
+    bound = codec._SCAN_WINDOW + (4 << 20) + len(val) + 16
+    assert codec._SCAN_STATS["peak_buffer"] <= bound, (
+        codec._SCAN_STATS["peak_buffer"],
+        bound,
+    )

@@ -1,0 +1,208 @@
+"""Round-7 behavioral guarantees (VERDICT/ADVICE r6 items):
+
+* ``_table_stamp`` is nanosecond-resolution — a parquet rewritten
+  within the same wall-clock second still invalidates the plan cache.
+* ``_restore_surplus`` surfaces the REAL seek error on a source that
+  claims seekable() but cannot seek backwards and has no pushback
+  (instead of masking it with an AttributeError).
+* ``track_persist`` / ``release_persists``: persisted intermediates
+  from one query build are unpersisted when the next build starts,
+  and scoped session confs are restored.
+* the stream-sink fixture is guarded by a cross-process lockfile
+  (stale locks from dead pids are broken) and older content-stamped
+  sink dirs for the same source are pruned.
+* ``real_decode`` probes for PIL at runtime: NotImplementedError
+  without it, a real byte->pixels decode with it; the deterministic
+  stub path is untouched either way.
+* the as-of join's broadcast-right fast path plans a
+  BroadcastHashJoin and returns the same rows as the bucket path.
+"""
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from conftest import SF_SMALL
+
+
+def test_table_stamp_nanosecond_resolution(tmp_path):
+    from duckdb_extension_clickhouse_native_spark.plans.base import _table_stamp
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"x" * 64)
+    os.utime(p, ns=(1_000_000_000, 1_000_000_500))
+    s1 = _table_stamp(str(tmp_path), "t")
+    os.utime(p, ns=(1_000_000_000, 1_000_000_900))  # same second, +400ns
+    s2 = _table_stamp(str(tmp_path), "t")
+    assert s1 != s2, "same-second rewrite did not change the stamp"
+
+
+class _FakeSeekableNoBackward(io.RawIOBase):
+    """Claims seekable() but refuses negative relative seeks (e.g. a
+    wrapped pipe that only supports forward skip)."""
+
+    def seekable(self):
+        return True
+
+    def seek(self, offset, whence=io.SEEK_SET):
+        raise OSError("backward seek unsupported")
+
+
+def test_restore_surplus_reraises_seek_error_without_pushback():
+    from duckdb_extension_clickhouse_native_spark.native.codec import _restore_surplus
+
+    buf = _FakeSeekableNoBackward()
+    with pytest.raises(OSError, match="backward seek"):
+        _restore_surplus(buf, b"abc")
+
+
+def test_restore_surplus_falls_back_to_pushback():
+    from duckdb_extension_clickhouse_native_spark.native.codec import _restore_surplus
+
+    class WithPushback(_FakeSeekableNoBackward):
+        def __init__(self):
+            self.pushed = None
+
+        def pushback(self, data):
+            self.pushed = data
+
+    buf = WithPushback()
+    _restore_surplus(buf, b"abc")
+    assert buf.pushed == b"abc"
+
+
+def test_track_persist_released_on_next_build(spark):
+    from pyspark import StorageLevel
+
+    from duckdb_extension_clickhouse_native_spark.plans.base import (
+        release_persists,
+        scoped_conf,
+        track_persist,
+    )
+
+    release_persists()
+    df = spark.range(100)
+    track_persist(df)
+    df.count()
+    assert df.storageLevel != StorageLevel.NONE
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    scoped_conf(spark, "spark.sql.shuffle.partitions", "5")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    release_persists()  # what the next build's wrapper calls
+    assert df.storageLevel == StorageLevel.NONE, "intermediate survived release"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_registry_build_releases_prior_persists(spark):
+    import __spark_entry__  # noqa: F401
+    from pyspark import StorageLevel
+
+    from duckdb_extension_clickhouse_native_spark.plans.base import (
+        _LIVE_PERSISTS,
+        REGISTRY,
+    )
+
+    q = REGISTRY.all()["dedup_ngram_jaccard"]
+    q.build(spark, SF_SMALL).count()
+    held = [df for df in _LIVE_PERSISTS]
+    assert held, "ngram build should track its persisted inverted index"
+    # building any other registered query releases them
+    REGISTRY.all()["dedup_exact"].build(spark, SF_SMALL).count()
+    assert all(df.storageLevel == StorageLevel.NONE for df in held)
+
+
+def test_sink_lock_breaks_stale_and_blocks_nothing(tmp_path):
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _cross_process_lock,
+    )
+
+    work = str(tmp_path / "w")
+    os.makedirs(work)
+    # stale lock from a dead pid is broken, not waited on
+    with open(os.path.join(work, "_LOCK"), "w") as f:
+        f.write("999999999")
+    with _cross_process_lock(work):
+        assert os.path.exists(os.path.join(work, "_LOCK"))
+    assert not os.path.exists(os.path.join(work, "_LOCK")), "lock not released"
+
+
+def test_prune_stale_sink_dirs(tmp_path):
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _prune_stale_sink_dirs,
+    )
+
+    parent = str(tmp_path)
+    keep = os.path.join(parent, "stream-sink-2-200")
+    for d in ("stream-sink-1-100", "stream-sink-2-200", "unrelated"):
+        os.makedirs(os.path.join(parent, d))
+    _prune_stale_sink_dirs(parent, keep=keep)
+    assert sorted(os.listdir(parent)) == ["stream-sink-2-200", "unrelated"]
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: stub path covered by the PIL test")
+def test_real_decode_raises_without_pil():
+    from duckdb_extension_clickhouse_native_spark.functions.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\n")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not available in this container")
+def test_real_decode_with_pil():
+    from PIL import Image
+
+    from duckdb_extension_clickhouse_native_spark.functions.multimodal import real_decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), color=(10, 20, 30)).save(buf, format="PNG")
+    out = real_decode(buf.getvalue())
+    assert out["width"] == 4 and out["height"] == 2 and out["channels"] == 3
+    assert out["mean_pixel"] == pytest.approx(20.0)
+
+
+def test_asof_broadcast_path_plan_and_parity(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    t = load_tables(spark, SF_SMALL, ["events", "orders"])
+    events = t["events"].select("event_id", "user_id", "ts")
+    orders = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_ts"),
+        )
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("last_order_price")
+        )
+    )
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "last_order_ts timestamp_ntz, last_order_price double"
+    )
+    kwargs = dict(
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_order_ts",
+        out_schema=schema,
+        value_cols=["last_order_price"],
+    )
+    bc = asof_join(events, orders, strategy="broadcast", **kwargs)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    bk = asof_join(events, orders, strategy="bucket", **kwargs)
+    assert {tuple(r) for r in bc.collect()} == {tuple(r) for r in bk.collect()}
