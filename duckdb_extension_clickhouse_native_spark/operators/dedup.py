@@ -605,3 +605,87 @@ FINGERPRINT_DEDUP_SQL = """
     FROM documents
     GROUP BY 1
 """
+
+
+def substring_spans_sql(dialect: str, w: int = 8) -> str:
+    """Exact duplicated-substring spans, the fixed-window form of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): report every maximal
+    token region covered by a ``w``-token window whose exact text
+    occurs more than once anywhere in the corpus. The spans are what a
+    pipeline CUTS before training (as opposed to the doc-level
+    near-dup operators above, which DROP whole documents).
+
+    Shape (both dialects, identical semantics):
+      1. slide a ``w``-token window over each doc -> one (doc_id,
+         start, gram) row per occurrence;
+      2. ``COUNT(*) OVER (PARTITION BY gram)`` marks duplicated
+         windows — ONE pass, one shuffle keyed by gram text, no
+         self-join and no second tokenize (the naive
+         GROUP-BY-then-join-back form scans the corpus twice);
+      3. gaps-and-islands per doc (start - ROW_NUMBER) merges runs of
+         consecutive duplicated starts into maximal spans.
+
+    Scale posture (100 TB): stage 2's key space is ~one gram per
+    corpus token — high cardinality, md5-uniform except boilerplate
+    grams, which AQE skew-split handles (the heavy key's rows still
+    fit a reducer: occurrences, never pairs — nothing quadratic
+    exists in this plan). Stage 3 shuffles once by doc_id. Production
+    would group on xxhash64(gram) (8 bytes) instead of the gram text;
+    the conformance form keeps the text so both engines group on
+    bit-identical keys. The reference engine has no dedup surface at
+    all (SURVEY.md §2.1); this row is pipeline-tier.
+    """
+    d = SPARK if dialect == "spark" else DUCK
+    n = d["len"].format(arr="tk")
+    if dialect == "spark":
+        grams = f"""
+    grams AS (
+      SELECT doc_id, CAST(idx + 1 AS BIGINT) AS start, gram
+      FROM toks
+      LATERAL VIEW posexplode(
+        CASE WHEN {n} >= {w}
+             THEN transform(sequence(1, {n} - {w} + 1),
+                            i -> concat_ws(' ', slice(tk, i, {w})))
+             ELSE array() END) t AS idx, gram
+    )"""
+    else:
+        # DuckDB zips parallel unnests positionally; range() is empty
+        # when the doc is shorter than w
+        grams = f"""
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, GREATEST({n} - {w} + 1, 0) + 1)) AS BIGINT) AS start,
+             unnest(list_transform(range(1, GREATEST({n} - {w} + 1, 0) + 1),
+                    i -> array_to_string(tk[i:i+{w}-1], ' '))) AS gram
+      FROM toks
+    )"""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {d['tokens'].format(col='text')} AS tk FROM documents
+    ),{grams},
+    occ AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS c
+        FROM grams
+      ) g WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start)
+               AS island
+      FROM occ
+    ),
+    spans AS (
+      SELECT doc_id, MIN(start) AS s, MAX(start) + {w} - 1 AS e,
+             COUNT(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(e - s + 1 AS BIGINT) AS span_tokens,
+           CAST(n_windows AS BIGINT) AS n_windows
+    FROM spans
+    ORDER BY doc_id, span_start
+    """

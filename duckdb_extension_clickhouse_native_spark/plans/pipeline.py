@@ -60,6 +60,7 @@ from ..operators.dedup import (
     ngram_jaccard_sql,
     simhash_query,
     simhash_sql,
+    substring_spans_sql,
 )
 from ..operators.similarity import (
     ann_recall_sql,
@@ -127,6 +128,16 @@ REGISTRY.df_query(
     oracle=ngram_jaccard_sql("duckdb"),
     tags=["dedup", "ngram"],
     description="inverted-index shingle join + exact Jaccard",
+)
+
+_sql_pair(
+    "dedup_substring_spans",
+    substring_spans_sql("spark"),
+    substring_spans_sql("duckdb"),
+    ["documents"],
+    ["dedup", "substring"],
+    "maximal duplicated 8-token-window spans (fixed-window suffix-array "
+    "dedup): one window pass over grams, gaps-and-islands merge",
 )
 
 _sql_pair(
