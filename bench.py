@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_substring_spans",    # duplicated w-gram spans, one COUNT-OVER pass
     "dedup_connected_components",  # iterative label propagation
     "kmeans_embeddings",           # fixed-point Lloyd, 2 iterations
     "kmeans_fast",                 # same result, broadcast-numpy mapInPandas

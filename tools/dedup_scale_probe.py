@@ -23,7 +23,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SIZES = (5_000, 20_000, 50_000)
-QUERIES = ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash")
+QUERIES = (
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # one COUNT-OVER pass on w-grams + islands merge: occurrence-linear
+    # by construction (no pair stage exists to explode)
+    "dedup_substring_spans",
+)
 
 
 def build_corpus(n_docs: int, base_dir: str, out_root: str) -> str:
