@@ -220,3 +220,56 @@ def test_pq_fast_matches_sql_form_exactly(spark):
     want = [tuple(r) for r in spark.sql(pq_topk_sql("spark")).collect()]
     got = [tuple(r) for r in pq_topk_fast(spark, SF_SMALL).collect()]
     assert got == want
+
+
+def test_substring_spans_edges(spark):
+    """Crafted-corpus contract for dedup_substring_spans (w=8):
+
+    * whole-doc duplicates SHORTER than the window are invisible (doc
+      1/2, 7 tokens) — the operator cuts spans, doc-level dedup is a
+      different query;
+    * a 12-token run shared by two docs merges its 5 duplicated
+      windows into one maximal span per doc;
+    * an 8-token phrase repeated twice INSIDE one doc yields two
+      disjoint 8-token spans (islands don't bridge the gap).
+
+    Both dialects run on the same rows and must agree exactly.
+    """
+    import duckdb
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.dedup import (
+        substring_spans_sql,
+    )
+
+    run = " ".join(f"a{i}" for i in range(1, 13))
+    b8 = " ".join(f"b{i}" for i in range(1, 9))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "s1 s2 s3 s4 s5 s6 s7",
+                "s1 s2 s3 s4 s5 s6 s7",
+                f"u1 u2 {run} u3 u4",
+                f"z1 z2 z3 {run} z4",
+                f"p1 p2 p3 p4 {b8} q1 q2 q3 q4 q5 q6 {b8} r1 r2 r3 r4",
+            ],
+        }
+    )
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    got = sorted(
+        tuple(r) for r in spark.sql(substring_spans_sql("spark")).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want_duck = sorted(
+        tuple(r) for r in con.execute(substring_spans_sql("duckdb")).fetchall()
+    )
+    expected = [
+        (3, 3, 14, 12, 5),
+        (4, 4, 15, 12, 5),
+        (5, 5, 12, 8, 1),
+        (5, 19, 26, 8, 1),
+    ]
+    assert got == expected
+    assert want_duck == expected
