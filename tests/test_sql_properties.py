@@ -121,3 +121,74 @@ def test_importance_select_prefers_target_like_docs():
     got = {r[0]: r[1] for r in rows}
     assert set(got) == {5, 6}, "only non-target docs are selectable"
     assert got[5] > got[6], "target-vocabulary doc must score higher"
+
+
+def _spans_reference(texts: dict, w: int):
+    """Independent pure-Python implementation of duplicated-substring
+    spans: w-gram occurrences, duplicated grams, per-doc islands."""
+    from collections import Counter, defaultdict
+
+    occ = defaultdict(list)  # doc_id -> [start...]
+    counts = Counter()
+    grams = {}
+    for doc_id, text in texts.items():
+        tk = text.split(" ")
+        grams[doc_id] = [
+            (i + 1, " ".join(tk[i : i + w])) for i in range(len(tk) - w + 1)
+        ]
+        for _s, g in grams[doc_id]:
+            counts[g] += 1
+    out = []
+    for doc_id, gs in grams.items():
+        starts = sorted(s for s, g in gs if counts[g] > 1)
+        if not starts:
+            continue
+        run = [starts[0]]
+        for s in starts[1:]:
+            if s == run[-1] + 1:
+                run.append(s)
+            else:
+                out.append((doc_id, run[0], run[-1] + w - 1, run[-1] + w - run[0], len(run)))
+                run = [s]
+        out.append((doc_id, run[0], run[-1] + w - 1, run[-1] + w - run[0], len(run)))
+    return sorted(out)
+
+
+# small token alphabet + short docs => real collisions at tiny w
+span_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # doc_id
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w0", "q"]),
+            min_size=1,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(span_corpus, st.integers(min_value=1, max_value=4))
+@settings(deadline=None, max_examples=80)
+def test_substring_spans_equal_reference(rows, w):
+    """The SQL duplicated-span query (DuckDB dialect — the oracle the
+    driver hashes) agrees exactly with an independent Python
+    implementation for arbitrary corpora and window sizes, including
+    docs shorter than the window and intra-doc repeats."""
+    from duckdb_extension_clickhouse_native_spark.operators.dedup import (
+        substring_spans_sql,
+    )
+
+    texts = {doc_id: " ".join(toks) for doc_id, toks in rows}
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": list(texts.values()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    got = sorted(tuple(r) for r in con.execute(substring_spans_sql("duckdb", w=w)).fetchall())
+    assert got == _spans_reference(texts, w)
