@@ -378,21 +378,27 @@ class Query:
 #     stream_native_sink_agg (cross-process sink lock + stamp prune),
 #     dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
 #     kmeans_embeddings (tracked-persist release mechanism);
-#   - 38 of the 39 rows whose newest green is r4 — the whole cohort
-#     except agg_global, deferred to round 8 to make the slot for
-#     sim_ann_recall under the changed-path priority rule (agg_global
-#     is the lowest-risk row in the registry: a single ungrouped
-#     aggregate whose exact plan shape is re-exercised by the graded
-#     q1/cube/rollup family and the bench every round).
+#   - dedup_substring_spans, NEW this round (never driver-graded —
+#     the highest-priority class);
+#   - 37 of the 39 rows whose newest green is r4 — the whole cohort
+#     except agg_global and group_having, deferred to round 8 to make
+#     the slots for sim_ann_recall and dedup_substring_spans (both
+#     deferred rows are the lowest-risk in the registry: single
+#     aggregate / GROUP BY HAVING plans whose exact shapes are
+#     re-exercised by the graded q1/cube/rollup family and the bench
+#     every round).
 # The codec string-scanner changes (bounded-residency flush) re-prove
 # through the r4 cohort's native_*/scan_tcp_* rows in this window.
-# ROUND-8 PLAN: agg_global first, then recycle the r5-green cohort
-# (the oldest evidence once r7 grades), changed paths take priority.
+# ROUND-8 PLAN: agg_global and group_having first, then recycle the
+# r5-green cohort (the oldest evidence once r7 grades), changed paths
+# take priority.
 GRADING_WINDOW = [
     # r1-only green evidence — the last three, deferred from r6
     "values_inline_join",
     "union_by_name",
     "join_cross_small",
+    # NEW in r7, never driver-graded (highest-priority class)
+    "dedup_substring_spans",
     # execution paths changed round 7 — re-prove
     "sim_topk_pq",
     "sim_ann_recall",
@@ -410,7 +416,6 @@ GRADING_WINDOW = [
     "decontaminate_ngram",
     "dedup_connected_components",
     "events_time_buckets",
-    "group_having",
     "grouping_sets_events",
     "hybrid_search_rrf",
     "join_bucketed_colocated",
