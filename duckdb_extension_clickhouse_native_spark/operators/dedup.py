@@ -627,18 +627,27 @@ def substring_spans_sql(dialect: str, w: int = 8) -> str:
          consecutive duplicated starts into maximal spans.
 
     Scale posture (100 TB): stage 2's key space is ~one gram per
-    corpus token — high cardinality, md5-uniform except boilerplate
+    corpus token — high cardinality, uniform except boilerplate
     grams, which AQE skew-split handles (the heavy key's rows still
     fit a reducer: occurrences, never pairs — nothing quadratic
-    exists in this plan). Stage 3 shuffles once by doc_id. Production
-    would group on xxhash64(gram) (8 bytes) instead of the gram text;
-    the conformance form keeps the text so both engines group on
-    bit-identical keys. The reference engine has no dedup surface at
-    all (SURVEY.md §2.1); this row is pipeline-tier.
+    exists in this plan). Stage 3 shuffles once by doc_id.
+
+    Dialect asymmetry (the ``ngram_jaccard_sql`` precedent): the gram
+    never reaches the output — only its duplicate COUNT does — so each
+    engine may key it however it likes as long as distinctness is
+    preserved ENGINE-LOCALLY. Spark hashes the w-token slice with the
+    n-ary ``xxhash64`` builtin (no per-position string construction,
+    8-byte exchange keys); DuckDB (the oracle — correctness, not
+    speed) keeps the exact gram text. A 64-bit collision would merge
+    two grams (~1e-11 at sf0.1 scale) and only ever ADD a span —
+    detectable by the hash compare, not silent. The reference engine
+    has no dedup surface at all (SURVEY.md §2.1); this row is
+    pipeline-tier.
     """
     d = SPARK if dialect == "spark" else DUCK
     n = d["len"].format(arr="tk")
     if dialect == "spark":
+        slice_args = ", ".join(f"element_at(tk, i + {j})" for j in range(w))
         grams = f"""
     grams AS (
       SELECT doc_id, CAST(idx + 1 AS BIGINT) AS start, gram
@@ -646,8 +655,8 @@ def substring_spans_sql(dialect: str, w: int = 8) -> str:
       LATERAL VIEW posexplode(
         CASE WHEN {n} >= {w}
              THEN transform(sequence(1, {n} - {w} + 1),
-                            i -> concat_ws(' ', slice(tk, i, {w})))
-             ELSE array() END) t AS idx, gram
+                            i -> xxhash64({slice_args}))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END) t AS idx, gram
     )"""
     else:
         # DuckDB zips parallel unnests positionally; range() is empty
