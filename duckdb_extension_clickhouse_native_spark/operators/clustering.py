@@ -134,121 +134,40 @@ def kmeans_sql(
     GROUP BY cid
     """
 
-def kmeans_spark_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """The optimized Spark form of ``kmeans_sql`` — bit-identical
-    output (same oracle), restructured the way ``pq_topk_spark_sql``
-    was in r7, because the exploded-dims form's cost is structural:
-    every assign stage there joins n x dim vector rows with k x dim
-    centroid rows ON d — n x dim x k rows in flight (64x the vector
-    count at the defaults) before the partial agg collapses them.
-
-    Shape notes (and why each piece is what it is):
-
-    * vectors stay ARRAYS (``kmeans_vecs_arr``: one fixed-point BIGINT
-      array per vector, persisted by ``kmeans_query``); each assign is
-      ONE BroadcastNestedLoopJoin against the k-row centroid relation
-      (k=8 rows broadcast — the standard assign shape), with the
-      squared distance an unrolled ``dim``-term whole-stage-codegen
-      expression — n x k rows in flight, 64x fewer than exploded;
-    * the winner is ``MIN(dist * k + cid)`` — (dist, cid) packed into
-      one BIGINT (dist <= dim * (2 * SCALE)^2 ~= 2.6e14, so the pack
-      fits with 2^16 headroom), keeping the aggregation buffer a
-      PRIMITIVE so Spark uses vectorized HashAggregate with map-side
-      partials; a ``min(struct(dist, cid))`` buffer would fall back to
-      the much slower ObjectHashAggregate (measured ~1.5x whole-query).
-      Unpacking: cid = pk % k, dist = pk DIV k. Ties resolve to the
-      lowest cid, exactly the exploded form's ROW_NUMBER ORDER BY
-      dist, cid;
-    * means re-join the persisted array relation on vec_id (n-vs-n
-      hash join) and update each dimension with the exact oracle
-      expression FLOOR(CAST(SUM(element_at(xfa, j)) AS DOUBLE) /
-      COUNT(*)) — 64 primitive SUM buffers, still vectorized. This
-      join is cheaper than carrying the arrays through the assign
-      aggregation (an array-typed ``any_value`` de-vectorizes it);
-    * empty clusters keep their centroid via the k-row LEFT JOIN, as
-      in the oracle.
-
-    Scale: per iteration one broadcast join, one n-row primitive
-    shuffle, one n-vs-n hash join, one k-row group — shuffle bytes
-    proportional to vectors, never to vectors x dims x k."""
-    dist = " + ".join(
-        f"(element_at(v.xfa, {j}) - element_at(c.cfa, {j})) * "
-        f"(element_at(v.xfa, {j}) - element_at(c.cfa, {j}))"
-        for j in range(1, dim + 1)
-    )
-    means_terms = ", ".join(
-        f"CAST(FLOOR(CAST(SUM(element_at(v.xfa, {j})) AS DOUBLE) / COUNT(*)) AS BIGINT)"
-        for j in range(1, dim + 1)
-    )
-    parts = [
-        """seeds AS (
-      SELECT vec_id,
-             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cid
-      FROM embeddings
-    )""",
-        f"""cent0 AS (
-      SELECT s.cid, v.xfa AS cfa
-      FROM seeds s JOIN kmeans_vecs_arr v ON s.vec_id = v.vec_id
-      WHERE s.cid < {k}
-    )""",
-    ]
-    for t in range(iters):
-        parts.append(f"""assign{t} AS (
-      SELECT /*+ BROADCAST(c) */ v.vec_id,
-             MIN(({dist}) * {k} + c.cid) AS pk
-      FROM kmeans_vecs_arr v CROSS JOIN cent{t} c
-      GROUP BY v.vec_id
-    )""")
-        # SHUFFLE_HASH, not broadcast: at real scale the assignment is
-        # n rows (never broadcastable) — hash-join both sides on vec_id
-        # and skip the sort-merge sorts Catalyst's missing CTE stats
-        # would otherwise pick
-        parts.append(f"""means{t} AS (
-      SELECT /*+ SHUFFLE_HASH(a) */ a.pk % {k} AS cid, array({means_terms}) AS cfa
-      FROM assign{t} a JOIN kmeans_vecs_arr v ON a.vec_id = v.vec_id
-      GROUP BY a.pk % {k}
-    )""")
-        parts.append(f"""cent{t + 1} AS (
-      SELECT /*+ BROADCAST(n) */ o.cid, COALESCE(n.cfa, o.cfa) AS cfa
-      FROM cent{t} o LEFT JOIN means{t} n ON o.cid = n.cid
-    )""")
-    parts.append(f"""assign_final AS (
-      SELECT /*+ BROADCAST(c) */ v.vec_id,
-             MIN(({dist}) * {k} + c.cid) AS pk
-      FROM kmeans_vecs_arr v CROSS JOIN cent{iters} c
-      GROUP BY v.vec_id
-    )""")
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT CAST(pk % {k} AS INT) AS cid, COUNT(*) AS n_members,
-           CAST(SUM(pk DIV {k}) AS BIGINT) AS inertia,
-           MIN(vec_id) AS rep_vec
-    FROM assign_final
-    GROUP BY pk % {k}
-    """
-
-
 def kmeans_query(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
-    """Spark path for ``kmeans_embeddings``: the restructured array
-    form (``kmeans_spark_sql`` — no dim-explode, broadcast k-row
-    centroid joins, unrolled codegen distances). The fixed-point
-    (vec_id, xfa) relation is persisted once: it feeds cent0 plus the
-    per-iteration and final assigns (4 consumers at iters=2), and
-    Catalyst's CTE inlining would re-run the scan + transform for
-    each. It is ~(8 + 8*dim) bytes per vector — the exploded form's
-    working set, minus the per-dim row overhead."""
+    """Spark path for ``kmeans_embeddings``: persist the exploded
+    fixed-point (vec_id, d, xf) relation once — it feeds cent0 plus an
+    assign and a means join per iteration plus the final assignment
+    (6 consumers at iters=2), and Catalyst's CTE inlining would re-run
+    the posexplode for each. Persisting the explode is also the scale
+    posture: it is dim rows x 2 BIGINTs per vector, the working set
+    every Lloyd iteration re-reads.
+
+    Why this stays the exploded form (r7 finding, measured head-to-head
+    in fresh sessions at sf0.1): an array-keeping variant (vectors as
+    BIGINT arrays, one broadcast join per assign with either an
+    unrolled 64-term distance or aggregate(zip_with(...)), packed
+    dist*k+cid argmin) was built and oracle-matched, but LOST at
+    conformance scale — cold 10.0s/7.8s vs 7.6s, warm 3.0s/2.6s vs
+    2.0s — because Janino compilation of the unrolled expressions
+    dominates cold runs and per-element array access beats none of the
+    overheads at n=2000. The genuinely-at-scale shape (broadcast numpy
+    centroid matrix, k x dim partial-sum shuffle) is ``kmeans_fast``,
+    registered with the same oracle; the SQL twin's job is to be the
+    fastest PORTABLE form, which the exploded join is."""
     from ..plans.base import load_tables, track_persist
 
     load_tables(spark, sf_dir, ["embeddings"])
     vecs = spark.sql(
-        "SELECT vec_id, transform(embedding, v -> "
-        f"CAST(FLOOR(CAST(v AS DOUBLE) * {SCALE}) AS BIGINT)) AS xfa "
-        "FROM embeddings"
+        "SELECT vec_id, d + 1 AS d, CAST(FLOOR(CAST(v AS DOUBLE) * "
+        f"{SCALE}) AS BIGINT) AS xf "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) t AS d, v"
     )
     track_persist(vecs)
-    vecs.createOrReplaceTempView("kmeans_vecs_arr")
-    return spark.sql(kmeans_spark_sql(k=k, iters=iters, dim=dim))
+    vecs.createOrReplaceTempView("kmeans_vecs_fixed")
+    return spark.sql(
+        kmeans_sql("spark", k=k, iters=iters, dim=dim, vecs_rel="kmeans_vecs_fixed")
+    )
 
 
 def kmeans_fast(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
