@@ -64,6 +64,51 @@ DUCK = {
 }
 
 
+MINHASH_PRIME = 2_147_483_647
+
+
+def _mh_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Universal-hash family coefficients shared by the batch MinHash
+    SQL and the streaming per-row form — one definition, no drift.
+    a_i < 2^31 keeps every product under 2^61 (no BIGINT overflow in
+    either engine)."""
+    return (
+        [2 * i * i + 3 * i + 5 for i in range(n_hashes)],  # distinct odd-ish
+        [7919 * (i + 1) for i in range(n_hashes)],
+    )
+
+
+def minhash_row_band_exprs(n_hashes: int = 12, bands: int = 4) -> list[str]:
+    """Spark selectExpr stages computing MinHash band keys PER ROW with
+    array higher-order functions — no explode, no groupBy, so the same
+    signature math the batch form computes with an exploded aggregation
+    (``minhash_lsh_sql``) becomes a STATELESS streaming map: a document
+    is wholly contained in its row, so MIN over its shingles is
+    ``array_min`` over an array, not an aggregate. Values are
+    bit-identical to the batch form by construction (same md5-int28,
+    same universal-hash family via ``_mh_coeffs``, same band-key
+    concat). Returns a list of selectExpr stages to apply in order to a
+    relation with columns (doc_id, text, ...); the final stage yields
+    (doc_id, band0..band{bands-1})."""
+    d = SPARK
+    rows = n_hashes // bands
+    _as, _bs = _mh_coeffs(n_hashes)
+    sh = d["distinct"].format(arr=_shingles_expr(d, "split(text, ' ')"))
+    h30 = _hex_int_expr(d, "md5(s)", nibbles=7)
+    stage1 = ["doc_id", f"transform({sh}, s -> {h30}) AS hs"]
+    stage2 = ["doc_id"] + [
+        f"array_min(transform(hs, h -> ({_as[i]} * h + {_bs[i]}) % {MINHASH_PRIME})) AS m{i}"
+        for i in range(n_hashes)
+    ]
+    stage3 = ["doc_id"] + [
+        "md5(concat("
+        + ", '|', ".join(f"CAST(m{b * rows + r} AS STRING)" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(bands)
+    ]
+    return [stage1, stage2, stage3]
+
+
 def _hex_int_expr(d: dict, h: str, offset: int = 0, nibbles: int = 15) -> str:
     """Integer value of hex chars [offset+1 .. offset+nibbles] of the
     md5 hex string ``h``. Both dialects produce the same BIGINT (this
@@ -128,9 +173,8 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
     # a_i < 2^31 keeps every product under 2^61 — no BIGINT overflow in
     # either engine (DuckDB errors on overflow; Spark wraps). 12x fewer
     # md5 evaluations than hashing per (variant, shingle).
-    _PRIME = 2_147_483_647
-    _as = [2 * i * i + 3 * i + 5 for i in range(n_hashes)]  # distinct odd-ish
-    _bs = [7919 * (i + 1) for i in range(n_hashes)]
+    _PRIME = MINHASH_PRIME
+    _as, _bs = _mh_coeffs(n_hashes)
     mins = ",\n             ".join(
         f"MIN(({_as[i]} * h30 + {_bs[i]}) % {_PRIME}) AS m{i}"
         for i in range(n_hashes)

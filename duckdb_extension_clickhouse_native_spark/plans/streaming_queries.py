@@ -356,3 +356,109 @@ REGISTRY.df_query(
 
 def register() -> None:
     """Import side effect — queries registered above."""
+
+
+def _stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection — the LSH index-maintenance shape a
+    100 TB ingest pipeline runs: documents arrive in micro-batches,
+    every doc's MinHash band keys are computed STATELESSLY per row
+    (``minhash_row_band_exprs`` — array HOFs, no explode/groupBy, the
+    signature math is bit-identical to the batch ``minhash_lsh_sql``),
+    and a custom stateful operator keyed by (band_idx, band_key) keeps
+    each bucket's doc-id list as state, emitting a candidate pair the
+    moment the later document arrives. State per bucket = its occupancy
+    (LSH-uniform md5 keys — the same boundedness argument as the batch
+    band join); on a real stream the operator would add a TTL eviction,
+    same code path.
+
+    The emitted pair SET is arrival-order independent (every co-bucket
+    pair is emitted exactly when its later member lands), so the final
+    result equals batch LSH exactly. Multi-band duplicates and exact
+    token-Jaccard verification are a batch post-pass on the drained
+    output (candidates x static corpus join) — verification needs the
+    token arrays, which live in the static table, not the stream.
+    Graded against the batch ``minhash_lsh_sql('duckdb')`` oracle —
+    the strongest form of the streaming==batch claim."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import SPARK as SPARK_D
+    from ..operators.dedup import minhash_row_band_exprs
+    from ..streaming.events_stream import read_documents_stream
+    from .base import load_tables
+
+    docs = read_documents_stream(spark, sf_dir)
+    s1, s2, s3 = minhash_row_band_exprs()
+    banded = docs.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)
+    band_rows = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(4)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+    def bucket_pairs(key, pdf_iter, state: GroupState):
+        existing = list(state.get[0]) if state.exists else []
+        seen = set(existing)
+        new_docs = []
+        for pdf in pdf_iter:
+            for d in pdf["doc_id"].tolist():
+                if d not in seen:
+                    seen.add(d)
+                    new_docs.append(d)
+        out_a, out_b = [], []
+        for i, d in enumerate(new_docs):
+            for e in existing + new_docs[:i]:
+                a, b = (e, d) if e < d else (d, e)
+                out_a.append(a)
+                out_b.append(b)
+        state.update((existing + new_docs,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cands = band_rows.groupBy("band_idx", "band_key").applyInPandasWithState(
+        bucket_pairs,
+        outputStructType="doc_a bigint, doc_b bigint",
+        stateStructType="docs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(cands, "append")
+    # batch post-pass: dedup multi-band pairs, verify exact token Jaccard
+    load_tables(spark, sf_dir, ["documents"])
+    drained.createOrReplaceTempView("stream_mh_cands")
+    d = SPARK_D
+    return spark.sql(f"""
+    WITH shingled AS (
+      SELECT doc_id, {d['distinct'].format(arr="split(text, ' ')")} AS toks_d
+      FROM documents
+    ),
+    candidates AS (SELECT DISTINCT doc_a, doc_b FROM stream_mh_cands),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({d['intersect_len'].format(a='a.toks_d', b='b.toks_d')} AS DOUBLE) /
+             CAST({d['len'].format(arr='a.toks_d')} + {d['len'].format(arr='b.toks_d')}
+                  - {d['intersect_len'].format(a='a.toks_d', b='b.toks_d')} AS DOUBLE) AS jaccard
+      FROM candidates c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.4
+    """)
+
+
+REGISTRY.df_query(
+    "stream_minhash_candidates",
+    _stream_minhash_candidates,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.operators.dedup",
+        fromlist=["minhash_lsh_sql"],
+    ).minhash_lsh_sql("duckdb"),
+    tags=["streaming", "dedup", "lsh", "applyInPandasWithState"],
+    description=(
+        "streaming LSH index maintenance: per-row HOF MinHash bands, stateful "
+        "band-bucket pair emission across micro-batches, batch-verified; "
+        "result == batch minhash_lsh_sql exactly"
+    ),
+)

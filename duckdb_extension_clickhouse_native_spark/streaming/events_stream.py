@@ -282,3 +282,60 @@ def write_stream_native(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """File-source stream over the documents table, split into
+    ``n_parts`` part files so tests exercise REAL multi-micro-batch
+    execution (one file per trigger), not a single-batch degenerate
+    run. The split fixture lives under a content-stamped tmp dir
+    (mtime_ns + size of the source parquet) and is rebuilt only when
+    the source changes; stale stamps for the same source are pruned.
+    On a real cluster this reader is Kafka/file-drop ingestion — only
+    the reader changes, as with the events stream."""
+    import os
+    import shutil
+    import tempfile
+
+    import hashlib
+
+    from ..plans.base import ensure_session
+
+    ensure_session(spark)
+    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    st = os.stat(target)
+    tag = hashlib.md5(target.encode()).hexdigest()[:12]
+    parent = os.path.join(tempfile.gettempdir(), "chsql_stream_src_docs", tag)
+    stamp = f"{st.st_mtime_ns}_{st.st_size}_{n_parts}"
+    part_dir = os.path.join(parent, stamp)
+    if not os.path.isdir(part_dir):
+        import pyarrow.parquet as pq
+        import pyarrow.parquet as pqw
+
+        os.makedirs(parent, exist_ok=True)
+        for old in os.listdir(parent):
+            if old != stamp and not old.endswith(".tmp"):
+                shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+        tmp = part_dir + f".{os.getpid()}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(target)
+        n = t.num_rows
+        step = max(1, (n + n_parts - 1) // n_parts)
+        for i in range(0, n_parts):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows:
+                pqw.write_table(
+                    chunk, os.path.join(tmp, f"docs-{i:03d}.parquet")
+                )
+        try:
+            os.rename(tmp, part_dir)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = spark.read.parquet(part_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(part_dir)
+    )

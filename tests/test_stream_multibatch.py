@@ -62,3 +62,45 @@ def test_stateful_sessions_across_micro_batches(spark, tmp_path):
     ).fetchall()
     expect = {u: (s, ne) for u, s, ne in expect_rows}
     assert got == expect
+
+
+def test_stream_minhash_pairs_span_micro_batches(spark):
+    """The streaming LSH detector must exercise REAL cross-batch state:
+    the documents stream is split into 4 part files (one per trigger),
+    and at least one verified near-dup pair must span two different
+    parts — i.e. the second member arrived batches after the first was
+    indexed into bucket state. Also pins the split fixture layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__  # noqa: F401 - populates REGISTRY
+    from conftest import SF_SMALL
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+    from duckdb_extension_clickhouse_native_spark.streaming.events_stream import (
+        read_documents_stream,
+    )
+
+    # building the reader materializes the split fixture
+    read_documents_stream(spark, SF_SMALL)
+    # locate the fixture via the same stamping logic
+    import hashlib
+    import tempfile
+
+    target = os.path.abspath(f"{SF_SMALL}/documents.parquet")
+    tag = hashlib.md5(target.encode()).hexdigest()[:12]
+    parent = os.path.join(tempfile.gettempdir(), "chsql_stream_src_docs", tag)
+    stamps = [s for s in os.listdir(parent) if not s.endswith(".tmp")]
+    assert len(stamps) == 1, f"stale stamps not pruned: {stamps}"
+    parts = sorted(os.listdir(os.path.join(parent, stamps[0])))
+    assert len(parts) >= 2, "split fixture must force multiple micro-batches"
+    # doc_id -> part index
+    part_of = {}
+    for i, p in enumerate(parts):
+        for d in pq.read_table(os.path.join(parent, stamps[0], p))["doc_id"].to_pylist():
+            part_of[d] = i
+    q = REGISTRY.all()["stream_minhash_candidates"]
+    pairs = [(r.doc_a, r.doc_b) for r in q.build(spark, SF_SMALL).collect()]
+    assert pairs, "no near-dup pairs found"
+    cross = [p for p in pairs if part_of[p[0]] != part_of[p[1]]]
+    assert cross, "no pair spans micro-batches — state never crossed a trigger"
