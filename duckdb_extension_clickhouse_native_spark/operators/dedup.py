@@ -78,7 +78,7 @@ def _mh_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
     )
 
 
-def minhash_row_band_exprs(n_hashes: int = 12, bands: int = 4) -> list[str]:
+def minhash_row_band_exprs(n_hashes: int = 12, bands: int = 4) -> list[list[str]]:
     """Spark selectExpr stages computing MinHash band keys PER ROW with
     array higher-order functions — no explode, no groupBy, so the same
     signature math the batch form computes with an exploded aggregation
