@@ -294,3 +294,82 @@ def chunk_sql(dialect: str, chunk_chars: int = 200, overlap: int = 50) -> str:
            md5(chunk) AS chunk_fp
     FROM chunks
     """
+
+
+def lm_score_sql(dialect: str) -> str:
+    """In-corpus bigram language-model quality score — the CCNet-style
+    perplexity filter (Wenzek et al. 2019) with the LM trained on the
+    corpus itself (no external model in this environment): documents
+    whose token transitions are globally rare score low and are the
+    junk/garble candidates a pre-training pipeline drops or buckets.
+
+    Model: add-1-smoothed bigram probabilities
+    p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V) with corpus-global counts
+    and vocabulary size V. Per document the score is the MEAN bigram
+    probability in fixed point: FLOOR(1e9 * p) per bigram, exact
+    BIGINT sum, one final division — every step is an IEEE operation
+    on exact integers, so Spark and DuckDB produce bit-identical
+    doubles (a log-likelihood form would hinge on libm vs StrictMath
+    ``ln`` agreeing to the last ulp; the fixed-point mean does not).
+
+    Shape: one token explode feeds both count relations (unigram
+    contexts, bigrams) and the scoring rows; the two count joins are
+    corpus-sized but keyed on hashes/strings with LM-count fan-in —
+    classic map-side-combinable aggregations plus uniform-key joins,
+    nothing quadratic, nothing collected. Dialect-asymmetry rule as in
+    ``repetition_sql``: the bigram/context keys never reach the
+    output, so Spark keys them with n-ary xxhash64 (no string
+    concatenation) while the DuckDB oracle uses exact strings.
+
+    Scale note: at 100 TB the count relations are the LM — you would
+    materialize them once (they are the checkpoint) and broadcast the
+    top-M counts with a skew-split for the head of the Zipf curve; the
+    conformance form keeps the plain joins, which AQE skew-handles.
+    """
+    d = _d(dialect)
+    toks = d["tokens"].format(col="text")
+    if dialect == "spark":
+        pos_rows = (
+            "SELECT doc_id, "
+            "xxhash64(element_at(toks, i)) AS w1, "
+            "xxhash64(element_at(toks, i), element_at(toks, i + 1)) AS bg "
+            "FROM t LATERAL VIEW explode(sequence(1, size(toks) - 1)) p AS i "
+            "WHERE size(toks) >= 2"
+        )
+        all_toks = "SELECT doc_id, explode(transform(toks, w -> xxhash64(w))) AS w FROM t"
+    else:
+        pos_rows = (
+            "SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg "
+            "FROM t, UNNEST(range(1, len(toks))) AS u(i) "
+            "WHERE len(toks) >= 2"
+        )
+        all_toks = "SELECT doc_id, unnest(toks) AS w FROM t"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    tok_rows AS ({all_toks}),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM tok_rows GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    pos AS ({pos_rows}),
+    big AS (SELECT w1, bg, COUNT(*) AS c2 FROM pos GROUP BY w1, bg),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(FLOOR(1000000000.0 *
+                  (CAST(b.c2 + 1 AS DOUBLE) / CAST(u.c1 + vv.v AS DOUBLE))
+             ) AS BIGINT) AS p_e9
+      FROM pos p
+      JOIN big b ON p.w1 = b.w1 AND p.bg = b.bg
+      JOIN uni u ON p.w1 = u.w
+      CROSS JOIN vocab vv
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(p_e9) AS DOUBLE) / COUNT(*) AS lm_score_e9
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(s.lm_score_e9, CAST(-1 AS DOUBLE)) AS lm_score_e9
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """

@@ -25,6 +25,7 @@ from ..functions.text import (
     chunk_sql,
     fingerprint_sql,
     lang_id_sql,
+    lm_score_sql,
     pii_scrub_sql,
     quality_sql,
     repetition_sql,
@@ -281,6 +282,16 @@ _sql_pair(
     ["documents"],
     ["text", "pii"],
     "email/phone/IPv4 count + placeholder redaction (map-only, codegen regex)",
+)
+
+_sql_pair(
+    "text_lm_score",
+    lm_score_sql("spark"),
+    lm_score_sql("duckdb"),
+    ["documents"],
+    ["text", "quality", "lm"],
+    "in-corpus bigram-LM quality score (CCNet-style perplexity filter, "
+    "add-1 smoothing, fixed-point mean probability — engine-exact)",
 )
 
 _sql_pair(
