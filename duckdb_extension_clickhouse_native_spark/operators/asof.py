@@ -55,40 +55,51 @@ def asof_join(
     that is strictly less data movement whenever right fits the
     broadcast threshold. ``"auto"`` persists + counts the (small,
     pre-aggregated) right once and picks broadcast under
-    ``BROADCAST_MAX_RIGHT_ROWS``."""
+    ``BROADCAST_MAX_RIGHT_ROWS`` — unless the caller pinned
+    ``n_buckets``, which is a bucket-path knob and reads as an
+    explicit request for that shape. Both paths emit ``out_schema``'s
+    columns in ``out_schema`` order and preserve duplicate left rows
+    (the broadcast path groups on a per-row id, not on the left's
+    columns)."""
     if strategy == "auto":
-        from ..plans.base import track_persist
+        if n_buckets is not None:
+            strategy = "bucket"
+        else:
+            from ..plans.base import track_persist
 
-        # the count materializes the persisted right, which the chosen
-        # join then reuses — one cheap job on the small side, not two
-        track_persist(right)
-        strategy = (
-            "broadcast"
-            if right.count() <= BROADCAST_MAX_RIGHT_ROWS
-            else "bucket"
-        )
+            # the count materializes the persisted right, which the
+            # chosen join then reuses — one cheap job on the small side
+            track_persist(right)
+            strategy = (
+                "broadcast"
+                if right.count() <= BROADCAST_MAX_RIGHT_ROWS
+                else "bucket"
+            )
     if strategy == "broadcast":
         from pyspark.sql.types import StructType
 
         lcols = left.columns
         rkey = f"__r_{key}"
-        j = left.join(
+        # per-row id so duplicate left rows each keep their own output
+        # row (id is only compared within this one plan execution)
+        lid = left.withColumn("__lrow", F.monotonically_increasing_id())
+        j = lid.join(
             F.broadcast(right.withColumnRenamed(key, rkey)),
             on=(F.col(key) == F.col(rkey)) & (F.col(right_ts) <= F.col(left_ts)),
             how="left",
         )
-        out = j.groupBy(*lcols).agg(
+        out = j.groupBy("__lrow").agg(
+            *[F.first(c).alias(c) for c in lcols],  # constant per group
             F.max(right_ts).alias(right_ts),
             *[
                 F.max_by(F.col(c), F.col(right_ts)).alias(c)
                 for c in value_cols
             ],
         )
-        fields = {f.name: f.dataType for f in StructType.fromDDL(out_schema)}
         return out.select(
             *[
-                F.col(c).cast(fields[c]).alias(c)
-                for c in lcols + [right_ts] + value_cols
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in StructType.fromDDL(out_schema).fields
             ]
         )
     if n_buckets is None:

@@ -65,6 +65,9 @@ DUCK = {
 
 
 MINHASH_PRIME = 2_147_483_647
+# one default for every MinHash surface (batch SQL, Spark production
+# path, streaming detector, oracle registration) — drift-proof
+MINHASH_DEFAULT_THRESHOLD = 0.4
 
 
 def _mh_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
@@ -145,7 +148,12 @@ def _shingles_expr(d: dict, tokens: str) -> str:
     return f"CASE WHEN {n} >= 3 THEN {body} ELSE {whole} END"
 
 
-def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold: float = 0.4) -> str:
+def minhash_lsh_sql(
+    dialect: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = MINHASH_DEFAULT_THRESHOLD,
+) -> str:
     """Candidate near-dup pairs via MinHash banding, verified by exact
     token Jaccard. ``n_hashes`` mins split into ``bands`` bands; docs
     sharing any band bucket are candidates.
@@ -226,26 +234,22 @@ def minhash_lsh_sql(dialect: str, n_hashes: int = 12, bands: int = 4, threshold:
     band_rows AS ({band_rows}),{minhash_verify_tail_sql(d, 'band_rows', 'shingled', threshold)}"""
 
 
-def minhash_verify_tail_sql(
-    d: dict, band_rel: str, shingled_rel: str, threshold: float
+def minhash_verify_pairs_sql(
+    d: dict, cand_rel: str, shingled_rel: str, threshold: float
 ) -> str:
-    """Band-bucket candidate join + exact-Jaccard verification over
-    pre-built band-row and shingled relations (CTE-chain tail)."""
+    """Exact token-Jaccard verification of a (doc_a, doc_b) candidate
+    relation against a shingled relation (CTE-chain tail; both
+    dialects). Shared by the batch band self-join and the streaming
+    detector's post-pass — one Jaccard formula, no drift."""
     inter = d["intersect_len"].format(a="a.toks_d", b="b.toks_d")
     la = d["len"].format(arr="a.toks_d")
     lb = d["len"].format(arr="b.toks_d")
     return f"""
-    candidates AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM {band_rel} a JOIN {band_rel} b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
     verified AS (
       SELECT c.doc_a, c.doc_b,
              CAST({inter} AS DOUBLE) /
              CAST({la} + {lb} - {inter} AS DOUBLE) AS jaccard
-      FROM candidates c
+      FROM {cand_rel} c
       JOIN {shingled_rel} a ON a.doc_id = c.doc_a
       JOIN {shingled_rel} b ON b.doc_id = c.doc_b
     )
@@ -253,8 +257,26 @@ def minhash_verify_tail_sql(
     """
 
 
+def minhash_verify_tail_sql(
+    d: dict, band_rel: str, shingled_rel: str, threshold: float
+) -> str:
+    """Band-bucket candidate join + exact-Jaccard verification over
+    pre-built band-row and shingled relations (CTE-chain tail)."""
+    return f"""
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {band_rel} a JOIN {band_rel} b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),{minhash_verify_pairs_sql(d, "candidates", shingled_rel, threshold)}"""
+
+
 def minhash_lsh_query(
-    spark, sf_dir: str, n_hashes: int = 12, bands: int = 4, threshold: float = 0.4
+    spark,
+    sf_dir: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = MINHASH_DEFAULT_THRESHOLD,
 ):
     """Spark production path for ``dedup_minhash_lsh``: persist the
     shingled docs (consumed by the signature chain AND both sides of
@@ -274,9 +296,8 @@ def minhash_lsh_query(
             FROM documents) docs""")
     track_persist(shingled)
     shingled.createOrReplaceTempView("mh_shingled")
-    _PRIME = 2_147_483_647
-    _as = [2 * i * i + 3 * i + 5 for i in range(n_hashes)]
-    _bs = [7919 * (i + 1) for i in range(n_hashes)]
+    _PRIME = MINHASH_PRIME
+    _as, _bs = _mh_coeffs(n_hashes)
     rows = n_hashes // bands
     mins = ", ".join(
         f"MIN(({_as[i]} * h30 + {_bs[i]}) % {_PRIME}) AS m{i}" for i in range(n_hashes)

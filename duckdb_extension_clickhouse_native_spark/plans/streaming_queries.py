@@ -21,13 +21,52 @@ from .base import REGISTRY
 _SINK_LOCK = threading.Lock()
 
 
+_LOCK_MAX_AGE_S = 600  # a holder older than this is presumed wedged/recycled
+
+
+def _lock_pid_alive(lock_path: str) -> bool:
+    """True iff the lockfile names a live pid AND is younger than
+    ``_LOCK_MAX_AGE_S``. Empty/corrupt content reads as dead: the
+    acquire path publishes the pid ATOMICALLY (tmp-write + link), so a
+    contentless lockfile can only be debris."""
+    import os
+    import time
+
+    try:
+        st = os.stat(lock_path)
+        if time.time() - st.st_mtime > _LOCK_MAX_AGE_S:
+            return False
+        with open(lock_path) as f:
+            pid = int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return False
+    if not pid:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another user
+
+
 def _cross_process_lock(work: str):
-    """O_EXCL lockfile guarding the sink fixture across PROCESSES (the
+    """Lockfile guarding the sink fixture across PROCESSES (the
     threading lock only covers this interpreter; parallel pytest or a
     concurrent grading run could otherwise both miss ``_DONE`` and
     drive two StreamingQuery instances into the same checkpoint).
-    Returns a context manager. A lock whose recorded pid is dead is
-    stale (holder crashed) and is broken; a live holder is waited on."""
+    Returns a context manager.
+
+    Race-free by construction (the r7 review fixes):
+    * acquisition writes the pid to a tmp file and publishes it with
+      ``os.link`` — atomic create WITH content, so no reader can ever
+      observe an empty lockfile and judge a live lock stale;
+    * a stale lock (dead pid, or older than ``_LOCK_MAX_AGE_S`` —
+      the recycled-pid escape hatch) is taken over via ``os.rename``
+      to a per-process name — exactly one contender wins the rename,
+      so two waiters can never each unlink-and-recreate and both
+      proceed."""
     import contextlib
     import os
     import time
@@ -37,34 +76,26 @@ def _cross_process_lock(work: str):
     @contextlib.contextmanager
     def guard():
         os.makedirs(work, exist_ok=True)
+        tmp = f"{lock_path}.{os.getpid()}.tmp"
         while True:
+            with open(tmp, "w") as f:
+                f.write(str(os.getpid()))
             try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+                os.link(tmp, lock_path)  # atomic publish with content
+                os.unlink(tmp)
                 break
             except FileExistsError:
-                try:
-                    with open(lock_path) as f:
-                        pid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    pid = 0
-                alive = False
-                if pid:
-                    try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True  # exists, owned by another user
-                if not alive:
-                    try:
-                        os.unlink(lock_path)  # stale: holder is gone
-                    except OSError:
-                        pass
+                os.unlink(tmp)
+                if _lock_pid_alive(lock_path):
+                    time.sleep(0.2)
                     continue
-                time.sleep(0.2)
+                # stale: single-winner takeover via rename
+                claimed = f"{lock_path}.stale.{os.getpid()}"
+                try:
+                    os.rename(lock_path, claimed)
+                    os.unlink(claimed)
+                except OSError:
+                    pass  # another contender won the rename; retry
         try:
             yield
         finally:
@@ -79,7 +110,11 @@ def _cross_process_lock(work: str):
 def _prune_stale_sink_dirs(parent: str, keep: str) -> None:
     """Drop older content-stamped sink dirs for the same source — each
     events.parquet rewrite mints a new stamp, and without pruning the
-    dead ones accumulate in the system temp dir unboundedly."""
+    dead ones accumulate in the system temp dir unboundedly. A sibling
+    whose ``_LOCK`` names a LIVE pid is skipped (r7 review fix): a
+    concurrent process may still be driving a StreamingQuery against
+    its checkpoint there, and rmtree'ing it mid-query corrupts that
+    run — it becomes prunable once its holder exits or goes stale."""
     import os
     import shutil
 
@@ -89,8 +124,11 @@ def _prune_stale_sink_dirs(parent: str, keep: str) -> None:
         return
     for name in entries:
         full = os.path.join(parent, name)
-        if name.startswith("stream-sink-") and full != keep:
-            shutil.rmtree(full, ignore_errors=True)
+        if not name.startswith("stream-sink-") or full == keep:
+            continue
+        if _lock_pid_alive(os.path.join(full, "_LOCK")):
+            continue
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -384,9 +422,13 @@ def _stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.dedup import SPARK as SPARK_D
-    from ..operators.dedup import minhash_row_band_exprs
+    from ..operators.dedup import (
+        MINHASH_DEFAULT_THRESHOLD,
+        minhash_row_band_exprs,
+        minhash_verify_pairs_sql,
+    )
     from ..streaming.events_stream import read_documents_stream
-    from .base import load_tables
+    from .base import load_tables, track_persist
 
     docs = read_documents_stream(spark, sf_dir)
     s1, s2, s3 = minhash_row_band_exprs()
@@ -425,27 +467,27 @@ def _stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     drained = _drain(cands, "append")
-    # batch post-pass: dedup multi-band pairs, verify exact token Jaccard
+    # batch post-pass: dedup multi-band pairs, then the SAME verify tail
+    # as the batch path (shared minhash_verify_pairs_sql + shared
+    # threshold default — one Jaccard formula, no drift). The shingled
+    # relation feeds both join sides, so persist it exactly as
+    # minhash_lsh_query persists mh_shingled (Catalyst inlines CTEs —
+    # without this the corpus tokenize+distinct runs twice).
     load_tables(spark, sf_dir, ["documents"])
     drained.createOrReplaceTempView("stream_mh_cands")
     d = SPARK_D
-    return spark.sql(f"""
-    WITH shingled AS (
-      SELECT doc_id, {d['distinct'].format(arr="split(text, ' ')")} AS toks_d
-      FROM documents
-    ),
-    candidates AS (SELECT DISTINCT doc_a, doc_b FROM stream_mh_cands),
-    verified AS (
-      SELECT c.doc_a, c.doc_b,
-             CAST({d['intersect_len'].format(a='a.toks_d', b='b.toks_d')} AS DOUBLE) /
-             CAST({d['len'].format(arr='a.toks_d')} + {d['len'].format(arr='b.toks_d')}
-                  - {d['intersect_len'].format(a='a.toks_d', b='b.toks_d')} AS DOUBLE) AS jaccard
-      FROM candidates c
-      JOIN shingled a ON a.doc_id = c.doc_a
-      JOIN shingled b ON b.doc_id = c.doc_b
+    shingled = spark.sql(
+        f"SELECT doc_id, {d['distinct'].format(arr=d['tokens'].format(col='text'))} AS toks_d "
+        "FROM documents"
     )
-    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.4
-    """)
+    track_persist(shingled)
+    shingled.createOrReplaceTempView("stream_mh_shingled")
+    return spark.sql(
+        "WITH candidates AS (SELECT DISTINCT doc_a, doc_b FROM stream_mh_cands),"
+        + minhash_verify_pairs_sql(
+            d, "candidates", "stream_mh_shingled", MINHASH_DEFAULT_THRESHOLD
+        ).lstrip()
+    )
 
 
 REGISTRY.df_query(

@@ -314,10 +314,24 @@ def read_documents_stream(
         import pyarrow.parquet as pq
         import pyarrow.parquet as pqw
 
+        import time
+
         os.makedirs(parent, exist_ok=True)
         for old in os.listdir(parent):
-            if old != stamp and not old.endswith(".tmp"):
-                shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+            if old == stamp or old.endswith(".tmp"):
+                continue
+            full = os.path.join(parent, old)
+            # age guard (r7 review fix): a concurrent process whose
+            # stream started just before the source was rewritten may
+            # still be reading an older stamp's part files — only
+            # reap stamps old enough that no short-lived conformance
+            # stream can still be on them
+            try:
+                if time.time() - os.stat(full).st_mtime < 600:
+                    continue
+            except OSError:
+                pass
+            shutil.rmtree(full, ignore_errors=True)
         tmp = part_dir + f".{os.getpid()}.tmp"
         os.makedirs(tmp, exist_ok=True)
         t = pq.read_table(target)

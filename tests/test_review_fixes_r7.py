@@ -266,3 +266,58 @@ def test_asof_broadcast_path_plan_and_parity(spark):
     assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
     bk = asof_join(events, orders, strategy="bucket", **kwargs)
     assert {tuple(r) for r in bc.collect()} == {tuple(r) for r in bk.collect()}
+
+
+def test_asof_broadcast_preserves_duplicate_left_rows(spark):
+    """r7 review fix: the broadcast path groups on a per-row id, so two
+    IDENTICAL left rows each keep their own output row (the bucket
+    path always behaved this way); explicit n_buckets under auto means
+    the caller asked for the bucket shape; output column order follows
+    out_schema on both paths."""
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "lt": [10, 10, 5]})  # two identical rows
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rt": [4, 9], "v": [40.0, 90.0]})
+    )
+    # out_schema deliberately NOT in lcols+[right_ts]+value order
+    schema = "v double, k bigint, lt bigint, rt bigint"
+    kwargs = dict(
+        key="k", left_ts="lt", right_ts="rt", out_schema=schema, value_cols=["v"]
+    )
+    bc = asof_join(left, right, strategy="broadcast", **kwargs)
+    assert bc.columns == ["v", "k", "lt", "rt"], "out_schema order not honored"
+    rows = sorted(tuple(r) for r in bc.collect())
+    assert rows == [(40.0, 1, 5, 4), (90.0, 1, 10, 9), (90.0, 1, 10, 9)], rows
+    # auto + explicit n_buckets takes the bucket path (no broadcast join)
+    auto_bk = asof_join(left, right, n_buckets=2, strategy="auto", **kwargs)
+    plan = auto_bk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(tuple(r) for r in auto_bk.collect()) == rows
+
+
+def test_prune_skips_dirs_with_live_lock(tmp_path):
+    """r7 review fix: a sibling sink dir whose _LOCK names a LIVE pid
+    is a concurrent run's checkpoint — pruning must skip it."""
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _prune_stale_sink_dirs,
+    )
+
+    parent = str(tmp_path)
+    keep = os.path.join(parent, "stream-sink-9-900")
+    live = os.path.join(parent, "stream-sink-1-100")
+    dead = os.path.join(parent, "stream-sink-2-200")
+    for d in (keep, live, dead):
+        os.makedirs(d)
+    with open(os.path.join(live, "_LOCK"), "w") as f:
+        f.write(str(os.getpid()))  # our own live pid
+    with open(os.path.join(dead, "_LOCK"), "w") as f:
+        f.write("999999999")
+    _prune_stale_sink_dirs(parent, keep=keep)
+    assert os.path.isdir(live), "live-locked sibling was pruned"
+    assert not os.path.isdir(dead), "dead-locked sibling survived"
+    assert os.path.isdir(keep)
