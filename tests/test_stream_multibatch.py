@@ -104,3 +104,48 @@ def test_stream_minhash_pairs_span_micro_batches(spark):
     assert pairs, "no near-dup pairs found"
     cross = [p for p in pairs if part_of[p[0]] != part_of[p[1]]]
     assert cross, "no pair spans micro-batches — state never crossed a trigger"
+
+
+def test_row_band_exprs_match_batch_sigs(spark):
+    """The streaming per-row HOF band keys claim bit-parity with the
+    batch exploded-aggregation signatures 'by construction' — pin it
+    directly: run both forms over the same documents and compare every
+    (doc_id, band_idx, band_key) row."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMALL
+    from duckdb_extension_clickhouse_native_spark.operators.dedup import (
+        minhash_row_band_exprs,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["documents"])
+    s1, s2, s3 = minhash_row_band_exprs()
+    per_row = (
+        spark.table("documents")
+        .selectExpr(*s1)
+        .selectExpr(*s2)
+        .selectExpr(*s3)
+        .select(
+            "doc_id",
+            F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
+    # the batch form: sigs via exploded shingle aggregation, exactly as
+    # minhash_lsh_sql builds them (reuse its CTE chain up to band_rows)
+    from duckdb_extension_clickhouse_native_spark.operators.dedup import (
+        minhash_lsh_sql,
+    )
+
+    full = minhash_lsh_sql("spark")
+    # cut the CTE chain just before the verification tail and select
+    # the band rows the batch candidate join consumes
+    idx = full.index("candidates AS (")
+    prefix = full[:idx].rstrip().rstrip(",")
+    batch_sql = prefix + "\n    SELECT doc_id, band_idx, band_key FROM band_rows"
+    batch = spark.sql(batch_sql)
+    a = {tuple(r) for r in per_row.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b, f"band-key mismatch: {len(a ^ b)} differing rows"
