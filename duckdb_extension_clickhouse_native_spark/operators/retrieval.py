@@ -252,3 +252,123 @@ def importance_select_sql(
     ORDER BY affinity DESC, doc_id
     LIMIT {top_n}
     """
+
+
+def weighted_sample_sql(dialect: str, k: int = 100) -> str:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis / priority-sampling shape a reproducible
+    pipeline uses for importance-weighted corpus selection): each doc
+    draws a "uniform" from a 60-bit md5 of its id and takes priority
+    key u / w — the k smallest keys are the sample, so a doc's
+    selection probability grows with its weight (here: token count)
+    while the whole draw replays bit-identically on any cluster, any
+    partitioning, any round.
+
+    Cross-engine exactness: u and w are exact BIGINTs; the key is ONE
+    IEEE division of their double conversions (correctly rounded,
+    identical in both engines — no ln()/pow() of the classic
+    u^(1/w) form, which would hinge on libm agreement); ties broken
+    by doc_id. The classic exponential form orders identically for
+    fixed u because x -> u^(1/x) is monotone in x.
+
+    Scale shape: map-only key computation (no shuffle) into a global
+    top-k — Spark plans TakeOrderedAndProject (per-partition heaps,
+    k rows to the driver), never a full sort. At 100 TB this is the
+    cheapest possible distributed weighted draw: one scan, k rows
+    moved.
+    """
+    from .dedup import DUCK, SPARK, _hex_int_expr
+
+    d = SPARK if dialect == "spark" else DUCK
+    s = d["string"]
+    ntok = d["len"].format(arr=d["tokens"].format(col="text"))
+    h = _hex_int_expr(d, f"md5(CAST(doc_id AS {s}))", nibbles=15)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST({ntok} AS BIGINT) AS weight_tokens,
+             (CAST({h} + 1 AS DOUBLE) / 1152921504606846976.0)
+               / CAST({ntok} AS DOUBLE) AS priority
+      FROM documents
+    )
+    SELECT doc_id, weight_tokens, priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT {k}
+    """
+
+
+def tfidf_cosine_sql(
+    dialect: str,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    top_k: int = 20,
+) -> str:
+    """TF-IDF cosine retrieval (the classic vector-space twin of
+    ``bm25_sql``): docs ranked by cosine between their full TF-IDF
+    vector and the query's, with true document norms over the WHOLE
+    vocabulary — the corpus-statistics shape BM25 avoids, included
+    deliberately because real rankers precompute exactly these norms.
+
+    Weights are smoothed ltc: (tf/dl) * (ln((N+1)/(df+1)) + 1), fixed
+    to e5 integers so every SUM (doc norm**2, query dot) is an exact
+    BIGINT — order-independent across any shuffle/partitioning — and
+    small enough that CAST(... AS DOUBLE) is exact (< 2**53; w_e5 <=
+    ~1e6, squared 1e12, x ~1e3 distinct terms/doc). The only
+    engine-parity risk is ln() differing in the last ulp exactly at a
+    FLOOR(1e5*x) boundary (~1e-11 per distinct (tf/dl, df) value —
+    the same documented rule as bm25_sql's ROUND). Final cosine is
+    division + sqrt (both IEEE-exact) rounded to 6 digits.
+
+    Scale shape: one token explode feeds tf / dl / df; the df join
+    back onto tf rows is token-keyed (Zipf-skewed head — AQE skew
+    join here, or broadcast the top-M df entries at 100 TB); norms
+    and dot are doc-keyed aggregations with map-side combine. The
+    query-side relation is |terms| rows, broadcast everywhere.
+    """
+    if dialect == "spark":
+        explode = "SELECT doc_id, explode(split(text, ' ')) AS token FROM documents"
+    else:
+        explode = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        )
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    idf = "(ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0)"
+    return f"""
+    WITH inv AS ({explode}),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM inv GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM inv GROUP BY doc_id),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM inv GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(FLOOR(100000.0 * (CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+                        * {idf}) AS BIGINT) AS w_e5
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.token = df.token
+      CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(w_e5 * w_e5) AS DOUBLE) AS norm2_e10
+      FROM w GROUP BY doc_id
+    ),
+    qw AS (
+      SELECT df.token, CAST(FLOOR(100000.0 * {idf}) AS BIGINT) AS qw_e5
+      FROM df CROSS JOIN n
+      WHERE df.token IN ({term_list})
+    ),
+    qnorm AS (SELECT CAST(SUM(qw_e5 * qw_e5) AS DOUBLE) AS qnorm2_e10 FROM qw),
+    dot AS (
+      SELECT w.doc_id, CAST(SUM(w.w_e5 * q.qw_e5) AS DOUBLE) AS dot_e10
+      FROM w JOIN qw q ON w.token = q.token
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(d.dot_e10 / (sqrt(nm.norm2_e10) * sqrt(qn.qnorm2_e10)), 6)
+             AS tfidf_cosine
+    FROM dot d
+    JOIN norms nm ON d.doc_id = nm.doc_id
+    CROSS JOIN qnorm qn
+    ORDER BY tfidf_cosine DESC, d.doc_id
+    LIMIT {top_k}
+    """

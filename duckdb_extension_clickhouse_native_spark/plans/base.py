@@ -389,11 +389,12 @@ class Query:
 #     every round).
 # The codec string-scanner changes (bounded-residency flush) re-prove
 # through the r4 cohort's native_*/scan_tcp_* rows in this window.
-# ROUND-8 PLAN: stream_minhash_candidates and text_lm_score (added
-# late in r7, never graded — the window was already rotated when they
-# landed; local sweep green), agg_global and group_having first, then
-# recycle the r5-green cohort (the oldest evidence once r7 grades),
-# changed paths take priority.
+# ROUND-8 PLAN: the never-graded queries added late in r7 first —
+# stream_minhash_candidates, text_lm_score, text_quality_classifier,
+# tfidf_cosine_topk, sample_weighted_priority (the window was already
+# rotated when they landed; local sweep green at both scales) — then
+# agg_global and group_having, then recycle the r5-green cohort (the
+# oldest evidence once r7 grades); changed paths take priority.
 GRADING_WINDOW = [
     # r1-only green evidence — the last three, deferred from r6
     "values_inline_join",

@@ -27,6 +27,7 @@ from ..functions.text import (
     lang_id_sql,
     lm_score_sql,
     pii_scrub_sql,
+    quality_classifier_sql,
     quality_sql,
     repetition_sql,
     token_count_sql,
@@ -47,6 +48,8 @@ from ..operators.retrieval import (
     importance_select_sql,
     mixture_sample_sql,
     stratified_sample_sql,
+    tfidf_cosine_sql,
+    weighted_sample_sql,
 )
 from ..operators.pipeline_e2e import pipeline_e2e_query, pipeline_e2e_sql
 from ..operators.sharding import shard_assign_sql
@@ -292,6 +295,36 @@ _sql_pair(
     ["text", "quality", "lm"],
     "in-corpus bigram-LM quality score (CCNet-style perplexity filter, "
     "add-1 smoothing, fixed-point mean probability — engine-exact)",
+)
+
+_sql_pair(
+    "text_quality_classifier",
+    quality_classifier_sql("spark"),
+    quality_classifier_sql("duckdb"),
+    ["documents"],
+    ["text", "quality", "classifier"],
+    "hashed-feature linear quality classifier (fastText/DCLM-style stage: "
+    "unigram+bigram buckets, broadcast weight table, exact-integer score)",
+)
+
+_sql_pair(
+    "tfidf_cosine_topk",
+    tfidf_cosine_sql("spark"),
+    tfidf_cosine_sql("duckdb"),
+    ["documents"],
+    ["retrieval", "tfidf"],
+    "TF-IDF cosine top-20 with full-vocabulary document norms "
+    "(fixed-point e5 weights, exact BIGINT norm/dot sums)",
+)
+
+_sql_pair(
+    "sample_weighted_priority",
+    weighted_sample_sql("spark"),
+    weighted_sample_sql("duckdb"),
+    ["documents"],
+    ["sample", "weighted"],
+    "deterministic weighted sample without replacement (priority keys from "
+    "a 60-bit md5 uniform / token-count weight; map-only + global top-k)",
 )
 
 _sql_pair(

@@ -287,3 +287,92 @@ def test_substring_spans_edges(spark):
     ]
     assert got == expected
     assert want_duck == expected
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Priority sampling must tilt selection toward high-weight docs:
+    the selected docs' mean token weight exceeds the corpus mean, the
+    draw replays identically, and the plan is map-only top-k (zero
+    shuffles)."""
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        weighted_sample_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["documents"])
+    sql = weighted_sample_sql("spark", k=100)
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 100
+    mean_sel = sum(r.weight_tokens for r in rows) / len(rows)
+    all_w = spark.sql(
+        "SELECT AVG(CAST(size(split(text, ' ')) AS BIGINT)) AS m FROM documents"
+    ).collect()[0].m
+    assert mean_sel > all_w, (mean_sel, all_w)
+    # deterministic replay
+    assert rows == spark.sql(sql).collect()
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """score_fp / n_features for a handful of docs recomputed
+    feature-by-feature in plain Python (md5 buckets + md5 weights) —
+    pins the hashing contract independently of both engines."""
+    import hashlib
+
+    from duckdb_extension_clickhouse_native_spark.functions.text import (
+        quality_classifier_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    def h15(sx: str) -> int:
+        return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+    def score(text: str, n_buckets: int = 4096):
+        toks = text.split(" ")
+        feats = list(toks) + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        w = 0
+        for f in feats:
+            b = h15(f) % n_buckets
+            w += h15(f"w#{b}") % 2001 - 1000
+        return len(feats), w
+
+    load_tables(spark, SF_SMALL, ["documents"])
+    got = {
+        r.doc_id: (r.n_features, r.score_fp, r.quality_pass)
+        for r in spark.sql(quality_classifier_sql("spark")).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in spark.sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 10"
+        ).collect()
+    }
+    assert texts
+    for doc_id, text in texts.items():
+        n, fp = score(text)
+        assert got[doc_id] == (n, fp, 1 if fp > 0 else 0), doc_id
+
+
+def test_tfidf_cosine_scores_sane(spark):
+    """Every returned cosine is in (0, 1], descending, and the top doc
+    actually contains a query term."""
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        DEFAULT_TERMS,
+        tfidf_cosine_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    load_tables(spark, SF_SMALL, ["documents"])
+    rows = spark.sql(tfidf_cosine_sql("spark")).collect()
+    assert rows
+    scores = [r.tfidf_cosine for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 < s <= 1.0 for s in scores)
+    top_text = spark.sql(
+        f"SELECT text FROM documents WHERE doc_id = {rows[0].doc_id}"
+    ).collect()[0].text
+    assert any(t in top_text.split(" ") for t in DEFAULT_TERMS)
