@@ -391,7 +391,8 @@ class Query:
 # through the r4 cohort's native_*/scan_tcp_* rows in this window.
 # ROUND-8 PLAN: the never-graded queries added late in r7 first —
 # stream_minhash_candidates, text_lm_score, text_quality_classifier,
-# tfidf_cosine_topk, sample_weighted_priority (the window was already
+# tfidf_cosine_topk, sample_weighted_priority,
+# pagerank_user_cooccurrence (the window was already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the
 # oldest evidence once r7 grades); changed paths take priority.

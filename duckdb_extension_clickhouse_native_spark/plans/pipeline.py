@@ -36,6 +36,8 @@ from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessioniz
 from ..operators.components import (
     components_oracle_sql,
     connected_components,
+    pagerank_query,
+    pagerank_sql,
     semantic_clusters,
     semantic_clusters_oracle_sql,
 )
@@ -295,6 +297,18 @@ _sql_pair(
     ["text", "quality", "lm"],
     "in-corpus bigram-LM quality score (CCNet-style perplexity filter, "
     "add-1 smoothing, fixed-point mean probability — engine-exact)",
+)
+
+# Spark side persists the capped edge relation once and broadcast-joins
+# the node-sized rank relation per iteration (see pagerank_query); the
+# oracle stays the unrolled-CTE SQL — identical integer fixed point.
+REGISTRY.df_query(
+    "pagerank_user_cooccurrence",
+    pagerank_query,
+    oracle=pagerank_sql("duckdb"),
+    tags=["graph", "iterative", "pagerank"],
+    description="PageRank authority over the capped user co-occurrence graph "
+    "(10 iterations, e12 fixed-point — engine-exact)",
 )
 
 _sql_pair(

@@ -376,3 +376,72 @@ def test_tfidf_cosine_scores_sane(spark):
         f"SELECT text FROM documents WHERE doc_id = {rows[0].doc_id}"
     ).collect()[0].text
     assert any(t in top_text.split(" ") for t in DEFAULT_TERMS)
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-point PageRank on a hand-built co-occurrence graph vs an
+    independent plain-Python implementation of the same integer
+    recurrence — pins both engine forms to the spec, not to each
+    other."""
+    import duckdb
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.components import (
+        pagerank_query,
+        pagerank_sql,
+    )
+
+    # users 1..5; k groups: 10 -> {1,2,3}, 20 -> {3,4}, 30 -> {5}
+    rows = []
+    eid = 0
+    for k, users in [(10, [1, 2, 3]), (20, [3, 4]), (30, [5])]:
+        for u in users:
+            for _ in range(u):  # event counts differ per user
+                rows.append(
+                    (eid, "2024-01-01 00:00:00", u, "click", 1.0, '{"k": %d}' % k)
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+
+    base, iters, d_num, d_den = 10**12, 10, 85, 100
+    members = {10: [1, 2, 3], 20: [3, 4], 30: [5]}
+    edges = sorted(
+        {
+            (a, b)
+            for us in members.values()
+            for a in us
+            for b in us
+            if a != b
+        }
+    )
+    outdeg = {}
+    for s, _t in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = [1, 2, 3, 4, 5]
+    n = len(nodes)
+    tp = (15 * base) // (100 * n)
+    r = {u: base // n for u in nodes}
+    for _ in range(iters):
+        sums = {u: 0 for u in nodes}
+        for s, t in edges:
+            sums[t] += r[s] // outdeg[s]
+        r = {u: tp + (d_num * sums[u]) // d_den for u in nodes}
+    expected = sorted(
+        ((u, r[u], r[u] / base) for u in nodes), key=lambda x: (-x[1], x[0])
+    )
+
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    # pagerank_query reads from a directory; drive the registered SQL
+    # template directly on the same view for the Spark side
+    got_spark = [
+        tuple(x)
+        for x in spark.sql(pagerank_sql("spark")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got_duck = [tuple(x) for x in con.execute(pagerank_sql("duckdb")).fetchall()]
+    assert got_spark == expected
+    assert got_duck == expected
