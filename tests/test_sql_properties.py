@@ -192,3 +192,116 @@ def test_substring_spans_equal_reference(rows, w):
     con.register("documents", t)
     got = sorted(tuple(r) for r in con.execute(substring_spans_sql("duckdb", w=w)).fetchall())
     assert got == _spans_reference(texts, w)
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+free_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # doc_id
+        st.lists(word, min_size=1, max_size=25),  # tokens
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+def _free_docs_table(rows):
+    texts = [" ".join(toks) for _id, toks in rows]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(rows),
+            "source": ["a"] * len(rows),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+@given(free_corpus, st.integers(min_value=1, max_value=40))
+@settings(deadline=None, max_examples=50)
+def test_weighted_sample_equals_reference(rows, k):
+    """The SQL priority sample is exactly the k smallest md5-priority
+    keys computed by an independent Python implementation, for any
+    corpus and k."""
+    import hashlib
+
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        weighted_sample_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", _free_docs_table(rows))
+    got = con.execute(weighted_sample_sql("duckdb", k=k)).fetchall()
+
+    def prio(doc_id, n_tok):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return (h + 1) / 1152921504606846976.0 / n_tok
+
+    expect = sorted(
+        ((did, len(toks), prio(did, len(toks))) for did, toks in rows),
+        key=lambda x: (x[2], x[0]),
+    )[:k]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[2] - e[2]) <= 1e-18 * max(1.0, abs(e[2]))
+
+
+@given(free_corpus)
+@settings(deadline=None, max_examples=30)
+def test_quality_classifier_equals_reference(rows):
+    """Bucket hashing + weight derivation + integer score vs a plain
+    Python recomputation, on arbitrary corpora (the fixed-corpus Spark
+    variant lives in test_operators)."""
+    import hashlib
+
+    from duckdb_extension_clickhouse_native_spark.functions.text import (
+        quality_classifier_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", _free_docs_table(rows))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(quality_classifier_sql("duckdb")).fetchall()
+    }
+
+    def h15(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+    for did, toks in rows:
+        feats = list(toks) + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        fp = sum(h15(f"w#{h15(f) % 4096}") % 2001 - 1000 for f in feats)
+        assert got[did] == (len(feats), fp), did
+
+
+@given(free_corpus)
+@settings(deadline=None, max_examples=20)
+def test_tfidf_cosine_bounds(rows):
+    """Cosine scores stay in [0, 1] + rounding slack and the result is
+    exactly the docs containing >= 1 query term (others have zero dot
+    and are absent), capped at top_k."""
+    from duckdb_extension_clickhouse_native_spark.operators.retrieval import (
+        DEFAULT_TERMS,
+        tfidf_cosine_sql,
+    )
+
+    # make some docs contain query terms
+    rows = [
+        (did, toks + [DEFAULT_TERMS[did % len(DEFAULT_TERMS)]])
+        if did % 3 == 0
+        else (did, toks)
+        for did, toks in rows
+    ]
+    con = duckdb.connect()
+    con.register("documents", _free_docs_table(rows))
+    got = con.execute(tfidf_cosine_sql("duckdb", top_k=1000)).fetchall()
+    hit_docs = {
+        did for did, toks in rows if any(t in toks for t in DEFAULT_TERMS)
+    }
+    assert {g[0] for g in got} == hit_docs
+    for _did, score in got:
+        assert -1e-6 <= score <= 1.0 + 1e-6
