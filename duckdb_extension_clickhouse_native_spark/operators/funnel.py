@@ -1,0 +1,115 @@
+"""Event-sequence analytics: windowed funnels and cohort retention —
+the signature ClickHouse event-analytics aggregates (``windowFunnel``,
+``retention``) re-expressed as pure relational algebra. The reference
+is a ClickHouse-ecosystem extension (SURVEY.md §0), so these are the
+queries its users run server-side through ``clickhouse_scan``; here
+the host engine supplies them.
+
+``window_funnel_sql`` — max chain prefix (view -> click -> purchase)
+matched in strict (ts, event_id) order with every step within
+``window_us`` of the chain's FIRST event, per user. NOT the naive
+k-way self-join (per-user event counts make that fan out as count**k
+— 2.2M candidate triples per heavy user at sf0.1): the greedy DP
+"keep the latest viable chain-start per level" is exact (a later
+start dominates: it can only satisfy more future window checks), and
+each DP level is one running-MAX window pass over the SAME partition
+ordering — Catalyst plans ONE user-keyed shuffle + sort for all
+levels, cost linear in events regardless of funnel depth.
+
+``retention_sql`` — classic cohort retention: cohort = first active
+day, one row per (cohort_day, day_offset) with distinct-user counts.
+Day numbers are integer epoch-microsecond divisions, so every value
+is exact in both engines.
+
+Scale: both are single user/cohort-keyed aggregations with map-side
+combine; no joins, no driver collection. Timestamp parity idiom as in
+operators/zorder.py (unix_micros vs epoch_us).
+"""
+
+from __future__ import annotations
+
+FUNNEL_CHAIN = ("view", "click", "purchase")
+
+
+def _t_expr(dialect: str) -> str:
+    if dialect == "spark":
+        return "unix_micros(CAST(ts AS TIMESTAMP))"
+    return "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+def window_funnel_sql(
+    dialect: str,
+    chain: tuple[str, ...] = FUNNEL_CHAIN,
+    window_us: int = 4 * 3600 * 1_000_000,
+) -> str:
+    """Per-user funnel level over ``chain`` within ``window_us``.
+
+    Level k requires events e1 < ... < ek (strict (t, event_id)
+    order) with types chain[1..k] and ek.t - e1.t <= window_us.
+    DP invariant: after pass j, ``best{j}`` at each row is the
+    maximal chain-start time over all valid j-prefixes ending
+    strictly before that row.
+    """
+    t = _t_expr(dialect)
+    types = ", ".join(f"'{c}'" for c in chain)
+    frame = (
+        "PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    ctes = [
+        f"ev AS (SELECT user_id, event_id, event_type, {t} AS t "
+        f"FROM events WHERE event_type IN ({types}))",
+        # level 1: a view itself starts a chain at its own time
+        "w1 AS (SELECT *, CASE WHEN event_type = "
+        f"'{chain[0]}' THEN t END AS start1 FROM ev)",
+    ]
+    prev = "start1"
+    for j in range(2, len(chain) + 1):
+        ctes.append(
+            f"b{j} AS (SELECT *, MAX({prev}) OVER ({frame}) AS best{j} "
+            f"FROM w{j - 1})"
+        )
+        ctes.append(
+            f"w{j} AS (SELECT *, CASE WHEN event_type = '{chain[j - 1]}' "
+            f"AND best{j} IS NOT NULL AND t - best{j} <= {window_us} "
+            f"THEN best{j} END AS start{j} FROM b{j})"
+        )
+        prev = f"start{j}"
+    last = f"w{len(chain)}"
+    level_expr = " + ".join(
+        f"MAX(CASE WHEN start{j} IS NOT NULL THEN 1 ELSE 0 END)"
+        for j in range(1, len(chain) + 1)
+    )
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined_ctes}
+    SELECT user_id,
+           CAST({level_expr} AS INT) AS funnel_level
+    FROM {last}
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def retention_sql(dialect: str, max_offset: int = 30) -> str:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted distinct on each later day they return."""
+    t = _t_expr(dialect)
+    idiv = "DIV" if dialect == "spark" else "//"
+    day = f"CAST({t} {idiv} 86400000000 AS BIGINT)"
+    return f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id, {day} AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           a.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a
+    JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.day - c.cohort_day <= {max_offset}
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    ORDER BY cohort_day, day_offset
+    """

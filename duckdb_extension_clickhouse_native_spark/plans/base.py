@@ -392,7 +392,8 @@ class Query:
 # ROUND-8 PLAN: the never-graded queries added late in r7 first —
 # stream_minhash_candidates, text_lm_score, text_quality_classifier,
 # tfidf_cosine_topk, sample_weighted_priority,
-# pagerank_user_cooccurrence (the window was already
+# pagerank_user_cooccurrence, events_window_funnel,
+# events_retention_cohorts (the window was already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the
 # oldest evidence once r7 grades); changed paths take priority.

@@ -43,6 +43,7 @@ from ..operators.components import (
 )
 from ..operators.clustering import kmeans_query, kmeans_sql
 from ..operators.decontam import decontaminate_sql
+from ..operators.funnel import retention_sql, window_funnel_sql
 from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import (
     bm25_sql,
@@ -297,6 +298,26 @@ _sql_pair(
     ["text", "quality", "lm"],
     "in-corpus bigram-LM quality score (CCNet-style perplexity filter, "
     "add-1 smoothing, fixed-point mean probability — engine-exact)",
+)
+
+_sql_pair(
+    "events_window_funnel",
+    window_funnel_sql("spark"),
+    window_funnel_sql("duckdb"),
+    ["events"],
+    ["events", "funnel", "window"],
+    "ClickHouse-windowFunnel-style chain matching (view->click->purchase "
+    "in 4h) as K-1 running-MAX window passes over ONE user-keyed sort",
+)
+
+_sql_pair(
+    "events_retention_cohorts",
+    retention_sql("spark"),
+    retention_sql("duckdb"),
+    ["events"],
+    ["events", "retention", "cohort"],
+    "ClickHouse-retention-style cohort triangle (first-active-day cohorts, "
+    "distinct returning users per day offset; exact integer day math)",
 )
 
 # Spark side persists the capped edge relation once and broadcast-joins

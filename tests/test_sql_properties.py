@@ -305,3 +305,110 @@ def test_tfidf_cosine_bounds(rows):
     assert {g[0] for g in got} == hit_docs
     for _did, score in got:
         assert -1e-6 <= score <= 1.0 + 1e-6
+
+
+events_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=500),  # t (us)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events_corpus, st.integers(min_value=1, max_value=200))
+@settings(deadline=None, max_examples=60)
+def test_window_funnel_equals_bruteforce(rows, window_us):
+    """The greedy running-MAX funnel DP equals the exponential
+    brute-force (try every strictly-ordered chain) on arbitrary event
+    sets — the dominance argument, checked."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.funnel import (
+        FUNNEL_CHAIN,
+        window_funnel_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(
+                [t * 1000 for _u, t, _ty in rows], unit="us"
+            ),
+            "user_id": [u for u, _t, _ty in rows],
+            "event_type": [ty for _u, _t, ty in rows],
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = dict(
+        (r[0], r[1])
+        for r in con.execute(
+            window_funnel_sql("duckdb", window_us=window_us * 1000)
+        ).fetchall()
+    )
+
+    by_user: dict = {}
+    for i, (u, t, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t * 1000, i, ty))
+    for u, evs in by_user.items():
+        evs = sorted(evs)
+        best = 0
+        for k in range(len(FUNNEL_CHAIN), 0, -1):
+            found = False
+            for combo in combinations(range(len(evs)), k):
+                if all(
+                    evs[i][2] == FUNNEL_CHAIN[j]
+                    for j, i in enumerate(combo)
+                ) and evs[combo[-1]][0] - evs[combo[0]][0] <= window_us * 1000:
+                    found = True
+                    break
+            if found:
+                best = k
+                break
+        if any(ty in FUNNEL_CHAIN for _t, _i, ty in evs):
+            assert got[u] == best, (u, evs, got[u], best)
+
+
+@given(events_corpus)
+@settings(deadline=None, max_examples=40)
+def test_retention_invariants(rows):
+    """Day-0 retention counts every cohort member exactly once, and no
+    offset ever exceeds its cohort's day-0 count."""
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.funnel import (
+        retention_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(
+                [t * 86400_000_000 + u for u, t, _ty in rows], unit="us"
+            ),
+            "user_id": [u for u, _t, _ty in rows],
+            "event_type": [ty for _u, _t, ty in rows],
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = con.execute(retention_sql("duckdb", max_offset=10**6)).fetchall()
+    day0 = {c: n for c, off, n in got if off == 0}
+    cohort_sizes: dict = {}
+    first_day = {}
+    for u, t, _ty in rows:
+        first_day[u] = min(first_day.get(u, t), t)
+    for u, d in first_day.items():
+        cohort_sizes[d] = cohort_sizes.get(d, 0) + 1
+    assert day0 == cohort_sizes
+    for c, _off, n in got:
+        assert n <= day0[c]
