@@ -396,6 +396,40 @@ def register() -> None:
     """Import side effect — queries registered above."""
 
 
+def _stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel levels == batch window_funnel_sql: the stream
+    replays events in row (= event-time) order across 4 micro-batches,
+    the stateful operator advances the greedy DP per user, and the
+    final level per user (updates are monotone, so MAX over the update
+    log) must hash-match the batch oracle exactly."""
+    from ..streaming.events_stream import read_events_stream_parts, running_funnel
+
+    from pyspark.sql import functions as F
+
+    events = read_events_stream_parts(spark, sf_dir)
+    updates = _drain(running_funnel(events), "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(F.max("funnel_level").cast("int").alias("funnel_level"))
+        .orderBy("user_id")
+    )
+
+
+REGISTRY.df_query(
+    "stream_window_funnel",
+    _stream_window_funnel,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.operators.funnel",
+        fromlist=["window_funnel_sql"],
+    ).window_funnel_sql("duckdb"),
+    tags=["streaming", "funnel", "applyInPandasWithState"],
+    description=(
+        "stateful streaming funnel: per-user greedy chain-start DP across "
+        "micro-batches; final levels == batch windowFunnel exactly"
+    ),
+)
+
+
 def _stream_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup detection — the LSH index-maintenance shape a
     100 TB ingest pipeline runs: documents arrive in micro-batches,

@@ -284,17 +284,25 @@ def write_stream_native(
     )
 
 
-def read_documents_stream(
-    spark: SparkSession, sf_dir: str, n_parts: int = 4
+def _split_parquet_stream(
+    spark: SparkSession,
+    target: str,
+    n_parts: int,
+    root: str,
+    prefix: str,
 ) -> DataFrame:
-    """File-source stream over the documents table, split into
+    """File-source stream over one parquet table, split row-wise into
     ``n_parts`` part files so tests exercise REAL multi-micro-batch
     execution (one file per trigger), not a single-batch degenerate
     run. The split fixture lives under a content-stamped tmp dir
     (mtime_ns + size of the source parquet) and is rebuilt only when
     the source changes; stale stamps for the same source are pruned.
-    On a real cluster this reader is Kafka/file-drop ingestion — only
-    the reader changes, as with the events stream."""
+    Part files get strictly ascending mtimes so the file stream source
+    (which orders by modification time) replays them in ROW order —
+    order-independent consumers don't care, order-sensitive ones (the
+    streaming funnel) rely on it. On a real cluster this reader is
+    Kafka/file-drop ingestion — only the reader changes, as with the
+    events stream."""
     import os
     import shutil
     import tempfile
@@ -304,10 +312,10 @@ def read_documents_stream(
     from ..plans.base import ensure_session
 
     ensure_session(spark)
-    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    target = os.path.abspath(target)
     st = os.stat(target)
     tag = hashlib.md5(target.encode()).hexdigest()[:12]
-    parent = os.path.join(tempfile.gettempdir(), "chsql_stream_src_docs", tag)
+    parent = os.path.join(tempfile.gettempdir(), root, tag)
     stamp = f"{st.st_mtime_ns}_{st.st_size}_{n_parts}"
     part_dir = os.path.join(parent, stamp)
     if not os.path.isdir(part_dir):
@@ -337,12 +345,13 @@ def read_documents_stream(
         t = pq.read_table(target)
         n = t.num_rows
         step = max(1, (n + n_parts - 1) // n_parts)
+        base_mtime = int(time.time()) - n_parts - 1
         for i in range(0, n_parts):
             chunk = t.slice(i * step, step)
             if chunk.num_rows:
-                pqw.write_table(
-                    chunk, os.path.join(tmp, f"docs-{i:03d}.parquet")
-                )
+                path = os.path.join(tmp, f"{prefix}-{i:03d}.parquet")
+                pqw.write_table(chunk, path)
+                os.utime(path, (base_mtime + i, base_mtime + i))
         try:
             os.rename(tmp, part_dir)  # atomic publish; loser cleans up
         except OSError:
@@ -352,4 +361,111 @@ def read_documents_stream(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(part_dir)
+    )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """Multi-micro-batch stream over the documents table (see
+    ``_split_parquet_stream``)."""
+    return _split_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet", n_parts, "chsql_stream_src_docs", "docs"
+    )
+
+
+def read_events_stream_parts(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """Multi-micro-batch stream over the events table with ts
+    normalized to TIMESTAMP, replayed in row (= event-time) order —
+    the in-order ingest the stateful funnel assumes (the same
+    assumption the stateful sessionizer documents; a production
+    deploy buffers within a watermark instead)."""
+    from pyspark.sql.types import LongType as _Long, TimestampNTZType as _NTZ
+
+    raw = _split_parquet_stream(
+        spark, f"{sf_dir}/events.parquet", n_parts, "chsql_stream_src_evparts", "ev"
+    )
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, _Long):
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    if isinstance(ts_type, _NTZ):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def running_funnel(
+    events: DataFrame,
+    chain: tuple = None,
+    window_us: int = 4 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Streaming twin of the batch ``window_funnel_sql`` DP: per-user
+    state = the latest viable chain-start per level (K-1 BIGINTs, -1
+    sentinel) plus the achieved level — O(users * K) memory total,
+    independent of event volume. Each micro-batch replays the SAME
+    greedy recurrence the batch query's running-MAX windows compute
+    (operators/funnel.py — dominance makes it exact), so after the
+    stream drains, per-user MAX(level) equals the batch funnel row
+    for row-order ingest. Levels are monotone, so emitted updates are
+    safe under append-style collection."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.funnel import FUNNEL_CHAIN
+
+    chain = tuple(chain or FUNNEL_CHAIN)
+    k = len(chain)
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            bests, level = list(state.get[0]), state.get[1]
+            first = False
+        else:
+            bests, level = [-1] * (k - 1), 0
+            first = True
+        rows: list = []
+        # accumulate all chunks, then sort: within a micro-batch Arrow
+        # chunking is arbitrary, the DP needs (t, event_id) order
+        for pdf in pdf_iter:
+            if not pdf.empty:
+                rows.extend(
+                    zip(pdf["t"].tolist(), pdf["event_id"].tolist(), pdf["event_type"].tolist())
+                )
+        if not rows:
+            return
+        rows.sort()
+        prev_level = level
+        for t, _eid, ty in rows:
+            starts = [-1] * k
+            if ty == chain[0]:
+                starts[0] = t
+                level = max(level, 1)
+            for j in range(1, k):
+                if ty == chain[j] and bests[j - 1] >= 0 and t - bests[j - 1] <= window_us:
+                    starts[j] = bests[j - 1]
+                    level = max(level, j + 1)
+            # strictly-preceding semantics: fold the row's starts into
+            # the running maxima only AFTER evaluating the row
+            for j in range(k - 1):
+                if starts[j] > bests[j]:
+                    bests[j] = starts[j]
+        state.update((bests, level))
+        if first or level > prev_level:
+            yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [level]})
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    ).where(F.col("event_type").isin(list(chain)))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, funnel_level int",
+        stateStructType="bests array<bigint>, level int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
