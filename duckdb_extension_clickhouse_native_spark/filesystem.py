@@ -84,18 +84,25 @@ def resolve_paths(path: str) -> list[str]:
     """
     if not is_uri(path):
         if os.path.isdir(path):
-            out = sorted(
+            out = [
                 os.path.join(path, f)
                 for f in os.listdir(path)
                 if f.endswith(_DATA_SUFFIXES)
-            )
+            ]
+            # hive-style partition layout: descend into key=value
+            # subdirectories (arbitrarily nested); the reader derives
+            # partition columns from these path components
+            for entry in os.listdir(path):
+                full = os.path.join(path, entry)
+                if os.path.isdir(full) and "=" in entry:
+                    out.extend(resolve_paths(full))
             if not out:
-                out = sorted(
+                out = [
                     os.path.join(path, f)
                     for f in os.listdir(path)
-                    if not f.startswith("_")
-                )
-            return out
+                    if not f.startswith("_") and os.path.isfile(os.path.join(path, f))
+                ]
+            return sorted(out)
         hits = sorted(globmod.glob(path))
         if hits:
             # a glob may match directories (e.g. batch-* output of the

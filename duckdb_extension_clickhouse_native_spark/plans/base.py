@@ -393,7 +393,8 @@ class Query:
 # stream_minhash_candidates, text_lm_score, text_quality_classifier,
 # tfidf_cosine_topk, sample_weighted_priority,
 # pagerank_user_cooccurrence, events_window_funnel,
-# events_retention_cohorts, stream_window_funnel (the window was
+# events_retention_cohorts, stream_window_funnel,
+# native_hive_partition_scan (the window was
 # already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the

@@ -885,3 +885,90 @@ REGISTRY.df_query(
     tags=["source", "native", "zorder", "skipping", "pushdown"],
     description="z-ordered Native layout + sidecar file pruning: box predicate == raw-table oracle",
 )
+
+
+def _hive_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Events written as a hive-partitioned Native layout
+    (event_type=X/day=N/part.clickhouse) — the directory scheme a
+    100 TB deployment uses so coarse predicates never touch excluded
+    data. Partition values leave the files entirely (the reader
+    restores them from the path)."""
+    import pyarrow.compute as pc
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        ts = t.column("ts")
+        # day number from the raw timestamp (us or ns); integer math
+        unit = getattr(ts.type, "unit", None)
+        div = 86400_000_000 if unit == "us" else 86400_000_000_000
+        day = pc.divide(pc.cast(ts, "int64"), div)
+        t2 = t.append_column("day", pc.cast(day, "int64"))
+        types = sorted(set(t2.column("event_type").to_pylist()))
+        for ty in types:
+            sub = t2.filter(pc.equal(t2.column("event_type"), ty))
+            days = sorted(set(sub.column("day").to_pylist()))
+            for d in days:
+                piece = sub.filter(pc.equal(sub.column("day"), d)).drop(
+                    ["event_type", "day", "ts", "props"]
+                )
+                if piece.num_rows == 0:
+                    continue
+                dest = os.path.join(out_dir, f"event_type={ty}", f"day={d}")
+                os.makedirs(dest, exist_ok=True)
+                write_native_file(
+                    os.path.join(dest, "part.clickhouse"), piece
+                )
+
+    return _materialize_fixture(sf_dir, "events", "events-hive", write)
+
+
+def _native_hive_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicates on path-derived partition columns prune whole
+    directories at planning (zero tasks, zero IO for excluded
+    event_type/day combinations); the oracle computes the same slice
+    on the raw events table, so the hash proves the path round-trip
+    (values -> directories -> restored columns) is lossless."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _hive_events_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+    return (
+        df.filter((F.col("event_type").isin("click", "purchase")) & (F.col("day") <= 19733))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+REGISTRY.df_query(
+    "native_hive_partition_scan",
+    _native_hive_partition_scan,
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             value, user_id
+      FROM events
+    )
+    SELECT event_type, day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM e
+    WHERE event_type IN ('click', 'purchase') AND day <= 19733
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=["source", "native", "hive", "partition", "pruning"],
+    description="hive-partitioned Native layout: directory pruning on path-derived columns == raw-table oracle",
+)

@@ -190,3 +190,82 @@ def test_column_stats_nan_inf_and_long_strings():
     assert mn <= "x" * 100 and mx is not None and mx >= chr(0xD7FF) * 100
     mn, mx = _truncated_string_stats("a", chr(0x10FFFF) * 100)
     assert mx is None  # no bounded max exists -> caller drops the column
+
+
+@pytest.fixture(scope="module")
+def hive_dir(tmp_path_factory):
+    """Hive layout: day=1..4 / part.clickhouse, 100 rows each, plus a
+    string key nested under each day."""
+    d = str(tmp_path_factory.mktemp("hive"))
+    for day in range(1, 5):
+        for src in ("a", "b"):
+            sub = os.path.join(d, f"day={day}", f"src={src}")
+            os.makedirs(sub)
+            t = pa.table(
+                {
+                    "k": pa.array(range(day * 100, day * 100 + 50), pa.int64()),
+                }
+            )
+            write_native_file(os.path.join(sub, "part.clickhouse"), t)
+    return d
+
+
+def test_hive_partition_schema_and_values(spark, hive_dir):
+    df = spark.read.format("clickhouse_native").load(hive_dir)
+    assert [f.name for f in df.schema.fields] == ["k", "day", "src"]
+    assert df.schema["day"].dataType.simpleString() == "bigint"
+    assert df.schema["src"].dataType.simpleString() == "string"
+    assert df.count() == 400
+    got = {
+        (r.day, r.src): r["count"]
+        for r in df.groupBy("day", "src").count().collect()
+    }
+    assert got == {(d, s): 50 for d in range(1, 5) for s in ("a", "b")}
+    # correlation between file data and path value survives the read
+    row = df.filter((F.col("day") == 3) & (F.col("src") == "b")).agg(
+        F.min("k"), F.max("k")
+    ).collect()[0]
+    assert (row[0], row[1]) == (300, 349)
+
+
+def test_hive_partition_pruning_at_planning(hive_dir):
+    schema = infer_native_schema({"path": hive_dir})
+    reader = ClickHouseNativeReader(schema, {"path": hive_dir})
+    assert len(reader.partitions()) == 8
+    reader.pushed = [EqualTo(("day",), 2)]
+    parts = reader.partitions()
+    assert len(parts) == 2
+    assert all("day=2" in p.path for p in parts)
+    reader.pushed = [EqualTo(("day",), 2), EqualTo(("src",), "a")]
+    parts = reader.partitions()
+    assert len(parts) == 1 and "src=a" in parts[0].path
+    reader.pushed = [GreaterThan(("day",), 2)]
+    assert len(reader.partitions()) == 4
+    reader.pushed = [In(("day",), (1, 4))]
+    assert len(reader.partitions()) == 4
+    # no-match keeps one partition; its executor-side filter drops rows
+    reader.pushed = [EqualTo(("day",), 99)]
+    assert len(reader.partitions()) == 1
+
+
+def test_hive_partition_filter_results_match(spark, hive_dir):
+    df = spark.read.format("clickhouse_native").load(hive_dir)
+    got = sorted(
+        tuple(r)
+        for r in df.filter("day >= 3 AND src = 'b'").select("k", "day", "src").collect()
+    )
+    assert len(got) == 100
+    assert all(day >= 3 and src == "b" for _k, day, src in got)
+    assert {k for k, _d, _s in got} == set(range(300, 350)) | set(range(400, 450))
+
+
+def test_mixed_layout_is_unpartitioned(spark, tmp_path):
+    d = str(tmp_path / "mixed")
+    os.makedirs(os.path.join(d, "day=1"))
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    write_native_file(os.path.join(d, "top.clickhouse"), t)
+    write_native_file(os.path.join(d, "day=1", "part.clickhouse"), t)
+    df = spark.read.format("clickhouse_native").load(d)
+    # one file at top level -> no consistent key sequence -> plain cols
+    assert [f.name for f in df.schema.fields] == ["k"]
+    assert df.count() == 6
