@@ -48,6 +48,9 @@ Options:
                     (driver does one header-scan pass per file)
     target_partition_bytes  approx bytes per partition when splitting
     block_rows      writer: rows per Native block (default 65409)
+    partition_by    writer: comma-separated columns to fan out as
+                    hive-style key=value directories (dropped from the
+                    file payload; the reader restores and prunes them)
 """
 
 from __future__ import annotations
@@ -708,13 +711,88 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
 
 @dataclass
 class NativeWriteCommit(WriterCommitMessage):
-    path: str
+    paths: tuple
     rows: int
+
+
+class _FileSink:
+    """One Native output file: lazily opened on the first batch,
+    streaming block writes, incremental min/max/null sidecar merge —
+    the state the writer keeps per output file (one per task, or one
+    per partition combo per task under ``partition_by``)."""
+
+    def __init__(self, fname: str, compression, block_rows: int):
+        self.fname = fname
+        self.compression = compression
+        self.block_rows = block_rows
+        self.rows = 0
+        self.merged: dict = {}
+        self._ch_types = None
+        self._raw = None
+        self._buf = None
+
+    def write_batch(self, batch: "pa.RecordBatch") -> None:
+        import io
+
+        from ..native.types import from_arrow
+        from ..native.writer import _column_stats, write_native_stream
+
+        if self._raw is None:
+            os.makedirs(os.path.dirname(self.fname), exist_ok=True)
+            self._raw = io.BufferedWriter(
+                open(self.fname, "wb"), buffer_size=1 << 20
+            )
+            self._buf = self._raw
+            if self.compression and self.compression != "none":
+                from ..native.compress import CompressedWriter
+
+                self._buf = CompressedWriter(self._raw, method=self.compression)
+        if self._ch_types is None:
+            self._ch_types = [from_arrow(fld.type) for fld in batch.schema]
+        self.rows += write_native_stream(
+            self._buf, [batch], ch_types=self._ch_types, block_rows=self.block_rows
+        )
+        for name, st in _column_stats(batch).items():
+            cur = self.merged.get(name)
+            if cur is None:
+                self.merged[name] = dict(st)
+                continue
+            cur["nulls"] += st["nulls"]
+            if st["min"] is not None and (cur["min"] is None or st["min"] < cur["min"]):
+                cur["min"] = st["min"]
+            if st["max"] is not None and (cur["max"] is None or st["max"] > cur["max"]):
+                cur["max"] = st["max"]
+
+    def finalize(self) -> Optional[str]:
+        """Flush + sidecar; returns the path, or None for an empty sink."""
+        import json
+
+        from ..native.writer import stats_sidecar_path
+
+        if self._raw is None:
+            return None
+        self._buf.flush()
+        if self._buf is not self._raw:
+            self._raw.flush()
+        self._raw.close()
+        if self.rows == 0:
+            os.remove(self.fname)
+            return None
+        tmp = stats_sidecar_path(self.fname) + ".tmp"
+        with open(tmp, "w") as sf:
+            json.dump({"rows": self.rows, "columns": self.merged}, sf)
+        os.replace(tmp, stats_sidecar_path(self.fname))
+        return self.fname
 
 
 class ClickHouseNativeWriter(DataSourceArrowWriter):
     """One Native file per Spark partition under the target directory —
-    the writer the reference lacks (SURVEY.md §2.1 'Sinks: none')."""
+    the writer the reference lacks (SURVEY.md §2.1 'Sinks: none').
+    With ``option("partition_by", "col1,col2")`` rows fan out into
+    hive-style ``col1=v/col2=w/`` subdirectories (partition columns
+    dropped from the file payload, Spark's parquet convention) that
+    the reader rediscovers and prunes — the write side of the 100 TB
+    layout."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.schema = schema
@@ -723,85 +801,112 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             raise ValueError("clickhouse_native write requires a path")
         self.block_rows = int(options.get("block_rows", 65_409))
         self.compression = options.get("compression")  # None | lz4 | zstd | none
+        self.partition_by: List[str] = [
+            c.strip() for c in str(options.get("partition_by", "")).split(",") if c.strip()
+        ]
+        names = [f.name for f in schema.fields]
+        missing = [c for c in self.partition_by if c not in names]
+        if missing:
+            raise ValueError(f"partition_by columns not in schema: {missing}")
+        if self.partition_by and len(self.partition_by) == len(names):
+            raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
         # snapshot pre-existing part files on the driver; commit()
         # removes them so overwrite is all-or-nothing (abort leaves the
         # old data untouched)
         self._stale: List[str] = []
         if overwrite and os.path.isdir(self.path):
-            self._stale = [
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".clickhouse")
-            ]
+            for root, _dirs, files in os.walk(self.path):
+                self._stale.extend(
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".clickhouse")
+                )
+
+    def _partition_dir(self, combo: tuple) -> str:
+        from urllib.parse import quote
+
+        parts = [
+            f"{k}={quote(str(v), safe='')}"
+            for k, v in zip(self.partition_by, combo)
+        ]
+        return os.path.join(self.path, *parts)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> NativeWriteCommit:
-        import io
-        import json
+        import pyarrow as pa
 
-        from ..native.types import from_arrow
-        from ..native.writer import (
-            _column_stats,
-            stats_sidecar_path,
-            write_native_stream,
-        )
-
-        os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.clickhouse")
-        rows = 0
-        ch_types = None
-        # per-batch incremental min/max/null merge -> the same skipping
-        # sidecar write_native_file emits (no buffering of the stream)
-        merged: dict = {}
-        with open(fname, "wb") as f:
-            raw = io.BufferedWriter(f, buffer_size=1 << 20)
-            buf = raw
-            if self.compression and self.compression != "none":
-                from ..native.compress import CompressedWriter
-
-                buf = CompressedWriter(raw, method=self.compression)
+        token = uuid.uuid4().hex
+        if not self.partition_by:
+            sink = _FileSink(
+                os.path.join(self.path, f"part-{token}.clickhouse"),
+                self.compression,
+                self.block_rows,
+            )
+            os.makedirs(self.path, exist_ok=True)
             for batch in iterator:
-                if ch_types is None:
-                    ch_types = [from_arrow(fld.type) for fld in batch.schema]
-                rows += write_native_stream(
-                    buf, [batch], ch_types=ch_types, block_rows=self.block_rows
+                sink.write_batch(batch)
+            path = sink.finalize()
+            return NativeWriteCommit(
+                paths=(path,) if path else (), rows=sink.rows
+            )
+
+        sinks: dict = {}
+        for batch in iterator:
+            keep_idx = [
+                i
+                for i, name in enumerate(batch.schema.names)
+                if name not in self.partition_by
+            ]
+            key_cols = [
+                batch.column(batch.schema.get_field_index(k)).to_pylist()
+                for k in self.partition_by
+            ]
+            combos = sorted({tuple(vs) for vs in zip(*key_cols)})
+            for combo in combos:
+                if any(v is None for v in combo):
+                    raise ValueError(
+                        f"NULL partition value for {self.partition_by} "
+                        "(hive paths cannot encode NULL)"
+                    )
+                mask = pa.array(
+                    [tuple(vs) == combo for vs in zip(*key_cols)]
                 )
-                for name, st in _column_stats(batch).items():
-                    cur = merged.get(name)
-                    if cur is None:
-                        merged[name] = dict(st)
-                        continue
-                    cur["nulls"] += st["nulls"]
-                    if st["min"] is not None and (
-                        cur["min"] is None or st["min"] < cur["min"]
-                    ):
-                        cur["min"] = st["min"]
-                    if st["max"] is not None and (
-                        cur["max"] is None or st["max"] > cur["max"]
-                    ):
-                        cur["max"] = st["max"]
-            buf.flush()
-            if buf is not raw:
-                raw.flush()
-        if rows == 0:
-            os.remove(fname)
-            return NativeWriteCommit(path="", rows=0)
-        tmp = stats_sidecar_path(fname) + ".tmp"
-        with open(tmp, "w") as sf:
-            json.dump({"rows": rows, "columns": merged}, sf)
-        os.replace(tmp, stats_sidecar_path(fname))
-        return NativeWriteCommit(path=fname, rows=rows)
+                sub = batch.filter(mask)
+                sub = pa.RecordBatch.from_arrays(
+                    [sub.column(i) for i in keep_idx],
+                    names=[sub.schema.names[i] for i in keep_idx],
+                )
+                sink = sinks.get(combo)
+                if sink is None:
+                    sink = sinks[combo] = _FileSink(
+                        os.path.join(
+                            self._partition_dir(combo),
+                            f"part-{token}.clickhouse",
+                        ),
+                        self.compression,
+                        self.block_rows,
+                    )
+                sink.write_batch(sub)
+        paths = []
+        rows = 0
+        for sink in sinks.values():
+            p = sink.finalize()
+            if p:
+                paths.append(p)
+                rows += sink.rows
+        return NativeWriteCommit(paths=tuple(paths), rows=rows)
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:
         from ..native.writer import stats_sidecar_path
 
-        new_files = {m.path for m in messages if m and m.path}
+        new_files = {p for m in messages if m for p in m.paths}
         for old in self._stale:
             if old not in new_files and os.path.exists(old):
                 os.remove(old)
                 side = stats_sidecar_path(old)
                 if os.path.exists(side):
                     os.remove(side)
+        os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -809,11 +914,14 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         from ..native.writer import stats_sidecar_path
 
         for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
-                side = stats_sidecar_path(m.path)
-                if os.path.exists(side):
-                    os.remove(side)
+            if not m:
+                continue
+            for p in m.paths:
+                if p and os.path.exists(p):
+                    os.remove(p)
+                    side = stats_sidecar_path(p)
+                    if os.path.exists(side):
+                        os.remove(side)
 
 
 def infer_native_schema(options: dict) -> StructType:

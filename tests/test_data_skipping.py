@@ -269,3 +269,53 @@ def test_mixed_layout_is_unpartitioned(spark, tmp_path):
     # one file at top level -> no consistent key sequence -> plain cols
     assert [f.name for f in df.schema.fields] == ["k"]
     assert df.count() == 6
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    """partition_by writes hive directories (partition cols dropped
+    from payload), the reader restores them, and the row set is
+    exactly the input; overwrite replaces the whole layout."""
+    d = str(tmp_path / "pby")
+    src = spark.createDataFrame(
+        [(i, i % 3, f"s{i % 2}") for i in range(100)], "id long, g long, s string"
+    )
+    (
+        src.write.format("clickhouse_native")
+        .option("partition_by", "g,s")
+        .mode("overwrite")
+        .save(d)
+    )
+    files = []
+    for root, _dirs, fs in os.walk(d):
+        files.extend(os.path.join(root, f) for f in fs if f.endswith(".clickhouse"))
+    assert files and all("g=" in p and "s=" in p for p in files)
+    back = spark.read.format("clickhouse_native").load(d)
+    assert sorted(tuple(r) for r in back.select("id", "g", "s").collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    # overwrite drops the old partitions entirely
+    (
+        src.filter("g = 0").write.format("clickhouse_native")
+        .option("partition_by", "g,s")
+        .mode("overwrite")
+        .save(d)
+    )
+    assert spark.read.format("clickhouse_native").load(d).count() == 34
+
+
+def test_partition_by_validation(spark, tmp_path):
+    src = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(Exception, match="not in schema"):
+        (
+            src.write.format("clickhouse_native")
+            .option("partition_by", "nope")
+            .mode("append")
+            .save(str(tmp_path / "x"))
+        )
+    with pytest.raises(Exception, match="every column"):
+        (
+            src.write.format("clickhouse_native")
+            .option("partition_by", "a,b")
+            .mode("append")
+            .save(str(tmp_path / "y"))
+        )
