@@ -113,3 +113,77 @@ def retention_sql(dialect: str, max_offset: int = 30) -> str:
     GROUP BY c.cohort_day, a.day - c.cohort_day
     ORDER BY cohort_day, day_offset
     """
+
+
+def sequence_match_sql(dialect: str) -> str:
+    """ClickHouse ``sequenceMatch``-style pattern detection: each
+    user's events collapse (in strict (t, event_id) order) into a
+    one-char-per-event code string, and the patterns become plain
+    LIKE/regex matches — '(?1).*(?2).*(?3)' is ``'%v%c%p%'``, the
+    no-intervening-step variant is a character-class regex. One
+    user-keyed ordered aggregation; the sequence string is bounded by
+    the user's event count (cap per user upstream at 100 TB, the same
+    rule as the funnel's membership cap).
+
+    Parity: the code string is deterministic (total order tie-broken
+    by event_id), LIKE is engine-identical, and the regex
+    ``v[^p]*c[^v]*p`` uses only portable syntax semantics shared by
+    Spark's Java regex and DuckDB's RE2."""
+    t = _t_expr(dialect)
+    # Spark has no ORDER BY inside an aggregate: collect
+    # (t, event_id, code) structs and sort_array (lexicographic by
+    # field order = the same total order DuckDB's ordered string_agg
+    # uses), then project the codes out
+    agg = (
+        "concat_ws('', transform(sort_array(array_agg(struct(t, event_id, code))), x -> x.code))"
+        if dialect == "spark"
+        else "string_agg(code, '' ORDER BY t, event_id)"
+    )
+    rx = (
+        "seq RLIKE 'v[^p]*c[^v]*p'"
+        if dialect == "spark"
+        else "regexp_matches(seq, 'v[^p]*c[^v]*p')"
+    )
+    ln = "length(seq)" if dialect == "spark" else "len(seq)"
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code,
+             {t} AS t,
+             event_id
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id, {agg} AS seq
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN seq LIKE '%v%c%p%' THEN 1 ELSE 0 END AS INT) AS m_funnel,
+           CAST(CASE WHEN {rx} THEN 1 ELSE 0 END AS INT) AS m_strictish,
+           CAST(CASE WHEN seq LIKE '%ss%' THEN 1 ELSE 0 END AS INT) AS m_double_signup,
+           CAST({ln} AS BIGINT) AS n_events
+    FROM seqs
+    ORDER BY user_id
+    """
+
+
+# ReplacingMergeTree-style dedup-on-read (the `FINAL` semantics a
+# ClickHouse user expects): latest row per (user_id, event_type) by
+# (ts, event_id) version. Identical text parses in both engines; one
+# window shuffle keyed on the dedup key, no self-join.
+REPLACING_MERGE_SQL = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(value AS DOUBLE) AS latest_value,
+           event_id AS latest_event_id
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """

@@ -43,7 +43,12 @@ from ..operators.components import (
 )
 from ..operators.clustering import kmeans_query, kmeans_sql
 from ..operators.decontam import decontaminate_sql
-from ..operators.funnel import retention_sql, window_funnel_sql
+from ..operators.funnel import (
+    REPLACING_MERGE_SQL,
+    retention_sql,
+    sequence_match_sql,
+    window_funnel_sql,
+)
 from ..operators.packing import pack_sequences, packing_oracle_sql
 from ..operators.retrieval import (
     bm25_sql,
@@ -318,6 +323,26 @@ _sql_pair(
     ["events", "retention", "cohort"],
     "ClickHouse-retention-style cohort triangle (first-active-day cohorts, "
     "distinct returning users per day offset; exact integer day math)",
+)
+
+_sql_pair(
+    "events_sequence_match",
+    sequence_match_sql("spark"),
+    sequence_match_sql("duckdb"),
+    ["events"],
+    ["events", "sequence", "regex"],
+    "ClickHouse-sequenceMatch-style patterns over per-user ordered code "
+    "strings (one ordered aggregation, portable LIKE/regex matches)",
+)
+
+_sql_pair(
+    "events_replacing_merge",
+    REPLACING_MERGE_SQL,
+    REPLACING_MERGE_SQL,
+    ["events"],
+    ["events", "dedup", "version"],
+    "ReplacingMergeTree/FINAL semantics: latest row per key by version "
+    "(one window shuffle, no self-join)",
 )
 
 # Spark side persists the capped edge relation once and broadcast-joins
