@@ -43,6 +43,7 @@ from ..operators.components import (
 )
 from ..operators.clustering import kmeans_query, kmeans_sql
 from ..operators.decontam import decontaminate_sql
+from ..operators.bloomjoin import BLOOM_SEMIJOIN_ORACLE, bloom_semijoin_sql
 from ..operators.funnel import (
     REPLACING_MERGE_SQL,
     retention_sql,
@@ -323,6 +324,16 @@ _sql_pair(
     ["events", "retention", "cohort"],
     "ClickHouse-retention-style cohort triangle (first-active-day cohorts, "
     "distinct returning users per day offset; exact integer day math)",
+)
+
+_sql_pair(
+    "join_bloom_prefilter",
+    bloom_semijoin_sql("spark"),
+    BLOOM_SEMIJOIN_ORACLE,
+    ["orders", "customer"],
+    ["join", "bloom", "runtime-filter"],
+    "bloom-filter semi-join pre-filter (broadcast 2048-word bitmap drops "
+    "non-members before the shuffle; exact semi-join after == plain oracle)",
 )
 
 _sql_pair(

@@ -412,3 +412,57 @@ def test_retention_invariants(rows):
     assert day0 == cohort_sizes
     for c, _off, n in got:
         assert n <= day0[c]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200, unique=True),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=30, unique=True),
+)
+@settings(deadline=None, max_examples=40)
+def test_bloom_prefilter_never_drops_members(order_keys, segment):
+    """The bloom pass must have NO false negatives (a dropped true
+    member would corrupt the exact result): for arbitrary key sets the
+    bloom form equals the plain semi-join, and every true member
+    survives to the candidate set."""
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.bloomjoin import (
+        bloom_semijoin_sql,
+    )
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": segment + [10**7 + i for i in range(3)],
+            "c_name": "x",
+            "c_nationkey": 1,
+            "c_acctbal": 0.0,
+            "c_mktsegment": ["AUTOMOBILE"] * len(segment) + ["MACHINERY"] * 3,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(order_keys)),
+            "o_custkey": order_keys,
+            "o_orderstatus": "O",
+            "o_totalprice": [float(k % 97) for k in order_keys],
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": ["1-URGENT" if k % 2 else "5-LOW" for k in order_keys],
+        }
+    )
+    con = duckdb.connect()
+    con.register("customer", cust)
+    con.register("orders", orders)
+    got = con.execute(bloom_semijoin_sql("duckdb")).fetchall()
+    want = con.execute(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'AUTOMOBILE' AND c_nationkey < 5
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).fetchall()
+    assert got == want
