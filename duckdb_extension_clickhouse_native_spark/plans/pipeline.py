@@ -44,6 +44,7 @@ from ..operators.components import (
 from ..operators.clustering import kmeans_query, kmeans_sql
 from ..operators.decontam import decontaminate_sql
 from ..operators.bloomjoin import BLOOM_SEMIJOIN_ORACLE, bloom_semijoin_sql
+from ..operators.dataops import dq_audit_sql, merge_upsert_sql
 from ..operators.funnel import (
     REPLACING_MERGE_SQL,
     retention_sql,
@@ -334,6 +335,26 @@ _sql_pair(
     ["join", "bloom", "runtime-filter"],
     "bloom-filter semi-join pre-filter (broadcast 2048-word bitmap drops "
     "non-members before the shuffle; exact semi-join after == plain oracle)",
+)
+
+_sql_pair(
+    "dq_audit_checks",
+    dq_audit_sql("spark"),
+    dq_audit_sql("duckdb"),
+    ["orders", "customer", "events"],
+    ["quality", "audit", "dbt"],
+    "dbt-style data-quality battery: referential/unique/accepted-values/"
+    "range checks, one violation-count row each",
+)
+
+_sql_pair(
+    "merge_upsert_customers",
+    merge_upsert_sql("spark"),
+    merge_upsert_sql("duckdb"),
+    ["customer"],
+    ["merge", "cdc", "upsert"],
+    "MERGE INTO semantics without a lakehouse: full-outer join of base "
+    "vs CDC delta with per-row merge_action labels",
 )
 
 _sql_pair(

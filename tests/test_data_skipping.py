@@ -319,3 +319,23 @@ def test_partition_by_validation(spark, tmp_path):
             .mode("append")
             .save(str(tmp_path / "y"))
         )
+
+
+def test_partitioned_write_special_chars(spark, tmp_path):
+    """Partition values needing URL encoding (space, slash, equals,
+    percent) must round-trip exactly through the directory names."""
+    d = str(tmp_path / "pby_special")
+    vals = ["a b", "a/b", "a=b", "100%", "plain"]
+    src = spark.createDataFrame(
+        [(i, vals[i % len(vals)]) for i in range(50)], "id long, seg string"
+    )
+    (
+        src.write.format("clickhouse_native")
+        .option("partition_by", "seg")
+        .mode("overwrite")
+        .save(d)
+    )
+    back = spark.read.format("clickhouse_native").load(d)
+    assert sorted(tuple(r) for r in back.select("id", "seg").collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
