@@ -52,6 +52,7 @@ HEADLINE = [
     "text_quality",
     "skew_salted_agg",
     "pipeline_end_to_end",      # quality->dedup->mixture->shards, one plan
+    "rag_pipeline_topk",        # quality->chunk->BM25->cosine->RRF, one plan
 ]
 
 

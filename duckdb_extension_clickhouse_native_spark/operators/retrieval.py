@@ -372,3 +372,123 @@ def tfidf_cosine_sql(
     ORDER BY tfidf_cosine DESC, d.doc_id
     LIMIT {top_k}
     """
+
+
+def rag_pipeline_sql(
+    dialect: str,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    k_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """Retrieval-pipeline flagship: the RAG indexing + query path as
+    ONE declarative plan — quality-gate docs, window them into
+    overlapping chunks, rank chunks lexically (chunk-level BM25 over
+    the query terms), rank their parent docs semantically (exact
+    cosine on the embeddings table, vec_id == doc_id), and fuse both
+    rankings with RRF into the top-k chunks with provenance
+    (doc_id, chunk_id, chunk_start).
+
+    The batch twin of what a serving stack does online; at 100 TB the
+    chunk explode is map-only, the BM25 stages shuffle only term-hit
+    rows (term filter applied before the shuffle, as in ``bm25_sql``),
+    the semantic branch ends in a top-``k_each``
+    TakeOrderedAndProject, and the fusion join touches <= 2*k_each
+    rows. Parity rules are inherited: ln() under ROUND(6) for BM25,
+    exact fixed-point dot products for cosine, integer ranks for RRF.
+    """
+    from .similarity import cosine_topk_sql
+
+    stride = chunk_chars - overlap
+    n_chunks = (
+        f"GREATEST(CAST(1 AS BIGINT), "
+        f"CAST(ceil((length(text) - {overlap}) / {stride}.0) AS BIGINT))"
+    )
+    if dialect == "spark":
+        gen = (
+            "SELECT doc_id, text, i FROM base "
+            "LATERAL VIEW explode(sequence(0, CAST(nc - 1 AS INT))) g AS i"
+        )
+        tok = "explode(split(chunk, ' '))"
+        dl = "size(split(chunk, ' '))"
+    else:
+        gen = "SELECT doc_id, text, unnest(range(0, nc)) AS i FROM base"
+        tok = "unnest(string_split(chunk, ' '))"
+        dl = "len(string_split(chunk, ' '))"
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    sem = cosine_topk_sql(dialect, k=k_each)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {n_chunks} AS nc FROM documents
+      WHERE length(text) >= 40
+    ),
+    gen AS ({gen}),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             CAST(i * {stride} + 1 AS BIGINT) AS chunk_start,
+             substring(text, CAST(i * {stride} + 1 AS INT), {chunk_chars}) AS chunk
+      FROM gen
+    ),
+    inv AS (SELECT doc_id, chunk_id, {tok} AS token FROM chunks),
+    hits AS (SELECT doc_id, chunk_id, token FROM inv WHERE token IN ({term_list})),
+    tf AS (
+      SELECT doc_id, chunk_id, token, COUNT(*) AS tf
+      FROM hits GROUP BY doc_id, chunk_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, chunk_id, token FROM hits) h GROUP BY token
+    ),
+    clen AS (SELECT doc_id, chunk_id, {dl} AS dl FROM chunks),
+    stats AS (
+      SELECT COUNT(*) AS n_chunks,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM clen
+    ),
+    scored AS (
+      SELECT t.doc_id, t.chunk_id,
+             SUM(
+               ln((CAST(s.n_chunks - d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN df d ON t.token = d.token
+      JOIN clen l ON t.doc_id = l.doc_id AND t.chunk_id = l.chunk_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id, t.chunk_id
+    ),
+    lex AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(score, 6) DESC, doc_id, chunk_id) AS r
+      FROM scored
+      ORDER BY ROUND(score, 6) DESC, doc_id, chunk_id
+      LIMIT {k_each}
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+      FROM ({sem}) c
+    ),
+    fused AS (
+      SELECT l.doc_id, l.chunk_id,
+             CAST(1 AS DOUBLE) / ({rrf_k} + l.r)
+               + COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + s.r), CAST(0 AS DOUBLE))
+               AS rrf,
+             l.r AS lex_rank, s.r AS sem_rank
+      FROM lex l LEFT JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT f.doc_id, f.chunk_id, c.chunk_start,
+           ROUND(f.rrf, 9) AS rrf_score,
+           CAST(f.lex_rank AS INT) AS lex_rank,
+           CAST(COALESCE(f.sem_rank, 0) AS INT) AS sem_rank
+    FROM fused f
+    JOIN chunks c ON f.doc_id = c.doc_id AND f.chunk_id = c.chunk_id
+    ORDER BY rrf_score DESC, f.doc_id, f.chunk_id
+    LIMIT {k}
+    """

@@ -57,6 +57,7 @@ from ..operators.retrieval import (
     hybrid_rrf_sql,
     importance_select_sql,
     mixture_sample_sql,
+    rag_pipeline_sql,
     stratified_sample_sql,
     tfidf_cosine_sql,
     weighted_sample_sql,
@@ -335,6 +336,16 @@ _sql_pair(
     ["join", "bloom", "runtime-filter"],
     "bloom-filter semi-join pre-filter (broadcast 2048-word bitmap drops "
     "non-members before the shuffle; exact semi-join after == plain oracle)",
+)
+
+_sql_pair(
+    "rag_pipeline_topk",
+    rag_pipeline_sql("spark"),
+    rag_pipeline_sql("duckdb"),
+    ["documents", "embeddings"],
+    ["retrieval", "rag", "pipeline", "flagship"],
+    "RAG indexing+query path as one plan: quality gate -> chunk -> "
+    "chunk-BM25 -> doc-cosine -> RRF top-k with provenance",
 )
 
 _sql_pair(
