@@ -187,3 +187,68 @@ REPLACING_MERGE_SQL = """
     FROM ranked WHERE rn = 1
     ORDER BY user_id, event_type
     """
+
+
+def gap_fill_sql(dialect: str, n_hours: int = 720) -> str:
+    """ClickHouse ``ORDER BY ... WITH FILL`` + ``INTERPOLATE``
+    re-expressed: a dense hourly spine (generated, not scanned) left-
+    joined onto the sparse per-type hourly aggregates, missing counts
+    zero-filled and the value series carried forward (LOCF) with an
+    ignore-nulls running last_value window.
+
+    Parity: the spine is integer hour numbers from the fixed corpus
+    epoch (exact), counts are exact, and the LOCF projection copies
+    previously-aggregated doubles without arithmetic. Scale shape: the
+    spine is |hours| x |types| rows (generated map-side), the join is
+    keyed on (type, hour) — broadcast the spine at any corpus size —
+    and the LOCF window partitions by type, one small shuffle.
+    """
+    t = _t_expr(dialect)
+    idiv = "DIV" if dialect == "spark" else "//"
+    # epoch hour of 2024-01-01 00:00 UTC = 1704067200 / 3600
+    base_hour = 1_704_067_200 // 3600
+    if dialect == "spark":
+        spine_hours = (
+            f"SELECT explode(sequence(0, {n_hours - 1})) AS i"
+        )
+        locf = (
+            "last_value(avg_value_raw) IGNORE NULLS OVER "
+            "(PARTITION BY event_type ORDER BY hour_no "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        spine_hours = f"SELECT unnest(range({n_hours})) AS i"
+        locf = (
+            "last_value(avg_value_raw IGNORE NULLS) OVER "
+            "(PARTITION BY event_type ORDER BY hour_no "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    return f"""
+    WITH spine_h AS ({spine_hours}),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT t.event_type, CAST({base_hour} + s.i AS BIGINT) AS hour_no
+      FROM types t CROSS JOIN spine_h s
+    ),
+    hourly AS (
+      SELECT event_type,
+             CAST({t} {idiv} 3600000000 AS BIGINT) AS hour_no,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS avg_value_raw
+      FROM events
+      GROUP BY event_type, CAST({t} {idiv} 3600000000 AS BIGINT)
+    ),
+    joined AS (
+      SELECT s.event_type, s.hour_no,
+             COALESCE(h.n, 0) AS n,
+             h.avg_value_raw
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour_no = h.hour_no
+    )
+    SELECT event_type, hour_no,
+           CAST(n AS BIGINT) AS n,
+           {locf} AS avg_value_locf
+    FROM joined
+    ORDER BY event_type, hour_no
+    """

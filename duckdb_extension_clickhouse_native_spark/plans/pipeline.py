@@ -47,6 +47,7 @@ from ..operators.bloomjoin import BLOOM_SEMIJOIN_ORACLE, bloom_semijoin_sql
 from ..operators.dataops import dq_audit_sql, merge_upsert_sql
 from ..operators.funnel import (
     REPLACING_MERGE_SQL,
+    gap_fill_sql,
     retention_sql,
     sequence_match_sql,
     window_funnel_sql,
@@ -346,6 +347,16 @@ _sql_pair(
     ["retrieval", "rag", "pipeline", "flagship"],
     "RAG indexing+query path as one plan: quality gate -> chunk -> "
     "chunk-BM25 -> doc-cosine -> RRF top-k with provenance",
+)
+
+_sql_pair(
+    "events_gap_fill_locf",
+    gap_fill_sql("spark"),
+    gap_fill_sql("duckdb"),
+    ["events"],
+    ["events", "timeseries", "fill"],
+    "WITH FILL + INTERPOLATE semantics: generated hourly spine, zero-"
+    "filled counts, ignore-nulls LOCF value series",
 )
 
 _sql_pair(
