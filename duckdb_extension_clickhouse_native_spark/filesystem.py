@@ -132,11 +132,28 @@ def resolve_paths(path: str) -> list[str]:
         return [_rebuild(scheme, h) for h in hits] if hits else [path]
     info = fs.get_file_info([p])[0]
     if info.type == FileType.Directory:
-        infos = fs.get_file_info(FileSelector(p, recursive=False))
-        names = sorted(i.path for i in infos if i.type == FileType.File)
+        # recursive so hive key=value subdirectories are discovered on
+        # object stores exactly as on local paths; files under non-hive
+        # subdirectories are excluded (same rule as the local branch,
+        # which only descends into key=value entries)
+        infos = fs.get_file_info(FileSelector(p, recursive=True))
+        names = sorted(
+            i.path
+            for i in infos
+            if i.type == FileType.File
+            and all(
+                "=" in c
+                for c in posixpath.relpath(i.path, p).split("/")[:-1]
+            )
+        )
         out = [n for n in names if n.endswith(_DATA_SUFFIXES)]
         if not out:
-            out = [n for n in names if not posixpath.basename(n).startswith("_")]
+            out = [
+                n
+                for n in names
+                if not posixpath.basename(n).startswith("_")
+                and "/" not in posixpath.relpath(n, p)
+            ]
         return [_rebuild(scheme, n) for n in out]
     return [path]
 

@@ -9,16 +9,18 @@ bit_or aggregation (32 bits per BIGINT word — DuckDB checks overflow
 on 1<<63, so shifts stay under the sign bit in both engines), no driver-side state, no UDFs.
 
 Exactness: the bloom pass only REMOVES definite non-members (false
-positives survive it), and an exact semi-join runs after it — so the
-result equals the plain semi-join row-for-row, which is precisely
-what the DuckDB oracle computes. FPR with m=65536 bits / k=4 hashes
+positives survive it), it probes at KEY level (fact-row multiplicity
+is never touched — duplicate fact rows survive exactly), and an
+exact semi-join runs after it — so the result equals the plain
+semi-join row-for-row, which is precisely what the DuckDB oracle
+computes. FPR with m=65536 bits / k=4 hashes
 stays negligible for the selective segments used here; at 100 TB you
 size m from the build-side count the same way.
 
 Scale shape: build = one tiny aggregation (m/64 rows, broadcast);
-probe = fact-side map + a broadcast join + a per-row-key count
-(map-side combinable); only surviving candidates reach the exact
-semi-join shuffle. The k hash positions reuse the md5 parity helper
+probe = one distinct pass over the fact keys + a broadcast join +
+a per-key hit count (map-side combinable); only surviving keys gate
+the exact semi-join shuffle. The k hash positions reuse the md5 parity helper
 (``_hex_int_expr``) so the same SQL runs on both engines if needed.
 """
 
@@ -70,25 +72,30 @@ def bloom_semijoin_sql(dialect: str) -> str:
              BIT_OR({shl.format(b='h % 32')}) AS word
       FROM small_bits GROUP BY h {idiv} 32
     ),
-    probe AS (
-      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
-             CASE {hashes_big} END AS h
-      FROM orders {expl}
+    probe_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    pk AS (
+      SELECT o_custkey, CASE {hashes_big} END AS h
+      FROM probe_keys {expl}
     ),
-    cand AS (
-      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
-      FROM probe p
+    cand_keys AS (
+      -- probe at KEY level, not row level: fact-row multiplicity is
+      -- preserved exactly (a row-level GROUP BY would collapse
+      -- duplicate fact rows), and the bloom join touches |distinct
+      -- keys| * k rows instead of |fact| * k
+      SELECT o_custkey
+      FROM pk p
       JOIN bloom b
         ON p.h {idiv} 32 = b.w
        AND (b.word & {shl.format(b='p.h % 32')}) != 0
-      GROUP BY o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      GROUP BY o_custkey
       HAVING COUNT(*) = {K_HASHES}
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
-    FROM cand
-    WHERE o_custkey IN (SELECT c_custkey FROM small)
+    FROM orders
+    WHERE o_custkey IN (SELECT o_custkey FROM cand_keys)
+      AND o_custkey IN (SELECT c_custkey FROM small)
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """

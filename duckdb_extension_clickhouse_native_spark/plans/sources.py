@@ -899,8 +899,12 @@ def _hive_events_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     def write(out_dir: str, t) -> None:
         ts = t.column("ts")
-        # day number from the raw timestamp (us or ns); integer math
+        # day number from the raw timestamp; only the units the driver
+        # has ever generated are accepted — a silent wrong divisor
+        # would put every row in one bogus day= directory
         unit = getattr(ts.type, "unit", None)
+        if unit not in ("us", "ns"):
+            raise ValueError(f"unexpected events ts unit {unit!r}")
         div = 86400_000_000 if unit == "us" else 86400_000_000_000
         day = pc.divide(pc.cast(ts, "int64"), div)
         t2 = t.append_column("day", pc.cast(day, "int64"))

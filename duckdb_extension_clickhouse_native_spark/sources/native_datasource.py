@@ -176,12 +176,22 @@ class NativeFilePartition(InputPartition):
 def _partition_components(load_path: str, file_path: str) -> list:
     """``key=value`` directory components of ``file_path`` relative to
     the load directory (URL-decoded, Spark's partition-path
-    convention); [] when the layout is flat."""
+    convention); [] when the layout is flat. Handles URIs (posix
+    separators, scheme stripped) and local paths alike."""
     import os
+    import posixpath
     from urllib.parse import unquote
 
-    rel = os.path.relpath(os.path.abspath(file_path), os.path.abspath(load_path))
-    comps = rel.split(os.sep)[:-1]
+    if "://" in file_path:
+        lp = load_path.split("://", 1)[1] if "://" in load_path else load_path
+        fp = file_path.split("://", 1)[1]
+        rel = posixpath.relpath(fp, lp)
+        comps = rel.split("/")[:-1]
+    else:
+        rel = os.path.relpath(
+            os.path.abspath(file_path), os.path.abspath(load_path)
+        )
+        comps = rel.split(os.sep)[:-1]
     out = []
     for c in comps:
         if "=" not in c:
@@ -378,6 +388,23 @@ class ClickHouseNativeReader(DataSourceReader):
     def _partition_value(self, key: str, raw: str):
         return self.part_types[key](raw)
 
+    def _vals_for_path(self, p: str) -> tuple:
+        """Partition values for ``p``: from the plan-time snapshot, or
+        re-derived from the path for files that appeared after
+        ``__init__`` (the streaming reader's normal case). A late file
+        whose directory layout does not match the plan-time keys is a
+        hard error — silently reading it would mislabel its rows."""
+        vals = self._part_vals_by_path.get(p)
+        if vals is not None or not self.part_keys:
+            return vals or ()
+        comps = _partition_components(self.path, p)
+        if [k for k, _v in comps] != self.part_keys:
+            raise ValueError(
+                f"file {p!r} does not follow the partition layout "
+                f"{self.part_keys} discovered at plan time"
+            )
+        return tuple(v for _k, v in comps)
+
     def _prune_partition_dirs(self, paths: list) -> list:
         """Hive-partition pruning: a pushed filter on a partition
         column is decided entirely by the path, so excluded files cost
@@ -408,16 +435,19 @@ class ClickHouseNativeReader(DataSourceReader):
         return kept if kept else paths[:1]
 
     def partitions(self) -> Sequence[InputPartition]:
-        paths = _resolve_paths(self.path)
         if self.part_keys:
+            # reuse the plan-time listing: re-resolving here could pair
+            # a freshly-appeared file with no snapshot values (and costs
+            # another recursive walk); batch reads are snapshot-semantic
+            paths = sorted(self._part_vals_by_path)
             paths = self._prune_partition_dirs(paths)
+        else:
+            paths = _resolve_paths(self.path)
         if self.skipping and self.pushed:
             paths = self._prune_paths(paths)
 
         def mk(p: str, start: int = 0, n_blocks: int = -1) -> NativeFilePartition:
-            return NativeFilePartition(
-                p, start, n_blocks, self._part_vals_by_path.get(p, ())
-            )
+            return NativeFilePartition(p, start, n_blocks, self._vals_for_path(p))
 
         if not self.split_blocks or len(paths) > 8:
             return [mk(p) for p in paths]
@@ -685,14 +715,19 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
             s = self._entry(done[p]) if p in done else {"n": 0, "bytes": 0}
             if e["n"] <= s["n"]:
                 continue
+            # hive partition values travel with every stream partition
+            # too (files typically appear AFTER the reader was planned,
+            # so they are re-derived from the path)
+            vals = self._batch._vals_for_path(p)
             if e["bytes"] == -1:
-                parts.append(NativeFilePartition(p))  # compressed whole file
+                # compressed whole file
+                parts.append(NativeFilePartition(p, part_vals=vals))
             else:
                 # seek position comes from the CHECKPOINTED start offset,
                 # so recovery after restart replays exactly the committed
                 # range — no driver-memory state involved
                 parts.append(
-                    NativeFilePartition(p, s["bytes"], e["n"] - s["n"])
+                    NativeFilePartition(p, s["bytes"], e["n"] - s["n"], vals)
                 )
         # Spark requires >=1 partition per micro-batch; emit an empty
         # no-op range when nothing is new
@@ -784,6 +819,15 @@ class _FileSink:
         os.replace(tmp, stats_sidecar_path(self.fname))
         return self.fname
 
+    def close_on_error(self) -> None:
+        """Best-effort handle close for the failure path (the task is
+        about to re-raise; abort() removes any committed paths)."""
+        try:
+            if self._raw is not None:
+                self._raw.close()
+        except Exception:
+            pass
+
 
 class ClickHouseNativeWriter(DataSourceArrowWriter):
     """One Native file per Spark partition under the target directory —
@@ -843,50 +887,61 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 self.block_rows,
             )
             os.makedirs(self.path, exist_ok=True)
-            for batch in iterator:
-                sink.write_batch(batch)
+            try:
+                for batch in iterator:
+                    sink.write_batch(batch)
+            except BaseException:
+                sink.close_on_error()
+                raise
             path = sink.finalize()
             return NativeWriteCommit(
                 paths=(path,) if path else (), rows=sink.rows
             )
 
         sinks: dict = {}
-        for batch in iterator:
-            keep_idx = [
-                i
-                for i, name in enumerate(batch.schema.names)
-                if name not in self.partition_by
-            ]
-            key_cols = [
-                batch.column(batch.schema.get_field_index(k)).to_pylist()
-                for k in self.partition_by
-            ]
-            combos = sorted({tuple(vs) for vs in zip(*key_cols)})
-            for combo in combos:
-                if any(v is None for v in combo):
-                    raise ValueError(
-                        f"NULL partition value for {self.partition_by} "
-                        "(hive paths cannot encode NULL)"
+        try:
+            for batch in iterator:
+                keep_idx = [
+                    i
+                    for i, name in enumerate(batch.schema.names)
+                    if name not in self.partition_by
+                ]
+                key_cols = [
+                    batch.column(batch.schema.get_field_index(k)).to_pylist()
+                    for k in self.partition_by
+                ]
+                # one pass over the rows: bucket row indices per combo
+                # (O(rows), not O(rows x combos)), then one take() per
+                # combo — high-cardinality partition_by stays linear
+                buckets: dict = {}
+                for ri, combo in enumerate(zip(*key_cols)):
+                    if None in combo:
+                        raise ValueError(
+                            f"NULL partition value for {self.partition_by} "
+                            "(hive paths cannot encode NULL)"
+                        )
+                    buckets.setdefault(combo, []).append(ri)
+                for combo, idxs in buckets.items():
+                    sub = batch.take(pa.array(idxs, type=pa.int64()))
+                    sub = pa.RecordBatch.from_arrays(
+                        [sub.column(i) for i in keep_idx],
+                        names=[sub.schema.names[i] for i in keep_idx],
                     )
-                mask = pa.array(
-                    [tuple(vs) == combo for vs in zip(*key_cols)]
-                )
-                sub = batch.filter(mask)
-                sub = pa.RecordBatch.from_arrays(
-                    [sub.column(i) for i in keep_idx],
-                    names=[sub.schema.names[i] for i in keep_idx],
-                )
-                sink = sinks.get(combo)
-                if sink is None:
-                    sink = sinks[combo] = _FileSink(
-                        os.path.join(
-                            self._partition_dir(combo),
-                            f"part-{token}.clickhouse",
-                        ),
-                        self.compression,
-                        self.block_rows,
-                    )
-                sink.write_batch(sub)
+                    sink = sinks.get(combo)
+                    if sink is None:
+                        sink = sinks[combo] = _FileSink(
+                            os.path.join(
+                                self._partition_dir(combo),
+                                f"part-{token}.clickhouse",
+                            ),
+                            self.compression,
+                            self.block_rows,
+                        )
+                    sink.write_batch(sub)
+        except BaseException:
+            for sink in sinks.values():
+                sink.close_on_error()
+            raise
         paths = []
         rows = 0
         for sink in sinks.values():

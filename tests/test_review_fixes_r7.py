@@ -321,3 +321,63 @@ def test_prune_skips_dirs_with_live_lock(tmp_path):
     assert os.path.isdir(live), "live-locked sibling was pruned"
     assert not os.path.isdir(dead), "dead-locked sibling survived"
     assert os.path.isdir(keep)
+
+
+def test_stream_reads_hive_partitioned_layout(spark, tmp_path):
+    """r7 review fix (batch 2): the streaming reader must thread hive
+    partition values onto every micro-batch partition — including for
+    files that appear AFTER the stream was planned."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native import write_native_file
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        infer_native_schema,
+    )
+
+    d = str(tmp_path / "hive_stream")
+    def add(day, lo):
+        sub = os.path.join(d, f"day={day}")
+        os.makedirs(sub, exist_ok=True)
+        write_native_file(
+            os.path.join(sub, f"part-{lo}.clickhouse"),
+            pa.table({"k": pa.array(range(lo, lo + 10), pa.int64())}),
+        )
+
+    add(1, 0)
+    add(2, 100)
+    stream = (
+        spark.readStream.format("clickhouse_native")
+        .schema(infer_native_schema({"path": d}))
+        .load(d)
+    )
+    import uuid as _uuid
+
+    name = f"hive_stream_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        got = {(r.day, r.k) for r in spark.table(name).collect()}
+        assert got == {(1, k) for k in range(10)} | {(2, k) for k in range(100, 110)}
+        # a file that appears mid-stream derives its values from its path
+        add(3, 200)
+        q.processAllAvailable()
+        got = {(r.day, r.k) for r in spark.table(name).collect()}
+        assert {(3, k) for k in range(200, 210)} <= got
+    finally:
+        q.stop()
+
+
+def test_partition_by_null_value_clear_error(spark, tmp_path):
+    """r7 review fix (batch 2): a NULL partition value in a mixed
+    batch must raise the designed error, not a sort TypeError."""
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, seg string"
+    )
+    with pytest.raises(Exception, match="NULL partition value"):
+        (
+            src.coalesce(1)
+            .write.format("clickhouse_native")
+            .option("partition_by", "seg")
+            .mode("append")
+            .save(str(tmp_path / "nullpart"))
+        )

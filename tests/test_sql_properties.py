@@ -439,6 +439,9 @@ def test_bloom_prefilter_never_drops_members(order_keys, segment):
             "c_mktsegment": ["AUTOMOBILE"] * len(segment) + ["MACHINERY"] * 3,
         }
     )
+    # duplicate every third fact row: multiplicity must survive the
+    # key-level bloom probe exactly (r7 review fix)
+    order_keys = order_keys + order_keys[::3]
     orders = pd.DataFrame(
         {
             "o_orderkey": range(len(order_keys)),
