@@ -396,8 +396,8 @@ class Query:
 # events_retention_cohorts, stream_window_funnel,
 # native_hive_partition_scan, events_sequence_match,
 # events_replacing_merge, join_bloom_prefilter, dq_audit_checks,
-# merge_upsert_customers, rag_pipeline_topk, events_gap_fill_locf
-# (the window was
+# merge_upsert_customers, rag_pipeline_topk, events_gap_fill_locf,
+# join_salted_skew (the window was
 # already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the

@@ -242,6 +242,53 @@ REGISTRY.sql_query(
 )
 
 
+# --- salted skew JOIN (the join twin of skew_salted_agg) --------------------
+# event_type has 5 values over 100k+ rows — the textbook hot-key join.
+# The salted form replicates the broadcast-size dim once per salt and
+# spreads each hot key over 8 reducers; the oracle is the PLAIN join,
+# proving salt-independence of the result.
+REGISTRY.sql_query(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT * FROM VALUES ('click', 2), ('view', 1), ('purchase', 5),
+                           ('signup', 3), ('error', 0) AS d(event_type, mult)
+    ),
+    dim_rep AS (
+      SELECT event_type, mult, explode(sequence(0, 7)) AS salt FROM dim
+    ),
+    fact AS (
+      SELECT event_type, value, pmod(hash(event_id), 8) AS salt FROM events
+    )
+    SELECT f.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(f.value * d.mult AS DECIMAL(18,6))) AS DOUBLE)
+             AS weighted_value
+    FROM fact f
+    JOIN dim_rep d ON f.event_type = d.event_type AND f.salt = d.salt
+    GROUP BY f.event_type
+    ORDER BY f.event_type
+    """,
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('click', 2), ('view', 1), ('purchase', 5),
+                            ('signup', 3), ('error', 0)) AS d(event_type, mult)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value * d.mult AS DECIMAL(18,6))) AS DOUBLE)
+             AS weighted_value
+    FROM events e
+    JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tables=["events"],
+    tags=["join", "skew", "scale"],
+    description="salted hot-key join: dim replicated per salt, fact salted — result == plain join",
+)
+
+
 # --- time-based RANGE window frame ------------------------------------------
 REGISTRY.sql_query(
     "window_time_range_frame",
