@@ -242,6 +242,54 @@ REGISTRY.sql_query(
 )
 
 
+# --- AggregatingMergeTree-style partial-state merge -------------------------
+# ClickHouse maintains pre-aggregated -State columns and merges them on
+# read; the same algebra in portable SQL: partial states over base and
+# delta relations merged with the aggregates' own merge functions
+# (SUM of counts/decimal-sums, MIN of mins, MAX of maxes). Decimal
+# addition is associative-exact, so merged == full recompute to the bit
+# — the oracle IS the full recompute.
+_AGG_STATE = """
+      SELECT event_type,
+             COUNT(*) AS cnt,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sm,
+             MIN(value) AS mn, MAX(value) AS mx
+"""
+REGISTRY.sql_query(
+    "agg_state_merge",
+    f"""
+    WITH base AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+    delta AS (SELECT * FROM events WHERE event_id % 10 = 0),
+    base_state AS ({_AGG_STATE} FROM base GROUP BY event_type),
+    delta_state AS ({_AGG_STATE} FROM delta GROUP BY event_type),
+    merged AS (
+      SELECT event_type, SUM(cnt) AS cnt, SUM(sm) AS sm,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM (SELECT * FROM base_state UNION ALL SELECT * FROM delta_state) u
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(cnt AS BIGINT) AS n,
+           CAST(sm AS DOUBLE) AS total_value,
+           CAST(sm AS DOUBLE) / cnt AS avg_value,
+           mn AS min_value, mx AS max_value
+    FROM merged
+    ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tables=["events"],
+    tags=["agg", "state", "incremental"],
+    description="AggregatingMergeTree semantics: base+delta partial states merged == full recompute",
+)
+
+
 # --- salted skew JOIN (the join twin of skew_salted_agg) --------------------
 # event_type has 5 values over 100k+ rows — the textbook hot-key join.
 # The salted form replicates the broadcast-size dim once per salt and
