@@ -38,9 +38,14 @@ def asof_join(
     value_cols: list[str],
     n_buckets: int | None = None,
     strategy: str = "auto",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Generic backward as-of join: for every left row, attach the
-    latest right row (by ``right_ts``) with right_ts <= left_ts and
+    """Generic as-of join: for every left row, attach the nearest
+    right row (by ``right_ts``) on the ``direction`` side of left_ts
+    (backward: latest right_ts <= left_ts; forward: earliest
+    right_ts >= left_ts), optionally within ``tolerance_us``
+    microseconds — pandas ``merge_asof`` semantics, engine-wide, with
     equal ``key``. Right must be unique per (key, right_ts); left rows
     must be distinct (they are grouped back per-row on the broadcast
     path).
@@ -83,16 +88,28 @@ def asof_join(
         # per-row id so duplicate left rows each keep their own output
         # row (id is only compared within this one plan execution)
         lid = left.withColumn("__lrow", F.monotonically_increasing_id())
+        lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+        rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+        if direction == "backward":
+            cond = rt <= lt
+            if tolerance_us is not None:
+                cond = cond & (lt - rt <= F.lit(tolerance_us))
+            pick, pick_by = F.max, F.max_by
+        else:
+            cond = rt >= lt
+            if tolerance_us is not None:
+                cond = cond & (rt - lt <= F.lit(tolerance_us))
+            pick, pick_by = F.min, F.min_by
         j = lid.join(
             F.broadcast(right.withColumnRenamed(key, rkey)),
-            on=(F.col(key) == F.col(rkey)) & (F.col(right_ts) <= F.col(left_ts)),
+            on=(F.col(key) == F.col(rkey)) & cond,
             how="left",
         )
         out = j.groupBy("__lrow").agg(
             *[F.first(c).alias(c) for c in lcols],  # constant per group
-            F.max(right_ts).alias(right_ts),
+            pick(right_ts).alias(right_ts),
             *[
-                F.max_by(F.col(c), F.col(right_ts)).alias(c)
+                pick_by(F.col(c), F.col(right_ts)).alias(c)
                 for c in value_cols
             ],
         )
@@ -137,7 +154,13 @@ def asof_join(
                 out[c] = None
             return out
         merged = pd.merge_asof(
-            le, ri, left_on=left_ts, right_on=right_ts, by=key, direction="backward"
+            le, ri, left_on=left_ts, right_on=right_ts, by=key,
+            direction=direction,
+            tolerance=(
+                pd.Timedelta(microseconds=tolerance_us)
+                if tolerance_us is not None
+                else None
+            ),
         )
         return merged[lcols + [right_ts] + value_cols]
 
@@ -230,3 +253,64 @@ def sessionize_sql(dialect: str, gap_seconds: int = 1800) -> str:
     FROM sessions
     GROUP BY user_id, session_no
     """
+
+
+def asof_join_events_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each event, the customer's
+    NEXT order date within 7 days (the attribution-window question —
+    'did this event lead to an order?'), plus that day's max price.
+    Same engine as the backward flagship; only direction/tolerance
+    change."""
+    from ..plans.base import load_tables
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    events = t["events"].select("event_id", "user_id", "ts")
+    orders = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("next_order_ts"),
+        )
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("next_order_price")
+        )
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="next_order_ts",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "next_order_ts timestamp_ntz, next_order_price double"
+        ),
+        value_cols=["next_order_price"],
+        direction="forward",
+        tolerance_us=7 * 86400 * 1_000_000,
+    )
+
+
+ASOF_FORWARD_ORACLE_SQL = """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS next_order_price
+      FROM orders GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             MIN(d.order_ts) AS next_order_ts
+      FROM events e
+      LEFT JOIN daily d
+        ON d.user_id = e.user_id
+       AND d.order_ts >= CAST(e.ts AS TIMESTAMP)
+       AND epoch_us(CAST(d.order_ts AS TIMESTAMP))
+           - epoch_us(CAST(e.ts AS TIMESTAMP)) <= 604800000000
+      GROUP BY e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT m.event_id, m.user_id, m.ts, m.next_order_ts, d.next_order_price
+    FROM matched m
+    LEFT JOIN daily d ON d.user_id = m.user_id AND d.order_ts = m.next_order_ts
+"""

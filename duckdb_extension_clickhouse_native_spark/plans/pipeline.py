@@ -32,7 +32,13 @@ from ..functions.text import (
     repetition_sql,
     token_count_sql,
 )
-from ..operators.asof import ASOF_ORACLE_SQL, asof_join_events_orders, sessionize_sql
+from ..operators.asof import (
+    ASOF_FORWARD_ORACLE_SQL,
+    ASOF_ORACLE_SQL,
+    asof_join_events_next_order,
+    asof_join_events_orders,
+    sessionize_sql,
+)
 from ..operators.components import (
     components_oracle_sql,
     connected_components,
@@ -377,6 +383,15 @@ _sql_pair(
     ["merge", "cdc", "upsert"],
     "MERGE INTO semantics without a lakehouse: full-outer join of base "
     "vs CDC delta with per-row merge_action labels",
+)
+
+REGISTRY.df_query(
+    "asof_join_forward_tolerance",
+    asof_join_events_next_order,
+    oracle=ASOF_FORWARD_ORACLE_SQL,
+    tags=["join", "asof", "forward", "tolerance"],
+    description="forward as-of with 7-day tolerance (attribution window): "
+    "next order per event; same engine as the backward flagship",
 )
 
 _sql_pair(
