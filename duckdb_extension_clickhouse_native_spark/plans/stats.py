@@ -242,6 +242,54 @@ REGISTRY.sql_query(
 )
 
 
+# --- exact weighted quantiles (quantileExactWeighted) -----------------------
+# ClickHouse's quantileExactWeighted, re-expressed: cumulative weight
+# along the value order crosses q * total_weight at the answer. The
+# crossing row's VALUE is tie-insensitive (equal-value runs cross
+# within the run), so the result is engine-deterministic even though
+# the per-row cumulative sums under ties are not. One window shuffle
+# per group key; values are copied, never recomputed — no float rule
+# needed.
+_WQ = """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    ),
+    q AS (
+      SELECT l_returnflag, price, tw,
+             CASE WHEN cw * 2 >= tw THEN 1 ELSE 0 END AS ge_median,
+             CASE WHEN cw * 4 >= tw THEN 1 ELSE 0 END AS ge_p25,
+             CASE WHEN cw * 4 >= 3 * tw THEN 1 ELSE 0 END AS ge_p75
+      FROM cum
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN ge_p25 = 1 THEN price END) AS wp25,
+           MIN(CASE WHEN ge_median = 1 THEN price END) AS wmedian,
+           MIN(CASE WHEN ge_p75 = 1 THEN price END) AS wp75,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM q
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+REGISTRY.sql_query(
+    "weighted_percentiles_price",
+    _WQ,
+    oracle=_WQ,
+    tables=["lineitem"],
+    tags=["agg", "percentile", "weighted"],
+    description="exact quantity-weighted price quantiles (quantileExactWeighted semantics)",
+)
+
+
 # --- AggregatingMergeTree-style partial-state merge -------------------------
 # ClickHouse maintains pre-aggregated -State columns and merges them on
 # read; the same algebra in portable SQL: partial states over base and
