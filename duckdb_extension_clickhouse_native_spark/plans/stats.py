@@ -303,11 +303,15 @@ _AGG_STATE = """
              SUM(CAST(value AS DECIMAL(18,6))) AS sm,
              MIN(value) AS mn, MAX(value) AS mx
 """
-REGISTRY.sql_query(
-    "agg_state_merge",
-    f"""
-    WITH base AS (SELECT * FROM events WHERE event_id % 10 <> 0),
-    delta AS (SELECT * FROM events WHERE event_id % 10 = 0),
+
+
+def agg_state_merge_sql(mod: int = 10) -> str:
+    """Merged-partial-state form, split by ``event_id % mod`` (any
+    deterministic split must equal the full recompute — the property
+    test varies ``mod``)."""
+    return f"""
+    WITH base AS (SELECT * FROM events WHERE event_id % {mod} <> 0),
+    delta AS (SELECT * FROM events WHERE event_id % {mod} = 0),
     base_state AS ({_AGG_STATE} FROM base GROUP BY event_type),
     delta_state AS ({_AGG_STATE} FROM delta GROUP BY event_type),
     merged AS (
@@ -323,15 +327,22 @@ REGISTRY.sql_query(
            mn AS min_value, mx AS max_value
     FROM merged
     ORDER BY event_type
-    """,
-    oracle="""
+    """
+
+
+AGG_STATE_FULL_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM events GROUP BY event_type ORDER BY event_type
-    """,
+    """
+
+REGISTRY.sql_query(
+    "agg_state_merge",
+    agg_state_merge_sql(10),
+    oracle=AGG_STATE_FULL_ORACLE,
     tables=["events"],
     tags=["agg", "state", "incremental"],
     description="AggregatingMergeTree semantics: base+delta partial states merged == full recompute",

@@ -469,3 +469,70 @@ def test_bloom_prefilter_never_drops_members(order_keys, segment):
         """
     ).fetchall()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=0, max_value=50),   # price (small domain -> ties)
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_weighted_quantiles_equal_reference(rows):
+    """Cumulative-weight crossing == an independent Python weighted
+    quantile, including under heavy value ties (the tie-insensitivity
+    argument, checked)."""
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.plans.stats import _WQ
+
+    li = pd.DataFrame(
+        {
+            "l_returnflag": [r[0] for r in rows],
+            "l_extendedprice": [float(r[1]) for r in rows],
+            "l_quantity": [r[2] for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    got = {r[0]: r[1:] for r in con.execute(_WQ).fetchall()}
+
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values(["l_extendedprice", "l_quantity"], kind="mergesort")
+        cw = g["l_quantity"].cumsum()
+        tw = int(g["l_quantity"].sum())
+        def q(mult_num, mult_den):
+            return float(
+                g["l_extendedprice"][cw * mult_den >= mult_num * tw].iloc[0]
+            )
+        wp25, wmed, wp75, total = got[flag]
+        assert total == tw
+        assert wp25 == q(1, 4)
+        assert wmed == q(1, 2)
+        assert wp75 == q(3, 4)
+
+
+@given(st.integers(min_value=2, max_value=97))
+@settings(deadline=None, max_examples=25)
+def test_agg_state_merge_any_split(mod):
+    """Partial-state merge must equal the full recompute for ANY
+    deterministic base/delta split of the corpus."""
+    from duckdb_extension_clickhouse_native_spark.plans.stats import (
+        AGG_STATE_FULL_ORACLE,
+        agg_state_merge_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    assert (
+        con.execute(agg_state_merge_sql(mod)).fetchall()
+        == con.execute(AGG_STATE_FULL_ORACLE).fetchall()
+    )
