@@ -35,6 +35,12 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+def strip_scheme(path: str) -> str:
+    """Scheme-less form of a URI (no-op for local paths) — the ONE
+    place URI normalization for relative-path math lives."""
+    return path.split("://", 1)[1] if is_uri(path) else path
+
+
 def _glob_to_regex(pat: str):
     """Glob -> regex where ``*`` and ``?`` do NOT cross ``/`` (the
     glob.glob semantics the local path already has)."""
@@ -134,27 +140,32 @@ def resolve_paths(path: str) -> list[str]:
     if info.type == FileType.Directory:
         # recursive so hive key=value subdirectories are discovered on
         # object stores exactly as on local paths; files under non-hive
-        # subdirectories are excluded (same rule as the local branch,
-        # which only descends into key=value entries)
+        # subdirectories are excluded, and the suffix-preference /
+        # non-underscore fallback applies PER DIRECTORY — the same
+        # semantics the local branch gets from its per-directory
+        # recursion (a global fallback would drop whole partitions
+        # whose files lack the preferred suffix)
         infos = fs.get_file_info(FileSelector(p, recursive=True))
-        names = sorted(
-            i.path
-            for i in infos
-            if i.type == FileType.File
-            and all(
-                "=" in c
-                for c in posixpath.relpath(i.path, p).split("/")[:-1]
-            )
-        )
-        out = [n for n in names if n.endswith(_DATA_SUFFIXES)]
-        if not out:
-            out = [
-                n
-                for n in names
-                if not posixpath.basename(n).startswith("_")
-                and "/" not in posixpath.relpath(n, p)
-            ]
-        return [_rebuild(scheme, n) for n in out]
+        by_dir: dict = {}
+        for i in infos:
+            if i.type != FileType.File:
+                continue
+            comps = posixpath.relpath(i.path, p).split("/")[:-1]
+            if not all("=" in c for c in comps):
+                continue
+            by_dir.setdefault("/".join(comps), []).append(i.path)
+        out = []
+        for _d in sorted(by_dir):
+            names = sorted(by_dir[_d])
+            keep = [n for n in names if n.endswith(_DATA_SUFFIXES)]
+            if not keep:
+                keep = [
+                    n
+                    for n in names
+                    if not posixpath.basename(n).startswith("_")
+                ]
+            out.extend(keep)
+        return [_rebuild(scheme, n) for n in sorted(out)]
     return [path]
 
 

@@ -66,6 +66,11 @@ def asof_join(
     columns in ``out_schema`` order and preserve duplicate left rows
     (the broadcast path groups on a per-row id, not on the left's
     columns)."""
+    if direction not in ("backward", "forward"):
+        # both execution strategies must agree; pandas would accept
+        # 'nearest' on the bucket path while the broadcast path cannot
+        # express it — reject anything the engine-wide contract lacks
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if strategy == "auto":
         if n_buckets is not None:
             strategy = "bucket"

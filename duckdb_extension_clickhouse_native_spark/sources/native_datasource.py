@@ -168,9 +168,13 @@ class NativeFilePartition(InputPartition):
     path: str
     start_offset: int = 0
     n_blocks: int = -1  # -1 = to EOF
-    # raw hive-partition values aligned to the reader's part_keys
-    # (strings; typed at read time) — empty for unpartitioned layouts
+    # raw hive-partition (key, value-string) pairs, typed at read time
+    # from the declared schema — empty for unpartitioned layouts. Keys
+    # travel WITH the partition because the executor-side reader copy
+    # may have been pickled before a stream adopted a late-discovered
+    # layout (driver-side reader mutations never reach executors).
     part_vals: tuple = ()
+    part_keys: tuple = ()
 
 
 def _partition_components(load_path: str, file_path: str) -> list:
@@ -182,9 +186,11 @@ def _partition_components(load_path: str, file_path: str) -> list:
     import posixpath
     from urllib.parse import unquote
 
-    if "://" in file_path:
-        lp = load_path.split("://", 1)[1] if "://" in load_path else load_path
-        fp = file_path.split("://", 1)[1]
+    from ..filesystem import is_uri, strip_scheme
+
+    if is_uri(file_path):
+        lp = strip_scheme(load_path)
+        fp = strip_scheme(file_path)
         rel = posixpath.relpath(fp, lp)
         comps = rel.split("/")[:-1]
     else:
@@ -391,13 +397,32 @@ class ClickHouseNativeReader(DataSourceReader):
     def _vals_for_path(self, p: str) -> tuple:
         """Partition values for ``p``: from the plan-time snapshot, or
         re-derived from the path for files that appeared after
-        ``__init__`` (the streaming reader's normal case). A late file
-        whose directory layout does not match the plan-time keys is a
-        hard error — silently reading it would mislabel its rows."""
+        ``__init__`` (the streaming reader's normal case — including a
+        stream planned on an EMPTY directory, where the layout itself
+        is discovered from the first late file, typed from the declared
+        schema). A late file whose directory layout does not match the
+        established keys is a hard error — silently reading it would
+        mislabel its rows."""
         vals = self._part_vals_by_path.get(p)
-        if vals is not None or not self.part_keys:
-            return vals or ()
+        if vals is not None:
+            return vals
         comps = _partition_components(self.path, p)
+        if not self.part_keys:
+            keys = [k for k, _v in comps]
+            declared = set(self.spark_schema.fieldNames())
+            if not comps or not all(k in declared for k in keys):
+                return ()
+            # adopt the layout; value types follow the declared schema
+            self.part_keys = keys
+            self.part_types = {
+                k: (
+                    int
+                    if self.spark_schema[k].dataType.simpleString()
+                    in ("bigint", "int", "smallint", "tinyint")
+                    else str
+                )
+                for k in keys
+            }
         if [k for k, _v in comps] != self.part_keys:
             raise ValueError(
                 f"file {p!r} does not follow the partition layout "
@@ -447,7 +472,8 @@ class ClickHouseNativeReader(DataSourceReader):
             paths = self._prune_paths(paths)
 
         def mk(p: str, start: int = 0, n_blocks: int = -1) -> NativeFilePartition:
-            return NativeFilePartition(p, start, n_blocks, self._vals_for_path(p))
+            vals = self._vals_for_path(p)
+            return NativeFilePartition(p, start, n_blocks, vals, tuple(self.part_keys))
 
         if not self.split_blocks or len(paths) > 8:
             return [mk(p) for p in paths]
@@ -534,11 +560,20 @@ class ClickHouseNativeReader(DataSourceReader):
                 batch = blk.to_record_batch()
                 # align column order + types with the declared schema;
                 # hive-partition columns are path-derived constants
-                part_val = dict(zip(self.part_keys, partition.part_vals))
+                # (keys from the partition itself — see NativeFilePartition)
+                part_val = dict(
+                    zip(partition.part_keys or self.part_keys, partition.part_vals)
+                )
                 arrays = []
                 for fld in target:
                     if fld.name in part_val:
-                        v = self.part_types[fld.name](part_val[fld.name])
+                        raw = part_val[fld.name]
+                        if pa.types.is_integer(fld.type):
+                            v = int(raw)
+                        elif pa.types.is_floating(fld.type):
+                            v = float(raw)
+                        else:
+                            v = raw
                         arrays.append(
                             pa.array([v] * batch.num_rows, type=fld.type)
                         )
@@ -717,17 +752,21 @@ class ClickHouseNativeStreamReader(DataSourceStreamReader):
                 continue
             # hive partition values travel with every stream partition
             # too (files typically appear AFTER the reader was planned,
-            # so they are re-derived from the path)
+            # so they are re-derived from the path; _vals_for_path may
+            # also ADOPT a late-discovered layout, so read keys after)
             vals = self._batch._vals_for_path(p)
+            keys = tuple(self._batch.part_keys)
             if e["bytes"] == -1:
                 # compressed whole file
-                parts.append(NativeFilePartition(p, part_vals=vals))
+                parts.append(
+                    NativeFilePartition(p, part_vals=vals, part_keys=keys)
+                )
             else:
                 # seek position comes from the CHECKPOINTED start offset,
                 # so recovery after restart replays exactly the committed
                 # range — no driver-memory state involved
                 parts.append(
-                    NativeFilePartition(p, s["bytes"], e["n"] - s["n"], vals)
+                    NativeFilePartition(p, s["bytes"], e["n"] - s["n"], vals, keys)
                 )
         # Spark requires >=1 partition per micro-batch; emit an empty
         # no-op range when nothing is new
@@ -890,10 +929,10 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             try:
                 for batch in iterator:
                     sink.write_batch(batch)
+                path = sink.finalize()
             except BaseException:
                 sink.close_on_error()
                 raise
-            path = sink.finalize()
             return NativeWriteCommit(
                 paths=(path,) if path else (), rows=sink.rows
             )
@@ -938,17 +977,19 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                             self.block_rows,
                         )
                     sink.write_batch(sub)
+            # finalize inside the same guard: a flush/close failure on
+            # one sink must still close the remaining open handles
+            paths = []
+            rows = 0
+            for sink in sinks.values():
+                p = sink.finalize()
+                if p:
+                    paths.append(p)
+                    rows += sink.rows
         except BaseException:
             for sink in sinks.values():
                 sink.close_on_error()
             raise
-        paths = []
-        rows = 0
-        for sink in sinks.values():
-            p = sink.finalize()
-            if p:
-                paths.append(p)
-                rows += sink.rows
         return NativeWriteCommit(paths=tuple(paths), rows=rows)
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:

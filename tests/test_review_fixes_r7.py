@@ -381,3 +381,65 @@ def test_partition_by_null_value_clear_error(spark, tmp_path):
             .mode("append")
             .save(str(tmp_path / "nullpart"))
         )
+
+
+def test_uri_dir_listing_matches_local_per_directory(tmp_path):
+    """r7 review fix (batch 3): suffix preference / fallback must apply
+    PER DIRECTORY on the URI branch, exactly like the local branch —
+    a partition whose files lack the preferred suffix must not vanish."""
+    from duckdb_extension_clickhouse_native_spark.filesystem import resolve_paths
+
+    d = tmp_path / "tbl"
+    (d / "day=1").mkdir(parents=True)
+    (d / "day=2").mkdir()
+    (d / "day=1" / "part-0.native").write_bytes(b"x")
+    (d / "day=2" / "part-0.data").write_bytes(b"x")
+    local = [os.path.relpath(p, d) for p in resolve_paths(str(d))]
+    via_uri = [
+        os.path.relpath(p.replace("file://", ""), d)
+        for p in resolve_paths(f"file://{d}")
+    ]
+    assert local == via_uri == ["day=1/part-0.native", "day=2/part-0.data"]
+
+
+def test_asof_rejects_unknown_direction(spark):
+    """r7 review fix (batch 3): an unsupported direction must raise
+    instead of silently diverging between strategies."""
+    from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
+
+    df = spark.range(1).selectExpr("id AS k", "id AS t")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "k", "t", "t", "k long, t long", [], direction="nearest")
+
+
+def test_stream_adopts_layout_discovered_after_planning(spark, tmp_path):
+    """r7 review fix (batch 3): a stream planned on an EMPTY directory
+    must still restore partition values for late files (layout adopted
+    from the first file's path, typed from the declared schema)."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native import write_native_file
+
+    d = str(tmp_path / "late_hive")
+    os.makedirs(d)
+    schema = "k bigint, day bigint"
+    stream = (
+        spark.readStream.format("clickhouse_native").schema(schema).load(d)
+    )
+    import uuid as _uuid
+
+    name = f"late_hive_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        sub = os.path.join(d, "day=5")
+        os.makedirs(sub)
+        write_native_file(
+            os.path.join(sub, "p.clickhouse"),
+            pa.table({"k": pa.array([1, 2], pa.int64())}),
+        )
+        q.processAllAvailable()
+        got = sorted((r.day, r.k) for r in spark.table(name).collect())
+        assert got == [(5, 1), (5, 2)]
+    finally:
+        q.stop()
