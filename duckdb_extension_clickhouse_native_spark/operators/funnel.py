@@ -1,9 +1,9 @@
-"""Event-sequence analytics: windowed funnels and cohort retention —
-the signature ClickHouse event-analytics aggregates (``windowFunnel``,
-``retention``) re-expressed as pure relational algebra. The reference
-is a ClickHouse-ecosystem extension (SURVEY.md §0), so these are the
-queries its users run server-side through ``clickhouse_scan``; here
-the host engine supplies them.
+"""Event-sequence analytics — the signature ClickHouse aggregates
+(``windowFunnel``, ``retention``, ``sequenceMatch``), FINAL-style
+dedup-on-read, and WITH FILL gap filling, re-expressed as pure
+relational algebra. The reference is a ClickHouse-ecosystem extension
+(SURVEY.md §0), so these are the queries its users run server-side
+through ``clickhouse_scan``; here the host engine supplies them.
 
 ``window_funnel_sql`` — max chain prefix (view -> click -> purchase)
 matched in strict (ts, event_id) order with every step within
