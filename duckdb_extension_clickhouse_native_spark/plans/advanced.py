@@ -245,3 +245,72 @@ REGISTRY.sql_query(
 
 def register() -> None:
     """Import side effect — queries registered above."""
+
+# --- UNPIVOT (the inverse of pivot_event_counts) ----------------------------
+# Spark side uses the real UNPIVOT relational operator (Spark >= 3.4);
+# the oracle re-expresses it as the portable UNION ALL melt — same rows
+# by definition, proving the operator against first principles.
+REGISTRY.sql_query(
+    "unpivot_event_counts",
+    """
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n
+    FROM p UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+    WHERE n > 0
+    ORDER BY user_id, metric
+    """,
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM (
+      SELECT user_id, 'n_click' AS metric, n_click AS n FROM p
+      UNION ALL SELECT user_id, 'n_view', n_view FROM p
+      UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM p
+    ) u
+    WHERE n > 0
+    ORDER BY user_id, metric
+    """,
+    tables=["events"],
+    tags=["unpivot", "reshape"],
+    description="UNPIVOT melt of per-user event counts == portable UNION ALL oracle",
+)
+
+# --- LATERAL correlated subquery in FROM ------------------------------------
+# Per-driving-row dependent subquery (top-3 most recent orders for each
+# of the top-10 customers) — the plan shape Catalyst rewrites to a
+# ranked join rather than N subqueries; identical SQL parses in DuckDB.
+_LATERAL_SQL = """
+    WITH topc AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    )
+    SELECT t.c_custkey, t.bal, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM topc t,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey = t.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 3
+    ) o
+    ORDER BY t.c_custkey, o.o_orderkey
+    """
+REGISTRY.sql_query(
+    "lateral_topn_per_customer",
+    _LATERAL_SQL,
+    oracle=_LATERAL_SQL,
+    tables=["customer", "orders"],
+    tags=["lateral", "join", "subquery"],
+    description="LATERAL dependent top-3 per driving row (shared SQL text, both engines)",
+)
+

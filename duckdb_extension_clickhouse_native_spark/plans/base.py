@@ -398,7 +398,8 @@ class Query:
 # events_replacing_merge, join_bloom_prefilter, dq_audit_checks,
 # merge_upsert_customers, rag_pipeline_topk, events_gap_fill_locf,
 # join_salted_skew, agg_state_merge, asof_join_forward_tolerance,
-# weighted_percentiles_price (the window was
+# weighted_percentiles_price, unpivot_event_counts,
+# lateral_topn_per_customer (the window was
 # already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the
