@@ -51,6 +51,10 @@ Options:
     partition_by    writer: comma-separated columns to fan out as
                     hive-style key=value directories (dropped from the
                     file payload; the reader restores and prunes them)
+    allow_missing_columns  'true' -> additive schema evolution: a file
+                    written before a column existed reads it as NULLs
+                    (pass an explicit schema from the NEWEST file);
+                    default raises on drift
 """
 
 from __future__ import annotations
@@ -322,6 +326,9 @@ class ClickHouseNativeReader(DataSourceReader):
         self.split_blocks = str(options.get("split_blocks", "false")).lower() == "true"
         self.target_bytes = int(options.get("target_partition_bytes", 128 * 1024 * 1024))
         self.skipping = str(options.get("skipping", "true")).lower() == "true"
+        self.allow_missing_columns = (
+            str(options.get("allow_missing_columns", "false")).lower() == "true"
+        )
         self.pushed: List[Filter] = []
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
@@ -580,10 +587,16 @@ class ClickHouseNativeReader(DataSourceReader):
                         continue
                     idx = batch.schema.get_field_index(fld.name)
                     if idx < 0:
+                        if self.allow_missing_columns:
+                            # additive schema evolution: files written
+                            # before a column existed read it as NULLs
+                            arrays.append(pa.nulls(batch.num_rows, fld.type))
+                            continue
                         raise ValueError(
                             f"column {fld.name!r} missing from block in "
                             f"{partition.path!r} (file schema drift? schema() "
-                            f"inspects only the first file)"
+                            f"inspects only the first file — pass "
+                            f"allow_missing_columns=true for additive evolution)"
                         )
                     col = batch.column(idx)
                     if col.type != fld.type:

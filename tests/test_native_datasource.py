@@ -98,3 +98,38 @@ def test_directory_and_glob_reads(spark, tmp_path):
 def test_missing_file_is_planning_error(spark):
     with pytest.raises(Exception):
         spark.read.format("clickhouse_native").load("/nonexistent/x.clickhouse").count()
+
+
+def test_allow_missing_columns_additive_evolution(spark, tmp_path):
+    """A directory mixing old files (k only) and new files (k, v) reads
+    with the newest schema when allow_missing_columns=true — old files
+    surface v as NULLs; the default still raises on drift."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native import write_native_file
+
+    d = str(tmp_path / "evolve")
+    os.makedirs(d)
+    write_native_file(
+        os.path.join(d, "a-old.clickhouse"),
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+    )
+    write_native_file(
+        os.path.join(d, "b-new.clickhouse"),
+        pa.table(
+            {"k": pa.array([3, 4], pa.int64()), "v": pa.array([30.0, 40.0])}
+        ),
+    )
+    schema = "k bigint, v double"
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(schema)
+        .option("allow_missing_columns", "true")
+        .load(d)
+    )
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == [(1, None), (2, None), (3, 30.0), (4, 40.0)]
+
+    strict = spark.read.format("clickhouse_native").schema(schema).load(d)
+    with pytest.raises(Exception, match="missing from block"):
+        strict.collect()
