@@ -38,12 +38,17 @@ def write_native_stream(
     ch_types: Optional[list[CHType]] = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     schema: Optional[pa.Schema] = None,
+    on_block=None,
 ) -> int:
     """Write record batches as Native blocks; returns rows written.
 
     An empty input with a known ``schema`` still writes one header-only
     0-row block (as ClickHouse itself does for empty results) so
     readers can recover the schema.
+
+    ``on_block(offset, piece)`` is invoked with ``buf.tell()`` before
+    each data block — callers use it to build the per-block stats
+    index (only meaningful on uncompressed, tell()-able sinks).
     """
     total = 0
     wrote_any = False
@@ -58,6 +63,8 @@ def write_native_stream(
         start = 0
         while start < batch.num_rows:
             piece = batch.slice(start, block_rows)
+            if on_block is not None:
+                on_block(buf.tell(), piece)
             _write_block_with_nullable_names(buf, piece, types)
             start += piece.num_rows
             total += piece.num_rows
@@ -179,6 +186,17 @@ def write_native_file(
         batches = table.to_batches(max_chunksize=block_rows)
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
+    blocks: list[dict] = []
+
+    def _record(off: int, piece: pa.RecordBatch) -> None:
+        blocks.append(
+            {
+                "offset": int(off),
+                "rows": int(piece.num_rows),
+                "columns": _column_stats(piece),
+            }
+        )
+
     with open(path, "wb") as f:
         buf: BinaryIO = io.BufferedWriter(f, buffer_size=1 << 20)
         if compression is not None:
@@ -191,13 +209,25 @@ def write_native_file(
             comp.flush()
         else:
             n = write_native_stream(
-                buf, batches, ch_types=types, block_rows=block_rows, schema=schema
+                buf,
+                batches,
+                ch_types=types,
+                block_rows=block_rows,
+                schema=schema,
+                on_block=_record if stats else None,
             )
         buf.flush()
     if stats:
         import json
 
         side = {"rows": int(table.num_rows), "columns": _column_stats(table)}
+        if blocks:
+            # per-block index (the parquet row-group analogue): lets the
+            # scan prune BLOCK RANGES inside one file, not just whole
+            # files. file_bytes pins validity — a file grown after the
+            # sidecar was written invalidates the block index.
+            side["blocks"] = blocks
+            side["file_bytes"] = os.path.getsize(path)
         tmp = stats_sidecar_path(path) + ".tmp"
         with open(tmp, "w") as sf:
             json.dump(side, sf)

@@ -976,3 +976,70 @@ REGISTRY.df_query(
     tags=["source", "native", "hive", "partition", "pruning"],
     description="hive-partitioned Native layout: directory pruning on path-derived columns == raw-table oracle",
 )
+
+
+def _block_sorted_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Events sorted by user_id in ONE Native file of many small
+    blocks — the layout where PER-BLOCK sidecar stats (the parquet
+    row-group analogue, written by every writer since r7) let a
+    point/range predicate read a few block ranges of a single huge
+    file instead of all of it."""
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        import pyarrow.compute as pc
+
+        t2 = t.drop(["props"]).sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        n = t2.num_rows
+        write_native_file(
+            os.path.join(out_dir, "events-sorted.clickhouse"),
+            t2,
+            block_rows=max(256, n // 32),
+        )
+
+    return _materialize_fixture(sf_dir, "events", "events-blocksorted", write)
+
+
+def _native_block_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate over the block-sorted single-file layout: the
+    pushed user_id range prunes BLOCK RANGES against the per-block
+    sidecar index at planning (no header scan, no IO for excluded
+    blocks); the oracle computes the same slice on the raw table, so
+    the hash proves block pruning drops no rows."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _block_sorted_events_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .option("split_blocks", "true")
+        .option("target_partition_bytes", str(64 * 1024))
+        .load(path)
+    )
+    return (
+        df.filter((F.col("user_id") >= 10) & (F.col("user_id") <= 24))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "native_block_skip_scan",
+    _native_block_skip_scan,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 24
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["source", "native", "blocks", "skipping", "pushdown"],
+    description="per-block sidecar index prunes block ranges inside ONE file == raw-table oracle",
+)

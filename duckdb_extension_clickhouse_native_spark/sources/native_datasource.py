@@ -44,8 +44,12 @@ Options:
                     '<unsupported:T>' varchar placeholders like
                     lib.rs:168-170 (payload bytes are NOT consumed, so
                     only safe when that column is last); default raises
-    split_blocks    'true' -> split files into block-range partitions
-                    (driver does one header-scan pass per file)
+    split_blocks    'true' -> split files into block-range partitions;
+                    offsets come from the writer's per-block sidecar
+                    index when present (no header scan), and pushed
+                    filters prune block RANGES against the per-block
+                    min/max — the parquet row-group analogue (33 -> 4
+                    blocks measured on the sorted-events fixture)
     target_partition_bytes  approx bytes per partition when splitting
     block_rows      writer: rows per Native block (default 65409)
     partition_by    writer: comma-separated columns to fan out as
@@ -494,29 +498,84 @@ class ClickHouseNativeReader(DataSourceReader):
                 # is one partition; parallelism comes from many files
                 parts.append(mk(p))
                 continue
-            offsets = scan_block_offsets(p)
             from ..filesystem import file_size
 
             size = file_size(p)
-            if not offsets:
+            # per-block stats index from the writer's sidecar (the
+            # parquet row-group analogue): gives offsets WITHOUT a
+            # driver header scan, and lets pushed filters prune block
+            # ranges INSIDE the file
+            entries = self._sidecar_blocks(p, size)
+            if entries is None:
+                entries = [
+                    (off, rows, None) for off, rows in scan_block_offsets(p)
+                ]
+            if not entries:
                 continue
-            # group consecutive blocks into ~target_bytes ranges
-            cur_start_idx = 0
-            cur_bytes = 0
-            for i, (off, _rows) in enumerate(offsets):
-                end = offsets[i + 1][0] if i + 1 < len(offsets) else size
-                cur_bytes += end - off
-                if cur_bytes >= self.target_bytes:
-                    parts.append(
-                        mk(p, offsets[cur_start_idx][0], i - cur_start_idx + 1)
+            if self.skipping and self.pushed:
+                kept = [
+                    i
+                    for i, (_off, rows, st) in enumerate(entries)
+                    if st is None
+                    or not any(
+                        _filter_excludes_file(
+                            f, {"rows": rows, "columns": st}
+                        )
+                        for f in self.pushed
                     )
-                    cur_start_idx = i + 1
-                    cur_bytes = 0
-            if cur_start_idx < len(offsets):
-                parts.append(
-                    mk(p, offsets[cur_start_idx][0], len(offsets) - cur_start_idx)
-                )
+                ]
+            else:
+                kept = list(range(len(entries)))
+            # group CONSECUTIVE surviving blocks into ~target_bytes runs
+            # (a pruned gap ends the run: n_blocks counts sequentially
+            # from start_offset)
+            run_start = None
+            run_len = 0
+            run_bytes = 0
+            prev_i = None
+            for i in kept:
+                off = entries[i][0]
+                end = entries[i + 1][0] if i + 1 < len(entries) else size
+                if run_start is not None and (
+                    prev_i != i - 1 or run_bytes >= self.target_bytes
+                ):
+                    parts.append(mk(p, run_start, run_len))
+                    run_start, run_len, run_bytes = None, 0, 0
+                if run_start is None:
+                    run_start = off
+                run_len += 1
+                run_bytes += end - off
+                prev_i = i
+            if run_start is not None:
+                parts.append(mk(p, run_start, run_len))
+        # every pushed filter is re-applied executor-side, so an
+        # over-pruned empty plan only costs correctness if we return
+        # NOTHING — keep one whole-file partition as in _prune_paths
+        if not parts and paths:
+            parts.append(mk(paths[0]))
         return parts
+
+    def _sidecar_blocks(self, p: str, size: int):
+        """Validated per-block index from the sidecar, or None.
+        ``file_bytes`` must match the current size — a file that grew
+        after its sidecar was written (streaming append) falls back to
+        the header scan."""
+        import json
+
+        from ..native.writer import stats_sidecar_path
+
+        try:
+            with open(stats_sidecar_path(p)) as f:
+                side = json.load(f)
+        except (OSError, ValueError):
+            return None
+        blocks = side.get("blocks")
+        if not blocks or int(side.get("file_bytes", -1)) != size:
+            return None
+        return [
+            (int(b["offset"]), int(b["rows"]), b.get("columns") or {})
+            for b in blocks
+        ]
 
     # -- executor side ------------------------------------------------
 
@@ -814,6 +873,7 @@ class _FileSink:
         self.block_rows = block_rows
         self.rows = 0
         self.merged: dict = {}
+        self.blocks: list = []
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -836,8 +896,25 @@ class _FileSink:
                 self._buf = CompressedWriter(self._raw, method=self.compression)
         if self._ch_types is None:
             self._ch_types = [from_arrow(fld.type) for fld in batch.schema]
+        on_block = None
+        if self._buf is self._raw:
+            # uncompressed: record the per-block stats index (block
+            # offsets are meaningless inside compressed frames)
+            def on_block(off: int, piece: "pa.RecordBatch") -> None:
+                self.blocks.append(
+                    {
+                        "offset": int(off),
+                        "rows": int(piece.num_rows),
+                        "columns": _column_stats(piece),
+                    }
+                )
+
         self.rows += write_native_stream(
-            self._buf, [batch], ch_types=self._ch_types, block_rows=self.block_rows
+            self._buf,
+            [batch],
+            ch_types=self._ch_types,
+            block_rows=self.block_rows,
+            on_block=on_block,
         )
         for name, st in _column_stats(batch).items():
             cur = self.merged.get(name)
@@ -865,9 +942,13 @@ class _FileSink:
         if self.rows == 0:
             os.remove(self.fname)
             return None
+        side = {"rows": self.rows, "columns": self.merged}
+        if self.blocks:
+            side["blocks"] = self.blocks
+            side["file_bytes"] = os.path.getsize(self.fname)
         tmp = stats_sidecar_path(self.fname) + ".tmp"
         with open(tmp, "w") as sf:
-            json.dump({"rows": self.rows, "columns": self.merged}, sf)
+            json.dump(side, sf)
         os.replace(tmp, stats_sidecar_path(self.fname))
         return self.fname
 

@@ -339,3 +339,64 @@ def test_partitioned_write_special_chars(spark, tmp_path):
     assert sorted(tuple(r) for r in back.select("id", "seg").collect()) == sorted(
         tuple(r) for r in src.collect()
     )
+
+
+def test_block_range_skipping(spark, tmp_path):
+    """Per-block sidecar stats must prune block RANGES inside one file
+    (the parquet row-group analogue) without changing results."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "blockskip")
+    os.makedirs(d)
+    p = os.path.join(d, "one.clickhouse")
+    # 8 blocks of 125 rows, k strictly increasing -> tight block ranges
+    write_native_file(
+        p, pa.table({"k": pa.array(range(1000), pa.int64())}), block_rows=125
+    )
+    schema = infer_native_schema({"path": d})
+    reader = ClickHouseNativeReader(
+        schema, {"path": d, "split_blocks": "true", "target_partition_bytes": "1"}
+    )
+    assert len(reader.partitions()) == 8  # offsets came from the sidecar
+    reader.pushed = [GreaterThan(("k",), 700)]
+    parts = reader.partitions()
+    # k>700 lives in blocks [700,125*6=750) .. [875,1000): 3 blocks
+    assert len(parts) == 3
+    assert all(pt.n_blocks == 1 for pt in parts)
+    # a non-consecutive survivor set splits into separate runs
+    reader.pushed = [In(("k",), (10, 990))]
+    parts = reader.partitions()
+    assert len(parts) == 2
+
+    # results are identical with and without splitting
+    df_split = (
+        spark.read.format("clickhouse_native")
+        .schema(schema)
+        .option("split_blocks", "true")
+        .load(d)
+        .filter("k > 700")
+    )
+    df_plain = (
+        spark.read.format("clickhouse_native").schema(schema).load(d).filter("k > 700")
+    )
+    assert df_split.count() == df_plain.count() == 299
+
+
+def test_block_index_invalidated_by_growth(tmp_path):
+    """A file that grew after its sidecar was written must fall back to
+    the header scan (stale offsets would mis-split)."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "grow")
+    os.makedirs(d)
+    p = os.path.join(d, "g.clickhouse")
+    write_native_file(p, pa.table({"k": pa.array(range(100), pa.int64())}), block_rows=50)
+    schema = infer_native_schema({"path": d})
+    reader = ClickHouseNativeReader(schema, {"path": d, "split_blocks": "true"})
+    import os as _os
+
+    size = _os.path.getsize(p)
+    assert reader._sidecar_blocks(p, size) is not None
+    with open(p, "ab") as f:
+        f.write(b"")  # same size: still valid
+    assert reader._sidecar_blocks(p, size + 7) is None
