@@ -57,6 +57,8 @@ def write_native_stream(
         if types is None:
             types = _ch_types_for_schema(batch.schema)
         if batch.num_rows == 0 and not wrote_any:
+            if on_block is not None:
+                on_block(buf.tell(), batch)
             _write_block_with_nullable_names(buf, batch, types)
             wrote_any = True
             continue
@@ -74,6 +76,8 @@ def write_native_stream(
         empty = pa.RecordBatch.from_arrays(
             [pa.array([], type=f.type) for f in schema], schema=schema
         )
+        if on_block is not None:
+            on_block(buf.tell(), empty)
         _write_block_with_nullable_names(buf, empty, types)
     return total
 
@@ -166,6 +170,59 @@ def _column_stats(table: pa.Table | pa.RecordBatch) -> dict:
     return cols
 
 
+class BlockStatsRecorder:
+    """Shared per-block sidecar index builder (write_native_file and
+    the DataSource sink): records EVERY physical block — header-only
+    0-row blocks included, because the reader's ``n_blocks`` counts
+    physical blocks — and maintains the file-level merge of the
+    per-block stats. The merge is NaN-sound: a column that
+    ``_column_stats`` omitted for any non-empty block (NaN present,
+    or an unconstructible string bound) is dropped from the file
+    level too — keeping a partial min/max would let pruning drop
+    files whose unaccounted rows match."""
+
+    def __init__(self) -> None:
+        self.blocks: list[dict] = []
+        self.merged: dict = {}
+        self.rows = 0
+        self._dropped: set = set()
+
+    def on_block(self, offset: int, piece: pa.RecordBatch) -> None:
+        st = _column_stats(piece)
+        self.blocks.append(
+            {"offset": int(offset), "rows": int(piece.num_rows), "columns": st}
+        )
+        self.rows += int(piece.num_rows)
+        if piece.num_rows == 0:
+            return
+        for name in list(self.merged):
+            if name not in st:
+                del self.merged[name]
+                self._dropped.add(name)
+        for name, c in st.items():
+            if name in self._dropped:
+                continue
+            cur = self.merged.get(name)
+            if cur is None:
+                if self.rows == piece.num_rows:
+                    self.merged[name] = dict(c)
+                else:
+                    self._dropped.add(name)  # absent from an earlier block
+                continue
+            cur["nulls"] += c["nulls"]
+            if c["min"] is not None and (cur["min"] is None or c["min"] < cur["min"]):
+                cur["min"] = c["min"]
+            if c["max"] is not None and (cur["max"] is None or c["max"] > cur["max"]):
+                cur["max"] = c["max"]
+
+    def sidecar(self, path: str) -> dict:
+        side = {"rows": self.rows, "columns": self.merged}
+        if self.blocks:
+            side["blocks"] = self.blocks
+            side["file_bytes"] = os.path.getsize(path)
+        return side
+
+
 def write_native_file(
     path: str,
     table: pa.Table | pa.RecordBatch,
@@ -186,17 +243,7 @@ def write_native_file(
         batches = table.to_batches(max_chunksize=block_rows)
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
-    blocks: list[dict] = []
-
-    def _record(off: int, piece: pa.RecordBatch) -> None:
-        blocks.append(
-            {
-                "offset": int(off),
-                "rows": int(piece.num_rows),
-                "columns": _column_stats(piece),
-            }
-        )
-
+    rec = BlockStatsRecorder() if (stats and compression is None) else None
     with open(path, "wb") as f:
         buf: BinaryIO = io.BufferedWriter(f, buffer_size=1 << 20)
         if compression is not None:
@@ -214,20 +261,20 @@ def write_native_file(
                 ch_types=types,
                 block_rows=block_rows,
                 schema=schema,
-                on_block=_record if stats else None,
+                on_block=rec.on_block if rec else None,
             )
         buf.flush()
     if stats:
         import json
 
-        side = {"rows": int(table.num_rows), "columns": _column_stats(table)}
-        if blocks:
-            # per-block index (the parquet row-group analogue): lets the
-            # scan prune BLOCK RANGES inside one file, not just whole
-            # files. file_bytes pins validity — a file grown after the
-            # sidecar was written invalidates the block index.
-            side["blocks"] = blocks
-            side["file_bytes"] = os.path.getsize(path)
+        if rec is not None:
+            # per-block index (the parquet row-group analogue): lets
+            # the scan prune BLOCK RANGES inside one file, not just
+            # whole files; file-level stats are the recorder's merge —
+            # one stats pass over the data, not two
+            side = rec.sidecar(path)
+        else:
+            side = {"rows": int(table.num_rows), "columns": _column_stats(table)}
         tmp = stats_sidecar_path(path) + ".tmp"
         with open(tmp, "w") as sf:
             json.dump(side, sf)

@@ -385,19 +385,19 @@ class ClickHouseNativeReader(DataSourceReader):
         sidecar are always read; an empty result keeps one file so the
         plan retains a partition (its executor-side filter yields 0
         rows)."""
-        import json
-
-        from ..native.writer import stats_sidecar_path
-
         kept = []
         for p in paths:
-            try:
-                with open(stats_sidecar_path(p)) as f:
-                    st = json.load(f)
-            except (OSError, ValueError):
+            st = self._load_sidecar(p)
+            if st is None:
                 kept.append(p)
                 continue
-            if any(_filter_excludes_file(flt, st) for flt in self.pushed):
+            try:
+                excluded = any(
+                    _filter_excludes_file(flt, st) for flt in self.pushed
+                )
+            except (KeyError, TypeError, ValueError):
+                excluded = False  # malformed sidecar: never skip
+            if excluded:
                 continue
             kept.append(p)
         return kept if kept else paths[:1]
@@ -555,27 +555,47 @@ class ClickHouseNativeReader(DataSourceReader):
             parts.append(mk(paths[0]))
         return parts
 
-    def _sidecar_blocks(self, p: str, size: int):
-        """Validated per-block index from the sidecar, or None.
-        ``file_bytes`` must match the current size — a file that grew
-        after its sidecar was written (streaming append) falls back to
-        the header scan."""
+    def _load_sidecar(self, p: str):
+        """Parsed stats sidecar for ``p`` (None if absent/corrupt),
+        cached per reader instance — partitions() consults it for both
+        file-level and block-level pruning, and parsing twice doubles
+        planning IO on wide directories."""
         import json
 
         from ..native.writer import stats_sidecar_path
 
+        cache = getattr(self, "_sidecar_cache", None)
+        if cache is None:
+            cache = self._sidecar_cache = {}
+        if p in cache:
+            return cache[p]
         try:
             with open(stats_sidecar_path(p)) as f:
                 side = json.load(f)
         except (OSError, ValueError):
+            side = None
+        cache[p] = side
+        return side
+
+    def _sidecar_blocks(self, p: str, size: int):
+        """Validated per-block index from the sidecar, or None.
+        ``file_bytes`` must match the current size — a file that grew
+        after its sidecar was written (streaming append) falls back to
+        the header scan. Malformed entries (foreign writers, hand
+        edits) degrade to None, never raise."""
+        side = self._load_sidecar(p)
+        if not side:
             return None
-        blocks = side.get("blocks")
-        if not blocks or int(side.get("file_bytes", -1)) != size:
+        try:
+            blocks = side.get("blocks")
+            if not blocks or int(side.get("file_bytes", -1)) != size:
+                return None
+            return [
+                (int(b["offset"]), int(b["rows"]), b.get("columns") or {})
+                for b in blocks
+            ]
+        except (KeyError, TypeError, ValueError):
             return None
-        return [
-            (int(b["offset"]), int(b["rows"]), b.get("columns") or {})
-            for b in blocks
-        ]
 
     # -- executor side ------------------------------------------------
 
@@ -868,12 +888,13 @@ class _FileSink:
     per partition combo per task under ``partition_by``)."""
 
     def __init__(self, fname: str, compression, block_rows: int):
+        from ..native.writer import BlockStatsRecorder
+
         self.fname = fname
         self.compression = compression
         self.block_rows = block_rows
         self.rows = 0
-        self.merged: dict = {}
-        self.blocks: list = []
+        self._rec = BlockStatsRecorder()
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -882,8 +903,14 @@ class _FileSink:
         import io
 
         from ..native.types import from_arrow
-        from ..native.writer import _column_stats, write_native_stream
+        from ..native.writer import write_native_stream
 
+        if batch.num_rows == 0:
+            # an empty batch would emit a header-only block mid-file
+            # (write_native_stream resets wrote_any per call); skip it —
+            # an all-empty sink writes nothing and finalize() removes
+            # the file
+            return
         if self._raw is None:
             os.makedirs(os.path.dirname(self.fname), exist_ok=True)
             self._raw = io.BufferedWriter(
@@ -896,36 +923,22 @@ class _FileSink:
                 self._buf = CompressedWriter(self._raw, method=self.compression)
         if self._ch_types is None:
             self._ch_types = [from_arrow(fld.type) for fld in batch.schema]
-        on_block = None
-        if self._buf is self._raw:
-            # uncompressed: record the per-block stats index (block
-            # offsets are meaningless inside compressed frames)
-            def on_block(off: int, piece: "pa.RecordBatch") -> None:
-                self.blocks.append(
-                    {
-                        "offset": int(off),
-                        "rows": int(piece.num_rows),
-                        "columns": _column_stats(piece),
-                    }
-                )
-
+        # the recorder both builds the per-block index and maintains
+        # the file-level merge — ONE stats pass, NaN-sound drops (a
+        # previous inline merge kept stale min/max when a later batch
+        # held NaN); block offsets are meaningless inside compressed
+        # frames, so compressed sinks skip the index but keep the merge
+        # by recording with a dummy offset
         self.rows += write_native_stream(
             self._buf,
             [batch],
             ch_types=self._ch_types,
             block_rows=self.block_rows,
-            on_block=on_block,
+            on_block=self._rec.on_block if self._buf is self._raw else None,
         )
-        for name, st in _column_stats(batch).items():
-            cur = self.merged.get(name)
-            if cur is None:
-                self.merged[name] = dict(st)
-                continue
-            cur["nulls"] += st["nulls"]
-            if st["min"] is not None and (cur["min"] is None or st["min"] < cur["min"]):
-                cur["min"] = st["min"]
-            if st["max"] is not None and (cur["max"] is None or st["max"] > cur["max"]):
-                cur["max"] = st["max"]
+        if self._buf is not self._raw:
+            self._rec.on_block(-1, batch)
+            self._rec.blocks.clear()
 
     def finalize(self) -> Optional[str]:
         """Flush + sidecar; returns the path, or None for an empty sink."""
@@ -942,10 +955,8 @@ class _FileSink:
         if self.rows == 0:
             os.remove(self.fname)
             return None
-        side = {"rows": self.rows, "columns": self.merged}
-        if self.blocks:
-            side["blocks"] = self.blocks
-            side["file_bytes"] = os.path.getsize(self.fname)
+        side = self._rec.sidecar(self.fname)
+        side["rows"] = self.rows
         tmp = stats_sidecar_path(self.fname) + ".tmp"
         with open(tmp, "w") as sf:
             json.dump(side, sf)

