@@ -987,9 +987,9 @@ def _block_sorted_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..native.writer import write_native_file
 
     def write(out_dir: str, t) -> None:
-        import pyarrow.compute as pc
-
-        t2 = t.drop(["props"]).sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        t2 = t.drop(["props"]).sort_by(
+            [("user_id", "ascending"), ("event_id", "ascending")]
+        )
         n = t2.num_rows
         write_native_file(
             os.path.join(out_dir, "events-sorted.clickhouse"),

@@ -55,6 +55,10 @@ Options:
     partition_by    writer: comma-separated columns to fan out as
                     hive-style key=value directories (dropped from the
                     file payload; the reader restores and prunes them)
+    sort_by         writer: comma-separated columns to sort each
+                    task's rows by before writing — tight per-block
+                    ranges for the block-range index (cluster globally
+                    with a repartition on the same keys upstream)
     allow_missing_columns  'true' -> additive schema evolution: a file
                     written before a column existed reads it as NULLs
                     (pass an explicit schema from the NEWEST file);
@@ -992,10 +996,16 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         self.partition_by: List[str] = [
             c.strip() for c in str(options.get("partition_by", "")).split(",") if c.strip()
         ]
+        self.sort_by: List[str] = [
+            c.strip() for c in str(options.get("sort_by", "")).split(",") if c.strip()
+        ]
         names = [f.name for f in schema.fields]
         missing = [c for c in self.partition_by if c not in names]
         if missing:
             raise ValueError(f"partition_by columns not in schema: {missing}")
+        missing = [c for c in self.sort_by if c not in names]
+        if missing:
+            raise ValueError(f"sort_by columns not in schema: {missing}")
         if self.partition_by and len(self.partition_by) == len(names):
             raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
@@ -1024,6 +1034,20 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         import pyarrow as pa
 
         token = uuid.uuid4().hex
+        if self.sort_by:
+            # cluster within the task before writing: tight per-block
+            # min/max ranges are what make the block-range index
+            # selective (6x measured, SCALE_PIPELINE.md). Buffers the
+            # task's batches once — the standard memory trade of any
+            # sorted writer; pair with a repartition/range-partition on
+            # the same keys upstream for global clustering.
+            buffered = list(iterator)
+            if buffered:
+                t = pa.Table.from_batches(buffered)
+                t = t.sort_by([(c, "ascending") for c in self.sort_by])
+                iterator = iter(t.to_batches(max_chunksize=self.block_rows))
+            else:
+                iterator = iter(())
         if not self.partition_by:
             sink = _FileSink(
                 os.path.join(self.path, f"part-{token}.clickhouse"),

@@ -470,3 +470,47 @@ def test_sink_skips_empty_batches_and_merges_nan_soundly(spark, tmp_path):
         )
         if has_nan_block:
             assert "v" not in cols, "NaN block must drop v from file stats"
+
+
+def test_writer_sort_by_clusters_blocks(spark, tmp_path):
+    """sort_by yields tight per-block ranges: with shuffled input, the
+    sorted write's block index prunes a range predicate while the
+    unsorted write's cannot."""
+    import json
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+    )
+
+    src = spark.range(4000).selectExpr(
+        "pmod(hash(id), 4000) AS shuffle_key", "id AS k"
+    ).orderBy("shuffle_key").selectExpr("k").coalesce(1)
+    d_sorted = str(tmp_path / "sorted")
+    d_plain = str(tmp_path / "plain")
+    (src.write.format("clickhouse_native").option("sort_by", "k")
+        .option("block_rows", "500").mode("append").save(d_sorted))
+    (src.write.format("clickhouse_native")
+        .option("block_rows", "500").mode("append").save(d_plain))
+
+    def pruned_blocks(d):
+        f = [x for x in os.listdir(d) if x.endswith(".clickhouse")][0]
+        schema = infer_native_schema({"path": d})
+        r = ClickHouseNativeReader(
+            schema, {"path": d, "split_blocks": "true", "target_partition_bytes": "1"}
+        )
+        r.pushed = [GreaterThan(("k",), 3500)]
+        return sum(p.n_blocks for p in r.partitions())
+
+    assert pruned_blocks(d_sorted) == 1   # one 500-row block covers k>3500
+    assert pruned_blocks(d_plain) == 8    # shuffled: every block matches
+    # results identical either way
+    for d in (d_sorted, d_plain):
+        got = (
+            spark.read.format("clickhouse_native")
+            .schema(infer_native_schema({"path": d}))
+            .option("split_blocks", "true")
+            .load(d)
+            .filter("k > 3500")
+            .count()
+        )
+        assert got == 499
