@@ -1223,3 +1223,40 @@ class ClickHouseNativeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ClickHouseNativeWriter:
         return ClickHouseNativeWriter(schema, dict(self.options), overwrite)
+
+
+def compact_native_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_files: int = 4,
+    sort_by: Optional[list] = None,
+    compression: Optional[str] = None,
+) -> int:
+    """Compact a directory of (many, small) Native files into
+    ``target_files`` globally-clustered ones — the OPTIMIZE TABLE /
+    small-files-compaction maintenance job every ingest pipeline runs.
+
+    Global clustering: ``repartitionByRange`` on the sort keys puts
+    disjoint key ranges in each output task, then the writer's
+    ``sort_by`` orders within the task — so the per-block sidecar
+    index ends up selective across file AND block level. Returns the
+    row count written. Purely distributed: the driver never touches
+    row data, and the read side streams block-by-block.
+    """
+    from pyspark.sql import functions as F
+
+    schema = infer_native_schema({"path": src})
+    df = spark.read.format("clickhouse_native").schema(schema).load(src)
+    n = df.count()
+    if sort_by:
+        df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by])
+    else:
+        df = df.coalesce(target_files)
+    w = df.write.format("clickhouse_native").mode("overwrite")
+    if sort_by:
+        w = w.option("sort_by", ",".join(sort_by))
+    if compression:
+        w = w.option("compression", compression)
+    w.save(dst)
+    return n

@@ -514,3 +514,35 @@ def test_writer_sort_by_clusters_blocks(spark, tmp_path):
             .count()
         )
         assert got == 499
+
+
+def test_compact_native_dir(spark, tmp_path):
+    """Compaction merges many small files into few clustered ones with
+    identical rows; the compacted layout prunes at file AND block
+    level."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        compact_native_dir,
+    )
+
+    src = str(tmp_path / "small")
+    os.makedirs(src)
+    # 16 small files with interleaved keys (worst case for pruning)
+    for i in range(16):
+        write_native_file(
+            os.path.join(src, f"s{i:02d}.clickhouse"),
+            pa.table({"k": pa.array(range(i, 1600, 16), pa.int64())}),
+        )
+    dst = str(tmp_path / "compact")
+    n = compact_native_dir(spark, src, dst, target_files=4, sort_by=["k"])
+    assert n == 1600
+    files = [f for f in os.listdir(dst) if f.endswith(".clickhouse")]
+    assert len(files) == 4
+    schema = infer_native_schema({"path": dst})
+    back = spark.read.format("clickhouse_native").schema(schema).load(dst)
+    assert sorted(r.k for r in back.collect()) == list(range(1600))
+    # file-level pruning now works (range partitioning made files disjoint)
+    reader = ClickHouseNativeReader(schema, {"path": dst})
+    reader.pushed = [GreaterThan(("k",), 1500)]
+    assert len(reader.partitions()) < 4
