@@ -133,3 +133,18 @@ def test_allow_missing_columns_additive_evolution(spark, tmp_path):
     strict = spark.read.format("clickhouse_native").schema(schema).load(d)
     with pytest.raises(Exception, match="missing from block"):
         strict.collect()
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    """Sequential append writes coexist (uuid part names can't
+    collide) and a read sees the union; overwrite then replaces all."""
+    d = str(tmp_path / "appendacc")
+    a = spark.range(0, 50).selectExpr("id AS k")
+    b = spark.range(50, 80).selectExpr("id AS k")
+    a.write.format("clickhouse_native").mode("append").save(d)
+    b.write.format("clickhouse_native").mode("append").save(d)
+    got = spark.read.format("clickhouse_native").schema("k bigint").load(d)
+    assert sorted(r.k for r in got.collect()) == list(range(80))
+    a.write.format("clickhouse_native").mode("overwrite").save(d)
+    got = spark.read.format("clickhouse_native").schema("k bigint").load(d)
+    assert sorted(r.k for r in got.collect()) == list(range(50))
