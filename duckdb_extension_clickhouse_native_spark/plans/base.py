@@ -399,7 +399,8 @@ class Query:
 # merge_upsert_customers, rag_pipeline_topk, events_gap_fill_locf,
 # join_salted_skew, agg_state_merge, asof_join_forward_tolerance,
 # weighted_percentiles_price, unpivot_event_counts,
-# lateral_topn_per_customer, native_block_skip_scan (the window was
+# lateral_topn_per_customer, native_block_skip_scan,
+# stream_partitioned_sink_agg (the window was
 # already
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the

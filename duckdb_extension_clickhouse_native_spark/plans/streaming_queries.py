@@ -392,6 +392,93 @@ REGISTRY.df_query(
 )
 
 
+def _stream_partitioned_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest loop with a HIVE-PARTITIONED sink: events stream ->
+    foreachBatch partitioned Native writer (partition_by=event_type)
+    -> per-batch hive discovery + partition-pruned read-back ->
+    aggregate over a partition-column filter. Grades the r7 write-side
+    fan-out and read-side directory pruning under streaming
+    exactly-once semantics; fixture-cache/locking as in
+    ``_stream_native_sink_agg``."""
+    import glob as globmod
+    import hashlib
+    import os
+    import tempfile
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream, write_stream_native
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    st = os.stat(src)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_native_fixtures",
+        hashlib.md5(src.encode()).hexdigest()[:10],
+        f"stream-psink-{int(st.st_mtime)}-{st.st_size}",
+    )
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    done = os.path.join(work, "_DONE")
+    with _SINK_LOCK:
+        if not os.path.exists(done):
+            _prune_stale_sink_dirs(os.path.dirname(work), keep=work)
+            with _cross_process_lock(work):
+                if not os.path.exists(done):
+                    events = read_events_stream(spark, sf_dir)
+                    q = write_stream_native(
+                        events.select("event_id", "user_id", "event_type", "value"),
+                        out,
+                        ckpt,
+                        partition_by="event_type",
+                    )
+                    try:
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                    with open(done, "w") as f:
+                        f.write("")
+    from ..sources.native_datasource import infer_native_schema
+
+    batch_dirs = sorted(globmod.glob(os.path.join(out, "batch-*")))
+    parts = [
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": d}))
+        .load(d)
+        for d in batch_dirs
+    ]
+    back = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "stream_partitioned_sink_agg",
+    _stream_partitioned_sink_agg,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'signup')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["streaming", "sink", "native", "hive", "partition"],
+    description="stream -> hive-partitioned Native sink -> pruned read-back == batch filter+group-by",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
 

@@ -252,6 +252,7 @@ def write_stream_native(
     out_dir: str,
     checkpoint_dir: str,
     compression: str | None = None,
+    partition_by: str | None = None,
 ):
     """Streaming sink into the ClickHouse Native format: each
     micro-batch lands as its own batch directory of Native part files,
@@ -275,6 +276,11 @@ def write_stream_native(
         w = batch_df.write.format("clickhouse_native").mode("overwrite")
         if compression:
             w = w.option("compression", compression)
+        if partition_by:
+            # each batch directory is its own hive root (key=value
+            # subdirs inside batch-N); readers open batch dirs
+            # individually so partition discovery and pruning apply
+            w = w.option("partition_by", partition_by)
         w.save(target)
 
     return (
