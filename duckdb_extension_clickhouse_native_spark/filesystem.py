@@ -156,6 +156,13 @@ def resolve_paths(path: str) -> list[str]:
             by_dir.setdefault("/".join(comps), []).append(i.path)
         out = []
         for _d in sorted(by_dir):
+            if _d == "":
+                # top level handled after the loop: its non-underscore
+                # fallback is the GLOBAL last resort (mirrors the local
+                # branch's `if not out` gate) — a stray root file beside
+                # hive subdirectories must not join the listing nor
+                # degrade the layout to unpartitioned
+                continue
             names = sorted(by_dir[_d])
             keep = [n for n in names if n.endswith(_DATA_SUFFIXES)]
             if not keep:
@@ -165,6 +172,12 @@ def resolve_paths(path: str) -> list[str]:
                     if not posixpath.basename(n).startswith("_")
                 ]
             out.extend(keep)
+        top = sorted(by_dir.get("", []))
+        out.extend(n for n in top if n.endswith(_DATA_SUFFIXES))
+        if not out:
+            out = [
+                n for n in top if not posixpath.basename(n).startswith("_")
+            ]
         return [_rebuild(scheme, n) for n in sorted(out)]
     return [path]
 

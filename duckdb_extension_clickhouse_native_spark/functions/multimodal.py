@@ -2,12 +2,17 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode libraries (PIL/torchaudio/ffmpeg) are not in this
-container, so the actual byte->pixels step is STUBBED behind
-``decode_image_stub`` (a deterministic fake) — but everything
-Spark-side is real: the binary schema, the mapInPandas batch
-iteration, the output schema contract, and the partition-parallel
-execution. Swap the stub for a real decoder and nothing else changes.
+Decoding is REAL for BMP and netpbm payloads — ``imagecodec``
+implements those formats in pure Python, so ``real_decode`` needs no
+external library for them (PIL remains the runtime-probed fallback
+for everything else, and ``decode_image_stub`` a deterministic fake
+kept for the legacy stub conformance entries). The
+``multimodal_real_decode`` query grades the real path end-to-end:
+documents are rendered into genuine BMP/PPM files, decoded back
+through ``imagecodec``, and an ORDER-SENSITIVE weighted pixel
+checksum must match the oracle's direct computation — i.e. the
+decoder must undo bottom-up row order, BGR interleave and row
+padding exactly, or the hash mismatches.
 """
 
 from __future__ import annotations
@@ -49,17 +54,32 @@ def _pil():  # feature probe: PIL is absent in this container, present
 
 
 def real_decode(data: bytes) -> dict:
-    """Real byte->pixels decode, used when PIL is importable at
-    runtime: returns (width, height, channels, mean_pixel) from the
-    actual decoded image. Without PIL this raises
-    ``NotImplementedError`` — the conformance entries stay on
-    ``decode_image_stub`` regardless (their oracle needs a decoder
-    DuckDB can mirror), so the stub path is untouched either way."""
+    """Real byte->pixels decode. BMP and netpbm (P6/P5) payloads
+    decode in PURE PYTHON (``imagecodec`` — no library needed, so the
+    real path is first-class in this container); any other format
+    falls back to PIL when importable, else raises
+    ``NotImplementedError``. The legacy stub conformance entries stay
+    on ``decode_image_stub`` (their oracle predates the codec); the
+    real path is graded by ``multimodal_real_decode``, whose oracle
+    proves the encode->decode round trip pixel-exactly."""
+    from .imagecodec import MediaFormatError, decode_media
+
+    data = bytes(data)
+    try:
+        width, height, channels, px = decode_media(data)
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "mean_pixel": (sum(px) / len(px)) if px else 0.0,
+        }
+    except MediaFormatError:
+        pass  # not BMP/netpbm — try PIL below
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "image/audio decode libraries are not available in this "
-            "environment; install PIL (or plug soundfile.read for audio)"
+            "payload is not BMP/netpbm and no decode library is "
+            "available; install PIL (or plug soundfile.read for audio)"
         )
     import io as _io
 
@@ -370,3 +390,112 @@ def media_phash_pairs_oracle_sql() -> str:
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) <= {PHASH_HAMMING_MAX}
     """
+
+
+# -- real-decode round trip -------------------------------------------------
+
+WSUM_MOD = 1_000_000_007
+
+
+def media_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize GENUINE image files from documents: each doc renders
+    to a small 24-bit image whose raster-order RGB bytes are a strided
+    read of its (ASCII) text — even doc_ids encode as BMP, odd as
+    binary PPM. Deterministic, so the DuckDB oracle reproduces the
+    pixel sequence without an image library. Map-only stage."""
+    import pandas as pd
+
+    from ..plans.base import ensure_session
+    from .imagecodec import encode_bmp, encode_ppm
+
+    ensure_session(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            media, fmts = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                b = (text or "").encode("utf-8")
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                n = w * h * 3
+                if b:
+                    px = bytes(b[(i * 7 + doc_id) % len(b)] for i in range(n))
+                else:
+                    px = b"\x20" * n
+                if doc_id % 2 == 0:
+                    media.append(encode_bmp(px, w, h))
+                    fmts.append("bmp")
+                else:
+                    media.append(encode_ppm(px, w, h))
+                    fmts.append("ppm")
+            out = pdf[["doc_id"]].copy()
+            out["media"] = media
+            out["fmt"] = fmts
+            yield out
+
+    return docs.mapInPandas(render, schema="doc_id bigint, media binary, fmt string")
+
+
+def media_real_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance entry for the REAL decoder: synthesized BMP/PPM
+    payloads -> ``imagecodec.decode_media`` -> dimensions + an
+    order-sensitive weighted checksum sum((i+1)*px[i]) mod 1e9+7.
+    The oracle computes the same checksum straight from the text, so
+    a green hash proves decode(encode(px)) == px byte-for-byte,
+    including the BMP bottom-up/BGR/padding inversions."""
+    import pandas as pd
+
+    from .imagecodec import decode_media
+
+    imgs = media_image_table(spark, sf_dir)
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ws, hs, chs, wsums = [], [], [], []
+            for data in pdf["media"]:
+                w, h, ch, px = decode_media(bytes(data))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                wsums.append(
+                    sum((i + 1) * p for i, p in enumerate(px)) % WSUM_MOD
+                )
+            out = pdf[["doc_id", "fmt"]].copy()
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["channels"] = pd.Series(chs, dtype="int32")
+            out["wsum_fp"] = pd.Series(wsums, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(
+        dec,
+        schema=(
+            "doc_id bigint, fmt string, width int, height int, "
+            "channels int, wsum_fp bigint"
+        ),
+    ).orderBy("doc_id")
+
+
+MEDIA_REAL_DECODE_ORACLE_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             4 + doc_id % 5 AS width,
+             3 + doc_id % 4 AS height,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           3 AS channels,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(0, width * height * 3),
+                  i -> (i + 1) * (CASE WHEN n_chars = 0 THEN 32
+                        ELSE ascii(substr(text,
+                             CAST(((i * 7 + doc_id) % n_chars) + 1 AS INT), 1))
+                        END))), 0) % {WSUM_MOD} AS BIGINT) AS wsum_fp
+    FROM dims
+    ORDER BY doc_id
+"""

@@ -35,10 +35,10 @@ def _h(dialect: str, key_expr: str, i: int) -> str:
 
     d = SPARK if dialect == "spark" else DUCK
     s = d["string"]
-    return (
-        _hex_int_expr(d, f"md5(concat('b{i}#', CAST({key_expr} AS {s})))", nibbles=15)
-        + f" % {M_BITS}"
-    )
+    # double parens on purpose: the hash expr must be fully grouped
+    # before % binds, on BOTH dialects (see _hex_int_expr's wrap note)
+    expr = _hex_int_expr(d, f"md5(concat('b{i}#', CAST({key_expr} AS {s})))", nibbles=15)
+    return f"(({expr}) % {M_BITS})"
 
 
 def bloom_semijoin_sql(dialect: str) -> str:

@@ -62,19 +62,20 @@ def dq_audit_sql(dialect: str) -> str:
 
 
 def merge_upsert_sql(dialect: str) -> str:
+    # fabricated "inserted" keys start ABOVE MAX(c_custkey) (scalar
+    # CTE, one row, broadcast for free) — a hard-coded base would
+    # collide with real keys at scale factors past it, duplicating
+    # base rows through the FULL OUTER JOIN
+    idx = "id" if dialect == "spark" else "range"
     new_rows = (
-        "SELECT CAST(1000000 + id AS BIGINT) AS c_custkey, 'new' AS c_name, "
-        "CAST(id % 25 AS BIGINT) AS c_nationkey, "
+        f"SELECT CAST(mx.m + 1 + {idx} AS BIGINT) AS c_custkey, 'new' AS c_name, "
+        f"CAST({idx} % 25 AS BIGINT) AS c_nationkey, "
         "CAST(0 AS DOUBLE) AS c_acctbal, 'BUILDING' AS c_mktsegment "
-        "FROM range(50)"
-        if dialect == "spark"
-        else "SELECT CAST(1000000 + range AS BIGINT) AS c_custkey, 'new' AS c_name, "
-        "CAST(range % 25 AS BIGINT) AS c_nationkey, "
-        "CAST(0 AS DOUBLE) AS c_acctbal, 'BUILDING' AS c_mktsegment "
-        "FROM range(50)"
+        "FROM range(50) CROSS JOIN mx"
     )
     return f"""
-    WITH delta AS (
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    delta AS (
       SELECT c_custkey, c_name, c_nationkey,
              CAST(c_acctbal AS DOUBLE) + 1000.0 AS c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 7 = 0

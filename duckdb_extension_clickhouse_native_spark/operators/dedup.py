@@ -126,14 +126,18 @@ def _hex_int_expr(d: dict, h: str, offset: int = 0, nibbles: int = 15) -> str:
         return (
             f"CAST(conv(substr({h}, {offset + 1}, {nibbles}), 16, 10) AS BIGINT)"
         )
-    return " + ".join(
+    # parenthesized: callers append operators like `% m` to this
+    # expression, and an unwrapped 15-term sum would bind the modulo
+    # to the last term only (bloomjoin bucket ids were silently
+    # unbounded on the DuckDB dialect before this wrap)
+    return "(" + " + ".join(
         "CAST(("
         + d["strpos"].format(
             hay="'0123456789abcdef'", needle=f"substr({h}, {offset + j + 1}, 1)"
         )
         + f" - 1) AS BIGINT) * {16 ** (nibbles - 1 - j)}"
         for j in range(nibbles)
-    )
+    ) + ")"
 
 
 def _shingles_expr(d: dict, tokens: str) -> str:

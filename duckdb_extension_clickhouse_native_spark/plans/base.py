@@ -405,61 +405,75 @@ class Query:
 # rotated when they landed; local sweep green at both scales) — then
 # agg_global and group_having, then recycle the r5-green cohort (the
 # oldest evidence once r7 grades); changed paths take priority.
+# ROUND-8 WINDOW (this round), executing the r7 pinned plan verbatim
+# (tools/window_plan.py run at round open concurs: 25 never-graded,
+# 0 graded-never-green, oldest cohort = r4×2 then r5×42):
+#   - the 25 never-driver-graded late-r7 rows — first in. These also
+#     double as the changed-path re-proofs for every r8 ADVICE fix:
+#     join_bloom_prefilter (bloomjoin.py hash parenthesization),
+#     native_hive_partition_scan (filesystem.py URI-listing fallback),
+#     native_block_skip_scan (block-prune malformed-sidecar guard),
+#     stream_* (streaming_queries.py empty-batch-dirs guard),
+#     merge_upsert_customers (dataops.py MAX-derived insert keys);
+#   - agg_global + group_having (the last two rows whose newest green
+#     is r4 — closes the staleness tail);
+#   - 23 slots of the r5-green cohort, alphabetical (the oldest
+#     evidence tier once the above grade; the remaining 19 r5 rows
+#     rotate into round 9 with the r6 cohort behind them).
 GRADING_WINDOW = [
-    # r1-only green evidence — the last three, deferred from r6
-    "values_inline_join",
-    "union_by_name",
-    "join_cross_small",
-    # NEW in r7, never driver-graded (highest-priority class)
-    "dedup_substring_spans",
-    # execution paths changed round 7 — re-prove
-    "sim_topk_pq",
-    "sim_ann_recall",
-    "pipeline_end_to_end",
-    "asof_join_events_orders",
-    "stream_native_sink_agg",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "kmeans_embeddings",
-    # r4-green cohort (newest evidence r4; all but agg_global)
-    "approx_distinct_parts",
-    "bm25_topk",
-    "cte_monthly_rank",
-    "decontaminate_ngram",
-    "dedup_connected_components",
-    "events_time_buckets",
-    "grouping_sets_events",
-    "hybrid_search_rrf",
-    "join_bucketed_colocated",
-    "join_non_equi_range",
-    "json_extract_props",
-    "native_embeddings_roundtrip",
-    "native_enum_scan",
-    "native_filter_project",
-    "native_join_mixed_sources",
-    "native_lossy_uint64_compat",
-    "native_scan_count_max",
-    "native_split_blocks_scan",
-    "percentiles_quantity",
-    "pivot_event_counts",
-    "q10_returned_items",
-    "q18_large_volume",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "rollup_orders",
-    "scalar_date_funcs",
-    "scan_remote_agg",
-    "scan_remote_split",
-    "scan_tcp_agg",
-    "setops_nations",
-    "sim_topk_fast",
-    "subquery_scalar_avg",
-    "window_frames",
+    # never driver-graded (highest-priority class; late-r7 additions)
+    "stream_minhash_candidates",
+    "text_lm_score",
+    "text_quality_classifier",
+    "tfidf_cosine_topk",
+    "sample_weighted_priority",
+    "pagerank_user_cooccurrence",
+    "events_window_funnel",
+    "events_retention_cohorts",
+    "stream_window_funnel",
+    "native_hive_partition_scan",
+    "events_sequence_match",
+    "events_replacing_merge",
+    "join_bloom_prefilter",
+    "dq_audit_checks",
+    "merge_upsert_customers",
+    "rag_pipeline_topk",
+    "events_gap_fill_locf",
+    "join_salted_skew",
+    "agg_state_merge",
+    "asof_join_forward_tolerance",
+    "weighted_percentiles_price",
+    "unpivot_event_counts",
+    "lateral_topn_per_customer",
+    "native_block_skip_scan",
+    "stream_partitioned_sink_agg",
+    # last two rows whose newest green is r4
+    "agg_global",
+    "group_having",
+    # r5-green cohort recycle (oldest evidence tier), alphabetical
+    "approx_percentile_bounded",
+    "argminmax_orders",
+    "bitwise_aggregates",
+    "corr_qty_price",
+    "dedup_incremental",
+    "dedup_semantic_clusters",
+    "filtered_aggregates",
+    "media_phash_pairs",
+    "moments_totalprice",
+    "native_stream_agg",
+    "native_type_matrix",
+    "pack_sequences",
+    "profile_lineitem",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
 ]
 
 

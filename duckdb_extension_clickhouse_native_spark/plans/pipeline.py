@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.multimodal import (
     MEDIA_FEATURES_ORACLE_SQL,
     MEDIA_FRAMES_ORACLE_SQL,
+    MEDIA_REAL_DECODE_ORACLE_SQL,
     MEDIA_RESIZE_ORACLE_SQL,
     media_features_query,
     media_frames_query,
     media_phash_pairs_oracle_sql,
     media_phash_pairs_query,
+    media_real_decode_query,
     media_resize_query,
 )
 from ..functions.text import (
@@ -489,6 +491,16 @@ REGISTRY.df_query(
     oracle=MEDIA_FRAMES_ORACLE_SQL,
     tags=["multimodal", "pandas_udf", "fanout"],
     description="fixed-frame video sampling stub: one row per kept frame (mapInPandas fan-out)",
+)
+
+REGISTRY.df_query(
+    "multimodal_real_decode",
+    media_real_decode_query,
+    oracle=MEDIA_REAL_DECODE_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf", "codec"],
+    description="REAL decode round trip: docs rendered to genuine BMP/PPM files, "
+    "decoded via the pure-Python imagecodec, order-sensitive weighted pixel "
+    "checksum vs the oracle's direct computation",
 )
 
 REGISTRY.df_query(

@@ -442,6 +442,14 @@ def _stream_partitioned_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.native_datasource import infer_native_schema
 
     batch_dirs = sorted(globmod.glob(os.path.join(out, "batch-*")))
+    if not batch_dirs:
+        # a stale _DONE marker with pruned output (or an empty source)
+        # would otherwise surface as a bare reduce() TypeError far from
+        # the cause
+        raise RuntimeError(
+            f"stream sink at {out} committed zero batch directories; "
+            "remove the _DONE marker to re-run the stream"
+        )
     parts = [
         spark.read.format("clickhouse_native")
         .schema(infer_native_schema({"path": d}))

@@ -1,0 +1,146 @@
+"""Pure-Python BMP / netpbm codec: hand-verifiable byte-level cases
+plus encode->decode round-trip properties. The conformance query
+``multimodal_real_decode`` proves the round trip at corpus scale; these
+tests pin the FORMAT details against independently constructed bytes
+(spec-derived, not produced by our own encoder) so encoder and decoder
+can't be wrong in the same way."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_extension_clickhouse_native_spark.functions.imagecodec import (
+    MediaFormatError,
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _bmp_bytes(width, height, rows_bottom_up_bgr, bpp=24, compression=0):
+    """Spec-constructed BMP: 14-byte file header + 40-byte info header
+    + caller-supplied padded rows (bottom-up, BGR)."""
+    body = b"".join(rows_bottom_up_bgr)
+    offset = 54
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+        len(body), 2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return head + info + body
+
+
+def test_bmp_decode_known_pixels_with_padding():
+    """3x2 image, row stride 9 -> padded to 12. Raster-order RGB:
+    row0 = R,G,B pure pixels; row1 = white, black, mid-gray.
+    BMP stores row1 FIRST (bottom-up) and channels as BGR."""
+    row_top = b"".join(
+        bytes(p) for p in [(0, 0, 255), (0, 255, 0), (255, 0, 0)]
+    ) + b"\x00\x00\x00"  # BGR of red,green,blue + 3 pad bytes
+    row_bottom = b"".join(
+        bytes(p) for p in [(255, 255, 255), (0, 0, 0), (128, 128, 128)]
+    ) + b"\x00\x00\x00"
+    data = _bmp_bytes(3, 2, [row_bottom, row_top])
+    w, h, ch, px = decode_bmp(data)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255,        # row 0: R G B
+         255, 255, 255, 0, 0, 0, 128, 128, 128]  # row 1
+    )
+
+
+def test_bmp_decode_top_down_negative_height():
+    """Negative height = top-down row order (no flip)."""
+    row0 = bytes([3, 2, 1]) + b"\x00"  # 1px wide: BGR=3,2,1 + 1 pad byte
+    row1 = bytes([6, 5, 4]) + b"\x00"
+    data = _bmp_bytes(1, -2, [row0, row1])
+    w, h, ch, px = decode_bmp(data)
+    assert (w, h, ch) == (1, 2, 3)
+    assert px == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_bmp_rejects_unsupported():
+    row = bytes([0, 0, 0, 0])
+    with pytest.raises(MediaFormatError, match="24bpp"):
+        decode_bmp(_bmp_bytes(1, 1, [row], bpp=8))
+    with pytest.raises(MediaFormatError, match="24bpp"):
+        decode_bmp(_bmp_bytes(1, 1, [row], compression=1))
+    with pytest.raises(MediaFormatError, match="not a BMP"):
+        decode_bmp(b"XX" + bytes(60))
+    with pytest.raises(MediaFormatError, match="truncated"):
+        decode_bmp(_bmp_bytes(4, 4, [bytes(12)]))  # body too short
+
+
+def test_ppm_decode_header_comments_and_p5():
+    raster = bytes(range(12))
+    data = b"P6 # comment\n# another\n 2\n2 # w h\n255\n" + raster
+    w, h, ch, px = decode_ppm(data)
+    assert (w, h, ch, px) == (2, 2, 3, raster)
+    gray = bytes([9, 8, 7, 6])
+    w, h, ch, px = decode_ppm(b"P5\n2 2\n255\n" + gray)
+    assert (w, h, ch, px) == (2, 2, 1, gray)
+
+
+def test_ppm_rejects_malformed():
+    with pytest.raises(MediaFormatError, match="16-bit"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(MediaFormatError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(MediaFormatError, match="not a binary"):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII variant unsupported
+
+
+def test_decode_media_dispatch():
+    px = bytes(range(27))
+    w, h, ch, out = decode_media(encode_bmp(px, 3, 3))
+    assert (w, h, ch, out) == (3, 3, 3, px)
+    w, h, ch, out = decode_media(encode_ppm(px, 3, 3))
+    assert (w, h, ch, out) == (3, 3, 3, px)
+    with pytest.raises(MediaFormatError, match="magic"):
+        decode_media(b"\xff\xd8\xff\xe0jpegish")
+
+
+def test_real_decode_uses_pure_python_path():
+    """real_decode must succeed WITHOUT PIL for BMP/netpbm payloads
+    (the r7 'weak' finding), and still raise NotImplementedError for
+    formats only PIL could handle."""
+    from duckdb_extension_clickhouse_native_spark.functions.multimodal import (
+        _pil,
+        real_decode,
+    )
+
+    px = bytes([10, 20, 30] * 4)
+    out = real_decode(encode_bmp(px, 2, 2))
+    assert out["width"] == 2 and out["height"] == 2 and out["channels"] == 3
+    assert out["mean_pixel"] == pytest.approx(sum(px) / len(px))
+    if _pil() is None:
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\x89PNG\r\n\x1a\n" + bytes(64))
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=1, max_size=16),
+)
+@settings(deadline=None, max_examples=60)
+def test_bmp_round_trip(width, height, seed):
+    px = bytes(seed[i % len(seed)] for i in range(width * height * 3))
+    assert decode_bmp(encode_bmp(px, width, height)) == (width, height, 3, px)
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=1, max_size=16),
+)
+@settings(deadline=None, max_examples=60)
+def test_ppm_round_trip(width, height, seed):
+    px = bytes(seed[i % len(seed)] for i in range(width * height * 3))
+    assert decode_ppm(encode_ppm(px, width, height)) == (width, height, 3, px)
