@@ -517,16 +517,24 @@ class ClickHouseNativeReader(DataSourceReader):
             if not entries:
                 continue
             if self.skipping and self.pushed:
+                def _block_excluded(rows: int, st: dict) -> bool:
+                    # _sidecar_blocks validates offsets/rows but not
+                    # column-stat contents; malformed entries degrade
+                    # to "never skip" (same guard as _prune_paths)
+                    try:
+                        return any(
+                            _filter_excludes_file(
+                                f, {"rows": rows, "columns": st}
+                            )
+                            for f in self.pushed
+                        )
+                    except (KeyError, TypeError, ValueError):
+                        return False
+
                 kept = [
                     i
                     for i, (_off, rows, st) in enumerate(entries)
-                    if st is None
-                    or not any(
-                        _filter_excludes_file(
-                            f, {"rows": rows, "columns": st}
-                        )
-                        for f in self.pushed
-                    )
+                    if st is None or not _block_excluded(rows, st)
                 ]
             else:
                 kept = list(range(len(entries)))
