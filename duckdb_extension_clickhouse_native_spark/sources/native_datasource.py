@@ -348,6 +348,11 @@ class ClickHouseNativeReader(DataSourceReader):
         self.part_keys, self._part_vals_by_path, self.part_types = (
             _partition_spec(self.path, paths) if paths else ([], {}, {})
         )
+        # plan-time listing snapshot: batch reads are snapshot-semantic
+        # (see partitions()), so the recursive walk from this __init__
+        # is reused there instead of listing the directory again — on
+        # an object store that is one LIST per query, not two
+        self._plan_paths = paths
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """Absorb simple predicates; they are evaluated on Arrow batches
@@ -481,7 +486,13 @@ class ClickHouseNativeReader(DataSourceReader):
             # another recursive walk); batch reads are snapshot-semantic
             paths = sorted(self._part_vals_by_path)
             paths = self._prune_partition_dirs(paths)
+        elif self._plan_paths:
+            # same snapshot semantics for flat layouts: one listing per
+            # plan (the __init__ walk), not one per partitions() call
+            paths = self._plan_paths
         else:
+            # __init__ saw nothing (e.g. the directory appeared after
+            # planning started) — fall back to a fresh listing
             paths = _resolve_paths(self.path)
         if self.skipping and self.pushed:
             paths = self._prune_paths(paths)

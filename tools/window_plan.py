@@ -59,6 +59,26 @@ def main() -> int:
           f"graded-never-green: {len(red_ever)}")
     print("latest-green histogram (0 = never):",
           {k: hist[k] for k in sorted(hist)})
+    # evidence-freshness policy: no graded row's newest green should be
+    # more than 3 rounds old (VERDICT r7 item 7) — surfacing the debt
+    # here at round open beats discovering it in the judge's histogram
+    latest_round = max(
+        (int(re.search(r"_r(\d+)", f).group(1))
+         for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))),
+        default=0,
+    )
+    stale = sorted(
+        (n for n, r in latest_green.items() if latest_round - r > 3),
+        key=lambda n: latest_green[n],
+    )
+    if stale:
+        print(f"WARNING: {len(stale)} rows have no green newer than "
+              f"r{latest_round - 3} (policy: newest green within 3 rounds):")
+        for n in stale:
+            print(f"  stale: {n} (newest green r{latest_green[n]})")
+    else:
+        print(f"freshness: OK — every graded row green within the last 3 "
+              f"rounds (<= r{latest_round})")
     print()
     window = (red_ever + never)[:50]
     window += [n for n in graded if n in latest_green][: 50 - len(window)]
