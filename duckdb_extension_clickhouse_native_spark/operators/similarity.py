@@ -559,3 +559,63 @@ def pq_topk_fast(
         encode_adc, "vec_id bigint, pq_code bigint, approx_d2 bigint"
     )
     return out.orderBy("approx_d2", "vec_id").limit(k)
+
+
+def int8_topk_sql(
+    dialect: str, query_vec_id: int = 0, k: int = 10, dim: int = DIM
+) -> str:
+    """Quantized-corpus top-k: per-vector symmetric int8 quantization
+    (the standard serving-side embedding compression: scale =
+    max|v|/127 per vector, 4x smaller than f32, 8x smaller than the
+    raw DOUBLE form) followed by an exact INTEGER dot product over the
+    codes. Cross-engine parity is total: the quantizer is
+    floor(v*127/maxabs + 0.5) on IEEE doubles (identical in both
+    engines — no HALF_EVEN/HALF_UP divergence, the ``_dot_expr``
+    precedent), and the scoring sum is BIGINT arithmetic.
+
+    Scale posture: map-only quantize, broadcast 1-row query side,
+    top-k ends in TakeOrderedAndProject; the at-scale deployment
+    stores the codes once (array<tinyint> column ~ dim bytes/vector)
+    and scans 4x fewer bytes than the f32 corpus — this query is the
+    semantics contract for that path."""
+    if dialect == "spark":
+        ma = (
+            "GREATEST(array_max(transform({v}, x -> abs(CAST(x AS DOUBLE)))), "
+            "CAST(1e-30 AS DOUBLE))"
+        )
+        dot = (
+            f"aggregate(sequence(1, {dim}), CAST(0 AS BIGINT), (acc, i) -> acc"
+            " + CAST(FLOOR(CAST(element_at(e.embedding, i) AS DOUBLE)"
+            " * 127.0 / e.ma + 0.5) AS BIGINT)"
+            " * CAST(FLOOR(CAST(element_at(q.embedding, i) AS DOUBLE)"
+            " * 127.0 / q.ma + 0.5) AS BIGINT))"
+        )
+    else:
+        ma = (
+            "GREATEST(list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))), "
+            "CAST(1e-30 AS DOUBLE))"
+        )
+        dot = (
+            f"CAST(list_sum(list_transform(range(1, {dim} + 1), i ->"
+            " CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)"
+            " * 127.0 / e.ma + 0.5) AS BIGINT)"
+            " * CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)"
+            " * 127.0 / q.ma + 0.5) AS BIGINT))) AS BIGINT)"
+        )
+    return f"""
+    WITH mb AS (
+      SELECT vec_id, label, embedding,
+             {ma.format(v='embedding')} AS ma
+      FROM embeddings
+    ),
+    q AS (SELECT embedding, ma FROM mb WHERE vec_id = {query_vec_id}),
+    scored AS (
+      SELECT e.vec_id, e.label, {dot} AS qdot
+      FROM mb e CROSS JOIN q
+      WHERE e.vec_id <> {query_vec_id}
+    )
+    SELECT vec_id, label, qdot
+    FROM scored
+    ORDER BY qdot DESC, vec_id
+    LIMIT {k}
+    """

@@ -1,0 +1,111 @@
+"""Sketch-style operators: heavy hitters (ClickHouse ``topK``-shaped)
+and per-source frequency capping.
+
+``heavy_hitters_query`` — the ClickHouse ``topK``/space-saving use
+case, built as the two-phase shape that is exact AND scale-safe:
+(1) a CANDIDATE stage bounds memory like a Misra-Gries summary — each
+Arrow batch emits only the items whose batch-local frequency exceeds
+``1/(m+1)`` of the batch (pigeonhole: any item with GLOBAL frequency
+> n/(m+1) must clear that bar in at least one batch, so the union of
+batch candidates is a guaranteed superset of every true heavy hitter;
+each batch contributes at most m+1 rows no matter how many distinct
+keys exist); (2) an EXACT verify stage semi-joins events to the
+(small, broadcastable) candidate set and recounts precisely, so the
+output is the exact heavy-hitter list — the approximation only ever
+prunes work, never changes the answer. At 100 TB the candidate set is
+bounded by m x #batches while a full GROUP BY user would shuffle every
+distinct key; the verify shuffle only carries candidate rows.
+
+The reference engine exposes no aggregate surface of its own
+(SURVEY.md §2.1 — it delegates to the host); this operator is
+pipeline-tier, patterned on the ClickHouse ``topK`` aggregate's role.
+
+``domain_cap_sql`` — CommonCrawl-style per-source frequency cap: keep
+at most ``cap`` documents per source, chosen by a deterministic md5
+priority so both engines (and any two cluster runs) keep the same
+docs. One window per source; at real scale source cardinality is
+large (domains), so the partition-by key is high-cardinality and the
+window is balanced — for few-giant-domain corpora, swap in the
+two-phase distributed-rank used by ``operators/sharding.py`` (same
+output contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+M_COUNTERS = 200       # candidate-stage capacity (per batch)
+PHI_DEN = 130          # heavy hitter = count * PHI_DEN >= total_events
+
+
+def heavy_hitter_candidates(df: DataFrame, key: str, m: int = M_COUNTERS) -> DataFrame:
+    """Candidate user ids via the batch-local frequency filter
+    (Misra-Gries-style bound: <= m+1 candidates per Arrow batch)."""
+    import pandas as pd
+
+    def cands(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vc = pdf[key].value_counts()
+            keep = vc[vc * (m + 1) > len(pdf)]
+            yield pd.DataFrame({key: keep.index})
+
+    return df.select(key).mapInPandas(cands, schema=f"{key} bigint").distinct()
+
+
+def heavy_hitters_query(
+    spark: SparkSession, sf_dir: str, m: int = M_COUNTERS, phi_den: int = PHI_DEN
+) -> DataFrame:
+    """Exact heavy hitters over events: users with at least
+    total/phi_den events, found via the bounded candidate stage and
+    an exact verify recount (broadcast semi-join)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["events"])
+    events = spark.table("events")
+    cands = heavy_hitter_candidates(events, "user_id", m)
+    exact = (
+        events.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # total as a broadcast 1-row relation: ONE declarative plan, no
+    # driver-side collect
+    total = events.agg(F.count("*").alias("total_events"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * phi_den >= F.col("total_events"))
+        .orderBy("user_id")
+        .select("user_id", "n_events")
+    )
+
+
+def heavy_hitters_oracle_sql(phi_den: int = PHI_DEN) -> str:
+    return f"""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * {phi_den} >= (SELECT COUNT(*) FROM events)
+    ORDER BY user_id
+    """
+
+
+def domain_cap_sql(dialect: str, cap: int = 10) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS {s})), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= {cap}
+    ORDER BY source, rk
+    """

@@ -713,5 +713,45 @@ _sql_pair(
 )
 
 
+# -- sketches / capping / quantized retrieval (round 8) ---------------------
+
+from ..operators.sketches import (  # noqa: E402
+    domain_cap_sql,
+    heavy_hitters_oracle_sql,
+    heavy_hitters_query,
+)
+from ..operators.similarity import int8_topk_sql  # noqa: E402
+
+REGISTRY.df_query(
+    "events_heavy_hitters",
+    heavy_hitters_query,
+    oracle=heavy_hitters_oracle_sql(),
+    tags=["sketch", "events", "pandas_udf", "two-phase"],
+    description="exact heavy hitters (ClickHouse topK role): Misra-Gries-style "
+    "bounded candidate stage (<= m+1 rows per batch) + broadcast semi-join "
+    "exact recount — the approximation prunes work, never the answer",
+)
+
+_sql_pair(
+    "sample_domain_cap",
+    domain_cap_sql("spark"),
+    domain_cap_sql("duckdb"),
+    ["documents"],
+    ["sampling", "capping", "window"],
+    "per-source frequency cap (CommonCrawl-style): keep <= N docs per source "
+    "by deterministic md5 priority",
+)
+
+_sql_pair(
+    "sim_topk_int8",
+    int8_topk_sql("spark"),
+    int8_topk_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "quantization", "topk"],
+    "int8-quantized embedding top-k: per-vector symmetric quantization + "
+    "exact integer dot scoring (the 4x-compressed serving-corpus contract)",
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""

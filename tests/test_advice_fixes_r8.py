@@ -236,3 +236,42 @@ def test_merge_upsert_insert_keys_above_max():
     # no duplicated output keys (the FULL OUTER JOIN stayed 1:1)
     keys = [r[0] for r in rows]
     assert len(keys) == len(set(keys))
+
+
+# ---------------------------------------------------------------- 6
+def test_one_listing_per_plan_flat_layout(tmp_path, spark, monkeypatch):
+    """partitions() must reuse the __init__ listing snapshot for flat
+    layouts — one directory walk per reader (per plan), not one per
+    partitions() call (stretch item: object-store LIST economy)."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+    from duckdb_extension_clickhouse_native_spark.sources import (
+        native_datasource as nd,
+    )
+
+    d = str(tmp_path / "flat")
+    os.makedirs(d)
+    for i in range(3):
+        write_native_file(
+            os.path.join(d, f"p{i}.clickhouse"),
+            pa.table({"v": pa.array(range(10), pa.int64())}),
+        )
+    schema = nd.infer_native_schema({"path": d})
+
+    calls = {"n": 0}
+    real = nd._resolve_paths
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(nd, "_resolve_paths", counting)
+    reader = nd.ClickHouseNativeReader(schema, {"path": d})
+    assert calls["n"] == 1  # the __init__ walk
+    p1 = reader.partitions()
+    p2 = reader.partitions()
+    assert calls["n"] == 1  # both partitions() calls reused the snapshot
+    assert len(p1) == len(p2) == 3
