@@ -176,7 +176,11 @@ def propagate_min_labels(
                 ),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)  # truncate lineage
+        # non-eager: the convergence agg right below is the first
+        # action, so it materializes the checkpoint — one job per
+        # round instead of two (measured 1.4 -> 1.3 s steady-state at
+        # sf0.1; lineage is still truncated at that materialization)
+        new_labels = jumped.localCheckpoint(eager=False)
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]

@@ -189,6 +189,39 @@ REPLACING_MERGE_SQL = """
     """
 
 
+# SummingMergeTree-style read (the other signature merge engine): rows
+# sharing the ORDER BY key collapse to one row whose numeric columns
+# are SUMS; a GROUP BY with map-side partial aggregation IS that merge
+# performed at read time — the at-scale shape ClickHouse materializes
+# in the background. DECIMAL accumulation keeps the sum exact in both
+# engines (the q1 precedent); n_rows documents how many raw rows
+# collapsed into each merged one.
+SUMMING_MERGE_SQL = """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """
+
+
+# ClickHouse GROUP BY ... WITH TOTALS: the per-group rows PLUS one
+# grand-total row. ROLLUP over the single grouping column is exactly
+# that; GROUPING() flags the totals row (its event_type is NULL), and
+# ordering it last mirrors ClickHouse's separate totals block.
+GROUP_WITH_TOTALS_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(GROUPING(event_type) AS INT) AS is_totals
+    FROM events
+    GROUP BY ROLLUP (event_type)
+    ORDER BY is_totals, event_type
+    """
+
+
 def gap_fill_sql(dialect: str, n_hours: int = 720) -> str:
     """ClickHouse ``ORDER BY ... WITH FILL`` + ``INTERPOLATE``
     re-expressed: a dense hourly spine (generated, not scanned) left-

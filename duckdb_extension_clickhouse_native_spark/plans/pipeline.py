@@ -416,6 +416,28 @@ _sql_pair(
     "(one window shuffle, no self-join)",
 )
 
+from ..operators.funnel import GROUP_WITH_TOTALS_SQL, SUMMING_MERGE_SQL  # noqa: E402
+
+_sql_pair(
+    "events_summing_merge",
+    SUMMING_MERGE_SQL,
+    SUMMING_MERGE_SQL,
+    ["events"],
+    ["events", "merge", "aggregation"],
+    "SummingMergeTree read semantics: key-collapsed exact DECIMAL sums "
+    "(map-side-combinable GROUP BY is the merge, done at read time)",
+)
+
+_sql_pair(
+    "group_with_totals",
+    GROUP_WITH_TOTALS_SQL,
+    GROUP_WITH_TOTALS_SQL,
+    ["events"],
+    ["aggregation", "totals", "rollup"],
+    "ClickHouse GROUP BY ... WITH TOTALS via single-column ROLLUP + "
+    "GROUPING() flag (totals row ordered last)",
+)
+
 # Spark side persists the capped edge relation once and broadcast-joins
 # the node-sized rank relation per iteration (see pagerank_query); the
 # oracle stays the unrolled-CTE SQL — identical integer fixed point.

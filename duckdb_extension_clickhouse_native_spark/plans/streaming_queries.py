@@ -231,6 +231,49 @@ REGISTRY.df_query(
 )
 
 
+def _stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_heavy_hitters``: a stateful
+    streaming count per user (complete mode — state is one counter per
+    key, the streaming-agg analogue of the batch recount stage), then
+    the same total-relative threshold applied to the FINAL state. The
+    batch path's Misra-Gries candidate pruning is a per-batch memory
+    bound; in streaming, the state store itself is the bounded
+    structure, so the plain stateful count IS the scale shape (state
+    O(distinct users), not O(events))."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    counts = _drain(
+        events.groupBy("user_id").agg(F.count("*").alias("n_events")),
+        "complete",
+    )
+    total = counts.agg(F.sum("n_events").alias("total_events"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * 130 >= F.col("total_events"))
+        .orderBy("user_id")
+        .select("user_id", "n_events")
+    )
+
+
+REGISTRY.df_query(
+    "stream_heavy_hitters",
+    _stream_heavy_hitters,
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * 130 >= (SELECT COUNT(*) FROM events)
+    ORDER BY user_id
+    """,
+    tags=["streaming", "stateful", "sketch"],
+    description="stateful streaming per-user counts; final state thresholded == "
+    "batch heavy hitters exactly",
+)
+
+
 def _stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` over the key columns,
     driven through real micro-batches; the set of emitted keys must
