@@ -285,3 +285,167 @@ def gap_fill_sql(dialect: str, n_hours: int = 720) -> str:
     FROM joined
     ORDER BY event_type, hour_no
     """
+
+
+def sequence_count_sql(dialect: str) -> str:
+    """ClickHouse ``sequenceCount``: how many NON-OVERLAPPING
+    view->click->purchase chains each user completed, in order. The
+    greedy counter (consume the earliest available prefix at each
+    step) is optimal for subsequence matching, and it is a pure FOLD
+    over the user's ordered event codes — so both engines run it as a
+    higher-order reduce (Spark ``aggregate``, DuckDB ``list_reduce``),
+    no UDF, no iteration, engine-exact integers.
+
+    Spark state packing: acc = f1*2^20 + f2*2^10 + f3 where f_k =
+    events matched at chain level k (f1 >= f2 >= f3 invariant); one
+    BIGINT, counts capped at 1000 per user (the same per-user cap
+    rule every sequence operator documents for 100 TB corpora). The
+    DuckDB oracle runs the SAME greedy transition as a recursive CTE
+    over list positions (unpacked columns) — NOT ``list_reduce``,
+    which in DuckDB 1.0 returns a wrong fold for some rows when
+    evaluated over many rows at once (verified: correct for a row in
+    isolation, wrong for the same row inside a 150-row batch), so the
+    two sides are also structurally independent implementations of
+    the greedy counter. Scale shape (Spark): one user-keyed ordered
+    aggregation, then a map-side fold."""
+    t = _t_expr(dialect)
+    if dialect == "spark":
+        f1 = "(acc DIV 1048576)"
+        f2 = "((acc DIV 1024) % 1024)"
+        f3 = "(acc % 1024)"
+        step = (
+            f"CASE WHEN x = 1 AND {f1} < 1000 THEN acc + 1048576 "
+            f"WHEN x = 2 AND {f1} > {f2} THEN acc + 1024 "
+            f"WHEN x = 3 AND {f2} > {f3} THEN acc + 1 "
+            "ELSE acc END"
+        )
+        codes = (
+            "transform(sort_array(array_agg(struct(t, event_id, code))), "
+            "x -> CAST(x.code AS BIGINT))"
+        )
+        fold = f"aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> {step})"
+        return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, {t} AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 END AS code
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    seqs AS (
+      SELECT user_id, {codes} AS codes FROM ev GROUP BY user_id
+    )
+    SELECT user_id, CAST({fold} % 1024 AS BIGINT) AS n_chains
+    FROM seqs
+    ORDER BY user_id
+    """
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, {t} AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 END AS code
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    seqs AS (
+      SELECT user_id,
+             list_transform(array_agg(code ORDER BY t, event_id),
+                            x -> CAST(x AS BIGINT)) AS codes
+      FROM ev GROUP BY user_id
+    ),
+    fold AS (
+      SELECT user_id, codes, 0 AS i,
+             CAST(0 AS BIGINT) AS f1, CAST(0 AS BIGINT) AS f2,
+             CAST(0 AS BIGINT) AS f3
+      FROM seqs
+      UNION ALL
+      SELECT user_id, codes, i + 1,
+             CASE WHEN codes[i + 1] = 1 AND f1 < 1000 THEN f1 + 1 ELSE f1 END,
+             CASE WHEN codes[i + 1] = 2 AND f1 > f2 THEN f2 + 1 ELSE f2 END,
+             CASE WHEN codes[i + 1] = 3 AND f2 > f3 THEN f3 + 1 ELSE f3 END
+      FROM fold WHERE i < len(codes)
+    )
+    SELECT user_id, f3 AS n_chains
+    FROM fold WHERE i = len(codes)
+    ORDER BY user_id
+    """
+
+
+def histogram_sql(dialect: str, n_bins: int = 10, lo: float = 0.0, hi: float = 100.0) -> str:
+    """ClickHouse ``histogram``-role equi-width histogram over the
+    events value column: deterministic fixed-width bins (the adaptive
+    ClickHouse variant is sampling-dependent; the fixed-width form is
+    the engine-exact analogue). Bins are left-closed; the top edge
+    value lands in the last bin. One map-side-combinable GROUP BY."""
+    w = (hi - lo) / n_bins
+    return f"""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - {lo}) / {w}) AS BIGINT),
+                   {n_bins - 1}) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND value >= {lo} AND value <= {hi}
+    )
+    SELECT bin,
+           CAST({lo} + bin * {w} AS DOUBLE) AS bin_lo,
+           CAST({lo} + (bin + 1) * {w} AS DOUBLE) AS bin_hi,
+           COUNT(*) AS n
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+def time_window_join_sql(dialect: str, window_s: int = 600) -> str:
+    """Time-window join via BIN BUCKETING — the scale-safe form of a
+    range join: each 'signup' event must count the 'click' events (any
+    user) within +-``window_s`` seconds. The naive plan is a non-equi
+    join (nested-loop or unsplittable range sort-merge); the binned
+    form explodes the probe side into its 3 covering bins of width
+    ``window_s`` and EQUI-joins on the bin, applying the exact range
+    predicate inside the join — shuffle keyed, AQE-coalescible, and
+    each bin pair touches only temporally-local rows. The oracle runs
+    the naive non-equi join, proving the decomposition exact."""
+    t = _t_expr(dialect)
+    usec = window_s * 1_000_000
+    if dialect == "spark":
+        expl = (
+            "LATERAL VIEW explode(array(b - 1, b, b + 1)) g AS bin"
+        )
+        binexpr = f"CAST({t} DIV {usec} AS BIGINT)"
+        cbin = f"CAST({t} DIV {usec} AS BIGINT)"
+    else:
+        expl = ", UNNEST([b - 1, b, b + 1]) AS g(bin)"
+        binexpr = f"CAST({t} // {usec} AS BIGINT)"
+        cbin = f"CAST({t} // {usec} AS BIGINT)"
+    return f"""
+    WITH s AS (
+      SELECT event_id, user_id, {t} AS ts_us, {binexpr} AS b
+      FROM events WHERE event_type = 'signup'
+    ),
+    sb AS (SELECT event_id, user_id, ts_us, bin FROM s {expl}),
+    c AS (
+      SELECT {t} AS cts_us, {cbin} AS bin
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT sb.event_id, sb.user_id,
+           COUNT(c.cts_us) AS n_nearby_clicks
+    FROM sb LEFT JOIN c
+      ON sb.bin = c.bin
+     AND c.cts_us BETWEEN sb.ts_us - {usec} AND sb.ts_us + {usec}
+    GROUP BY sb.event_id, sb.user_id
+    ORDER BY sb.event_id
+    """
+
+
+TIME_WINDOW_JOIN_ORACLE = """
+    SELECT s.event_id, s.user_id,
+           CAST(COALESCE(SUM(CASE WHEN c.cts BETWEEN s.ts - 600000000
+                                   AND s.ts + 600000000 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_nearby_clicks
+    FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+          FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+               FROM events WHERE event_type = 'click') c ON TRUE
+    GROUP BY s.event_id, s.user_id
+    ORDER BY s.event_id
+    """

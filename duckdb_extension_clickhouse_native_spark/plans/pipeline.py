@@ -416,7 +416,14 @@ _sql_pair(
     "(one window shuffle, no self-join)",
 )
 
-from ..operators.funnel import GROUP_WITH_TOTALS_SQL, SUMMING_MERGE_SQL  # noqa: E402
+from ..operators.funnel import (  # noqa: E402
+    GROUP_WITH_TOTALS_SQL,
+    SUMMING_MERGE_SQL,
+    TIME_WINDOW_JOIN_ORACLE,
+    histogram_sql,
+    sequence_count_sql,
+    time_window_join_sql,
+)
 
 _sql_pair(
     "events_summing_merge",
@@ -426,6 +433,36 @@ _sql_pair(
     ["events", "merge", "aggregation"],
     "SummingMergeTree read semantics: key-collapsed exact DECIMAL sums "
     "(map-side-combinable GROUP BY is the merge, done at read time)",
+)
+
+_sql_pair(
+    "events_sequence_count",
+    sequence_count_sql("spark"),
+    sequence_count_sql("duckdb"),
+    ["events"],
+    ["events", "sequence", "fold"],
+    "ClickHouse sequenceCount: non-overlapping v->c->p chains per user via a "
+    "greedy packed-BIGINT fold (Spark aggregate / DuckDB list_reduce, no UDF)",
+)
+
+_sql_pair(
+    "events_histogram",
+    histogram_sql("spark"),
+    histogram_sql("duckdb"),
+    ["events"],
+    ["stats", "histogram"],
+    "equi-width histogram over the value column (ClickHouse histogram role, "
+    "deterministic fixed bins, one map-side-combinable GROUP BY)",
+)
+
+_sql_pair(
+    "join_time_window_binned",
+    time_window_join_sql("spark"),
+    TIME_WINDOW_JOIN_ORACLE,
+    ["events"],
+    ["join", "range", "binning"],
+    "range join via bin bucketing: probe side explodes into 3 covering bins, "
+    "equi-join on bin + exact range filter == the naive non-equi oracle",
 )
 
 _sql_pair(

@@ -129,3 +129,82 @@ def test_domain_cap_invariants():
     )
     for src, tot in totals.items():
         assert per_src.get(src, 0) == min(10, tot)
+
+
+def _greedy_chain_count(codes):
+    f1 = f2 = f3 = 0
+    for x in codes:
+        if x == 1 and f1 < 1000:
+            f1 += 1
+        elif x == 2 and f1 > f2:
+            f2 += 1
+        elif x == 3 and f2 > f3:
+            f3 += 1
+    return f3
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.sampled_from(["view", "click", "purchase", "signup"]),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(deadline=None, max_examples=50)
+def test_sequence_count_oracle_equals_greedy_reference(rows):
+    """The recursive-CTE oracle must equal the independent Python
+    greedy counter for arbitrary event streams — including the many-
+    rows-at-once shape that exposed the DuckDB 1.0 list_reduce fold
+    bug (wrong value for a row inside a batch, correct alone)."""
+    import pandas as pd
+
+    from duckdb_extension_clickhouse_native_spark.operators.funnel import (
+        sequence_count_sql,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [u for u, _ in rows],
+            "event_type": [t for _, t in rows],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([i % 7 for i in range(len(rows))], unit="s"),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    got = dict(con.execute(sequence_count_sql("duckdb")).fetchall())
+    code = {"view": 1, "click": 2, "purchase": 3, "signup": 0}
+    per_user: dict = {}
+    order = sorted(range(len(rows)), key=lambda i: (df["ts"][i], i))
+    for i in order:
+        u, t = rows[i]
+        if t in ("view", "click", "purchase"):
+            per_user.setdefault(u, []).append(code[t])
+    want = {u: _greedy_chain_count(cs) for u, cs in per_user.items()}
+    assert got == want
+
+
+def test_sequence_count_spark_matches_oracle(spark):
+    """Spark's packed-BIGINT aggregate fold == the recursive-CTE
+    oracle, row-for-row at sf0.001 (the two implementations share no
+    structure)."""
+    from duckdb_extension_clickhouse_native_spark.operators.funnel import (
+        sequence_count_sql,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    load_tables(spark, sf, ["events"])
+    got = [tuple(r) for r in spark.sql(sequence_count_sql("spark")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(sequence_count_sql("duckdb")).fetchall()
+    assert got == want and len(got) > 0
