@@ -449,3 +449,27 @@ TIME_WINDOW_JOIN_ORACLE = """
     GROUP BY s.event_id, s.user_id
     ORDER BY s.event_id
     """
+
+
+# ClickHouse ``deltaSum``: the sum of POSITIVE increments of an
+# ordered series (counter-reset-tolerant rate accumulation). One
+# window pass per user. Parity: each per-row delta is an IEEE double
+# (deterministic), floored to a 1e-6 fixed-point BIGINT before the
+# SUM, so the aggregate is order-independent integer arithmetic —
+# a raw SUM of doubles would be ordering-dependent across engines.
+DELTA_SUM_SQL = """
+    WITH d AS (
+      SELECT user_id,
+             CAST(value AS DOUBLE)
+               - lag(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dv
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN dv > 0
+                 THEN CAST(FLOOR(dv * 1000000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS delta_sum_fp
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """

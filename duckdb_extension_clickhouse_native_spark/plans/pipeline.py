@@ -465,6 +465,18 @@ _sql_pair(
     "equi-join on bin + exact range filter == the naive non-equi oracle",
 )
 
+from ..operators.funnel import DELTA_SUM_SQL  # noqa: E402
+
+_sql_pair(
+    "events_delta_sum",
+    DELTA_SUM_SQL,
+    DELTA_SUM_SQL,
+    ["events"],
+    ["events", "timeseries", "window"],
+    "ClickHouse deltaSum: per-user sum of positive increments (one window "
+    "pass; 1e-6 fixed-point deltas keep the aggregate order-independent)",
+)
+
 _sql_pair(
     "group_with_totals",
     GROUP_WITH_TOTALS_SQL,
