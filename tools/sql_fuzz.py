@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Differential SQL fuzzer: generate random queries from a
+PARITY-SAFE grammar (a SQL subset whose semantics are bit-identical
+in Spark and DuckDB by construction), run the SAME text on both
+engines over the same parquet, and hash-compare — the randomized
+complement of the 173 hand-written conformance queries.
+
+Parity-safe means every construct avoids the known divergence
+classes the conformance corpus documents:
+  * no double->DECIMAL casts (HALF_UP vs HALF_EVEN) — double sums go
+    through FLOOR(col * 10^k) fixed-point BIGINTs;
+  * no LIMIT (ties would make row sets order-dependent) — the compare
+    is order-insensitive already;
+  * only ASCII string comparisons (binary collation in both);
+  * TIMESTAMP literals in the shared 'YYYY-MM-DD HH:MM:SS' form.
+
+Shapes: single-table filter+project, single-table grouped aggregate,
+and a keyed two-table join aggregate. Seeded RNG -> reproducible;
+tools-invocation runs a batch and prints failures with their seeds.
+
+Run: python tools/sql_fuzz.py [n_queries] [base_seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "doubles": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "strings": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+        "group": ["l_returnflag", "l_linestatus", "l_suppkey"],
+        "int_range": (0, 15000),
+        "str_lits": ["A", "N", "R", "O", "F"],
+        "dbl_range": (0.0, 100.0),
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "doubles": ["o_totalprice"],
+        "strings": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+        "group": ["o_orderstatus", "o_orderpriority", "o_custkey"],
+        "int_range": (0, 15000),
+        "str_lits": ["O", "F", "P", "1-URGENT", "3-MEDIUM", "5-LOW"],
+        "dbl_range": (0.0, 500000.0),
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "doubles": ["c_acctbal"],
+        "strings": ["c_mktsegment", "c_name"],
+        "ts": [],
+        "group": ["c_mktsegment", "c_nationkey"],
+        "int_range": (0, 1500),
+        "str_lits": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"],
+        "dbl_range": (-1000.0, 10000.0),
+    },
+    "part": {
+        "ints": ["p_partkey", "p_size"],
+        "doubles": ["p_retailprice"],
+        "strings": ["p_brand", "p_type", "p_name"],
+        "ts": [],
+        "group": ["p_brand", "p_size"],
+        "int_range": (0, 2000),
+        "str_lits": ["Brand#11", "Brand#23", "Brand#35", "Brand#44"],
+        "dbl_range": (800.0, 2100.0),
+    },
+}
+
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+
+def _pred(rng: random.Random, t: str, alias: str = "") -> str:
+    spec = TABLES[t]
+    p = f"{alias}." if alias else ""
+    kind = rng.choice(["int", "int", "str", "dbl"] + (["ts"] if spec["ts"] else []))
+    if kind == "int":
+        c = rng.choice(spec["ints"])
+        lo, hi = spec["int_range"]
+        v = rng.randint(lo, hi)
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        if rng.random() < 0.2:
+            vals = ", ".join(str(rng.randint(lo, hi)) for _ in range(rng.randint(2, 5)))
+            return f"{p}{c} IN ({vals})"
+        return f"{p}{c} {op} {v}"
+    if kind == "str":
+        c = rng.choice(spec["strings"])
+        v = rng.choice(spec["str_lits"])
+        op = rng.choice(["=", "<>", ">", "<"])
+        return f"{p}{c} {op} '{v}'"
+    if kind == "dbl":
+        c = rng.choice(spec["doubles"])
+        lo, hi = spec["dbl_range"]
+        v = round(rng.uniform(lo, hi), 3)
+        op = rng.choice(["<", "<=", ">", ">="])
+        return f"{p}{c} {op} {v}"
+    c = rng.choice(spec["ts"])
+    y = rng.randint(1995, 2000)
+    m = rng.randint(1, 12)
+    d = rng.randint(1, 28)
+    op = rng.choice(["<", ">="])
+    return f"{p}{c} {op} TIMESTAMP '{y:04d}-{m:02d}-{d:02d} 00:00:00'"
+
+
+def _where(rng: random.Random, t: str, alias: str = "") -> str:
+    n = rng.randint(1, 3)
+    parts = [_pred(rng, t, alias) for _ in range(n)]
+    glue = rng.choice([" AND ", " OR "])
+    return "(" + glue.join(parts) + ")"
+
+
+def _aggs(rng: random.Random, t: str, alias: str = "") -> list[str]:
+    spec = TABLES[t]
+    p = f"{alias}." if alias else ""
+    out = ["COUNT(*) AS n_rows"]
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(["min_int", "max_int", "sum_int", "min_str", "sum_dbl_fp"])
+        if kind == "min_int":
+            c = rng.choice(spec["ints"])
+            out.append(f"MIN({p}{c}) AS agg{i}_min_{c}")
+        elif kind == "max_int":
+            c = rng.choice(spec["ints"])
+            out.append(f"MAX({p}{c}) AS agg{i}_max_{c}")
+        elif kind == "sum_int":
+            c = rng.choice(spec["ints"])
+            out.append(f"CAST(SUM({p}{c}) AS BIGINT) AS agg{i}_sum_{c}")
+        elif kind == "min_str":
+            c = rng.choice(spec["strings"])
+            out.append(f"MIN({p}{c}) AS agg{i}_min_{c}")
+        else:
+            c = rng.choice(spec["doubles"])
+            out.append(
+                f"CAST(SUM(CAST(FLOOR({p}{c} * 10000) AS BIGINT)) AS BIGINT)"
+                f" AS agg{i}_sumfp_{c}"
+            )
+    return out
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    shape = rng.choice(["project", "agg", "agg", "join_agg"])
+    if shape == "project":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        cols = sorted(
+            set(
+                rng.sample(
+                    spec["ints"] + spec["strings"] + spec["doubles"],
+                    rng.randint(1, 4),
+                )
+            )
+        )
+        return f"SELECT {', '.join(cols)} FROM {t} WHERE {_where(rng, t)}"
+    if shape == "agg":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        groups = rng.sample(spec["group"], rng.randint(0, 2))
+        aggs = _aggs(rng, t)
+        sel = ", ".join(groups + aggs)
+        gb = f" GROUP BY {', '.join(groups)}" if groups else ""
+        return f"SELECT {sel} FROM {t} WHERE {_where(rng, t)}{gb}"
+    big, dim, bk, dk = rng.choice(JOINS)
+    groups = rng.sample(TABLES[dim]["group"], rng.randint(0, 1)) + rng.sample(
+        TABLES[big]["group"], rng.randint(0, 1)
+    )
+    qgroups = [
+        (f"a.{g}" if g in TABLES[big]["group"] else f"b.{g}") for g in groups
+    ]
+    aggs = _aggs(rng, big, "a")
+    sel = ", ".join(
+        [f"{qg} AS {g}" for qg, g in zip(qgroups, groups)] + aggs
+    )
+    gb = f" GROUP BY {', '.join(qgroups)}" if qgroups else ""
+    return (
+        f"SELECT {sel} FROM {big} a JOIN {dim} b ON a.{bk} = b.{dk} "
+        f"WHERE {_where(rng, big, 'a')} AND {_where(rng, dim, 'b')}{gb}"
+    )
+
+
+def run_fuzz(spark, con, n: int, base_seed: int, sf_dir: str) -> list[tuple[int, str, str]]:
+    """Returns [(seed, sql, mismatch_message)] — empty list == clean."""
+    from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
+    from oracle_harness import compare
+
+    load_tables(spark, sf_dir, list(TABLES))
+    failures = []
+    for i in range(n):
+        seed = base_seed + i
+        sql = gen_query(seed)
+        ok, msg = compare(spark.sql(sql), con, sql)
+        if not ok:
+            failures.append((seed, sql, msg))
+    return failures
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42_000
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+    from duckdb_extension_clickhouse_native_spark import get_spark
+    from oracle_harness import duckdb_connection
+
+    spark = get_spark(app_name="sql-fuzz", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_connection(sf_dir)
+    failures = run_fuzz(spark, con, n, base_seed, sf_dir)
+    for seed, sql, msg in failures:
+        print(f"SEED {seed} MISMATCH: {msg[:200]}\n  {sql}")
+    print(f"fuzzed {n} queries (seeds {base_seed}..{base_seed + n - 1}): "
+          f"{len(failures)} mismatches")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
