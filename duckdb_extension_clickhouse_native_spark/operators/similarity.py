@@ -619,3 +619,19 @@ def int8_topk_sql(
     ORDER BY qdot DESC, vec_id
     LIMIT {k}
     """
+
+
+def int8_recall_sql(dialect: str, query_vec_id: int = 0, k: int = 10) -> str:
+    """Recall@k of the int8-quantized ranking vs the exact cosine
+    top-k — the quality gate one runs before shipping a quantized
+    serving corpus (the ``ann_recall_sql`` pattern applied to
+    ``int8_topk_sql``). Deterministic in both engines, so the hit
+    count is hash-comparable."""
+    exact = cosine_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
+    quant = int8_topk_sql(dialect, query_vec_id=query_vec_id, k=k)
+    return f"""
+    SELECT
+      CAST((SELECT COUNT(*) FROM ({quant}) q JOIN ({exact}) e
+            ON q.vec_id = e.vec_id) AS INT) AS int8_hits_at_{k},
+      CAST({k} AS INT) AS k
+    """

@@ -813,6 +813,18 @@ _sql_pair(
     "by deterministic md5 priority",
 )
 
+from ..operators.similarity import int8_recall_sql  # noqa: E402
+
+_sql_pair(
+    "sim_int8_recall",
+    int8_recall_sql("spark"),
+    int8_recall_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "quantization", "evaluation"],
+    "recall@10 of the int8-quantized ranking vs exact cosine top-k "
+    "(the pre-ship quality gate for a quantized serving corpus)",
+)
+
 _sql_pair(
     "sim_topk_int8",
     int8_topk_sql("spark"),
