@@ -23,7 +23,9 @@ def test_fuzz_batch_is_clean(spark):
 def test_generator_is_deterministic_and_diverse():
     qs = [gen_query(s) for s in range(200, 260)]
     assert qs == [gen_query(s) for s in range(200, 260)]
-    # all three shapes appear in a 60-seed window
+    # shape diversity in a 60-seed window
     assert any(" JOIN " in q for q in qs)
     assert any(" GROUP BY " in q for q in qs)
-    assert any(" JOIN " not in q and " GROUP BY " not in q for q in qs)
+    assert any("DISTINCT" in q for q in qs)
+    assert any("ROW_NUMBER()" in q for q in qs)
+    assert any((" UNION " in q) or (" INTERSECT " in q) or (" EXCEPT " in q) for q in qs)

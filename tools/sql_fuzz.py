@@ -3,7 +3,7 @@
 PARITY-SAFE grammar (a SQL subset whose semantics are bit-identical
 in Spark and DuckDB by construction), run the SAME text on both
 engines over the same parquet, and hash-compare — the randomized
-complement of the 173 hand-written conformance queries.
+complement of the 174 hand-written conformance queries.
 
 Parity-safe means every construct avoids the known divergence
 classes the conformance corpus documents:
@@ -14,9 +14,13 @@ classes the conformance corpus documents:
   * only ASCII string comparisons (binary collation in both);
   * TIMESTAMP literals in the shared 'YYYY-MM-DD HH:MM:SS' form.
 
-Shapes: single-table filter+project, single-table grouped aggregate,
-and a keyed two-table join aggregate. Seeded RNG -> reproducible;
-tools-invocation runs a batch and prints failures with their seeds.
+Shapes: single-table filter+project, DISTINCT projection, grouped
+aggregate (optionally with HAVING), keyed two-table join aggregate,
+set operations (UNION / INTERSECT / EXCEPT — all DISTINCT semantics
+in both engines), and window functions (ROW_NUMBER / running SUM
+over a unique total order, so every value is deterministic). Seeded
+RNG -> reproducible; tools-invocation runs a batch and prints
+failures with their seeds.
 
 Run: python tools/sql_fuzz.py [n_queries] [base_seed] [sf_dir]
 """
@@ -30,6 +34,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+
+UNIQUE_KEY = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+}
 
 TABLES = {
     "lineitem": {
@@ -149,7 +160,9 @@ def _aggs(rng: random.Random, t: str, alias: str = "") -> list[str]:
 
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
-    shape = rng.choice(["project", "agg", "agg", "join_agg"])
+    shape = rng.choice(
+        ["project", "agg", "agg", "join_agg", "distinct", "setop", "window"]
+    )
     if shape == "project":
         t = rng.choice(list(TABLES))
         spec = TABLES[t]
@@ -162,6 +175,40 @@ def gen_query(seed: int) -> str:
             )
         )
         return f"SELECT {', '.join(cols)} FROM {t} WHERE {_where(rng, t)}"
+    if shape == "distinct":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        cols = sorted(
+            set(rng.sample(spec["group"] + spec["strings"], rng.randint(1, 2)))
+        )
+        return f"SELECT DISTINCT {', '.join(cols)} FROM {t} WHERE {_where(rng, t)}"
+    if shape == "setop":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        col = rng.choice(spec["group"])
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT {col} FROM {t} WHERE {_where(rng, t)} "
+            f"{op} SELECT {col} FROM {t} WHERE {_where(rng, t)}"
+        )
+    if shape == "window":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        uk = ", ".join(UNIQUE_KEY[t])
+        part = rng.choice(spec["group"])
+        wins = [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {uk}) AS rn"
+        ]
+        if rng.random() < 0.6:
+            c = rng.choice(spec["ints"])
+            wins.append(
+                f"CAST(SUM({c}) OVER (PARTITION BY {part} ORDER BY {uk} "
+                f"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_{c}"
+            )
+        return (
+            f"SELECT {uk}, {part}, {', '.join(wins)} "
+            f"FROM {t} WHERE {_where(rng, t)}"
+        )
     if shape == "agg":
         t = rng.choice(list(TABLES))
         spec = TABLES[t]
@@ -169,7 +216,10 @@ def gen_query(seed: int) -> str:
         aggs = _aggs(rng, t)
         sel = ", ".join(groups + aggs)
         gb = f" GROUP BY {', '.join(groups)}" if groups else ""
-        return f"SELECT {sel} FROM {t} WHERE {_where(rng, t)}{gb}"
+        having = ""
+        if groups and rng.random() < 0.4:
+            having = f" HAVING COUNT(*) > {rng.randint(0, 5)}"
+        return f"SELECT {sel} FROM {t} WHERE {_where(rng, t)}{gb}{having}"
     big, dim, bk, dk = rng.choice(JOINS)
     groups = rng.sample(TABLES[dim]["group"], rng.randint(0, 1)) + rng.sample(
         TABLES[big]["group"], rng.randint(0, 1)
