@@ -35,8 +35,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# tables with a VERIFIED-unique key (the synthetic lineitem contains
+# fully duplicated rows — no column set is unique there, so it cannot
+# host deterministic ROW_NUMBER/running-sum windows; found by this
+# fuzzer's own first widened run, seeds 91xxx)
 UNIQUE_KEY = {
-    "lineitem": ["l_orderkey", "l_linenumber"],
     "orders": ["o_orderkey"],
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
@@ -192,7 +195,7 @@ def gen_query(seed: int) -> str:
             f"{op} SELECT {col} FROM {t} WHERE {_where(rng, t)}"
         )
     if shape == "window":
-        t = rng.choice(list(TABLES))
+        t = rng.choice(list(UNIQUE_KEY))
         spec = TABLES[t]
         uk = ", ".join(UNIQUE_KEY[t])
         part = rng.choice(spec["group"])
