@@ -420,6 +420,20 @@ class Query:
 #   - 23 slots of the r5-green cohort, alphabetical (the oldest
 #     evidence tier once the above grade; the remaining 19 r5 rows
 #     rotate into round 9 with the r6 cohort behind them).
+# ROUND-9 PLAN (pin at round-9 open; tools/window_plan.py will concur):
+#   - first, the 12 never-driver-graded round-8 additions:
+#     multimodal_real_decode, events_heavy_hitters,
+#     stream_heavy_hitters, sample_domain_cap, sim_topk_int8,
+#     sim_int8_recall, events_summing_merge, group_with_totals,
+#     events_sequence_count, events_histogram,
+#     join_time_window_binned, events_delta_sum;
+#   - changed-path re-proofs: dedup_connected_components +
+#     dedup_semantic_clusters (non-eager in-loop localCheckpoint,
+#     r8) — both also sit in the cohorts below;
+#   - then the 19 r5-green rows not recycled in r8 (oldest evidence
+#     tier), then as many of the r6-green cohort (43 rows,
+#     alphabetical) as fit the remaining slots; the r6 remainder and
+#     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
     # never driver-graded (highest-priority class; late-r7 additions)
     "stream_minhash_candidates",
