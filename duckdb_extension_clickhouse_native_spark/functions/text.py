@@ -451,3 +451,47 @@ def quality_classifier_sql(dialect: str, n_buckets: int = 4096) -> str:
     FROM scored
     ORDER BY doc_id
     """
+
+
+def ngram_vocab_sql(dialect: str, k: int = 50) -> str:
+    """Corpus-wide most-frequent unigrams + bigrams — the VOCABULARY
+    CONSTRUCTION step of tokenizer training (BPE/WordPiece seeds start
+    from exactly this table). One explode -> one map-side-combinable
+    GROUP BY -> global top-k with a total ordering (count desc, gram
+    asc) so the cutoff set is deterministic in both engines. Scale:
+    the gram keyspace is corpus-vocabulary-sized; the count shuffle
+    carries one partial row per (gram, map task), and the top-k ends
+    in TakeOrderedAndProject — no full sort of the vocabulary."""
+    from ..operators.dedup import DUCK, SPARK
+
+    d = SPARK if dialect == "spark" else DUCK
+    toks = d["tokens"].format(col="text")
+    if dialect == "spark":
+        unigrams = f"SELECT explode({toks}) AS gram FROM documents"
+        bigrams = (
+            f"SELECT concat_ws(' ', slice(t.tk, i, 2)) AS gram "
+            f"FROM (SELECT {toks} AS tk FROM documents) t "
+            "LATERAL VIEW explode(sequence(1, GREATEST(size(t.tk) - 1, 0))) g AS i "
+            "WHERE size(t.tk) >= 2"
+        )
+    else:
+        unigrams = f"SELECT unnest({toks}) AS gram FROM documents"
+        bigrams = (
+            "SELECT array_to_string(t.tk[i:i+1], ' ') AS gram "
+            f"FROM (SELECT {toks} AS tk FROM documents) t, "
+            "UNNEST(range(1, GREATEST(len(t.tk) - 1, 0) + 1)) AS g(i) "
+            "WHERE len(t.tk) >= 2"
+        )
+    return f"""
+    WITH grams AS (
+      {unigrams}
+      UNION ALL
+      {bigrams}
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams
+    WHERE gram <> ''
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT {k}
+    """

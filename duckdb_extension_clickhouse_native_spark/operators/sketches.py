@@ -109,3 +109,66 @@ def domain_cap_sql(dialect: str, cap: int = 10) -> str:
     WHERE rk <= {cap}
     ORDER BY source, rk
     """
+
+
+def weighted_candidates(df: DataFrame, key: str, weight: str, m: int = M_COUNTERS) -> DataFrame:
+    """Weighted candidate keys: a key whose batch-local WEIGHT share
+    exceeds 1/(m+1) — the same pigeonhole as the count form (total
+    weight replaces row count), so any key with a global weight share
+    > 1/(m+1) appears in at least one batch's candidates. REQUIRES
+    non-negative weights (events.value is, per dq_audit_checks):
+    negative weights break the pigeonhole in both directions."""
+    import pandas as pd
+
+    def cands(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            w = pdf.groupby(key)[weight].sum()
+            tot = float(pdf[weight].sum())
+            keep = w[w * (m + 1) > tot] if tot > 0 else w[w > 0]
+            yield pd.DataFrame({key: keep.index})
+
+    return df.select(key, weight).mapInPandas(
+        cands, schema=f"{key} bigint"
+    ).distinct()
+
+
+def heavy_hitters_weighted_query(
+    spark: SparkSession, sf_dir: str, m: int = M_COUNTERS, phi_den: int = PHI_DEN
+) -> DataFrame:
+    """ClickHouse ``topKWeighted`` role, exact: users holding at least
+    total/phi_den of the summed event VALUE, via the weighted bounded
+    candidate stage + an exact DECIMAL recount (broadcast semi-join).
+    The weight sums go through DECIMAL(18,4) so the threshold compare
+    is exact integer arithmetic in both engines."""
+    from pyspark.sql import functions as F
+
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["events"])
+    events = spark.table("events")
+    cands = weighted_candidates(events, "user_id", "value", m)
+    dec = F.col("value").cast("decimal(18,4)")
+    exact = (
+        events.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.sum(dec).alias("w"))
+    )
+    total = events.agg(F.sum(dec).alias("total_w"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("w") * phi_den >= F.col("total_w"))
+        .orderBy("user_id")
+        .select("user_id", F.col("w").cast("double").alias("sum_value"))
+    )
+
+
+def heavy_hitters_weighted_oracle_sql(phi_den: int = PHI_DEN) -> str:
+    return f"""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CAST(value AS DECIMAL(18,4))) * {phi_den} >=
+           (SELECT SUM(CAST(value AS DECIMAL(18,4))) FROM events)
+    ORDER BY user_id
+    """

@@ -803,6 +803,31 @@ REGISTRY.df_query(
     "exact recount — the approximation prunes work, never the answer",
 )
 
+from ..operators.sketches import (  # noqa: E402
+    heavy_hitters_weighted_oracle_sql,
+    heavy_hitters_weighted_query,
+)
+from ..functions.text import ngram_vocab_sql  # noqa: E402
+
+REGISTRY.df_query(
+    "events_heavy_hitters_weighted",
+    heavy_hitters_weighted_query,
+    oracle=heavy_hitters_weighted_oracle_sql(),
+    tags=["sketch", "events", "pandas_udf", "two-phase"],
+    description="exact weighted heavy hitters (ClickHouse topKWeighted role): "
+    "batch-local weight-share candidates + broadcast exact DECIMAL recount",
+)
+
+_sql_pair(
+    "text_ngram_vocab",
+    ngram_vocab_sql("spark"),
+    ngram_vocab_sql("duckdb"),
+    ["documents"],
+    ["text", "vocab", "topk"],
+    "vocabulary construction: corpus-wide top-k unigrams+bigrams with a "
+    "deterministic total order (the tokenizer-training seed table)",
+)
+
 _sql_pair(
     "sample_domain_cap",
     domain_cap_sql("spark"),

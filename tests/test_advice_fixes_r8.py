@@ -275,3 +275,33 @@ def test_one_listing_per_plan_flat_layout(tmp_path, spark, monkeypatch):
     p2 = reader.partitions()
     assert calls["n"] == 1  # both partitions() calls reused the snapshot
     assert len(p1) == len(p2) == 3
+
+
+# ---------------------------------------------------------------- 7
+def test_mixed_width_files_read_under_widest_schema(spark, tmp_path):
+    """Schema widening across files: a directory mixing Int32 and
+    Int64 files for the same column reads correctly under the declared
+    BIGINT schema (the per-block align step casts narrow blocks up).
+    Pins a capability the align code provides implicitly."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+
+    d = str(tmp_path / "widen")
+    os.makedirs(d)
+    write_native_file(
+        os.path.join(d, "a_narrow.clickhouse"),
+        pa.table({"v": pa.array([1, 2, 3], pa.int32())}),
+        ch_types=[parse_type("Int32")],
+    )
+    write_native_file(
+        os.path.join(d, "b_wide.clickhouse"),
+        pa.table({"v": pa.array([2**40, 5], pa.int64())}),
+        ch_types=[parse_type("Int64")],
+    )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema("v bigint")
+        .load(d)
+    )
+    assert sorted(r.v for r in df.collect()) == [1, 2, 3, 5, 2**40]

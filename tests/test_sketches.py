@@ -208,3 +208,58 @@ def test_sequence_count_spark_matches_oracle(spark):
     )
     want = con.execute(sequence_count_sql("duckdb")).fetchall()
     assert got == want and len(got) > 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),              # key
+            st.floats(min_value=0, max_value=50, width=32),      # weight >= 0
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=2, max_value=25),
+)
+@settings(deadline=None, max_examples=100)
+def test_weighted_candidates_are_superset(rows, m, batch_size):
+    """Weighted pigeonhole: any key whose GLOBAL weight share exceeds
+    1/(m+1) must clear the batch-local weight-share bar in at least
+    one batch (non-negative weights)."""
+    from collections import defaultdict
+
+    batches = [rows[i : i + batch_size] for i in range(0, len(rows), batch_size)]
+    cands = set()
+    for b in batches:
+        w = defaultdict(float)
+        for k, v in b:
+            w[k] += v
+        tot = sum(v for _, v in b)
+        for k, kw in w.items():
+            if (tot > 0 and kw * (m + 1) > tot) or (tot == 0 and kw > 0):
+                cands.add(k)
+    gw = defaultdict(float)
+    for k, v in rows:
+        gw[k] += v
+    gtot = sum(gw.values())
+    heavy = {k for k, v in gw.items() if gtot > 0 and v * (m + 1) > gtot}
+    assert heavy <= cands
+
+
+def test_weighted_heavy_hitters_spark_matches_oracle(spark):
+    from duckdb_extension_clickhouse_native_spark.operators.sketches import (
+        heavy_hitters_weighted_oracle_sql,
+        heavy_hitters_weighted_query,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in heavy_hitters_weighted_query(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(heavy_hitters_weighted_oracle_sql()).fetchall()
+    assert len(got) == len(want) > 0
+    for (gu, gv), (wu, wv) in zip(got, want):
+        assert gu == wu and abs(gv - wv) < 1e-9
