@@ -66,11 +66,13 @@ def asof_join(
     columns in ``out_schema`` order and preserve duplicate left rows
     (the broadcast path groups on a per-row id, not on the left's
     columns)."""
-    if direction not in ("backward", "forward"):
-        # both execution strategies must agree; pandas would accept
-        # 'nearest' on the bucket path while the broadcast path cannot
-        # express it — reject anything the engine-wide contract lacks
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        # both execution strategies must agree on every direction —
+        # reject anything the engine-wide contract lacks
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
     if strategy == "auto":
         if n_buckets is not None:
             strategy = "bucket"
@@ -99,12 +101,26 @@ def asof_join(
             cond = rt <= lt
             if tolerance_us is not None:
                 cond = cond & (lt - rt <= F.lit(tolerance_us))
-            pick, pick_by = F.max, F.max_by
-        else:
+            agg_ts = F.max(right_ts).alias(right_ts)
+            val = lambda c: F.max_by(F.col(c), F.col(right_ts)).alias(c)  # noqa: E731
+        elif direction == "forward":
             cond = rt >= lt
             if tolerance_us is not None:
                 cond = cond & (rt - lt <= F.lit(tolerance_us))
-            pick, pick_by = F.min, F.min_by
+            agg_ts = F.min(right_ts).alias(right_ts)
+            val = lambda c: F.min_by(F.col(c), F.col(right_ts)).alias(c)  # noqa: E731
+        else:  # nearest: closest |Δt|, exact tie prefers the BACKWARD row
+            cond = F.lit(True)
+            if tolerance_us is not None:
+                cond = F.abs(rt - lt) <= F.lit(tolerance_us)
+            # (|Δt|, after-flag) orders candidates uniquely per key
+            # (right is unique per (key, ts)) — min_by is deterministic
+            ord_ = F.struct(
+                F.abs(rt - lt).alias("d"),
+                (rt > lt).cast("int").alias("after"),
+            )
+            agg_ts = F.min_by(F.col(right_ts), ord_).alias(right_ts)
+            val = lambda c: F.min_by(F.col(c), ord_).alias(c)  # noqa: E731
         j = lid.join(
             F.broadcast(right.withColumnRenamed(key, rkey)),
             on=(F.col(key) == F.col(rkey)) & cond,
@@ -112,11 +128,8 @@ def asof_join(
         )
         out = j.groupBy("__lrow").agg(
             *[F.first(c).alias(c) for c in lcols],  # constant per group
-            pick(right_ts).alias(right_ts),
-            *[
-                pick_by(F.col(c), F.col(right_ts)).alias(c)
-                for c in value_cols
-            ],
+            agg_ts,
+            *[val(c) for c in value_cols],
         )
         return out.select(
             *[
@@ -158,16 +171,37 @@ def asof_join(
             for c in value_cols:
                 out[c] = None
             return out
-        merged = pd.merge_asof(
-            le, ri, left_on=left_ts, right_on=right_ts, by=key,
-            direction=direction,
-            tolerance=(
-                pd.Timedelta(microseconds=tolerance_us)
-                if tolerance_us is not None
-                else None
-            ),
+        tol = (
+            pd.Timedelta(microseconds=tolerance_us)
+            if tolerance_us is not None
+            else None
         )
-        return merged[lcols + [right_ts] + value_cols]
+        if direction != "nearest":
+            merged = pd.merge_asof(
+                le, ri, left_on=left_ts, right_on=right_ts, by=key,
+                direction=direction, tolerance=tol,
+            )
+            return merged[lcols + [right_ts] + value_cols]
+        # nearest with an EXPLICIT deterministic tie-break (backward
+        # wins at equal distance) — pandas' own 'nearest' does not
+        # document tie behavior, and the broadcast strategy must agree
+        # bit-for-bit, so compose backward + forward and pick locally
+        b = pd.merge_asof(
+            le, ri, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward", tolerance=tol,
+        ).reset_index(drop=True)
+        f = pd.merge_asof(
+            le, ri, left_on=left_ts, right_on=right_ts, by=key,
+            direction="forward", tolerance=tol,
+        ).reset_index(drop=True)
+        lt_v = b[left_ts]
+        db = lt_v - b[right_ts]
+        df_ = f[right_ts] - lt_v
+        use_f = f[right_ts].notna() & (b[right_ts].isna() | (df_ < db))
+        out = b.copy()
+        for c in [right_ts] + value_cols:
+            out.loc[use_f, c] = f.loc[use_f, c]
+        return out[lcols + [right_ts] + value_cols]
 
     return both.groupBy("__bucket").applyInPandas(merge, schema=out_schema)
 
@@ -318,4 +352,70 @@ ASOF_FORWARD_ORACLE_SQL = """
     SELECT m.event_id, m.user_id, m.ts, m.next_order_ts, d.next_order_price
     FROM matched m
     LEFT JOIN daily d ON d.user_id = m.user_id AND d.order_ts = m.next_order_ts
+"""
+
+
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (the third merge_asof direction, engine-wide
+    since round 8): for each signup event, the user's closest
+    purchase within +-2 h — earlier or later, exact ties prefer the
+    earlier (backward) row. Exercises both sides of the pick, unlike
+    the backward/forward flagships."""
+    from ..plans.base import load_tables
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("nearest_purchase_ts"))
+        .agg(
+            F.max(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("purchase_value")
+        )
+    )
+    return asof_join(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="nearest_purchase_ts",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "nearest_purchase_ts timestamp_ntz, purchase_value double"
+        ),
+        value_cols=["purchase_value"],
+        direction="nearest",
+        tolerance_us=2 * 3600 * 1_000_000,
+    )
+
+
+ASOF_NEAREST_ORACLE_SQL = """
+    WITH s AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+             CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT s.event_id, p.pts, p.purchase_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.event_id
+               ORDER BY abs(epoch_us(p.pts) - epoch_us(s.ts)),
+                        CASE WHEN p.pts > s.ts THEN 1 ELSE 0 END
+             ) AS rk
+      FROM s JOIN p ON p.user_id = s.user_id
+       AND abs(epoch_us(p.pts) - epoch_us(s.ts)) <= 7200000000
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           c.pts AS nearest_purchase_ts, c.purchase_value
+    FROM s LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+      ON c.event_id = s.event_id
+    ORDER BY s.event_id
 """

@@ -396,6 +396,20 @@ REGISTRY.df_query(
     "next order per event; same engine as the backward flagship",
 )
 
+from ..operators.asof import (  # noqa: E402
+    ASOF_NEAREST_ORACLE_SQL,
+    asof_join_nearest_purchase,
+)
+
+REGISTRY.df_query(
+    "asof_join_nearest_tolerance",
+    asof_join_nearest_purchase,
+    oracle=ASOF_NEAREST_ORACLE_SQL,
+    tags=["asof", "join", "pandas_udf"],
+    description="nearest as-of within +-2h (tie prefers backward): signup -> "
+    "closest purchase; both strategies implement the same deterministic pick",
+)
+
 _sql_pair(
     "events_sequence_match",
     sequence_match_sql("spark"),

@@ -274,6 +274,58 @@ REGISTRY.df_query(
 )
 
 
+def _stream_replacing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ReplacingMergeTree/FINAL: latest row per
+    (user_id, event_type) by (ts, event_id) version, maintained as a
+    stateful streaming max_by aggregate (state = one struct per key —
+    exactly the background merge a ClickHouse server would run,
+    expressed as streaming state). Final state == the batch
+    REPLACING_MERGE_SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    latest = _drain(
+        events.groupBy("user_id", "event_type").agg(
+            F.max_by(
+                F.struct(
+                    F.col("value").cast("double").alias("latest_value"),
+                    F.col("event_id").alias("latest_event_id"),
+                ),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("s")
+        ),
+        "complete",
+    )
+    return latest.select(
+        "user_id", "event_type", "s.latest_value", "s.latest_event_id"
+    ).orderBy("user_id", "event_type")
+
+
+REGISTRY.df_query(
+    "stream_replacing_merge",
+    _stream_replacing_merge,
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(value AS DOUBLE) AS latest_value,
+           event_id AS latest_event_id
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=["streaming", "stateful", "merge"],
+    description="streaming FINAL: stateful max_by latest-row-per-key, final "
+    "state == batch ReplacingMergeTree read exactly",
+)
+
+
 def _stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` over the key columns,
     driven through real micro-batches; the set of emitted keys must

@@ -305,3 +305,57 @@ def test_mixed_width_files_read_under_widest_schema(spark, tmp_path):
         .load(d)
     )
     assert sorted(r.v for r in df.collect()) == [1, 2, 3, 5, 2**40]
+
+
+# ---------------------------------------------------------------- 8
+def test_asof_nearest_strategies_agree(spark):
+    """The nearest direction must produce IDENTICAL results on the
+    broadcast and bucket strategies, including exact-distance ties
+    (backward wins) and tolerance misses (NULL match)."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),   # tie: purchases at +-1h
+            (2, 10, "2024-01-01 23:00:00"),   # only later within tol
+            (3, 11, "2024-01-01 05:00:00"),   # nothing within tol
+            (4, 12, "2024-01-01 08:30:00"),   # closer forward
+        ],
+        "event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 09:00:00", 1.0),  # backward tie candidate
+            (10, "2024-01-01 11:00:00", 2.0),  # forward tie candidate
+            (10, "2024-01-02 00:30:00", 3.0),
+            (11, "2024-01-02 05:00:00", 4.0),  # 24h away -> miss
+            (12, "2024-01-01 06:00:00", 5.0),
+            (12, "2024-01-01 09:00:00", 6.0),  # closer (30min vs 2.5h)
+        ],
+        "user_id long, rts string, v double",
+    ).selectExpr("user_id", "CAST(rts AS TIMESTAMP) AS rts", "v")
+
+    from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
+
+    kw = dict(
+        key="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "rts timestamp, v double"
+        ),
+        value_cols=["v"],
+        direction="nearest",
+        tolerance_us=2 * 3600 * 1_000_000,
+    )
+    rows_b = sorted(
+        tuple(r) for r in asof_join(left, right, strategy="broadcast", **kw).collect()
+    )
+    rows_k = sorted(
+        tuple(r) for r in asof_join(left, right, strategy="bucket", **kw).collect()
+    )
+    assert rows_b == rows_k
+    by_id = {r[0]: r for r in rows_b}
+    assert by_id[1][4] == 1.0      # tie -> backward candidate
+    assert by_id[2][4] == 3.0      # only the later purchase in range
+    assert by_id[3][3] is None and by_id[3][4] is None  # tolerance miss
+    assert by_id[4][4] == 6.0      # closer forward row wins

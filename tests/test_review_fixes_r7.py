@@ -404,12 +404,14 @@ def test_uri_dir_listing_matches_local_per_directory(tmp_path):
 
 def test_asof_rejects_unknown_direction(spark):
     """r7 review fix (batch 3): an unsupported direction must raise
-    instead of silently diverging between strategies."""
+    instead of silently diverging between strategies ('nearest' is
+    implemented engine-wide since r8, so the probe uses a direction
+    that stays unknown)."""
     from duckdb_extension_clickhouse_native_spark.operators.asof import asof_join
 
     df = spark.range(1).selectExpr("id AS k", "id AS t")
     with pytest.raises(ValueError, match="direction"):
-        asof_join(df, df, "k", "t", "t", "k long, t long", [], direction="nearest")
+        asof_join(df, df, "k", "t", "t", "k long, t long", [], direction="sideways")
 
 
 def test_stream_adopts_layout_discovered_after_planning(spark, tmp_path):
