@@ -221,3 +221,88 @@ def test_string_decode_residency_bounded():
         codec._SCAN_STATS["peak_buffer"],
         bound,
     )
+
+
+_COLUMN_KINDS = st.sampled_from(
+    ["Int64", "Int32", "UInt8", "Float64", "String", "NString", "Bool", "Date"]
+)
+
+
+def _values_for(kind, n, draw_ints, draw_text):
+    import datetime
+
+    if kind == "Int64":
+        return [draw_ints(i) for i in range(n)], pa.int64(), "Int64"
+    if kind == "Int32":
+        return [draw_ints(i) % 2**31 for i in range(n)], pa.int32(), "Int32"
+    if kind == "UInt8":
+        return [abs(draw_ints(i)) % 256 for i in range(n)], pa.uint8(), "UInt8"
+    if kind == "Float64":
+        return (
+            [float(draw_ints(i)) / 7.0 for i in range(n)],
+            pa.float64(),
+            "Float64",
+        )
+    if kind == "String":
+        return [draw_text(i) for i in range(n)], pa.string(), "String"
+    if kind == "NString":
+        return (
+            [None if draw_ints(i) % 3 == 0 else draw_text(i) for i in range(n)],
+            pa.string(),
+            "Nullable(String)",
+        )
+    if kind == "Bool":
+        return [bool(draw_ints(i) % 2) for i in range(n)], pa.bool_(), "Bool"
+    return (
+        [datetime.date(2020, 1, 1) + datetime.timedelta(days=abs(draw_ints(i)) % 3000)
+         for i in range(n)],
+        pa.date32(),
+        "Date",
+    )
+
+
+@given(
+    st.lists(_COLUMN_KINDS, min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=60),         # rows
+    st.integers(min_value=1, max_value=17),         # block_rows (multi-block)
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.text(max_size=12),
+)
+@settings(deadline=None, max_examples=60)
+def test_random_table_roundtrip(kinds, n_rows, block_rows, int_seed, text_seed):
+    """Composite writer->codec round trip: a random MIX of column
+    types, deterministic pseudo-random values (seeded by hypothesis
+    inputs), null masks and multi-block splits must all survive
+    byte-exact — the whole-table property on top of the per-column
+    ones above."""
+    import tempfile
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    def draw_ints(i):
+        return (int_seed * 1_000_003 + i * 7919) % (2**41) - 2**40
+
+    def draw_text(i):
+        return f"{text_seed}-{(int_seed + i) % 997}"
+
+    cols, arrays, ch = {}, [], []
+    for ci, kind in enumerate(kinds):
+        vals, at, ct = _values_for(kind, n_rows, draw_ints, draw_text)
+        cols[f"c{ci}"] = vals
+        arrays.append(pa.array(vals, type=at))
+        ch.append(parse_type(ct))
+    tbl = pa.table(dict(zip(cols, arrays)))
+    with tempfile.NamedTemporaryFile(suffix=".clickhouse") as f:
+        write_native_file(f.name, tbl, ch_types=ch, block_rows=block_rows)
+        with open(f.name, "rb") as rf:
+            got = [blk.to_record_batch() for blk in iter_blocks(rf)]
+    if n_rows == 0:
+        assert sum(b.num_rows for b in got) == 0
+        return
+    back = pa.Table.from_batches(got)
+    assert back.num_rows == n_rows
+    for ci, kind in enumerate(kinds):
+        out = back.column(f"c{ci}").to_pylist()
+        assert out == cols[f"c{ci}"], (kind, ci)
