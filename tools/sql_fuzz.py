@@ -235,6 +235,15 @@ def gen_query(seed: int) -> str:
         [f"{qg} AS {g}" for qg, g in zip(qgroups, groups)] + aggs
     )
     gb = f" GROUP BY {', '.join(qgroups)}" if qgroups else ""
+    if rng.random() < 0.3:
+        # LEFT JOIN with the dim-side predicate folded into the ON
+        # clause (a WHERE on the dim side would silently turn it back
+        # into an inner join — the classic trap, worth fuzzing)
+        return (
+            f"SELECT {sel} FROM {big} a LEFT JOIN {dim} b "
+            f"ON a.{bk} = b.{dk} AND {_where(rng, dim, 'b')} "
+            f"WHERE {_where(rng, big, 'a')}{gb}"
+        )
     return (
         f"SELECT {sel} FROM {big} a JOIN {dim} b ON a.{bk} = b.{dk} "
         f"WHERE {_where(rng, big, 'a')} AND {_where(rng, dim, 'b')}{gb}"
