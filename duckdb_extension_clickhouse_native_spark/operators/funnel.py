@@ -473,3 +473,21 @@ DELTA_SUM_SQL = """
     GROUP BY user_id
     ORDER BY user_id
     """
+
+
+# ClickHouse ``uniqUpTo(N)``: exact distinct count, saturating at N+1
+# ("more than N" answers membership-style product questions without
+# carrying the full distinct set). The saturation is applied AFTER an
+# exact distinct aggregation here — at 100 TB the real saving comes
+# from a partial-distinct cap per partition, which Spark's partial
+# aggregation already approximates; the semantics contract is the
+# LEAST() projection, identical in both engines.
+UNIQ_UPTO_SQL = """
+    SELECT event_type,
+           CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS uniq_upto_10,
+           CAST(CASE WHEN COUNT(DISTINCT user_id) > 10 THEN 1 ELSE 0 END AS INT)
+             AS saturated
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """

@@ -479,7 +479,17 @@ _sql_pair(
     "equi-join on bin + exact range filter == the naive non-equi oracle",
 )
 
-from ..operators.funnel import DELTA_SUM_SQL  # noqa: E402
+from ..operators.funnel import DELTA_SUM_SQL, UNIQ_UPTO_SQL  # noqa: E402
+
+_sql_pair(
+    "events_uniq_upto",
+    UNIQ_UPTO_SQL,
+    UNIQ_UPTO_SQL,
+    ["events"],
+    ["events", "aggregation", "distinct"],
+    "ClickHouse uniqUpTo(10): exact distinct user count saturating at N+1 "
+    "with a saturation flag",
+)
 
 _sql_pair(
     "events_delta_sum",
