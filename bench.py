@@ -138,17 +138,32 @@ def main() -> None:
         "mrows_per_sec": round(mrps, 1),
         "baseline_mrows_per_sec": 10.5,
     }
+    def materialize(df) -> None:
+        """Force full evaluation of EVERY output column.
+
+        Timing ``df.count()`` lets Catalyst prune a map-only query body
+        down to a zero-column scan + count(1) — for queries like
+        ``text_quality`` none of the measured expressions survive the
+        prune, so the number measures nothing (VERDICT r8 #1, confirmed
+        empirically). The noop DSv2 sink materializes every row with all
+        columns evaluated and discards them, which matches how the
+        reference's benchmark returns full results.
+        """
+        df.write.format("noop").mode("overwrite").save()
+
     def run_tier(names: list[str]) -> tuple[dict[str, float], float]:
         tier: dict[str, float] = {}
         tier_total = 0.0
         for name in names:
             q = all_q[name]
+            # untimed warm-up + row count for the log line (count alone
+            # would under-execute map-only bodies, so it is never timed)
+            n = q.build(spark, sf_dir).count()
             best = float("inf")
-            n = 0
             for _ in range(runs):  # best-of-N: steady-state, not first compile
                 t0 = time.perf_counter()
                 df = q.build(spark, sf_dir)
-                n = df.count()
+                materialize(df)
                 best = min(best, time.perf_counter() - t0)
             tier[name] = round(best, 4)
             tier_total += best
@@ -176,7 +191,13 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": round(total, 4),
                 "unit": "sec",
-                "timing": f"best-of-{runs} per query (steady-state)",
+                "timing": (
+                    f"best-of-{runs} per query (steady-state); each run "
+                    "materializes ALL output columns via the noop DSv2 "
+                    "sink (r9 methodology fix: df.count() let Catalyst "
+                    "prune map-only query bodies to a zero-column scan, "
+                    "so pre-r9 numbers for map-only queries were hollow)"
+                ),
                 "queries": results,
                 "scan_throughput": scan_throughput,
                 "tpch_full": tpch,

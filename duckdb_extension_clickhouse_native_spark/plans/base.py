@@ -302,10 +302,15 @@ def track_persist(df: DataFrame) -> DataFrame:
             continue
         try:
             # analyzed, not logical: sameResult throws on unresolved
-            # plans, and analyzed canonicalization handles exprIds
+            # plans, and analyzed canonicalization handles exprIds.
+            # Canonicalization ALSO erases alias names, so two plans
+            # that differ only in output column names compare equal —
+            # require matching names too, or the reprieved relation's
+            # columns would not resolve in the caller's plan (r9: asof
+            # forward right `next_order_ts` vs backward `last_order_ts`)
             same = cdf._jdf.queryExecution().analyzed().sameResult(
                 df._jdf.queryExecution().analyzed()
-            )
+            ) and cdf.columns == df.columns
         except Exception:
             same = False
         if same:
