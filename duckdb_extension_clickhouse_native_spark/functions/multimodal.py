@@ -416,11 +416,19 @@ def media_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             media, fmts = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                b = (text or "").encode("utf-8")
+                # CHARACTER-indexed (codepoint % 256), NULL -> empty:
+                # mirrors the oracle's substr/ascii formulation exactly
+                # for any input, not just the ASCII+non-null fixture
+                # (ADVICE r8: the old utf-8 BYTE stride diverged from
+                # the char-indexed oracle on non-ASCII or NULL text)
+                s = text or ""
                 w, h = 4 + doc_id % 5, 3 + doc_id % 4
                 n = w * h * 3
-                if b:
-                    px = bytes(b[(i * 7 + doc_id) % len(b)] for i in range(n))
+                if s:
+                    px = bytes(
+                        ord(s[(i * 7 + doc_id) % len(s)]) % 256
+                        for i in range(n)
+                    )
                 else:
                     px = b"\x20" * n
                 if doc_id % 2 == 0:
@@ -479,10 +487,10 @@ def media_real_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_REAL_DECODE_ORACLE_SQL = f"""
     WITH dims AS (
-      SELECT doc_id, text,
+      SELECT doc_id, COALESCE(text, '') AS text,
              4 + doc_id % 5 AS width,
              3 + doc_id % 4 AS height,
-             length(text) AS n_chars
+             length(COALESCE(text, '')) AS n_chars
       FROM documents
     )
     SELECT doc_id,
@@ -495,6 +503,7 @@ MEDIA_REAL_DECODE_ORACLE_SQL = f"""
                   i -> (i + 1) * (CASE WHEN n_chars = 0 THEN 32
                         ELSE ascii(substr(text,
                              CAST(((i * 7 + doc_id) % n_chars) + 1 AS INT), 1))
+                             % 256
                         END))), 0) % {WSUM_MOD} AS BIGINT) AS wsum_fp
     FROM dims
     ORDER BY doc_id

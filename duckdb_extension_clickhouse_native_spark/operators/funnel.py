@@ -218,7 +218,7 @@ GROUP_WITH_TOTALS_SQL = """
            CAST(GROUPING(event_type) AS INT) AS is_totals
     FROM events
     GROUP BY ROLLUP (event_type)
-    ORDER BY is_totals, event_type
+    ORDER BY is_totals, event_type NULLS LAST
     """
 
 

@@ -40,6 +40,20 @@ M_COUNTERS = 200       # candidate-stage capacity (per batch)
 PHI_DEN = 130          # heavy hitter = count * PHI_DEN >= total_events
 
 
+def _check_exactness_bound(m: int, phi_den: int) -> None:
+    """The candidate stage only guarantees a SUPERSET of the true
+    heavy hitters when the report threshold (total/phi_den) exceeds
+    the candidate bound (total/(m+1)), i.e. phi_den <= m. With
+    phi_den > m a true heavy hitter can be silently dropped before the
+    exact recount ever sees it (ADVICE r8)."""
+    if phi_den > m:
+        raise ValueError(
+            f"phi_den ({phi_den}) must be <= m ({m}): the bounded "
+            "candidate stage keeps keys above total/(m+1), so a "
+            "threshold below that (phi_den > m) loses exactness"
+        )
+
+
 def heavy_hitter_candidates(df: DataFrame, key: str, m: int = M_COUNTERS) -> DataFrame:
     """Candidate user ids via the batch-local frequency filter
     (Misra-Gries-style bound: <= m+1 candidates per Arrow batch)."""
@@ -63,6 +77,8 @@ def heavy_hitters_query(
     from pyspark.sql import functions as F
 
     from ..plans.base import load_tables
+
+    _check_exactness_bound(m, phi_den)
 
     load_tables(spark, sf_dir, ["events"])
     events = spark.table("events")
@@ -143,6 +159,8 @@ def heavy_hitters_weighted_query(
     from pyspark.sql import functions as F
 
     from ..plans.base import load_tables
+
+    _check_exactness_bound(m, phi_den)
 
     load_tables(spark, sf_dir, ["events"])
     events = spark.table("events")

@@ -456,7 +456,9 @@ _sql_pair(
     ["events"],
     ["events", "sequence", "fold"],
     "ClickHouse sequenceCount: non-overlapping v->c->p chains per user via a "
-    "greedy packed-BIGINT fold (Spark aggregate / DuckDB list_reduce, no UDF)",
+    "greedy packed-BIGINT fold (Spark aggregate) vs a structurally "
+    "independent recursive-CTE oracle (DuckDB list_reduce mis-folds in "
+    "batches — see funnel.py docstring), no UDF",
 )
 
 _sql_pair(
