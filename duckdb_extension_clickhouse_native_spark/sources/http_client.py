@@ -205,19 +205,41 @@ def probe_schema_pairs(options: dict, query: str):
     the reference runs unconditionally, clickhouse_scan.rs:78). Each
     attempt uses a FRESH, deterministically-closed client: after a
     failure mid-stream a TCP connection may be desynchronized, so
-    reconnecting is the only safe retry."""
-    client = make_client(resolve_connection(options))
+    reconnecting is the only safe retry. Transient transport failures
+    (connect reset, timeout) get bounded jittered reconnects before
+    falling through — the probe runs once per query at plan time, so
+    a dropped SYN must not fail the whole plan."""
+    from .retry import RETRYABLE_EXC, RetryPolicy
+
+    policy = RetryPolicy.from_options(options)
+
+    def _attempt(q: str, reraise_transport: bool):
+        for delay in policy.backoffs():
+            client = make_client(resolve_connection(options))
+            try:
+                return client.probe_schema(q)
+            except RETRYABLE_EXC:
+                if delay is None:
+                    if reraise_transport:
+                        raise
+                    return None
+                policy.sleep(delay)
+            finally:
+                client.close()
+
+    out = None
     try:
-        return client.probe_schema(schema_probe_query(query))
+        out = _attempt(schema_probe_query(query), reraise_transport=False)
     except Exception:
-        pass
-    finally:
-        client.close()
-    client = make_client(resolve_connection(options))
-    try:
-        return client.probe_schema(query)
-    finally:
-        client.close()
+        out = None
+    if out is not None:
+        return out
+    # wrapper rejected (e.g. non-SELECT) — run the query itself, as the
+    # reference does unconditionally (clickhouse_scan.rs:78)
+    result = _attempt(query, reraise_transport=True)
+    if result is None:
+        raise ConnectionError("schema probe failed after retries")
+    return result
 
 
 def make_client(conn: ConnectionInfo, timeout: float = 300.0):

@@ -109,31 +109,74 @@ class ClickHouseScanReader(DataSourceReader):
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_type
+        from .retry import RETRYABLE_EXC, RetryPolicy
 
-        client = make_client(resolve_connection(self.options))
+        conn = resolve_connection(self.options)
         target = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in self.spark_schema.fields]
         )
-        try:
-            for blk in client.execute_blocks(partition.query, lossy_uint64=self.lossy_uint64):
-                batch = blk.to_record_batch()
-                arrays = []
-                for fld in target:
-                    idx = batch.schema.get_field_index(fld.name)
-                    if idx < 0:
-                        raise ValueError(
-                            f"server result is missing column {fld.name!r} "
-                            "declared by the schema probe"
-                        )
-                    col = batch.column(idx)
-                    if col.type != fld.type:
-                        col = col.cast(fld.type)
-                    arrays.append(col)
-                yield pa.RecordBatch.from_arrays(arrays, schema=target)
-        finally:
-            # deterministic socket release — an abandoned generator
-            # (downstream exception) must not hold the fd until GC
-            client.close()
+        policy = RetryPolicy.from_options(self.options)
+        yielded = False
+        for delay in policy.backoffs():
+            client = _acquire_client(conn)
+            healthy = False
+            try:
+                for blk in client.execute_blocks(
+                    partition.query, lossy_uint64=self.lossy_uint64
+                ):
+                    batch = blk.to_record_batch()
+                    arrays = []
+                    for fld in target:
+                        idx = batch.schema.get_field_index(fld.name)
+                        if idx < 0:
+                            raise ValueError(
+                                f"server result is missing column {fld.name!r} "
+                                "declared by the schema probe"
+                            )
+                        col = batch.column(idx)
+                        if col.type != fld.type:
+                            col = col.cast(fld.type)
+                        arrays.append(col)
+                    yielded = True
+                    yield pa.RecordBatch.from_arrays(arrays, schema=target)
+                healthy = True
+                return
+            except RETRYABLE_EXC:
+                # transient transport failure: reconnect with jitter —
+                # but ONLY if no rows reached the consumer yet. After a
+                # partial yield a re-run would append a fresh full
+                # result (no deterministic block order to resume from);
+                # Spark's task retry re-reads the partition atomically.
+                if yielded or delay is None:
+                    raise
+                policy.sleep(delay)
+            finally:
+                # deterministic socket release — an abandoned generator
+                # (downstream exception) must not hold the fd until GC.
+                # Healthy end-of-query TCP connections go back to the
+                # pool; anything else is closed (a desynchronized
+                # native-protocol stream is unrecoverable).
+                _release_client(client, healthy=healthy)
+
+
+def _acquire_client(conn):
+    """Pooled for TCP (reuse the previous partition's handshaken
+    socket), fresh per request for HTTP (urllib has no persistent
+    connection to pool)."""
+    if conn.transport == "tcp":
+        from .tcp_client import acquire_pooled
+
+        return acquire_pooled(lambda: make_client(conn))
+    return make_client(conn)
+
+
+def _release_client(client, *, healthy: bool) -> None:
+    from .tcp_client import ClickHouseTCPClient, release_pooled
+
+    if isinstance(client, ClickHouseTCPClient):
+        release_pooled(client, healthy=healthy)
+    else:
+        client.close()
 
 
 @dataclass

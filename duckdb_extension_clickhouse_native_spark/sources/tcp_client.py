@@ -253,3 +253,54 @@ class ClickHouseTCPClient:
         for _ in self._data_packets():
             raise ValueError("unexpected data packet after INSERT data")
         return rows
+
+
+# -- connection pool ---------------------------------------------------------
+#
+# The reference keeps a clickhouse-rs Pool per scan
+# (/root/reference/src/clickhouse_scan.rs:76-77). The Spark analogue: a
+# Python DataSource worker process reads its partitions sequentially,
+# so a per-process pool keyed by connection parameters lets partition
+# N+1 reuse partition N's already-handshaken socket instead of paying a
+# fresh TCP+TLS+Hello round trip per partition (thousands of cold
+# connects at 100 TB fan-out). Only connections that finished their
+# query cleanly are returned to the pool; anything that errored is
+# closed (a desynchronized native-protocol stream is unrecoverable).
+
+_POOL: dict[tuple, list["ClickHouseTCPClient"]] = {}
+_POOL_MAX_PER_KEY = 4
+
+
+def _pool_key(c: "ClickHouseTCPClient") -> tuple:
+    return (c.host, c.port, c.database, c.user, c.secure, c.compression)
+
+
+def acquire_pooled(make: "callable") -> "ClickHouseTCPClient":
+    """Take an idle pooled connection matching ``make()``'s parameters,
+    or a freshly built (unconnected) client. ``make`` must return a
+    ClickHouseTCPClient."""
+    fresh = make()
+    bucket = _POOL.get(_pool_key(fresh))
+    if bucket:
+        return bucket.pop()
+    return fresh
+
+
+def release_pooled(client: "ClickHouseTCPClient", *, healthy: bool) -> None:
+    """Return a connection to the pool (healthy end-of-query) or close
+    it (any error / pool full)."""
+    if not healthy or client._sock is None:
+        client.close()
+        return
+    bucket = _POOL.setdefault(_pool_key(client), [])
+    if len(bucket) >= _POOL_MAX_PER_KEY:
+        client.close()
+        return
+    bucket.append(client)
+
+
+def clear_pool() -> None:
+    for bucket in _POOL.values():
+        while bucket:
+            bucket.pop().close()
+    _POOL.clear()
