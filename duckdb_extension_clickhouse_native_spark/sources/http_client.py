@@ -39,7 +39,7 @@ class ConnectionInfo:
     port: int = 8123
     secure: bool = False
     verify: bool = True
-    compression: bool = False
+    compression: bool | str = False  # False | "lz4" | "zstd"
 
 
 def resolve_connection(options: dict) -> ConnectionInfo:
@@ -67,9 +67,15 @@ def resolve_connection(options: dict) -> ConnectionInfo:
         or os.environ.get("CLICKHOUSE_PASSWORD")
     )
     verify = str(options.get("verify", qs.get("verify", "true"))).lower() != "false"
+    # "true" -> LZ4 (the reference's clickhouse-rs default); "lz4" /
+    # "zstd" pick the frame codec for client-sent packets — received
+    # frames always dispatch on their per-frame method byte
+    comp_raw = str(
+        options.get("compression", qs.get("compression", "false"))
+    ).lower()
     compression = (
-        str(options.get("compression", qs.get("compression", "false"))).lower()
-        == "true"
+        "lz4" if comp_raw == "true" else comp_raw
+        if comp_raw in ("lz4", "zstd") else False
     )
 
     if scheme in ("tcp", "clickhouse"):

@@ -39,9 +39,12 @@ def _empty_batch(schema):
     )
 
 
-def build_tcp_handler(con, insert_hook=None, execute_inserts=True):
+def build_tcp_handler(con, insert_hook=None, execute_inserts=True, codec="lz4"):
     """Handler factory over a DuckDB connection (mirrors
-    ``mock_server.build_handler``)."""
+    ``mock_server.build_handler``). ``codec`` picks the frame method
+    for compressed SERVER packets (lz4 | zstd) — real servers choose
+    their own codec per network_compression_method, the client must
+    decode either."""
     qlock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):
@@ -110,6 +113,7 @@ def build_tcp_handler(con, insert_hook=None, execute_inserts=True):
                         [from_arrow(f.type) for f in probe.schema],
                         revision,
                         compression=compression,
+                        method=codec,
                         packet_type=proto.SERVER_DATA,
                     )
                     self.wfile.flush()
@@ -146,6 +150,7 @@ def build_tcp_handler(con, insert_hook=None, execute_inserts=True):
                     ch_types if tbl.schema.names else None,
                     revision,
                     compression=compression,
+                    method=codec,
                     packet_type=proto.SERVER_DATA,
                 )
                 total = 0
@@ -158,6 +163,7 @@ def build_tcp_handler(con, insert_hook=None, execute_inserts=True):
                         ch_types,
                         revision,
                         compression=compression,
+                        method=codec,
                         packet_type=proto.SERVER_DATA,
                     )
                     total += rb.num_rows

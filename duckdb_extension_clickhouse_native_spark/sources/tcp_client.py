@@ -40,7 +40,7 @@ class ClickHouseTCPClient:
         password: str = "",
         secure: bool = False,
         verify: bool = True,
-        compression: bool = False,
+        compression: bool | str = False,
         timeout: float = 300.0,
     ):
         self.host = host
@@ -50,8 +50,16 @@ class ClickHouseTCPClient:
         self.password = password or ""
         self.secure = secure
         self.verify = verify
+        # the protocol flag is boolean; the CODEC is per-frame.
+        # compression may be True/"true" (-> LZ4, the reference's
+        # clickhouse-rs default), "lz4", or "zstd" — the method only
+        # affects frames WE send; received frames dispatch on their
+        # method byte regardless
         self.compression = (
             proto.COMPRESSION_ENABLED if compression else proto.COMPRESSION_DISABLED
+        )
+        self.compression_method = (
+            compression if compression in ("lz4", "zstd") else "lz4"
         )
         self.timeout = timeout
         self._sock: Optional[socket.socket] = None
@@ -130,7 +138,8 @@ class ClickHouseTCPClient:
         )
         # end of external-table data: one empty client Data block
         proto.write_data_packet(
-            self._wfile, None, None, self.revision, compression=self.compression
+            self._wfile, None, None, self.revision,
+            compression=self.compression, method=self.compression_method,
         )
         self._wfile.flush()
 
@@ -244,10 +253,12 @@ class ClickHouseTCPClient:
                 types,
                 self.revision,
                 compression=self.compression,
+                method=self.compression_method,
             )
             rows += batch.num_rows
         proto.write_data_packet(
-            self._wfile, None, None, self.revision, compression=self.compression
+            self._wfile, None, None, self.revision,
+            compression=self.compression, method=self.compression_method,
         )
         self._wfile.flush()
         for _ in self._data_packets():
@@ -272,7 +283,10 @@ _POOL_MAX_PER_KEY = 4
 
 
 def _pool_key(c: "ClickHouseTCPClient") -> tuple:
-    return (c.host, c.port, c.database, c.user, c.secure, c.compression)
+    return (
+        c.host, c.port, c.database, c.user, c.secure,
+        c.compression, c.compression_method,
+    )
 
 
 def acquire_pooled(make: "callable") -> "ClickHouseTCPClient":

@@ -358,9 +358,14 @@ def write_data_packet(
     *,
     compression: int = COMPRESSION_DISABLED,
     packet_type: int = CLIENT_DATA,
+    method: str = "lz4",
 ) -> None:
     """Serialize one Data packet. Works for both directions (client
-    data packets use type 2, server ones type 1 — pass packet_type)."""
+    data packets use type 2, server ones type 1 — pass packet_type).
+    ``method`` picks the frame codec when compression is enabled: the
+    protocol's compression flag is a boolean, the codec is per-frame
+    (method byte 0x82 LZ4 / 0x90 ZSTD), so either side may send
+    either; the reader dispatches on the byte."""
     import io
 
     write_varuint(buf, packet_type)
@@ -377,7 +382,7 @@ def write_data_packet(
     if compression == COMPRESSION_ENABLED:
         from ..native.compress import CompressedWriter
 
-        cw = CompressedWriter(buf, method="lz4")
+        cw = CompressedWriter(buf, method=method)
         cw.write(payload)
         cw.flush()
     else:

@@ -147,7 +147,7 @@ def _drain_client_preamble(rf, errors: list) -> None:
         errors.append(f"hello: {e!r}")
 
 
-def _drain_query(rf, errors: list) -> None:
+def _drain_query(rf, errors: list, compressed: bool = False) -> None:
     try:
         assert rv(rf) == 1  # CLIENT_QUERY
         qid = rs(rf)
@@ -169,21 +169,31 @@ def _drain_query(rf, errors: list) -> None:
         assert rs(rf) == b""             # empty settings terminator
         # NOT >=54441: no interserver secret
         assert rv(rf) == 2               # stage COMPLETE
-        assert rv(rf) == 0               # compression disabled
+        assert rv(rf) == (1 if compressed else 0)  # compression flag
         assert rs(rf) == b"SELECT number, word FROM interop_fixture"
         # terminating empty client data block
         assert rv(rf) == 2               # CLIENT_DATA
         assert rs(rf) == b""             # table name
-        assert rv(rf) == 1 and rf.read(1)[0] == 0
-        assert rv(rf) == 2
-        assert struct.unpack("<i", rf.read(4))[0] == -1
-        assert rv(rf) == 0               # end of BlockInfo
-        assert rv(rf) == 0 and rv(rf) == 0  # 0 cols, 0 rows
+        if compressed:
+            # one compressed frame: 16B checksum + 9B header + body
+            rf.read(16)
+            hdr = rf.read(9)
+            assert hdr[0] in (0x82, 0x90)  # LZ4 or ZSTD method byte
+            comp_size = struct.unpack("<I", hdr[1:5])[0]
+            assert len(rf.read(comp_size - 9)) == comp_size - 9
+        else:
+            assert rv(rf) == 1 and rf.read(1)[0] == 0
+            assert rv(rf) == 2
+            assert struct.unpack("<i", rf.read(4))[0] == -1
+            assert rv(rf) == 0               # end of BlockInfo
+            assert rv(rf) == 0 and rv(rf) == 0  # 0 cols, 0 rows
     except Exception as e:  # pragma: no cover
         errors.append(f"query: {e!r}")
 
 
-def _run_client_against(transcript: bytes, monkeypatch, query_fn):
+def _run_client_against(
+    transcript: bytes, monkeypatch, query_fn, compressed_client: bool = False
+):
     """Wire a socketpair between the client and a thread that speaks
     ONLY the recorded bytes; returns (result, server-side errors)."""
     cli_sock, srv_sock = socket.socketpair()
@@ -196,7 +206,7 @@ def _run_client_against(transcript: bytes, monkeypatch, query_fn):
             _drain_client_preamble(rf, errors)
             wf.write(SERVER_HELLO_BYTES)
             wf.flush()
-            _drain_query(rf, errors)
+            _drain_query(rf, errors, compressed=compressed_client)
             wf.write(transcript)
             wf.flush()
         finally:
