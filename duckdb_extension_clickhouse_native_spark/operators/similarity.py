@@ -513,11 +513,24 @@ def pq_topk_fast(
         return np.floor(mat.astype(np.float64) * fp).astype(np.int64)
 
     # codebook = subvectors of the first k_sub embeddings (the SQL
-    # form's deterministic training stand-in); tiny, collected once
+    # form's deterministic training stand-in); tiny, collected once.
+    # filter + LIMIT (not filter alone): CollectLimitExec stops the
+    # scan after k_sub rows from the first partitions instead of
+    # filtering the whole table on its way to the driver — at 100 TB
+    # the codebook pull reads a few row groups, not the corpus
+    # (VERDICT r8 #8). Exactly k_sub rows satisfy the filter (dense
+    # vec_ids), so the limit never changes the result.
     head = {
         r.vec_id: to_fixed(np.asarray(r.embedding, dtype=np.float32))
-        for r in emb.filter(F.col("vec_id") < max(k_sub, query_vec_id + 1)).collect()
+        for r in emb.filter(F.col("vec_id") < k_sub).limit(k_sub).collect()
     }
+    if query_vec_id not in head:
+        qrow = (
+            emb.filter(F.col("vec_id") == query_vec_id).limit(1).collect()
+        )
+        head[query_vec_id] = to_fixed(
+            np.asarray(qrow[0].embedding, dtype=np.float32)
+        )
     # (m_sub, k_sub, sub_dim): codebook[m][c] = code c's centroid in subspace m
     codebook = np.stack(
         [
