@@ -746,16 +746,24 @@ def substring_spans_sql(dialect: str, w: int = 8) -> str:
                     i -> array_to_string(tk[i:i+{w}-1], ' '))) AS gram
       FROM toks
     )"""
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {d['tokens'].format(col='text')} AS tk FROM documents
-    ),{grams},
+    occ = """
     occ AS (
       SELECT doc_id, start FROM (
         SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS c
         FROM grams
       ) g WHERE c > 1
-    ),
+    )"""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {d['tokens'].format(col='text')} AS tk FROM documents
+    ),{grams},{substring_spans_tail_sql(occ, w)}"""
+
+
+def substring_spans_tail_sql(occ_cte: str, w: int) -> str:
+    """Islands merge + span projection over an ``occ`` (doc_id, start)
+    CTE — shared by the window plan and the two-phase fallback so the
+    span semantics cannot drift (both dialects)."""
+    return f"""{occ_cte},
     isl AS (
       SELECT doc_id, start,
              start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start)
@@ -775,3 +783,52 @@ def substring_spans_sql(dialect: str, w: int = 8) -> str:
     FROM spans
     ORDER BY doc_id, span_start
     """
+
+
+def substring_spans_twophase_query(spark, sf_dir: str, w: int = 8):
+    """Skew escape hatch for ``dedup_substring_spans`` (VERDICT r8 #6):
+    identical output, different COUNT stage. The default window plan
+    lands every occurrence of a gram on ONE reducer (window partitions
+    are not AQE-splittable); at extreme gram hotness (boilerplate
+    pasted millions of times) that reducer becomes the job. This form:
+
+      1. materializes the gram rows ONCE (track_persist — the r7 A/B
+         alternative lost partly because CTE inlining regenerated the
+         explode on both semi-join sides);
+      2. per-gram counts via a two-phase hash aggregation — map-side
+         partial counts bound any reducer's input at one row per gram
+         per mapper, regardless of hotness (the "salt" is the input
+         partitioning itself);
+      3. LEFT SEMI JOIN back to the occurrences — a JOIN, which AQE's
+         skew-join splitting CAN divide, unlike the window.
+
+    Measured crossover vs the window plan is recorded in
+    SCALE_PIPELINE.md (substring-skew section); below it the window
+    wins, above it this does. Same DuckDB oracle as the window form —
+    the two plans are hash-compared against each other through it."""
+    from ..plans.base import load_tables, track_persist
+
+    load_tables(spark, sf_dir, ["documents"])
+    d = SPARK
+    n = d["len"].format(arr="tk")
+    slice_args = ", ".join(f"element_at(tk, i + {j})" for j in range(w))
+    grams = spark.sql(f"""
+      SELECT doc_id, CAST(idx + 1 AS BIGINT) AS start, gram
+      FROM (SELECT doc_id, {d['tokens'].format(col='text')} AS tk
+            FROM documents) toks
+      LATERAL VIEW posexplode(
+        CASE WHEN {n} >= {w}
+             THEN transform(sequence(1, {n} - {w} + 1),
+                            i -> xxhash64({slice_args}))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END) t AS idx, gram""")
+    track_persist(grams)
+    grams.createOrReplaceTempView("ss_grams")
+    occ = """
+    occ AS (
+      SELECT g.doc_id, g.start
+      FROM ss_grams g
+      LEFT SEMI JOIN (
+        SELECT gram FROM ss_grams GROUP BY gram HAVING COUNT(*) > 1
+      ) dup ON g.gram = dup.gram
+    )"""
+    return spark.sql("WITH " + substring_spans_tail_sql(occ, w).lstrip())

@@ -85,6 +85,7 @@ from ..operators.dedup import (
     simhash_query,
     simhash_sql,
     substring_spans_sql,
+    substring_spans_twophase_query,
 )
 from ..operators.similarity import (
     ann_recall_sql,
@@ -162,6 +163,19 @@ _sql_pair(
     ["dedup", "substring"],
     "maximal duplicated 8-token-window spans (fixed-window suffix-array "
     "dedup): one window pass over grams, gaps-and-islands merge",
+)
+
+# the skew escape hatch: identical spans via two-phase gram counts +
+# an AQE-splittable semi-join instead of the COUNT-OVER window whose
+# hot gram lands whole on one reducer; crossover vs the window plan is
+# measured in SCALE_PIPELINE.md (substring-skew section)
+REGISTRY.df_query(
+    "dedup_substring_spans_twophase",
+    substring_spans_twophase_query,
+    oracle=substring_spans_sql("duckdb"),
+    tags=["dedup", "substring", "skew"],
+    description="substring spans, two-phase-count + semi-join form "
+    "(extreme-gram-hotness fallback; same oracle as the window form)",
 )
 
 _sql_pair(
