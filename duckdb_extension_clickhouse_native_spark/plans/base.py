@@ -440,59 +440,65 @@ class Query:
 #     alphabetical) as fit the remaining slots; the r6 remainder and
 #     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
-    # never driver-graded (highest-priority class; late-r7 additions)
-    "stream_minhash_candidates",
-    "text_lm_score",
-    "text_quality_classifier",
-    "tfidf_cosine_topk",
-    "sample_weighted_priority",
-    "pagerank_user_cooccurrence",
-    "events_window_funnel",
-    "events_retention_cohorts",
-    "stream_window_funnel",
-    "native_hive_partition_scan",
-    "events_sequence_match",
-    "events_replacing_merge",
-    "join_bloom_prefilter",
-    "dq_audit_checks",
-    "merge_upsert_customers",
-    "rag_pipeline_topk",
-    "events_gap_fill_locf",
-    "join_salted_skew",
-    "agg_state_merge",
+    # ROUND-9 WINDOW, executing the r8 pinned plan + this round's
+    # changed paths (tools/window_plan.py at round open: 18 never
+    # graded, freshness OK, oldest cohort r5x19 then r6x43).
+    # never driver-graded (highest-priority class)
+    "dedup_substring_spans_twophase",
+    "asof_join_nearest_tolerance",
+    "events_summing_merge",
+    "events_sequence_count",
+    "events_histogram",
+    "join_time_window_binned",
+    "events_uniq_upto",
+    "events_delta_sum",
+    "group_with_totals",
+    "multimodal_real_decode",
+    "events_heavy_hitters",
+    "events_heavy_hitters_weighted",
+    "text_ngram_vocab",
+    "sample_domain_cap",
+    "sim_int8_recall",
+    "sim_topk_int8",
+    "stream_heavy_hitters",
+    "stream_replacing_merge",
+    # changed-path re-proofs (round 9): as-of probe cache + persist
+    # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
+    # codebook, substring tail refactor
+    "asof_join_events_orders",
     "asof_join_forward_tolerance",
-    "weighted_percentiles_price",
-    "unpivot_event_counts",
-    "lateral_topn_per_customer",
-    "native_block_skip_scan",
-    "stream_partitioned_sink_agg",
-    # last two rows whose newest green is r4
-    "agg_global",
-    "group_having",
-    # r5-green cohort recycle (oldest evidence tier), alphabetical
-    "approx_percentile_bounded",
-    "argminmax_orders",
-    "bitwise_aggregates",
-    "corr_qty_price",
-    "dedup_incremental",
-    "dedup_semantic_clusters",
-    "filtered_aggregates",
-    "media_phash_pairs",
-    "moments_totalprice",
-    "native_stream_agg",
-    "native_type_matrix",
-    "pack_sequences",
-    "profile_lineitem",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_supplier",
+    "asof_join_window",
+    "scan_tcp_agg",
+    "scan_tcp_split",
+    "scan_tcp_write_roundtrip",
+    "scan_remote_agg",
+    "scan_remote_split",
+    "sim_topk_pq_fast",
+    "dedup_substring_spans",
+    # r5-green cohort (oldest evidence tier), alphabetical
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q8_market_share",
+    "sample_mixture_temperature",
+    "sample_stratified",
+    "select_importance_target",
+    "shard_assignment",
+    "skew_salted_agg",
+    "stream_dedup_keys",
+    "stream_dedup_watermarked",
+    "stream_interval_join",
+    "stream_stateful_sessions",
+    "stream_windowed_counts",
+    "stringagg_rich_customers",
+    "window_lag_lead",
+    "window_ntile_percent",
+    "window_time_range_frame",
+    "window_topk_per_group",
+    "zorder_layout",
+    # r6-green cohort head (alphabetical; remainder rotates to r10)
+    "array_functions_embeddings",
+    "collect_sorted_arrays",
+    "cube_lineitem",
 ]
 
 
