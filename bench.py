@@ -156,9 +156,13 @@ def main() -> None:
         tier_total = 0.0
         for name in names:
             q = all_q[name]
-            # untimed warm-up + row count for the log line (count alone
-            # would under-execute map-only bodies, so it is never timed)
-            n = q.build(spark, sf_dir).count()
+            # untimed FULL warm-up (materialize, not count: a count
+            # warm-up leaves the pruned-away expressions cold and the
+            # first timed run pays their compile) + a cheap count for
+            # the log line
+            warm = q.build(spark, sf_dir)
+            materialize(warm)
+            n = warm.count()
             best = float("inf")
             for _ in range(runs):  # best-of-N: steady-state, not first compile
                 t0 = time.perf_counter()
