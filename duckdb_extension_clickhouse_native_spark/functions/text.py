@@ -495,3 +495,57 @@ def ngram_vocab_sql(dialect: str, k: int = 50) -> str:
     ORDER BY n DESC, gram
     LIMIT {k}
     """
+
+
+def bpe_merge_stats_sql(dialect: str, k: int = 40) -> str:
+    """First-round BPE merge statistics — the tokenizer-training inner
+    loop one step past ``ngram_vocab_sql``'s seed table: weighted
+    adjacent-character-pair counts over the word-frequency table, the
+    exact quantity argmax'd to pick each merge (Sennrich et al. 2016).
+
+    Shape (how production BPE trainers actually run, and the scale
+    story): the corpus collapses to a DISTINCT-word frequency table
+    first (one map-side-combinable GROUP BY — vocabulary-sized, not
+    corpus-sized), then pair statistics run over that small table with
+    the word frequency as the weight; the top-k ends in
+    TakeOrderedAndProject. ``n_words`` (distinct words containing the
+    pair) rides along as the support statistic. substr() is
+    CHARACTER-based in both engines, so multibyte text keeps parity.
+    Deterministic total order: weighted count desc, pair asc."""
+    from ..operators.dedup import DUCK, SPARK
+
+    d = SPARK if dialect == "spark" else DUCK
+    toks = d["tokens"].format(col="text")
+    if dialect == "spark":
+        words = f"SELECT explode({toks}) AS word FROM documents"
+        pairs = (
+            "SELECT w.word, w.wf, "
+            "concat(substr(w.word, i, 1), substr(w.word, i + 1, 1)) AS pair "
+            "FROM wordfreq w "
+            "LATERAL VIEW explode(sequence(1, GREATEST(length(w.word) - 1, 0)))"
+            " g AS i WHERE length(w.word) >= 2"
+        )
+    else:
+        words = f"SELECT unnest({toks}) AS word FROM documents"
+        pairs = (
+            "SELECT w.word, w.wf, "
+            "substr(w.word, i, 1) || substr(w.word, i + 1, 1) AS pair "
+            "FROM wordfreq w, "
+            "UNNEST(range(1, GREATEST(length(w.word) - 1, 0) + 1)) AS g(i) "
+            "WHERE length(w.word) >= 2"
+        )
+    return f"""
+    WITH exploded AS ({words}),
+    wordfreq AS (
+      SELECT word, COUNT(*) AS wf FROM exploded
+      WHERE word <> '' GROUP BY word
+    ),
+    pairs AS ({pairs})
+    SELECT pair,
+           CAST(SUM(wf) AS BIGINT) AS weighted_count,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY weighted_count DESC, pair
+    LIMIT {k}
+    """

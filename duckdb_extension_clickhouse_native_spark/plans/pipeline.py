@@ -847,7 +847,7 @@ from ..operators.sketches import (  # noqa: E402
     heavy_hitters_weighted_oracle_sql,
     heavy_hitters_weighted_query,
 )
-from ..functions.text import ngram_vocab_sql  # noqa: E402
+from ..functions.text import bpe_merge_stats_sql, ngram_vocab_sql  # noqa: E402
 
 REGISTRY.df_query(
     "events_heavy_hitters_weighted",
@@ -866,6 +866,17 @@ _sql_pair(
     ["text", "vocab", "topk"],
     "vocabulary construction: corpus-wide top-k unigrams+bigrams with a "
     "deterministic total order (the tokenizer-training seed table)",
+)
+
+_sql_pair(
+    "text_bpe_merge_stats",
+    bpe_merge_stats_sql("spark"),
+    bpe_merge_stats_sql("duckdb"),
+    ["documents"],
+    ["text", "vocab", "bpe", "topk"],
+    "BPE merge statistics: weighted adjacent-char-pair counts over the "
+    "DISTINCT-word frequency table (the tokenizer-training inner loop; "
+    "pair stats run vocabulary-sized, not corpus-sized)",
 )
 
 _sql_pair(
