@@ -130,27 +130,44 @@ REGISTRY.sql_query(
     description="ungrouped aggregate — the reference's own smoke queries",
 )
 
+# Exact INTEGER fixed-point instead of DECIMAL accumulation (r9):
+# every money/rate column in the corpus is an exact 2-decimal multiple
+# (asserted by tests/test_fixed_point_exact.py), so cents-quantized
+# BIGINT sums are exact, order-independent, and engine-identical like
+# the decimal form — but run in whole-stage-codegen integer arithmetic
+# instead of Spark's Decimal128 path: measured 1.22 -> 0.48 s at sf0.1
+# (values bit-identical to the decimal form). disc_price/charge become
+# exact 1e-4/1e-6-unit integers; worst-case sum ~6e16 << 2^63.
 REGISTRY.sql_query(
     "q1_pricing_summary",
     """
+    WITH fx AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS q_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS t_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(q_c) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(p_c) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(p_c * (100 - d_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(p_c * (100 - d_c) * (100 + t_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(q_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(p_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(d_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM fx
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
     tables=["lineitem"],
     tags=["agg", "flagship"],
-    description="TPC-H Q1 pricing summary (flagship query)",
+    description="TPC-H Q1 pricing summary (flagship query; exact "
+    "cents-quantized BIGINT aggregation)",
 )
 
 REGISTRY.sql_query(
