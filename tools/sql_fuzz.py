@@ -164,8 +164,50 @@ def _aggs(rng: random.Random, t: str, alias: str = "") -> list[str]:
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.choice(
-        ["project", "agg", "agg", "join_agg", "distinct", "setop", "window"]
+        ["project", "agg", "agg", "join_agg", "distinct", "setop", "window",
+         "rollup", "scalar"]
     )
+    if shape == "rollup":
+        # GROUPING() disambiguates rollup NULLs from data NULLs; the
+        # compare is order-insensitive so cross-engine NULL placement
+        # in ORDER BY cannot bite here. HAVING COUNT(*) > 0 fences a
+        # REAL engine divergence this shape's first run found (seed
+        # 130493): on EMPTY input DuckDB emits the ANSI grand-total
+        # grouping-set row (count 0), Spark emits no rows — a random
+        # WHERE can empty the input, so the divergent row is excluded
+        # like the other documented divergence classes above.
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        g1, g2 = rng.sample(spec["group"], 2)
+        c = rng.choice(spec["ints"])
+        return (
+            f"SELECT {g1}, {g2}, "
+            f"CAST(GROUPING({g1}) AS INT) AS gr1, "
+            f"CAST(GROUPING({g2}) AS INT) AS gr2, "
+            f"COUNT(*) AS n_rows, CAST(SUM({c}) AS BIGINT) AS s_{c} "
+            f"FROM {t} WHERE {_where(rng, t)} "
+            f"GROUP BY ROLLUP ({g1}, {g2}) HAVING COUNT(*) > 0"
+        )
+    if shape == "scalar":
+        # string/CASE/int-arithmetic scalar functions — ASCII-only
+        # corpus, so UPPER/LENGTH/SUBSTR semantics agree byte-for-byte
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        s = rng.choice(spec["strings"])
+        i1, i2 = rng.choice(spec["ints"]), rng.choice(spec["ints"])
+        exprs = [f"{s} AS raw_s", f"{i1} AS raw_i"]
+        pool = [
+            f"UPPER({s}) AS up_s",
+            f"LOWER({s}) AS low_s",
+            f"CAST(LENGTH({s}) AS INT) AS len_s",
+            f"SUBSTR({s}, 1, {rng.randint(1, 5)}) AS sub_s",
+            f"CONCAT({s}, '_', {s}) AS cat_s",
+            f"CAST({i1} % {rng.randint(2, 9)} AS BIGINT) AS mod_i",
+            f"CAST({i1} + {i2} AS BIGINT) AS add_i",
+            f"CASE WHEN {i1} % 2 = 0 THEN 'even' ELSE 'odd' END AS par_i",
+        ]
+        exprs += rng.sample(pool, rng.randint(2, 4))
+        return f"SELECT {', '.join(exprs)} FROM {t} WHERE {_where(rng, t)}"
     if shape == "project":
         t = rng.choice(list(TABLES))
         spec = TABLES[t]
