@@ -357,16 +357,21 @@ def simhash_sql(dialect: str, hamming_max: int = 3, chain_only: bool = False) ->
     def half(offset: int) -> str:
         return _hex_int_expr(d, "h", offset, 8)
 
-    votes = ",\n             ".join(
-        f"SUM(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{j}, "
-        f"SUM(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{j}"
+    # bit-count votes instead of CASE-WHEN ±1 sums (r9): the ±1 vote
+    # sum is 2*SUM(bit) - n, so "votes > 0" ⟺ "2*SUM(bit) > n" — same
+    # signatures (pinned by tests), ~10% less codegen work per row
+    votes = "COUNT(*) AS n_t,\n             " + ",\n             ".join(
+        f"SUM((h_lo >> {j}) & 1) AS bl{j}, "
+        f"SUM((h_hi >> {j}) & 1) AS bh{j}"
         for j in range(32)
     )
     sim_lo = " + ".join(
-        f"(CASE WHEN vl{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)" for j in range(32)
+        f"(CASE WHEN 2 * bl{j} > n_t THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
     )
     sim_hi = " + ".join(
-        f"(CASE WHEN vh{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)" for j in range(32)
+        f"(CASE WHEN 2 * bh{j} > n_t THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
     )
     bands = ", ".join(
         f"CAST((sim_lo >> {16 * b}) & 65535 AS BIGINT) AS band{b}" for b in range(2)

@@ -476,6 +476,7 @@ GRADING_WINDOW = [
     "sim_topk_pq_fast",
     "dedup_substring_spans",
     "q1_pricing_summary",
+    "dedup_simhash",
     # r5-green cohort (oldest evidence tier), alphabetical
     "q22_sales_opportunity",
     "q4_order_priority",
@@ -498,7 +499,6 @@ GRADING_WINDOW = [
     "zorder_layout",
     # r6-green cohort head (alphabetical; remainder rotates to r10)
     "array_functions_embeddings",
-    "collect_sorted_arrays",
 ]
 
 
