@@ -1,0 +1,168 @@
+"""Independent-reference pins for the event-analytics and graph
+operators (extends the r9 dedup/similarity hardening): the DuckDB
+oracle SQL (and for CC, the Spark operator itself) checked against
+plain-Python brute-force implementations on random inputs, so shared-
+template semantics are pinned by something other than the twin SQL.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+from itertools import combinations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from duckdb_extension_clickhouse_native_spark.operators import funnel
+
+CHAIN = funnel.FUNNEL_CHAIN  # ("view", "click", "purchase")
+WINDOW_US = 4 * 3600 * 1_000_000
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+# events: (user_id, event_id, type_idx, minutes-offset). Type indexes
+# include 3 = an off-chain type; minutes spread far enough that the
+# 4 h window actually bites.
+event_strategy = st.tuples(
+    st.integers(0, 2),            # user_id
+    st.integers(0, 3),            # type index (3 -> 'other')
+    st.integers(0, 600),          # minutes offset (10 h span)
+)
+events_strategy = st.lists(event_strategy, min_size=0, max_size=14)
+
+TYPES = list(CHAIN) + ["other"]
+
+
+def _events_df(raw: list[tuple[int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": range(len(raw)),
+            "user_id": [u for u, _, _ in raw],
+            "event_type": [TYPES[t] for _, t, _ in raw],
+            "ts": [EPOCH + timedelta(minutes=m) for _, _, m in raw],
+            "value": [1.0] * len(raw),
+        }
+    )
+
+
+def ref_window_funnel(pdf: pd.DataFrame) -> dict[int, int]:
+    """Brute force: max k such that an increasing (t, event_id)
+    subsequence typed chain[0..k-1] fits inside the window."""
+    out = {}
+    for uid, g in pdf.groupby("user_id"):
+        rows = sorted(
+            (int(r.ts.timestamp() * 1_000_000), int(r.event_id), r.event_type)
+            for r in g.itertuples()
+        )
+        best = 0
+        for k in range(1, len(CHAIN) + 1):
+            found = False
+            for idx in combinations(range(len(rows)), k):
+                if all(rows[i][2] == CHAIN[j] for j, i in enumerate(idx)) and (
+                    rows[idx[-1]][0] - rows[idx[0]][0] <= WINDOW_US
+                ):
+                    found = True
+                    break
+            if found:
+                best = k
+            else:
+                break  # level k+1 needs a level-k prefix
+        if len(rows):
+            out[int(uid)] = best
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(events_strategy)
+def test_window_funnel_oracle_matches_bruteforce(raw):
+    pdf = _events_df(raw)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = dict(con.execute(funnel.window_funnel_sql("duckdb")).fetchall())
+    exp = {
+        u: lvl
+        for u, lvl in ref_window_funnel(pdf).items()
+        # the SQL only emits users having at least one chain-typed event
+        if (pdf[pdf.user_id == u].event_type.isin(CHAIN)).any()
+    }
+    assert got == exp
+
+
+def ref_retention(pdf: pd.DataFrame, max_offset: int = 30) -> dict:
+    days = {
+        (int(r.user_id), int(r.ts.timestamp()) // 86400)
+        for r in pdf.itertuples()
+    }
+    cohort = {}
+    for u, d in days:
+        cohort[u] = min(cohort.get(u, d), d)
+    out = {}
+    for u, d in days:
+        off = d - cohort[u]
+        if off <= max_offset:
+            out.setdefault((cohort[u], off), set()).add(u)
+    return {k: len(v) for k, v in out.items()}
+
+
+@settings(max_examples=80, deadline=None)
+@given(events_strategy)
+def test_retention_oracle_matches_bruteforce(raw):
+    pdf = _events_df(raw)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = {
+        (c, o): n
+        for c, o, n in con.execute(funnel.retention_sql("duckdb")).fetchall()
+    }
+    assert got == ref_retention(pdf)
+
+
+# -- connected components vs union-find (the Spark operator itself) ---------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=15
+)
+
+
+def ref_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id in the component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_propagate_min_labels_matches_union_find(spark, raw_edges):
+    from duckdb_extension_clickhouse_native_spark.operators.components import (
+        propagate_min_labels,
+    )
+
+    n = 10
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [a for a, _ in raw_edges] or pd.Series([], dtype="int64"),
+             "dst": [b for _, b in raw_edges] or pd.Series([], dtype="int64")}
+        ).astype("int64"),
+        schema="src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"id": range(n), "label": range(n)}).astype("int64"),
+        schema="id long, label long",
+    )
+    got = {r["id"]: r["label"] for r in propagate_min_labels(edges, seeds).collect()}
+    assert got == ref_components(n, raw_edges)
