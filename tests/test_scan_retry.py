@@ -161,3 +161,34 @@ def test_probe_retries_killed_connection(flaky_tcp):
     )
     assert [name for name, _ in pairs] == ["x"]
     assert flaky_tcp["state"]["kill"] == 0
+
+
+def test_http_read_retries_killed_first_connection():
+    """The same retry loop covers the HTTP transport: a handler that
+    hard-closes the first request's connection must not fail the
+    partition read."""
+    import duckdb
+
+    from duckdb_extension_clickhouse_native_spark.sources.mock_server import (
+        build_handler,
+        serve,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS x FROM range(500)")
+    state = {"kill": 0}
+    Inner = build_handler(con)
+
+    class FlakyHTTP(Inner):
+        def do_POST(self):
+            if state["kill"] > 0:
+                state["kill"] -= 1
+                self.connection.close()
+                return
+            super().do_POST()
+
+    url = serve(FlakyHTTP)
+    state["kill"] = 1
+    rows = _drain(_reader(url))
+    assert rows == list(range(500))
+    assert state["kill"] == 0
