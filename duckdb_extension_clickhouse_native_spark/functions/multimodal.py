@@ -508,3 +508,114 @@ MEDIA_REAL_DECODE_ORACLE_SQL = f"""
     FROM dims
     ORDER BY doc_id
 """
+
+
+# -- real audio round trip (the WAV sibling of the image round trip) --------
+
+
+def media_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize GENUINE 16-bit PCM WAV files from documents: each
+    doc renders to a short mono waveform whose samples are a strided
+    CHARACTER read of its text ((codepoint % 256) - 128, scaled x128
+    into int16 range), sample rate varied per doc. Deterministic, so
+    the DuckDB oracle reproduces the sample sequence without an audio
+    library. Map-only stage; NULL text -> silence (all-zero samples),
+    matching the oracle's COALESCE."""
+    import pandas as pd
+
+    from ..plans.base import ensure_session
+    from .audiocodec import encode_wav
+
+    ensure_session(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            media, rates = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s = text or ""
+                n = 40 + doc_id % 50
+                rate = 8000 + 4000 * (doc_id % 3)
+                if s:
+                    samples = [
+                        ((ord(s[(i * 3 + doc_id) % len(s)]) % 256) - 128) * 128
+                        for i in range(n)
+                    ]
+                else:
+                    samples = [0] * n
+                media.append(encode_wav(samples, rate))
+                rates.append(rate)
+            out = pdf[["doc_id"]].copy()
+            out["media"] = media
+            out["rate"] = pd.Series(rates, dtype="int64")
+            yield out
+
+    return docs.mapInPandas(render, schema="doc_id bigint, media binary, rate bigint")
+
+
+def media_audio_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance entry for the REAL WAV decoder: synthesized PCM
+    payloads -> ``audiocodec.decode_wav`` -> rate, channel count,
+    sample count and an order-sensitive weighted checksum
+    sum((i+1) * s_i) mod 1e9+7 (negatives folded mod p, so both
+    engines agree on the representative). The oracle computes the same
+    checksum straight from the text; a green hash proves
+    decode(encode(samples)) == samples value-for-value, including the
+    RIFF chunk walk and int16 little-endian packing."""
+    import pandas as pd
+
+    from .audiocodec import decode_wav
+
+    wavs = media_audio_table(spark, sf_dir)
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rates, chans, ns, wsums = [], [], [], []
+            for data in pdf["media"]:
+                rate, nch, samples = decode_wav(bytes(data))
+                rates.append(rate)
+                chans.append(nch)
+                ns.append(len(samples))
+                wsums.append(
+                    sum((i + 1) * s for i, s in enumerate(samples)) % WSUM_MOD
+                )
+            out = pdf[["doc_id"]].copy()
+            out["sample_rate"] = pd.Series(rates, dtype="int64")
+            out["channels"] = pd.Series(chans, dtype="int32")
+            out["n_samples"] = pd.Series(ns, dtype="int64")
+            out["wsum_fp"] = pd.Series(wsums, dtype="int64")
+            yield out
+
+    return wavs.mapInPandas(
+        dec,
+        schema=(
+            "doc_id bigint, sample_rate bigint, channels int, "
+            "n_samples bigint, wsum_fp bigint"
+        ),
+    ).orderBy("doc_id")
+
+
+MEDIA_AUDIO_DECODE_ORACLE_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             40 + doc_id % 50 AS n,
+             8000 + 4000 * (doc_id % 3) AS rate,
+             length(COALESCE(text, '')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           1 AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(((COALESCE(list_sum(list_transform(
+                  range(0, n),
+                  i -> (i + 1) * (CASE WHEN n_chars = 0 THEN 0
+                        ELSE (ascii(substr(text,
+                             CAST(((i * 3 + doc_id) % n_chars) + 1 AS INT), 1))
+                             % 256 - 128) * 128
+                        END))), 0) % {WSUM_MOD}) + {WSUM_MOD}) % {WSUM_MOD}
+                AS BIGINT) AS wsum_fp
+    FROM dims
+    ORDER BY doc_id
+"""

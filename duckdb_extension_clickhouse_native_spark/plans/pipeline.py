@@ -12,10 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.multimodal import (
+    MEDIA_AUDIO_DECODE_ORACLE_SQL,
     MEDIA_FEATURES_ORACLE_SQL,
     MEDIA_FRAMES_ORACLE_SQL,
     MEDIA_REAL_DECODE_ORACLE_SQL,
     MEDIA_RESIZE_ORACLE_SQL,
+    media_audio_decode_query,
     media_features_query,
     media_frames_query,
     media_phash_pairs_oracle_sql,
@@ -612,6 +614,16 @@ REGISTRY.df_query(
     description="REAL decode round trip: docs rendered to genuine BMP/PPM files, "
     "decoded via the pure-Python imagecodec, order-sensitive weighted pixel "
     "checksum vs the oracle's direct computation",
+)
+
+REGISTRY.df_query(
+    "multimodal_audio_decode",
+    media_audio_decode_query,
+    oracle=MEDIA_AUDIO_DECODE_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf", "codec", "audio"],
+    description="REAL WAV decode round trip: docs rendered to genuine 16-bit "
+    "PCM RIFF files, decoded via the pure-Python audiocodec (chunk-walking "
+    "reader), order-sensitive weighted sample checksum vs the oracle",
 )
 
 REGISTRY.df_query(
