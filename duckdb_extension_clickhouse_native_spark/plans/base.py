@@ -462,6 +462,8 @@ GRADING_WINDOW = [
     "sim_topk_int8",
     "stream_heavy_hitters",
     "stream_replacing_merge",
+    "text_bpe_merge_stats",
+    "multimodal_audio_decode",
     # changed-path re-proofs (round 9): as-of probe cache + persist
     # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
     # codebook, substring tail refactor
@@ -495,8 +497,6 @@ GRADING_WINDOW = [
     "window_lag_lead",
     "window_ntile_percent",
     "window_time_range_frame",
-    "window_topk_per_group",
-    "zorder_layout",
     # r6-green cohort head (alphabetical; remainder rotates to r10)
     "array_functions_embeddings",
 ]
