@@ -24,7 +24,17 @@ def test_stateful_sessions_across_micro_batches(spark, tmp_path):
     for i in range(3):
         piece = t.slice(i * per, per)
         if piece.num_rows:
-            pq.write_table(piece, os.path.join(ev_dir, f"part-{i}.parquet"))
+            path = os.path.join(ev_dir, f"part-{i}.parquet")
+            pq.write_table(piece, path)
+            # the file stream source orders files by MODIFICATION TIME;
+            # three writes inside one mtime-granularity window tie, and
+            # the tie-break order is unspecified — an out-of-order part
+            # feeds earlier timestamps after later ones and the gap
+            # tracker over-counts sessions (the rare in-suite flake).
+            # Pin strictly ascending mtimes to make batch order = row
+            # order deterministically.
+            ts = 1_700_000_000 + i
+            os.utime(path, (ts, ts))
 
     from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
         _stream_stateful_sessions,

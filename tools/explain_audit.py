@@ -81,6 +81,7 @@ AUDIT = [
     # round-9 additions
     "dedup_substring_spans_twophase",
     "text_bpe_merge_stats",
+    "multimodal_audio_decode",
     # round-5 production twins (broadcast-numpy mapInPandas forms)
     "kmeans_fast",
     "sim_topk_pq_fast",
