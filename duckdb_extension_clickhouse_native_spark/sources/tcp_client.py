@@ -280,6 +280,9 @@ class ClickHouseTCPClient:
 
 _POOL: dict[tuple, list["ClickHouseTCPClient"]] = {}
 _POOL_MAX_PER_KEY = 4
+# DataSource workers are single-threaded processes, but a threaded
+# driver (or tests) may hit the pool concurrently — guard the buckets
+_POOL_LOCK = __import__("threading").Lock()
 
 
 def _pool_key(c: "ClickHouseTCPClient") -> tuple:
@@ -294,9 +297,10 @@ def acquire_pooled(make: "callable") -> "ClickHouseTCPClient":
     or a freshly built (unconnected) client. ``make`` must return a
     ClickHouseTCPClient."""
     fresh = make()
-    bucket = _POOL.get(_pool_key(fresh))
-    if bucket:
-        return bucket.pop()
+    with _POOL_LOCK:
+        bucket = _POOL.get(_pool_key(fresh))
+        if bucket:
+            return bucket.pop()
     return fresh
 
 
@@ -306,15 +310,18 @@ def release_pooled(client: "ClickHouseTCPClient", *, healthy: bool) -> None:
     if not healthy or client._sock is None:
         client.close()
         return
-    bucket = _POOL.setdefault(_pool_key(client), [])
-    if len(bucket) >= _POOL_MAX_PER_KEY:
-        client.close()
-        return
-    bucket.append(client)
+    with _POOL_LOCK:
+        bucket = _POOL.setdefault(_pool_key(client), [])
+        if len(bucket) < _POOL_MAX_PER_KEY:
+            bucket.append(client)
+            return
+    client.close()
 
 
 def clear_pool() -> None:
-    for bucket in _POOL.values():
+    with _POOL_LOCK:
+        buckets = list(_POOL.values())
+        _POOL.clear()
+    for bucket in buckets:
         while bucket:
             bucket.pop().close()
-    _POOL.clear()

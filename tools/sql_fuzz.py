@@ -165,8 +165,32 @@ def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.choice(
         ["project", "agg", "agg", "join_agg", "distinct", "setop", "window",
-         "rollup", "scalar"]
+         "rollup", "scalar", "exists", "full_outer"]
     )
+    if shape == "exists":
+        # (NOT) EXISTS correlated subquery — the decorrelation path
+        big, dim, bk, dk = rng.choice(JOINS)
+        neg = "NOT " if rng.random() < 0.5 else ""
+        cols = sorted(set(rng.sample(
+            TABLES[big]["ints"] + TABLES[big]["strings"], rng.randint(1, 3))))
+        return (
+            f"SELECT {', '.join(cols)} FROM {big} a "
+            f"WHERE {_where(rng, big, 'a')} AND {neg}EXISTS ("
+            f"SELECT 1 FROM {dim} b WHERE b.{dk} = a.{bk} "
+            f"AND {_where(rng, dim, 'b')})"
+        )
+    if shape == "full_outer":
+        # FULL OUTER with grouped counts: null-extension on both sides
+        # must agree; COUNT(col) (null-skipping) probes the extension
+        big, dim, bk, dk = rng.choice(JOINS)
+        g = rng.choice(TABLES[dim]["group"])
+        return (
+            f"SELECT b.{g} AS g, COUNT(*) AS n_rows, "
+            f"COUNT(a.{bk}) AS n_left, COUNT(b.{dk}) AS n_right "
+            f"FROM (SELECT * FROM {big} WHERE {_where(rng, big)}) a "
+            f"FULL OUTER JOIN (SELECT * FROM {dim} WHERE {_where(rng, dim)}) b "
+            f"ON a.{bk} = b.{dk} GROUP BY b.{g}"
+        )
     if shape == "rollup":
         # GROUPING() disambiguates rollup NULLs from data NULLs; the
         # compare is order-insensitive so cross-engine NULL placement
