@@ -479,6 +479,7 @@ GRADING_WINDOW = [
     "dedup_substring_spans",
     "q1_pricing_summary",
     "dedup_simhash",
+    "agg_global",
     # r5-green cohort (oldest evidence tier), alphabetical
     "q22_sales_opportunity",
     "q4_order_priority",
@@ -497,8 +498,6 @@ GRADING_WINDOW = [
     "window_lag_lead",
     "window_ntile_percent",
     "window_time_range_frame",
-    # r6-green cohort head (alphabetical; remainder rotates to r10)
-    "array_functions_embeddings",
 ]
 
 

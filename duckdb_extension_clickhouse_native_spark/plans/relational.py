@@ -121,8 +121,10 @@ REGISTRY.sql_query(
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_qty
     FROM lineitem
     """,
     tables=["lineitem"],
