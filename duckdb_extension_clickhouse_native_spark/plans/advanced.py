@@ -314,3 +314,93 @@ REGISTRY.sql_query(
     description="LATERAL dependent top-3 per driving row (shared SQL text, both engines)",
 )
 
+
+# --- ClickHouse signature compat: LIMIT BY / LEFT ARRAY JOIN / dictGet ------
+# (round 9) Three named ClickHouse SQL features re-expressed in their
+# standard Spark shapes, each with a DuckDB oracle. The reference
+# delegates all of these to its host engine; here they are first-class
+# graded rows so a ClickHouse user can map each signature 1:1.
+
+# ClickHouse `LIMIT 3 BY user_id`: first N rows per group in a stated
+# order — re-expressed as the ROW_NUMBER filter Catalyst turns into a
+# per-group top-k (no global sort; rank prunes inside the window exec).
+_LIMIT_BY_SQL = """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) r
+    WHERE rn <= 3
+    ORDER BY user_id, event_id
+    """
+REGISTRY.sql_query(
+    "events_limit_by",
+    _LIMIT_BY_SQL,
+    oracle=_LIMIT_BY_SQL,
+    tables=["events"],
+    tags=["window", "compat", "limit-by"],
+    description="ClickHouse LIMIT n BY expr: first 3 events per user in "
+    "(ts, event_id) order via the ranked-window shape",
+)
+
+# ClickHouse `LEFT ARRAY JOIN`: explode that KEEPS rows whose array is
+# empty (NULL element) — Spark explode_outer; DuckDB a LEFT LATERAL
+# unnest. Empty-token docs (whitespace-only text) exercise the kept arm.
+REGISTRY.sql_query(
+    "docs_left_array_join",
+    """
+    SELECT doc_id, tok
+    FROM (
+      SELECT doc_id,
+             filter(split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ) d
+    LATERAL VIEW OUTER explode(toks) t AS tok
+    ORDER BY doc_id, tok
+    """,
+    oracle="""
+    SELECT d.doc_id, u.tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ) d
+    LEFT JOIN LATERAL (
+      SELECT unnest(d.toks) AS tok WHERE len(d.toks) > 0
+    ) u ON true
+    ORDER BY doc_id, tok
+    """,
+    tables=["documents"],
+    tags=["array", "compat", "explode"],
+    description="ClickHouse LEFT ARRAY JOIN: explode_outer keeps "
+    "empty-array rows with a NULL element (DuckDB LEFT LATERAL unnest)",
+)
+
+# ClickHouse `dictGetOrDefault('region_dict', 'r_name', n_regionkey,
+# 'UNKNOWN')`: a broadcast dimension lookup with a default for misses —
+# the standard Spark shape is a broadcast LEFT join + COALESCE. The
+# miss arm is exercised with an out-of-domain key derived per nation.
+_DICT_GET_SPARK = """
+    SELECT /*+ BROADCAST(r) */ n.n_nationkey, n.n_name,
+           COALESCE(r.r_name, 'UNKNOWN') AS region_name
+    FROM (
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey % 7 = 0 THEN n_regionkey + 100
+                  ELSE n_regionkey END AS lookup_key
+      FROM nation
+    ) n
+    LEFT JOIN region r ON n.lookup_key = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """
+REGISTRY.sql_query(
+    "dict_get_region",
+    _DICT_GET_SPARK,
+    oracle=_DICT_GET_SPARK.replace("/*+ BROADCAST(r) */ ", ""),
+    tables=["nation", "region"],
+    tags=["join", "compat", "dictionary", "broadcast"],
+    description="ClickHouse dictGetOrDefault: broadcast dimension "
+    "lookup with a default for out-of-domain keys",
+)
