@@ -404,3 +404,98 @@ REGISTRY.sql_query(
     description="ClickHouse dictGetOrDefault: broadcast dimension "
     "lookup with a default for out-of-domain keys",
 )
+
+# ClickHouse `sumMap(keys, values)`: element-wise sums grouped by key,
+# returned as two parallel sorted arrays. Standard Spark shape: group
+# the (key, value) pairs exactly, then zip the sorted per-group sums
+# back into arrays. DECIMAL sums keep the doubles engine-exact.
+_SUM_MAP_SPARK = """
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    packed AS (
+      SELECT user_id,
+             sort_array(collect_list(struct(event_type, v))) AS kv
+      FROM per_type
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           transform(kv, x -> x.event_type) AS sum_map_keys,
+           transform(kv, x -> x.v) AS sum_map_values
+    FROM packed
+    ORDER BY user_id
+    """
+_SUM_MAP_DUCK = """
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    packed AS (
+      SELECT user_id,
+             list_sort(list({'event_type': event_type, 'v': v})) AS kv
+      FROM per_type
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           list_transform(kv, x -> x.event_type) AS sum_map_keys,
+           list_transform(kv, x -> x.v) AS sum_map_values
+    FROM packed
+    ORDER BY user_id
+    """
+REGISTRY.sql_query(
+    "events_sum_map",
+    _SUM_MAP_SPARK,
+    oracle=_SUM_MAP_DUCK,
+    tables=["events"],
+    tags=["agg", "compat", "map", "arrays"],
+    description="ClickHouse sumMap: per-user key-wise value sums as "
+    "parallel sorted arrays (exact DECIMAL sums)",
+)
+
+# ClickHouse `-Array` combinator (sumArray / avgArray): aggregate over
+# every ELEMENT of an array column across rows. Fixed-point BIGINT
+# element sums keep the f32 embeddings engine-exact (the _dot_expr
+# precedent); one explode + one map-combinable aggregation.
+_SUM_ARRAY_SPARK = """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(elem_fx) AS BIGINT) AS sum_elements_fx,
+           CAST(SUM(elem_fx) AS DOUBLE) / 1000000.0 / (COUNT(*) / 64)
+             AS avg_element
+    FROM (
+      SELECT label,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS elem_fx
+      FROM embeddings LATERAL VIEW explode(embedding) t AS v
+    ) e
+    GROUP BY label
+    ORDER BY label
+    """
+_SUM_ARRAY_DUCK = """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(elem_fx) AS BIGINT) AS sum_elements_fx,
+           CAST(SUM(elem_fx) AS DOUBLE) / 1000000.0 / (COUNT(*) / 64)
+             AS avg_element
+    FROM (
+      SELECT label,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS elem_fx
+      FROM embeddings
+    ) e
+    GROUP BY label
+    ORDER BY label
+    """
+REGISTRY.sql_query(
+    "agg_sum_array_combinator",
+    _SUM_ARRAY_SPARK,
+    oracle=_SUM_ARRAY_DUCK,
+    tables=["embeddings"],
+    tags=["agg", "compat", "arrays"],
+    description="ClickHouse -Array combinator (sumArray/avgArray): "
+    "element-wise aggregate across array rows, fixed-point exact",
+)
