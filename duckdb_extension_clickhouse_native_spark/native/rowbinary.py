@@ -1,0 +1,367 @@
+"""RowBinaryWithNamesAndTypes codec — a second ClickHouse wire format
+for the scan source (SURVEY.md §2 "another source format").
+
+Layout (public ClickHouse format docs): LEB128 column count, then the
+column names (LEB128-length strings), then the type names, then rows
+with values in column order. Per value:
+
+* fixed-width types — little-endian (the same physical layouts as the
+  Native columns, ``types.FIXED_WIDTH``);
+* String — LEB128 length + UTF-8 bytes; FixedString(n) — n raw bytes;
+* Nullable(T) — one flag byte (1 = NULL, no value bytes follow);
+* Array(T) — LEB128 size + elements;
+* Decimal(p,s) — little-endian signed integer of 4/8/16 bytes by
+  precision.
+
+RowBinary is ROW-major, so decoding is inherently sequential per row —
+except when every column is fixed-width and non-nullable, where one
+numpy structured-dtype view decodes the whole body vectorized (the
+fast path). Native remains the full-fidelity, column-vectorized
+format; this module exists for interop with the second-most-common
+ClickHouse interchange format and intentionally rejects types whose
+RowBinary layout we have not pinned against a real server
+(UUID/IPv6/Map/Tuple/LowCardinality) with a clear message pointing at
+FORMAT Native.
+
+Reference surface: the reference reads FORMAT Native only
+(clickhouse_scan.rs:131); this is beyond-reference interop.
+"""
+
+from __future__ import annotations
+
+import struct
+from decimal import Decimal
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .codec import Block, BlockColumn, read_str, read_varuint, write_str, write_varuint
+from .types import FIXED_WIDTH, CHType, UnsupportedTypeError, parse_type, to_arrow
+
+ROWBINARY_FORMAT = "RowBinaryWithNamesAndTypes"
+
+_SUPPORTED_FIXED = set(FIXED_WIDTH)
+
+
+def _check_supported(t: CHType) -> None:
+    b = t.base
+    if b in _SUPPORTED_FIXED or b in ("String", "FixedString") or b.startswith(
+        "Decimal"
+    ):
+        return
+    if b == "Array" and t.inner is not None:
+        _check_supported(t.inner)
+        return
+    raise UnsupportedTypeError(
+        f"RowBinary support for {t.name} is not implemented — use "
+        "FORMAT Native (wire_format=native), the full-fidelity path"
+    )
+
+
+def _decimal_width(precision: int) -> int:
+    if precision <= 9:
+        return 4
+    if precision <= 18:
+        return 8
+    if precision <= 38:
+        return 16
+    raise UnsupportedTypeError(f"Decimal precision {precision} > 38")
+
+
+# -- scalar decode/encode ----------------------------------------------------
+
+
+def _read_value(buf: BinaryIO, t: CHType):
+    if t.nullable:
+        flag = buf.read(1)
+        if not flag:
+            raise EOFError("EOF at null flag")
+        if flag[0] == 1:
+            return None
+        inner = CHType(**{**t.__dict__, "nullable": False})
+        return _read_value(buf, inner)
+    b = t.base
+    if b in FIXED_WIDTH:
+        dt, width = FIXED_WIDTH[b]
+        raw = buf.read(width)
+        if len(raw) < width:
+            raise EOFError(f"EOF inside {b} value")
+        val = np.frombuffer(raw, dtype=dt)[0]
+        return _post_scalar(b, t, val)
+    if b == "String":
+        return read_str(buf)
+    if b == "FixedString":
+        raw = buf.read(t.fixed_len)
+        if len(raw) < t.fixed_len:
+            raise EOFError("EOF inside FixedString")
+        return raw.rstrip(b"\x00").decode("utf-8", "replace")
+    if b.startswith("Decimal"):
+        width = _decimal_width(t.fixed_len)
+        raw = buf.read(width)
+        if len(raw) < width:
+            raise EOFError("EOF inside Decimal")
+        unscaled = int.from_bytes(raw, "little", signed=True)
+        return Decimal(unscaled).scaleb(-t.scale)
+    if b == "Array":
+        n = read_varuint(buf)
+        return [_read_value(buf, t.inner) for _ in range(n)]
+    raise UnsupportedTypeError(t.name)
+
+
+def _post_scalar(base: str, t: CHType, val):
+    """Normalize a raw fixed-width value to the Arrow-facing value the
+    Native path emits (same to_arrow target types)."""
+    if base == "Bool":
+        return bool(val)
+    if base in ("Date", "Date32"):
+        return int(val)  # days since epoch, date32 target
+    if base == "DateTime":
+        return int(val) * 1_000_000  # seconds -> us
+    if base == "DateTime64":
+        scale = t.scale
+        ticks = int(val)
+        if scale == 6:
+            return ticks
+        if scale < 6:
+            return ticks * 10 ** (6 - scale)
+        return ticks // 10 ** (scale - 6)
+    if base in ("Enum8", "Enum16"):
+        return t.enum_map.get(int(val), str(int(val)))
+    if base.startswith("Float"):
+        return float(val)
+    return int(val)
+
+
+def _write_value(buf: BinaryIO, t: CHType, val) -> None:
+    if t.nullable:
+        if val is None:
+            buf.write(b"\x01")
+            return
+        buf.write(b"\x00")
+        inner = CHType(**{**t.__dict__, "nullable": False})
+        _write_value(buf, inner, val)
+        return
+    b = t.base
+    if b in FIXED_WIDTH:
+        dt, _w = FIXED_WIDTH[b]
+        if b == "DateTime":
+            val = int(val) // 1_000_000
+        elif b == "DateTime64":
+            us = int(val)
+            val = us * 10 ** (t.scale - 6) if t.scale >= 6 else us // 10 ** (6 - t.scale)
+        elif b == "Bool":
+            val = 1 if val else 0
+        buf.write(np.array([val], dtype=dt).tobytes())
+        return
+    if b == "String":
+        write_str(buf, val if isinstance(val, str) else str(val))
+        return
+    if b == "FixedString":
+        raw = (val or "").encode("utf-8")[: t.fixed_len]
+        buf.write(raw.ljust(t.fixed_len, b"\x00"))
+        return
+    if b.startswith("Decimal"):
+        width = _decimal_width(t.fixed_len)
+        unscaled = int(Decimal(val).scaleb(t.scale))
+        buf.write(unscaled.to_bytes(width, "little", signed=True))
+        return
+    if b == "Array":
+        write_varuint(buf, len(val))
+        for item in val:
+            _write_value(buf, t.inner, item)
+        return
+    raise UnsupportedTypeError(t.name)
+
+
+# -- stream-level API --------------------------------------------------------
+
+
+def read_rowbinary_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
+    n_cols = read_varuint(buf)
+    names = [read_str(buf) for _ in range(n_cols)]
+    types = [parse_type(read_str(buf)) for _ in range(n_cols)]
+    for t in types:
+        _check_supported(t)
+    return list(zip(names, types))
+
+
+def _all_fixed(schema: List[Tuple[str, CHType]]) -> Optional[np.dtype]:
+    fields = []
+    for name, t in schema:
+        if t.nullable or t.base not in FIXED_WIDTH:
+            return None
+        fields.append((name, FIXED_WIDTH[t.base][0]))
+    return np.dtype(fields)
+
+
+def iter_rowbinary_blocks(
+    buf: BinaryIO,
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode a RowBinaryWithNamesAndTypes stream into Blocks with the
+    SAME Arrow schema the Native path produces for these CH types.
+
+    Fast path: an all-fixed-width non-nullable schema decodes each
+    chunk with one numpy structured view (no per-row Python); anything
+    else walks rows sequentially (row-major layout — documented slow
+    path, Native is the columnar format)."""
+    schema = read_rowbinary_header(buf)
+    rec = _all_fixed(schema)
+    if rec is not None:
+        while True:
+            raw = buf.read(rec.itemsize * block_rows)
+            if not raw:
+                return
+            if len(raw) % rec.itemsize:
+                raise EOFError("truncated RowBinary row")
+            mat = np.frombuffer(raw, dtype=rec)
+            cols = [
+                BlockColumn(
+                    name,
+                    t.name,
+                    t,
+                    _fixed_col_to_arrow(mat[name], t, lossy_uint64),
+                )
+                for name, t in schema
+            ]
+            yield Block(n_rows=len(mat), columns=cols)
+    # general path
+    while True:
+        rows_vals: list[list] = [[] for _ in schema]
+        n = 0
+        while n < block_rows:
+            probe = buf.read(1)
+            if not probe:
+                break
+            # push back the probed byte via a tiny chain reader
+            first = probe
+            for i, (_name, t) in enumerate(schema):
+                if i == 0:
+                    val = _read_value(_Chain(first, buf), t)
+                else:
+                    val = _read_value(buf, t)
+                rows_vals[i].append(val)
+            n += 1
+        if n == 0:
+            return
+        cols = [
+            BlockColumn(
+                name,
+                t.name,
+                t,
+                pa.array(rows_vals[i], type=to_arrow(t, lossy_uint64=lossy_uint64)),
+            )
+            for i, (name, t) in enumerate(schema)
+        ]
+        yield Block(n_rows=n, columns=cols)
+        if n < block_rows:
+            return
+
+
+def _fixed_col_to_arrow(col: np.ndarray, t: CHType, lossy_uint64: bool) -> pa.Array:
+    b = t.base
+    target = to_arrow(t, lossy_uint64=lossy_uint64)
+    if b == "DateTime":
+        return pa.array(col.astype("int64") * 1_000_000, type=target)
+    if b == "DateTime64":
+        ticks = col.astype("int64")
+        if t.scale == 6:
+            us = ticks
+        elif t.scale < 6:
+            us = ticks * 10 ** (6 - t.scale)
+        else:
+            us = ticks // 10 ** (t.scale - 6)
+        return pa.array(us, type=target)
+    if b in ("Enum8", "Enum16"):
+        return pa.array(
+            [t.enum_map.get(int(v), str(int(v))) for v in col], type=target
+        )
+    if b == "Bool":
+        return pa.array(col.astype(bool), type=target)
+    if b in ("Date", "Date32"):
+        return pa.array(col.astype("int32"), type=target)
+    if b == "UInt64" and lossy_uint64:
+        return pa.array(col.astype("int64").astype("int32"), type=target)
+    return pa.array(np.ascontiguousarray(col), type=target)
+
+
+class _Chain:
+    """One pushed-back byte followed by the underlying stream."""
+
+    def __init__(self, head: bytes, rest: BinaryIO):
+        self._head = head
+        self._rest = rest
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            head, self._head = self._head, b""
+            if n == 1 or n == -1:
+                return head if n == 1 else head + self._rest.read(-1)
+            return head + self._rest.read(n - 1)
+        return self._rest.read(n)
+
+
+def write_rowbinary(
+    buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None
+) -> int:
+    """Encode Arrow RecordBatches as RowBinaryWithNamesAndTypes (the
+    symmetric half — used by the mock server and INSERT tests)."""
+    from .types import from_arrow
+
+    rows = 0
+    wrote_header = False
+    types: Optional[List[CHType]] = ch_types
+    for batch in batches:
+        if types is None:
+            # arrow nullability lives on the FIELD (default true for
+            # every field) — deriving Nullable(...) from it would wrap
+            # every column; mark Nullable only where nulls exist in
+            # this first batch. A null in a later batch for a column
+            # declared non-nullable fails loudly in _write_value.
+            types = []
+            for i, f in enumerate(batch.schema):
+                t = from_arrow(f.type)
+                if batch.column(i).null_count > 0:
+                    t = CHType(**{**t.__dict__, "nullable": True})
+                types.append(t)
+        for t in types:
+            _check_supported(t)
+        if not wrote_header:
+            write_varuint(buf, batch.num_columns)
+            for f in batch.schema:
+                write_str(buf, f.name)
+            for t in types:
+                name = t.name
+                if t.nullable:
+                    name = f"Nullable({name})"
+                write_str(buf, name)
+            wrote_header = True
+        pylists = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        for r in range(batch.num_rows):
+            for c, t in enumerate(types):
+                _write_value(buf, t, _to_wire(pylists[c][r], t))
+            rows += 1
+    return rows
+
+
+def _to_wire(val, t: CHType):
+    """Arrow python values -> the raw wire value _write_value expects."""
+    import datetime
+
+    if val is None:
+        return None
+    if isinstance(val, datetime.datetime):
+        # Arrow to_pylist yields NAIVE datetimes for timestamp("us");
+        # they carry the stored wall-clock value, which this engine
+        # pins to UTC — never let .timestamp() apply the host zone
+        if val.tzinfo is None:
+            val = val.replace(tzinfo=datetime.timezone.utc)
+        return int(val.timestamp() * 1_000_000)
+    if isinstance(val, datetime.date):
+        return (val - datetime.date(1970, 1, 1)).days
+    if isinstance(val, list) and t.base == "Array":
+        return [_to_wire(v, t.inner) for v in val]
+    return val

@@ -464,6 +464,7 @@ GRADING_WINDOW = [
     "stream_replacing_merge",
     "text_bpe_merge_stats",
     "multimodal_audio_decode",
+    "scan_remote_rowbinary",
     # changed-path re-proofs (round 9): as-of probe cache + persist
     # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
     # codebook, substring tail refactor
@@ -493,7 +494,6 @@ GRADING_WINDOW = [
     "stream_dedup_watermarked",
     "stream_interval_join",
     "stream_stateful_sessions",
-    "stream_windowed_counts",
     "stringagg_rich_customers",
     "window_lag_lead",
     "window_ntile_percent",

@@ -579,6 +579,35 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_rowbinary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same remote aggregation over the SECOND wire format
+    # (RowBinaryWithNamesAndTypes — native/rowbinary.py): the result
+    # must be byte-for-byte the Native fetch's, proving the row-major
+    # decoder against the same oracle
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _SCAN_AGG_SQL)
+        .option("url", url)
+        .option("wire_format", "rowbinary")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_rowbinary",
+    _scan_remote_rowbinary,
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "rowbinary", "interop"],
+    description="clickhouse_scan over FORMAT RowBinaryWithNamesAndTypes "
+    "(second wire format; numpy fast path for all-fixed-width schemas)",
+)
+
+
 def _scan_remote_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JDBC-style split read: 4 range-partitioned fetches of one remote
     # query (the reference is strictly single-stream, README.md:51)

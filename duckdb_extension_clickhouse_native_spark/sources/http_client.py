@@ -135,9 +135,7 @@ class ClickHouseHTTPClient:
             req.add_header("X-ClickHouse-Key", self.conn.password)
         return urllib.request.urlopen(req, timeout=self.timeout)
 
-    def execute_native(self, query: str) -> BinaryIO:
-        """Run a SELECT with ``FORMAT Native``; returns the raw stream
-        (feed to ``native.codec.iter_blocks``)."""
+    def _with_format(self, query: str, fmt: str) -> str:
         import re
 
         q = query.rstrip().rstrip(";").rstrip()
@@ -145,8 +143,22 @@ class ClickHouseHTTPClient:
         # match would false-positive on formatDateTime(...), a column
         # named "format", etc., and the server would answer TabSeparated
         if not re.search(r"\bFORMAT\s+\w+$", q, re.IGNORECASE):
-            q = f"{q} FORMAT Native"
-        return self._request(q)
+            q = f"{q} FORMAT {fmt}"
+        return q
+
+    def execute_native(self, query: str) -> BinaryIO:
+        """Run a SELECT with ``FORMAT Native``; returns the raw stream
+        (feed to ``native.codec.iter_blocks``)."""
+        return self._request(self._with_format(query, "Native"))
+
+    def execute_rowbinary_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT RowBinaryWithNamesAndTypes`` —
+        the second wire format (interop; Native stays the columnar
+        fast path, see native/rowbinary.py)."""
+        from ..native.rowbinary import ROWBINARY_FORMAT, iter_rowbinary_blocks
+
+        stream = self._request(self._with_format(query, ROWBINARY_FORMAT))
+        return iter_rowbinary_blocks(stream, lossy_uint64=lossy_uint64)
 
     def insert_native(self, table: str, payload: bytes) -> None:
         """INSERT via Native-format body (the write path the reference

@@ -70,11 +70,37 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                     self.end_headers()
                     return
                 q = body.decode().strip()
-                if q.endswith("FORMAT Native"):
+                rowbinary = False
+                if q.endswith("FORMAT RowBinaryWithNamesAndTypes"):
+                    q = q[: -len("FORMAT RowBinaryWithNamesAndTypes")]
+                    rowbinary = True
+                elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
                     tbl = con.execute(q).fetch_arrow_table()
-                payload = arrow_to_native_bytes(tbl)
+                if rowbinary:
+                    import io as _io
+
+                    import pyarrow as _pa
+
+                    from ..native.rowbinary import write_rowbinary
+
+                    batches = tbl.to_batches()
+                    if not batches:  # header must go out even for 0 rows
+                        batches = [
+                            _pa.RecordBatch.from_arrays(
+                                [
+                                    _pa.array([], type=f.type)
+                                    for f in tbl.schema
+                                ],
+                                schema=tbl.schema,
+                            )
+                        ]
+                    out = _io.BytesIO()
+                    write_rowbinary(out, batches)
+                    payload = out.getvalue()
+                else:
+                    payload = arrow_to_native_bytes(tbl)
                 self.send_response(200)
                 self.end_headers()
                 self.wfile.write(payload)

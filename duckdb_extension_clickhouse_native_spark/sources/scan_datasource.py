@@ -101,6 +101,22 @@ class ClickHouseScanReader(DataSourceReader):
         if not self.query:
             raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
+        self.wire_format = str(options.get("wire_format", "native")).lower()
+        if self.wire_format not in ("native", "rowbinary"):
+            raise ValueError(
+                f"wire_format must be 'native' or 'rowbinary', got "
+                f"{self.wire_format!r}"
+            )
+        if (
+            self.wire_format == "rowbinary"
+            and resolve_connection(options).transport != "http"
+        ):
+            # the native TCP protocol frames result data as Native
+            # blocks — FORMAT only applies to the HTTP interface
+            raise ValueError(
+                "wire_format=rowbinary requires an http(s):// url; the "
+                "native TCP protocol always carries Native blocks"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         return [ScanPartition(q) for q in _split_queries(self.query, self.options)]
@@ -121,9 +137,15 @@ class ClickHouseScanReader(DataSourceReader):
             client = _acquire_client(conn)
             healthy = False
             try:
-                for blk in client.execute_blocks(
-                    partition.query, lossy_uint64=self.lossy_uint64
-                ):
+                if self.wire_format == "rowbinary":
+                    blocks = client.execute_rowbinary_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                else:
+                    blocks = client.execute_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                for blk in blocks:
                     batch = blk.to_record_batch()
                     arrays = []
                     for fld in target:
