@@ -165,6 +165,20 @@ class ClickHouseHTTPClient:
         lacks)."""
         self._request(f"INSERT INTO {table} FORMAT Native", body=payload).read()
 
+    def insert_rowbinary_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a RowBinaryWithNamesAndTypes body — the write
+        half of the second wire format."""
+        import io as _io
+
+        from ..native.rowbinary import ROWBINARY_FORMAT, write_rowbinary
+
+        buf = _io.BytesIO()
+        rows = write_rowbinary(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {ROWBINARY_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
     def ping(self) -> bool:
         try:
             req = urllib.request.Request(self.conn.base_url + "/ping")

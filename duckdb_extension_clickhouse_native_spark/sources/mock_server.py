@@ -53,9 +53,15 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                 if "query" in qs and qs["query"].upper().startswith("INSERT"):
                     q = qs["query"]
                     table = q.split()[2].split("(")[0]
+                    if "ROWBINARY" in q.upper():
+                        from ..native.rowbinary import iter_rowbinary_blocks as _irb
+
+                        block_iter = _irb(io.BytesIO(body))
+                    else:
+                        block_iter = iter_blocks(io.BytesIO(body))
                     batches = []
                     with qlock:
-                        for blk in iter_blocks(io.BytesIO(body)):
+                        for blk in block_iter:
                             rb = blk.to_record_batch()
                             batches.append(rb)
                             if execute_inserts:

@@ -217,11 +217,23 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         if not self.table:
             raise ValueError("clickhouse_scan write requires a 'table' option")
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
+        self.wire_format = str(options.get("wire_format", "native")).lower()
+        if self.wire_format == "rowbinary" and (
+            resolve_connection(options).transport != "http"
+        ):
+            raise ValueError(
+                "wire_format=rowbinary requires an http(s):// url; the "
+                "native TCP protocol always carries Native blocks"
+            )
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
         from ..native.types import from_arrow
 
         client = make_client(resolve_connection(self.options))
+        if self.wire_format == "rowbinary":
+            insert = client.insert_rowbinary_batches
+        else:
+            insert = client.insert_batches
         try:
             rows = 0
             pending: list = []
@@ -233,10 +245,10 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
                 pending.append(batch)
                 pending_bytes += batch.nbytes
                 if pending_bytes >= self.max_insert_bytes:
-                    rows += client.insert_batches(self.table, pending, ch_types)
+                    rows += insert(self.table, pending, ch_types)
                     pending, pending_bytes = [], 0
             if pending:
-                rows += client.insert_batches(self.table, pending, ch_types)
+                rows += insert(self.table, pending, ch_types)
             return ScanWriteCommit(rows=rows)
         finally:
             client.close()

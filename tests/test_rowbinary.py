@@ -154,3 +154,31 @@ def test_rowbinary_requires_http():
             {"query": "SELECT 1", "url": "tcp://h:9000",
              "wire_format": "rowbinary"},
         )
+
+
+def test_rowbinary_insert_roundtrip(spark, mock_ch_server):
+    """Writer path: df.write over wire_format=rowbinary lands rows
+    the mock records (decoded from the RowBinary body)."""
+    import pandas as pd
+
+    url = mock_ch_server["url"]
+    state = mock_ch_server["state"]
+    before = len(state["inserted"])
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [10, 20, 30], "name": ["a", "b", "c"]})
+    ).coalesce(1)
+    (
+        df.write.format("clickhouse_scan")
+        .option("table", "rb_sink")
+        .option("url", url)
+        .option("wire_format", "rowbinary")
+        .mode("append")
+        .save()
+    )
+    new = state["inserted"][before:]
+    assert new and new[0][0] == "rb_sink"
+    rows = []
+    for _table, batches in new:
+        for rb in batches:
+            rows.extend(zip(rb.column("x").to_pylist(), rb.column("name").to_pylist()))
+    assert sorted(rows) == [(10, "a"), (20, "b"), (30, "c")]
