@@ -1,0 +1,70 @@
+"""Plan-shape regression guard: the optimizer properties EXPLAIN.md
+documents for flagship queries, asserted as tests so a plan
+regression fails CI instead of silently changing a generated doc.
+
+Assertions are deliberately coarse (feature present / node absent) —
+they should survive Spark version bumps that rename minor details.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    def plan_of(name: str) -> str:
+        df = REGISTRY.all()[name].build(spark, SF_SMALL)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q1_pushes_filter_and_stays_integer(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # the r9 fixed-point rewrite: no Decimal aggregation buffers remain
+    assert "DecimalType" not in p and "decimal(" not in p.lower()
+
+
+def test_topk_avoids_full_sort(plans):
+    assert "TakeOrderedAndProject" in plans("topk_orders")
+
+
+def test_scan_projection_prunes_columns(plans):
+    p = plans("scan_project_filter")
+    assert "PushedFilters" in p and "ReadSchema" in p
+
+
+def test_dict_get_broadcasts_dimension(plans):
+    assert "BroadcastHashJoin" in plans("dict_get_region")
+
+
+def test_bpe_ends_in_topk(plans):
+    p = plans("text_bpe_merge_stats")
+    assert "TakeOrderedAndProject" in p
+    # only the text column is read
+    assert "ReadSchema: struct<text:string>" in p
+
+
+def test_no_cartesian_in_flagships(plans):
+    for name in (
+        "q5_local_supplier",
+        "dedup_minhash_lsh",
+        "asof_join_events_orders",
+        "events_limit_by",
+    ):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_limit_by_prunes_rank_inside_window(plans):
+    # the ranked-window shape: a WindowGroupLimit (or at minimum no
+    # global sort before the window) keeps per-group top-k bounded
+    p = plans("events_limit_by")
+    assert "WindowGroupLimit" in p or "RunningWindowFunction" in p
