@@ -20,7 +20,7 @@ fast path). Native remains the full-fidelity, column-vectorized
 format; this module exists for interop with the second-most-common
 ClickHouse interchange format and intentionally rejects types whose
 RowBinary layout we have not pinned against a real server
-(UUID/IPv6/Map/Tuple/LowCardinality) with a clear message pointing at
+(Map/Tuple/LowCardinality) with a clear message pointing at
 FORMAT Native.
 
 Reference surface: the reference reads FORMAT Native only
@@ -46,9 +46,9 @@ _SUPPORTED_FIXED = set(FIXED_WIDTH)
 
 def _check_supported(t: CHType) -> None:
     b = t.base
-    if b in _SUPPORTED_FIXED or b in ("String", "FixedString") or b.startswith(
-        "Decimal"
-    ):
+    if b in _SUPPORTED_FIXED or b in (
+        "String", "FixedString", "UUID", "IPv4", "IPv6"
+    ) or b.startswith("Decimal"):
         return
     if b == "Array" and t.inner is not None:
         _check_supported(t.inner)
@@ -103,6 +103,29 @@ def _read_value(buf: BinaryIO, t: CHType):
             raise EOFError("EOF inside Decimal")
         unscaled = int.from_bytes(raw, "little", signed=True)
         return Decimal(unscaled).scaleb(-t.scale)
+    if b == "UUID":
+        # same per-value layout as the Native column (two u64 LE
+        # halves, high first) — pinned by the codec tests
+        raw = buf.read(16)
+        if len(raw) < 16:
+            raise EOFError("EOF inside UUID")
+        hi, lo = struct.unpack("<QQ", raw)
+        h = f"{(hi << 64) | lo:032x}"
+        return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    if b == "IPv4":
+        import ipaddress
+
+        raw = buf.read(4)
+        if len(raw) < 4:
+            raise EOFError("EOF inside IPv4")
+        return str(ipaddress.IPv4Address(struct.unpack("<I", raw)[0]))
+    if b == "IPv6":
+        import ipaddress
+
+        raw = buf.read(16)
+        if len(raw) < 16:
+            raise EOFError("EOF inside IPv6")
+        return str(ipaddress.IPv6Address(raw))
     if b == "Array":
         n = read_varuint(buf)
         return [_read_value(buf, t.inner) for _ in range(n)]
@@ -165,6 +188,20 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
         width = _decimal_width(t.fixed_len)
         unscaled = int(Decimal(val).scaleb(t.scale))
         buf.write(unscaled.to_bytes(width, "little", signed=True))
+        return
+    if b == "UUID":
+        v = int(str(val).replace("-", ""), 16)
+        buf.write(struct.pack("<QQ", (v >> 64) & (2**64 - 1), v & (2**64 - 1)))
+        return
+    if b == "IPv4":
+        import ipaddress
+
+        buf.write(struct.pack("<I", int(ipaddress.IPv4Address(val))))
+        return
+    if b == "IPv6":
+        import ipaddress
+
+        buf.write(ipaddress.IPv6Address(val).packed)
         return
     if b == "Array":
         write_varuint(buf, len(val))

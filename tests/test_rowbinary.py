@@ -67,9 +67,29 @@ def test_recorded_bytes_decode():
 
 
 def test_unsupported_type_names_native_path():
-    bad = v(1) + s("u") + s("UUID") + b"\x00" * 16
+    bad = v(1) + s("m") + s("Map(String, Int64)")
     with pytest.raises(UnsupportedTypeError, match="Native"):
         list(iter_rowbinary_blocks(io.BytesIO(bad)))
+
+
+def test_uuid_and_ip_recorded_bytes():
+    """UUID/IPv4/IPv6 share their per-value layout with the Native
+    columns — decoded from raw literals here."""
+    uuid_hi = 0x0123456789ABCDEF
+    uuid_lo = 0xFEDCBA9876543210
+    rec = (
+        v(3) + s("u") + s("a4") + s("a6")
+        + s("UUID") + s("IPv4") + s("IPv6")
+        + struct.pack("<QQ", uuid_hi, uuid_lo)
+        + struct.pack("<I", (10 << 24) | (0 << 16) | (0 << 8) | 7)
+        + bytes.fromhex("20010db8000000000000000000000001")
+    )
+    rb = list(iter_rowbinary_blocks(io.BytesIO(rec)))[0].to_record_batch()
+    assert rb.column("u").to_pylist() == [
+        "01234567-89ab-cdef-fedc-ba9876543210"
+    ]
+    assert rb.column("a4").to_pylist() == ["10.0.0.7"]
+    assert rb.column("a6").to_pylist() == ["2001:db8::1"]
 
 
 # -- hypothesis round trip --------------------------------------------------
