@@ -423,8 +423,9 @@ _SUM_MAP_SPARK = """
       GROUP BY user_id
     )
     SELECT user_id,
-           transform(kv, x -> x.event_type) AS sum_map_keys,
-           transform(kv, x -> x.v) AS sum_map_values
+           concat_ws(',', transform(kv, x -> x.event_type)) AS sum_map_keys,
+           concat_ws(',', transform(kv,
+             x -> CAST(CAST(x.v AS DECIMAL(18,4)) AS STRING))) AS sum_map_values
     FROM packed
     ORDER BY user_id
     """
@@ -442,8 +443,9 @@ _SUM_MAP_DUCK = """
       GROUP BY user_id
     )
     SELECT user_id,
-           list_transform(kv, x -> x.event_type) AS sum_map_keys,
-           list_transform(kv, x -> x.v) AS sum_map_values
+           array_to_string(list_transform(kv, x -> x.event_type), ',') AS sum_map_keys,
+           array_to_string(list_transform(kv,
+             x -> CAST(CAST(x.v AS DECIMAL(18,4)) AS VARCHAR)), ',') AS sum_map_values
     FROM packed
     ORDER BY user_id
     """
@@ -454,7 +456,8 @@ REGISTRY.sql_query(
     tables=["events"],
     tags=["agg", "compat", "map", "arrays"],
     description="ClickHouse sumMap: per-user key-wise value sums as "
-    "parallel sorted arrays (exact DECIMAL sums)",
+    "parallel sorted arrays (exact DECIMAL sums; serialized to CSV "
+    "strings for grading — the collect_sorted_arrays precedent)",
 )
 
 # ClickHouse `-Array` combinator (sumArray / avgArray): aggregate over
