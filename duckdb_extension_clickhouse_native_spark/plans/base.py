@@ -465,6 +465,11 @@ GRADING_WINDOW = [
     "text_bpe_merge_stats",
     "multimodal_audio_decode",
     "scan_remote_rowbinary",
+    "events_limit_by",
+    "docs_left_array_join",
+    "dict_get_region",
+    "events_sum_map",
+    "agg_sum_array_combinator",
     # changed-path re-proofs (round 9): as-of probe cache + persist
     # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
     # codebook, substring tail refactor
@@ -492,11 +497,6 @@ GRADING_WINDOW = [
     "skew_salted_agg",
     "stream_dedup_keys",
     "stream_dedup_watermarked",
-    "stream_interval_join",
-    "stream_stateful_sessions",
-    "stringagg_rich_customers",
-    "window_lag_lead",
-    "window_ntile_percent",
     "window_time_range_frame",
 ]
 
