@@ -619,3 +619,70 @@ MEDIA_AUDIO_DECODE_ORACLE_SQL = f"""
     FROM dims
     ORDER BY doc_id
 """
+
+
+def media_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over DECODED audio — the audio twin of the
+    image feature stage: per clip, total energy (sum of squared
+    samples — exact BIGINT), zero-crossing count (adjacent sign
+    products < 0; integer-exact) and peak amplitude. All three are
+    integer arithmetic over the int16 samples, so the oracle computes
+    them straight from the text-derived sample formula and the hash
+    must match bit-for-bit. Map-only mapInPandas stage (numpy int64
+    per batch), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .audiocodec import decode_wav
+
+    wavs = media_audio_table(spark, sf_dir)
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            energy, zc, peak = [], [], []
+            for data in pdf["media"]:
+                _rate, _nch, samples = decode_wav(bytes(data))
+                s = np.asarray(samples, dtype=np.int64)
+                energy.append(int((s * s).sum()))
+                zc.append(int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0)
+                peak.append(int(np.abs(s).max()) if len(s) else 0)
+            out = pdf[["doc_id"]].copy()
+            out["energy"] = pd.Series(energy, dtype="int64")
+            out["zero_crossings"] = pd.Series(zc, dtype="int64")
+            out["peak"] = pd.Series(peak, dtype="int64")
+            yield out
+
+    return wavs.mapInPandas(
+        feats,
+        schema="doc_id bigint, energy bigint, zero_crossings bigint, peak bigint",
+    ).orderBy("doc_id")
+
+
+MEDIA_AUDIO_FEATURES_ORACLE_SQL = """
+    WITH dims AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             40 + doc_id % 50 AS n,
+             length(COALESCE(text, '')) AS n_chars
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> CASE WHEN n_chars = 0 THEN 0
+                    ELSE (ascii(substr(text,
+                         CAST(((i * 3 + doc_id) % n_chars) + 1 AS INT), 1))
+                         % 256 - 128) * 128
+                    END) AS s
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0)
+                AS BIGINT) AS energy,
+           CAST(COALESCE(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN s[i] * s[i + 1] < 0 THEN 1 ELSE 0 END)), 0)
+                AS BIGINT) AS zero_crossings,
+           CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0)
+                AS BIGINT) AS peak
+    FROM samples
+    ORDER BY doc_id
+"""

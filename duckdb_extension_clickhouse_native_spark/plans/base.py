@@ -470,6 +470,7 @@ GRADING_WINDOW = [
     "dict_get_region",
     "events_sum_map",
     "agg_sum_array_combinator",
+    "multimodal_audio_features",
     # changed-path re-proofs (round 9): as-of probe cache + persist
     # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
     # codebook, substring tail refactor
@@ -496,7 +497,6 @@ GRADING_WINDOW = [
     "shard_assignment",
     "skew_salted_agg",
     "stream_dedup_keys",
-    "stream_dedup_watermarked",
     "window_time_range_frame",
 ]
 

@@ -13,11 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.multimodal import (
     MEDIA_AUDIO_DECODE_ORACLE_SQL,
+    MEDIA_AUDIO_FEATURES_ORACLE_SQL,
     MEDIA_FEATURES_ORACLE_SQL,
     MEDIA_FRAMES_ORACLE_SQL,
     MEDIA_REAL_DECODE_ORACLE_SQL,
     MEDIA_RESIZE_ORACLE_SQL,
     media_audio_decode_query,
+    media_audio_features_query,
     media_features_query,
     media_frames_query,
     media_phash_pairs_oracle_sql,
@@ -614,6 +616,15 @@ REGISTRY.df_query(
     description="REAL decode round trip: docs rendered to genuine BMP/PPM files, "
     "decoded via the pure-Python imagecodec, order-sensitive weighted pixel "
     "checksum vs the oracle's direct computation",
+)
+
+REGISTRY.df_query(
+    "multimodal_audio_features",
+    media_audio_features_query,
+    oracle=MEDIA_AUDIO_FEATURES_ORACLE_SQL,
+    tags=["multimodal", "pandas_udf", "audio", "features"],
+    description="audio feature extraction over DECODED samples: exact "
+    "integer energy / zero-crossing / peak per clip (map-only numpy)",
 )
 
 REGISTRY.df_query(
