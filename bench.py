@@ -189,6 +189,21 @@ def main() -> None:
     )
     tpch, tpch_total = run_tier(tpch_names)
 
+    # third tier: round-9 operator additions (kept out of the headline
+    # so its round-over-round comparison stays like-for-like)
+    r9_names = [
+        "text_bpe_merge_stats",
+        "multimodal_audio_decode",
+        "multimodal_audio_features",
+        "dedup_substring_spans_twophase",
+        "events_sum_map",
+        "agg_sum_array_combinator",
+        "events_limit_by",
+        "docs_left_array_join",
+        "dict_get_region",
+    ]
+    r9_ops, r9_total = run_tier(r9_names)
+
     print(
         json.dumps(
             {
@@ -206,6 +221,8 @@ def main() -> None:
                 "scan_throughput": scan_throughput,
                 "tpch_full": tpch,
                 "tpch_full_total": round(tpch_total, 4),
+                "r9_ops": r9_ops,
+                "r9_ops_total": round(r9_total, 4),
                 "sf": sf_dir,
             }
         )
