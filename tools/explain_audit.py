@@ -82,6 +82,11 @@ AUDIT = [
     "dedup_substring_spans_twophase",
     "text_bpe_merge_stats",
     "multimodal_audio_decode",
+    "events_limit_by",
+    "docs_left_array_join",
+    "dict_get_region",
+    "events_sum_map",
+    "agg_sum_array_combinator",
     # round-5 production twins (broadcast-numpy mapInPandas forms)
     "kmeans_fast",
     "sim_topk_pq_fast",
