@@ -166,3 +166,84 @@ def test_propagate_min_labels_matches_union_find(spark, raw_edges):
     )
     got = {r["id"]: r["label"] for r in propagate_min_labels(edges, seeds).collect()}
     assert got == ref_components(n, raw_edges)
+
+
+# -- sequenceMatch code strings vs plain-Python regex -----------------------
+
+
+def ref_sequence_match(pdf: pd.DataFrame) -> dict[int, tuple]:
+    import re
+
+    code = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    out = {}
+    for uid, g in pdf.groupby("user_id"):
+        rows = sorted(
+            (int(r.ts.timestamp() * 1_000_000), int(r.event_id), r.event_type)
+            for r in g.itertuples()
+        )
+        seq = "".join(code.get(t, "e") for _, _, t in rows)
+        out[int(uid)] = (
+            1 if re.search("v.*c.*p", seq) else 0,
+            1 if re.search("v[^p]*c[^v]*p", seq) else 0,
+            1 if "ss" in seq else 0,
+            len(seq),
+        )
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(events_strategy)
+def test_sequence_match_oracle_matches_python(raw):
+    # reuse the funnel strategy but map type idx 3 to 'signup' so the
+    # double-signup pattern is reachable
+    pdf = _events_df(raw)
+    pdf["event_type"] = pdf["event_type"].replace({"other": "signup"})
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(funnel.sequence_match_sql("duckdb")).fetchall()
+    }
+    assert got == ref_sequence_match(pdf)
+
+
+# -- gap fill / LOCF vs plain-Python ----------------------------------------
+
+
+def ref_gap_fill(pdf: pd.DataFrame, n_hours: int = 720) -> dict:
+    """Mirror gap_fill_sql: hourly spine per type from the fixed epoch,
+    zero-filled counts, LOCF value means."""
+    base_hour = 1_704_067_200 // 3600
+    hours = {}
+    for r in pdf.itertuples():
+        h = int(r.ts.timestamp()) // 3600
+        key = (r.event_type, h)
+        hours.setdefault(key, []).append(float(r.value))
+    types = sorted({t for t, _ in hours})
+    out = {}
+    for t in types:
+        last = None
+        for h in range(base_hour, base_hour + n_hours):
+            vals = hours.get((t, h))
+            if vals:
+                # exact decimal mean, like the SQL's DECIMAL sum / count
+                from decimal import Decimal
+
+                s = sum(Decimal(str(v)).quantize(Decimal("0.0001")) for v in vals)
+                last = float(s) / len(vals)
+            out[(t, h)] = (len(vals) if vals else 0, last)
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_gap_fill_oracle_matches_python(raw):
+    pdf = _events_df(raw)
+    # keep timestamps inside the spine (EPOCH = 2024-01-01 + minutes)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    sql = funnel.gap_fill_sql("duckdb", n_hours=12)
+    rows = con.execute(sql).fetchall()
+    exp = ref_gap_fill(pdf, n_hours=12)
+    got = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    assert got == exp
