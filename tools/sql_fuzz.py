@@ -46,6 +46,16 @@ UNIQUE_KEY = {
 }
 
 TABLES = {
+    "orders_nulls": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "doubles": ["price_n"],
+        "strings": ["status_n", "prio_n"],
+        "ts": [],
+        "group": ["status_n", "prio_n"],
+        "int_range": (0, 15000),
+        "str_lits": ["F", "P", "1-URGENT", "3-MEDIUM", "5-LOW"],
+        "dbl_range": (0.0, 500000.0),
+    },
     "lineitem": {
         "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
         "doubles": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -88,6 +98,21 @@ TABLES = {
     },
 }
 
+
+# NULL-bearing derived surface: the synthetic tables contain no NULLs,
+# so three-valued logic (NULL grouping keys, COUNT(col) skipping,
+# IS [NOT] NULL filters, set ops over NULL rows) was under-fuzzed.
+# One view, SAME text on both engines.
+NULL_VIEW_SQL = """
+    SELECT o_orderkey, o_custkey,
+           NULLIF(o_orderstatus, 'O') AS status_n,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS prio_n,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE o_totalprice END AS price_n
+    FROM orders
+"""
+
 JOINS = [
     ("orders", "customer", "o_custkey", "c_custkey"),
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
@@ -110,6 +135,8 @@ def _pred(rng: random.Random, t: str, alias: str = "") -> str:
         return f"{p}{c} {op} {v}"
     if kind == "str":
         c = rng.choice(spec["strings"])
+        if rng.random() < 0.25:
+            return f"{p}{c} IS {rng.choice(['NULL', 'NOT NULL'])}"
         v = rng.choice(spec["str_lits"])
         op = rng.choice(["=", "<>", ">", "<"])
         return f"{p}{c} {op} '{v}'"
@@ -225,7 +252,13 @@ def gen_query(seed: int) -> str:
             f"LOWER({s}) AS low_s",
             f"CAST(LENGTH({s}) AS INT) AS len_s",
             f"SUBSTR({s}, 1, {rng.randint(1, 5)}) AS sub_s",
-            f"CONCAT({s}, '_', {s}) AS cat_s",
+            # COALESCE inside CONCAT: a REAL divergence this surface's
+            # first run found (seeds 1704xx) — Spark CONCAT is
+            # NULL-PROPAGATING (any NULL arg -> NULL, the ANSI ||
+            # behavior), DuckDB's CONCAT function SKIPS NULLs. Fenced
+            # like the other documented divergence classes; the
+            # conformance corpus only concats non-null values.
+            f"CONCAT(COALESCE({s}, ''), '_', COALESCE({s}, '')) AS cat_s",
             f"CAST({i1} % {rng.randint(2, 9)} AS BIGINT) AS mod_i",
             f"CAST({i1} + {i2} AS BIGINT) AS add_i",
             f"CASE WHEN {i1} % 2 = 0 THEN 'even' ELSE 'odd' END AS par_i",
@@ -321,7 +354,11 @@ def run_fuzz(spark, con, n: int, base_seed: int, sf_dir: str) -> list[tuple[int,
     from duckdb_extension_clickhouse_native_spark.plans.base import load_tables
     from oracle_harness import compare
 
-    load_tables(spark, sf_dir, list(TABLES))
+    load_tables(spark, sf_dir, [t for t in TABLES if t != "orders_nulls"])
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW orders_nulls AS " + NULL_VIEW_SQL
+    )
+    con.execute("CREATE OR REPLACE VIEW orders_nulls AS " + NULL_VIEW_SQL)
     failures = []
     for i in range(n):
         seed = base_seed + i
