@@ -1,0 +1,317 @@
+"""JSONCompactEachRowWithNamesAndTypes codec — a third ClickHouse wire
+format for the scan source (after FORMAT Native and
+RowBinaryWithNamesAndTypes).
+
+Layout (public ClickHouse format docs): newline-delimited JSON arrays.
+Line 1 is the column-name array, line 2 the type-name array, every
+following line one data row in column order. Server output defaults
+this module pins (and accepts the non-default spellings on input):
+
+* 64-bit integers are QUOTED strings
+  (``output_format_json_quote_64bit_integers = 1``, the default) —
+  plain numbers are also accepted on read;
+* Float NaN/±Inf serialize as ``null``
+  (``output_format_json_quote_denormals = 0``, the default) — the
+  quoted ``"nan"`` / ``"inf"`` / ``"-inf"`` spellings are also
+  accepted on read;
+* Date ``YYYY-MM-DD``; DateTime ``YYYY-MM-DD HH:MM:SS``;
+  DateTime64(s) with exactly ``s`` fractional digits — all wall-clock
+  UTC, matching the engine's Native-path pin;
+* Enum values travel as their NAME strings (numeric bodies are also
+  accepted on read and resolved through the declared enum map);
+* Decimals are written quoted (the lossless spelling;
+  ``output_format_json_quote_decimals = 1``) and read either way;
+* FixedString(n) output is NUL-padded to n — the reader strips the
+  padding, mirroring native/rowbinary.py.
+
+JSON is the TEXT interop format — inherently the slow path (one
+``json.loads`` per row). Native remains the full-fidelity columnar
+format; RowBinary the binary row format. This module exists because
+JSON*EachRow is the most common ClickHouse HTTP interchange family,
+and ``WithNamesAndTypes`` is its only self-describing member — the
+same reason RowBinary got the NamesAndTypes variant. Types whose JSON
+layout we have not pinned against a real server (Map/Tuple/
+LowCardinality) are rejected with a FORMAT Native pointer, exactly
+like the RowBinary module.
+
+Reference surface: the reference reads FORMAT Native only
+(clickhouse_scan.rs:131); this is beyond-reference interop.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+from decimal import Decimal
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import pyarrow as pa
+
+from .codec import Block, BlockColumn
+from .types import FIXED_WIDTH, CHType, UnsupportedTypeError, parse_type, to_arrow
+
+JSONEACHROW_FORMAT = "JSONCompactEachRowWithNamesAndTypes"
+
+_QUOTED_INT_BASES = {"Int64", "UInt64"}
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _check_supported(t: CHType) -> None:
+    b = t.base
+    if b in FIXED_WIDTH or b in (
+        "String", "FixedString", "UUID", "IPv4", "IPv6"
+    ) or b.startswith("Decimal"):
+        return
+    if b == "Array" and t.inner is not None:
+        _check_supported(t.inner)
+        return
+    raise UnsupportedTypeError(
+        f"JSONCompactEachRow support for {t.name} is not implemented — "
+        "use FORMAT Native (wire_format=native), the full-fidelity path"
+    )
+
+
+# -- scalar decode (JSON value -> the Arrow-facing value the Native path
+#    emits for the same CH type) ---------------------------------------------
+
+
+_EPOCH_DT = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _dt_to_us(dt: datetime.datetime) -> int:
+    """Exact us-since-epoch (timedelta arithmetic — ``int(timestamp())``
+    truncates toward zero and mis-rounds pre-1970 instants)."""
+    d = dt - _EPOCH_DT
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _from_json(val, t: CHType):
+    if t.nullable:
+        if val is None:
+            return None
+        inner = CHType(**{**t.__dict__, "nullable": False})
+        return _from_json(val, inner)
+    b = t.base
+    if b in ("Float32", "Float64"):
+        if val is None:  # denormals-as-null (server default)
+            return float("nan")
+        return float(val)  # float('inf') parses the quoted spellings
+    if b == "Bool":
+        return bool(int(val)) if not isinstance(val, bool) else val
+    if b in ("Date", "Date32"):
+        return (datetime.date.fromisoformat(val) - _EPOCH_DATE).days
+    if b in ("DateTime", "DateTime64"):
+        dt = datetime.datetime.fromisoformat(val).replace(
+            tzinfo=datetime.timezone.utc
+        )
+        return _dt_to_us(dt)
+    if b in ("Enum8", "Enum16"):
+        if isinstance(val, str):
+            return val
+        return t.enum_map.get(int(val), str(int(val)))
+    if b == "String":
+        return val
+    if b == "FixedString":
+        # server output pads to n with NULs — strip, like rowbinary.py
+        return str(val).rstrip("\x00")
+    if b.startswith("Decimal"):
+        return Decimal(str(val)).quantize(Decimal(1).scaleb(-t.scale))
+    if b in ("UUID", "IPv4", "IPv6"):
+        return str(val)
+    if b == "Array":
+        return [_from_json(v, t.inner) for v in val]
+    if b in FIXED_WIDTH:  # remaining integer widths
+        return int(val)
+    raise UnsupportedTypeError(t.name)
+
+
+def _wrap_i32(v: int) -> int:
+    return ((int(v) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+
+
+def _lossy_fix(val, t: CHType):
+    """Apply the UInt64->i32 compat truncation (lib.rs:336-344) to the
+    already-decoded value, matching the Native path's astype wrap."""
+    if val is None:
+        return None
+    b = t.base
+    if b == "UInt64":
+        return _wrap_i32(val)
+    if b == "Array" and t.inner is not None:
+        return [_lossy_fix(v, t.inner) for v in val]
+    return val
+
+
+def _col_needs_lossy(t: CHType) -> bool:
+    if t.base == "UInt64":
+        return True
+    if t.base == "Array" and t.inner is not None:
+        return _col_needs_lossy(t.inner)
+    return False
+
+
+# -- scalar encode (Arrow-facing python value -> JSON value) -----------------
+
+
+def _to_json(val, t: CHType):
+    if t.nullable:
+        if val is None:
+            return None
+        inner = CHType(**{**t.__dict__, "nullable": False})
+        return _to_json(val, inner)
+    b = t.base
+    if b in ("Float32", "Float64"):
+        f = float(val)
+        if math.isnan(f) or math.isinf(f):
+            return None  # denormals-as-null, the server default
+        return f
+    if b == "Bool":
+        return bool(val)
+    if b in ("Date", "Date32"):
+        if isinstance(val, datetime.date):
+            return val.isoformat()
+        return (_EPOCH_DATE + datetime.timedelta(days=int(val))).isoformat()
+    if b in ("DateTime", "DateTime64"):
+        if isinstance(val, datetime.datetime):
+            if val.tzinfo is None:
+                val = val.replace(tzinfo=datetime.timezone.utc)
+            us = _dt_to_us(val)
+        else:
+            us = int(val)
+        dt = datetime.datetime.fromtimestamp(us // 1_000_000, datetime.timezone.utc)
+        body = dt.strftime("%Y-%m-%d %H:%M:%S")
+        if b == "DateTime":
+            return body
+        scale = t.scale
+        frac_us = us % 1_000_000
+        if scale >= 6:
+            frac = f"{frac_us:06d}" + "0" * (scale - 6)
+        else:
+            frac = f"{frac_us:06d}"[:scale]
+        return f"{body}.{frac}" if scale else body
+    if b in ("Enum8", "Enum16"):
+        return str(val)
+    if b in ("String", "FixedString", "UUID", "IPv4", "IPv6"):
+        return str(val)
+    if b.startswith("Decimal"):
+        # quoted: the lossless spelling (quote_decimals = 1)
+        return str(Decimal(str(val)).quantize(Decimal(1).scaleb(-t.scale)))
+    if b == "Array":
+        return [_to_json(v, t.inner) for v in val]
+    if b in _QUOTED_INT_BASES:
+        return str(int(val))  # quote_64bit_integers = 1, the default
+    if b in FIXED_WIDTH:
+        return int(val)
+    raise UnsupportedTypeError(t.name)
+
+
+# -- stream-level API --------------------------------------------------------
+
+
+def read_jsoncompact_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
+    names_line = buf.readline()
+    types_line = buf.readline()
+    if not names_line or not types_line:
+        raise EOFError("EOF inside JSONCompactEachRowWithNamesAndTypes header")
+    names = json.loads(names_line)
+    types = [parse_type(s) for s in json.loads(types_line)]
+    for t in types:
+        _check_supported(t)
+    return list(zip(names, types))
+
+
+def iter_jsoncompact_blocks(
+    buf: BinaryIO,
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode a JSONCompactEachRowWithNamesAndTypes stream into Blocks
+    with the SAME Arrow schema the Native path produces for these CH
+    types (so the scan source's downstream is format-agnostic)."""
+    schema = read_jsoncompact_header(buf)
+    lossy_cols = [
+        lossy_uint64 and _col_needs_lossy(t) for _name, t in schema
+    ]
+    while True:
+        cols_vals: list[list] = [[] for _ in schema]
+        n = 0
+        while n < block_rows:
+            line = buf.readline()
+            if not line:
+                break
+            if not line.strip():
+                continue  # tolerate a trailing blank line
+            row = json.loads(line)
+            if len(row) != len(schema):
+                raise ValueError(
+                    f"JSONCompactEachRow row has {len(row)} values, "
+                    f"header declares {len(schema)} columns"
+                )
+            for i, (_name, t) in enumerate(schema):
+                v = _from_json(row[i], t)
+                if lossy_cols[i]:
+                    v = _lossy_fix(v, t)
+                cols_vals[i].append(v)
+            n += 1
+        if n == 0:
+            return
+        cols = [
+            BlockColumn(
+                name,
+                t.name,
+                t,
+                pa.array(cols_vals[i], type=to_arrow(t, lossy_uint64=lossy_uint64)),
+            )
+            for i, (name, t) in enumerate(schema)
+        ]
+        yield Block(n_rows=n, columns=cols)
+        if n < block_rows:
+            return
+
+
+def write_jsoncompact(
+    buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None
+) -> int:
+    """Encode Arrow RecordBatches as JSONCompactEachRowWithNamesAndTypes
+    (the symmetric half — mock server responses and INSERT bodies)."""
+    from .rowbinary import _to_wire
+    from .types import from_arrow
+
+    rows = 0
+    wrote_header = False
+    types: Optional[List[CHType]] = ch_types
+    for batch in batches:
+        if types is None:
+            # same nullability derivation as write_rowbinary: Nullable
+            # only where nulls exist in the first batch (arrow marks
+            # every field nullable by default)
+            types = []
+            for i, f in enumerate(batch.schema):
+                t = from_arrow(f.type)
+                if batch.column(i).null_count > 0:
+                    t = CHType(**{**t.__dict__, "nullable": True})
+                types.append(t)
+        for t in types:
+            _check_supported(t)
+        if not wrote_header:
+            names = [f.name for f in batch.schema]
+            type_names = [
+                f"Nullable({t.name})" if t.nullable else t.name for t in types
+            ]
+            buf.write(json.dumps(names).encode() + b"\n")
+            buf.write(json.dumps(type_names).encode() + b"\n")
+            wrote_header = True
+        pylists = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        for r in range(batch.num_rows):
+            row = [
+                _to_json(_to_wire(pylists[c][r], t), t)
+                for c, t in enumerate(types)
+            ]
+            buf.write(
+                json.dumps(row, separators=(",", ":"), ensure_ascii=False).encode()
+                + b"\n"
+            )
+            rows += 1
+    return rows

@@ -465,6 +465,7 @@ GRADING_WINDOW = [
     "text_bpe_merge_stats",
     "multimodal_audio_decode",
     "scan_remote_rowbinary",
+    "scan_remote_jsoneachrow",
     "events_limit_by",
     "docs_left_array_join",
     "dict_get_region",
@@ -497,7 +498,8 @@ GRADING_WINDOW = [
     "shard_assignment",
     "skew_salted_agg",
     "stream_dedup_keys",
-    "window_time_range_frame",
+    # (window_time_range_frame rotated to round 10 when
+    # scan_remote_jsoneachrow joined the never-graded head)
 ]
 
 

@@ -608,6 +608,36 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_jsoneachrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same remote aggregation over the THIRD wire format
+    # (JSONCompactEachRowWithNamesAndTypes — native/jsoneachrow.py):
+    # the text interop path must reproduce the Native fetch exactly,
+    # proving the JSON decoder (quoted 64-bit ints, denormals-as-null)
+    # against the same oracle
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _SCAN_AGG_SQL)
+        .option("url", url)
+        .option("wire_format", "jsoneachrow")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_jsoneachrow",
+    _scan_remote_jsoneachrow,
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "jsoneachrow", "interop"],
+    description="clickhouse_scan over FORMAT JSONCompactEachRowWithNamesAndTypes "
+    "(third wire format; newline-delimited JSON text interop)",
+)
+
+
 def _scan_remote_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JDBC-style split read: 4 range-partitioned fetches of one remote
     # query (the reference is strictly single-stream, README.md:51)

@@ -160,6 +160,15 @@ class ClickHouseHTTPClient:
         stream = self._request(self._with_format(query, ROWBINARY_FORMAT))
         return iter_rowbinary_blocks(stream, lossy_uint64=lossy_uint64)
 
+    def execute_jsoneachrow_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT JSONCompactEachRowWithNamesAndTypes``
+        — the third wire format (text interop; Native stays the
+        columnar fast path, see native/jsoneachrow.py)."""
+        from ..native.jsoneachrow import JSONEACHROW_FORMAT, iter_jsoncompact_blocks
+
+        stream = self._request(self._with_format(query, JSONEACHROW_FORMAT))
+        return iter_jsoncompact_blocks(stream, lossy_uint64=lossy_uint64)
+
     def insert_native(self, table: str, payload: bytes) -> None:
         """INSERT via Native-format body (the write path the reference
         lacks)."""
@@ -176,6 +185,20 @@ class ClickHouseHTTPClient:
         rows = write_rowbinary(buf, batches, ch_types)
         self._request(
             f"INSERT INTO {table} FORMAT {ROWBINARY_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_jsoneachrow_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a JSONCompactEachRowWithNamesAndTypes body — the
+        write half of the third wire format."""
+        import io as _io
+
+        from ..native.jsoneachrow import JSONEACHROW_FORMAT, write_jsoncompact
+
+        buf = _io.BytesIO()
+        rows = write_jsoncompact(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {JSONEACHROW_FORMAT}", body=buf.getvalue()
         ).read()
         return rows
 

@@ -57,15 +57,28 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                         from ..native.rowbinary import iter_rowbinary_blocks as _irb
 
                         block_iter = _irb(io.BytesIO(body))
+                    elif "JSONCOMPACTEACHROW" in q.upper():
+                        from ..native.jsoneachrow import (
+                            iter_jsoncompact_blocks as _ijb,
+                        )
+
+                        block_iter = _ijb(io.BytesIO(body))
                     else:
                         block_iter = iter_blocks(io.BytesIO(body))
+                    import pyarrow as _pa
+
                     batches = []
                     with qlock:
                         for blk in block_iter:
                             rb = blk.to_record_batch()
                             batches.append(rb)
                             if execute_inserts:
-                                con.register("_ins_batch", rb)
+                                # duckdb registers Tables, not bare
+                                # RecordBatches (mock_tcp_server.py does
+                                # the same wrap)
+                                con.register(
+                                    "_ins_batch", _pa.Table.from_batches([rb])
+                                )
                                 con.execute(
                                     f"INSERT INTO {table} SELECT * FROM _ins_batch"
                                 )
@@ -76,20 +89,21 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                     self.end_headers()
                     return
                 q = body.decode().strip()
-                rowbinary = False
+                fmt = "native"
                 if q.endswith("FORMAT RowBinaryWithNamesAndTypes"):
                     q = q[: -len("FORMAT RowBinaryWithNamesAndTypes")]
-                    rowbinary = True
+                    fmt = "rowbinary"
+                elif q.endswith("FORMAT JSONCompactEachRowWithNamesAndTypes"):
+                    q = q[: -len("FORMAT JSONCompactEachRowWithNamesAndTypes")]
+                    fmt = "jsoneachrow"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
                     tbl = con.execute(q).fetch_arrow_table()
-                if rowbinary:
+                if fmt != "native":
                     import io as _io
 
                     import pyarrow as _pa
-
-                    from ..native.rowbinary import write_rowbinary
 
                     batches = tbl.to_batches()
                     if not batches:  # header must go out even for 0 rows
@@ -103,7 +117,14 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                             )
                         ]
                     out = _io.BytesIO()
-                    write_rowbinary(out, batches)
+                    if fmt == "rowbinary":
+                        from ..native.rowbinary import write_rowbinary
+
+                        write_rowbinary(out, batches)
+                    else:
+                        from ..native.jsoneachrow import write_jsoncompact
+
+                        write_jsoncompact(out, batches)
                     payload = out.getvalue()
                 else:
                     payload = arrow_to_native_bytes(tbl)

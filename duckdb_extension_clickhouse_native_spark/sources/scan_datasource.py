@@ -102,20 +102,20 @@ class ClickHouseScanReader(DataSourceReader):
             raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
         self.wire_format = str(options.get("wire_format", "native")).lower()
-        if self.wire_format not in ("native", "rowbinary"):
+        if self.wire_format not in ("native", "rowbinary", "jsoneachrow"):
             raise ValueError(
-                f"wire_format must be 'native' or 'rowbinary', got "
-                f"{self.wire_format!r}"
+                f"wire_format must be 'native', 'rowbinary' or "
+                f"'jsoneachrow', got {self.wire_format!r}"
             )
         if (
-            self.wire_format == "rowbinary"
+            self.wire_format != "native"
             and resolve_connection(options).transport != "http"
         ):
             # the native TCP protocol frames result data as Native
             # blocks — FORMAT only applies to the HTTP interface
             raise ValueError(
-                "wire_format=rowbinary requires an http(s):// url; the "
-                "native TCP protocol always carries Native blocks"
+                f"wire_format={self.wire_format} requires an http(s):// "
+                "url; the native TCP protocol always carries Native blocks"
             )
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -139,6 +139,10 @@ class ClickHouseScanReader(DataSourceReader):
             try:
                 if self.wire_format == "rowbinary":
                     blocks = client.execute_rowbinary_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "jsoneachrow":
+                    blocks = client.execute_jsoneachrow_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
                     )
                 else:
@@ -218,12 +222,17 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             raise ValueError("clickhouse_scan write requires a 'table' option")
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
         self.wire_format = str(options.get("wire_format", "native")).lower()
-        if self.wire_format == "rowbinary" and (
+        if self.wire_format not in ("native", "rowbinary", "jsoneachrow"):
+            raise ValueError(
+                f"wire_format must be 'native', 'rowbinary' or "
+                f"'jsoneachrow', got {self.wire_format!r}"
+            )
+        if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
         ):
             raise ValueError(
-                "wire_format=rowbinary requires an http(s):// url; the "
-                "native TCP protocol always carries Native blocks"
+                f"wire_format={self.wire_format} requires an http(s):// "
+                "url; the native TCP protocol always carries Native blocks"
             )
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
@@ -232,6 +241,8 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         client = make_client(resolve_connection(self.options))
         if self.wire_format == "rowbinary":
             insert = client.insert_rowbinary_batches
+        elif self.wire_format == "jsoneachrow":
+            insert = client.insert_jsoneachrow_batches
         else:
             insert = client.insert_batches
         try:
