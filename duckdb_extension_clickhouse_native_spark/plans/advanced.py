@@ -502,3 +502,158 @@ REGISTRY.sql_query(
     description="ClickHouse -Array combinator (sumArray/avgArray): "
     "element-wise aggregate across array rows, fixed-point exact",
 )
+
+
+# ClickHouse `topK(3)(event_type)`: most-frequent values as an array.
+# The CH function is approximate (filtered Space-Saving); at compat
+# level the contract users rely on is "the top-N frequent values in
+# order" — re-expressed exactly: map-combinable frequency count, one
+# ranked window per bucket, arrays rebuilt in rank order (serialized
+# to CSV for grading — the collect_sorted_arrays precedent). The
+# approximate/streaming production path is events_heavy_hitters
+# (Misra-Gries + exact recount).
+_TOPK_FREQ_CTE = """
+    WITH freq AS (
+      SELECT bucket, event_type, COUNT(*) AS c
+      FROM (
+        SELECT CAST(user_id % 20 AS BIGINT) AS bucket, event_type
+        FROM events
+      ) e
+      GROUP BY bucket, event_type
+    ),
+    ranked AS (
+      SELECT bucket, event_type, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket ORDER BY c DESC, event_type
+             ) AS rn
+      FROM freq
+    )
+    """
+_TOPK_VALUES_SPARK = _TOPK_FREQ_CTE + """
+    SELECT bucket,
+           concat_ws(',', transform(
+             sort_array(collect_list(struct(rn, event_type))),
+             x -> x.event_type)) AS topk_values,
+           concat_ws(',', transform(
+             sort_array(collect_list(struct(rn, c))),
+             x -> CAST(x.c AS STRING))) AS topk_counts
+    FROM ranked WHERE rn <= 3
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+_TOPK_VALUES_DUCK = _TOPK_FREQ_CTE + """
+    SELECT bucket,
+           array_to_string(list_transform(
+             list_sort(list({'rn': rn, 'event_type': event_type})),
+             x -> x.event_type), ',') AS topk_values,
+           array_to_string(list_transform(
+             list_sort(list({'rn': rn, 'c': c})),
+             x -> CAST(x.c AS VARCHAR)), ',') AS topk_counts
+    FROM ranked WHERE rn <= 3
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+REGISTRY.sql_query(
+    "events_topk_values",
+    _TOPK_VALUES_SPARK,
+    oracle=_TOPK_VALUES_DUCK,
+    tables=["events"],
+    tags=["agg", "compat", "topk", "arrays"],
+    description="ClickHouse topK(3): most-frequent values per bucket as "
+    "rank-ordered parallel arrays (exact form; the approximate/"
+    "streaming production path is events_heavy_hitters)",
+)
+
+
+# ClickHouse `minMap` / `maxMap`: key-wise MIN/MAX over (keys, values)
+# pairs, returned as parallel sorted arrays — the sumMap siblings
+# (events_sum_map) with the same pack-and-serialize shape. Cents
+# quantization keeps the double extrema engine-exact.
+_MINMAX_MAP_SPARK = """
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vmin,
+             CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vmax
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    packed AS (
+      SELECT user_id,
+             sort_array(collect_list(struct(event_type, vmin, vmax))) AS kv
+      FROM per_type
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           concat_ws(',', transform(kv, x -> x.event_type)) AS map_keys,
+           concat_ws(',', transform(kv, x -> CAST(x.vmin AS STRING)))
+             AS min_map_values_cents,
+           concat_ws(',', transform(kv, x -> CAST(x.vmax AS STRING)))
+             AS max_map_values_cents
+    FROM packed
+    ORDER BY user_id
+    """
+_MINMAX_MAP_DUCK = """
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vmin,
+             CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vmax
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    packed AS (
+      SELECT user_id,
+             list_sort(list({'event_type': event_type,
+                             'vmin': vmin, 'vmax': vmax})) AS kv
+      FROM per_type
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(list_transform(kv, x -> x.event_type), ',')
+             AS map_keys,
+           array_to_string(list_transform(kv,
+             x -> CAST(x.vmin AS VARCHAR)), ',') AS min_map_values_cents,
+           array_to_string(list_transform(kv,
+             x -> CAST(x.vmax AS VARCHAR)), ',') AS max_map_values_cents
+    FROM packed
+    ORDER BY user_id
+    """
+REGISTRY.sql_query(
+    "events_minmax_map",
+    _MINMAX_MAP_SPARK,
+    oracle=_MINMAX_MAP_DUCK,
+    tables=["events"],
+    tags=["agg", "compat", "map", "arrays"],
+    description="ClickHouse minMap/maxMap: per-user key-wise extrema as "
+    "parallel sorted arrays (cents-quantized exact; sumMap sibling)",
+)
+
+
+# ClickHouse `runningDifference(value)`: per-row delta vs the previous
+# row. The CH original is block-scoped (resets at block boundaries —
+# a documented footgun its own docs route users away from); the
+# well-defined semantics users actually want is the window form, which
+# is also CH's modern guidance (lagInFrame/window functions). Cents
+# quantization keeps the double deltas engine-exact; (ts, event_id) is
+# a verified-unique total order per user.
+_RUNNING_DIFF_SQL = """
+    SELECT user_id, event_id,
+           CAST(vc - LAG(vc) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS delta_cents
+    FROM (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+      FROM events
+    ) e
+    ORDER BY user_id, event_id
+    """
+REGISTRY.sql_query(
+    "events_running_difference",
+    _RUNNING_DIFF_SQL,
+    oracle=_RUNNING_DIFF_SQL,
+    tables=["events"],
+    tags=["window", "compat", "delta"],
+    description="ClickHouse runningDifference: per-user previous-row "
+    "delta via LAG over a verified-unique total order (cents-exact; "
+    "the block-scoped CH quirk is deliberately NOT reproduced)",
+)

@@ -466,6 +466,9 @@ GRADING_WINDOW = [
     "multimodal_audio_decode",
     "scan_remote_rowbinary",
     "scan_remote_jsoneachrow",
+    "events_topk_values",
+    "events_minmax_map",
+    "events_running_difference",
     "events_limit_by",
     "docs_left_array_join",
     "dict_get_region",
@@ -495,11 +498,11 @@ GRADING_WINDOW = [
     "sample_mixture_temperature",
     "sample_stratified",
     "select_importance_target",
-    "shard_assignment",
-    "skew_salted_agg",
-    "stream_dedup_keys",
-    # (window_time_range_frame rotated to round 10 when
-    # scan_remote_jsoneachrow joined the never-graded head)
+    # (shard_assignment, skew_salted_agg, stream_dedup_keys,
+    # window_time_range_frame rotated to round 10 when the four new
+    # round-9 entries — scan_remote_jsoneachrow, events_topk_values,
+    # events_minmax_map, events_running_difference — joined the
+    # never-graded head)
 ]
 
 
