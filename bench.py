@@ -201,6 +201,9 @@ def main() -> None:
         "events_limit_by",
         "docs_left_array_join",
         "dict_get_region",
+        "events_topk_values",
+        "events_minmax_map",
+        "events_running_difference",
     ]
     r9_ops, r9_total = run_tier(r9_names)
 

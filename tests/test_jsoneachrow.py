@@ -273,3 +273,25 @@ def test_jsoneachrow_insert_roundtrip(spark, mock_ch_server):
         for rb in batches:
             rows.extend(zip(rb.column("x").to_pylist(), rb.column("name").to_pylist()))
     assert sorted(rows) == [(10, "a"), (20, "b"), (30, "c")]
+
+
+# -- malformed-stream robustness --------------------------------------------
+
+
+def test_truncated_header_raises_eof():
+    with pytest.raises(EOFError, match="header"):
+        list(iter_jsoncompact_blocks(io.BytesIO(b'["a"]\n')))
+
+
+def test_malformed_json_row_raises_cleanly():
+    import json as _json
+
+    bad = b'["a"]\n["Int32"]\n[1]\n[2,\n'
+    with pytest.raises(_json.JSONDecodeError):
+        list(iter_jsoncompact_blocks(io.BytesIO(bad)))
+
+
+def test_trailing_blank_line_tolerated():
+    ok = b'["a"]\n["Int32"]\n[1]\n\n'
+    rb = list(iter_jsoncompact_blocks(io.BytesIO(ok)))[0].to_record_batch()
+    assert rb.column("a").to_pylist() == [1]

@@ -68,3 +68,20 @@ def test_limit_by_prunes_rank_inside_window(plans):
     # global sort before the window) keeps per-group top-k bounded
     p = plans("events_limit_by")
     assert "WindowGroupLimit" in p or "RunningWindowFunction" in p
+
+
+def test_topk_values_prunes_rank_and_columns(plans):
+    # events_topk_values: the rn <= 3 filter should push a
+    # WindowGroupLimit under the ranking window, and the scan should
+    # read only (user_id, event_type) of the 6 event columns
+    p = plans("events_topk_values")
+    assert "WindowGroupLimit" in p or "RunningWindowFunction" in p
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in p
+
+
+def test_running_difference_single_window_pass(plans):
+    # one window exchange (hash by user_id), no extra sort after the
+    # window's own — LAG and the projection share the pass
+    p = plans("events_running_difference")
+    assert p.count("Window") >= 1
+    assert "CartesianProduct" not in p

@@ -87,6 +87,9 @@ AUDIT = [
     "dict_get_region",
     "events_sum_map",
     "agg_sum_array_combinator",
+    "events_topk_values",
+    "events_minmax_map",
+    "events_running_difference",
     # round-5 production twins (broadcast-numpy mapInPandas forms)
     "kmeans_fast",
     "sim_topk_pq_fast",

@@ -43,6 +43,10 @@ UNIQUE_KEY = {
     "orders": ["o_orderkey"],
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
+    # 1:1 with orders, so o_orderkey stays unique — windows over this
+    # surface exercise NULL partition keys (both engines put all NULLs
+    # in one partition; the total order below them is still unique)
+    "orders_nulls": ["o_orderkey"],
 }
 
 TABLES = {
