@@ -10,10 +10,13 @@ this module pins (and accepts the non-default spellings on input):
 * 64-bit integers are QUOTED strings
   (``output_format_json_quote_64bit_integers = 1``, the default) —
   plain numbers are also accepted on read;
-* Float NaN/±Inf serialize as ``null``
-  (``output_format_json_quote_denormals = 0``, the default) — the
-  quoted ``"nan"`` / ``"inf"`` / ``"-inf"`` spellings are also
-  accepted on read;
+* Float NaN/±Inf: the reader accepts BOTH server spellings — ``null``
+  (``output_format_json_quote_denormals = 0``, the server default;
+  decodes to NaN, so a default-configured server cannot deliver ±Inf
+  distinguishably over JSON) and the quoted ``"nan"`` / ``"inf"`` /
+  ``"-inf"`` forms. The WRITER always emits the quoted spelling
+  (``quote_denormals = 1``), the lossless one — set that server-side
+  for lossless fetches;
 * Date ``YYYY-MM-DD``; DateTime ``YYYY-MM-DD HH:MM:SS``;
   DateTime64(s) with exactly ``s`` fractional digits — all wall-clock
   UTC, matching the engine's Native-path pin;
@@ -163,8 +166,13 @@ def _to_json(val, t: CHType):
     b = t.base
     if b in ("Float32", "Float64"):
         f = float(val)
-        if math.isnan(f) or math.isinf(f):
-            return None  # denormals-as-null, the server default
+        if math.isnan(f):
+            return "nan"
+        if math.isinf(f):
+            # quote_denormals=1 — the LOSSLESS spelling (the server
+            # default null cannot distinguish -Inf from NaN; the reader
+            # accepts both)
+            return "inf" if f > 0 else "-inf"
         return f
     if b == "Bool":
         return bool(val)
