@@ -25,6 +25,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     sources,
     stats,
     streaming_queries,
+    timeseries,
     tpch,
 )
 from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
