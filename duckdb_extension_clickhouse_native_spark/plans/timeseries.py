@@ -171,6 +171,202 @@ _SEQUENCE_NEXT_NODE_SQL = """
     ORDER BY o.user_id
 """
 
+# groupArrayMovingSum(3): per-user moving sums over the ordered value
+# stream, emitted in ClickHouse's array-per-group shape (serialized to
+# CSV for grading — the r5 array-type driver trap).  The moving sum is
+# one partitioned ROWS-frame window; the array serialization sorts a
+# collected struct list on the same verified-unique key, so element
+# order is pinned on both engines.
+_MOVING_SUM_SPARK = """
+    WITH ms AS (
+      SELECT user_id, unix_micros(ts) AS tu, event_id,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS mv
+      FROM events
+    )
+    SELECT user_id,
+           array_join(
+             transform(
+               array_sort(collect_list(struct(tu, event_id, mv))),
+               x -> CAST(x.mv AS STRING)),
+             ',') AS moving_sums_cents,
+           COUNT(*) AS n
+    FROM ms
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+_MOVING_SUM_DUCK = """
+    WITH ms AS (
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS mv,
+             ts
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY ts, event_id)
+             AS moving_sums_cents,
+           COUNT(*) AS n
+    FROM ms
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+REGISTRY.sql_query(
+    "events_moving_sum",
+    _MOVING_SUM_SPARK,
+    oracle=_MOVING_SUM_DUCK,
+    tables=["events"],
+    tags=["agg", "compat", "window", "arrays"],
+    description="ClickHouse groupArrayMovingSum(3): per-user ordered "
+    "moving sums as the array-per-group shape (cents-exact, one "
+    "partitioned window; serialized for grading)",
+)
+
+# exponentialMovingAverage, the dyadic-exact variant: half-per-step
+# decay over the last 16 rows.  Weights are 2^(15-j) for lag j, so the
+# numerator/denominator are exact BIGINTs (max ~ 5e4 cents * 2^16 —
+# nowhere near overflow) and the quotient is emitted as an exact
+# integer pair rather than a float.  16 LAG taps share one window
+# spec -> a single partitioned window pass, no self-join blowup at any
+# scale (the rn-difference join alternative goes quadratic per key).
+_TAPS = 16
+
+
+def _ema_terms(val_expr: str) -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG({val_expr}, {j}) OVER w, 0) * {1 << (_TAPS - 1 - j)}"
+        for j in range(_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG({val_expr}, {j}) OVER w IS NULL THEN 0 "
+        f"ELSE {1 << (_TAPS - 1 - j)} END)"
+        for j in range(_TAPS)
+    )
+    return num, den
+
+
+_EMA_NUM, _EMA_DEN = _ema_terms("vc")
+_EMA_SQL = f"""
+    SELECT user_id, event_id,
+           CAST({_EMA_NUM} AS BIGINT) AS ema_num,
+           CAST({_EMA_DEN} AS BIGINT) AS ema_den
+    FROM (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc
+      FROM events
+    ) e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+"""
+
+REGISTRY.sql_query(
+    "events_exp_moving_avg",
+    _EMA_SQL,
+    oracle=_EMA_SQL,
+    tables=["events"],
+    tags=["window", "compat", "delta"],
+    description="ClickHouse exponentialMovingAverage (dyadic-exact "
+    "variant): half-per-step decay over 16 LAG taps in one partitioned "
+    "window; exact integer numerator/denominator pair",
+)
+
+# largestTriangleThreeBuckets(24), the SQL-expressible variant: fixed
+# time-width buckets with QUANTIZED bucket-mean anchors.  Canonical
+# LTTB anchors on the previously *selected* point (a sequential
+# recurrence); anchoring on the neighbor buckets' means is the
+# standard parallel variant, and quantizing those means to the integer
+# (seconds x cents) grid keeps every triangle area an exact BIGINT
+# whose magnitude is independent of row count — the same |cross
+# product| argmax at 100 TB as at sf0.001.  First/last buckets keep
+# the series' first/last point (canonical LTTB), pinned by flipping
+# the time tiebreak for the last bucket.  Empty interior buckets
+# simply shift the LAG/LEAD anchors to the nearest non-empty
+# neighbor (documented variant behavior).
+_LTTB_TEMPLATE = """
+    WITH pts AS (
+      -- integer seconds via explicit floor: `/` is float division in
+      -- BOTH dialects, and a DOUBLE t_s would make SUM(t_s) summation-
+      -- order dependent.  (The floor itself is safe: micros < 2^53 are
+      -- exact, and fractional parts are >= 1e-6 while a half-ulp at
+      -- 1.7e9 is ~2.4e-7, so the quotient can never round across an
+      -- integer boundary.)
+      SELECT CAST(FLOOR({EPOCH_US}(ts) / 1000000.0) AS BIGINT) AS t_s,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y,
+             event_id
+      FROM events
+    ),
+    ext AS (
+      SELECT MIN(t_s) AS tmin, MAX(t_s) AS tmax FROM pts
+    ),
+    b AS (
+      SELECT p.t_s, p.y, p.event_id,
+             LEAST(23, CAST(FLOOR((p.t_s - ext.tmin) * 24.0
+                                  / (ext.tmax - ext.tmin + 1)) AS INT))
+               AS bucket
+      FROM pts p CROSS JOIN ext
+    ),
+    sums AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(t_s) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM b
+      GROUP BY bucket
+    ),
+    anchors AS (
+      SELECT bucket,
+             LAG(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT))
+               OVER (ORDER BY bucket) AS xa,
+             LAG(CAST(FLOOR(CAST(sy AS DOUBLE) / n) AS BIGINT))
+               OVER (ORDER BY bucket) AS ya,
+             LEAD(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT))
+               OVER (ORDER BY bucket) AS xc,
+             LEAD(CAST(FLOOR(CAST(sy AS DOUBLE) / n) AS BIGINT))
+               OVER (ORDER BY bucket) AS yc,
+             MAX(bucket) OVER () AS last_bucket
+      FROM sums
+    ),
+    scored AS (
+      SELECT b.bucket, b.t_s, b.y, b.event_id, a.last_bucket,
+             CASE WHEN a.xa IS NULL OR a.xc IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE ABS((a.xa - a.xc) * (b.y - a.ya)
+                           - (a.xa - b.t_s) * (a.yc - a.ya))
+             END AS area2
+      FROM b JOIN anchors a ON b.bucket = a.bucket
+    ),
+    sel AS (
+      SELECT bucket, t_s, y, event_id, area2,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY area2 DESC,
+                        CASE WHEN bucket = last_bucket THEN -t_s
+                             ELSE t_s END,
+                        event_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT bucket, t_s AS t_seconds, y AS value_cents, event_id
+    FROM sel
+    WHERE rn = 1
+    ORDER BY bucket
+"""
+
+REGISTRY.sql_query(
+    "events_lttb_downsample",
+    _LTTB_TEMPLATE.format(EPOCH_US="unix_micros"),
+    oracle=_LTTB_TEMPLATE.format(EPOCH_US="epoch_us"),
+    tables=["events"],
+    tags=["compat", "downsample", "window"],
+    description="ClickHouse largestTriangleThreeBuckets(24), quantized "
+    "bucket-mean-anchor variant: integer-exact triangle areas whose "
+    "magnitude is row-count independent; per-bucket argmax with pinned "
+    "tiebreaks, first/last points kept",
+)
+
 REGISTRY.sql_query(
     "events_sequence_next_node",
     _SEQUENCE_NEXT_NODE_SQL,
