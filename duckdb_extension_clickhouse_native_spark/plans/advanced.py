@@ -657,3 +657,140 @@ REGISTRY.sql_query(
     "delta via LAG over a verified-unique total order (cents-exact; "
     "the block-scoped CH quirk is deliberately NOT reproduced)",
 )
+
+
+# ClickHouse PASTE JOIN: positional (rank-aligned) concatenation of two
+# independently ordered sides.  The sides here are two top-20
+# leaderboards (customers by spend, parts by shipped quantity), each
+# reduced with ORDER BY + LIMIT (TakeOrderedAndProject — no full sort)
+# before a 20-row ROW_NUMBER pins the positions; the positional join is
+# then a trivial 20x20 equi-join.  Ties are broken by primary key, sums
+# are cents/unit exact.  Matching CH semantics, rows beyond the shorter
+# side would be dropped (INNER on position).
+_PASTE_JOIN_SQL = """
+    WITH top_cust AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders o
+      GROUP BY o.o_custkey
+      ORDER BY spend_cents DESC, c_custkey
+      LIMIT 20
+    ),
+    lhs AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY spend_cents DESC, c_custkey)
+               AS pos,
+             c_custkey, spend_cents
+      FROM top_cust
+    ),
+    top_part AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+      FROM lineitem l
+      GROUP BY l.l_partkey
+      ORDER BY qty_total DESC, p_partkey
+      LIMIT 20
+    ),
+    rhs AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY qty_total DESC, p_partkey)
+               AS pos,
+             p_partkey, qty_total
+      FROM top_part
+    )
+    SELECT l.pos, l.c_custkey, l.spend_cents, r.p_partkey, r.qty_total
+    FROM lhs l
+    JOIN rhs r ON l.pos = r.pos
+    ORDER BY l.pos
+    """
+REGISTRY.sql_query(
+    "join_paste_leaderboards",
+    _PASTE_JOIN_SQL,
+    oracle=_PASTE_JOIN_SQL,
+    tables=["orders", "lineitem"],
+    tags=["join", "compat", "topk"],
+    description="ClickHouse PASTE JOIN: rank-aligned positional join of "
+    "two top-k leaderboards (TakeOrderedAndProject sides, 20-row "
+    "ROW_NUMBER, INNER-on-position; cents/unit exact)",
+)
+
+# ClickHouse boundingRatio(x, y): slope between the first and last
+# point of each user's series.  First/last are pinned by the verified
+# -unique (ts, event_id) order via two ROW_NUMBER passes sharing one
+# shuffle; the single DOUBLE division has exact BIGINT operands, so it
+# is bit-identical across engines (no float accumulation anywhere —
+# unlike log2/ln, whose libm implementations were measured to differ
+# between Spark and DuckDB on 24%/1% of integer inputs).
+_BOUNDING_RATIO_TEMPLATE = """
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR({EPOCH_US}(ts) / 1000000.0) AS BIGINT) AS t_s,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, t_s, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY t_s, event_id
+             ) AS rna,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY t_s DESC, event_id DESC
+             ) AS rnd
+      FROM pts
+    ),
+    ends AS (
+      SELECT user_id,
+             MAX(CASE WHEN rna = 1 THEN t_s END) AS t_first,
+             MAX(CASE WHEN rna = 1 THEN y END) AS y_first,
+             MAX(CASE WHEN rnd = 1 THEN t_s END) AS t_last,
+             MAX(CASE WHEN rnd = 1 THEN y END) AS y_last
+      FROM ranked
+      GROUP BY user_id
+    )
+    SELECT user_id, t_first, t_last, y_first, y_last,
+           CASE WHEN t_last = t_first THEN NULL
+                ELSE CAST(y_last - y_first AS DOUBLE)
+                     / CAST(t_last - t_first AS DOUBLE)
+           END AS bounding_ratio
+    FROM ends
+    ORDER BY user_id
+    """
+REGISTRY.sql_query(
+    "events_bounding_ratio",
+    _BOUNDING_RATIO_TEMPLATE.format(EPOCH_US="unix_micros"),
+    oracle=_BOUNDING_RATIO_TEMPLATE.format(EPOCH_US="epoch_us"),
+    tables=["events"],
+    tags=["agg", "compat", "stats"],
+    description="ClickHouse boundingRatio: first-to-last slope per user "
+    "(cents per second); endpoints pinned by (ts, event_id), one exact "
+    "division, single-point series -> NULL arm",
+)
+
+# ClickHouse avgWeighted(x, w): quantity-weighted average price per
+# return flag.  Power sums accumulate in DECIMAL(38,0) (exact at any
+# scale — BIGINT cents x 50-unit weights would only overflow past
+# ~10^5 x SF1), are cast to DOUBLE deterministically, and meet in one
+# IEEE division.
+_AVG_WEIGHTED_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) AS DECIMAL(38, 0)))
+             AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38, 0)))
+             AS DOUBLE)
+             AS avg_weighted_price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+REGISTRY.sql_query(
+    "agg_avg_weighted",
+    _AVG_WEIGHTED_SQL,
+    oracle=_AVG_WEIGHTED_SQL,
+    tables=["lineitem"],
+    tags=["agg", "compat", "stats"],
+    description="ClickHouse avgWeighted: quantity-weighted mean price "
+    "per return flag from exact DECIMAL(38,0) power sums and one IEEE "
+    "division",
+)
