@@ -1,0 +1,437 @@
+"""TabSeparatedWithNamesAndTypes + CSVWithNamesAndTypes codecs — the
+fourth and fifth ClickHouse wire formats for the scan source (after
+Native, RowBinaryWithNamesAndTypes, and
+JSONCompactEachRowWithNamesAndTypes).
+
+Layout (public ClickHouse format docs): two header lines (column
+names, then type names) followed by one data row per record.
+
+* **TabSeparated** ("TSV"): fields separated by ``\\t``, records by
+  ``\\n``; values use ClickHouse's *Escaped* serialization
+  (``\\b \\f \\n \\r \\t \\0 \\\\`` written escaped; ``\\'``/``\\"``
+  also accepted on read; any other ``\\x`` reads as ``x``, matching
+  the server's permissive parser).  ``\\N`` (before unescaping) is
+  NULL.
+* **CSV**: RFC-4180-style — fields separated by ``,``, ``"``-quoted
+  with doubled inner quotes; quoted fields may contain newlines.  The
+  writer always quotes the string family (String/FixedString/Enum/
+  UUID/IP/Date*/Decimal) and never quotes numerics, matching server
+  output; the reader accepts either.  Unquoted ``\\N`` is NULL —
+  a QUOTED ``"\\N"`` is the two-character string, exactly as the
+  server distinguishes them.
+
+Shared value semantics (both directions reuse native/jsoneachrow.py's
+scalar codec where the text forms coincide): floats print the lossless
+shortest round-trip spelling with ``nan``/``inf``/``-inf`` denormals
+(unlike JSON, TSV/CSV have no null-denormal lossy mode); Bool is
+``true``/``false``; Date ``YYYY-MM-DD``; DateTime(64) wall-clock UTC
+with exactly ``scale`` fractional digits; Enum values travel as their
+names; FixedString output is NUL-padded to n (reader strips).
+
+Array/Map/Tuple/LowCardinality are rejected with a FORMAT Native
+pointer: their TSV/CSV quoting rules are a nested-escaping swamp this
+codec has not pinned against a real server, and the reference itself
+reads FORMAT Native only (clickhouse_scan.rs:131) — these formats are
+beyond-reference interop for text-tool compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import pyarrow as pa
+
+from .codec import Block, BlockColumn
+from .jsoneachrow import _col_needs_lossy, _from_json, _lossy_fix, _to_json
+from .types import FIXED_WIDTH, CHType, UnsupportedTypeError, parse_type, to_arrow
+
+TSV_FORMAT = "TabSeparatedWithNamesAndTypes"
+CSV_FORMAT = "CSVWithNamesAndTypes"
+
+
+def _check_supported(t: CHType) -> None:
+    b = t.base
+    if b in FIXED_WIDTH or b in (
+        "String", "FixedString", "UUID", "IPv4", "IPv6"
+    ) or b.startswith("Decimal"):
+        return
+    raise UnsupportedTypeError(
+        f"TSV/CSV support for {t.name} is not implemented — "
+        "use FORMAT Native (wire_format=native), the full-fidelity path"
+    )
+
+
+# -- scalar text codec (unescaped layer, shared by TSV and CSV) --------------
+
+
+def _to_text(val, t: CHType) -> Optional[str]:
+    """Arrow-facing value -> unescaped text field (None == NULL)."""
+    r = _to_json(val, t)
+    if r is None:
+        return None
+    if isinstance(r, bool):
+        return "true" if r else "false"
+    if isinstance(r, float):
+        return repr(r)  # shortest round-trip; nan/inf spellings match CH
+    return str(r)
+
+
+def _from_text(s: str, t: CHType):
+    """Unescaped text field -> the Arrow-facing value the Native path
+    emits for the same CH type."""
+    if t.nullable:
+        inner = CHType(**{**t.__dict__, "nullable": False})
+        return _from_text(s, inner)
+    b = t.base
+    if b == "Bool":
+        return s.strip().lower() in ("true", "1")
+    if b in ("Float32", "Float64"):
+        return float(s)  # accepts nan / inf / -inf / +inf
+    # Date/DateTime/Enum/String/FixedString/Decimal/UUID/IP share their
+    # JSON text bodies (checked BEFORE the FIXED_WIDTH branch — the
+    # Native codec counts Date/DateTime among its fixed-width columns)
+    if b in ("Date", "Date32", "DateTime", "DateTime64", "Enum8", "Enum16",
+             "String", "FixedString", "UUID", "IPv4", "IPv6") or b.startswith(
+        "Decimal"
+    ):
+        return _from_json(s, t)
+    if b in FIXED_WIDTH:  # remaining integer widths
+        return int(s)
+    raise UnsupportedTypeError(t.name)
+
+
+def _is_stringish(t: CHType) -> bool:
+    """The family the CSV writer quotes (server behavior)."""
+    b = t.base
+    return b in (
+        "String", "FixedString", "UUID", "IPv4", "IPv6",
+        "Enum8", "Enum16", "Date", "Date32", "DateTime", "DateTime64",
+    ) or b.startswith("Decimal")
+
+
+# -- TSV escaping ------------------------------------------------------------
+
+_TSV_ESCAPES = {
+    "\\": "\\\\",
+    "\t": "\\t",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\b": "\\b",
+    "\f": "\\f",
+    "\0": "\\0",
+}
+_TSV_UNESCAPES = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r",
+    "b": "\b", "f": "\f", "0": "\0", "'": "'", '"': '"',
+}
+
+
+def tsv_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append(_TSV_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+def tsv_unescape(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            # unknown \x reads as x — the server's permissive parser
+            out.append(_TSV_UNESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _split_tsv_line(line: str) -> List[str]:
+    """Split on REAL tabs only — escaped ``\\t`` survives because the
+    backslash is still in front of it until tsv_unescape runs."""
+    return line.split("\t")
+
+
+# -- CSV record parser -------------------------------------------------------
+
+
+def _read_csv_record(buf: BinaryIO) -> Optional[List[Tuple[str, bool]]]:
+    """One logical CSV record -> [(raw_text, was_quoted)], or None at
+    EOF.  Handles quoted fields containing commas, newlines, and
+    doubled quotes.  Reads bytes, decodes UTF-8 per record."""
+    raw = bytearray()
+    in_quotes = False
+    saw_any = False
+    while True:
+        b = buf.read(1)
+        if not b:
+            if not saw_any:
+                return None
+            break
+        saw_any = True
+        c = b[0]
+        if c == 0x22:  # '"'
+            in_quotes = not in_quotes
+            raw += b
+            continue
+        if c == 0x0A and not in_quotes:  # record-terminating newline
+            break
+        raw += b
+    text = raw.decode("utf-8")
+    if text.endswith("\r") and not in_quotes:
+        text = text[:-1]
+    if not text and not saw_any:
+        return None
+    fields: List[Tuple[str, bool]] = []
+    cur: List[str] = []
+    quoted = False
+    i, n = 0, len(text)
+    in_q = False
+    while i <= n:
+        if i == n:
+            fields.append(("".join(cur), quoted))
+            break
+        ch = text[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
+                in_q = False
+                i += 1
+                continue
+            cur.append(ch)
+            i += 1
+        else:
+            if ch == '"' and not cur:
+                in_q = True
+                quoted = True
+                i += 1
+            elif ch == ",":
+                fields.append(("".join(cur), quoted))
+                cur, quoted = [], False
+                i += 1
+            else:
+                cur.append(ch)
+                i += 1
+    return fields
+
+
+def _csv_quote(s: str) -> str:
+    return '"' + s.replace('"', '""') + '"'
+
+
+# -- stream-level API --------------------------------------------------------
+
+
+def _read_text_line(buf: BinaryIO) -> str:
+    line = buf.readline()
+    if not line:
+        raise EOFError("EOF inside TSV/CSV header")
+    return line.decode("utf-8").rstrip("\r\n")
+
+
+def read_tsv_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
+    names = [tsv_unescape(f) for f in _split_tsv_line(_read_text_line(buf))]
+    types = [parse_type(tsv_unescape(f)) for f in _split_tsv_line(_read_text_line(buf))]
+    for t in types:
+        _check_supported(t)
+    return list(zip(names, types))
+
+
+def read_csv_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
+    names_rec = _read_csv_record(buf)
+    types_rec = _read_csv_record(buf)
+    if names_rec is None or types_rec is None:
+        raise EOFError("EOF inside TSV/CSV header")
+    names = [f for f, _q in names_rec]
+    types = [parse_type(f) for f, _q in types_rec]
+    for t in types:
+        _check_supported(t)
+    return list(zip(names, types))
+
+
+def _blocks_from_rows(
+    schema: List[Tuple[str, CHType]],
+    row_iter,
+    *,
+    lossy_uint64: bool,
+    block_rows: int,
+) -> Iterator[Block]:
+    lossy_cols = [lossy_uint64 and _col_needs_lossy(t) for _n, t in schema]
+    while True:
+        cols_vals: list[list] = [[] for _ in schema]
+        n = 0
+        while n < block_rows:
+            row = next(row_iter, None)
+            if row is None:
+                break
+            if len(row) != len(schema):
+                raise ValueError(
+                    f"row has {len(row)} values, header declares "
+                    f"{len(schema)} columns"
+                )
+            for i, (_name, t) in enumerate(schema):
+                v = row[i]
+                if lossy_cols[i] and v is not None:
+                    v = _lossy_fix(v, t)
+                cols_vals[i].append(v)
+            n += 1
+        if n == 0:
+            return
+        cols = [
+            BlockColumn(
+                name,
+                t.name,
+                t,
+                pa.array(cols_vals[i], type=to_arrow(t, lossy_uint64=lossy_uint64)),
+            )
+            for i, (name, t) in enumerate(schema)
+        ]
+        yield Block(n_rows=n, columns=cols)
+        if n < block_rows:
+            return
+
+
+def iter_tsv_blocks(
+    buf: BinaryIO, *, lossy_uint64: bool = False, block_rows: int = 65_536
+) -> Iterator[Block]:
+    schema = read_tsv_header(buf)
+
+    def rows():
+        while True:
+            line = buf.readline()
+            if not line:
+                return
+            text = line.decode("utf-8").rstrip("\n").rstrip("\r")
+            if not text:
+                continue  # tolerate a trailing blank line
+            raw_fields = _split_tsv_line(text)
+            if len(raw_fields) != len(schema):
+                raise ValueError(
+                    f"TSV row has {len(raw_fields)} values, "
+                    f"header declares {len(schema)} columns"
+                )
+            out = []
+            for raw, (_name, t) in zip(raw_fields, schema):
+                if raw == "\\N":  # NULL check happens BEFORE unescaping
+                    out.append(None)
+                else:
+                    out.append(_from_text(tsv_unescape(raw), t))
+            yield out
+
+    return _blocks_from_rows(
+        schema, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )
+
+
+def iter_csv_blocks(
+    buf: BinaryIO, *, lossy_uint64: bool = False, block_rows: int = 65_536
+) -> Iterator[Block]:
+    schema = read_csv_header(buf)
+
+    def rows():
+        while True:
+            rec = _read_csv_record(buf)
+            if rec is None:
+                return
+            if len(rec) == 1 and rec[0] == ("", False):
+                continue  # tolerate a trailing blank line
+            if len(rec) != len(schema):
+                raise ValueError(
+                    f"CSV row has {len(rec)} values, header declares "
+                    f"{len(schema)} columns"
+                )
+            out = []
+            for (raw, was_quoted), (_name, t) in zip(rec, schema):
+                if raw == "\\N" and not was_quoted:
+                    out.append(None)  # quoted "\N" is the string
+                else:
+                    out.append(_from_text(raw, t))
+            yield out
+
+    return _blocks_from_rows(
+        schema, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )
+
+
+def _derive_types(batch, ch_types: Optional[List[CHType]]) -> List[CHType]:
+    from .types import from_arrow
+
+    if ch_types is not None:
+        return ch_types
+    # same nullability derivation as write_rowbinary: Nullable only
+    # where nulls exist in the first batch
+    types = []
+    for i, f in enumerate(batch.schema):
+        t = from_arrow(f.type)
+        if batch.column(i).null_count > 0:
+            t = CHType(**{**t.__dict__, "nullable": True})
+        types.append(t)
+    return types
+
+
+def _write_text(
+    buf: BinaryIO, batches, ch_types: Optional[List[CHType]], *, csv: bool
+) -> int:
+    from .rowbinary import _to_wire
+
+    rows = 0
+    wrote_header = False
+    types = ch_types
+    for batch in batches:
+        if types is None:
+            types = _derive_types(batch, None)
+        for t in types:
+            _check_supported(t)
+        if not wrote_header:
+            names = [f.name for f in batch.schema]
+            type_names = [
+                f"Nullable({t.name})" if t.nullable else t.name for t in types
+            ]
+            if csv:
+                buf.write(
+                    (",".join(_csv_quote(n) for n in names) + "\n").encode()
+                )
+                buf.write(
+                    (",".join(_csv_quote(tn) for tn in type_names) + "\n").encode()
+                )
+            else:
+                buf.write(
+                    ("\t".join(tsv_escape(n) for n in names) + "\n").encode()
+                )
+                buf.write(
+                    ("\t".join(tsv_escape(tn) for tn in type_names) + "\n").encode()
+                )
+            wrote_header = True
+        pylists = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        for r in range(batch.num_rows):
+            fields = []
+            for c, t in enumerate(types):
+                text = _to_text(_to_wire(pylists[c][r], t), t)
+                if text is None:
+                    fields.append("\\N")
+                elif csv:
+                    fields.append(
+                        _csv_quote(text) if _is_stringish(t) else text
+                    )
+                else:
+                    fields.append(tsv_escape(text))
+            sep = "," if csv else "\t"
+            buf.write((sep.join(fields) + "\n").encode())
+            rows += 1
+    return rows
+
+
+def write_tsv(buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None) -> int:
+    """Encode Arrow RecordBatches as TabSeparatedWithNamesAndTypes."""
+    return _write_text(buf, batches, ch_types, csv=False)
+
+
+def write_csv(buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None) -> int:
+    """Encode Arrow RecordBatches as CSVWithNamesAndTypes."""
+    return _write_text(buf, batches, ch_types, csv=True)

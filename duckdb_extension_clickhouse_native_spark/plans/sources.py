@@ -638,6 +638,47 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_textformat(wire_format: str):
+    # same remote aggregation over the fourth/fifth wire formats
+    # (TabSeparatedWithNamesAndTypes / CSVWithNamesAndTypes —
+    # native/textformats.py): the escaped/quoted text paths must
+    # reproduce the Native fetch exactly against the same oracle
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .base import ensure_session
+        from ..sources.mock_server import mock_clickhouse_url
+
+        ensure_session(spark)
+        url = mock_clickhouse_url(sf_dir)
+        return (
+            spark.read.format("clickhouse_scan")
+            .option("query", _SCAN_AGG_SQL)
+            .option("url", url)
+            .option("wire_format", wire_format)
+            .load()
+        )
+
+    return build
+
+
+REGISTRY.df_query(
+    "scan_remote_tsv",
+    _scan_remote_textformat("tsv"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "tsv", "interop"],
+    description="clickhouse_scan over FORMAT TabSeparatedWithNamesAndTypes "
+    "(fourth wire format; escaped-text interop)",
+)
+
+REGISTRY.df_query(
+    "scan_remote_csv",
+    _scan_remote_textformat("csv"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "csv", "interop"],
+    description="clickhouse_scan over FORMAT CSVWithNamesAndTypes "
+    "(fifth wire format; RFC-4180-quoted text interop)",
+)
+
+
 def _scan_remote_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JDBC-style split read: 4 range-partitioned fetches of one remote
     # query (the reference is strictly single-stream, README.md:51)

@@ -169,6 +169,22 @@ class ClickHouseHTTPClient:
         stream = self._request(self._with_format(query, JSONEACHROW_FORMAT))
         return iter_jsoncompact_blocks(stream, lossy_uint64=lossy_uint64)
 
+    def execute_tsv_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT TabSeparatedWithNamesAndTypes`` —
+        the fourth wire format (text interop; see native/textformats.py)."""
+        from ..native.textformats import TSV_FORMAT, iter_tsv_blocks
+
+        stream = self._request(self._with_format(query, TSV_FORMAT))
+        return iter_tsv_blocks(stream, lossy_uint64=lossy_uint64)
+
+    def execute_csv_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT CSVWithNamesAndTypes`` — the
+        fifth wire format (text interop; see native/textformats.py)."""
+        from ..native.textformats import CSV_FORMAT, iter_csv_blocks
+
+        stream = self._request(self._with_format(query, CSV_FORMAT))
+        return iter_csv_blocks(stream, lossy_uint64=lossy_uint64)
+
     def insert_native(self, table: str, payload: bytes) -> None:
         """INSERT via Native-format body (the write path the reference
         lacks)."""
@@ -199,6 +215,34 @@ class ClickHouseHTTPClient:
         rows = write_jsoncompact(buf, batches, ch_types)
         self._request(
             f"INSERT INTO {table} FORMAT {JSONEACHROW_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_tsv_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a TabSeparatedWithNamesAndTypes body — the write
+        half of the fourth wire format."""
+        import io as _io
+
+        from ..native.textformats import TSV_FORMAT, write_tsv
+
+        buf = _io.BytesIO()
+        rows = write_tsv(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {TSV_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_csv_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a CSVWithNamesAndTypes body — the write half of
+        the fifth wire format."""
+        import io as _io
+
+        from ..native.textformats import CSV_FORMAT, write_csv
+
+        buf = _io.BytesIO()
+        rows = write_csv(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {CSV_FORMAT}", body=buf.getvalue()
         ).read()
         return rows
 

@@ -63,6 +63,14 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                         )
 
                         block_iter = _ijb(io.BytesIO(body))
+                    elif "TABSEPARATED" in q.upper():
+                        from ..native.textformats import iter_tsv_blocks as _itb
+
+                        block_iter = _itb(io.BytesIO(body))
+                    elif "FORMAT CSV" in q.upper():
+                        from ..native.textformats import iter_csv_blocks as _icb
+
+                        block_iter = _icb(io.BytesIO(body))
                     else:
                         block_iter = iter_blocks(io.BytesIO(body))
                     import pyarrow as _pa
@@ -96,6 +104,12 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                 elif q.endswith("FORMAT JSONCompactEachRowWithNamesAndTypes"):
                     q = q[: -len("FORMAT JSONCompactEachRowWithNamesAndTypes")]
                     fmt = "jsoneachrow"
+                elif q.endswith("FORMAT TabSeparatedWithNamesAndTypes"):
+                    q = q[: -len("FORMAT TabSeparatedWithNamesAndTypes")]
+                    fmt = "tsv"
+                elif q.endswith("FORMAT CSVWithNamesAndTypes"):
+                    q = q[: -len("FORMAT CSVWithNamesAndTypes")]
+                    fmt = "csv"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
@@ -121,6 +135,14 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                         from ..native.rowbinary import write_rowbinary
 
                         write_rowbinary(out, batches)
+                    elif fmt == "tsv":
+                        from ..native.textformats import write_tsv
+
+                        write_tsv(out, batches)
+                    elif fmt == "csv":
+                        from ..native.textformats import write_csv
+
+                        write_csv(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

@@ -102,10 +102,12 @@ class ClickHouseScanReader(DataSourceReader):
             raise ValueError("clickhouse_scan requires a 'query' (or 'table') option")
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
         self.wire_format = str(options.get("wire_format", "native")).lower()
-        if self.wire_format not in ("native", "rowbinary", "jsoneachrow"):
+        if self.wire_format not in (
+            "native", "rowbinary", "jsoneachrow", "tsv", "csv"
+        ):
             raise ValueError(
-                f"wire_format must be 'native', 'rowbinary' or "
-                f"'jsoneachrow', got {self.wire_format!r}"
+                f"wire_format must be 'native', 'rowbinary', "
+                f"'jsoneachrow', 'tsv' or 'csv', got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -143,6 +145,14 @@ class ClickHouseScanReader(DataSourceReader):
                     )
                 elif self.wire_format == "jsoneachrow":
                     blocks = client.execute_jsoneachrow_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "tsv":
+                    blocks = client.execute_tsv_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "csv":
+                    blocks = client.execute_csv_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
                     )
                 else:
@@ -222,10 +232,12 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             raise ValueError("clickhouse_scan write requires a 'table' option")
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
         self.wire_format = str(options.get("wire_format", "native")).lower()
-        if self.wire_format not in ("native", "rowbinary", "jsoneachrow"):
+        if self.wire_format not in (
+            "native", "rowbinary", "jsoneachrow", "tsv", "csv"
+        ):
             raise ValueError(
-                f"wire_format must be 'native', 'rowbinary' or "
-                f"'jsoneachrow', got {self.wire_format!r}"
+                f"wire_format must be 'native', 'rowbinary', "
+                f"'jsoneachrow', 'tsv' or 'csv', got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -243,6 +255,10 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             insert = client.insert_rowbinary_batches
         elif self.wire_format == "jsoneachrow":
             insert = client.insert_jsoneachrow_batches
+        elif self.wire_format == "tsv":
+            insert = client.insert_tsv_batches
+        elif self.wire_format == "csv":
+            insert = client.insert_csv_batches
         else:
             insert = client.insert_batches
         try:

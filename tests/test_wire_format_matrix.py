@@ -113,3 +113,28 @@ def test_formats_agree_under_split_read(spark, wide_mock):
     assert len(native) == 200
     assert _norm(load("rowbinary").collect()) == native
     assert _norm(load("jsoneachrow").collect()) == native
+
+
+def test_five_formats_agree_without_arrays(spark, wide_mock):
+    """TSV/CSV reject Array (nested-escaping swamp -> FORMAT Native
+    pointer), so the five-way differential runs on the scalar matrix —
+    still covering unicode/quote/newline strings, NULLs, Inf/NaN,
+    decimals, dates and microsecond timestamps."""
+    cols = "t8, s16, i32, i64, u8, u16, u32, f32, f64, s, b, d, ts, dec"
+
+    def load(fmt):
+        return (
+            spark.read.format("clickhouse_scan")
+            .option("query", f"SELECT {cols} FROM wide")
+            .option("url", wide_mock)
+            .option("wire_format", fmt)
+            .load()
+        )
+
+    native = _norm(load("native").collect())
+    assert len(native) == 200
+    flat = [v for row in native for v in row]
+    assert "NaN" in flat and float("inf") in flat and "héllo→世界" in flat
+    assert "line\nbreak" in flat and None in flat
+    for fmt in ("rowbinary", "jsoneachrow", "tsv", "csv"):
+        assert _norm(load(fmt).collect()) == native, fmt
