@@ -440,69 +440,62 @@ class Query:
 #     alphabetical) as fit the remaining slots; the r6 remainder and
 #     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
-    # ROUND-9 WINDOW, executing the r8 pinned plan + this round's
-    # changed paths (tools/window_plan.py at round open: 18 never
-    # graded, freshness OK, oldest cohort r5x19 then r6x43).
-    # never driver-graded (highest-priority class)
-    "dedup_substring_spans_twophase",
-    "asof_join_nearest_tolerance",
-    "events_summing_merge",
-    "events_sequence_count",
-    "events_histogram",
-    "join_time_window_binned",
-    "events_uniq_upto",
-    "events_delta_sum",
-    "group_with_totals",
-    "multimodal_real_decode",
-    "events_heavy_hitters",
-    "events_heavy_hitters_weighted",
-    "text_ngram_vocab",
-    "sample_domain_cap",
-    "sim_int8_recall",
-    "sim_topk_int8",
-    "stream_heavy_hitters",
-    "stream_replacing_merge",
-    "text_bpe_merge_stats",
-    "multimodal_audio_decode",
-    "scan_remote_rowbinary",
-    "scan_remote_jsoneachrow",
-    "events_topk_values",
-    "events_minmax_map",
-    "events_running_difference",
-    "events_limit_by",
-    "docs_left_array_join",
-    "dict_get_region",
-    "events_sum_map",
-    "agg_sum_array_combinator",
-    "multimodal_audio_features",
-    # changed-path re-proofs (round 9): as-of probe cache + persist
-    # rebind, scan-client retry/pool + ZSTD wire, PQ limit-pushed
-    # codebook, substring tail refactor
-    "asof_join_events_orders",
-    "asof_join_forward_tolerance",
-    "asof_join_window",
-    "scan_tcp_agg",
-    "scan_tcp_split",
-    "scan_tcp_write_roundtrip",
-    "scan_remote_agg",
-    "scan_remote_split",
-    "sim_topk_pq_fast",
-    "dedup_substring_spans",
-    "q1_pricing_summary",
-    "dedup_simhash",
-    "agg_global",
-    # r5-green cohort (oldest evidence tier), alphabetical
-    "q22_sales_opportunity",
-    "q4_order_priority",
-    "q8_market_share",
-    "sample_mixture_temperature",
-    "sample_stratified",
-    "select_importance_target",
-    # (shard_assignment, skew_salted_agg, stream_dedup_keys,
-    # window_time_range_frame rotated to round 10 when the four new
-    # round-9 entries — scan_remote_jsoneachrow, events_topk_values,
-    # events_minmax_map, events_running_difference — joined the
-    # never-graded head)
+    # ROUND-9 WINDOW, final update after the late-round additions
+    # (tools/window_plan.py regenerated: 42 never-graded lead — the 31
+    # earlier-round rows plus this tranche's interval-analytics/
+    # PASTE/boundingRatio/avgWeighted/TSV/CSV entries — then 8 slots
+    # of the r5-green oldest-evidence cohort; the r5 remainder and r6
+    # cohort rotate into round 10):
+    "dedup_substring_spans_twophase",  # NEVER GRADED
+    "asof_join_nearest_tolerance",  # NEVER GRADED
+    "events_summing_merge",  # NEVER GRADED
+    "events_sequence_count",  # NEVER GRADED
+    "events_histogram",  # NEVER GRADED
+    "join_time_window_binned",  # NEVER GRADED
+    "events_uniq_upto",  # NEVER GRADED
+    "events_delta_sum",  # NEVER GRADED
+    "group_with_totals",  # NEVER GRADED
+    "multimodal_real_decode",  # NEVER GRADED
+    "events_heavy_hitters",  # NEVER GRADED
+    "events_heavy_hitters_weighted",  # NEVER GRADED
+    "text_ngram_vocab",  # NEVER GRADED
+    "sample_domain_cap",  # NEVER GRADED
+    "sim_int8_recall",  # NEVER GRADED
+    "sim_topk_int8",  # NEVER GRADED
+    "stream_heavy_hitters",  # NEVER GRADED
+    "stream_replacing_merge",  # NEVER GRADED
+    "text_bpe_merge_stats",  # NEVER GRADED
+    "multimodal_audio_decode",  # NEVER GRADED
+    "scan_remote_rowbinary",  # NEVER GRADED
+    "scan_remote_jsoneachrow",  # NEVER GRADED
+    "events_topk_values",  # NEVER GRADED
+    "events_minmax_map",  # NEVER GRADED
+    "events_running_difference",  # NEVER GRADED
+    "events_limit_by",  # NEVER GRADED
+    "docs_left_array_join",  # NEVER GRADED
+    "dict_get_region",  # NEVER GRADED
+    "events_sum_map",  # NEVER GRADED
+    "agg_sum_array_combinator",  # NEVER GRADED
+    "multimodal_audio_features",  # NEVER GRADED
+    "join_paste_leaderboards",  # NEVER GRADED
+    "events_bounding_ratio",  # NEVER GRADED
+    "agg_avg_weighted",  # NEVER GRADED
+    "scan_remote_tsv",  # NEVER GRADED
+    "scan_remote_csv",  # NEVER GRADED
+    "events_max_intersections",  # NEVER GRADED
+    "events_interval_length_sum",  # NEVER GRADED
+    "events_moving_sum",  # NEVER GRADED
+    "events_exp_moving_avg",  # NEVER GRADED
+    "events_lttb_downsample",  # NEVER GRADED
+    "events_sequence_next_node",  # NEVER GRADED
+    "q22_sales_opportunity",  # green r5
+    "q4_order_priority",  # green r5
+    "q8_market_share",  # green r5
+    "sample_mixture_temperature",  # green r5
+    "sample_stratified",  # green r5
+    "select_importance_target",  # green r5
+    "shard_assignment",  # green r5
+    "skew_salted_agg",  # green r5
 ]
 
 
