@@ -90,6 +90,16 @@ AUDIT = [
     "events_topk_values",
     "events_minmax_map",
     "events_running_difference",
+    # round-9 late-tranche additions (interval analytics + compat)
+    "events_max_intersections",
+    "events_interval_length_sum",
+    "events_sequence_next_node",
+    "events_moving_sum",
+    "events_exp_moving_avg",
+    "events_lttb_downsample",
+    "join_paste_leaderboards",
+    "events_bounding_ratio",
+    "agg_avg_weighted",
     # round-5 production twins (broadcast-numpy mapInPandas forms)
     "kmeans_fast",
     "sim_topk_pq_fast",
