@@ -441,11 +441,12 @@ class Query:
 #     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
     # ROUND-9 WINDOW, final update after the late-round additions
-    # (tools/window_plan.py regenerated: 42 never-graded lead — the 31
-    # earlier-round rows plus this tranche's interval-analytics/
-    # PASTE/boundingRatio/avgWeighted/TSV/CSV entries — then 8 slots
-    # of the r5-green oldest-evidence cohort; the r5 remainder and r6
-    # cohort rotate into round 10):
+    # (tools/window_plan.py regenerated: the 44 never-graded lead —
+    # earlier-round rows plus this tranche's interval analytics,
+    # PASTE/boundingRatio/avgWeighted, TSV/CSV, the skew-immune
+    # two-phase sweep and the streaming interval-union twin — then 6
+    # slots of the r5-green oldest-evidence cohort; the remainder
+    # rotates into round 10):
     "dedup_substring_spans_twophase",  # NEVER GRADED
     "asof_join_nearest_tolerance",  # NEVER GRADED
     "events_summing_merge",  # NEVER GRADED
@@ -488,14 +489,14 @@ GRADING_WINDOW = [
     "events_exp_moving_avg",  # NEVER GRADED
     "events_lttb_downsample",  # NEVER GRADED
     "events_sequence_next_node",  # NEVER GRADED
+    "events_max_intersections_twophase",  # NEVER GRADED
+    "stream_interval_union",  # NEVER GRADED
     "q22_sales_opportunity",  # green r5
     "q4_order_priority",  # green r5
     "q8_market_share",  # green r5
     "sample_mixture_temperature",  # green r5
     "sample_stratified",  # green r5
     "select_importance_target",  # green r5
-    "shard_assignment",  # green r5
-    "skew_salted_agg",  # green r5
 ]
 
 

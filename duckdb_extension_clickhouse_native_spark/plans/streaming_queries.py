@@ -728,3 +728,114 @@ REGISTRY.df_query(
         "result == batch minhash_lsh_sql exactly"
     ),
 )
+
+
+def _stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming interval-union index == batch intervalLengthSum: each
+    user's state is their MERGED island list (sorted starts/ends
+    arrays); every micro-batch folds its new closed-open intervals in
+    and emits a (seen, covered_us, n_islands) snapshot.  Interval
+    union is a SET operation, so the final state is arrival-order
+    independent — the snapshot with the max ``seen`` counter per user
+    must hash-match the batch gaps-and-islands oracle exactly.
+
+    100 TB posture: state per user is the disjoint-island list
+    (bounded by interval count, typically far smaller after merging);
+    a production deploy would add watermark-driven finalization of
+    closed islands — same code path, smaller state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.events_stream import read_events_stream_parts
+
+    events = read_events_stream_parts(spark, sf_dir)
+    iv = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 100).cast("long") * 1_000_000
+        ).alias("e"),
+    )
+
+    def merge_islands(key, pdf_iter, state: GroupState):
+        if state.exists:
+            starts, ends, seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+            islands = list(zip(starts, ends))
+        else:
+            islands, seen = [], 0
+        new = []
+        for pdf in pdf_iter:
+            new.extend(zip(pdf["s"].tolist(), pdf["e"].tolist()))
+        if new:
+            merged: list = []
+            for s, e in sorted(islands + new):
+                # s <= prev max e merges (touching endpoints merge) —
+                # the batch template's `s > prev_max_e` island rule
+                if merged and s <= merged[-1][1]:
+                    if e > merged[-1][1]:
+                        merged[-1] = (merged[-1][0], e)
+                else:
+                    merged.append((s, e))
+            islands = merged
+            seen += len(new)
+        state.update(
+            ([s for s, _ in islands], [e for _, e in islands], seen)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seen": [seen],
+                "covered_us": [sum(e - s for s, e in islands)],
+                "n_islands": [len(islands)],
+            }
+        )
+
+    upd = iv.groupBy("user_id").applyInPandasWithState(
+        merge_islands,
+        outputStructType=(
+            "user_id bigint, seen bigint, covered_us bigint, n_islands bigint"
+        ),
+        stateStructType=(
+            "starts array<bigint>, ends array<bigint>, seen bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(upd, "append")
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("seen", "covered_us", "n_islands")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.covered_us").alias("covered_us"),
+            F.col("m.n_islands").alias("n_islands"),
+        )
+        .orderBy("user_id")
+    )
+
+
+REGISTRY.df_query(
+    "stream_interval_union",
+    _stream_interval_union,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.plans.timeseries",
+        fromlist=["_INTERVAL_LENGTH_SUM_TEMPLATE", "_IV_DUCK"],
+    )._INTERVAL_LENGTH_SUM_TEMPLATE.format(
+        IV=__import__(
+            "duckdb_extension_clickhouse_native_spark.plans.timeseries",
+            fromlist=["_IV_DUCK"],
+        )._IV_DUCK
+    ),
+    tags=["streaming", "interval", "applyInPandasWithState"],
+    description=(
+        "streaming interval-union index: per-user merged-island state "
+        "across micro-batches; final covered length == batch "
+        "intervalLengthSum exactly (set semantics, order independent)"
+    ),
+)

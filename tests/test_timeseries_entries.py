@@ -165,3 +165,97 @@ def test_sequence_next_node_null_and_absent_arms(spark, tmp_path):
         for r in REGISTRY.all()["events_sequence_next_node"].build(spark, d).collect()
     }
     assert got == {1: "purchase", 2: None, 4: "click", 5: "view"}
+
+
+def test_max_intersections_twophase_equals_single_window(spark, tmp_path):
+    """The skew-immune two-phase scan must reproduce the single-window
+    sweep exactly on the hostile fixture (touching endpoints, exact
+    duplicates) — two algorithms, one answer."""
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    sec = 1_000_000
+    rows = [
+        (1, 0 * sec, 1, "a", 0.10),
+        (2, 5 * sec, 1, "a", 0.10),
+        (3, 10 * sec, 2, "a", 0.10),
+        (4, 0, 3, "b", 0.01),
+        (5, 0, 3, "b", 0.01),
+        (6, 0, 4, "b", 0.01),
+        # a chunk-boundary prober: long interval spanning many chunks
+        (7, 0, 5, "c", 400.00),
+        (8, 20_000 * sec, 5, "c", 0.01),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    single = sorted(
+        tuple(r)
+        for r in REGISTRY.all()["events_max_intersections"].build(spark, d).collect()
+    )
+    twophase = sorted(
+        tuple(r)
+        for r in REGISTRY.all()["events_max_intersections_twophase"]
+        .build(spark, d)
+        .collect()
+    )
+    assert single == twophase
+
+
+def _write_events_us(tmp_path, rows):
+    """Like _write_events but written via pyarrow with timestamp[us]
+    — the driver testdata layout.  (A Spark-written fixture would
+    round-trip INT96 -> pyarrow ns -> a TIMESTAMP(NANOS) part file the
+    stream reader cannot map back to TimestampType.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "evt_us")
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [_BASE_US + r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, d + "/events.parquet")
+    return d
+
+
+def test_stream_interval_union_matches_batch_on_hostile_fixture(spark, tmp_path):
+    """The streaming merged-island state must equal the batch
+    gaps-and-islands result when intervals straddle micro-batches
+    (the stream splits the fixture into 4 parts)."""
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    sec = 1_000_000
+    rows = [
+        (1, 0 * sec, 1, "a", 0.10),
+        (2, 5 * sec, 1, "a", 0.07),
+        (3, 20 * sec, 1, "a", 0.10),
+        (4, 22 * sec, 1, "a", 0.03),
+        (5, 30 * sec, 1, "a", 0.01),
+        (6, 0 * sec, 2, "a", 0.05),
+        (7, 0 * sec, 2, "a", 0.05),
+        (8, 100 * sec, 2, "a", 0.01),
+    ]
+    d = _write_events_us(tmp_path, rows)
+    batch = sorted(
+        tuple(r)
+        for r in REGISTRY.all()["events_interval_length_sum"]
+        .build(spark, d)
+        .collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in REGISTRY.all()["stream_interval_union"].build(spark, d).collect()
+    )
+    assert stream == batch
+    assert batch[0][1] == 23 * sec  # merged-touching second island

@@ -97,6 +97,7 @@ AUDIT = [
     "events_moving_sum",
     "events_exp_moving_avg",
     "events_lttb_downsample",
+    "events_max_intersections_twophase",
     "join_paste_leaderboards",
     "events_bounding_ratio",
     "agg_avg_weighted",
