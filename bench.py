@@ -68,6 +68,7 @@ def main() -> None:
         sources,
         stats,
         streaming_queries,
+        timeseries,
         tpch,
     )
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
@@ -204,6 +205,17 @@ def main() -> None:
         "events_topk_values",
         "events_minmax_map",
         "events_running_difference",
+        # late-tranche interval analytics + compat
+        "events_max_intersections",
+        "events_max_intersections_twophase",
+        "events_interval_length_sum",
+        "events_moving_sum",
+        "events_exp_moving_avg",
+        "events_lttb_downsample",
+        "events_sequence_next_node",
+        "events_bounding_ratio",
+        "agg_avg_weighted",
+        "join_paste_leaderboards",
     ]
     r9_ops, r9_total = run_tier(r9_names)
 
