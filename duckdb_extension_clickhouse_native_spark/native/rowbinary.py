@@ -10,6 +10,11 @@ with values in column order. Per value:
 * String — LEB128 length + UTF-8 bytes; FixedString(n) — n raw bytes;
 * Nullable(T) — one flag byte (1 = NULL, no value bytes follow);
 * Array(T) — LEB128 size + elements;
+* Map(K, V) — LEB128 size + key/value pairs;
+* Tuple(T1, ..., Tn) — the element values concatenated;
+* LowCardinality(T) — values written PLAIN (the dictionary encoding is
+  a Native-format concern; RowBinary is transparent per the public
+  format docs), so support is a bare unwrap to the inner type;
 * Decimal(p,s) — little-endian signed integer of 4/8/16 bytes by
   precision.
 
@@ -18,10 +23,7 @@ except when every column is fixed-width and non-nullable, where one
 numpy structured-dtype view decodes the whole body vectorized (the
 fast path). Native remains the full-fidelity, column-vectorized
 format; this module exists for interop with the second-most-common
-ClickHouse interchange format and intentionally rejects types whose
-RowBinary layout we have not pinned against a real server
-(Map/Tuple/LowCardinality) with a clear message pointing at
-FORMAT Native.
+ClickHouse interchange format.
 
 Reference surface: the reference reads FORMAT Native only
 (clickhouse_scan.rs:131); this is beyond-reference interop.
@@ -52,6 +54,13 @@ def _check_supported(t: CHType) -> None:
         return
     if b == "Array" and t.inner is not None:
         _check_supported(t.inner)
+        return
+    if b == "LowCardinality" and t.inner is not None:
+        _check_supported(t.inner)
+        return
+    if b in ("Map", "Tuple") and t.tuple_items:
+        for it in t.tuple_items:
+            _check_supported(it)
         return
     raise UnsupportedTypeError(
         f"RowBinary support for {t.name} is not implemented — use "
@@ -129,6 +138,21 @@ def _read_value(buf: BinaryIO, t: CHType):
     if b == "Array":
         n = read_varuint(buf)
         return [_read_value(buf, t.inner) for _ in range(n)]
+    if b == "Map":
+        kt, vt = t.tuple_items
+        n = read_varuint(buf)
+        return [
+            (_read_value(buf, kt), _read_value(buf, vt)) for _ in range(n)
+        ]
+    if b == "Tuple":
+        # arrow struct fields are named _1.._n (types.to_arrow)
+        return {
+            f"_{i + 1}": _read_value(buf, it)
+            for i, it in enumerate(t.tuple_items)
+        }
+    if b == "LowCardinality":
+        # transparent in RowBinary: values travel plain
+        return _read_value(buf, t.inner)
     raise UnsupportedTypeError(t.name)
 
 
@@ -207,6 +231,26 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
         write_varuint(buf, len(val))
         for item in val:
             _write_value(buf, t.inner, item)
+        return
+    if b == "Map":
+        kt, vt = t.tuple_items
+        # arrow map_ cells arrive as [(k, v), ...]; dicts also accepted
+        items = list(val.items()) if isinstance(val, dict) else list(val)
+        write_varuint(buf, len(items))
+        for k, v in items:
+            _write_value(buf, kt, k)
+            _write_value(buf, vt, v)
+        return
+    if b == "Tuple":
+        # arrow struct cells arrive as ordered dicts (field names vary
+        # by source — '_1'.. from this codec, original names from
+        # arbitrary arrow structs); tuples also accepted.  Positional.
+        vals = list(val.values()) if isinstance(val, dict) else list(val)
+        for it, v in zip(t.tuple_items, vals):
+            _write_value(buf, it, v)
+        return
+    if b == "LowCardinality":
+        _write_value(buf, t.inner, val)
         return
     raise UnsupportedTypeError(t.name)
 
@@ -401,4 +445,14 @@ def _to_wire(val, t: CHType):
         return (val - datetime.date(1970, 1, 1)).days
     if isinstance(val, list) and t.base == "Array":
         return [_to_wire(v, t.inner) for v in val]
+    if t.base == "Map" and isinstance(val, (list, dict)):
+        kt, vt = t.tuple_items
+        items = list(val.items()) if isinstance(val, dict) else list(val)
+        return [(_to_wire(k, kt), _to_wire(v, vt)) for k, v in items]
+    if t.base == "Tuple" and isinstance(val, (dict, tuple, list)):
+        vals = list(val.values()) if isinstance(val, dict) else list(val)
+        return {
+            f"_{i + 1}": _to_wire(v, it)
+            for i, (it, v) in enumerate(zip(t.tuple_items, vals))
+        }
     return val

@@ -352,6 +352,11 @@ def from_arrow(dt: pa.DataType) -> CHType:
         t.inner = from_arrow(dt.value_type)
         t.params = t.inner.name
         return t
+    if pa.types.is_struct(dt):
+        t = CHType("Tuple")
+        t.tuple_items = [from_arrow(dt.field(i).type) for i in range(dt.num_fields)]
+        t.params = ", ".join(it.name for it in t.tuple_items)
+        return t
     if pa.types.is_binary(dt) or pa.types.is_large_binary(dt):
         return CHType("String")
     raise UnsupportedTypeError(f"cannot write arrow type {dt}")

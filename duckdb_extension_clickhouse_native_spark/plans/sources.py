@@ -679,6 +679,53 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_rowbinary_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map/Tuple/LowCardinality joined the RowBinary matrix in round 9:
+    # this drives a MAP + STRUCT result through the full Spark
+    # DataSource over the rowbinary wire (schema probe is FORMAT
+    # Native, so the struct field arrives as _1), then unpacks to
+    # scalars for hash-stable grading (the r5 array-cell trap)
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+    from pyspark.sql import functions as F
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT n_nationkey, MAP(['k'], [n_regionkey]) AS m, "
+            "{'a': n_name} AS t FROM nation",
+        )
+        .option("url", url)
+        .option("wire_format", "rowbinary")
+        .load()
+    )
+    return (
+        df.select(
+            "n_nationkey",
+            F.element_at(F.col("m"), "k").alias("m_k"),
+            F.col("t._1").alias("t_a"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_rowbinary_nested",
+    _scan_remote_rowbinary_nested,
+    oracle="""
+    SELECT n_nationkey, n_regionkey AS m_k, n_name AS t_a
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=["source", "scan", "rowbinary", "nested", "interop"],
+    description="clickhouse_scan over RowBinary with Map + Tuple "
+    "columns (round-9 matrix completion; unpacked to scalars for "
+    "grading)",
+)
+
+
 def _scan_remote_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JDBC-style split read: 4 range-partitioned fetches of one remote
     # query (the reference is strictly single-stream, README.md:51)

@@ -67,9 +67,16 @@ def test_recorded_bytes_decode():
 
 
 def test_unsupported_type_names_native_path():
-    bad = v(1) + s("m") + s("Map(String, Int64)")
+    # Map/Tuple/LowCardinality joined the matrix in round 9; the
+    # reject-with-FORMAT-Native-pointer path now guards only types the
+    # parser can produce but this codec has no layout for
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        _check_supported,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import CHType
+
     with pytest.raises(UnsupportedTypeError, match="Native"):
-        list(iter_rowbinary_blocks(io.BytesIO(bad)))
+        _check_supported(CHType("AggregateFunction"))
 
 
 def test_uuid_and_ip_recorded_bytes():
@@ -202,3 +209,121 @@ def test_rowbinary_insert_roundtrip(spark, mock_ch_server):
         for rb in batches:
             rows.extend(zip(rb.column("x").to_pylist(), rb.column("name").to_pylist()))
     assert sorted(rows) == [(10, "a"), (20, "b"), (30, "c")]
+
+
+# -- Map / Tuple / LowCardinality (round-9 completion of the matrix) --------
+
+
+def _b(*parts) -> bytes:
+    out = b""
+    for p in parts:
+        out += p if isinstance(p, bytes) else bytes(p)
+    return out
+
+
+def _s(text: str) -> bytes:
+    raw = text.encode()
+    return bytes([len(raw)]) + raw
+
+
+RECORDED_NESTED = _b(
+    [3],  # column count
+    _s("m"), _s("t"), _s("lc"),
+    _s("Map(String, Int32)"),
+    _s("Tuple(Int32, String)"),
+    _s("LowCardinality(String)"),
+    # row 1: m={a:1, bb:2}, t=(7,'x'), lc='hello'
+    [2], _s("a"), (1).to_bytes(4, "little"), _s("bb"), (2).to_bytes(4, "little"),
+    (7).to_bytes(4, "little"), _s("x"),
+    _s("hello"),
+    # row 2: m={}, t=(-1,''), lc='hello'
+    [0],
+    (-1).to_bytes(4, "little", signed=True), _s(""),
+    _s("hello"),
+)
+
+
+def test_recorded_nested_decode():
+    """Hand-authored bytes pin the Map (LEB128 size + pairs), Tuple
+    (concatenated values) and LowCardinality (plain values — the
+    dictionary is a Native-format concern) RowBinary layouts."""
+    import io
+
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        iter_rowbinary_blocks,
+    )
+
+    rb = list(iter_rowbinary_blocks(io.BytesIO(RECORDED_NESTED)))[0].to_record_batch()
+    assert rb.column("m").to_pylist() == [[("a", 1), ("bb", 2)], []]
+    assert rb.column("t").to_pylist() == [
+        {"_1": 7, "_2": "x"},
+        {"_1": -1, "_2": ""},
+    ]
+    assert rb.column("lc").to_pylist() == ["hello", "hello"]
+
+
+def test_nested_roundtrip():
+    import io
+
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        iter_rowbinary_blocks,
+        write_rowbinary,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+
+    types = [
+        parse_type("Map(String, Int64)"),
+        parse_type("Tuple(Int64, String)"),
+        parse_type("LowCardinality(String)"),
+        parse_type("Array(Map(String, Int64))"),
+    ]
+    m = pa.array(
+        [[("k", 1)], [], [("a", -5), ("b", 7)]],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    t = pa.array(
+        [{"_1": 1, "_2": "a"}, {"_1": 2, "_2": ""}, {"_1": -3, "_2": "z"}],
+        type=pa.struct([("_1", pa.int64()), ("_2", pa.string())]),
+    )
+    lc = pa.array(["x", "x", "y"])
+    am = pa.array(
+        [[[("q", 9)]], [], [[("r", 1)], [("s", 2)]]],
+        type=pa.list_(pa.map_(pa.string(), pa.int64())),
+    )
+    batch = pa.RecordBatch.from_arrays([m, t, lc, am], names=["m", "t", "lc", "am"])
+    buf = io.BytesIO()
+    write_rowbinary(buf, [batch], types)
+    buf.seek(0)
+    out = list(iter_rowbinary_blocks(buf))[0].to_record_batch()
+    assert out.column("m").to_pylist() == m.to_pylist()
+    assert out.column("t").to_pylist() == t.to_pylist()
+    assert out.column("lc").to_pylist() == lc.to_pylist()
+    assert out.column("am").to_pylist() == am.to_pylist()
+
+
+def test_nested_fetch_via_mock(mock_ch_server):
+    """Client-level fetch of MAP/STRUCT columns over FORMAT
+    RowBinaryWithNamesAndTypes (DuckDB arrow -> from_arrow Map/Tuple
+    derivation on the mock's write side, this codec on the read side)."""
+    from duckdb_extension_clickhouse_native_spark.sources.http_client import (
+        ClickHouseHTTPClient,
+        resolve_connection,
+    )
+
+    client = ClickHouseHTTPClient(
+        resolve_connection({"url": mock_ch_server["url"]})
+    )
+    blocks = list(
+        client.execute_rowbinary_blocks(
+            "SELECT i, MAP(['a'], [i]) AS m, {'x': i, 'y': 'v'} AS t "
+            "FROM typed WHERE i < 3 ORDER BY i"
+        )
+    )
+    rb = blocks[0].to_record_batch()
+    assert rb.column("i").to_pylist() == [0, 1, 2]
+    assert rb.column("m").to_pylist() == [[("a", 0)], [("a", 1)], [("a", 2)]]
+    assert [tuple(d.values()) for d in rb.column("t").to_pylist()] == [
+        (0, "v"), (1, "v"), (2, "v"),
+    ]
