@@ -1118,29 +1118,67 @@ def _default_fill(dt: pa.DataType):
     return 0
 
 
+def _nn(t: CHType) -> str:
+    """Render a (possibly Nullable) type name — CHType.name does not
+    self-wrap, the writer does."""
+    return f"Nullable({t.name})" if t.nullable else t.name
+
+
+def _promote_nullable(t: CHType, arr: pa.Array) -> CHType:
+    """Effective DECLARED type for a write: promote nullability — at
+    every nesting level — from the actual null counts, so the type
+    string always matches the mask bytes encode_column emits.  (A
+    null-bearing Tuple/Array/Map CHILD used to desync the stream: the
+    recursion wrote the child's Nullable mask while the header still
+    declared the plain type.)"""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    b = t.base
+    if b == "LowCardinality":
+        eff = CHType(**{**t.__dict__})
+        if arr.null_count > 0 and t.inner is not None and not t.inner.nullable:
+            eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
+        return eff
+    if b == "Map" and t.tuple_items and pa.types.is_map(arr.type):
+        kt = t.tuple_items[0]  # CH map keys are non-nullable
+        vt = _promote_nullable(t.tuple_items[1], arr.items)
+        eff = CHType(**{**t.__dict__})
+        eff.tuple_items = [kt, vt]
+        eff.params = f"{_nn(kt)}, {_nn(vt)}"
+        return eff
+    if b == "Tuple" and t.tuple_items and pa.types.is_struct(arr.type):
+        items = [
+            _promote_nullable(it, arr.field(i))
+            for i, it in enumerate(t.tuple_items)
+        ]
+        eff = CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
+        eff.tuple_items = items
+        eff.params = ", ".join(_nn(it) for it in items)
+        return eff
+    if b == "Array" and t.inner is not None and pa.types.is_list(arr.type):
+        eff = CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
+        eff.inner = _promote_nullable(t.inner, arr.flatten())
+        return eff
+    return CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
+
+
 def write_block(buf: BinaryIO, batch: pa.RecordBatch, ch_types: list[CHType]) -> None:
     """Write one Native block. The declared type string always matches
-    the payload: a null-bearing column is promoted to ``Nullable(T)``
-    (the mask encode_column emits) — or, for LowCardinality, to
+    the payload: null-bearing columns are promoted to ``Nullable(T)``
+    recursively (``_promote_nullable``) — or, for LowCardinality, to
     ``LowCardinality(Nullable(T))`` since Nullable may not wrap LC."""
     write_varuint(buf, batch.num_columns)
     write_varuint(buf, batch.num_rows)
     for i in range(batch.num_columns):
         t = ch_types[i]
         col = batch.column(i)
-        if t.base == "LowCardinality":
-            eff = t
-            if col.null_count > 0 and t.inner is not None and not t.inner.nullable:
-                eff = CHType(**{**t.__dict__})
-                eff.inner = CHType(**{**t.inner.__dict__, "nullable": True})
-            name = eff.name
-        elif t.base == "Map":
-            eff = t  # Nullable(Map) is not a ClickHouse type
+        eff = _promote_nullable(t, col)
+        if eff.base in ("LowCardinality", "Map"):
+            # Nullable may wrap neither (Map nulls round-trip as empty
+            # maps; LC nulls live inside the dictionary)
             name = eff.name
         else:
-            nullable = t.nullable or col.null_count > 0
-            eff = CHType(**{**t.__dict__, "nullable": nullable})
-            name = f"Nullable({eff.name})" if nullable else eff.name
+            name = _nn(eff)
         write_str(buf, batch.schema.names[i])
         write_str(buf, name)
         encode_column(buf, eff, col)

@@ -22,6 +22,10 @@ this module pins (and accepts the non-default spellings on input):
   UTC, matching the engine's Native-path pin;
 * Enum values travel as their NAME strings (numeric bodies are also
   accepted on read and resolved through the declared enum map);
+* Map travels as a JSON object (non-string keys are stringified, the
+  server convention — integer keys parse back exactly); Tuple as a
+  JSON array of its elements; LowCardinality is transparent (plain
+  values);
 * Decimals are written quoted (the lossless spelling;
   ``output_format_json_quote_decimals = 1``) and read either way;
 * FixedString(n) output is NUL-padded to n — the reader strips the
@@ -32,10 +36,7 @@ JSON is the TEXT interop format — inherently the slow path (one
 format; RowBinary the binary row format. This module exists because
 JSON*EachRow is the most common ClickHouse HTTP interchange family,
 and ``WithNamesAndTypes`` is its only self-describing member — the
-same reason RowBinary got the NamesAndTypes variant. Types whose JSON
-layout we have not pinned against a real server (Map/Tuple/
-LowCardinality) are rejected with a FORMAT Native pointer, exactly
-like the RowBinary module.
+same reason RowBinary got the NamesAndTypes variant.
 
 Reference surface: the reference reads FORMAT Native only
 (clickhouse_scan.rs:131); this is beyond-reference interop.
@@ -66,8 +67,12 @@ def _check_supported(t: CHType) -> None:
         "String", "FixedString", "UUID", "IPv4", "IPv6"
     ) or b.startswith("Decimal"):
         return
-    if b == "Array" and t.inner is not None:
+    if b in ("Array", "LowCardinality") and t.inner is not None:
         _check_supported(t.inner)
+        return
+    if b in ("Map", "Tuple") and t.tuple_items:
+        for it in t.tuple_items:
+            _check_supported(it)
         return
     raise UnsupportedTypeError(
         f"JSONCompactEachRow support for {t.name} is not implemented — "
@@ -124,6 +129,20 @@ def _from_json(val, t: CHType):
         return str(val)
     if b == "Array":
         return [_from_json(v, t.inner) for v in val]
+    if b == "Map":
+        kt, vt = t.tuple_items
+        # JSON object keys are strings; integer-keyed maps parse back
+        def _key(k):
+            return _from_json(int(k) if kt.base in FIXED_WIDTH else k, kt)
+
+        return [(_key(k), _from_json(v, vt)) for k, v in val.items()]
+    if b == "Tuple":
+        return {
+            f"_{i + 1}": _from_json(v, it)
+            for i, (it, v) in enumerate(zip(t.tuple_items, val))
+        }
+    if b == "LowCardinality":
+        return _from_json(val, t.inner)
     if b in FIXED_WIDTH:  # remaining integer widths
         return int(val)
     raise UnsupportedTypeError(t.name)
@@ -143,14 +162,27 @@ def _lossy_fix(val, t: CHType):
         return _wrap_i32(val)
     if b == "Array" and t.inner is not None:
         return [_lossy_fix(v, t.inner) for v in val]
+    if b == "LowCardinality" and t.inner is not None:
+        return _lossy_fix(val, t.inner)
+    if b == "Map" and t.tuple_items:
+        kt, vt = t.tuple_items
+        return [(_lossy_fix(k, kt), _lossy_fix(v, vt)) for k, v in val]
+    if b == "Tuple" and t.tuple_items:
+        vals = list(val.values()) if isinstance(val, dict) else list(val)
+        return {
+            f"_{i + 1}": _lossy_fix(v, it)
+            for i, (it, v) in enumerate(zip(t.tuple_items, vals))
+        }
     return val
 
 
 def _col_needs_lossy(t: CHType) -> bool:
     if t.base == "UInt64":
         return True
-    if t.base == "Array" and t.inner is not None:
+    if t.base in ("Array", "LowCardinality") and t.inner is not None:
         return _col_needs_lossy(t.inner)
+    if t.base in ("Map", "Tuple") and t.tuple_items:
+        return any(_col_needs_lossy(it) for it in t.tuple_items)
     return False
 
 
@@ -207,6 +239,16 @@ def _to_json(val, t: CHType):
         return str(Decimal(str(val)).quantize(Decimal(1).scaleb(-t.scale)))
     if b == "Array":
         return [_to_json(v, t.inner) for v in val]
+    if b == "Map":
+        kt, vt = t.tuple_items
+        items = list(val.items()) if isinstance(val, dict) else list(val)
+        # JSON object keys must be strings (the server convention)
+        return {str(_to_json(k, kt)): _to_json(v, vt) for k, v in items}
+    if b == "Tuple":
+        vals = list(val.values()) if isinstance(val, dict) else list(val)
+        return [_to_json(v, it) for it, v in zip(t.tuple_items, vals)]
+    if b == "LowCardinality":
+        return _to_json(val, t.inner)
     if b in _QUOTED_INT_BASES:
         return str(int(val))  # quote_64bit_integers = 1, the default
     if b in FIXED_WIDTH:
@@ -295,12 +337,12 @@ def write_jsoncompact(
             # same nullability derivation as write_rowbinary: Nullable
             # only where nulls exist in the first batch (arrow marks
             # every field nullable by default)
-            types = []
-            for i, f in enumerate(batch.schema):
-                t = from_arrow(f.type)
-                if batch.column(i).null_count > 0:
-                    t = CHType(**{**t.__dict__, "nullable": True})
-                types.append(t)
+            from .codec import _promote_nullable
+
+            types = [
+                _promote_nullable(from_arrow(f.type), batch.column(i))
+                for i, f in enumerate(batch.schema)
+            ]
         for t in types:
             _check_supported(t)
         if not wrote_header:

@@ -400,14 +400,16 @@ def write_rowbinary(
             # arrow nullability lives on the FIELD (default true for
             # every field) — deriving Nullable(...) from it would wrap
             # every column; mark Nullable only where nulls exist in
-            # this first batch. A null in a later batch for a column
+            # this first batch, RECURSIVELY (a null-bearing Tuple/Map
+            # child must be declared Nullable too — codec
+            # _promote_nullable). A null in a later batch for a column
             # declared non-nullable fails loudly in _write_value.
-            types = []
-            for i, f in enumerate(batch.schema):
-                t = from_arrow(f.type)
-                if batch.column(i).null_count > 0:
-                    t = CHType(**{**t.__dict__, "nullable": True})
-                types.append(t)
+            from .codec import _promote_nullable
+
+            types = [
+                _promote_nullable(from_arrow(f.type), batch.column(i))
+                for i, f in enumerate(batch.schema)
+            ]
         for t in types:
             _check_supported(t)
         if not wrote_header:

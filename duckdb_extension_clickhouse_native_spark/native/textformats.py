@@ -365,14 +365,14 @@ def _derive_types(batch, ch_types: Optional[List[CHType]]) -> List[CHType]:
     if ch_types is not None:
         return ch_types
     # same nullability derivation as write_rowbinary: Nullable only
-    # where nulls exist in the first batch
-    types = []
-    for i, f in enumerate(batch.schema):
-        t = from_arrow(f.type)
-        if batch.column(i).null_count > 0:
-            t = CHType(**{**t.__dict__, "nullable": True})
-        types.append(t)
-    return types
+    # where nulls exist in the first batch (recursive, though TSV/CSV
+    # reject nested types anyway)
+    from .codec import _promote_nullable
+
+    return [
+        _promote_nullable(from_arrow(f.type), batch.column(i))
+        for i, f in enumerate(batch.schema)
+    ]
 
 
 def _write_text(

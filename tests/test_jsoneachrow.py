@@ -106,9 +106,15 @@ def test_unquoted_64bit_ints_accepted():
 
 
 def test_unsupported_type_names_native_path():
-    bad = b'["m"]\n["Map(String, Int64)"]\n'
+    # Map/Tuple/LowCardinality joined the matrix in round 9; the
+    # pointer now guards parseable-but-unpinned layouts only
+    from duckdb_extension_clickhouse_native_spark.native.jsoneachrow import (
+        _check_supported,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import CHType
+
     with pytest.raises(UnsupportedTypeError, match="Native"):
-        list(iter_jsoncompact_blocks(io.BytesIO(bad)))
+        _check_supported(CHType("AggregateFunction"))
 
 
 def test_ragged_row_rejected():
@@ -295,3 +301,60 @@ def test_trailing_blank_line_tolerated():
     ok = b'["a"]\n["Int32"]\n[1]\n\n'
     rb = list(iter_jsoncompact_blocks(io.BytesIO(ok)))[0].to_record_batch()
     assert rb.column("a").to_pylist() == [1]
+
+
+# -- Map / Tuple / LowCardinality (round-9 completion of the matrix) --------
+
+RECORDED_NESTED = b"""\
+["m","t","lc","mi"]
+["Map(String, Int64)","Tuple(Int64, String)","LowCardinality(String)","Map(Int64, String)"]
+[{"a":"1","bb":"2"},["7","x"],"hello",{"5":"v"}]
+[{},["-1",""],"hello",{}]
+"""
+
+
+def test_recorded_nested_decode():
+    """Hand-written JSON literals pin the server conventions: Map as a
+    JSON object (64-bit values still quoted; integer KEYS stringified),
+    Tuple as an array, LowCardinality transparent."""
+    blocks = list(iter_jsoncompact_blocks(io.BytesIO(RECORDED_NESTED)))
+    rb = blocks[0].to_record_batch()
+    assert rb.column("m").to_pylist() == [[("a", 1), ("bb", 2)], []]
+    assert rb.column("t").to_pylist() == [
+        {"_1": 7, "_2": "x"},
+        {"_1": -1, "_2": ""},
+    ]
+    assert rb.column("lc").to_pylist() == ["hello", "hello"]
+    assert rb.column("mi").to_pylist() == [[(5, "v")], []]
+
+
+def test_nested_roundtrip_json():
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+
+    types = [
+        parse_type("Map(String, Int64)"),
+        parse_type("Tuple(Int64, String)"),
+        parse_type("Map(Int64, Float64)"),
+    ]
+    m = pa.array(
+        [[("k", 1)], [], [("a", -5), ("b", 7)]],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    t = pa.array(
+        [{"_1": 1, "_2": "a"}, {"_1": 2, "_2": ""}, {"_1": -3, "_2": "z"}],
+        type=pa.struct([("_1", pa.int64()), ("_2", pa.string())]),
+    )
+    mi = pa.array(
+        [[(1, 0.5)], [(2, -1.25), (3, 4.0)], []],
+        type=pa.map_(pa.int64(), pa.float64()),
+    )
+    batch = pa.RecordBatch.from_arrays([m, t, mi], names=["m", "t", "mi"])
+    buf = io.BytesIO()
+    write_jsoncompact(buf, [batch], types)
+    buf.seek(0)
+    out = list(iter_jsoncompact_blocks(buf))[0].to_record_batch()
+    assert out.column("m").to_pylist() == m.to_pylist()
+    assert out.column("t").to_pylist() == t.to_pylist()
+    assert out.column("mi").to_pylist() == mi.to_pylist()

@@ -138,3 +138,37 @@ def test_five_formats_agree_without_arrays(spark, wide_mock):
     assert "line\nbreak" in flat and None in flat
     for fmt in ("rowbinary", "jsoneachrow", "tsv", "csv"):
         assert _norm(load(fmt).collect()) == native, fmt
+
+
+def test_nested_formats_agree(spark, wide_mock):
+    """Map/Tuple joined the RowBinary and JSON matrices in round 9:
+    the three structured formats must agree on nested columns
+    (unpacked to scalars in Spark — map/struct cells are unhashable
+    for the sort-based normalizer)."""
+    from pyspark.sql import functions as F
+
+    q = (
+        "SELECT i32, MAP(['a', 'b'], [i32, i32 * 2]) AS m, "
+        "{'x': i32, 'y': s} AS t FROM wide"
+    )
+
+    def load(fmt):
+        df = (
+            spark.read.format("clickhouse_scan")
+            .option("query", q)
+            .option("url", wide_mock)
+            .option("wire_format", fmt)
+            .load()
+        )
+        return df.select(
+            "i32",
+            F.element_at(F.col("m"), "a").alias("m_a"),
+            F.element_at(F.col("m"), "b").alias("m_b"),
+            F.col("t._1").alias("t_x"),
+            F.col("t._2").alias("t_y"),
+        )
+
+    native = _norm(load("native").collect())
+    assert len(native) == 200
+    assert _norm(load("rowbinary").collect()) == native
+    assert _norm(load("jsoneachrow").collect()) == native
