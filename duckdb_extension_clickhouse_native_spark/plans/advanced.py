@@ -794,3 +794,61 @@ REGISTRY.sql_query(
     "per return flag from exact DECIMAL(38,0) power sums and one IEEE "
     "division",
 )
+
+
+# GROUP BY ALL / ORDER BY ALL — the modern SQL sugar ClickHouse,
+# DuckDB and Spark all accept (identical text on both engines; ORDER
+# BY ALL sorts by every output column left-to-right in both).
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY ALL
+    ORDER BY ALL
+    """
+REGISTRY.sql_query(
+    "group_order_by_all",
+    _GROUP_BY_ALL_SQL,
+    oracle=_GROUP_BY_ALL_SQL,
+    tables=["orders"],
+    tags=["agg", "compat", "sugar"],
+    description="GROUP BY ALL + ORDER BY ALL (ClickHouse/DuckDB/Spark "
+    "shared sugar; cents-exact)",
+)
+
+# QUALIFY — Spark has no QUALIFY clause, so the Spark side is the
+# classic subquery + WHERE-on-rank translation while the ORACLE uses
+# DuckDB's literal QUALIFY: two formulations, one answer.
+REGISTRY.sql_query(
+    "window_qualify_topn",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) ranked
+    WHERE rn <= 2
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+    ) <= 2
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    tables=["orders"],
+    tags=["window", "compat", "topk"],
+    description="QUALIFY top-n per priority class: Spark subquery+rank "
+    "translation vs DuckDB's literal QUALIFY clause (independent "
+    "formulations)",
+)

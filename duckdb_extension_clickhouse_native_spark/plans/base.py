@@ -440,13 +440,10 @@ class Query:
 #     alphabetical) as fit the remaining slots; the r6 remainder and
 #     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
-    # ROUND-9 WINDOW, final update after the late-round additions
-    # (tools/window_plan.py regenerated: the 44 never-graded lead —
-    # earlier-round rows plus this tranche's interval analytics,
-    # PASTE/boundingRatio/avgWeighted, TSV/CSV, the skew-immune
-    # two-phase sweep and the streaming interval-union twin — then 6
-    # slots of the r5-green oldest-evidence cohort; the remainder
-    # rotates into round 10):
+    # ROUND-9 WINDOW, final update (tools/window_plan.py regenerated
+    # at registry 209: 47 never-graded rows lead — every addition this
+    # round — then 3 slots of the r5-green oldest-evidence cohort; the
+    # remainder rotates into round 10):
     "dedup_substring_spans_twophase",  # NEVER GRADED
     "asof_join_nearest_tolerance",  # NEVER GRADED
     "events_summing_merge",  # NEVER GRADED
@@ -491,12 +488,12 @@ GRADING_WINDOW = [
     "events_sequence_next_node",  # NEVER GRADED
     "events_max_intersections_twophase",  # NEVER GRADED
     "stream_interval_union",  # NEVER GRADED
+    "group_order_by_all",  # NEVER GRADED
+    "window_qualify_topn",  # NEVER GRADED
+    "scan_remote_rowbinary_nested",  # NEVER GRADED
     "q22_sales_opportunity",  # green r5
     "q4_order_priority",  # green r5
     "q8_market_share",  # green r5
-    "sample_mixture_temperature",  # green r5
-    "sample_stratified",  # green r5
-    "select_importance_target",  # green r5
 ]
 
 

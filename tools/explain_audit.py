@@ -101,6 +101,8 @@ AUDIT = [
     "join_paste_leaderboards",
     "events_bounding_ratio",
     "agg_avg_weighted",
+    "window_qualify_topn",
+    "scan_remote_rowbinary_nested",
     # round-5 production twins (broadcast-numpy mapInPandas forms)
     "kmeans_fast",
     "sim_topk_pq_fast",
