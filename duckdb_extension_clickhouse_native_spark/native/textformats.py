@@ -235,6 +235,22 @@ def _read_text_line(buf: BinaryIO) -> str:
     return line.decode("utf-8").rstrip("\r\n")
 
 
+
+def _empty_line_is_row(schema: List[Tuple[str, CHType]]) -> bool:
+    """A blank line is AMBIGUOUS only for a single string-family
+    column, where the empty string legitimately serializes to an empty
+    field (fuzz-found).  Numeric/temporal single columns never
+    serialize empty, so there a blank line can only be trailing-noise
+    — tolerated, as before."""
+    if len(schema) != 1:
+        return False
+    t = schema[0][1]
+    b = t.base
+    if b == "LowCardinality" and t.inner is not None:
+        b = t.inner.base
+    return b in ("String", "FixedString")
+
+
 def read_tsv_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
     names = [tsv_unescape(f) for f in _split_tsv_line(_read_text_line(buf))]
     types = [parse_type(tsv_unescape(f)) for f in _split_tsv_line(_read_text_line(buf))]
@@ -308,7 +324,7 @@ def iter_tsv_blocks(
             if not line:
                 return
             text = line.decode("utf-8").rstrip("\n").rstrip("\r")
-            if not text:
+            if not text and not _empty_line_is_row(schema):
                 continue  # tolerate a trailing blank line
             raw_fields = _split_tsv_line(text)
             if len(raw_fields) != len(schema):
@@ -339,7 +355,11 @@ def iter_csv_blocks(
             rec = _read_csv_record(buf)
             if rec is None:
                 return
-            if len(rec) == 1 and rec[0] == ("", False):
+            if (
+                len(rec) == 1
+                and rec[0] == ("", False)
+                and not _empty_line_is_row(schema)
+            ):
                 continue  # tolerate a trailing blank line
             if len(rec) != len(schema):
                 raise ValueError(
