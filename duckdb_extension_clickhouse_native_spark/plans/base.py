@@ -441,8 +441,8 @@ class Query:
 #     the r7 cohort rotate into round 10.
 GRADING_WINDOW = [
     # ROUND-9 WINDOW, final update (tools/window_plan.py regenerated
-    # at registry 209: 47 never-graded rows lead — every addition this
-    # round — then 3 slots of the r5-green oldest-evidence cohort; the
+    # at registry 210: 48 never-graded rows lead — every addition this
+    # round — then 2 slots of the r5-green oldest-evidence cohort; the
     # remainder rotates into round 10):
     "dedup_substring_spans_twophase",  # NEVER GRADED
     "asof_join_nearest_tolerance",  # NEVER GRADED
@@ -491,9 +491,9 @@ GRADING_WINDOW = [
     "group_order_by_all",  # NEVER GRADED
     "window_qualify_topn",  # NEVER GRADED
     "scan_remote_rowbinary_nested",  # NEVER GRADED
+    "stream_exp_moving_avg",  # NEVER GRADED
     "q22_sales_opportunity",  # green r5
     "q4_order_priority",  # green r5
-    "q8_market_share",  # green r5
 ]
 
 

@@ -839,3 +839,97 @@ REGISTRY.df_query(
         "intervalLengthSum exactly (set semantics, order independent)"
     ),
 )
+
+
+def _stream_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming online-feature computation == batch
+    events_exp_moving_avg: each user's state is their last 15
+    (ts, event_id, cents) taps; every arriving event emits its exact
+    dyadic EMA numerator/denominator pair.  Rows within a micro-batch
+    are sorted by the same verified-unique (ts, event_id) key the
+    batch window orders by; across batches the file stream replays in
+    row order (ascending part mtimes) — the in-order ingest the
+    stateful funnel documents.  Must hash-match the 16-tap LAG-window
+    batch oracle exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.events_stream import read_events_stream_parts
+
+    taps = 16
+    events = read_events_stream_parts(spark, sf_dir)
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+    def ema(key, pdf_iter, state: GroupState):
+        hist = (
+            [tuple(r) for r in zip(*state.get)] if state.exists else []
+        )  # [(tu, event_id, vc)] oldest..newest, len <= taps-1
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(pdf["tu"].tolist(), pdf["event_id"].tolist(), pdf["vc"].tolist())
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out_e, out_n, out_d = [], [], []
+        for tu, eid, vc in rows:
+            window = (hist + [(tu, eid, vc)])[-taps:]
+            num = den = 0
+            for j, (_t, _e, v) in enumerate(reversed(window)):
+                w = 1 << (taps - 1 - j)
+                num += v * w
+                den += w
+            out_e.append(eid)
+            out_n.append(num)
+            out_d.append(den)
+            hist = (hist + [(tu, eid, vc)])[-(taps - 1):]
+        state.update(
+            (
+                [r[0] for r in hist],
+                [r[1] for r in hist],
+                [r[2] for r in hist],
+            )
+        )
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_e),
+                    "event_id": out_e,
+                    "ema_num": out_n,
+                    "ema_den": out_d,
+                }
+            )
+
+    upd = iv.groupBy("user_id").applyInPandasWithState(
+        ema,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ema_num bigint, ema_den bigint"
+        ),
+        stateStructType=(
+            "tus array<bigint>, eids array<bigint>, vcs array<bigint>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(upd, "append").orderBy("user_id", "event_id")
+
+
+REGISTRY.df_query(
+    "stream_exp_moving_avg",
+    _stream_exp_moving_avg,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.plans.timeseries",
+        fromlist=["_EMA_SQL"],
+    )._EMA_SQL,
+    tags=["streaming", "ema", "applyInPandasWithState"],
+    description=(
+        "streaming online EMA features: last-15-tap state per user, exact "
+        "dyadic num/den per event across micro-batches; == batch 16-tap "
+        "LAG window exactly"
+    ),
+)

@@ -259,3 +259,27 @@ def test_stream_interval_union_matches_batch_on_hostile_fixture(spark, tmp_path)
     )
     assert stream == batch
     assert batch[0][1] == 23 * sec  # merged-touching second island
+
+
+def test_stream_ema_matches_batch_across_batch_boundary(spark, tmp_path):
+    """The streaming 15-tap state must survive micro-batch boundaries:
+    20 in-order events for one user split into 4 parts means every
+    boundary crosses an active EMA window."""
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    sec = 1_000_000
+    rows = [(i, i * sec, 1, "a", i / 100.0) for i in range(1, 21)]
+    # a second user interleaved in time, to exercise per-key state
+    rows += [(100 + i, i * sec + 500, 2, "a", (3 * i) / 100.0) for i in range(1, 9)]
+    d = _write_events_us(tmp_path, rows)
+    batch = [
+        tuple(r)
+        for r in REGISTRY.all()["events_exp_moving_avg"].build(spark, d).collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in REGISTRY.all()["stream_exp_moving_avg"].build(spark, d).collect()
+    ]
+    assert stream == batch
+    assert len(batch) == 28
