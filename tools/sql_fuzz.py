@@ -196,7 +196,8 @@ def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.choice(
         ["project", "agg", "agg", "join_agg", "distinct", "setop", "window",
-         "rollup", "scalar", "exists", "full_outer"]
+         "rollup", "scalar", "exists", "full_outer", "group_all",
+         "moving_frame"]
     )
     if shape == "exists":
         # (NOT) EXISTS correlated subquery — the decorrelation path
@@ -296,6 +297,36 @@ def gen_query(seed: int) -> str:
         return (
             f"SELECT {col} FROM {t} WHERE {_where(rng, t)} "
             f"{op} SELECT {col} FROM {t} WHERE {_where(rng, t)}"
+        )
+    if shape == "group_all":
+        # GROUP BY ALL / ORDER BY ALL sugar — identical text in both
+        # engines; the compare is order-insensitive so ORDER BY ALL
+        # only has to be ACCEPTED, not tie-stable
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        g1, g2 = rng.sample(spec["group"], 2)
+        c = rng.choice(spec["ints"])
+        return (
+            f"SELECT {g1}, {g2}, COUNT(*) AS n_rows, "
+            f"CAST(SUM({c}) AS BIGINT) AS s_{c} "
+            f"FROM {t} WHERE {_where(rng, t)} GROUP BY ALL ORDER BY ALL"
+        )
+    if shape == "moving_frame":
+        # bounded ROWS frames (moving sums / min / max) over a
+        # verified-unique total order — every frame value deterministic
+        t = rng.choice(list(UNIQUE_KEY))
+        spec = TABLES[t]
+        uk = ", ".join(UNIQUE_KEY[t])
+        part = rng.choice(spec["group"])
+        c = rng.choice(spec["ints"])
+        k = rng.randint(1, 4)
+        fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        return (
+            f"SELECT {uk}, {part}, "
+            f"CAST({fn}({c}) OVER (PARTITION BY {part} ORDER BY {uk} "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT) "
+            f"AS mv_{c} "
+            f"FROM {t} WHERE {_where(rng, t)}"
         )
     if shape == "window":
         t = rng.choice(list(UNIQUE_KEY))
