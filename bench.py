@@ -94,7 +94,12 @@ def main() -> None:
     tiny = native_fixture_dir(spark, sf_dir, "documents")
     spark.read.format("clickhouse_native").load(tiny).limit(1).count()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # median-of-5 with reported dispersion (r9 verdict #2): the host
+    # shows up-to-2x external noise with zero in-guest load, so a
+    # best-of-2 scalar cannot tell a regression from a noisy run.  Each
+    # query reports {min, p25, median, p75, runs}; the scalar per-query
+    # number IS the median.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     all_q = REGISTRY.all()
     results: dict[str, float] = {}
     total = 0.0
@@ -115,14 +120,16 @@ def main() -> None:
         scan_rows, 32, os.path.join(tempfile.gettempdir(), "chsql_scale_probe")
     )
     scan_df = spark.read.format("clickhouse_native").load(fixture)
-    best_scan = float("inf")
     # the scan number is the headline baseline comparison and jitters
-    # +-30% with machine state at ~0.5 s; 3 runs costs ~2 s and
-    # stabilizes it
+    # +-30% with machine state at ~0.5 s; best-of-N matches the
+    # reference's (single cold run) optimistic framing, dispersion is
+    # reported alongside
+    scan_ts: list[float] = []
     for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
         n = scan_df.count()
-        best_scan = min(best_scan, time.perf_counter() - t0)
+        scan_ts.append(time.perf_counter() - t0)
+    best_scan = min(scan_ts)
     assert n == scan_rows
     results["native_scan_10m_count"] = round(best_scan, 4)
     total += best_scan
@@ -132,10 +139,14 @@ def main() -> None:
         f"({mrps:.1f} M rows/s vs reference 10.5 M rows/s)",
         file=sys.stderr,
     )
+    scan_ts.sort()
     scan_throughput = {
         "rows": scan_rows,
         "files": 32,
         "count_sec": round(best_scan, 4),
+        "count_sec_median": round(scan_ts[len(scan_ts) // 2], 4),
+        "count_sec_max": round(scan_ts[-1], 4),
+        "runs": len(scan_ts),
         "mrows_per_sec": round(mrps, 1),
         "baseline_mrows_per_sec": 10.5,
     }
@@ -152,6 +163,15 @@ def main() -> None:
         """
         df.write.format("noop").mode("overwrite").save()
 
+    dispersion: dict[str, dict] = {}
+
+    def _quantile(sorted_ts: list[float], q: float) -> float:
+        # linear interpolation, matching numpy's default
+        idx = q * (len(sorted_ts) - 1)
+        lo = int(idx)
+        hi = min(lo + 1, len(sorted_ts) - 1)
+        return sorted_ts[lo] + (sorted_ts[hi] - sorted_ts[lo]) * (idx - lo)
+
     def run_tier(names: list[str]) -> tuple[dict[str, float], float]:
         tier: dict[str, float] = {}
         tier_total = 0.0
@@ -164,15 +184,29 @@ def main() -> None:
             warm = q.build(spark, sf_dir)
             materialize(warm)
             n = warm.count()
-            best = float("inf")
-            for _ in range(runs):  # best-of-N: steady-state, not first compile
+            ts: list[float] = []
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 df = q.build(spark, sf_dir)
                 materialize(df)
-                best = min(best, time.perf_counter() - t0)
-            tier[name] = round(best, 4)
-            tier_total += best
-            print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            med = _quantile(ts, 0.5)
+            dispersion[name] = {
+                "min": round(ts[0], 4),
+                "p25": round(_quantile(ts, 0.25), 4),
+                "median": round(med, 4),
+                "p75": round(_quantile(ts, 0.75), 4),
+                "runs": runs,
+            }
+            tier[name] = round(med, 4)
+            tier_total += med
+            print(
+                f"# {name}: median {med:.3f}s "
+                f"[p25 {_quantile(ts, 0.25):.3f} p75 {_quantile(ts, 0.75):.3f} "
+                f"min {ts[0]:.3f}] ({n} rows)",
+                file=sys.stderr,
+            )
         return tier, tier_total
 
     headline, headline_total = run_tier(HEADLINE)
@@ -226,13 +260,16 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "timing": (
-                    f"best-of-{runs} per query (steady-state); each run "
+                    f"median-of-{runs} per query with reported "
+                    "dispersion (r10: host noise up to 2x made best-of-2 "
+                    "regressions indistinguishable from noise); each run "
                     "materializes ALL output columns via the noop DSv2 "
                     "sink (r9 methodology fix: df.count() let Catalyst "
                     "prune map-only query bodies to a zero-column scan, "
                     "so pre-r9 numbers for map-only queries were hollow)"
                 ),
                 "queries": results,
+                "dispersion": dispersion,
                 "scan_throughput": scan_throughput,
                 "tpch_full": tpch,
                 "tpch_full_total": round(tpch_total, 4),

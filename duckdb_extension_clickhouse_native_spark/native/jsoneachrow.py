@@ -196,6 +196,18 @@ def _to_json(val, t: CHType):
         inner = CHType(**{**t.__dict__, "nullable": False})
         return _to_json(val, inner)
     b = t.base
+    if val is None:
+        if b == "Map":
+            val = {}  # Nullable(Map) does not exist in CH — null == {}
+        elif b == "LowCardinality":
+            return _to_json(val, t.inner)  # inner may be Nullable
+        else:
+            # same loud-failure contract as rowbinary._write_value —
+            # str(None) used to emit the literal "None"
+            raise ValueError(
+                f"NULL value for non-nullable wire type {t.name}; "
+                "declare the column Nullable(...)"
+            )
     if b in ("Float32", "Float64"):
         f = float(val)
         if math.isnan(f):
@@ -326,23 +338,13 @@ def write_jsoncompact(
 ) -> int:
     """Encode Arrow RecordBatches as JSONCompactEachRowWithNamesAndTypes
     (the symmetric half — mock server responses and INSERT bodies)."""
-    from .rowbinary import _to_wire
-    from .types import from_arrow
+    from .rowbinary import _to_wire, derive_wire_types
 
+    batches, ch_types = derive_wire_types(batches, ch_types)
     rows = 0
     wrote_header = False
     types: Optional[List[CHType]] = ch_types
     for batch in batches:
-        if types is None:
-            # same nullability derivation as write_rowbinary: Nullable
-            # only where nulls exist in the first batch (arrow marks
-            # every field nullable by default)
-            from .codec import _promote_nullable
-
-            types = [
-                _promote_nullable(from_arrow(f.type), batch.column(i))
-                for i, f in enumerate(batch.schema)
-            ]
         for t in types:
             _check_supported(t)
         if not wrote_header:

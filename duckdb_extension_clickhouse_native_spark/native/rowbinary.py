@@ -190,6 +190,21 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
         _write_value(buf, inner, val)
         return
     b = t.base
+    if val is None:
+        if b == "Map":
+            val = {}  # Nullable(Map) does not exist in CH — null == {}
+        elif b == "LowCardinality":
+            _write_value(buf, t.inner, val)  # inner may be Nullable
+            return
+        else:
+            # fail LOUDLY: stringifying None used to write the literal
+            # "None" for String columns (and "" for FixedString) when a
+            # later batch carried a null the declared types didn't
+            raise ValueError(
+                f"NULL value for non-nullable wire type {t.name}; "
+                "declare the column Nullable(...) (derive ch_types with "
+                "derive_wire_types / _promote_nullable)"
+            )
     if b in FIXED_WIDTH:
         dt, _w = FIXED_WIDTH[b]
         if b == "DateTime":
@@ -268,11 +283,15 @@ def read_rowbinary_header(buf: BinaryIO) -> List[Tuple[str, CHType]]:
 
 
 def _all_fixed(schema: List[Tuple[str, CHType]]) -> Optional[np.dtype]:
+    # POSITIONAL field names (f0, f1, ...): a query with duplicate
+    # output names (SELECT a, a) would make np.dtype raise 'field
+    # occurs more than once'; the emitted BlockColumns keep the real
+    # schema names
     fields = []
-    for name, t in schema:
+    for i, (_name, t) in enumerate(schema):
         if t.nullable or t.base not in FIXED_WIDTH:
             return None
-        fields.append((name, FIXED_WIDTH[t.base][0]))
+        fields.append((f"f{i}", FIXED_WIDTH[t.base][0]))
     return np.dtype(fields)
 
 
@@ -304,9 +323,9 @@ def iter_rowbinary_blocks(
                     name,
                     t.name,
                     t,
-                    _fixed_col_to_arrow(mat[name], t, lossy_uint64),
+                    _fixed_col_to_arrow(mat[f"f{i}"], t, lossy_uint64),
                 )
-                for name, t in schema
+                for i, (name, t) in enumerate(schema)
             ]
             yield Block(n_rows=len(mat), columns=cols)
     # general path
@@ -385,31 +404,64 @@ class _Chain:
         return self._rest.read(n)
 
 
+def derive_wire_types(
+    batches, ch_types: Optional[List[CHType]] = None, *, server_types: bool = False
+) -> Tuple[list, Optional[List[CHType]]]:
+    """(materialized batch list, effective CHTypes).
+
+    Arrow nullability lives on the FIELD (default true for every
+    field) — deriving Nullable(...) from it would wrap every column;
+    instead mark Nullable only where nulls actually exist, RECURSIVELY
+    (codec ``_promote_nullable``), scanning ALL batches (not just the
+    first — a null arriving only in a later batch used to fail loudly
+    mid-stream; now it is declared up front).  With ``server_types``,
+    reject declared types a real ClickHouse server cannot hold:
+    Nullable(Array/Tuple) ('Nested type ... cannot be inside
+    Nullable') — those only round-trip against this repo's own codec,
+    which local .native FILES intentionally allow."""
+    import pyarrow as pa
+
+    from .types import from_arrow
+
+    batches = list(batches)
+    types = ch_types
+    if types is None and batches:
+        from .codec import _promote_nullable
+
+        schema = batches[0].schema
+        types = []
+        for i, f in enumerate(schema):
+            col = (
+                pa.chunked_array([b.column(i) for b in batches])
+                if len(batches) > 1
+                else batches[0].column(i)
+            )
+            types.append(_promote_nullable(from_arrow(f.type), col))
+    if server_types and types is not None:
+        for i, t in enumerate(types):
+            if t.nullable and t.base in ("Array", "Tuple"):
+                name = batches[0].schema.names[i] if batches else f"col{i}"
+                raise ValueError(
+                    f"column {name!r}: ClickHouse rejects Nullable({t.base}"
+                    "(...)) — a null-bearing top-level Array/Tuple column "
+                    "cannot be INSERTed over the wire (drop the nulls or "
+                    "COALESCE to an empty value first); only this repo's "
+                    "own .native files round-trip that declared type"
+                )
+    return batches, types
+
+
 def write_rowbinary(
     buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None
 ) -> int:
     """Encode Arrow RecordBatches as RowBinaryWithNamesAndTypes (the
     symmetric half — used by the mock server and INSERT tests)."""
-    from .types import from_arrow
+    batches, ch_types = derive_wire_types(batches, ch_types)
 
     rows = 0
     wrote_header = False
     types: Optional[List[CHType]] = ch_types
     for batch in batches:
-        if types is None:
-            # arrow nullability lives on the FIELD (default true for
-            # every field) — deriving Nullable(...) from it would wrap
-            # every column; mark Nullable only where nulls exist in
-            # this first batch, RECURSIVELY (a null-bearing Tuple/Map
-            # child must be declared Nullable too — codec
-            # _promote_nullable). A null in a later batch for a column
-            # declared non-nullable fails loudly in _write_value.
-            from .codec import _promote_nullable
-
-            types = [
-                _promote_nullable(from_arrow(f.type), batch.column(i))
-                for i, f in enumerate(batch.schema)
-            ]
         for t in types:
             _check_supported(t)
         if not wrote_header:

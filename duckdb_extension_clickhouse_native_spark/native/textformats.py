@@ -169,22 +169,58 @@ def _split_tsv_line(line: str) -> List[str]:
 _CSV_FIELD_RE = re.compile(r'(?:^|,)("(?:[^"]|"")*"|[^,]*)')
 
 
+def _csv_scan_state(chunk: bytes, state: int) -> int:
+    """Incremental RFC-4180 context scan over one line's bytes.
+
+    States: 0 = field start, 1 = inside unquoted field, 2 = inside a
+    quoted field, 3 = just saw a quote while inside a quoted field
+    (either the closer or half of a doubled escape).  A quote byte
+    only OPENS quoted context at field start — a bare '"' inside an
+    unquoted field (producible by third-party writers, accepted by
+    this reader's permissive field parser) stays in state 1 and does
+    NOT flip context, so it can no longer fuse the next record into
+    this one the way the old raw-byte parity count did."""
+    for b in chunk:
+        if state == 0:
+            state = 2 if b == 0x22 else (0 if b == 0x2C else 1)
+        elif state == 1:
+            if b == 0x2C:
+                state = 0
+        elif state == 2:
+            if b == 0x22:
+                state = 3
+        else:  # state == 3: quote seen inside quoted field
+            if b == 0x22:
+                state = 2  # doubled escape — still quoted
+            elif b == 0x2C:
+                state = 0
+            else:
+                state = 1  # permissive: text after the closing quote
+    return state
+
+
 def _read_csv_record(buf: BinaryIO) -> Optional[List[Tuple[str, bool]]]:
     """One logical CSV record -> [(raw_text, was_quoted)], or None at
     EOF.  Handles quoted fields containing commas, newlines, and
     doubled quotes.  Reads buffered LINES and joins continuation lines
-    while the quote count is odd (every quote char — opener, closer,
-    or half of a doubled escape — flips parity, so a record is
-    complete exactly when the total count is even).  The old
-    one-byte-at-a-time reader measured 0.06 M rows/s; this one is
-    line-buffered."""
+    while a STATEFUL scan (``_csv_scan_state``) says the line ended
+    inside quoted-field context — NOT a raw quote-byte parity count,
+    which a bare '"' inside an unquoted field would flip, silently
+    fusing the next record into this one and shifting every later
+    row.  The old one-byte-at-a-time reader measured 0.06 M rows/s;
+    this one is line-buffered."""
     raw = buf.readline()
     if not raw:
         return None
-    while raw.count(b'"') % 2 == 1:
+    # strip the trailing newline before scanning so a record that ends
+    # exactly at a closing quote is judged complete
+    state = _csv_scan_state(raw.rstrip(b"\r\n"), 0)
+    while state == 2:  # line ended inside a quoted field
         nxt = buf.readline()
         if not nxt:
             break  # unterminated quote at EOF — parse what we have
+        # the newline we kept belongs to the quoted field's value
+        state = _csv_scan_state(nxt.rstrip(b"\r\n"), 2)
         raw += nxt
     text = raw.decode("utf-8")
     if text.endswith("\n"):
@@ -361,33 +397,17 @@ def iter_csv_blocks(
     )
 
 
-def _derive_types(batch, ch_types: Optional[List[CHType]]) -> List[CHType]:
-    from .types import from_arrow
-
-    if ch_types is not None:
-        return ch_types
-    # same nullability derivation as write_rowbinary: Nullable only
-    # where nulls exist in the first batch (recursive, though TSV/CSV
-    # reject nested types anyway)
-    from .codec import _promote_nullable
-
-    return [
-        _promote_nullable(from_arrow(f.type), batch.column(i))
-        for i, f in enumerate(batch.schema)
-    ]
-
-
 def _write_text(
     buf: BinaryIO, batches, ch_types: Optional[List[CHType]], *, csv: bool
 ) -> int:
-    from .rowbinary import _to_wire
+    from .rowbinary import _to_wire, derive_wire_types
 
+    # nullability derived across ALL batches (recursive, though
+    # TSV/CSV reject nested types anyway) — see derive_wire_types
+    batches, types = derive_wire_types(batches, ch_types)
     rows = 0
     wrote_header = False
-    types = ch_types
     for batch in batches:
-        if types is None:
-            types = _derive_types(batch, None)
         for t in types:
             _check_supported(t)
         if not wrote_header:

@@ -308,10 +308,34 @@ _LATERAL_SQL = """
 REGISTRY.sql_query(
     "lateral_topn_per_customer",
     _LATERAL_SQL,
-    oracle=_LATERAL_SQL,
+    # INDEPENDENT formulation (r10): the oracle computes the same
+    # per-customer top-3 via a GLOBAL ranked window + join instead of
+    # the dependent LATERAL subquery — two algorithms, one answer
+    # (identical-text oracles only prove both engines ran the same
+    # string).
+    oracle="""
+    WITH topc AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    ),
+    ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT t.c_custkey, t.bal, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM topc t JOIN ranked o
+      ON o.o_custkey = t.c_custkey AND o.rn <= 3
+    ORDER BY t.c_custkey, o.o_orderkey
+    """,
     tables=["customer", "orders"],
     tags=["lateral", "join", "subquery"],
-    description="LATERAL dependent top-3 per driving row (shared SQL text, both engines)",
+    description="LATERAL dependent top-3 per driving row (oracle: "
+    "independent global-window formulation)",
 )
 
 
@@ -339,11 +363,25 @@ _LIMIT_BY_SQL = """
 REGISTRY.sql_query(
     "events_limit_by",
     _LIMIT_BY_SQL,
-    oracle=_LIMIT_BY_SQL,
+    # INDEPENDENT formulation (r10): per-user dependent ORDER BY +
+    # LIMIT 3 in a LATERAL subquery — sort-and-truncate per group vs
+    # the Spark side's ranked-window filter.
+    oracle="""
+    SELECT l.user_id, l.event_id, l.event_type
+    FROM (SELECT DISTINCT user_id FROM events) u,
+    LATERAL (
+      SELECT user_id, event_id, event_type
+      FROM events e
+      WHERE e.user_id = u.user_id
+      ORDER BY ts, event_id LIMIT 3
+    ) l
+    ORDER BY l.user_id, l.event_id
+    """,
     tables=["events"],
     tags=["window", "compat", "limit-by"],
     description="ClickHouse LIMIT n BY expr: first 3 events per user in "
-    "(ts, event_id) order via the ranked-window shape",
+    "(ts, event_id) order via the ranked-window shape (oracle: "
+    "independent LATERAL sort-and-truncate)",
 )
 
 # ClickHouse `LEFT ARRAY JOIN`: explode that KEEPS rows whose array is
@@ -650,12 +688,30 @@ _RUNNING_DIFF_SQL = """
 REGISTRY.sql_query(
     "events_running_difference",
     _RUNNING_DIFF_SQL,
-    oracle=_RUNNING_DIFF_SQL,
+    # INDEPENDENT formulation (r10): previous-row value fetched by a
+    # rank self-join (b.rn = a.rn - 1) instead of LAG — the delta
+    # arithmetic runs through a different plan entirely.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(a.vc - b.vc AS BIGINT) AS delta_cents
+    FROM e a LEFT JOIN e b
+      ON b.user_id = a.user_id AND b.rn = a.rn - 1
+    ORDER BY a.user_id, a.event_id
+    """,
     tables=["events"],
     tags=["window", "compat", "delta"],
     description="ClickHouse runningDifference: per-user previous-row "
     "delta via LAG over a verified-unique total order (cents-exact; "
-    "the block-scoped CH quirk is deliberately NOT reproduced)",
+    "the block-scoped CH quirk is deliberately NOT reproduced; "
+    "oracle: independent rank self-join)",
 )
 
 
@@ -813,11 +869,24 @@ _GROUP_BY_ALL_SQL = """
 REGISTRY.sql_query(
     "group_order_by_all",
     _GROUP_BY_ALL_SQL,
-    oracle=_GROUP_BY_ALL_SQL,
+    # INDEPENDENT formulation (r10): the oracle is the DESUGARED text —
+    # explicit GROUP BY / ORDER BY column lists — pinning that the
+    # sugar resolves to exactly the intended columns in both clauses.
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus, n, total_cents
+    """,
     tables=["orders"],
     tags=["agg", "compat", "sugar"],
     description="GROUP BY ALL + ORDER BY ALL (ClickHouse/DuckDB/Spark "
-    "shared sugar; cents-exact)",
+    "shared sugar; cents-exact; oracle: desugared explicit lists)",
 )
 
 # QUALIFY — Spark has no QUALIFY clause, so the Spark side is the

@@ -139,7 +139,12 @@ REGISTRY.sql_query(
 # the decimal form — but run in whole-stage-codegen integer arithmetic
 # instead of Spark's Decimal128 path: measured 1.22 -> 0.48 s at sf0.1
 # (values bit-identical to the decimal form). disc_price/charge become
-# exact 1e-4/1e-6-unit integers; worst-case sum ~6e16 << 2^63.
+# exact 1e-4/1e-6-unit integers.  r10: the PER-ROW products stay
+# BIGINT (max ~1.1e11, integer codegen), but the disc_price/charge
+# ACCUMULATORS are DECIMAL(38,0) — a BIGINT sum of ~1.1e11-magnitude
+# terms wraps 2^63 silently (non-ANSI mode) at ~8e7 lineitem rows
+# (~SF14), far below the 100 TB posture.  Decimal128 addition on the
+# accumulator only; the multiplies stay in integer codegen.
 REGISTRY.sql_query(
     "q1_pricing_summary",
     """
@@ -156,8 +161,10 @@ REGISTRY.sql_query(
            l_linestatus,
            CAST(SUM(q_c) AS DOUBLE) / 100.0 AS sum_qty,
            CAST(SUM(p_c) AS DOUBLE) / 100.0 AS sum_base_price,
-           CAST(SUM(p_c * (100 - d_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
-           CAST(SUM(p_c * (100 - d_c) * (100 + t_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(p_c * (100 - d_c) AS DECIMAL(38,0))) AS DOUBLE)
+             / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(p_c * (100 - d_c) * (100 + t_c) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 AS sum_charge,
            CAST(SUM(q_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
            CAST(SUM(p_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
            CAST(SUM(d_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,

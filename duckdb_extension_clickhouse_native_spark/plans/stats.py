@@ -283,10 +283,40 @@ _WQ = """
 REGISTRY.sql_query(
     "weighted_percentiles_price",
     _WQ,
-    oracle=_WQ,
+    # INDEPENDENT formulation (r10): the oracle EXPANDS each row into
+    # wt unit-weight copies (lateral range join) and indexes the sorted
+    # expansion positionally — cw >= ceil(q*tw) crossing == element at
+    # 1-based position ceil(q*tw), computed with integer ceilings.
+    # Repeat-expansion vs weighted cumulative-sum: two algorithms, one
+    # answer.  (Expansion is oracle-only — wt <= 50 here; the Spark
+    # side stays the O(n) windowed form that scales.)
+    oracle="""
+    WITH expanded AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
+             unnest(range(CAST(l_quantity AS BIGINT))) AS _k
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, price,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price)
+               AS i,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS tw
+      FROM expanded
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN i = (tw + 3) // 4 THEN price END) AS wp25,
+           MIN(CASE WHEN i = (tw + 1) // 2 THEN price END) AS wmedian,
+           MIN(CASE WHEN i = (3 * tw + 3) // 4 THEN price END) AS wp75,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tables=["lineitem"],
     tags=["agg", "percentile", "weighted"],
-    description="exact quantity-weighted price quantiles (quantileExactWeighted semantics)",
+    description="exact quantity-weighted price quantiles "
+    "(quantileExactWeighted semantics; oracle: independent "
+    "repeat-expansion positional indexing)",
 )
 
 

@@ -66,7 +66,16 @@ def resolve_connection(options: dict) -> ConnectionInfo:
         or parsed.password
         or os.environ.get("CLICKHOUSE_PASSWORD")
     )
-    verify = str(options.get("verify", qs.get("verify", "true"))).lower() != "false"
+    # two accepted spellings: verify=false (this repo's) and
+    # skip_verify=true (the reference's documented URL — README.md:22
+    # `tcp://...:9440/?secure=true&skip_verify=true`); a user pasting
+    # the reference's own URL must get CERT_NONE, not silent verify-on
+    skip_raw = str(
+        options.get("skip_verify", qs.get("skip_verify", "false"))
+    ).lower() in ("true", "1")
+    verify = (
+        str(options.get("verify", qs.get("verify", "true"))).lower() != "false"
+    ) and not skip_raw
     # "true" -> LZ4 (the reference's clickhouse-rs default); "lz4" /
     # "zstd" pick the frame codec for client-sent packets — received
     # frames always dispatch on their per-frame method byte

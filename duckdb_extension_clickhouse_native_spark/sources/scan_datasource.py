@@ -248,7 +248,7 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             )
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
-        from ..native.types import from_arrow
+        from ..native.rowbinary import derive_wire_types
 
         client = make_client(resolve_connection(self.options))
         if self.wire_format == "rowbinary":
@@ -261,21 +261,30 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             insert = client.insert_csv_batches
         else:
             insert = client.insert_batches
+        def flush(chunk: list) -> int:
+            # DECLARED types derived per INSERT chunk from ACTUAL null
+            # counts across the whole chunk (each INSERT carries its
+            # own header, so nullability may differ between chunks) —
+            # deriving from from_arrow(f.type) alone never marked
+            # Nullable and a later null silently wire-stringified to
+            # "None" on the RowBinary/JSON/TSV/CSV paths.  server_types
+            # rejects Nullable(Array/Tuple), which a real server
+            # cannot hold.
+            chunk, ch_types = derive_wire_types(chunk, None, server_types=True)
+            return insert(self.table, chunk, ch_types)
+
         try:
             rows = 0
             pending: list = []
             pending_bytes = 0
-            ch_types = None
             for batch in iterator:
-                if ch_types is None:
-                    ch_types = [from_arrow(f.type) for f in batch.schema]
                 pending.append(batch)
                 pending_bytes += batch.nbytes
                 if pending_bytes >= self.max_insert_bytes:
-                    rows += insert(self.table, pending, ch_types)
+                    rows += flush(pending)
                     pending, pending_bytes = [], 0
             if pending:
-                rows += insert(self.table, pending, ch_types)
+                rows += flush(pending)
             return ScanWriteCommit(rows=rows)
         finally:
             client.close()

@@ -28,8 +28,19 @@ def plans(spark):
 def test_q1_pushes_filter_and_stays_integer(plans):
     p = plans("q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p
-    # the r9 fixed-point rewrite: no Decimal aggregation buffers remain
-    assert "DecimalType" not in p and "decimal(" not in p.lower()
+    # r9 fixed-point rewrite + r10 overflow guard: the per-row products
+    # stay BIGINT (the multiply runs on #..L long attributes — integer
+    # codegen, no decimal MULTIPLY), while the disc_price/charge
+    # ACCUMULATORS are DECIMAL(38,0) — a BIGINT sum of ~1.1e11-magnitude
+    # products wraps 2^63 silently at ~SF14.
+    import re
+
+    assert re.search(r"p_c#\d+L \* \(100 - d_c#\d+L\)", p), "bigint multiply"
+    assert re.search(
+        r"sum\(cast\(\(p_c#\d+L \* \(100 - d_c#\d+L\)\) as decimal\(38,0\)\)\)", p
+    ), "decimal(38,0) accumulator on disc_price"
+    # the simple sums (qty/price/discount) remain pure-bigint buffers
+    assert re.search(r"sum\(q_c#\d+L\)", p) and re.search(r"sum\(p_c#\d+L\)", p)
 
 
 def test_topk_avoids_full_sort(plans):
