@@ -678,6 +678,26 @@ REGISTRY.df_query(
     "(fifth wire format; RFC-4180-quoted text interop)",
 )
 
+REGISTRY.df_query(
+    "scan_remote_arrowstream",
+    _scan_remote_textformat("arrowstream"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "arrow", "interop"],
+    description="clickhouse_scan over FORMAT ArrowStream (sixth wire "
+    "format; pyarrow IPC — the fastest interop path, zero per-value "
+    "Python on either side)",
+)
+
+REGISTRY.df_query(
+    "scan_remote_parquet",
+    _scan_remote_textformat("parquet"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "parquet", "interop"],
+    description="clickhouse_scan over FORMAT Parquet (seventh wire "
+    "format; file-shaped — body buffered before decode, prefer "
+    "ArrowStream for very large fetches)",
+)
+
 
 def _scan_remote_rowbinary_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Map/Tuple/LowCardinality joined the RowBinary matrix in round 9:

@@ -199,6 +199,49 @@ class ClickHouseHTTPClient:
         lacks)."""
         self._request(f"INSERT INTO {table} FORMAT Native", body=payload).read()
 
+    def execute_arrowstream_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT ArrowStream`` — the sixth wire
+        format and the fastest interop path (pyarrow IPC, zero
+        per-value Python)."""
+        from ..native.arrowwire import ARROW_FORMAT, iter_arrow_blocks
+
+        stream = self._request(self._with_format(query, ARROW_FORMAT))
+        return iter_arrow_blocks(stream, lossy_uint64=lossy_uint64)
+
+    def execute_parquet_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT Parquet`` — the seventh wire
+        format (file-shaped: the body is buffered before decode)."""
+        from ..native.arrowwire import PARQUET_FORMAT, iter_parquet_blocks
+
+        stream = self._request(self._with_format(query, PARQUET_FORMAT))
+        return iter_parquet_blocks(stream, lossy_uint64=lossy_uint64)
+
+    def insert_arrowstream_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via an Arrow IPC stream body (sixth wire format)."""
+        import io as _io
+
+        from ..native.arrowwire import ARROW_FORMAT, write_arrow
+
+        buf = _io.BytesIO()
+        rows = write_arrow(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {ARROW_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_parquet_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a Parquet file body (seventh wire format)."""
+        import io as _io
+
+        from ..native.arrowwire import PARQUET_FORMAT, write_parquet
+
+        buf = _io.BytesIO()
+        rows = write_parquet(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {PARQUET_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
     def insert_rowbinary_batches(self, table: str, batches, ch_types=None) -> int:
         """INSERT via a RowBinaryWithNamesAndTypes body — the write
         half of the second wire format."""

@@ -71,6 +71,14 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                         from ..native.textformats import iter_csv_blocks as _icb
 
                         block_iter = _icb(io.BytesIO(body))
+                    elif "ARROWSTREAM" in q.upper():
+                        from ..native.arrowwire import iter_arrow_blocks as _iab
+
+                        block_iter = _iab(io.BytesIO(body))
+                    elif "FORMAT PARQUET" in q.upper():
+                        from ..native.arrowwire import iter_parquet_blocks as _ipb
+
+                        block_iter = _ipb(io.BytesIO(body))
                     else:
                         block_iter = iter_blocks(io.BytesIO(body))
                     import pyarrow as _pa
@@ -110,6 +118,12 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                 elif q.endswith("FORMAT CSVWithNamesAndTypes"):
                     q = q[: -len("FORMAT CSVWithNamesAndTypes")]
                     fmt = "csv"
+                elif q.endswith("FORMAT ArrowStream"):
+                    q = q[: -len("FORMAT ArrowStream")]
+                    fmt = "arrowstream"
+                elif q.endswith("FORMAT Parquet"):
+                    q = q[: -len("FORMAT Parquet")]
+                    fmt = "parquet"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
@@ -143,6 +157,14 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                         from ..native.textformats import write_csv
 
                         write_csv(out, batches)
+                    elif fmt == "arrowstream":
+                        from ..native.arrowwire import write_arrow
+
+                        write_arrow(out, batches)
+                    elif fmt == "parquet":
+                        from ..native.arrowwire import write_parquet
+
+                        write_parquet(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

@@ -39,12 +39,18 @@ def _empty_batch(schema):
     )
 
 
-def build_tcp_handler(con, insert_hook=None, execute_inserts=True, codec="lz4"):
+def build_tcp_handler(
+    con, insert_hook=None, execute_inserts=True, codec="lz4", interleave=False
+):
     """Handler factory over a DuckDB connection (mirrors
     ``mock_server.build_handler``). ``codec`` picks the frame method
     for compressed SERVER packets (lz4 | zstd) — real servers choose
     their own codec per network_compression_method, the client must
-    decode either."""
+    decode either.  ``interleave`` makes the SELECT path emit the
+    auxiliary packets a real server sends mid-stream — Totals (7),
+    Extremes (8), Log (10, never compressed), TableColumns (11),
+    Progress — between and around data blocks, so the client's packet
+    pump is exercised on every dispatch arm, not just Data/Progress."""
     qlock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):
@@ -153,7 +159,56 @@ def build_tcp_handler(con, insert_hook=None, execute_inserts=True, codec="lz4"):
                     method=codec,
                     packet_type=proto.SERVER_DATA,
                 )
+                def aux_packets():
+                    """The mid-stream packets a real server interleaves."""
+                    import pyarrow as pa
+
+                    # Log: a text block, NEVER compressed even when the
+                    # connection negotiated compression (matches the
+                    # client's dispatch, which reads it plain)
+                    log_rb = pa.RecordBatch.from_arrays(
+                        [pa.array(["mock log line"])], names=["text"]
+                    )
+                    proto.write_data_packet(
+                        self.wfile,
+                        log_rb,
+                        [from_arrow(f.type) for f in log_rb.schema],
+                        revision,
+                        compression=proto.COMPRESSION_DISABLED,
+                        packet_type=proto.SERVER_LOG,
+                    )
+                    # TableColumns: two strings (name, columns dump)
+                    proto.write_varuint(self.wfile, proto.SERVER_TABLE_COLUMNS)
+                    proto.write_str(self.wfile, "")
+                    proto.write_str(self.wfile, "columns format version: 1\n")
+                    # Totals: 1-row block, Extremes: 2-row block — both
+                    # carried with the connection's compression setting
+                    if tbl.num_rows and tbl.schema.names:
+                        one = tbl.slice(0, 1).to_batches()[0]
+                        proto.write_data_packet(
+                            self.wfile,
+                            one,
+                            ch_types,
+                            revision,
+                            compression=compression,
+                            method=codec,
+                            packet_type=proto.SERVER_TOTALS,
+                        )
+                        two = tbl.slice(0, min(2, tbl.num_rows)).to_batches()[0]
+                        proto.write_data_packet(
+                            self.wfile,
+                            two,
+                            ch_types,
+                            revision,
+                            compression=compression,
+                            method=codec,
+                            packet_type=proto.SERVER_EXTREMES,
+                        )
+                    proto.write_progress(self.wfile, revision, 0, 0)
+
                 total = 0
+                if interleave:
+                    aux_packets()  # before the first data block
                 for rb in tbl.to_batches(max_chunksize=65_409):
                     if rb.num_rows == 0:
                         continue
@@ -167,6 +222,8 @@ def build_tcp_handler(con, insert_hook=None, execute_inserts=True, codec="lz4"):
                         packet_type=proto.SERVER_DATA,
                     )
                     total += rb.num_rows
+                    if interleave:
+                        aux_packets()  # between/after data blocks
                 proto.write_progress(self.wfile, revision, total, 0)
                 proto.write_varuint(self.wfile, proto.SERVER_END_OF_STREAM)
                 self.wfile.flush()

@@ -103,11 +103,13 @@ class ClickHouseScanReader(DataSourceReader):
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
-            "native", "rowbinary", "jsoneachrow", "tsv", "csv"
+            "native", "rowbinary", "jsoneachrow", "tsv", "csv",
+            "arrowstream", "parquet",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
-                f"'jsoneachrow', 'tsv' or 'csv', got {self.wire_format!r}"
+                f"'jsoneachrow', 'tsv', 'csv', 'arrowstream' or "
+                f"'parquet', got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -153,6 +155,14 @@ class ClickHouseScanReader(DataSourceReader):
                     )
                 elif self.wire_format == "csv":
                     blocks = client.execute_csv_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "arrowstream":
+                    blocks = client.execute_arrowstream_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "parquet":
+                    blocks = client.execute_parquet_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
                     )
                 else:
@@ -233,11 +243,13 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
-            "native", "rowbinary", "jsoneachrow", "tsv", "csv"
+            "native", "rowbinary", "jsoneachrow", "tsv", "csv",
+            "arrowstream", "parquet",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
-                f"'jsoneachrow', 'tsv' or 'csv', got {self.wire_format!r}"
+                f"'jsoneachrow', 'tsv', 'csv', 'arrowstream' or "
+                f"'parquet', got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -259,6 +271,10 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             insert = client.insert_tsv_batches
         elif self.wire_format == "csv":
             insert = client.insert_csv_batches
+        elif self.wire_format == "arrowstream":
+            insert = client.insert_arrowstream_batches
+        elif self.wire_format == "parquet":
+            insert = client.insert_parquet_batches
         else:
             insert = client.insert_batches
         def flush(chunk: list) -> int:

@@ -172,3 +172,43 @@ def test_nested_formats_agree(spark, wide_mock):
     assert len(native) == 200
     assert _norm(load("rowbinary").collect()) == native
     assert _norm(load("jsoneachrow").collect()) == native
+
+
+def test_arrow_formats_agree_on_full_matrix(spark, wide_mock):
+    """ArrowStream + Parquet (sixth/seventh wire formats, r10) carry
+    the FULL wide matrix including arrays — unlike TSV/CSV they are
+    typed containers, so the differential matches the three-format
+    test exactly."""
+
+    def load(fmt):
+        return (
+            spark.read.format("clickhouse_scan")
+            .option("query", "SELECT * FROM wide")
+            .option("url", wide_mock)
+            .option("wire_format", fmt)
+            .load()
+        )
+
+    native = _norm(load("native").collect())
+    assert len(native) == 200
+    assert _norm(load("arrowstream").collect()) == native
+    assert _norm(load("parquet").collect()) == native
+
+
+def test_arrow_formats_split_read(spark, wide_mock):
+    def load(fmt):
+        return (
+            spark.read.format("clickhouse_scan")
+            .option("query", "SELECT i32, s, f64, arr FROM wide")
+            .option("url", wide_mock)
+            .option("wire_format", fmt)
+            .option("partition_column", "i32")
+            .option("num_partitions", "4")
+            .option("lower_bound", "-5000000")
+            .option("upper_bound", "15000000")
+            .load()
+        )
+
+    native = _norm(load("native").collect())
+    assert _norm(load("arrowstream").collect()) == native
+    assert _norm(load("parquet").collect()) == native
