@@ -220,36 +220,55 @@ def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Arr
     if len(data) > _SCAN_STATS["peak_buffer"]:
         _SCAN_STATS["peak_buffer"] = len(data)
     pos = 0
-    lengths = np.empty(rows, dtype=np.int64)
-    prefix_starts = np.empty(rows, dtype=np.int64)
-    prefix_sizes = np.empty(rows, dtype=np.int8)
+    # ONE list append per row in the hot loop (r10 decode profile: the
+    # previous 3 preallocated-numpy scalar writes per row cost ~3x a
+    # single append; the scan loop was the whole string-decode
+    # bottleneck).  `starts` records each row's PREFIX byte position
+    # within the current buffer window; multi-byte varint prefixes
+    # (strings >= 128 bytes — rare in text corpora) go to a per-window
+    # exceptions list, and per-row lengths are RECONSTRUCTED
+    # vectorized at flush time from consecutive-start differences.
+    starts: list[int] = []
+    exc: list[tuple[int, int]] = []  # (window-local row idx, prefix adv)
+    length_chunks: list[np.ndarray] = []
     payload = bytearray()
     i = 0  # rows decoded so far
     w0 = 0  # first row of the not-yet-flushed window
 
     def flush() -> None:
         """Move the consumed span's payload (prefixes masked out) into
-        the accumulator and drop the span from the raw buffer. Row
-        positions recorded after a flush are relative to the trimmed
-        buffer, which is what the scan loop sees."""
+        the accumulator, derive the window's value lengths, and drop
+        the span from the raw buffer.  Invariant used for the length
+        reconstruction: at flush time ``pos`` is exactly one past the
+        last consumed row's payload, i.e. the would-be next prefix
+        start, so diff(starts + [pos]) - prefix_size == value length.
+        Row positions recorded after a flush are relative to the
+        trimmed buffer, which is what the scan loop sees."""
         nonlocal pos, w0
         if i > w0:
+            starts_np = np.array(starts, dtype=np.int64)
+            adv = np.ones(len(starts), dtype=np.int64)
             view = np.frombuffer(data, dtype=np.uint8, count=pos)
             mask = np.ones(pos, dtype=bool)
-            starts = prefix_starts[w0:i]
-            sizes = prefix_sizes[w0:i]
-            mask[starts] = False
-            for extra in range(2, int(sizes.max(initial=1)) + 1):
-                idx = starts[sizes >= extra]
-                mask[idx + (extra - 1)] = False
+            mask[starts_np] = False
+            for local_idx, a in exc:
+                adv[local_idx] = a
+                mask[starts_np[local_idx] + 1 : starts_np[local_idx] + a] = False
+            ends = np.empty(len(starts), dtype=np.int64)
+            ends[:-1] = starts_np[1:]
+            ends[-1] = pos
+            length_chunks.append(ends - starts_np - adv)
             part = view[mask]  # fancy index -> independent copy
             view = None  # release the buffer export before the resize
             payload.extend(memoryview(part))
+            starts.clear()
+            exc.clear()
         if pos:
             del data[:pos]
             pos = 0
         w0 = i
 
+    ap_start = starts.append
     while i < rows:
         dlen = len(data)
         # scan as far as this buffer allows — bounds-EXACT, so a refill
@@ -261,30 +280,31 @@ def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Arr
                 break
             b0 = data[pos]
             if b0 < 0x80:
-                n = b0
-                adv = 1
-            else:
-                n = b0 & 0x7F
-                shift = 7
-                adv = 1
-                truncated = False
-                while True:
-                    if pos + adv >= dlen:
-                        truncated = True
-                        break
-                    byte = data[pos + adv]
-                    adv += 1
-                    n |= (byte & 0x7F) << shift
-                    if not (byte & 0x80):
-                        break
-                    shift += 7
-                if truncated:
+                nxt = pos + 1 + b0
+                if nxt > dlen:
                     break
-            if pos + adv + n > dlen:
+                ap_start(pos)
+                pos = nxt
+                i += 1
+                continue
+            n = b0 & 0x7F
+            shift = 7
+            adv = 1
+            truncated = False
+            while True:
+                if pos + adv >= dlen:
+                    truncated = True
+                    break
+                byte = data[pos + adv]
+                adv += 1
+                n |= (byte & 0x7F) << shift
+                if not (byte & 0x80):
+                    break
+                shift += 7
+            if truncated or pos + adv + n > dlen:
                 break
-            prefix_starts[i] = pos
-            prefix_sizes[i] = adv
-            lengths[i] = n
+            exc.append((len(starts), adv))
+            ap_start(pos)
             pos += adv + n
             i += 1
         if i < rows:
@@ -303,7 +323,15 @@ def _decode_strings_seekable(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Arr
     _restore_surplus(buf, data)
     offsets = np.empty(rows + 1, dtype=np.int64)
     offsets[0] = 0
-    np.cumsum(lengths, out=offsets[1:])
+    if length_chunks:
+        all_lengths = (
+            length_chunks[0]
+            if len(length_chunks) == 1
+            else np.concatenate(length_chunks)
+        )
+    else:
+        all_lengths = np.empty(0, dtype=np.int64)
+    np.cumsum(all_lengths, out=offsets[1:])
     if scrub and (b"\x00" in payload or b"\xef\xbf\xbd" in payload):
         vals = [
             bytes(payload[offsets[r] : offsets[r + 1]])

@@ -790,6 +790,92 @@ def substring_spans_tail_sql(occ_cte: str, w: int) -> str:
     """
 
 
+# auto-strategy decision cache, keyed by (sf_dir, w) — the estimate
+# is a sampled job; one decision per dataset per session (the asof
+# _AUTO_DECISIONS precedent, operators/asof.py)
+_SPAN_AUTO_DECISIONS: dict = {}
+
+# measured crossover (SCALE_PIPELINE.md, substring-skew section): the
+# two-phase form wins from ~50k occurrences of the hottest gram
+# (63.5 s window vs 26.2 s two-phase at 5M occ); below it the window
+# form wins at every tested skew level
+SPAN_HOT_GRAM_CROSSOVER = 50_000
+
+
+def _estimate_max_gram_occ(spark, sf_dir: str, w: int, sample_docs: int = 4096) -> int:
+    """Sampled hottest-gram occurrence estimate for the auto strategy.
+
+    Grams a uniform doc sample, counts the hottest hash, scales by the
+    inverse sampling fraction.  Order-of-magnitude accuracy is enough:
+    the decision threshold (50k) sits >100x above any non-pathological
+    corpus and >100x below the regime where the window plan breaks.
+    Cost: one bounded job over ~``sample_docs`` docs + a 1-row
+    collect."""
+    from pyspark.sql import functions as F
+
+    from ..plans.base import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_docs = t["documents"].count()
+    if n_docs == 0:
+        return 0
+    frac = min(1.0, sample_docs / n_docs)
+    sample = (
+        t["documents"].sample(fraction=frac, seed=7)
+        if frac < 1.0
+        else t["documents"]
+    )
+    d = SPARK
+    n = d["len"].format(arr="tk")
+    slice_args = ", ".join(f"element_at(tk, i + {j})" for j in range(w))
+    sample.selectExpr(f"{d['tokens'].format(col='text')} AS tk").createOrReplaceTempView(
+        "_span_probe_toks"
+    )
+    hottest = spark.sql(f"""
+        SELECT COUNT(*) AS c FROM (
+          SELECT explode(
+            CASE WHEN {n} >= {w}
+                 THEN transform(sequence(1, {n} - {w} + 1),
+                                i -> xxhash64({slice_args}))
+                 ELSE CAST(array() AS ARRAY<BIGINT>) END) AS gram
+          FROM _span_probe_toks
+        ) g GROUP BY gram ORDER BY c DESC LIMIT 1
+    """).collect()
+    top = hottest[0]["c"] if hottest else 0
+    return int(top / frac)
+
+
+def substring_spans_query(
+    spark, sf_dir: str, w: int = 8, strategy: str = "auto"
+):
+    """``dedup_substring_spans`` with a strategy switch (r9 verdict #5):
+
+    * ``window`` — the one-pass COUNT-OVER plan (default winner at
+      every measured non-pathological skew level);
+    * ``twophase`` — the AQE-splittable two-phase-count + semi-join
+      escape hatch for extreme gram hotness;
+    * ``auto`` — samples the corpus (``_estimate_max_gram_occ``) and
+      picks ``twophase`` past the measured ~50k-occurrences-per-gram
+      crossover, ``window`` below it.  Decision cached per
+      (sf_dir, w) for the session."""
+    if strategy == "auto":
+        key = (sf_dir, w)
+        if key not in _SPAN_AUTO_DECISIONS:
+            est = _estimate_max_gram_occ(spark, sf_dir, w)
+            _SPAN_AUTO_DECISIONS[key] = (
+                "twophase" if est >= SPAN_HOT_GRAM_CROSSOVER else "window"
+            )
+        strategy = _SPAN_AUTO_DECISIONS[key]
+    if strategy == "twophase":
+        return substring_spans_twophase_query(spark, sf_dir, w)
+    if strategy != "window":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from ..plans.base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(substring_spans_sql("spark", w))
+
+
 def substring_spans_twophase_query(spark, sf_dir: str, w: int = 8):
     """Skew escape hatch for ``dedup_substring_spans`` (VERDICT r8 #6):
     identical output, different COUNT stage. The default window plan

@@ -88,6 +88,7 @@ from ..operators.dedup import (
     ngram_jaccard_sql,
     simhash_query,
     simhash_sql,
+    substring_spans_query,
     substring_spans_sql,
     substring_spans_twophase_query,
 )
@@ -159,14 +160,29 @@ REGISTRY.df_query(
     description="inverted-index shingle join + exact Jaccard",
 )
 
-_sql_pair(
+# DEFAULT entry is strategy="auto" (r9 verdict #5): a sampled
+# hottest-gram estimate picks the window plan below the measured ~50k
+# occ/gram crossover and the AQE-splittable two-phase plan above it —
+# the 100 TB boilerplate case no longer requires the caller to know
+# the escape hatch exists.  Both fixed strategies stay registered.
+REGISTRY.df_query(
     "dedup_substring_spans",
+    substring_spans_query,
+    oracle=substring_spans_sql("duckdb"),
+    tags=["dedup", "substring"],
+    description="maximal duplicated 8-token-window spans (fixed-window "
+    "suffix-array dedup), strategy=auto: sampled hot-gram estimate "
+    "picks window vs two-phase at the measured 50k-occ/gram crossover",
+)
+
+_sql_pair(
+    "dedup_substring_spans_window",
     substring_spans_sql("spark"),
     substring_spans_sql("duckdb"),
     ["documents"],
     ["dedup", "substring"],
-    "maximal duplicated 8-token-window spans (fixed-window suffix-array "
-    "dedup): one window pass over grams, gaps-and-islands merge",
+    "substring spans, fixed window strategy: one COUNT-OVER pass over "
+    "grams, gaps-and-islands merge (auto's below-crossover pick)",
 )
 
 # the skew escape hatch: identical spans via two-phase gram counts +

@@ -83,15 +83,72 @@ _MAX_INTERSECTIONS_TEMPLATE = """
     ORDER BY event_type
 """
 
-REGISTRY.sql_query(
+# auto-strategy decision cache, keyed by sf_dir (the asof
+# _AUTO_DECISIONS precedent); one cheap stats job per dataset/session
+_MAXINT_AUTO_DECISIONS: dict = {}
+
+# the single-window form lands each event_type's FULL point set (2
+# points per event) on one reducer.  local[32] probes carry 10x events
+# at 2.1x cost, so the crossover is set where a single reducer's input
+# stops being laptop-sized: past ~5M points per key the two-phase
+# chunked form (64x keys + broadcast prefix offsets) takes over.
+MAXINT_POINTS_PER_KEY_CROSSOVER = 5_000_000
+
+
+def _max_intersections_query(spark, sf_dir: str, strategy: str = "auto"):
+    """``events_max_intersections`` with a strategy switch (r9 verdict
+    #5): ``window`` (single partitioned sweep — fastest below the
+    crossover), ``twophase`` (skew-immune chunked scan), or ``auto`` —
+    one COUNT/COUNT DISTINCT stats job estimates points-per-key and
+    picks the form; decision cached per sf_dir."""
+    from .base import load_tables
+
+    t = load_tables(spark, sf_dir, ["events"])
+    if strategy == "auto":
+        if sf_dir not in _MAXINT_AUTO_DECISIONS:
+            from pyspark.sql import functions as F
+
+            row = t["events"].agg(
+                F.count("*").alias("n"),
+                F.countDistinct("event_type").alias("k"),
+            ).collect()[0]
+            pts_per_key = (2 * row["n"]) / max(1, row["k"])
+            _MAXINT_AUTO_DECISIONS[sf_dir] = (
+                "twophase"
+                if pts_per_key >= MAXINT_POINTS_PER_KEY_CROSSOVER
+                else "window"
+            )
+        strategy = _MAXINT_AUTO_DECISIONS[sf_dir]
+    if strategy == "window":
+        return spark.sql(_MAX_INTERSECTIONS_TEMPLATE.format(IV=_IV_SPARK))
+    if strategy == "twophase":
+        return spark.sql(
+            _MAX_INTERSECTIONS_TWOPHASE_TEMPLATE.format(IV=_IV_SPARK)
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# DEFAULT entry is strategy="auto"; both fixed strategies stay
+# registered (window below, twophase above the crossover).
+REGISTRY.df_query(
     "events_max_intersections",
+    _max_intersections_query,
+    oracle=_MAX_INTERSECTIONS_TEMPLATE.format(IV=_IV_DUCK),
+    tags=["agg", "compat", "interval", "window"],
+    description="ClickHouse maxIntersections(+Position): peak concurrent "
+    "intervals per event_type via a +1/-1 sweep line (closed-open "
+    "endpoints, integer-exact); strategy=auto picks the single-window "
+    "form below ~5M points/key and the two-phase chunked form above",
+)
+
+REGISTRY.sql_query(
+    "events_max_intersections_window",
     _MAX_INTERSECTIONS_TEMPLATE.format(IV=_IV_SPARK),
     oracle=_MAX_INTERSECTIONS_TEMPLATE.format(IV=_IV_DUCK),
     tables=["events"],
     tags=["agg", "compat", "interval", "window"],
-    description="ClickHouse maxIntersections(+Position): peak concurrent "
-    "intervals per event_type via a +1/-1 sweep line (closed-open "
-    "endpoints, integer-exact; one partitioned window, no global sort)",
+    description="maxIntersections, fixed single-window sweep (auto's "
+    "below-crossover pick; one partitioned window, no global sort)",
 )
 
 # The skew-immune form of the same sweep line: the single-window shape
