@@ -360,13 +360,11 @@ _LIMIT_BY_SQL = """
     WHERE rn <= 3
     ORDER BY user_id, event_id
     """
-REGISTRY.sql_query(
-    "events_limit_by",
-    _LIMIT_BY_SQL,
-    # INDEPENDENT formulation (r10): per-user dependent ORDER BY +
-    # LIMIT 3 in a LATERAL subquery — sort-and-truncate per group vs
-    # the Spark side's ranked-window filter.
-    oracle="""
+# INDEPENDENT formulation (r10): per-user dependent ORDER BY +
+# LIMIT 3 in a LATERAL subquery — sort-and-truncate per group vs
+# the Spark side's ranked-window filter.  Named so the streaming twin
+# (stream_limit_by) can grade against the same oracle.
+LIMIT_BY_ORACLE_SQL = """
     SELECT l.user_id, l.event_id, l.event_type
     FROM (SELECT DISTINCT user_id FROM events) u,
     LATERAL (
@@ -376,7 +374,12 @@ REGISTRY.sql_query(
       ORDER BY ts, event_id LIMIT 3
     ) l
     ORDER BY l.user_id, l.event_id
-    """,
+    """
+
+REGISTRY.sql_query(
+    "events_limit_by",
+    _LIMIT_BY_SQL,
+    oracle=LIMIT_BY_ORACLE_SQL,
     tables=["events"],
     tags=["window", "compat", "limit-by"],
     description="ClickHouse LIMIT n BY expr: first 3 events per user in "
@@ -920,4 +923,104 @@ REGISTRY.sql_query(
     description="QUALIFY top-n per priority class: Spark subquery+rank "
     "translation vs DuckDB's literal QUALIFY clause (independent "
     "formulations)",
+)
+
+
+# --- SELECT * EXCEPT / column modifiers (r10) -------------------------------
+# ClickHouse `SELECT * EXCEPT(cols) APPLY(f)` column modifiers.  Spark
+# 4 accepts `* EXCEPT (...)` natively; DuckDB spells it `* EXCLUDE
+# (...)` — two engines, two surface syntaxes, one projection.  The
+# APPLY half is desugared explicitly (Spark has no APPLY), keeping the
+# output deterministic and hash-stable.
+REGISTRY.sql_query(
+    "select_except_modifier",
+    """
+    SELECT * EXCEPT (props, value)
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    oracle="""
+    SELECT * EXCLUDE (props, value)
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    tables=["events"],
+    tags=["compat", "projection", "sugar"],
+    description="ClickHouse SELECT * EXCEPT(...): Spark's EXCEPT vs "
+    "DuckDB's EXCLUDE spelling — independent surface syntaxes, one "
+    "pruned projection",
+)
+
+
+# --- ngramDistance (r10) ----------------------------------------------------
+# ClickHouse `ngramDistance(text, needle)`: character-4-gram set
+# dissimilarity.  Map-only per doc (the needle's gram set is a literal
+# folded at plan time), exact integer set sizes, ONE IEEE division at
+# the end, top-20 via TakeOrderedAndProject — no shuffle beyond the
+# final top-k.  Both engines lowercase first, build DISTINCT 4-gram
+# sets, and compute |intersect| / |union| with the same integer
+# arithmetic; the oracle uses DuckDB list functions (independent
+# evaluation path, same definition).
+_NGRAM_NEEDLE = "machine learning pipeline"
+_NGRAM_DIST_SPARK = f"""
+    WITH g AS (
+      SELECT doc_id,
+             array_distinct(
+               transform(sequence(1, GREATEST(length(lower(text)) - 3, 0)),
+                         i -> substring(lower(text), i, 4))) AS grams
+      FROM documents
+      WHERE length(text) >= 4
+    ),
+    q AS (
+      SELECT array_distinct(
+               transform(sequence(1, {len(_NGRAM_NEEDLE) - 3}),
+                         i -> substring('{_NGRAM_NEEDLE}', i, 4))) AS qg
+    )
+    SELECT doc_id,
+           CAST(size(array_intersect(grams, qg)) AS BIGINT) AS n_common,
+           CAST(size(array_union(grams, qg)) AS BIGINT) AS n_union,
+           CAST(size(array_intersect(grams, qg)) AS DOUBLE)
+             / size(array_union(grams, qg)) AS ngram_sim
+    FROM g CROSS JOIN q
+    ORDER BY ngram_sim DESC, doc_id
+    LIMIT 20
+"""
+_NGRAM_DIST_DUCK = f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, GREATEST(length(lower(text)) - 3, 0) + 1),
+                              i -> substring(lower(text), i, 4))) AS grams
+      FROM documents
+      WHERE length(text) >= 4
+    ),
+    q AS (
+      SELECT list_distinct(
+               list_transform(range(1, {len(_NGRAM_NEEDLE) - 3} + 1),
+                              i -> substring('{_NGRAM_NEEDLE}', i, 4))) AS qg
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(grams, qg)) AS BIGINT) AS n_common,
+           CAST(len(grams) + len(qg) - len(list_intersect(grams, qg))
+                AS BIGINT) AS n_union,
+           CAST(len(list_intersect(grams, qg)) AS DOUBLE)
+             / (len(grams) + len(qg) - len(list_intersect(grams, qg)))
+             AS ngram_sim
+    FROM g CROSS JOIN q
+    ORDER BY ngram_sim DESC, doc_id
+    LIMIT 20
+"""
+
+REGISTRY.sql_query(
+    "text_ngram_distance",
+    _NGRAM_DIST_SPARK,
+    oracle=_NGRAM_DIST_DUCK,
+    tables=["documents"],
+    tags=["compat", "text", "similarity"],
+    description="ClickHouse ngramDistance: char-4-gram Jaccard "
+    "similarity of every doc to a constant needle, exact integer set "
+    "sizes, top-20 (map-only + TakeOrderedAndProject; oracle via "
+    "DuckDB list functions — |union| computed as |A|+|B|-|A∩B|)",
 )

@@ -933,3 +933,81 @@ REGISTRY.df_query(
         "LAG window exactly"
     ),
 )
+
+
+def _stream_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LIMIT 3 BY user == batch ``events_limit_by``: each
+    user's state is how many rows it has already admitted; an arriving
+    event is emitted iff fewer than 3 came before it.  Rows within a
+    micro-batch are sorted by the verified-unique (ts, event_id) key
+    the batch window orders by; across batches the file stream replays
+    in row order (ascending part mtimes) — the in-order ingest the
+    stateful funnel/EMA twins document.  Must hash-match the batch
+    ranked-window form exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.events_stream import read_events_stream_parts
+
+    events = read_events_stream_parts(spark, sf_dir)
+    iv = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+    )
+
+    def first_n(key, pdf_iter, state: GroupState):
+        taken = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(
+                    pdf["tu"].tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out_e, out_t = [], []
+        for _tu, eid, etype in rows:
+            if taken < 3:
+                out_e.append(eid)
+                out_t.append(etype)
+                taken += 1
+            else:
+                break
+        state.update((taken,))
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_e),
+                    "event_id": out_e,
+                    "event_type": out_t,
+                }
+            )
+
+    upd = iv.groupBy("user_id").applyInPandasWithState(
+        first_n,
+        outputStructType="user_id bigint, event_id bigint, event_type string",
+        stateStructType="taken int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(upd, "append").orderBy("user_id", "event_id")
+
+
+REGISTRY.df_query(
+    "stream_limit_by",
+    _stream_limit_by,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.plans.advanced",
+        fromlist=["LIMIT_BY_ORACLE_SQL"],
+    ).LIMIT_BY_ORACLE_SQL,
+    tags=["streaming", "limit-by", "applyInPandasWithState"],
+    description=(
+        "streaming LIMIT 3 BY user: per-user admitted-count state across "
+        "micro-batches; == the batch ranked-window form exactly"
+    ),
+)

@@ -518,3 +518,122 @@ REGISTRY.sql_query(
     "event following each user's first 'click' (LEAD over the verified"
     "-unique (ts, event_id) order + first-match join; NULL arm kept)",
 )
+
+
+# --- ORDER BY ... WITH FILL (r10) -------------------------------------------
+# ClickHouse fills missing ORDER BY values with interpolated rows
+# (`WITH FILL FROM a TO b STEP s`).  Re-expressed Spark-first as a
+# generated calendar LEFT JOIN: the 1-row extent relation broadcasts,
+# the calendar is |event_types| x |days| rows — trivially small
+# relative to the fact table at any scale — and the fill join is an
+# equi-join on (event_type, day).  Aggregates are cents-exact; filled
+# rows carry COALESCE(0) like ClickHouse's default fill value.  The
+# ORACLE builds the calendar with DuckDB's generate_series table
+# function instead of Spark's sequence()+explode — independent
+# formulations of the fill.
+_WITH_FILL_SPARK = """
+    WITH agg AS (
+      SELECT event_type, date_trunc('DAY', ts) AS d,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events
+      GROUP BY event_type, date_trunc('DAY', ts)
+    ),
+    ext AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM agg),
+    cal AS (
+      SELECT t.event_type, e.day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (
+        SELECT explode(sequence(d0, d1, interval 1 day)) AS day FROM ext
+      ) e
+    )
+    SELECT c.event_type, c.day AS bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(a.v_cents, 0) AS BIGINT) AS v_cents
+    FROM cal c
+    LEFT JOIN agg a ON a.event_type = c.event_type AND a.d = c.day
+    ORDER BY c.event_type, bucket
+"""
+_WITH_FILL_DUCK = """
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ext AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM agg),
+    cal AS (
+      SELECT t.event_type, CAST(g.day AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM ext
+      ) g
+    )
+    SELECT c.event_type, c.day AS bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(a.v_cents, 0) AS BIGINT) AS v_cents
+    FROM cal c
+    LEFT JOIN agg a ON a.event_type = c.event_type AND a.d = c.day
+    ORDER BY c.event_type, bucket
+"""
+
+REGISTRY.sql_query(
+    "events_with_fill_step",
+    _WITH_FILL_SPARK,
+    oracle=_WITH_FILL_DUCK,
+    tables=["events"],
+    tags=["compat", "gap-fill", "calendar"],
+    description="ClickHouse ORDER BY ... WITH FILL STEP 1 DAY: "
+    "generated per-type day calendar LEFT JOINed to the daily "
+    "aggregate, missing buckets zero-filled (oracle: independent "
+    "generate_series calendar)",
+)
+
+
+# --- sequenceMatch with a time condition (r10) ------------------------------
+# ClickHouse `sequenceMatch('(?1)(?t<=600)(?2)')(ts, A, B)`: did an A
+# event get followed by a B event within the window, per user.  The
+# time-bounded pair search is an equi-join on user_id with a bounded
+# range predicate on ts — at scale the user_id key bounds each join
+# group (the binned-range precedent join_time_window_binned handles
+# the keyless variant).  Counting users, pairs and the tightest gap
+# keeps the output small and hash-stable.
+_SEQ_MATCH_TIMED_SQL = """
+    WITH a AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    hits AS (
+      SELECT a.user_id,
+             CAST(UNIX_MICROS_DIFF(b.ts, a.ts) AS BIGINT) AS gap_us
+      FROM a JOIN b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts
+       AND b.ts <= a.ts + INTERVAL 10 MINUTES
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_matched,
+           CAST(COUNT(*) AS BIGINT) AS pairs,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+    FROM hits
+"""
+
+REGISTRY.sql_query(
+    "events_sequence_match_timed",
+    _SEQ_MATCH_TIMED_SQL.replace(
+        "UNIX_MICROS_DIFF(b.ts, a.ts)", "unix_micros(b.ts) - unix_micros(a.ts)"
+    ),
+    oracle=_SEQ_MATCH_TIMED_SQL.replace(
+        "UNIX_MICROS_DIFF(b.ts, a.ts)", "epoch_us(b.ts) - epoch_us(a.ts)"
+    ),
+    tables=["events"],
+    tags=["compat", "sequence", "join"],
+    description="ClickHouse sequenceMatch('(?1)(?t<=600)(?2)'): click "
+    "followed by purchase within 10 minutes per user (user-keyed "
+    "bounded-range join; users/pairs/tightest-gap summary)",
+)

@@ -159,3 +159,55 @@ def test_row_band_exprs_match_batch_sigs(spark):
     a = {tuple(r) for r in per_row.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b, f"band-key mismatch: {len(a ^ b)} differing rows"
+
+
+def test_stream_limit_by_straddles_micro_batches(spark, tmp_path):
+    """A user's 3rd admitted row lands in a LATER micro-batch than the
+    first two: the admitted-count state must carry across batches and
+    stop at exactly 3."""
+    import pandas as pd
+
+    sf = str(tmp_path / "sf")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    base = pd.Timestamp("2024-01-01")
+    # user 1: 5 events (2 in batch 0, 3 in batch 1 -> only 1 admitted
+    # from batch 1); user 2: 2 events split 1/1 (both admitted)
+    batches = [
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 10],
+                "ts": [base, base + pd.Timedelta(seconds=1), base],
+                "user_id": [1, 1, 2],
+                "event_type": ["a", "b", "x"],
+                "value": [0.0] * 3,
+                "props": ["{}"] * 3,
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [3, 4, 5, 11],
+                "ts": [base + pd.Timedelta(seconds=s) for s in (2, 3, 4)]
+                + [base + pd.Timedelta(seconds=1)],
+                "user_id": [1, 1, 1, 2],
+                "event_type": ["c", "d", "e", "y"],
+                "value": [0.0] * 4,
+                "props": ["{}"] * 4,
+            }
+        ),
+    ]
+    for i, pdf in enumerate(batches):
+        path = os.path.join(ev_dir, f"part-{i}.parquet")
+        spark.createDataFrame(pdf).toPandas().to_parquet(path)
+        ts = 1_700_000_000 + i
+        os.utime(path, (ts, ts))
+
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _stream_limit_by,
+    )
+
+    rows = [
+        (r["user_id"], r["event_id"])
+        for r in _stream_limit_by(spark, sf).collect()
+    ]
+    assert rows == [(1, 1), (1, 2), (1, 3), (2, 10), (2, 11)]
