@@ -1024,3 +1024,62 @@ REGISTRY.sql_query(
     "sizes, top-20 (map-only + TakeOrderedAndProject; oracle via "
     "DuckDB list functions — |union| computed as |A|+|B|-|A∩B|)",
 )
+
+
+# --- arrayCumSum / arrayDifference (r10) ------------------------------------
+# ClickHouse array-math aggregates, map-only per row over the
+# embeddings table: elements quantized to exact micro-units, cumsum /
+# difference computed per index (O(dim^2) per row with dim=64 —
+# element-local arithmetic, no shuffle), serialized to CSV strings for
+# grading (the collect_sorted_arrays array-cell precedent).
+# arrayDifference keeps ClickHouse's semantics: first element is 0.
+REGISTRY.sql_query(
+    "array_cumsum_difference",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qe
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           concat_ws(',',
+             transform(sequence(1, size(qe)),
+                       i -> aggregate(slice(qe, 1, i), CAST(0 AS BIGINT),
+                                      (a, x) -> a + x))) AS cumsum_csv,
+           concat_ws(',',
+             transform(sequence(1, size(qe)),
+                       i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                                 ELSE element_at(qe, i) - element_at(qe, i - 1)
+                            END)) AS diff_csv
+    FROM q
+    ORDER BY vec_id
+    """,
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qe
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(range(1, len(qe) + 1),
+                            i -> CAST(list_sum(qe[1:i]) AS BIGINT)), ',')
+             AS cumsum_csv,
+           array_to_string(
+             list_transform(range(1, len(qe) + 1),
+                            i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                                      ELSE qe[i] - qe[i - 1] END), ',')
+             AS diff_csv
+    FROM q
+    ORDER BY vec_id
+    """,
+    tables=["embeddings"],
+    tags=["compat", "array"],
+    description="ClickHouse arrayCumSum + arrayDifference: exact "
+    "micro-unit integer element math, CSV-serialized (oracle via "
+    "DuckDB list slices — independent evaluation path)",
+)

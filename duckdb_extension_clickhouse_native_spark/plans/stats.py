@@ -533,3 +533,197 @@ REGISTRY.sql_query(
     tags=["stats", "profile"],
     description="single-pass per-column profiler (count/distinct/min/max/avg) via stack unpivot",
 )
+
+
+# --- ClickHouse statistical-test aggregates (r10) ---------------------------
+# mannWhitneyUTest / kolmogorovSmirnovTest / welchTTest, re-expressed
+# with EXACT integer arithmetic end-to-end (the corr_qty_price
+# precedent): cents-quantized values, rank/count algebra kept in
+# BIGINTs (2x-scaled where halves appear), one IEEE division (or a
+# round(...,9) guard) only at the very end.  The Spark forms run the
+# SCALE-CORRECT two-phase shape — group by distinct value first
+# (map-side combinable), then a window over the tiny distinct-value
+# relation — while the ORACLES rank row-level with RANGE/RANK windows:
+# two algorithms, one answer.
+
+_MWU_SPARK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_v AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS below
+      FROM by_v
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM by_v)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(SUM(c1 * (2 * below + (c1 + c2) + 1)) AS BIGINT) AS r1_x2,
+           CAST(SUM(c1 * (2 * below + (c1 + c2) + 1)) - n1 * (n1 + 1)
+                AS BIGINT) AS u1_x2
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+"""
+_MWU_DUCK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM s
+    ),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE grp = 1) AS n1,
+             COUNT(*) FILTER (WHERE grp = 2) AS n2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(SUM(r2) FILTER (WHERE grp = 1) AS BIGINT) AS r1_x2,
+           CAST(SUM(r2) FILTER (WHERE grp = 1) - n1 * (n1 + 1)
+                AS BIGINT) AS u1_x2
+    FROM r CROSS JOIN tot
+    GROUP BY n1, n2
+"""
+
+REGISTRY.sql_query(
+    "stats_mann_whitney_u",
+    _MWU_SPARK,
+    oracle=_MWU_DUCK,
+    tables=["events"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse mannWhitneyUTest: exact tie-corrected rank "
+    "sums in 2x-scaled BIGINTs (Spark: two-phase distinct-value "
+    "cumulative form; oracle: row-level RANK form — two algorithms)",
+)
+
+_KS_SPARK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_v AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM by_v
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM by_v)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+           CAST(n1 * n2 AS BIGINT) AS d_den,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2) AS d_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+"""
+_KS_DUCK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cum AS (
+      SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER (
+               ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS f1,
+             SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) OVER (
+               ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS f2
+      FROM s
+    ),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE grp = 1) AS n1,
+             COUNT(*) FILTER (WHERE grp = 2) AS n2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+           CAST(n1 * n2 AS BIGINT) AS d_den,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2) AS d_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+"""
+
+REGISTRY.sql_query(
+    "stats_ks_distance",
+    _KS_SPARK,
+    oracle=_KS_DUCK,
+    tables=["events"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse kolmogorovSmirnovTest: sup |F1-F2| kept as "
+    "an exact integer numerator over n1*n2, one IEEE division at the "
+    "end (Spark: grouped distinct-value cumulative; oracle: row-level "
+    "RANGE-frame cumulative — the tie semantics must agree)",
+)
+
+# welchTTest: the t statistic is float-derived, so the graded meat is
+# the EXACT integer power sums; t itself is round(...,9)-guarded (the
+# corr_qty_price precedent).  Both engines compute the identical
+# final expression from identical integers.
+_WELCH_SQL = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    st AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM s GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN sv END) AS s1,
+        MAX(CASE WHEN grp = 1 THEN svv END) AS ss1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 2 THEN sv END) AS s2,
+        MAX(CASE WHEN grp = 2 THEN svv END) AS ss2
+      FROM st
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, s1, ss1,
+           CAST(n2 AS BIGINT) AS n2, s2, ss2,
+           ROUND(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(
+                 ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                  / (n1 - 1)) / n1
+               + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                  / (n2 - 1)) / n2
+             ), 9) AS t_stat
+    FROM w
+"""
+
+REGISTRY.sql_query(
+    "stats_welch_ttest",
+    _WELCH_SQL,
+    oracle=_WELCH_SQL,
+    tables=["events"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse welchTTest: exact cents power sums "
+    "(BIGINT — the graded meat) + a round(9)-guarded t statistic "
+    "(identical final float expression from identical integers; "
+    "hand-computed fixture pin in tests/test_stats_tests_r10.py)",
+)

@@ -1,0 +1,132 @@
+"""Hand-computed + plain-Python-reference pins for the r10 statistical
+-test aggregates (mannWhitneyUTest / kolmogorovSmirnovTest /
+welchTTest).  The MWU/KS entries already have structurally independent
+oracles; these fixtures pin the SEMANTICS (tie corrections, exact
+integer scaling, welch t) against references computed in this file."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+
+
+def _events_from_values(tmp_path, spark, clicks, purchases):
+    d = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in clicks:
+        rows.append((eid, base, 1, "click", v, "{}"))
+        eid += 1
+    for v in purchases:
+        rows.append((eid, base, 2, "purchase", v, "{}"))
+        eid += 1
+    # a decoy type that must be filtered out everywhere
+    rows.append((eid, base, 3, "view", 99.99, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).write.parquet(d + "/events.parquet")
+    return d
+
+
+def _py_mwu(g1, g2):
+    """Plain-Python tie-corrected Mann-Whitney: 2x-scaled rank sum of
+    group 1 and 2*U1."""
+    allv = sorted([(v, 1) for v in g1] + [(v, 2) for v in g2])
+    # average rank per tied value, scaled by 2 to stay integer
+    r1_x2 = 0
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j][0] == allv[i][0]:
+            j += 1
+        # ranks i+1..j (1-based); avg*2 = (i+1 + j)
+        avg2 = (i + 1) + j
+        r1_x2 += avg2 * sum(1 for k in range(i, j) if allv[k][1] == 1)
+        i = j
+    n1 = len(g1)
+    return r1_x2, r1_x2 - n1 * (n1 + 1)
+
+
+def _py_ks(g1, g2):
+    n1, n2 = len(g1), len(g2)
+    vals = sorted(set(g1) | set(g2))
+    best = 0
+    for v in vals:
+        f1 = sum(1 for x in g1 if x <= v)
+        f2 = sum(1 for x in g2 if x <= v)
+        best = max(best, abs(f1 * n2 - f2 * n1))
+    return best, n1 * n2
+
+
+def test_mwu_hand_computed_with_ties(spark, tmp_path):
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    clicks = [1.00, 2.00, 2.00, 5.00]      # cents: 100, 200, 200, 500
+    purchases = [2.00, 3.00, 0.50]         # cents: 200, 300, 50
+    d = _events_from_values(tmp_path, spark, clicks, purchases)
+    row = REGISTRY.all()["stats_mann_whitney_u"].build(spark, d).collect()[0]
+    c1 = [100, 200, 200, 500]
+    c2 = [200, 300, 50]
+    r1_x2, u1_x2 = _py_mwu(c1, c2)
+    assert (row["n1"], row["n2"]) == (4, 3)
+    assert row["r1_x2"] == r1_x2
+    assert row["u1_x2"] == u1_x2
+
+
+def test_ks_hand_computed(spark, tmp_path):
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    clicks = [1.00, 2.00, 4.00]
+    purchases = [3.00, 3.00, 5.00, 6.00]
+    d = _events_from_values(tmp_path, spark, clicks, purchases)
+    row = REGISTRY.all()["stats_ks_distance"].build(spark, d).collect()[0]
+    num, den = _py_ks([100, 200, 400], [300, 300, 500, 600])
+    assert (row["n1"], row["n2"]) == (3, 4)
+    assert row["d_num"] == num and row["d_den"] == den
+    assert row["d_stat"] == pytest.approx(num / den)
+
+
+def test_welch_hand_computed(spark, tmp_path):
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    clicks = [1.00, 2.00, 3.00]
+    purchases = [4.00, 6.00]
+    d = _events_from_values(tmp_path, spark, clicks, purchases)
+    row = REGISTRY.all()["stats_welch_ttest"].build(spark, d).collect()[0]
+    g1 = [100, 200, 300]
+    g2 = [400, 600]
+    assert (row["n1"], row["s1"], row["ss1"]) == (3, 600, 140000)
+    assert (row["n2"], row["s2"], row["ss2"]) == (2, 1000, 520000)
+    m1, m2 = 200.0, 500.0
+    v1 = (140000 - 600 * 600 / 3) / 2   # 10000
+    v2 = (520000 - 1000 * 1000 / 2) / 1  # 20000
+    t = (m1 - m2) / math.sqrt(v1 / 3 + v2 / 2)
+    assert row["t_stat"] == pytest.approx(round(t, 9))
+
+
+def test_mwu_random_against_python_reference(spark, tmp_path):
+    import random
+
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    rng = random.Random(11)
+    clicks = [round(rng.uniform(0, 20), 2) for _ in range(60)]
+    purchases = [round(rng.uniform(5, 25), 2) for _ in range(45)]
+    d = _events_from_values(tmp_path, spark, clicks, purchases)
+    row = REGISTRY.all()["stats_mann_whitney_u"].build(spark, d).collect()[0]
+    c1 = [math.floor(v * 100) for v in clicks]
+    c2 = [math.floor(v * 100) for v in purchases]
+    r1_x2, u1_x2 = _py_mwu(c1, c2)
+    assert row["r1_x2"] == r1_x2 and row["u1_x2"] == u1_x2
+    krow = REGISTRY.all()["stats_ks_distance"].build(spark, d).collect()[0]
+    num, den = _py_ks(c1, c2)
+    assert krow["d_num"] == num and krow["d_den"] == den
