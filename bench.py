@@ -253,6 +253,25 @@ def main() -> None:
     ]
     r9_ops, r9_total = run_tier(r9_names)
 
+    # fourth tier: round-10 additions (same rationale — new operators
+    # get their own tier so the headline stays comparable)
+    r10_names = [
+        "native_sql_using_view",
+        "scan_remote_arrowstream",
+        "scan_remote_parquet",
+        "dedup_substring_spans_window",
+        "events_max_intersections_window",
+        "events_with_fill_step",
+        "events_sequence_match_timed",
+        "select_except_modifier",
+        "text_ngram_distance",
+        "array_cumsum_difference",
+        "stats_mann_whitney_u",
+        "stats_ks_distance",
+        "stats_welch_ttest",
+    ]
+    r10_ops, r10_total = run_tier(r10_names)
+
     print(
         json.dumps(
             {
@@ -275,6 +294,8 @@ def main() -> None:
                 "tpch_full_total": round(tpch_total, 4),
                 "r9_ops": r9_ops,
                 "r9_ops_total": round(r9_total, 4),
+                "r10_ops": r10_ops,
+                "r10_ops_total": round(r10_total, 4),
                 "sf": sf_dir,
             }
         )

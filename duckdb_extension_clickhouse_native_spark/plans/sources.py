@@ -1210,3 +1210,51 @@ REGISTRY.df_query(
     tags=["source", "native", "blocks", "skipping", "pushdown"],
     description="per-block sidecar index prunes block ranges inside ONE file == raw-table oracle",
 )
+
+
+def _native_sql_using_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface registration (r10): the reference exposes its scan
+    as a SQL table function (`FROM clickhouse_native('p')`,
+    lib.rs:363-365); Spark's first-class equivalent for persistent SQL
+    access is `CREATE TEMPORARY VIEW ... USING clickhouse_native` —
+    the DataSource name resolves through the session catalog, so a
+    pure-SQL user never touches the DataFrame API.  The view is
+    (re)created per build; the aggregate then runs entirely in SQL."""
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "orders")
+    spark.sql("DROP VIEW IF EXISTS chsql_orders_view")
+    spark.sql(
+        "CREATE TEMPORARY VIEW chsql_orders_view USING clickhouse_native "
+        f"OPTIONS (path '{path}')"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM chsql_orders_view
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+REGISTRY.df_query(
+    "native_sql_using_view",
+    _native_sql_using_view,
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=["source", "native", "sql", "catalog"],
+    description="CREATE TEMPORARY VIEW ... USING clickhouse_native: the "
+    "pure-SQL catalog surface of the DataSource (the reference's "
+    "FROM clickhouse_native('p') shape, lib.rs:363-365)",
+)
