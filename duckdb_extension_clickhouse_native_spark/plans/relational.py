@@ -912,3 +912,55 @@ REGISTRY.sql_query(
 
 def register() -> None:
     """Import side effect — all queries above are already registered."""
+
+
+# --- mergeable distinct sketches: uniqState / uniqMerge (r10) ---------------
+# ClickHouse's AggregatingMergeTree keeps uniqState sketch columns and
+# uniqMerge-s them on read.  Spark's first-class analogue is the
+# Apache DataSketches HLL surface (hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate): per-group sketches built independently, then
+# UNIONED — the mergeable-state contract that makes distinct counts
+# incremental at 100 TB (partial sketches per partition/day, merged at
+# read).  Sketch bytes differ across engines by design; the checkable
+# contract (the approx_distinct_parts precedent) is each engine's own
+# merged estimate landing within 5% of the exact distinct over the
+# SAME union, plus the exact count itself.
+REGISTRY.sql_query(
+    "approx_hll_union_merge",
+    """
+    WITH parts AS (
+      SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
+             COUNT(DISTINCT o_custkey) AS exact_part
+      FROM orders
+      GROUP BY o_orderpriority
+    ),
+    merged AS (
+      SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+      FROM parts
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT o_custkey) AS exact_all FROM orders
+    )
+    SELECT CAST(exact_all AS BIGINT) AS exact_all,
+           CASE WHEN ABS(est - exact_all) / exact_all < 0.05
+                THEN 1 ELSE 0 END AS merge_ok
+    FROM merged CROSS JOIN exact
+    """,
+    oracle="""
+    WITH exact AS (
+      SELECT COUNT(DISTINCT o_custkey) AS exact_all FROM orders
+    ),
+    est AS (
+      SELECT approx_count_distinct(o_custkey) AS e FROM orders
+    )
+    SELECT CAST(exact_all AS BIGINT) AS exact_all,
+           CASE WHEN ABS(e - exact_all) / CAST(exact_all AS DOUBLE) < 0.05
+                THEN 1 ELSE 0 END AS merge_ok
+    FROM est CROSS JOIN exact
+    """,
+    tables=["orders"],
+    tags=["agg", "approx", "sketch", "compat"],
+    description="ClickHouse uniqState/uniqMerge via DataSketches HLL: "
+    "per-group sketches unioned, merged estimate within 5% of exact "
+    "(mergeable-state contract; sketch bytes engine-specific by design)",
+)
