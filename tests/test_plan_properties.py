@@ -96,3 +96,36 @@ def test_running_difference_single_window_pass(plans):
     p = plans("events_running_difference")
     assert p.count("Window") >= 1
     assert "CartesianProduct" not in p
+
+
+def test_ngram_distance_plans_topk(plans):
+    p = plans("text_ngram_distance")
+    assert "TakeOrderedAndProject" in p
+    # the needle gram-set is a 1-row broadcast, not a shuffled join
+    assert "SortMergeJoin" not in p
+
+
+def test_with_fill_broadcasts_calendar(plans):
+    p = plans("events_with_fill_step")
+    # extent (1 row) and calendar (types x days) are broadcast sides
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_mwu_two_phase_partial_agg(plans):
+    p = plans("stats_mann_whitney_u")
+    # the distinct-value grouping must run with map-side combine
+    assert "partial_sum" in p or "HashAggregate" in p
+    # no global per-row window remains (the whole point of the
+    # two-phase form — the window runs over the tiny by_v relation)
+    assert p.count("Window") <= 2
+
+
+def test_sql_using_view_hits_datasource(plans):
+    p = plans("native_sql_using_view")
+    assert "clickhouse_native" in p.lower() or "BatchEvalPython" in p or "PythonDataSource" in p
+
+
+def test_select_except_prunes_schema(plans):
+    p = plans("select_except_modifier")
+    # the excluded columns never reach the scan
+    assert "props" not in p and "value" not in p.replace("values", "")
