@@ -137,6 +137,21 @@ AUDIT = [
     "q20_promo_suppliers",
     "q21_waiting_supplier",
     "q22_sales_opportunity",
+    # r10 additions
+    "scan_remote_arrowstream",
+    "scan_remote_parquet",
+    "native_sql_using_view",
+    "events_with_fill_step",
+    "events_sequence_match_timed",
+    "select_except_modifier",
+    "text_ngram_distance",
+    "array_cumsum_difference",
+    "stats_mann_whitney_u",
+    "stats_ks_distance",
+    "stats_welch_ttest",
+    "approx_hll_union_merge",
+    "dedup_substring_spans_window",
+    "events_max_intersections_window",
 ]
 
 
