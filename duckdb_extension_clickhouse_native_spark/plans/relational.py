@@ -139,12 +139,17 @@ REGISTRY.sql_query(
 # the decimal form — but run in whole-stage-codegen integer arithmetic
 # instead of Spark's Decimal128 path: measured 1.22 -> 0.48 s at sf0.1
 # (values bit-identical to the decimal form). disc_price/charge become
-# exact 1e-4/1e-6-unit integers.  r10: the PER-ROW products stay
-# BIGINT (max ~1.1e11, integer codegen), but the disc_price/charge
-# ACCUMULATORS are DECIMAL(38,0) — a BIGINT sum of ~1.1e11-magnitude
-# terms wraps 2^63 silently (non-ANSI mode) at ~8e7 lineitem rows
-# (~SF14), far below the 100 TB posture.  Decimal128 addition on the
-# accumulator only; the multiplies stay in integer codegen.
+# exact 1e-4/1e-6-unit integers.  r10 overflow guard, v2: a plain
+# BIGINT sum of the ~1.1e11-magnitude charge products wraps 2^63
+# silently (non-ANSI mode) at ~8e7 lineitem rows (~SF14).  Instead of
+# paying Decimal128 addition per row, each product is SPLIT into
+# hi = x >> 20 and lo = x & 0xFFFFF (both non-negative — the products
+# are provably positive: price > 0, discount <= 0.10, tax >= 0), the
+# two BIGINT sums run in whole-stage-codegen integer arithmetic
+# (hi <= ~1e5/row and lo < 2^20/row -> no wrap before ~9e13 rows,
+# ~SF1.5e7), and ONE DECIMAL(38,0) multiply-add per GROUP recombines
+# them exactly: total = hi_sum * 2^20 + lo_sum.  Measured 0.74 -> 0.55
+# s at sf0.1 vs the per-row DECIMAL(38,0) cast, values bit-identical.
 REGISTRY.sql_query(
     "q1_pricing_summary",
     """
@@ -156,20 +161,26 @@ REGISTRY.sql_query(
              CAST(ROUND(l_tax * 100) AS BIGINT) AS t_c
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ),
+    pr AS (
+      SELECT l_returnflag, l_linestatus, q_c, p_c, d_c,
+             p_c * (100 - d_c) AS dp,
+             p_c * (100 - d_c) * (100 + t_c) AS ch
+      FROM fx
     )
     SELECT l_returnflag,
            l_linestatus,
            CAST(SUM(q_c) AS DOUBLE) / 100.0 AS sum_qty,
            CAST(SUM(p_c) AS DOUBLE) / 100.0 AS sum_base_price,
-           CAST(SUM(CAST(p_c * (100 - d_c) AS DECIMAL(38,0))) AS DOUBLE)
-             / 10000.0 AS sum_disc_price,
-           CAST(SUM(CAST(p_c * (100 - d_c) * (100 + t_c) AS DECIMAL(38,0))) AS DOUBLE)
-             / 1000000.0 AS sum_charge,
+           CAST(CAST(SUM(dp >> 20) AS DECIMAL(38,0)) * 1048576
+                + SUM(dp & 1048575) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(CAST(SUM(ch >> 20) AS DECIMAL(38,0)) * 1048576
+                + SUM(ch & 1048575) AS DOUBLE) / 1000000.0 AS sum_charge,
            CAST(SUM(q_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
            CAST(SUM(p_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
            CAST(SUM(d_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
-    FROM fx
+    FROM pr
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,

@@ -116,12 +116,15 @@ def test_q1_charge_accumulator_survives_bigint_overflow(spark):
     assert dec == pytest.approx(2.0e19)  # 20 * 1e18 > 2^63 ~ 9.2e18
 
 
-def test_q1_sql_uses_decimal_accumulator():
+def test_q1_sql_uses_overflow_safe_accumulator():
+    # v2: hi/lo BIGINT split per row + one DECIMAL(38,0) recombine per
+    # group (see relational.py comment) — both the split and the
+    # decimal recombine must be present
     from duckdb_extension_clickhouse_native_spark.plans import relational  # noqa: F401
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
 
     sql = REGISTRY.all()["q1_pricing_summary"].oracle
-    assert "DECIMAL(38,0)" in sql
+    assert "DECIMAL(38,0)" in sql and ">> 20" in sql and "& 1048575" in sql
 
 
 # -- 3: Nullable(Array/Tuple) rejected on the server path ----------------------
