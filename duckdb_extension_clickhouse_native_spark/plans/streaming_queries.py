@@ -1011,3 +1011,97 @@ REGISTRY.df_query(
         "micro-batches; == the batch ranked-window form exactly"
     ),
 )
+
+
+def _stream_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequenceMatch('(?1)(?t<=600)(?2)') == batch
+    ``events_sequence_match_timed``: each user's state is its recent
+    'click' timestamps (pruned to the 10-minute horizon as event time
+    advances — bounded state); each arriving 'purchase' counts the
+    retained clicks it pairs with.  Emissions are per-batch DELTAS
+    (pairs found, tightest gap in this batch) so the downstream batch
+    aggregation — SUM of pairs, MIN of gaps, COUNT DISTINCT matched
+    users — recovers the exact global summary.  In-order ingest per
+    the file-stream mtime contract the other stateful twins document."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.events_stream import read_events_stream_parts
+
+    horizon_us = 600 * 1_000_000
+    events = read_events_stream_parts(spark, sf_dir)
+    iv = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+    )
+
+    def matcher(key, pdf_iter, state: GroupState):
+        clicks = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(
+                    pdf["tu"].tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        pairs = 0
+        min_gap = None
+        for tu, _eid, etype in rows:
+            if etype == "click":
+                clicks.append(tu)
+            else:  # purchase
+                # strict b.ts > a.ts and b.ts <= a.ts + 10 min
+                for ctu in clicks:
+                    gap = tu - ctu
+                    if 0 < gap <= horizon_us:
+                        pairs += 1
+                        if min_gap is None or gap < min_gap:
+                            min_gap = gap
+            # prune clicks that can never match future events (event
+            # time ascends within and across batches)
+            clicks = [c for c in clicks if tu - c <= horizon_us]
+        state.update((clicks,))
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "pairs": [pairs],
+                    "min_gap_us": [min_gap],
+                }
+            )
+
+    upd = iv.groupBy("user_id").applyInPandasWithState(
+        matcher,
+        outputStructType="user_id bigint, pairs bigint, min_gap_us bigint",
+        stateStructType="clicks array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    deltas = _drain(upd, "append")
+    return deltas.agg(
+        F.countDistinct("user_id").cast("long").alias("users_matched"),
+        F.sum("pairs").cast("long").alias("pairs"),
+        F.min("min_gap_us").cast("long").alias("min_gap_us"),
+    )
+
+
+REGISTRY.df_query(
+    "stream_sequence_match_timed",
+    _stream_sequence_match_timed,
+    oracle=__import__(
+        "duckdb_extension_clickhouse_native_spark.plans.timeseries",
+        fromlist=["SEQ_MATCH_TIMED_ORACLE_SQL"],
+    ).SEQ_MATCH_TIMED_ORACLE_SQL,
+    tags=["streaming", "sequence", "applyInPandasWithState"],
+    description=(
+        "streaming sequenceMatch with time condition: per-user pruned "
+        "click-horizon state, per-batch pair deltas aggregated to the "
+        "exact batch summary (users/pairs/tightest gap)"
+    ),
+)

@@ -623,14 +623,18 @@ _SEQ_MATCH_TIMED_SQL = """
     FROM hits
 """
 
+# named so the streaming twin (stream_sequence_match_timed) grades
+# against the same oracle
+SEQ_MATCH_TIMED_ORACLE_SQL = _SEQ_MATCH_TIMED_SQL.replace(
+    "UNIX_MICROS_DIFF(b.ts, a.ts)", "epoch_us(b.ts) - epoch_us(a.ts)"
+)
+
 REGISTRY.sql_query(
     "events_sequence_match_timed",
     _SEQ_MATCH_TIMED_SQL.replace(
         "UNIX_MICROS_DIFF(b.ts, a.ts)", "unix_micros(b.ts) - unix_micros(a.ts)"
     ),
-    oracle=_SEQ_MATCH_TIMED_SQL.replace(
-        "UNIX_MICROS_DIFF(b.ts, a.ts)", "epoch_us(b.ts) - epoch_us(a.ts)"
-    ),
+    oracle=SEQ_MATCH_TIMED_ORACLE_SQL,
     tables=["events"],
     tags=["compat", "sequence", "join"],
     description="ClickHouse sequenceMatch('(?1)(?t<=600)(?2)'): click "

@@ -211,3 +211,54 @@ def test_stream_limit_by_straddles_micro_batches(spark, tmp_path):
         for r in _stream_limit_by(spark, sf).collect()
     ]
     assert rows == [(1, 1), (1, 2), (1, 3), (2, 10), (2, 11)]
+
+
+def test_stream_sequence_match_pairs_straddle_batches(spark, tmp_path):
+    """click in batch 0 pairs with a purchase in batch 1 (state carries
+    the click); a click outside the 10-min horizon never pairs."""
+    import pandas as pd
+
+    sf = str(tmp_path / "sf2")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    base = pd.Timestamp("2024-01-01")
+    batches = [
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": [base, base + pd.Timedelta(minutes=30)],
+                "user_id": [1, 2],
+                "event_type": ["click", "click"],
+                "value": [0.0] * 2,
+                "props": ["{}"] * 2,
+            }
+        ),
+        pd.DataFrame(
+            {
+                # user 1: purchase 11 min after its click -> NO pair;
+                # user 2: purchase 5 min after its click -> pair
+                "event_id": [3, 4],
+                "ts": [
+                    base + pd.Timedelta(minutes=11),
+                    base + pd.Timedelta(minutes=35),
+                ],
+                "user_id": [1, 2],
+                "event_type": ["purchase", "purchase"],
+                "value": [0.0] * 2,
+                "props": ["{}"] * 2,
+            }
+        ),
+    ]
+    for i, pdf in enumerate(batches):
+        path = os.path.join(ev_dir, f"part-{i}.parquet")
+        pdf.to_parquet(path)
+        ts = 1_700_000_000 + i
+        os.utime(path, (ts, ts))
+
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _stream_sequence_match_timed,
+    )
+
+    row = _stream_sequence_match_timed(spark, sf).collect()[0]
+    assert (row["users_matched"], row["pairs"]) == (1, 1)
+    assert row["min_gap_us"] == 5 * 60 * 1_000_000

@@ -197,8 +197,40 @@ def gen_query(seed: int) -> str:
     shape = rng.choice(
         ["project", "agg", "agg", "join_agg", "distinct", "setop", "window",
          "rollup", "scalar", "exists", "full_outer", "group_all",
-         "moving_frame"]
+         "moving_frame", "rank_algebra", "range_cume"]
     )
+    if shape == "rank_algebra":
+        # tie-corrected rank algebra (the r10 mannWhitneyU shape):
+        # 2*RANK() + COUNT(*) OVER (PARTITION BY v) - 1 is the
+        # 2x-scaled average rank — exact integers, tie semantics must
+        # agree between engines
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        v = rng.choice(spec["ints"])
+        g = rng.choice(spec["group"])
+        return (
+            f"SELECT {g} AS g, "
+            f"CAST(SUM(2 * r + tc - 1) AS BIGINT) AS rank2_sum, "
+            f"COUNT(*) AS n_rows FROM ("
+            f"SELECT {g}, RANK() OVER (ORDER BY {v}) AS r, "
+            f"COUNT(*) OVER (PARTITION BY {v}) AS tc "
+            f"FROM {t} WHERE {_where(rng, t)}) q GROUP BY {g}"
+        )
+    if shape == "range_cume":
+        # RANGE-frame cumulative counts (the r10 KS shape): at a tied
+        # ORDER BY value the frame must include ALL peers in both
+        # engines
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        v = rng.choice(spec["ints"])
+        c = rng.choice(spec["ints"])
+        return (
+            f"SELECT CAST(MAX(f) AS BIGINT) AS max_cume, "
+            f"CAST(MIN(f) AS BIGINT) AS min_cume, COUNT(*) AS n_rows "
+            f"FROM (SELECT SUM(CASE WHEN {c} % 2 = 0 THEN 1 ELSE 0 END) "
+            f"OVER (ORDER BY {v} RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW) AS f FROM {t} WHERE {_where(rng, t)}) q"
+        )
     if shape == "exists":
         # (NOT) EXISTS correlated subquery — the decorrelation path
         big, dim, bk, dk = rng.choice(JOINS)
