@@ -439,11 +439,9 @@ class Query:
 #     tier), then as many of the r6-green cohort (43 rows,
 #     alphabetical) as fit the remaining slots; the r6 remainder and
 #     the r7 cohort rotate into round 10.
-GRADING_WINDOW = [
-    # ROUND-9 WINDOW, final update (tools/window_plan.py regenerated
-    # at registry 210: 48 never-graded rows lead — every addition this
-    # round — then 2 slots of the r5-green oldest-evidence cohort; the
-    # remainder rotates into round 10):
+# ROUND-9 WINDOW (graded, all green — kept for the ledger): 48
+# never-graded r9 additions + q22/q4 from the r5 cohort.
+_ROUND9_WINDOW = [
     "dedup_substring_spans_twophase",  # NEVER GRADED
     "asof_join_nearest_tolerance",  # NEVER GRADED
     "events_summing_merge",  # NEVER GRADED
@@ -494,6 +492,70 @@ GRADING_WINDOW = [
     "stream_exp_moving_avg",  # NEVER GRADED
     "q22_sales_opportunity",  # green r5
     "q4_order_priority",  # green r5
+]
+
+# ROUND-10 WINDOW (tools/window_plan.py regenerated at registry 226:
+# 16 never-graded rows lead, then the 18 changed-path re-proofs —
+# every r10 source change that touches an already-graded entry:
+# q1's hi/lo overflow-guard rewrite; the five re-oracled rows; the
+# four strategy=auto re-registrations; the seven wire-path rows over
+# the rewritten string decoder / nullability derivation — then 16
+# slots of the r5-green oldest-evidence cohort (zorder_layout and the
+# r6 cohort rotate into round 11).
+GRADING_WINDOW = [
+    # never driver-graded (r10 additions)
+    "select_except_modifier",  # NEVER GRADED
+    "text_ngram_distance",  # NEVER GRADED
+    "array_cumsum_difference",  # NEVER GRADED
+    "dedup_substring_spans_window",  # NEVER GRADED
+    "approx_hll_union_merge",  # NEVER GRADED
+    "scan_remote_arrowstream",  # NEVER GRADED
+    "scan_remote_parquet",  # NEVER GRADED
+    "native_sql_using_view",  # NEVER GRADED
+    "stats_mann_whitney_u",  # NEVER GRADED
+    "stats_ks_distance",  # NEVER GRADED
+    "stats_welch_ttest",  # NEVER GRADED
+    "events_max_intersections_window",  # NEVER GRADED
+    "events_with_fill_step",  # NEVER GRADED
+    "events_sequence_match_timed",  # NEVER GRADED
+    "stream_limit_by",  # NEVER GRADED
+    "stream_sequence_match_timed",  # NEVER GRADED
+    # changed-path re-proofs (r10)
+    "q1_pricing_summary",  # hi/lo split accumulators
+    "events_limit_by",  # independent LATERAL oracle
+    "events_running_difference",  # independent rank-self-join oracle
+    "weighted_percentiles_price",  # independent expansion oracle
+    "lateral_topn_per_customer",  # independent global-window oracle
+    "group_order_by_all",  # desugared oracle
+    "dedup_substring_spans",  # strategy=auto default
+    "dedup_substring_spans_twophase",  # auto sibling
+    "events_max_intersections",  # strategy=auto default
+    "events_max_intersections_twophase",  # auto sibling
+    "native_roundtrip_documents",  # rewritten string-decode scan loop
+    "native_compressed_scan",  # string decode under compressed frames
+    "scan_remote_rowbinary",  # derive_wire_types nullability path
+    "scan_remote_rowbinary_nested",  # nested wire nullability
+    "scan_remote_jsoneachrow",  # json NULL loud-failure path
+    "scan_remote_tsv",  # text wire derivation
+    "scan_remote_csv",  # stateful quote-context record reader
+    "scan_tcp_write_roundtrip",  # INSERT writer nullability
+    # oldest-evidence cohort (newest green r5)
+    "q8_market_share",  # green r5
+    "sample_mixture_temperature",  # green r5
+    "sample_stratified",  # green r5
+    "select_importance_target",  # green r5
+    "shard_assignment",  # green r5
+    "skew_salted_agg",  # green r5
+    "stream_dedup_keys",  # green r5
+    "stream_dedup_watermarked",  # green r5
+    "stream_interval_join",  # green r5
+    "stream_stateful_sessions",  # green r5
+    "stream_windowed_counts",  # green r5
+    "stringagg_rich_customers",  # green r5
+    "window_lag_lead",  # green r5
+    "window_ntile_percent",  # green r5
+    "window_time_range_frame",  # green r5
+    "window_topk_per_group",  # green r5
 ]
 
 
