@@ -1083,3 +1083,80 @@ REGISTRY.sql_query(
     "micro-unit integer element math, CSV-serialized (oracle via "
     "DuckDB list slices — independent evaluation path)",
 )
+
+
+# --- dictGetHierarchy (r10) -------------------------------------------------
+# ClickHouse hierarchical dictionaries return the ancestor-id chain
+# for a key.  Over the TPC-H geography the hierarchy is
+# nation -> region; the chain is emitted as a CSV path (array-cell
+# grading trap precedent) built by broadcast-joined lookups — the
+# dictionary relations are small by definition, so the plan is
+# scan + 2 broadcast hash joins, no shuffle.
+REGISTRY.sql_query(
+    "dict_hierarchy_nation",
+    """
+    SELECT c.c_custkey,
+           CONCAT(CAST(n.n_nationkey AS STRING), ',',
+                  CAST(r.r_regionkey AS STRING)) AS hierarchy_path,
+           n.n_name AS nation,
+           r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_custkey <= 500
+    ORDER BY c.c_custkey
+    """,
+    oracle="""
+    SELECT c.c_custkey,
+           CONCAT(CAST(n.n_nationkey AS VARCHAR), ',',
+                  CAST(r.r_regionkey AS VARCHAR)) AS hierarchy_path,
+           n.n_name AS nation,
+           r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_custkey <= 500
+    ORDER BY c.c_custkey
+    """,
+    tables=["customer", "nation", "region"],
+    tags=["compat", "dict", "join"],
+    description="ClickHouse dictGetHierarchy: ancestor-id chain "
+    "(nation -> region) as a CSV path via broadcast dictionary joins",
+)
+
+
+# --- LIMIT n OFFSET m BY (r10) ----------------------------------------------
+# The offset variant of ClickHouse LIMIT BY: skip the first m rows per
+# group, keep the next n (`LIMIT 2 OFFSET 1 BY user_id`) — the ranked
+# window filters a BAND instead of a prefix.  The oracle keeps the
+# per-group LATERAL sort with OFFSET, the events_limit_by precedent.
+REGISTRY.sql_query(
+    "events_limit_by_offset",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) r
+    WHERE rn BETWEEN 2 AND 3
+    ORDER BY user_id, event_id
+    """,
+    oracle="""
+    SELECT l.user_id, l.event_id, l.event_type
+    FROM (SELECT DISTINCT user_id FROM events) u,
+    LATERAL (
+      SELECT user_id, event_id, event_type
+      FROM events e
+      WHERE e.user_id = u.user_id
+      ORDER BY ts, event_id LIMIT 2 OFFSET 1
+    ) l
+    ORDER BY l.user_id, l.event_id
+    """,
+    tables=["events"],
+    tags=["window", "compat", "limit-by"],
+    description="ClickHouse LIMIT 2 OFFSET 1 BY user_id: per-group "
+    "rank band (oracle: independent LATERAL sort with OFFSET)",
+)

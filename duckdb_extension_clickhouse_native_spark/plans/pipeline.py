@@ -953,3 +953,70 @@ _sql_pair(
 
 def register() -> None:
     """Import side effect — queries registered above."""
+
+
+# --- C4-style line-level dedup (r10) ----------------------------------------
+# C4/Gopher pipelines dedup at LINE granularity before doc-level
+# passes: a sentence repeated corpus-wide (boilerplate, navigation)
+# marks every container doc.  One explode + one groupBy on the line
+# hash (map-side combinable), then a per-doc re-aggregation: the
+# duplicate-line FRACTION is the per-doc quality signal a curation
+# pass filters on.  Sentences split on '. ' (the corpus is synthetic
+# prose; a production pass would use a sentence model — the Spark
+# shape is identical).
+REGISTRY.sql_query(
+    "dedup_line_level",
+    """
+    WITH lines AS (
+      SELECT doc_id, line
+      FROM (
+        SELECT doc_id,
+               explode(filter(split(text, '\\\\. '), x -> length(x) > 0))
+                 AS line
+        FROM documents
+      ) e
+    ),
+    dup AS (
+      SELECT line, COUNT(*) AS n_docs
+      FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_line_frac
+    FROM lines l JOIN dup d ON l.line = d.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, line
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, '. '),
+                                  x -> length(x) > 0)) AS line
+        FROM documents
+      ) e
+    ),
+    dup AS (
+      SELECT line, COUNT(*) AS n_docs
+      FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_line_frac
+    FROM lines l JOIN dup d ON l.line = d.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    tables=["documents"],
+    tags=["dedup", "lines", "quality"],
+    description="C4-style line-level dedup signal: corpus-wide "
+    "duplicated-sentence fraction per doc (explode + hash groupBy + "
+    "per-doc re-aggregation; Spark split regex vs DuckDB string_split)",
+)
