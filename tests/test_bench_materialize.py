@@ -66,9 +66,10 @@ def test_bench_timed_region_uses_materialize():
     m = re.search(r"def run_tier\(.*?\n(.*?)\n    headline", src, re.S)
     assert m, "run_tier not found in bench.main"
     body = m.group(1)
-    # the timed region (between perf_counter calls) must materialize
+    # the timed region (between perf_counter start and the appended
+    # elapsed sample — r10: median-of-5 collects samples into ts)
     timed = re.search(
-        r"t0 = time\.perf_counter\(\)\n(.*?)best = min", body, re.S
+        r"t0 = time\.perf_counter\(\)\n(.*?)ts\.append", body, re.S
     )
     assert timed, "timed region not found"
     assert "materialize(" in timed.group(1)
