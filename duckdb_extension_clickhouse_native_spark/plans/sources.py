@@ -1258,3 +1258,59 @@ REGISTRY.df_query(
     "pure-SQL catalog surface of the DataSource (the reference's "
     "FROM clickhouse_native('p') shape, lib.rs:363-365)",
 )
+
+
+def _scan_remote_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote filter pushdown (r10): the Spark-side .filter() is
+    rendered into the remote SQL (reader pushFilters wraps the query
+    as ``SELECT * FROM (q) AS __pushed WHERE ...``), so the server
+    ships only matching rows — at 100 TB the egress saved by a
+    selective predicate dwarfs the local scan cost.  The oracle
+    applies the same WHERE to the raw table; value parity proves the
+    remote filter dropped exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option("table", "orders")
+        .option("url", url)
+        .load()
+    )
+    return (
+        df.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_pushdown_filter",
+    _scan_remote_pushdown,
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=["source", "scan", "pushdown", "interop"],
+    description="clickhouse_scan filter pushdown: Spark predicates "
+    "rendered into the remote SQL so the server filters before "
+    "shipping (tests/test_scan_pushdown.py proves the WHERE reaches "
+    "the wire via the mock's query log)",
+)

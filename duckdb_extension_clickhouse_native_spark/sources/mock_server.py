@@ -30,7 +30,7 @@ _LOCK = threading.Lock()
 from ..plans.base import TABLES  # noqa: E402
 
 
-def build_handler(con, insert_hook=None, execute_inserts=True):
+def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
     """Handler class factory over a DuckDB connection — the single
     implementation of the mock protocol (POST body ``<sql> FORMAT
     Native`` -> Native bytes; ``?query=INSERT INTO t`` + Native body ->
@@ -105,6 +105,8 @@ def build_handler(con, insert_hook=None, execute_inserts=True):
                     self.end_headers()
                     return
                 q = body.decode().strip()
+                if query_hook is not None:
+                    query_hook(q)
                 fmt = "native"
                 if q.endswith("FORMAT RowBinaryWithNamesAndTypes"):
                     q = q[: -len("FORMAT RowBinaryWithNamesAndTypes")]

@@ -91,6 +91,85 @@ def _split_queries(query: str, options: dict) -> list[str]:
     return out
 
 
+def _remote_literal(v) -> Optional[str]:
+    """Render a Spark filter value as a literal BOTH ClickHouse and the
+    DuckDB-backed mock parse identically, or None if unsafe."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "1" if v else "0"  # CH Bool compares as UInt8
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None  # nan/inf literal spellings differ
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    if isinstance(v, str):
+        # single quotes double identically in both dialects; backslash
+        # escaping differs (CH escapes, DuckDB is literal) -> don't
+        # push values carrying backslashes or control chars
+        if "\\" in v or any(ord(c) < 0x20 for c in v):
+            return None
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _filter_to_remote_sql(f) -> Optional[str]:
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    if isinstance(f, Not):
+        inner = _filter_to_remote_sql(f.child)
+        return None if inner is None or isinstance(f.child, Not) else f"NOT ({inner})"
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:  # no nested columns
+        return None
+    col = '"' + attr[0].replace('"', '""') + '"'
+    if isinstance(f, IsNull):
+        return f"{col} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{col} IS NOT NULL"
+    if isinstance(f, In):
+        lits = [_remote_literal(v) for v in f.value]
+        if not lits or any(l is None for l in lits):
+            return None
+        return f"{col} IN ({', '.join(lits)})"
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            if f.value is None:
+                return None  # NULL comparison never matches; leave to Spark
+            lit = _remote_literal(f.value)
+            return None if lit is None else f"{col} {op} {lit}"
+    if isinstance(f, EqualNullSafe):
+        if f.value is None:
+            return f"{col} IS NULL"
+        lit = _remote_literal(f.value)
+        # <=> with a non-null literal == plain equality plus NOT NULL
+        return None if lit is None else f"({col} IS NOT NULL AND {col} = {lit})"
+    return None
+
+
 class ClickHouseScanReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.spark_schema = schema
@@ -120,6 +199,33 @@ class ClickHouseScanReader(DataSourceReader):
             raise ValueError(
                 f"wire_format={self.wire_format} requires an http(s):// "
                 "url; the native TCP protocol always carries Native blocks"
+            )
+
+    def pushFilters(self, filters):
+        """Push simple Spark predicates INTO the remote SQL (r10): the
+        query is wrapped as ``SELECT * FROM (q) AS __pushed WHERE ...``
+        so the SERVER filters before shipping rows — at 100 TB the
+        network egress, not the local scan, is what the filter saves.
+        Only predicates whose rendering is engine-identical are
+        absorbed (comparisons / IN / IS [NOT] NULL over plain columns,
+        literal strings without escape-sensitive characters); anything
+        else is yielded back for Spark-side evaluation.  Disable with
+        ``pushdown=false``."""
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            yield from filters
+            return
+        preds: list[str] = []
+        for f in filters:
+            sql = _filter_to_remote_sql(f)
+            if sql is None:
+                yield f
+            else:
+                preds.append(sql)
+        if preds:
+            base = self.query.rstrip().rstrip(";")
+            self.query = (
+                f"SELECT * FROM ({base}) AS __pushed WHERE "
+                + " AND ".join(preds)
             )
 
     def partitions(self) -> Sequence[InputPartition]:
