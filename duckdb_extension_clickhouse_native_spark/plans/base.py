@@ -520,6 +520,10 @@ GRADING_WINDOW = [
     "events_sequence_match_timed",  # NEVER GRADED
     "stream_limit_by",  # NEVER GRADED
     "stream_sequence_match_timed",  # NEVER GRADED
+    "dedup_line_level",  # NEVER GRADED
+    "dict_hierarchy_nation",  # NEVER GRADED
+    "events_limit_by_offset",  # NEVER GRADED
+    "scan_remote_pushdown_filter",  # NEVER GRADED
     # changed-path re-proofs (r10)
     "q1_pricing_summary",  # hi/lo split accumulators
     "events_limit_by",  # independent LATERAL oracle
@@ -552,10 +556,6 @@ GRADING_WINDOW = [
     "stream_stateful_sessions",  # green r5
     "stream_windowed_counts",  # green r5
     "stringagg_rich_customers",  # green r5
-    "window_lag_lead",  # green r5
-    "window_ntile_percent",  # green r5
-    "window_time_range_frame",  # green r5
-    "window_topk_per_group",  # green r5
 ]
 
 
