@@ -40,7 +40,8 @@ def _empty_batch(schema):
 
 
 def build_tcp_handler(
-    con, insert_hook=None, execute_inserts=True, codec="lz4", interleave=False
+    con, insert_hook=None, execute_inserts=True, codec="lz4", interleave=False,
+    query_hook=None,
 ):
     """Handler factory over a DuckDB connection (mirrors
     ``mock_server.build_handler``). ``codec`` picks the frame method
@@ -103,6 +104,8 @@ def build_tcp_handler(
                 self.wfile.flush()
                 return
             q = query.strip().rstrip(";").strip()
+            if query_hook is not None:
+                query_hook(q)
             try:
                 if q.upper().startswith("INSERT"):
                     table = q.split()[2].split("(")[0]

@@ -113,3 +113,26 @@ def test_pushdown_composes_with_split_reads(spark, pushdown_mock):
     # every split subquery carries the pushed WHERE
     splits = [q for q in log if "__split" in q]
     assert splits and all('"v" >= 1900' in q for q in splits), log
+
+
+def test_pushdown_over_tcp_transport(spark):
+    """pushFilters is transport-independent: the wrapped query reaches
+    the native-TCP mock too."""
+    from duckdb_extension_clickhouse_native_spark.sources.mock_tcp_server import (
+        build_tcp_handler,
+        serve_tcp,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS id, range * 3 AS w FROM range(500)")
+    log: list = []
+    host, port = serve_tcp(build_tcp_handler(con, query_hook=log.append))
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option("url", f"tcp://{host}:{port}")
+        .option("table", "t")
+        .load()
+        .filter(F.col("id") >= 495)
+    )
+    assert sorted(r["id"] for r in df.collect()) == [495, 496, 497, 498, 499]
+    assert any("__pushed" in q and '"id" >= 495' in q for q in log), log
