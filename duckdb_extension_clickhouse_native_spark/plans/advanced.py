@@ -1160,3 +1160,49 @@ REGISTRY.sql_query(
     description="ClickHouse LIMIT 2 OFFSET 1 BY user_id: per-group "
     "rank band (oracle: independent LATERAL sort with OFFSET)",
 )
+
+
+# --- ngramSearch (r10) ------------------------------------------------------
+# ClickHouse's ASYMMETRIC sibling of ngramDistance: how much of the
+# NEEDLE's gram set the haystack contains.  Unlike the exact-Jaccard
+# `text_ngram_distance` (which materializes every doc's gram set —
+# ~1 allocation per character, parallelism-bound on few-file inputs),
+# this is |needle| (22) pure-codegen substring probes per doc: the
+# production-scale containment score.  Exact integer hit counts, one
+# IEEE division.  Spark probes with instr(), the oracle with
+# strpos() — independent builtins, same definition.
+_NGRAM_SEARCH_GRAMS = sorted(
+    {
+        _NGRAM_NEEDLE[i : i + 4]
+        for i in range(len(_NGRAM_NEEDLE) - 3)
+    }
+)
+
+
+def _ngram_search_sql(probe_fn: str) -> str:
+    hits = " + ".join(
+        f"CASE WHEN {probe_fn}(lower(text), '{g}') > 0 THEN 1 ELSE 0 END"
+        for g in _NGRAM_SEARCH_GRAMS
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({hits} AS BIGINT) AS n_hits,
+           CAST({len(_NGRAM_SEARCH_GRAMS)} AS BIGINT) AS n_needle_grams,
+           CAST({hits} AS DOUBLE) / {len(_NGRAM_SEARCH_GRAMS)} AS search_score
+    FROM documents
+    ORDER BY search_score DESC, doc_id
+    LIMIT 50
+    """
+
+
+REGISTRY.sql_query(
+    "text_ngram_search",
+    _ngram_search_sql("instr"),
+    oracle=_ngram_search_sql("strpos"),
+    tables=["documents"],
+    tags=["compat", "text", "similarity", "scale"],
+    description="ClickHouse ngramSearch: needle-gram containment score "
+    "— 22 codegen substring probes per doc, no per-doc gram-set "
+    "materialization (the at-scale sibling of text_ngram_distance); "
+    "Spark instr() vs DuckDB strpos()",
+)
