@@ -524,6 +524,7 @@ GRADING_WINDOW = [
     "dict_hierarchy_nation",  # NEVER GRADED
     "events_limit_by_offset",  # NEVER GRADED
     "scan_remote_pushdown_filter",  # NEVER GRADED
+    "text_ngram_search",  # NEVER GRADED
     # changed-path re-proofs (r10)
     "q1_pricing_summary",  # hi/lo split accumulators
     "events_limit_by",  # independent LATERAL oracle
@@ -555,7 +556,6 @@ GRADING_WINDOW = [
     "stream_interval_join",  # green r5
     "stream_stateful_sessions",  # green r5
     "stream_windowed_counts",  # green r5
-    "stringagg_rich_customers",  # green r5
 ]
 
 
