@@ -1206,3 +1206,140 @@ REGISTRY.sql_query(
     "materialization (the at-scale sibling of text_ngram_distance); "
     "Spark instr() vs DuckDB strpos()",
 )
+
+
+# --- groupBitmap set algebra (ClickHouse groupBitmapAnd/Or/cardinality) ------
+# ClickHouse builds roaring bitmaps per group and intersects/unions them
+# (groupBitmapAndState, bitmapCardinality). The Spark-first expression is
+# the distributive equivalent: one grouped COUNT(DISTINCT ...) pass over
+# (user_id) with conditional membership counts — a single shuffle on
+# user_id, map-side combinable, no bitmap materialization anywhere. The
+# oracle computes the same cardinalities with literal set algebra
+# (INTERSECT / DISTINCT / HAVING) — structurally independent, so a hash
+# match certifies the set semantics.
+REGISTRY.sql_query(
+    "events_group_bitmap",
+    """
+    WITH u AS (
+      SELECT user_id,
+             COUNT(DISTINCT CASE WHEN event_type IN ('view','click','purchase')
+                                 THEN event_type END) AS k
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT SUM(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS and_card,
+           SUM(CASE WHEN k >= 1 THEN 1 ELSE 0 END) AS or_card,
+           SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS exactly_one_card
+    FROM u
+    """,
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        AS and_card,
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type IN ('view','click','purchase')) AS or_card,
+      (SELECT COUNT(*) FROM (
+         SELECT user_id
+         FROM (SELECT DISTINCT user_id, event_type FROM events
+                WHERE event_type IN ('view','click','purchase'))
+         GROUP BY user_id HAVING COUNT(*) = 1)) AS exactly_one_card
+    """,
+    tables=["events"],
+    tags=["compat", "agg", "setop"],
+    description="groupBitmapAnd/Or cardinalities without bitmaps: one "
+    "distinct-membership pass keyed on user_id vs literal INTERSECT set "
+    "algebra (independent formulations)",
+)
+
+# --- URL functions (ClickHouse domain/path/queryString/extractURLParameter) --
+# The URL column is synthesized deterministically from documents columns.
+# Spark side uses the real parse_url() expression (a URL parser); the
+# oracle re-derives each component with anchored regexes — independent
+# implementations of the same extraction semantics.
+REGISTRY.sql_query(
+    "scalar_url_funcs",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/',
+                    CAST(doc_id AS STRING), '?lang=', lang, '&ref=', source)
+               AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           parse_url(url, 'PROTOCOL') AS protocol,
+           parse_url(url, 'HOST') AS domain,
+           parse_url(url, 'PATH') AS url_path,
+           parse_url(url, 'QUERY') AS query_string,
+           parse_url(url, 'QUERY', 'lang') AS lang_param,
+           parse_url(url, 'QUERY', 'ref') AS ref_param
+    FROM urls
+    """,
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id ||
+             '?lang=' || lang || '&ref=' || source AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS domain,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS url_path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query_string,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+    FROM urls
+    """,
+    tables=["documents"],
+    tags=["compat", "scalar", "url"],
+    description="ClickHouse URL function family (protocol/domain/path/"
+    "queryString/extractURLParameter): Spark parse_url parser vs anchored "
+    "regex oracle (independent implementations)",
+)
+
+
+def _numbers_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse numbers(N) / system.numbers table function: a generated
+    integer relation with no storage. spark.range() IS the Spark-native
+    analogue — a parallel leaf (one slice per core, no shuffle until the
+    groupBy), so at any N it scales linearly with executors. The modulo
+    buckets force one map-side-combinable aggregation exchange.
+    """
+    from .base import ensure_session
+
+    ensure_session(spark)  # no tables: load_tables([]) would load ALL
+    df = spark.range(0, 1_000_000)
+    return (
+        df.groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("id") * F.col("id")).alias("sum_sq"),
+            F.min("id").alias("mn"),
+            F.max("id").alias("mx"),
+        )
+    )
+
+
+REGISTRY.df_query(
+    "tf_numbers_range",
+    _numbers_range,
+    oracle="""
+    SELECT range % 7 AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(range * range) AS BIGINT) AS sum_sq,
+           MIN(range) AS mn,
+           MAX(range) AS mx
+    FROM range(1000000)
+    GROUP BY range % 7
+    """,
+    tags=["compat", "table-function"],
+    description="numbers(N) generated-relation table function: parallel "
+    "spark.range leaf vs DuckDB range() (independent generators); sum of "
+    "squares stays in BIGINT",
+)

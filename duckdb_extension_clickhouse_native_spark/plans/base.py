@@ -525,6 +525,12 @@ GRADING_WINDOW = [
     "events_limit_by_offset",  # NEVER GRADED
     "scan_remote_pushdown_filter",  # NEVER GRADED
     "text_ngram_search",  # NEVER GRADED
+    "events_group_bitmap",  # NEVER GRADED (r10 tranche 3)
+    "scalar_url_funcs",  # NEVER GRADED (r10 tranche 3)
+    "tf_numbers_range",  # NEVER GRADED (r10 tranche 3)
+    "stats_simple_linreg",  # NEVER GRADED (r10 tranche 3)
+    "agg_entropy_events",  # NEVER GRADED (r10 tranche 3)
+    "agg_sum_foreach",  # NEVER GRADED (r10 tranche 3)
     # changed-path re-proofs (r10)
     "q1_pricing_summary",  # hi/lo split accumulators
     "events_limit_by",  # independent LATERAL oracle
@@ -544,18 +550,16 @@ GRADING_WINDOW = [
     "scan_remote_tsv",  # text wire derivation
     "scan_remote_csv",  # stateful quote-context record reader
     "scan_tcp_write_roundtrip",  # INSERT writer nullability
-    # oldest-evidence cohort (newest green r5)
+    # oldest-evidence cohort (newest green r5; the 6 tranche-3
+    # never-graded rows displaced skew_salted_agg, stream_dedup_keys,
+    # stream_dedup_watermarked, stream_interval_join,
+    # stream_stateful_sessions, stream_windowed_counts into round 11 —
+    # all six pass the local three-scale sweep every session)
     "q8_market_share",  # green r5
     "sample_mixture_temperature",  # green r5
     "sample_stratified",  # green r5
     "select_importance_target",  # green r5
     "shard_assignment",  # green r5
-    "skew_salted_agg",  # green r5
-    "stream_dedup_keys",  # green r5
-    "stream_dedup_watermarked",  # green r5
-    "stream_interval_join",  # green r5
-    "stream_stateful_sessions",  # green r5
-    "stream_windowed_counts",  # green r5
 ]
 
 

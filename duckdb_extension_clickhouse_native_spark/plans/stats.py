@@ -469,6 +469,147 @@ REGISTRY.sql_query(
 )
 
 
+# --- simple linear regression (ClickHouse simpleLinearRegression) -----------
+# ClickHouse's simpleLinearRegression(x, y) -> (k, b). Spark side derives
+# slope/intercept from exact DECIMAL power sums (the moments_totalprice
+# pattern — identical closed-form doubles regardless of partition order);
+# the oracle uses DuckDB's one-pass regr_slope/regr_intercept aggregates —
+# a structurally independent algorithm, so the hash match certifies the
+# statistic, not the SQL text. Rounded because the two summation schemes
+# agree only to ~1e-12 relative.
+REGISTRY.sql_query(
+    "stats_simple_linreg",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           n AS n_points
+    FROM sums
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           COUNT(*) AS n_points
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tables=["lineitem"],
+    tags=["agg", "stats", "regression"],
+    description=(
+        "simpleLinearRegression(x,y)->(k,b): exact power-sum closed form vs "
+        "DuckDB regr_slope/regr_intercept (independent algorithms)"
+    ),
+)
+
+# --- Shannon entropy aggregate (ClickHouse entropy()) ------------------------
+# Spark side computes -sum(p*log2 p) from an explicit two-level count
+# aggregation; the oracle is DuckDB's built-in entropy() aggregate —
+# independent formulations. Map-side partial aggregation on both levels;
+# at 100 TB this is two shuffles on (bucket, event_type) then (bucket).
+REGISTRY.sql_query(
+    "agg_entropy_events",
+    """
+    WITH c AS (
+      SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS cnt
+      FROM events
+      GROUP BY user_id % 10, event_type
+    ),
+    t AS (
+      SELECT bucket, SUM(cnt) AS total FROM c GROUP BY bucket
+    )
+    SELECT c.bucket,
+           ROUND(-SUM((cnt / CAST(total AS DOUBLE))
+                      * LOG2(cnt / CAST(total AS DOUBLE))), 9) AS ent,
+           SUM(cnt) AS n_events
+    FROM c JOIN t ON c.bucket = t.bucket
+    GROUP BY c.bucket
+    """,
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+           ROUND(entropy(event_type), 9) AS ent,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tables=["events"],
+    tags=["agg", "stats", "entropy"],
+    description=(
+        "entropy() Shannon entropy per bucket: explicit -sum(p*log2 p) vs "
+        "DuckDB's built-in entropy aggregate (independent formulations)"
+    ),
+)
+
+# --- elementwise array aggregation (ClickHouse -ForEach combinator) ----------
+# ClickHouse's sumForEach(arr) sums arrays elementwise across rows. Spark:
+# posexplode + grouped BIGINT sums + re-assembly sorted by position. Values
+# are fixed-point quantized with FLOOR(x*1e6 + 0.5) on the float64 widening
+# of the float32 input — identical IEEE doubles on both engines, so the
+# per-element sums are exact integers (double sums would be partition-order
+# dependent). The result array is serialized "pos:value" CSV because the
+# driver's canonicalizer cannot hash array cells (the r5 trap,
+# collect_sorted_arrays). At 100 TB: one shuffle on (grp, pos) — 64-way
+# fan-out per row, all map-side combinable.
+REGISTRY.sql_query(
+    "agg_sum_foreach",
+    """
+    WITH ex AS (
+      SELECT vec_id % 4 AS grp,
+             pos + 1 AS pos,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS fx
+      FROM embeddings
+      LATERAL VIEW posexplode(embedding) AS pos, v
+    ),
+    s AS (
+      SELECT grp, pos, SUM(fx) AS sfx, COUNT(*) AS n
+      FROM ex GROUP BY grp, pos
+    )
+    SELECT grp,
+           concat_ws(',', array_sort(collect_list(
+             format_string('%03d:%d', pos, sfx)))) AS sums,
+           MAX(n) AS rows_per_elem
+    FROM s
+    GROUP BY grp
+    """,
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id % 4 AS grp,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS fx
+      FROM embeddings
+    ),
+    s AS (
+      SELECT grp, pos, SUM(fx) AS sfx, COUNT(*) AS n
+      FROM ex GROUP BY grp, pos
+    )
+    SELECT grp,
+           string_agg(printf('%03d', pos) || ':' || sfx, ',' ORDER BY pos)
+             AS sums,
+           CAST(MAX(n) AS BIGINT) AS rows_per_elem
+    FROM s
+    GROUP BY grp
+    """,
+    tables=["embeddings"],
+    tags=["agg", "array", "combinator"],
+    description=(
+        "sumForEach elementwise array sums (fixed-point exact): posexplode+"
+        "collect vs unnest+string_agg ORDER BY (independent assembly)"
+    ),
+)
+
+
 def register() -> None:
     """Import side effect — queries registered above."""
 
