@@ -1314,3 +1314,34 @@ REGISTRY.df_query(
     "shipping (tests/test_scan_pushdown.py proves the WHERE reaches "
     "the wire via the mock's query log)",
 )
+
+
+def _native_prewhere_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREWHERE late materialization over the Native scan (ClickHouse
+    reads PREWHERE predicate columns first and materializes the rest
+    only for surviving granules; here the granule is the Native block —
+    native_datasource._iter_blocks_prewhere). The string-equality
+    predicate is exactly the shape planning-time min/max sidecars
+    cannot prune; blocks it kills never decode the wide text payload.
+    Default options: prewhere is on for every filtered native scan."""
+    df = _native_df(spark, sf_dir, "documents", columns="doc_id,source,lang,text")
+    return (
+        df.filter((F.col("source") == "src7") & (F.col("doc_id") < 300))
+        .select("doc_id", "lang", F.length("text").alias("n_chars_text"))
+        .orderBy("doc_id")
+    )
+
+
+REGISTRY.df_query(
+    "native_prewhere_scan",
+    _native_prewhere_scan,
+    oracle="""
+    SELECT doc_id, lang, length(text) AS n_chars_text
+    FROM documents
+    WHERE source = 'src7' AND doc_id < 300
+    ORDER BY doc_id
+    """,
+    tags=["source", "native", "prewhere"],
+    description="PREWHERE-style late materialization: predicate columns "
+    "decode first, dead blocks byte-skip the text payload",
+)

@@ -337,6 +337,12 @@ class ClickHouseNativeReader(DataSourceReader):
         self.allow_missing_columns = (
             str(options.get("allow_missing_columns", "false")).lower() == "true"
         )
+        # PREWHERE-style late materialization (ClickHouse evaluates
+        # PREWHERE predicates on their own columns first and reads the
+        # remaining columns only for surviving granules). Default on:
+        # the fallback decode order is identical to the plain path, so
+        # it is never slower than decoding everything.
+        self.prewhere = str(options.get("prewhere", "true")).lower() == "true"
         self.pushed: List[Filter] = []
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
@@ -658,21 +664,33 @@ class ClickHouseNativeReader(DataSourceReader):
                     compression=self.compression,
                     verify_checksum=self.verify_checksum,
                 )
+            part_val = dict(
+                zip(partition.part_keys or self.part_keys, partition.part_vals)
+            )
+            if self.prewhere and self.pushed:
+                block_iter = self._iter_blocks_prewhere(
+                    buf, want, part_val, target
+                )
+            else:
+                block_iter = iter_blocks(
+                    buf,
+                    columns=want,
+                    scrub_strings=self.scrub_strings,
+                    lossy_uint64=self.lossy_uint64,
+                    unsupported_as_varchar=self.unsupported_as_varchar,
+                )
             n = 0
-            for blk in iter_blocks(
-                buf,
-                columns=want,
-                scrub_strings=self.scrub_strings,
-                lossy_uint64=self.lossy_uint64,
-                unsupported_as_varchar=self.unsupported_as_varchar,
-            ):
+            for blk in block_iter:
+                n += 1
+                stop = partition.n_blocks >= 0 and n >= partition.n_blocks
+                if blk is None:  # prewhere-dead block: payload never decoded
+                    if stop:
+                        break
+                    continue
                 batch = blk.to_record_batch()
                 # align column order + types with the declared schema;
                 # hive-partition columns are path-derived constants
                 # (keys from the partition itself — see NativeFilePartition)
-                part_val = dict(
-                    zip(partition.part_keys or self.part_keys, partition.part_vals)
-                )
                 arrays = []
                 for fld in target:
                     if fld.name in part_val:
@@ -709,9 +727,131 @@ class ClickHouseNativeReader(DataSourceReader):
                     batch = self._apply_filters(batch)
                 if batch.num_rows:
                     yield batch
-                n += 1
-                if partition.n_blocks >= 0 and n >= partition.n_blocks:
+                if stop:
                     break
+
+    def _prewhere_attr(self, f: Filter) -> str:
+        return f.child.attribute[0] if isinstance(f, Not) else f.attribute[0]
+
+    def _iter_blocks_prewhere(self, buf, want, part_val, target):
+        """PREWHERE-style late materialization, the read-time analogue
+        of the planning-time sidecar pruning (ClickHouse evaluates
+        PREWHERE predicates first and reads remaining columns only for
+        surviving granules — here the granule is the Native block).
+
+        Single pass over each block in file column order: predicate
+        columns decode eagerly; once the last predicate column of the
+        block is decoded, the block-level mask is evaluated — if no row
+        survives, every remaining wanted column is byte-skipped
+        (``skip_column``: chunk-scan for strings on seekable files,
+        O(bytes) memcpy-free for fixed widths) instead of decoded.
+        Columns that precede the last predicate column decode exactly
+        as the plain path would, so this is never slower. Yields
+        ``None`` for dead blocks (the caller still counts them —
+        block-range partitions index sequential block positions).
+
+        Handles the cases planning-time stats cannot: files without
+        sidecars, string equality/IN/prefix predicates, and residual
+        ranges inside a partially-pruned file."""
+        from ..native.codec import (
+            Block,
+            BlockColumn,
+            decode_column,
+            parse_type,
+            read_block_header,
+            read_str,
+            skip_column,
+        )
+
+        filter_attrs = {self._prewhere_attr(f) for f in self.pushed}
+        # attrs served by path-derived hive columns never appear in the
+        # file; their constant arrays join the mask batch separately
+        file_attrs = filter_attrs - set(self.part_keys)
+        while True:
+            hdr = read_block_header(buf)
+            if hdr is None:
+                return
+            n_cols, n_rows = hdr
+            if n_cols == 0 and n_rows == 0:
+                return
+            decoded: list = []
+            seen_attrs = 0
+            # every predicate column is a hive-partition constant: the
+            # verdict is the same for all rows of the partition, so an
+            # excluded partition skips every block without decoding
+            dead = not file_attrs and not self._block_survives(
+                [], part_val, max(n_rows, 1), target
+            )
+            for _ in range(n_cols):
+                name = read_str(buf)
+                type_str = read_str(buf)
+                t = parse_type(
+                    type_str, unsupported_as_varchar=self.unsupported_as_varchar
+                )
+                needed = (want is None or name in want) or name in file_attrs
+                if dead or not needed:
+                    skip_column(buf, t, n_rows)
+                    continue
+                arr = decode_column(
+                    buf,
+                    t,
+                    n_rows,
+                    scrub_strings=self.scrub_strings,
+                    lossy_uint64=self.lossy_uint64,
+                )
+                decoded.append(
+                    BlockColumn(name=name, type_str=type_str, ch_type=t, array=arr)
+                )
+                if name in file_attrs:
+                    seen_attrs += 1
+                    if seen_attrs == len(file_attrs) and not self._block_survives(
+                        decoded, part_val, n_rows, target
+                    ):
+                        dead = True
+                        decoded = []
+            if dead:
+                yield None
+            else:
+                yield Block(n_rows=n_rows, columns=decoded)
+
+    def _block_survives(self, decoded, part_val, n_rows, target) -> bool:
+        """True iff any row of the block can pass the pushed filters,
+        judged on the predicate columns alone (plus hive-partition
+        constants). Row-level filtering still happens downstream in
+        ``_apply_filters`` — this only licenses skipping dead blocks."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arrays, names = [], []
+        for c in decoded:
+            arr = c.array
+            idx = target.get_field_index(c.name)
+            if idx >= 0 and arr.type != target.field(idx).type:
+                arr = arr.cast(target.field(idx).type)
+            arrays.append(arr)
+            names.append(c.name)
+        for key, raw in part_val.items():
+            if key not in {self._prewhere_attr(f) for f in self.pushed}:
+                continue
+            idx = target.get_field_index(key)
+            typ = target.field(idx).type if idx >= 0 else pa.string()
+            if pa.types.is_integer(typ):
+                v = int(raw)
+            elif pa.types.is_floating(typ):
+                v = float(raw)
+            else:
+                v = raw
+            arrays.append(pa.array([v] * n_rows, type=typ))
+            names.append(key)
+        batch = pa.RecordBatch.from_arrays(arrays, names=names)
+        mask = None
+        for f in self.pushed:
+            m = self._filter_mask(batch, f)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        if mask is None:
+            return True
+        alive = pc.any(pc.fill_null(mask, False)).as_py()
+        return bool(alive)
 
     def _apply_filters(self, batch: "pa.RecordBatch") -> "pa.RecordBatch":
         import pyarrow as pa
