@@ -131,3 +131,48 @@ def test_select_except_prunes_schema(plans):
     p = plans("select_except_modifier")
     # the excluded columns never reach the scan
     assert "props" not in p and "value" not in p.replace("values", "")
+
+
+def test_simple_linreg_single_aggregation_pass(plans):
+    p = plans("stats_simple_linreg")
+    # power sums: one grouped aggregate (partial+final around one
+    # exchange), closed form in the projection — no join, no window
+    assert p.count("Exchange") == 1
+    assert "Join" not in p and "Window" not in p
+    assert "l_partkey" not in p  # schema pruned to the three used cols
+
+
+def test_numbers_range_is_parallel_leaf(plans):
+    p = plans("tf_numbers_range")
+    # spark.range is a parallel generated leaf; one agg exchange above
+    assert "Range (" in p
+    assert "Scan" not in p  # no storage scan anywhere
+
+
+def test_sum_foreach_two_level_aggregation(plans):
+    p = plans("agg_sum_foreach")
+    # (grp,pos) partial sums then grp assembly: exactly two exchanges,
+    # generator stays codegen-adjacent (no Python UDF anywhere)
+    assert p.count("Exchange") == 2
+    assert "Generate" in p and "BatchEvalPython" not in p
+
+
+def test_group_bitmap_single_user_shuffle(plans):
+    p = plans("events_group_bitmap")
+    # distinct-membership pass: shuffles keyed on user_id, then a
+    # 1-row global aggregate; no join of per-type sets
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_prewhere_scan_pushes_both_filters(plans):
+    p = plans("native_prewhere_scan")
+    # both predicates were absorbed by pushFilters (evaluated by
+    # _iter_blocks_prewhere executor-side): the Python BatchScan has
+    # NO residual Filter node above it, and the projection is pruned
+    # to the four requested columns
+    assert "BatchScan clickhouse_native" in p
+    # ("RuntimeFilters: []" on the scan line is not a Filter node)
+    assert "+- Filter" not in p and "Filter (" not in p, (
+        "pushed filters must leave no residual Filter node"
+    )
+    assert "doc_id" in p and "text" in p

@@ -152,6 +152,19 @@ AUDIT = [
     "approx_hll_union_merge",
     "dedup_substring_spans_window",
     "events_max_intersections_window",
+    # r10 tranche-3 additions
+    "stats_simple_linreg",
+    "agg_entropy_events",
+    "agg_sum_foreach",
+    "events_group_bitmap",
+    "scalar_url_funcs",
+    "tf_numbers_range",
+    "native_prewhere_scan",
+    "text_ngram_search",
+    "scan_remote_pushdown_filter",
+    "dedup_line_level",
+    "events_limit_by_offset",
+    "dict_hierarchy_nation",
 ]
 
 
