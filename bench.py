@@ -269,6 +269,18 @@ def main() -> None:
         "stats_mann_whitney_u",
         "stats_ks_distance",
         "stats_welch_ttest",
+        "text_ngram_search",
+        "scan_remote_pushdown_filter",
+        "stats_simple_linreg",
+        "agg_entropy_events",
+        "agg_sum_foreach",
+        "events_group_bitmap",
+        "scalar_url_funcs",
+        "tf_numbers_range",
+        "native_prewhere_scan",
+        "join_any_left",
+        "scalar_geo_funcs",
+        "docs_array_enumerate_uniq",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -1343,3 +1343,158 @@ REGISTRY.df_query(
     "spark.range leaf vs DuckDB range() (independent generators); sum of "
     "squares stays in BIGINT",
 )
+
+
+def _join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse LEFT ANY JOIN: at most one right-side match per left
+    row. ClickHouse picks an arbitrary match; this engine makes the
+    choice deterministic (minimum l_linenumber) so results are stable
+    and oracle-checkable. Spark-first at 100 TB: pre-reduce the right
+    side to one row per key with min_by (one map-side-combinable
+    shuffle) and then an ordinary 1:1 left join — never materialize
+    the full match set and rank it, which is quadratic in match
+    multiplicity."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    # lexicographic struct-min: (l_orderkey, l_linenumber) is NOT
+    # unique in this data, so ordering by l_linenumber alone would be
+    # an engine-dependent tie — the full tuple makes the pick total
+    right = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            ).alias("s")
+        )
+        .select(
+            "l_orderkey",
+            F.col("s.l_linenumber").alias("any_linenumber"),
+            F.col("s.l_quantity").alias("any_qty"),
+            F.col("s.l_extendedprice").alias("any_price"),
+        )
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 300000)
+        .join(right, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select("o_orderkey", "o_totalprice", "any_linenumber", "any_qty", "any_price")
+    )
+
+
+REGISTRY.df_query(
+    "join_any_left",
+    _join_any_left,
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           l.l_linenumber AS any_linenumber,
+           l.l_quantity AS any_qty,
+           l.l_extendedprice AS any_price
+    FROM orders
+    LEFT JOIN (
+      SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber,
+             l_quantity, l_extendedprice
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    ) l ON o_orderkey = l.l_orderkey
+    WHERE o_totalprice > 300000
+    """,
+    tags=["compat", "join", "any-join"],
+    description="LEFT ANY JOIN (deterministic min-match): min_by "
+    "pre-reduction + 1:1 join vs DuckDB DISTINCT ON (independent "
+    "formulations)",
+)
+
+# --- great-circle distance (ClickHouse greatCircleDistance) ------------------
+# Both engines evaluate a haversine closed form on synthesized
+# coordinates, but through DIFFERENT trig paths — Spark uses the
+# asin(sqrt(h)) form, the oracle the atan2(sqrt(h), sqrt(1-h)) form —
+# so a hash match certifies the geodesic math, not shared SQL text.
+# Radius 6372797.560856 m is ClickHouse's own constant
+# (reference ClickHouse greatCircleDistance docs). Rounded to mm:
+# the two forms agree to ~1e-5 m at Earth scale.
+_GEO_COORDS = """
+      SELECT s_suppkey,
+             CAST(s_suppkey % 160 AS DOUBLE) - 80.0 + 0.5 AS lat1,
+             CAST((s_suppkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon1,
+             48.8566 AS lat2, 2.3522 AS lon2
+      FROM supplier
+"""
+_GEO_H = (
+    "POWER(SIN(RADIANS(lat2 - lat1) / 2), 2) + "
+    "COS(RADIANS(lat1)) * COS(RADIANS(lat2)) * "
+    "POWER(SIN(RADIANS(lon2 - lon1) / 2), 2)"
+)
+
+REGISTRY.sql_query(
+    "scalar_geo_funcs",
+    f"""
+    WITH pts AS ({_GEO_COORDS})
+    SELECT s_suppkey,
+           ROUND(2 * 6372797.560856 * ASIN(SQRT({_GEO_H})), 3) AS dist_m
+    FROM pts
+    """,
+    oracle=f"""
+    WITH pts AS ({_GEO_COORDS})
+    SELECT s_suppkey,
+           ROUND(2 * 6372797.560856 *
+                 ATAN2(SQRT({_GEO_H}), SQRT(1 - ({_GEO_H}))), 3) AS dist_m
+    FROM pts
+    """,
+    tables=["supplier"],
+    tags=["compat", "scalar", "geo"],
+    description="greatCircleDistance: haversine via asin(sqrt) on Spark "
+    "vs atan2 form on DuckDB (independent trig paths), ClickHouse's "
+    "Earth radius constant",
+)
+
+# --- arrayEnumerateUniq (per-value occurrence numbering) ---------------------
+REGISTRY.sql_query(
+    "docs_array_enumerate_uniq",
+    """
+    WITH toks AS (
+      SELECT doc_id, pos + 1 AS pos, tok
+      FROM (
+        SELECT doc_id, slice(split(lower(text), ' '), 1, 20) AS t
+        FROM documents WHERE doc_id < 50
+      )
+      LATERAL VIEW posexplode(t) AS pos, tok
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+               AS occ_idx
+      FROM toks
+    )
+    SELECT doc_id,
+           concat_ws(',', array_sort(collect_list(
+             format_string('%03d:%d', pos, occ_idx)))) AS enum_uniq
+    FROM occ
+    GROUP BY doc_id
+    """,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM (
+        SELECT doc_id, list_slice(string_split(lower(text), ' '), 1, 20) AS t
+        FROM documents WHERE doc_id < 50
+      ) s
+    ),
+    occ AS (
+      SELECT doc_id, pos, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+               AS occ_idx
+      FROM toks
+    )
+    SELECT doc_id,
+           string_agg(printf('%03d', pos) || ':' || occ_idx, ',' ORDER BY pos)
+             AS enum_uniq
+    FROM occ
+    GROUP BY doc_id
+    """,
+    tables=["documents"],
+    tags=["compat", "array"],
+    description="arrayEnumerateUniq: occurrence index of each token "
+    "within its array (posexplode+window vs unnest+window, CSV-"
+    "serialized for the grading canonicalizer); window partitioned by "
+    "(doc, token) — scales with documents, not corpus",
+)

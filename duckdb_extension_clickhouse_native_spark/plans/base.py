@@ -532,6 +532,9 @@ GRADING_WINDOW = [
     "agg_entropy_events",  # NEVER GRADED (r10 tranche 3)
     "agg_sum_foreach",  # NEVER GRADED (r10 tranche 3)
     "native_prewhere_scan",  # NEVER GRADED (r10 tranche 3)
+    "join_any_left",  # NEVER GRADED (r10 tranche 4)
+    "scalar_geo_funcs",  # NEVER GRADED (r10 tranche 4)
+    "docs_array_enumerate_uniq",  # NEVER GRADED (r10 tranche 4)
     # changed-path re-proofs (r10)
     "q1_pricing_summary",  # hi/lo split accumulators
     "events_limit_by",  # independent LATERAL oracle
@@ -551,15 +554,14 @@ GRADING_WINDOW = [
     "scan_remote_tsv",  # text wire derivation
     "scan_remote_csv",  # stateful quote-context record reader
     "scan_tcp_write_roundtrip",  # INSERT writer nullability
-    # oldest-evidence cohort (newest green r5; the 7 tranche-3
-    # never-graded rows displaced shard_assignment, skew_salted_agg,
+    # oldest-evidence cohort (newest green r5; the 10 tranche-3/4
+    # never-graded rows displaced sample_stratified,
+    # select_importance_target, shard_assignment, skew_salted_agg,
     # stream_dedup_keys, stream_dedup_watermarked, stream_interval_join,
-    # stream_stateful_sessions, stream_windowed_counts into round 11 —
-    # all seven pass the local three-scale sweep every session)
+    # stream_stateful_sessions, stream_windowed_counts,
+    # window_topk_per_group(already out) into round 11 — the displaced
+    # rows pass the local three-scale sweep every session)
     "q8_market_share",  # green r5
-    "sample_mixture_temperature",  # green r5
-    "sample_stratified",  # green r5
-    "select_importance_target",  # green r5
 ]
 
 

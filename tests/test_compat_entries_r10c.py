@@ -188,3 +188,73 @@ def test_numbers_range_closed_form(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_join_any_left_dup_ties_and_orphan(spark, tmp_path):
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    orders = pd.DataFrame(
+        [(1, 400000.0), (2, 500000.0), (3, 100.0)],
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    li = pd.DataFrame(
+        [
+            # order 1: duplicate linenumber 1 -> lexicographic struct-min
+            # must pick (1, 3.0, 2.0), not (1, 7.0, 9.0)
+            (1, 2, 10.0, 5.0),
+            (1, 1, 7.0, 9.0),
+            (1, 1, 3.0, 2.0),
+        ],
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    spark.createDataFrame(orders).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(li).write.parquet(d + "/lineitem.parquet")
+    got = {
+        r["o_orderkey"]: (r["any_linenumber"], r["any_qty"], r["any_price"])
+        for r in REGISTRY.all()["join_any_left"].build(spark, d).collect()
+    }
+    # order 3 filtered (totalprice), order 2 keeps left row with NULLs
+    assert got == {1: (1, 3.0, 2.0), 2: (None, None, None)}
+
+
+def test_geo_distance_python_reference(spark, tmp_path):
+    import math
+
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    sup = pd.DataFrame([(80,), (240,), (3,)], columns=["s_suppkey"])
+    spark.createDataFrame(sup).write.parquet(d + "/supplier.parquet")
+
+    def ref(k):
+        lat1 = (k % 160) - 80 + 0.5
+        lon1 = ((k * 7) % 360) - 180 + 0.5
+        lat2, lon2 = 48.8566, 2.3522
+        h = (
+            math.sin(math.radians(lat2 - lat1) / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+        )
+        return round(2 * 6372797.560856 * math.asin(math.sqrt(h)), 3)
+
+    got = {
+        r["s_suppkey"]: r["dist_m"]
+        for r in REGISTRY.all()["scalar_geo_funcs"].build(spark, d).collect()
+    }
+    assert got == {k: ref(k) for k in (80, 240, 3)}
+
+
+def test_array_enumerate_uniq_hand_computed(spark, tmp_path):
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    docs = pd.DataFrame(
+        [(1, "A b a C b a", "en", "s", 11), (60, "never selected", "en", "s", 14)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    spark.createDataFrame(docs).write.parquet(d + "/documents.parquet")
+    got = {
+        r["doc_id"]: r["enum_uniq"]
+        for r in REGISTRY.all()["docs_array_enumerate_uniq"].build(spark, d).collect()
+    }
+    # lowercased: a b a c b a -> occurrence indices 1 1 2 1 2 3
+    assert got == {1: "001:1,002:1,003:2,004:1,005:2,006:3"}

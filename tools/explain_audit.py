@@ -165,6 +165,9 @@ AUDIT = [
     "dedup_line_level",
     "events_limit_by_offset",
     "dict_hierarchy_nation",
+    "join_any_left",
+    "scalar_geo_funcs",
+    "docs_array_enumerate_uniq",
 ]
 
 
