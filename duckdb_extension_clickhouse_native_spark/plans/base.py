@@ -535,6 +535,7 @@ GRADING_WINDOW = [
     "join_any_left",  # NEVER GRADED (r10 tranche 4)
     "scalar_geo_funcs",  # NEVER GRADED (r10 tranche 4)
     "docs_array_enumerate_uniq",  # NEVER GRADED (r10 tranche 4)
+    "stream_group_bitmap",  # NEVER GRADED (r10 tranche 4)
     # changed-path re-proofs (r10)
     "q1_pricing_summary",  # hi/lo split accumulators
     "events_limit_by",  # independent LATERAL oracle
@@ -560,8 +561,9 @@ GRADING_WINDOW = [
     # stream_dedup_keys, stream_dedup_watermarked, stream_interval_join,
     # stream_stateful_sessions, stream_windowed_counts,
     # window_topk_per_group(already out) into round 11 — the displaced
-    # rows pass the local three-scale sweep every session)
-    "q8_market_share",  # green r5
+    # rows pass the local three-scale sweep every session; with
+    # stream_group_bitmap the never-graded block reaches 50 exactly and
+    # q8_market_share also rotates to round 11)
 ]
 
 

@@ -1105,3 +1105,57 @@ REGISTRY.df_query(
         "exact batch summary (users/pairs/tightest gap)"
     ),
 )
+
+
+def _stream_group_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_group_bitmap``: the state store holds
+    one counter per distinct (user_id, event_type) pair — the streaming
+    analogue of a per-type user bitmap, O(users x 3 types) state however
+    many events flow through. Streaming aggregation cannot express
+    COUNT(DISTINCT ...), so distinctness IS the state key; membership
+    cardinalities are computed from the FINAL drained state and must
+    equal the batch set algebra exactly."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    pairs = _drain(
+        events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).groupBy("user_id", "event_type").count(),
+        "complete",
+    )
+    k = pairs.groupBy("user_id").agg(F.count("*").alias("k"))
+    return k.agg(
+        F.sum(F.when(F.col("k") == 3, 1).otherwise(0)).alias("and_card"),
+        F.sum(F.when(F.col("k") >= 1, 1).otherwise(0)).alias("or_card"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("exactly_one_card"),
+    )
+
+
+REGISTRY.df_query(
+    "stream_group_bitmap",
+    _stream_group_bitmap,
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        AS and_card,
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type IN ('view','click','purchase')) AS or_card,
+      (SELECT COUNT(*) FROM (
+         SELECT user_id
+         FROM (SELECT DISTINCT user_id, event_type FROM events
+                WHERE event_type IN ('view','click','purchase'))
+         GROUP BY user_id HAVING COUNT(*) = 1)) AS exactly_one_card
+    """,
+    tags=["streaming", "stateful", "setop"],
+    description="stateful distinct-membership stream: final "
+    "(user,type)-pair state thresholded == batch groupBitmapAnd/Or "
+    "set algebra exactly",
+)

@@ -262,3 +262,43 @@ def test_stream_sequence_match_pairs_straddle_batches(spark, tmp_path):
     row = _stream_sequence_match_timed(spark, sf).collect()[0]
     assert (row["users_matched"], row["pairs"]) == (1, 1)
     assert row["min_gap_us"] == 5 * 60 * 1_000_000
+
+
+def test_group_bitmap_membership_straddles_micro_batches(spark, tmp_path):
+    """A user whose qualifying event types arrive in DIFFERENT
+    micro-batches must still count toward and_card: the (user, type)
+    state accumulates across triggers."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    sf = str(tmp_path / "sf")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    base = dt.datetime(2024, 1, 1)
+    batches = [
+        # batch 0: u1 view, u2 view
+        [(1, base, 1, "view", 0.0, "{}"), (2, base, 2, "view", 0.0, "{}")],
+        # batch 1: u1 click, u2 error (doesn't qualify)
+        [(3, base, 1, "click", 0.0, "{}"), (4, base, 2, "error", 0.0, "{}")],
+        # batch 2: u1 purchase -> u1 completes the AND set across 3 batches
+        [(5, base, 1, "purchase", 0.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        path = os.path.join(ev_dir, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), path)
+        ts = 1_700_000_000 + i
+        os.utime(path, (ts, ts))
+
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _stream_group_bitmap,
+    )
+
+    [r] = _stream_group_bitmap(spark, sf).collect()
+    # u1: all three (assembled across 3 micro-batches); u2: view only
+    assert (r["and_card"], r["or_card"], r["exactly_one_card"]) == (1, 2, 1)
