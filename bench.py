@@ -281,6 +281,8 @@ def main() -> None:
         "join_any_left",
         "scalar_geo_funcs",
         "docs_array_enumerate_uniq",
+        "window_value_functions",
+        "scalar_bit_funcs",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

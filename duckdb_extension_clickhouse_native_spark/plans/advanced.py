@@ -1498,3 +1498,89 @@ REGISTRY.sql_query(
     "serialized for the grading canonicalizer); window partitioned by "
     "(doc, token) — scales with documents, not corpus",
 )
+
+
+# --- window value functions (first/last/nth_value, IGNORE NULLS) -------------
+# Spark side uses the real window value functions over an unbounded
+# frame; the oracle re-derives every one with arg_min/arg_max/FILTER
+# aggregation over a zero-padded composite ordering key — independent
+# formulations, so the hash match certifies frame/null semantics.
+REGISTRY.sql_query(
+    "window_value_functions",
+    """
+    WITH w AS (
+      SELECT user_id,
+             FIRST_VALUE(event_type) OVER win AS first_type,
+             LAST_VALUE(event_type) OVER win AS last_type,
+             NTH_VALUE(event_type, 2) OVER win AS second_type,
+             LAST_VALUE(CASE WHEN value > 5 THEN value END) IGNORE NULLS
+               OVER win AS last_big,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+      WHERE user_id < 200
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, first_type, last_type, second_type, last_big
+    FROM w WHERE rn = 1
+    """,
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, value,
+             printf('%020d#%012d', epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               AS ok
+      FROM events
+      WHERE user_id < 200
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ok) AS rn
+      FROM base
+    )
+    SELECT user_id,
+           arg_min(event_type, ok) AS first_type,
+           arg_max(event_type, ok) AS last_type,
+           MAX(event_type) FILTER (WHERE rn = 2) AS second_type,
+           arg_max(value, ok) FILTER (WHERE value > 5) AS last_big
+    FROM ranked
+    GROUP BY user_id
+    """,
+    tables=["events"],
+    tags=["compat", "window"],
+    description="first/last/nth_value + LAST_VALUE IGNORE NULLS over an "
+    "unbounded frame vs arg_min/arg_max/FILTER re-derivation "
+    "(independent formulations)",
+)
+
+# --- scalar bit functions (ClickHouse bitCount/bitTest/bitShift*) ------------
+_POPCNT_MANUAL = " + ".join(f"((o_orderkey >> {i}) & 1)" for i in range(63))
+
+REGISTRY.sql_query(
+    "scalar_bit_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt,
+           shiftleft(o_orderkey % 1024, 3) AS shl,
+           shiftright(o_orderkey, 4) AS shr,
+           CAST(getbit(o_orderkey, 5) AS BIGINT) AS bit5,
+           o_orderkey ^ 255 AS xored
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_POPCNT_MANUAL} AS BIGINT) AS popcnt,
+           (o_orderkey % 1024) * 8 AS shl,
+           o_orderkey // 16 AS shr,
+           CAST((o_orderkey >> 5) & 1 AS BIGINT) AS bit5,
+           xor(o_orderkey, 255) AS xored
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tables=["orders"],
+    tags=["compat", "scalar", "bitwise"],
+    description="bitCount/bitTest/bitShiftLeft/Right/bitXor scalars: "
+    "Spark built-ins vs manual shift-and-add oracle (bit_count is "
+    "re-derived as a 63-term popcount — independent implementations)",
+)

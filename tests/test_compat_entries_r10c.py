@@ -258,3 +258,48 @@ def test_array_enumerate_uniq_hand_computed(spark, tmp_path):
     }
     # lowercased: a b a c b a -> occurrence indices 1 1 2 1 2 3
     assert got == {1: "001:1,002:1,003:2,004:1,005:2,006:3"}
+
+
+def test_window_value_functions_hand_computed(spark, tmp_path):
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    ev = _events(
+        [
+            # user 1: ts tie between events 2 and 3 -> event_id breaks it;
+            # only event 2 has value > 5, and it is NOT the last row ->
+            # IGNORE NULLS must reach back past two trailing nulls
+            (1, base, 1, "a", 1.0, "{}"),
+            (2, base + dt.timedelta(seconds=1), 1, "b", 9.5, "{}"),
+            (3, base + dt.timedelta(seconds=1), 1, "c", 2.0, "{}"),
+            (4, base + dt.timedelta(seconds=2), 1, "d", 3.0, "{}"),
+            # user 2: single event -> second_type NULL, last_big NULL
+            (5, base, 2, "x", 1.0, "{}"),
+        ]
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    got = {
+        r["user_id"]: (
+            r["first_type"], r["last_type"], r["second_type"], r["last_big"]
+        )
+        for r in REGISTRY.all()["window_value_functions"].build(spark, d).collect()
+    }
+    assert got == {1: ("a", "d", "b", 9.5), 2: ("x", "x", None, None)}
+
+
+def test_bit_funcs_hand_computed(spark, tmp_path):
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    orders = pd.DataFrame([(0,), (45,), (1023,)], columns=["o_orderkey"])
+    spark.createDataFrame(orders).write.parquet(d + "/orders.parquet")
+    got = {
+        r["o_orderkey"]: (r["popcnt"], r["shl"], r["shr"], r["bit5"], r["xored"])
+        for r in REGISTRY.all()["scalar_bit_funcs"].build(spark, d).collect()
+    }
+    # 45 = 0b101101: popcount 4, (45%1024)<<3 = 360, 45>>4 = 2,
+    # bit 5 = 1, 45^255 = 210; 1023 = ten ones
+    assert got == {
+        0: (0, 0, 0, 0, 255),
+        45: (4, 360, 2, 1, 210),
+        1023: (10, 8184, 63, 1, 768),
+    }

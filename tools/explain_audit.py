@@ -168,6 +168,8 @@ AUDIT = [
     "join_any_left",
     "scalar_geo_funcs",
     "docs_array_enumerate_uniq",
+    "window_value_functions",
+    "scalar_bit_funcs",
 ]
 
 
