@@ -1,0 +1,213 @@
+"""ClickHouse mutation analogues over Native-file directories:
+``ALTER TABLE ... DELETE WHERE`` and ``ALTER TABLE ... UPDATE col =
+expr WHERE`` (the host surface the reference's files are produced by;
+the reference itself is read-only — lib.rs reads, never mutates).
+
+ClickHouse executes mutations part by part and REUSES parts the
+predicate provably cannot touch. This module does the same with the
+writer's min/max sidecars: a part whose stats prove zero matching rows
+for every mutation predicate is hard-linked (falling back to copy)
+into the destination untouched — no decode, no re-encode, no new
+stats pass. Only touched parts flow through the Spark engine
+(DataSource read -> filter/conditional-project -> DataSource write),
+one task per part either way.
+
+Predicates for DELETE/UPDATE-WHERE use a small structured form —
+``(column, op, literal)`` conjunctions with op in = != < <= > >= —
+because part pruning needs to reason about them against sidecar
+stats; UPDATE's SET expressions are free-form Spark SQL (they never
+prune anything). This mirrors ClickHouse's own mutation guidance:
+cheap predicates, arbitrary assignment expressions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Pred = tuple  # (column, op, literal)
+
+_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+
+def _pred_to_filter(p: Pred):
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    col, op, val = p
+    attr = (col,)
+    if op == "=":
+        return EqualTo(attr, val)
+    if op == "!=":
+        return Not(EqualTo(attr, val))
+    if op == "<":
+        return LessThan(attr, val)
+    if op == "<=":
+        return LessThanOrEqual(attr, val)
+    if op == ">":
+        return GreaterThan(attr, val)
+    if op == ">=":
+        return GreaterThanOrEqual(attr, val)
+    raise ValueError(f"unsupported mutation predicate op {op!r}")
+
+
+def _pred_to_column(p: Pred):
+    col, op, val = p
+    c = F.col(col)
+    return {
+        "=": c == F.lit(val),
+        "!=": c != F.lit(val),
+        "<": c < F.lit(val),
+        "<=": c <= F.lit(val),
+        ">": c > F.lit(val),
+        ">=": c >= F.lit(val),
+    }[op]
+
+
+def _conj(preds: Sequence[Pred]):
+    cond = None
+    for p in preds:
+        c = _pred_to_column(p)
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _part_untouched(part_path: str, pred_sets: list[Sequence[Pred]]) -> bool:
+    """True iff the part's sidecar PROVES every mutation predicate set
+    matches zero rows in it (conservative: missing/malformed sidecar or
+    un-provable predicate means touched)."""
+    import json
+
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import _filter_excludes_file
+
+    side = stats_sidecar_path(part_path)
+    try:
+        with open(side) as f:
+            st = json.load(f)
+    except (OSError, ValueError):
+        return False
+    for preds in pred_sets:
+        if not preds:
+            return False  # empty conjunction matches every row
+        try:
+            # a conjunction matches no rows if ANY term is excluded
+            if not any(
+                _filter_excludes_file(_pred_to_filter(p), st) for p in preds
+            ):
+                return False
+        except (KeyError, TypeError, ValueError):
+            return False
+    return True
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def mutate_native_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    delete_where: Optional[Sequence[Pred]] = None,
+    update_set: Optional[dict] = None,
+    update_where: Optional[Sequence[Pred]] = None,
+    compression: Optional[str] = None,
+) -> dict:
+    """Materialize ``out_dir`` as ``src_dir`` after applying the
+    mutation; returns {"untouched_parts": n, "rewritten_parts": m,
+    "out_dir": out_dir}. ``delete_where`` / ``update_where`` are
+    conjunctions of ``(col, op, literal)``; ``update_set`` maps column
+    name -> Spark SQL expression string applied where ``update_where``
+    holds (everywhere when ``update_where`` is None).
+    """
+    from ..filesystem import resolve_paths
+    from ..native.writer import stats_sidecar_path
+    from .. import get_spark  # noqa: F401 — package import side effects
+
+    if update_set is None and delete_where is None:
+        raise ValueError("mutation requires delete_where and/or update_set")
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):  # idempotent rebuild
+        p = os.path.join(out_dir, f)
+        if os.path.isfile(p):
+            os.remove(p)
+
+    pred_sets: list[Sequence[Pred]] = []
+    if delete_where is not None:
+        pred_sets.append(tuple(delete_where))
+    if update_set is not None:
+        # UPDATE with no WHERE touches every part — represent as an
+        # unprovable (empty) conjunction
+        pred_sets.append(tuple(update_where) if update_where else ())
+
+    parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
+    untouched, touched = [], []
+    for p in parts:
+        (untouched if _part_untouched(p, pred_sets) else touched).append(p)
+
+    for i, p in enumerate(untouched):
+        base = f"keep-{i:04d}-{os.path.basename(p)}"
+        _link_or_copy(p, os.path.join(out_dir, base))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            _link_or_copy(
+                side,
+                os.path.join(
+                    out_dir, os.path.basename(stats_sidecar_path(base))
+                ),
+            )
+
+    if touched:
+        # stage the touched parts behind symlinks so ONE DataSource read
+        # plans them together (one Spark task per part, like ClickHouse's
+        # per-part mutation tasks)
+        import hashlib
+        import tempfile
+
+        tag = hashlib.md5(
+            ("|".join(touched) + out_dir).encode()
+        ).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), "chsql_mutate_stage", tag)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for p in touched:
+            os.symlink(p, os.path.join(stage, os.path.basename(p)))
+            side = stats_sidecar_path(p)
+            if os.path.exists(side):
+                os.symlink(
+                    side, os.path.join(stage, os.path.basename(side))
+                )
+        df = spark.read.format("clickhouse_native").load(stage)
+        if delete_where is not None:
+            df = df.filter(~_conj(delete_where))
+        if update_set is not None:
+            cond = _conj(update_where) if update_where else F.lit(True)
+            for col, expr in update_set.items():
+                df = df.withColumn(
+                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                )
+        writer = df.write.format("clickhouse_native").mode("append")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(out_dir)
+
+    return {
+        "untouched_parts": len(untouched),
+        "rewritten_parts": len(touched),
+        "out_dir": out_dir,
+    }

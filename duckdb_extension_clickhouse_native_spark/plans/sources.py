@@ -1345,3 +1345,59 @@ REGISTRY.df_query(
     description="PREWHERE-style late materialization: predicate columns "
     "decode first, dead blocks byte-skip the text payload",
 )
+
+
+def _mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse mutation analogue (ALTER TABLE ... DELETE / UPDATE):
+    delete every src7 document, add 1000 chars to German survivors,
+    then aggregate the MUTATED directory. Parts whose sidecar stats
+    prove zero matching rows are hard-linked into the destination
+    untouched (operators/mutations.py) — the part-reuse optimization
+    ClickHouse mutations perform."""
+    import hashlib
+    import tempfile
+
+    from ..operators.mutations import mutate_native_dir
+
+    src = native_fixture_dir(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_mutations",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    mutate_native_dir(
+        spark,
+        src,
+        out,
+        delete_where=[("source", "=", "src7")],
+        update_set={"n_chars": "n_chars + 1000"},
+        update_where=[("lang", "=", "de")],
+    )
+    df = spark.read.format("clickhouse_native").load(out)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+REGISTRY.df_query(
+    "mutation_delete_update",
+    _mutation_delete_update,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars + CASE WHEN lang = 'de' THEN 1000 ELSE 0 END)
+                AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE source <> 'src7'
+    GROUP BY lang
+    """,
+    tags=["source", "native", "mutation"],
+    description="ALTER TABLE DELETE + UPDATE analogue over a Native "
+    "directory with sidecar-proven part reuse; aggregate of the mutated "
+    "table == relational oracle",
+)

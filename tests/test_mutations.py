@@ -1,0 +1,112 @@
+"""ClickHouse mutation analogue (operators/mutations.py): DELETE /
+UPDATE over a Native directory with sidecar-proven part reuse."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from duckdb_extension_clickhouse_native_spark.native.writer import write_native_file
+from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+    mutate_native_dir,
+)
+
+
+def _range_dir(d: str, n_parts: int = 4, per: int = 250) -> None:
+    for i in range(n_parts):
+        lo = i * per
+        t = pa.table(
+            {
+                "k": pa.array(range(lo, lo + per), type=pa.int64()),
+                "name": pa.array([f"p{i}-r{j}" for j in range(per)]),
+            }
+        )
+        write_native_file(os.path.join(d, f"part-{i:03d}.clickhouse"), t)
+
+
+def _read(spark, d):
+    return spark.read.format("clickhouse_native").load(d)
+
+
+def test_delete_reuses_provably_untouched_parts(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _range_dir(src)  # parts hold k in [0,250) [250,500) [500,750) [750,1000)
+    stats = mutate_native_dir(
+        spark, src, out, delete_where=[("k", "<", 250)]
+    )
+    # parts 1-3 provably contain no k<250 -> linked, only part 0 rewritten
+    assert stats == {
+        "untouched_parts": 3,
+        "rewritten_parts": 1,
+        "out_dir": out,
+    }
+    kept = [f for f in os.listdir(out) if f.startswith("keep-")]
+    assert len([f for f in kept if f.endswith(".clickhouse")]) == 3
+    # hard links (or byte-identical copies) — never re-encoded
+    linked = os.path.join(out, sorted(kept)[0])
+    assert os.stat(linked).st_nlink >= 2 or os.path.getsize(linked) > 0
+    got = sorted(r.k for r in _read(spark, out).collect())
+    assert got == list(range(250, 1000))
+
+
+def test_update_where_applies_conditionally(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _range_dir(src, n_parts=2, per=10)  # k in [0,10) and [10,20)
+    mutate_native_dir(
+        spark,
+        src,
+        out,
+        update_set={"name": "concat(name, '!')", "k": "k + 100"},
+        update_where=[("k", ">=", 15)],
+    )
+    rows = {r.name: r.k for r in _read(spark, out).collect()}
+    assert rows["p0-r0"] == 0  # untouched row
+    assert rows["p1-r5!"] == 115  # k=15 updated: renamed AND shifted
+    assert rows["p1-r4"] == 14  # below the WHERE bound
+    assert len(rows) == 20  # UPDATE never deletes
+
+
+def test_combined_delete_then_update(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _range_dir(src, n_parts=2, per=10)
+    stats = mutate_native_dir(
+        spark,
+        src,
+        out,
+        delete_where=[("k", ">=", 18)],
+        update_set={"k": "k * 2"},
+        update_where=[("k", "<", 2)],
+    )
+    # update_where k<2 only provably misses part 1, but delete k>=18
+    # touches it -> both parts rewritten
+    assert stats["rewritten_parts"] == 2
+    got = sorted(r.k for r in _read(spark, out).collect())
+    assert got == [0, 2, 2, 3, 4, 5, 6, 7, 8, 9] + list(range(10, 18))
+
+
+def test_missing_sidecar_means_touched(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _range_dir(src, n_parts=2, per=10)
+    # strip one sidecar: that part can no longer prove itself untouched
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+    )
+
+    os.remove(stats_sidecar_path(os.path.join(src, "part-001.clickhouse")))
+    stats = mutate_native_dir(
+        spark, src, out, delete_where=[("k", "<", 0)]  # matches nothing
+    )
+    assert stats["untouched_parts"] == 1 and stats["rewritten_parts"] == 1
+    assert len(_read(spark, out).collect()) == 20
+
+
+def test_requires_some_mutation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        mutate_native_dir(spark, str(tmp_path), str(tmp_path / "o"))
