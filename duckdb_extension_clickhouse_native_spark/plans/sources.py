@@ -1401,3 +1401,44 @@ REGISTRY.df_query(
     "directory with sidecar-proven part reuse; aggregate of the mutated "
     "table == relational oracle",
 )
+
+
+def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts analogue: per-part metadata rows from the writer's
+    stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —
+    zero data decode. The aggregate is oracle-checkable because the
+    fixture layout is deterministic: 16-way split with ceil division
+    (native_fixture_dir), one block per part at these row counts."""
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n_parts,
+               CAST(SUM(rows) AS BIGINT) AS total_rows,
+               MIN(n_cols) AS min_cols,
+               MAX(n_cols) AS max_cols,
+               CAST(SUM(n_blocks) AS BIGINT) AS total_blocks
+        FROM clickhouse_native_parts('{path}')
+        """
+    )
+
+
+REGISTRY.df_query(
+    "native_parts_info",
+    _native_parts_info,
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    p AS (SELECT c, (c + 15) // 16 AS per FROM n)
+    SELECT CAST((c + per - 1) // per AS BIGINT) AS n_parts,
+           CAST(c AS BIGINT) AS total_rows,
+           CAST(5 AS BIGINT) AS min_cols,
+           CAST(5 AS BIGINT) AS max_cols,
+           CAST((c + per - 1) // per AS BIGINT) AS total_blocks
+    FROM p
+    """,
+    tags=["source", "native", "metadata"],
+    description="system.parts analogue: sidecar-derived per-part "
+    "metadata UDTF, aggregate == closed-form fixture layout",
+)

@@ -131,11 +131,55 @@ def make_scan_udtf():
     return udtf(ClickHouseScanUDTF)
 
 
+def make_parts_udtf():
+    """UDTF for ``clickhouse_native_parts(path)`` — the system.parts
+    analogue: one row of metadata per Native part file, read from the
+    writer's stats sidecars (never decoding data). Parts without a
+    sidecar report rows = -1 (unknown) rather than paying a scan."""
+    from pyspark.sql.functions import udtf
+
+    class ClickHouseNativePartsUDTF:
+        def eval(self, path: str) -> Iterator[tuple]:
+            import json
+            import os
+
+            from ..filesystem import resolve_paths
+            from ..native.writer import stats_sidecar_path
+
+            for p in sorted(resolve_paths(path)):
+                side = stats_sidecar_path(p)
+                rows, n_blocks, n_cols = -1, -1, -1
+                try:
+                    with open(side) as f:
+                        st = json.load(f)
+                    rows = int(st.get("rows", -1))
+                    n_blocks = len(st.get("blocks", [])) or -1
+                    n_cols = len(st.get("columns", {})) or -1
+                except (OSError, ValueError):
+                    pass
+                yield (
+                    os.path.basename(p),
+                    int(os.path.getsize(p)),
+                    rows,
+                    n_blocks,
+                    n_cols,
+                )
+
+    return udtf(
+        ClickHouseNativePartsUDTF,
+        returnType=(
+            "part_name string, bytes bigint, rows bigint, "
+            "n_blocks bigint, n_cols bigint"
+        ),
+    )
+
+
 def register_table_functions(spark: SparkSession) -> None:
     """Make ``SELECT * FROM clickhouse_native('p')`` /
     ``clickhouse_scan('q')`` work in spark.sql (reference lib.rs:363-365)."""
     spark.udtf.register("clickhouse_native", make_native_udtf())
     spark.udtf.register("clickhouse_scan", make_scan_udtf())
+    spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
 
 
 def clickhouse_native_view(

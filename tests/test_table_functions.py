@@ -67,3 +67,33 @@ def test_view_helpers(spark, native_file):
     df = clickhouse_native_view(spark, native_file, "tf_orders_view")
     assert df.count() == 1500
     assert spark.sql("SELECT COUNT(*) AS n FROM tf_orders_view").collect()[0].n == 1500
+
+
+def test_native_parts_udtf_metadata_and_missing_sidecar(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+        write_native_file,
+    )
+
+    d = str(tmp_path)
+    for i, n in enumerate((7, 3)):
+        t = pa.table({"a": pa.array(range(n), type=pa.int64()),
+                      "b": pa.array([f"x{j}" for j in range(n)])})
+        write_native_file(os.path.join(d, f"part-{i}.clickhouse"), t,
+                          block_rows=2)
+    # strip the second sidecar: rows must report -1 (unknown), not scan
+    os.remove(stats_sidecar_path(os.path.join(d, "part-1.clickhouse")))
+    rows = {
+        r.part_name: (r.rows, r.n_blocks, r.n_cols, r.bytes > 0)
+        for r in spark.sql(
+            f"SELECT * FROM clickhouse_native_parts('{d}')"
+        ).collect()
+    }
+    assert rows == {
+        "part-0.clickhouse": (7, 4, 2, True),  # ceil(7/2) = 4 blocks
+        "part-1.clickhouse": (-1, -1, -1, True),
+    }
