@@ -155,7 +155,19 @@ def mutate_native_dir(
         # unprovable (empty) conjunction
         pred_sets.append(tuple(update_where) if update_where else ())
 
+    from ..sources.native_datasource import _partition_spec
+
     parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
+    part_keys, _vals, _types = _partition_spec(src_dir, parts)
+    if part_keys:
+        # hive key=value columns are path-derived; the staging-dir read
+        # below would silently drop them. Mutating a hive layout needs
+        # per-partition-dir recursion — explicitly unsupported for now.
+        raise NotImplementedError(
+            "mutate_native_dir does not support hive-partitioned layouts "
+            f"(found partition keys {part_keys}); mutate each partition "
+            "directory individually"
+        )
     untouched, touched = [], []
     for p in parts:
         (untouched if _part_untouched(p, pred_sets) else touched).append(p)
@@ -197,10 +209,16 @@ def mutate_native_dir(
             df = df.filter(~_conj(delete_where))
         if update_set is not None:
             cond = _conj(update_where) if update_where else F.lit(True)
-            for col, expr in update_set.items():
-                df = df.withColumn(
-                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
-                )
+            # ONE projection for every SET column: ClickHouse UPDATE
+            # evaluates all assignment expressions against the OLD row
+            # (snapshot semantics) — sequential withColumn would feed a
+            # later expression the already-mutated earlier column
+            df = df.withColumns(
+                {
+                    col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                    for col, expr in update_set.items()
+                }
+            )
         writer = df.write.format("clickhouse_native").mode("append")
         if compression:
             writer = writer.option("compression", compression)

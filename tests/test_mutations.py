@@ -110,3 +110,36 @@ def test_requires_some_mutation(spark, tmp_path):
 
     with pytest.raises(ValueError):
         mutate_native_dir(spark, str(tmp_path), str(tmp_path / "o"))
+
+
+def test_update_snapshot_semantics_between_set_columns(spark, tmp_path):
+    """All SET expressions see the OLD row (ClickHouse UPDATE snapshot
+    semantics): k's expression references name, name's references k —
+    neither may observe the other's mutation."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    t = pa.table({"k": pa.array([1], type=pa.int64()), "name": pa.array(["a"])})
+    write_native_file(os.path.join(src, "part-000.clickhouse"), t)
+    mutate_native_dir(
+        spark,
+        src,
+        out,
+        update_set={"name": "concat(name, k)", "k": "k + length(name)"},
+    )
+    [r] = _read(spark, out).collect()
+    # old row (k=1, name='a'): name -> 'a1', k -> 1 + len('a') = 2
+    # (sequential evaluation would give k = 1 + len('a1') = 3)
+    assert (r.k, r.name) == (2, "a1")
+
+
+def test_hive_layout_refused(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "src")
+    os.makedirs(os.path.join(src, "lang=de"))
+    t = pa.table({"k": pa.array([1], type=pa.int64())})
+    write_native_file(os.path.join(src, "lang=de", "p.clickhouse"), t)
+    with pytest.raises(NotImplementedError, match="hive-partitioned"):
+        mutate_native_dir(
+            spark, src, str(tmp_path / "out"), delete_where=[("k", "=", 1)]
+        )
