@@ -1,0 +1,357 @@
+"""ClickHouse MergeTree projection analogue over Native-file
+directories: ``ALTER TABLE ... ADD PROJECTION (SELECT <keys>,
+<aggs> GROUP BY <keys>)`` + ``MATERIALIZE PROJECTION`` + automatic
+selection at query time.
+
+The reference itself never materializes projections (lib.rs is a
+read-only scan), but its host engine answers aggregate queries from
+them when present; this module provides the same contract for the
+Native directories our writer produces:
+
+- ``add_projection`` stores PARTIAL aggregate states (count / sum /
+  min / max — the mergeable subset, avg derived as sum/count) grouped
+  by the projection keys, as ordinary Native files under
+  ``<dir>/_projection_<name>/`` plus a JSON manifest fingerprinting
+  every covered source part. The underscore prefix keeps projection
+  data invisible to normal scans of the directory
+  (filesystem.resolve_paths skips non-``key=value`` subdirs).
+- ``refresh_projection`` is incremental the way ClickHouse part
+  merges are: only source parts NOT in the manifest are read (staged
+  behind symlinks so one DataSource job plans them together), their
+  partial states APPEND as new projection files, and the manifest
+  gains their fingerprints. Nothing already projected is re-read.
+- ``query_projection_aware`` answers ``GROUP BY`` aggregates from the
+  best fresh projection when one covers the query (query keys are a
+  subset of projection keys and every aggregate is derivable from
+  stored states), merging partials with a re-aggregation over the
+  tiny projection relation; otherwise it falls back to the full scan.
+  A stale manifest (a source part mutated, removed, or unknown) makes
+  the projection ineligible — exactly ClickHouse's behavior of
+  dropping projection parts invalidated by mutations.
+
+Merge-on-read keeps the on-disk contract trivial: projection files
+are plain partial-state relations, so appending states for new parts
+is just another writer append, and correctness never depends on a
+1:1 part-file mapping.
+
+At 100 TB the projection relation is |distinct key combos| x
+|projection files| rows — both build and refresh are one distributed
+groupBy (map-side combine does the heavy lifting), and the query-time
+merge re-aggregates a relation that is orders of magnitude smaller
+than the fact table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# mergeable state functions: state column name -> merge expression
+_STATE_FNS = {"count", "sum", "min", "max"}
+_DERIVED = {"avg"}  # avg = sum / count, never stored directly
+
+_COUNT_STATE = "cnt__rows"
+
+
+def _manifest_path(src_dir: str, name: str) -> str:
+    return os.path.join(src_dir, f"_projection_{name}.json")
+
+
+def _proj_dir(src_dir: str, name: str) -> str:
+    return os.path.join(src_dir, f"_projection_{name}")
+
+
+def _state_col(fn: str, col: Optional[str]) -> str:
+    return _COUNT_STATE if fn == "count" else f"{fn}__{col}"
+
+
+def _data_parts(src_dir: str) -> list[str]:
+    """The directory's data files (sidecars and projections excluded)."""
+    from ..filesystem import resolve_paths
+
+    return [
+        p
+        for p in resolve_paths(src_dir)
+        if not p.endswith(".json") and not os.path.basename(p).startswith("_")
+    ]
+
+
+def _fingerprint(paths: list[str]) -> dict:
+    out = {}
+    for p in paths:
+        st = os.stat(p)
+        out[os.path.basename(p)] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def _required_states(aggs: dict) -> set:
+    """State columns needed to answer ``aggs``
+    ({out: (fn, col-or-None)})."""
+    need = set()
+    for fn, col in aggs.values():
+        fn = fn.lower()
+        if fn == "count":
+            need.add(_COUNT_STATE)
+        elif fn == "avg":
+            need.add(_COUNT_STATE)
+            need.add(_state_col("sum", col))
+        elif fn in _STATE_FNS:
+            need.add(_state_col(fn, col))
+        else:
+            raise ValueError(
+                f"projection cannot serve aggregate fn {fn!r} "
+                f"(mergeable: {sorted(_STATE_FNS | _DERIVED)})"
+            )
+    return need
+
+
+def _partial_agg(df: DataFrame, group_by: list, aggs: dict) -> DataFrame:
+    """Partial-state aggregation of ``df`` for storage."""
+    states = {}
+    for fn, col in aggs.values():
+        fn = fn.lower()
+        if fn in ("count", "avg"):
+            states[_COUNT_STATE] = F.count(F.lit(1)).alias(_COUNT_STATE)
+        if fn == "avg":
+            states[_state_col("sum", col)] = F.sum(col).alias(
+                _state_col("sum", col)
+            )
+        elif fn in ("sum", "min", "max"):
+            name = _state_col(fn, col)
+            states[name] = getattr(F, fn)(col).alias(name)
+    # count state is always stored: it makes any projection refreshable
+    # into a rows-per-group answer and costs one BIGINT column
+    states.setdefault(_COUNT_STATE, F.count(F.lit(1)).alias(_COUNT_STATE))
+    return df.groupBy(*group_by).agg(*states.values())
+
+
+def _read_native(spark: SparkSession, path: str) -> DataFrame:
+    from ..sources.native_datasource import infer_native_schema
+
+    return (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+
+
+def add_projection(
+    spark: SparkSession,
+    src_dir: str,
+    name: str,
+    *,
+    group_by: list,
+    aggs: dict,
+) -> dict:
+    """Materialize projection ``name`` over every current part of
+    ``src_dir``. ``aggs`` maps an output column to ``(fn, col)`` with
+    fn in count/sum/min/max/avg (col ignored for count). Idempotent:
+    a fresh, identically-defined projection is left untouched."""
+    group_by = list(group_by)
+    aggs = {k: (fn.lower(), col) for k, (fn, col) in aggs.items()}
+    _required_states(aggs)  # validate fns early
+    man = _load_manifest(src_dir, name)
+    parts = _data_parts(src_dir)
+    fp = _fingerprint(parts)
+    if (
+        man is not None
+        and man["group_by"] == group_by
+        and set(man["states"]) >= _required_states(aggs)
+        and man["parts"] == fp
+    ):
+        return {"name": name, "built": False, "parts": len(fp)}
+    drop_projection(src_dir, name)
+    df = _read_native(spark, src_dir)
+    proj = _partial_agg(df, group_by, aggs)
+    pdir = _proj_dir(src_dir, name)
+    proj.write.format("clickhouse_native").mode("overwrite").save(pdir)
+    _write_manifest(
+        src_dir,
+        name,
+        {
+            "group_by": group_by,
+            "states": sorted(
+                c for c in proj.columns if c not in group_by
+            ),
+            "parts": fp,
+        },
+    )
+    return {"name": name, "built": True, "parts": len(fp)}
+
+
+def refresh_projection(spark: SparkSession, src_dir: str, name: str) -> dict:
+    """Fold parts that appeared since the last (re)build into the
+    projection WITHOUT re-reading already-projected parts. Parts that
+    changed or disappeared cannot be incrementally subtracted — that
+    degenerates to a full rebuild (ClickHouse likewise rebuilds
+    projection parts invalidated by mutations)."""
+    man = _load_manifest(src_dir, name)
+    if man is None:
+        raise ValueError(f"projection {name!r} does not exist in {src_dir}")
+    parts = _data_parts(src_dir)
+    fp = _fingerprint(parts)
+    known = man["parts"]
+    changed = [
+        b for b, sig in known.items() if fp.get(b) != sig
+    ]
+    if changed:
+        aggs = _manifest_aggs(man)
+        drop_projection(src_dir, name)
+        return add_projection(
+            spark, src_dir, name, group_by=man["group_by"], aggs=aggs
+        ) | {"mode": "rebuild"}
+    new = [p for p in parts if os.path.basename(p) not in known]
+    if not new:
+        return {"name": name, "mode": "noop", "new_parts": 0}
+
+    # stage ONLY the new parts behind symlinks so one DataSource read
+    # plans them together (the mutations-module pattern)
+    import hashlib
+    import tempfile
+
+    from ..native.writer import stats_sidecar_path
+
+    tag = hashlib.md5(("|".join(new) + name).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "chsql_proj_stage", tag)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for p in new:
+        os.symlink(p, os.path.join(stage, os.path.basename(p)))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            os.symlink(side, os.path.join(stage, os.path.basename(side)))
+
+    aggs = _manifest_aggs(man)
+    df = _read_native(spark, stage)
+    proj = _partial_agg(df, man["group_by"], aggs)
+    proj.write.format("clickhouse_native").mode("append").save(
+        _proj_dir(src_dir, name)
+    )
+    man["parts"].update(_fingerprint(new))
+    _write_manifest(src_dir, name, man)
+    return {"name": name, "mode": "incremental", "new_parts": len(new)}
+
+
+def drop_projection(src_dir: str, name: str) -> None:
+    shutil.rmtree(_proj_dir(src_dir, name), ignore_errors=True)
+    try:
+        os.remove(_manifest_path(src_dir, name))
+    except OSError:
+        pass
+
+
+def list_projections(src_dir: str) -> list[str]:
+    try:
+        entries = os.listdir(src_dir)
+    except OSError:
+        return []
+    out = []
+    for f in entries:
+        if f.startswith("_projection_") and f.endswith(".json"):
+            out.append(f[len("_projection_") : -len(".json")])
+    return sorted(out)
+
+
+def _load_manifest(src_dir: str, name: str) -> Optional[dict]:
+    try:
+        with open(_manifest_path(src_dir, name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(src_dir: str, name: str, man: dict) -> None:
+    tmp = _manifest_path(src_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(src_dir, name))
+
+
+def _manifest_aggs(man: dict) -> dict:
+    """Reconstruct an aggs spec that regenerates exactly the stored
+    state columns."""
+    aggs = {}
+    for st in man["states"]:
+        if st == _COUNT_STATE:
+            aggs[st] = ("count", None)
+        else:
+            fn, col = st.split("__", 1)
+            aggs[st] = (fn, col)
+    return aggs
+
+
+def _covering_projection(
+    src_dir: str, group_by: list, aggs: dict
+) -> Optional[dict]:
+    """Best fresh projection covering the query, or None. "Best" =
+    fewest projection keys (smallest partial relation)."""
+    need = _required_states(aggs)
+    best = None
+    current = None  # lazy: stat the directory once, only if needed
+    for name in list_projections(src_dir):
+        man = _load_manifest(src_dir, name)
+        if man is None:
+            continue
+        if not set(group_by) <= set(man["group_by"]):
+            continue
+        if not need <= set(man["states"]):
+            continue
+        if current is None:
+            current = _fingerprint(_data_parts(src_dir))
+        if man["parts"] != current:
+            continue  # stale: a part appeared, changed, or vanished
+        if best is None or len(man["group_by"]) < len(best["group_by"]):
+            best = {**man, "name": name}
+    return best
+
+
+def query_projection_aware(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    group_by: list,
+    aggs: dict,
+) -> tuple[DataFrame, Optional[str]]:
+    """GROUP BY aggregate over ``src_dir`` answered from the best
+    covering fresh projection (merge of stored partial states), else
+    from the full scan. Returns (df, projection_name_or_None).
+
+    ``aggs``: {out_col: (fn, col)} with fn in count/sum/min/max/avg.
+    """
+    group_by = list(group_by)
+    aggs = {k: (fn.lower(), col) for k, (fn, col) in aggs.items()}
+    man = _covering_projection(src_dir, group_by, aggs)
+    if man is None:
+        df = _read_native(spark, src_dir)
+        exprs = []
+        for out, (fn, col) in aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(out))
+            else:
+                exprs.append(getattr(F, fn)(col).alias(out))
+        return df.groupBy(*group_by).agg(*exprs), None
+
+    proj = _read_native(spark, _proj_dir(src_dir, man["name"]))
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            exprs.append(F.sum(_COUNT_STATE).alias(out))
+        elif fn == "avg":
+            exprs.append(
+                (
+                    F.sum(_state_col("sum", col))
+                    / F.sum(_COUNT_STATE)
+                ).alias(out)
+            )
+        elif fn == "sum":
+            exprs.append(F.sum(_state_col("sum", col)).alias(out))
+        else:  # min / max merge with themselves
+            exprs.append(
+                getattr(F, fn)(_state_col(fn, col)).alias(out)
+            )
+    return proj.groupBy(*group_by).agg(*exprs), man["name"]

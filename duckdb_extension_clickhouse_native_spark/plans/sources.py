@@ -1442,3 +1442,139 @@ REGISTRY.df_query(
     description="system.parts analogue: sidecar-derived per-part "
     "metadata UDTF, aggregate == closed-form fixture layout",
 )
+
+
+def _native_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree projection analogue (operators/projections.py):
+    materialize partial count/sum/min/max states grouped by
+    (lang, source), then answer a GROUP BY lang aggregate by MERGING
+    the stored states — the query keys are a strict subset of the
+    projection keys, so the merge re-aggregation is exercised, not
+    just a projection passthrough. The entry asserts the projection
+    path was actually selected (a silent full-scan fallback would
+    still match the oracle and hide a selection bug)."""
+    from ..operators.projections import (
+        add_projection,
+        query_projection_aware,
+    )
+
+    src = native_fixture_dir(spark, sf_dir, "documents")
+    add_projection(
+        spark,
+        src,
+        "by_lang_source",
+        group_by=["lang", "source"],
+        aggs={
+            "n": ("count", None),
+            "chars": ("sum", "n_chars"),
+            "min_doc": ("min", "doc_id"),
+            "max_doc": ("max", "doc_id"),
+        },
+    )
+    df, used = query_projection_aware(
+        spark,
+        src,
+        group_by=["lang"],
+        aggs={
+            "n_docs": ("count", None),
+            "total_chars": ("sum", "n_chars"),
+            "min_doc": ("min", "doc_id"),
+            "max_doc": ("max", "doc_id"),
+            "avg_chars": ("avg", "n_chars"),
+        },
+    )
+    if used != "by_lang_source":
+        raise AssertionError(
+            f"projection not selected (used={used!r}) — staleness or "
+            "coverage logic regressed"
+        )
+    return df.orderBy("lang")
+
+
+REGISTRY.df_query(
+    "native_projection_agg",
+    _native_projection_agg,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=["source", "native", "projection"],
+    description="ADD PROJECTION + automatic selection: GROUP BY lang "
+    "answered by merging (lang, source) partial states; avg derived "
+    "from stored sum/count",
+)
+
+
+def _optimize_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE TABLE ... FINAL DEDUPLICATE analogue: a Native
+    directory holding documents PLUS a duplicated doc_id%3=0 slice is
+    compacted with deduplicate=True (full-row equality, ClickHouse's
+    default DEDUPLICATE semantics); the aggregate over the optimized
+    directory equals the plain relation — duplicates gone, originals
+    intact."""
+    import hashlib
+
+    from ..sources.native_datasource import compact_native_dir
+
+    src = native_fixture_dir(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_optimize",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    dup_dir = os.path.join(base, "dup")
+    out_dir = os.path.join(base, "opt")
+    done = os.path.join(dup_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(dup_dir, exist_ok=True)
+        df = _native_df(spark, sf_dir, "documents")
+        df.write.format("clickhouse_native").mode("overwrite").save(dup_dir)
+        df.filter(F.col("doc_id") % 3 == 0).write.format(
+            "clickhouse_native"
+        ).mode("append").save(dup_dir)
+        with open(done, "w") as f:
+            f.write("")
+    compact_native_dir(
+        spark, dup_dir, out_dir, target_files=4, deduplicate=True
+    )
+    opt = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_schema_for(dup_dir))
+        .load(out_dir)
+    )
+    return opt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
+def infer_schema_for(path: str):
+    from ..sources.native_datasource import infer_native_schema
+
+    return infer_native_schema({"path": path})
+
+
+REGISTRY.df_query(
+    "optimize_table_dedup",
+    _optimize_table_dedup,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=["source", "native", "optimize"],
+    description="OPTIMIZE TABLE FINAL DEDUPLICATE: full-row dedup "
+    "during compaction removes an injected duplicate slice; aggregate "
+    "== the un-duplicated relation",
+)

@@ -1391,10 +1391,15 @@ def compact_native_dir(
     target_files: int = 4,
     sort_by: Optional[list] = None,
     compression: Optional[str] = None,
+    deduplicate: bool = False,
 ) -> int:
     """Compact a directory of (many, small) Native files into
     ``target_files`` globally-clustered ones — the OPTIMIZE TABLE /
     small-files-compaction maintenance job every ingest pipeline runs.
+
+    ``deduplicate=True`` is OPTIMIZE ... FINAL DEDUPLICATE: full-row
+    equality dedup (ClickHouse's default DEDUPLICATE column set) as
+    one distributed dropDuplicates folded into the same shuffle.
 
     Global clustering: ``repartitionByRange`` on the sort keys puts
     disjoint key ranges in each output task, then the writer's
@@ -1407,6 +1412,8 @@ def compact_native_dir(
 
     schema = infer_native_schema({"path": src})
     df = spark.read.format("clickhouse_native").schema(schema).load(src)
+    if deduplicate:
+        df = df.dropDuplicates()
     n = df.count()
     if sort_by:
         df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by])

@@ -1,0 +1,224 @@
+"""MergeTree projection analogue (operators/projections.py):
+materialized partial aggregate states + incremental refresh +
+automatic query-time selection with staleness fallback."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from duckdb_extension_clickhouse_native_spark.operators.projections import (
+    add_projection,
+    drop_projection,
+    list_projections,
+    query_projection_aware,
+    refresh_projection,
+)
+
+AGGS = {
+    "n": ("count", None),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _part(d: str, i: int, keys: list[str], vals: list[int]) -> str:
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    t = pa.table(
+        {
+            "g": pa.array(keys),
+            "h": pa.array([k[0] for k in keys]),
+            "v": pa.array(vals, type=pa.int64()),
+        }
+    )
+    p = os.path.join(d, f"part-{i:03d}.clickhouse")
+    write_native_file(p, t)
+    return p
+
+
+def _expected(rows):
+    out = {}
+    for g, _h, v in rows:
+        e = out.setdefault(g, [0, 0, None, None])
+        e[0] += 1
+        e[1] += v
+        e[2] = v if e[2] is None else min(e[2], v)
+        e[3] = v if e[3] is None else max(e[3], v)
+    return out
+
+
+@pytest.fixture()
+def proj_dir(tmp_path):
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    _part(d, 0, ["aa", "ab", "aa", "ba"], [1, 2, 3, 4])
+    _part(d, 1, ["ab", "ba", "bb", "aa"], [10, 20, 30, 40])
+    return d
+
+
+def _query(spark, d, group_by=("g",)):
+    df, used = query_projection_aware(
+        spark, d, group_by=list(group_by), aggs=AGGS
+    )
+    rows = {
+        tuple(getattr(r, c) for c in group_by): (r.n, r.total, r.lo, r.hi)
+        for r in df.collect()
+    }
+    return rows, used
+
+
+EXPECT = {
+    ("aa",): (3, 44, 1, 40),
+    ("ab",): (2, 12, 2, 10),
+    ("ba",): (2, 24, 4, 20),
+    ("bb",): (1, 30, 30, 30),
+}
+
+
+def test_add_select_and_merge(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_g"
+    assert rows == EXPECT
+    # projection files live under an underscore dir: invisible to a
+    # plain scan of the table directory
+    df = spark.read.format("clickhouse_native").load(proj_dir)
+    assert df.count() == 8
+
+
+def test_subset_key_merge_reaggregates(spark, proj_dir):
+    """Query keys ⊂ projection keys: stored (g, h) partials merge
+    down to g."""
+    add_projection(
+        spark, proj_dir, "by_gh", group_by=["g", "h"], aggs=AGGS
+    )
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_gh"
+    assert rows == EXPECT
+    # and the h-only rollup also works from the same projection
+    rows_h, used_h = _query(spark, proj_dir, group_by=("h",))
+    assert used_h == "by_gh"
+    assert rows_h == {
+        ("a",): (5, 56, 1, 40),
+        ("b",): (3, 54, 4, 30),
+    }
+
+
+def test_no_covering_projection_falls_back(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_h", group_by=["h"], aggs=AGGS)
+    rows, used = _query(spark, proj_dir)  # g not ⊆ {h}
+    assert used is None
+    assert rows == EXPECT
+
+
+def test_missing_state_falls_back(spark, proj_dir):
+    add_projection(
+        spark,
+        proj_dir,
+        "by_g",
+        group_by=["g"],
+        aggs={"n": ("count", None)},
+    )
+    _rows, used = _query(spark, proj_dir)  # needs sum/min/max states
+    assert used is None
+
+
+def test_new_part_staleness_and_incremental_refresh(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    before = set(os.listdir(os.path.join(proj_dir, "_projection_by_g")))
+    _part(proj_dir, 2, ["aa", "bb"], [100, 200])
+    # stale projection must NOT answer the query
+    rows, used = _query(spark, proj_dir)
+    assert used is None
+    assert rows[("aa",)] == (4, 144, 1, 100)
+    # incremental refresh reads only the new part and appends states
+    st = refresh_projection(spark, proj_dir, "by_g")
+    assert st["mode"] == "incremental" and st["new_parts"] == 1
+    after = set(os.listdir(os.path.join(proj_dir, "_projection_by_g")))
+    assert before <= after and len(after) > len(before)
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_g"
+    assert rows[("aa",)] == (4, 144, 1, 100)
+    assert rows[("bb",)] == (2, 230, 30, 200)
+
+
+def test_mutated_part_forces_rebuild(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    # overwrite part 0 with different content (a mutation analogue)
+    _part(proj_dir, 0, ["zz"], [7])
+    _rows, used = _query(spark, proj_dir)
+    assert used is None
+    st = refresh_projection(spark, proj_dir, "by_g")
+    assert st.get("mode") == "rebuild"
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_g"
+    # part 0's original rows are gone; only part 1 remains beside zz
+    assert rows == {
+        ("zz",): (1, 7, 7, 7),
+        ("ab",): (1, 10, 10, 10),
+        ("ba",): (1, 20, 20, 20),
+        ("bb",): (1, 30, 30, 30),
+        ("aa",): (1, 40, 40, 40),
+    }
+
+
+def test_avg_derivation_and_idempotent_add(spark, proj_dir):
+    st1 = add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    st2 = add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    assert st1["built"] and not st2["built"]
+    df, used = query_projection_aware(
+        spark,
+        proj_dir,
+        group_by=["g"],
+        aggs={"a": ("avg", "v"), "n": ("count", None)},
+    )
+    assert used == "by_g"
+    got = {r.g: (r.a, r.n) for r in df.collect()}
+    assert got["aa"] == (44 / 3, 3)
+    assert got["bb"] == (30.0, 1)
+
+
+def test_best_projection_is_smallest_covering(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_gh", group_by=["g", "h"], aggs=AGGS)
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    assert list_projections(proj_dir) == ["by_g", "by_gh"]
+    _rows, used = _query(spark, proj_dir)
+    assert used == "by_g"  # fewer keys -> smaller partial relation
+    drop_projection(proj_dir, "by_g")
+    _rows, used = _query(spark, proj_dir)
+    assert used == "by_gh"
+
+
+def test_unsupported_agg_fn_rejected(spark, proj_dir):
+    with pytest.raises(ValueError, match="mergeable"):
+        add_projection(
+            spark,
+            proj_dir,
+            "bad",
+            group_by=["g"],
+            aggs={"s": ("stddev", "v")},
+        )
+
+
+def test_optimize_deduplicate(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        compact_native_dir,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+    _part(src, 0, ["aa", "ab"], [1, 2])
+    _part(src, 1, ["aa", "ab"], [1, 9])  # ("aa",1) duplicates part 0
+    n = compact_native_dir(spark, src, dst, target_files=1, deduplicate=True)
+    assert n == 3
+    got = sorted(
+        (r.g, r.v)
+        for r in spark.read.format("clickhouse_native").load(dst).collect()
+    )
+    assert got == [("aa", 1), ("ab", 2), ("ab", 9)]
