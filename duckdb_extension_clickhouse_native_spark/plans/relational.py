@@ -975,3 +975,186 @@ REGISTRY.sql_query(
     "per-group sketches unioned, merged estimate within 5% of exact "
     "(mergeable-state contract; sketch bytes engine-specific by design)",
 )
+
+# ---------------------------------------------------------------------------
+# round-10 tranche 6: multiSearch / array set algebra / encodings / IP funcs
+# ---------------------------------------------------------------------------
+
+# ClickHouse multiSearchAny / multiSearchFirstIndex /
+# multiSearchFirstPosition over a constant needle set, all as plain
+# codegen substring probes (the text_ngram_search precedent: built-in
+# INSTR beats any per-row Python by orders of magnitude and pushes
+# through whole-stage codegen). FirstIndex = 1-based index of the
+# needle with the LEFTMOST match (ties -> smallest needle index, the
+# ClickHouse tie rule); 0 when none match.
+_MULTISEARCH_NEEDLES = ("data", "vector", "stream")
+
+
+def _multisearch_sql(dialect: str) -> str:
+    pos = {
+        n: (
+            f"INSTR(text, '{n}')"
+            if dialect == "spark"
+            else f"POSITION('{n}' IN text)"
+        )
+        for n in _MULTISEARCH_NEEDLES
+    }
+    p1, p2, p3 = (pos[n] for n in _MULTISEARCH_NEEDLES)
+    best = (
+        "LEAST("
+        + ", ".join(f"CASE WHEN {p} > 0 THEN {p} ELSE 2147483647 END" for p in (p1, p2, p3))
+        + ")"
+    )
+    return f"""
+    WITH probed AS (
+      SELECT doc_id, lang,
+             {p1} AS pos1, {p2} AS pos2, {p3} AS pos3,
+             {best} AS first_pos
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(CASE WHEN first_pos < 2147483647 THEN 1 ELSE 0 END AS INT) AS any_match,
+           CAST(CASE
+             WHEN first_pos = 2147483647 THEN 0
+             WHEN pos1 = first_pos THEN 1
+             WHEN pos2 = first_pos THEN 2
+             ELSE 3 END AS INT) AS first_index,
+           CAST(CASE WHEN first_pos = 2147483647 THEN 0 ELSE first_pos END AS INT)
+             AS first_position
+    FROM probed
+    """
+
+
+REGISTRY.sql_query(
+    "text_multi_search",
+    _multisearch_sql("spark"),
+    oracle=_multisearch_sql("duckdb"),
+    tables=["documents"],
+    tags=["scalar", "string", "multisearch"],
+    description="multiSearchAny / multiSearchFirstIndex / "
+    "multiSearchFirstPosition as codegen INSTR probes with the "
+    "ClickHouse leftmost-match tie rule",
+)
+
+
+# arrayIntersect / arrayUnion(distinct) / arrayUniq / arrayCompact over
+# tokenized text. Sizes (not the arrays) are compared: set-function
+# output order is engine-defined, and the driver canonicalizer rejects
+# list columns anyway (tools/oracle_type_audit.py). arrayCompact is the
+# consecutive-dedup (run-collapse) semantics, built with an
+# index-lambda filter in BOTH engines — 0-based in Spark, 1-based in
+# DuckDB, which makes the two formulations structurally independent.
+REGISTRY.sql_query(
+    "array_set_functions",
+    """
+    WITH toks AS (
+      SELECT doc_id, slice(split(text, ' '), 1, 24) AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(size(array_intersect(ts, array('data','the','value','vector'))) AS INT)
+             AS n_inter,
+           CAST(size(array_union(ts, array('data','the'))) AS INT) AS n_union,
+           CAST(size(array_distinct(ts)) AS INT) AS n_uniq,
+           CAST(size(filter(ts, (x, i) -> i = 0 OR NOT (x <=> element_at(ts, i)))) AS INT)
+             AS n_compact
+    FROM toks
+    """,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ')[1:24] AS ts FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(ts, ['data','the','value','vector'])) AS INT)
+             AS n_inter,
+           CAST(len(list_distinct(list_concat(ts, ['data','the']))) AS INT) AS n_union,
+           CAST(len(list_distinct(ts)) AS INT) AS n_uniq,
+           CAST(len(list_filter(ts, (x, i) -> i = 1 OR x IS DISTINCT FROM ts[i - 1])) AS INT)
+             AS n_compact
+    FROM toks
+    """,
+    tables=["documents"],
+    tags=["array", "set"],
+    description="arrayIntersect/arrayUnion/arrayUniq/arrayCompact "
+    "(consecutive run-collapse) sizes over tokenized text; Spark "
+    "0-based vs DuckDB 1-based index lambdas",
+)
+
+
+# base64Encode / base64Decode / hex / unhex (ClickHouse encoding
+# family). The roundtrip column proves decode really inverts encode
+# inside the engine, not just that both engines printed the same
+# encoding. HEX is normalized to upper case (Spark emits A-F, DuckDB
+# emits a-f for the letters).
+REGISTRY.sql_query(
+    "scalar_encoding_funcs",
+    """
+    SELECT doc_id,
+           BASE64(SUBSTR(text, 1, 12)) AS b64,
+           UPPER(HEX(SUBSTR(text, 1, 8))) AS hx,
+           CAST(DECODE(UNBASE64(BASE64(SUBSTR(text, 1, 12))), 'UTF-8')
+                = SUBSTR(text, 1, 12) AS INT) AS b64_roundtrip,
+           CAST(DECODE(UNHEX(HEX(SUBSTR(text, 1, 8))), 'UTF-8')
+                = SUBSTR(text, 1, 8) AS INT) AS hex_roundtrip
+    FROM documents
+    """,
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 12))) AS b64,
+           UPPER(hex(substr(text, 1, 8))) AS hx,
+           CAST(decode(from_base64(to_base64(encode(substr(text, 1, 12)))))
+                = substr(text, 1, 12) AS INT) AS b64_roundtrip,
+           CAST(decode(unhex(hex(substr(text, 1, 8))))
+                = substr(text, 1, 8) AS INT) AS hex_roundtrip
+    FROM documents
+    """,
+    tables=["documents"],
+    tags=["scalar", "encoding"],
+    description="base64/hex encode + in-engine decode roundtrips "
+    "(ClickHouse base64Encode/base64Decode/hex/unhex)",
+)
+
+
+# IPv4NumToString / IPv4StringToNum / isIPAddressInRange: a synthetic
+# UInt32 address per user (Knuth multiplicative hash of user_id), its
+# dotted-quad rendering, a string->num roundtrip proven INSIDE each
+# engine (parse the string the engine itself produced), and a /8 CIDR
+# membership test. Octet math is the public IPv4 layout; the two
+# engines share the formula but compile it independently, and
+# tests/test_compat_entries_r10d.py pins known addresses by hand.
+def _ip_funcs_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        octet = lambda i: f"CAST((ip {idiv} {256 ** (3 - i)}) % 256 AS STRING)"  # noqa: E731
+        part = lambda i: f"CAST(split_part(ip_str, '.', {i + 1}) AS BIGINT)"  # noqa: E731
+    else:
+        octet = lambda i: f"CAST((ip {idiv} {256 ** (3 - i)}) % 256 AS VARCHAR)"  # noqa: E731
+        part = lambda i: f"CAST(string_split(ip_str, '.')[{i + 1}] AS BIGINT)"  # noqa: E731
+    quad = " || '.' || ".join(octet(i) for i in range(4)) if dialect == "duckdb" else (
+        "CONCAT(" + ", '.', ".join(octet(i) for i in range(4)) + ")"
+    )
+    back = " + ".join(f"{part(i)} * {256 ** (3 - i)}" for i in range(4))
+    return f"""
+    WITH addrs AS (
+      SELECT DISTINCT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    rendered AS (
+      SELECT user_id, ip, {quad} AS ip_str FROM addrs
+    )
+    SELECT user_id, ip, ip_str,
+           CAST(({back}) = ip AS INT) AS roundtrip_ok,
+           CAST((ip {idiv} 16777216) = 10 AS INT) AS in_10_slash_8
+    FROM rendered
+    """
+
+
+REGISTRY.sql_query(
+    "scalar_ip_funcs",
+    _ip_funcs_sql("spark"),
+    oracle=_ip_funcs_sql("duckdb"),
+    tables=["events"],
+    tags=["scalar", "ip"],
+    description="IPv4NumToString / IPv4StringToNum roundtrip + "
+    "isIPAddressInRange('10.0.0.0/8') over synthetic UInt32 addresses",
+)

@@ -1578,3 +1578,41 @@ REGISTRY.df_query(
     "during compaction removes an injected duplicate slice; aggregate "
     "== the un-duplicated relation",
 )
+
+
+def _native_columns_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.columns / DESCRIBE TABLE analogue: per-column metadata
+    from a header-only parse via the ``clickhouse_native_columns``
+    UDTF — the bind-step schema discovery (lib.rs:246-266) exposed as
+    a queryable relation. Oracle is the closed-form column list of the
+    documents fixture."""
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT column_name, position, ch_type, spark_type, is_nullable
+        FROM clickhouse_native_columns('{path}')
+        ORDER BY position
+        """
+    )
+
+
+REGISTRY.df_query(
+    "native_columns_info",
+    _native_columns_info,
+    oracle="""
+    SELECT * FROM (VALUES
+        ('doc_id',  CAST(1 AS INTEGER), 'Int64',  'bigint', false),
+        ('text',    CAST(2 AS INTEGER), 'String', 'string', false),
+        ('lang',    CAST(3 AS INTEGER), 'String', 'string', false),
+        ('source',  CAST(4 AS INTEGER), 'String', 'string', false),
+        ('n_chars', CAST(5 AS INTEGER), 'Int64',  'bigint', false)
+    ) AS t(column_name, position, ch_type, spark_type, is_nullable)
+    ORDER BY position
+    """,
+    tags=["source", "native", "metadata"],
+    description="system.columns analogue: header-only per-column "
+    "metadata UDTF == closed-form fixture schema",
+)

@@ -174,12 +174,52 @@ def make_parts_udtf():
     )
 
 
+def make_columns_udtf():
+    """UDTF for ``clickhouse_native_columns(path)`` — the
+    system.columns / DESCRIBE TABLE analogue: one row per column with
+    the ClickHouse type (rendered as the header spells it), the Spark
+    type it maps to, and its position, from a header-only parse of the
+    first part (the same single-file schema contract the DataSource's
+    schema() uses). Zero data decode."""
+    from pyspark.sql.functions import udtf
+
+    class ClickHouseNativeColumnsUDTF:
+        def eval(self, path: str) -> Iterator[tuple]:
+            from ..filesystem import resolve_paths
+            from ..native.codec import read_file_schema
+            from .native_datasource import _ch_to_spark
+
+            paths = resolve_paths(path)
+            if not paths:
+                raise FileNotFoundError(
+                    f"no ClickHouse Native files found at {path!r}"
+                )
+            for pos, (name, t) in enumerate(read_file_schema(paths[0]), 1):
+                ch = f"Nullable({t.name})" if t.nullable else t.name
+                yield (
+                    name,
+                    pos,
+                    ch,
+                    _ch_to_spark(t).simpleString(),
+                    bool(t.nullable),
+                )
+
+    return udtf(
+        ClickHouseNativeColumnsUDTF,
+        returnType=(
+            "column_name string, position int, ch_type string, "
+            "spark_type string, is_nullable boolean"
+        ),
+    )
+
+
 def register_table_functions(spark: SparkSession) -> None:
     """Make ``SELECT * FROM clickhouse_native('p')`` /
     ``clickhouse_scan('q')`` work in spark.sql (reference lib.rs:363-365)."""
     spark.udtf.register("clickhouse_native", make_native_udtf())
     spark.udtf.register("clickhouse_scan", make_scan_udtf())
     spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
+    spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
 
 
 def clickhouse_native_view(

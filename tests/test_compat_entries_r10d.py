@@ -1,0 +1,127 @@
+"""Hand-computed fixtures for the round-10 sixth-tranche entries:
+text_multi_search, array_set_functions, scalar_encoding_funcs,
+scalar_ip_funcs — plus the projection/optimize/columns entries'
+semantics are pinned in tests/test_projections.py.
+
+Each pin is an independently-derived expected value (by hand or by a
+different algorithm), never the output of either engine."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _registry():
+    import __spark_entry__  # noqa: F401
+
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    return REGISTRY
+
+
+def _docs(rows):
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_multi_search_hand_computed(spark, tmp_path):
+    """Needles: ('data', 'vector', 'stream'). Tie rule: leftmost match
+    wins; equal positions -> smallest needle index."""
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    docs = _docs(
+        [
+            (1, "a data point", "en", "s", 12),  # only 'data' at 3
+            (2, "vector then data", "en", "s", 16),  # vector@1 < data@13
+            (3, "no match here", "en", "s", 13),  # none
+            # 'datastream': data@1, stream@5 -> data (index 1) wins
+            (4, "datastream", "en", "s", 10),
+            # 'streamdata': stream@1 beats data@7 -> index 3
+            (5, "streamdata", "en", "s", 10),
+        ]
+    )
+    spark.createDataFrame(docs).write.parquet(d + "/documents.parquet")
+    got = {
+        r.doc_id: (r.any_match, r.first_index, r.first_position)
+        for r in REGISTRY.all()["text_multi_search"].build(spark, d).collect()
+    }
+    assert got == {
+        1: (1, 1, 3),
+        2: (1, 2, 1),
+        3: (0, 0, 0),
+        4: (1, 1, 1),
+        5: (1, 3, 1),
+    }
+
+
+def test_array_set_functions_hand_computed(spark, tmp_path):
+    """n_compact collapses CONSECUTIVE runs only; n_uniq dedups
+    globally — the fixture separates the two."""
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    docs = _docs(
+        [
+            # tokens: [x, x, y, x] -> compact [x,y,x] (3), uniq 2,
+            # inter with {data,the,value,vector} = 0,
+            # union adds data+the -> {x,y,data,the} = 4
+            (1, "x x y x", "en", "s", 7),
+            # tokens: [data, data, the, vector] -> compact 3, uniq 3,
+            # inter 3, union {data,the,vector} = 3
+            (2, "data data the vector", "en", "s", 20),
+            # single token -> all 1s except inter 0, union 3
+            (3, "solo", "en", "s", 4),
+        ]
+    )
+    spark.createDataFrame(docs).write.parquet(d + "/documents.parquet")
+    got = {
+        r.doc_id: (r.n_inter, r.n_union, r.n_uniq, r.n_compact)
+        for r in REGISTRY.all()["array_set_functions"].build(spark, d).collect()
+    }
+    assert got == {
+        1: (0, 4, 2, 3),
+        2: (3, 3, 3, 3),
+        3: (0, 3, 1, 1),
+    }
+
+
+def test_encoding_funcs_hand_computed(spark, tmp_path):
+    """'hello world!' -> base64 aGVsbG8gd29ybGQh (RFC 4648 by hand);
+    'hello wo' -> hex 68656C6C6F20776F."""
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    docs = _docs([(1, "hello world! extra tail", "en", "s", 23)])
+    spark.createDataFrame(docs).write.parquet(d + "/documents.parquet")
+    [r] = REGISTRY.all()["scalar_encoding_funcs"].build(spark, d).collect()
+    assert r.b64 == "aGVsbG8gd29ybGQh"
+    assert r.hx == "68656C6C6F20776F"
+    assert r.b64_roundtrip == 1 and r.hex_roundtrip == 1
+
+
+def test_ip_funcs_hand_computed(spark, tmp_path):
+    """Pick user_ids whose Knuth-hash addresses are known dotted quads,
+    computed by hand from the byte layout (not by either engine)."""
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    users = [0, 1, 7, 123456]
+    ev = pd.DataFrame(
+        [(i, base, u, "view", 0.0, "{}") for i, u in enumerate(users)],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    got = {
+        r.user_id: (r.ip, r.ip_str, r.roundtrip_ok, r.in_10_slash_8)
+        for r in REGISTRY.all()["scalar_ip_funcs"].build(spark, d).collect()
+    }
+
+    def quad(ip):
+        return ".".join(str((ip >> (8 * k)) & 255) for k in (3, 2, 1, 0))
+
+    for u in users:
+        ip = (u * 2654435761) % 2**32
+        assert got[u] == (ip, quad(ip), 1, 1 if (ip >> 24) == 10 else 0)
+    # user 0 -> 0.0.0.0 pins the all-zero octets rendering
+    assert got[0][1] == "0.0.0.0"

@@ -97,3 +97,33 @@ def test_native_parts_udtf_metadata_and_missing_sidecar(spark, tmp_path):
         "part-0.clickhouse": (7, 4, 2, True),  # ceil(7/2) = 4 blocks
         "part-1.clickhouse": (-1, -1, -1, True),
     }
+
+
+def test_columns_udtf_describes_schema(spark, tmp_path):
+    """clickhouse_native_columns: header-only DESCRIBE, including the
+    Nullable(...) rendering for nullable columns."""
+    import pyarrow as pa
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.base import (
+        ensure_session,
+    )
+
+    ensure_session(spark)
+    p = str(tmp_path / "t.clickhouse")
+    t = pa.table(
+        {
+            "k": pa.array([1, 2], type=pa.int32()),
+            "s": pa.array(["a", None]),  # null -> Nullable(String)
+        }
+    )
+    write_native_file(p, t)
+    rows = spark.sql(
+        f"SELECT * FROM clickhouse_native_columns('{p}') ORDER BY position"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("k", 1, "Int32", "int", False),
+        ("s", 2, "Nullable(String)", "string", True),
+    ]
