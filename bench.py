@@ -283,6 +283,15 @@ def main() -> None:
         "docs_array_enumerate_uniq",
         "window_value_functions",
         "scalar_bit_funcs",
+        "mutation_delete_update",
+        "native_parts_info",
+        "native_projection_agg",
+        "optimize_table_dedup",
+        "native_columns_info",
+        "text_multi_search",
+        "array_set_functions",
+        "scalar_encoding_funcs",
+        "scalar_ip_funcs",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -536,34 +536,40 @@ GRADING_WINDOW = [
     "scalar_geo_funcs",  # NEVER GRADED (r10 tranche 4)
     "docs_array_enumerate_uniq",  # NEVER GRADED (r10 tranche 4)
     "stream_group_bitmap",  # NEVER GRADED (r10 tranche 4)
-    # changed-path re-proofs (r10)
+    "window_value_functions",  # NEVER GRADED (r10 tranche 5)
+    "scalar_bit_funcs",  # NEVER GRADED (r10 tranche 5)
+    "mutation_delete_update",  # NEVER GRADED (r10 tranche 5)
+    "native_parts_info",  # NEVER GRADED (r10 tranche 5)
+    "native_projection_agg",  # NEVER GRADED (r10 tranche 6)
+    "optimize_table_dedup",  # NEVER GRADED (r10 tranche 6)
+    "native_columns_info",  # NEVER GRADED (r10 tranche 6)
+    "text_multi_search",  # NEVER GRADED (r10 tranche 6)
+    "array_set_functions",  # NEVER GRADED (r10 tranche 6)
+    "scalar_encoding_funcs",  # NEVER GRADED (r10 tranche 6)
+    "scalar_ip_funcs",  # NEVER GRADED (r10 tranche 6)
+    # changed-path re-proofs (r10): 7 slots. The 43 never-graded rows
+    # above displaced eleven of the original eighteen re-proofs; each
+    # displaced row keeps an independent local guard, named so the
+    # tradeoff is auditable: events_limit_by / events_running_difference
+    # / weighted_percentiles_price / lateral_topn_per_customer /
+    # group_order_by_all carry hand-computed hostile fixtures
+    # (tests/test_pinned_oracles_r10.py); dedup_substring_spans_twophase
+    # + events_max_intersections_twophase are hypothesis-pinned equal to
+    # their graded auto siblings (tests/test_auto_strategy_r10.py);
+    # scan_remote_rowbinary_nested / scan_remote_jsoneachrow /
+    # scan_remote_tsv / scan_tcp_write_roundtrip ride the
+    # recorded-transcript + seven-format differential suites, and the
+    # two retained wire rows below are the ends of that derivation path.
     "q1_pricing_summary",  # hi/lo split accumulators
-    "events_limit_by",  # independent LATERAL oracle
-    "events_running_difference",  # independent rank-self-join oracle
-    "weighted_percentiles_price",  # independent expansion oracle
-    "lateral_topn_per_customer",  # independent global-window oracle
-    "group_order_by_all",  # desugared oracle
     "dedup_substring_spans",  # strategy=auto default
-    "dedup_substring_spans_twophase",  # auto sibling
     "events_max_intersections",  # strategy=auto default
-    "events_max_intersections_twophase",  # auto sibling
     "native_roundtrip_documents",  # rewritten string-decode scan loop
     "native_compressed_scan",  # string decode under compressed frames
     "scan_remote_rowbinary",  # derive_wire_types nullability path
-    "scan_remote_rowbinary_nested",  # nested wire nullability
-    "scan_remote_jsoneachrow",  # json NULL loud-failure path
-    "scan_remote_tsv",  # text wire derivation
     "scan_remote_csv",  # stateful quote-context record reader
-    "scan_tcp_write_roundtrip",  # INSERT writer nullability
-    # oldest-evidence cohort (newest green r5; the 10 tranche-3/4
-    # never-graded rows displaced sample_stratified,
-    # select_importance_target, shard_assignment, skew_salted_agg,
-    # stream_dedup_keys, stream_dedup_watermarked, stream_interval_join,
-    # stream_stateful_sessions, stream_windowed_counts,
-    # window_topk_per_group(already out) into round 11 — the displaced
-    # rows pass the local three-scale sweep every session; with
-    # stream_group_bitmap the never-graded block reaches 50 exactly and
-    # q8_market_share also rotates to round 11)
+    # oldest-evidence cohort: fully displaced this round (the r5 cohort
+    # rotates to round 11 with the r6 cohort behind it) — never-graded
+    # rows take precedence per the rotation policy (window_plan.py).
 ]
 
 

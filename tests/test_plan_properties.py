@@ -176,3 +176,55 @@ def test_prewhere_scan_pushes_both_filters(plans):
         "pushed filters must leave no residual Filter node"
     )
     assert "doc_id" in p and "text" in p
+
+
+def test_projection_agg_reads_projection_not_table(plans):
+    """native_projection_agg must plan a scan of the tiny
+    _projection_<name> relation (merge of partials), not the full
+    documents directory."""
+    p = plans("native_projection_agg")
+    # the BatchScan's toString omits the path, but the partial-state
+    # columns exist ONLY in the projection relation — their presence
+    # (and the absence of the raw text/n_chars columns) proves the
+    # merge reads _projection_by_lang_source, not documents
+    assert "cnt__rows" in p and "sum__n_chars" in p
+    import re
+
+    assert "text#" not in p and not re.search(r"(?<!_)n_chars#", p)
+    # one shuffle: the groupBy(lang) over the partial relation
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_optimize_dedup_single_shuffle_dedup(plans):
+    """full-row dedup plans as one hash aggregate over all columns
+    (no join, no window)."""
+    p = plans("optimize_table_dedup")
+    assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_multi_search_stays_codegen(plans):
+    """INSTR probes compile into whole-stage codegen — no Python eval
+    node and no exchange (map-only)."""
+    p = plans("text_multi_search")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_array_set_functions_map_only(plans):
+    p = plans("array_set_functions")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_encoding_funcs_map_only(plans):
+    p = plans("scalar_encoding_funcs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_ip_funcs_single_distinct_shuffle(plans):
+    """one shuffle for the DISTINCT user_id; the octet math is pure
+    codegen above it."""
+    p = plans("scalar_ip_funcs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 1

@@ -170,6 +170,13 @@ AUDIT = [
     "docs_array_enumerate_uniq",
     "window_value_functions",
     "scalar_bit_funcs",
+    "native_projection_agg",
+    "optimize_table_dedup",
+    "native_columns_info",
+    "text_multi_search",
+    "array_set_functions",
+    "scalar_encoding_funcs",
+    "scalar_ip_funcs",
 ]
 
 
