@@ -292,6 +292,7 @@ def main() -> None:
         "array_set_functions",
         "scalar_encoding_funcs",
         "scalar_ip_funcs",
+        "events_cumulative_uniques",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -547,6 +547,8 @@ GRADING_WINDOW = [
     "array_set_functions",  # NEVER GRADED (r10 tranche 6)
     "scalar_encoding_funcs",  # NEVER GRADED (r10 tranche 6)
     "scalar_ip_funcs",  # NEVER GRADED (r10 tranche 6)
+    "stream_projection_mv",  # NEVER GRADED (r10 tranche 6)
+    "events_cumulative_uniques",  # NEVER GRADED (r10 tranche 6)
     # changed-path re-proofs (r10): 7 slots. The 43 never-graded rows
     # above displaced eleven of the original eighteen re-proofs; each
     # displaced row keeps an independent local guard, named so the
@@ -560,10 +562,15 @@ GRADING_WINDOW = [
     # scan_remote_tsv / scan_tcp_write_roundtrip ride the
     # recorded-transcript + seven-format differential suites, and the
     # two retained wire rows below are the ends of that derivation path.
+    # (two more re-proofs yielded to the tranche-6 rows above:
+    # native_roundtrip_documents — its string-decode path is equally
+    # exercised by native_compressed_scan below plus the hostile decode
+    # fixtures in tests/test_codec.py — and dedup_substring_spans,
+    # whose auto strategy is hypothesis-pinned equal to both siblings
+    # with events_max_intersections kept as the graded auto
+    # representative.)
     "q1_pricing_summary",  # hi/lo split accumulators
-    "dedup_substring_spans",  # strategy=auto default
     "events_max_intersections",  # strategy=auto default
-    "native_roundtrip_documents",  # rewritten string-decode scan loop
     "native_compressed_scan",  # string decode under compressed frames
     "scan_remote_rowbinary",  # derive_wire_types nullability path
     "scan_remote_csv",  # stateful quote-context record reader

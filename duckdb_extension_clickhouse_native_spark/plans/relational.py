@@ -1158,3 +1158,50 @@ REGISTRY.sql_query(
     description="IPv4NumToString / IPv4StringToNum roundtrip + "
     "isIPAddressInRange('10.0.0.0/8') over synthetic UInt32 addresses",
 )
+
+
+# ClickHouse runningAccumulate(uniqState(user_id)) by day: per-day NEW
+# user count and the cumulative distinct-user curve. Spark form: one
+# groupBy to each user's first day, one to the per-day new-user count,
+# then a prefix-sum window (the cumulative input is |days| rows — the
+# single-reducer window is over a bounded, already-aggregated key set,
+# not the fact table). Oracle form is structurally independent:
+# correlated COUNT(DISTINCT) subqueries per day (O(days^2), fine at
+# oracle scale, impossible to share a planning bug with the window
+# form).
+REGISTRY.sql_query(
+    "events_cumulative_uniques",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    ),
+    alldays AS (SELECT DISTINCT day FROM d)
+    SELECT a.day,
+           COALESCE(dl.new_users, 0) AS new_users,
+           SUM(COALESCE(dl.new_users, 0))
+             OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_users
+    FROM alldays a LEFT JOIN daily dl ON a.day = dl.day
+    ORDER BY a.day
+    """,
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT day,
+           (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+         - (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day < days.day)
+             AS new_users,
+           (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+             AS cum_users
+    FROM days
+    ORDER BY day
+    """,
+    tables=["events"],
+    tags=["events", "timeseries", "cumulative"],
+    description="runningAccumulate(uniqState) by day: first-seen "
+    "deduplication + bounded prefix-sum window vs correlated "
+    "COUNT(DISTINCT) oracle",
+)

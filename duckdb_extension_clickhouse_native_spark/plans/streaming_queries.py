@@ -1159,3 +1159,91 @@ REGISTRY.df_query(
     "(user,type)-pair state thresholded == batch groupBitmapAnd/Or "
     "set algebra exactly",
 )
+
+
+def _stream_projection_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse materialized-view / AggregatingMergeTree analogue:
+    insert-time PARTIAL aggregation. Each events micro-batch computes
+    mergeable states (count / decimal sum / max) per event_type in
+    foreachBatch and appends them as its own Native batch directory
+    (deterministic batchId + overwrite = exactly-once, the
+    write_stream_native contract); the graded value is the read-time
+    MERGE of the stored states — the same partial/merge split
+    operators/projections.py materializes for static directories, here
+    maintained incrementally by the stream. Equal to the batch GROUP
+    BY oracle over the whole table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    st = os.stat(src)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_native_fixtures",
+        hashlib.md5(src.encode()).hexdigest()[:10],
+        f"stream-mv-{int(st.st_mtime)}-{st.st_size}",
+    )
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    done = os.path.join(work, "_DONE")
+    with _SINK_LOCK:
+        if not os.path.exists(done):
+            _prune_stale_sink_dirs(os.path.dirname(work), keep=work)
+            with _cross_process_lock(work):
+                if not os.path.exists(done):
+                    events = read_events_stream(spark, sf_dir)
+
+                    def _mv_batch(batch_df, batch_id: int) -> None:
+                        states = batch_df.groupBy("event_type").agg(
+                            F.count(F.lit(1)).alias("cnt__rows"),
+                            F.sum(
+                                F.col("value").cast("decimal(18,4)")
+                            ).alias("sum__value"),
+                            F.max("user_id").alias("max__user_id"),
+                        )
+                        states.write.format("clickhouse_native").mode(
+                            "overwrite"
+                        ).save(os.path.join(out, f"batch-{batch_id:05d}"))
+
+                    q = (
+                        events.writeStream.foreachBatch(_mv_batch)
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    try:
+                        q.awaitTermination()
+                    finally:
+                        q.stop()
+                    with open(done, "w") as f:
+                        f.write("")
+    mv = spark.read.format("clickhouse_native").load(
+        os.path.join(out, "batch-*")
+    )
+    return mv.groupBy("event_type").agg(
+        F.sum("cnt__rows").alias("n"),
+        F.sum("sum__value").cast("double").alias("total_value"),
+        F.max("max__user_id").alias("max_user"),
+    )
+
+
+REGISTRY.df_query(
+    "stream_projection_mv",
+    _stream_projection_mv,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["streaming", "projection", "materialized-view"],
+    description="insert-time materialized view: per-micro-batch partial "
+    "aggregate states appended as Native parts, merged at read == batch "
+    "GROUP BY (the AggregatingMergeTree MV pattern)",
+)

@@ -125,3 +125,33 @@ def test_ip_funcs_hand_computed(spark, tmp_path):
         assert got[u] == (ip, quad(ip), 1, 1 if (ip >> 24) == 10 else 0)
     # user 0 -> 0.0.0.0 pins the all-zero octets rendering
     assert got[0][1] == "0.0.0.0"
+
+
+def test_cumulative_uniques_hand_computed(spark, tmp_path):
+    """3 days, overlapping users: day1 {1,2}, day2 {2,3}, day3 {1,4}.
+    new_users = 2,1,1; cum = 2,3,4 (by hand)."""
+    import datetime as dt
+
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    mk = lambda day, u, i: (  # noqa: E731
+        i, dt.datetime(2024, 1, day, 12, 0), u, "view", 0.0, "{}"
+    )
+    ev = pd.DataFrame(
+        [
+            mk(1, 1, 0), mk(1, 2, 1), mk(1, 2, 2),
+            mk(2, 2, 3), mk(2, 3, 4),
+            mk(3, 1, 5), mk(3, 4, 6),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    rows = (
+        REGISTRY.all()["events_cumulative_uniques"].build(spark, d).collect()
+    )
+    got = [(r.day.isoformat(), r.new_users, r.cum_users) for r in rows]
+    assert got == [
+        ("2024-01-01", 2, 2),
+        ("2024-01-02", 1, 3),
+        ("2024-01-03", 1, 4),
+    ]

@@ -228,3 +228,17 @@ def test_ip_funcs_single_distinct_shuffle(plans):
     p = plans("scalar_ip_funcs")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_cumulative_uniques_window_input_is_aggregated(plans):
+    """the prefix-sum window runs over the per-day relation (bounded
+    key set), never over the fact table: the Window node sits above
+    aggregates, and the plan carries no per-event window pass."""
+    p = plans("events_cumulative_uniques")
+    assert "Window" in p
+    # the fact-table columns are gone before the window: only day /
+    # new_users style columns remain in the Window's subtree output
+    import re
+
+    win_seg = p[p.index("Window"):]
+    assert not re.search(r"user_id#\d+", win_seg.split("HashAggregate")[0])

@@ -302,3 +302,59 @@ def test_group_bitmap_membership_straddles_micro_batches(spark, tmp_path):
     [r] = _stream_group_bitmap(spark, sf).collect()
     # u1: all three (assembled across 3 micro-batches); u2: view only
     assert (r["and_card"], r["or_card"], r["exactly_one_card"]) == (1, 2, 1)
+
+
+def test_projection_mv_states_straddle_micro_batches(spark, tmp_path):
+    """stream_projection_mv with events split over 3 files = 3
+    micro-batches: per-batch partial states land as separate batch
+    dirs and the read-time merge still equals the batch GROUP BY —
+    the AggregatingMergeTree MV contract."""
+    import glob
+
+    sf = str(tmp_path / "sf")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    t = pq.read_table(f"{SF_SMALL}/events.parquet")
+    n = t.num_rows
+    per = (n + 2) // 3
+    for i in range(3):
+        piece = t.slice(i * per, per)
+        if piece.num_rows:
+            path = os.path.join(ev_dir, f"part-{i}.parquet")
+            pq.write_table(piece, path)
+            ts = 1_700_000_000 + i
+            os.utime(path, (ts, ts))
+
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _stream_projection_mv,
+    )
+
+    got = {
+        r.event_type: (r.n, round(r.total_value, 4), r.max_user)
+        for r in _stream_projection_mv(spark, sf).collect()
+    }
+    exp = {
+        r[0]: (r[1], round(r[2], 4), r[3])
+        for r in duckdb.sql(
+            f"""
+            SELECT event_type, COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+                   MAX(user_id)
+            FROM '{ev_dir}/*.parquet' GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    assert got == exp
+    # the MV really accumulated one batch dir per micro-batch
+    import tempfile, hashlib  # noqa: E401
+
+    src = os.path.abspath(f"{sf}/events.parquet")
+    st = os.stat(src)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_native_fixtures",
+        hashlib.md5(src.encode()).hexdigest()[:10],
+        f"stream-mv-{int(st.st_mtime)}-{st.st_size}",
+    )
+    batches = glob.glob(os.path.join(work, "out", "batch-*"))
+    assert len(batches) == 3

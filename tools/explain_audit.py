@@ -177,6 +177,7 @@ AUDIT = [
     "array_set_functions",
     "scalar_encoding_funcs",
     "scalar_ip_funcs",
+    "events_cumulative_uniques",
 ]
 
 
