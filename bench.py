@@ -293,6 +293,7 @@ def main() -> None:
         "scalar_encoding_funcs",
         "scalar_ip_funcs",
         "events_cumulative_uniques",
+        "mutation_ttl_rollup",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

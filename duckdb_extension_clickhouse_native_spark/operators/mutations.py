@@ -229,3 +229,141 @@ def mutate_native_dir(
         "rewritten_parts": len(touched),
         "out_dir": out_dir,
     }
+
+
+def apply_ttl(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    ttl_where: Sequence[Pred],
+    group_by: Optional[Sequence[str]] = None,
+    set_exprs: Optional[dict] = None,
+    compression: Optional[str] = None,
+) -> dict:
+    """ClickHouse table TTL over a Native directory.
+
+    ``ttl_where`` is the EXPIRY condition (conjunction of
+    ``(col, op, literal)`` — typically ``[(ts, "<", cutoff)]``).
+
+    - ``group_by=None``: ``TTL ts + INTERVAL ...`` delete semantics —
+      expired rows are removed. Delegates to :func:`mutate_native_dir`,
+      inheriting the sidecar-proven part-reuse optimization (a part
+      whose stats prove no expired rows is hard-linked untouched).
+    - ``group_by=[...]``: ``TTL ... GROUP BY`` rollup semantics —
+      expired rows collapse to one row per group instead of
+      disappearing. ``set_exprs`` maps column -> Spark SQL aggregate
+      expression (ClickHouse's ``SET col = aggregate``); columns not
+      grouped and not SET take ``MIN(col)`` — a DETERMINISTIC stand-in
+      for ClickHouse's ``any(col)`` (documented divergence: ``any`` is
+      non-deterministic by definition, and a deterministic default is
+      what makes the operation oracle-checkable and idempotent).
+      Untouched parts hard-link exactly as in delete mode; touched
+      parts split into kept rows (verbatim) plus the rollup rows, all
+      in one distributed job.
+
+    Timestamp columns carry no sidecar stats (writer only records
+    int/float/string), so time-typed TTL predicates conservatively
+    touch every part — correctness never depends on pruning.
+    """
+    if group_by is None:
+        return apply_ttl_delete(spark, src_dir, out_dir, ttl_where, compression)
+
+    from ..filesystem import resolve_paths
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import _partition_spec, infer_native_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):  # idempotent rebuild
+        p = os.path.join(out_dir, f)
+        if os.path.isfile(p):
+            os.remove(p)
+
+    parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
+    part_keys, _vals, _types = _partition_spec(src_dir, parts)
+    if part_keys:
+        raise NotImplementedError(
+            "apply_ttl does not support hive-partitioned layouts; "
+            "apply per partition directory"
+        )
+    pred_sets = [tuple(ttl_where)]
+    untouched, touched = [], []
+    for p in parts:
+        (untouched if _part_untouched(p, pred_sets) else touched).append(p)
+
+    for i, p in enumerate(untouched):
+        base = f"keep-{i:04d}-{os.path.basename(p)}"
+        _link_or_copy(p, os.path.join(out_dir, base))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            _link_or_copy(
+                side,
+                os.path.join(out_dir, os.path.basename(stats_sidecar_path(base))),
+            )
+
+    if touched:
+        import hashlib
+        import tempfile
+
+        tag = hashlib.md5(("|".join(touched) + out_dir).encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), "chsql_ttl_stage", tag)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for p in touched:
+            os.symlink(p, os.path.join(stage, os.path.basename(p)))
+            side = stats_sidecar_path(p)
+            if os.path.exists(side):
+                os.symlink(side, os.path.join(stage, os.path.basename(side)))
+        # TWO independent load() relations, one per branch — NEVER
+        # branch-filter a single Python-DataSource DataFrame into a
+        # union/join: Spark's plan canonicalization treats two python
+        # scans of the same relation as equal even when their PUSHED
+        # FILTERS differ, and collapses both branches onto one scan
+        # (measured: kept∪rolled silently became expired∪rolled; the
+        # same trap corrupts self-joins). Separate load() calls create
+        # distinct relations that never unify. Regression test:
+        # tests/test_review_fixes_r10.py.
+        schema = infer_native_schema({"path": stage})
+        fresh = lambda: (  # noqa: E731
+            spark.read.format("clickhouse_native").schema(schema).load(stage)
+        )
+        df = fresh()
+        cond = _conj(ttl_where)
+        kept = fresh().filter(~cond)
+        expired = fresh().filter(cond)
+        set_exprs = dict(set_exprs or {})
+        group_by = list(group_by)
+        aggs = []
+        for col in df.columns:
+            if col in group_by:
+                continue
+            aggs.append(F.expr(set_exprs.get(col, f"MIN({col})")).alias(col))
+        rolled = expired.groupBy(*group_by).agg(*aggs).select(*df.columns)
+        out_df = kept.select(*df.columns).unionAll(rolled)
+        writer = out_df.write.format("clickhouse_native").mode("append")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(out_dir)
+
+    return {
+        "untouched_parts": len(untouched),
+        "rewritten_parts": len(touched),
+        "out_dir": out_dir,
+    }
+
+
+def apply_ttl_delete(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    ttl_where: Sequence[Pred],
+    compression: Optional[str] = None,
+) -> dict:
+    """TTL delete = a mutation DELETE on the expiry condition."""
+    return mutate_native_dir(
+        spark,
+        src_dir,
+        out_dir,
+        delete_where=ttl_where,
+        compression=compression,
+    )

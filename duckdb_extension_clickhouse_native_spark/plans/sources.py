@@ -1616,3 +1616,83 @@ REGISTRY.df_query(
     description="system.columns analogue: header-only per-column "
     "metadata UDTF == closed-form fixture schema",
 )
+
+
+def _mutation_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``TTL ... GROUP BY`` rollup analogue
+    (operators/mutations.py apply_ttl): events older than 2024-01-15
+    collapse to one row per event_type (SET value = exact decimal sum,
+    ts = MAX(ts); other columns take the deterministic MIN default),
+    recent rows survive verbatim; the aggregate over the TTL'd
+    directory equals the same construction in SQL. Value totals are
+    PRESERVED by the rollup — the property TTL GROUP BY exists for."""
+    import datetime
+    import hashlib
+
+    from ..operators.mutations import apply_ttl
+
+    src = native_fixture_dir(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_ttl",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    apply_ttl(
+        spark,
+        src,
+        out,
+        ttl_where=[("ts", "<", datetime.datetime(2024, 1, 15))],
+        group_by=["event_type"],
+        set_exprs={
+            "value": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)",
+            "ts": "MAX(ts)",
+        },
+    )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_schema_for(out))
+        .load(out)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_event"),
+    )
+
+
+REGISTRY.df_query(
+    "mutation_ttl_rollup",
+    _mutation_ttl_rollup,
+    oracle="""
+    WITH kept AS (
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    rolled AS (
+      SELECT MIN(event_id) AS event_id,
+             MAX(ts) AS ts,
+             MIN(user_id) AS user_id,
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value,
+             MIN(props) AS props
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY event_type
+    ),
+    u AS (SELECT * FROM kept UNION ALL SELECT * FROM rolled)
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           MIN(event_id) AS min_event
+    FROM u GROUP BY event_type
+    """,
+    tags=["source", "native", "mutation", "ttl"],
+    description="TTL GROUP BY rollup: expired rows collapse to "
+    "per-group aggregate rows (value totals preserved), recent rows "
+    "verbatim; deterministic MIN stands in for ClickHouse any()",
+)

@@ -178,6 +178,7 @@ AUDIT = [
     "scalar_encoding_funcs",
     "scalar_ip_funcs",
     "events_cumulative_uniques",
+    "mutation_ttl_rollup",
 ]
 
 
