@@ -316,13 +316,14 @@ def apply_ttl(
                 os.symlink(side, os.path.join(stage, os.path.basename(side)))
         # TWO independent load() relations, one per branch — NEVER
         # branch-filter a single Python-DataSource DataFrame into a
-        # union/join: Spark's plan canonicalization treats two python
-        # scans of the same relation as equal even when their PUSHED
-        # FILTERS differ, and collapses both branches onto one scan
-        # (measured: kept∪rolled silently became expired∪rolled; the
-        # same trap corrupts self-joins). Separate load() calls create
-        # distinct relations that never unify. Regression test:
-        # tests/test_review_fixes_r10.py.
+        # union/join: pyspark keeps ONE reader per DataSource relation,
+        # so the second branch's pushFilters pass overwrites the
+        # first's and BOTH scans execute with the last-pushed filters
+        # (measured: a disjoint union returned 988 of 1000 rows — both
+        # branches produced the second branch's 494; a disjoint
+        # self-join overlapped on 506 rows; AQE on/off irrelevant).
+        # Separate load() calls create distinct relations with their
+        # own readers. Regression test: tests/test_review_fixes_r10.py.
         schema = infer_native_schema({"path": stage})
         fresh = lambda: (  # noqa: E731
             spark.read.format("clickhouse_native").schema(schema).load(stage)

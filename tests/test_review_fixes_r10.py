@@ -2,11 +2,11 @@
 
 THE SHARED-RELATION PUSHDOWN TRAP: branch-filtering a single
 Python-DataSource DataFrame into a union (or self-join) loses one
-branch's pushed filter — Spark's plan canonicalization considers two
-python scans of the same relation equal even when their pushed
-filters differ, and collapses both branches onto one scan. Found
-while building apply_ttl (kept∪rolled silently became
-expired∪rolled). The engine-level contract, asserted here: SEPARATE
+branch's pushed filter — pyspark keeps one reader per DataSource
+relation, so the second branch's pushFilters pass overwrites the
+first's and BOTH scans execute with the last-pushed filters (AQE
+on/off makes no difference). Found while building apply_ttl
+(kept∪rolled silently became expired∪rolled). The engine-level contract, asserted here: SEPARATE
 ``load()`` calls per branch are always correct; every operator in
 this package follows it (apply_ttl fixed; audit of the other
 python-DS call sites found each one already single-branch or
@@ -60,10 +60,10 @@ def test_separate_loads_keep_distinct_pushed_filters(spark, tmp_path):
 
 
 def test_shared_relation_branch_pushdown_trap_documented(spark, tmp_path):
-    """Pin the TRAP's existence so a Spark upgrade that fixes the
-    canonicalization is noticed (then the fresh-load workaround can be
-    retired). If this starts failing with count == n, celebrate and
-    update operators/mutations.py's comment."""
+    """Pin the TRAP's existence so a pyspark upgrade that gives each
+    pushdown pass its own reader is noticed (then the fresh-load
+    workaround can be retired). If this starts returning count == n,
+    celebrate and update operators/mutations.py's comment."""
     d = str(tmp_path / "t")
     os.makedirs(d)
     n = _ts_dir(d)
