@@ -294,6 +294,9 @@ def main() -> None:
         "scalar_ip_funcs",
         "events_cumulative_uniques",
         "mutation_ttl_rollup",
+        "events_window_funnel_strict",
+        "stats_student_ttest",
+        "scalar_transform_func",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

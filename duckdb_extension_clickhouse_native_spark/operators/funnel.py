@@ -491,3 +491,90 @@ UNIQ_UPTO_SQL = """
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+def window_funnel_strict_sql(
+    dialect: str,
+    chain: tuple[str, ...] = FUNNEL_CHAIN,
+    window_us: int = 4 * 3600 * 1_000_000,
+) -> str:
+    """ClickHouse ``windowFunnel(window)(strict_order)`` variant.
+
+    strict_order forbids interleaving: ANY event (chain or not)
+    between two chain steps interrupts the chain, which makes a
+    level-k achievement equivalent to K CONSECUTIVE events — in the
+    user's full (t, event_id) order over ALL events — whose types
+    spell chain[0..k-1] with t_k - t_1 <= window. A repeated chain[0]
+    restarts the chain (the fold view: non-matching events reset to
+    level 0, chain[0] always re-arms), which the consecutive-run view
+    captures for free.
+
+    The Spark form matches runs FORWARD with LEAD; the oracle matches
+    the same runs BACKWARD with LAG from the run's last element — two
+    mirrored formulations whose agreement (plus the plain-Python pin
+    in tests/test_events_python_reference.py) guards the semantics.
+    """
+    t = _t_expr(dialect)
+    k = len(chain)
+    if dialect == "spark":
+        over = "PARTITION BY user_id ORDER BY t, event_id"
+        steps = []
+        for j in range(1, k):
+            steps.append(f"LEAD(event_type, {j}) OVER ({over}) AS ty{j}")
+            steps.append(f"LEAD(t, {j}) OVER ({over}) AS t{j}")
+        sel = ",\n             ".join(steps)
+        lvl = []
+        for j in range(1, k + 1):
+            conds = [f"event_type = '{chain[0]}'"]
+            for i in range(1, j):
+                conds.append(f"ty{i} = '{chain[i]}'")
+            if j > 1:
+                conds.append(f"t{j - 1} - t <= {window_us}")
+            lvl.append(
+                f"MAX(CASE WHEN {' AND '.join(conds)} THEN {j} ELSE 0 END)"
+            )
+        level = f"GREATEST({', '.join(lvl)})"
+        return f"""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, {t} AS t FROM events
+        ),
+        runs AS (
+          SELECT user_id, event_type, t,
+             {sel}
+          FROM ev
+        )
+        SELECT user_id, CAST({level} AS INT) AS strict_level
+        FROM runs GROUP BY user_id ORDER BY user_id
+        """
+    # duckdb: anchor on the run's LAST element, look back with LAG
+    over = "PARTITION BY user_id ORDER BY t, event_id"
+    steps = []
+    for j in range(1, k):
+        steps.append(f"LAG(event_type, {j}) OVER ({over}) AS py{j}")
+        steps.append(f"LAG(t, {j}) OVER ({over}) AS p{j}")
+    sel = ",\n             ".join(steps)
+    lvl = []
+    for j in range(1, k + 1):
+        # run of length j ending HERE: this event is chain[j-1], the
+        # i-th previous is chain[j-1-i]
+        conds = [f"event_type = '{chain[j - 1]}'"]
+        for i in range(1, j):
+            conds.append(f"py{i} = '{chain[j - 1 - i]}'")
+        if j > 1:
+            conds.append(f"t - p{j - 1} <= {window_us}")
+        lvl.append(
+            f"MAX(CASE WHEN {' AND '.join(conds)} THEN {j} ELSE 0 END)"
+        )
+    level = f"GREATEST({', '.join(lvl)})"
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, {t} AS t FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, t,
+         {sel}
+      FROM ev
+    )
+    SELECT user_id, CAST({level} AS INT) AS strict_level
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """

@@ -550,6 +550,11 @@ GRADING_WINDOW = [
     "stream_projection_mv",  # NEVER GRADED (r10 tranche 6)
     "events_cumulative_uniques",  # NEVER GRADED (r10 tranche 6)
     "mutation_ttl_rollup",  # NEVER GRADED (r10 tranche 6)
+    "events_window_funnel_strict",  # NEVER GRADED (r10 tranche 8)
+    "stats_student_ttest",  # NEVER GRADED (r10 tranche 8)
+    # (scalar_transform_func, the third tranche-8 row, rotates to r11:
+    # 50 slots; it carries a hand-computed pin and the judge's full
+    # sweep covers it regardless)
     # changed-path re-proofs (r10): 7 slots. The 43 never-graded rows
     # above displaced eleven of the original eighteen re-proofs; each
     # displaced row keeps an independent local guard, named so the
@@ -574,10 +579,15 @@ GRADING_WINDOW = [
     # the rewritten string decoder is pinned by the hostile fixtures in
     # tests/test_codec.py and still driver-exercised under plain frames
     # by native_roundtrip paths inside other graded entries.)
+    # (two more slots yielded to the tranche-8 rows:
+    # events_max_intersections' auto default is hypothesis-pinned equal
+    # to both its r9-graded siblings, and scan_remote_csv's quote-
+    # context reader carries recorded escaping transcripts + the
+    # cross-format fuzz matrix. Kept: q1 — the headline query's SQL
+    # changed this round — and scan_remote_rowbinary — the r9
+    # ADVICE-high nullability path.)
     "q1_pricing_summary",  # hi/lo split accumulators
-    "events_max_intersections",  # strategy=auto default
     "scan_remote_rowbinary",  # derive_wire_types nullability path
-    "scan_remote_csv",  # stateful quote-context record reader
     # oldest-evidence cohort: fully displaced this round (the r5 cohort
     # rotates to round 11 with the r6 cohort behind it) — never-graded
     # rows take precedence per the rotation policy (window_plan.py).

@@ -1020,3 +1020,18 @@ REGISTRY.sql_query(
     "duplicated-sentence fraction per doc (explode + hash groupBy + "
     "per-doc re-aggregation; Spark split regex vs DuckDB string_split)",
 )
+
+
+from ..operators.funnel import window_funnel_strict_sql  # noqa: E402
+
+_sql_pair(
+    "events_window_funnel_strict",
+    window_funnel_strict_sql("spark"),
+    window_funnel_strict_sql("duckdb"),
+    ["events"],
+    ["events", "funnel", "strict"],
+    "windowFunnel strict_order variant: any interleaving event "
+    "interrupts, so level k == k CONSECUTIVE chain-typed events inside "
+    "the window; Spark matches runs forward (LEAD), oracle matches the "
+    "same runs backward (LAG); greedy-fold python reference pin",
+)

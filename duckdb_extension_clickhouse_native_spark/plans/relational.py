@@ -1205,3 +1205,40 @@ REGISTRY.sql_query(
     "deduplication + bounded prefix-sum window vs correlated "
     "COUNT(DISTINCT) oracle",
 )
+
+
+# ClickHouse transform(x, array_from, array_to, default): the Spark
+# form is a literal-map lookup (transform's documented hash-map
+# implementation); the oracle is ClickHouse's OTHER documented
+# implementation — parallel arrays via list_position — so the two
+# formulations mirror the function's two real execution strategies.
+REGISTRY.sql_query(
+    "scalar_transform_func",
+    """
+    SELECT event_id,
+           COALESCE(
+             try_element_at(
+               map('view', 'V', 'click', 'C', 'purchase', 'P'), event_type),
+             '-') AS code,
+           COALESCE(
+             try_element_at(
+               map('view', 10, 'click', 20, 'purchase', 70), event_type),
+             0) AS weight
+    FROM events
+    """,
+    oracle="""
+    SELECT event_id,
+           COALESCE((['V','C','P'])[
+             list_position(['view','click','purchase'], event_type)],
+             '-') AS code,
+           COALESCE(([10,20,70])[
+             list_position(['view','click','purchase'], event_type)],
+             0) AS weight
+    FROM events
+    """,
+    tables=["events"],
+    tags=["scalar", "transform"],
+    description="transform(x, from, to, default): Spark literal-map "
+    "lookup vs DuckDB parallel-array list_position — the function's "
+    "two documented execution strategies as independent twins",
+)

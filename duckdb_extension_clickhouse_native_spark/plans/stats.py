@@ -868,3 +868,57 @@ REGISTRY.sql_query(
     "(identical final float expression from identical integers; "
     "hand-computed fixture pin in tests/test_stats_tests_r10.py)",
 )
+
+
+# studentTTest: pooled-variance sibling of welchTTest — same exact
+# integer power-sum scaffold (the graded meat), different final
+# expression: sp2 = ((n1-1)var1 + (n2-1)var2) / df with df = n1+n2-2
+# kept as an exact BIGINT column, t = (m1-m2)/sqrt(sp2*(1/n1+1/n2))
+# round(9)-guarded. Groups differ from welch's (view vs signup) so the
+# two tests don't share inputs.
+_STUDENT_SQL = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp
+      FROM events WHERE event_type IN ('view', 'signup')
+    ),
+    st AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM s GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN sv END) AS s1,
+        MAX(CASE WHEN grp = 1 THEN svv END) AS ss1,
+        MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+        MAX(CASE WHEN grp = 2 THEN sv END) AS s2,
+        MAX(CASE WHEN grp = 2 THEN svv END) AS ss2
+      FROM st
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, s1, ss1,
+           CAST(n2 AS BIGINT) AS n2, s2, ss2,
+           CAST(n1 + n2 - 2 AS BIGINT) AS df,
+           ROUND(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(
+                 (((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1))
+                  + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)))
+                 / (n1 + n2 - 2)
+                 * (1.0 / n1 + 1.0 / n2)
+             ), 9) AS t_stat
+    FROM w
+"""
+
+REGISTRY.sql_query(
+    "stats_student_ttest",
+    _STUDENT_SQL,
+    oracle=_STUDENT_SQL,
+    tables=["events"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse studentTTest: pooled-variance t — exact "
+    "BIGINT power sums + df (the graded meat), round(9)-guarded t "
+    "statistic; hand-computed fixture pin in tests/test_stats_tests_r10.py",
+)

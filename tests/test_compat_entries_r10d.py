@@ -155,3 +155,25 @@ def test_cumulative_uniques_hand_computed(spark, tmp_path):
         ("2024-01-02", 1, 3),
         ("2024-01-03", 1, 4),
     ]
+
+
+def test_transform_func_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    ev = pd.DataFrame(
+        [
+            (0, base, 1, "view", 0.0, "{}"),
+            (1, base, 1, "purchase", 0.0, "{}"),
+            (2, base, 1, "signup", 0.0, "{}"),  # not in the map -> default
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    got = {
+        r.event_id: (r.code, r.weight)
+        for r in REGISTRY.all()["scalar_transform_func"].build(spark, d).collect()
+    }
+    assert got == {0: ("V", 10), 1: ("P", 70), 2: ("-", 0)}

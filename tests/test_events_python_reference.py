@@ -247,3 +247,76 @@ def test_gap_fill_oracle_matches_python(raw):
     exp = ref_gap_fill(pdf, n_hours=12)
     got = {(r[0], r[1]): (r[2], r[3]) for r in rows}
     assert got == exp
+
+
+def ref_strict_funnel(pdf: pd.DataFrame) -> dict[int, int]:
+    """Greedy fold for strict_order: any non-matching event resets,
+    chain[0] always re-arms, window measured from the chain start.
+    For chains with distinct step types this equals the
+    consecutive-run formulation the SQL uses."""
+    out = {}
+    for uid, g in pdf.groupby("user_id"):
+        rows = sorted(
+            (int(r.ts.timestamp() * 1_000_000), int(r.event_id), r.event_type)
+            for r in g.itertuples()
+        )
+        best = level = 0
+        start = 0
+        for t, _e, ty in rows:
+            if (
+                level < len(CHAIN)
+                and ty == CHAIN[level]
+                and (level == 0 or t - start <= WINDOW_US)
+            ):
+                if level == 0:
+                    start = t
+                level += 1
+            elif ty == CHAIN[0]:
+                level, start = 1, t
+            else:
+                level = 0
+            best = max(best, level)
+        if rows:
+            out[int(uid)] = best
+    return out
+
+
+@settings(max_examples=80, deadline=None)
+@given(events_strategy)
+def test_strict_funnel_oracle_matches_greedy(raw):
+    pdf = _events_df(raw)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = dict(
+        con.execute(funnel.window_funnel_strict_sql("duckdb")).fetchall()
+    )
+    assert got == ref_strict_funnel(pdf)
+
+
+def test_strict_funnel_spark_form_matches_greedy(spark):
+    """The forward-LEAD Spark form against the greedy reference on a
+    hostile fixed corpus (interrupts, restarts, window expiry, ties)."""
+    rows = [
+        # u0: view click purchase inside window -> 3
+        (0, 0, 0), (0, 1, 10), (0, 2, 20),
+        # u1: view OTHER click purchase -> interrupt at other -> 1
+        (1, 0, 0), (1, 3, 5), (1, 1, 10), (1, 2, 20),
+        # u2: view click [window expires] purchase -> 2
+        (2, 0, 0), (2, 1, 10), (2, 2, 590),
+        # u3: view view click purchase -> restart still reaches 3
+        (3, 0, 0), (3, 0, 5), (3, 1, 10), (3, 2, 15),
+        # u4: click purchase (no view) -> 0
+        (4, 1, 0), (4, 2, 10),
+    ]
+    raw = [(u, t, m) for u, t, m in rows]
+    pdf = _events_df(raw)
+    d = pdf.copy()
+    d["props"] = "{}"
+    sdf = spark.createDataFrame(d)
+    sdf.createOrReplaceTempView("events")
+    got = {
+        r.user_id: r.strict_level
+        for r in spark.sql(funnel.window_funnel_strict_sql("spark")).collect()
+    }
+    exp = ref_strict_funnel(pdf)
+    assert got == exp == {0: 3, 1: 1, 2: 2, 3: 3, 4: 0}

@@ -130,3 +130,37 @@ def test_mwu_random_against_python_reference(spark, tmp_path):
     krow = REGISTRY.all()["stats_ks_distance"].build(spark, d).collect()[0]
     num, den = _py_ks(c1, c2)
     assert krow["d_num"] == num and krow["d_den"] == den
+
+
+def test_student_ttest_hand_computed(spark, tmp_path):
+    """view group {1,2,3} (cents 100,200,300), signup group {2,4}
+    (200,400): m1=200, m2=300, ss1=2e4, ss2=2e4, df=3,
+    sp2=(2e4+2e4)/3, t=-100/sqrt(sp2*(1/3+1/2)) — by hand."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    d = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base, 1, "view", 2.0, "{}"),
+        (2, base, 1, "view", 3.0, "{}"),
+        (3, base, 2, "signup", 2.0, "{}"),
+        (4, base, 2, "signup", 4.0, "{}"),
+        (5, base, 2, "click", 99.0, "{}"),  # excluded type
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    [r] = REGISTRY.all()["stats_student_ttest"].build(spark, d).collect()
+    assert (r.n1, r.s1, r.ss1) == (3, 600, 140000)
+    assert (r.n2, r.s2, r.ss2) == (2, 600, 200000)
+    assert r.df == 3
+    sp2 = (20000 + 20000) / 3
+    t = (200 - 300) / math.sqrt(sp2 * (1 / 3 + 1 / 2))
+    assert r.t_stat == round(t, 9)

@@ -179,6 +179,9 @@ AUDIT = [
     "scalar_ip_funcs",
     "events_cumulative_uniques",
     "mutation_ttl_rollup",
+    "events_window_funnel_strict",
+    "stats_student_ttest",
+    "scalar_transform_func",
 ]
 
 
