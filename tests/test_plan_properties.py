@@ -242,3 +242,24 @@ def test_cumulative_uniques_window_input_is_aggregated(plans):
 
     win_seg = p[p.index("Window"):]
     assert not re.search(r"user_id#\d+", win_seg.split("HashAggregate")[0])
+
+
+def test_strict_funnel_single_window_pass(plans):
+    """all K-1 LEADs share ONE user-keyed window pass (same frame),
+    then one aggregate — no join, no repeated sorts."""
+    p = plans("events_window_funnel_strict")
+    import re
+
+    assert len(re.findall(r"^\s*[:+]?- Window", p, re.M)) <= 1 or p.count("Window") <= 2
+    assert "Join" not in p
+
+
+def test_student_ttest_one_aggregation_chain(plans):
+    p = plans("stats_student_ttest")
+    assert "Join" not in p and "Window" not in p
+
+
+def test_transform_func_map_only(plans):
+    p = plans("scalar_transform_func")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
