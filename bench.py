@@ -297,6 +297,8 @@ def main() -> None:
         "events_window_funnel_strict",
         "stats_student_ttest",
         "scalar_transform_func",
+        "stats_cramers_v",
+        "stats_roc_auc",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -552,9 +552,10 @@ GRADING_WINDOW = [
     "mutation_ttl_rollup",  # NEVER GRADED (r10 tranche 6)
     "events_window_funnel_strict",  # NEVER GRADED (r10 tranche 8)
     "stats_student_ttest",  # NEVER GRADED (r10 tranche 8)
-    # (scalar_transform_func, the third tranche-8 row, rotates to r11:
-    # 50 slots; it carries a hand-computed pin and the judge's full
-    # sweep covers it regardless)
+    # (scalar_transform_func, stats_cramers_v, stats_roc_auc — the
+    # late tranche-8/9 rows — rotate to r11: 50 slots; each carries a
+    # hand-computed pin (+ a python-reference fuzz for the AUC oracle)
+    # and the judge's full sweep covers them regardless)
     # changed-path re-proofs (r10): 7 slots. The 43 never-graded rows
     # above displaced eleven of the original eighteen re-proofs; each
     # displaced row keeps an independent local guard, named so the

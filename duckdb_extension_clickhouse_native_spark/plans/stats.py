@@ -922,3 +922,146 @@ REGISTRY.sql_query(
     "BIGINT power sums + df (the graded meat), round(9)-guarded t "
     "statistic; hand-computed fixture pin in tests/test_stats_tests_r10.py",
 )
+
+
+# cramersV (ClickHouse's categorical-association aggregate) over the
+# orders status x priority contingency table. The graded meat is
+# exact: n, r, c, and sum_cells(o^2 * n / (rowtot * coltot)) enters as
+# per-cell double divisions of exact integers; chi2 and V are
+# round(9)-guarded. The Spark form derives row/column totals with
+# WINDOW sums over the cell relation; the oracle derives them with
+# GROUP BY subqueries JOINed back — two plan shapes, one table.
+_CRAMERS_V_SPARK = """
+    WITH cells AS (
+      SELECT o_orderstatus AS rk, o_orderpriority AS ck,
+             COUNT(*) AS o
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    tot AS (
+      SELECT rk, ck, o,
+             SUM(o) OVER (PARTITION BY rk) AS rt,
+             SUM(o) OVER (PARTITION BY ck) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT rk) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS c,
+           ROUND(SUM(CAST(o AS DOUBLE) * o * n / (rt * ct)) - MAX(n), 9)
+             AS chi2,
+           ROUND(SQRT(GREATEST(
+             (SUM(CAST(o AS DOUBLE) * o * n / (rt * ct)) - MAX(n))
+             / (MAX(n) * (LEAST(COUNT(DISTINCT rk), COUNT(DISTINCT ck)) - 1)),
+             0.0)), 9) AS v
+    FROM tot
+"""
+
+_CRAMERS_V_DUCK = """
+    WITH cells AS (
+      SELECT o_orderstatus AS rk, o_orderpriority AS ck, COUNT(*) AS o
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    rows_t AS (SELECT rk, SUM(o) AS rt FROM cells GROUP BY rk),
+    cols_t AS (SELECT ck, SUM(o) AS ct FROM cells GROUP BY ck),
+    n_t AS (SELECT SUM(o) AS n FROM cells),
+    j AS (
+      SELECT cells.o, rows_t.rt, cols_t.ct, n_t.n
+      FROM cells JOIN rows_t USING (rk) JOIN cols_t USING (ck)
+      CROSS JOIN n_t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           (SELECT COUNT(*) FROM rows_t) AS r,
+           (SELECT COUNT(*) FROM cols_t) AS c,
+           ROUND(SUM(CAST(o AS DOUBLE) * o * n / (rt * ct)) - MAX(n), 9) AS chi2,
+           ROUND(SQRT(GREATEST(
+             (SUM(CAST(o AS DOUBLE) * o * n / (rt * ct)) - MAX(n))
+             / (MAX(n) * (LEAST((SELECT COUNT(*) FROM rows_t),
+                                (SELECT COUNT(*) FROM cols_t)) - 1)),
+             0.0)), 9) AS v
+    FROM j
+"""
+
+REGISTRY.sql_query(
+    "stats_cramers_v",
+    _CRAMERS_V_SPARK,
+    oracle=_CRAMERS_V_DUCK,
+    tables=["orders"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse cramersV over status x priority: exact "
+    "integer contingency cells, window-derived totals (Spark) vs "
+    "join-derived totals (oracle), round(9)-guarded chi2 and V",
+)
+
+
+# arrayAUC analogue: ROC AUC of value (cents) predicting
+# event_type = 'purchase', with average-rank tie handling. The Spark
+# form is the rank-sum identity — 2*R_pos kept as an EXACT BIGINT via
+# grouped cumulative counts (pos_g * (2*less_g + eq_g + 1)); the
+# oracle is the pairwise identity — 2*numerator = 2*|pos>neg| +
+# |pos=neg| via a distinct-score group join. Both reduce to the same
+# exact integer two_u = 2*U; auc is one IEEE division.
+_AUC_SPARK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT v, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT v, cnt, pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(cnt - pos) AS BIGINT) AS neg
+      FROM g
+    )
+    SELECT p, neg,
+           CAST(SUM(pos * (2 * less + (cnt - pos) + pos + 1)) - p * (p + 1)
+                AS BIGINT) AS two_u,
+           ROUND(CAST(SUM(pos * (2 * less + (cnt - pos) + pos + 1))
+                      - p * (p + 1) AS DOUBLE) / (2 * p * neg), 9) AS auc
+    FROM cum CROSS JOIN tot
+    GROUP BY p, neg
+"""
+
+_AUC_DUCK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    pg AS (SELECT v, COUNT(*) AS pc FROM s WHERE y = 1 GROUP BY v),
+    ng AS (SELECT v, COUNT(*) AS nc FROM s WHERE y = 0 GROUP BY v),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(pc), 0) FROM pg) AS p,
+             (SELECT COALESCE(SUM(nc), 0) FROM ng) AS neg
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN pg.v > ng.v THEN 2 * pc * nc
+                      WHEN pg.v = ng.v THEN pc * nc
+                      ELSE 0 END) AS two_num
+      FROM pg CROSS JOIN ng
+    )
+    SELECT CAST(p AS BIGINT) AS p, CAST(neg AS BIGINT) AS neg,
+           CAST(two_num AS BIGINT) AS two_u,
+           ROUND(CAST(two_num AS DOUBLE) / (2 * p * neg), 9) AS auc
+    FROM pairs CROSS JOIN tot
+"""
+
+REGISTRY.sql_query(
+    "stats_roc_auc",
+    _AUC_SPARK,
+    oracle=_AUC_DUCK,
+    tables=["events"],
+    tags=["agg", "stats", "ml", "compat"],
+    description="arrayAUC analogue (value cents predicting purchase): "
+    "rank-sum identity with exact BIGINT 2U (Spark) vs pairwise "
+    "group-join identity (oracle), average-rank tie handling, one "
+    "IEEE division",
+)

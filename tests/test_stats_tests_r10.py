@@ -164,3 +164,105 @@ def test_student_ttest_hand_computed(spark, tmp_path):
     sp2 = (20000 + 20000) / 3
     t = (200 - 300) / math.sqrt(sp2 * (1 / 3 + 1 / 2))
     assert r.t_stat == round(t, 9)
+
+
+def test_cramers_v_hand_computed(spark, tmp_path):
+    """2x2 table [[20,10],[10,20]]: n=60, chi2 = 60*(1/30 * (400/30 +
+    100/30 + 100/30 + 400/30)) - 60 = 60*1000/900*... computed
+    directly: chi2 = n*sum(o^2/(rt*ct)) - n = 60*(400+100+100+400)/900
+    - 60 = 66.666..-60 = 20/3; V = sqrt(chi2/(60*1)) = sqrt(1/9) = 1/3."""
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    d = str(tmp_path / "t")
+    rows = (
+        [("F", "1-URGENT")] * 20
+        + [("F", "2-HIGH")] * 10
+        + [("O", "1-URGENT")] * 10
+        + [("O", "2-HIGH")] * 20
+    )
+    od = pd.DataFrame(
+        [(i, s, p) for i, (s, p) in enumerate(rows)],
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    spark.createDataFrame(od).write.parquet(d + "/orders.parquet")
+    [r] = REGISTRY.all()["stats_cramers_v"].build(spark, d).collect()
+    assert (r.n, r.r, r.c) == (60, 2, 2)
+    assert r.chi2 == round(20 / 3, 9)
+    assert r.v == round(1 / 3, 9)
+
+
+def _ref_auc(pairs):
+    """Average-rank AUC, plain python: pairs = [(score, label)]."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    num = 0.0
+    for a in pos:
+        for b in neg:
+            num += 1.0 if a > b else (0.5 if a == b else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+def test_roc_auc_hand_computed(spark, tmp_path):
+    """scores cents (300,200,200,100) labels (1,1,0,0):
+    pairs: 300>200 ✓, 300>100 ✓, 200=200 half, 200>100 ✓ ->
+    AUC = 3.5/4."""
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    d = str(tmp_path / "t")
+    base = dt.datetime(2024, 1, 1)
+    ev = pd.DataFrame(
+        [
+            (0, base, 1, "purchase", 3.0, "{}"),
+            (1, base, 1, "purchase", 2.0, "{}"),
+            (2, base, 1, "view", 2.0, "{}"),
+            (3, base, 1, "view", 1.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    [r] = REGISTRY.all()["stats_roc_auc"].build(spark, d).collect()
+    assert (r.p, r.neg) == (2, 2)
+    assert r.two_u == 7  # 2 * (3.5)
+    assert r.auc == round(3.5 / 4, 9)
+
+
+def test_roc_auc_duck_form_matches_python_reference():
+    """Random score/label corpora: the pairwise ORACLE formulation ==
+    plain-python average-rank AUC (the Spark rank-sum form is graded
+    against this oracle at three scales)."""
+    import random
+
+    import duckdb
+
+    from duckdb_extension_clickhouse_native_spark.plans.stats import _AUC_DUCK
+
+    random.seed(11)
+    for _ in range(60):
+        n = random.randint(2, 40)
+        rows = [
+            (
+                i,
+                random.randint(0, 8) / 4.0,  # coarse -> many ties
+                "purchase" if random.random() < 0.4 else "view",
+            )
+            for i in range(n)
+        ]
+        if len({t for _, _, t in rows}) < 2:
+            continue
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE raw(event_id BIGINT, value DOUBLE, event_type VARCHAR)"
+        )
+        con.executemany("INSERT INTO raw VALUES (?,?,?)", rows)
+        con.execute(
+            "CREATE VIEW events AS SELECT event_id, value, event_type FROM raw"
+        )
+        [(p, neg, two_u, auc)] = con.execute(_AUC_DUCK).fetchall()
+        ref = _ref_auc(
+            [(int(v * 100 // 1), t == "purchase") for _, v, t in rows]
+        )
+        assert abs(auc - round(ref, 9)) < 1e-12, (rows, auc, ref)

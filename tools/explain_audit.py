@@ -182,6 +182,8 @@ AUDIT = [
     "events_window_funnel_strict",
     "stats_student_ttest",
     "scalar_transform_func",
+    "stats_cramers_v",
+    "stats_roc_auc",
 ]
 
 
