@@ -299,6 +299,7 @@ def main() -> None:
         "scalar_transform_func",
         "stats_cramers_v",
         "stats_roc_auc",
+        "stats_spearman_corr",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

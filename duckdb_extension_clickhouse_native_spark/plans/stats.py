@@ -1065,3 +1065,105 @@ REGISTRY.sql_query(
     "group-join identity (oracle), average-rank tie handling, one "
     "IEEE division",
 )
+
+
+# rankCorr (Spearman's rho with average-rank ties) over lineitem
+# quantity vs extendedprice. 2x the average rank is an EXACT integer:
+# 2*avgrank = 2*RANK + ties - 1. The Spark form computes it with
+# RANK()/COUNT() windows per row; the oracle computes it per DISTINCT
+# VALUE (grouped cumulative counts, the AUC idiom) and joins back —
+# two formulations of the same rank transform. Power sums accumulate
+# in DECIMAL(38,0) (exact, order-independent, no 2^63 wrap at any
+# realistic n); rho is a round(9)-guarded float of exact sums.
+_SPEARMAN_SPARK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS a,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS b
+      FROM lineitem
+    ),
+    r AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY a) + COUNT(*) OVER (PARTITION BY a) - 1 AS ra2,
+        2 * RANK() OVER (ORDER BY b) + COUNT(*) OVER (PARTITION BY b) - 1 AS rb2
+      FROM s
+    ),
+    p AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ra2 AS DECIMAL(38, 0))) AS sa,
+             SUM(CAST(rb2 AS DECIMAL(38, 0))) AS sb,
+             SUM(CAST(ra2 AS DECIMAL(38, 0)) * rb2) AS sab,
+             SUM(CAST(ra2 AS DECIMAL(38, 0)) * ra2) AS saa,
+             SUM(CAST(rb2 AS DECIMAL(38, 0)) * rb2) AS sbb,
+             SUM(CAST((ra2 - rb2) AS DECIMAL(38, 0)) * (ra2 - rb2)) AS d2
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n, d2,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT(
+                 (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+             ), 9) AS rho
+    FROM p
+"""
+
+_SPEARMAN_DUCK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS a,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS b
+      FROM lineitem
+    ),
+    ga AS (
+      SELECT a, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+      FROM s GROUP BY a
+    ),
+    gb AS (
+      SELECT b, COUNT(*) AS cnt,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+      FROM s GROUP BY b
+    ),
+    r AS (
+      SELECT (2 * ga.less + ga.cnt + 1) AS ra2,
+             (2 * gb.less + gb.cnt + 1) AS rb2
+      FROM s JOIN ga USING (a) JOIN gb USING (b)
+    ),
+    p AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ra2 AS DECIMAL(38, 0))) AS sa,
+             SUM(CAST(rb2 AS DECIMAL(38, 0))) AS sb,
+             SUM(CAST(ra2 AS DECIMAL(38, 0)) * rb2) AS sab,
+             SUM(CAST(ra2 AS DECIMAL(38, 0)) * ra2) AS saa,
+             SUM(CAST(rb2 AS DECIMAL(38, 0)) * rb2) AS sbb,
+             SUM(CAST((ra2 - rb2) AS DECIMAL(38, 0)) * (ra2 - rb2)) AS d2
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n, d2,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT(
+                 (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+             ), 9) AS rho
+    FROM p
+"""
+
+REGISTRY.sql_query(
+    "stats_spearman_corr",
+    _SPEARMAN_SPARK,
+    oracle=_SPEARMAN_DUCK,
+    tables=["lineitem"],
+    tags=["agg", "stats", "compat"],
+    description="ClickHouse rankCorr (Spearman with average-rank "
+    "ties): exact integer 2x-avg-ranks — RANK/COUNT windows (Spark) "
+    "vs grouped-cumulative join-back (oracle) — DECIMAL(38,0) power "
+    "sums, round(9)-guarded rho; exact d2 column as graded meat",
+)

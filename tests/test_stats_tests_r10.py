@@ -266,3 +266,24 @@ def test_roc_auc_duck_form_matches_python_reference():
             [(int(v * 100 // 1), t == "purchase") for _, v, t in rows]
         )
         assert abs(auc - round(ref, 9)) < 1e-12, (rows, auc, ref)
+
+
+def test_spearman_hand_computed(spark, tmp_path):
+    """a = (1,2,3,3), b = (10,20,15,30): avg ranks (1,2,3.5,3.5) vs
+    (1,3,2,4); Pearson of ranks = 3/sqrt(4.5*5) = 0.6324555...;
+    d2 = sum(2ra-2rb)^2 = 0+4+9+1 = 14 (by hand)."""
+    import decimal
+
+    import __spark_entry__  # noqa: F401
+    from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
+
+    d = str(tmp_path / "t")
+    li = pd.DataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 15.0), (3.0, 30.0)],
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    spark.createDataFrame(li).write.parquet(d + "/lineitem.parquet")
+    [r] = REGISTRY.all()["stats_spearman_corr"].build(spark, d).collect()
+    assert r.n == 4
+    assert r.d2 == decimal.Decimal(14)
+    assert r.rho == round(3 / math.sqrt(4.5 * 5.0), 9)

@@ -184,6 +184,7 @@ AUDIT = [
     "scalar_transform_func",
     "stats_cramers_v",
     "stats_roc_auc",
+    "stats_spearman_corr",
 ]
 
 
