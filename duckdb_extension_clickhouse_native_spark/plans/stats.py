@@ -1069,23 +1069,61 @@ REGISTRY.sql_query(
 
 # rankCorr (Spearman's rho with average-rank ties) over lineitem
 # quantity vs extendedprice. 2x the average rank is an EXACT integer:
-# 2*avgrank = 2*RANK + ties - 1. The Spark form computes it with
-# RANK()/COUNT() windows per row; the oracle computes it per DISTINCT
-# VALUE (grouped cumulative counts, the AUC idiom) and joins back —
-# two formulations of the same rank transform. Power sums accumulate
-# in DECIMAL(38,0) (exact, order-independent, no 2^63 wrap at any
-# realistic n); rho is a round(9)-guarded float of exact sums.
+# 2*avgrank = 2*cnt_less + cnt_eq + 1. The Spark form is the
+# SCALE-SAFE two-phase rank (the sharding.py shape): distinct values
+# bucket by range (v DIV 65536 — order-preserving), a PARTITIONED
+# window cumsums within each bucket, bucket offsets come from a tiny
+# bucket-level window, and rows join the rank back by value — no
+# global per-row window anywhere, so there is no single-reducer sort
+# at 100 TB. The oracle is the simple exclusive global window over
+# distinct values (fine for an oracle, wrong at scale). Power sums
+# accumulate in DECIMAL(38,0) (exact, order-independent, no 2^63
+# wrap at any realistic n); rho is a round(9)-guarded float.
 _SPEARMAN_SPARK = """
     WITH s AS (
       SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS a,
              CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS b
       FROM lineitem
     ),
+    ga AS (SELECT a AS v, COUNT(*) AS cnt FROM s GROUP BY a),
+    gab AS (SELECT v, cnt, v DIV 65536 AS bk FROM ga),
+    la AS (
+      SELECT v, cnt, bk,
+             COALESCE(SUM(cnt) OVER (PARTITION BY bk ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lless
+      FROM gab
+    ),
+    bsa AS (SELECT bk, SUM(cnt) AS n FROM gab GROUP BY bk),
+    boa AS (
+      SELECT bk, COALESCE(SUM(n) OVER (ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM bsa
+    ),
+    ra AS (
+      SELECT la.v, 2 * (boa.off + la.lless) + la.cnt + 1 AS r2
+      FROM la JOIN boa ON la.bk = boa.bk
+    ),
+    gb AS (SELECT b AS v, COUNT(*) AS cnt FROM s GROUP BY b),
+    gbb AS (SELECT v, cnt, v DIV 65536 AS bk FROM gb),
+    lb AS (
+      SELECT v, cnt, bk,
+             COALESCE(SUM(cnt) OVER (PARTITION BY bk ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lless
+      FROM gbb
+    ),
+    bsb AS (SELECT bk, SUM(cnt) AS n FROM gbb GROUP BY bk),
+    bob AS (
+      SELECT bk, COALESCE(SUM(n) OVER (ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM bsb
+    ),
+    rb AS (
+      SELECT lb.v, 2 * (bob.off + lb.lless) + lb.cnt + 1 AS r2
+      FROM lb JOIN bob ON lb.bk = bob.bk
+    ),
     r AS (
-      SELECT
-        2 * RANK() OVER (ORDER BY a) + COUNT(*) OVER (PARTITION BY a) - 1 AS ra2,
-        2 * RANK() OVER (ORDER BY b) + COUNT(*) OVER (PARTITION BY b) - 1 AS rb2
-      FROM s
+      SELECT ra.r2 AS ra2, rb.r2 AS rb2
+      FROM s JOIN ra ON s.a = ra.v JOIN rb ON s.b = rb.v
     ),
     p AS (
       SELECT COUNT(*) AS n,

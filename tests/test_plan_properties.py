@@ -263,3 +263,19 @@ def test_transform_func_map_only(plans):
     p = plans("scalar_transform_func")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_spearman_no_global_row_window(plans):
+    """the two-phase rank must not plan a global per-row window: every
+    Window node's required ordering is either bucket-partitioned or
+    over the tiny bucket relation — concretely, no Window may consume
+    the raw fact rows (the plan's windows sit above HashAggregates)."""
+    p = plans("stats_spearman_corr")
+    # windows exist (bucket cumsums) but each is fed by an aggregate,
+    # never directly by the scan: between any Scan and the first
+    # Window there must be a HashAggregate
+    scan_pos = p.find("Scan ")
+    win_pos = p.find("Window")
+    agg_pos = p.find("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1
+    assert agg_pos < win_pos or scan_pos > win_pos
