@@ -1247,3 +1247,66 @@ REGISTRY.df_query(
     "aggregate states appended as Native parts, merged at read == batch "
     "GROUP BY (the AggregatingMergeTree MV pattern)",
 )
+
+
+def _stream_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_cumulative_uniques``
+    (runningAccumulate(uniqState) by day): the state store carries one
+    MIN(first-seen day) per user — O(users) state regardless of event
+    volume — plus a per-day presence aggregation from a second pass
+    over the same source; the cumulative distinct-user curve derived
+    from the FINAL drained state must equal the batch form exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..streaming.events_stream import read_events_stream
+
+    firsts = _drain(
+        read_events_stream(spark, sf_dir)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day")),
+        "complete",
+    )
+    days = _drain(
+        read_events_stream(spark, sf_dir)
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .count(),
+        "complete",
+    ).select("day")
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    joined = days.join(daily, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("day")
+
+
+REGISTRY.df_query(
+    "stream_cumulative_uniques",
+    _stream_cumulative_uniques,
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT day,
+           (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+         - (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day < days.day)
+             AS new_users,
+           (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+             AS cum_users
+    FROM days
+    ORDER BY day
+    """,
+    tags=["streaming", "stateful", "cumulative"],
+    description="stateful first-seen-day stream state (O(users)) -> "
+    "per-day new users + cumulative distinct curve == batch "
+    "runningAccumulate(uniqState) exactly",
+)

@@ -358,3 +358,54 @@ def test_projection_mv_states_straddle_micro_batches(spark, tmp_path):
     )
     batches = glob.glob(os.path.join(work, "out", "batch-*"))
     assert len(batches) == 3
+
+
+def test_cumulative_uniques_state_straddles_micro_batches(spark, tmp_path):
+    """a user first seen in micro-batch 1 who reappears in batch 3
+    must NOT count as new again — the MIN(first_day) state carries
+    across batches."""
+    sf = str(tmp_path / "sf")
+    ev_dir = os.path.join(sf, "events.parquet")
+    os.makedirs(ev_dir)
+    t = pq.read_table(f"{SF_SMALL}/events.parquet")
+    n = t.num_rows
+    per = (n + 2) // 3
+    for i in range(3):
+        piece = t.slice(i * per, per)
+        if piece.num_rows:
+            path = os.path.join(ev_dir, f"part-{i}.parquet")
+            pq.write_table(piece, path)
+            ts = 1_700_000_000 + i
+            os.utime(path, (ts, ts))
+
+    from duckdb_extension_clickhouse_native_spark.plans.streaming_queries import (
+        _stream_cumulative_uniques,
+    )
+
+    got = [
+        (r.day.isoformat(), r.new_users, r.cum_users)
+        for r in _stream_cumulative_uniques(spark, sf).collect()
+    ]
+    exp = [
+        (d.isoformat(), n_new, cum)
+        for d, n_new, cum in duckdb.sql(
+            f"""
+            WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id
+                       FROM '{ev_dir}/*.parquet'),
+            days AS (SELECT DISTINCT day FROM d)
+            SELECT day,
+                   (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+                 - (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day < days.day),
+                   (SELECT COUNT(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+            FROM days ORDER BY day
+            """
+        ).fetchall()
+    ]
+    assert got == exp
+    # the curve is strictly more informative than per-batch counts:
+    # cumulative must be monotone and end at the distinct-user total
+    total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{ev_dir}/*.parquet'"
+    ).fetchone()[0]
+    assert got[-1][2] == total
+    assert all(a[2] <= b[2] for a, b in zip(got, got[1:]))
