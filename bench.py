@@ -300,6 +300,7 @@ def main() -> None:
         "stats_cramers_v",
         "stats_roc_auc",
         "stats_spearman_corr",
+        "mutation_attach_parts",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -368,3 +368,88 @@ def apply_ttl_delete(
         delete_where=ttl_where,
         compression=compression,
     )
+
+
+def detach_parts(src_dir: str, part_names: Sequence[str]) -> dict:
+    """``ALTER TABLE ... DETACH PART`` analogue: move the named parts
+    (and their stats sidecars) into ``<dir>/detached/`` — invisible to
+    every scan (resolve_paths only descends into ``key=value``
+    subdirectories), recoverable with :func:`attach_parts`. Zero-copy:
+    a rename within the filesystem."""
+    from ..native.writer import stats_sidecar_path
+
+    det = os.path.join(src_dir, "detached")
+    os.makedirs(det, exist_ok=True)
+    moved = []
+    for name in part_names:
+        p = os.path.join(src_dir, name)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(f"no such part: {p}")
+        os.replace(p, os.path.join(det, name))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            os.replace(side, os.path.join(det, os.path.basename(side)))
+        moved.append(name)
+    return {"detached": moved, "dir": det}
+
+
+def attach_parts(
+    dst_dir: str,
+    src: Optional[str] = None,
+    *,
+    move: bool = False,
+) -> dict:
+    """``ALTER TABLE ... ATTACH PARTITION [FROM table]`` analogue.
+
+    With ``src=None``, re-attaches everything under
+    ``<dst>/detached/`` (moves back). With ``src`` set to another
+    Native directory, hard-links (or copies) every part + sidecar from
+    it — the zero-copy cross-table attach; ``move=True`` relocates
+    instead. Refuses a schema mismatch: the first block header of each
+    incoming part must spell exactly the destination's column
+    names/types (ClickHouse checks table structure identity)."""
+    from ..filesystem import resolve_paths
+    from ..native.codec import read_file_schema
+    from ..native.writer import stats_sidecar_path
+
+    if src is None:
+        src_paths = [
+            os.path.join(dst_dir, "detached", f)
+            for f in sorted(os.listdir(os.path.join(dst_dir, "detached")))
+            if not f.startswith("_")
+        ]
+        move = True
+    else:
+        src_paths = [
+            p for p in resolve_paths(src) if not p.endswith(".json")
+        ]
+
+    existing = [p for p in resolve_paths(dst_dir) if not p.endswith(".json")]
+    want = None
+    if existing:
+        want = [(n, t.name, t.nullable) for n, t in read_file_schema(existing[0])]
+    attached = []
+    for p in src_paths:
+        if want is not None:
+            got = [(n, t.name, t.nullable) for n, t in read_file_schema(p)]
+            if got != want:
+                raise ValueError(
+                    f"schema mismatch attaching {p!r}: {got} != {want}"
+                )
+        base = os.path.basename(p)
+        dst = os.path.join(dst_dir, base)
+        if os.path.exists(dst):
+            raise FileExistsError(f"part name collision: {dst}")
+        if move:
+            os.replace(p, dst)
+        else:
+            _link_or_copy(p, dst)
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            sdst = os.path.join(dst_dir, os.path.basename(side))
+            if move:
+                os.replace(side, sdst)
+            else:
+                _link_or_copy(side, sdst)
+        attached.append(base)
+    return {"attached": attached, "dir": dst_dir}

@@ -1696,3 +1696,72 @@ REGISTRY.df_query(
     "per-group aggregate rows (value totals preserved), recent rows "
     "verbatim; deterministic MIN stands in for ClickHouse any()",
 )
+
+
+def _mutation_attach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACH PARTITION FROM analogue: documents materializes as two
+    half tables; table B's parts hard-link into table A (zero-copy,
+    schema-checked); the aggregate over A equals the whole relation.
+    DETACH/re-ATTACH roundtrip is pinned in tests/test_mutations.py."""
+    import hashlib
+    import shutil
+
+    from ..operators.mutations import attach_parts
+
+    src = native_fixture_dir(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_attach",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    a, b = os.path.join(base, "a"), os.path.join(base, "b")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(a), os.makedirs(b)
+        from ..filesystem import resolve_paths
+        from ..native.writer import stats_sidecar_path
+        from ..operators.mutations import _link_or_copy
+
+        parts = [p for p in resolve_paths(src) if not p.endswith(".json")]
+        for i, p in enumerate(sorted(parts)):
+            dst_dir = a if i % 2 == 0 else b
+            _link_or_copy(p, os.path.join(dst_dir, os.path.basename(p)))
+            side = stats_sidecar_path(p)
+            if os.path.exists(side):
+                _link_or_copy(
+                    side, os.path.join(dst_dir, os.path.basename(side))
+                )
+        attach_parts(a, b)
+        with open(done, "w") as f:
+            f.write("")
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_schema_for(a))
+        .load(a)
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+REGISTRY.df_query(
+    "mutation_attach_parts",
+    _mutation_attach_parts,
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY source
+    """,
+    tags=["source", "native", "mutation", "attach"],
+    description="ATTACH PARTITION FROM: zero-copy schema-checked part "
+    "links across tables; aggregate over the attached table == whole "
+    "relation",
+)

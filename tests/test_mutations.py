@@ -143,3 +143,62 @@ def test_hive_layout_refused(spark, tmp_path):
         mutate_native_dir(
             spark, src, str(tmp_path / "out"), delete_where=[("k", "=", 1)]
         )
+
+
+def test_detach_attach_roundtrip(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+        attach_parts,
+        detach_parts,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    _range_dir(d, n_parts=3, per=10)  # k in [0,30)
+    assert _read(spark, d).count() == 30
+    detach_parts(d, ["part-001.clickhouse"])
+    got = sorted(r.k for r in _read(spark, d).collect())
+    assert got == list(range(0, 10)) + list(range(20, 30))
+    attach_parts(d)  # re-attach everything detached
+    assert _read(spark, d).count() == 30
+
+
+def test_attach_from_other_table_links_zero_copy(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+        attach_parts,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    _range_dir(a, n_parts=2, per=5)  # k in [0,10)
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "k": pa.array(range(100, 105), type=pa.int64()),
+            "name": pa.array([f"x{j}" for j in range(5)]),
+        }
+    )
+    write_native_file(os.path.join(b, "part-zzz.clickhouse"), t)
+    st = attach_parts(a, b)
+    assert st["attached"] == ["part-zzz.clickhouse"]
+    got = sorted(r.k for r in _read(spark, a).collect())
+    assert got == list(range(0, 10)) + list(range(100, 105))
+    # hard link, not a copy (zero-copy attach)
+    assert os.stat(os.path.join(a, "part-zzz.clickhouse")).st_nlink >= 2
+
+
+def test_attach_refuses_schema_mismatch(spark, tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+        attach_parts,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    _range_dir(a, n_parts=1, per=5)
+    t = pa.table({"k": pa.array([1.5])})  # Float64 k, missing name
+    write_native_file(os.path.join(b, "part-bad.clickhouse"), t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        attach_parts(a, b)

@@ -185,6 +185,7 @@ AUDIT = [
     "stats_cramers_v",
     "stats_roc_auc",
     "stats_spearman_corr",
+    "mutation_attach_parts",
 ]
 
 
