@@ -1135,7 +1135,8 @@ _SPEARMAN_SPARK = """
              SUM(CAST((ra2 - rb2) AS DECIMAL(38, 0)) * (ra2 - rb2)) AS d2
       FROM r
     )
-    SELECT CAST(n AS BIGINT) AS n, d2,
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(d2 AS STRING) AS d2,
            ROUND(
              (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
@@ -1181,7 +1182,8 @@ _SPEARMAN_DUCK = """
              SUM(CAST((ra2 - rb2) AS DECIMAL(38, 0)) * (ra2 - rb2)) AS d2
       FROM r
     )
-    SELECT CAST(n AS BIGINT) AS n, d2,
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(d2 AS VARCHAR) AS d2,
            ROUND(
              (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))

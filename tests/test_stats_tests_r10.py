@@ -272,8 +272,6 @@ def test_spearman_hand_computed(spark, tmp_path):
     """a = (1,2,3,3), b = (10,20,15,30): avg ranks (1,2,3.5,3.5) vs
     (1,3,2,4); Pearson of ranks = 3/sqrt(4.5*5) = 0.6324555...;
     d2 = sum(2ra-2rb)^2 = 0+4+9+1 = 14 (by hand)."""
-    import decimal
-
     import __spark_entry__  # noqa: F401
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
 
@@ -285,5 +283,5 @@ def test_spearman_hand_computed(spark, tmp_path):
     spark.createDataFrame(li).write.parquet(d + "/lineitem.parquet")
     [r] = REGISTRY.all()["stats_spearman_corr"].build(spark, d).collect()
     assert r.n == 4
-    assert r.d2 == decimal.Decimal(14)
+    assert r.d2 == "14"  # exact digit string (driver-safe type)
     assert r.rho == round(3 / math.sqrt(4.5 * 5.0), 9)
