@@ -301,6 +301,8 @@ def main() -> None:
         "stats_roc_auc",
         "stats_spearman_corr",
         "mutation_attach_parts",
+        "scalar_vector_funcs",
+        "quantile_exact_multi",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -1242,3 +1242,110 @@ REGISTRY.sql_query(
     "lookup vs DuckDB parallel-array list_position — the function's "
     "two documented execution strategies as independent twins",
 )
+
+
+# arrayDotProduct / L2Norm / cosineDistance scalar family over the
+# embeddings table, fixed-point exact: elements quantize to BIGINT
+# mils (CAST AS DOUBLE first — f32*1000 in f32 would round differently
+# across engines), then the dot/norm sums are exact integers. The
+# Spark form folds with the aggregate() HOF; the oracle uses
+# list_sum/list_transform — different higher-order machinery, same
+# integers. Cosine vs the all-ones reference vector is the one
+# round(9)-guarded float.
+REGISTRY.sql_query(
+    "scalar_vector_funcs",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(size(e) AS INT) AS dim,
+           aggregate(e, 0L, (acc, x) -> acc + x) AS dot_ones,
+           aggregate(e, 0L, (acc, x) -> acc + x * x) AS norm2,
+           ROUND(CAST(aggregate(e, 0L, (acc, x) -> acc + x) AS DOUBLE)
+                 / (SQRT(CAST(size(e) AS DOUBLE))
+                    * SQRT(CAST(aggregate(e, 0L, (acc, x) -> acc + x * x) AS DOUBLE))),
+                 9) AS cos_ones
+    FROM q
+    """,
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS dim,
+           CAST(list_sum(e) AS BIGINT) AS dot_ones,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS norm2,
+           ROUND(CAST(list_sum(e) AS DOUBLE)
+                 / (SQRT(CAST(len(e) AS DOUBLE))
+                    * SQRT(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE))),
+                 9) AS cos_ones
+    FROM q
+    """,
+    tables=["embeddings"],
+    tags=["scalar", "vector"],
+    description="arrayDotProduct/L2Norm/cosineDistance vs the all-ones "
+    "reference: fixed-point BIGINT mils, aggregate() fold vs "
+    "list_sum/list_transform, one guarded float",
+)
+
+
+# quantileExact / quantilesExact: nearest-rank (idx = ceil(q*n),
+# 1-based) over lineitem quantity cents. The Spark form is the
+# grouped-cumulative selection (MIN value whose running count reaches
+# the rank — the scale shape: the window runs over DISTINCT VALUES,
+# never rows); the oracle selects positionally with ROW_NUMBER over
+# rows. Every output is an exact BIGINT.
+_QEXACT_LEVELS = (25, 50, 75, 90)
+_QEXACT_SPARK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    g AS (SELECT v, COUNT(*) AS cnt FROM s GROUP BY v),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM g
+    ),
+    n_t AS (SELECT COUNT(*) AS n FROM s)
+    SELECT
+      CAST(MIN(CASE WHEN c >= CEIL(0.25 * n) THEN v END) AS BIGINT) AS q25,
+      CAST(MIN(CASE WHEN c >= CEIL(0.50 * n) THEN v END) AS BIGINT) AS q50,
+      CAST(MIN(CASE WHEN c >= CEIL(0.75 * n) THEN v END) AS BIGINT) AS q75,
+      CAST(MIN(CASE WHEN c >= CEIL(0.90 * n) THEN v END) AS BIGINT) AS q90,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM cum CROSS JOIN n_t
+"""
+_QEXACT_DUCK = """
+    WITH s AS (
+      SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    r AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT
+      CAST(MIN(CASE WHEN rn = CEIL(0.25 * n) THEN v END) AS BIGINT) AS q25,
+      CAST(MIN(CASE WHEN rn = CEIL(0.50 * n) THEN v END) AS BIGINT) AS q50,
+      CAST(MIN(CASE WHEN rn = CEIL(0.75 * n) THEN v END) AS BIGINT) AS q75,
+      CAST(MIN(CASE WHEN rn = CEIL(0.90 * n) THEN v END) AS BIGINT) AS q90,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM r
+"""
+
+REGISTRY.sql_query(
+    "quantile_exact_multi",
+    _QEXACT_SPARK,
+    oracle=_QEXACT_DUCK,
+    tables=["lineitem"],
+    tags=["agg", "quantile", "compat"],
+    description="quantilesExact nearest-rank (ceil(q*n)) over quantity "
+    "cents: grouped-cumulative selection over DISTINCT values (Spark, "
+    "scale shape) vs positional ROW_NUMBER (oracle); exact BIGINTs",
+)

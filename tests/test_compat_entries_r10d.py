@@ -177,3 +177,30 @@ def test_transform_func_hand_computed(spark, tmp_path):
         for r in REGISTRY.all()["scalar_transform_func"].build(spark, d).collect()
     }
     assert got == {0: ("V", 10), 1: ("P", 70), 2: ("-", 0)}
+
+
+def test_vector_funcs_hand_computed(spark, tmp_path):
+    """embedding (0.5, -1.25, 2.0) -> mils (500, -1250, 2000):
+    dot_ones = 1250, norm2 = 5_812_500, cos = 1250/(sqrt(3)*sqrt(norm2))."""
+    import math
+
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    emb = pd.DataFrame(
+        {"vec_id": [1], "embedding": [[0.5, -1.25, 2.0]], "label": [0]}
+    )
+    spark.createDataFrame(emb).write.parquet(d + "/embeddings.parquet")
+    [r] = REGISTRY.all()["scalar_vector_funcs"].build(spark, d).collect()
+    assert (r.dim, r.dot_ones, r.norm2) == (3, 1250, 5_812_500)
+    assert r.cos_ones == round(1250 / (math.sqrt(3) * math.sqrt(5_812_500)), 9)
+
+
+def test_quantile_exact_hand_computed(spark, tmp_path):
+    """quantities 0.10..0.19 (cents 10..19, n=10): nearest-rank
+    ceil(q*n) picks index 3,5,8,9 -> 12,14,17,18 (by hand)."""
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    li = pd.DataFrame({"l_quantity": [0.10 + i / 100 for i in range(10)]})
+    spark.createDataFrame(li).write.parquet(d + "/lineitem.parquet")
+    [r] = REGISTRY.all()["quantile_exact_multi"].build(spark, d).collect()
+    assert (r.q25, r.q50, r.q75, r.q90, r.n) == (12, 14, 17, 18, 10)

@@ -186,6 +186,8 @@ AUDIT = [
     "stats_roc_auc",
     "stats_spearman_corr",
     "mutation_attach_parts",
+    "scalar_vector_funcs",
+    "quantile_exact_multi",
 ]
 
 
