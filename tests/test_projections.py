@@ -222,3 +222,53 @@ def test_optimize_deduplicate(spark, tmp_path):
         for r in spark.read.format("clickhouse_native").load(dst).collect()
     )
     assert got == [("aa", 1), ("ab", 2), ("ab", 9)]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_part_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)),  # (g-idx, v)
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    parts=st.lists(_part_strategy, min_size=1, max_size=4),
+    proj_two_keys=st.booleans(),
+    query_key=st.sampled_from(["g", "h"]),
+)
+def test_projection_merge_equals_full_scan_property(
+    spark, tmp_path_factory, parts, proj_two_keys, query_key
+):
+    """Random part layouts x random projection/query key choices: when
+    the projection covers the query it must be SELECTED and its merge
+    must equal the full scan bit-for-bit; when it cannot cover (query
+    key outside projection keys) the fallback must equal it too."""
+    d = str(tmp_path_factory.mktemp("proj"))
+    keys = ["aa", "ab", "ba", "bb"]
+    for i, rows in enumerate(parts):
+        _part(d, i, [keys[g] for g, _v in rows], [v for _g, v in rows])
+    group_by = ["g", "h"] if proj_two_keys else ["g"]
+    add_projection(spark, d, "p", group_by=group_by, aggs=AGGS)
+    df, used = query_projection_aware(
+        spark, d, group_by=[query_key], aggs=AGGS
+    )
+    got = {
+        getattr(r, query_key): (r.n, r.total, r.lo, r.hi)
+        for r in df.collect()
+    }
+    covered = query_key in group_by
+    assert (used == "p") == covered
+    # independent expectation from the raw rows
+    exp = {}
+    for rows in parts:
+        for g, v in rows:
+            k = keys[g] if query_key == "g" else keys[g][0]
+            e = exp.setdefault(k, [0, 0, None, None])
+            e[0] += 1
+            e[1] += v
+            e[2] = v if e[2] is None else min(e[2], v)
+            e[3] = v if e[3] is None else max(e[3], v)
+    assert got == {k: tuple(v) for k, v in exp.items()}
