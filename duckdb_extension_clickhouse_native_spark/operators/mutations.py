@@ -420,9 +420,20 @@ def attach_parts(
         ]
         move = True
     else:
-        src_paths = [
-            p for p in resolve_paths(src) if not p.endswith(".json")
-        ]
+        src_paths = []
+        for p in resolve_paths(src):
+            if p.endswith(".json"):
+                continue
+            rel = os.path.relpath(p, src)
+            if "=" in os.path.dirname(rel):
+                # hive partition values are PATH-derived; linking the
+                # file flat would silently drop them from every scan
+                raise NotImplementedError(
+                    "attach_parts does not support hive-partitioned "
+                    f"sources (found {rel!r}); attach per partition "
+                    "directory"
+                )
+            src_paths.append(p)
 
     existing = [p for p in resolve_paths(dst_dir) if not p.endswith(".json")]
     want = None

@@ -71,14 +71,25 @@ def _state_col(fn: str, col: Optional[str]) -> str:
 
 
 def _data_parts(src_dir: str) -> list[str]:
-    """The directory's data files (sidecars and projections excluded)."""
+    """The directory's data files (sidecars and projections excluded).
+    Hive ``key=value`` layouts are refused: the manifest fingerprints
+    parts by BASENAME (which collides across partition directories)
+    and incremental refresh stages parts flat — mutate/project each
+    partition directory individually, exactly as mutations do."""
     from ..filesystem import resolve_paths
 
-    return [
-        p
-        for p in resolve_paths(src_dir)
-        if not p.endswith(".json") and not os.path.basename(p).startswith("_")
-    ]
+    out = []
+    for p in resolve_paths(src_dir):
+        if p.endswith(".json") or os.path.basename(p).startswith("_"):
+            continue
+        rel = os.path.relpath(p, src_dir)
+        if "=" in os.path.dirname(rel):
+            raise NotImplementedError(
+                "projections do not support hive-partitioned layouts "
+                f"(found {rel!r}); add a projection per partition directory"
+            )
+        out.append(p)
+    return out
 
 
 def _fingerprint(paths: list[str]) -> dict:

@@ -202,3 +202,19 @@ def test_attach_refuses_schema_mismatch(spark, tmp_path):
     write_native_file(os.path.join(b, "part-bad.clickhouse"), t)
     with pytest.raises(ValueError, match="schema mismatch"):
         attach_parts(a, b)
+
+
+def test_attach_refuses_hive_source(spark, tmp_path):
+    import pytest
+
+    from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+        attach_parts,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a)
+    os.makedirs(os.path.join(b, "k=1"))
+    _range_dir(a, n_parts=1, per=5)
+    _range_dir(os.path.join(b, "k=1"), n_parts=1, per=5)
+    with pytest.raises(NotImplementedError, match="hive"):
+        attach_parts(a, b)

@@ -272,3 +272,13 @@ def test_projection_merge_equals_full_scan_property(
             e[2] = v if e[2] is None else min(e[2], v)
             e[3] = v if e[3] is None else max(e[3], v)
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_projection_refuses_hive_layout(spark, tmp_path):
+    """basename fingerprints collide across key=value dirs — hive
+    layouts are refused up front (the mutations-module policy)."""
+    d = str(tmp_path / "t")
+    os.makedirs(os.path.join(d, "lang=en"))
+    _part(os.path.join(d, "lang=en"), 0, ["aa"], [1])
+    with pytest.raises(NotImplementedError, match="hive"):
+        add_projection(spark, d, "p", group_by=["g"], aggs=AGGS)
