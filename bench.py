@@ -303,6 +303,7 @@ def main() -> None:
         "mutation_attach_parts",
         "scalar_vector_funcs",
         "quantile_exact_multi",
+        "native_sql_insert_into",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -554,7 +554,8 @@ GRADING_WINDOW = [
     "stats_student_ttest",  # NEVER GRADED (r10 tranche 8)
     # (scalar_transform_func, stats_cramers_v, stats_roc_auc,
     # stats_spearman_corr, stream_cumulative_uniques,
-    # mutation_attach_parts, scalar_vector_funcs, quantile_exact_multi — the
+    # mutation_attach_parts, scalar_vector_funcs, quantile_exact_multi,
+    # native_sql_insert_into — the
     # late tranche-8/9 rows — rotate to r11: 50 slots; each carries a
     # hand-computed pin (+ a python-reference fuzz for the AUC oracle)
     # and the judge's full sweep covers them regardless)

@@ -1765,3 +1765,84 @@ REGISTRY.df_query(
     "links across tables; aggregate over the attached table == whole "
     "relation",
 )
+
+
+def _native_sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL write surface: INSERT INTO / INSERT OVERWRITE a
+    ``CREATE TEMPORARY VIEW ... USING clickhouse_native`` view. The
+    documented contract (tests/test_review_fixes_r10.py): appends are
+    immediately visible; after INSERT OVERWRITE the view must be
+    RE-CREATED before reading (pyspark caches the python-DataSource
+    relation's plan and REFRESH TABLE does not reach it — re-creating
+    the view is the supported invalidation)."""
+    import hashlib
+
+    from .base import ensure_session
+
+    ensure_session(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_sql_insert",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    done = os.path.join(base, "_DONE")
+    view = "chsql_insert_tgt"
+
+    def mk_view() -> None:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+            f"USING clickhouse_native OPTIONS (path '{base}')"
+        )
+
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        import pyarrow as pa
+
+        from ..native.writer import write_native_file
+
+        write_native_file(
+            os.path.join(base, "seed.clickhouse"),
+            pa.table(
+                {
+                    "k": pa.array([1000], type=pa.int64()),
+                    "s": pa.array(["seed"]),
+                }
+            ),
+        )
+        mk_view()
+        spark.sql(
+            f"INSERT INTO {view} "
+            "SELECT id AS k, CAST(id * 7 AS STRING) AS s FROM range(50)"
+        )
+        spark.sql(
+            f"INSERT OVERWRITE {view} "
+            "SELECT id AS k, CAST(id % 3 AS STRING) AS s FROM range(100)"
+        )
+        with open(done, "w") as f:
+            f.write("")
+    mk_view()
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+               COUNT(DISTINCT s) AS n_s, MIN(k) AS min_k, MAX(k) AS max_k
+        FROM {view}
+        """
+    )
+
+
+REGISTRY.df_query(
+    "native_sql_insert_into",
+    _native_sql_insert_into,
+    oracle="""
+    SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS sum_k,
+           CAST(3 AS BIGINT) AS n_s, CAST(0 AS BIGINT) AS min_k,
+           CAST(99 AS BIGINT) AS max_k
+    """,
+    tags=["source", "native", "sql", "insert"],
+    description="INSERT INTO / INSERT OVERWRITE through a USING "
+    "clickhouse_native view (pure-SQL writes); OVERWRITE leaves "
+    "exactly the overwrite body == closed-form oracle",
+)

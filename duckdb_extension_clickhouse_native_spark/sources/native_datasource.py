@@ -494,8 +494,22 @@ class ClickHouseNativeReader(DataSourceReader):
             paths = self._prune_partition_dirs(paths)
         elif self._plan_paths:
             # same snapshot semantics for flat layouts: one listing per
-            # plan (the __init__ walk), not one per partitions() call
-            paths = self._plan_paths
+            # plan (the __init__ walk), not one per partitions() call.
+            # BUT: pyspark keeps ONE reader instance per view/relation
+            # for its whole lifetime, so a snapshot taken at CREATE
+            # VIEW time survives an INSERT OVERWRITE / compaction that
+            # deleted the listed files (SELECT via the view then reads
+            # ghosts). Probe the snapshot's endpoints — two stats —
+            # and re-list when either vanished; a fresh INSERT (append)
+            # keeps old names so the common case stays one-listing.
+            import os as _os
+
+            probe = (self._plan_paths[0], self._plan_paths[-1])
+            if all(_os.path.exists(p) for p in probe):
+                paths = self._plan_paths
+            else:
+                paths = _resolve_paths(self.path)
+                self._plan_paths = paths
         else:
             # __init__ saw nothing (e.g. the directory appeared after
             # planning started) — fall back to a fresh listing
@@ -1322,6 +1336,12 @@ def infer_native_schema(options: dict) -> StructType:
     if not path:
         raise ValueError("clickhouse_native requires a path")
     paths = _resolve_paths(path)
+    if not paths or not os.path.exists(paths[0]):
+        raise FileNotFoundError(
+            f"no ClickHouse Native files found at {path!r} — schema "
+            "discovery needs at least one existing file (write a seed "
+            "part or pass an explicit .schema(...))"
+        )
     cols = read_file_schema(
         paths[0],
         compression=str(options.get("compression", "auto")).lower(),

@@ -166,3 +166,47 @@ def test_ttl_timestamp_predicates_never_prune_but_stay_correct(
     )
     assert rows[0] == (base + datetime.timedelta(days=4), 0 + 1 + 2 + 3 + 4)
     assert [v for _ts, v in rows[1:]] == [5, 6, 7, 8, 9]
+
+
+def test_sql_insert_into_view_contract(spark, tmp_path):
+    """INSERT INTO appends through a USING view are visible; after
+    INSERT OVERWRITE the view must be re-created (pyspark caches the
+    python-DS relation plan; REFRESH TABLE does not reach it)."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    t = pa.table(
+        {"k": pa.array([100], type=pa.int64()), "s": pa.array(["seed"])}
+    )
+    write_native_file(os.path.join(d, "seed.clickhouse"), t)
+
+    def mk():
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW ins_tgt "
+            f"USING clickhouse_native OPTIONS (path '{d}')"
+        )
+
+    mk()
+    spark.sql(
+        "INSERT INTO ins_tgt SELECT id AS k, CAST(id AS STRING) AS s "
+        "FROM range(10)"
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM ins_tgt").collect()[0].n == 11
+    spark.sql(
+        "INSERT OVERWRITE ins_tgt SELECT id AS k, 'x' AS s FROM range(3)"
+    )
+    mk()  # the documented invalidation
+    [r] = spark.sql("SELECT COUNT(*) AS n, SUM(k) AS sk FROM ins_tgt").collect()
+    assert (r.n, r.sk) == (3, 3)
+
+
+def test_empty_dir_schema_error_is_clear(tmp_path):
+    import pytest
+
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        infer_native_schema,
+    )
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError, match="seed part"):
+        infer_native_schema({"path": d})

@@ -188,6 +188,7 @@ AUDIT = [
     "mutation_attach_parts",
     "scalar_vector_funcs",
     "quantile_exact_multi",
+    "native_sql_insert_into",
 ]
 
 
