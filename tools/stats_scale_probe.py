@@ -33,6 +33,13 @@ EVENT_QUERIES = (
     "events_with_fill_step",
     "events_sequence_match_timed",
     "events_limit_by_offset",
+    # r10 late tranches: AUC groups by distinct cents value first
+    # (same two-phase shape as MWU/KS); strict funnel is one
+    # user-keyed window pass; cumulative uniques aggregates to
+    # first-seen days before its bounded prefix window
+    "stats_roc_auc",
+    "events_window_funnel_strict",
+    "events_cumulative_uniques",
 )
 DOC_SIZES = (10_000, 40_000, 100_000)
 DOC_QUERIES = ("dedup_line_level", "text_ngram_distance")
