@@ -504,8 +504,15 @@ class ClickHouseNativeReader(DataSourceReader):
             # keeps old names so the common case stays one-listing.
             import os as _os
 
+            from ..filesystem import is_uri as _is_uri
+
             probe = (self._plan_paths[0], self._plan_paths[-1])
-            if all(_os.path.exists(p) for p in probe):
+            if any(_is_uri(p) for p in probe) or all(
+                _os.path.exists(p) for p in probe
+            ):
+                # URI paths: skip the stat probe (an object-store
+                # exists() is an RPC; stale listings there surface as
+                # loud read errors, same as before this defense)
                 paths = self._plan_paths
             else:
                 paths = _resolve_paths(self.path)
@@ -1336,7 +1343,9 @@ def infer_native_schema(options: dict) -> StructType:
     if not path:
         raise ValueError("clickhouse_native requires a path")
     paths = _resolve_paths(path)
-    if not paths or not os.path.exists(paths[0]):
+    from ..filesystem import is_uri
+
+    if not paths or (not is_uri(paths[0]) and not os.path.exists(paths[0])):
         raise FileNotFoundError(
             f"no ClickHouse Native files found at {path!r} — schema "
             "discovery needs at least one existing file (write a seed "
