@@ -304,6 +304,7 @@ def main() -> None:
         "scalar_vector_funcs",
         "quantile_exact_multi",
         "native_sql_insert_into",
+        "scalar_format_datetime",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -1349,3 +1349,47 @@ REGISTRY.sql_query(
     "cents: grouped-cumulative selection over DISTINCT values (Spark, "
     "scale shape) vs positional ROW_NUMBER (oracle); exact BIGINTs",
 )
+
+
+# formatDateTime %-patterns (functions/datetime.py): the ClickHouse
+# spelling runs verbatim on Spark through the %-to-Java translation;
+# the oracle's strftime consumes the %-pattern NATIVELY, so the twins
+# are structurally independent by construction. ISO week/day fields
+# exercise the week-based-year corner (Jan 1 often belongs to the
+# previous ISO year).
+def _format_datetime_sql() -> str:
+    from ..functions.datetime import format_datetime_expr as f
+
+    return f"""
+    SELECT event_id,
+           {f('ts', '%Y-%m-%d %H:%M:%S')} AS iso_full,
+           {f('ts', '%F')} AS iso_date,
+           {f('ts', '%d/%m/%y')} AS euro,
+           {f('ts', '%j')} AS day_of_year,
+           {f('ts', '%G-%V')} AS iso_week,
+           CAST({f('ts', '%u')} AS INT) AS iso_dow,
+           {f('ts', '100%% at %H:%M')} AS with_literal
+    FROM events
+    """
+
+
+REGISTRY.sql_query(
+    "scalar_format_datetime",
+    _format_datetime_sql(),
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_full,
+           strftime(ts, '%Y-%m-%d') AS iso_date,
+           strftime(ts, '%d/%m/%y') AS euro,
+           strftime(ts, '%j') AS day_of_year,
+           strftime(ts, '%G-%V') AS iso_week,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           '100% at ' || strftime(ts, '%H:%M') AS with_literal
+    FROM events
+    """,
+    tables=["events"],
+    tags=["scalar", "datetime", "compat"],
+    description="formatDateTime %-patterns translated to Java "
+    "DateTimeFormatter (Spark) vs native strftime (oracle), incl. ISO "
+    "week-year %G-%V, ISO dow %u and %%-literal escapes",
+)

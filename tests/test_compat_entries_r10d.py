@@ -204,3 +204,45 @@ def test_quantile_exact_hand_computed(spark, tmp_path):
     spark.createDataFrame(li).write.parquet(d + "/lineitem.parquet")
     [r] = REGISTRY.all()["quantile_exact_multi"].build(spark, d).collect()
     assert (r.q25, r.q50, r.q75, r.q90, r.n) == (12, 14, 17, 18, 10)
+
+
+def test_format_datetime_hand_computed(spark, tmp_path):
+    """ISO week-year corners by hand: 2023-01-01 is a Sunday ->
+    ISO 2022-W52 dow 7; 2021-01-01 is a Friday -> ISO 2020-W53 dow 5;
+    2024-01-01 is a Monday -> ISO 2024-W01 dow 1."""
+    import datetime as dt
+
+    REGISTRY = _registry()
+    d = str(tmp_path / "t")
+    ev = pd.DataFrame(
+        [
+            (0, dt.datetime(2023, 1, 1, 13, 5, 7), 1, "view", 0.0, "{}"),
+            (1, dt.datetime(2021, 1, 1, 0, 0, 0), 1, "view", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 23, 59, 59), 1, "view", 0.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(ev).write.parquet(d + "/events.parquet")
+    got = {
+        r.event_id: (r.iso_full, r.iso_week, r.iso_dow, r.day_of_year,
+                     r.with_literal)
+        for r in REGISTRY.all()["scalar_format_datetime"].build(spark, d).collect()
+    }
+    assert got == {
+        0: ("2023-01-01 13:05:07", "2022-52", 7, "001", "100% at 13:05"),
+        1: ("2021-01-01 00:00:00", "2020-53", 5, "001", "100% at 00:00"),
+        2: ("2024-01-01 23:59:59", "2024-01", 1, "001", "100% at 23:59"),
+    }
+
+
+def test_ch_format_rejects_unknown_specifier():
+    import pytest
+
+    from duckdb_extension_clickhouse_native_spark.functions.datetime import (
+        format_datetime_expr,
+    )
+
+    with pytest.raises(ValueError, match="unsupported"):
+        format_datetime_expr("ts", "%Q")
+    with pytest.raises(ValueError, match="dangling"):
+        format_datetime_expr("ts", "abc%")

@@ -189,6 +189,7 @@ AUDIT = [
     "scalar_vector_funcs",
     "quantile_exact_multi",
     "native_sql_insert_into",
+    "scalar_format_datetime",
 ]
 
 
