@@ -305,6 +305,7 @@ def main() -> None:
         "quantile_exact_multi",
         "native_sql_insert_into",
         "scalar_format_datetime",
+        "scalar_parse_datetime",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -110,3 +110,38 @@ def format_datetime_expr(ts: str, fmt: str) -> str:
     if len(pieces) == 1:
         return pieces[0]
     return "CONCAT(" + ", ".join(pieces) + ")"
+
+
+def parse_datetime_expr(col: str, fmt: str) -> str:
+    """Spark SQL expression equal to ClickHouse
+    ``parseDateTime(col, fmt)`` (MySQL-style %-pattern). Only plain
+    field specifiers are parseable — the computed ISO-week family and
+    %j have no Spark parse path and raise."""
+    java: list[str] = []
+    lit: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling %% at end of format {fmt!r}")
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            elif spec in _JAVA_SPEC and spec != "j":
+                if lit:
+                    java.append("'" + "".join(lit).replace("'", "''") + "'")
+                    lit.clear()
+                java.append(_JAVA_SPEC[spec])
+            else:
+                raise ValueError(
+                    f"unparseable parseDateTime specifier %{spec} in {fmt!r}"
+                )
+            i += 2
+            continue
+        lit.append(c)
+        i += 1
+    if lit:
+        java.append("'" + "".join(lit).replace("'", "''") + "'")
+    pat = "".join(java).replace("'", "\\'")
+    return f"to_timestamp({col}, '{pat}')"

@@ -1393,3 +1393,45 @@ REGISTRY.sql_query(
     "DateTimeFormatter (Spark) vs native strftime (oracle), incl. ISO "
     "week-year %G-%V, ISO dow %u and %%-literal escapes",
 )
+
+
+# parseDateTime (the inverse): format each ts to a string with the
+# %-shim, parse it back, prove the roundtrip equals the
+# second-truncated original INSIDE each engine. Oracle parses with
+# native strptime.
+def _parse_datetime_sql() -> str:
+    from ..functions.datetime import (
+        format_datetime_expr as f,
+        parse_datetime_expr as p,
+    )
+
+    s = f("ts", "%F %T")
+    return f"""
+    SELECT event_id,
+           {s} AS rendered,
+           {p(s, '%F %T')} AS parsed,
+           CAST({p(s, '%F %T')} = date_trunc('second', ts) AS INT)
+             AS roundtrip_ok
+    FROM events
+    """
+
+
+REGISTRY.sql_query(
+    "scalar_parse_datetime",
+    _parse_datetime_sql(),
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS rendered,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+             AS parsed,
+           CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S') = date_trunc('second', ts)
+                AS INT) AS roundtrip_ok
+    FROM events
+    """,
+    tables=["events"],
+    tags=["scalar", "datetime", "compat"],
+    description="parseDateTime %-pattern inverse: in-engine "
+    "format->parse roundtrip == second-truncated original; "
+    "to_timestamp translation vs native strptime",
+)

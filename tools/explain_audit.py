@@ -190,6 +190,7 @@ AUDIT = [
     "quantile_exact_multi",
     "native_sql_insert_into",
     "scalar_format_datetime",
+    "scalar_parse_datetime",
 ]
 
 
