@@ -306,6 +306,7 @@ def main() -> None:
         "native_sql_insert_into",
         "scalar_format_datetime",
         "scalar_parse_datetime",
+        "scalar_date_arithmetic",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

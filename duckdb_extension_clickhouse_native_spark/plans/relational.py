@@ -1435,3 +1435,41 @@ REGISTRY.sql_query(
     "format->parse roundtrip == second-truncated original; "
     "to_timestamp translation vs native strptime",
 )
+
+
+# dateDiff / addDays / addMonths / toStartOfWeek arithmetic over
+# lineitem's ship/commit/receipt dates (the reference host surface's
+# date algebra). Monday-based week start matches ClickHouse's
+# toStartOfWeek(ts, 1): Spark date_trunc('week') IS Monday-based;
+# DuckDB date_trunc('week') likewise — but the oracle derives it
+# independently via the isodow subtraction.
+REGISTRY.sql_query(
+    "scalar_date_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(datediff(l_shipdate, DATE'1995-01-01') AS INT)
+             AS days_since_epoch95,
+           CAST(date_add(l_shipdate, 30) AS DATE) AS ship_plus_30,
+           CAST(add_months(l_shipdate, 2) AS DATE) AS ship_plus_2m,
+           CAST(date_trunc('week', l_shipdate) AS DATE) AS ship_week_start,
+           CAST(last_day(l_shipdate) AS DATE) AS ship_month_end
+    FROM lineitem
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS INT)
+             AS days_since_epoch95,
+           CAST(l_shipdate + INTERVAL 30 DAY AS DATE) AS ship_plus_30,
+           CAST(l_shipdate + INTERVAL 2 MONTH AS DATE) AS ship_plus_2m,
+           CAST(l_shipdate - (isodow(l_shipdate) - 1) * INTERVAL 1 DAY
+                AS DATE) AS ship_week_start,
+           CAST(last_day(l_shipdate) AS DATE) AS ship_month_end
+    FROM lineitem
+    """,
+    tables=["lineitem"],
+    tags=["scalar", "datetime"],
+    description="dateDiff/addDays/addMonths/toStartOfWeek(Monday)/"
+    "toLastDayOfMonth over ship dates (driver lineitem carries "
+    "l_shipdate only); week start via date_trunc (Spark) vs isodow "
+    "subtraction (oracle)",
+)

@@ -191,6 +191,7 @@ AUDIT = [
     "native_sql_insert_into",
     "scalar_format_datetime",
     "scalar_parse_datetime",
+    "scalar_date_arithmetic",
 ]
 
 
