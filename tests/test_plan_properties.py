@@ -279,3 +279,14 @@ def test_spearman_no_global_row_window(plans):
     agg_pos = p.find("HashAggregate")
     assert win_pos != -1 and agg_pos != -1
     assert agg_pos < win_pos or scan_pos > win_pos
+
+
+def test_datetime_family_map_only(plans):
+    for name in (
+        "scalar_format_datetime",
+        "scalar_parse_datetime",
+        "scalar_date_arithmetic",
+    ):
+        p = plans(name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "Exchange" not in p, name
