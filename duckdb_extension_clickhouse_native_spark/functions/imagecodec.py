@@ -186,4 +186,142 @@ def decode_media(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(data)
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise MediaFormatError(f"unrecognized media magic {data[:4]!r}")
+
+
+# -- PNG (non-interlaced, 8-bit gray / RGB / RGBA) ---------------------------
+#
+# Pure stdlib: zlib inflates IDAT, the five scanline filters (None /
+# Sub / Up / Average / Paeth) unfilter here. Palette, 16-bit and
+# Adam7-interlaced images are refused loudly — the decode is REAL for
+# the ubiquitous 8-bit truecolor family, never approximate.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    import struct as _s
+
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = _s.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if len(body) < length:
+            raise MediaFormatError("PNG chunk truncated")
+        yield ctype, body
+        i += 12 + length  # length + type + body + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raster) from a non-interlaced 8-bit
+    grayscale / RGB / RGBA PNG."""
+    import struct as _s
+    import zlib as _z
+
+    if data[:8] != _PNG_SIG:
+        raise MediaFormatError("not a PNG payload")
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = _s.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise MediaFormatError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace:
+                raise MediaFormatError("Adam7-interlaced PNG not supported")
+            if comp or filt:
+                raise MediaFormatError("nonstandard PNG compression/filter method")
+            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+            if not channels:
+                raise MediaFormatError(
+                    f"unsupported PNG color type {color} (palette/alpha-gray)"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None or not idat:
+        raise MediaFormatError("PNG missing IHDR/IDAT")
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("non-positive PNG dimensions")
+    raw = _z.decompress(bytes(idat))
+    bpp = channels
+    stride = width * bpp
+    need = (stride + 1) * height
+    if len(raw) < need:
+        raise MediaFormatError(f"PNG raster truncated: {len(raw)} < {need}")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                up_left = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise MediaFormatError(f"unknown PNG filter type {ftype}")
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return width, height, channels, bytes(out)
+
+
+def encode_png(
+    pixels: bytes | list[int], width: int, height: int, channels: int = 3
+) -> bytes:
+    """Minimal non-interlaced 8-bit PNG (filter 0 rows) — the fixture
+    encoder for the decoder's tests; real files from other writers
+    decode through the same path."""
+    import struct as _s
+    import zlib as _z
+
+    px = bytes(pixels)
+    if channels not in (1, 3, 4):
+        raise MediaFormatError("channels must be 1, 3 or 4")
+    if len(px) != width * height * channels:
+        raise MediaFormatError(
+            f"pixel buffer is {len(px)} bytes, want {width * height * channels}"
+        )
+    color = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = _z.crc32(ctype + body) & 0xFFFFFFFF
+        return _s.pack(">I", len(body)) + ctype + body + _s.pack(">I", crc)
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raster = b"".join(
+        b"\x00" + px[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
