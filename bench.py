@@ -307,6 +307,7 @@ def main() -> None:
         "scalar_format_datetime",
         "scalar_parse_datetime",
         "scalar_date_arithmetic",
+        "multimodal_png_decode",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

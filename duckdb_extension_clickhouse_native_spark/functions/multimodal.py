@@ -686,3 +686,111 @@ MEDIA_AUDIO_FEATURES_ORACLE_SQL = """
     FROM samples
     ORDER BY doc_id
 """
+
+
+# -- real PNG round trip (zlib + scanline filters on the wire) --------------
+
+
+def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize GENUINE PNG files from documents with the same
+    strided character pixels as the BMP/PPM table, but varying the
+    channel count (gray / RGB / RGBA by doc_id % 3) — the decode path
+    then exercises zlib inflation + unfiltering for every supported
+    color type. Map-only stage."""
+    import pandas as pd
+
+    from ..plans.base import ensure_session
+    from .imagecodec import encode_png
+
+    ensure_session(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            media, chans = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s = text or ""
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                ch = (1, 4, 3)[doc_id % 3]
+                n = w * h * ch
+                if s:
+                    px = bytes(
+                        ord(s[(i * 7 + doc_id) % len(s)]) % 256
+                        for i in range(n)
+                    )
+                else:
+                    px = b"\x20" * n
+                media.append(encode_png(px, w, h, channels=ch))
+                chans.append(ch)
+            out = pdf[["doc_id"]].copy()
+            out["media"] = media
+            out["declared_ch"] = pd.Series(chans, dtype="int32")
+            yield out
+
+    return docs.mapInPandas(
+        render, schema="doc_id bigint, media binary, declared_ch int"
+    )
+
+
+def media_png_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance entry for the PNG decoder: synthesized PNG payloads
+    -> decode_media -> dimensions/channels + the order-sensitive
+    weighted checksum. Green hash == decode(deflate(filter(px))) is
+    byte-identical to the pixel formula the oracle recomputes."""
+    import pandas as pd
+
+    from .imagecodec import decode_media
+
+    imgs = media_png_table(spark, sf_dir)
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ws, hs, chs, wsums = [], [], [], []
+            for data in pdf["media"]:
+                w, h, ch, px = decode_media(bytes(data))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                wsums.append(
+                    sum((i + 1) * p for i, p in enumerate(px)) % WSUM_MOD
+                )
+            out = pdf[["doc_id"]].copy()
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["channels"] = pd.Series(chs, dtype="int32")
+            out["wsum_fp"] = pd.Series(wsums, dtype="int64")
+            yield out
+
+    return imgs.mapInPandas(
+        dec,
+        schema=(
+            "doc_id bigint, width int, height int, channels int, "
+            "wsum_fp bigint"
+        ),
+    ).orderBy("doc_id")
+
+
+MEDIA_PNG_DECODE_ORACLE_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             4 + doc_id % 5 AS width,
+             3 + doc_id % 4 AS height,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END AS ch,
+             length(COALESCE(text, '')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(0, width * height * ch),
+                  i -> (i + 1) * (CASE WHEN n_chars = 0 THEN 32
+                        ELSE ascii(substr(text,
+                             CAST(((i * 7 + doc_id) % n_chars) + 1 AS INT), 1))
+                             % 256
+                        END))), 0) % {WSUM_MOD} AS BIGINT) AS wsum_fp
+    FROM dims
+    ORDER BY doc_id
+"""

@@ -1035,3 +1035,19 @@ _sql_pair(
     "the window; Spark matches runs forward (LEAD), oracle matches the "
     "same runs backward (LAG); greedy-fold python reference pin",
 )
+
+
+from ..functions.multimodal import (  # noqa: E402
+    MEDIA_PNG_DECODE_ORACLE_SQL,
+    media_png_decode_query,
+)
+
+REGISTRY.df_query(
+    "multimodal_png_decode",
+    media_png_decode_query,
+    oracle=MEDIA_PNG_DECODE_ORACLE_SQL,
+    tags=["multimodal", "image", "png", "codec"],
+    description="real PNG decode conformance: zlib IDAT + scanline "
+    "unfiltering across gray/RGB/RGBA payloads; weighted pixel "
+    "checksum == the oracle's closed-form pixel formula",
+)

@@ -192,6 +192,7 @@ AUDIT = [
     "scalar_format_datetime",
     "scalar_parse_datetime",
     "scalar_date_arithmetic",
+    "multimodal_png_decode",
 ]
 
 
