@@ -188,6 +188,8 @@ def decode_media(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_ppm(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     raise MediaFormatError(f"unrecognized media magic {data[:4]!r}")
 
 
@@ -325,3 +327,208 @@ def encode_png(
         + chunk(b"IDAT", _z.compress(raster, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# -- GIF (87a/89a, first frame, LZW) -----------------------------------------
+#
+# Pure Python: variable-width LSB-first LZW with CLEAR/EOI handling
+# (including the KwKwK corner where a code references the entry being
+# defined), global/local color tables, Adam-less GIF interlace pass
+# reordering. Animated files decode their FIRST frame (the still-image
+# contract of this pipeline); transparent indexes render their palette
+# color (no alpha channel in the RGB raster contract).
+
+
+def _gif_subblocks(data: bytes, i: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        if i >= len(data):
+            raise MediaFormatError("GIF sub-blocks truncated")
+        n = data[i]
+        i += 1
+        if n == 0:
+            return bytes(out), i
+        out.extend(data[i : i + n])
+        if len(out) and i + n > len(data):
+            raise MediaFormatError("GIF sub-block truncated")
+        i += n
+
+
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> bytearray:
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    # dictionary: code -> byte string (roots are single indexes)
+    dict_init = [bytes([c]) for c in range(clear)] + [b"", b""]
+    table = list(dict_init)
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                # tolerate streams that omit the explicit EOI
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(dict_init)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise MediaFormatError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, RGB raster) from the FIRST image frame of a
+    GIF87a/GIF89a payload."""
+    import struct as _s
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF payload")
+    _sw, _sh, flags, _bg, _aspect = _s.unpack_from("<HHBBB", data, 6)
+    i = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[i : i + 3 * n]
+        i += 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            _, i = _gif_subblocks(data, i)
+            continue
+        if b == 0x3B:
+            raise MediaFormatError("GIF contains no image frame")
+        if b != 0x2C:
+            raise MediaFormatError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, iflags = _s.unpack_from("<HHHHB", data, i + 1)
+        i += 10
+        if w <= 0 or h <= 0:
+            raise MediaFormatError("non-positive GIF frame dimensions")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = data[i : i + 3 * n]
+            i += 3 * n
+        if not ct:
+            raise MediaFormatError("GIF frame has no color table")
+        min_code = data[i]
+        i += 1
+        if not (2 <= min_code <= 11):
+            raise MediaFormatError(f"bad GIF LZW minimum code size {min_code}")
+        stream, i = _gif_subblocks(data, i)
+        idx = _gif_lzw(stream, min_code, w * h)
+        if len(idx) < w * h:
+            raise MediaFormatError(
+                f"GIF raster truncated: {len(idx)} < {w * h}"
+            )
+        if iflags & 0x40:  # interlaced: reorder rows through the 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, h, step))
+            deinter = bytearray(w * h)
+            for src_r, dst_r in enumerate(rows):
+                deinter[dst_r * w : (dst_r + 1) * w] = idx[
+                    src_r * w : (src_r + 1) * w
+                ]
+            idx = deinter
+        n_colors = len(ct) // 3
+        out = bytearray(w * h * 3)
+        for p in range(w * h):
+            c = idx[p]
+            if c >= n_colors:
+                raise MediaFormatError(f"GIF index {c} outside color table")
+            out[p * 3 : p * 3 + 3] = ct[c * 3 : c * 3 + 3]
+        return w, h, 3, bytes(out)
+    raise MediaFormatError("GIF truncated before any frame")
+
+
+def encode_gif(
+    indexes: bytes | list[int], width: int, height: int, palette: bytes
+) -> bytes:
+    """Minimal GIF89a writer: literal-only LZW (every code is a root,
+    with CLEAR emitted whenever the growing dictionary would widen
+    codes past the decoder's table limit) — a valid, widely-used
+    'uncompressed GIF' strategy, so third-party decoders read it and
+    our decoder's width/CLEAR machinery is exercised for real."""
+    import struct as _s
+
+    idx = bytes(indexes)
+    if len(idx) != width * height:
+        raise MediaFormatError(
+            f"index buffer is {len(idx)} bytes, want {width * height}"
+        )
+    n_colors = len(palette) // 3
+    if n_colors < 2 or len(palette) % 3:
+        raise MediaFormatError("palette must hold >= 2 RGB triples")
+    bits = max(2, (n_colors - 1).bit_length())
+    size_pow = bits - 1
+    table_colors = 1 << bits
+    pal = palette + b"\x00" * (3 * (table_colors - n_colors))
+    if max(idx) >= n_colors:
+        raise MediaFormatError("pixel index outside palette")
+
+    clear = 1 << bits
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    width_bits = bits + 1
+    next_code = end + 1
+
+    def emit(code: int, wb: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += wb
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width_bits)
+    for px in idx:
+        # a literal code defines one dict entry decoder-side; CLEAR
+        # before the table would force a width we don't track
+        if next_code == (1 << width_bits) - 1:
+            emit(clear, width_bits)
+            next_code = end + 1
+        emit(px, width_bits)
+        next_code += 1
+    emit(end, width_bits)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    head = b"GIF89a" + _s.pack("<HHBBB", width, height, 0x80 | size_pow, 0, 0)
+    desc = b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, 0)
+    body = bytearray([bits])
+    for j in range(0, len(out), 255):
+        chunk = out[j : j + 255]
+        body.append(len(chunk))
+        body.extend(chunk)
+    body.append(0)
+    return head + pal + desc + bytes(body) + b"\x3b"
