@@ -308,6 +308,7 @@ def main() -> None:
         "scalar_parse_datetime",
         "scalar_date_arithmetic",
         "multimodal_png_decode",
+        "multimodal_gif_decode",
     ]
     r10_ops, r10_total = run_tier(r10_names)
 

@@ -794,3 +794,83 @@ MEDIA_PNG_DECODE_ORACLE_SQL = f"""
     FROM dims
     ORDER BY doc_id
 """
+
+
+# -- real GIF round trip (LZW on the wire) -----------------------------------
+
+
+def media_gif_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance entry for the GIF decoder: 16-color palette whose
+    RGB bytes are simply 0..47 (pal[c][k] = 3c+k — closed-form for the
+    oracle), pixel indexes from the strided character formula mod 16,
+    literal-LZW encoding on the wire (with CLEAR resets), decode back
+    to RGB, weighted checksum == the oracle's double-sum."""
+    import pandas as pd
+
+    from ..plans.base import ensure_session
+    from .imagecodec import decode_media, encode_gif
+
+    ensure_session(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pal = bytes(range(48))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ws, hs, wsums = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s = text or ""
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                n = w * h
+                if s:
+                    idx = bytes(
+                        (ord(s[(i * 7 + doc_id) % len(s)]) % 256) % 16
+                        for i in range(n)
+                    )
+                else:
+                    idx = bytes([32 % 16]) * n
+                data = encode_gif(idx, w, h, pal)
+                dw, dh, dc, rgb = decode_media(data)
+                assert (dw, dh, dc) == (w, h, 3)
+                ws.append(w)
+                hs.append(h)
+                wsums.append(
+                    sum((i + 1) * p for i, p in enumerate(rgb)) % WSUM_MOD
+                )
+            out = pdf[["doc_id"]].copy()
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["wsum_fp"] = pd.Series(wsums, dtype="int64")
+            yield out
+
+    return docs.mapInPandas(
+        run, schema="doc_id bigint, width int, height int, wsum_fp bigint"
+    ).orderBy("doc_id")
+
+
+MEDIA_GIF_DECODE_ORACLE_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             4 + doc_id % 5 AS width,
+             3 + doc_id % 4 AS height,
+             length(COALESCE(text, '')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(0, width * height * 3),
+                  -- byte at raster position i: pixel p = i // 3,
+                  -- channel k = i % 3, palette value 3*c_p + k
+                  i -> (i + 1) * (3 * ((CASE WHEN n_chars = 0 THEN 32
+                        ELSE ascii(substr(text,
+                             CAST((((i // 3) * 7 + doc_id) % n_chars) + 1
+                                  AS INT), 1)) % 256
+                        END) % 16) + (i % 3)))), 0) % {WSUM_MOD}
+                AS BIGINT) AS wsum_fp
+    FROM dims
+    ORDER BY doc_id
+"""

@@ -557,7 +557,7 @@ GRADING_WINDOW = [
     # mutation_attach_parts, scalar_vector_funcs, quantile_exact_multi,
     # native_sql_insert_into, scalar_format_datetime,
     # scalar_parse_datetime, scalar_date_arithmetic,
-    # multimodal_png_decode — the
+    # multimodal_png_decode, multimodal_gif_decode — the
     # late tranche-8/9 rows — rotate to r11: 50 slots; each carries a
     # hand-computed pin (+ a python-reference fuzz for the AUC oracle)
     # and the judge's full sweep covers them regardless)

@@ -1051,3 +1051,19 @@ REGISTRY.df_query(
     "unfiltering across gray/RGB/RGBA payloads; weighted pixel "
     "checksum == the oracle's closed-form pixel formula",
 )
+
+
+from ..functions.multimodal import (  # noqa: E402
+    MEDIA_GIF_DECODE_ORACLE_SQL,
+    media_gif_decode_query,
+)
+
+REGISTRY.df_query(
+    "multimodal_gif_decode",
+    media_gif_decode_query,
+    oracle=MEDIA_GIF_DECODE_ORACLE_SQL,
+    tags=["multimodal", "image", "gif", "codec"],
+    description="real GIF decode conformance: literal LZW with CLEAR "
+    "resets on the wire, palette lookup; RGB checksum == the oracle's "
+    "closed-form 3c+k double-sum",
+)

@@ -193,6 +193,7 @@ AUDIT = [
     "scalar_parse_datetime",
     "scalar_date_arithmetic",
     "multimodal_png_decode",
+    "multimodal_gif_decode",
 ]
 
 
