@@ -26,7 +26,6 @@ _JAVA_SPEC = {
     "y": "yy",
     "m": "MM",
     "d": "dd",
-    "e": "d",
     "H": "HH",
     "I": "hh",
     "M": "mm",
@@ -45,6 +44,11 @@ _ISO_DOW = "(((dayofweek({ts}) + 5) % 7) + 1)"
 
 def _computed(spec: str, ts: str) -> str:
     """Spark SQL expression for the specifiers date_format lost."""
+    if spec == "e":
+        # ClickHouse %e (like strftime %e) is SPACE-padded to width 2
+        # (' 2'); Java 'd' is unpadded — computed lpad instead
+        # (r10 ADVICE)
+        return f"lpad(CAST(day({ts}) AS STRING), 2, ' ')"
     if spec == "u":
         return f"CAST({_ISO_DOW.format(ts=ts)} AS STRING)"
     if spec == "V":
@@ -59,7 +63,7 @@ def _computed(spec: str, ts: str) -> str:
     raise AssertionError(spec)
 
 
-_COMPUTED = {"u", "V", "G"}
+_COMPUTED = {"u", "V", "G", "e"}
 
 
 def format_datetime_expr(ts: str, fmt: str) -> str:

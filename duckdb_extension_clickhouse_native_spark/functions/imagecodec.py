@@ -479,6 +479,10 @@ def encode_gif(
     import struct as _s
 
     idx = bytes(indexes)
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(
+            f"non-positive GIF dimensions {width}x{height}"
+        )
     if len(idx) != width * height:
         raise MediaFormatError(
             f"index buffer is {len(idx)} bytes, want {width * height}"

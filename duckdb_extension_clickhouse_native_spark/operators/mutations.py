@@ -118,6 +118,21 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
+def _guard_out_dir(src_dir: str, out_dir: str) -> None:
+    """The idempotent rebuild clears ``out_dir`` before reading
+    ``src_dir`` — passing the source (or an ancestor of it) as the
+    destination would destroy the table before the scan runs (r10
+    ADVICE). Refuse up front."""
+    src = os.path.realpath(src_dir)
+    out = os.path.realpath(out_dir)
+    if out == src or src.startswith(out + os.sep):
+        raise ValueError(
+            f"out_dir {out_dir!r} is the source directory (or an "
+            f"ancestor of it) — the rebuild would clear the table "
+            f"before reading it; write to a separate directory"
+        )
+
+
 def mutate_native_dir(
     spark: SparkSession,
     src_dir: str,
@@ -141,6 +156,7 @@ def mutate_native_dir(
 
     if update_set is None and delete_where is None:
         raise ValueError("mutation requires delete_where and/or update_set")
+    _guard_out_dir(src_dir, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):  # idempotent rebuild
         p = os.path.join(out_dir, f)
@@ -273,6 +289,7 @@ def apply_ttl(
     from ..native.writer import stats_sidecar_path
     from ..sources.native_datasource import _partition_spec, infer_native_schema
 
+    _guard_out_dir(src_dir, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):  # idempotent rebuild
         p = os.path.join(out_dir, f)
@@ -330,7 +347,10 @@ def apply_ttl(
         )
         df = fresh()
         cond = _conj(ttl_where)
-        kept = fresh().filter(~cond)
+        # NULL-predicate rows (e.g. NULL ts) satisfy neither ~cond nor
+        # cond — they must survive as KEPT (unexpired) rows, not vanish
+        # (r10 ADVICE): a row whose TTL clock is unknown has not expired
+        kept = fresh().filter(cond.isNull() | ~cond)
         expired = fresh().filter(cond)
         set_exprs = dict(set_exprs or {})
         group_by = list(group_by)

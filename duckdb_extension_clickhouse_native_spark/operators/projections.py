@@ -109,8 +109,15 @@ def _required_states(aggs: dict) -> set:
         if fn == "count":
             need.add(_COUNT_STATE)
         elif fn == "avg":
-            need.add(_COUNT_STATE)
+            # avg merges as sum(sum__c)/sum(cntv__c): the denominator
+            # must be the NON-NULL count (count(c), stored as its own
+            # state) so the projection path agrees with F.avg on
+            # nullable columns — cnt__rows counts all rows and would
+            # silently dilute the average (r10 ADVICE, medium)
+            need.add(_state_col("cntv", col))
             need.add(_state_col("sum", col))
+        elif fn == "cntv":
+            need.add(_state_col("cntv", col))
         elif fn in _STATE_FNS:
             need.add(_state_col(fn, col))
         else:
@@ -126,8 +133,15 @@ def _partial_agg(df: DataFrame, group_by: list, aggs: dict) -> DataFrame:
     states = {}
     for fn, col in aggs.values():
         fn = fn.lower()
-        if fn in ("count", "avg"):
+        if fn == "count":
             states[_COUNT_STATE] = F.count(F.lit(1)).alias(_COUNT_STATE)
+        if fn in ("avg", "cntv", "sum"):
+            # every sum state carries its column's NON-NULL count:
+            # that is what makes avg derivable from a sum projection
+            # with the correct denominator on nullable columns
+            # (ClickHouse avgState likewise stores (sum, count))
+            name = _state_col("cntv", col)
+            states[name] = F.count(col).alias(name)
         if fn == "avg":
             states[_state_col("sum", col)] = F.sum(col).alias(
                 _state_col("sum", col)
@@ -292,7 +306,7 @@ def _manifest_aggs(man: dict) -> dict:
             aggs[st] = ("count", None)
         else:
             fn, col = st.split("__", 1)
-            aggs[st] = (fn, col)
+            aggs[st] = (fn, col)  # incl. "cntv" (non-null count state)
     return aggs
 
 
@@ -353,10 +367,13 @@ def query_projection_aware(
         if fn == "count":
             exprs.append(F.sum(_COUNT_STATE).alias(out))
         elif fn == "avg":
+            # non-null count denominator: matches F.avg exactly on
+            # nullable columns (full-scan fallback and projection
+            # path agree — r10 ADVICE, medium)
             exprs.append(
                 (
                     F.sum(_state_col("sum", col))
-                    / F.sum(_COUNT_STATE)
+                    / F.sum(_state_col("cntv", col))
                 ).alias(out)
             )
         elif fn == "sum":
