@@ -108,12 +108,15 @@ def _required_states(aggs: dict) -> set:
         fn = fn.lower()
         if fn == "count":
             need.add(_COUNT_STATE)
-        elif fn == "avg":
-            # avg merges as sum(sum__c)/sum(cntv__c): the denominator
-            # must be the NON-NULL count (count(c), stored as its own
-            # state) so the projection path agrees with F.avg on
-            # nullable columns — cnt__rows counts all rows and would
-            # silently dilute the average (r10 ADVICE, medium)
+        elif fn in ("avg", "sum"):
+            # the sum state family is the PAIR (sum__c, cntv__c): avg
+            # merges as sum(sum__c)/sum(cntv__c), and the denominator
+            # must be the NON-NULL count (count(c), its own state) so
+            # the projection path agrees with F.avg on nullable
+            # columns — cnt__rows counts all rows and would silently
+            # dilute the average (r10 ADVICE, medium). Requiring the
+            # pair for plain sum too keeps add_projection's
+            # idempotency check honest: a pre-pair manifest rebuilds.
             need.add(_state_col("cntv", col))
             need.add(_state_col("sum", col))
         elif fn == "cntv":
