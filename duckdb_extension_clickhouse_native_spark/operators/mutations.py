@@ -149,13 +149,28 @@ def mutate_native_dir(
     conjunctions of ``(col, op, literal)``; ``update_set`` maps column
     name -> Spark SQL expression string applied where ``update_where``
     holds (everywhere when ``update_where`` is None).
+
+    Hive ``key=value`` layouts (the writer's ``partition_by`` output)
+    mutate per partition directory: predicate terms on partition
+    columns evaluate against each directory's literal values —
+    pruning whole directories to hard-links when the conjunction
+    cannot match there — and the residual data-column terms run as a
+    flat mutation inside each remaining directory (the output mirrors
+    the same ``key=value`` tree). SET targets must be data columns
+    (ClickHouse likewise forbids mutating partition-key columns), and
+    SET expressions may only reference data columns (a partition
+    column in a SET expression fails Spark analysis loudly).
     """
     from ..filesystem import resolve_paths
-    from ..native.writer import stats_sidecar_path
     from .. import get_spark  # noqa: F401 — package import side effects
 
     if update_set is None and delete_where is None:
         raise ValueError("mutation requires delete_where and/or update_set")
+    if delete_where is not None and not tuple(delete_where):
+        raise ValueError(
+            "empty delete_where conjunction would delete every row; "
+            "spell that out with an always-true predicate if intended"
+        )
     _guard_out_dir(src_dir, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):  # idempotent rebuild
@@ -163,6 +178,49 @@ def mutate_native_dir(
         if os.path.isfile(p):
             os.remove(p)
 
+    from ..sources.native_datasource import _partition_spec
+
+    parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
+    part_keys, _vals, _types = _partition_spec(src_dir, parts)
+    if part_keys:
+        return _mutate_hive(
+            spark,
+            src_dir,
+            out_dir,
+            parts,
+            part_keys,
+            _types,
+            delete_where=delete_where,
+            update_set=update_set,
+            update_where=update_where,
+            compression=compression,
+        )
+    return _mutate_flat(
+        spark,
+        parts,
+        out_dir,
+        delete_where=delete_where,
+        update_set=update_set,
+        update_where=update_where,
+        compression=compression,
+    )
+
+
+def _mutate_flat(
+    spark: SparkSession,
+    parts: list,
+    out_dir: str,
+    *,
+    delete_where: Optional[Sequence[Pred]],
+    update_set: Optional[dict],
+    update_where: Optional[Sequence[Pred]],
+    compression: Optional[str],
+) -> dict:
+    """The single-directory mutation core over an explicit part list;
+    ``out_dir`` must already exist and be clear of stale files."""
+    from ..native.writer import stats_sidecar_path
+
+    os.makedirs(out_dir, exist_ok=True)
     pred_sets: list[Sequence[Pred]] = []
     if delete_where is not None:
         pred_sets.append(tuple(delete_where))
@@ -171,19 +229,6 @@ def mutate_native_dir(
         # unprovable (empty) conjunction
         pred_sets.append(tuple(update_where) if update_where else ())
 
-    from ..sources.native_datasource import _partition_spec
-
-    parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
-    part_keys, _vals, _types = _partition_spec(src_dir, parts)
-    if part_keys:
-        # hive key=value columns are path-derived; the staging-dir read
-        # below would silently drop them. Mutating a hive layout needs
-        # per-partition-dir recursion — explicitly unsupported for now.
-        raise NotImplementedError(
-            "mutate_native_dir does not support hive-partitioned layouts "
-            f"(found partition keys {part_keys}); mutate each partition "
-            "directory individually"
-        )
     untouched, touched = [], []
     for p in parts:
         (untouched if _part_untouched(p, pred_sets) else touched).append(p)
@@ -244,6 +289,162 @@ def mutate_native_dir(
         "untouched_parts": len(untouched),
         "rewritten_parts": len(touched),
         "out_dir": out_dir,
+    }
+
+
+def _eval_pk_term(raw: str, typ, op: str, lit) -> bool:
+    """Evaluate a predicate term against one partition directory's
+    literal value (``raw`` is the URL-decoded path string, ``typ`` the
+    spec-inferred python type). Type mismatches raise — a silently
+    'unknown' answer could neither prune nor be pushed into the data
+    read (partition columns are path-derived, absent from the files)."""
+    if typ is int:
+        val = int(raw)
+        if isinstance(lit, bool) or not isinstance(lit, (int, float)):
+            raise ValueError(
+                f"partition-key predicate literal {lit!r} is not numeric "
+                f"(directory values are integers)"
+            )
+    else:
+        val = raw
+        if not isinstance(lit, str):
+            raise ValueError(
+                f"partition-key predicate literal {lit!r} is not a string "
+                f"(directory values are strings)"
+            )
+    return {
+        "=": val == lit,
+        "!=": val != lit,
+        "<": val < lit,
+        "<=": val <= lit,
+        ">": val > lit,
+        ">=": val >= lit,
+    }[op]
+
+
+def _split_pk_terms(
+    preds: Sequence[Pred], part_keys: list, pk_vals: dict, types: dict
+):
+    """Partition a conjunction into (applies_in_dir, residual_terms):
+    terms on partition keys evaluate against the directory's values —
+    any false term makes the whole conjunction unmatchable there —
+    and the remaining data-column terms pass through."""
+    residual = []
+    for p in preds:
+        col, op, lit = p
+        if col in part_keys:
+            if not _eval_pk_term(pk_vals[col], types[col], op, lit):
+                return False, ()
+        else:
+            residual.append(p)
+    return True, tuple(residual)
+
+
+def _mutate_hive(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    parts: list,
+    part_keys: list,
+    types: dict,
+    *,
+    delete_where: Optional[Sequence[Pred]],
+    update_set: Optional[dict],
+    update_where: Optional[Sequence[Pred]],
+    compression: Optional[str],
+) -> dict:
+    """Per-partition-directory mutation over a hive layout: the output
+    mirrors the source's ``key=value`` tree; directories the partition
+    terms prove untouched hard-link wholesale."""
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import _partition_components
+
+    if update_set is not None:
+        bad = sorted(set(update_set) & set(part_keys))
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE partition column(s) {bad}: changing a "
+                "partition value moves rows between directories — "
+                "rewrite with a partitioned write instead"
+            )
+
+    by_dir: dict[str, list] = {}
+    pk_vals_by_dir: dict[str, dict] = {}
+    for p in parts:
+        rel = os.path.dirname(os.path.relpath(p, src_dir))
+        by_dir.setdefault(rel, []).append(p)
+        pk_vals_by_dir[rel] = dict(_partition_components(src_dir, p))
+
+    # idempotent rebuild of the mirrored tree: the caller cleared
+    # out_dir's top-level files; every key=value subtree is ours
+    # (including partitions a previous run wrote that no longer exist)
+    for f in os.listdir(out_dir):
+        p = os.path.join(out_dir, f)
+        if os.path.isdir(p) and "=" in f:
+            shutil.rmtree(p, ignore_errors=True)
+
+    untouched = rewritten = 0
+    for rel in sorted(by_dir):
+        dir_parts = by_dir[rel]
+        pk_vals = pk_vals_by_dir[rel]
+        dst = os.path.join(out_dir, rel)
+
+        d_applies, d_residual = (False, ())
+        if delete_where is not None:
+            d_applies, d_residual = _split_pk_terms(
+                delete_where, part_keys, pk_vals, types
+            )
+        u_applies, u_residual = (False, ())
+        if update_set is not None:
+            if update_where is None:
+                u_applies, u_residual = True, None  # everywhere
+            else:
+                u_applies, u_residual = _split_pk_terms(
+                    update_where, part_keys, pk_vals, types
+                )
+                if u_applies and not u_residual:
+                    u_residual = None  # constant-true here
+
+        if d_applies and not d_residual:
+            # delete conjunction reduced to TRUE for this directory:
+            # every row dies; write nothing, count parts as rewritten
+            rewritten += len(dir_parts)
+            os.makedirs(dst, exist_ok=True)
+            continue
+        if not d_applies and not u_applies:
+            # neither mutation can match here — link the directory
+            os.makedirs(dst, exist_ok=True)
+            for i, p in enumerate(dir_parts):
+                base = f"keep-{i:04d}-{os.path.basename(p)}"
+                _link_or_copy(p, os.path.join(dst, base))
+                side = stats_sidecar_path(p)
+                if os.path.exists(side):
+                    _link_or_copy(
+                        side,
+                        os.path.join(
+                            dst, os.path.basename(stats_sidecar_path(base))
+                        ),
+                    )
+            untouched += len(dir_parts)
+            continue
+
+        st = _mutate_flat(
+            spark,
+            dir_parts,
+            dst,
+            delete_where=d_residual if d_applies else None,
+            update_set=update_set if u_applies else None,
+            update_where=u_residual if u_applies else None,
+            compression=compression,
+        )
+        untouched += st["untouched_parts"]
+        rewritten += st["rewritten_parts"]
+
+    return {
+        "untouched_parts": untouched,
+        "rewritten_parts": rewritten,
+        "out_dir": out_dir,
+        "partition_dirs": len(by_dir),
     }
 
 

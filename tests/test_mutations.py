@@ -132,17 +132,17 @@ def test_update_snapshot_semantics_between_set_columns(spark, tmp_path):
     assert (r.k, r.name) == (2, "a1")
 
 
-def test_hive_layout_refused(spark, tmp_path):
-    import pytest
-
-    src = str(tmp_path / "src")
+def test_hive_layout_mutates_per_directory(spark, tmp_path):
+    # r11: hive layouts mutate per partition directory (full coverage
+    # in tests/test_mutations_hive.py); the smallest case end-to-end
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
     os.makedirs(os.path.join(src, "lang=de"))
-    t = pa.table({"k": pa.array([1], type=pa.int64())})
+    t = pa.table({"k": pa.array([1, 2], type=pa.int64())})
     write_native_file(os.path.join(src, "lang=de", "p.clickhouse"), t)
-    with pytest.raises(NotImplementedError, match="hive-partitioned"):
-        mutate_native_dir(
-            spark, src, str(tmp_path / "out"), delete_where=[("k", "=", 1)]
-        )
+    st = mutate_native_dir(spark, src, out, delete_where=[("k", "=", 1)])
+    assert st["rewritten_parts"] == 1 and st["partition_dirs"] == 1
+    rows = _read(spark, out).collect()
+    assert [(r.k, r.lang) for r in rows] == [(2, "de")]
 
 
 def test_detach_attach_roundtrip(spark, tmp_path):
