@@ -1208,6 +1208,77 @@ REGISTRY.sql_query(
 )
 
 
+# --- ngramDistance, at-scale form (r11) --------------------------------------
+# Same-oracle scale twin of `text_ngram_distance` (r10 verdict item 4:
+# the 3.9 s gram-set materializer was the only weak entry without a
+# twin graded against the SAME oracle).  Two observations make it
+# cheap without changing a single output bit:
+#   1. |A ∩ B| needs NO gram materialization at all: a needle gram is
+#      in the doc's distinct gram set iff it occurs as a substring of
+#      lower(text) (any occurrence at position p <= len-3 IS a gram),
+#      so n_common = 22 pure-codegen instr() probes per doc — the
+#      text_ngram_search trick, reused for the symmetric metric.
+#   2. |A| (distinct 4-gram count) becomes a POSTING-LIST two-phase:
+#      explode grams -> GROUP BY (doc, gram) dedup (map-side combine
+#      kills intra-partition duplicates before the shuffle) -> per-doc
+#      COUNT.  AQE-splittable — a pathological single doc spreads over
+#      the (doc, gram) shuffle instead of one executor materializing
+#      its whole gram array (the substring-spans two-phase precedent).
+# n_common rides the aggregation as a grouping column (functionally
+# dependent on doc_id, +8 bytes per shuffle row).  Identical integer
+# arithmetic and ONE IEEE division -> bit-identical to the shared
+# oracle; a hypothesis pin (tests/test_ngram_fast_twin.py) checks the
+# two registered forms agree row-for-row on hostile inputs.
+_NGRAM_PROBE_HITS = " + ".join(
+    f"CASE WHEN instr(lt, '{g}') > 0 THEN 1 ELSE 0 END"
+    for g in _NGRAM_SEARCH_GRAMS
+)
+_NGRAM_DIST_FAST_SPARK = f"""
+    WITH lt0 AS (
+      SELECT doc_id, lower(text) AS lt
+      FROM documents
+      WHERE length(text) >= 4
+    ),
+    base AS (
+      SELECT doc_id, lt,
+             CAST({_NGRAM_PROBE_HITS} AS BIGINT) AS n_common
+      FROM lt0
+    ),
+    ex AS (
+      SELECT doc_id, n_common, substring(lt, i, 4) AS gram
+      FROM base LATERAL VIEW explode(sequence(1, length(lt) - 3)) t AS i
+    ),
+    g AS (
+      SELECT doc_id, n_common, gram FROM ex GROUP BY doc_id, n_common, gram
+    ),
+    a AS (
+      SELECT doc_id, n_common, COUNT(*) AS n_a
+      FROM g GROUP BY doc_id, n_common
+    )
+    SELECT doc_id,
+           n_common,
+           CAST(n_a + {len(_NGRAM_SEARCH_GRAMS)} - n_common AS BIGINT)
+             AS n_union,
+           CAST(n_common AS DOUBLE)
+             / (n_a + {len(_NGRAM_SEARCH_GRAMS)} - n_common) AS ngram_sim
+    FROM a
+    ORDER BY ngram_sim DESC, doc_id
+    LIMIT 20
+"""
+
+REGISTRY.sql_query(
+    "text_ngram_distance_fast",
+    _NGRAM_DIST_FAST_SPARK,
+    oracle=_NGRAM_DIST_DUCK,
+    tables=["documents"],
+    tags=["compat", "text", "similarity", "scale"],
+    description="ngramDistance at-scale twin (SAME oracle as "
+    "text_ngram_distance): n_common via 22 codegen substring probes, "
+    "|A| via posting-list explode + map-side-combined dedup — no "
+    "per-doc gram-array materialization, AQE-splittable shuffles",
+)
+
+
 # --- groupBitmap set algebra (ClickHouse groupBitmapAnd/Or/cardinality) ------
 # ClickHouse builds roaring bitmaps per group and intersects/unions them
 # (groupBitmapAndState, bitmapCardinality). The Spark-first expression is
