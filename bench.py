@@ -42,13 +42,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_substring_spans",    # duplicated w-gram spans, one COUNT-OVER pass
     "dedup_connected_components",  # iterative label propagation
-    "kmeans_embeddings",           # fixed-point Lloyd, 2 iterations
-    "kmeans_fast",                 # same result, broadcast-numpy mapInPandas
+    "kmeans_embeddings",           # Lloyd k-means (default = broadcast-numpy fast form, r11)
+    "kmeans_embeddings_sql",       # SQL-parity conformance form
     "decontaminate_ngram",
     "bm25_topk",
     "sim_topk_fast",
-    "sim_topk_pq",              # PQ codes + ADC (the compressed-corpus path)
-    "sim_topk_pq_fast",         # same result, one-pass numpy encode+ADC
+    "sim_topk_pq",              # PQ-ADC (default = one-pass numpy form, r11)
+    "sim_topk_pq_sql",          # SQL-parity conformance form
     "text_quality",
     "skew_salted_agg",
     "pipeline_end_to_end",      # quality->dedup->mixture->shards, one plan

@@ -103,9 +103,9 @@ AUDIT = [
     "agg_avg_weighted",
     "window_qualify_topn",
     "scan_remote_rowbinary_nested",
-    # round-5 production twins (broadcast-numpy mapInPandas forms)
-    "kmeans_fast",
-    "sim_topk_pq_fast",
+    # SQL-parity conformance forms (defaults are the fast plans since r11)
+    "kmeans_embeddings_sql",
+    "sim_topk_pq_sql",
     # round-5 grading-window additions not already audited above
     "dedup_incremental",
     "dedup_semantic_clusters",
