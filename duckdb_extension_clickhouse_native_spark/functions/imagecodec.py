@@ -193,14 +193,29 @@ def decode_media(data: bytes) -> tuple[int, int, int, bytes]:
     raise MediaFormatError(f"unrecognized media magic {data[:4]!r}")
 
 
-# -- PNG (non-interlaced, 8-bit gray / RGB / RGBA) ---------------------------
+# -- PNG (8-bit gray / RGB / RGBA, palette 1/2/4/8-bit, Adam7) ---------------
 #
 # Pure stdlib: zlib inflates IDAT, the five scanline filters (None /
-# Sub / Up / Average / Paeth) unfilter here. Palette, 16-bit and
-# Adam7-interlaced images are refused loudly — the decode is REAL for
-# the ubiquitous 8-bit truecolor family, never approximate.
+# Sub / Up / Average / Paeth) unfilter here. r11 adds the palette
+# family (PLTE indexes at 1/2/4/8 bits per pixel, MSB-first packing,
+# tRNS per-index alpha -> RGBA output) and Adam7 de-interlacing (seven
+# sub-images, each filtered independently at its own stride, scattered
+# back on the 8x8 grid) — palette PNGs are ubiquitous in web corpora.
+# 16-bit and gray+alpha stay refused loudly — the decode is REAL for
+# what it accepts, never approximate.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass origins/steps on the 8x8 tile (PNG spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _png_chunks(data: bytes):
@@ -227,49 +242,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, raster) from a non-interlaced 8-bit
-    grayscale / RGB / RGBA PNG."""
-    import struct as _s
-    import zlib as _z
-
-    if data[:8] != _PNG_SIG:
-        raise MediaFormatError("not a PNG payload")
-    width = height = None
-    channels = 0
-    idat = bytearray()
-    for ctype, body in _png_chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = _s.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise MediaFormatError(f"only 8-bit PNG supported (depth={depth})")
-            if interlace:
-                raise MediaFormatError("Adam7-interlaced PNG not supported")
-            if comp or filt:
-                raise MediaFormatError("nonstandard PNG compression/filter method")
-            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
-            if not channels:
-                raise MediaFormatError(
-                    f"unsupported PNG color type {color} (palette/alpha-gray)"
-                )
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if width is None or not idat:
-        raise MediaFormatError("PNG missing IHDR/IDAT")
-    if width <= 0 or height <= 0:
-        raise MediaFormatError("non-positive PNG dimensions")
-    raw = _z.decompress(bytes(idat))
-    bpp = channels
-    stride = width * bpp
-    need = (stride + 1) * height
-    if len(raw) < need:
-        raise MediaFormatError(f"PNG raster truncated: {len(raw)} < {need}")
-    out = bytearray(stride * height)
+def _unfilter_rows(
+    raw: bytes, off: int, n_rows: int, stride: int, bpp: int
+) -> tuple[list, int]:
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``off`` (each preceded by its filter-type byte); ``bpp`` is the
+    filter unit in bytes (1 for sub-byte packed rows, per spec).
+    Returns (rows, next_offset)."""
+    rows: list = []
     prev = bytearray(stride)
-    for r in range(height):
-        base = r * (stride + 1)
+    for r in range(n_rows):
+        base = off + r * (stride + 1)
+        if base + 1 + stride > len(raw):
+            raise MediaFormatError(
+                f"PNG raster truncated: need {base + 1 + stride}, "
+                f"have {len(raw)}"
+            )
         ftype = raw[base]
         row = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
@@ -289,17 +277,146 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 row[i] = (row[i] + _paeth(left, prev[i], up_left)) & 0xFF
         elif ftype != 0:
             raise MediaFormatError(f"unknown PNG filter type {ftype}")
-        out[r * stride : (r + 1) * stride] = row
+        rows.append(row)
         prev = row
+    return rows, off + n_rows * (stride + 1)
+
+
+def _png_passes(width: int, height: int, interlace: int) -> list:
+    """(x0, y0, dx, dy, pass_width, pass_height) per stored pass."""
+    if not interlace:
+        return [(0, 0, 1, 1, width, height)]
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = max(0, (width - x0 + dx - 1) // dx)
+        hp = max(0, (height - y0 + dy - 1) // dy)
+        out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raster) from an 8-bit grayscale /
+    RGB / RGBA PNG, or a 1/2/4/8-bit palette PNG (tRNS alpha expands
+    to RGBA), non-interlaced or Adam7."""
+    import struct as _s
+    import zlib as _z
+
+    if data[:8] != _PNG_SIG:
+        raise MediaFormatError("not a PNG payload")
+    width = height = None
+    depth = color = interlace = 0
+    channels = 0
+    idat = bytearray()
+    plte = b""
+    trns = b""
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = _s.unpack(
+                ">IIBBBBB", body
+            )
+            if comp or filt:
+                raise MediaFormatError("nonstandard PNG compression/filter method")
+            if interlace not in (0, 1):
+                raise MediaFormatError(f"unknown PNG interlace method {interlace}")
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise MediaFormatError(
+                        f"invalid palette PNG bit depth {depth}"
+                    )
+            else:
+                if depth != 8:
+                    raise MediaFormatError(
+                        f"only 8-bit PNG supported outside palette "
+                        f"(depth={depth})"
+                    )
+                channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+                if not channels:
+                    raise MediaFormatError(
+                        f"unsupported PNG color type {color} (alpha-gray)"
+                    )
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None or not idat:
+        raise MediaFormatError("PNG missing IHDR/IDAT")
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("non-positive PNG dimensions")
+    raw = _z.decompress(bytes(idat))
+    passes = _png_passes(width, height, interlace)
+
+    if color == 3:
+        if not plte or len(plte) % 3:
+            raise MediaFormatError("palette PNG missing/malformed PLTE")
+        n_colors = len(plte) // 3
+        out_ch = 4 if trns else 3
+        out = bytearray(width * height * out_ch)
+        mask = (1 << depth) - 1
+        off = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            if wp == 0 or hp == 0:
+                continue
+            stride = (wp * depth + 7) // 8
+            rows, off = _unfilter_rows(raw, off, hp, stride, 1)
+            for r, row in enumerate(rows):
+                py = y0 + r * dy
+                for i in range(wp):
+                    bitpos = i * depth
+                    idx = (
+                        row[bitpos >> 3] >> (8 - depth - (bitpos & 7))
+                    ) & mask
+                    if idx >= n_colors:
+                        raise MediaFormatError(
+                            f"palette index {idx} outside PLTE "
+                            f"({n_colors} colors)"
+                        )
+                    o = (py * width + x0 + i * dx) * out_ch
+                    out[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
+                    if out_ch == 4:
+                        out[o + 3] = trns[idx] if idx < len(trns) else 255
+        return width, height, out_ch, bytes(out)
+
+    bpp = channels
+    out = bytearray(width * height * bpp)
+    off = 0
+    for x0, y0, dx, dy, wp, hp in passes:
+        if wp == 0 or hp == 0:
+            continue
+        stride = wp * bpp
+        rows, off = _unfilter_rows(raw, off, hp, stride, bpp)
+        for r, row in enumerate(rows):
+            py = y0 + r * dy
+            if dx == 1:
+                o = (py * width + x0) * bpp
+                out[o : o + stride] = row
+            else:
+                for i in range(wp):
+                    o = (py * width + x0 + i * dx) * bpp
+                    out[o : o + bpp] = row[i * bpp : (i + 1) * bpp]
     return width, height, channels, bytes(out)
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    crc = _z.crc32(ctype + body) & 0xFFFFFFFF
+    return _s.pack(">I", len(body)) + ctype + body + _s.pack(">I", crc)
+
+
 def encode_png(
-    pixels: bytes | list[int], width: int, height: int, channels: int = 3
+    pixels: bytes | list[int],
+    width: int,
+    height: int,
+    channels: int = 3,
+    *,
+    interlace: bool = False,
 ) -> bytes:
-    """Minimal non-interlaced 8-bit PNG (filter 0 rows) — the fixture
-    encoder for the decoder's tests; real files from other writers
-    decode through the same path."""
+    """Minimal 8-bit PNG (filter 0 rows) — the fixture encoder for the
+    decoder's tests; real files from other writers decode through the
+    same path. ``interlace=True`` stores the seven Adam7 passes."""
     import struct as _s
     import zlib as _z
 
@@ -311,21 +428,70 @@ def encode_png(
             f"pixel buffer is {len(px)} bytes, want {width * height * channels}"
         )
     color = {1: 0, 3: 2, 4: 6}[channels]
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = _z.crc32(ctype + body) & 0xFFFFFFFF
-        return _s.pack(">I", len(body)) + ctype + body + _s.pack(">I", crc)
-
-    ihdr = _s.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    stride = width * channels
-    raster = b"".join(
-        b"\x00" + px[r * stride : (r + 1) * stride] for r in range(height)
+    ihdr = _s.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
     )
+    raster = bytearray()
+    for x0, y0, dx, dy, wp, hp in _png_passes(
+        width, height, 1 if interlace else 0
+    ):
+        for r in range(hp):
+            raster.append(0)
+            py = y0 + r * dy
+            for i in range(wp):
+                o = (py * width + x0 + i * dx) * channels
+                raster += px[o : o + channels]
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", _z.compress(raster, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raster), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indexes: bytes | list[int],
+    width: int,
+    height: int,
+    palette: bytes,
+    *,
+    trns: bytes = b"",
+    depth: int = 8,
+) -> bytes:
+    """Minimal palette PNG (color type 3): MSB-first packed indexes at
+    ``depth`` bits per pixel, filter-0 rows, optional tRNS alphas."""
+    import struct as _s
+    import zlib as _z
+
+    idx = bytes(indexes)
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"non-positive PNG dimensions {width}x{height}")
+    if depth not in (1, 2, 4, 8):
+        raise MediaFormatError(f"invalid palette PNG bit depth {depth}")
+    if len(idx) != width * height:
+        raise MediaFormatError(
+            f"index buffer is {len(idx)} bytes, want {width * height}"
+        )
+    n_colors = len(palette) // 3
+    if n_colors < 1 or len(palette) % 3 or n_colors > 256:
+        raise MediaFormatError("palette must hold 1..256 RGB triples")
+    if idx and max(idx) >= min(n_colors, 1 << depth):
+        raise MediaFormatError("pixel index outside palette/depth range")
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    stride = (width * depth + 7) // 8
+    raster = bytearray()
+    for r in range(height):
+        raster.append(0)
+        row = bytearray(stride)
+        for i in range(width):
+            bit = i * depth
+            row[bit >> 3] |= idx[r * width + i] << (8 - depth - (bit & 7))
+        raster += row
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", palette)
+    if trns:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", _z.compress(bytes(raster), 6)) + _png_chunk(
+        b"IEND", b""
     )
 
 

@@ -691,16 +691,24 @@ MEDIA_AUDIO_FEATURES_ORACLE_SQL = """
 # -- real PNG round trip (zlib + scanline filters on the wire) --------------
 
 
+# identity-gray palette: pal[i] = (i, i, i) — a palette PNG built on
+# it decodes to RGB with every index TRIPLED, which keeps the oracle's
+# weighted checksum closed-form (see MEDIA_PNG_DECODE_ORACLE_SQL)
+_PNG_IDENT_PAL = bytes(i for i in range(256) for _ in range(3))
+
+
 def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize GENUINE PNG files from documents with the same
-    strided character pixels as the BMP/PPM table, but varying the
-    channel count (gray / RGB / RGBA by doc_id % 3) — the decode path
-    then exercises zlib inflation + unfiltering for every supported
-    color type. Map-only stage."""
+    strided character pixels as the BMP/PPM table, varying the format
+    family by doc_id % 5: gray / RGBA / RGB (the r10 set), 8-bit
+    PALETTE over the identity-gray PLTE, and Adam7-INTERLACED RGB
+    (r11 — palette PNGs are ubiquitous in web corpora, and interlace
+    only permutes storage order so the decoded raster keeps the same
+    closed form). Map-only stage."""
     import pandas as pd
 
     from ..plans.base import ensure_session
-    from .imagecodec import encode_png
+    from .imagecodec import encode_png, encode_png_palette
 
     ensure_session(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -712,7 +720,9 @@ def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 s = text or ""
                 w, h = 4 + doc_id % 5, 3 + doc_id % 4
-                ch = (1, 4, 3)[doc_id % 3]
+                mode = doc_id % 5
+                # palette stores ONE index per pixel; others ch values
+                ch = (1, 4, 3, 1, 3)[mode]
                 n = w * h * ch
                 if s:
                     px = bytes(
@@ -721,8 +731,19 @@ def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 else:
                     px = b"\x20" * n
-                media.append(encode_png(px, w, h, channels=ch))
-                chans.append(ch)
+                if mode == 3:
+                    media.append(
+                        encode_png_palette(px, w, h, _PNG_IDENT_PAL)
+                    )
+                    chans.append(3)  # identity palette decodes to RGB
+                elif mode == 4:
+                    media.append(
+                        encode_png(px, w, h, channels=3, interlace=True)
+                    )
+                    chans.append(3)
+                else:
+                    media.append(encode_png(px, w, h, channels=ch))
+                    chans.append(ch)
             out = pdf[["doc_id"]].copy()
             out["media"] = media
             out["declared_ch"] = pd.Series(chans, dtype="int32")
@@ -771,26 +792,35 @@ def media_png_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# modes (doc_id % 5): 0 gray, 1 RGBA, 2 RGB, 3 palette-8 over the
+# identity-gray PLTE (stores w*h indexes; decodes to RGB with every
+# index tripled -> weight 9j+6 per stored value), 4 Adam7 RGB
+# (interlace permutes STORAGE only; the decoded raster keeps the
+# plain formula)
 MEDIA_PNG_DECODE_ORACLE_SQL = f"""
     WITH dims AS (
       SELECT doc_id, COALESCE(text, '') AS text,
              4 + doc_id % 5 AS width,
              3 + doc_id % 4 AS height,
-             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END AS ch,
+             doc_id % 5 AS mode,
+             CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4
+                             WHEN 3 THEN 1 ELSE 3 END AS stored_ch,
              length(COALESCE(text, '')) AS n_chars
       FROM documents
     )
     SELECT doc_id,
            CAST(width AS INT) AS width,
            CAST(height AS INT) AS height,
-           CAST(ch AS INT) AS channels,
+           CAST(CASE mode WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END AS INT)
+             AS channels,
            CAST(COALESCE(list_sum(list_transform(
-                  range(0, width * height * ch),
-                  i -> (i + 1) * (CASE WHEN n_chars = 0 THEN 32
-                        ELSE ascii(substr(text,
-                             CAST(((i * 7 + doc_id) % n_chars) + 1 AS INT), 1))
-                             % 256
-                        END))), 0) % {WSUM_MOD} AS BIGINT) AS wsum_fp
+                  range(0, width * height * stored_ch),
+                  i -> (CASE WHEN mode = 3 THEN 9 * i + 6 ELSE i + 1 END)
+                       * (CASE WHEN n_chars = 0 THEN 32
+                          ELSE ascii(substr(text,
+                               CAST(((i * 7 + doc_id) % n_chars) + 1 AS INT),
+                               1)) % 256
+                          END))), 0) % {WSUM_MOD} AS BIGINT) AS wsum_fp
     FROM dims
     ORDER BY doc_id
 """

@@ -243,12 +243,19 @@ def test_png_rejects_unsupported_variants():
 
     with pytest.raises(MediaFormatError, match="8-bit"):
         decode_png(mutate_ihdr(d=16))
-    with pytest.raises(MediaFormatError, match="interlaced"):
-        decode_png(mutate_ihdr(i=1))
     with pytest.raises(MediaFormatError, match="color type"):
-        decode_png(mutate_ihdr(c=3))  # palette
+        decode_png(mutate_ihdr(c=4))  # gray+alpha stays refused
+    with pytest.raises(MediaFormatError, match="PLTE"):
+        decode_png(mutate_ihdr(c=3))  # palette now decodes, needs PLTE
     with pytest.raises(MediaFormatError, match="not a PNG"):
         decode_png(b"JUNKJUNKJUNK")
+    # Adam7 now decodes (r11): the same gray fixture survives the
+    # interlace flag because a 2x2 image stores passes 1/6/7 only —
+    # full coverage in tests/test_png_palette_adam7.py
+    # (this fixture's IDAT is non-interlaced, so flipping the flag
+    # makes the raster short: the decoder must say so, not crash)
+    with pytest.raises(MediaFormatError, match="truncated"):
+        decode_png(mutate_ihdr(i=1))
 
 
 # -- GIF --------------------------------------------------------------------
