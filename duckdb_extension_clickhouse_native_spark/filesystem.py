@@ -93,7 +93,12 @@ def resolve_paths(path: str) -> list[str]:
             out = [
                 os.path.join(path, f)
                 for f in os.listdir(path)
+                # isfile: a key=value partition DIRECTORY may itself
+                # end in a data suffix (e.g. _src_part=part-0.clickhouse
+                # in per-part projection layouts) — it must be
+                # descended into below, not listed as a file
                 if f.endswith(_DATA_SUFFIXES)
+                and os.path.isfile(os.path.join(path, f))
             ]
             # hive-style partition layout: descend into key=value
             # subdirectories (arbitrarily nested); the reader derives

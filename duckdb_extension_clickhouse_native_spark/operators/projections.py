@@ -56,6 +56,10 @@ _STATE_FNS = {"count", "sum", "min", "max"}
 _DERIVED = {"avg"}  # avg = sum / count, never stored directly
 
 _COUNT_STATE = "cnt__rows"
+# per-part attribution column: the projection relation is
+# hive-partitioned on the source-part basename (writer partition_by /
+# reader file_column), so invalidation is a directory delete
+_PART_COL = "_src_part"
 
 
 def _manifest_path(src_dir: str, name: str) -> str:
@@ -155,17 +159,25 @@ def _partial_agg(df: DataFrame, group_by: list, aggs: dict) -> DataFrame:
     # count state is always stored: it makes any projection refreshable
     # into a rows-per-group answer and costs one BIGINT column
     states.setdefault(_COUNT_STATE, F.count(F.lit(1)).alias(_COUNT_STATE))
-    return df.groupBy(*group_by).agg(*states.values())
+    keys = list(group_by)
+    if _PART_COL in df.columns:
+        # per-part states (r11): grouping by the source-part column
+        # makes every projection row attributable to ONE part, so a
+        # mutated/removed part invalidates only its own partition of
+        # the projection — ClickHouse's own per-part projection model
+        keys.append(_PART_COL)
+    return df.groupBy(*keys).agg(*states.values())
 
 
-def _read_native(spark: SparkSession, path: str) -> DataFrame:
+def _read_native(spark: SparkSession, path: str, **options) -> DataFrame:
     from ..sources.native_datasource import infer_native_schema
 
-    return (
-        spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": path}))
-        .load(path)
-    )
+    reader = spark.read.format("clickhouse_native")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(
+        infer_native_schema({**options, "path": path})
+    ).load(path)
 
 
 def add_projection(
@@ -194,75 +206,132 @@ def add_projection(
     ):
         return {"name": name, "built": False, "parts": len(fp)}
     drop_projection(src_dir, name)
-    df = _read_native(spark, src_dir)
+    df = _read_native(spark, src_dir, file_column=_PART_COL)
     proj = _partial_agg(df, group_by, aggs)
     pdir = _proj_dir(src_dir, name)
-    proj.write.format("clickhouse_native").mode("overwrite").save(pdir)
+    (
+        proj.write.format("clickhouse_native")
+        .mode("overwrite")
+        .option("partition_by", _PART_COL)
+        .save(pdir)
+    )
     _write_manifest(
         src_dir,
         name,
         {
             "group_by": group_by,
             "states": sorted(
-                c for c in proj.columns if c not in group_by
+                c
+                for c in proj.columns
+                if c not in group_by and c != _PART_COL
             ),
             "parts": fp,
+            "layout": "per_part",
         },
     )
     return {"name": name, "built": True, "parts": len(fp)}
 
 
+def _part_state_dir(src_dir: str, name: str, part_basename: str) -> str:
+    """The projection partition holding one source part's states
+    (writer's quote(v, safe='') encoding)."""
+    from urllib.parse import quote
+
+    return os.path.join(
+        _proj_dir(src_dir, name),
+        f"{_PART_COL}={quote(part_basename, safe='')}",
+    )
+
+
+def _stage_parts(paths: list, tag_seed: str) -> str:
+    """Symlink-stage ``paths`` flat so ONE DataSource read plans them
+    together (the mutations-module pattern)."""
+    import hashlib
+    import tempfile
+
+    from ..native.writer import stats_sidecar_path
+
+    tag = hashlib.md5(("|".join(paths) + tag_seed).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "chsql_proj_stage", tag)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for p in paths:
+        os.symlink(p, os.path.join(stage, os.path.basename(p)))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            os.symlink(side, os.path.join(stage, os.path.basename(side)))
+    return stage
+
+
 def refresh_projection(spark: SparkSession, src_dir: str, name: str) -> dict:
-    """Fold parts that appeared since the last (re)build into the
-    projection WITHOUT re-reading already-projected parts. Parts that
-    changed or disappeared cannot be incrementally subtracted — that
-    degenerates to a full rebuild (ClickHouse likewise rebuilds
-    projection parts invalidated by mutations)."""
+    """Fold source-part churn into the projection, touching ONLY the
+    affected parts (r10 verdict item 8):
+
+    - new parts: read, partial-aggregate, append — nothing projected
+      is re-read (unchanged);
+    - changed parts: their projection partitions (the states are
+      hive-partitioned on the source-part basename) are deleted and
+      rebuilt from the part's current content;
+    - removed parts: their projection partitions are deleted.
+
+    Refresh cost is proportional to TOUCHED parts, not table size —
+    ClickHouse's per-part projection economics. Pre-r11 manifests
+    (flat layout, no per-part attribution) degenerate to a full
+    rebuild once, then become per-part."""
     man = _load_manifest(src_dir, name)
     if man is None:
         raise ValueError(f"projection {name!r} does not exist in {src_dir}")
     parts = _data_parts(src_dir)
     fp = _fingerprint(parts)
     known = man["parts"]
-    changed = [
-        b for b, sig in known.items() if fp.get(b) != sig
-    ]
-    if changed:
+    by_base = {os.path.basename(p): p for p in parts}
+    changed = sorted(
+        b for b, sig in known.items() if b in fp and fp[b] != sig
+    )
+    removed = sorted(b for b in known if b not in fp)
+    new = sorted(b for b in fp if b not in known)
+    if not (changed or removed or new):
+        return {"name": name, "mode": "noop", "new_parts": 0}
+    if man.get("layout") != "per_part":
+        # legacy flat projection: states are not attributable per part
+        # (and appending hive-partitioned states would mix layouts) —
+        # rebuild once, then every later refresh is per-part
         aggs = _manifest_aggs(man)
         drop_projection(src_dir, name)
         return add_projection(
             spark, src_dir, name, group_by=man["group_by"], aggs=aggs
         ) | {"mode": "rebuild"}
-    new = [p for p in parts if os.path.basename(p) not in known]
-    if not new:
-        return {"name": name, "mode": "noop", "new_parts": 0}
 
-    # stage ONLY the new parts behind symlinks so one DataSource read
-    # plans them together (the mutations-module pattern)
-    import hashlib
-    import tempfile
+    # invalidate exactly the touched partitions
+    for b in changed + removed:
+        shutil.rmtree(_part_state_dir(src_dir, name, b), ignore_errors=True)
 
-    from ..native.writer import stats_sidecar_path
+    reread = [by_base[b] for b in changed] + [by_base[b] for b in new]
+    if reread:
+        stage = _stage_parts(reread, name)
+        aggs = _manifest_aggs(man)
+        df = _read_native(spark, stage, file_column=_PART_COL)
+        proj = _partial_agg(df, man["group_by"], aggs)
+        (
+            proj.write.format("clickhouse_native")
+            .mode("append")
+            .option("partition_by", _PART_COL)
+            .save(_proj_dir(src_dir, name))
+        )
 
-    tag = hashlib.md5(("|".join(new) + name).encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), "chsql_proj_stage", tag)
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    for p in new:
-        os.symlink(p, os.path.join(stage, os.path.basename(p)))
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            os.symlink(side, os.path.join(stage, os.path.basename(side)))
-
-    aggs = _manifest_aggs(man)
-    df = _read_native(spark, stage)
-    proj = _partial_agg(df, man["group_by"], aggs)
-    proj.write.format("clickhouse_native").mode("append").save(
-        _proj_dir(src_dir, name)
-    )
-    man["parts"].update(_fingerprint(new))
+    for b in removed:
+        known.pop(b, None)
+    for b in changed + new:
+        known[b] = fp[b]
+    man.setdefault("layout", "per_part")
     _write_manifest(src_dir, name, man)
-    return {"name": name, "mode": "incremental", "new_parts": len(new)}
+    return {
+        "name": name,
+        "mode": "incremental",
+        "new_parts": len(new),
+        "changed_parts": len(changed),
+        "removed_parts": len(removed),
+    }
 
 
 def drop_projection(src_dir: str, name: str) -> None:

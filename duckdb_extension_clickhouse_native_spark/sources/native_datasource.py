@@ -343,6 +343,9 @@ class ClickHouseNativeReader(DataSourceReader):
         # the fallback decode order is identical to the plain path, so
         # it is never slower than decoding everything.
         self.prewhere = str(options.get("prewhere", "true")).lower() == "true"
+        # file_column: inject the source-file basename as a constant
+        # string column per partition (see infer_native_schema)
+        self.file_column = (options.get("file_column") or "").strip() or None
         self.pushed: List[Filter] = []
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
@@ -669,6 +672,9 @@ class ClickHouseNativeReader(DataSourceReader):
         from ..native.codec import iter_blocks
 
         want = self.columns
+        if self.file_column and want is not None:
+            # path-derived, never in the file blocks
+            want = {c for c in want if c != self.file_column} or None
         target = self._arrow_schema()
         from ..native.compress import maybe_compressed_reader
 
@@ -688,7 +694,9 @@ class ClickHouseNativeReader(DataSourceReader):
             part_val = dict(
                 zip(partition.part_keys or self.part_keys, partition.part_vals)
             )
-            if self.prewhere and self.pushed:
+            if self.prewhere and self.pushed and not self.file_column:
+                # (file_column reads take the plain path: the prewhere
+                # iterator builds batches from file columns only)
                 block_iter = self._iter_blocks_prewhere(
                     buf, want, part_val, target
                 )
@@ -714,6 +722,15 @@ class ClickHouseNativeReader(DataSourceReader):
                 # (keys from the partition itself — see NativeFilePartition)
                 arrays = []
                 for fld in target:
+                    if fld.name == self.file_column:
+                        arrays.append(
+                            pa.array(
+                                [os.path.basename(partition.path)]
+                                * batch.num_rows,
+                                type=fld.type,
+                            )
+                        )
+                        continue
                     if fld.name in part_val:
                         raw = part_val[fld.name]
                         if pa.types.is_integer(fld.type):
@@ -1390,6 +1407,16 @@ def infer_native_schema(options: dict) -> StructType:
                 nullable=False,
             )
         )
+    # file_column: the source-file basename as a string column (the
+    # parquet _metadata.file_name analogue the Python DataSource API
+    # lacks) — per-part attribution for projections/maintenance
+    fc = (options.get("file_column") or "").strip()
+    if fc:
+        if fc in {f.name for f in fields}:
+            raise ValueError(
+                f"file_column {fc!r} collides with an existing column"
+            )
+        fields.append(StructField(fc, StringType(), nullable=False))
     return StructType(fields)
 
 

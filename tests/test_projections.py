@@ -148,14 +148,17 @@ def test_new_part_staleness_and_incremental_refresh(spark, proj_dir):
     assert rows[("bb",)] == (2, 230, 30, 200)
 
 
-def test_mutated_part_forces_rebuild(spark, proj_dir):
+def test_mutated_part_refreshes_incrementally(spark, proj_dir):
+    # r11: the per-part state layout rebuilds ONLY the mutated part's
+    # projection partition (pre-r11 this degenerated to a full rebuild)
     add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
     # overwrite part 0 with different content (a mutation analogue)
     _part(proj_dir, 0, ["zz"], [7])
     _rows, used = _query(spark, proj_dir)
     assert used is None
     st = refresh_projection(spark, proj_dir, "by_g")
-    assert st.get("mode") == "rebuild"
+    assert st.get("mode") == "incremental"
+    assert st["changed_parts"] == 1 and st["new_parts"] == 0
     rows, used = _query(spark, proj_dir)
     assert used == "by_g"
     # part 0's original rows are gone; only part 1 remains beside zz
@@ -166,6 +169,51 @@ def test_mutated_part_forces_rebuild(spark, proj_dir):
         ("bb",): (1, 30, 30, 30),
         ("aa",): (1, 40, 40, 40),
     }
+
+
+def test_removed_part_invalidates_only_its_partition(spark, proj_dir):
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        stats_sidecar_path,
+    )
+
+    p0 = os.path.join(proj_dir, "part-000.clickhouse")
+    os.remove(p0)
+    side = stats_sidecar_path(p0)
+    if os.path.exists(side):
+        os.remove(side)
+    st = refresh_projection(spark, proj_dir, "by_g")
+    assert st.get("mode") == "incremental"
+    assert st["removed_parts"] == 1 and st["changed_parts"] == 0
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_g"
+    # only part 1's rows remain
+    assert rows == {
+        ("ab",): (1, 10, 10, 10),
+        ("ba",): (1, 20, 20, 20),
+        ("bb",): (1, 30, 30, 30),
+        ("aa",): (1, 40, 40, 40),
+    }
+
+
+def test_legacy_flat_manifest_rebuilds_once_then_per_part(spark, proj_dir):
+    import json
+
+    add_projection(spark, proj_dir, "by_g", group_by=["g"], aggs=AGGS)
+    # simulate a pre-r11 manifest (flat layout marker removed)
+    man_path = os.path.join(proj_dir, "_projection_by_g.json")
+    man = json.load(open(man_path))
+    man.pop("layout")
+    json.dump(man, open(man_path, "w"))
+    _part(proj_dir, 7, ["xx"], [5])  # any churn
+    st = refresh_projection(spark, proj_dir, "by_g")
+    assert st.get("mode") == "rebuild"
+    _part(proj_dir, 8, ["yy"], [6])
+    st2 = refresh_projection(spark, proj_dir, "by_g")
+    assert st2.get("mode") == "incremental" and st2["new_parts"] == 1
+    rows, used = _query(spark, proj_dir)
+    assert used == "by_g"
+    assert rows[("xx",)] == (1, 5, 5, 5) and rows[("yy",)] == (1, 6, 6, 6)
 
 
 def test_avg_derivation_and_idempotent_add(spark, proj_dir):

@@ -142,11 +142,34 @@ def main() -> None:
     n_total = sum(r.n for r in df2.collect())
     assert used2 == "by_g" and n_total == 10_312_500
 
+    # r11: MUTATE one of the 33 parts in place — the per-part state
+    # layout must rebuild ONLY that part's projection partition, so
+    # refresh cost tracks touched parts, not table size
+    ids = np.arange(10_000_000, 10_312_500, dtype=np.int64)
+    write_native_file(
+        extra,
+        pa.table(
+            {
+                "g": pa.array((ids * 2654435761) % 64),
+                "v": pa.array((ids + 1) % 1000),  # changed payload
+                "id": pa.array(ids),
+            }
+        ),
+        block_rows=65_409,
+    )
+    st2, t_refresh_mut = timed(lambda: refresh_projection(spark, d, "by_g"))
+    assert st2["mode"] == "incremental" and st2["changed_parts"] == 1, st2
+    (df3, used3), _ = timed(
+        lambda: query_projection_aware(spark, d, group_by=["g"], aggs=aggs)
+    )
+    assert used3 == "by_g" and sum(r.n for r in df3.collect()) == 10_312_500
+
     print(f"rows=10,312,500 files=33 groups=64")
     print(f"full-scan aggregate:        {t_full:.3f}s (plan+exec), repeat {t_full2:.3f}s")
     print(f"projection build (once):    {t_build:.3f}s")
     print(f"projection-answered query:  {t_proj:.3f}s, repeat {t_proj2:.3f}s")
-    print(f"incremental refresh (1/33 parts): {t_refresh:.3f}s")
+    print(f"incremental refresh (append 1/33 parts): {t_refresh:.3f}s")
+    print(f"incremental refresh (MUTATE 1/33 parts): {t_refresh_mut:.3f}s")
     print(f"query after refresh:        {t_proj3:.3f}s")
     # cleanup the appended part so repeat runs start from 32 parts
     for p in (extra, stats_sidecar_path(extra)):
