@@ -121,33 +121,36 @@ def main() -> None:
     )
     scan_df = spark.read.format("clickhouse_native").load(fixture)
     # the scan number is the headline baseline comparison and jitters
-    # +-30% with machine state at ~0.5 s; best-of-N matches the
-    # reference's (single cold run) optimistic framing, dispersion is
-    # reported alongside
+    # +-30% with machine state at ~0.5 s. The HEADLINE is the MEDIAN
+    # (r10 verdict item 2: best-of-N overstated the margin on a noisy
+    # host); best/max are reported alongside for dispersion.
     scan_ts: list[float] = []
     for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
         n = scan_df.count()
         scan_ts.append(time.perf_counter() - t0)
-    best_scan = min(scan_ts)
     assert n == scan_rows
-    results["native_scan_10m_count"] = round(best_scan, 4)
-    total += best_scan
-    mrps = scan_rows / best_scan / 1e6
+    scan_ts.sort()
+    median_scan = scan_ts[len(scan_ts) // 2]
+    results["native_scan_10m_count"] = round(median_scan, 4)
+    total += median_scan
+    mrps = scan_rows / median_scan / 1e6
     print(
-        f"# native_scan_10m_count: {best_scan:.3f}s "
-        f"({mrps:.1f} M rows/s vs reference 10.5 M rows/s)",
+        f"# native_scan_10m_count: median {median_scan:.3f}s "
+        f"({mrps:.1f} M rows/s vs reference 10.5 M rows/s; "
+        f"best {scan_ts[0]:.3f}s)",
         file=sys.stderr,
     )
-    scan_ts.sort()
     scan_throughput = {
         "rows": scan_rows,
         "files": 32,
-        "count_sec": round(best_scan, 4),
-        "count_sec_median": round(scan_ts[len(scan_ts) // 2], 4),
+        "count_sec": round(median_scan, 4),  # the headline == median
+        "count_sec_best": round(scan_ts[0], 4),
+        "count_sec_median": round(median_scan, 4),
         "count_sec_max": round(scan_ts[-1], 4),
         "runs": len(scan_ts),
         "mrows_per_sec": round(mrps, 1),
+        "mrows_per_sec_best": round(scan_rows / scan_ts[0] / 1e6, 1),
         "baseline_mrows_per_sec": 10.5,
     }
     def materialize(df) -> None:

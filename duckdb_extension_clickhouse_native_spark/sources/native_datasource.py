@@ -343,6 +343,16 @@ class ClickHouseNativeReader(DataSourceReader):
         # the fallback decode order is identical to the plain path, so
         # it is never slower than decoding everything.
         self.prewhere = str(options.get("prewhere", "true")).lower() == "true"
+        # coalesce decoded blocks into larger Arrow batches before they
+        # cross the Python->JVM boundary: each yielded batch pays a
+        # fixed IPC/serialization cost, so ~65k-row Native blocks (the
+        # ClickHouse default) under-amortize it. 32 MiB ~= several
+        # blocks per hand-off; 0 disables (yield per block). The concat
+        # is one memcpy at memory bandwidth — orders of magnitude
+        # cheaper than the per-batch overhead it removes (SCALE.md r11)
+        self.arrow_batch_bytes = int(
+            options.get("arrow_batch_bytes", 32 * 1024 * 1024)
+        )
         # file_column: inject the source-file basename as a constant
         # string column per partition (see infer_native_schema)
         self.file_column = (options.get("file_column") or "").strip() or None
@@ -665,6 +675,36 @@ class ClickHouseNativeReader(DataSourceReader):
         return pa.schema(fields)
 
     def read(self, partition: NativeFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        gen = self._read_blocks(partition)
+        target = self.arrow_batch_bytes
+        if target <= 0:
+            yield from gen
+            return
+        buf: list = []
+        nbytes = 0
+        for b in gen:
+            buf.append(b)
+            nbytes += b.nbytes
+            if nbytes >= target:
+                yield self._concat_batches(pa, buf)
+                buf, nbytes = [], 0
+        if buf:
+            yield self._concat_batches(pa, buf)
+
+    @staticmethod
+    def _concat_batches(pa, batches: list) -> "pa.RecordBatch":
+        if len(batches) == 1:
+            return batches[0]
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        out = tbl.to_batches()
+        assert len(out) == 1
+        return out[0]
+
+    def _read_blocks(
+        self, partition: NativeFilePartition
+    ) -> Iterator["pa.RecordBatch"]:
         import io
 
         import pyarrow as pa
