@@ -267,7 +267,11 @@ def _mutate_flat(
                 )
         df = spark.read.format("clickhouse_native").load(stage)
         if delete_where is not None:
-            df = df.filter(~_conj(delete_where))
+            # DELETE removes rows where the predicate is TRUE; a
+            # NULL predicate keeps the row (ClickHouse semantics —
+            # same null-safety as the r10 TTL fix)
+            cond = _conj(delete_where)
+            df = df.filter(cond.isNull() | ~cond)
         if update_set is not None:
             cond = _conj(update_where) if update_where else F.lit(True)
             # ONE projection for every SET column: ClickHouse UPDATE
@@ -353,11 +357,31 @@ def _mutate_hive(
     update_where: Optional[Sequence[Pred]],
     compression: Optional[str],
 ) -> dict:
-    """Per-partition-directory mutation over a hive layout: the output
-    mirrors the source's ``key=value`` tree; directories the partition
-    terms prove untouched hard-link wholesale."""
+    """Mutation over a hive layout as ONE distributed job (a
+    per-directory driver loop would be O(partitions) Spark jobs —
+    untenable at 100k partitions):
+
+    1. driver-side triage per directory — partition-key predicate
+       terms evaluate against the directory's literal values, and a
+       directory the conjunctions cannot match hard-links wholesale;
+       inside applicable directories, parts whose sidecars prove the
+       residual data terms match zero rows hard-link individually;
+    2. every remaining part symlink-stages UNDER ITS ``key=value``
+       relative path, so one hive read restores the partition columns
+       as real columns;
+    3. the full original predicates (partition + data terms alike)
+       apply as column predicates in that single read, and one
+       partitioned write (``partition_by=<keys>``) mirrors the tree
+       into ``out_dir``.
+
+    DELETE keeps rows where the predicate is FALSE *or NULL*
+    (ClickHouse ALTER DELETE removes only rows where the expression is
+    true). The output mirrors the source's ``key=value`` tree."""
     from ..native.writer import stats_sidecar_path
-    from ..sources.native_datasource import _partition_components
+    from ..sources.native_datasource import (
+        _partition_components,
+        infer_native_schema,
+    )
 
     if update_set is not None:
         bad = sorted(set(update_set) & set(part_keys))
@@ -383,7 +407,15 @@ def _mutate_hive(
         if os.path.isdir(p) and "=" in f:
             shutil.rmtree(p, ignore_errors=True)
 
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5((src_dir + "|" + out_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "chsql_mutate_hive", tag)
+    shutil.rmtree(stage, ignore_errors=True)
+
     untouched = rewritten = 0
+    staged = 0
     for rel in sorted(by_dir):
         dir_parts = by_dir[rel]
         pk_vals = pk_vals_by_dir[rel]
@@ -397,13 +429,11 @@ def _mutate_hive(
         u_applies, u_residual = (False, ())
         if update_set is not None:
             if update_where is None:
-                u_applies, u_residual = True, None  # everywhere
+                u_applies, u_residual = True, ()  # everywhere
             else:
                 u_applies, u_residual = _split_pk_terms(
                     update_where, part_keys, pk_vals, types
                 )
-                if u_applies and not u_residual:
-                    u_residual = None  # constant-true here
 
         if d_applies and not d_residual:
             # delete conjunction reduced to TRUE for this directory:
@@ -413,32 +443,65 @@ def _mutate_hive(
             continue
         if not d_applies and not u_applies:
             # neither mutation can match here — link the directory
-            os.makedirs(dst, exist_ok=True)
-            for i, p in enumerate(dir_parts):
-                base = f"keep-{i:04d}-{os.path.basename(p)}"
-                _link_or_copy(p, os.path.join(dst, base))
-                side = stats_sidecar_path(p)
-                if os.path.exists(side):
-                    _link_or_copy(
-                        side,
-                        os.path.join(
-                            dst, os.path.basename(stats_sidecar_path(base))
-                        ),
-                    )
+            _link_parts(dir_parts, dst)
             untouched += len(dir_parts)
             continue
 
-        st = _mutate_flat(
-            spark,
-            dir_parts,
-            dst,
-            delete_where=d_residual if d_applies else None,
-            update_set=update_set if u_applies else None,
-            update_where=u_residual if u_applies else None,
-            compression=compression,
+        # part-level sidecar proof on the RESIDUAL data terms (an
+        # empty residual update conjunction touches every part)
+        pred_sets = []
+        if d_applies:
+            pred_sets.append(d_residual)
+        if u_applies:
+            pred_sets.append(u_residual)
+        os.makedirs(dst, exist_ok=True)
+        keep = []
+        for p in dir_parts:
+            if _part_untouched(p, pred_sets):
+                keep.append(p)
+            else:
+                sdir = os.path.join(stage, rel)
+                os.makedirs(sdir, exist_ok=True)
+                os.symlink(p, os.path.join(sdir, os.path.basename(p)))
+                side = stats_sidecar_path(p)
+                if os.path.exists(side):
+                    os.symlink(
+                        side, os.path.join(sdir, os.path.basename(side))
+                    )
+                staged += 1
+        _link_parts(keep, dst)
+        untouched += len(keep)
+        rewritten += len(dir_parts) - len(keep)
+
+    if staged:
+        # ONE read over the staged key=value tree: partition columns
+        # come back as real columns, so the ORIGINAL conjunctions
+        # (partition + data terms) apply directly
+        schema = infer_native_schema({"path": stage})
+        df = (
+            spark.read.format("clickhouse_native")
+            .schema(schema)
+            .load(stage)
         )
-        untouched += st["untouched_parts"]
-        rewritten += st["rewritten_parts"]
+        if delete_where is not None:
+            cond = _conj(delete_where)
+            df = df.filter(cond.isNull() | ~cond)
+        if update_set is not None:
+            ucond = _conj(update_where) if update_where else F.lit(True)
+            df = df.withColumns(
+                {
+                    col: F.when(ucond, F.expr(expr)).otherwise(F.col(col))
+                    for col, expr in update_set.items()
+                }
+            )
+        writer = (
+            df.write.format("clickhouse_native")
+            .mode("append")
+            .option("partition_by", ",".join(part_keys))
+        )
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(out_dir)
 
     return {
         "untouched_parts": untouched,
@@ -482,13 +545,20 @@ def apply_ttl(
     Timestamp columns carry no sidecar stats (writer only records
     int/float/string), so time-typed TTL predicates conservatively
     touch every part — correctness never depends on pruning.
+
+    Hive ``key=value`` layouts (r11): delete mode inherits
+    :func:`mutate_native_dir`'s per-directory recursion; GROUP BY
+    rollup requires every partition key to be a GROUP BY key (the
+    directory value is constant per group, so rollup groups never span
+    directories — analogous to ClickHouse requiring TTL GROUP BY to be
+    a primary-key prefix) and then runs per directory with expiry
+    terms on partition keys pruning whole directories to hard-links.
     """
     if group_by is None:
         return apply_ttl_delete(spark, src_dir, out_dir, ttl_where, compression)
 
     from ..filesystem import resolve_paths
-    from ..native.writer import stats_sidecar_path
-    from ..sources.native_datasource import _partition_spec, infer_native_schema
+    from ..sources.native_datasource import _partition_spec
 
     _guard_out_dir(src_dir, out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -498,26 +568,202 @@ def apply_ttl(
             os.remove(p)
 
     parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
-    part_keys, _vals, _types = _partition_spec(src_dir, parts)
+    part_keys, _vals, types = _partition_spec(src_dir, parts)
+    group_by = list(group_by)
+    set_exprs = dict(set_exprs or {})
     if part_keys:
-        raise NotImplementedError(
-            "apply_ttl does not support hive-partitioned layouts; "
-            "apply per partition directory"
+        return _ttl_rollup_hive(
+            spark,
+            src_dir,
+            out_dir,
+            parts,
+            part_keys,
+            types,
+            ttl_where=tuple(ttl_where),
+            group_by=group_by,
+            set_exprs=set_exprs,
+            compression=compression,
         )
+    return _ttl_rollup_flat(
+        spark,
+        parts,
+        out_dir,
+        ttl_where=tuple(ttl_where),
+        group_by=group_by,
+        set_exprs=set_exprs,
+        compression=compression,
+    )
+
+
+def _link_parts(dir_parts: list, dst: str) -> None:
+    """Hard-link (or copy) parts + their sidecars into ``dst`` under
+    collision-free keep- names."""
+    from ..native.writer import stats_sidecar_path
+
+    os.makedirs(dst, exist_ok=True)
+    for i, p in enumerate(dir_parts):
+        base = f"keep-{i:04d}-{os.path.basename(p)}"
+        _link_or_copy(p, os.path.join(dst, base))
+        side = stats_sidecar_path(p)
+        if os.path.exists(side):
+            _link_or_copy(
+                side,
+                os.path.join(dst, os.path.basename(stats_sidecar_path(base))),
+            )
+
+
+def _ttl_rollup_hive(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    parts: list,
+    part_keys: list,
+    types: dict,
+    *,
+    ttl_where: tuple,
+    group_by: list,
+    set_exprs: dict,
+    compression: Optional[str],
+) -> dict:
+    """TTL GROUP BY over a hive layout, per partition directory.
+
+    Correct per-directory rollup requires the partition keys to be
+    GROUP BY keys (each directory's value is constant there, so the
+    group identity never spans directories — the analogue of
+    ClickHouse requiring TTL GROUP BY to be a primary-key prefix);
+    anything else would need a cross-directory shuffle whose output
+    could not be written back per-directory, and is refused loudly."""
+    from ..sources.native_datasource import _partition_components
+
+    if not set(part_keys) <= set(group_by):
+        raise NotImplementedError(
+            f"TTL GROUP BY over a hive layout requires every partition "
+            f"key in group_by (partition keys {part_keys}, group_by "
+            f"{group_by}): rollup groups must not span directories"
+        )
+    bad = sorted(set(set_exprs) & set(part_keys))
+    if bad:
+        raise ValueError(
+            f"cannot SET partition column(s) {bad} in a TTL rollup"
+        )
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import infer_native_schema
+
+    by_dir: dict[str, list] = {}
+    pk_vals_by_dir: dict[str, dict] = {}
+    for p in parts:
+        rel = os.path.dirname(os.path.relpath(p, src_dir))
+        by_dir.setdefault(rel, []).append(p)
+        pk_vals_by_dir[rel] = dict(_partition_components(src_dir, p))
+
+    for f in os.listdir(out_dir):  # idempotent rebuild of the tree
+        p = os.path.join(out_dir, f)
+        if os.path.isdir(p) and "=" in f:
+            shutil.rmtree(p, ignore_errors=True)
+
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5((src_dir + "|" + out_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "chsql_ttl_hive", tag)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # driver-side triage (directory pruning + per-part sidecar proof),
+    # then ONE distributed rollup job over the staged key=value tree —
+    # never a Spark job per directory (O(partitions) jobs would not
+    # survive 100k partitions)
+    untouched = rewritten = staged = 0
+    for rel in sorted(by_dir):
+        dir_parts = by_dir[rel]
+        dst = os.path.join(out_dir, rel)
+        applies, residual = _split_pk_terms(
+            ttl_where, part_keys, pk_vals_by_dir[rel], types
+        )
+        if not applies:
+            # expiry condition unmatchable here — link the directory
+            _link_parts(dir_parts, dst)
+            untouched += len(dir_parts)
+            continue
+        os.makedirs(dst, exist_ok=True)
+        keep = []
+        for p in dir_parts:
+            if _part_untouched(p, [residual]):
+                keep.append(p)
+            else:
+                sdir = os.path.join(stage, rel)
+                os.makedirs(sdir, exist_ok=True)
+                os.symlink(p, os.path.join(sdir, os.path.basename(p)))
+                side = stats_sidecar_path(p)
+                if os.path.exists(side):
+                    os.symlink(
+                        side, os.path.join(sdir, os.path.basename(side))
+                    )
+                staged += 1
+        _link_parts(keep, dst)
+        untouched += len(keep)
+        rewritten += len(dir_parts) - len(keep)
+
+    if staged:
+        schema = infer_native_schema({"path": stage})
+        fresh = lambda: (  # noqa: E731 — one reader per branch (r10 trap)
+            spark.read.format("clickhouse_native").schema(schema).load(stage)
+        )
+        df = fresh()
+        # the hive read restores partition columns, so the FULL expiry
+        # conjunction (partition + data terms) applies directly; the
+        # full GROUP BY (which includes the partition keys) is valid on
+        # real columns and the partitioned write mirrors the tree
+        cond = _conj(ttl_where)
+        kept = fresh().filter(cond.isNull() | ~cond)
+        expired = fresh().filter(cond)
+        aggs = []
+        for col in df.columns:
+            if col in group_by:
+                continue
+            aggs.append(F.expr(set_exprs.get(col, f"MIN({col})")).alias(col))
+        rolled = expired.groupBy(*group_by).agg(*aggs).select(*df.columns)
+        out_df = kept.select(*df.columns).unionAll(rolled)
+        writer = (
+            out_df.write.format("clickhouse_native")
+            .mode("append")
+            .option("partition_by", ",".join(part_keys))
+        )
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(out_dir)
+
+    return {
+        "untouched_parts": untouched,
+        "rewritten_parts": rewritten,
+        "out_dir": out_dir,
+        "partition_dirs": len(by_dir),
+    }
+
+
+def _ttl_rollup_flat(
+    spark: SparkSession,
+    parts: list,
+    out_dir: str,
+    *,
+    ttl_where: tuple,
+    group_by: list,
+    set_exprs: dict,
+    compression: Optional[str],
+) -> dict:
+    """The single-directory TTL GROUP BY core over an explicit part
+    list. An EMPTY ``ttl_where`` conjunction means every row expires
+    (only reachable from the hive path, where the partition terms were
+    proven true for the directory)."""
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import infer_native_schema
+
+    os.makedirs(out_dir, exist_ok=True)
     pred_sets = [tuple(ttl_where)]
     untouched, touched = [], []
     for p in parts:
         (untouched if _part_untouched(p, pred_sets) else touched).append(p)
 
-    for i, p in enumerate(untouched):
-        base = f"keep-{i:04d}-{os.path.basename(p)}"
-        _link_or_copy(p, os.path.join(out_dir, base))
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            _link_or_copy(
-                side,
-                os.path.join(out_dir, os.path.basename(stats_sidecar_path(base))),
-            )
+    _link_parts(untouched, out_dir)
 
     if touched:
         import hashlib
@@ -547,14 +793,13 @@ def apply_ttl(
             spark.read.format("clickhouse_native").schema(schema).load(stage)
         )
         df = fresh()
-        cond = _conj(ttl_where)
+        # empty conjunction == constant-true expiry for this directory
+        cond = _conj(ttl_where) if ttl_where else F.lit(True)
         # NULL-predicate rows (e.g. NULL ts) satisfy neither ~cond nor
         # cond — they must survive as KEPT (unexpired) rows, not vanish
         # (r10 ADVICE): a row whose TTL clock is unknown has not expired
         kept = fresh().filter(cond.isNull() | ~cond)
         expired = fresh().filter(cond)
-        set_exprs = dict(set_exprs or {})
-        group_by = list(group_by)
         aggs = []
         for col in df.columns:
             if col in group_by:

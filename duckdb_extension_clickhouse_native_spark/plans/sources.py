@@ -1481,6 +1481,97 @@ REGISTRY.df_query(
 )
 
 
+def _mutation_ttl_rollup_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL ... GROUP BY over a hive layout (r11): expiry terms on the
+    ``day`` partition key prune whole directories to hard-links, the
+    data term (``value < 50``) rolls expired rows up per
+    (event_type, day) inside each remaining directory, and the
+    partition keys are required GROUP BY keys so no rollup group spans
+    directories. SET uses an exact DECIMAL sum cast back to DOUBLE —
+    engine-independent, unlike a bare float SUM."""
+    import hashlib
+    import tempfile
+
+    from ..operators.mutations import apply_ttl
+    from ..sources.native_datasource import infer_native_schema
+
+    src = _hive_events_fixture(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_ttl_hive",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    st = apply_ttl(
+        spark,
+        src,
+        out,
+        ttl_where=[("day", "<=", 19733), ("value", "<", 50.0)],
+        group_by=["event_type", "day"],
+        set_exprs={
+            "value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
+            "event_id": "COUNT(*)",
+        },
+    )
+    if st["untouched_parts"] == 0:
+        raise AssertionError(
+            "no partition directory hard-linked — day-term pruning "
+            "regressed"
+        )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": out}))
+        .load(out)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "mutation_ttl_rollup_hive",
+    _mutation_ttl_rollup_hive,
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             value
+      FROM events
+    ),
+    kept AS (
+      SELECT event_id, event_type, value
+      FROM e WHERE NOT (day <= 19733 AND value < 50.0)
+    ),
+    roll AS (
+      SELECT COUNT(*) AS event_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+      FROM e WHERE day <= 19733 AND value < 50.0
+      GROUP BY event_type, day
+    ),
+    u AS (
+      SELECT * FROM kept UNION ALL SELECT event_id, event_type, value FROM roll
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM u
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["source", "native", "mutation", "ttl", "hive", "partition"],
+    description="hive-layout TTL GROUP BY rollup: day-term directory "
+    "pruning, per-(event_type, day) rollup of expired low-value rows, "
+    "exact decimal SET sum; aggregate of the mutated tree == oracle",
+)
+
+
 def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """system.parts analogue: per-part metadata rows from the writer's
     stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —

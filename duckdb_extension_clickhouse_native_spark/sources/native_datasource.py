@@ -476,7 +476,16 @@ class ClickHouseNativeReader(DataSourceReader):
         sidecar exclusion logic with a synthesized one-row stat
         (min == max == the path value)."""
         keyset = set(self.part_keys)
-        part_filters = [f for f in self.pushed if f.attribute[0] in keyset]
+
+        def attr(f) -> Optional[str]:
+            # Not has no .attribute; its child does (conservative: a
+            # wrapped filter shape _filter_excludes_file doesn't prove
+            # simply never prunes)
+            child = f.child if isinstance(f, Not) else f
+            a = getattr(child, "attribute", None)
+            return a[0] if a else None
+
+        part_filters = [f for f in self.pushed if attr(f) in keyset]
         if not part_filters:
             return paths
         kept = []

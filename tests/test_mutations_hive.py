@@ -157,6 +157,73 @@ def test_hive_ttl_delete_via_mutation_path(spark, tmp_path):
     assert got == list(range(100, 300))
 
 
+def test_hive_ttl_rollup_partition_keys_in_group_by(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _hive_dir(src)  # lang dirs de/en/fr, k unique, v=1
+    st = apply_ttl(
+        spark,
+        src,
+        out,
+        ttl_where=[("k", "<", 150)],
+        group_by=["lang"],
+        set_exprs={"v": "SUM(v)", "k": "MAX(k)"},
+    )
+    # de: both parts expire wholesale (k<100<150) -> 1 rollup row
+    # en: part-000 [100,150) expires, part-001 sidecar-proven kept
+    # fr: untouched via sidecar (k>=200)
+    rows = sorted(
+        (r.lang, r.k, r.v)
+        for r in _read(spark, out).collect()
+    )
+    # de rollup: SUM(v)=100, MAX(k)=99; en rollup: SUM=50, MAX=149
+    assert (str("de"), 99, 100) in rows
+    assert ("en", 149, 50) in rows
+    # kept rows: en [150,200) + all fr -> 50 + 100 verbatim
+    kept = [r for r in rows if r[2] == 1]
+    assert len(kept) == 150
+    assert st["partition_dirs"] == 3
+
+
+def test_hive_ttl_rollup_pk_expiry_term_prunes_dirs(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _hive_dir(src)
+    st = apply_ttl(
+        spark,
+        src,
+        out,
+        ttl_where=[("lang", "=", "en")],  # whole en tree expires
+        group_by=["lang"],
+        set_exprs={"v": "SUM(v)", "k": "COUNT(*)"},
+    )
+    # de/fr directories hard-link (4 parts); en rolls to one row
+    assert st["untouched_parts"] == 4 and st["rewritten_parts"] == 2
+    rows = sorted((r.lang, r.k, r.v) for r in _read(spark, out).collect())
+    en = [r for r in rows if r[0] == "en"]
+    assert en == [("en", 100, 100)]
+    assert len(rows) == 201
+
+
+def test_hive_ttl_rollup_refuses_group_without_partition_keys(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    _hive_dir(src)
+    with pytest.raises(NotImplementedError, match="partition key"):
+        apply_ttl(
+            spark, src, out, ttl_where=[("k", "<", 10)], group_by=["v"]
+        )
+    with pytest.raises(ValueError, match="SET partition"):
+        apply_ttl(
+            spark,
+            src,
+            out,
+            ttl_where=[("k", "<", 10)],
+            group_by=["lang"],
+            set_exprs={"lang": "MAX(lang)"},
+        )
+
+
 def test_hive_mutation_idempotent_rerun(spark, tmp_path):
     src, out = str(tmp_path / "src"), str(tmp_path / "out")
     os.makedirs(src)
