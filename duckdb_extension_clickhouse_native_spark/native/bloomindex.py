@@ -1,0 +1,89 @@
+"""Bloom-filter skip index for the stats sidecars — the ClickHouse
+``bloom_filter`` data-skipping index analogue (reference surface: the
+host engine's MergeTree skip indexes; the reference repo itself reads
+files, lib.rs:240-366, and delegates pruning to its host).
+
+Min/max sidecar stats prune RANGE predicates but are blind to point
+lookups on scattered values: a part holding {'u17', 'u83091'} has
+min='u17', max='u83091' and every equality probe lands inside the
+range. A per-part bloom filter over the column's distinct values
+proves definite ABSENCE for `col = v` / `col IN (...)`, which is the
+pruning that matters for high-cardinality lookups (URLs, UUIDs, doc
+ids) over hash-scattered layouts at 100 TB.
+
+Wire format (inside ``_<part>.stats.json``): a top-level ``"bloom"``
+map ``{column: {"m": bits, "k": hashes, "b64": bitset}}``. Hashing is
+double-hashing over blake2b-128 (h1 + i*h2 mod m) on a type-tagged
+byte encoding — int and string columns only (float equality pruning
+is a footgun; bool/None never index). False positives only ever KEEP
+a file — pruning stays conservative by construction.
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+from typing import Iterable, Optional
+
+# ~1% false-positive rate at 10 bits/value with k=7 (standard curve)
+_BITS_PER_VALUE = 10
+_K = 7
+_MAX_BITS = 1 << 18  # 32 KiB of bits -> ~44 KB base64 per column cap
+# beyond this many distinct values the capped filter saturates
+# (fp rate climbs past usefulness) — drop the index, never mis-prune
+MAX_DISTINCT = _MAX_BITS // _BITS_PER_VALUE
+
+
+def value_bytes(v) -> Optional[bytes]:
+    """Type-tagged canonical encoding; None for unsupported types
+    (callers treat unsupported as 'cannot prove absence')."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    return None
+
+
+def _hashes(data: bytes, k: int, m: int):
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full-period stride
+    for i in range(k):
+        yield (h1 + i * h2) % m
+
+
+def build_bloom(distinct_encoded: Iterable[bytes]) -> Optional[dict]:
+    """Bloom dict from the column's DISTINCT type-tagged values
+    (already encoded via :func:`value_bytes`); None when empty."""
+    vals = list(distinct_encoded)
+    if not vals or len(vals) > MAX_DISTINCT:
+        return None
+    m = min(_MAX_BITS, max(64, _BITS_PER_VALUE * len(vals)))
+    # round up to a byte multiple so the b64 payload is clean
+    m = ((m + 7) // 8) * 8
+    bits = bytearray(m // 8)
+    for b in vals:
+        for h in _hashes(b, _K, m):
+            bits[h >> 3] |= 1 << (h & 7)
+    return {"m": m, "k": _K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_maybe_contains(bloom: dict, v) -> bool:
+    """False ONLY when the filter proves ``v`` absent. Malformed
+    entries and unsupported types answer True (never prune)."""
+    b = value_bytes(v)
+    if b is None:
+        return True
+    try:
+        m = int(bloom["m"])
+        k = int(bloom["k"])
+        bits = base64.b64decode(bloom["b64"])
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            return True
+    except (KeyError, TypeError, ValueError):
+        return True
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in _hashes(b, k, m))

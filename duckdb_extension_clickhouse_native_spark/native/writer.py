@@ -181,13 +181,50 @@ class BlockStatsRecorder:
     level too — keeping a partial min/max would let pruning drop
     files whose unaccounted rows match."""
 
-    def __init__(self) -> None:
+    def __init__(self, bloom_columns: tuple = ()) -> None:
         self.blocks: list[dict] = []
         self.merged: dict = {}
         self.rows = 0
         self._dropped: set = set()
+        # bloom skip index (native/bloomindex.py): distinct type-tagged
+        # values per indexed column, accumulated across blocks; a
+        # column hitting an unsupported type or the distinct cap drops
+        # its index (conservative — no index, no pruning)
+        self._bloom_cols = tuple(bloom_columns)
+        self._bloom_vals: dict[str, set] = {c: set() for c in self._bloom_cols}
+        self._bloom_dropped: set = set()
+
+    def _bloom_on_block(self, piece: pa.RecordBatch) -> None:
+        if not self._bloom_cols or piece.num_rows == 0:
+            return
+        from .bloomindex import MAX_DISTINCT, value_bytes
+
+        import pyarrow.compute as pc
+
+        names = set(piece.schema.names)
+        for col in self._bloom_cols:
+            if col in self._bloom_dropped:
+                continue
+            if col not in names:
+                self._bloom_dropped.add(col)
+                continue
+            acc = self._bloom_vals[col]
+            arr = piece.column(piece.schema.get_field_index(col))
+            for v in pc.unique(arr).to_pylist():
+                if v is None:
+                    continue
+                b = value_bytes(v)
+                if b is None:  # unsupported type: drop the index
+                    self._bloom_dropped.add(col)
+                    break
+                acc.add(b)
+            if len(acc) > MAX_DISTINCT:
+                self._bloom_dropped.add(col)
+        for col in self._bloom_dropped:
+            self._bloom_vals.pop(col, None)
 
     def on_block(self, offset: int, piece: pa.RecordBatch) -> None:
+        self._bloom_on_block(piece)
         st = _column_stats(piece)
         self.blocks.append(
             {"offset": int(offset), "rows": int(piece.num_rows), "columns": st}
@@ -220,6 +257,16 @@ class BlockStatsRecorder:
         if self.blocks:
             side["blocks"] = self.blocks
             side["file_bytes"] = os.path.getsize(path)
+        blooms = {}
+        if self._bloom_vals:
+            from .bloomindex import build_bloom
+
+            for col, vals in self._bloom_vals.items():
+                bl = build_bloom(vals)
+                if bl is not None:
+                    blooms[col] = bl
+        if blooms:
+            side["bloom"] = blooms
         return side
 
 
@@ -231,11 +278,15 @@ def write_native_file(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     compression: Optional[str] = None,
     stats: bool = True,
+    index_bloom: Optional[list] = None,
 ) -> int:
     """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
     wrap the stream in ClickHouse compressed frames (compress.py).
     ``stats=True`` also writes a ``_<name>.stats.json`` min/max sidecar
-    enabling file-level predicate skipping at scan planning."""
+    enabling file-level predicate skipping at scan planning;
+    ``index_bloom=[cols]`` adds a bloom skip index per listed column
+    (native/bloomindex.py — equality/IN pruning on scattered values
+    min/max cannot prove absent)."""
     if isinstance(table, pa.RecordBatch):
         batches: list[pa.RecordBatch] = [table]
         schema = table.schema
@@ -243,7 +294,11 @@ def write_native_file(
         batches = table.to_batches(max_chunksize=block_rows)
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
-    rec = BlockStatsRecorder() if (stats and compression is None) else None
+    rec = (
+        BlockStatsRecorder(tuple(index_bloom or ()))
+        if (stats and compression is None)
+        else None
+    )
     with open(path, "wb") as f:
         buf: BinaryIO = io.BufferedWriter(f, buffer_size=1 << 20)
         if compression is not None:

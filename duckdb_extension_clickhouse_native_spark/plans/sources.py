@@ -1572,6 +1572,94 @@ REGISTRY.df_query(
 )
 
 
+def _bloom_scatter_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Documents hash-SCATTERED across 16 parts by md5(uid) with a
+    bloom skip index on the synthetic high-cardinality ``uid`` column
+    ('u' || doc_id): every part's min/max spans nearly the whole key
+    space, so only the bloom can prune a point probe — the layout a
+    100 TB table has when partitioned by some OTHER key."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        uid = pc.binary_join_element_wise(
+            pa.array(["u"] * t.num_rows),
+            pc.cast(t.column("doc_id"), "string"),
+            "",
+        )
+        t2 = t.append_column("uid", uid)
+        bucket = pa.array(
+            [
+                int(hashlib.md5(u.encode()).hexdigest(), 16) % 16
+                for u in uid.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+        t2 = t2.append_column("__b", bucket)
+        for b in range(16):
+            piece = t2.filter(pc.equal(t2.column("__b"), b)).drop(["__b"])
+            if piece.num_rows == 0:
+                continue
+            write_native_file(
+                os.path.join(out_dir, f"part-{b:03d}.clickhouse"),
+                piece,
+                index_bloom=["uid"],
+            )
+
+    return _materialize_fixture(sf_dir, "documents", "documents-bloom16", write)
+
+
+def _native_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom skip index (ClickHouse ``bloom_filter`` analogue): a point
+    probe on the hash-scattered ``uid`` column plans ONE partition
+    because 15 of 16 sidecars prove the value absent — min/max alone
+    cannot prune anything here (every part spans the key range). The
+    entry asserts the pruning actually fired."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _bloom_scatter_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+        .filter(F.col("uid").isin("u42", "u301", "u17"))
+    )
+    if df.rdd.getNumPartitions() > 3:
+        raise AssertionError(
+            f"bloom pruning regressed: planned "
+            f"{df.rdd.getNumPartitions()} partitions for a 3-value "
+            "probe over 16 hash-scattered parts"
+        )
+    return df.select(
+        "doc_id",
+        "uid",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+REGISTRY.df_query(
+    "native_bloom_skip_scan",
+    _native_bloom_skip_scan,
+    oracle="""
+    SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS uid,
+           CAST(n_chars AS BIGINT) AS n_chars, lang
+    FROM documents
+    WHERE doc_id IN (42, 301, 17)
+    ORDER BY doc_id
+    """,
+    tags=["source", "native", "bloom", "skipping", "pruning"],
+    description="bloom skip index: point probe over hash-scattered "
+    "parts plans <=3 of 16 partitions (min/max blind); rows == oracle",
+)
+
+
 def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """system.parts analogue: per-part metadata rows from the writer's
     stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —

@@ -263,6 +263,39 @@ def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
     rows = int(stats.get("rows", 0))
     if rows == 0:
         return False  # empty file costs nothing; don't reason about it
+    # bloom skip index: proves definite ABSENCE for point lookups that
+    # land inside the min/max range (native/bloomindex.py). Equality
+    # rejects NULL rows by SQL semantics and the filter covers every
+    # non-null value, so 'definitely absent' == zero matching rows.
+    blooms = stats.get("bloom") or {}
+    if blooms:
+        from ..native.bloomindex import bloom_maybe_contains
+
+        if (
+            isinstance(f, (EqualTo, EqualNullSafe))
+            and f.value is not None
+            and not isinstance(f.value, bool)
+        ):
+            bl = blooms.get(f.attribute[0])
+            if bl is not None and not bloom_maybe_contains(bl, f.value):
+                return True
+        if isinstance(f, In):
+            bl = blooms.get(f.attribute[0])
+            non_null = [v for v in f.value if v is not None]
+            if (
+                bl is not None
+                and non_null
+                and all(
+                    not bloom_maybe_contains(bl, v)
+                    for v in non_null
+                    if not isinstance(v, bool)
+                )
+                and not any(isinstance(v, bool) for v in non_null)
+            ):
+                # NULL members of an IN list never match (NULL = x is
+                # NULL, not true), so all-absent non-null members
+                # prove the file matches nothing
+                return True
     if isinstance(f, IsNull):
         c = cols.get(f.attribute[0])
         return c is not None and int(c.get("nulls", 1)) == 0
@@ -1137,14 +1170,14 @@ class _FileSink:
     the state the writer keeps per output file (one per task, or one
     per partition combo per task under ``partition_by``)."""
 
-    def __init__(self, fname: str, compression, block_rows: int):
+    def __init__(self, fname: str, compression, block_rows: int, index_bloom: tuple = ()):
         from ..native.writer import BlockStatsRecorder
 
         self.fname = fname
         self.compression = compression
         self.block_rows = block_rows
         self.rows = 0
-        self._rec = BlockStatsRecorder()
+        self._rec = BlockStatsRecorder(index_bloom)
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -1245,6 +1278,13 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         self.sort_by: List[str] = [
             c.strip() for c in str(options.get("sort_by", "")).split(",") if c.strip()
         ]
+        # bloom skip index columns (native/bloomindex.py): equality/IN
+        # pruning on scattered values min/max cannot prove absent
+        self.index_bloom: tuple = tuple(
+            c.strip()
+            for c in str(options.get("index_bloom", "")).split(",")
+            if c.strip()
+        )
         names = [f.name for f in schema.fields]
         missing = [c for c in self.partition_by if c not in names]
         if missing:
@@ -1252,6 +1292,9 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         missing = [c for c in self.sort_by if c not in names]
         if missing:
             raise ValueError(f"sort_by columns not in schema: {missing}")
+        missing = [c for c in self.index_bloom if c not in names]
+        if missing:
+            raise ValueError(f"index_bloom columns not in schema: {missing}")
         if self.partition_by and len(self.partition_by) == len(names):
             raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
@@ -1299,6 +1342,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 os.path.join(self.path, f"part-{token}.clickhouse"),
                 self.compression,
                 self.block_rows,
+                self.index_bloom,
             )
             os.makedirs(self.path, exist_ok=True)
             try:
@@ -1350,6 +1394,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                             ),
                             self.compression,
                             self.block_rows,
+                            self.index_bloom,
                         )
                     sink.write_batch(sub)
             # finalize inside the same guard: a flush/close failure on
