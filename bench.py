@@ -124,6 +124,7 @@ def main() -> None:
     # +-30% with machine state at ~0.5 s. The HEADLINE is the MEDIAN
     # (r10 verdict item 2: best-of-N overstated the margin on a noisy
     # host); best/max are reported alongside for dispersion.
+    scan_df.count()  # one untimed warmup: JVM/codegen + page cache
     scan_ts: list[float] = []
     for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
