@@ -72,6 +72,17 @@ def build_bloom(distinct_encoded: Iterable[bytes]) -> Optional[dict]:
     return {"m": m, "k": _K, "b64": base64.b64encode(bytes(bits)).decode()}
 
 
+NGRAM_N = 3  # ClickHouse ngrambf_v1's customary gram size
+
+
+def string_ngrams(s: str, n: int = NGRAM_N) -> set:
+    """Encoded codepoint n-grams of ``s`` (empty for short strings).
+    Both the writer (over column values) and the reader (over the
+    probe needle) use this — a needle gram absent from the part's
+    union proves no value CONTAINS the needle."""
+    return {value_bytes(s[i : i + n]) for i in range(len(s) - n + 1)}
+
+
 def bloom_maybe_contains(bloom: dict, v) -> bool:
     """False ONLY when the filter proves ``v`` absent. Malformed
     entries and unsupported types answer True (never prune)."""
@@ -87,3 +98,17 @@ def bloom_maybe_contains(bloom: dict, v) -> bool:
     except (KeyError, TypeError, ValueError):
         return True
     return all(bits[h >> 3] & (1 << (h & 7)) for h in _hashes(b, k, m))
+
+
+def ngrambf_may_match_substring(bloom: dict, needle: str) -> bool:
+    """False ONLY when some n-gram of ``needle`` is provably absent
+    from the column's gram union — then no value contains the needle
+    (StringContains / LIKE '%needle%' matches zero rows). Needles
+    shorter than the gram size answer True (no gram to probe)."""
+    if not isinstance(needle, str) or len(needle) < NGRAM_N:
+        return True
+    for i in range(len(needle) - NGRAM_N + 1):
+        gram = needle[i : i + NGRAM_N]
+        if not bloom_maybe_contains(bloom, gram):
+            return False
+    return True

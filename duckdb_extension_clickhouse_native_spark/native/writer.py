@@ -181,7 +181,9 @@ class BlockStatsRecorder:
     level too — keeping a partial min/max would let pruning drop
     files whose unaccounted rows match."""
 
-    def __init__(self, bloom_columns: tuple = ()) -> None:
+    def __init__(
+        self, bloom_columns: tuple = (), ngram_columns: tuple = ()
+    ) -> None:
         self.blocks: list[dict] = []
         self.merged: dict = {}
         self.rows = 0
@@ -193,11 +195,16 @@ class BlockStatsRecorder:
         self._bloom_cols = tuple(bloom_columns)
         self._bloom_vals: dict[str, set] = {c: set() for c in self._bloom_cols}
         self._bloom_dropped: set = set()
+        # ngrambf skip index: union of codepoint 3-grams across the
+        # column's string values — prunes substring predicates
+        self._ngram_cols = tuple(ngram_columns)
+        self._ngram_vals: dict[str, set] = {c: set() for c in self._ngram_cols}
+        self._ngram_dropped: set = set()
 
     def _bloom_on_block(self, piece: pa.RecordBatch) -> None:
-        if not self._bloom_cols or piece.num_rows == 0:
+        if (not self._bloom_cols and not self._ngram_cols) or piece.num_rows == 0:
             return
-        from .bloomindex import MAX_DISTINCT, value_bytes
+        from .bloomindex import MAX_DISTINCT, string_ngrams, value_bytes
 
         import pyarrow.compute as pc
 
@@ -222,6 +229,25 @@ class BlockStatsRecorder:
                 self._bloom_dropped.add(col)
         for col in self._bloom_dropped:
             self._bloom_vals.pop(col, None)
+        for col in self._ngram_cols:
+            if col in self._ngram_dropped:
+                continue
+            if col not in names:
+                self._ngram_dropped.add(col)
+                continue
+            acc = self._ngram_vals[col]
+            arr = piece.column(piece.schema.get_field_index(col))
+            if not pa.types.is_string(arr.type):
+                self._ngram_dropped.add(col)  # strings only
+                continue
+            for v in pc.unique(arr).to_pylist():
+                if v is None:
+                    continue
+                acc |= string_ngrams(v)
+            if len(acc) > MAX_DISTINCT:
+                self._ngram_dropped.add(col)
+        for col in self._ngram_dropped:
+            self._ngram_vals.pop(col, None)
 
     def on_block(self, offset: int, piece: pa.RecordBatch) -> None:
         self._bloom_on_block(piece)
@@ -258,15 +284,22 @@ class BlockStatsRecorder:
             side["blocks"] = self.blocks
             side["file_bytes"] = os.path.getsize(path)
         blooms = {}
-        if self._bloom_vals:
+        ngrams = {}
+        if self._bloom_vals or self._ngram_vals:
             from .bloomindex import build_bloom
 
             for col, vals in self._bloom_vals.items():
                 bl = build_bloom(vals)
                 if bl is not None:
                     blooms[col] = bl
+            for col, vals in self._ngram_vals.items():
+                bl = build_bloom(vals)
+                if bl is not None:
+                    ngrams[col] = bl
         if blooms:
             side["bloom"] = blooms
+        if ngrams:
+            side["ngrambf"] = ngrams
         return side
 
 
@@ -279,6 +312,7 @@ def write_native_file(
     compression: Optional[str] = None,
     stats: bool = True,
     index_bloom: Optional[list] = None,
+    index_ngrambf: Optional[list] = None,
 ) -> int:
     """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
     wrap the stream in ClickHouse compressed frames (compress.py).
@@ -295,7 +329,7 @@ def write_native_file(
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
     rec = (
-        BlockStatsRecorder(tuple(index_bloom or ()))
+        BlockStatsRecorder(tuple(index_bloom or ()), tuple(index_ngrambf or ()))
         if (stats and compression is None)
         else None
     )

@@ -296,6 +296,19 @@ def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
                 # NULL, not true), so all-absent non-null members
                 # prove the file matches nothing
                 return True
+    # ngrambf skip index (ClickHouse ngrambf_v1 analogue): the union of
+    # the column's codepoint 3-grams proves substring predicates
+    # unmatchable — any needle gram absent means no value CONTAINS the
+    # needle (prefix/suffix matches are contains matches too)
+    ngrams = stats.get("ngrambf") or {}
+    if ngrams and isinstance(
+        f, (StringContains, StringStartsWith, StringEndsWith)
+    ):
+        from ..native.bloomindex import ngrambf_may_match_substring
+
+        bl = ngrams.get(f.attribute[0])
+        if bl is not None and not ngrambf_may_match_substring(bl, f.value):
+            return True
     if isinstance(f, IsNull):
         c = cols.get(f.attribute[0])
         return c is not None and int(c.get("nulls", 1)) == 0
@@ -1170,14 +1183,21 @@ class _FileSink:
     the state the writer keeps per output file (one per task, or one
     per partition combo per task under ``partition_by``)."""
 
-    def __init__(self, fname: str, compression, block_rows: int, index_bloom: tuple = ()):
+    def __init__(
+        self,
+        fname: str,
+        compression,
+        block_rows: int,
+        index_bloom: tuple = (),
+        index_ngrambf: tuple = (),
+    ):
         from ..native.writer import BlockStatsRecorder
 
         self.fname = fname
         self.compression = compression
         self.block_rows = block_rows
         self.rows = 0
-        self._rec = BlockStatsRecorder(index_bloom)
+        self._rec = BlockStatsRecorder(index_bloom, index_ngrambf)
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -1285,6 +1305,12 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             for c in str(options.get("index_bloom", "")).split(",")
             if c.strip()
         )
+        # ngrambf skip index columns: substring-predicate pruning
+        self.index_ngrambf: tuple = tuple(
+            c.strip()
+            for c in str(options.get("index_ngrambf", "")).split(",")
+            if c.strip()
+        )
         names = [f.name for f in schema.fields]
         missing = [c for c in self.partition_by if c not in names]
         if missing:
@@ -1295,6 +1321,9 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         missing = [c for c in self.index_bloom if c not in names]
         if missing:
             raise ValueError(f"index_bloom columns not in schema: {missing}")
+        missing = [c for c in self.index_ngrambf if c not in names]
+        if missing:
+            raise ValueError(f"index_ngrambf columns not in schema: {missing}")
         if self.partition_by and len(self.partition_by) == len(names):
             raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
@@ -1343,6 +1372,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 self.compression,
                 self.block_rows,
                 self.index_bloom,
+                self.index_ngrambf,
             )
             os.makedirs(self.path, exist_ok=True)
             try:
@@ -1395,6 +1425,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                             self.compression,
                             self.block_rows,
                             self.index_bloom,
+                            self.index_ngrambf,
                         )
                     sink.write_batch(sub)
             # finalize inside the same guard: a flush/close failure on

@@ -164,6 +164,69 @@ def test_scan_prunes_on_in_list(spark, tmp_path):
     assert _planned_partitions(spark, df) <= 2
 
 
+def test_ngrambf_unit_contract():
+    from duckdb_extension_clickhouse_native_spark.native.bloomindex import (
+        ngrambf_may_match_substring,
+        string_ngrams,
+    )
+
+    corpus = ["the quick brown fox", "jumps over", "lazy dog"]
+    grams = set()
+    for v in corpus:
+        grams |= string_ngrams(v)
+    bl = build_bloom(grams)
+    # every true substring's grams are present
+    assert ngrambf_may_match_substring(bl, "quick bro")
+    assert ngrambf_may_match_substring(bl, "dog")
+    # a needle with a gram nowhere in the corpus is provably absent
+    assert not ngrambf_may_match_substring(bl, "zebra")
+    # short needles never prune (no gram to probe)
+    assert ngrambf_may_match_substring(bl, "zq")
+    assert ngrambf_may_match_substring(bl, "")
+
+
+def test_scan_prunes_on_substring_predicate(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    t0 = pa.table({"s": pa.array(["alpha beta", "gamma delta"])})
+    t1 = pa.table({"s": pa.array(["omega psi", "sigma tau"])})
+    write_native_file(
+        os.path.join(d, "p0.clickhouse"), t0, index_ngrambf=["s"]
+    )
+    write_native_file(
+        os.path.join(d, "p1.clickhouse"), t1, index_ngrambf=["s"]
+    )
+    df = (
+        spark.read.format("clickhouse_native")
+        .load(d)
+        .filter("s LIKE '%omega%'")
+    )
+    assert [r.s for r in df.collect()] == ["omega psi"]
+    assert _planned_partitions(spark, df) == 1  # p0 ngram-pruned
+    # startswith/endswith prune through the same gram proof
+    df2 = (
+        spark.read.format("clickhouse_native")
+        .load(d)
+        .filter("s LIKE 'gamma%'")
+    )
+    assert [r.s for r in df2.collect()] == ["gamma delta"]
+    assert _planned_partitions(spark, df2) == 1
+    # a 2-char needle cannot prune; result still correct
+    df3 = (
+        spark.read.format("clickhouse_native").load(d).filter("s LIKE '%ps%'")
+    )
+    assert [r.s for r in df3.collect()] == ["omega psi"]
+    assert _planned_partitions(spark, df3) == 2
+
+
+def test_ngrambf_sidecar_dropped_for_non_string(tmp_path):
+    t = pa.table({"n": pa.array([1, 2], type=pa.int64())})
+    p = os.path.join(str(tmp_path), "p0.clickhouse")
+    write_native_file(p, t, index_ngrambf=["n"])
+    side = json.load(open(stats_sidecar_path(p)))
+    assert "ngrambf" not in side
+
+
 def test_mutation_part_reuse_uses_bloom(spark, tmp_path):
     """_part_untouched consults the same sidecars: a DELETE on a
     bloom-absent value hard-links every other part untouched."""

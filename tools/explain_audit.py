@@ -106,6 +106,11 @@ AUDIT = [
     # SQL-parity conformance forms (defaults are the fast plans since r11)
     "kmeans_embeddings_sql",
     "sim_topk_pq_sql",
+    # round-11 additions
+    "native_bloom_skip_scan",
+    "mutation_delete_update_hive",
+    "mutation_ttl_rollup_hive",
+    "text_ngram_distance_fast",
     # round-5 grading-window additions not already audited above
     "dedup_incremental",
     "dedup_semantic_clusters",
