@@ -57,8 +57,11 @@ _DERIVED = {"avg"}  # avg = sum / count, never stored directly
 
 _COUNT_STATE = "cnt__rows"
 # per-part attribution column: the projection relation is
-# hive-partitioned on the source-part basename (writer partition_by /
-# reader file_column), so invalidation is a directory delete
+# hive-partitioned on the source part's LOAD-RELATIVE path (writer
+# partition_by / reader file_column — slashes are %-quoted into one
+# directory level), so invalidation is a directory delete; hive
+# sources project like flat ones, their partition columns usable as
+# projection keys
 _PART_COL = "_src_part"
 
 
@@ -76,31 +79,29 @@ def _state_col(fn: str, col: Optional[str]) -> str:
 
 def _data_parts(src_dir: str) -> list[str]:
     """The directory's data files (sidecars and projections excluded).
-    Hive ``key=value`` layouts are refused: the manifest fingerprints
-    parts by BASENAME (which collides across partition directories)
-    and incremental refresh stages parts flat — mutate/project each
-    partition directory individually, exactly as mutations do."""
+    Hive ``key=value`` layouts are supported (r11): manifests key
+    parts by LOAD-RELATIVE path — unique across partition directories
+    — and the reader's ``file_column`` emits the same relative path,
+    so per-part attribution works over any tree."""
     from ..filesystem import resolve_paths
 
     out = []
     for p in resolve_paths(src_dir):
         if p.endswith(".json") or os.path.basename(p).startswith("_"):
             continue
-        rel = os.path.relpath(p, src_dir)
-        if "=" in os.path.dirname(rel):
-            raise NotImplementedError(
-                "projections do not support hive-partitioned layouts "
-                f"(found {rel!r}); add a projection per partition directory"
-            )
         out.append(p)
     return out
 
 
-def _fingerprint(paths: list[str]) -> dict:
+def _relkey(src_dir: str, p: str) -> str:
+    return os.path.relpath(p, src_dir).replace(os.sep, "/")
+
+
+def _fingerprint(src_dir: str, paths: list[str]) -> dict:
     out = {}
     for p in paths:
         st = os.stat(p)
-        out[os.path.basename(p)] = [st.st_size, st.st_mtime_ns]
+        out[_relkey(src_dir, p)] = [st.st_size, st.st_mtime_ns]
     return out
 
 
@@ -197,7 +198,7 @@ def add_projection(
     _required_states(aggs)  # validate fns early
     man = _load_manifest(src_dir, name)
     parts = _data_parts(src_dir)
-    fp = _fingerprint(parts)
+    fp = _fingerprint(src_dir, parts)
     if (
         man is not None
         and man["group_by"] == group_by
@@ -232,20 +233,25 @@ def add_projection(
     return {"name": name, "built": True, "parts": len(fp)}
 
 
-def _part_state_dir(src_dir: str, name: str, part_basename: str) -> str:
-    """The projection partition holding one source part's states
-    (writer's quote(v, safe='') encoding)."""
+def _part_state_dir(src_dir: str, name: str, part_relkey: str) -> str:
+    """The projection partition holding one source part's states —
+    keyed by the part's load-relative path, %-quoted the way the
+    writer's partition_by encodes values (quote(v, safe=''), so a
+    hive part's slashes collapse into one directory level)."""
     from urllib.parse import quote
 
     return os.path.join(
         _proj_dir(src_dir, name),
-        f"{_PART_COL}={quote(part_basename, safe='')}",
+        f"{_PART_COL}={quote(part_relkey, safe='')}",
     )
 
 
-def _stage_parts(paths: list, tag_seed: str) -> str:
-    """Symlink-stage ``paths`` flat so ONE DataSource read plans them
-    together (the mutations-module pattern)."""
+def _stage_parts(src_dir: str, paths: list, tag_seed: str) -> str:
+    """Symlink-stage ``paths`` MIRRORING their src-relative layout so
+    ONE DataSource read plans them together: stage-relative paths (the
+    reader's ``file_column`` values) equal the manifest's keys, and a
+    hive source's ``key=value`` components survive so its partition
+    columns restore as real columns."""
     import hashlib
     import tempfile
 
@@ -256,10 +262,12 @@ def _stage_parts(paths: list, tag_seed: str) -> str:
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     for p in paths:
-        os.symlink(p, os.path.join(stage, os.path.basename(p)))
+        dst = os.path.join(stage, os.path.relpath(p, src_dir))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.symlink(p, dst)
         side = stats_sidecar_path(p)
         if os.path.exists(side):
-            os.symlink(side, os.path.join(stage, os.path.basename(side)))
+            os.symlink(side, stats_sidecar_path(dst))
     return stage
 
 
@@ -282,9 +290,9 @@ def refresh_projection(spark: SparkSession, src_dir: str, name: str) -> dict:
     if man is None:
         raise ValueError(f"projection {name!r} does not exist in {src_dir}")
     parts = _data_parts(src_dir)
-    fp = _fingerprint(parts)
+    fp = _fingerprint(src_dir, parts)
     known = man["parts"]
-    by_base = {os.path.basename(p): p for p in parts}
+    by_key = {_relkey(src_dir, p): p for p in parts}
     changed = sorted(
         b for b, sig in known.items() if b in fp and fp[b] != sig
     )
@@ -306,9 +314,9 @@ def refresh_projection(spark: SparkSession, src_dir: str, name: str) -> dict:
     for b in changed + removed:
         shutil.rmtree(_part_state_dir(src_dir, name, b), ignore_errors=True)
 
-    reread = [by_base[b] for b in changed] + [by_base[b] for b in new]
+    reread = [by_key[b] for b in changed] + [by_key[b] for b in new]
     if reread:
-        stage = _stage_parts(reread, name)
+        stage = _stage_parts(src_dir, reread, name)
         aggs = _manifest_aggs(man)
         df = _read_native(spark, stage, file_column=_PART_COL)
         proj = _partial_agg(df, man["group_by"], aggs)
@@ -399,7 +407,7 @@ def _covering_projection(
         if not need <= set(man["states"]):
             continue
         if current is None:
-            current = _fingerprint(_data_parts(src_dir))
+            current = _fingerprint(src_dir, _data_parts(src_dir))
         if man["parts"] != current:
             continue  # stale: a part appeared, changed, or vanished
         if best is None or len(man["group_by"]) < len(best["group_by"]):

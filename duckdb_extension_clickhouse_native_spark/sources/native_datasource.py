@@ -748,6 +748,19 @@ class ClickHouseNativeReader(DataSourceReader):
         if buf:
             yield self._concat_batches(pa, buf)
 
+    def _file_column_value(self, file_path: str) -> str:
+        """LOAD-RELATIVE path of the file (equal to the basename on
+        flat layouts, ``key=value/.../name`` on hive trees) — a unique
+        per-file id across partition directories, which per-part
+        projections need for attribution."""
+        try:
+            rel = os.path.relpath(file_path, self.path)
+        except ValueError:
+            return os.path.basename(file_path)
+        if rel.startswith(".."):
+            return os.path.basename(file_path)
+        return rel.replace(os.sep, "/")
+
     @staticmethod
     def _concat_batches(pa, batches: list) -> "pa.RecordBatch":
         if len(batches) == 1:
@@ -820,7 +833,7 @@ class ClickHouseNativeReader(DataSourceReader):
                     if fld.name == self.file_column:
                         arrays.append(
                             pa.array(
-                                [os.path.basename(partition.path)]
+                                [self._file_column_value(partition.path)]
                                 * batch.num_rows,
                                 type=fld.type,
                             )

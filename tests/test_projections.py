@@ -322,11 +322,76 @@ def test_projection_merge_equals_full_scan_property(
     assert got == {k: tuple(v) for k, v in exp.items()}
 
 
-def test_projection_refuses_hive_layout(spark, tmp_path):
-    """basename fingerprints collide across key=value dirs — hive
-    layouts are refused up front (the mutations-module policy)."""
+def _hive_proj_dir(tmp_path):
+    """lang=en/lang=fr tree; per dir one part of g-keyed rows."""
     d = str(tmp_path / "t")
-    os.makedirs(os.path.join(d, "lang=en"))
-    _part(os.path.join(d, "lang=en"), 0, ["aa"], [1])
-    with pytest.raises(NotImplementedError, match="hive"):
-        add_projection(spark, d, "p", group_by=["g"], aggs=AGGS)
+    for lang, keys, vals in [
+        ("en", ["aa", "ab", "aa"], [1, 2, 3]),
+        ("fr", ["aa", "ba"], [10, 20]),
+    ]:
+        sub = os.path.join(d, f"lang={lang}")
+        os.makedirs(sub)
+        _part(sub, 0, keys, vals)
+    return d
+
+
+def test_projection_over_hive_layout(spark, tmp_path):
+    """r11: manifests key parts by LOAD-RELATIVE path, so hive trees
+    project like flat dirs — including GROUP BY on the path-derived
+    partition column itself."""
+    d = _hive_proj_dir(tmp_path)
+    add_projection(
+        spark, d, "by_lang_g", group_by=["lang", "g"], aggs=AGGS
+    )
+    df, used = query_projection_aware(
+        spark, d, group_by=["lang", "g"], aggs=AGGS
+    )
+    assert used == "by_lang_g"
+    got = {(r.lang, r.g): (r.n, r.total) for r in df.collect()}
+    assert got == {
+        ("en", "aa"): (2, 4),
+        ("en", "ab"): (1, 2),
+        ("fr", "aa"): (1, 10),
+        ("fr", "ba"): (1, 20),
+    }
+    # subset-key merge across partition dirs
+    df2, used2 = query_projection_aware(spark, d, group_by=["g"], aggs=AGGS)
+    assert used2 == "by_lang_g"
+    got2 = {r.g: (r.n, r.total) for r in df2.collect()}
+    assert got2 == {"aa": (3, 14), "ab": (1, 2), "ba": (1, 20)}
+
+
+def test_projection_hive_incremental_refresh_per_part(spark, tmp_path):
+    d = _hive_proj_dir(tmp_path)
+    add_projection(spark, d, "p", group_by=["lang", "g"], aggs=AGGS)
+    # mutate ONLY the fr part in place
+    _part(os.path.join(d, "lang=fr"), 0, ["zz"], [7])
+    _df, used = query_projection_aware(
+        spark, d, group_by=["lang", "g"], aggs=AGGS
+    )
+    assert used is None  # stale until refreshed
+    st = refresh_projection(spark, d, "p")
+    assert st["mode"] == "incremental" and st["changed_parts"] == 1
+    df, used = query_projection_aware(
+        spark, d, group_by=["lang", "g"], aggs=AGGS
+    )
+    assert used == "p"
+    got = {(r.lang, r.g): (r.n, r.total) for r in df.collect()}
+    assert got == {
+        ("en", "aa"): (2, 4),
+        ("en", "ab"): (1, 2),
+        ("fr", "zz"): (1, 7),
+    }
+    # and a new part in a NEW partition directory appends incrementally
+    sub = os.path.join(d, "lang=de")
+    os.makedirs(sub)
+    _part(sub, 0, ["aa"], [100])
+    st2 = refresh_projection(spark, d, "p")
+    assert st2["mode"] == "incremental" and st2["new_parts"] == 1
+    df3, used3 = query_projection_aware(spark, d, group_by=["g"], aggs=AGGS)
+    assert used3 == "p"
+    assert {r.g: r.total for r in df3.collect()} == {
+        "aa": 104,
+        "ab": 2,
+        "zz": 7,
+    }
