@@ -28,10 +28,17 @@ from typing import Iterable, Optional
 # ~1% false-positive rate at 10 bits/value with k=7 (standard curve)
 _BITS_PER_VALUE = 10
 _K = 7
-_MAX_BITS = 1 << 18  # 32 KiB of bits -> ~44 KB base64 per column cap
-# beyond this many distinct values the capped filter saturates
-# (fp rate climbs past usefulness) — drop the index, never mis-prune
-MAX_DISTINCT = _MAX_BITS // _BITS_PER_VALUE
+# bitset cap: 2 Mbit = 256 KiB (~341 KB base64 in the sidecar). A part
+# holding a fully-unique 65k-row block column needs 650 Kbit; real
+# parts of a few hundred thousand distinct values stay under the cap
+# at the 1% design point, and a saturated (capped) filter only RAISES
+# the fp rate — it still never mis-prunes, so we keep building past
+# the design density instead of dropping
+_MAX_BITS = 1 << 21
+# memory/write-cost bound on the per-part distinct-set accumulation;
+# beyond this the capped filter is ~25x over design density (fp -> 1,
+# prunes nothing) — drop the index, never mis-prune
+MAX_DISTINCT = 1_000_000
 
 
 def value_bytes(v) -> Optional[bytes]:
@@ -58,7 +65,8 @@ def _hashes(data: bytes, k: int, m: int):
 
 def build_bloom(distinct_encoded: Iterable[bytes]) -> Optional[dict]:
     """Bloom dict from the column's DISTINCT type-tagged values
-    (already encoded via :func:`value_bytes`); None when empty."""
+    (already encoded via :func:`value_bytes`); None when empty or
+    past the accumulation cap (a filter that dense prunes nothing)."""
     vals = list(distinct_encoded)
     if not vals or len(vals) > MAX_DISTINCT:
         return None
