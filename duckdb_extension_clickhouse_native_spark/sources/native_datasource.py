@@ -118,6 +118,9 @@ if TYPE_CHECKING:
 
 FORMAT_NAME = "clickhouse_native"
 
+# process-wide parsed-sidecar cache: (path, mtime_ns, size) -> (dict|None,)
+_SIDECAR_CACHE: dict = {}
+
 
 def _resolve_paths(path: str) -> list[str]:
     # local fast path + pyarrow.fs for object-store/HDFS URIs — see
@@ -674,25 +677,34 @@ class ClickHouseNativeReader(DataSourceReader):
         return parts
 
     def _load_sidecar(self, p: str):
-        """Parsed stats sidecar for ``p`` (None if absent/corrupt),
-        cached per reader instance — partitions() consults it for both
-        file-level and block-level pruning, and parsing twice doubles
-        planning IO on wide directories."""
+        """Parsed stats sidecar for ``p`` (None if absent/corrupt).
+        Cached PROCESS-wide keyed by (path, mtime_ns, size) — r11's
+        bloom/ngrambf entries make sidecars ~100x bigger than bare
+        min/max, so re-parsing per query on wide directories is real
+        planning cost; the stat key makes mutation rewrites (new
+        mtime) miss naturally. Bounded FIFO-ish: cleared wholesale
+        past 4096 entries (a few hundred MB worst case)."""
         import json
 
         from ..native.writer import stats_sidecar_path
 
-        cache = getattr(self, "_sidecar_cache", None)
-        if cache is None:
-            cache = self._sidecar_cache = {}
-        if p in cache:
-            return cache[p]
+        side_path = stats_sidecar_path(p)
         try:
-            with open(stats_sidecar_path(p)) as f:
+            st = os.stat(side_path)
+            key = (side_path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+        cached = _SIDECAR_CACHE.get(key)
+        if cached is not None:
+            return cached[0]
+        try:
+            with open(side_path) as f:
                 side = json.load(f)
         except (OSError, ValueError):
             side = None
-        cache[p] = side
+        if len(_SIDECAR_CACHE) >= 4096:
+            _SIDECAR_CACHE.clear()
+        _SIDECAR_CACHE[key] = (side,)
         return side
 
     def _sidecar_blocks(self, p: str, size: int):
