@@ -549,3 +549,80 @@ def bpe_merge_stats_sql(dialect: str, k: int = 40) -> str:
     ORDER BY weighted_count DESC, pair
     LIMIT {k}
     """
+
+
+def unicode_normalize_dedup_query(spark, sf_dir: str):
+    """Unicode-normalization dedup signal (r11): the pipeline op every
+    web corpus needs BEFORE exact/fuzzy hashing — NFC('e'+U+0301) ==
+    'é', so byte-distinct spellings of the same text must collapse.
+
+    The fixture synthesizes the two canonical spellings per document
+    (composed U+00E9 vs decomposed e+U+0301 — deterministic, so the
+    oracle recomputes them); the Spark side normalizes with an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` (Spark has
+    no NFC builtin — this is exactly the sanctioned vectorized-Python
+    escape hatch), the oracle with DuckDB's independent
+    ``nfc_normalize``. raw_distinct counts byte-distinct variants (2
+    wherever the text contains an 'e'), norm_distinct must always
+    collapse to 1 — per doc, both engines, hash-compared."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    composed = docs.select(
+        "doc_id", F.regexp_replace("text", "e", "é").alias("s")
+    )
+    decomposed = docs.select(
+        "doc_id", F.regexp_replace("text", "e", "e\u0301")  # e + COMBINING ACUTE.alias("s")
+    )
+    variants = composed.unionAll(decomposed)
+
+    def _nfc_series(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    # functional form: the module uses PEP-563 deferred annotations,
+    # which pyspark's type-hint inference cannot resolve for locally
+    # scoped pd imports — a hint-less callable defaults to SCALAR
+    nfc = F.pandas_udf(_nfc_series, "string")
+
+    return (
+        variants.withColumn("norm", nfc("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("raw_distinct"),
+            F.count_distinct("norm").alias("norm_distinct"),
+            F.min(F.length("s")).alias("min_len"),
+            F.max(F.length("s")).alias("max_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNICODE_NORMALIZE_DEDUP_ORACLE = """
+    WITH v AS (
+      SELECT doc_id, replace(text, 'e', chr(233)) AS s
+      FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS s
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS raw_distinct,
+           CAST(COUNT(DISTINCT nfc_normalize(s)) AS BIGINT)
+             AS norm_distinct,
+           CAST(MIN(length(s)) AS INT) AS min_len,
+           CAST(MAX(length(s)) AS INT) AS max_len
+    FROM v
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -346,6 +346,22 @@ _sql_pair(
     "email/phone/IPv4 count + placeholder redaction (map-only, codegen regex)",
 )
 
+from ..functions.text import (  # noqa: E402
+    UNICODE_NORMALIZE_DEDUP_ORACLE,
+    unicode_normalize_dedup_query,
+)
+
+REGISTRY.df_query(
+    "text_unicode_normalize_dedup",
+    unicode_normalize_dedup_query,
+    oracle=UNICODE_NORMALIZE_DEDUP_ORACLE,
+    tags=["text", "unicode", "dedup", "pandas_udf"],
+    description="Unicode NFC normalization before dedup hashing: "
+    "composed vs decomposed spellings of the same text collapse "
+    "(Arrow-batched unicodedata UDF vs DuckDB nfc_normalize — two "
+    "independent NFC implementations, hash-compared per doc)",
+)
+
 _sql_pair(
     "text_lm_score",
     lm_score_sql("spark"),
