@@ -316,6 +316,20 @@ def main() -> None:
     ]
     r10_ops, r10_total = run_tier(r10_names)
 
+    # fifth tier: round-11 additions (hive maintenance, skip indexes,
+    # the same-oracle scale twins and the parity forms left behind by
+    # the fast-default promotion, unicode dedup)
+    r11_names = [
+        "mutation_delete_update_hive",
+        "mutation_ttl_rollup_hive",
+        "native_bloom_skip_scan",
+        "text_ngram_distance_fast",
+        "sim_topk_pq_sql",
+        "kmeans_embeddings_sql",
+        "text_unicode_normalize_dedup",
+    ]
+    r11_ops, r11_total = run_tier(r11_names)
+
     print(
         json.dumps(
             {
@@ -340,6 +354,8 @@ def main() -> None:
                 "r9_ops_total": round(r9_total, 4),
                 "r10_ops": r10_ops,
                 "r10_ops_total": round(r10_total, 4),
+                "r11_ops": r11_ops,
+                "r11_ops_total": round(r11_total, 4),
                 "sf": sf_dir,
             }
         )
