@@ -111,6 +111,7 @@ AUDIT = [
     "mutation_delete_update_hive",
     "mutation_ttl_rollup_hive",
     "text_ngram_distance_fast",
+    "text_unicode_normalize_dedup",
     # round-5 grading-window additions not already audited above
     "dedup_incremental",
     "dedup_semantic_clusters",
