@@ -515,62 +515,68 @@ _ROUND9_WINDOW = [
 # resolve_paths isfile fix), prewhere) — then the ENTIRE r5-green
 # oldest-evidence cohort (17 rows) and the 5 alphabetically-first
 # r6-green rows. The remaining 36 r6-green rows rotate to round 12.
+# ROUND-11 WINDOW (graded 50/50 green in CORRECTNESS_r11.json; full
+# text in git history at 5bd3b38's parent): 18 never-graded + 10
+# changed-path re-proofs + the whole r5 cohort + 5 r6 rows.
+#
+# ROUND-12 WINDOW (tools/window_plan.py regenerated at registry 277):
+# the 3 r11 post-window entries lead (never driver-graded:
+# mutation_ttl_rollup_hive, native_bloom_skip_scan,
+# text_unicode_normalize_dedup), then the r6-green remainder (35 rows,
+# the oldest evidence tier) and the alphabetically-first 12 r7-green
+# rows. New round-12 entries are prepended above the cohort as they
+# land (never-graded first policy), displacing the r7 tail.
 GRADING_WINDOW = [
-    # never driver-graded: r10 late tranche (verdict item 1)
-    "multimodal_png_decode",  # NEVER GRADED (+ r11 palette/Adam7 mix)
-    "multimodal_gif_decode",  # NEVER GRADED
-    "scalar_transform_func",  # NEVER GRADED
-    "scalar_vector_funcs",  # NEVER GRADED
-    "quantile_exact_multi",  # NEVER GRADED
-    "scalar_format_datetime",  # NEVER GRADED
-    "scalar_parse_datetime",  # NEVER GRADED
-    "scalar_date_arithmetic",  # NEVER GRADED
-    "mutation_attach_parts",  # NEVER GRADED
-    "native_sql_insert_into",  # NEVER GRADED
-    "stats_cramers_v",  # NEVER GRADED
-    "stats_roc_auc",  # NEVER GRADED
-    "stats_spearman_corr",  # NEVER GRADED
-    "stream_cumulative_uniques",  # NEVER GRADED
-    # never driver-graded: r11 additions
-    "mutation_delete_update_hive",  # NEVER GRADED (r11: hive mutations)
-    "text_ngram_distance_fast",  # NEVER GRADED (r11: same-oracle twin)
-    "sim_topk_pq_sql",  # NEVER GRADED (r11: parity form post-promotion)
-    "kmeans_embeddings_sql",  # NEVER GRADED (r11: parity form)
-    # changed-path re-proofs (r11)
-    "sim_topk_pq",  # plan swap: numpy PQ-ADC now answers the name
-    "kmeans_embeddings",  # plan swap: broadcast-numpy Lloyd
-    "native_projection_agg",  # per-part states + cntv avg denominator
-    "mutation_delete_update",  # _mutate_flat refactor + dest guard
-    "mutation_ttl_rollup",  # NULL-predicate rows kept + dest guard
-    "native_scan_count_max",  # Arrow-batch coalescer, plain path
-    "native_compressed_scan",  # coalescer over compressed frames
-    "native_block_skip_scan",  # coalescer over block-split partitions
-    "native_hive_partition_scan",  # coalescer + resolve_paths isfile fix
-    "native_prewhere_scan",  # coalescer wrap around the prewhere path
-    # oldest-evidence cohort: all 17 r5-green rows retire their debt
-    "q8_market_share",  # green r5
-    "sample_mixture_temperature",  # green r5
-    "sample_stratified",  # green r5
-    "select_importance_target",  # green r5
-    "shard_assignment",  # green r5
-    "skew_salted_agg",  # green r5
-    "stream_dedup_keys",  # green r5
-    "stream_dedup_watermarked",  # green r5
-    "stream_interval_join",  # green r5
-    "stream_stateful_sessions",  # green r5
-    "stream_windowed_counts",  # green r5
-    "stringagg_rich_customers",  # green r5
-    "window_lag_lead",  # green r5
-    "window_ntile_percent",  # green r5
-    "window_time_range_frame",  # green r5
-    "window_topk_per_group",  # green r5
-    "zorder_layout",  # green r5
-    # r6-green head (the rest of the r6 cohort rotates to round 12)
-    "array_functions_embeddings",  # green r6
-    "asof_join_window",  # green r6
-    "collect_sorted_arrays",  # green r6
-    "cube_lineitem",  # green r6
-    "dedup_exact",  # green r6
+    "text_unicode_normalize_dedup",  # NEVER GRADED
+    "mutation_ttl_rollup_hive",  # NEVER GRADED
+    "native_bloom_skip_scan",  # NEVER GRADED
+    "dedup_fingerprint",  # green r6
+    "distinct_segments",  # green r6
+    "events_sessionize",  # green r6
+    "explode_token_freq",  # green r6
+    "join_full_outer",  # green r6
+    "join_left_outer",  # green r6
+    "join_right_outer",  # green r6
+    "join_semi_anti",  # green r6
+    "multimodal_features",  # green r6
+    "multimodal_frame_sample",  # green r6
+    "multimodal_resize",  # green r6
+    "native_roundtrip_documents",  # green r6
+    "native_zorder_skip_scan",  # green r6
+    "q2_min_per_group",  # green r6
+    "regex_functions",  # green r6
+    "sample_hash_based",  # green r6
+    "scalar_conditional",  # green r6
+    "scalar_math_funcs",  # green r6
+    "scalar_string_funcs",  # green r6
+    "scan_project_filter",  # green r6
+    "scan_tcp_split",  # green r6
+    "scan_tcp_write_roundtrip",  # green r6
+    "sim_pairs_signlsh",  # green r6
+    "sim_topk_bruteforce",  # green r6
+    "sim_topk_ivf",  # green r6
+    "subquery_correlated_exists",  # green r6
+    "subquery_in",  # green r6
+    "text_chunking",  # green r6
+    "text_fingerprint",  # green r6
+    "text_lang_id",  # green r6
+    "text_pii_scrub",  # green r6
+    "text_quality",  # green r6
+    "text_repetition",  # green r6
+    "text_token_count",  # green r6
+    "topk_orders",  # green r6
+    "approx_distinct_parts",  # green r7
+    "asof_join_events_orders",  # green r7
+    "bm25_topk",  # green r7
+    "cte_monthly_rank",  # green r7
+    "decontaminate_ngram",  # green r7
+    "dedup_connected_components",  # green r7
+    "dedup_minhash_lsh",  # green r7
+    "dedup_ngram_jaccard",  # green r7
+    "dedup_simhash",  # green r7
+    "dedup_substring_spans",  # green r7
+    "events_time_buckets",  # green r7
+    "grouping_sets_events",  # green r7
 ]
 
 
