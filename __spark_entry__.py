@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 # importing these modules populates the registry
 from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     advanced,
+    compat_r12,
     pipeline,
     relational,
     sources,

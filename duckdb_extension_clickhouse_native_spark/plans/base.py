@@ -527,6 +527,16 @@ _ROUND9_WINDOW = [
 # rows. New round-12 entries are prepended above the cohort as they
 # land (never-graded first policy), displacing the r7 tail.
 GRADING_WINDOW = [
+    # never driver-graded: round-12 compat tranche (landed this round)
+    "events_collapsing_merge",  # NEVER GRADED (r12)
+    "events_collapsing_versioned",  # NEVER GRADED (r12)
+    "agg_sum_resample",  # NEVER GRADED (r12)
+    "events_with_fill_interpolate",  # NEVER GRADED (r12)
+    "approx_theta_setops",  # NEVER GRADED (r12)
+    "cte_recursive_calendar",  # NEVER GRADED (r12)
+    "stats_mad_outliers",  # NEVER GRADED (r12)
+    "stats_benford_digits",  # NEVER GRADED (r12)
+    "sim_matryoshka_topk",  # NEVER GRADED (r12)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -568,15 +578,6 @@ GRADING_WINDOW = [
     "approx_distinct_parts",  # green r7
     "asof_join_events_orders",  # green r7
     "bm25_topk",  # green r7
-    "cte_monthly_rank",  # green r7
-    "decontaminate_ngram",  # green r7
-    "dedup_connected_components",  # green r7
-    "dedup_minhash_lsh",  # green r7
-    "dedup_ngram_jaccard",  # green r7
-    "dedup_simhash",  # green r7
-    "dedup_substring_spans",  # green r7
-    "events_time_buckets",  # green r7
-    "grouping_sets_events",  # green r7
 ]
 
 

@@ -1,0 +1,531 @@
+"""Round-12 compatibility tranche: ClickHouse engine semantics and
+pipeline statistics not yet covered by earlier rounds.
+
+* CollapsingMergeTree / VersionedCollapsingMergeTree final-state
+  queries (reference delegates all querying to the host engine —
+  these are the table-engine semantics a ClickHouse user expects,
+  re-expressed as one grouped aggregation / one window pass).
+* ``-Resample`` aggregate combinator (sumResample/countResample).
+* ``ORDER BY ... WITH FILL INTERPOLATE`` (the r10 WITH FILL entry
+  covers STEP; INTERPOLATE carries an expression forward over filled
+  rows).
+* uniqTheta-style KMV sketch set operations (union / intersect
+  estimates with exact-count columns alongside).
+* WITH RECURSIVE (Spark 4.1 supports recursive CTEs natively — depth
+  here is bounded by the calendar span, never by data size).
+* MAD outlier detection and Benford first-digit chi-square — the
+  data-quality screens a training-data pipeline runs per batch.
+* Matryoshka (MRL) truncated-embedding retrieval with full-dim recall
+  flags.
+
+Determinism follows the base.py rules: integer cents via
+FLOOR(value*100), exact integer sums, single IEEE divisions, ROUND()
+guards where a handful of double ops must cross engines.
+"""
+
+from __future__ import annotations
+
+from .base import REGISTRY
+
+_CENTS = "CAST(FLOOR(value * 100) AS BIGINT)"
+
+
+def _sql_pair(name, spark_sql, duck_sql, tables, tags, description) -> None:
+    REGISTRY.sql_query(
+        name,
+        spark_sql,
+        oracle=duck_sql,
+        tables=tables,
+        tags=tags,
+        description=description,
+    )
+
+
+# --- CollapsingMergeTree final state -----------------------------------------
+# ClickHouse CollapsingMergeTree(sign): rows arrive in (+1, -1) pairs;
+# the canonical final-state query is GROUP BY key HAVING SUM(sign) > 0
+# with every measure summed as measure*sign (docs: table-engines/
+# mergetree-family/collapsingmergetree).  Sign is derived
+# deterministically from event_type here (interaction rows add state,
+# error/signup rows retract it).  One hash aggregation — scales as a
+# single shuffle on the key.
+_COLLAPSING_SQL = f"""
+    WITH state AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('click', 'view', 'purchase')
+                  THEN 1 ELSE -1 END AS sign,
+             {_CENTS} AS cents
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(sign) AS BIGINT) AS net_rows,
+           CAST(SUM(sign * cents) AS BIGINT) AS net_cents
+    FROM state
+    GROUP BY user_id
+    HAVING SUM(sign) > 0
+    ORDER BY user_id
+"""
+
+_sql_pair(
+    "events_collapsing_merge",
+    _COLLAPSING_SQL,
+    _COLLAPSING_SQL,
+    ["events"],
+    ["compat", "merge-engine", "collapsing"],
+    "CollapsingMergeTree final state: SUM(sign)/SUM(sign*measure) "
+    "GROUP BY key HAVING SUM(sign)>0 (one hash aggregation)",
+)
+
+# VersionedCollapsingMergeTree(sign, version): collapse per (key,
+# version), then the live row per key is the HIGHEST version whose
+# net sign is positive.  Re-expressed as grouped aggregation + an
+# aggregated self-join on MAX(version) — the join input is already
+# one row per (key, version), tiny relative to the fact table.
+_VERSIONED_SQL = f"""
+    WITH versioned AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS version,
+             CASE WHEN event_type IN ('click', 'view', 'purchase')
+                  THEN 1 ELSE -1 END AS sign,
+             {_CENTS} AS cents
+      FROM events
+    ),
+    per_version AS (
+      SELECT user_id, version,
+             SUM(sign) AS net, SUM(sign * cents) AS net_cents
+      FROM versioned
+      GROUP BY user_id, version
+    ),
+    live AS (SELECT * FROM per_version WHERE net > 0)
+    SELECT l.user_id,
+           l.version AS latest_version,
+           CAST(l.net AS BIGINT) AS net_rows,
+           CAST(l.net_cents AS BIGINT) AS net_cents
+    FROM live l
+    JOIN (SELECT user_id, MAX(version) AS mv FROM live GROUP BY user_id) m
+      ON l.user_id = m.user_id AND l.version = m.mv
+    ORDER BY l.user_id
+"""
+
+_sql_pair(
+    "events_collapsing_versioned",
+    _VERSIONED_SQL,
+    _VERSIONED_SQL,
+    ["events"],
+    ["compat", "merge-engine", "collapsing", "versioned"],
+    "VersionedCollapsingMergeTree: per-(key,version) sign collapse, "
+    "live row = highest positive-net version per key",
+)
+
+
+# --- -Resample combinator -----------------------------------------------------
+# ClickHouse sumResample(0, 24, 1)(measure, hour): per group, an array
+# of 24 bucketed sums.  Spark side: grouped map_from_entries lookup
+# over a literal sequence(0,23) — one aggregation, the 24-slot
+# transform is per-output-row.  Oracle builds the grid with DuckDB's
+# range() table function + string_agg instead (independent
+# formulation).  Arrays serialize to CSV strings (driver canonicalizer
+# contract — the collect_sorted_arrays precedent).
+_RESAMPLE_SPARK = f"""
+    WITH b AS (
+      SELECT event_type, HOUR(ts) AS h,
+             SUM({_CENTS}) AS s, COUNT(*) AS c
+      FROM events
+      GROUP BY event_type, HOUR(ts)
+    ),
+    m AS (
+      SELECT event_type,
+             map_from_entries(collect_list(struct(h, s))) AS ms,
+             map_from_entries(collect_list(struct(h, c))) AS mc
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           concat_ws(',', transform(sequence(0, 23),
+             h -> CAST(COALESCE(element_at(ms, h), 0) AS STRING))) AS sum_resample,
+           concat_ws(',', transform(sequence(0, 23),
+             h -> CAST(COALESCE(element_at(mc, h), 0) AS STRING))) AS count_resample
+    FROM m
+    ORDER BY event_type
+"""
+_RESAMPLE_DUCK = f"""
+    WITH b AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             SUM({_CENTS}) AS s, COUNT(*) AS c
+      FROM events
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.range AS h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN range(0, 24) g
+    )
+    SELECT g.event_type,
+           string_agg(CAST(COALESCE(b.s, 0) AS VARCHAR), ',' ORDER BY g.h) AS sum_resample,
+           string_agg(CAST(COALESCE(b.c, 0) AS VARCHAR), ',' ORDER BY g.h) AS count_resample
+    FROM grid g
+    LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+    GROUP BY g.event_type
+    ORDER BY g.event_type
+"""
+
+_sql_pair(
+    "agg_sum_resample",
+    _RESAMPLE_SPARK,
+    _RESAMPLE_DUCK,
+    ["events"],
+    ["compat", "aggregate", "combinator", "resample"],
+    "sumResample/countResample(0,24,1) by hour-of-day: 24-slot bucket "
+    "arrays per group, zero-filled, serialized to CSV (oracle: "
+    "independent range() grid + string_agg)",
+)
+
+
+# --- ORDER BY ... WITH FILL INTERPOLATE ---------------------------------------
+# ClickHouse `WITH FILL ... INTERPOLATE (v AS v + 7.00)`: each FILLED
+# row's v is the previous row's v fed through the expression — an
+# arithmetic continuation, not LOCF (events_gap_fill_locf) and not a
+# zero fill (events_with_fill_step).  Spark: calendar LEFT JOIN, then
+# ONE window pass carrying (last value, last present day) so filled
+# rows compute last_v + 700 * days_since.  Oracle: DuckDB ASOF LEFT
+# JOIN against the present rows — a structurally independent
+# formulation of "previous present row".
+_INTERPOLATE_SPARK = f"""
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS d, SUM({_CENTS}) AS cents
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ext AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM agg),
+    cal AS (
+      SELECT t.event_type, e.day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (SELECT explode(sequence(d0, d1, interval 1 day)) AS day FROM ext) e
+    ),
+    joined AS (
+      SELECT c.event_type, c.day, a.cents
+      FROM cal c LEFT JOIN agg a ON a.event_type = c.event_type AND a.d = c.day
+    ),
+    carried AS (
+      SELECT event_type, day, cents,
+             last_value(cents, true) OVER w AS last_c,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END, true) OVER w AS last_d
+      FROM joined
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day AS bucket,
+           CAST(COALESCE(cents,
+                last_c + 700 * datediff(day, last_d), 0) AS BIGINT) AS cents_filled,
+           (cents IS NULL) AS filled
+    FROM carried
+    ORDER BY event_type, bucket
+"""
+_INTERPOLATE_DUCK = f"""
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS d, SUM({_CENTS}) AS cents
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ext AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM agg),
+    cal AS (
+      SELECT t.event_type, CAST(g.day AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT event_type FROM agg) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM ext
+      ) g
+    ),
+    own AS (
+      SELECT c.event_type, c.day, a.cents
+      FROM cal c LEFT JOIN agg a ON a.event_type = c.event_type AND a.d = c.day
+    )
+    SELECT o.event_type, o.day AS bucket,
+           CAST(COALESCE(o.cents,
+                p.cents + 700 * date_diff('day', p.d, o.day), 0) AS BIGINT) AS cents_filled,
+           (o.cents IS NULL) AS filled
+    FROM own o
+    ASOF LEFT JOIN agg p
+      ON p.event_type = o.event_type AND p.d <= o.day
+    ORDER BY o.event_type, bucket
+"""
+
+_sql_pair(
+    "events_with_fill_interpolate",
+    _INTERPOLATE_SPARK,
+    _INTERPOLATE_DUCK,
+    ["events"],
+    ["compat", "gap-fill", "interpolate", "window"],
+    "WITH FILL INTERPOLATE (v AS v + 7.00/day): filled buckets continue "
+    "arithmetically from the previous present row (Spark: one "
+    "ignore-nulls window carry; oracle: independent ASOF join)",
+)
+
+
+# --- uniqTheta set operations -------------------------------------------------
+# ClickHouse uniqTheta + uniqThetaUnion/Intersect/Not: Theta/KMV
+# sketches support set algebra, not just cardinality.  KMV with k=128:
+# keep the k smallest distinct hash values; est = (k-1) * M / h_k when
+# saturated, the exact distinct count otherwise.  Intersection uses
+# theta = min(theta_a, theta_b) and scales the common-hash count by
+# M/theta; union re-sketches the merged hash set.  Both engines run
+# the IDENTICAL algorithm (the sketch estimate is the contract — the
+# exact counts ride along so accuracy is visible); all estimate math
+# is exact-integer until one IEEE division.  At scale each sketch is
+# a bounded top-k per group — the ORDER BY h is over DISTINCT hashes,
+# prunable to per-partition top-k by AQE; k=128 rows survive.
+_THETA_K = 128
+_THETA_M = 2147483647  # 2^31 - 1 (minstd modulus, prime)
+_THETA_SQL = f"""
+    WITH a AS (
+      SELECT DISTINCT (event_id * 48271) % {_THETA_M} AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT DISTINCT (event_id * 48271) % {_THETA_M} AS h
+      FROM events WHERE value >= 100
+    ),
+    sa AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM a)
+      WHERE r <= {_THETA_K}
+    ),
+    sb AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM b)
+      WHERE r <= {_THETA_K}
+    ),
+    su AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+        FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ) WHERE r <= {_THETA_K}
+    ),
+    ta AS (SELECT MAX(h) AS kth, COUNT(*) AS n FROM sa),
+    tb AS (SELECT MAX(h) AS kth, COUNT(*) AS n FROM sb),
+    tu AS (SELECT MAX(h) AS kth, COUNT(*) AS n FROM su),
+    thetas AS (
+      SELECT
+        CASE WHEN ta.n < {_THETA_K} THEN {_THETA_M} ELSE ta.kth END AS theta_a,
+        CASE WHEN tb.n < {_THETA_K} THEN {_THETA_M} ELSE tb.kth END AS theta_b,
+        ta.n AS na, tb.n AS nb, ta.kth AS ka, tb.kth AS kb,
+        tu.n AS nu, tu.kth AS ku
+      FROM ta CROSS JOIN tb CROSS JOIN tu
+    ),
+    common AS (
+      SELECT COUNT(*) AS c
+      FROM sa JOIN sb ON sa.h = sb.h
+      CROSS JOIN thetas t
+      WHERE sa.h < LEAST(t.theta_a, t.theta_b)
+    )
+    SELECT
+      CAST(CASE WHEN t.na < {_THETA_K} THEN t.na
+           ELSE FLOOR(({_THETA_K} - 1) * CAST({_THETA_M} AS DOUBLE) / t.ka)
+           END AS BIGINT) AS est_a,
+      CAST(CASE WHEN t.nb < {_THETA_K} THEN t.nb
+           ELSE FLOOR(({_THETA_K} - 1) * CAST({_THETA_M} AS DOUBLE) / t.kb)
+           END AS BIGINT) AS est_b,
+      CAST(CASE WHEN t.nu < {_THETA_K} THEN t.nu
+           ELSE FLOOR(({_THETA_K} - 1) * CAST({_THETA_M} AS DOUBLE) / t.ku)
+           END AS BIGINT) AS est_union,
+      CAST(FLOOR(c.c * CAST({_THETA_M} AS DOUBLE)
+                 / LEAST(t.theta_a, t.theta_b)) AS BIGINT) AS est_intersect,
+      CAST((SELECT COUNT(DISTINCT event_id) FROM events
+            WHERE event_type = 'click') AS BIGINT) AS exact_a,
+      CAST((SELECT COUNT(DISTINCT event_id) FROM events
+            WHERE value >= 100) AS BIGINT) AS exact_b
+    FROM thetas t CROSS JOIN common c
+"""
+
+_sql_pair(
+    "approx_theta_setops",
+    _THETA_SQL,
+    _THETA_SQL,
+    ["events"],
+    ["compat", "approx", "sketch", "theta"],
+    "uniqTheta set algebra: KMV(128) sketches of two event sets, "
+    "union/intersect cardinality estimates (exact counts alongside); "
+    "identical integer-hash algorithm both engines",
+)
+
+
+# --- WITH RECURSIVE -----------------------------------------------------------
+# Spark 4.1 executes recursive CTEs natively (UnionLoop).  The
+# recursion generates the month spine between the table's min/max
+# order date — depth is the CALENDAR span (~84 for TPC-H's 7 years),
+# independent of row count, so the iterative driver loop is bounded
+# at any data scale.  The monthly rollup joining it is one hash
+# aggregation.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) FROM orders
+      UNION ALL
+      SELECT CAST(m + INTERVAL '1' MONTH AS TIMESTAMP) FROM months
+      WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
+                 FROM orders)
+    )
+    SELECT months.m AS month,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(c.cents, 0) AS BIGINT) AS cents
+    FROM months
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ) c ON c.mo = months.m
+    ORDER BY month
+"""
+
+_sql_pair(
+    "cte_recursive_calendar",
+    _RECURSIVE_SQL,
+    _RECURSIVE_SQL,
+    ["orders"],
+    ["compat", "recursive-cte", "calendar"],
+    "WITH RECURSIVE month spine (depth = calendar span, not data "
+    "size) LEFT JOINed to the monthly order rollup — gaps surface as "
+    "zero months",
+)
+
+
+# --- MAD outlier screen ---------------------------------------------------------
+# Median-absolute-deviation outlier detection per group — the robust
+# data-quality screen (mean/stddev screens break on the outliers they
+# hunt).  Doubled values (2*x, 2*median) keep every intermediate
+# integer-valued so the cross-engine doubles are exact; the outlier
+# predicate |x - med| > 3 * MAD compares exact doubles.  Exact grouped
+# medians are the conformance form; a 100 TB deployment swaps
+# percentile -> approx_percentile per group (same plan shape).
+_MAD_SPARK = f"""
+    WITH x AS (
+      SELECT event_type, {_CENTS} AS cents FROM events
+    ),
+    med AS (
+      SELECT event_type, percentile(cents, 0.5) AS med
+      FROM x GROUP BY event_type
+    ),
+    dev AS (
+      SELECT x.event_type, x.cents,
+             ABS(2 * x.cents - CAST(2 * m.med AS BIGINT)) AS dev2
+      FROM x JOIN med m ON x.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, percentile(dev2, 0.5) AS mad2
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           MIN(m.med) AS median_cents,
+           MIN(a.mad2) / 2 AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev2 > 3 * a.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d
+    JOIN mad a ON d.event_type = a.event_type
+    JOIN med m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+"""
+_MAD_DUCK = _MAD_SPARK.replace("percentile(", "quantile_cont(")
+
+_sql_pair(
+    "stats_mad_outliers",
+    _MAD_SPARK,
+    _MAD_DUCK,
+    ["events"],
+    ["stats", "quality", "outliers", "mad"],
+    "median-absolute-deviation outlier screen per group: |x-med| > "
+    "3*MAD on exact integer-doubled cents (robust quality gate)",
+)
+
+
+# --- Benford first-digit chi-square ---------------------------------------------
+# First-significant-digit distribution vs Benford's law — the classic
+# fabricated-data screen.  The first digit comes from the INTEGER
+# cents string (integer-to-string is engine-stable; float-to-string
+# is not), expected probabilities are hardcoded literals (log10 is a
+# libm function — never in an oracle), and the chi-square term is one
+# guarded ROUND over products of exact inputs.  The digit spine is a
+# VALUES relation so zero-observation digits still emit a row.
+_BENFORD_P = [
+    (1, "0.3010299956639812"),
+    (2, "0.1760912590556813"),
+    (3, "0.1249387366082999"),
+    (4, "0.0969100130080564"),
+    (5, "0.0791812460476248"),
+    (6, "0.0669467896306132"),
+    (7, "0.0579919469776867"),
+    (8, "0.0511525224473813"),
+    (9, "0.0457574905606751"),
+]
+_BENFORD_VALUES = ", ".join(
+    # CAST: Spark parses a bare fractional literal as DECIMAL and the
+    # decimal arithmetic/ROUND results would leak decimals into the
+    # output (driver-canonicalizer trap); DOUBLE literals parse to the
+    # identical IEEE value in both engines
+    f"({d}, CAST({p} AS DOUBLE))"
+    for d, p in _BENFORD_P
+)
+
+
+def _benford_sql(str_type: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                            AS {str_type}), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT s.digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs,
+           ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / tot.t, 9) AS p_obs,
+           s.p AS p_benford,
+           ROUND((COALESCE(o.n, 0) - tot.t * s.p)
+                 * (COALESCE(o.n, 0) - tot.t * s.p)
+                 / (tot.t * s.p), 9) AS chi2_term
+    FROM (VALUES {_BENFORD_VALUES}) AS s(digit, p)
+    LEFT JOIN obs o ON o.digit = s.digit
+    CROSS JOIN tot
+    ORDER BY s.digit
+    """
+
+
+_sql_pair(
+    "stats_benford_digits",
+    _benford_sql("STRING"),
+    _benford_sql("VARCHAR"),
+    ["orders"],
+    ["stats", "quality", "benford", "chi-square"],
+    "Benford first-digit screen: observed vs hardcoded log10 "
+    "literals, per-digit chi-square terms (integer-string digit "
+    "extraction; round(9)-guarded division)",
+)
+
+
+# --- Matryoshka (MRL) truncated-embedding retrieval ----------------------------
+# Matryoshka-trained embeddings rank well on a prefix of dimensions;
+# the retrieval pattern is: search on the cheap 16-dim prefix,
+# measure recall against the full-dim exact top-k.  Both rankings use
+# the established fixed-point dot (similarity._dot_expr); the recall
+# flag is a LEFT JOIN against the full-dim top-10.  At scale the
+# 16-dim scan reads a quarter of the vector bytes and the same plan
+# shape holds (TakeOrderedAndProject over a map-only score).
+def _matryoshka_sql(dialect: str) -> str:
+    from ..operators.similarity import cosine_topk_sql
+
+    inner16 = cosine_topk_sql(dialect, dim=16)
+    inner64 = cosine_topk_sql(dialect)
+    return f"""
+    WITH m16 AS ({inner16}),
+    f64 AS ({inner64})
+    SELECT m16.vec_id, m16.label, m16.cosine AS cosine_16d,
+           (f64.vec_id IS NOT NULL) AS in_full_topk
+    FROM m16 LEFT JOIN f64 ON m16.vec_id = f64.vec_id
+    ORDER BY cosine_16d DESC, m16.vec_id
+    """
+
+
+_sql_pair(
+    "sim_matryoshka_topk",
+    _matryoshka_sql("spark"),
+    _matryoshka_sql("duckdb"),
+    ["embeddings"],
+    ["similarity", "matryoshka", "ann"],
+    "Matryoshka retrieval: cosine top-10 on the 16-dim prefix with "
+    "full-64-dim recall flags (prefix scan reads 1/4 of vector bytes)",
+)
