@@ -182,12 +182,22 @@ class BlockStatsRecorder:
     files whose unaccounted rows match."""
 
     def __init__(
-        self, bloom_columns: tuple = (), ngram_columns: tuple = ()
+        self,
+        bloom_columns: tuple = (),
+        ngram_columns: tuple = (),
+        set_columns: tuple = (),
     ) -> None:
         self.blocks: list[dict] = []
         self.merged: dict = {}
         self.rows = 0
         self._dropped: set = set()
+        # set(N) skip index (native/setindex.py): the column's complete
+        # distinct-value list when it stays under the cap — evaluates
+        # ANY pushable predicate at plan time; dropped past the cap
+        # (conservative: no index, no pruning)
+        self._set_cols = tuple(set_columns)
+        self._set_vals: dict[str, set] = {c: set() for c in self._set_cols}
+        self._set_dropped: set = set()
         # bloom skip index (native/bloomindex.py): distinct type-tagged
         # values per indexed column, accumulated across blocks; a
         # column hitting an unsupported type or the distinct cap drops
@@ -201,7 +211,37 @@ class BlockStatsRecorder:
         self._ngram_vals: dict[str, set] = {c: set() for c in self._ngram_cols}
         self._ngram_dropped: set = set()
 
+    def _set_on_block(self, piece: pa.RecordBatch) -> None:
+        if not self._set_cols or piece.num_rows == 0:
+            return
+        from .setindex import SET_MAX_DISTINCT, set_index_value
+
+        import pyarrow.compute as pc
+
+        names = set(piece.schema.names)
+        for col in self._set_cols:
+            if col in self._set_dropped:
+                continue
+            if col not in names:
+                self._set_dropped.add(col)
+                continue
+            acc = self._set_vals[col]
+            arr = piece.column(piece.schema.get_field_index(col))
+            for v in pc.unique(arr).to_pylist():
+                if v is None:
+                    continue
+                sv = set_index_value(v)
+                if sv is None:  # unsupported type: drop the index
+                    self._set_dropped.add(col)
+                    break
+                acc.add(sv)
+            if len(acc) > SET_MAX_DISTINCT:
+                self._set_dropped.add(col)
+        for col in self._set_dropped:
+            self._set_vals.pop(col, None)
+
     def _bloom_on_block(self, piece: pa.RecordBatch) -> None:
+        self._set_on_block(piece)
         if (not self._bloom_cols and not self._ngram_cols) or piece.num_rows == 0:
             return
         from .bloomindex import MAX_DISTINCT, string_ngrams, value_bytes
@@ -300,6 +340,14 @@ class BlockStatsRecorder:
             side["bloom"] = blooms
         if ngrams:
             side["ngrambf"] = ngrams
+        if self._set_vals:
+            setix = {
+                col: sorted(vals)
+                for col, vals in self._set_vals.items()
+                if vals
+            }
+            if setix:
+                side["set"] = setix
         return side
 
 
@@ -313,6 +361,7 @@ def write_native_file(
     stats: bool = True,
     index_bloom: Optional[list] = None,
     index_ngrambf: Optional[list] = None,
+    index_set: Optional[list] = None,
 ) -> int:
     """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
     wrap the stream in ClickHouse compressed frames (compress.py).
@@ -329,7 +378,11 @@ def write_native_file(
         schema = table.schema
     types = _ch_types_for_schema(schema, ch_types)
     rec = (
-        BlockStatsRecorder(tuple(index_bloom or ()), tuple(index_ngrambf or ()))
+        BlockStatsRecorder(
+            tuple(index_bloom or ()),
+            tuple(index_ngrambf or ()),
+            tuple(index_set or ()),
+        )
         if (stats and compression is None)
         else None
     )

@@ -537,6 +537,7 @@ GRADING_WINDOW = [
     "stats_mad_outliers",  # NEVER GRADED (r12)
     "stats_benford_digits",  # NEVER GRADED (r12)
     "sim_matryoshka_topk",  # NEVER GRADED (r12)
+    "native_set_skip_scan",  # NEVER GRADED (r12: set(N) skip index)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -577,7 +578,6 @@ GRADING_WINDOW = [
     "topk_orders",  # green r6
     "approx_distinct_parts",  # green r7
     "asof_join_events_orders",  # green r7
-    "bm25_topk",  # green r7
 ]
 
 

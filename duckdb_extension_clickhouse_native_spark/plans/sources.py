@@ -1660,6 +1660,86 @@ REGISTRY.df_query(
 )
 
 
+def _set_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Documents with ``grade = doc_id % 48`` laid out so part ``b``
+    holds exactly grades ``{b, b+16, b+32}`` — every part's min/max
+    spans ~two-thirds of the grade range and OVERLAPS every between-
+    probe, and a bloom index cannot see range predicates at all.  Only
+    the set(N) index's complete value list disproves a BETWEEN against
+    the non-contiguous per-part grade sets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        doc_id = t.column("doc_id").to_numpy()
+        grade = pa.array(doc_id % 48, type=pa.int64())
+        t2 = t.append_column("grade", grade)
+        bucket = pa.array((doc_id % 48) % 16, type=pa.int64())
+        for b in range(16):
+            piece = t2.filter(pc.equal(bucket, b))
+            if piece.num_rows == 0:
+                continue
+            write_native_file(
+                os.path.join(out_dir, f"part-{b:03d}.clickhouse"),
+                piece,
+                index_set=["grade"],
+            )
+
+    return _materialize_fixture(sf_dir, "documents", "documents-setix16", write)
+
+
+def _native_set_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set(N) skip index (ClickHouse ``set(max_rows)`` analogue): a
+    BETWEEN probe over non-contiguous per-part value sets plans 3 of
+    16 partitions.  min/max cannot prune (every part's [b, b+32] range
+    overlaps [14, 16]); bloom cannot prune (no equality); the
+    conjunction of the two pushed range filters evaluated against each
+    part's complete distinct-value list can.  The entry asserts the
+    pruning fired."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _set_index_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+        .filter((F.col("grade") >= 14) & (F.col("grade") <= 16))
+    )
+    if df.rdd.getNumPartitions() > 3:
+        raise AssertionError(
+            f"set-index pruning regressed: planned "
+            f"{df.rdd.getNumPartitions()} partitions for a 3-grade "
+            "BETWEEN over 16 parts with non-contiguous grade sets"
+        )
+    return df.select(
+        "doc_id",
+        "grade",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+REGISTRY.df_query(
+    "native_set_skip_scan",
+    _native_set_skip_scan,
+    oracle="""
+    SELECT doc_id, doc_id % 48 AS grade,
+           CAST(n_chars AS BIGINT) AS n_chars, lang
+    FROM documents
+    WHERE (doc_id % 48) BETWEEN 14 AND 16
+    ORDER BY doc_id
+    """,
+    tags=["source", "native", "set-index", "skipping", "pruning"],
+    description="set(N) skip index: BETWEEN over non-contiguous "
+    "per-part value sets plans 3 of 16 partitions (min/max and bloom "
+    "both blind); rows == oracle",
+)
+
+
 def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """system.parts analogue: per-part metadata rows from the writer's
     stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —

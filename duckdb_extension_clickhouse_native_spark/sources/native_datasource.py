@@ -257,6 +257,29 @@ def _partition_spec(load_path: str, paths: list) -> tuple:
     return keys, spec, types
 
 
+def _set_conjunction_excludes(filters, stats: dict) -> bool:
+    """set(N)-index CONJUNCTION pruning: a BETWEEN arrives as two
+    pushed filters, each individually satisfiable by a non-contiguous
+    value set like {2, 18, 34} — only asking 'does any stored value
+    satisfy ALL of this column's filters' disproves the range.
+    Per-filter shapes are handled inside _filter_excludes_file; this
+    adds the multi-filter case."""
+    setix = stats.get("set") or {}
+    if not setix or int(stats.get("rows", 0)) == 0:
+        return False
+    from ..native.setindex import set_excludes_conjunction
+
+    by_col: dict = {}
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if isinstance(attr, tuple) and len(attr) == 1 and attr[0] in setix:
+            by_col.setdefault(attr[0], []).append(f)
+    for col, fs in by_col.items():
+        if len(fs) >= 2 and set_excludes_conjunction(setix[col], fs):
+            return True
+    return False
+
+
 def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
     """True iff the sidecar PROVES filter ``f`` false for every row of
     the file. Conservative: unknown filter shapes, missing columns, or
@@ -299,6 +322,21 @@ def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
                 # NULL, not true), so all-absent non-null members
                 # prove the file matches nothing
                 return True
+    # set(N) skip index (ClickHouse `set(max_rows)` analogue): the
+    # column's COMPLETE distinct-value list — any pushable predicate
+    # no stored value satisfies is false for every row, which prunes
+    # shapes min/max and bloom both miss (ranges over non-contiguous
+    # value sets, string prefix/suffix/contains)
+    setix = stats.get("set") or {}
+    if setix:
+        from ..native.setindex import set_excludes_filter
+
+        try:
+            vals = setix.get(f.attribute[0])
+        except (AttributeError, IndexError, TypeError):
+            vals = None
+        if vals is not None and set_excludes_filter(vals, f):
+            return True
     # ngrambf skip index (ClickHouse ngrambf_v1 analogue): the union of
     # the column's codepoint 3-grams proves substring predicates
     # unmatchable — any needle gram absent means no value CONTAINS the
@@ -471,7 +509,7 @@ class ClickHouseNativeReader(DataSourceReader):
             try:
                 excluded = any(
                     _filter_excludes_file(flt, st) for flt in self.pushed
-                )
+                ) or _set_conjunction_excludes(self.pushed, st)
             except (KeyError, TypeError, ValueError):
                 excluded = False  # malformed sidecar: never skip
             if excluded:
@@ -1215,6 +1253,7 @@ class _FileSink:
         block_rows: int,
         index_bloom: tuple = (),
         index_ngrambf: tuple = (),
+        index_set: tuple = (),
     ):
         from ..native.writer import BlockStatsRecorder
 
@@ -1222,7 +1261,7 @@ class _FileSink:
         self.compression = compression
         self.block_rows = block_rows
         self.rows = 0
-        self._rec = BlockStatsRecorder(index_bloom, index_ngrambf)
+        self._rec = BlockStatsRecorder(index_bloom, index_ngrambf, index_set)
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -1336,6 +1375,13 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             for c in str(options.get("index_ngrambf", "")).split(",")
             if c.strip()
         )
+        # set skip index columns (native/setindex.py): complete
+        # distinct-value lists for low-cardinality columns
+        self.index_set: tuple = tuple(
+            c.strip()
+            for c in str(options.get("index_set", "")).split(",")
+            if c.strip()
+        )
         names = [f.name for f in schema.fields]
         missing = [c for c in self.partition_by if c not in names]
         if missing:
@@ -1349,6 +1395,9 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         missing = [c for c in self.index_ngrambf if c not in names]
         if missing:
             raise ValueError(f"index_ngrambf columns not in schema: {missing}")
+        missing = [c for c in self.index_set if c not in names]
+        if missing:
+            raise ValueError(f"index_set columns not in schema: {missing}")
         if self.partition_by and len(self.partition_by) == len(names):
             raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
@@ -1398,6 +1447,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 self.block_rows,
                 self.index_bloom,
                 self.index_ngrambf,
+                self.index_set,
             )
             os.makedirs(self.path, exist_ok=True)
             try:
@@ -1451,6 +1501,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                             self.block_rows,
                             self.index_bloom,
                             self.index_ngrambf,
+                            self.index_set,
                         )
                     sink.write_batch(sub)
             # finalize inside the same guard: a flush/close failure on
