@@ -118,6 +118,27 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
+def _companions(p: str, base: Optional[str] = None) -> list:
+    """(src_path, dst_basename) pairs for the part's companion files —
+    stats sidecar AND lightweight-delete mask.  Every code path that
+    links/moves/stages a part untouched MUST carry both: dropping the
+    stats sidecar only loses pruning, but dropping the delete mask
+    silently RESURRECTS deleted rows.  ``base`` renames the part at
+    the destination (keep- prefixes)."""
+    from ..native.delmask import delmask_path
+    from ..native.writer import stats_sidecar_path
+
+    b = base or os.path.basename(p)
+    out = []
+    side = stats_sidecar_path(p)
+    if os.path.exists(side):
+        out.append((side, os.path.basename(stats_sidecar_path(b))))
+    dm = delmask_path(p)
+    if os.path.exists(dm):
+        out.append((dm, os.path.basename(delmask_path(b))))
+    return out
+
+
 def _guard_out_dir(src_dir: str, out_dir: str) -> None:
     """The idempotent rebuild clears ``out_dir`` before reading
     ``src_dir`` — passing the source (or an ancestor of it) as the
@@ -236,14 +257,8 @@ def _mutate_flat(
     for i, p in enumerate(untouched):
         base = f"keep-{i:04d}-{os.path.basename(p)}"
         _link_or_copy(p, os.path.join(out_dir, base))
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            _link_or_copy(
-                side,
-                os.path.join(
-                    out_dir, os.path.basename(stats_sidecar_path(base))
-                ),
-            )
+        for csrc, cdst in _companions(p, base):
+            _link_or_copy(csrc, os.path.join(out_dir, cdst))
 
     if touched:
         # stage the touched parts behind symlinks so ONE DataSource read
@@ -260,11 +275,8 @@ def _mutate_flat(
         os.makedirs(stage)
         for p in touched:
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
-            side = stats_sidecar_path(p)
-            if os.path.exists(side):
-                os.symlink(
-                    side, os.path.join(stage, os.path.basename(side))
-                )
+            for csrc, cdst in _companions(p):
+                os.symlink(csrc, os.path.join(stage, cdst))
         df = spark.read.format("clickhouse_native").load(stage)
         if delete_where is not None:
             # DELETE removes rows where the predicate is TRUE; a
@@ -463,11 +475,8 @@ def _mutate_hive(
                 sdir = os.path.join(stage, rel)
                 os.makedirs(sdir, exist_ok=True)
                 os.symlink(p, os.path.join(sdir, os.path.basename(p)))
-                side = stats_sidecar_path(p)
-                if os.path.exists(side):
-                    os.symlink(
-                        side, os.path.join(sdir, os.path.basename(side))
-                    )
+                for csrc, cdst in _companions(p):
+                    os.symlink(csrc, os.path.join(sdir, cdst))
                 staged += 1
         _link_parts(keep, dst)
         untouched += len(keep)
@@ -604,12 +613,8 @@ def _link_parts(dir_parts: list, dst: str) -> None:
     for i, p in enumerate(dir_parts):
         base = f"keep-{i:04d}-{os.path.basename(p)}"
         _link_or_copy(p, os.path.join(dst, base))
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            _link_or_copy(
-                side,
-                os.path.join(dst, os.path.basename(stats_sidecar_path(base))),
-            )
+        for csrc, cdst in _companions(p, base):
+            _link_or_copy(csrc, os.path.join(dst, cdst))
 
 
 def _ttl_rollup_hive(
@@ -693,11 +698,8 @@ def _ttl_rollup_hive(
                 sdir = os.path.join(stage, rel)
                 os.makedirs(sdir, exist_ok=True)
                 os.symlink(p, os.path.join(sdir, os.path.basename(p)))
-                side = stats_sidecar_path(p)
-                if os.path.exists(side):
-                    os.symlink(
-                        side, os.path.join(sdir, os.path.basename(side))
-                    )
+                for csrc, cdst in _companions(p):
+                    os.symlink(csrc, os.path.join(sdir, cdst))
                 staged += 1
         _link_parts(keep, dst)
         untouched += len(keep)
@@ -775,9 +777,8 @@ def _ttl_rollup_flat(
         os.makedirs(stage)
         for p in touched:
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
-            side = stats_sidecar_path(p)
-            if os.path.exists(side):
-                os.symlink(side, os.path.join(stage, os.path.basename(side)))
+            for csrc, cdst in _companions(p):
+                os.symlink(csrc, os.path.join(stage, cdst))
         # TWO independent load() relations, one per branch — NEVER
         # branch-filter a single Python-DataSource DataFrame into a
         # union/join: pyspark keeps ONE reader per DataSource relation,
@@ -836,6 +837,94 @@ def apply_ttl_delete(
     )
 
 
+def lightweight_delete(
+    spark: SparkSession,
+    src_dir: str,
+    where: Sequence[Pred],
+) -> dict:
+    """ClickHouse lightweight ``DELETE FROM t WHERE ...``: write
+    per-part deletion BITMAPS instead of rewriting parts (ALTER
+    DELETE's economics are :func:`mutate_native_dir`'s).  In place —
+    no out_dir; every subsequent read of ``src_dir`` (scans,
+    mutations, TTL, compaction, projections) sees the rows gone, and
+    any rewrite of a part materializes its mask.
+
+    ONE distributed job: scan with ``file_column`` +
+    ``row_index_column`` (physical ordinals survive the existing
+    masks, so repeated deletes compose by OR), filter to the matching
+    rows, and let one task per touched part write its bitmap.  Parts
+    the predicate provably cannot touch never plan (the pushed
+    filters prune them against the sidecars), so the job's input is
+    proportional to the affected parts — ClickHouse's own lightweight
+    delete economics.  The per-part summary that returns to the
+    driver is one row per touched part (metadata scale)."""
+    import pandas as pd
+
+    from ..sources.native_datasource import infer_native_schema
+
+    if not where:
+        raise ValueError("lightweight_delete requires a predicate")
+    schema = infer_native_schema(
+        {
+            "path": src_dir,
+            "file_column": "__part",
+            "row_index_column": "__ridx",
+        }
+    )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(schema)
+        .option("file_column", "__part")
+        .option("row_index_column", "__ridx")
+        .load(src_dir)
+    )
+    cond = _conj(where)
+    hits = df.filter(cond).select("__part", "__ridx")
+
+    src_abs = os.path.abspath(src_dir)
+
+    def _write_masks(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        from ..native.delmask import write_delmask
+        from ..native.writer import stats_sidecar_path
+
+        rel = pdf["__part"].iloc[0]
+        real = os.path.join(src_abs, rel)
+        try:
+            with open(stats_sidecar_path(real)) as f:
+                rows = int(json.load(f)["rows"])
+        except (OSError, ValueError, KeyError):
+            # no sidecar: count physical rows from the block headers
+            from ..native.codec import scan_block_offsets
+
+            rows = sum(r for _off, r in scan_block_offsets(real))
+        summary = write_delmask(real, pdf["__ridx"].to_numpy(), rows)
+        return pd.DataFrame(
+            {
+                "part": [rel],
+                "newly_deleted": [len(pdf)],
+                "total_deleted": [summary["deleted"]],
+                "part_rows": [summary["rows"]],
+            }
+        )
+
+    out = hits.groupBy("__part").applyInPandas(
+        _write_masks,
+        "part string, newly_deleted long, total_deleted long, part_rows long",
+    )
+    parts = sorted(
+        (r["part"], r["newly_deleted"], r["total_deleted"])
+        for r in out.collect()
+    )
+    return {
+        "dir": src_dir,
+        "parts_masked": len(parts),
+        "rows_deleted": int(sum(p[1] for p in parts)),
+        "parts": parts,
+    }
+
+
 def detach_parts(src_dir: str, part_names: Sequence[str]) -> dict:
     """``ALTER TABLE ... DETACH PART`` analogue: move the named parts
     (and their stats sidecars) into ``<dir>/detached/`` — invisible to
@@ -852,9 +941,8 @@ def detach_parts(src_dir: str, part_names: Sequence[str]) -> dict:
         if not os.path.isfile(p):
             raise FileNotFoundError(f"no such part: {p}")
         os.replace(p, os.path.join(det, name))
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            os.replace(side, os.path.join(det, os.path.basename(side)))
+        for csrc, cdst in _companions(p):
+            os.replace(csrc, os.path.join(det, cdst))
         moved.append(name)
     return {"detached": moved, "dir": det}
 
@@ -921,12 +1009,11 @@ def attach_parts(
             os.replace(p, dst)
         else:
             _link_or_copy(p, dst)
-        side = stats_sidecar_path(p)
-        if os.path.exists(side):
-            sdst = os.path.join(dst_dir, os.path.basename(side))
+        for csrc, cdst in _companions(p):
+            sdst = os.path.join(dst_dir, cdst)
             if move:
-                os.replace(side, sdst)
+                os.replace(csrc, sdst)
             else:
-                _link_or_copy(side, sdst)
+                _link_or_copy(csrc, sdst)
         attached.append(base)
     return {"attached": attached, "dir": dst_dir}

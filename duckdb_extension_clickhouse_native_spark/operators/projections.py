@@ -98,10 +98,22 @@ def _relkey(src_dir: str, p: str) -> str:
 
 
 def _fingerprint(src_dir: str, paths: list[str]) -> dict:
+    from ..native.delmask import delmask_path
+
     out = {}
     for p in paths:
         st = os.stat(p)
-        out[_relkey(src_dir, p)] = [st.st_size, st.st_mtime_ns]
+        stamp = [st.st_size, st.st_mtime_ns]
+        try:
+            # a lightweight DELETE changes a part's CONTENT without
+            # touching the part file — the mask's stamp must join the
+            # fingerprint or a stale projection would keep serving
+            # deleted rows' aggregates
+            mst = os.stat(delmask_path(p))
+            stamp += [mst.st_size, mst.st_mtime_ns]
+        except OSError:
+            pass
+        out[_relkey(src_dir, p)] = stamp
     return out
 
 
@@ -268,6 +280,13 @@ def _stage_parts(src_dir: str, paths: list, tag_seed: str) -> str:
         side = stats_sidecar_path(p)
         if os.path.exists(side):
             os.symlink(side, stats_sidecar_path(dst))
+        from ..native.delmask import delmask_path
+
+        dm = delmask_path(p)
+        if os.path.exists(dm):
+            # the staged read must see the part's deletions or the
+            # partial states would aggregate resurrected rows
+            os.symlink(dm, delmask_path(dst))
     return stage
 
 

@@ -538,6 +538,8 @@ GRADING_WINDOW = [
     "stats_benford_digits",  # NEVER GRADED (r12)
     "sim_matryoshka_topk",  # NEVER GRADED (r12)
     "native_set_skip_scan",  # NEVER GRADED (r12: set(N) skip index)
+    "mutation_lightweight_delete",  # NEVER GRADED (r12: delete masks)
+    "native_trivial_count",  # NEVER GRADED (r12: metadata count)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -576,8 +578,6 @@ GRADING_WINDOW = [
     "text_repetition",  # green r6
     "text_token_count",  # green r6
     "topk_orders",  # green r6
-    "approx_distinct_parts",  # green r7
-    "asof_join_events_orders",  # green r7
 ]
 
 

@@ -1740,6 +1740,141 @@ REGISTRY.df_query(
 )
 
 
+def _lwdel_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """PRIVATE 16-part orders fixture (never the shared one — masks
+    would leak into every other orders entry) with a lightweight
+    DELETE of the 'F' rows applied once per materialization.  The
+    masks are pure functions of the data, so a re-run is a no-op
+    (already-masked rows never reappear in the hits scan)."""
+    from ..native.writer import write_native_file
+    from ..operators.mutations import lightweight_delete
+
+    def write(out_dir: str, t) -> None:
+        n = t.num_rows
+        per = max(1, (n + 15) // 16)
+        for i in range(16):
+            piece = t.slice(i * per, per)
+            if piece.num_rows == 0:
+                break
+            write_native_file(
+                os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                piece,
+                block_rows=max(1024, per // 4),
+            )
+
+    path = _materialize_fixture(sf_dir, "orders", "orders-lwdel16", write)
+    marker = os.path.join(path, "_LWDEL_DONE")
+    if not os.path.exists(marker):
+        lightweight_delete(spark, path, [("o_orderstatus", "=", "F")])
+        with open(marker, "w") as f:
+            f.write("")
+    return path
+
+
+def _mutation_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight DELETE (ClickHouse ``DELETE FROM``): deletion
+    bitmaps instead of part rewrites.  The fixture's 'F' orders are
+    masked; the part DATA FILES are untouched (asserted: every part
+    still reports its full physical row count in the sidecar while
+    the scan returns only surviving rows)."""
+    import json
+
+    from .base import ensure_session
+    from ..native.delmask import load_delmask
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _lwdel_fixture(spark, sf_dir)
+    # proof the delete was lightweight: masks exist, data files intact
+    masked = 0
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".clickhouse"):
+            continue
+        p = os.path.join(path, fn)
+        m = load_delmask(p)
+        if m is None:
+            continue
+        masked += 1
+        with open(stats_sidecar_path(p)) as f:
+            side = json.load(f)
+        if int(side["rows"]) != m["rows"]:
+            raise AssertionError(
+                f"part {fn} was rewritten under its mask "
+                f"({side['rows']} != {m['rows']})"
+            )
+    if masked == 0:
+        raise AssertionError("no delete masks found — delete did not run")
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+REGISTRY.df_query(
+    "mutation_lightweight_delete",
+    _mutation_lightweight_delete,
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=["mutation", "lightweight-delete", "native"],
+    description="lightweight DELETE: per-part deletion bitmaps, zero "
+    "part rewrites (asserted), scans/mutations/compaction all see "
+    "rows gone; masks compose by OR",
+)
+
+
+def _native_trivial_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """optimize_trivial_count_query analogue: count(*) answered from
+    part metadata (sidecar rows minus delete-mask counts) — zero data
+    decode, asserted via the plan (a LocalTableScan literal, no
+    clickhouse_native scan)."""
+    from .base import ensure_session
+    from ..sources.table_functions import trivial_count
+
+    ensure_session(spark)
+    path = _lwdel_fixture(spark, sf_dir)
+    df = trivial_count(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "clickhouse_native" in plan.lower() and "LocalTableScan" not in plan:
+        raise AssertionError(
+            "trivial count fell back to a data scan on a fully-"
+            f"sidecarred directory:\n{plan[:500]}"
+        )
+    return df
+
+
+REGISTRY.df_query(
+    "native_trivial_count",
+    _native_trivial_count,
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    tags=["source", "native", "trivial-count", "metadata"],
+    description="trivial count(*): sidecar rows minus delete-mask "
+    "counts, no data decode (plan asserted metadata-only); falls back "
+    "to a real scan when any part lacks a sidecar",
+)
+
+
 def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """system.parts analogue: per-part metadata rows from the writer's
     stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —

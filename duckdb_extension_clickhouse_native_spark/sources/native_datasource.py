@@ -190,6 +190,11 @@ class NativeFilePartition(InputPartition):
     # layout (driver-side reader mutations never reach executors).
     part_vals: tuple = ()
     part_keys: tuple = ()
+    # first PHYSICAL row ordinal of this partition within its file:
+    # 0 for whole-file partitions, the cumulative row count of the
+    # preceding blocks for block-split ones, -1 = unknown (streaming
+    # tail partitions) — delete masks and row_index_column need it
+    start_row: int = -1
 
 
 def _partition_components(load_path: str, file_path: str) -> list:
@@ -443,6 +448,13 @@ class ClickHouseNativeReader(DataSourceReader):
         # file_column: inject the source-file basename as a constant
         # string column per partition (see infer_native_schema)
         self.file_column = (options.get("file_column") or "").strip() or None
+        # row_index_column: inject the PHYSICAL per-file row ordinal
+        # (the parquet _metadata.row_index analogue) — lightweight
+        # deletes address rows by it, and it survives the delete mask
+        # (masked rows drop, surviving ordinals stay physical)
+        self.row_index_column = (
+            options.get("row_index_column") or ""
+        ).strip() or None
         self.pushed: List[Filter] = []
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
@@ -633,9 +645,13 @@ class ClickHouseNativeReader(DataSourceReader):
         if self.skipping and self.pushed:
             paths = self._prune_paths(paths)
 
-        def mk(p: str, start: int = 0, n_blocks: int = -1) -> NativeFilePartition:
+        def mk(
+            p: str, start: int = 0, n_blocks: int = -1, start_row: int = 0
+        ) -> NativeFilePartition:
             vals = self._vals_for_path(p)
-            return NativeFilePartition(p, start, n_blocks, vals, tuple(self.part_keys))
+            return NativeFilePartition(
+                p, start, n_blocks, vals, tuple(self.part_keys), start_row
+            )
 
         if not self.split_blocks or len(paths) > 8:
             return [mk(p) for p in paths]
@@ -688,9 +704,15 @@ class ClickHouseNativeReader(DataSourceReader):
             # group CONSECUTIVE surviving blocks into ~target_bytes runs
             # (a pruned gap ends the run: n_blocks counts sequentially
             # from start_offset)
+            # physical first-row ordinal per block (delete masks and
+            # row_index_column address physical rows)
+            row_starts = [0]
+            for _off, rows, _st in entries:
+                row_starts.append(row_starts[-1] + rows)
             run_start = None
             run_len = 0
             run_bytes = 0
+            run_row = 0
             prev_i = None
             for i in kept:
                 off = entries[i][0]
@@ -698,15 +720,16 @@ class ClickHouseNativeReader(DataSourceReader):
                 if run_start is not None and (
                     prev_i != i - 1 or run_bytes >= self.target_bytes
                 ):
-                    parts.append(mk(p, run_start, run_len))
+                    parts.append(mk(p, run_start, run_len, run_row))
                     run_start, run_len, run_bytes = None, 0, 0
                 if run_start is None:
                     run_start = off
+                    run_row = row_starts[i]
                 run_len += 1
                 run_bytes += end - off
                 prev_i = i
             if run_start is not None:
-                parts.append(mk(p, run_start, run_len))
+                parts.append(mk(p, run_start, run_len, run_row))
         # every pushed filter is re-applied executor-side, so an
         # over-pruned empty plan only costs correctness if we return
         # NOTHING — keep one whole-file partition as in _prune_paths
@@ -833,6 +856,18 @@ class ClickHouseNativeReader(DataSourceReader):
         if self.file_column and want is not None:
             # path-derived, never in the file blocks
             want = {c for c in want if c != self.file_column} or None
+        if self.row_index_column and want is not None:
+            want = {c for c in want if c != self.row_index_column} or None
+        from ..native.delmask import load_delmask, mask_bits
+
+        mask = load_delmask(partition.path)
+        if mask is not None and partition.start_offset and partition.start_row < 0:
+            raise ValueError(
+                f"delete mask present on {partition.path!r} but this "
+                "partition's physical start row is unknown — cannot "
+                "apply the mask without misaligning rows"
+            )
+        row_off = max(0, partition.start_row)
         target = self._arrow_schema()
         from ..native.compress import maybe_compressed_reader
 
@@ -852,9 +887,16 @@ class ClickHouseNativeReader(DataSourceReader):
             part_val = dict(
                 zip(partition.part_keys or self.part_keys, partition.part_vals)
             )
-            if self.prewhere and self.pushed and not self.file_column:
-                # (file_column reads take the plain path: the prewhere
-                # iterator builds batches from file columns only)
+            if (
+                self.prewhere
+                and self.pushed
+                and not self.file_column
+                and not self.row_index_column
+                and mask is None
+            ):
+                # (file_column / row_index / delete-mask reads take the
+                # plain path: the prewhere iterator builds batches from
+                # file columns only and drops block row accounting)
                 block_iter = self._iter_blocks_prewhere(
                     buf, want, part_val, target
                 )
@@ -889,6 +931,20 @@ class ClickHouseNativeReader(DataSourceReader):
                             )
                         )
                         continue
+                    if fld.name == self.row_index_column:
+                        import numpy as np
+
+                        arrays.append(
+                            pa.array(
+                                np.arange(
+                                    row_off,
+                                    row_off + batch.num_rows,
+                                    dtype=np.int64,
+                                ),
+                                type=fld.type,
+                            )
+                        )
+                        continue
                     if fld.name in part_val:
                         raw = part_val[fld.name]
                         if pa.types.is_integer(fld.type):
@@ -918,7 +974,13 @@ class ClickHouseNativeReader(DataSourceReader):
                     if col.type != fld.type:
                         col = col.cast(fld.type)
                     arrays.append(col)
+                n_phys = batch.num_rows
                 batch = pa.RecordBatch.from_arrays(arrays, schema=target)
+                if mask is not None:
+                    keep = mask_bits(mask, row_off, n_phys)
+                    if not keep.all():
+                        batch = batch.filter(pa.array(keep))
+                row_off += n_phys
                 if self.pushed:
                     batch = self._apply_filters(batch)
                 if batch.num_rows:
@@ -1520,6 +1582,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         return NativeWriteCommit(paths=tuple(paths), rows=rows)
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:
+        from ..native.delmask import remove_delmask
         from ..native.writer import stats_sidecar_path
 
         new_files = {p for m in messages if m for p in m.paths}
@@ -1529,11 +1592,13 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 side = stats_sidecar_path(old)
                 if os.path.exists(side):
                     os.remove(side)
+                remove_delmask(old)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
     def abort(self, messages: List[Optional[NativeWriteCommit]]) -> None:
+        from ..native.delmask import remove_delmask
         from ..native.writer import stats_sidecar_path
 
         for m in messages:
@@ -1545,6 +1610,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                     side = stats_sidecar_path(p)
                     if os.path.exists(side):
                         os.remove(side)
+                    remove_delmask(p)
 
 
 def infer_native_schema(options: dict) -> StructType:
@@ -1618,6 +1684,13 @@ def infer_native_schema(options: dict) -> StructType:
                 f"file_column {fc!r} collides with an existing column"
             )
         fields.append(StructField(fc, StringType(), nullable=False))
+    ric = (options.get("row_index_column") or "").strip()
+    if ric:
+        if ric in {f.name for f in fields}:
+            raise ValueError(
+                f"row_index_column {ric!r} collides with an existing column"
+            )
+        fields.append(StructField(ric, LongType(), nullable=False))
     return StructType(fields)
 
 

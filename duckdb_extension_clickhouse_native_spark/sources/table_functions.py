@@ -146,6 +146,8 @@ def make_parts_udtf():
             from ..filesystem import resolve_paths
             from ..native.writer import stats_sidecar_path
 
+            from ..native.delmask import deleted_count
+
             for p in sorted(resolve_paths(path)):
                 side = stats_sidecar_path(p)
                 rows, n_blocks, n_cols = -1, -1, -1
@@ -157,19 +159,24 @@ def make_parts_udtf():
                     n_cols = len(st.get("columns", {})) or -1
                 except (OSError, ValueError):
                     pass
+                try:
+                    deleted = deleted_count(p)
+                except ValueError:
+                    deleted = -1  # corrupt mask: surface, don't hide
                 yield (
                     os.path.basename(p),
                     int(os.path.getsize(p)),
                     rows,
                     n_blocks,
                     n_cols,
+                    deleted,
                 )
 
     return udtf(
         ClickHouseNativePartsUDTF,
         returnType=(
             "part_name string, bytes bigint, rows bigint, "
-            "n_blocks bigint, n_cols bigint"
+            "n_blocks bigint, n_cols bigint, deleted_rows bigint"
         ),
     )
 
@@ -220,6 +227,45 @@ def register_table_functions(spark: SparkSession) -> None:
     spark.udtf.register("clickhouse_scan", make_scan_udtf())
     spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
+
+
+def trivial_count(spark: SparkSession, path: str) -> DataFrame:
+    """ClickHouse ``optimize_trivial_count_query`` analogue: answer
+    ``SELECT count(*)`` from part METADATA (stats sidecars minus
+    lightweight-delete mask counts) without decoding a byte of data.
+
+    One metadata job over the parts UDTF decides eligibility AND
+    produces the count: every part must carry a sidecar (rows >= 0)
+    and no corrupt delete mask (deleted_rows >= 0).  Ineligible
+    directories fall back to the real distributed scan count — never
+    a wrong answer, only a slower one.  The 1-row probe collect is
+    the bounded-scalar pattern planning already uses (the sidecars
+    are read by partition planning on every query anyway)."""
+    from pyspark.sql import functions as F
+
+    from .native_datasource import infer_native_schema
+
+    register_table_functions(spark)
+    probe = spark.sql(
+        f"""
+        SELECT MIN(rows) AS mn, MIN(deleted_rows) AS mnd,
+               CAST(SUM(rows) - SUM(deleted_rows) AS BIGINT) AS n
+        FROM clickhouse_native_parts('{path}')
+        """
+    ).collect()[0]
+    if (
+        probe.mn is not None
+        and probe.mn >= 0
+        and probe.mnd is not None
+        and probe.mnd >= 0
+    ):
+        return spark.createDataFrame([(int(probe.n),)], "n_rows bigint")
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+    return df.agg(F.count("*").alias("n_rows"))
 
 
 def clickhouse_native_view(
