@@ -198,6 +198,12 @@ def mutate_native_dir(
         p = os.path.join(out_dir, f)
         if os.path.isfile(p):
             os.remove(p)
+    from ..native.tableschema import copy_table_schema
+
+    # evolved tables: the metadata must follow the data — untouched
+    # parts keep their old physical schema and out_dir reads would
+    # otherwise resolve raw headers (renames break, defaults vanish)
+    copy_table_schema(src_dir, out_dir)
 
     from ..sources.native_datasource import _partition_spec
 
@@ -273,6 +279,9 @@ def _mutate_flat(
         stage = os.path.join(tempfile.gettempdir(), "chsql_mutate_stage", tag)
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
+        from ..native.tableschema import copy_table_schema
+
+        copy_table_schema(os.path.dirname(touched[0]), stage)
         for p in touched:
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
             for csrc, cdst in _companions(p):
@@ -425,6 +434,9 @@ def _mutate_hive(
     tag = hashlib.md5((src_dir + "|" + out_dir).encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), "chsql_mutate_hive", tag)
     shutil.rmtree(stage, ignore_errors=True)
+    from ..native.tableschema import copy_table_schema
+
+    copy_table_schema(src_dir, stage)
 
     untouched = rewritten = 0
     staged = 0
@@ -672,6 +684,10 @@ def _ttl_rollup_hive(
     tag = hashlib.md5((src_dir + "|" + out_dir).encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), "chsql_ttl_hive", tag)
     shutil.rmtree(stage, ignore_errors=True)
+    from ..native.tableschema import copy_table_schema
+
+    copy_table_schema(src_dir, stage)
+    copy_table_schema(src_dir, out_dir)
 
     # driver-side triage (directory pruning + per-part sidecar proof),
     # then ONE distributed rollup job over the staged key=value tree —
@@ -756,10 +772,13 @@ def _ttl_rollup_flat(
     list. An EMPTY ``ttl_where`` conjunction means every row expires
     (only reachable from the hive path, where the partition terms were
     proven true for the directory)."""
+    from ..native.tableschema import copy_table_schema
     from ..native.writer import stats_sidecar_path
     from ..sources.native_datasource import infer_native_schema
 
     os.makedirs(out_dir, exist_ok=True)
+    if parts:
+        copy_table_schema(os.path.dirname(parts[0]), out_dir)
     pred_sets = [tuple(ttl_where)]
     untouched, touched = [], []
     for p in parts:
@@ -775,6 +794,9 @@ def _ttl_rollup_flat(
         stage = os.path.join(tempfile.gettempdir(), "chsql_ttl_stage", tag)
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
+        from ..native.tableschema import copy_table_schema
+
+        copy_table_schema(os.path.dirname(touched[0]), stage)
         for p in touched:
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
             for csrc, cdst in _companions(p):

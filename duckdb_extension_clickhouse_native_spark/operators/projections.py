@@ -273,6 +273,9 @@ def _stage_parts(src_dir: str, paths: list, tag_seed: str) -> str:
     stage = os.path.join(tempfile.gettempdir(), "chsql_proj_stage", tag)
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
+    from ..native.tableschema import copy_table_schema
+
+    copy_table_schema(src_dir, stage)
     for p in paths:
         dst = os.path.join(stage, os.path.relpath(p, src_dir))
         os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -540,6 +540,7 @@ GRADING_WINDOW = [
     "native_set_skip_scan",  # NEVER GRADED (r12: set(N) skip index)
     "mutation_lightweight_delete",  # NEVER GRADED (r12: delete masks)
     "native_trivial_count",  # NEVER GRADED (r12: metadata count)
+    "mutation_schema_evolution",  # NEVER GRADED (r12: metadata ALTERs)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -577,7 +578,6 @@ GRADING_WINDOW = [
     "text_quality",  # green r6
     "text_repetition",  # green r6
     "text_token_count",  # green r6
-    "topk_orders",  # green r6
 ]
 
 

@@ -1875,6 +1875,124 @@ REGISTRY.df_query(
 )
 
 
+def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """PRIVATE 8-part orders fixture evolved through the full ALTER
+    matrix — RENAME (o_totalprice -> price_usd), ADD (channel String
+    DEFAULT 'web'), DROP (o_custkey) — then appended to in the NEW
+    schema epoch ('app' rows with shifted keys).  The alters are
+    METADATA-ONLY: the old parts still physically spell
+    o_totalprice/o_custkey (asserted by the entry)."""
+    from ..native.tableschema import (
+        alter_add_column,
+        alter_drop_column,
+        alter_rename_column,
+    )
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        n = t.num_rows
+        per = max(1, (n + 7) // 8)
+        for i in range(8):
+            piece = t.slice(i * per, per)
+            if piece.num_rows == 0:
+                break
+            write_native_file(
+                os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                piece,
+                block_rows=max(1024, per // 4),
+            )
+
+    path = _materialize_fixture(sf_dir, "orders", "orders-evo8", write)
+    marker = os.path.join(path, "_EVO_DONE")
+    if not os.path.exists(marker):
+        alter_rename_column(path, "o_totalprice", "price_usd")
+        alter_add_column(path, "channel", "String", default="web")
+        alter_drop_column(path, "o_custkey")
+        # new-epoch append in the CURRENT table schema
+        from .base import load_tables
+
+        t = load_tables(spark, sf_dir, ["orders"])["orders"]
+        new = (
+            t.filter(F.col("o_orderkey") < 100)
+            .select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").alias("price_usd"),
+                F.col("o_orderdate"),
+                F.col("o_orderpriority"),
+                F.lit("app").alias("channel"),
+            )
+        )
+        new.write.format("clickhouse_native").mode("append").save(path)
+        with open(marker, "w") as f:
+            f.write("")
+    return path
+
+
+def _mutation_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER ADD/DROP/RENAME COLUMN as metadata-only operations: old
+    parts resolve renames via aliases, materialize ADD defaults, and
+    byte-skip dropped payloads; new-epoch appends mix freely.  The
+    builder asserts the alters rewrote NOTHING (old parts still spell
+    the pre-rename physical schema)."""
+    from .base import ensure_session
+    from ..native.codec import read_file_schema
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _evolution_fixture(spark, sf_dir)
+    old = os.path.join(path, "part-000.clickhouse")
+    physical = [n for n, _t in read_file_schema(old)]
+    if "o_totalprice" not in physical or "o_custkey" not in physical:
+        raise AssertionError(
+            f"metadata-only ALTER rewrote an old part: {physical}"
+        )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+    if "o_custkey" in df.columns or "o_totalprice" in df.columns:
+        raise AssertionError(f"evolved schema leaked: {df.columns}")
+    return (
+        df.groupBy("channel")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("price_usd") * 100).cast("bigint")
+            ).alias("cents"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("channel")
+    )
+
+
+REGISTRY.df_query(
+    "mutation_schema_evolution",
+    _mutation_schema_evolution,
+    oracle="""
+    WITH evolved AS (
+      SELECT o_orderkey, o_totalprice AS price_usd, 'web' AS channel
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, 'app'
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT channel, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price_usd * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MAX(o_orderkey) AS max_key
+    FROM evolved
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=["mutation", "schema-evolution", "native", "metadata-only"],
+    description="ALTER ADD/DROP/RENAME COLUMN, metadata-only: renames "
+    "resolve via aliases, ADD defaults materialize at read, DROP "
+    "byte-skips; zero part rewrites (asserted); mixed-epoch reads",
+)
+
+
 def _native_parts_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """system.parts analogue: per-part metadata rows from the writer's
     stats sidecars via the ``clickhouse_native_parts(path)`` UDTF —

@@ -455,6 +455,27 @@ class ClickHouseNativeReader(DataSourceReader):
         self.row_index_column = (
             options.get("row_index_column") or ""
         ).strip() or None
+        # schema evolution metadata, loaded ONCE at plan time and
+        # pickled to executors with the reader: {name: aliases},
+        # {name: default literal}, and the known evolved-column set
+        self.evolution = None
+        if os.path.isdir(self.path):
+            from ..native.tableschema import load_table_schema
+
+            _meta = load_table_schema(self.path)
+            if _meta is not None:
+                self.evolution = {
+                    "aliases": {
+                        c["name"]: list(c.get("aliases", []))
+                        for c in _meta["columns"]
+                    },
+                    "defaults": {
+                        c["name"]: c["default"]
+                        for c in _meta["columns"]
+                        if "default" in c
+                    },
+                    "known": {c["name"] for c in _meta["columns"]},
+                }
         self.pushed: List[Filter] = []
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
@@ -518,6 +539,7 @@ class ClickHouseNativeReader(DataSourceReader):
             if st is None:
                 kept.append(p)
                 continue
+            st = self._evolved_stats(st)
             try:
                 excluded = any(
                     _filter_excludes_file(flt, st) for flt in self.pushed
@@ -687,7 +709,10 @@ class ClickHouseNativeReader(DataSourceReader):
                     try:
                         return any(
                             _filter_excludes_file(
-                                f, {"rows": rows, "columns": st}
+                                f,
+                                self._evolved_stats(
+                                    {"rows": rows, "columns": st}
+                                ),
                             )
                             for f in self.pushed
                         )
@@ -736,6 +761,31 @@ class ClickHouseNativeReader(DataSourceReader):
         if not parts and paths:
             parts.append(mk(paths[0]))
         return parts
+
+    def _evolved_stats(self, st: dict) -> dict:
+        """Alias-aware view of a (cached, shared) sidecar dict: an old
+        part's stats live under the PRIOR physical name — copy them
+        under the table name so pushed filters on renamed columns
+        still prune.  Never mutates the cached dict."""
+        if not self.evolution:
+            return st
+        alias_of = self.evolution["aliases"]
+        out = dict(st)
+        for key in ("columns", "bloom", "ngrambf", "set"):
+            m = st.get(key)
+            if not isinstance(m, dict):
+                continue
+            add = {}
+            for name, aliases in alias_of.items():
+                if name in m:
+                    continue
+                for a in aliases:
+                    if a in m:
+                        add[name] = m[a]
+                        break
+            if add:
+                out[key] = {**m, **add}
+        return out
 
     def _load_sidecar(self, p: str):
         """Parsed stats sidecar for ``p`` (None if absent/corrupt).
@@ -858,6 +908,14 @@ class ClickHouseNativeReader(DataSourceReader):
             want = {c for c in want if c != self.file_column} or None
         if self.row_index_column and want is not None:
             want = {c for c in want if c != self.row_index_column} or None
+        if self.evolution and want is not None:
+            # old parts hold a wanted column under its prior physical
+            # name — decode whichever epoch's name the file has (a
+            # file carries at most one of them)
+            extra = set()
+            for c in want:
+                extra.update(self.evolution["aliases"].get(c, ()))
+            want = want | extra
         from ..native.delmask import load_delmask, mask_bits
 
         mask = load_delmask(partition.path)
@@ -893,6 +951,7 @@ class ClickHouseNativeReader(DataSourceReader):
                 and not self.file_column
                 and not self.row_index_column
                 and mask is None
+                and self.evolution is None
             ):
                 # (file_column / row_index / delete-mask reads take the
                 # plain path: the prewhere iterator builds batches from
@@ -958,6 +1017,30 @@ class ClickHouseNativeReader(DataSourceReader):
                         )
                         continue
                     idx = batch.schema.get_field_index(fld.name)
+                    if idx < 0 and self.evolution is not None and (
+                        fld.name in self.evolution["known"]
+                    ):
+                        # evolved resolution: prior physical name first
+                        # (RENAME), then the ADD default, else NULLs
+                        for alias in self.evolution["aliases"].get(
+                            fld.name, ()
+                        ):
+                            idx = batch.schema.get_field_index(alias)
+                            if idx >= 0:
+                                break
+                        if idx < 0:
+                            dv = self.evolution["defaults"].get(fld.name)
+                            if dv is None:
+                                arrays.append(
+                                    pa.nulls(batch.num_rows, fld.type)
+                                )
+                            else:
+                                arrays.append(
+                                    pa.array(
+                                        [dv] * batch.num_rows, type=fld.type
+                                    )
+                                )
+                            continue
                     if idx < 0:
                         if self.allow_missing_columns:
                             # additive schema evolution: files written
@@ -1635,13 +1718,27 @@ def infer_native_schema(options: dict) -> StructType:
             "discovery needs at least one existing file (write a seed "
             "part or pass an explicit .schema(...))"
         )
-    cols = read_file_schema(
-        paths[0],
-        compression=str(options.get("compression", "auto")).lower(),
-        unsupported_as_varchar=(
-            str(options.get("unsupported_as_varchar", "false")).lower() == "true"
-        ),
-    )
+    # metadata-only schema evolution: when the table root carries a
+    # _table_schema.json, ITS column list (order included) is the
+    # table schema — parts of any epoch resolve against it at read
+    # time (native/tableschema.py)
+    meta = None
+    if os.path.isdir(path):
+        from ..native.tableschema import load_table_schema
+
+        meta = load_table_schema(path)
+    if meta is not None:
+        from ..native.types import parse_type
+
+        cols = [(c["name"], parse_type(c["type"])) for c in meta["columns"]]
+    else:
+        cols = read_file_schema(
+            paths[0],
+            compression=str(options.get("compression", "auto")).lower(),
+            unsupported_as_varchar=(
+                str(options.get("unsupported_as_varchar", "false")).lower() == "true"
+            ),
+        )
     lossy = str(options.get("lossy_uint64", "false")).lower() == "true"
     want = None
     if options.get("columns"):
