@@ -485,3 +485,153 @@ def query_projection_aware(
                 getattr(F, fn)(_state_col(fn, col)).alias(out)
             )
     return proj.groupBy(*group_by).agg(*exprs), man["name"]
+
+
+# -- sort-key projections ------------------------------------------------------
+# ClickHouse also supports row-level projections with their own ORDER
+# BY (`ADD PROJECTION p (SELECT * ORDER BY key)`): the same rows,
+# re-sorted so a query filtering on the projection's key reads a
+# handful of granules instead of scanning every part.  Here the
+# projection is a globally-range-clustered copy under
+# ``_projection_sort_<name>/`` (underscore prefix: invisible to normal
+# scans) whose per-block sidecar index is tight on the sort key — the
+# reader's block-range splitting then prunes both files AND blocks.
+
+
+def _sort_manifest_path(src_dir: str, name: str) -> str:
+    return os.path.join(src_dir, f"_projection_sort_{name}.json")
+
+
+def _sort_proj_dir(src_dir: str, name: str) -> str:
+    return os.path.join(src_dir, f"_projection_sort_{name}")
+
+
+def _load_sort_manifest(src_dir: str, name: str) -> Optional[dict]:
+    try:
+        with open(_sort_manifest_path(src_dir, name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def add_sort_projection(
+    spark: SparkSession,
+    src_dir: str,
+    name: str,
+    *,
+    order_by: list,
+    n_files: Optional[int] = None,
+) -> dict:
+    """Materialize sort projection ``name``: one distributed
+    repartitionByRange on the sort keys (disjoint key ranges per
+    output file) + the writer's ``sort_by`` (tight per-block ranges
+    inside each file).  Reads through the DataSource, so delete masks
+    and schema evolution apply — the projection stores the TABLE
+    schema.  Idempotent while the source fingerprint holds."""
+    order_by = list(order_by)
+    man = _load_sort_manifest(src_dir, name)
+    parts = _data_parts(src_dir)
+    fp = _fingerprint(src_dir, parts)
+    if man is not None and man["order_by"] == order_by and man["parts"] == fp:
+        return {"name": name, "built": False, "parts": len(fp)}
+    drop_sort_projection(src_dir, name)
+    df = _read_native(spark, src_dir)
+    missing = [c for c in order_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"order_by columns not in table: {missing}")
+    files = n_files or max(1, len(parts))
+    out = df.repartitionByRange(files, *[F.col(c) for c in order_by])
+    pdir = _sort_proj_dir(src_dir, name)
+    (
+        out.write.format("clickhouse_native")
+        .mode("overwrite")
+        .option("sort_by", ",".join(order_by))
+        .save(pdir)
+    )
+    tmp = _sort_manifest_path(src_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "order_by": order_by, "parts": fp}, f)
+    os.replace(tmp, _sort_manifest_path(src_dir, name))
+    return {"name": name, "built": True, "parts": len(fp)}
+
+
+def refresh_sort_projection(spark: SparkSession, src_dir: str, name: str) -> dict:
+    """APPEND-only incremental: new source parts are read, sorted, and
+    appended as additional projection files (per-file clustering stays
+    tight; global disjointness degrades gracefully — block pruning
+    still works per file).  A changed or removed part forces a full
+    rebuild: sorted row storage cannot subtract rows."""
+    man = _load_sort_manifest(src_dir, name)
+    if man is None:
+        raise ValueError(f"sort projection {name!r} does not exist")
+    parts = _data_parts(src_dir)
+    fp = _fingerprint(src_dir, parts)
+    known = man["parts"]
+    changed = [b for b, sig in known.items() if b in fp and fp[b] != sig]
+    removed = [b for b in known if b not in fp]
+    new = sorted(b for b in fp if b not in known)
+    if not (changed or removed or new):
+        return {"name": name, "mode": "noop"}
+    if changed or removed:
+        drop_sort_projection(src_dir, name)
+        return add_sort_projection(
+            spark, src_dir, name, order_by=man["order_by"]
+        ) | {"mode": "rebuild"}
+    by_key = {_relkey(src_dir, p): p for p in parts}
+    stage = _stage_parts(src_dir, [by_key[b] for b in new], "sort-" + name)
+    df = _read_native(spark, stage)
+    (
+        df.repartitionByRange(
+            max(1, len(new)), *[F.col(c) for c in man["order_by"]]
+        )
+        .write.format("clickhouse_native")
+        .mode("append")
+        .option("sort_by", ",".join(man["order_by"]))
+        .save(_sort_proj_dir(src_dir, name))
+    )
+    for b in new:
+        known[b] = fp[b]
+    tmp = _sort_manifest_path(src_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _sort_manifest_path(src_dir, name))
+    return {"name": name, "mode": "incremental", "new_parts": len(new)}
+
+
+def drop_sort_projection(src_dir: str, name: str) -> None:
+    shutil.rmtree(_sort_proj_dir(src_dir, name), ignore_errors=True)
+    try:
+        os.remove(_sort_manifest_path(src_dir, name))
+    except OSError:
+        pass
+
+
+def sort_projection_scan(
+    spark: SparkSession, src_dir: str, column: str, **reader_opts
+):
+    """Scan routed through the best FRESH sort projection whose
+    leading sort key is ``column`` — returns ``(df, used_name)`` with
+    ``used_name=None`` (and the plain scan) when no projection
+    qualifies or any is stale.  The projection read splits block
+    ranges so pushed filters on the key prune files AND blocks."""
+    current = None
+    for f in sorted(os.listdir(src_dir)):
+        if not (
+            f.startswith("_projection_sort_") and f.endswith(".json")
+        ):
+            continue
+        man = _load_sort_manifest(src_dir, f[len("_projection_sort_"):-5])
+        if man is None or man["order_by"][:1] != [column]:
+            continue
+        if current is None:
+            current = _fingerprint(src_dir, _data_parts(src_dir))
+        if man["parts"] != current:
+            continue  # stale: a part changed under the projection
+        df = _read_native(
+            spark,
+            _sort_proj_dir(src_dir, man["name"]),
+            split_blocks="true",
+            **reader_opts,
+        )
+        return df, man["name"]
+    return _read_native(spark, src_dir, **reader_opts), None

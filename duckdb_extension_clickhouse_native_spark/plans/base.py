@@ -541,6 +541,7 @@ GRADING_WINDOW = [
     "mutation_lightweight_delete",  # NEVER GRADED (r12: delete masks)
     "native_trivial_count",  # NEVER GRADED (r12: metadata count)
     "mutation_schema_evolution",  # NEVER GRADED (r12: metadata ALTERs)
+    "native_projection_sort",  # NEVER GRADED (r12: sort-key projection)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -577,7 +578,6 @@ GRADING_WINDOW = [
     "text_pii_scrub",  # green r6
     "text_quality",  # green r6
     "text_repetition",  # green r6
-    "text_token_count",  # green r6
 ]
 
 

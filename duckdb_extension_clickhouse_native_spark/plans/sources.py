@@ -1875,6 +1875,64 @@ REGISTRY.df_query(
 )
 
 
+def _native_projection_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key projection (ClickHouse ``ADD PROJECTION (SELECT *
+    ORDER BY user_id)``): the events fixture is time-sliced, so every
+    part spans the whole user_id range and a user probe scans all 16
+    parts.  The projection stores the same rows range-clustered on
+    user_id — the probe then plans a fraction of the partitions via
+    the tight per-file sidecars.  Both the routing (projection chosen,
+    fresh) and the pruning win are asserted."""
+    from .base import ensure_session
+    from ..operators.projections import (
+        add_sort_projection,
+        sort_projection_scan,
+    )
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "events")
+    add_sort_projection(spark, path, "by_user", order_by=["user_id"])
+    df, used = sort_projection_scan(spark, path, "user_id")
+    if used != "by_user":
+        raise AssertionError(f"sort projection not selected: {used!r}")
+    probe = df.filter((F.col("user_id") >= 3) & (F.col("user_id") <= 5))
+    got = probe.rdd.getNumPartitions()
+    if got > 6:
+        raise AssertionError(
+            f"sort-projection pruning regressed: {got} partitions "
+            "planned for a 3-user probe over a 16-file range-clustered "
+            "projection"
+        )
+    return (
+        probe.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+REGISTRY.df_query(
+    "native_projection_sort",
+    _native_projection_sort,
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id BETWEEN 3 AND 5
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=["source", "native", "projection", "sort", "pruning"],
+    description="sort-key projection: range-clustered row copy routes "
+    "a user_id probe to <=6 of 16 partitions (time-sliced base parts "
+    "are unprunable); routing + freshness + pruning asserted",
+)
+
+
 def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
     """PRIVATE 8-part orders fixture evolved through the full ALTER
     matrix — RENAME (o_totalprice -> price_usd), ADD (channel String
