@@ -542,6 +542,9 @@ GRADING_WINDOW = [
     "native_trivial_count",  # NEVER GRADED (r12: metadata count)
     "mutation_schema_evolution",  # NEVER GRADED (r12: metadata ALTERs)
     "native_projection_sort",  # NEVER GRADED (r12: sort-key projection)
+    "events_nonneg_derivative",  # NEVER GRADED (r12)
+    "agg_sparkbar_hours",  # NEVER GRADED (r12)
+    "stats_two_proportion_z",  # NEVER GRADED (r12)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -575,9 +578,6 @@ GRADING_WINDOW = [
     "text_chunking",  # green r6
     "text_fingerprint",  # green r6
     "text_lang_id",  # green r6
-    "text_pii_scrub",  # green r6
-    "text_quality",  # green r6
-    "text_repetition",  # green r6
 ]
 
 

@@ -529,3 +529,177 @@ _sql_pair(
     "Matryoshka retrieval: cosine top-10 on the 16-dim prefix with "
     "full-64-dim recall flags (prefix scan reads 1/4 of vector bytes)",
 )
+
+
+# --- nonNegativeDerivative + runningAccumulate ---------------------------------
+# ClickHouse window-function helpers for counter metrics:
+# nonNegativeDerivative(v, ts) is the per-second rate clamped at 0
+# (counter resets read as 0, not negative), runningAccumulate is the
+# cumulative sum.  One window pass per user (partition-keyed, never a
+# global sort); the single division is guarded with ROUND(9).
+def _derivative_sql(epoch_us: str) -> str:
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stepped AS (
+      SELECT user_id, event_id, ts, cents,
+             LAG(cents) OVER w AS prev_c,
+             LAG({epoch_us}) OVER w AS prev_us,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running_cents
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, cents, running_cents,
+           CASE
+             WHEN prev_us IS NULL OR {epoch_us} = prev_us THEN NULL
+             ELSE ROUND(
+               GREATEST(CAST(0 AS DOUBLE),
+                        CAST((cents - prev_c) * 1000000 AS DOUBLE)
+                        / ({epoch_us} - prev_us)), 9)
+           END AS rate_per_sec
+    FROM stepped
+    ORDER BY user_id, ts, event_id
+    """
+
+
+_sql_pair(
+    "events_nonneg_derivative",
+    _derivative_sql("unix_micros(ts)"),
+    _derivative_sql("epoch_us(ts)"),
+    ["events"],
+    ["compat", "window", "timeseries", "derivative"],
+    "nonNegativeDerivative + runningAccumulate per user: clamped "
+    "per-second counter rate and cumulative sum in one window pass "
+    "(partition-keyed; round(9)-guarded division)",
+)
+
+
+# --- sparkbar ------------------------------------------------------------------
+# ClickHouse's sparkbar(24)(hour, hits): a unicode bar chart string
+# per group, 8 levels scaled by the group's max bucket.  The level
+# index is exact integer math (cnt * 7 / max, floor), so both engines
+# pick identical glyphs.  Spark builds the 24 slots with the
+# map_from_entries + sequence transform; the oracle uses DuckDB's
+# range() grid + string_agg — independent formulations.
+_BARS = "▁▂▃▄▅▆▇█"
+_SPARKBAR_SPARK = f"""
+    WITH b AS (
+      SELECT event_type, HOUR(ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY event_type, HOUR(ts)
+    ),
+    m AS (
+      SELECT event_type,
+             map_from_entries(collect_list(struct(h, c))) AS mc,
+             MAX(c) AS mx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           concat_ws('', transform(sequence(0, 23),
+             h -> substring('{_BARS}',
+                  CAST(1 + FLOOR(COALESCE(element_at(mc, h), 0) * 7 / mx)
+                       AS INT), 1))) AS bar,
+           CAST(mx AS BIGINT) AS max_hits
+    FROM m
+    ORDER BY event_type
+"""
+_SPARKBAR_DUCK = f"""
+    WITH b AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, MAX(c) AS mx FROM b GROUP BY event_type),
+    grid AS (
+      SELECT t.event_type, g.range AS h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN range(0, 24) g
+    )
+    SELECT g.event_type,
+           string_agg(
+             ARRAY['▁','▂','▃','▄','▅','▆','▇','█']
+               [CAST(1 + FLOOR(COALESCE(b.c, 0) * 7 / m.mx) AS INT)],
+             '' ORDER BY g.h) AS bar,
+           CAST(MAX(m.mx) AS BIGINT) AS max_hits
+    FROM grid g
+    LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+    JOIN m ON m.event_type = g.event_type
+    GROUP BY g.event_type
+    ORDER BY g.event_type
+"""
+
+_sql_pair(
+    "agg_sparkbar_hours",
+    _SPARKBAR_SPARK,
+    _SPARKBAR_DUCK,
+    ["events"],
+    ["compat", "aggregate", "sparkbar"],
+    "sparkbar(24) by hour-of-day per event type: 8-level unicode bar "
+    "string, exact integer level math (oracle: independent grid + "
+    "string_agg formulation)",
+)
+
+
+# --- two-proportion z-test -------------------------------------------------------
+# The A/B-test primitive (ClickHouse: proportionsZTest): users split
+# by a deterministic hash into control/treatment, conversion = made a
+# purchase.  Pooled z statistic from exact integer counts; sqrt is
+# IEEE-exact (correctly rounded, unlike libm log) and the divisions
+# are round(9)-guarded.
+_PROP_Z_SQL = """
+    WITH assign AS (
+      -- conversion = the user's purchase share exceeds the uniform
+      -- 1/5 baseline (exact integer comparison): SF-invariant, lands
+      -- mid-range at every scale where any-purchase would saturate
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) > COUNT(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+        SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS x0,
+        SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS x1
+      FROM assign
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(x0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           CAST(x1 AS BIGINT) AS conv_treatment,
+           CASE WHEN n0 > 0
+                THEN ROUND(CAST(x0 AS DOUBLE) / n0, 9) END AS p_control,
+           CASE WHEN n1 > 0
+                THEN ROUND(CAST(x1 AS DOUBLE) / n1, 9) END AS p_treatment,
+           -- degenerate designs (an empty arm, 0% or 100% pooled
+           -- conversion) have zero pooled variance: NULL, not a crash
+           CASE WHEN n0 > 0 AND n1 > 0
+                 AND x0 + x1 > 0 AND x0 + x1 < n0 + n1
+                THEN ROUND(
+                  (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+                  / sqrt(
+                      (CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)
+                    ), 9)
+           END AS z_stat
+    FROM agg
+"""
+
+_sql_pair(
+    "stats_two_proportion_z",
+    _PROP_Z_SQL,
+    _PROP_Z_SQL,
+    ["events"],
+    ["stats", "abtest", "ztest"],
+    "two-proportion z-test (proportionsZTest): purchase conversion of "
+    "hash-split user groups, pooled z from exact integer counts "
+    "(IEEE sqrt; round(9)-guarded divisions)",
+)
