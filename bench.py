@@ -330,6 +330,30 @@ def main() -> None:
     ]
     r11_ops, r11_total = run_tier(r11_names)
 
+    # sixth tier: round-12 additions (merge-engine semantics, sketch
+    # set-ops, recursive CTE, quality screens, set index, lightweight
+    # deletes + trivial count, schema evolution, sort projections)
+    r12_names = [
+        "events_collapsing_merge",
+        "events_collapsing_versioned",
+        "agg_sum_resample",
+        "events_with_fill_interpolate",
+        "approx_theta_setops",
+        "cte_recursive_calendar",
+        "stats_mad_outliers",
+        "stats_benford_digits",
+        "sim_matryoshka_topk",
+        "native_set_skip_scan",
+        "mutation_lightweight_delete",
+        "native_trivial_count",
+        "mutation_schema_evolution",
+        "native_projection_sort",
+        "events_nonneg_derivative",
+        "agg_sparkbar_hours",
+        "stats_two_proportion_z",
+    ]
+    r12_ops, r12_total = run_tier(r12_names)
+
     print(
         json.dumps(
             {
@@ -356,6 +380,8 @@ def main() -> None:
                 "r10_ops_total": round(r10_total, 4),
                 "r11_ops": r11_ops,
                 "r11_ops_total": round(r11_total, 4),
+                "r12_ops": r12_ops,
+                "r12_ops_total": round(r12_total, 4),
                 "sf": sf_dir,
             }
         )

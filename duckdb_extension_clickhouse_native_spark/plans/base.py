@@ -545,6 +545,7 @@ GRADING_WINDOW = [
     "events_nonneg_derivative",  # NEVER GRADED (r12)
     "agg_sparkbar_hours",  # NEVER GRADED (r12)
     "stats_two_proportion_z",  # NEVER GRADED (r12)
+    "stream_collapsing_merge",  # NEVER GRADED (r12: 17th stream twin)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -577,7 +578,6 @@ GRADING_WINDOW = [
     "subquery_in",  # green r6
     "text_chunking",  # green r6
     "text_fingerprint",  # green r6
-    "text_lang_id",  # green r6
 ]
 
 

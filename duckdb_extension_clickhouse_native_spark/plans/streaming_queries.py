@@ -1310,3 +1310,56 @@ REGISTRY.df_query(
     "per-day new users + cumulative distinct curve == batch "
     "runningAccumulate(uniqState) exactly",
 )
+
+
+def _stream_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CollapsingMergeTree: the (sign, measure*sign) running
+    sums per key maintained as streaming state — exactly the collapse
+    a ClickHouse background merge performs, with the HAVING SUM(sign)>0
+    final-state filter applied on the drained result.  Final state ==
+    the batch events_collapsing_merge oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    signed = events.select(
+        "user_id",
+        F.when(
+            F.col("event_type").isin("click", "view", "purchase"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    net = _drain(
+        signed.groupBy("user_id").agg(
+            F.sum("sign").alias("net_rows"),
+            F.sum(F.col("sign") * F.col("cents")).alias("net_cents"),
+        ),
+        "complete",
+    )
+    return (
+        net.filter(F.col("net_rows") > 0)
+        .select(
+            "user_id",
+            F.col("net_rows").cast("bigint").alias("net_rows"),
+            F.col("net_cents").cast("bigint").alias("net_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# same oracle as the batch entry (compat_r12._COLLAPSING_SQL): the
+# streaming twin must agree with the batch collapse bit-for-bit
+from .compat_r12 import _COLLAPSING_SQL as _COLLAPSING_ORACLE  # noqa: E402
+
+REGISTRY.df_query(
+    "stream_collapsing_merge",
+    _stream_collapsing_merge,
+    oracle=_COLLAPSING_ORACLE,
+    tags=["streaming", "stateful", "merge", "collapsing"],
+    description="streaming CollapsingMergeTree: stateful sign/measure "
+    "running sums per key, HAVING net>0 on the final state == batch "
+    "collapse exactly (shared oracle)",
+)

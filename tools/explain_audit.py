@@ -200,6 +200,24 @@ AUDIT = [
     "scalar_date_arithmetic",
     "multimodal_png_decode",
     "multimodal_gif_decode",
+    # round-12 additions
+    "events_collapsing_merge",
+    "events_collapsing_versioned",
+    "agg_sum_resample",
+    "events_with_fill_interpolate",
+    "approx_theta_setops",
+    "cte_recursive_calendar",
+    "stats_mad_outliers",
+    "stats_benford_digits",
+    "sim_matryoshka_topk",
+    "native_set_skip_scan",
+    "mutation_lightweight_delete",
+    "native_trivial_count",
+    "mutation_schema_evolution",
+    "native_projection_sort",
+    "events_nonneg_derivative",
+    "agg_sparkbar_hours",
+    "stats_two_proportion_z",
 ]
 
 
