@@ -82,7 +82,53 @@ def _conj(preds: Sequence[Pred]):
     return cond
 
 
-def _part_untouched(part_path: str, pred_sets: list[Sequence[Pred]]) -> bool:
+def _alias_map(src_dir: str) -> dict:
+    """Schema-evolution alias map {table_name: [prior physical names]}
+    for the directory (empty when unevolved) — lets the sidecar triage
+    prove predicates on RENAMED columns against old parts' stats."""
+    from ..native.tableschema import load_table_schema
+
+    try:
+        meta = load_table_schema(src_dir)
+    except ValueError:
+        return {}
+    if not meta:
+        return {}
+    return {
+        c["name"]: list(c.get("aliases", []))
+        for c in meta["columns"]
+        if c.get("aliases")
+    }
+
+
+def _adapt_aliases(st: dict, aliases: dict) -> dict:
+    """Copy an old part's stats/index entries from prior physical
+    names onto the table names (never mutates the loaded dict)."""
+    if not aliases:
+        return st
+    out = dict(st)
+    for key in ("columns", "bloom", "ngrambf", "set"):
+        m = st.get(key)
+        if not isinstance(m, dict):
+            continue
+        add = {}
+        for name, olds in aliases.items():
+            if name in m:
+                continue
+            for a in olds:
+                if a in m:
+                    add[name] = m[a]
+                    break
+        if add:
+            out[key] = {**m, **add}
+    return out
+
+
+def _part_untouched(
+    part_path: str,
+    pred_sets: list[Sequence[Pred]],
+    aliases: Optional[dict] = None,
+) -> bool:
     """True iff the part's sidecar PROVES every mutation predicate set
     matches zero rows in it (conservative: missing/malformed sidecar or
     un-provable predicate means touched)."""
@@ -97,6 +143,7 @@ def _part_untouched(part_path: str, pred_sets: list[Sequence[Pred]]) -> bool:
             st = json.load(f)
     except (OSError, ValueError):
         return False
+    st = _adapt_aliases(st, aliases or {})
     for preds in pred_sets:
         if not preds:
             return False  # empty conjunction matches every row
@@ -256,9 +303,10 @@ def _mutate_flat(
         # unprovable (empty) conjunction
         pred_sets.append(tuple(update_where) if update_where else ())
 
+    aliases = _alias_map(os.path.dirname(parts[0])) if parts else {}
     untouched, touched = [], []
     for p in parts:
-        (untouched if _part_untouched(p, pred_sets) else touched).append(p)
+        (untouched if _part_untouched(p, pred_sets, aliases) else touched).append(p)
 
     for i, p in enumerate(untouched):
         base = f"keep-{i:04d}-{os.path.basename(p)}"
@@ -437,6 +485,7 @@ def _mutate_hive(
     from ..native.tableschema import copy_table_schema
 
     copy_table_schema(src_dir, stage)
+    aliases = _alias_map(src_dir)
 
     untouched = rewritten = 0
     staged = 0
@@ -481,7 +530,7 @@ def _mutate_hive(
         os.makedirs(dst, exist_ok=True)
         keep = []
         for p in dir_parts:
-            if _part_untouched(p, pred_sets):
+            if _part_untouched(p, pred_sets, aliases):
                 keep.append(p)
             else:
                 sdir = os.path.join(stage, rel)
@@ -688,6 +737,7 @@ def _ttl_rollup_hive(
 
     copy_table_schema(src_dir, stage)
     copy_table_schema(src_dir, out_dir)
+    aliases = _alias_map(src_dir)
 
     # driver-side triage (directory pruning + per-part sidecar proof),
     # then ONE distributed rollup job over the staged key=value tree —
@@ -708,7 +758,7 @@ def _ttl_rollup_hive(
         os.makedirs(dst, exist_ok=True)
         keep = []
         for p in dir_parts:
-            if _part_untouched(p, [residual]):
+            if _part_untouched(p, [residual], aliases):
                 keep.append(p)
             else:
                 sdir = os.path.join(stage, rel)
@@ -780,9 +830,10 @@ def _ttl_rollup_flat(
     if parts:
         copy_table_schema(os.path.dirname(parts[0]), out_dir)
     pred_sets = [tuple(ttl_where)]
+    aliases = _alias_map(os.path.dirname(parts[0])) if parts else {}
     untouched, touched = [], []
     for p in parts:
-        (untouched if _part_untouched(p, pred_sets) else touched).append(p)
+        (untouched if _part_untouched(p, pred_sets, aliases) else touched).append(p)
 
     _link_parts(untouched, out_dir)
 

@@ -248,3 +248,57 @@ def test_projection_goes_stale_on_delete(spark, tmp_path):
     assert used3 == "by_v"
     got = {r.v: r.n for r in df3.collect()}
     assert 3 not in got or got.get(3, 0) == 0
+
+
+def test_streaming_applies_masks_and_guards_offsets(spark, tmp_path):
+    """Whole-file streaming micro-batches apply delete masks (the
+    stream reader delegates to the batch read path); a mid-file
+    resume offset with an armed mask REFUSES instead of misaligning
+    physical rows."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "k": pa.array(range(50), pa.int64()),
+            "v": pa.array([x % 5 for x in range(50)], pa.int64()),
+        }
+    )
+    write_native_file(os.path.join(d, "part-0.clickhouse"), t, block_rows=10)
+    lightweight_delete(spark, d, [("v", "=", 2)])
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        infer_native_schema,
+    )
+
+    sdf = (
+        spark.readStream.format("clickhouse_native")
+        .schema(infer_native_schema({"path": d}))
+        .load(d)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("lwdel_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM lwdel_stream").collect()
+        assert got[0].n == 40  # 10 masked rows dropped mid-stream
+    finally:
+        q.stop()
+    # mid-file partition with unknown physical start row + mask: loud
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        ClickHouseNativeReader,
+        NativeFilePartition,
+    )
+
+    reader = ClickHouseNativeReader(
+        infer_native_schema({"path": d}), {"path": d}
+    )
+    part = NativeFilePartition(
+        os.path.join(d, "part-0.clickhouse"), start_offset=100, n_blocks=2
+    )
+    with pytest.raises(ValueError, match="start row is unknown"):
+        list(reader.read(part))

@@ -167,3 +167,16 @@ def test_mutation_on_evolved_dir(spark, tmp_path):
     df2 = _read(spark, out2)
     assert df2.columns == ["k", "price", "channel"]
     assert df2.count() == 100
+
+
+def test_alias_aware_mutation_triage(spark, tmp_path):
+    # stats live under the OLD physical name; the triage must prove a
+    # predicate on the NEW name against them, or every part rewrites
+    d = _mkdir(tmp_path, n_parts=2, rows=50)
+    alter_rename_column(d, "v", "price")
+    out = str(tmp_path / "out")
+    res = mutate_native_dir(
+        spark, d, out, delete_where=[("price", ">", 100.0)]
+    )
+    assert res["rewritten_parts"] == 0 and res["untouched_parts"] == 2
+    assert _read(spark, out).count() == 100
