@@ -554,7 +554,8 @@ def _derivative_sql(epoch_us: str) -> str:
       FROM seq
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, event_id, cents, running_cents,
+    SELECT user_id, event_id, cents,
+           CAST(running_cents AS BIGINT) AS running_cents,
            CASE
              WHEN prev_us IS NULL OR {epoch_us} = prev_us THEN NULL
              ELSE ROUND(
