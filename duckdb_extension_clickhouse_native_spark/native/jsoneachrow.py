@@ -367,3 +367,103 @@ def write_jsoncompact(
             )
             rows += 1
     return rows
+
+
+JSONOBJECTS_FORMAT = "JSONEachRow"
+
+
+def iter_jsonobjects_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode plain ``FORMAT JSONEachRow`` (one JSON OBJECT per line —
+    ClickHouse's most common interchange spelling) into Blocks.
+
+    JSONEachRow is NOT self-describing (no name/type header), so the
+    caller supplies the schema — the scan source derives it from the
+    zero-row ``FORMAT Native`` probe it already runs at planning
+    (spark type -> types.from_arrow), which is exactly how ClickHouse
+    clients consume this format: types come from the table, values
+    from the stream.  A ``null`` value decodes to SQL NULL for every
+    type (the plain format cannot distinguish NULL from NaN the way
+    the typed header lets the compact reader do — set
+    ``output_format_json_quote_denormals=1`` server-side for lossless
+    float fetches).  Unknown keys are ignored; missing keys read as
+    NULL (ClickHouse's input_format_skip_unknown_fields spirit)."""
+    lossy_cols = [
+        lossy_uint64 and _col_needs_lossy(t) for _name, t in names_types
+    ]
+    while True:
+        cols_vals: list[list] = [[] for _ in names_types]
+        n = 0
+        while n < block_rows:
+            line = buf.readline()
+            if not line:
+                break
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            if not isinstance(obj, dict):
+                raise ValueError(
+                    "JSONEachRow line is not a JSON object "
+                    f"(got {type(obj).__name__})"
+                )
+            for i, (name, t) in enumerate(names_types):
+                raw = obj.get(name)
+                v = None if raw is None else _from_json(raw, t)
+                if v is not None and lossy_cols[i]:
+                    v = _lossy_fix(v, t)
+                cols_vals[i].append(v)
+            n += 1
+        if n == 0:
+            return
+        cols = [
+            BlockColumn(
+                name,
+                t.name,
+                t,
+                pa.array(
+                    cols_vals[i], type=to_arrow(t, lossy_uint64=lossy_uint64)
+                ),
+            )
+            for i, (name, t) in enumerate(names_types)
+        ]
+        yield Block(n_rows=n, columns=cols)
+        if n < block_rows:
+            return
+
+
+def write_jsonobjects(
+    buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None
+) -> int:
+    """Encode Arrow RecordBatches as plain ``FORMAT JSONEachRow``
+    objects (the symmetric half — mock responses and INSERT bodies).
+    Key order is column order; NULLs travel as JSON null."""
+    from .rowbinary import _to_wire, derive_wire_types
+
+    batches, ch_types = derive_wire_types(batches, ch_types)
+    rows = 0
+    types: Optional[List[CHType]] = ch_types
+    for batch in batches:
+        for t in types:
+            _check_supported(t)
+        names = [f.name for f in batch.schema]
+        pylists = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        for r in range(batch.num_rows):
+            obj = {
+                names[c]: (
+                    None
+                    if pylists[c][r] is None
+                    else _to_json(_to_wire(pylists[c][r], t), t)
+                )
+                for c, t in enumerate(types)
+            }
+            buf.write(
+                json.dumps(obj, separators=(",", ":"), ensure_ascii=False).encode()
+                + b"\n"
+            )
+            rows += 1
+    return rows

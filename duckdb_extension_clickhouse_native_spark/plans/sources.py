@@ -638,6 +638,37 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_jsonobjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the EIGHTH wire format: plain FORMAT JSONEachRow (one JSON
+    # OBJECT per line, ClickHouse's most common interchange spelling).
+    # It is NOT self-describing — the reader derives the schema from
+    # the planning probe, the way every JSONEachRow consumer does —
+    # and must reproduce the Native fetch exactly against the same
+    # oracle.
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _SCAN_AGG_SQL)
+        .option("url", url)
+        .option("wire_format", "jsonobjects")
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_jsonobjects",
+    _scan_remote_jsonobjects,
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "jsoneachrow", "interop"],
+    description="clickhouse_scan over plain FORMAT JSONEachRow (eighth "
+    "wire format; object-per-line, schema from the planning probe)",
+)
+
+
 def _scan_remote_textformat(wire_format: str):
     # same remote aggregation over the fourth/fifth wire formats
     # (TabSeparatedWithNamesAndTypes / CSVWithNamesAndTypes —

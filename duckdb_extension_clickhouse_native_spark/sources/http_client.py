@@ -178,6 +178,19 @@ class ClickHouseHTTPClient:
         stream = self._request(self._with_format(query, JSONEACHROW_FORMAT))
         return iter_jsoncompact_blocks(stream, lossy_uint64=lossy_uint64)
 
+    def execute_jsonobjects_blocks(
+        self, query: str, names_types, *, lossy_uint64: bool = False
+    ):
+        """Run a SELECT with plain ``FORMAT JSONEachRow`` — the eighth
+        wire format (object per line, NOT self-describing: the caller
+        supplies the schema from its planning probe)."""
+        from ..native.jsoneachrow import JSONOBJECTS_FORMAT, iter_jsonobjects_blocks
+
+        stream = self._request(self._with_format(query, JSONOBJECTS_FORMAT))
+        return iter_jsonobjects_blocks(
+            stream, names_types, lossy_uint64=lossy_uint64
+        )
+
     def execute_tsv_blocks(self, query: str, *, lossy_uint64: bool = False):
         """Run a SELECT with ``FORMAT TabSeparatedWithNamesAndTypes`` —
         the fourth wire format (text interop; see native/textformats.py)."""
@@ -267,6 +280,20 @@ class ClickHouseHTTPClient:
         rows = write_jsoncompact(buf, batches, ch_types)
         self._request(
             f"INSERT INTO {table} FORMAT {JSONEACHROW_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_jsonobjects_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a plain JSONEachRow body — the write half of the
+        eighth wire format."""
+        import io as _io
+
+        from ..native.jsoneachrow import JSONOBJECTS_FORMAT, write_jsonobjects
+
+        buf = _io.BytesIO()
+        rows = write_jsonobjects(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {JSONOBJECTS_FORMAT}", body=buf.getvalue()
         ).read()
         return rows
 

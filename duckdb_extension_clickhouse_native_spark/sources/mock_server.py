@@ -63,6 +63,52 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         )
 
                         block_iter = _ijb(io.BytesIO(body))
+                    elif "JSONEACHROW" in q.upper():
+                        # plain objects: not self-describing — derive
+                        # the schema from the target table, as a real
+                        # server does; a recording-only sink (table
+                        # absent, execute_inserts=False) infers types
+                        # from the JSON values instead
+                        import json as _json
+
+                        from ..native.jsoneachrow import (
+                            iter_jsonobjects_blocks as _ijo,
+                        )
+                        from ..native.types import from_arrow as _fa, parse_type
+
+                        try:
+                            with qlock:
+                                tschema = con.execute(
+                                    f"SELECT * FROM {table} LIMIT 0"
+                                ).fetch_arrow_table().schema
+                            nt = [(f.name, _fa(f.type)) for f in tschema]
+                        except Exception:
+                            seen: dict = {}
+                            for line in body.splitlines():
+                                if not line.strip():
+                                    continue
+                                for k, v in _json.loads(line).items():
+                                    if k in seen or v is None:
+                                        continue
+                                    seen[k] = (
+                                        "Nullable(Bool)"
+                                        if isinstance(v, bool)
+                                        else "Nullable(Int64)"
+                                        if isinstance(v, int)
+                                        else "Nullable(Float64)"
+                                        if isinstance(v, float)
+                                        # quote_64bit_integers=1 (the
+                                        # writer's lossless spelling)
+                                        # sends Int64 as digit strings
+                                        else "Nullable(Int64)"
+                                        if isinstance(v, str)
+                                        and v.lstrip("-").isdigit()
+                                        else "Nullable(String)"
+                                    )
+                            nt = [
+                                (k, parse_type(t)) for k, t in seen.items()
+                            ]
+                        block_iter = _ijo(io.BytesIO(body), nt)
                     elif "TABSEPARATED" in q.upper():
                         from ..native.textformats import iter_tsv_blocks as _itb
 
@@ -114,6 +160,9 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                 elif q.endswith("FORMAT JSONCompactEachRowWithNamesAndTypes"):
                     q = q[: -len("FORMAT JSONCompactEachRowWithNamesAndTypes")]
                     fmt = "jsoneachrow"
+                elif q.endswith("FORMAT JSONEachRow"):
+                    q = q[: -len("FORMAT JSONEachRow")]
+                    fmt = "jsonobjects"
                 elif q.endswith("FORMAT TabSeparatedWithNamesAndTypes"):
                     q = q[: -len("FORMAT TabSeparatedWithNamesAndTypes")]
                     fmt = "tsv"
@@ -167,6 +216,10 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         from ..native.arrowwire import write_parquet
 
                         write_parquet(out, batches)
+                    elif fmt == "jsonobjects":
+                        from ..native.jsoneachrow import write_jsonobjects
+
+                        write_jsonobjects(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

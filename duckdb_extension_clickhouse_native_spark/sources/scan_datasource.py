@@ -182,13 +182,13 @@ class ClickHouseScanReader(DataSourceReader):
         self.lossy_uint64 = str(options.get("lossy_uint64", "false")).lower() == "true"
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
-            "native", "rowbinary", "jsoneachrow", "tsv", "csv",
-            "arrowstream", "parquet",
+            "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
+            "csv", "arrowstream", "parquet",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
-                f"'jsoneachrow', 'tsv', 'csv', 'arrowstream' or "
-                f"'parquet', got {self.wire_format!r}"
+                f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
+                f"'arrowstream' or 'parquet', got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -254,6 +254,36 @@ class ClickHouseScanReader(DataSourceReader):
                 elif self.wire_format == "jsoneachrow":
                     blocks = client.execute_jsoneachrow_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "jsonobjects":
+                    # plain JSONEachRow is not self-describing: the
+                    # schema rides in from the planning probe
+                    from pyspark.sql.pandas.types import to_arrow_type as _tat
+
+                    from ..native.types import from_arrow as _fa
+
+                    blocks = client.execute_jsonobjects_blocks(
+                        partition.query,
+                        [
+                            (f.name, _fa(_tat(f.dataType)))
+                            for f in self.spark_schema.fields
+                        ],
+                        lossy_uint64=self.lossy_uint64,
+                    )
+                elif self.wire_format == "jsonobjects":
+                    # plain JSONEachRow is not self-describing: the
+                    # schema rides in from the planning probe
+                    from pyspark.sql.pandas.types import to_arrow_type as _tat
+
+                    from ..native.types import from_arrow as _fa
+
+                    blocks = client.execute_jsonobjects_blocks(
+                        partition.query,
+                        [
+                            (f.name, _fa(_tat(f.dataType)))
+                            for f in self.spark_schema.fields
+                        ],
+                        lossy_uint64=self.lossy_uint64,
                     )
                 elif self.wire_format == "tsv":
                     blocks = client.execute_tsv_blocks(
@@ -349,13 +379,13 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.max_insert_bytes = int(options.get("max_insert_bytes", 64 * 1024 * 1024))
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
-            "native", "rowbinary", "jsoneachrow", "tsv", "csv",
-            "arrowstream", "parquet",
+            "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
+            "csv", "arrowstream", "parquet",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
-                f"'jsoneachrow', 'tsv', 'csv', 'arrowstream' or "
-                f"'parquet', got {self.wire_format!r}"
+                f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
+                f"'arrowstream' or 'parquet', got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -373,6 +403,8 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             insert = client.insert_rowbinary_batches
         elif self.wire_format == "jsoneachrow":
             insert = client.insert_jsoneachrow_batches
+        elif self.wire_format == "jsonobjects":
+            insert = client.insert_jsonobjects_batches
         elif self.wire_format == "tsv":
             insert = client.insert_tsv_batches
         elif self.wire_format == "csv":
