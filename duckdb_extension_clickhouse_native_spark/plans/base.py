@@ -547,6 +547,7 @@ GRADING_WINDOW = [
     "stats_two_proportion_z",  # NEVER GRADED (r12)
     "stream_collapsing_merge",  # NEVER GRADED (r12: 17th stream twin)
     "scan_remote_jsonobjects",  # NEVER GRADED (r12: 8th wire format)
+    "agg_combinator_matrix",  # NEVER GRADED (r12: combinator family)
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
@@ -577,7 +578,6 @@ GRADING_WINDOW = [
     "sim_topk_ivf",  # green r6
     "subquery_correlated_exists",  # green r6
     "subquery_in",  # green r6
-    "text_chunking",  # green r6
 ]
 
 

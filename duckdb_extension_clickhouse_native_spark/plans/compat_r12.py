@@ -704,3 +704,42 @@ _sql_pair(
     "hash-split user groups, pooled z from exact integer counts "
     "(IEEE sqrt; round(9)-guarded divisions)",
 )
+
+
+# --- aggregate combinator matrix -------------------------------------------------
+# ClickHouse's combinator family in one relation: -Distinct
+# (sumDistinct/uniqExact), -If (sumIf/avgIf via CASE, the standard
+# re-expression), -OrNull (an If that matched nothing is NULL, SQL's
+# native behavior) and -OrDefault (COALESCE over the same).  The avg
+# is an explicit exact-integer SUM / COUNT division — one IEEE op,
+# never the engine's incremental AVG (implementations differ).
+_COMBINATOR_SQL = f"""
+    WITH x AS (
+      SELECT event_type, user_id, {_CENTS} AS cents FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(DISTINCT cents) AS BIGINT) AS sum_distinct,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+           CAST(SUM(CASE WHEN cents > 10000 THEN cents END) AS BIGINT)
+             AS sum_if_large,
+           CAST(COALESCE(MAX(CASE WHEN cents > 3000000 THEN cents END),
+                         -1) AS BIGINT) AS max_if_or_default,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END), 0)
+             AS avg_if_even
+    FROM x
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_sql_pair(
+    "agg_combinator_matrix",
+    _COMBINATOR_SQL,
+    _COMBINATOR_SQL,
+    ["events"],
+    ["compat", "aggregate", "combinator"],
+    "ClickHouse aggregate combinators in one pass: -Distinct "
+    "(sumDistinct/uniqExact), -If, -OrNull (unmatched If -> NULL) and "
+    "-OrDefault (COALESCE), avg as exact SUM/COUNT division",
+)
