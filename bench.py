@@ -351,6 +351,9 @@ def main() -> None:
         "events_nonneg_derivative",
         "agg_sparkbar_hours",
         "stats_two_proportion_z",
+        "stream_collapsing_merge",
+        "scan_remote_jsonobjects",
+        "agg_combinator_matrix",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

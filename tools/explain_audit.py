@@ -218,6 +218,9 @@ AUDIT = [
     "events_nonneg_derivative",
     "agg_sparkbar_hours",
     "stats_two_proportion_z",
+    "stream_collapsing_merge",
+    "scan_remote_jsonobjects",
+    "agg_combinator_matrix",
 ]
 
 
