@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     advanced,
     compat_r12,
+    compat_r12b,
     pipeline,
     relational,
     sources,
