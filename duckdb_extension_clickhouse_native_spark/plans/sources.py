@@ -710,6 +710,16 @@ REGISTRY.df_query(
 )
 
 REGISTRY.df_query(
+    "scan_remote_values",
+    _scan_remote_textformat("values"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "values", "interop"],
+    description="clickhouse_scan over FORMAT Values (ninth wire "
+    "format; INSERT-literal tuples, no header — schema from the "
+    "planning probe like plain JSONEachRow)",
+)
+
+REGISTRY.df_query(
     "scan_remote_arrowstream",
     _scan_remote_textformat("arrowstream"),
     oracle=_SCAN_AGG_SQL,

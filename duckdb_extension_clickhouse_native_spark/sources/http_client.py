@@ -191,6 +191,19 @@ class ClickHouseHTTPClient:
             stream, names_types, lossy_uint64=lossy_uint64
         )
 
+    def execute_values_blocks(
+        self, query: str, names_types, *, lossy_uint64: bool = False
+    ):
+        """Run a SELECT with ``FORMAT Values`` — the ninth wire format
+        (INSERT-literal tuples, NOT self-describing: the caller
+        supplies the schema from its planning probe)."""
+        from ..native.valuesformat import VALUES_FORMAT, iter_values_blocks
+
+        stream = self._request(self._with_format(query, VALUES_FORMAT))
+        return iter_values_blocks(
+            stream, names_types, lossy_uint64=lossy_uint64
+        )
+
     def execute_tsv_blocks(self, query: str, *, lossy_uint64: bool = False):
         """Run a SELECT with ``FORMAT TabSeparatedWithNamesAndTypes`` —
         the fourth wire format (text interop; see native/textformats.py)."""
@@ -294,6 +307,20 @@ class ClickHouseHTTPClient:
         rows = write_jsonobjects(buf, batches, ch_types)
         self._request(
             f"INSERT INTO {table} FORMAT {JSONOBJECTS_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_values_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a ``FORMAT Values`` body — the write half of the
+        ninth wire format (the INSERT-statement literal syntax)."""
+        import io as _io
+
+        from ..native.valuesformat import VALUES_FORMAT, write_values
+
+        buf = _io.BytesIO()
+        rows = write_values(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {VALUES_FORMAT}", body=buf.getvalue()
         ).read()
         return rows
 

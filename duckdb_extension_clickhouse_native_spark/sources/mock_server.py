@@ -109,6 +109,47 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                                 (k, parse_type(t)) for k, t in seen.items()
                             ]
                         block_iter = _ijo(io.BytesIO(body), nt)
+                    elif "FORMAT VALUES" in q.upper():
+                        # Values has no header: derive the schema from
+                        # the target table, as a real server does; a
+                        # recording-only sink infers Nullable types
+                        # from the literal shapes instead
+                        from ..native.valuesformat import (
+                            iter_values_blocks as _ivb,
+                            _parse_rows as _vpr,
+                        )
+                        from ..native.types import from_arrow as _fa, parse_type
+
+                        try:
+                            with qlock:
+                                tschema = con.execute(
+                                    f"SELECT * FROM {table} LIMIT 0"
+                                ).fetch_arrow_table().schema
+                            nt = [(f.name, _fa(f.type)) for f in tschema]
+                        except Exception:
+                            text = body.decode("utf-8")
+                            shapes: list = []
+                            for rec in _vpr(text):
+                                if not shapes:
+                                    shapes = [None] * len(rec)
+                                for ci, (raw, was_q) in enumerate(rec):
+                                    if shapes[ci] is not None:
+                                        continue
+                                    if was_q:
+                                        shapes[ci] = "Nullable(String)"
+                                    elif raw.upper() == "NULL":
+                                        continue
+                                    elif raw in ("true", "false"):
+                                        shapes[ci] = "Nullable(Bool)"
+                                    elif raw.lstrip("-").isdigit():
+                                        shapes[ci] = "Nullable(Int64)"
+                                    else:
+                                        shapes[ci] = "Nullable(Float64)"
+                            nt = [
+                                (f"c{ci}", parse_type(t or "Nullable(String)"))
+                                for ci, t in enumerate(shapes)
+                            ]
+                        block_iter = _ivb(io.BytesIO(body), nt)
                     elif "TABSEPARATED" in q.upper():
                         from ..native.textformats import iter_tsv_blocks as _itb
 
@@ -175,6 +216,9 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                 elif q.endswith("FORMAT Parquet"):
                     q = q[: -len("FORMAT Parquet")]
                     fmt = "parquet"
+                elif q.endswith("FORMAT Values"):
+                    q = q[: -len("FORMAT Values")]
+                    fmt = "values"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
@@ -220,6 +264,10 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         from ..native.jsoneachrow import write_jsonobjects
 
                         write_jsonobjects(out, batches)
+                    elif fmt == "values":
+                        from ..native.valuesformat import write_values
+
+                        write_values(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

@@ -183,12 +183,12 @@ class ClickHouseScanReader(DataSourceReader):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet",
+            "csv", "arrowstream", "parquet", "values",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream' or 'parquet', got {self.wire_format!r}"
+                f"'arrowstream', 'parquet' or 'values', got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -270,14 +270,14 @@ class ClickHouseScanReader(DataSourceReader):
                         ],
                         lossy_uint64=self.lossy_uint64,
                     )
-                elif self.wire_format == "jsonobjects":
-                    # plain JSONEachRow is not self-describing: the
-                    # schema rides in from the planning probe
+                elif self.wire_format == "values":
+                    # FORMAT Values has no header at all: the schema
+                    # rides in from the planning probe
                     from pyspark.sql.pandas.types import to_arrow_type as _tat
 
                     from ..native.types import from_arrow as _fa
 
-                    blocks = client.execute_jsonobjects_blocks(
+                    blocks = client.execute_values_blocks(
                         partition.query,
                         [
                             (f.name, _fa(_tat(f.dataType)))
@@ -380,12 +380,12 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet",
+            "csv", "arrowstream", "parquet", "values",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream' or 'parquet', got {self.wire_format!r}"
+                f"'arrowstream', 'parquet' or 'values', got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -405,6 +405,8 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             insert = client.insert_jsoneachrow_batches
         elif self.wire_format == "jsonobjects":
             insert = client.insert_jsonobjects_batches
+        elif self.wire_format == "values":
+            insert = client.insert_values_batches
         elif self.wire_format == "tsv":
             insert = client.insert_tsv_batches
         elif self.wire_format == "csv":
