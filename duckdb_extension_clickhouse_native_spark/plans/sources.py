@@ -823,6 +823,64 @@ REGISTRY.df_query(
 )
 
 
+def _scan_remote_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster() / Distributed-engine read: TWO mock shards each hold a
+    # disjoint slice of events (user_id % 2); the shard-local query is
+    # filter/project only and the initiator-side aggregation runs in
+    # Spark over the union — exactly how a Distributed table executes
+    # a GROUP BY it cannot fully push down.  One Spark partition per
+    # shard; at scale this is N independent network streams feeding
+    # one shuffle-free partial-agg stage.
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_cluster
+
+    ensure_session(spark)
+    urls = mock_clickhouse_cluster(sf_dir, 2)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT user_id, event_type, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type IN ('click', 'purchase')",
+        )
+        .option("cluster", ",".join(urls))
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_cluster",
+    _scan_remote_cluster,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["source", "scan", "cluster", "distributed"],
+    description="cluster()/Distributed read: two disjoint mock shards, "
+    "shard-local filter/project, initiator aggregation in Spark over "
+    "the union (one partition per shard)",
+)
+
+
 _TCP_AGG_SQL = """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,

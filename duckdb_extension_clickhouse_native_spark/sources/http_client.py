@@ -43,7 +43,12 @@ class ConnectionInfo:
 
 
 def resolve_connection(options: dict) -> ConnectionInfo:
-    url = options.get("url") or os.environ.get("CLICKHOUSE_URL") or DEFAULT_URL
+    url = options.get("url")
+    if not url and options.get("cluster"):
+        # cluster reads probe schema/plan against the FIRST shard; the
+        # per-partition reader overrides url shard by shard
+        url = str(options["cluster"]).split(",")[0].strip()
+    url = url or os.environ.get("CLICKHOUSE_URL") or DEFAULT_URL
     database = options.get("database")
 
     if "://" not in url:

@@ -297,6 +297,40 @@ def serve(handler) -> str:
     return f"http://127.0.0.1:{srv.server_address[1]}"
 
 
+def mock_clickhouse_cluster(sf_dir: str, n_shards: int = 2) -> list[str]:
+    """Start (once per process per (sf_dir, n)) ``n_shards`` DuckDB-
+    backed mock servers, each holding a DISJOINT slice of every table
+    (sharded by the table's first column, an integer key in all ten
+    driver tables, ``(key % n + n) % n = shard``) — the ClickHouse
+    Distributed/cluster() topology: the union of the shards is exactly
+    the whole table.  Returns the shard base URLs."""
+    import duckdb
+
+    import pyarrow.parquet as _pq
+
+    key = f"{sf_dir}|cluster{n_shards}"
+    with _LOCK:
+        if key in _SERVERS:
+            return list(_SERVERS[key])
+        urls = []
+        for shard in range(n_shards):
+            con = duckdb.connect()
+            for t in TABLES:
+                first = _pq.read_schema(f"{sf_dir}/{t}.parquet").names[0]
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet' "
+                    f"WHERE ((CAST({first} AS BIGINT) % {n_shards}) "
+                    f"+ {n_shards}) % {n_shards} = {shard}"
+                )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _ingest (k BIGINT, v VARCHAR)"
+            )
+            urls.append(serve(build_handler(con)))
+        _SERVERS[key] = tuple(urls)
+        return urls
+
+
 def mock_clickhouse_url(sf_dir: str) -> str:
     """Start (once per process per sf_dir) a DuckDB-backed mock
     ClickHouse HTTP server over ``{sf_dir}/*.parquet``; returns its

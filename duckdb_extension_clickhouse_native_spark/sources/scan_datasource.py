@@ -60,6 +60,9 @@ FORMAT_NAME = "clickhouse_scan"
 @dataclass
 class ScanPartition(InputPartition):
     query: str
+    # cluster reads: this partition's shard endpoint (None -> the
+    # session-level url option)
+    url: Optional[str] = None
 
 
 def _split_queries(query: str, options: dict) -> list[str]:
@@ -89,6 +92,17 @@ def _split_queries(query: str, options: dict) -> list[str]:
             pred = f"{col} >= {a} AND {col} < {b}"
         out.append(f"SELECT * FROM ({base}) AS __split WHERE {pred}")
     return out
+
+
+def _cluster_urls(options: dict) -> list[str]:
+    """Parse the ``cluster`` option: comma-separated shard endpoints
+    (the ClickHouse ``cluster()`` / Distributed-engine analogue).
+    Empty when unset."""
+    return [
+        u.strip()
+        for u in str(options.get("cluster", "")).split(",")
+        if u.strip()
+    ]
 
 
 def _remote_literal(v) -> Optional[str]:
@@ -229,7 +243,19 @@ class ClickHouseScanReader(DataSourceReader):
             )
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [ScanPartition(q) for q in _split_queries(self.query, self.options)]
+        queries = _split_queries(self.query, self.options)
+        shards = _cluster_urls(self.options)
+        if shards:
+            # cluster(): the query runs on EVERY shard and the results
+            # union (ClickHouse Distributed-engine read semantics —
+            # each shard holds a disjoint slice of the table, so the
+            # remote query must be shard-local: filter/project, with
+            # the initiator-side aggregation done by Spark). Shards x
+            # splits compose; each partition pins its endpoint.
+            return [
+                ScanPartition(q, url=u) for u in shards for q in queries
+            ]
+        return [ScanPartition(q) for q in queries]
 
     def read(self, partition: ScanPartition) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -237,7 +263,12 @@ class ClickHouseScanReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_type
         from .retry import RETRYABLE_EXC, RetryPolicy
 
-        conn = resolve_connection(self.options)
+        opts = (
+            self.options
+            if partition.url is None
+            else {**self.options, "url": partition.url}
+        )
+        conn = resolve_connection(opts)
         target = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in self.spark_schema.fields]
         )
@@ -395,28 +426,33 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
                 "url; the native TCP protocol always carries Native blocks"
             )
 
+    def _insert_fn(self, client):
+        if self.wire_format == "rowbinary":
+            return client.insert_rowbinary_batches
+        if self.wire_format == "jsoneachrow":
+            return client.insert_jsoneachrow_batches
+        if self.wire_format == "jsonobjects":
+            return client.insert_jsonobjects_batches
+        if self.wire_format == "values":
+            return client.insert_values_batches
+        if self.wire_format == "tsv":
+            return client.insert_tsv_batches
+        if self.wire_format == "csv":
+            return client.insert_csv_batches
+        if self.wire_format == "arrowstream":
+            return client.insert_arrowstream_batches
+        if self.wire_format == "parquet":
+            return client.insert_parquet_batches
+        return client.insert_batches
+
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:
         from ..native.rowbinary import derive_wire_types
 
+        shards = _cluster_urls(self.options)
+        if shards:
+            return self._write_sharded(iterator, shards)
         client = make_client(resolve_connection(self.options))
-        if self.wire_format == "rowbinary":
-            insert = client.insert_rowbinary_batches
-        elif self.wire_format == "jsoneachrow":
-            insert = client.insert_jsoneachrow_batches
-        elif self.wire_format == "jsonobjects":
-            insert = client.insert_jsonobjects_batches
-        elif self.wire_format == "values":
-            insert = client.insert_values_batches
-        elif self.wire_format == "tsv":
-            insert = client.insert_tsv_batches
-        elif self.wire_format == "csv":
-            insert = client.insert_csv_batches
-        elif self.wire_format == "arrowstream":
-            insert = client.insert_arrowstream_batches
-        elif self.wire_format == "parquet":
-            insert = client.insert_parquet_batches
-        else:
-            insert = client.insert_batches
+        insert = self._insert_fn(client)
         def flush(chunk: list) -> int:
             # DECLARED types derived per INSERT chunk from ACTUAL null
             # counts across the whole chunk (each INSERT carries its
@@ -450,6 +486,80 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:  # inserts are not transactional
         return None
+
+    def _write_sharded(
+        self, iterator: Iterator["pa.RecordBatch"], shards: list
+    ) -> ScanWriteCommit:
+        """Distributed-engine INSERT: rows route to the shard selected
+        by ``sharding_key % n_shards`` (an integer column, the
+        ClickHouse Distributed sharding-expression contract — rand()
+        routing is refused because this engine's writes must be
+        deterministic and batch-id idempotent). Per-shard buffers
+        flush independently at max_insert_bytes."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..native.rowbinary import derive_wire_types
+
+        key = self.options.get("sharding_key")
+        if not key:
+            raise ValueError(
+                "cluster INSERT requires a 'sharding_key' option (an "
+                "integer column; rows route to shard = key % n_shards)"
+            )
+        n = len(shards)
+        clients = [
+            make_client(resolve_connection({**self.options, "url": u}))
+            for u in shards
+        ]
+        inserts = [self._insert_fn(c) for c in clients]
+
+        def flush(si: int, chunk: list) -> int:
+            chunk, ch_types = derive_wire_types(chunk, None, server_types=True)
+            return inserts[si](self.table, chunk, ch_types)
+
+        try:
+            rows = 0
+            pending: list[list] = [[] for _ in range(n)]
+            pending_bytes = [0] * n
+            for batch in iterator:
+                col = batch.schema.get_field_index(key)
+                if col < 0:
+                    raise ValueError(
+                        f"sharding_key column {key!r} not in the "
+                        "written schema"
+                    )
+                if not pa.types.is_integer(batch.schema.field(col).type):
+                    raise ValueError(
+                        f"sharding_key {key!r} must be an integer "
+                        f"column, got {batch.schema.field(col).type}"
+                    )
+                if batch.column(col).null_count:
+                    raise ValueError(
+                        f"sharding_key {key!r} contains NULLs — no "
+                        "shard is defined for them"
+                    )
+                # (k % n + n) % n via numpy (pyarrow has no mod
+                # kernel); Python/numpy % is already non-negative for
+                # positive n, signed keys included
+                keys = batch.column(col).to_numpy(zero_copy_only=False)
+                shard = pa.array(keys % n, type=pa.int64())
+                for si in range(n):
+                    sub = batch.filter(pc.equal(shard, si))
+                    if sub.num_rows == 0:
+                        continue
+                    pending[si].append(sub)
+                    pending_bytes[si] += sub.nbytes
+                    if pending_bytes[si] >= self.max_insert_bytes:
+                        rows += flush(si, pending[si])
+                        pending[si], pending_bytes[si] = [], 0
+            for si in range(n):
+                if pending[si]:
+                    rows += flush(si, pending[si])
+            return ScanWriteCommit(rows=rows)
+        finally:
+            for c in clients:
+                c.close()
 
 
 class ClickHouseScanDataSource(DataSource):
