@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import base64
 import math
+import re
 from typing import Iterable, Optional
 
 # ~1% false-positive rate at 10 bits/value with k=7 (standard curve)
@@ -106,6 +107,51 @@ def bloom_maybe_contains(bloom: dict, v) -> bool:
     except (KeyError, TypeError, ValueError):
         return True
     return all(bits[h >> 3] & (1 << (h & 7)) for h in _hashes(b, k, m))
+
+
+# tokenbf_v1's tokenizer splits on non-alphanumeric characters; this
+# variant is "maximal \w+ runs" (unicode letters/digits/underscore) —
+# documented difference: ClickHouse is ASCII-alnum-based, \w keeps
+# unicode words indexable. Both sides (writer over values, reader over
+# needles) share the rule, so pruning stays sound.
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def string_tokens(s: str) -> set:
+    """Encoded token set of ``s`` — the tokenbf_v1 accumulation unit."""
+    return {value_bytes(t) for t in _TOKEN_RE.findall(s)}
+
+
+def tokenbf_may_match(
+    bloom: dict,
+    needle: str,
+    *,
+    anchored_left: bool = False,
+    anchored_right: bool = False,
+) -> bool:
+    """False ONLY when some PROVABLE token of ``needle`` is absent
+    from the column's token union (hasToken semantics generalized to
+    the pushable string predicates):
+
+    * a token strictly inside the needle (non-word chars on both
+      sides) is always a complete token of any containing value;
+    * a token touching the needle's left/right edge is complete only
+      when that edge is anchored to the value boundary — equality
+      anchors both sides, startsWith the left, endsWith the right.
+
+    Needles with no provable token answer True (no pruning)."""
+    if not isinstance(needle, str):
+        return True
+    for m in _TOKEN_RE.finditer(needle):
+        left_complete = m.start() > 0 or anchored_left
+        right_complete = m.end() < len(needle) or anchored_right
+        if (
+            left_complete
+            and right_complete
+            and not bloom_maybe_contains(bloom, m.group(0))
+        ):
+            return False
+    return True
 
 
 def ngrambf_may_match_substring(bloom: dict, needle: str) -> bool:

@@ -186,6 +186,7 @@ class BlockStatsRecorder:
         bloom_columns: tuple = (),
         ngram_columns: tuple = (),
         set_columns: tuple = (),
+        token_columns: tuple = (),
     ) -> None:
         self.blocks: list[dict] = []
         self.merged: dict = {}
@@ -210,6 +211,11 @@ class BlockStatsRecorder:
         self._ngram_cols = tuple(ngram_columns)
         self._ngram_vals: dict[str, set] = {c: set() for c in self._ngram_cols}
         self._ngram_dropped: set = set()
+        # tokenbf skip index: union of word tokens — prunes
+        # token-delimited string predicates (hasToken semantics)
+        self._token_cols = tuple(token_columns)
+        self._token_vals: dict[str, set] = {c: set() for c in self._token_cols}
+        self._token_dropped: set = set()
 
     def _set_on_block(self, piece: pa.RecordBatch) -> None:
         if not self._set_cols or piece.num_rows == 0:
@@ -242,9 +248,18 @@ class BlockStatsRecorder:
 
     def _bloom_on_block(self, piece: pa.RecordBatch) -> None:
         self._set_on_block(piece)
-        if (not self._bloom_cols and not self._ngram_cols) or piece.num_rows == 0:
+        if (
+            not self._bloom_cols
+            and not self._ngram_cols
+            and not self._token_cols
+        ) or piece.num_rows == 0:
             return
-        from .bloomindex import MAX_DISTINCT, string_ngrams, value_bytes
+        from .bloomindex import (
+            MAX_DISTINCT,
+            string_ngrams,
+            string_tokens,
+            value_bytes,
+        )
 
         import pyarrow.compute as pc
 
@@ -288,6 +303,25 @@ class BlockStatsRecorder:
                 self._ngram_dropped.add(col)
         for col in self._ngram_dropped:
             self._ngram_vals.pop(col, None)
+        for col in self._token_cols:
+            if col in self._token_dropped:
+                continue
+            if col not in names:
+                self._token_dropped.add(col)
+                continue
+            acc = self._token_vals[col]
+            arr = piece.column(piece.schema.get_field_index(col))
+            if not pa.types.is_string(arr.type):
+                self._token_dropped.add(col)  # strings only
+                continue
+            for v in pc.unique(arr).to_pylist():
+                if v is None:
+                    continue
+                acc |= string_tokens(v)
+            if len(acc) > MAX_DISTINCT:
+                self._token_dropped.add(col)
+        for col in self._token_dropped:
+            self._token_vals.pop(col, None)
 
     def on_block(self, offset: int, piece: pa.RecordBatch) -> None:
         self._bloom_on_block(piece)
@@ -325,7 +359,8 @@ class BlockStatsRecorder:
             side["file_bytes"] = os.path.getsize(path)
         blooms = {}
         ngrams = {}
-        if self._bloom_vals or self._ngram_vals:
+        tokens = {}
+        if self._bloom_vals or self._ngram_vals or self._token_vals:
             from .bloomindex import build_bloom
 
             for col, vals in self._bloom_vals.items():
@@ -336,10 +371,16 @@ class BlockStatsRecorder:
                 bl = build_bloom(vals)
                 if bl is not None:
                     ngrams[col] = bl
+            for col, vals in self._token_vals.items():
+                bl = build_bloom(vals)
+                if bl is not None:
+                    tokens[col] = bl
         if blooms:
             side["bloom"] = blooms
         if ngrams:
             side["ngrambf"] = ngrams
+        if tokens:
+            side["tokenbf"] = tokens
         if self._set_vals:
             setix = {
                 col: sorted(vals)
@@ -362,6 +403,7 @@ def write_native_file(
     index_bloom: Optional[list] = None,
     index_ngrambf: Optional[list] = None,
     index_set: Optional[list] = None,
+    index_tokenbf: Optional[list] = None,
 ) -> int:
     """``compression``: None (plain Native), or 'lz4'/'zstd'/'none' to
     wrap the stream in ClickHouse compressed frames (compress.py).
@@ -382,6 +424,7 @@ def write_native_file(
             tuple(index_bloom or ()),
             tuple(index_ngrambf or ()),
             tuple(index_set or ()),
+            tuple(index_tokenbf or ()),
         )
         if (stats and compression is None)
         else None

@@ -107,7 +107,7 @@ def _adapt_aliases(st: dict, aliases: dict) -> dict:
     if not aliases:
         return st
     out = dict(st)
-    for key in ("columns", "bloom", "ngrambf", "set"):
+    for key in ("columns", "bloom", "ngrambf", "set", "tokenbf"):
         m = st.get(key)
         if not isinstance(m, dict):
             continue

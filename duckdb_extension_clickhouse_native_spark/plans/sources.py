@@ -1759,6 +1759,84 @@ REGISTRY.df_query(
 )
 
 
+def _tokenbf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Documents split into 16 parts by ``doc_id % 16``, each part's
+    ``text`` suffixed with a part-specific ``tag_<b>`` token and
+    indexed with tokenbf.  The shared vocabulary means every part
+    contains every COMMON token (ngram/minmax/bloom all blind to a
+    token probe), but ``tag_7`` exists in exactly one part — only the
+    token index prunes the other 15."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        doc_id = t.column("doc_id").to_numpy()
+        bucket = pa.array(doc_id % 16, type=pa.int64())
+        tag = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), "string"),
+            pa.array([f" tag_{b} end" for b in (doc_id % 16)]),
+            "",
+        )
+        t2 = t.set_column(t.schema.get_field_index("text"), "text", tag)
+        for b in range(16):
+            piece = t2.filter(pc.equal(bucket, b))
+            if piece.num_rows == 0:
+                continue
+            write_native_file(
+                os.path.join(out_dir, f"part-{b:03d}.clickhouse"),
+                piece,
+                index_tokenbf=["text"],
+            )
+
+    return _materialize_fixture(sf_dir, "documents", "documents-tokenbf16", write)
+
+
+def _native_tokenbf_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenbf skip index (ClickHouse ``tokenbf_v1`` analogue): a
+    ``contains(' tag_7 ')`` probe carries the interior-delimited token
+    ``tag_7``, present in exactly 1 of 16 parts — min/max, bloom and
+    even a substring ngram index are not written here, so the planned
+    single partition proves the TOKEN index fired."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _tokenbf_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+        .filter(F.col("text").contains(" tag_7 "))
+    )
+    if df.rdd.getNumPartitions() > 1:
+        raise AssertionError(
+            f"tokenbf pruning regressed: planned "
+            f"{df.rdd.getNumPartitions()} partitions for a one-token "
+            "probe over 16 parts"
+        )
+    return df.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+REGISTRY.df_query(
+    "native_tokenbf_skip_scan",
+    _native_tokenbf_skip_scan,
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 16 = 7
+    ORDER BY doc_id
+    """,
+    tags=["source", "native", "tokenbf", "skipping", "pruning"],
+    description="tokenbf skip index: interior-token contains-probe "
+    "plans 1 of 16 partitions (tag token unique per part); rows == "
+    "oracle",
+)
+
+
 def _set_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Documents with ``grade = doc_id % 48`` laid out so part ``b``
     holds exactly grades ``{b, b+16, b+32}`` — every part's min/max

@@ -355,6 +355,32 @@ def _filter_excludes_file(f: "Filter", stats: dict) -> bool:
         bl = ngrams.get(f.attribute[0])
         if bl is not None and not ngrambf_may_match_substring(bl, f.value):
             return True
+    # tokenbf skip index (ClickHouse tokenbf_v1 analogue): the union
+    # of the column's word tokens proves token-delimited predicates
+    # unmatchable — equality anchors both needle edges, startsWith/
+    # endsWith one edge, contains needs interior-delimited tokens
+    tokens = stats.get("tokenbf") or {}
+    if tokens and isinstance(
+        f,
+        (StringContains, StringStartsWith, StringEndsWith, EqualTo, EqualNullSafe),
+    ):
+        from ..native.bloomindex import tokenbf_may_match
+
+        bl = tokens.get(f.attribute[0])
+        if bl is not None and isinstance(getattr(f, "value", None), str):
+            anchored_left = isinstance(
+                f, (StringStartsWith, EqualTo, EqualNullSafe)
+            )
+            anchored_right = isinstance(
+                f, (StringEndsWith, EqualTo, EqualNullSafe)
+            )
+            if not tokenbf_may_match(
+                bl,
+                f.value,
+                anchored_left=anchored_left,
+                anchored_right=anchored_right,
+            ):
+                return True
     if isinstance(f, IsNull):
         c = cols.get(f.attribute[0])
         return c is not None and int(c.get("nulls", 1)) == 0
@@ -771,7 +797,7 @@ class ClickHouseNativeReader(DataSourceReader):
             return st
         alias_of = self.evolution["aliases"]
         out = dict(st)
-        for key in ("columns", "bloom", "ngrambf", "set"):
+        for key in ("columns", "bloom", "ngrambf", "set", "tokenbf"):
             m = st.get(key)
             if not isinstance(m, dict):
                 continue
@@ -1399,6 +1425,7 @@ class _FileSink:
         index_bloom: tuple = (),
         index_ngrambf: tuple = (),
         index_set: tuple = (),
+        index_tokenbf: tuple = (),
     ):
         from ..native.writer import BlockStatsRecorder
 
@@ -1406,7 +1433,9 @@ class _FileSink:
         self.compression = compression
         self.block_rows = block_rows
         self.rows = 0
-        self._rec = BlockStatsRecorder(index_bloom, index_ngrambf, index_set)
+        self._rec = BlockStatsRecorder(
+            index_bloom, index_ngrambf, index_set, index_tokenbf
+        )
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -1527,6 +1556,12 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             for c in str(options.get("index_set", "")).split(",")
             if c.strip()
         )
+        # tokenbf skip index columns: word-token predicate pruning
+        self.index_tokenbf: tuple = tuple(
+            c.strip()
+            for c in str(options.get("index_tokenbf", "")).split(",")
+            if c.strip()
+        )
         names = [f.name for f in schema.fields]
         missing = [c for c in self.partition_by if c not in names]
         if missing:
@@ -1543,6 +1578,9 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         missing = [c for c in self.index_set if c not in names]
         if missing:
             raise ValueError(f"index_set columns not in schema: {missing}")
+        missing = [c for c in self.index_tokenbf if c not in names]
+        if missing:
+            raise ValueError(f"index_tokenbf columns not in schema: {missing}")
         if self.partition_by and len(self.partition_by) == len(names):
             raise ValueError("partition_by cannot cover every column")
         self.overwrite = overwrite
@@ -1593,6 +1631,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                 self.index_bloom,
                 self.index_ngrambf,
                 self.index_set,
+                self.index_tokenbf,
             )
             os.makedirs(self.path, exist_ok=True)
             try:
@@ -1647,6 +1686,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
                             self.index_bloom,
                             self.index_ngrambf,
                             self.index_set,
+                            self.index_tokenbf,
                         )
                     sink.write_batch(sub)
             # finalize inside the same guard: a flush/close failure on
