@@ -1837,6 +1837,83 @@ REGISTRY.df_query(
 )
 
 
+def _merge_tables_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A mini 'database': three Native table directories —
+    ``events_interact`` (click/view rows), ``events_convert``
+    (purchase/signup, WITHOUT the props column: additive-evolution
+    member), and the decoy ``audit_log`` (error rows) the merge regex
+    must NOT match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        groups = {
+            "events_interact": ("click", "view"),
+            "events_convert": ("purchase", "signup"),
+            "audit_log": ("error",),
+        }
+        for name, kinds in groups.items():
+            piece = t.filter(pc.is_in(t.column("event_type"), pa.array(kinds)))
+            if name == "events_convert":
+                piece = piece.drop_columns(["props"])
+            os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+            write_native_file(
+                os.path.join(out_dir, name, "part-000.clickhouse"), piece
+            )
+
+    return _materialize_fixture(sf_dir, "events", "events-mergedb", write)
+
+
+def _tf_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(db, '^events_.*$'): two member tables union by name (the
+    props-less member reads NULL props), the decoy stays out, and the
+    virtual _table column reports provenance — one aggregation over
+    the plan-level union."""
+    from .base import ensure_session
+    from ..sources.table_functions import merge_native_tables
+
+    ensure_session(spark)
+    base = _merge_tables_fixture(spark, sf_dir)
+    df = merge_native_tables(spark, base, r"events_.*")
+    return (
+        df.groupBy("_table", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.count("props").alias("n_props"),
+        )
+        .orderBy("_table", "event_type")
+    )
+
+
+REGISTRY.df_query(
+    "tf_merge_tables",
+    _tf_merge_tables,
+    oracle="""
+    SELECT CASE WHEN event_type IN ('click', 'view')
+                THEN 'events_interact' ELSE 'events_convert' END AS _table,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_props
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=["source", "native", "merge", "table-function"],
+    description="merge(db, regex) table function: regex-matched Native "
+    "table dirs union by name (additive evolution -> NULL props), "
+    "virtual _table provenance, decoy excluded",
+)
+
+
 def _set_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Documents with ``grade = doc_id % 48`` laid out so part ``b``
     holds exactly grades ``{b, b+16, b+32}`` — every part's min/max

@@ -272,6 +272,57 @@ def trivial_count(spark: SparkSession, path: str) -> DataFrame:
     return df.agg(F.count("*").alias("n_rows"))
 
 
+def merge_native_tables(
+    spark: SparkSession,
+    base_dir: str,
+    name_regex: str,
+    table_column: str = "_table",
+    **options: str,
+) -> DataFrame:
+    """ClickHouse ``merge(db, 'regex')`` table function analogue: union
+    every "table" (subdirectory of Native parts) under ``base_dir``
+    whose NAME matches ``name_regex``, aligned by column name
+    (missing columns read NULL, the additive-evolution contract), with
+    the virtual ``_table`` column ClickHouse provides.
+
+    Each matched table loads through the real DataSource — its OWN
+    relation with its own planning, so per-table sidecar/hive pruning
+    and filter pushdown all still fire; the union is plan-level, not a
+    materialization.  At 100 TB this reads exactly the parts each
+    member table's indexes admit."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from .native_datasource import infer_native_schema
+
+    pat = re.compile(name_regex)
+    names = sorted(
+        d
+        for d in os.listdir(base_dir)
+        if pat.fullmatch(d) and os.path.isdir(os.path.join(base_dir, d))
+    )
+    if not names:
+        raise FileNotFoundError(
+            f"merge: no table directory under {base_dir!r} matches "
+            f"{name_regex!r}"
+        )
+    parts = []
+    for name in names:
+        path = os.path.join(base_dir, name)
+        r = spark.read.format("clickhouse_native").schema(
+            infer_native_schema({"path": path, **options})
+        )
+        for k, v in options.items():
+            r = r.option(k, v)
+        parts.append(r.load(path).withColumn(table_column, F.lit(name)))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def clickhouse_native_view(
     spark: SparkSession,
     path: str,
