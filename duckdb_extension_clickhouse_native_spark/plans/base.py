@@ -551,6 +551,21 @@ GRADING_WINDOW = [
     "text_unicode_normalize_dedup",  # NEVER GRADED
     "mutation_ttl_rollup_hive",  # NEVER GRADED
     "native_bloom_skip_scan",  # NEVER GRADED
+    # never driver-graded: this session's additions (compat tranche 2,
+    # binary embeddings, 9th wire format, cluster reads, tokenbf,
+    # merge() — all landed late r12)
+    "events_retention_matrix",  # NEVER GRADED (r12b)
+    "stats_theils_u",  # NEVER GRADED (r12b)
+    "stats_anova_f",  # NEVER GRADED (r12b)
+    "scalar_format_readable",  # NEVER GRADED (r12b)
+    "dict_range_lookup",  # NEVER GRADED (r12b)
+    "text_readability",  # NEVER GRADED (r12b)
+    "sim_topk_binary",  # NEVER GRADED (r12b)
+    "sim_binary_recall",  # NEVER GRADED (r12b)
+    "scan_remote_values",  # NEVER GRADED (r12b: 9th wire format)
+    "scan_remote_cluster",  # NEVER GRADED (r12b: Distributed read)
+    "native_tokenbf_skip_scan",  # NEVER GRADED (r12b: token index)
+    "tf_merge_tables",  # NEVER GRADED (r12b: merge() TF)
     "dedup_fingerprint",  # green r6
     "distinct_segments",  # green r6
     "events_sessionize",  # green r6
@@ -566,18 +581,12 @@ GRADING_WINDOW = [
     "native_zorder_skip_scan",  # green r6
     "q2_min_per_group",  # green r6
     "regex_functions",  # green r6
-    "sample_hash_based",  # green r6
-    "scalar_conditional",  # green r6
-    "scalar_math_funcs",  # green r6
-    "scalar_string_funcs",  # green r6
-    "scan_project_filter",  # green r6
-    "scan_tcp_split",  # green r6
-    "scan_tcp_write_roundtrip",  # green r6
-    "sim_pairs_signlsh",  # green r6
-    "sim_topk_bruteforce",  # green r6
-    "sim_topk_ivf",  # green r6
-    "subquery_correlated_exists",  # green r6
-    "subquery_in",  # green r6
+    # (12 more r6-cohort rows displaced to r13 by this session's
+    # never-graded additions: sample_hash_based, scalar_conditional,
+    # scalar_math_funcs, scalar_string_funcs, scan_project_filter,
+    # scan_tcp_split, scan_tcp_write_roundtrip, sim_pairs_signlsh,
+    # sim_topk_bruteforce, sim_topk_ivf, subquery_correlated_exists,
+    # subquery_in)
 ]
 
 
