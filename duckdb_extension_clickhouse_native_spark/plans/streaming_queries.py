@@ -1363,3 +1363,66 @@ REGISTRY.df_query(
     "running sums per key, HAVING net>0 on the final state == batch "
     "collapse exactly (shared oracle)",
 )
+
+
+def _stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retention(): the per-user condition flags maintained
+    as streaming MAX-aggregation state (four booleans per user — the
+    smallest retention state possible), then the r_i = cond1 AND
+    cond_i products summed over the drained per-user state.  Final
+    curve == the batch events_retention_matrix oracle exactly."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    flags = events.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("c1"),
+        F.when(
+            F.col("event_type").isin("click", "view")
+            & F.hour("ts").between(0, 7),
+            1,
+        )
+        .otherwise(0)
+        .alias("c2"),
+        F.when(
+            F.col("event_type").isin("click", "view")
+            & F.hour("ts").between(8, 15),
+            1,
+        )
+        .otherwise(0)
+        .alias("c3"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c4"),
+    )
+    per_user = _drain(
+        flags.groupBy("user_id").agg(
+            F.max("c1").alias("c1"),
+            F.max("c2").alias("c2"),
+            F.max("c3").alias("c3"),
+            F.max("c4").alias("c4"),
+        ),
+        "complete",
+    )
+    return per_user.agg(
+        F.sum("c1").cast("bigint").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).cast("bigint").alias("r3"),
+        F.sum(F.col("c1") * F.col("c4")).cast("bigint").alias("r4"),
+        F.count("*").alias("n_users"),
+    )
+
+
+# same oracle as the batch entry: the streaming twin must agree with
+# the batch retention curve bit-for-bit
+from .compat_r12b import _RETENTION_SPARK as _RETENTION_ORACLE  # noqa: E402
+
+REGISTRY.df_query(
+    "stream_retention",
+    _stream_retention,
+    oracle=_RETENTION_ORACLE,
+    tags=["streaming", "stateful", "retention", "funnel"],
+    description="streaming retention(): per-user condition-flag MAX "
+    "state, r_i = cond1 AND cond_i summed on the final state == batch "
+    "retention curve exactly (shared oracle) — 18th streaming twin",
+)
