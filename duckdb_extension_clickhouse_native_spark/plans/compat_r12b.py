@@ -536,3 +536,84 @@ REGISTRY.sql_query(
         "boolean per query with the raw hit count alongside"
     ),
 )
+
+
+# --- SELECT * REPLACE / COLUMNS(regex) APPLY modifiers ------------------------
+# ClickHouse's remaining projection modifiers after r10's EXCEPT entry:
+# ``* REPLACE (expr AS col)`` substitutes expressions IN PLACE (column
+# order preserved — the semantic the desugar must keep), and
+# ``COLUMNS('regex') APPLY (fn)`` selects by name-regex and applies an
+# aggregate.  Spark has neither surface syntax, so the helpers below
+# desugar generically from the DataFrame schema — the same rewrite
+# ClickHouse's analyzer performs; DuckDB's native ``* REPLACE``
+# spelling drives the oracle for the first, an explicit projection for
+# the second.
+def _select_replace(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .base import load_tables
+
+    tabs = load_tables(spark, sf_dir, ["events"])
+    df = tabs["events"].where("event_id < 300")
+    replace = {
+        "value": F.floor(F.col("value") * 100).cast("bigint"),
+        "event_type": F.upper(F.col("event_type")),
+    }
+    except_ = {"props", "ts"}
+    cols = [
+        (replace[c] if c in replace else F.col(c)).alias(c)
+        for c in df.columns
+        if c not in except_
+    ]
+    return df.select(*cols).orderBy("event_id")
+
+
+REGISTRY.df_query(
+    "select_replace_modifier",
+    _select_replace,
+    oracle="""
+    SELECT * EXCLUDE (props, ts)
+           REPLACE (CAST(FLOOR(value * 100) AS BIGINT) AS value,
+                    upper(event_type) AS event_type)
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+    tags=["compat", "projection", "sugar"],
+    description="ClickHouse SELECT * REPLACE (expr AS col): generic "
+    "schema-driven desugar preserving column order vs DuckDB's native "
+    "REPLACE spelling",
+)
+
+
+def _columns_apply(spark, sf_dir):
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from .base import load_tables
+
+    tabs = load_tables(spark, sf_dir, ["events"])
+    df = tabs["events"]
+    pat = _re.compile(r"(event|user)_id")
+    aggs = [
+        F.max(c).alias(f"max_{c}") for c in df.columns if pat.fullmatch(c)
+    ]
+    if not aggs:
+        raise ValueError("COLUMNS regex matched nothing")
+    return df.agg(*aggs)
+
+
+REGISTRY.df_query(
+    "select_columns_apply",
+    _columns_apply,
+    oracle="""
+    SELECT MAX(event_id) AS max_event_id,
+           MAX(user_id) AS max_user_id
+    FROM events
+    """,
+    tags=["compat", "projection", "sugar", "agg"],
+    description="ClickHouse COLUMNS('regex') APPLY (max): name-regex "
+    "column selection with an applied aggregate, desugared from the "
+    "DataFrame schema",
+)
