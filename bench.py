@@ -354,6 +354,21 @@ def main() -> None:
         "stream_collapsing_merge",
         "scan_remote_jsonobjects",
         "agg_combinator_matrix",
+        # late-session additions: compat tranche 2, binary retrieval,
+        # 9th wire format, cluster read, tokenbf, merge(), stream twin
+        "events_retention_matrix",
+        "stats_theils_u",
+        "stats_anova_f",
+        "scalar_format_readable",
+        "dict_range_lookup",
+        "text_readability",
+        "sim_topk_binary",
+        "sim_binary_recall",
+        "scan_remote_values",
+        "scan_remote_cluster",
+        "native_tokenbf_skip_scan",
+        "tf_merge_tables",
+        "stream_retention",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -469,7 +469,7 @@ def _exact_topk(engine: str) -> str:
         q = """
           SELECT vec_id,
                  transform(embedding,
-                           x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS e6
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e6
           FROM embeddings
         """
         dot = (
@@ -480,7 +480,7 @@ def _exact_topk(engine: str) -> str:
         q = """
           SELECT vec_id,
                  list_transform(embedding,
-                                x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS e6
+                                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e6
           FROM embeddings
         """
         dot = (
@@ -616,4 +616,90 @@ REGISTRY.df_query(
     description="ClickHouse COLUMNS('regex') APPLY (max): name-regex "
     "column selection with an applied aggregate, desugared from the "
     "DataFrame schema",
+)
+
+
+# --- retrieval cascade: binary shortlist -> exact re-rank ---------------------
+# The production serving pattern the binary tier exists for: a cheap
+# 1-bit Hamming pass shortlists top-100 candidates per query (32x
+# smaller index, XOR+POPCNT scoring), then ONLY the shortlist pays the
+# exact fixed-point cosine re-rank for the final top-10.  At corpus
+# scale the expensive scoring touches 100 rows per query instead of
+# the corpus; the cascade is fully deterministic (both stages break
+# ties on cand_id), so the oracle runs the same two stages and the
+# hash certifies the composition end to end.  sim_binary_recall
+# (registered above) is the measured recall of the shortlist tier
+# against the exact ranking.
+_CASCADE_SHORTLIST = 100
+
+
+def _cascade_sql(engine: str) -> str:
+    pack = _BINARY_PACK_SPARK if engine == "spark" else _BINARY_PACK_DUCK
+    if engine == "spark":
+        e6 = """
+          SELECT vec_id,
+                 transform(embedding,
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e6
+          FROM embeddings
+        """
+        dot = (
+            "aggregate(zip_with(q.e6, c.e6, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        ham = "bit_count(qb.h1 ^ cb.h1) + bit_count(qb.h2 ^ cb.h2)"
+    else:
+        e6 = """
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e6
+          FROM embeddings
+        """
+        dot = (
+            "list_sum(list_transform(range(64), "
+            "i -> q.e6[i + 1] * c.e6[i + 1]))"
+        )
+        ham = (
+            "bit_count(xor(qb.h1, cb.h1)) + bit_count(xor(qb.h2, cb.h2))"
+        )
+    return f"""
+    WITH packed AS ({pack}),
+    qb_all AS (SELECT * FROM packed WHERE vec_id < 5),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qb.vec_id
+                 ORDER BY {ham}, cb.vec_id) AS rk
+        FROM qb_all qb JOIN packed cb ON cb.vec_id <> qb.vec_id
+      ) WHERE rk <= {_CASCADE_SHORTLIST}
+    ),
+    e AS ({e6}),
+    reranked AS (
+      SELECT s.query_id, s.cand_id,
+             CAST({dot} AS BIGINT) AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY CAST({dot} AS BIGINT) DESC, s.cand_id) AS rk
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, dot, CAST(rk AS BIGINT) AS rk
+    FROM reranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """
+
+
+REGISTRY.sql_query(
+    "sim_cascade_topk",
+    _cascade_sql("spark"),
+    oracle=_cascade_sql("duck"),
+    tables=["embeddings"],
+    tags=["similarity", "binary", "cascade", "pipeline", "scale"],
+    description=(
+        "retrieval cascade: 1-bit Hamming shortlist (top-100, XOR+"
+        "POPCNT over packed BIGINTs) -> exact fixed-point cosine "
+        "re-rank of ONLY the shortlist -> top-10; deterministic "
+        "tie-breaks make the whole composition hash-checkable"
+    ),
 )

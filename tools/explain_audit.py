@@ -221,6 +221,23 @@ AUDIT = [
     "stream_collapsing_merge",
     "scan_remote_jsonobjects",
     "agg_combinator_matrix",
+    # round-12 late-session additions
+    "events_retention_matrix",
+    "stats_theils_u",
+    "stats_anova_f",
+    "scalar_format_readable",
+    "dict_range_lookup",
+    "text_readability",
+    "sim_topk_binary",
+    "sim_binary_recall",
+    "sim_cascade_topk",
+    "scan_remote_values",
+    "scan_remote_cluster",
+    "native_tokenbf_skip_scan",
+    "tf_merge_tables",
+    "stream_retention",
+    "select_replace_modifier",
+    "select_columns_apply",
 ]
 
 
