@@ -566,6 +566,10 @@ GRADING_WINDOW = [
     "scan_remote_cluster",  # NEVER GRADED (r12b: Distributed read)
     "native_tokenbf_skip_scan",  # NEVER GRADED (r12b: token index)
     "tf_merge_tables",  # NEVER GRADED (r12b: merge() TF)
+    "stream_retention",  # NEVER GRADED (r12b: 18th stream twin)
+    "select_replace_modifier",  # NEVER GRADED (r12b)
+    "select_columns_apply",  # NEVER GRADED (r12b)
+    "sim_cascade_topk",  # NEVER GRADED (r12b: retrieval cascade)
     "dedup_fingerprint",  # green r6
     "distinct_segments",  # green r6
     "events_sessionize",  # green r6
@@ -576,13 +580,11 @@ GRADING_WINDOW = [
     "join_semi_anti",  # green r6
     "multimodal_features",  # green r6
     "multimodal_frame_sample",  # green r6
-    "multimodal_resize",  # green r6
     "native_roundtrip_documents",  # green r6
-    "native_zorder_skip_scan",  # green r6
-    "q2_min_per_group",  # green r6
-    "regex_functions",  # green r6
-    # (12 more r6-cohort rows displaced to r13 by this session's
-    # never-graded additions: sample_hash_based, scalar_conditional,
+    # (16 r6-cohort rows displaced to r13 by this session's
+    # never-graded additions: multimodal_resize,
+    # native_zorder_skip_scan, q2_min_per_group, regex_functions,
+    # sample_hash_based, scalar_conditional,
     # scalar_math_funcs, scalar_string_funcs, scan_project_filter,
     # scan_tcp_split, scan_tcp_write_roundtrip, sim_pairs_signlsh,
     # sim_topk_bruteforce, sim_topk_ivf, subquery_correlated_exists,
