@@ -369,6 +369,9 @@ def main() -> None:
         "native_tokenbf_skip_scan",
         "tf_merge_tables",
         "stream_retention",
+        "sim_cascade_topk",
+        "select_replace_modifier",
+        "select_columns_apply",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 
