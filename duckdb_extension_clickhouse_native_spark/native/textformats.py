@@ -457,3 +457,97 @@ def write_tsv(buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None) -
 def write_csv(buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None) -> int:
     """Encode Arrow RecordBatches as CSVWithNamesAndTypes."""
     return _write_text(buf, batches, ch_types, csv=True)
+
+
+# -- TSKV (the tenth wire format) --------------------------------------------
+# ClickHouse TSKV (interfaces/formats#tskv): one line per row of
+# ``name=value`` fields separated by tabs, values in the same Escaped
+# serialization as TSV, names additionally escaping ``=``.  Names are
+# in-band but TYPES are not, so like plain JSONEachRow the caller
+# supplies the schema from its planning probe.  ``\N`` (before
+# unescaping) is NULL; missing keys read as NULL; unknown keys are
+# ignored (input_format_skip_unknown_fields spirit).
+
+TSKV_FORMAT = "TSKV"
+
+
+def _tskv_escape_name(name: str) -> str:
+    return tsv_escape(name).replace("=", "\\=")
+
+
+def _split_tskv_field(field: str) -> Tuple[str, str]:
+    """Split one raw (still-escaped) field at the first UNESCAPED '='."""
+    i, n = 0, len(field)
+    while i < n:
+        c = field[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "=":
+            return field[:i], field[i + 1 :]
+        i += 1
+    raise ValueError(f"TSKV field without '=': {field!r}")
+
+
+def iter_tskv_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    for _name, t in names_types:
+        _check_supported(t)
+    want = {n for n, _t in names_types}
+
+    def rows():
+        while True:
+            line = buf.readline()
+            if not line:
+                return
+            text = line.decode("utf-8").rstrip("\n").rstrip("\r")
+            if not text:
+                continue  # tolerate blank lines (a 0-field row is not a row)
+            vals: dict = {}
+            for raw in _split_tsv_line(text):
+                rname, rval = _split_tskv_field(raw)
+                name = tsv_unescape(rname.replace("\\=", "="))
+                if name not in want:
+                    continue  # skip-unknown-fields
+                vals[name] = rval
+            out = []
+            for name, t in names_types:
+                raw = vals.get(name)
+                if raw is None or raw == "\\N":  # missing key or explicit NULL
+                    out.append(None)
+                else:
+                    out.append(_from_text(tsv_unescape(raw), t))
+            yield out
+
+    return _blocks_from_rows(
+        names_types, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )
+
+
+def write_tskv(
+    buf: BinaryIO, batches, ch_types: Optional[List[CHType]] = None
+) -> int:
+    from .rowbinary import _to_wire, derive_wire_types
+
+    batches, types = derive_wire_types(batches, ch_types)
+    rows = 0
+    for batch in batches:
+        for t in types:
+            _check_supported(t)
+        names = [_tskv_escape_name(f.name) for f in batch.schema]
+        pylists = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        for r in range(batch.num_rows):
+            fields = []
+            for c, t in enumerate(types):
+                text = _to_text(_to_wire(pylists[c][r], t), t)
+                fields.append(
+                    names[c] + "=" + ("\\N" if text is None else tsv_escape(text))
+                )
+            buf.write(("\t".join(fields) + "\n").encode())
+            rows += 1
+    return rows

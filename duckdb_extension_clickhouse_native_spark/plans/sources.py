@@ -720,6 +720,15 @@ REGISTRY.df_query(
 )
 
 REGISTRY.df_query(
+    "scan_remote_tskv",
+    _scan_remote_textformat("tskv"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "tskv", "interop"],
+    description="clickhouse_scan over FORMAT TSKV (tenth wire format; "
+    "name=value fields, names in-band, types from the planning probe)",
+)
+
+REGISTRY.df_query(
     "scan_remote_arrowstream",
     _scan_remote_textformat("arrowstream"),
     oracle=_SCAN_AGG_SQL,

@@ -209,6 +209,17 @@ class ClickHouseHTTPClient:
             stream, names_types, lossy_uint64=lossy_uint64
         )
 
+    def execute_tskv_blocks(
+        self, query: str, names_types, *, lossy_uint64: bool = False
+    ):
+        """Run a SELECT with ``FORMAT TSKV`` — the tenth wire format
+        (name=value fields; names in-band, types from the caller's
+        planning probe)."""
+        from ..native.textformats import TSKV_FORMAT, iter_tskv_blocks
+
+        stream = self._request(self._with_format(query, TSKV_FORMAT))
+        return iter_tskv_blocks(stream, names_types, lossy_uint64=lossy_uint64)
+
     def execute_tsv_blocks(self, query: str, *, lossy_uint64: bool = False):
         """Run a SELECT with ``FORMAT TabSeparatedWithNamesAndTypes`` —
         the fourth wire format (text interop; see native/textformats.py)."""
@@ -326,6 +337,20 @@ class ClickHouseHTTPClient:
         rows = write_values(buf, batches, ch_types)
         self._request(
             f"INSERT INTO {table} FORMAT {VALUES_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_tskv_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a ``FORMAT TSKV`` body — the write half of the
+        tenth wire format."""
+        import io as _io
+
+        from ..native.textformats import TSKV_FORMAT, write_tskv
+
+        buf = _io.BytesIO()
+        rows = write_tskv(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {TSKV_FORMAT}", body=buf.getvalue()
         ).read()
         return rows
 

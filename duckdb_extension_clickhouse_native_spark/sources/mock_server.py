@@ -150,6 +150,52 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                                 for ci, t in enumerate(shapes)
                             ]
                         block_iter = _ivb(io.BytesIO(body), nt)
+                    elif "FORMAT TSKV" in q.upper():
+                        # names in-band, types from the target table
+                        # (fallback: everything Nullable(String) is
+                        # wrong for ints — infer from value shapes the
+                        # way the JSONEachRow branch does, but TSKV
+                        # values are untyped text, so the recording
+                        # sink infers Int64/Float64/Bool/String)
+                        from ..native.textformats import (
+                            iter_tskv_blocks as _itk,
+                            tsv_unescape as _tun,
+                            _split_tsv_line as _stl,
+                            _split_tskv_field as _stf,
+                        )
+                        from ..native.types import from_arrow as _fa, parse_type
+
+                        try:
+                            with qlock:
+                                tschema = con.execute(
+                                    f"SELECT * FROM {table} LIMIT 0"
+                                ).fetch_arrow_table().schema
+                            nt = [(f.name, _fa(f.type)) for f in tschema]
+                        except Exception:
+                            seen: dict = {}
+                            for line in body.decode("utf-8").splitlines():
+                                if not line.strip():
+                                    continue
+                                for raw in _stl(line):
+                                    k, v = _stf(raw)
+                                    k = _tun(k.replace("\\=", "="))
+                                    if k in seen or v == "\\N":
+                                        continue
+                                    v = _tun(v)
+                                    if v in ("true", "false"):
+                                        seen[k] = "Nullable(Bool)"
+                                    elif v.lstrip("-").isdigit():
+                                        seen[k] = "Nullable(Int64)"
+                                    else:
+                                        try:
+                                            float(v)
+                                            seen[k] = "Nullable(Float64)"
+                                        except ValueError:
+                                            seen[k] = "Nullable(String)"
+                            nt = [
+                                (k, parse_type(t)) for k, t in seen.items()
+                            ]
+                        block_iter = _itk(io.BytesIO(body), nt)
                     elif "TABSEPARATED" in q.upper():
                         from ..native.textformats import iter_tsv_blocks as _itb
 
@@ -219,6 +265,9 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                 elif q.endswith("FORMAT Values"):
                     q = q[: -len("FORMAT Values")]
                     fmt = "values"
+                elif q.endswith("FORMAT TSKV"):
+                    q = q[: -len("FORMAT TSKV")]
+                    fmt = "tskv"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
@@ -268,6 +317,10 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         from ..native.valuesformat import write_values
 
                         write_values(out, batches)
+                    elif fmt == "tskv":
+                        from ..native.textformats import write_tskv
+
+                        write_tskv(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

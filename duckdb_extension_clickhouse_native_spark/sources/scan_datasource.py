@@ -197,12 +197,13 @@ class ClickHouseScanReader(DataSourceReader):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet", "values",
+            "csv", "arrowstream", "parquet", "values", "tskv",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream', 'parquet' or 'values', got {self.wire_format!r}"
+                f"'arrowstream', 'parquet', 'values' or 'tskv', "
+                f"got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -316,6 +317,21 @@ class ClickHouseScanReader(DataSourceReader):
                         ],
                         lossy_uint64=self.lossy_uint64,
                     )
+                elif self.wire_format == "tskv":
+                    # TSKV carries names but not types: the schema
+                    # rides in from the planning probe
+                    from pyspark.sql.pandas.types import to_arrow_type as _tat
+
+                    from ..native.types import from_arrow as _fa
+
+                    blocks = client.execute_tskv_blocks(
+                        partition.query,
+                        [
+                            (f.name, _fa(_tat(f.dataType)))
+                            for f in self.spark_schema.fields
+                        ],
+                        lossy_uint64=self.lossy_uint64,
+                    )
                 elif self.wire_format == "tsv":
                     blocks = client.execute_tsv_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
@@ -411,12 +427,13 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet", "values",
+            "csv", "arrowstream", "parquet", "values", "tskv",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream', 'parquet' or 'values', got {self.wire_format!r}"
+                f"'arrowstream', 'parquet', 'values' or 'tskv', "
+                f"got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -435,6 +452,8 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             return client.insert_jsonobjects_batches
         if self.wire_format == "values":
             return client.insert_values_batches
+        if self.wire_format == "tskv":
+            return client.insert_tskv_batches
         if self.wire_format == "tsv":
             return client.insert_tsv_batches
         if self.wire_format == "csv":

@@ -136,7 +136,7 @@ def test_five_formats_agree_without_arrays(spark, wide_mock):
     flat = [v for row in native for v in row]
     assert "NaN" in flat and float("inf") in flat and "héllo→世界" in flat
     assert "line\nbreak" in flat and None in flat
-    for fmt in ("rowbinary", "jsoneachrow", "tsv", "csv", "values"):
+    for fmt in ("rowbinary", "jsoneachrow", "tsv", "csv", "values", "tskv"):
         assert _norm(load(fmt).collect()) == native, fmt
 
 
