@@ -1426,3 +1426,59 @@ REGISTRY.df_query(
     "state, r_i = cond1 AND cond_i summed on the final state == batch "
     "retention curve exactly (shared oracle) — 18th streaming twin",
 )
+
+
+def _stream_scan_remote_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-based incremental replication of a REMOTE table (the
+    ClickHouse ingestion pattern: poll max(cursor), fetch the new
+    window): readStream over clickhouse_scan with cursor_column =
+    event_id, drained to completion and aggregated — result == the
+    batch oracle over the same events exactly."""
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    sdf = (
+        spark.readStream.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT event_id, user_id, event_type, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events",
+        )
+        .option("url", url)
+        .option("cursor_column", "event_id")
+        .load()
+    )
+    drained = _drain(sdf, "append")
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "stream_scan_remote_cursor",
+    _stream_scan_remote_cursor,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["streaming", "source", "scan", "cursor", "incremental"],
+    description="cursor-based incremental remote ingestion: readStream "
+    "over clickhouse_scan (offsets = cursor values, max(cursor) probe "
+    "per micro-batch), drained == batch aggregation exactly",
+)

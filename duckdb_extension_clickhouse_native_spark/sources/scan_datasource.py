@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -581,6 +582,128 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
                 c.close()
 
 
+class ClickHouseScanStreamReader(DataSourceStreamReader):
+    """Cursor-based incremental streaming over a remote table —
+    ``spark.readStream.format("clickhouse_scan")`` with a
+    ``cursor_column`` option (the standard ClickHouse incremental-
+    ingestion pattern: replicate a table by polling a monotonically
+    increasing column — an id, an insert timestamp).
+
+    Offsets are cursor VALUES: ``latestOffset`` asks the server for
+    ``max(cursor)`` (one tiny aggregate — planning cost, not data
+    movement) and a micro-batch fetches ``cursor > start AND cursor <=
+    end``. Both bounds live in the checkpointed offset JSON, so
+    recovery replays exactly the committed range. Contract (documented,
+    the same one every cursor replicator has): the cursor is
+    monotonically non-decreasing for NEW rows and old rows are
+    immutable — late rows BELOW a committed cursor are missed by
+    construction (use the table's insert time, not an event time, when
+    late data is possible).
+
+    Rows of one batch fetch through the same per-partition reader as
+    the batch path (same wire formats, retry, pooling, cluster fan-out:
+    every shard is polled with the same cursor window)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = ClickHouseScanReader(schema, options)
+        self.cursor = options.get("cursor_column")
+        if not self.cursor:
+            raise ValueError(
+                "streaming clickhouse_scan requires a 'cursor_column' "
+                "option (monotonic integer or timestamp column)"
+            )
+        names = [f.name for f in schema.fields]
+        if self.cursor not in names:
+            raise ValueError(
+                f"cursor_column {self.cursor!r} is not in the query "
+                f"schema {names}"
+            )
+        from pyspark.sql.types import (
+            DateType,
+            IntegerType,
+            LongType,
+            ShortType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        t = schema[self.cursor].dataType
+        if isinstance(t, (IntegerType, LongType, ShortType)):
+            self._kind = "int"
+        elif isinstance(t, (TimestampType, TimestampNTZType, DateType)):
+            self._kind = "time"
+        else:
+            raise ValueError(
+                f"cursor_column must be integer or timestamp/date, got {t}"
+            )
+        self.start_cursor = options.get("start_cursor")
+
+    def _lit(self, v) -> str:
+        return str(v) if self._kind == "int" else f"'{v}'"
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start_cursor}
+
+    def _query_scalar(self, sql: str, url: Optional[str] = None):
+        opts = (
+            self._batch.options
+            if url is None
+            else {**self._batch.options, "url": url}
+        )
+        client = make_client(resolve_connection(opts))
+        try:
+            for blk in client.execute_blocks(sql):
+                rb = blk.to_record_batch()
+                if rb.num_rows:
+                    v = rb.column(0).to_pylist()[0]
+                    if v is None:
+                        return None
+                    return v if self._kind == "int" else str(v)
+            return None
+        finally:
+            client.close()
+
+    def latestOffset(self) -> dict:
+        base = self._batch.query.rstrip().rstrip(";")
+        probe = f"SELECT max({self.cursor}) AS mx FROM ({base}) AS __cur"
+        # cluster: the window top is the max across EVERY shard — a
+        # first-shard-only probe would permanently miss rows on any
+        # shard whose cursor runs ahead (caught by
+        # test_cluster_cursor_polls_every_shard: 29/30 rows)
+        shards = _cluster_urls(self._batch.options) or [None]
+        maxes = [
+            m
+            for m in (self._query_scalar(probe, url=u) for u in shards)
+            if m is not None
+        ]
+        if not maxes:  # empty source everywhere: stay at the start
+            return self.initialOffset()
+        return {"cursor": max(maxes)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start.get("cursor"), end.get("cursor")
+        if e is None or s == e:
+            # Spark requires >=1 partition; emit a no-op range
+            return [ScanPartition("")]
+        base = self._batch.query.rstrip().rstrip(";")
+        preds = [f"{self.cursor} <= {self._lit(e)}"]
+        if s is not None:
+            preds.append(f"{self.cursor} > {self._lit(s)}")
+        q = f"SELECT * FROM ({base}) AS __inc WHERE " + " AND ".join(preds)
+        shards = _cluster_urls(self._batch.options)
+        if shards:
+            return [ScanPartition(q, url=u) for u in shards]
+        return [ScanPartition(q)]
+
+    def read(self, partition: ScanPartition) -> Iterator["pa.RecordBatch"]:
+        if not partition.query:
+            return iter(())
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 class ClickHouseScanDataSource(DataSource):
     """spark.read.format("clickhouse_scan") — see module docstring."""
 
@@ -613,3 +736,6 @@ class ClickHouseScanDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ClickHouseScanWriter:
         return ClickHouseScanWriter(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> ClickHouseScanStreamReader:
+        return ClickHouseScanStreamReader(schema, dict(self.options))
