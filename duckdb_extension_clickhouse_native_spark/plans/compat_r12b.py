@@ -316,9 +316,15 @@ REGISTRY.sql_query(
 # len(regexp_extract_all) — independent regex engines over the same
 # POSIX class pattern), pseudo-sentences of 12 words because the
 # synthetic corpus has no terminal punctuation (documented variant).
+# grade emitted as FLOOR(grade * 1e4) BIGINT: the inputs are integer-
+# derived doubles and every op is IEEE-deterministic, so the scaled
+# double is bit-identical across engines and FLOOR has no tie to
+# disagree on.  (ROUND(,4) was NOT safe: grades like 7.98125 tie at
+# the 5th decimal and Spark's HALF_UP-on-exact-binary disagrees with
+# DuckDB's scaled-nearbyint — caught by the sf0.1 sweep.)
 _FK = (
-    "0.39 * (words / CAST(sentences AS DOUBLE)) "
-    "+ 11.8 * (syll / CAST(words AS DOUBLE)) - 15.59"
+    "CAST(FLOOR((0.39 * (words / CAST(sentences AS DOUBLE)) "
+    "+ 11.8 * (syll / CAST(words AS DOUBLE)) - 15.59) * 10000) AS BIGINT)"
 )
 
 _READABILITY_SPARK = f"""
@@ -335,7 +341,7 @@ _READABILITY_SPARK = f"""
       WHERE words > 0
     )
     SELECT doc_id, words, syll, sentences,
-           ROUND({_FK}, 4) AS fk_grade
+           {_FK} AS fk_grade_e4
     FROM sent
     WHERE doc_id % 17 = 0
     ORDER BY doc_id
@@ -355,7 +361,7 @@ _READABILITY_ORACLE = f"""
       WHERE words > 0
     )
     SELECT doc_id, words, syll, sentences,
-           ROUND({_FK}, 4) AS fk_grade
+           {_FK} AS fk_grade_e4
     FROM sent
     WHERE doc_id % 17 = 0
     ORDER BY doc_id
@@ -370,7 +376,7 @@ REGISTRY.sql_query(
     description=(
         "Flesch-Kincaid-style readability: exact word / vowel-group "
         "syllable counts (regexp_count vs regexp_extract_all), "
-        "12-word pseudo-sentences, grade from one fused expression"
+        "12-word pseudo-sentences, grade as a tie-free e4 scaled integer"
     ),
 )
 
