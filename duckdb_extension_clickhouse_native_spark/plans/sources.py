@@ -2757,3 +2757,151 @@ REGISTRY.df_query(
     "clickhouse_native view (pure-SQL writes); OVERWRITE leaves "
     "exactly the overwrite body == closed-form oracle",
 )
+
+
+def _ann_bucket_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Embeddings written as a hive layout PARTITIONED BY their sign-LSH
+    bucket (4 sign bits of dims 1..4 -> 16 partitions): the persisted
+    IVF-style ANN index whose 'inverted lists' are partition
+    directories, so cluster-pruned search is ordinary partition
+    pruning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        import numpy as np
+
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+        bucket = sum(
+            (emb[:, i] > 0).astype(np.int64) << i for i in range(4)
+        )
+        t2 = t.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        for b in range(16):
+            piece = t2.filter(pa.compute.equal(t2.column("bucket"), b))
+            if piece.num_rows == 0:
+                continue
+            d = os.path.join(out_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            write_native_file(
+                os.path.join(d, "part-000.clickhouse"),
+                piece.drop_columns(["bucket"]),
+            )
+
+    return _materialize_fixture(sf_dir, "embeddings", "embeddings-annbuckets", write)
+
+
+def _query_bucket(sf_dir: str) -> int:
+    """The probe vector's bucket, by the same integer rule the fixture
+    and the oracle use (driver-side metadata lookup — the IVF 'assign
+    probe to cluster' step, one row)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+    )
+    emb = t.column("embedding").to_pylist()[0]
+    return sum((1 << i) for i in range(4) if emb[i] > 0)
+
+
+def _sim_ann_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN over the persisted bucket layout: the probe reads
+    ONLY its own bucket plus the 4 Hamming-1 neighbor buckets (nprobe=5
+    of 16 partition directories — asserted on the plan), then exact-
+    integer cosine re-ranks the candidates.  The candidate-set rule is
+    engine-deterministic, so the oracle reproduces it bit-for-bit."""
+    from .base import ensure_session, load_tables
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    load_tables(spark, sf_dir, ["embeddings"])  # the probe vector view
+    path = _ann_bucket_fixture(spark, sf_dir)
+    b = _query_bucket(sf_dir)
+    probes = [b, b ^ 1, b ^ 2, b ^ 4, b ^ 8]
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+        .filter(F.col("bucket").isin(probes))
+    )
+    if df.rdd.getNumPartitions() > 5:
+        raise AssertionError(
+            f"ANN bucket pruning regressed: planned "
+            f"{df.rdd.getNumPartitions()} partitions for nprobe=5 of 16"
+        )
+    df.createOrReplaceTempView("ann_candidates")
+    return spark.sql(
+        """
+        WITH q AS (
+          SELECT transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS e6
+          FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+          SELECT c.vec_id AS cand_id,
+                 aggregate(
+                   zip_with(q.e6,
+                     transform(c.embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                            AS BIGINT)),
+                     (a, b) -> a * b),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot
+          FROM ann_candidates c CROSS JOIN q
+          WHERE c.vec_id <> 0
+        )
+        SELECT cand_id, dot,
+               CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, cand_id) AS BIGINT)
+                 AS rk
+        FROM scored
+        ORDER BY rk
+        LIMIT 5
+        """
+    )
+
+
+REGISTRY.df_query(
+    "sim_ann_partition_pruned",
+    _sim_ann_partition_pruned,
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(4),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN 1 << i ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+    cands AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN b ON e.vec_id = b.vec_id CROSS JOIN qb
+      WHERE b.bucket IN (qb.bucket, xor(qb.bucket, 1), xor(qb.bucket, 2),
+                         xor(qb.bucket, 4), xor(qb.bucket, 8))
+        AND e.vec_id <> 0
+    ),
+    q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e6
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT c.vec_id AS cand_id,
+             CAST(list_sum(list_transform(range(64),
+               i -> q.e6[i + 1]
+                    * CAST(FLOOR(CAST(c.embedding[i + 1] AS DOUBLE)
+                           * 1000000) AS BIGINT))) AS BIGINT) AS dot
+      FROM cands c CROSS JOIN q
+    )
+    SELECT cand_id, dot,
+           CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, cand_id) AS BIGINT)
+             AS rk
+    FROM scored
+    ORDER BY rk
+    LIMIT 5
+    """,
+    tags=["similarity", "ann", "ivf", "pruning", "scale"],
+    description="IVF-as-layout ANN: embeddings persisted partition_by "
+    "sign-LSH bucket, probe reads nprobe=5 of 16 partition dirs "
+    "(asserted), exact-integer cosine re-rank of the candidates",
+)
