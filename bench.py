@@ -372,6 +372,9 @@ def main() -> None:
         "sim_cascade_topk",
         "select_replace_modifier",
         "select_columns_apply",
+        "scan_remote_tskv",
+        "stream_scan_remote_cursor",
+        "sim_ann_partition_pruned",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -570,6 +570,9 @@ GRADING_WINDOW = [
     "select_replace_modifier",  # NEVER GRADED (r12b)
     "select_columns_apply",  # NEVER GRADED (r12b)
     "sim_cascade_topk",  # NEVER GRADED (r12b: retrieval cascade)
+    "scan_remote_tskv",  # NEVER GRADED (r12b: 10th wire format)
+    "stream_scan_remote_cursor",  # NEVER GRADED (r12b: cursor stream)
+    "sim_ann_partition_pruned",  # NEVER GRADED (r12b: IVF layout)
     "dedup_fingerprint",  # green r6
     "distinct_segments",  # green r6
     "events_sessionize",  # green r6
@@ -578,11 +581,9 @@ GRADING_WINDOW = [
     "join_left_outer",  # green r6
     "join_right_outer",  # green r6
     "join_semi_anti",  # green r6
-    "multimodal_features",  # green r6
-    "multimodal_frame_sample",  # green r6
-    "native_roundtrip_documents",  # green r6
-    # (16 r6-cohort rows displaced to r13 by this session's
-    # never-graded additions: multimodal_resize,
+    # (19 r6-cohort rows displaced to r13: multimodal_features,
+    # multimodal_frame_sample, native_roundtrip_documents, plus the 16
+    # below: multimodal_resize,
     # native_zorder_skip_scan, q2_min_per_group, regex_functions,
     # sample_hash_based, scalar_conditional,
     # scalar_math_funcs, scalar_string_funcs, scan_project_filter,

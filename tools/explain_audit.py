@@ -238,6 +238,9 @@ AUDIT = [
     "stream_retention",
     "select_replace_modifier",
     "select_columns_apply",
+    "scan_remote_tskv",
+    "stream_scan_remote_cursor",
+    "sim_ann_partition_pruned",
 ]
 
 
