@@ -709,3 +709,66 @@ REGISTRY.sql_query(
         "tie-breaks make the whole composition hash-checkable"
     ),
 )
+
+
+# --- query result cache --------------------------------------------------------
+# ClickHouse use_query_cache (operations/query-cache): TTL-valid result
+# reuse keyed on the canonicalized plan.  The graded entry runs the
+# aggregation twice THROUGH the cache — the second call must be a hit
+# (asserted) and the SERVED bytes (a Native scan of the stored result)
+# must hash-match the plain-SQL oracle: the round-trip through the
+# cache storage path is what the driver certifies.
+def _query_cache_roundtrip(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .base import load_tables
+    from ..operators.querycache import cached_query
+
+    tabs = load_tables(spark, sf_dir, ["events"])
+    q = (
+        tabs["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    cache_dir = tempfile.mkdtemp(prefix=f"qcache_entry_{uuid.uuid4().hex[:8]}_")
+    clock = [1000.0]
+    _r1, hit1 = cached_query(
+        spark, q, cache_dir=cache_dir, now_fn=lambda: clock[0]
+    )
+    clock[0] += 5.0
+    r2, hit2 = cached_query(
+        spark, q, cache_dir=cache_dir, now_fn=lambda: clock[0]
+    )
+    if hit1 or not hit2:
+        raise AssertionError(
+            f"query cache semantics regressed: first call hit={hit1} "
+            f"(want miss), second hit={hit2} (want hit)"
+        )
+    return r2
+
+
+REGISTRY.df_query(
+    "query_cache_roundtrip",
+    _query_cache_roundtrip,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["compat", "cache", "storage"],
+    description="use_query_cache TTL semantics: miss-then-hit asserted, "
+    "the hit-served Native-stored result hash-matches the plain oracle",
+)
