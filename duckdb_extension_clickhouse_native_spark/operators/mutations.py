@@ -1090,3 +1090,116 @@ def attach_parts(
                 _link_or_copy(csrc, sdst)
         attached.append(base)
     return {"attached": attached, "dir": dst_dir}
+
+
+def apply_column_ttl(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    column: str,
+    default_expr: str,
+    ttl_where: Sequence[Pred],
+    compression: Optional[str] = None,
+) -> dict:
+    """Column-level TTL (``c Type TTL d + INTERVAL ...``): where the
+    TTL predicate holds, the column's value RESETS to its default —
+    the row survives (row-level TTL deletes it; that is
+    :func:`apply_ttl`). ClickHouse applies this during merges; here it
+    is the same staged rewrite as every mutation: parts the predicate
+    provably cannot touch hard-link, the rest rewrite in one
+    distributed job."""
+    return mutate_native_dir(
+        spark,
+        src_dir,
+        out_dir,
+        update_set={column: default_expr},
+        update_where=ttl_where,
+        compression=compression,
+    )
+
+
+def materialize_column(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    column: str,
+    compression: Optional[str] = None,
+) -> dict:
+    """``ALTER TABLE ... MATERIALIZE COLUMN`` — bake a metadata-added
+    column (native/tableschema.alter_add_column) into the parts that
+    predate it: parts whose PHYSICAL header lacks the column rewrite
+    through the evolved reader (which materializes the default), parts
+    already carrying it hard-link untouched. After materialization the
+    column has real sidecar stats in every part, so it prunes like any
+    native column — the reason ClickHouse users run it.
+
+    Hive ``key=value`` layouts refuse loudly for now (the flat stage
+    would lose partition values); run per partition directory."""
+    import hashlib
+    import tempfile
+
+    from ..filesystem import resolve_paths
+    from ..native.codec import read_file_schema
+    from ..native.tableschema import copy_table_schema, load_table_schema
+    from ..sources.native_datasource import _partition_spec
+
+    meta = load_table_schema(src_dir)
+    if not meta or column not in {c["name"] for c in meta["columns"]}:
+        raise ValueError(
+            f"column {column!r} is not in the table schema — "
+            "MATERIALIZE COLUMN follows ALTER ADD COLUMN"
+        )
+    _guard_out_dir(src_dir, out_dir)
+    parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
+    part_keys, _vals, _types = _partition_spec(src_dir, parts)
+    if part_keys:
+        raise NotImplementedError(
+            "MATERIALIZE COLUMN over hive layouts: run it per "
+            "partition directory (the flat stage would drop the "
+            "path-derived partition values)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):  # idempotent rebuild
+        p = os.path.join(out_dir, f)
+        if os.path.isfile(p):
+            os.remove(p)
+    copy_table_schema(src_dir, out_dir)
+
+    untouched, touched = [], []
+    for p in parts:
+        names = {n for n, _t in read_file_schema(p)}
+        (untouched if column in names else touched).append(p)
+
+    for i, p in enumerate(untouched):
+        base = f"keep-{i:04d}-{os.path.basename(p)}"
+        _link_or_copy(p, os.path.join(out_dir, base))
+        for csrc, cdst in _companions(p, base):
+            _link_or_copy(csrc, os.path.join(out_dir, cdst))
+
+    if touched:
+        tag = hashlib.md5(
+            ("|".join(touched) + out_dir + column).encode()
+        ).hexdigest()[:12]
+        stage = os.path.join(
+            tempfile.gettempdir(), "chsql_materialize_stage", tag
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        copy_table_schema(src_dir, stage)
+        for p in touched:
+            os.symlink(p, os.path.join(stage, os.path.basename(p)))
+            for csrc, cdst in _companions(p):
+                os.symlink(csrc, os.path.join(stage, cdst))
+        df = spark.read.format("clickhouse_native").load(stage)
+        writer = df.write.format("clickhouse_native").mode("append")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(out_dir)
+
+    return {
+        "untouched_parts": len(untouched),
+        "rewritten_parts": len(touched),
+        "out_dir": out_dir,
+    }

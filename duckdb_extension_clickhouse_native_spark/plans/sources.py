@@ -2905,3 +2905,148 @@ REGISTRY.df_query(
     "sign-LSH bucket, probe reads nprobe=5 of 16 partition dirs "
     "(asserted), exact-integer cosine re-rank of the candidates",
 )
+
+
+def _mutation_column_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level TTL (``value Float64 TTL ts + INTERVAL``): where
+    the event is older than the cutoff the VALUE resets to its default
+    (0) — the row survives, unlike row-level TTL.  Same staged
+    part-reuse rewrite as every mutation."""
+    import hashlib
+    import tempfile
+
+    from ..operators.mutations import apply_column_ttl
+
+    src = native_fixture_dir(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_mutations",
+        "colttl-" + hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    import datetime as dt
+
+    apply_column_ttl(
+        spark,
+        src,
+        out,
+        column="value",
+        default_expr="CAST(0.0 AS DOUBLE)",
+        ttl_where=[("ts", "<", dt.datetime(2024, 7, 1))],
+    )
+    df = spark.read.format("clickhouse_native").load(out)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "kept_cents"
+            ),
+            F.sum(
+                F.when(F.col("value") == 0.0, 1).otherwise(0)
+            ).cast("bigint").alias("n_reset"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "mutation_column_ttl",
+    _mutation_column_ttl,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-07-01'
+                         THEN 0
+                         ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+                AS BIGINT) AS kept_cents,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-07-01' OR value = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reset
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["mutation", "ttl", "column"],
+    description="column-level TTL: expired rows keep the row, the "
+    "column resets to its default (row-level TTL is apply_ttl); "
+    "part-reuse staged rewrite",
+)
+
+
+def _mutation_materialize_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER ADD COLUMN (metadata-only) then MATERIALIZE COLUMN: the 16
+    pre-evolution parts rewrite with the default baked in physically,
+    the one post-evolution part (appended AFTER the ALTER, so it
+    carries the column) hard-links untouched — both counts asserted."""
+    import hashlib
+    import shutil as _sh
+    import tempfile
+
+    from ..native.tableschema import alter_add_column
+    from ..operators.mutations import materialize_column
+
+    base = native_fixture_dir(spark, sf_dir, "events")
+    tag = hashlib.md5(base.encode()).hexdigest()[:12]
+    evolved = os.path.join(
+        tempfile.gettempdir(), "chsql_mutations", "matcol-src-" + tag
+    )
+    _sh.rmtree(evolved, ignore_errors=True)
+    os.makedirs(evolved)
+    for f in os.listdir(base):
+        src_f = os.path.join(base, f)
+        # parts + sidecars only: the shared fixture may carry other
+        # entries' artifacts (projection DIRECTORIES, markers)
+        if not os.path.isfile(src_f) or not (
+            f.endswith(".clickhouse") or f.endswith(".stats.json")
+        ):
+            continue
+        os.link(src_f, os.path.join(evolved, f))
+    alter_add_column(evolved, "bonus_cents", "Int64", default=777)
+    # one post-evolution part: reader materializes the default, the
+    # writer bakes it physically
+    post = (
+        spark.read.format("clickhouse_native")
+        .load(evolved)
+        .filter(F.col("event_id") < 100)
+        .withColumn("event_id", F.col("event_id") + F.lit(1000000))
+    )
+    post.write.format("clickhouse_native").mode("append").save(evolved)
+
+    out = os.path.join(
+        tempfile.gettempdir(), "chsql_mutations", "matcol-out-" + tag
+    )
+    res = materialize_column(spark, evolved, out, column="bonus_cents")
+    if res["rewritten_parts"] != 16 or res["untouched_parts"] < 1:
+        raise AssertionError(
+            f"materialize triage regressed: {res} (want 16 rewritten, "
+            ">=1 untouched physical-column part)"
+        )
+    df = spark.read.format("clickhouse_native").load(out)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bonus_cents").alias("sum_bonus"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+REGISTRY.df_query(
+    "mutation_materialize_column",
+    _mutation_materialize_column,
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id + 1000000 AS event_id FROM events WHERE event_id < 100
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) * 777 AS BIGINT) AS sum_bonus,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM unioned
+    """,
+    tags=["mutation", "schema-evolution", "materialize"],
+    description="MATERIALIZE COLUMN after a metadata ALTER ADD: "
+    "pre-evolution parts rewrite the default in physically (16), the "
+    "post-evolution part hard-links (triage asserted); totals == "
+    "oracle over the unioned logical table",
+)
