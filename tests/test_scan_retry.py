@@ -192,3 +192,53 @@ def test_http_read_retries_killed_first_connection():
     rows = _drain(_reader(url))
     assert rows == list(range(500))
     assert state["kill"] == 0
+
+
+@pytest.fixture(scope="module")
+def flaky_cluster():
+    """Two flaky TCP shards with disjoint halves; shard 1 kills its
+    next N connections on demand."""
+    urls, states = [], []
+    for shard in range(2):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE t AS SELECT range AS x FROM range(1000) "
+            f"WHERE range % 2 = {shard}"
+        )
+        state = {"kill": 0}
+        Inner = build_tcp_handler(con)
+
+        class FlakyHandler(Inner):  # noqa: B023 — bound via default
+            def handle(self, _state=state):
+                if _state["kill"] > 0:
+                    _state["kill"] -= 1
+                    self.connection.close()
+                    return
+                super().handle()
+
+        host, port = serve_tcp(FlakyHandler)
+        urls.append(f"tcp://{host}:{port}")
+        states.append(state)
+    return {"urls": urls, "states": states}
+
+
+def test_cluster_read_retries_flaky_shard(flaky_cluster):
+    """A killed connection on ONE shard retries that shard's partition
+    only; the union still yields every row exactly once."""
+    tcp_client.clear_pool()
+    schema = StructType([StructField("x", LongType())])
+    reader = ClickHouseScanReader(
+        schema,
+        {
+            "query": "SELECT x FROM t ORDER BY x",
+            "cluster": ",".join(flaky_cluster["urls"]),
+            "retry_base_delay": "0.01",
+        },
+    )
+    flaky_cluster["states"][1]["kill"] = 1
+    out = []
+    for part in reader.partitions():
+        for rb in reader.read(part):
+            out.extend(rb.column(0).to_pylist())
+    assert sorted(out) == list(range(1000))
+    assert flaky_cluster["states"][1]["kill"] == 0  # the kill was consumed
