@@ -573,17 +573,19 @@ GRADING_WINDOW = [
     "scan_remote_tskv",  # NEVER GRADED (r12b: 10th wire format)
     "stream_scan_remote_cursor",  # NEVER GRADED (r12b: cursor stream)
     "sim_ann_partition_pruned",  # NEVER GRADED (r12b: IVF layout)
+    "query_cache_roundtrip",  # NEVER GRADED (r12b: use_query_cache)
+    "mutation_column_ttl",  # NEVER GRADED (r12b: column TTL)
+    "mutation_materialize_column",  # NEVER GRADED (r12b)
     "dedup_fingerprint",  # green r6
     "distinct_segments",  # green r6
     "events_sessionize",  # green r6
     "explode_token_freq",  # green r6
     "join_full_outer",  # green r6
-    "join_left_outer",  # green r6
-    "join_right_outer",  # green r6
-    "join_semi_anti",  # green r6
-    # (19 r6-cohort rows displaced to r13: multimodal_features,
-    # multimodal_frame_sample, native_roundtrip_documents, plus the 16
-    # below: multimodal_resize,
+    # (23 r6-cohort rows displaced to r13: join_left_outer,
+    # join_right_outer,
+    # join_semi_anti, multimodal_features,
+    # multimodal_frame_sample, native_roundtrip_documents,
+    # multimodal_resize,
     # native_zorder_skip_scan, q2_min_per_group, regex_functions,
     # sample_hash_based, scalar_conditional,
     # scalar_math_funcs, scalar_string_funcs, scan_project_filter,
