@@ -375,6 +375,9 @@ def main() -> None:
         "scan_remote_tskv",
         "stream_scan_remote_cursor",
         "sim_ann_partition_pruned",
+        "query_cache_roundtrip",
+        "mutation_column_ttl",
+        "mutation_materialize_column",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -241,6 +241,9 @@ AUDIT = [
     "scan_remote_tskv",
     "stream_scan_remote_cursor",
     "sim_ann_partition_pruned",
+    "query_cache_roundtrip",
+    "mutation_column_ttl",
+    "mutation_materialize_column",
 ]
 
 
