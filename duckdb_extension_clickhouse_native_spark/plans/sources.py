@@ -3050,3 +3050,92 @@ REGISTRY.df_query(
     "post-evolution part hard-links (triage asserted); totals == "
     "oracle over the unioned logical table",
 )
+
+
+_COSHARD_CACHE: dict = {}
+
+
+def _cosharded_cluster(sf_dir: str) -> list:
+    """Two mock shards where events AND orders are sharded by the SAME
+    key family (user_id / o_custkey mod 2) — the ClickHouse co-located
+    Distributed layout where a join ON the sharding key is exact when
+    executed SHARD-LOCALLY (distributed_product_mode=local)."""
+    import duckdb
+
+    from ..sources.mock_server import build_handler, serve
+
+    with _LOCK:
+        if sf_dir in _COSHARD_CACHE:
+            return _COSHARD_CACHE[sf_dir]
+        urls = []
+        for shard in range(2):
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet' WHERE user_id % 2 = {shard}"
+            )
+            con.execute(
+                f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{sf_dir}/orders.parquet' WHERE o_custkey % 2 = {shard}"
+            )
+            urls.append(serve(build_handler(con)))
+        _COSHARD_CACHE[sf_dir] = urls
+        return urls
+
+
+def _scan_cluster_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located Distributed join: events and orders share the
+    sharding key (user_id == o_custkey family), so the JOIN runs
+    ENTIRELY on each shard — the initiator unions per-shard join
+    results and only the final small aggregation shuffles.  At 100 TB
+    this is the difference between a co-located no-network join and
+    shuffling both fact tables; correctness holds exactly because the
+    join key determines the shard on both sides."""
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+
+    ensure_session(spark)
+    urls = _cosharded_cluster(sf_dir)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT e.user_id AS user_id, e.event_type AS event_type, "
+            "CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS order_cents "
+            "FROM events e JOIN orders o ON e.user_id = o.o_custkey "
+            "WHERE e.event_type IN ('purchase', 'click')",
+        )
+        .option("cluster", ",".join(urls))
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("order_cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "scan_cluster_colocated_join",
+    _scan_cluster_colocated_join,
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    WHERE e.event_type IN ('purchase', 'click')
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=["source", "scan", "cluster", "colocated", "join", "scale"],
+    description="co-located Distributed join: both tables sharded by "
+    "the join key, the JOIN executes shard-local and the union is "
+    "exact — zero fact-table shuffle, initiator aggregates",
+)
