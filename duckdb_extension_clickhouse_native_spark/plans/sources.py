@@ -3139,3 +3139,57 @@ REGISTRY.df_query(
     "the join key, the JOIN executes shard-local and the union is "
     "exact — zero fact-table shuffle, initiator aggregates",
 )
+
+
+def _optimize_dedupe_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE TABLE ... DEDUPLICATE BY user_id, event_type: one
+    surviving row per key during compaction.  ClickHouse keeps an
+    arbitrary (merge-order) row; the documented deterministic variant
+    keeps the row sorting FIRST over the remaining columns — here
+    event_id leads that order and is unique, so the survivor is the
+    min-event_id row per key, which the oracle reproduces exactly."""
+    import hashlib
+    import tempfile
+
+    from ..sources.native_datasource import compact_native_dir
+
+    src = native_fixture_dir(spark, sf_dir, "events")
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        "chsql_mutations",
+        "dedupby-" + hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    compact_native_dir(
+        spark, src, dst, target_files=4,
+        dedupe_by=["user_id", "event_type"],
+    )
+    df = spark.read.format("clickhouse_native").load(dst)
+    return df.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).orderBy("user_id", "event_type")
+
+
+REGISTRY.df_query(
+    "optimize_dedupe_by",
+    _optimize_dedupe_by,
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY event_id, ts, value, props) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, cents
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=["mutation", "optimize", "dedup"],
+    description="OPTIMIZE ... DEDUPLICATE BY key: one survivor per key "
+    "folded into compaction (deterministic first-by-remaining-columns "
+    "variant of ClickHouse's arbitrary-survivor semantics)",
+)

@@ -1859,6 +1859,7 @@ def compact_native_dir(
     sort_by: Optional[list] = None,
     compression: Optional[str] = None,
     deduplicate: bool = False,
+    dedupe_by: Optional[list] = None,
 ) -> int:
     """Compact a directory of (many, small) Native files into
     ``target_files`` globally-clustered ones — the OPTIMIZE TABLE /
@@ -1867,6 +1868,12 @@ def compact_native_dir(
     ``deduplicate=True`` is OPTIMIZE ... FINAL DEDUPLICATE: full-row
     equality dedup (ClickHouse's default DEDUPLICATE column set) as
     one distributed dropDuplicates folded into the same shuffle.
+    ``dedupe_by=[cols]`` is OPTIMIZE ... DEDUPLICATE BY col1, col2:
+    one surviving row per key — deterministically the row that sorts
+    FIRST over the remaining columns (ClickHouse keeps an arbitrary
+    row per key; a merge-order-dependent survivor cannot be
+    oracle-checked, so the deterministic minimum is the documented
+    variant), via one max_by-free sort-based aggregation.
 
     Global clustering: ``repartitionByRange`` on the sort keys puts
     disjoint key ranges in each output task, then the writer's
@@ -1879,8 +1886,25 @@ def compact_native_dir(
 
     schema = infer_native_schema({"path": src})
     df = spark.read.format("clickhouse_native").schema(schema).load(src)
+    if deduplicate and dedupe_by:
+        raise ValueError("pass either deduplicate=True or dedupe_by, not both")
     if deduplicate:
         df = df.dropDuplicates()
+    if dedupe_by:
+        from pyspark.sql import Window
+
+        others = [c for c in df.columns if c not in dedupe_by]
+        if not others:
+            df = df.dropDuplicates()  # BY covers every column
+        else:
+            w_rank = Window.partitionBy(*dedupe_by).orderBy(
+                *[F.col(c).asc_nulls_first() for c in others]
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w_rank))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
     n = df.count()
     if sort_by:
         df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by])
