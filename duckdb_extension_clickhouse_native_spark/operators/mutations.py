@@ -1135,8 +1135,10 @@ def materialize_column(
     column has real sidecar stats in every part, so it prunes like any
     native column — the reason ClickHouse users run it.
 
-    Hive ``key=value`` layouts refuse loudly for now (the flat stage
-    would lose partition values); run per partition directory."""
+    Hive ``key=value`` layouts materialize PER PARTITION DIRECTORY
+    (partition columns are path-derived, never in the payload, so each
+    directory is an independent flat materialize whose output mirrors
+    the same ``key=value`` tree)."""
     import hashlib
     import tempfile
 
@@ -1155,17 +1157,62 @@ def materialize_column(
     parts = [p for p in resolve_paths(src_dir) if not p.endswith(".json")]
     part_keys, _vals, _types = _partition_spec(src_dir, parts)
     if part_keys:
-        raise NotImplementedError(
-            "MATERIALIZE COLUMN over hive layouts: run it per "
-            "partition directory (the flat stage would drop the "
-            "path-derived partition values)"
-        )
+        # per partition directory: mirror the key=value tree, run the
+        # flat materialize inside each (payload never carries the
+        # partition columns, so nothing is lost)
+        by_dir: dict = {}
+        for p in parts:
+            rel = os.path.relpath(os.path.dirname(p), src_dir)
+            by_dir.setdefault(rel, []).append(p)
+        total = {"untouched_parts": 0, "rewritten_parts": 0}
+        os.makedirs(out_dir, exist_ok=True)
+        copy_table_schema(src_dir, out_dir)
+        for rel in sorted(by_dir):
+            sub_out = os.path.join(out_dir, rel)
+            res = _materialize_flat(
+                spark,
+                src_dir,
+                by_dir[rel],
+                sub_out,
+                column,
+                compression,
+            )
+            total["untouched_parts"] += res["untouched_parts"]
+            total["rewritten_parts"] += res["rewritten_parts"]
+        return {**total, "out_dir": out_dir}
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(out_dir):  # idempotent rebuild
         p = os.path.join(out_dir, f)
         if os.path.isfile(p):
             os.remove(p)
     copy_table_schema(src_dir, out_dir)
+    res = _materialize_flat(
+        spark, src_dir, parts, out_dir, column, compression
+    )
+    return {**res, "out_dir": out_dir}
+
+
+def _materialize_flat(
+    spark: SparkSession,
+    schema_dir: str,
+    parts: list,
+    out_dir: str,
+    column: str,
+    compression: Optional[str],
+) -> dict:
+    """Single-directory MATERIALIZE COLUMN core over an explicit part
+    list; ``schema_dir`` holds the evolved _table_schema.json."""
+    import hashlib
+    import tempfile
+
+    from ..native.codec import read_file_schema
+    from ..native.tableschema import copy_table_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):  # idempotent rebuild
+        p = os.path.join(out_dir, f)
+        if os.path.isfile(p):
+            os.remove(p)
 
     untouched, touched = [], []
     for p in parts:
@@ -1187,7 +1234,7 @@ def materialize_column(
         )
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
-        copy_table_schema(src_dir, stage)
+        copy_table_schema(schema_dir, stage)
         for p in touched:
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
             for csrc, cdst in _companions(p):
@@ -1201,5 +1248,4 @@ def materialize_column(
     return {
         "untouched_parts": len(untouched),
         "rewritten_parts": len(touched),
-        "out_dir": out_dir,
     }
