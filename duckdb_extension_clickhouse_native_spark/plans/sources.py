@@ -3193,3 +3193,77 @@ REGISTRY.df_query(
     "folded into compaction (deterministic first-by-remaining-columns "
     "variant of ClickHouse's arbitrary-survivor semantics)",
 )
+
+
+def _backup_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKUP TABLE -> mutate the source -> RESTORE: the restored
+    directory reproduces the SNAPSHOT-TIME table exactly (the
+    post-backup lightweight delete is invisible), verified file-by-
+    file against the manifest's md5 before any file is placed."""
+    import hashlib
+    import shutil as _sh
+    import tempfile
+
+    from ..operators.backup import backup_table, restore_table
+    from ..operators.mutations import lightweight_delete
+
+    base = native_fixture_dir(spark, sf_dir, "events")
+    tag = hashlib.md5(base.encode()).hexdigest()[:12]
+    work = os.path.join(
+        tempfile.gettempdir(), "chsql_mutations", "bkup-src-" + tag
+    )
+    _sh.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    for f in os.listdir(base):
+        src_f = os.path.join(base, f)
+        if os.path.isfile(src_f) and (
+            f.endswith(".clickhouse") or f.endswith(".stats.json")
+        ):
+            os.link(src_f, os.path.join(work, f))
+
+    bdir = os.path.join(
+        tempfile.gettempdir(), "chsql_mutations", "bkup-b1-" + tag
+    )
+    _sh.rmtree(bdir, ignore_errors=True)
+    backup_table(work, bdir, checksum=True)
+    # post-backup mutation: delete every purchase row in the SOURCE
+    lightweight_delete(spark, work, [("event_type", "=", "purchase")])
+    restored = os.path.join(
+        tempfile.gettempdir(), "chsql_mutations", "bkup-out-" + tag
+    )
+    _sh.rmtree(restored, ignore_errors=True)
+    restore_table(bdir, restored)
+
+    live = spark.read.format("clickhouse_native").load(work)
+    if live.filter(F.col("event_type") == "purchase").count() != 0:
+        raise AssertionError("post-backup delete did not apply to source")
+    df = spark.read.format("clickhouse_native").load(restored)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "backup_restore_roundtrip",
+    _backup_restore_roundtrip,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["backup", "storage", "lifecycle"],
+    description="BACKUP/RESTORE: snapshot, post-backup lightweight "
+    "delete on the source (asserted applied), md5-verified restore == "
+    "the snapshot-time table exactly",
+)
