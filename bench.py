@@ -378,6 +378,9 @@ def main() -> None:
         "query_cache_roundtrip",
         "mutation_column_ttl",
         "mutation_materialize_column",
+        "scan_cluster_colocated_join",
+        "optimize_dedupe_by",
+        "backup_restore_roundtrip",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -576,12 +576,13 @@ GRADING_WINDOW = [
     "query_cache_roundtrip",  # NEVER GRADED (r12b: use_query_cache)
     "mutation_column_ttl",  # NEVER GRADED (r12b: column TTL)
     "mutation_materialize_column",  # NEVER GRADED (r12b)
+    "scan_cluster_colocated_join",  # NEVER GRADED (r12b)
+    "optimize_dedupe_by",  # NEVER GRADED (r12b)
+    "backup_restore_roundtrip",  # NEVER GRADED (r12b)
     "dedup_fingerprint",  # green r6
     "distinct_segments",  # green r6
-    "events_sessionize",  # green r6
-    "explode_token_freq",  # green r6
-    "join_full_outer",  # green r6
-    # (23 r6-cohort rows displaced to r13: join_left_outer,
+    # (26 r6-cohort rows displaced to r13: events_sessionize,
+    # explode_token_freq, join_full_outer, join_left_outer,
     # join_right_outer,
     # join_semi_anti, multimodal_features,
     # multimodal_frame_sample, native_roundtrip_documents,

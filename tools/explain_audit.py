@@ -244,6 +244,9 @@ AUDIT = [
     "query_cache_roundtrip",
     "mutation_column_ttl",
     "mutation_materialize_column",
+    "scan_cluster_colocated_join",
+    "optimize_dedupe_by",
+    "backup_restore_roundtrip",
 ]
 
 
