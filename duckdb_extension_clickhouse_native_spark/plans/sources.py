@@ -3267,3 +3267,62 @@ REGISTRY.df_query(
     "delete on the source (asserted applied), md5-verified restore == "
     "the snapshot-time table exactly",
 )
+
+
+def _catalog_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE TABLES live AND staging — the zero-downtime swap an
+    ingest pipeline does after rebuilding a table: after the atomic
+    three-rename swap, the 'live' path serves the staging build (here:
+    the click/view slice), and reading it proves the swap."""
+    import hashlib
+    import shutil as _sh
+    import tempfile
+
+    from ..operators.catalog import exchange_tables
+    from .base import load_tables
+
+    tabs = load_tables(spark, sf_dir, ["events"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "chsql_catalog", tag)
+    _sh.rmtree(root, ignore_errors=True)
+    live, staging = os.path.join(root, "live"), os.path.join(root, "staging")
+    (
+        tabs["events"].filter(F.col("event_type") == "error")
+        .write.format("clickhouse_native").mode("overwrite").save(live)
+    )
+    (
+        tabs["events"].filter(F.col("event_type").isin("click", "view"))
+        .write.format("clickhouse_native").mode("overwrite").save(staging)
+    )
+    exchange_tables(live, staging)
+    df = spark.read.format("clickhouse_native").load(live)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "catalog_exchange_tables",
+    _catalog_exchange_tables,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["catalog", "atomic", "lifecycle"],
+    description="EXCHANGE TABLES: atomic three-rename swap of live and "
+    "staging table dirs; the live path serves the staging build "
+    "(zero data movement at any size)",
+)

@@ -1,0 +1,77 @@
+"""Atomic catalog ops (operators/catalog.py): EXCHANGE TABLES swap,
+delayed DROP + UNDROP generations, purge cutoff."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from duckdb_extension_clickhouse_native_spark.operators.catalog import (
+    drop_table,
+    exchange_tables,
+    purge_dropped,
+    undrop_table,
+)
+
+
+def _write(spark, path, n):
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(n)
+        .coalesce(1)
+        .write.format("clickhouse_native")
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def _count(spark, path):
+    return spark.read.format("clickhouse_native").load(path).count()
+
+
+def test_exchange_swaps_atomically(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(spark, a, 100)
+    _write(spark, b, 250)
+    exchange_tables(a, b)
+    assert _count(spark, a) == 250 and _count(spark, b) == 100
+    with pytest.raises(ValueError, match="itself"):
+        exchange_tables(a, a)
+    with pytest.raises(ValueError, match="existing"):
+        exchange_tables(a, str(tmp_path / "nope"))
+
+
+def test_drop_undrop_generations(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _write(spark, t, 100)
+    drop_table(t, now_fn=lambda: 1.0)
+    assert not os.path.exists(t)
+    _write(spark, t, 250)  # a new table under the same name
+    drop_table(t, now_fn=lambda: 2.0)
+    undrop_table(t)  # restores the MOST RECENT generation
+    assert _count(spark, t) == 250
+    with pytest.raises(ValueError, match="refuses to overwrite"):
+        undrop_table(t)
+    drop_table(t, now_fn=lambda: 3.0)
+    undrop_table(t)
+    assert _count(spark, t) == 250
+    # the 1.0 generation is still in the trash
+    undroppable = os.listdir(str(tmp_path / ".trash"))
+    assert len(undroppable) == 1
+
+
+def test_purge_cutoff(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _write(spark, t, 50)
+    drop_table(t, now_fn=lambda: 100.0)
+    _write(spark, t, 50)
+    drop_table(t, now_fn=lambda: 10000.0)
+    # purge at t=12000 with 8h window: nothing old enough
+    assert purge_dropped(str(tmp_path), now_fn=lambda: 12000.0) == 0
+    # shrink the window: only the 100.0 generation is older than 5000 s
+    assert (
+        purge_dropped(str(tmp_path), older_than=5000, now_fn=lambda: 10001.0)
+        == 1
+    )
+    assert undrop_table(t) and _count(spark, t) == 50
