@@ -381,6 +381,7 @@ def main() -> None:
         "scan_cluster_colocated_join",
         "optimize_dedupe_by",
         "backup_restore_roundtrip",
+        "catalog_exchange_tables",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

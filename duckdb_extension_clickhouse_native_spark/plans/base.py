@@ -579,9 +579,10 @@ GRADING_WINDOW = [
     "scan_cluster_colocated_join",  # NEVER GRADED (r12b)
     "optimize_dedupe_by",  # NEVER GRADED (r12b)
     "backup_restore_roundtrip",  # NEVER GRADED (r12b)
+    "catalog_exchange_tables",  # NEVER GRADED (r12b)
     "dedup_fingerprint",  # green r6
-    "distinct_segments",  # green r6
-    # (26 r6-cohort rows displaced to r13: events_sessionize,
+    # (27 r6-cohort rows displaced to r13: distinct_segments,
+    # events_sessionize,
     # explode_token_freq, join_full_outer, join_left_outer,
     # join_right_outer,
     # join_semi_anti, multimodal_features,

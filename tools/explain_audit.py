@@ -247,6 +247,7 @@ AUDIT = [
     "scan_cluster_colocated_join",
     "optimize_dedupe_by",
     "backup_restore_roundtrip",
+    "catalog_exchange_tables",
 ]
 
 
