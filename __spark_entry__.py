@@ -22,6 +22,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     advanced,
     compat_r12,
     compat_r12b,
+    compat_r12c,
     pipeline,
     relational,
     sources,

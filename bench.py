@@ -382,6 +382,16 @@ def main() -> None:
         "optimize_dedupe_by",
         "backup_restore_roundtrip",
         "catalog_exchange_tables",
+        # third compat tranche (r12c): pad/split, agg grab-bag, array
+        # fold/membership, meanZTest, quantileTiming, categorical IV,
+        # numbers()+LCG
+        "scalar_string_pad_split",
+        "agg_group_uniq_array",
+        "array_fold_has_ops",
+        "stats_mean_ztest",
+        "quantile_timing_grid",
+        "agg_categorical_iv",
+        "tf_numbers_lcg",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

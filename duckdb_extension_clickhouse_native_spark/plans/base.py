@@ -580,8 +580,12 @@ GRADING_WINDOW = [
     "optimize_dedupe_by",  # NEVER GRADED (r12b)
     "backup_restore_roundtrip",  # NEVER GRADED (r12b)
     "catalog_exchange_tables",  # NEVER GRADED (r12b)
-    "dedup_fingerprint",  # green r6
-    # (27 r6-cohort rows displaced to r13: distinct_segments,
+    "array_fold_has_ops",  # NEVER GRADED (r12c: fold order + hasAll/Any/Substr)
+    # never driver-graded, displaced to lead r13 (window full):
+    # scalar_string_pad_split, agg_group_uniq_array, stats_mean_ztest,
+    # quantile_timing_grid, agg_categorical_iv, tf_numbers_lcg (r12c)
+    # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
+    # distinct_segments,
     # events_sessionize,
     # explode_token_freq, join_full_outer, join_left_outer,
     # join_right_outer,

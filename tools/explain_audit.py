@@ -248,6 +248,13 @@ AUDIT = [
     "optimize_dedupe_by",
     "backup_restore_roundtrip",
     "catalog_exchange_tables",
+    "scalar_string_pad_split",
+    "agg_group_uniq_array",
+    "array_fold_has_ops",
+    "stats_mean_ztest",
+    "quantile_timing_grid",
+    "agg_categorical_iv",
+    "tf_numbers_lcg",
 ]
 
 
