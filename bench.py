@@ -392,6 +392,9 @@ def main() -> None:
         "quantile_timing_grid",
         "agg_categorical_iv",
         "tf_numbers_lcg",
+        # 11th + 12th wire formats (r12c)
+        "scan_remote_orc",
+        "scan_remote_npy",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -129,3 +129,39 @@ def write_parquet(buf: BinaryIO, batches, ch_types=None) -> int:
     table = pa.Table.from_batches(batches)
     pq.write_table(table, buf)
     return table.num_rows
+
+
+ORC_FORMAT = "ORC"
+
+
+def iter_orc_blocks(
+    buf: BinaryIO, *, lossy_uint64: bool = False, block_rows: int = 65_536
+) -> Iterator[RawBatch]:
+    """FORMAT ORC — the eleventh wire format (ClickHouse speaks ORC
+    over HTTP natively, public format docs). File-shaped like Parquet:
+    the body is buffered before decode; prefer ArrowStream for very
+    large fetches. ORC has no unsigned types, so uint64 interop is out
+    of contract on this path (the server sends Int64)."""
+    import io
+
+    import pyarrow.orc as po
+
+    data = buf.read()
+    table = po.ORCFile(io.BytesIO(data)).read()
+    for batch in table.to_batches(max_chunksize=block_rows):
+        if batch.num_rows == 0:
+            continue
+        if lossy_uint64:
+            batch = _apply_lossy(batch)
+        yield RawBatch(batch)
+
+
+def write_orc(buf: BinaryIO, batches, ch_types=None) -> int:
+    import pyarrow.orc as po
+
+    batches = list(batches)
+    if not batches:
+        return 0
+    table = pa.Table.from_batches(batches)
+    po.write_table(table, buf)
+    return table.num_rows

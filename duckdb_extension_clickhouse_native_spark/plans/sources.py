@@ -729,6 +729,66 @@ REGISTRY.df_query(
 )
 
 REGISTRY.df_query(
+    "scan_remote_orc",
+    _scan_remote_textformat("orc"),
+    oracle=_SCAN_AGG_SQL,
+    tags=["source", "scan", "orc", "interop"],
+    description="clickhouse_scan over FORMAT ORC (eleventh wire "
+    "format; file-shaped like Parquet — body buffered before decode, "
+    "pyarrow.orc both halves)",
+)
+
+
+def _scan_remote_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FORMAT Npy carries exactly ONE nameless column (ClickHouse
+    # format docs): the remote query ships a single BIGINT vector, the
+    # name rides in from the planning probe, and Spark aggregates
+    # locally (a multi-column remote SELECT under Npy is a server
+    # error — pinned in tests/test_orc_npy_formats.py)
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_url(sf_dir)
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT CAST(l_partkey AS BIGINT) AS pk FROM lineitem "
+            "WHERE l_partkey % 7 = 0",
+        )
+        .option("url", url)
+        .option("wire_format", "npy")
+        .load()
+    )
+    return df.agg(
+        F.count("pk").alias("n"),
+        F.sum("pk").alias("sum_pk"),
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+    )
+
+
+REGISTRY.df_query(
+    "scan_remote_npy",
+    _scan_remote_npy,
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+           MIN(l_partkey) AS min_pk,
+           MAX(l_partkey) AS max_pk
+    FROM lineitem WHERE l_partkey % 7 = 0
+    """,
+    tags=["source", "scan", "npy", "interop"],
+    description="clickhouse_scan over FORMAT Npy (twelfth wire format; "
+    "one numpy vector = one column, type self-describing, name from "
+    "the planning probe)",
+)
+
+
+REGISTRY.df_query(
     "scan_remote_arrowstream",
     _scan_remote_textformat("arrowstream"),
     oracle=_SCAN_AGG_SQL,

@@ -258,6 +258,52 @@ class ClickHouseHTTPClient:
         stream = self._request(self._with_format(query, PARQUET_FORMAT))
         return iter_parquet_blocks(stream, lossy_uint64=lossy_uint64)
 
+    def execute_orc_blocks(self, query: str, *, lossy_uint64: bool = False):
+        """Run a SELECT with ``FORMAT ORC`` — the eleventh wire format
+        (file-shaped like Parquet: body buffered before decode)."""
+        from ..native.arrowwire import ORC_FORMAT, iter_orc_blocks
+
+        stream = self._request(self._with_format(query, ORC_FORMAT))
+        return iter_orc_blocks(stream, lossy_uint64=lossy_uint64)
+
+    def execute_npy_blocks(
+        self, query: str, names_types, *, lossy_uint64: bool = False
+    ):
+        """Run a SELECT with ``FORMAT Npy`` — the twelfth wire format
+        (one numpy array = one column; type self-describing, the NAME
+        rides in from the planning probe)."""
+        from ..native.npyformat import NPY_FORMAT, iter_npy_blocks
+
+        stream = self._request(self._with_format(query, NPY_FORMAT))
+        return iter_npy_blocks(stream, names_types, lossy_uint64=lossy_uint64)
+
+    def insert_orc_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via an ORC file body (eleventh wire format)."""
+        import io as _io
+
+        from ..native.arrowwire import ORC_FORMAT, write_orc
+
+        buf = _io.BytesIO()
+        rows = write_orc(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {ORC_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
+    def insert_npy_batches(self, table: str, batches, ch_types=None) -> int:
+        """INSERT via a .npy body (twelfth wire format; exactly one
+        column, no nulls)."""
+        import io as _io
+
+        from ..native.npyformat import NPY_FORMAT, write_npy
+
+        buf = _io.BytesIO()
+        rows = write_npy(buf, batches, ch_types)
+        self._request(
+            f"INSERT INTO {table} FORMAT {NPY_FORMAT}", body=buf.getvalue()
+        ).read()
+        return rows
+
     def insert_arrowstream_batches(self, table: str, batches, ch_types=None) -> int:
         """INSERT via an Arrow IPC stream body (sixth wire format)."""
         import io as _io

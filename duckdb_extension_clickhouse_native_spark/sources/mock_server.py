@@ -212,6 +212,27 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         from ..native.arrowwire import iter_parquet_blocks as _ipb
 
                         block_iter = _ipb(io.BytesIO(body))
+                    elif "FORMAT ORC" in q.upper():
+                        from ..native.arrowwire import iter_orc_blocks as _iob
+
+                        block_iter = _iob(io.BytesIO(body))
+                    elif "FORMAT NPY" in q.upper():
+                        # one nameless column: the name comes from the
+                        # target table, as a real server resolves it
+                        from ..native.npyformat import iter_npy_blocks as _inb
+                        from ..native.types import from_arrow as _fa
+
+                        with qlock:
+                            tschema = con.execute(
+                                f"SELECT * FROM {table} LIMIT 0"
+                            ).fetch_arrow_table().schema
+                        if len(tschema) != 1:
+                            raise ValueError(
+                                "FORMAT Npy INSERT requires a "
+                                "single-column target table"
+                            )
+                        nt = [(f.name, _fa(f.type)) for f in tschema]
+                        block_iter = _inb(io.BytesIO(body), nt)
                     else:
                         block_iter = iter_blocks(io.BytesIO(body))
                     import pyarrow as _pa
@@ -268,6 +289,12 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                 elif q.endswith("FORMAT TSKV"):
                     q = q[: -len("FORMAT TSKV")]
                     fmt = "tskv"
+                elif q.endswith("FORMAT ORC"):
+                    q = q[: -len("FORMAT ORC")]
+                    fmt = "orc"
+                elif q.endswith("FORMAT Npy"):
+                    q = q[: -len("FORMAT Npy")]
+                    fmt = "npy"
                 elif q.endswith("FORMAT Native"):
                     q = q[: -len("FORMAT Native")]
                 with qlock:
@@ -321,6 +348,16 @@ def build_handler(con, insert_hook=None, execute_inserts=True, query_hook=None):
                         from ..native.textformats import write_tskv
 
                         write_tskv(out, batches)
+                    elif fmt == "orc":
+                        from ..native.arrowwire import write_orc
+
+                        write_orc(out, batches)
+                    elif fmt == "npy":
+                        # real-server contract: a multi-column SELECT
+                        # under FORMAT Npy is an error, surfaced as 500
+                        from ..native.npyformat import write_npy
+
+                        write_npy(out, batches)
                     else:
                         from ..native.jsoneachrow import write_jsoncompact
 

@@ -198,13 +198,14 @@ class ClickHouseScanReader(DataSourceReader):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet", "values", "tskv",
+            "csv", "arrowstream", "parquet", "values", "tskv", "orc",
+            "npy",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream', 'parquet', 'values' or 'tskv', "
-                f"got {self.wire_format!r}"
+                f"'arrowstream', 'parquet', 'values', 'tskv', 'orc' "
+                f"or 'npy', got {self.wire_format!r}"
             )
         if (
             self.wire_format != "native"
@@ -349,6 +350,25 @@ class ClickHouseScanReader(DataSourceReader):
                     blocks = client.execute_parquet_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
                     )
+                elif self.wire_format == "orc":
+                    blocks = client.execute_orc_blocks(
+                        partition.query, lossy_uint64=self.lossy_uint64
+                    )
+                elif self.wire_format == "npy":
+                    # Npy is type-self-describing but NAME-less: the
+                    # single column's name rides in from the probe
+                    from pyspark.sql.pandas.types import to_arrow_type as _tat
+
+                    from ..native.types import from_arrow as _fa
+
+                    blocks = client.execute_npy_blocks(
+                        partition.query,
+                        [
+                            (f.name, _fa(_tat(f.dataType)))
+                            for f in self.spark_schema.fields
+                        ],
+                        lossy_uint64=self.lossy_uint64,
+                    )
                 else:
                     blocks = client.execute_blocks(
                         partition.query, lossy_uint64=self.lossy_uint64
@@ -428,13 +448,14 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
         self.wire_format = str(options.get("wire_format", "native")).lower()
         if self.wire_format not in (
             "native", "rowbinary", "jsoneachrow", "jsonobjects", "tsv",
-            "csv", "arrowstream", "parquet", "values", "tskv",
+            "csv", "arrowstream", "parquet", "values", "tskv", "orc",
+            "npy",
         ):
             raise ValueError(
                 f"wire_format must be 'native', 'rowbinary', "
                 f"'jsoneachrow', 'jsonobjects', 'tsv', 'csv', "
-                f"'arrowstream', 'parquet', 'values' or 'tskv', "
-                f"got {self.wire_format!r}"
+                f"'arrowstream', 'parquet', 'values', 'tskv', 'orc' "
+                f"or 'npy', got {self.wire_format!r}"
             )
         if self.wire_format != "native" and (
             resolve_connection(options).transport != "http"
@@ -463,6 +484,10 @@ class ClickHouseScanWriter(DataSourceArrowWriter):
             return client.insert_arrowstream_batches
         if self.wire_format == "parquet":
             return client.insert_parquet_batches
+        if self.wire_format == "orc":
+            return client.insert_orc_batches
+        if self.wire_format == "npy":
+            return client.insert_npy_batches
         return client.insert_batches
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> ScanWriteCommit:

@@ -255,6 +255,8 @@ AUDIT = [
     "quantile_timing_grid",
     "agg_categorical_iv",
     "tf_numbers_lcg",
+    "scan_remote_orc",
+    "scan_remote_npy",
 ]
 
 
