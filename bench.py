@@ -395,6 +395,8 @@ def main() -> None:
         # 11th + 12th wire formats (r12c)
         "scan_remote_orc",
         "scan_remote_npy",
+        # SAMPLE clause over a sample_by table (r12c)
+        "native_sample_clause",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

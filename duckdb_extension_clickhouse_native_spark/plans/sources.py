@@ -3386,3 +3386,93 @@ REGISTRY.df_query(
     "staging table dirs; the live path serves the staging build "
     "(zero data movement at any size)",
 )
+
+
+# --- SAMPLE clause (ClickHouse `SAMPLE k OFFSET m`) ---------------------------
+
+
+def _sample_by_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders written with ``sample_by='o_orderkey'``: 4 files, each
+    hash-sorted with per-block sidecar stats, so the SAMPLE range
+    prunes block ranges (1/8 of the blocks decoded for SAMPLE 0.125)."""
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        n = t.num_rows
+        per = max(1, (n + 3) // 4)
+        for i in range(4):
+            piece = t.slice(i * per, per)
+            if piece.num_rows == 0:
+                break
+            write_native_file(
+                os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+                piece,
+                block_rows=max(256, per // 16),
+                sample_by="o_orderkey",
+            )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-sampleby-4", write)
+
+
+def _native_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse SAMPLE clause (docs: statements/select/sample): the
+    table is written with a sampling key (sample_by= materializes a
+    sorted ``_sample_hash``); ``SAMPLE 0.125 OFFSET 0.25`` lowers to a
+    hash-range predicate that prunes BLOCK RANGES via the ordinary
+    min/max sidecar (measured: 8 planned block-partitions -> 1), then
+    re-filters rows exactly executor-side.  Deterministic, uniform
+    (two-round Lehmer bijection) and nested (SAMPLE 0.25 at the same
+    offset is a superset) — the oracle recomputes the identical hash
+    in SQL over the raw table."""
+    from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = _sample_by_orders_fixture(spark, sf_dir)
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .option("split_blocks", "true")
+        .option("target_partition_bytes", str(64 * 1024))
+        .option("sample", "0.125")
+        .option("sample_offset", "0.25")
+        .load(path)
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _sample_oracle_sql() -> str:
+    from ..native.writer import SAMPLE_HASH_M, sample_hash_sql
+
+    lo = int(0.25 * SAMPLE_HASH_M)
+    hi = int((0.25 + 0.125) * SAMPLE_HASH_M)
+    return f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE {sample_hash_sql('o_orderkey')} >= {lo}
+      AND {sample_hash_sql('o_orderkey')} < {hi}
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
+
+REGISTRY.df_query(
+    "native_sample_clause",
+    _native_sample_clause,
+    oracle=_sample_oracle_sql(),
+    tags=["source", "native", "sample", "skipping"],
+    description="SAMPLE 0.125 OFFSET 0.25 over a sample_by table: "
+    "hash-range lowering prunes block ranges via the min/max sidecar; "
+    "oracle recomputes the two-round Lehmer hash in SQL",
+)

@@ -503,6 +503,39 @@ class ClickHouseNativeReader(DataSourceReader):
                     "known": {c["name"] for c in _meta["columns"]},
                 }
         self.pushed: List[Filter] = []
+        # SAMPLE clause (ClickHouse `SAMPLE k [OFFSET m]`): the table
+        # must have been written with ``sample_by`` (a sorted
+        # ``_sample_hash`` column); the clause lowers to ordinary
+        # range filters on that column, so file-level pruning,
+        # block-range pruning AND executor-side Arrow evaluation all
+        # reuse the pushed-filter machinery verbatim. Nested-sample
+        # guarantee: SAMPLE 0.2 is a superset of SAMPLE 0.1 at the
+        # same offset (the hash is fixed per row).
+        frac_opt = options.get("sample")
+        if frac_opt is not None:
+            from ..native.writer import SAMPLE_HASH_COLUMN, SAMPLE_HASH_M
+
+            if SAMPLE_HASH_COLUMN not in self.spark_schema.fieldNames():
+                raise ValueError(
+                    "sample requires a table written with sample_by= "
+                    f"(no {SAMPLE_HASH_COLUMN} column found)"
+                )
+            frac = float(frac_opt)
+            off = float(options.get("sample_offset", "0"))
+            if not (0.0 < frac <= 1.0) or off < 0.0 or off + frac > 1.0:
+                raise ValueError(
+                    f"sample fraction must be in (0, 1] and "
+                    f"offset+fraction <= 1, got sample={frac} "
+                    f"offset={off}"
+                )
+            lo = int(off * SAMPLE_HASH_M)
+            hi = int((off + frac) * SAMPLE_HASH_M)
+            if lo > 0:
+                self.pushed.append(
+                    GreaterThanOrEqual((SAMPLE_HASH_COLUMN,), lo)
+                )
+            if hi < SAMPLE_HASH_M:
+                self.pushed.append(LessThan((SAMPLE_HASH_COLUMN,), hi))
         # hive-style key=value layout: keys/types fixed at plan time
         # (driver-side, survives pickling to executors); per-file
         # values travel on each NativeFilePartition

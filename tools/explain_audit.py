@@ -257,6 +257,7 @@ AUDIT = [
     "tf_numbers_lcg",
     "scan_remote_orc",
     "scan_remote_npy",
+    "native_sample_clause",
 ]
 
 
