@@ -23,6 +23,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     compat_r12,
     compat_r12b,
     compat_r12c,
+    compat_r12d,
     pipeline,
     relational,
     sources,

@@ -397,6 +397,13 @@ def main() -> None:
         "scan_remote_npy",
         # SAMPLE clause over a sample_by table (r12c)
         "native_sample_clause",
+        # fourth compat tranche (r12d): composite-key dict, positional
+        # array agg, filtered map sums, determinator quantile, GLOBAL IN
+        "dict_complex_key_lookup",
+        "agg_group_array_insert_at",
+        "agg_summap_filtered",
+        "quantile_deterministic",
+        "scan_cluster_global_in",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

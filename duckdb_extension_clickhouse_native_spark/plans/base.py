@@ -584,7 +584,10 @@ GRADING_WINDOW = [
     # never driver-graded, displaced to lead r13 (window full):
     # scalar_string_pad_split, agg_group_uniq_array, stats_mean_ztest,
     # quantile_timing_grid, agg_categorical_iv, tf_numbers_lcg,
-    # scan_remote_orc, scan_remote_npy, native_sample_clause (r12c)
+    # scan_remote_orc, scan_remote_npy, native_sample_clause (r12c);
+    # dict_complex_key_lookup, agg_group_array_insert_at,
+    # agg_summap_filtered, quantile_deterministic,
+    # scan_cluster_global_in (r12d)
     # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
     # distinct_segments,
     # events_sessionize,

@@ -3476,3 +3476,90 @@ REGISTRY.df_query(
     "hash-range lowering prunes block ranges via the min/max sidecar; "
     "oracle recomputes the two-round Lehmer hash in SQL",
 )
+
+
+# --- GLOBAL IN over the cluster ------------------------------------------------
+
+
+def _scan_cluster_global_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse GLOBAL IN (docs: operators/in#distributed-subqueries):
+    the inner subquery runs ONCE on the initiator over the whole
+    distributed table, and its result ships to every shard with the
+    outer query — versus plain IN, which would re-evaluate the inner
+    subquery shard-locally and silently miss cross-shard members.
+    Faithful two-phase execution: phase 1 runs the inner DISTINCT over
+    the cluster and materializes the set initiator-side (bounded by a
+    hard cap, the same memory contract a real server applies to the
+    GLOBAL IN temp table); phase 2 embeds the literal set in each
+    shard-local query, so the filter runs server-side.  The oracle is
+    the single-table semi-join."""
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.mock_server import mock_clickhouse_cluster
+
+    ensure_session(spark)
+    urls = mock_clickhouse_cluster(sf_dir, 2)
+    inner = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'signup'",
+        )
+        .option("cluster", ",".join(urls))
+        .load()
+    )
+    # initiator-side set materialization — the GLOBAL IN temp table.
+    # DISTINCT across shards happens here (each shard only dedups its
+    # own slice). Cap guards driver memory like a real server's
+    # max_rows_in_set.
+    keys = sorted({r["user_id"] for r in inner.collect()})
+    if len(keys) > 100_000:
+        raise ValueError(
+            f"GLOBAL IN set has {len(keys)} members (cap 100000); "
+            "rewrite as a JOIN for unbounded sets"
+        )
+    in_list = ",".join(str(k) for k in keys) or "-1"
+    df = (
+        spark.read.format("clickhouse_scan")
+        .option(
+            "query",
+            "SELECT user_id, event_type, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events "
+            f"WHERE user_id IN ({in_list})",
+        )
+        .option("cluster", ",".join(urls))
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "scan_cluster_global_in",
+    _scan_cluster_global_in,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE user_id IN (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["source", "scan", "cluster", "global-in"],
+    description="GLOBAL IN over a 2-shard cluster: inner DISTINCT "
+    "evaluated once initiator-side (capped temp set), literal set "
+    "shipped into every shard-local query; oracle is the single-table "
+    "semi-join",
+)

@@ -288,3 +288,87 @@ def test_group_uniq_array_python_reference(rows):
             )
         )
     assert got == want
+
+
+# --- r12d tranche: groupArrayInsertAt + quantileDeterministic ------------------
+# (near-identical / identical Spark-vs-oracle texts — same pin rule)
+
+from datetime import datetime, timedelta
+
+from duckdb_extension_clickhouse_native_spark.plans import compat_r12d  # noqa: F401,E402
+from duckdb_extension_clickhouse_native_spark.native.writer import (  # noqa: E402
+    SAMPLE_HASH_A,
+    SAMPLE_HASH_M,
+)
+
+events_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # event_id
+        st.integers(min_value=0, max_value=47),  # hour offset
+        st.integers(min_value=0, max_value=5),  # user_id
+        st.integers(min_value=3, max_value=3_000_000),  # cents
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _events_df(rows):
+    base = datetime(2024, 1, 1)
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [base + timedelta(hours=r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click" for _ in rows],
+            "value": [r[3] / 100.0 for r in rows],
+        }
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(events_rows)
+def test_group_array_insert_at_python_reference(rows):
+    con = duckdb.connect()
+    con.register("events", _events_df(rows))
+    got = con.execute(_oracle("agg_group_array_insert_at")).fetchall()
+    slots = defaultdict(dict)
+    for eid, h, uid, cents in rows:
+        # hour(ts) is the wall-clock hour, which wraps at 24
+        p = (h % 24) % 4
+        v = math.floor((cents / 100.0) * 100)
+        cur = slots[uid].get(p)
+        slots[uid][p] = v if cur is None else min(cur, v)
+    want = [
+        (
+            uid,
+            ",".join(
+                str(slots[uid][i]) if i in slots[uid] else "-"
+                for i in range(4)
+            ),
+        )
+        for uid in sorted(slots)
+    ]
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(events_rows)
+def test_quantile_deterministic_python_reference(rows):
+    con = duckdb.connect()
+    con.register("events", _events_df(rows))
+    got = con.execute(_oracle("quantile_deterministic")).fetchall()[0]
+    m, a = SAMPLE_HASH_M, SAMPLE_HASH_A
+    xs = sorted(
+        math.floor((cents / 100.0) * 100)
+        for eid, h, uid, cents in rows
+        if (eid % m) * a % m * a % m < m // 2
+    )
+    if not xs:
+        assert got == (None, None, None) or got[2] in (0, None)
+        return
+
+    def type1(q):
+        return xs[math.ceil(q * len(xs)) - 1]
+
+    assert got == (type1(0.5), type1(0.9), len(xs))

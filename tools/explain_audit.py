@@ -258,6 +258,11 @@ AUDIT = [
     "scan_remote_orc",
     "scan_remote_npy",
     "native_sample_clause",
+    "dict_complex_key_lookup",
+    "agg_group_array_insert_at",
+    "agg_summap_filtered",
+    "quantile_deterministic",
+    "scan_cluster_global_in",
 ]
 
 
