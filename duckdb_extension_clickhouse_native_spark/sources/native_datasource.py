@@ -1595,7 +1595,32 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             for c in str(options.get("index_tokenbf", "")).split(",")
             if c.strip()
         )
+        # SAMPLE key (writer.py _with_sample_hash): materializes a
+        # sorted _sample_hash column so the reader's SAMPLE clause can
+        # prune block ranges. The hash sort IS the file order, so it
+        # excludes sort_by; composes with partition_by (the global
+        # hash sort survives the per-combo take(), so every partition
+        # file stays hash-sorted).
+        self.sample_by = (options.get("sample_by") or "").strip() or None
         names = [f.name for f in schema.fields]
+        if self.sample_by:
+            from ..native.writer import SAMPLE_HASH_COLUMN
+
+            if self.sample_by not in names:
+                raise ValueError(
+                    f"sample_by column {self.sample_by!r} not in schema"
+                )
+            if self.sort_by:
+                raise ValueError(
+                    "sample_by and sort_by are mutually exclusive: the "
+                    "sampling-hash sort is the file order (ClickHouse "
+                    "likewise requires the sample expression inside "
+                    "the primary key)"
+                )
+            if SAMPLE_HASH_COLUMN in names:
+                raise ValueError(
+                    f"schema already has a {SAMPLE_HASH_COLUMN} column"
+                )
         missing = [c for c in self.partition_by if c not in names]
         if missing:
             raise ValueError(f"partition_by columns not in schema: {missing}")
@@ -1642,6 +1667,17 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
         import pyarrow as pa
 
         token = uuid.uuid4().hex
+        if self.sample_by:
+            from ..native.writer import _with_sample_hash
+
+            buffered = list(iterator)
+            if buffered:
+                t = _with_sample_hash(
+                    pa.Table.from_batches(buffered), self.sample_by
+                )
+                iterator = iter(t.to_batches(max_chunksize=self.block_rows))
+            else:
+                iterator = iter(())
         if self.sort_by:
             # cluster within the task before writing: tight per-block
             # min/max ranges are what make the block-range index

@@ -161,3 +161,54 @@ def test_sample_hash_column_is_sorted_and_queryable(spark, sample_dir):
     )
     vals = [r[SAMPLE_HASH_COLUMN] for r in rows]
     assert all(0 <= v < SAMPLE_HASH_M for v in vals)
+
+
+def test_sink_sample_by_roundtrip(spark, tmp_path):
+    """Spark-written tables (the DSv2 sink) support sample_by too —
+    including under partition_by (the global hash sort survives the
+    per-combo fan-out, so every partition file stays hash-sorted)."""
+    out = str(tmp_path / "sink_sample")
+    src = spark.read.parquet(SRC)
+    (
+        src.repartition(2)
+        .write.format("clickhouse_native")
+        .option("sample_by", "o_orderkey")
+        .option("partition_by", "o_orderstatus")
+        .mode("overwrite")
+        .save(out)
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in _sample_df(spark, out, "0.125", "0.25")
+        .select("o_orderkey")
+        .collect()
+    )
+    lo, hi = int(0.25 * SAMPLE_HASH_M), int(0.375 * SAMPLE_HASH_M)
+    hs = sample_hash_sql("o_orderkey")
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SRC}' "
+            f"WHERE {hs} >= {lo} AND {hs} < {hi} ORDER BY o_orderkey"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_sink_sample_by_refusals(spark, tmp_path):
+    src = spark.read.parquet(SRC)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            src.write.format("clickhouse_native")
+            .option("sample_by", "o_orderkey")
+            .option("sort_by", "o_orderdate")
+            .mode("overwrite")
+            .save(str(tmp_path / "x"))
+        )
+    with pytest.raises(Exception, match="not in schema"):
+        (
+            src.write.format("clickhouse_native")
+            .option("sample_by", "nope")
+            .mode("overwrite")
+            .save(str(tmp_path / "y"))
+        )
