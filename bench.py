@@ -404,6 +404,8 @@ def main() -> None:
         "agg_summap_filtered",
         "quantile_deterministic",
         "scan_cluster_global_in",
+        # 19th stream twin (r12d)
+        "stream_quantile_timing",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

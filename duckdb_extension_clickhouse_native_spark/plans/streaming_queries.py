@@ -1482,3 +1482,85 @@ REGISTRY.df_query(
     "over clickhouse_scan (offsets = cursor values, max(cursor) probe "
     "per micro-batch), drained == batch aggregation exactly",
 )
+
+
+def _stream_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """19th stream twin: quantileTiming as a STREAMING aggregate. The
+    timing grid bounds the state (< 3000 distinct cells by
+    construction — exactly why ClickHouse's quantileTiming sketch is
+    streamable), so the stream maintains grid-cell counts in complete
+    mode and the quantile extraction is a tiny batch finalize over the
+    drained sketch, mirroring how an AggregateFunction state
+    finalizes. Result == quantile_timing_grid's batch plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    ms = F.floor(F.col("value") * 37).cast("bigint") % 40000
+    grid_cell = (
+        F.when(ms < 1024, ms)
+        .when(ms <= 30000, F.floor(ms / 16).cast("bigint") * 16)
+        .otherwise(F.lit(30000).cast("bigint"))
+    )
+    counts = _drain(
+        events.withColumn("t", grid_cell).groupBy("t").count(), "complete"
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    cum = counts.select(
+        "t",
+        F.sum("count").over(w_cum).alias("cum"),
+        F.sum("count").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("t"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.9 * F.col("n")), F.col("t"))
+        ).alias("p90"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.99 * F.col("n")), F.col("t"))
+        ).alias("p99"),
+        F.min("n").cast("bigint").alias("n_rows"),
+    )
+
+
+REGISTRY.df_query(
+    "stream_quantile_timing",
+    _stream_quantile_timing,
+    oracle="""
+    WITH ms AS (
+      SELECT CAST(FLOOR(value * 37) AS BIGINT) % 40000 AS ms
+      FROM events
+    ),
+    g AS (
+      SELECT CASE
+               WHEN ms < 1024 THEN ms
+               WHEN ms <= 30000 THEN CAST(FLOOR(ms / 16) * 16 AS BIGINT)
+               ELSE CAST(30000 AS BIGINT)
+             END AS t
+      FROM ms
+    ),
+    c AS (SELECT t, COUNT(*) AS cnt FROM g GROUP BY t),
+    cum AS (
+      SELECT t,
+             SUM(cnt) OVER (ORDER BY t) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM c
+    )
+    SELECT MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN t END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN t END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN t END) AS p99,
+           CAST(MIN(n) AS BIGINT) AS n_rows
+    FROM cum
+    """,
+    tags=["streaming", "quantile", "sketch"],
+    description="quantileTiming as a streaming aggregate: bounded-grid "
+    "cell counts maintained in complete mode, sketch finalized batch-"
+    "side; == the quantile_timing_grid batch oracle (19th stream twin)",
+)

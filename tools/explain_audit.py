@@ -263,6 +263,7 @@ AUDIT = [
     "agg_summap_filtered",
     "quantile_deterministic",
     "scan_cluster_global_in",
+    "stream_quantile_timing",
 ]
 
 
