@@ -24,6 +24,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     compat_r12b,
     compat_r12c,
     compat_r12d,
+    compat_r12e,
     pipeline,
     relational,
     sources,
