@@ -61,16 +61,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from duckdb_extension_clickhouse_native_spark import get_spark
-    from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
-        advanced,
-        pipeline,
-        relational,
-        sources,
-        stats,
-        streaming_queries,
-        timeseries,
-        tpch,
-    )
+
+    # __spark_entry__ imports EVERY plan module — benching through it
+    # keeps this list from silently drifting behind the registry (the
+    # compat_r12c KeyError: bench.py's own import list lacked the new
+    # tranche modules while r12_names already referenced their entries)
+    import __spark_entry__  # noqa: F401
     from duckdb_extension_clickhouse_native_spark.plans.base import REGISTRY
 
     spark = get_spark(app_name="chsql-bench", cpus=cpus)
@@ -406,6 +402,12 @@ def main() -> None:
         "scan_cluster_global_in",
         # 19th stream twin (r12d)
         "stream_quantile_timing",
+        # fifth compat tranche (r12e): WITH TIES, concurrency sweep,
+        # array rotation/shingles, timeSlots
+        "topk_with_ties",
+        "events_running_concurrency",
+        "array_rotate_shingles",
+        "scalar_time_slots",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

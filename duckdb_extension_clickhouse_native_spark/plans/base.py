@@ -587,7 +587,9 @@ GRADING_WINDOW = [
     # scan_remote_orc, scan_remote_npy, native_sample_clause (r12c);
     # dict_complex_key_lookup, agg_group_array_insert_at,
     # agg_summap_filtered, quantile_deterministic,
-    # scan_cluster_global_in, stream_quantile_timing (r12d)
+    # scan_cluster_global_in, stream_quantile_timing (r12d);
+    # topk_with_ties, events_running_concurrency,
+    # array_rotate_shingles, scalar_time_slots (r12e)
     # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
     # distinct_segments,
     # events_sessionize,

@@ -116,8 +116,10 @@ _RUNNING_CONC_SPARK = """
 REGISTRY.sql_query(
     "events_running_concurrency",
     _RUNNING_CONC_SPARK,
+    # FLOOR before the cast: DuckDB CAST(double AS BIGINT) rounds,
+    # Spark unix_timestamp truncates (the scalar_time_slots ±1 s trap)
     oracle=_RUNNING_CONC_SPARK.replace(
-        "unix_timestamp(ts)", "epoch(CAST(ts AS TIMESTAMP))"
+        "unix_timestamp(ts)", "FLOOR(epoch(CAST(ts AS TIMESTAMP)))"
     ),
     tables=["events"],
     tags=["compat", "events", "intervals", "window"],
@@ -215,8 +217,11 @@ _TIME_SLOTS_SPARK = """
 
 _TIME_SLOTS_ORACLE = """
     WITH iv AS (
+      -- FLOOR before the cast: DuckDB CAST(double AS BIGINT) ROUNDS
+      -- while Spark's unix_timestamp truncates — sub-second ts would
+      -- shift b by 1 s on half the rows (caught by the sf0.01 sweep)
       SELECT event_id,
-             CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS b,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS b,
              1 + CAST(FLOOR(value * 100) AS BIGINT) % 900 AS dur
       FROM events
       WHERE event_type = 'purchase'

@@ -264,6 +264,10 @@ AUDIT = [
     "quantile_deterministic",
     "scan_cluster_global_in",
     "stream_quantile_timing",
+    "topk_with_ties",
+    "events_running_concurrency",
+    "array_rotate_shingles",
+    "scalar_time_slots",
 ]
 
 
