@@ -197,8 +197,65 @@ def gen_query(seed: int) -> str:
     shape = rng.choice(
         ["project", "agg", "agg", "join_agg", "distinct", "setop", "window",
          "rollup", "scalar", "exists", "full_outer", "group_all",
-         "moving_frame", "rank_algebra", "range_cume"]
+         "moving_frame", "rank_algebra", "range_cume", "pad_split",
+         "ties_boundary", "timing_grid"]
     )
+    if shape == "pad_split":
+        # engine-portable string pad/split subset (the r12c family):
+        # lpad/rpad truncate-or-pad identically, split_part returns ''
+        # past the last part in BOTH engines. ENGINE DIVERGENCE found
+        # by this shape (seed 563642): split_part(NULL, sep, i) is
+        # NULL in Spark but '' in DuckDB — fenced with coalesce, the
+        # Date.now-class treatment (lpad/concat_ws agree on NULLs)
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        s = rng.choice(spec["strings"])
+        k = rng.choice(spec["ints"])
+        width = rng.randint(3, 20)
+        idx = rng.randint(1, 4)
+        sep = rng.choice(["' '", "'-'", "'a'"])
+        fn = rng.choice(["lpad", "rpad"])
+        return (
+            f"SELECT {k}, {fn}({s}, {width}, '*') AS padded, "
+            f"split_part(coalesce({s}, ''), {sep}, {idx}) AS piece, "
+            f"concat_ws('|', {s}, CAST({k} AS STRING)) AS joined "
+            f"FROM {t} WHERE {_where(rng, t)}"
+        )
+    if shape == "ties_boundary":
+        # WITH TIES / rank-boundary semantics: every row tied with the
+        # k-th key survives in both engines (the r12e topk_with_ties
+        # lowering); modulo fold manufactures real boundary ties
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        v = rng.choice(spec["ints"])
+        g = rng.choice(spec["group"])
+        p = rng.choice([7, 13, 31])
+        kk = rng.randint(2, 12)
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n_rows, "
+            f"CAST(SUM({v} % {p}) AS BIGINT) AS key_sum FROM ("
+            f"SELECT {g}, {v}, RANK() OVER (ORDER BY {v} % {p}) AS r "
+            f"FROM {t} WHERE {_where(rng, t)}) q "
+            f"WHERE r <= {kk} GROUP BY {g}"
+        )
+    if shape == "timing_grid":
+        # bounded-grid quantile walk (the r12c quantileTiming shape):
+        # grouped counts + cumulative sum, type-1 pick — CEIL/OVER
+        # frame defaults must agree at every tie
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        v = rng.choice(spec["ints"])
+        cell = rng.choice([16, 64, 300])
+        q = rng.choice(["0.5", "0.9", "0.99"])
+        return (
+            f"SELECT MIN(CASE WHEN cum >= CEIL({q} * n) THEN t END) AS qv, "
+            f"CAST(MIN(n) AS BIGINT) AS n_rows FROM ("
+            f"SELECT t, SUM(cnt) OVER (ORDER BY t) AS cum, "
+            f"SUM(cnt) OVER () AS n FROM ("
+            f"SELECT CAST(FLOOR(({v} % 40000) / {cell}) * {cell} AS BIGINT) "
+            f"AS t, COUNT(*) AS cnt FROM {t} "
+            f"WHERE {_where(rng, t)} AND {v} >= 0 GROUP BY 1) c) w"
+        )
     if shape == "rank_algebra":
         # tie-corrected rank algebra (the r10 mannWhitneyU shape):
         # 2*RANK() + COUNT(*) OVER (PARTITION BY v) - 1 is the
