@@ -408,6 +408,8 @@ def main() -> None:
         "events_running_concurrency",
         "array_rotate_shingles",
         "scalar_time_slots",
+        # INTO OUTFILE (r12e)
+        "native_into_outfile",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

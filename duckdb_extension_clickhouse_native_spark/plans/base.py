@@ -589,7 +589,8 @@ GRADING_WINDOW = [
     # agg_summap_filtered, quantile_deterministic,
     # scan_cluster_global_in, stream_quantile_timing (r12d);
     # topk_with_ties, events_running_concurrency,
-    # array_rotate_shingles, scalar_time_slots (r12e)
+    # array_rotate_shingles, scalar_time_slots, native_into_outfile
+    # (r12e)
     # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
     # distinct_segments,
     # events_sessionize,

@@ -3563,3 +3563,64 @@ REGISTRY.df_query(
     "shipped into every shard-local query; oracle is the single-table "
     "semi-join",
 )
+
+
+# --- INTO OUTFILE ----------------------------------------------------------------
+
+
+def _native_into_outfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `SELECT ... INTO OUTFILE 'f' FORMAT Native` (docs:
+    statements/select/into-outfile): one executor task streams the
+    export file (repartition(1) + mapInArrow — the driver sees a 1-row
+    count, never the data), then the file reads back through the
+    DataSource and aggregates — the oracle is the direct SQL over the
+    raw table, so the export+reimport roundtrip must be lossless."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session, load_tables
+    from ..operators.outfile import into_outfile
+
+    ensure_session(spark)
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), "chsql_outfile", f"orders-{tag}.clickhouse"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    into_outfile(
+        t.filter("o_orderkey % 3 = 0"), out, "native", truncate=True
+    )
+    back = spark.read.format("clickhouse_native").load(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+REGISTRY.df_query(
+    "native_into_outfile",
+    _native_into_outfile,
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=["source", "outfile", "export", "native"],
+    description="INTO OUTFILE FORMAT Native: single-file executor-side "
+    "export (no driver data collect) + DataSource re-read == raw-table "
+    "oracle (lossless roundtrip)",
+)

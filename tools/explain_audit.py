@@ -268,6 +268,7 @@ AUDIT = [
     "events_running_concurrency",
     "array_rotate_shingles",
     "scalar_time_slots",
+    "native_into_outfile",
 ]
 
 
