@@ -25,6 +25,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     compat_r12c,
     compat_r12d,
     compat_r12e,
+    compat_r12f,
     pipeline,
     relational,
     sources,

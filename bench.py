@@ -410,6 +410,9 @@ def main() -> None:
         "scalar_time_slots",
         # INTO OUTFILE (r12e)
         "native_into_outfile",
+        # sixth compat tranche (r12f)
+        "window_lag_in_frame",
+        "scalar_json_extract_family",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -1,0 +1,143 @@
+"""Round-12 sixth compatibility tranche: frame-bounded lag and the
+typed JSONExtract family.
+
+* ``lagInFrame`` / ``leadInFrame`` (docs: sql-reference/window-functions
+  — the ClickHouse variants of lag/lead that RESPECT the window frame,
+  returning NULL outside it, where standard lag/lead ignore frames) —
+  Spark's lag() likewise ignores frames, so the engine form collects
+  the frame into an array and indexes it:
+  ``element_at(collect_list(x) OVER (ROWS 2 PRECEDING..CURRENT), 1)``
+  is lagInFrame(x, 2) exactly (NULL when the frame holds < 3 rows —
+  partition starts, unlike plain lag's spill into preceding rows
+  beyond the frame).  The oracle indexes DuckDB's frame-bounded
+  ``list()`` aggregate — same frame, independent list machinery.
+* typed ``JSONExtract*`` (docs: sql-reference/functions/json-functions
+  — JSONExtractInt / JSONExtractString / JSONHas / JSON_VALUE) — Spark
+  ``get_json_object`` + cast vs DuckDB ``json_extract_string`` + cast:
+  structurally different JSON engines (Jackson path vs yyjson), so the
+  driver hash is a real cross-implementation check.  Missing keys are
+  NULL on both sides; JSONHas renders as a BOOLEAN.
+
+Determinism rules follow base.py: exact integers, no ROUND anywhere.
+"""
+
+from __future__ import annotations
+
+from .base import REGISTRY
+
+# --- lagInFrame / leadInFrame ----------------------------------------------------
+# lagInFrame(x, 2) = the frame's FIRST element only when the frame is
+# full (3 rows); ClickHouse returns the default (NULL) otherwise. The
+# Spark side gets that for free (element_at of a short list is its
+# first element — WRONG for short frames), so both sides guard with
+# frame_rows. To keep the graded columns honest, the guard is applied
+# in both texts identically via CASE.
+_LAG_IN_FRAME_SPARK = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id % 17 = 0
+    ),
+    framed AS (
+      SELECT user_id, event_id,
+             collect_list(cents) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS back_frame,
+             collect_list(cents) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+             ) AS fwd_frame
+      FROM base
+    )
+    SELECT user_id, event_id,
+           CASE WHEN size(back_frame) = 3
+                THEN element_at(back_frame, 1) END AS lag_in_frame_2,
+           CASE WHEN size(fwd_frame) = 3
+                THEN element_at(fwd_frame, -1) END AS lead_in_frame_2,
+           CAST(size(back_frame) AS BIGINT) AS frame_rows
+    FROM framed
+    ORDER BY user_id, event_id
+"""
+
+_LAG_IN_FRAME_ORACLE = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id % 17 = 0
+    ),
+    framed AS (
+      SELECT user_id, event_id,
+             list(cents) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS back_frame,
+             list(cents) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+             ) AS fwd_frame
+      FROM base
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(back_frame) = 3
+                THEN back_frame[1] END AS lag_in_frame_2,
+           CASE WHEN len(fwd_frame) = 3
+                THEN fwd_frame[-1] END AS lead_in_frame_2,
+           CAST(len(back_frame) AS BIGINT) AS frame_rows
+    FROM framed
+    ORDER BY user_id, event_id
+"""
+
+REGISTRY.sql_query(
+    "window_lag_in_frame",
+    _LAG_IN_FRAME_SPARK,
+    oracle=_LAG_IN_FRAME_ORACLE,
+    tables=["events"],
+    tags=["compat", "window"],
+    description=(
+        "ClickHouse lagInFrame/leadInFrame (frame-RESPECTING lag): "
+        "frame collected to an array and indexed, NULL when the frame "
+        "is short — the semantics plain lag/lead cannot express"
+    ),
+)
+
+
+# --- typed JSONExtract family -----------------------------------------------------
+_JSON_FAMILY_SPARK = """
+    SELECT event_id,
+           CAST(get_json_object(props, '$.k') AS BIGINT) AS k_int,
+           get_json_object(props, '$.k') AS k_raw,
+           (get_json_object(props, '$.k') IS NOT NULL) AS has_k,
+           (get_json_object(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    WHERE event_id % 23 = 0
+    ORDER BY event_id
+"""
+
+_JSON_FAMILY_ORACLE = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_raw,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           (json_extract_string(props, '$.missing') IS NOT NULL)
+             AS has_missing
+    FROM events
+    WHERE event_id % 23 = 0
+    ORDER BY event_id
+"""
+
+REGISTRY.sql_query(
+    "scalar_json_extract_family",
+    _JSON_FAMILY_SPARK,
+    oracle=_JSON_FAMILY_ORACLE,
+    tables=["events"],
+    tags=["compat", "scalar", "json"],
+    description=(
+        "ClickHouse JSONExtractInt/JSONExtractString/JSONHas: Spark "
+        "get_json_object (Jackson) vs DuckDB json_extract_string "
+        "(yyjson) — independent JSON engines, typed casts, NULL on "
+        "missing keys both sides"
+    ),
+)

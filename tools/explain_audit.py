@@ -269,6 +269,8 @@ AUDIT = [
     "array_rotate_shingles",
     "scalar_time_slots",
     "native_into_outfile",
+    "window_lag_in_frame",
+    "scalar_json_extract_family",
 ]
 
 
