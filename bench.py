@@ -413,6 +413,7 @@ def main() -> None:
         # sixth compat tranche (r12f)
         "window_lag_in_frame",
         "scalar_json_extract_family",
+        "array_join_multi",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

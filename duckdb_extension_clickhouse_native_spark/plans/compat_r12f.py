@@ -141,3 +141,58 @@ REGISTRY.sql_query(
         "missing keys both sides"
     ),
 )
+
+
+# --- multi-array ARRAY JOIN ---------------------------------------------------------
+# ClickHouse `ARRAY JOIN ks, vs` zips SAME-LENGTH arrays positionally
+# into parallel columns (docs: statements/select/array-join). Spark:
+# explode(arrays_zip(...)); DuckDB: multiple unnest() in one SELECT
+# zips positionally — independent lateral machinery. Arrays are built
+# equal-length (ClickHouse errors on a length mismatch; both engines'
+# null-padding never engages).
+_ARRAY_JOIN_MULTI_SPARK = """
+    WITH arr AS (
+      SELECT l_orderkey, l_linenumber,
+             array(l_partkey % 5, l_suppkey % 5,
+                   (l_partkey + l_suppkey) % 5) AS ks,
+             array(CAST(FLOOR(l_quantity) AS BIGINT),
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) % 100,
+                   l_orderkey % 7) AS vs
+      FROM lineitem
+      WHERE l_orderkey % 211 = 0
+    )
+    SELECT l_orderkey, l_linenumber, z.ks AS k, z.vs AS v
+    FROM arr
+    LATERAL VIEW explode(arrays_zip(ks, vs)) t AS z
+    ORDER BY l_orderkey, l_linenumber, k, v
+"""
+
+_ARRAY_JOIN_MULTI_ORACLE = """
+    WITH arr AS (
+      SELECT l_orderkey, l_linenumber,
+             [l_partkey % 5, l_suppkey % 5,
+              (l_partkey + l_suppkey) % 5] AS ks,
+             [CAST(FLOOR(l_quantity) AS BIGINT),
+              CAST(FLOOR(l_extendedprice) AS BIGINT) % 100,
+              l_orderkey % 7] AS vs
+      FROM lineitem
+      WHERE l_orderkey % 211 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           unnest(ks) AS k, unnest(vs) AS v
+    FROM arr
+    ORDER BY l_orderkey, l_linenumber, k, v
+"""
+
+REGISTRY.sql_query(
+    "array_join_multi",
+    _ARRAY_JOIN_MULTI_SPARK,
+    oracle=_ARRAY_JOIN_MULTI_ORACLE,
+    tables=["lineitem"],
+    tags=["compat", "array", "explode"],
+    description=(
+        "ClickHouse multi-array ARRAY JOIN: positional zip of "
+        "same-length arrays — Spark explode(arrays_zip) vs DuckDB "
+        "parallel unnest()"
+    ),
+)

@@ -271,6 +271,7 @@ AUDIT = [
     "native_into_outfile",
     "window_lag_in_frame",
     "scalar_json_extract_family",
+    "array_join_multi",
 ]
 
 
