@@ -471,6 +471,17 @@ class ClickHouseNativeReader(DataSourceReader):
         self.arrow_batch_bytes = int(
             options.get("arrow_batch_bytes", 32 * 1024 * 1024)
         )
+        # ClickHouse query-complexity guards (docs: operations/settings/
+        # query-complexity — max_rows_to_read / max_bytes_to_read):
+        # enforced at PLANNING over the post-file-pruning estimate, so
+        # a runaway full scan dies before its first task. Like the
+        # server's granule estimate, this counts whole surviving files
+        # (block-range pruning can only reduce the true number); rows
+        # come from stats sidecars, so sidecar-less files count 0 rows
+        # (never a false refusal) while bytes always count (file size
+        # is always known).
+        self.max_rows_to_read = int(options.get("max_rows_to_read", 0))
+        self.max_bytes_to_read = int(options.get("max_bytes_to_read", 0))
         # file_column: inject the source-file basename as a constant
         # string column per partition (see infer_native_schema)
         self.file_column = (options.get("file_column") or "").strip() or None
@@ -725,6 +736,32 @@ class ClickHouseNativeReader(DataSourceReader):
             paths = _resolve_paths(self.path)
         if self.skipping and self.pushed:
             paths = self._prune_paths(paths)
+        if self.max_rows_to_read or self.max_bytes_to_read:
+            est_rows = 0
+            est_bytes = 0
+            from ..filesystem import file_size as _fsize
+
+            for p in paths:
+                st = self._load_sidecar(p)
+                if st is not None:
+                    est_rows += int(st.get("rows", 0))
+                try:
+                    est_bytes += _fsize(p)
+                except OSError:
+                    pass
+            if self.max_rows_to_read and est_rows > self.max_rows_to_read:
+                raise ValueError(
+                    f"query would read ~{est_rows} rows from "
+                    f"{len(paths)} files, over max_rows_to_read="
+                    f"{self.max_rows_to_read} (add filters the sidecar "
+                    "index can prune on, or raise the limit)"
+                )
+            if self.max_bytes_to_read and est_bytes > self.max_bytes_to_read:
+                raise ValueError(
+                    f"query would read ~{est_bytes} bytes from "
+                    f"{len(paths)} files, over max_bytes_to_read="
+                    f"{self.max_bytes_to_read}"
+                )
 
         def mk(
             p: str, start: int = 0, n_blocks: int = -1, start_row: int = 0
