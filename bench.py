@@ -414,6 +414,8 @@ def main() -> None:
         "window_lag_in_frame",
         "scalar_json_extract_family",
         "array_join_multi",
+        # row-level security (r12f)
+        "catalog_row_policy",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

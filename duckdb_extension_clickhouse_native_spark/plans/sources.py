@@ -3624,3 +3624,73 @@ REGISTRY.df_query(
     "export (no driver data collect) + DataSource re-read == raw-table "
     "oracle (lossless roundtrip)",
 )
+
+
+# --- ROW POLICY -------------------------------------------------------------------
+
+
+def _catalog_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE ROW POLICY (docs: statements/create/row-policy): two
+    permissive policies on a Native events table — analyst sees
+    click/view rows, auditor sees high-value rows, a TO ALL policy
+    adds signups for everyone; the analyst's effective predicate is
+    the OR of their USING clauses (permissive combination), and an
+    unnamed user would see zero rows (deny-by-default once policies
+    exist — pinned in tests). Policies apply as ordinary Spark SQL
+    predicates, so Catalyst pushes them into the scan."""
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..operators.rowpolicy import apply_row_policies, create_row_policy
+    from ..sources.native_datasource import infer_native_schema
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "events")
+    create_row_policy(
+        path, "analyst_types",
+        "event_type IN ('click', 'view')",
+        to_users=["analyst"], replace=True,
+    )
+    create_row_policy(
+        path, "auditor_value", "value >= 100.0",
+        to_users=["auditor"], replace=True,
+    )
+    create_row_policy(
+        path, "signups_public", "event_type = 'signup'", replace=True
+    )
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path}))
+        .load(path)
+    )
+    return (
+        apply_row_policies(df, path, "analyst")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGISTRY.df_query(
+    "catalog_row_policy",
+    _catalog_row_policy,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE (event_type IN ('click', 'view')) OR (event_type = 'signup')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=["catalog", "security", "policy"],
+    description="CREATE ROW POLICY: permissive OR-combination of the "
+    "user's USING predicates (analyst = own policy + TO ALL policy), "
+    "applied as pushable Spark SQL filters; deny-by-default pinned in "
+    "tests",
+)

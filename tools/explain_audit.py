@@ -272,6 +272,7 @@ AUDIT = [
     "window_lag_in_frame",
     "scalar_json_extract_family",
     "array_join_multi",
+    "catalog_row_policy",
 ]
 
 
