@@ -416,6 +416,8 @@ def main() -> None:
         "array_join_multi",
         # row-level security (r12f)
         "catalog_row_policy",
+        # DESCRIBE TABLE introspection (r12f)
+        "native_describe_table",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -3694,3 +3694,56 @@ REGISTRY.df_query(
     "applied as pushable Spark SQL filters; deny-by-default pinned in "
     "tests",
 )
+
+
+# --- DESCRIBE TABLE ----------------------------------------------------------------
+
+
+def _native_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DESCRIBE TABLE` (docs: statements/describe-table): header-only
+    schema introspection of a Native table dir — ClickHouse type names
+    plus the Spark mapping, one row per column, in declaration order.
+    The read touches ONE block header (codec.read_file_schema — no
+    payload decode, the fix over the reference's whole-file parse at
+    lib.rs:251); the oracle is the literal expected contract, so a
+    type-mapping regression (e.g. DateTime64(6) drifting precision)
+    fails the hash."""
+    from .base import ensure_session
+    from ..native.codec import read_file_schema
+    from ..sources.native_datasource import _resolve_paths, infer_native_schema
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "orders")
+    first = sorted(_resolve_paths(path))[0]
+    ch = read_file_schema(first)
+    spark_types = {
+        f.name: f.dataType.simpleString()
+        for f in infer_native_schema({"path": path}).fields
+    }
+    rows = [
+        (i + 1, name, t.name, spark_types[name])
+        for i, (name, t) in enumerate(ch)
+    ]
+    return spark.createDataFrame(
+        rows, "position BIGINT, col_name STRING, ch_type STRING, spark_type STRING"
+    )
+
+
+REGISTRY.df_query(
+    "native_describe_table",
+    _native_describe_table,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'o_orderkey',      'Int64',         'bigint'),
+      (2, 'o_custkey',       'Int64',         'bigint'),
+      (3, 'o_orderstatus',   'String',        'string'),
+      (4, 'o_totalprice',    'Float64',       'double'),
+      (5, 'o_orderdate',     'DateTime64(6)', 'timestamp_ntz'),
+      (6, 'o_orderpriority', 'String',        'string')
+    ) AS t(position, col_name, ch_type, spark_type)
+    """,
+    tags=["catalog", "introspection", "native"],
+    description="DESCRIBE TABLE: one-block-header schema introspection "
+    "(ClickHouse type + Spark mapping per column) against the literal "
+    "expected contract — a silent type-mapping drift fails the hash",
+)

@@ -273,6 +273,7 @@ AUDIT = [
     "scalar_json_extract_family",
     "array_join_multi",
     "catalog_row_policy",
+    "native_describe_table",
 ]
 
 
