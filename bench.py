@@ -418,6 +418,8 @@ def main() -> None:
         "catalog_row_policy",
         # DESCRIBE TABLE introspection (r12f)
         "native_describe_table",
+        # hive-preserving OPTIMIZE (r12f)
+        "optimize_compact_hive",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -3747,3 +3747,78 @@ REGISTRY.df_query(
     "(ClickHouse type + Spark mapping per column) against the literal "
     "expected contract — a silent type-mapping drift fails the hash",
 )
+
+
+# --- hive-preserving OPTIMIZE -------------------------------------------------------
+
+
+def _optimize_compact_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE TABLE over a hive-partitioned layout: many small files
+    per o_orderstatus= partition compact into range-clustered ones
+    WITHOUT flattening the layout (partition_by rides through the
+    compaction; the reader then re-prunes directories). The oracle is
+    the raw table, so the compaction must be lossless."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..sources.native_datasource import compact_native_dir
+
+    ensure_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "chsql_opt_hive", tag)
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    if not os.path.exists(os.path.join(base, "_SRC_DONE")):
+        t = load_tables(spark, sf_dir, ["orders"])["orders"]
+        (
+            t.repartition(8)
+            .write.format("clickhouse_native")
+            .option("partition_by", "o_orderstatus")
+            .mode("overwrite")
+            .save(src)
+        )
+        open(os.path.join(base, "_SRC_DONE"), "w").close()
+    compact_native_dir(
+        spark, src, dst, target_files=2,
+        sort_by=["o_orderkey"], partition_by=["o_orderstatus"],
+    )
+    # the compacted layout must still be hive (key= dirs present)
+    if not any(
+        d.startswith("o_orderstatus=") for d in os.listdir(dst)
+    ):
+        raise AssertionError("compaction flattened the hive layout")
+    back = spark.read.format("clickhouse_native").load(dst)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("sum_cents"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+REGISTRY.df_query(
+    "optimize_compact_hive",
+    _optimize_compact_hive,
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=["optimize", "hive", "compaction", "storage"],
+    description="OPTIMIZE over a hive layout: partition_by rides "
+    "through compaction (layout asserted intact, never silently "
+    "flattened); range-clustered within partitions; lossless vs the "
+    "raw-table oracle",
+)

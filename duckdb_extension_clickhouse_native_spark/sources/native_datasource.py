@@ -1966,6 +1966,7 @@ def compact_native_dir(
     compression: Optional[str] = None,
     deduplicate: bool = False,
     dedupe_by: Optional[list] = None,
+    partition_by: Optional[list] = None,
 ) -> int:
     """Compact a directory of (many, small) Native files into
     ``target_files`` globally-clustered ones — the OPTIMIZE TABLE /
@@ -2012,11 +2013,23 @@ def compact_native_dir(
                 .drop("__rn")
             )
     n = df.count()
-    if sort_by:
+    if partition_by:
+        # hive-preserving compaction: the reader surfaced the source's
+        # key=value columns as data; range-cluster WITHIN partitions
+        # (keys lead the range clause) and the sink fans the layout
+        # back out — OPTIMIZE never silently flattens a partitioned
+        # table
+        cluster = list(partition_by) + [
+            c for c in (sort_by or []) if c not in partition_by
+        ]
+        df = df.repartitionByRange(target_files, *[F.col(c) for c in cluster])
+    elif sort_by:
         df = df.repartitionByRange(target_files, *[F.col(c) for c in sort_by])
     else:
         df = df.coalesce(target_files)
     w = df.write.format("clickhouse_native").mode("overwrite")
+    if partition_by:
+        w = w.option("partition_by", ",".join(partition_by))
     if sort_by:
         w = w.option("sort_by", ",".join(sort_by))
     if compression:

@@ -274,6 +274,7 @@ AUDIT = [
     "array_join_multi",
     "catalog_row_policy",
     "native_describe_table",
+    "optimize_compact_hive",
 ]
 
 
