@@ -259,3 +259,65 @@ def test_spark_reads_orc_and_npy_match_native(spark, npy_mock):
     assert frames["orc"] == frames["native"]
     assert frames["npy"] == frames["native"]
     assert len(frames["native"]) == 100
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=200
+    )
+)
+def test_npy_int_roundtrip_property(vals):
+    buf = io.BytesIO()
+    n = write_npy(
+        buf,
+        [pa.RecordBatch.from_arrays([pa.array(vals, type=pa.int64())], names=["v"])]
+        if vals
+        else [],
+    )
+    got = []
+    for b in iter_npy_blocks(io.BytesIO(buf.getvalue()), _nt()):
+        got.extend(b.to_record_batch().column(0).to_pylist())
+    assert n == len(vals) and got == vals
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=True, width=64),
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_orc_roundtrip_property(rows):
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.string()),
+            pa.array([r[2] for r in rows], type=pa.float64()),
+        ],
+        names=["i", "s", "f"],
+    )
+    buf = io.BytesIO()
+    assert write_orc(buf, [rb]) == len(rows)
+    got = []
+    for b in iter_orc_blocks(io.BytesIO(buf.getvalue())):
+        g = b.to_record_batch()
+        got.extend(
+            zip(
+                g.column(0).to_pylist(),
+                g.column(1).to_pylist(),
+                g.column(2).to_pylist(),
+            )
+        )
+    assert got == rows

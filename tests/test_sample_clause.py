@@ -212,3 +212,37 @@ def test_sink_sample_by_refusals(spark, tmp_path):
             .mode("overwrite")
             .save(str(tmp_path / "y"))
         )
+
+
+def test_stream_sample_matches_batch(spark, sample_dir):
+    """readStream + sample: the stream reader wraps the batch reader,
+    so the lowered hash-range filters apply per micro-batch — the
+    drained stream equals the batch SAMPLE exactly."""
+    schema = (
+        spark.read.format("clickhouse_native").load(sample_dir).schema
+    )
+    q = (
+        spark.readStream.format("clickhouse_native")
+        .schema(schema)
+        .option("sample", "0.25")
+        .load(sample_dir)
+        .writeStream.format("memory")
+        .queryName("sample_stream_pin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["o_orderkey"]
+        for r in spark.sql(
+            "SELECT o_orderkey FROM sample_stream_pin"
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]
+        for r in _sample_df(spark, sample_dir, "0.25").collect()
+    }
+    assert got == want and got
