@@ -420,6 +420,8 @@ def main() -> None:
         "native_describe_table",
         # hive-preserving OPTIMIZE (r12f)
         "optimize_compact_hive",
+        # FREEZE PARTITION (r12f)
+        "mutation_freeze_partition",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

@@ -187,3 +187,58 @@ def verify_backup(backup_dir: str) -> dict:
         except (OSError, ValueError) as e:
             bad.append((rel, str(e)))
     return {"ok": not bad, "files": len(manifest["files"]), "bad": bad}
+
+
+def freeze_partition(
+    table_dir: str, partition: str, *, shadow_name: str = None
+) -> dict:
+    """``ALTER TABLE ... FREEZE PARTITION`` (docs: statements/alter/
+    partition#freeze-partition): hard-link snapshot of ONE partition
+    directory into the table's ``shadow/<increment>/`` area — the
+    literal ClickHouse on-disk layout. Zero data movement (links share
+    inodes); later mutations/compactions REPLACE files (the engine
+    never rewrites in place), so the frozen names keep the old bytes.
+
+    ``partition`` is the hive component (``key=value``) or ``""`` to
+    freeze a flat table's whole part set. Returns {shadow_dir,
+    n_files}. The increment counter mirrors ClickHouse's
+    ``shadow/increment.txt``."""
+    import json as _json
+
+    src = os.path.join(table_dir, partition) if partition else table_dir
+    if not os.path.isdir(src):
+        raise ValueError(f"no partition directory {src!r}")
+    shadow_root = os.path.join(table_dir, "shadow")
+    os.makedirs(shadow_root, exist_ok=True)
+    inc_path = os.path.join(shadow_root, "increment.txt")
+    inc = 0
+    if os.path.exists(inc_path):
+        with open(inc_path) as f:
+            inc = int(f.read().strip() or 0)
+    inc += 1
+    name = shadow_name or str(inc)
+    dst_root = os.path.join(shadow_root, name, partition or "")
+    if os.path.exists(os.path.join(shadow_root, name)):
+        raise ValueError(f"shadow snapshot {name!r} already exists")
+    os.makedirs(dst_root, exist_ok=True)
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        # never recurse into the shadow area itself
+        if os.path.abspath(root).startswith(os.path.abspath(shadow_root)):
+            continue
+        rel = os.path.relpath(root, src)
+        for fn in files:
+            if not (
+                fn.endswith(".clickhouse")
+                or (fn.startswith("_") and fn.endswith(".stats.json"))
+            ):
+                continue
+            d = os.path.join(dst_root, rel) if rel != "." else dst_root
+            os.makedirs(d, exist_ok=True)
+            _link_or_copy(os.path.join(root, fn), os.path.join(d, fn))
+            n += 1
+    with open(inc_path, "w") as f:
+        f.write(str(inc))
+    with open(os.path.join(shadow_root, name, "_FROZEN.json"), "w") as f:
+        _json.dump({"partition": partition, "n_files": n}, f)
+    return {"shadow_dir": os.path.join(shadow_root, name), "n_files": n}

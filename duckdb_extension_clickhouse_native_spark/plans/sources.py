@@ -3822,3 +3822,69 @@ REGISTRY.df_query(
     "flattened); range-clustered within partitions; lossless vs the "
     "raw-table oracle",
 )
+
+
+# --- FREEZE PARTITION ----------------------------------------------------------------
+
+
+def _mutation_freeze_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE FREEZE PARTITION: hard-link one hive partition into
+    shadow/<N>/ (the literal ClickHouse layout, zero data movement),
+    then DROP PARTITION on the live table, then read the FROZEN
+    snapshot — which must still hold the pre-drop data (links keep
+    the inodes alive). Oracle = the raw partition."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session, load_tables
+    from ..operators.backup import freeze_partition
+
+    ensure_session(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "chsql_freeze", tag)
+    # fresh per build: the entry mutates the live table
+    shutil.rmtree(base, ignore_errors=True)
+    live = os.path.join(base, "orders")
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    (
+        t.repartition(4)
+        .write.format("clickhouse_native")
+        .option("partition_by", "o_orderstatus")
+        .mode("overwrite")
+        .save(live)
+    )
+    snap = freeze_partition(live, "o_orderstatus=F")
+    # destructive change AFTER the freeze: DROP PARTITION removes the
+    # live files outright — the frozen hard links must keep the bytes
+    shutil.rmtree(os.path.join(live, "o_orderstatus=F"))
+    frozen = os.path.join(snap["shadow_dir"], "o_orderstatus=F")
+    df = spark.read.format("clickhouse_native").load(frozen)
+    return df.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("sum_cents"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+REGISTRY.df_query(
+    "mutation_freeze_partition",
+    _mutation_freeze_partition,
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=["mutation", "freeze", "backup", "hive"],
+    description="FREEZE PARTITION into shadow/<N>/ (hard links, zero "
+    "data movement) survives a post-freeze ALTER DELETE of the live "
+    "partition — frozen snapshot == the pre-delete oracle",
+)

@@ -275,6 +275,7 @@ AUDIT = [
     "catalog_row_policy",
     "native_describe_table",
     "optimize_compact_hive",
+    "mutation_freeze_partition",
 ]
 
 
