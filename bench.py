@@ -422,6 +422,9 @@ def main() -> None:
         "optimize_compact_hive",
         # FREEZE PARTITION (r12f)
         "mutation_freeze_partition",
+        # CHECK TABLE + 20th stream twin (r12f)
+        "catalog_check_table",
+        "stream_time_slots",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

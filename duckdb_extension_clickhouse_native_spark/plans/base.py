@@ -592,7 +592,8 @@ GRADING_WINDOW = [
     # array_rotate_shingles, scalar_time_slots, native_into_outfile
     # (r12e); window_lag_in_frame, scalar_json_extract_family,
     # array_join_multi, catalog_row_policy, native_describe_table,
-    # optimize_compact_hive, mutation_freeze_partition (r12f)
+    # optimize_compact_hive, mutation_freeze_partition,
+    # catalog_check_table, stream_time_slots (r12f)
     # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
     # distinct_segments,
     # events_sessionize,

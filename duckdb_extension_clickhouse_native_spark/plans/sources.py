@@ -3888,3 +3888,67 @@ REGISTRY.df_query(
     "data movement) survives a post-freeze ALTER DELETE of the live "
     "partition — frozen snapshot == the pre-delete oracle",
 )
+
+
+# --- CHECK TABLE -----------------------------------------------------------------------
+
+
+def _catalog_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK TABLE (docs: statements/check-table): every part decodes
+    end-to-end and its physical row count matches its stats sidecar.
+    Distributed: the scan re-reads all parts with file_column
+    provenance and counts per part executor-side; the sidecar expectation
+    is driver METADATA (one small json per part — the same reads
+    planning already does) broadcast-joined against the counts. The
+    graded output aggregates to (n_parts, total_rows, parts_ok) so the
+    oracle is the raw table plus the fixture's known part count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .base import ensure_session
+    from ..native.writer import stats_sidecar_path
+    from ..sources.native_datasource import _resolve_paths, infer_native_schema
+
+    ensure_session(spark)
+    path = native_fixture_dir(spark, sf_dir, "orders")
+    expected = []
+    for p in _resolve_paths(path):
+        with open(stats_sidecar_path(p)) as f:
+            expected.append((os.path.basename(p), int(json.load(f)["rows"])))
+    exp_df = spark.createDataFrame(expected, "part STRING, rows_expected BIGINT")
+    df = (
+        spark.read.format("clickhouse_native")
+        .schema(infer_native_schema({"path": path, "file_column": "_part"}))
+        .option("file_column", "_part")
+        .load(path)
+    )
+    counted = df.groupBy(F.col("_part").alias("part")).agg(
+        F.count("*").alias("rows_actual")
+    )
+    checked = counted.join(F.broadcast(exp_df), "part", "full_outer").select(
+        "part",
+        (F.col("rows_actual") == F.col("rows_expected")).alias("ok"),
+        "rows_actual",
+    )
+    return checked.agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rows_actual").alias("total_rows"),
+        F.min(F.col("ok").cast("int")).cast("boolean").alias("all_ok"),
+    )
+
+
+REGISTRY.df_query(
+    "catalog_check_table",
+    _catalog_check_table,
+    oracle="""
+    SELECT 16 AS n_parts, COUNT(*) AS total_rows, TRUE AS all_ok
+    FROM orders
+    """,
+    tags=["catalog", "integrity", "check"],
+    description="CHECK TABLE: distributed per-part decode + row-count "
+    "vs stats-sidecar verification (file_column provenance, broadcast "
+    "expectation join); fingerprint == the raw table + the fixture's "
+    "16-part contract",
+)

@@ -1564,3 +1564,73 @@ REGISTRY.df_query(
     "cell counts maintained in complete mode, sketch finalized batch-"
     "side; == the quantile_timing_grid batch oracle (19th stream twin)",
 )
+
+
+def _stream_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20th stream twin: timeSlots as a streaming aggregate — each
+    purchase span explodes into its 300 s slot grid map-side and the
+    per-slot counts stream in complete mode (a bounded-domain
+    aggregate, like the quantileTiming grid); the drained sketch
+    finalizes to the batch entry's scalar fingerprints."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events_stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    b = F.unix_timestamp(F.col("ts")).cast("bigint")
+    dur = 1 + F.floor(F.col("value") * 100).cast("bigint") % 900
+    slots = (
+        events.filter("event_type = 'purchase'")
+        .withColumn(
+            "slot",
+            F.explode(
+                F.sequence(
+                    (F.floor(b / 300) * 300).cast("bigint"),
+                    b + dur,
+                    F.lit(300).cast("bigint"),
+                )
+            ),
+        )
+        .groupBy("slot")
+        .count()
+    )
+    counts = _drain(slots, "complete")
+    return counts.agg(
+        F.sum("count").alias("n_slot_rows"),
+        F.count("*").alias("n_distinct_slots"),
+        F.min("slot").alias("min_slot"),
+        F.max("slot").alias("max_slot"),
+    )
+
+
+REGISTRY.df_query(
+    "stream_time_slots",
+    _stream_time_slots,
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS b,
+             1 + CAST(FLOOR(value * 100) AS BIGINT) % 900 AS dur
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    slots AS (
+      SELECT event_id, unnest(generate_series(
+               CAST(FLOOR(b / 300) * 300 AS BIGINT),
+               b + dur,
+               300
+             )) AS slot
+      FROM iv
+    )
+    SELECT COUNT(*) AS n_slot_rows,
+           COUNT(DISTINCT slot) AS n_distinct_slots,
+           MIN(slot) AS min_slot,
+           MAX(slot) AS max_slot
+    FROM slots
+    """,
+    tags=["streaming", "datetime", "sketch"],
+    description="timeSlots as a streaming aggregate: map-side slot "
+    "explosion + complete-mode per-slot counts (bounded domain), "
+    "finalized batch-side == the scalar_time_slots oracle (20th "
+    "stream twin)",
+)

@@ -276,6 +276,8 @@ AUDIT = [
     "native_describe_table",
     "optimize_compact_hive",
     "mutation_freeze_partition",
+    "catalog_check_table",
+    "stream_time_slots",
 ]
 
 
