@@ -109,3 +109,31 @@ def purge_dropped(
             shutil.rmtree(os.path.join(trash_dir, d), ignore_errors=True)
             n += 1
     return n
+
+
+def truncate_table(
+    path: str, *, now_fn: Callable[[], float] = time.time
+) -> str:
+    """``TRUNCATE TABLE`` (docs: statements/truncate): remove every
+    data part — and their sidecars, skip indexes, delete masks and
+    shadow snapshots — but KEEP the table directory and its metadata
+    (schema file, policies), so the table stays queryable as empty
+    and writable in place. Parts move to a trash generation (the
+    delayed-drop machinery), so an accidental TRUNCATE is UNDROP-able
+    until purge."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise ValueError(f"no table directory at {path!r}")
+    trash_dir = os.path.join(os.path.dirname(path), TRASH)
+    os.makedirs(trash_dir, exist_ok=True)
+    stamp = f"{int(now_fn() * 1000):015d}"
+    dst = os.path.join(
+        trash_dir, f"{os.path.basename(path)}-truncated-{stamp}"
+    )
+    os.makedirs(dst)
+    kept = {"_policies.json", "_table_schema.json"}
+    for entry in os.listdir(path):
+        if entry in kept:
+            continue
+        os.rename(os.path.join(path, entry), os.path.join(dst, entry))
+    return dst

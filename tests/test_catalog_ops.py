@@ -75,3 +75,38 @@ def test_purge_cutoff(spark, tmp_path):
         == 1
     )
     assert undrop_table(t) and _count(spark, t) == 50
+
+
+def test_truncate_table_keeps_metadata_and_is_undropable(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+    from duckdb_extension_clickhouse_native_spark.operators.catalog import (
+        truncate_table,
+    )
+    from duckdb_extension_clickhouse_native_spark.operators.rowpolicy import (
+        create_row_policy,
+        list_row_policies,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    t = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    write_native_file(os.path.join(d, "p.clickhouse"), t)
+    create_row_policy(d, "pol", "n_regionkey = 1", to_users=["u"])
+    clock = [1_700_000_000.0]
+    trash = truncate_table(d, now_fn=lambda: clock[0])
+    # table dir survives, policies survive, data gone
+    assert os.path.isdir(d)
+    assert [p["name"] for p in list_row_policies(d)] == ["pol"]
+    assert not any(f.endswith(".clickhouse") for f in os.listdir(d))
+    # the trashed generation holds the parts (UNDROP-able until purge)
+    assert any(f.endswith(".clickhouse") for f in os.listdir(trash))
+    # the empty table is still writable in place
+    write_native_file(os.path.join(d, "p2.clickhouse"), t.slice(0, 5))
+    n = spark.read.format("clickhouse_native").load(d).count()
+    assert n == 5
