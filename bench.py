@@ -425,6 +425,8 @@ def main() -> None:
         # CHECK TABLE + 20th stream twin (r12f)
         "catalog_check_table",
         "stream_time_slots",
+        # URL canonicalization dedup (r12f)
+        "dedup_url_canonical",
     ]
     r12_ops, r12_total = run_tier(r12_names)
 

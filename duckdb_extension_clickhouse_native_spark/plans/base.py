@@ -593,7 +593,8 @@ GRADING_WINDOW = [
     # (r12e); window_lag_in_frame, scalar_json_extract_family,
     # array_join_multi, catalog_row_policy, native_describe_table,
     # optimize_compact_hive, mutation_freeze_partition,
-    # catalog_check_table, stream_time_slots (r12f)
+    # catalog_check_table, stream_time_slots, dedup_url_canonical
+    # (r12f)
     # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
     # distinct_segments,
     # events_sessionize,

@@ -196,3 +196,87 @@ REGISTRY.sql_query(
         "parallel unnest()"
     ),
 )
+
+
+# --- URL canonicalization dedup -----------------------------------------------------
+# The web-corpus dedup step every crawl pipeline runs: scheme/case
+# normalization, trailing-slash strip, tracking-param drop, fragment
+# drop — then exact dedup on the canonical form. Spark uses its real
+# URL machinery (parse_url HOST/PATH/QUERY-key extraction); the DuckDB
+# oracle re-derives the same canonical with regexes — independent
+# parsers, so a parse_url quirk cannot hide. URLs are manufactured
+# deterministically from doc_id with hostile decorations (upper-case
+# host, trailing slash on evens, utm params always, fragment on %3).
+_URL_CANON_SPARK = """
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://WWW.Example', CAST(doc_id % 7 AS STRING),
+                    '.com/p/', CAST(doc_id % 13 AS STRING),
+                    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                    '?utm_source=feed&id=', CAST(doc_id % 5 AS STRING),
+                    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               lower(parse_url(url, 'HOST')),
+               regexp_replace(parse_url(url, 'PATH'), '/$', ''),
+               '?id=', parse_url(url, 'QUERY', 'id')
+             ) AS curl
+      FROM urls
+    ),
+    grouped AS (
+      SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+      FROM canon GROUP BY curl
+    )
+    SELECT COUNT(*) AS n_canonical,
+           CAST(SUM(n_dups) AS BIGINT) AS n_docs,
+           CAST(MAX(n_dups) AS BIGINT) AS max_group,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_sum
+    FROM grouped
+"""
+
+_URL_CANON_ORACLE = """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id % 13 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, 'https://([^/]+)/', 1))
+             || rtrim(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/')
+             || '?id=' || regexp_extract(url, 'id=([0-9]+)', 1) AS curl
+      FROM urls
+    ),
+    grouped AS (
+      SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+      FROM canon GROUP BY curl
+    )
+    SELECT COUNT(*) AS n_canonical,
+           CAST(SUM(n_dups) AS BIGINT) AS n_docs,
+           CAST(MAX(n_dups) AS BIGINT) AS max_group,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_sum
+    FROM grouped
+"""
+
+REGISTRY.sql_query(
+    "dedup_url_canonical",
+    _URL_CANON_SPARK,
+    oracle=_URL_CANON_ORACLE,
+    tables=["documents"],
+    tags=["compat", "dedup", "url", "pipeline"],
+    description=(
+        "URL canonicalization dedup (crawl-pipeline staple): lower "
+        "host, strip trailing slash / tracking params / fragment, "
+        "exact dedup on the canonical — Spark parse_url vs DuckDB "
+        "regex re-derivation, keeper = MIN(doc_id)"
+    ),
+)

@@ -278,6 +278,7 @@ AUDIT = [
     "mutation_freeze_partition",
     "catalog_check_table",
     "stream_time_slots",
+    "dedup_url_canonical",
 ]
 
 
