@@ -125,7 +125,12 @@ def write_parquet(buf: BinaryIO, batches, ch_types=None) -> int:
 
     batches = list(batches)
     if not batches:
-        return 0
+        # same contract as write_orc: a 0-byte body is not a valid
+        # parquet file; empty exports carry the schema in a 0-row batch
+        raise ValueError(
+            "cannot write a Parquet body from zero batches (no "
+            "schema); pass one 0-row batch for an empty export"
+        )
     table = pa.Table.from_batches(batches)
     pq.write_table(table, buf)
     return table.num_rows
@@ -161,7 +166,13 @@ def write_orc(buf: BinaryIO, batches, ch_types=None) -> int:
 
     batches = list(batches)
     if not batches:
-        return 0
+        # a 0-byte body is not a valid ORC file — callers that need an
+        # empty export must pass a 0-row batch carrying the schema
+        # (into_outfile does exactly that)
+        raise ValueError(
+            "cannot write an ORC body from zero batches (no schema); "
+            "pass one 0-row batch for an empty export"
+        )
     table = pa.Table.from_batches(batches)
     po.write_table(table, buf)
     return table.num_rows

@@ -58,9 +58,15 @@ def _parse_npy_header(data: bytes) -> tuple[np.dtype, tuple, bool, int]:
     header = data[off : off + hlen].decode("latin1")
     try:
         meta = ast.literal_eval(header)
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(f"malformed .npy header: {e}") from None
-    descr = meta["descr"]
+        if not isinstance(meta, dict):
+            raise ValueError("header literal is not a dict")
+        descr = meta["descr"]
+        shape = tuple(meta["shape"])
+        fortran = bool(meta["fortran_order"])
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 - KeyError/TypeError/Syntax
+        raise ValueError(f"malformed .npy header: {e!r}") from None
     if not isinstance(descr, str):
         raise ValueError(
             "structured .npy dtypes are not supported (single plain "
@@ -69,7 +75,7 @@ def _parse_npy_header(data: bytes) -> tuple[np.dtype, tuple, bool, int]:
     dt = np.dtype(descr)
     if dt.hasobject:
         raise ValueError("object .npy dtypes are refused (no pickle)")
-    return dt, tuple(meta["shape"]), bool(meta["fortran_order"]), off + hlen
+    return dt, shape, fortran, off + hlen
 
 
 def _to_arrow(arr: np.ndarray, *, lossy_uint64: bool) -> pa.Array:
@@ -79,13 +85,11 @@ def _to_arrow(arr: np.ndarray, *, lossy_uint64: bool) -> pa.Array:
     if kind == "u":
         if arr.dtype.itemsize == 8:
             if lossy_uint64:
-                wrapped = (
-                    (arr.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
-                        np.int64
-                    )
-                    ^ np.int64(0x80000000)
-                ) - np.int64(0x80000000)
-                return pa.array(wrapped.astype(np.int32))
+                # the reference's UInt64 -> i32 wrap, shared with the
+                # Arrow wire path (arrowwire._wrap_uint64_i32)
+                from .arrowwire import _wrap_uint64_i32
+
+                return _wrap_uint64_i32(pa.array(arr))
             if arr.size and int(arr.max()) > 0x7FFFFFFFFFFFFFFF:
                 raise ValueError(
                     "Npy uint64 value >= 2^63; pass lossy_uint64=true "
@@ -102,15 +106,9 @@ def _to_arrow(arr: np.ndarray, *, lossy_uint64: bool) -> pa.Array:
     raise ValueError(f"unsupported .npy dtype {arr.dtype!r}")
 
 
-class RawBatch:
-    """Minimal Block-alike: what the scan read path consumes."""
-
-    def __init__(self, batch: pa.RecordBatch):
-        self._batch = batch
-        self.n_rows = batch.num_rows
-
-    def to_record_batch(self) -> pa.RecordBatch:
-        return self._batch
+# RawBatch is arrowwire's Block-alike — shared, not re-implemented
+# (review finding: a byte-for-byte duplicate class invites divergence)
+from .arrowwire import RawBatch  # noqa: E402
 
 
 def iter_npy_blocks(
@@ -172,6 +170,16 @@ def write_npy(buf: BinaryIO, batches, ch_types=None) -> int:
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         vals = [v.encode("utf-8") for v in col.to_pylist()]
+        if any(v.endswith(b"\x00") for v in vals):
+            # fixed-width S storage NUL-pads, and every reader strips
+            # trailing NULs — a value ending in NUL cannot round-trip.
+            # Refuse loudly rather than silently truncate (the same
+            # contract nulls get).
+            raise ValueError(
+                "FORMAT Npy cannot represent strings with trailing "
+                "NUL bytes (S-dtype padding is indistinguishable from "
+                "data); strip them or use another format"
+            )
         width = max((len(v) for v in vals), default=1) or 1
         arr = np.array(vals, dtype=f"S{width}")
     elif (

@@ -104,28 +104,62 @@ def into_outfile(
             f"INTO OUTFILE format must be one of {sorted(_WRITERS)}, "
             f"got {wire_format!r}"
         )
-    if os.path.exists(path):
-        if not truncate:
-            raise FileExistsError(
-                f"{path} exists; pass truncate=True (ClickHouse "
-                "INTO OUTFILE ... TRUNCATE)"
-            )
-        os.remove(path)
+    if os.path.exists(path) and not truncate:
+        raise FileExistsError(
+            f"{path} exists; pass truncate=True (ClickHouse "
+            "INTO OUTFILE ... TRUNCATE)"
+        )
+    # NEVER pre-delete the old file: os.replace publishes atomically,
+    # so a failed export leaves the previous file intact (review
+    # finding: an early remove + crashed job destroyed both versions)
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # the empty-result export still needs the schema to write a valid
+    # header/footer (an empty ORC/Parquet body is unreadable): build a
+    # 0-row batch from the DataFrame's own schema driver-side
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    import pyarrow as _pa
+
+    empty_schema = _pa.schema(
+        [
+            _pa.field(f.name, to_arrow_type(f.dataType))
+            for f in df.schema.fields
+        ]
+    )
 
     def write_single(batches):
+        import uuid
+
         import pyarrow as pa
 
         writer = _resolve_writer(fmt)
         chunks = list(batches)
-        tmp = path + ".inprogress"
-        buf = _open_sink(tmp, path)
+        if not chunks:
+            chunks = [
+                pa.RecordBatch.from_arrays(
+                    [pa.array([], type=f.type) for f in empty_schema],
+                    schema=empty_schema,
+                )
+            ]
+        # per-attempt temp name: a speculative/retried task attempt
+        # must never interleave writes with a zombie first attempt
+        # (both would share a fixed '.inprogress' name); os.replace
+        # keeps publication atomic regardless of which attempt wins
+        tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
         try:
-            n = writer(buf, chunks, ch_types) or 0
-        finally:
-            buf.close()
-        os.replace(tmp, path)
+            buf = _open_sink(tmp, path)
+            try:
+                n = writer(buf, chunks, ch_types) or 0
+            finally:
+                buf.close()
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         yield pa.RecordBatch.from_arrays(
             [pa.array([int(n)], type=pa.int64())], names=["n"]
         )

@@ -3927,9 +3927,13 @@ def _catalog_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = df.groupBy(F.col("_part").alias("part")).agg(
         F.count("*").alias("rows_actual")
     )
+    # eqNullSafe: a part missing from EITHER side (unreadable, or a
+    # sidecar for a vanished file) must FAIL the check, not null out
+    # of the MIN (review finding: == propagates NULL and MIN ignores
+    # it, silently passing a corrupt table)
     checked = counted.join(F.broadcast(exp_df), "part", "full_outer").select(
         "part",
-        (F.col("rows_actual") == F.col("rows_expected")).alias("ok"),
+        F.col("rows_actual").eqNullSafe(F.col("rows_expected")).alias("ok"),
         "rows_actual",
     )
     return checked.agg(

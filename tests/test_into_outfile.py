@@ -119,3 +119,39 @@ def test_outfile_npy_and_refusals(spark, nation, tmp_path):
         into_outfile(nation, str(tmp_path / "bad.npy"), "npy")
     with pytest.raises(ValueError, match="format must be one of"):
         into_outfile(nation, str(tmp_path / "x"), "xml")
+
+
+def test_outfile_failure_preserves_previous_file(spark, nation, tmp_path):
+    """A failed export must leave the previous file intact (the old
+    pre-delete destroyed both versions — review finding)."""
+    p = str(tmp_path / "keep.npy")
+    assert into_outfile(nation.select("n_nationkey"), p, "npy") == 25
+    before = open(p, "rb").read()
+    # multi-column npy export fails executor-side
+    with pytest.raises(Exception, match="one column"):
+        into_outfile(nation, p, "npy", truncate=True)
+    assert open(p, "rb").read() == before
+
+
+def test_outfile_empty_result_is_valid_file(spark, nation, tmp_path):
+    """INTO OUTFILE of an empty SELECT writes a VALID file with the
+    schema (a 0-byte ORC/Parquet body is unreadable — review finding)."""
+    empty = nation.filter("n_nationkey < 0")
+    for fmt in ("orc", "parquet", "csv", "native"):
+        p = str(tmp_path / f"empty.{fmt}")
+        assert into_outfile(empty, p, fmt) == 0
+        assert os.path.getsize(p) > 0 or fmt == "native"
+        if fmt in ("orc", "parquet"):
+            rows = _decode(fmt, open(p, "rb").read())
+            assert rows == []
+
+
+def test_bare_writers_refuse_zero_batches():
+    from duckdb_extension_clickhouse_native_spark.native.arrowwire import (
+        write_orc,
+        write_parquet,
+    )
+
+    for w in (write_orc, write_parquet):
+        with pytest.raises(ValueError, match="zero batches"):
+            w(io.BytesIO(), [])

@@ -321,3 +321,32 @@ def test_orc_roundtrip_property(rows):
             )
         )
     assert got == rows
+
+
+def test_npy_trailing_nul_refused_and_malformed_dict_header():
+    from duckdb_extension_clickhouse_native_spark.native.npyformat import (
+        _parse_npy_header,
+        write_npy,
+    )
+
+    with pytest.raises(ValueError, match="trailing"):
+        write_npy(
+            io.BytesIO(),
+            [pa.RecordBatch.from_arrays([pa.array(["ab\x00"])], names=["s"])],
+        )
+    # interior NULs round-trip fine
+    buf = io.BytesIO()
+    write_npy(
+        buf,
+        [pa.RecordBatch.from_arrays([pa.array(["a\x00b"])], names=["s"])],
+    )
+    got = list(iter_npy_blocks(io.BytesIO(buf.getvalue()), _nt("s", "String")))
+    assert got[0].to_record_batch().column(0).to_pylist() == ["a\x00b"]
+    # header dict missing a key / non-dict literal: named ValueError,
+    # never a bare KeyError/TypeError (review finding)
+    for lit in (
+        "{'descr': '<i8', 'shape': (3,), }",  # no fortran_order
+        "[1, 2]",
+    ):
+        with pytest.raises(ValueError):
+            _parse_npy_header(_npy_bytes(lit, b"\x00" * 24))
