@@ -526,89 +526,76 @@ _ROUND9_WINDOW = [
 # the oldest evidence tier) and the alphabetically-first 12 r7-green
 # rows. New round-12 entries are prepended above the cohort as they
 # land (never-graded first policy), displacing the r7 tail.
+# ROUND-12 WINDOW (graded 50/50 green in CORRECTNESS_r12.json; full
+# text in git history at 210c10d): 23 never-graded r12/r12b leads +
+# 27 r12b/c additions. The 30 late-r12c/d/e/f additions were displaced
+# past the 50-cutoff and lead round 13 per the never-graded-first
+# policy (VERDICT r12 item 1).
+#
+# ROUND-13 WINDOW (tools/window_plan.py regenerated at registry 354):
+# the 30 never-driver-graded r12c/d/e/f entries lead (judge-swept
+# green at r12 but zero CORRECTNESS rows), then changed-path re-proofs
+# for this round's source changes (fast-twin promotions under the
+# graded names cte_recursive_calendar / text_ngram_distance), then the
+# r6-green oldest-evidence cohort fills the remainder.
 GRADING_WINDOW = [
-    # never driver-graded: round-12 compat tranche (landed this round)
-    "events_collapsing_merge",  # NEVER GRADED (r12)
-    "events_collapsing_versioned",  # NEVER GRADED (r12)
-    "agg_sum_resample",  # NEVER GRADED (r12)
-    "events_with_fill_interpolate",  # NEVER GRADED (r12)
-    "approx_theta_setops",  # NEVER GRADED (r12)
-    "cte_recursive_calendar",  # NEVER GRADED (r12)
-    "stats_mad_outliers",  # NEVER GRADED (r12)
-    "stats_benford_digits",  # NEVER GRADED (r12)
-    "sim_matryoshka_topk",  # NEVER GRADED (r12)
-    "native_set_skip_scan",  # NEVER GRADED (r12: set(N) skip index)
-    "mutation_lightweight_delete",  # NEVER GRADED (r12: delete masks)
-    "native_trivial_count",  # NEVER GRADED (r12: metadata count)
-    "mutation_schema_evolution",  # NEVER GRADED (r12: metadata ALTERs)
-    "native_projection_sort",  # NEVER GRADED (r12: sort-key projection)
-    "events_nonneg_derivative",  # NEVER GRADED (r12)
-    "agg_sparkbar_hours",  # NEVER GRADED (r12)
-    "stats_two_proportion_z",  # NEVER GRADED (r12)
-    "stream_collapsing_merge",  # NEVER GRADED (r12: 17th stream twin)
-    "scan_remote_jsonobjects",  # NEVER GRADED (r12: 8th wire format)
-    "agg_combinator_matrix",  # NEVER GRADED (r12: combinator family)
-    "text_unicode_normalize_dedup",  # NEVER GRADED
-    "mutation_ttl_rollup_hive",  # NEVER GRADED
-    "native_bloom_skip_scan",  # NEVER GRADED
-    # never driver-graded: this session's additions (compat tranche 2,
-    # binary embeddings, 9th wire format, cluster reads, tokenbf,
-    # merge() — all landed late r12)
-    "events_retention_matrix",  # NEVER GRADED (r12b)
-    "stats_theils_u",  # NEVER GRADED (r12b)
-    "stats_anova_f",  # NEVER GRADED (r12b)
-    "scalar_format_readable",  # NEVER GRADED (r12b)
-    "dict_range_lookup",  # NEVER GRADED (r12b)
-    "text_readability",  # NEVER GRADED (r12b)
-    "sim_topk_binary",  # NEVER GRADED (r12b)
-    "sim_binary_recall",  # NEVER GRADED (r12b)
-    "scan_remote_values",  # NEVER GRADED (r12b: 9th wire format)
-    "scan_remote_cluster",  # NEVER GRADED (r12b: Distributed read)
-    "native_tokenbf_skip_scan",  # NEVER GRADED (r12b: token index)
-    "tf_merge_tables",  # NEVER GRADED (r12b: merge() TF)
-    "stream_retention",  # NEVER GRADED (r12b: 18th stream twin)
-    "select_replace_modifier",  # NEVER GRADED (r12b)
-    "select_columns_apply",  # NEVER GRADED (r12b)
-    "sim_cascade_topk",  # NEVER GRADED (r12b: retrieval cascade)
-    "scan_remote_tskv",  # NEVER GRADED (r12b: 10th wire format)
-    "stream_scan_remote_cursor",  # NEVER GRADED (r12b: cursor stream)
-    "sim_ann_partition_pruned",  # NEVER GRADED (r12b: IVF layout)
-    "query_cache_roundtrip",  # NEVER GRADED (r12b: use_query_cache)
-    "mutation_column_ttl",  # NEVER GRADED (r12b: column TTL)
-    "mutation_materialize_column",  # NEVER GRADED (r12b)
-    "scan_cluster_colocated_join",  # NEVER GRADED (r12b)
-    "optimize_dedupe_by",  # NEVER GRADED (r12b)
-    "backup_restore_roundtrip",  # NEVER GRADED (r12b)
-    "catalog_exchange_tables",  # NEVER GRADED (r12b)
-    "array_fold_has_ops",  # NEVER GRADED (r12c: fold order + hasAll/Any/Substr)
-    # never driver-graded, displaced to lead r13 (window full):
-    # scalar_string_pad_split, agg_group_uniq_array, stats_mean_ztest,
-    # quantile_timing_grid, agg_categorical_iv, tf_numbers_lcg,
-    # scan_remote_orc, scan_remote_npy, native_sample_clause (r12c);
-    # dict_complex_key_lookup, agg_group_array_insert_at,
-    # agg_summap_filtered, quantile_deterministic,
-    # scan_cluster_global_in, stream_quantile_timing (r12d);
-    # topk_with_ties, events_running_concurrency,
-    # array_rotate_shingles, scalar_time_slots, native_into_outfile
-    # (r12e); window_lag_in_frame, scalar_json_extract_family,
-    # array_join_multi, catalog_row_policy, native_describe_table,
-    # optimize_compact_hive, mutation_freeze_partition,
-    # catalog_check_table, stream_time_slots, dedup_url_canonical
-    # (r12f)
-    # (28 r6-cohort rows displaced to r13: dedup_fingerprint,
-    # distinct_segments,
-    # events_sessionize,
-    # explode_token_freq, join_full_outer, join_left_outer,
-    # join_right_outer,
-    # join_semi_anti, multimodal_features,
-    # multimodal_frame_sample, native_roundtrip_documents,
-    # multimodal_resize,
-    # native_zorder_skip_scan, q2_min_per_group, regex_functions,
-    # sample_hash_based, scalar_conditional,
-    # scalar_math_funcs, scalar_string_funcs, scan_project_filter,
-    # scan_tcp_split, scan_tcp_write_roundtrip, sim_pairs_signlsh,
-    # sim_topk_bruteforce, sim_topk_ivf, subquery_correlated_exists,
-    # subquery_in)
+    # never driver-graded (r12c tranche)
+    "scalar_string_pad_split",  # NEVER GRADED (r12c)
+    "agg_group_uniq_array",  # NEVER GRADED (r12c)
+    "stats_mean_ztest",  # NEVER GRADED (r12c)
+    "quantile_timing_grid",  # NEVER GRADED (r12c)
+    "agg_categorical_iv",  # NEVER GRADED (r12c)
+    "tf_numbers_lcg",  # NEVER GRADED (r12c)
+    "scan_remote_orc",  # NEVER GRADED (r12c: 11th wire format)
+    "scan_remote_npy",  # NEVER GRADED (r12c: 12th wire format)
+    "native_sample_clause",  # NEVER GRADED (r12c)
+    # never driver-graded (r12d tranche)
+    "dict_complex_key_lookup",  # NEVER GRADED (r12d)
+    "agg_group_array_insert_at",  # NEVER GRADED (r12d)
+    "agg_summap_filtered",  # NEVER GRADED (r12d)
+    "quantile_deterministic",  # NEVER GRADED (r12d)
+    "scan_cluster_global_in",  # NEVER GRADED (r12d)
+    "stream_quantile_timing",  # NEVER GRADED (r12d: stream twin)
+    # never driver-graded (r12e tranche)
+    "topk_with_ties",  # NEVER GRADED (r12e)
+    "events_running_concurrency",  # NEVER GRADED (r12e)
+    "array_rotate_shingles",  # NEVER GRADED (r12e)
+    "scalar_time_slots",  # NEVER GRADED (r12e)
+    "native_into_outfile",  # NEVER GRADED (r12e)
+    # never driver-graded (r12f tranche)
+    "window_lag_in_frame",  # NEVER GRADED (r12f)
+    "scalar_json_extract_family",  # NEVER GRADED (r12f)
+    "array_join_multi",  # NEVER GRADED (r12f)
+    "catalog_row_policy",  # NEVER GRADED (r12f)
+    "native_describe_table",  # NEVER GRADED (r12f)
+    "optimize_compact_hive",  # NEVER GRADED (r12f)
+    "mutation_freeze_partition",  # NEVER GRADED (r12f)
+    "catalog_check_table",  # NEVER GRADED (r12f)
+    "stream_time_slots",  # NEVER GRADED (r12f: stream twin)
+    "dedup_url_canonical",  # NEVER GRADED (r12f)
+    # changed-path re-proofs: r13 fast-twin promotions execute the new
+    # plan under the already-graded name (precedent: r11 kmeans/PQ)
+    "cte_recursive_calendar",  # green r12; r13 sequence() spine default
+    "text_ngram_distance",  # green r10; r13 posting-list default
+    # oldest-evidence cohort (newest green r6), alphabetical
+    "dedup_fingerprint",  # green r6
+    "distinct_segments",  # green r6
+    "events_sessionize",  # green r6
+    "explode_token_freq",  # green r6
+    "join_full_outer",  # green r6
+    "join_left_outer",  # green r6
+    "join_right_outer",  # green r6
+    "join_semi_anti",  # green r6
+    "multimodal_features",  # green r6
+    "multimodal_frame_sample",  # green r6
+    "multimodal_resize",  # green r6
+    "native_roundtrip_documents",  # green r6
+    "native_zorder_skip_scan",  # green r6
+    "q2_min_per_group",  # green r6
+    "regex_functions",  # green r6
+    "sample_hash_based",  # green r6
+    "scalar_conditional",  # green r6
+    "scalar_math_funcs",  # green r6
 ]
 
 

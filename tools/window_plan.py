@@ -30,10 +30,16 @@ def main() -> int:
 
     latest_green: dict[str, int] = {}
     graded_ever: set = set()
+    registered = set(REGISTRY.all())
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)", f).group(1))
         rows = json.load(open(f))
         for name, row in rows.items():
+            # names graded in an old round but since unregistered
+            # (e.g. kmeans_fast / sim_topk_pq_fast, folded into their
+            # parents in r6) must not pollute freshness accounting
+            if name not in registered:
+                continue
             graded_ever.add(name)
             ok = (
                 row.get("rows_match")
