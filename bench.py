@@ -319,7 +319,7 @@ def main() -> None:
         "mutation_delete_update_hive",
         "mutation_ttl_rollup_hive",
         "native_bloom_skip_scan",
-        "text_ngram_distance_fast",
+        "text_ngram_distance_sql",
         "sim_topk_pq_sql",
         "kmeans_embeddings_sql",
         "text_unicode_normalize_dedup",

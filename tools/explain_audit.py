@@ -110,7 +110,7 @@ AUDIT = [
     "native_bloom_skip_scan",
     "mutation_delete_update_hive",
     "mutation_ttl_rollup_hive",
-    "text_ngram_distance_fast",
+    "text_ngram_distance_sql",
     "text_unicode_normalize_dedup",
     # round-5 grading-window additions not already audited above
     "dedup_incremental",
@@ -207,6 +207,7 @@ AUDIT = [
     "events_with_fill_interpolate",
     "approx_theta_setops",
     "cte_recursive_calendar",
+    "cte_recursive_calendar_sql",
     "stats_mad_outliers",
     "stats_benford_digits",
     "sim_matryoshka_topk",
