@@ -154,11 +154,22 @@ def write_npy(buf: BinaryIO, batches, ch_types=None) -> int:
         # header for an empty int64 vector — a real server accepts it
         np.save(buf, np.empty(0, dtype=np.int64), allow_pickle=False)
         return 0
-    if batches[0].num_columns != 1:
-        raise ValueError(
-            f"FORMAT Npy carries exactly one column; the INSERT "
-            f"provides {batches[0].num_columns}"
-        )
+    # validate EVERY batch, not just the first: a later wide batch
+    # must raise the contract error, never silently drop columns, and
+    # a type drift must name the contract instead of surfacing as a
+    # raw pyarrow concat error
+    first_type = batches[0].column(0).type if batches[0].num_columns else None
+    for b in batches:
+        if b.num_columns != 1:
+            raise ValueError(
+                f"FORMAT Npy carries exactly one column; the INSERT "
+                f"provides {b.num_columns}"
+            )
+        if b.column(0).type != first_type:
+            raise ValueError(
+                f"FORMAT Npy needs one uniform column type; the INSERT "
+                f"mixes {first_type} and {b.column(0).type}"
+            )
     col = pa.concat_arrays(
         [b.column(0).combine_chunks() if isinstance(b.column(0), pa.ChunkedArray) else b.column(0) for b in batches]
     )

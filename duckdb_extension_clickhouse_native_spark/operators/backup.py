@@ -222,9 +222,14 @@ def freeze_partition(
         raise ValueError(f"shadow snapshot {name!r} already exists")
     os.makedirs(dst_root, exist_ok=True)
     n = 0
+    shadow_prefix = os.path.abspath(shadow_root) + os.sep
     for root, _dirs, files in os.walk(src):
-        # never recurse into the shadow area itself
-        if os.path.abspath(root).startswith(os.path.abspath(shadow_root)):
+        # never recurse into the shadow area itself (os.sep-terminated
+        # prefix: a sibling dir named e.g. 'shadow_old' must NOT match)
+        root_abs = os.path.abspath(root)
+        if root_abs == os.path.abspath(shadow_root) or root_abs.startswith(
+            shadow_prefix
+        ):
             continue
         rel = os.path.relpath(root, src)
         for fn in files:

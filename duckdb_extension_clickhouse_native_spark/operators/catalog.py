@@ -126,11 +126,19 @@ def truncate_table(
         raise ValueError(f"no table directory at {path!r}")
     trash_dir = os.path.join(os.path.dirname(path), TRASH)
     os.makedirs(trash_dir, exist_ok=True)
-    stamp = f"{int(now_fn() * 1000):015d}"
-    dst = os.path.join(
-        trash_dir, f"{os.path.basename(path)}-truncated-{stamp}"
-    )
-    os.makedirs(dst)
+    # two truncates within one millisecond (or a pre-existing
+    # identically stamped trash entry) must not collide; bumping the
+    # stamp keeps the `<...>-<int-ms>` shape purge_dropped parses
+    stamp_ms = int(now_fn() * 1000)
+    while True:
+        dst = os.path.join(
+            trash_dir, f"{os.path.basename(path)}-truncated-{stamp_ms:015d}"
+        )
+        try:
+            os.makedirs(dst)
+            break
+        except FileExistsError:
+            stamp_ms += 1
     kept = {"_policies.json", "_table_schema.json"}
     for entry in os.listdir(path):
         if entry in kept:

@@ -133,6 +133,16 @@ def into_outfile(
 
         import pyarrow as pa
 
+        # re-check on the EXECUTOR's filesystem: the driver-side guard
+        # above inspects the driver host, but the write lands wherever
+        # this task runs — on a multi-node cluster the two are
+        # different filesystems, and the ClickHouse overwrite-refusal
+        # contract must hold where the file is actually created
+        if not truncate and os.path.exists(path):
+            raise FileExistsError(
+                f"{path} exists on the writer host; pass truncate=True "
+                "(ClickHouse INTO OUTFILE ... TRUNCATE)"
+            )
         writer = _resolve_writer(fmt)
         chunks = list(batches)
         if not chunks:

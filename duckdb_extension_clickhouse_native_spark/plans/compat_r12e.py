@@ -52,6 +52,9 @@ _WITH_TIES_SPARK = """
 # DuckDB 1.0 has no WITH TIES clause; the oracle's independent
 # formulation is the boundary-value subquery: keep every row whose
 # key <= the 10th-smallest key (identical to the WITH TIES contract).
+# COALESCE guard: on a relation with <10 rows the OFFSET subquery is
+# NULL — fall back to the max key so BOTH sides return all rows
+# (rank()<=10 keeps everything), instead of the oracle returning zero.
 _WITH_TIES_ORACLE = """
     WITH t AS (
       SELECT p_partkey,
@@ -59,8 +62,9 @@ _WITH_TIES_ORACLE = """
       FROM part
     )
     SELECT p_partkey, cents FROM t
-    WHERE cents <= (
-      SELECT cents FROM t ORDER BY cents LIMIT 1 OFFSET 9
+    WHERE cents <= COALESCE(
+      (SELECT cents FROM t ORDER BY cents LIMIT 1 OFFSET 9),
+      (SELECT MAX(cents) FROM t)
     )
     ORDER BY cents, p_partkey
 """

@@ -110,3 +110,30 @@ def test_truncate_table_keeps_metadata_and_is_undropable(spark, tmp_path):
     write_native_file(os.path.join(d, "p2.clickhouse"), t.slice(0, 5))
     n = spark.read.format("clickhouse_native").load(d).count()
     assert n == 5
+
+
+def test_truncate_same_millisecond_no_collision(spark, tmp_path):
+    """Two truncates under one frozen clock must land in distinct
+    trash generations instead of FileExistsError (ADVICE r12)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+    from duckdb_extension_clickhouse_native_spark.operators.catalog import (
+        truncate_table,
+    )
+
+    d = str(tmp_path / "t2")
+    os.makedirs(d)
+    t = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    write_native_file(os.path.join(d, "p.clickhouse"), t)
+    clock = [1_700_000_000.0]
+    trash1 = truncate_table(d, now_fn=lambda: clock[0])
+    write_native_file(os.path.join(d, "p.clickhouse"), t.slice(0, 3))
+    trash2 = truncate_table(d, now_fn=lambda: clock[0])
+    assert trash1 != trash2
+    assert any(f.endswith(".clickhouse") for f in os.listdir(trash1))
+    assert any(f.endswith(".clickhouse") for f in os.listdir(trash2))

@@ -91,3 +91,24 @@ def test_freeze_flat_table(spark, tmp_path):
     # freezing again must not re-link the shadow area into itself
     snap2 = freeze_partition(d, "")
     assert snap2["n_files"] == 2
+
+
+def test_freeze_ignores_shadow_prefixed_siblings(spark, tmp_path):
+    """A sibling directory merely NAMED like the shadow area (e.g.
+    'shadow_old') is live data and must be frozen, not skipped — the
+    exclusion is os.sep-anchored (ADVICE r12)."""
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    d = str(tmp_path / "flat2")
+    os.makedirs(os.path.join(d, "shadow_old"))
+    t = pq.read_table(SRC)
+    write_native_file(os.path.join(d, "p.clickhouse"), t)
+    write_native_file(os.path.join(d, "shadow_old", "q.clickhouse"), t)
+    snap = freeze_partition(d, "")
+    # both parts (+ their stats sidecars) linked, shadow_old included
+    assert snap["n_files"] == 4
+    assert os.path.exists(
+        os.path.join(snap["shadow_dir"], "shadow_old", "q.clickhouse")
+    )

@@ -152,6 +152,29 @@ def test_write_npy_contract():
             io.BytesIO(),
             [pa.RecordBatch.from_arrays([pa.array([1, None])], names=["v"])],
         )
+    # a LATER wide batch must raise the contract error too (columns
+    # beyond the first were silently dropped before the ADVICE fix)
+    with pytest.raises(ValueError, match="exactly one column"):
+        write_npy(
+            io.BytesIO(),
+            [
+                pa.RecordBatch.from_arrays([pa.array([1])], names=["a"]),
+                pa.RecordBatch.from_arrays(
+                    [pa.array([2]), pa.array([3])], names=["a", "b"]
+                ),
+            ],
+        )
+    # a later-batch TYPE drift names the contract, not a pyarrow error
+    with pytest.raises(ValueError, match="uniform column type"):
+        write_npy(
+            io.BytesIO(),
+            [
+                pa.RecordBatch.from_arrays([pa.array([1])], names=["a"]),
+                pa.RecordBatch.from_arrays(
+                    [pa.array(["x"])], names=["a"]
+                ),
+            ],
+        )
     # strings go out as fixed-width S bytes
     buf = io.BytesIO()
     write_npy(
