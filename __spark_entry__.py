@@ -29,6 +29,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     pipeline,
     relational,
     sources,
+    sources_r13,
     stats,
     streaming_queries,
     timeseries,

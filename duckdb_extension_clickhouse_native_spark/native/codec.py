@@ -34,7 +34,26 @@ from typing import BinaryIO, Iterator, Optional
 import numpy as np
 import pyarrow as pa
 
-from .types import CHType, FIXED_WIDTH, UnsupportedTypeError, parse_type, to_arrow
+from .types import (
+    BIG_INT_WIDTH,
+    CHType,
+    FIXED_WIDTH,
+    UnsupportedTypeError,
+    parse_type,
+    to_arrow,
+)
+
+
+def _nested_equiv(t: CHType) -> CHType:
+    """The wire-equivalent Array(Tuple(...)) of a declared Nested type
+    (a real server flattens Nested to sibling `n.item` Array columns;
+    a directly declared Nested column serializes as Array(Tuple))."""
+    inner = CHType("Tuple")
+    inner.tuple_items = t.tuple_items
+    inner.tuple_names = t.tuple_names
+    eq = CHType("Array")
+    eq.inner = inner
+    return eq
 
 MAX_VARINT_BYTES = 10
 _MASK64_U = (1 << 64) - 1
@@ -600,7 +619,36 @@ def decode_column(
             decode_column(buf, it, rows, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64)
             for it in t.tuple_items
         ]
-        return pa.StructArray.from_arrays(parts, [f"_{i+1}" for i in range(len(parts))])
+        names = t.tuple_names or [f"_{i+1}" for i in range(len(parts))]
+        return pa.StructArray.from_arrays(parts, names)
+    if b == "Nested":
+        return decode_column(
+            buf, _nested_equiv(t), rows,
+            scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+        )
+    if b == "JSON":
+        # String carrier: valid for our own files and for servers that
+        # cast JSON to String on the wire; integrates with the
+        # JSONExtract scalar family downstream
+        return _decode_strings(buf, rows, scrub=scrub_strings)
+    if b in BIG_INT_WIDTH:
+        width = BIG_INT_WIDTH[b]
+        raw = buf.read(width * rows)
+        if len(raw) != width * rows:
+            raise EOFError(f"EOF inside {b} column")
+        signed = b.startswith("Int")
+        vals = [
+            int.from_bytes(raw[i * width : (i + 1) * width], "little", signed=signed)
+            for i in range(rows)
+        ]
+        for v in vals:
+            if not -(10**38) < v < 10**38:
+                raise ValueError(
+                    f"{b} value {v} exceeds the decimal128(38, 0) carrier "
+                    "(Spark has no wider exact type); filter or cast the "
+                    "column server-side"
+                )
+        return pa.array(vals, type=pa.decimal128(38, 0))
     if b == "Map":
         # Array(Tuple(K, V)) layout: u64 cumulative offsets, then the
         # key payload, then the value payload
@@ -799,6 +847,15 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     if b == "Tuple":
         for it in t.tuple_items:
             skip_column(buf, it, rows)
+        return
+    if b == "Nested":
+        skip_column(buf, _nested_equiv(t), rows)
+        return
+    if b == "JSON":
+        skip_column(buf, CHType("String"), rows)
+        return
+    if b in BIG_INT_WIDTH:
+        _skip_bytes(buf, BIG_INT_WIDTH[b] * rows)
         return
     if b == "Map":
         raw = buf.read(8 * rows)
@@ -1106,6 +1163,28 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         for i, it in enumerate(t.tuple_items):
             encode_column(buf, it, arr.field(i))
         return
+    if b == "Nested":
+        if not pa.types.is_list(arr.type):
+            raise UnsupportedTypeError("Nested encode expects a list<struct> array")
+        encode_column(buf, _nested_equiv(t), arr)
+        return
+    if b == "JSON":
+        encode_column(buf, CHType("String", nullable=t.nullable), arr)
+        return
+    if b in BIG_INT_WIDTH:
+        width = BIG_INT_WIDTH[b]
+        signed = b.startswith("Int")
+        if pa.types.is_decimal(arr.type) and arr.type.scale != 0:
+            raise UnsupportedTypeError(
+                f"{b} encode needs an integral column, got {arr.type}"
+            )
+        for v in arr:
+            val = v.as_py()
+            n = int(val) if val is not None else 0
+            if not signed and n < 0:
+                raise ValueError(f"negative value {n} in a {b} column")
+            buf.write(n.to_bytes(width, "little", signed=signed))
+        return
     if b == "Map":
         if not pa.types.is_map(arr.type):
             raise UnsupportedTypeError("Map encode expects a map array")
@@ -1186,6 +1265,18 @@ def _promote_nullable(t: CHType, arr: pa.Array) -> CHType:
     if b == "Array" and t.inner is not None and pa.types.is_list(arr.type):
         eff = CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
         eff.inner = _promote_nullable(t.inner, arr.flatten())
+        return eff
+    if b == "Nested" and t.tuple_items and pa.types.is_list(arr.type):
+        flat = arr.flatten()
+        items = [
+            _promote_nullable(it, flat.field(i))
+            for i, it in enumerate(t.tuple_items)
+        ]
+        eff = CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
+        eff.tuple_items = items
+        eff.params = ", ".join(
+            f"{n} {_nn(it)}" for n, it in zip(t.tuple_names, items)
+        )
         return eff
     return CHType(**{**t.__dict__, "nullable": t.nullable or arr.null_count > 0})
 

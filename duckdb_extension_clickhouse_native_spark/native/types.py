@@ -44,6 +44,7 @@ class CHType:
     fixed_len: int = 0  # FixedString(n)
     scale: int = 0  # DateTime64 precision
     nullable: bool = False
+    tuple_names: list[str] = field(default_factory=list)  # Nested field names
 
     @property
     def name(self) -> str:
@@ -76,6 +77,18 @@ FIXED_WIDTH: dict[str, tuple[str, int]] = {
     "DateTime64": ("<i8", 8),  # ticks at 10^-scale seconds
     "Enum8": ("<i1", 1),
     "Enum16": ("<i2", 2),
+}
+
+# big-int family: byte width of the little-endian two's-complement
+# wire layout.  Carried as Arrow decimal128(38, 0): values with more
+# than 38 significant digits RAISE on decode (the lossless carrier
+# does not exist in Spark — an error beats a silent wrap, the same
+# policy as UInt64 >= 2^63).
+BIG_INT_WIDTH: dict[str, int] = {
+    "Int128": 16,
+    "UInt128": 16,
+    "Int256": 32,
+    "UInt256": 32,
 }
 
 _ENUM_ITEM = re.compile(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)")
@@ -191,6 +204,30 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
                     pass
             t.tuple_items.append(parse_type(piece))
         return t
+    if base == "Nested":
+        # Nested(a T1, b T2): a real server FLATTENS this to sibling
+        # `n.a Array(T1)` / `n.b Array(T2)` columns in Native blocks
+        # (docs: data-types/nested-data-structures); when the declared
+        # type itself appears (DESCRIBE output, our own files) the
+        # layout is the equivalent Array(Tuple(...)) and the Arrow
+        # carrier keeps the field NAMES so `col.field` projection works.
+        if params is None:
+            raise UnsupportedTypeError(f"Nested needs parameters: {type_str!r}")
+        for item in _split_top_level(params):
+            piece = item.strip()
+            sp = piece.find(" ")
+            if sp <= 0:
+                raise UnsupportedTypeError(
+                    f"Nested items need 'name Type': {type_str!r}"
+                )
+            t.tuple_names.append(piece[:sp])
+            t.tuple_items.append(parse_type(piece[sp + 1 :].strip()))
+        return t
+    if base == "Object":
+        # Object('json') — the pre-24.x spelling of the JSON type
+        if params is None or params.strip().strip("'").lower() != "json":
+            raise UnsupportedTypeError(f"unsupported Object type: {type_str!r}")
+        return CHType("JSON")
     if base in ("Enum8", "Enum16"):
         if params:
             t.enum_map = parse_enum_values(params)
@@ -221,7 +258,11 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
         t.scale = int(params)
         t.fixed_len = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[base]
         return t
-    if base in FIXED_WIDTH or base in ("String", "UUID", "IPv4", "IPv6"):
+    if (
+        base in FIXED_WIDTH
+        or base in BIG_INT_WIDTH
+        or base in ("String", "UUID", "IPv4", "IPv6", "JSON")
+    ):
         return t
     if unsupported_as_varchar:
         # reference-compat mode (lib.rs:168-170): represent the column
@@ -243,8 +284,19 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
     b = t.base
     if b == "Unsupported":
         return pa.string()  # '<unsupported:T>' placeholder (lib.rs:168-170)
-    if b in ("String", "FixedString", "UUID", "IPv4", "IPv6"):
+    if b in ("String", "FixedString", "UUID", "IPv4", "IPv6", "JSON"):
         return pa.string()
+    if b in BIG_INT_WIDTH:
+        return pa.decimal128(38, 0)
+    if b == "Nested":
+        return pa.list_(
+            pa.struct(
+                [
+                    pa.field(n, to_arrow(it, lossy_uint64=lossy_uint64))
+                    for n, it in zip(t.tuple_names, t.tuple_items)
+                ]
+            )
+        )
     if b in ("Enum8", "Enum16"):
         return pa.string()  # decoded labels, like the reference (lib.rs:157-166)
     if b == "UInt8":

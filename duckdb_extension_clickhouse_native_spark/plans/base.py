@@ -577,6 +577,10 @@ GRADING_WINDOW = [
     # promotions (same oracles as their family names)
     "cte_recursive_calendar_sql",  # NEVER GRADED (r13: WITH RECURSIVE parity)
     "text_ngram_distance_sql",  # NEVER GRADED (r13: gram-array parity)
+    # never driver-graded: r13 type long tail (VERDICT r12 item 4)
+    "native_nested_scan",  # NEVER GRADED (r13: Nested named fields)
+    "native_int128_scan",  # NEVER GRADED (r13: Int128/UInt128 decode)
+    "native_json_scan",  # NEVER GRADED (r13: JSON String carrier)
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -595,9 +599,6 @@ GRADING_WINDOW = [
     "multimodal_resize",  # green r6
     "native_roundtrip_documents",  # green r6
     "native_zorder_skip_scan",  # green r6
-    "q2_min_per_group",  # green r6
-    "regex_functions",  # green r6
-    "sample_hash_based",  # green r6
 ]
 
 

@@ -1,0 +1,266 @@
+"""Round-13 source conformance: the ClickHouse type long tail.
+
+The reference decodes 5 types (src/lib.rs:143-175) and placeholders
+everything else as ``<unsupported:T>`` (lib.rs:168-170).  Rounds 1-12
+extended the matrix to the full common set; these entries cover the
+three types a user scanning a MODERN ClickHouse table hits first
+(VERDICT r12 item 4):
+
+* ``Nested(a T1, b T2)`` — decoded as the wire-equivalent
+  Array(Tuple(...)) with the declared field NAMES carried into the
+  Arrow struct, so ``items.k`` projection works in Spark.
+* ``Int128 / UInt128 / Int256 / UInt256`` — little-endian
+  two's-complement wire layout carried as Arrow ``decimal128(38, 0)``
+  (Spark has no wider exact type); values beyond 38 digits RAISE on
+  decode, the same loud-failure policy as UInt64 >= 2^63.
+* ``JSON`` (and the legacy ``Object('json')`` spelling) — String
+  carrier integrating with the JSONExtract scalar family
+  (``get_json_object`` on the Spark side).
+
+Each entry writes a Native fixture derived deterministically from the
+driver's orders parquet, scans it back through the DataSource, and
+grades against a DuckDB oracle computed DIRECTLY from the parquet —
+the oracle never touches Native bytes or JSON strings, so a hash match
+proves the whole encode -> bytes -> scan -> Arrow -> Spark pipeline.
+
+Grading-type discipline: decimal/hugeint aggregates are CAST to
+VARCHAR/STRING on both sides (the driver canonicalizer trap — see
+tools/oracle_type_audit.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY
+from .sources import _materialize_fixture
+
+
+def _nested_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> (o_orderkey, o_orderstatus, items Nested(k Int64,
+    v String)); per order, L = o_orderkey % 3 items with
+    k = o_orderkey*10 + j (j = 1..L) and v = o_orderstatus."""
+    import pyarrow as pa
+
+    from ..native.types import parse_type, to_arrow
+    from ..native.writer import write_native_file
+
+    nested_t = parse_type("Nested(k Int64, v String)")
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        items = []
+        for k, s in zip(keys, status):
+            length = k % 3
+            items.append([{"k": k * 10 + j, "v": s} for j in range(1, length + 1)])
+        batch = pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "o_orderstatus": pa.array(status, type=pa.string()),
+                "items": pa.array(items, type=to_arrow(nested_t)),
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("Int64"), parse_type("String"), nested_t],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-nested", write)
+
+
+def _native_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _nested_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return (
+        df.select(
+            "o_orderstatus",
+            F.size("items").alias("n_i"),
+            F.aggregate(
+                "items", F.lit(0).cast("long"), lambda a, x: a + x["k"]
+            ).alias("sum_k"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_i").cast("long").alias("n_items"),
+            F.sum("sum_k").cast("long").alias("sum_k"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_nested_scan",
+    _native_nested_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey % 3) AS BIGINT) AS n_items,
+           CAST(SUM((o_orderkey % 3) * o_orderkey * 10
+                    + CASE o_orderkey % 3 WHEN 1 THEN 1 WHEN 2 THEN 3
+                      ELSE 0 END) AS BIGINT) AS sum_k
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "nested", "types"],
+    description="Nested(k Int64, v String) through the full "
+    "write -> Native bytes -> scan path: named struct fields survive "
+    "into Spark (items.k access inside aggregate()); oracle recomputes "
+    "the closed form sum_{j=1..L}(10k+j) from the raw parquet",
+)
+
+
+def _bigint_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> Int128/UInt128 columns exceeding int64:
+    big  = o_orderkey * 10^20 + o_custkey           (Int128)
+    ubig = o_custkey  * 10^19 + o_orderkey           (UInt128)"""
+    import pyarrow as pa
+
+    from ..native.types import parse_type
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        cust = t.column("o_custkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        big = pa.array(
+            [k * 10**20 + c for k, c in zip(keys, cust)],
+            type=pa.decimal128(38, 0),
+        )
+        ubig = pa.array(
+            [c * 10**19 + k for k, c in zip(keys, cust)],
+            type=pa.decimal128(38, 0),
+        )
+        batch = pa.table(
+            {
+                "o_orderstatus": pa.array(status, type=pa.string()),
+                "big": big,
+                "ubig": ubig,
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[
+                parse_type("String"),
+                parse_type("Int128"),
+                parse_type("UInt128"),
+            ],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-int128", write)
+
+
+def _native_int128_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _bigint_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("big").cast("string").alias("sum_big"),
+            F.min("big").cast("string").alias("min_big"),
+            F.max("ubig").cast("string").alias("max_ubig"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_int128_scan",
+    _native_int128_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_orderkey AS HUGEINT) * 100000000000000000000
+                    + o_custkey) AS VARCHAR) AS sum_big,
+           CAST(MIN(CAST(o_orderkey AS HUGEINT) * 100000000000000000000
+                    + o_custkey) AS VARCHAR) AS min_big,
+           CAST(MAX(CAST(o_custkey AS HUGEINT) * 10000000000000000000
+                    + o_orderkey) AS VARCHAR) AS max_ubig
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "bigint", "types"],
+    description="Int128/UInt128 wire decode (16-byte LE two's "
+    "complement) carried as decimal128(38,0): 27-digit values survive "
+    "the scan, decimal aggregation in Spark vs HUGEINT arithmetic in "
+    "DuckDB, both serialized to strings (canonicalizer discipline)",
+)
+
+
+def _json_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> one JSON-typed column
+    {"k": o_orderkey, "p": floor(o_totalprice*100), "s": status}."""
+    import pyarrow as pa
+
+    from ..native.types import parse_type
+    from ..native.writer import write_native_file
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        price = t.column("o_totalprice").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        docs = [
+            f'{{"k":{k},"p":{int(math.floor(p * 100))},"s":"{s}"}}'
+            for k, p, s in zip(keys, price, status)
+        ]
+        batch = pa.table({"j": pa.array(docs, type=pa.string())})
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("JSON")],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-json", write)
+
+
+def _native_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _json_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return (
+        df.select(
+            F.get_json_object("j", "$.s").alias("status"),
+            F.get_json_object("j", "$.p").cast("long").alias("cents"),
+            F.get_json_object("j", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_json_scan",
+    _native_json_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MAX(o_orderkey) AS max_k
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "json", "types"],
+    description="JSON column type (String carrier) through the Native "
+    "scan + JSONExtract family (get_json_object): the oracle computes "
+    "the same aggregates from the RAW orders columns, never touching "
+    "JSON — full independence of the extraction path",
+)

@@ -136,8 +136,22 @@ def _ch_to_spark(t) -> DataType:
 
     assert isinstance(t, CHType)
     b = t.base
-    if b in ("String", "FixedString", "UUID", "Enum8", "Enum16", "IPv4", "IPv6"):
+    if b in ("String", "FixedString", "UUID", "Enum8", "Enum16", "IPv4", "IPv6", "JSON"):
         return StringType()
+    if b in ("Int128", "UInt128", "Int256", "UInt256"):
+        # decimal128(38,0) carrier — see native/types.py BIG_INT_WIDTH
+        return DecimalType(38, 0)
+    if b == "Nested":
+        # Array(Struct) with the DECLARED field names (wire layout is
+        # the Array(Tuple) equivalent — native/codec.py _nested_equiv)
+        return ArrayType(
+            StructType(
+                [
+                    StructField(n, _ch_to_spark(it))
+                    for n, it in zip(t.tuple_names, t.tuple_items)
+                ]
+            )
+        )
     m = {
         "Int8": ByteType(),
         "Int16": ShortType(),

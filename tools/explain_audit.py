@@ -208,6 +208,9 @@ AUDIT = [
     "approx_theta_setops",
     "cte_recursive_calendar",
     "cte_recursive_calendar_sql",
+    "native_nested_scan",
+    "native_int128_scan",
+    "native_json_scan",
     "stats_mad_outliers",
     "stats_benford_digits",
     "sim_matryoshka_topk",
