@@ -56,6 +56,90 @@ HEADLINE = [
 ]
 
 
+def _bench_mutation_components(spark, sf_dir: str, runs: int) -> dict:
+    """Per-component timing for the two hive-mutation entries: fixture
+    access (process-cached), the mutation call against a fresh
+    destination, and the scan+aggregate of the mutated tree. The graded
+    tier times all three fused; this split shows the mutate-only cost
+    (target <= 2 s at sf0.1 — work is proportional to TOUCHED parts,
+    untouched directories hard-link)."""
+    import shutil
+    import tempfile
+
+    from duckdb_extension_clickhouse_native_spark.operators.mutations import (
+        apply_ttl,
+        mutate_native_dir,
+    )
+    from duckdb_extension_clickhouse_native_spark.plans.sources import (
+        _hive_events_fixture,
+    )
+    from duckdb_extension_clickhouse_native_spark.sources.native_datasource import (
+        infer_native_schema,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    src = _hive_events_fixture(spark, sf_dir)
+    fixture_sec = time.perf_counter() - t0
+
+    def mutate_delete_update(out: str):
+        return mutate_native_dir(
+            spark,
+            src,
+            out,
+            delete_where=[("event_type", "=", "view"), ("value", "<", 50.0)],
+            update_set={"value": "value * 2"},
+            update_where=[("event_type", "=", "click")],
+        )
+
+    def mutate_ttl(out: str):
+        return apply_ttl(
+            spark,
+            src,
+            out,
+            ttl_where=[("day", "<=", 19733), ("value", "<", 50.0)],
+            group_by=["event_type", "day"],
+            set_exprs={
+                "value": "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)",
+                "event_id": "COUNT(*)",
+            },
+        )
+
+    out_comp: dict = {}
+    for mname, fn in (
+        ("mutation_delete_update_hive", mutate_delete_update),
+        ("mutation_ttl_rollup_hive", mutate_ttl),
+    ):
+        mutate_ts: list[float] = []
+        scan_ts: list[float] = []
+        for i in range(runs + 1):  # first iteration = untimed warm-up
+            out = tempfile.mkdtemp(prefix="chsql_bench_mut")
+            shutil.rmtree(out)
+            t1 = time.perf_counter()
+            fn(out)
+            t2 = time.perf_counter()
+            df = (
+                spark.read.format("clickhouse_native")
+                .schema(infer_native_schema({"path": out}))
+                .load(out)
+            )
+            df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+            t3 = time.perf_counter()
+            if i > 0:
+                mutate_ts.append(t2 - t1)
+                scan_ts.append(t3 - t2)
+            shutil.rmtree(out, ignore_errors=True)
+        mutate_ts.sort()
+        scan_ts.sort()
+        out_comp[mname] = {
+            "fixture_cached_sec": round(fixture_sec, 4),
+            "mutate_sec_median": round(mutate_ts[len(mutate_ts) // 2], 4),
+            "scan_agg_sec_median": round(scan_ts[len(scan_ts) // 2], 4),
+            "runs": runs,
+        }
+    return out_comp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -430,6 +514,26 @@ def main() -> None:
     ]
     r12_ops, r12_total = run_tier(r12_names)
 
+    # seventh tier: round-13 additions (fast-default parity forms are
+    # benched in their landing tiers; these are the new type-long-tail
+    # scans)
+    r13_names = [
+        "native_nested_scan",
+        "native_int128_scan",
+        "native_json_scan",
+    ]
+    r13_ops, r13_total = run_tier(r13_names)
+
+    # hive-mutation component split (r12 verdict item 5): the graded
+    # tier numbers above time build(query)+materialize end to end; this
+    # section separates fixture access (cached), the mutation call
+    # itself against a FRESH destination, and the scan+aggregate over
+    # the mutated tree, so the mutate-only cost is visible. Median of
+    # `runs` after one untimed warm-up.
+    mutation_components = _bench_mutation_components(spark, sf_dir, runs)
+    for mname, comp in mutation_components.items():
+        print(f"# {mname} components: {comp}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -458,6 +562,9 @@ def main() -> None:
                 "r11_ops_total": round(r11_total, 4),
                 "r12_ops": r12_ops,
                 "r12_ops_total": round(r12_total, 4),
+                "r13_ops": r13_ops,
+                "r13_ops_total": round(r13_total, 4),
+                "mutation_components": mutation_components,
                 "sf": sf_dir,
             }
         )

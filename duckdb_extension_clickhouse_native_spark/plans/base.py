@@ -581,6 +581,8 @@ GRADING_WINDOW = [
     "native_nested_scan",  # NEVER GRADED (r13: Nested named fields)
     "native_int128_scan",  # NEVER GRADED (r13: Int128/UInt128 decode)
     "native_json_scan",  # NEVER GRADED (r13: JSON String carrier)
+    # never driver-graded: r13 cross-revision TCP (VERDICT r12 item 6)
+    "scan_tcp_downgrade",  # NEVER GRADED (r13: rev-54058 server)
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -598,7 +600,6 @@ GRADING_WINDOW = [
     "multimodal_frame_sample",  # green r6
     "multimodal_resize",  # green r6
     "native_roundtrip_documents",  # green r6
-    "native_zorder_skip_scan",  # green r6
 ]
 
 

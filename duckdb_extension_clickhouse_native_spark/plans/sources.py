@@ -988,6 +988,36 @@ REGISTRY.df_query(
 )
 
 
+def _scan_tcp_downgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-revision negotiation (r12 verdict item 6): the mock server
+    # advertises rev 54058 (pre display-name, pre version-patch, pre
+    # string-serialized settings); the client must downgrade every
+    # revision-gated field to the server's slice and still stream
+    # correct Native blocks. Same aggregation contract as scan_tcp_agg.
+    from .base import ensure_session
+    from ..sources.mock_tcp_server import mock_clickhouse_tcp_url
+
+    ensure_session(spark)
+    url = mock_clickhouse_tcp_url(sf_dir, server_revision=54058)
+    return (
+        spark.read.format("clickhouse_scan")
+        .option("query", _TCP_AGG_SQL)
+        .option("url", url)
+        .load()
+    )
+
+
+REGISTRY.df_query(
+    "scan_tcp_downgrade",
+    _scan_tcp_downgrade,
+    oracle=_TCP_AGG_SQL,
+    tags=["source", "scan", "tcp", "revision"],
+    description="clickhouse_scan against an OLD server (rev 54058 < "
+    "client 54429): hello/query/progress packets downgrade to the "
+    "negotiated min, data blocks still decode value-faithfully",
+)
+
+
 def _scan_tcp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-way range-partitioned parallel fetch over the native TCP
     # protocol: one TCP connection per Spark input partition

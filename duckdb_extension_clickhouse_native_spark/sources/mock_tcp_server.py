@@ -21,7 +21,7 @@ from typing import Optional
 from ..native.types import from_arrow
 from . import tcp_protocol as proto
 
-_SERVERS: dict[str, tuple[str, int]] = {}
+_SERVERS: dict[tuple, tuple[str, int]] = {}
 _LOCK = threading.Lock()
 
 SERVER_REVISION = proto.CLIENT_REVISION  # negotiate the documented slice
@@ -41,7 +41,7 @@ def _empty_batch(schema):
 
 def build_tcp_handler(
     con, insert_hook=None, execute_inserts=True, codec="lz4", interleave=False,
-    query_hook=None,
+    query_hook=None, server_revision=None, fail_after_blocks=None,
 ):
     """Handler factory over a DuckDB connection (mirrors
     ``mock_server.build_handler``). ``codec`` picks the frame method
@@ -51,8 +51,18 @@ def build_tcp_handler(
     auxiliary packets a real server sends mid-stream — Totals (7),
     Extremes (8), Log (10, never compressed), TableColumns (11),
     Progress — between and around data blocks, so the client's packet
-    pump is exercised on every dispatch arm, not just Data/Progress."""
+    pump is exercised on every dispatch arm, not just Data/Progress.
+
+    ``server_revision`` overrides the advertised revision (default
+    SERVER_REVISION = 54429) — pass an older value (e.g. 54058) to
+    drive the client's downgrade gates, or a newer one (e.g. 54454) to
+    prove the negotiated min() caps the wire at the client's slice.
+    ``fail_after_blocks=N`` makes the SELECT path throw a mid-stream
+    server Exception packet after N data blocks — the
+    partial-data-then-error shape a real server produces on
+    MEMORY_LIMIT_EXCEEDED."""
     qlock = threading.Lock()
+    srv_revision = SERVER_REVISION if server_revision is None else server_revision
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):  # noqa: C901 — the protocol state machine
@@ -61,8 +71,8 @@ def build_tcp_handler(
                 if code != proto.CLIENT_HELLO:
                     return
                 _name, client_rev, _db, _user, _pw = proto.read_client_hello(self.rfile)
-                revision = min(client_rev, SERVER_REVISION)
-                proto.write_server_hello(self.wfile, SERVER_REVISION)
+                revision = min(client_rev, srv_revision)
+                proto.write_server_hello(self.wfile, srv_revision)
                 self.wfile.flush()
                 while True:
                     try:
@@ -210,11 +220,27 @@ def build_tcp_handler(
                     proto.write_progress(self.wfile, revision, 0, 0)
 
                 total = 0
+                n_blocks = 0
                 if interleave:
                     aux_packets()  # before the first data block
                 for rb in tbl.to_batches(max_chunksize=65_409):
                     if rb.num_rows == 0:
                         continue
+                    if (
+                        fail_after_blocks is not None
+                        and n_blocks >= fail_after_blocks
+                    ):
+                        # mid-stream server failure AFTER partial data:
+                        # exception packet, no EndOfStream — the client
+                        # must surface the error, never the partial rows
+                        proto.write_exception(
+                            self.wfile,
+                            241,
+                            "MEMORY_LIMIT_EXCEEDED",
+                            "mock: memory limit exceeded mid-stream",
+                        )
+                        self.wfile.flush()
+                        return
                     proto.write_data_packet(
                         self.wfile,
                         rb,
@@ -225,8 +251,20 @@ def build_tcp_handler(
                         packet_type=proto.SERVER_DATA,
                     )
                     total += rb.num_rows
+                    n_blocks += 1
                     if interleave:
                         aux_packets()  # between/after data blocks
+                if fail_after_blocks is not None:
+                    # fewer blocks than the trigger: still fail before
+                    # EndOfStream (a set trigger ALWAYS errors the query)
+                    proto.write_exception(
+                        self.wfile,
+                        241,
+                        "MEMORY_LIMIT_EXCEEDED",
+                        "mock: memory limit exceeded before EndOfStream",
+                    )
+                    self.wfile.flush()
+                    return
                 proto.write_progress(self.wfile, revision, total, 0)
                 proto.write_varuint(self.wfile, proto.SERVER_END_OF_STREAM)
                 self.wfile.flush()
@@ -256,13 +294,16 @@ def serve_tcp(handler) -> tuple[str, int]:
     return srv.server_address[0], srv.server_address[1]
 
 
-def mock_clickhouse_tcp_url(sf_dir: str) -> str:
-    """Start (once per process per sf_dir) a DuckDB-backed mock
-    ClickHouse native-TCP server over ``{sf_dir}/*.parquet``; returns a
-    ``tcp://host:port`` URL for the scan DataSource."""
+def mock_clickhouse_tcp_url(sf_dir: str, server_revision=None) -> str:
+    """Start (once per process per (sf_dir, server_revision)) a
+    DuckDB-backed mock ClickHouse native-TCP server over
+    ``{sf_dir}/*.parquet``; returns a ``tcp://host:port`` URL for the
+    scan DataSource. ``server_revision`` drives the cross-revision
+    negotiation matrix (None = the default 54429)."""
+    key = (sf_dir, server_revision)
     with _LOCK:
-        if sf_dir in _SERVERS:
-            host, port = _SERVERS[sf_dir]
+        if key in _SERVERS:
+            host, port = _SERVERS[key]
             return f"tcp://{host}:{port}"
 
         import duckdb
@@ -273,6 +314,8 @@ def mock_clickhouse_tcp_url(sf_dir: str) -> str:
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
         con.execute("CREATE TABLE IF NOT EXISTS _ingest (k BIGINT, v VARCHAR)")
-        host, port = serve_tcp(build_tcp_handler(con))
-        _SERVERS[sf_dir] = (host, port)
+        host, port = serve_tcp(
+            build_tcp_handler(con, server_revision=server_revision)
+        )
+        _SERVERS[key] = (host, port)
         return f"tcp://{host}:{port}"
