@@ -26,6 +26,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     compat_r12d,
     compat_r12e,
     compat_r12f,
+    compat_r13,
     pipeline,
     relational,
     sources,

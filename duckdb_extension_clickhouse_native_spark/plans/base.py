@@ -583,6 +583,9 @@ GRADING_WINDOW = [
     "native_json_scan",  # NEVER GRADED (r13: JSON String carrier)
     # never driver-graded: r13 cross-revision TCP (VERDICT r12 item 6)
     "scan_tcp_downgrade",  # NEVER GRADED (r13: rev-54058 server)
+    # never driver-graded: r13 recall graders (VERDICT r12 item 8)
+    "sim_matryoshka_recall",  # NEVER GRADED (r13)
+    "sim_cascade_recall",  # NEVER GRADED (r13)
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -598,8 +601,6 @@ GRADING_WINDOW = [
     "join_semi_anti",  # green r6
     "multimodal_features",  # green r6
     "multimodal_frame_sample",  # green r6
-    "multimodal_resize",  # green r6
-    "native_roundtrip_documents",  # green r6
 ]
 
 
