@@ -222,6 +222,32 @@ def main() -> None:
         f"best {scan_ts[0]:.3f}s)",
         file=sys.stderr,
     )
+    # packed scan (r13, VERDICT item 7): same fixture read with
+    # Spark-file-source-style partition packing (max_partition_bytes —
+    # bins 32 tiny files into ~cores/2 partitions; a python-DS task
+    # occupies a JVM thread AND a python worker, so half the cores is
+    # the measured sweet spot for overhead-dominated scans, SCALE.md).
+    packed_df = (
+        spark.read.format("clickhouse_native")
+        .option("max_partition_bytes", str(128 * 1024 * 1024))
+        .load(fixture)
+    )
+    packed_df.count()  # untimed warmup
+    packed_ts: list[float] = []
+    for _ in range(max(runs, 3)):
+        t0 = time.perf_counter()
+        n = packed_df.count()
+        packed_ts.append(time.perf_counter() - t0)
+    assert n == scan_rows
+    packed_ts.sort()
+    median_packed = packed_ts[len(packed_ts) // 2]
+    results["native_scan_10m_count_packed"] = round(median_packed, 4)
+    print(
+        f"# native_scan_10m_count_packed: median {median_packed:.3f}s "
+        f"({scan_rows / median_packed / 1e6:.1f} M rows/s, "
+        f"{packed_df.rdd.getNumPartitions()} partitions)",
+        file=sys.stderr,
+    )
     scan_throughput = {
         "rows": scan_rows,
         "files": 32,
@@ -232,6 +258,11 @@ def main() -> None:
         "runs": len(scan_ts),
         "mrows_per_sec": round(mrps, 1),
         "mrows_per_sec_best": round(scan_rows / scan_ts[0] / 1e6, 1),
+        # partition-packing lever (one task per ~target bytes instead
+        # of one per tiny file — the 100 TB-relevant layout knob)
+        "count_sec_packed_median": round(median_packed, 4),
+        "mrows_per_sec_packed": round(scan_rows / median_packed / 1e6, 1),
+        "packed_partitions": packed_df.rdd.getNumPartitions(),
         "baseline_mrows_per_sec": 10.5,
     }
     def materialize(df) -> None:

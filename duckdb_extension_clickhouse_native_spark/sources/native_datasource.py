@@ -211,6 +211,17 @@ class NativeFilePartition(InputPartition):
     start_row: int = -1
 
 
+class NativeFileGroupPartition(InputPartition):
+    """Several whole-file partitions packed into ONE Spark input
+    partition (the FilePartition bin-packing model — see the
+    ``max_partition_bytes`` reader option). Each member keeps its own
+    hive values / row accounting; the reader chains their block
+    streams and coalesces Arrow batches across file boundaries."""
+
+    def __init__(self, parts: tuple):
+        self.parts = tuple(parts)
+
+
 def _partition_components(load_path: str, file_path: str) -> list:
     """``key=value`` directory components of ``file_path`` relative to
     the load directory (URL-decoded, Spark's partition-path
@@ -484,6 +495,24 @@ class ClickHouseNativeReader(DataSourceReader):
         # cheaper than the per-batch overhead it removes (SCALE.md r11)
         self.arrow_batch_bytes = int(
             options.get("arrow_batch_bytes", 32 * 1024 * 1024)
+        )
+        # Spark-file-source-style partition PACKING (opt-in): bin
+        # several small whole files into one input partition, exactly
+        # the FilePartition model (maxPartitionBytes + openCostInBytes
+        # + a parallelism floor). A python-DataSource task occupies a
+        # JVM task thread AND a python worker process, so for
+        # overhead-dominated scans the measured sweet spot is about
+        # HALF the cores (SCALE.md r13: 10M rows x 32 tiny files on 32
+        # cores — per-file 24.9 M rows/s, packed-to-16 30.9 M rows/s).
+        # Default 0 = one partition per file (many tests pin pruned
+        # partition counts; packing composes after pruning when on).
+        self.max_partition_bytes = int(options.get("max_partition_bytes", 0))
+        self.open_cost_bytes = int(
+            options.get("open_cost_bytes", 4 * 1024 * 1024)
+        )
+        _cpus = os.cpu_count() or 2
+        self.min_partitions = int(
+            options.get("min_partitions", max(1, _cpus // 2))
         )
         # ClickHouse query-complexity guards (docs: operations/settings/
         # query-complexity — max_rows_to_read / max_bytes_to_read):
@@ -786,7 +815,7 @@ class ClickHouseNativeReader(DataSourceReader):
             )
 
         if not self.split_blocks or len(paths) > 8:
-            return [mk(p) for p in paths]
+            return self._pack_partitions([mk(p) for p in paths])
         from ..native.codec import scan_block_offsets
         from ..native.compress import is_compressed_file
 
@@ -870,7 +899,64 @@ class ClickHouseNativeReader(DataSourceReader):
         # NOTHING — keep one whole-file partition as in _prune_paths
         if not parts and paths:
             parts.append(mk(paths[0]))
-        return parts
+        return self._pack_partitions(parts)
+
+    def _pack_partitions(self, parts: list) -> list:
+        """Bin whole-file partitions into ~target-byte groups (Spark's
+        FilePartition formula: target = min(max_partition_bytes,
+        max(open_cost, ceil(total_weighted / min_partitions))) with
+        every file weighted size + open_cost). Off by default
+        (max_partition_bytes = 0); block-split ranges are already
+        byte-targeted and pass through unpacked. Packing composes
+        AFTER sidecar pruning, so skipped files never join a bin."""
+        if self.max_partition_bytes <= 0 or len(parts) <= 1:
+            return parts
+        import math
+
+        from ..filesystem import file_size
+
+        whole = [
+            p for p in parts if p.start_offset == 0 and p.n_blocks == -1
+        ]
+        split = [
+            p for p in parts if not (p.start_offset == 0 and p.n_blocks == -1)
+        ]
+        if len(whole) <= 1:
+            return parts
+        weights = []
+        for p in whole:
+            try:
+                sz = file_size(p.path)
+            except OSError:
+                sz = 0
+            weights.append(sz + self.open_cost_bytes)
+        target = min(
+            self.max_partition_bytes,
+            max(
+                self.open_cost_bytes,
+                math.ceil(sum(weights) / max(1, self.min_partitions)),
+            ),
+        )
+        packed: list = []
+        bin_parts: list = []
+        bin_w = 0
+        for p, w in zip(whole, weights):
+            if bin_parts and bin_w + w > target:
+                packed.append(
+                    bin_parts[0]
+                    if len(bin_parts) == 1
+                    else NativeFileGroupPartition(tuple(bin_parts))
+                )
+                bin_parts, bin_w = [], 0
+            bin_parts.append(p)
+            bin_w += w
+        if bin_parts:
+            packed.append(
+                bin_parts[0]
+                if len(bin_parts) == 1
+                else NativeFileGroupPartition(tuple(bin_parts))
+            )
+        return packed + split
 
     def _evolved_stats(self, st: dict) -> dict:
         """Alias-aware view of a (cached, shared) sidecar dict: an old
@@ -965,7 +1051,17 @@ class ClickHouseNativeReader(DataSourceReader):
     def read(self, partition: NativeFilePartition) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
-        gen = self._read_blocks(partition)
+        if isinstance(partition, NativeFileGroupPartition):
+            from itertools import chain
+
+            # one chained block stream: arrow_batch_bytes coalescing
+            # below amortizes the Python->JVM hand-off ACROSS the
+            # grouped files, not just within each
+            gen = chain.from_iterable(
+                self._read_blocks(sp) for sp in partition.parts
+            )
+        else:
+            gen = self._read_blocks(partition)
         target = self.arrow_batch_bytes
         if target <= 0:
             yield from gen
