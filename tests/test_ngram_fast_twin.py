@@ -1,4 +1,4 @@
-"""text_ngram_distance_fast (r11): the posting-list + codegen-probe
+"""text_ngram_distance posting-list plan (r11 twin, r13 default): the
 formulation must agree ROW-FOR-ROW with the gram-array form — both are
 registered against the same DuckDB oracle, so twin-SQL parity blindness
 is the failure mode this pin guards (a shared wrong assumption in both
