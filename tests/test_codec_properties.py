@@ -306,3 +306,63 @@ def test_random_table_roundtrip(kinds, n_rows, block_rows, int_seed, text_seed):
     for ci, kind in enumerate(kinds):
         out = back.column(f"c{ci}").to_pylist()
         assert out == cols[f"c{ci}"], (kind, ci)
+
+
+@given(
+    st.sampled_from(["Int128", "Int256"]),
+    st.lists(
+        st.integers(min_value=-(10**38) + 1, max_value=10**38 - 1),
+        max_size=60,
+    ),
+)
+@settings(deadline=None)
+def test_bigint_signed_roundtrip_property(base, vals):
+    t = parse_type(base)
+    arr = pa.array(vals, type=pa.decimal128(38, 0))
+    buf = io.BytesIO()
+    encode_column(buf, t, arr)
+    buf.seek(0)
+    assert [int(v) for v in decode_column(buf, t, len(vals)).to_pylist()] == vals
+
+
+@given(
+    st.sampled_from(["UInt128", "UInt256"]),
+    st.lists(st.integers(min_value=0, max_value=10**38 - 1), max_size=60),
+)
+@settings(deadline=None)
+def test_bigint_unsigned_roundtrip_property(base, vals):
+    t = parse_type(base)
+    arr = pa.array(vals, type=pa.decimal128(38, 0))
+    buf = io.BytesIO()
+    encode_column(buf, t, arr)
+    buf.seek(0)
+    assert [int(v) for v in decode_column(buf, t, len(vals)).to_pylist()] == vals
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.one_of(st.none(), st.text(max_size=12)),
+            ),
+            max_size=6,
+        ),
+        max_size=30,
+    )
+)
+@settings(deadline=None)
+def test_nested_roundtrip_property(rows):
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        _promote_nullable,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import to_arrow
+
+    t = parse_type("Nested(k Int64, v String)")
+    vals = [[{"k": k, "v": v} for k, v in row] for row in rows]
+    arr = pa.array(vals, type=to_arrow(t))
+    eff = _promote_nullable(t, arr)
+    buf = io.BytesIO()
+    encode_column(buf, eff, arr)
+    buf.seek(0)
+    assert decode_column(buf, eff, len(vals)).to_pylist() == vals
