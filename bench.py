@@ -158,6 +158,47 @@ def main() -> None:
     # warm the JVM + python worker pool so per-query numbers measure the
     # queries, not session spin-up
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # HOST CALIBRATION (r13): a fixed pure-JVM workload — range sum
+    # through whole-stage codegen, none of this repo's code — so
+    # cross-round comparisons can separate host drift from real
+    # regressions (r13 observed the same binaries run 1.4x slower
+    # after hours of sustained load; every tier moved together while
+    # this calibration moved with them).
+    cal_df = spark.range(500_000_000).selectExpr("sum(id) AS s")
+    cal_df.collect()  # untimed warmup
+    cal_ts: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        cal_df.collect()
+        cal_ts.append(time.perf_counter() - t0)
+    cal_ts.sort()
+    # second axis: python-worker round-trip (32 tasks x identity
+    # mapInPandas) — the fixed cost every python-DataSource scan pays;
+    # host drift shows here before it shows in pure-JVM codegen
+    import pandas as _pd  # noqa: F401
+
+    def _ident(it):
+        yield from it
+
+    py_df = spark.range(32_000).repartition(32).mapInPandas(
+        _ident, "id long"
+    )
+    py_df.count()  # untimed warmup
+    py_ts: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        py_df.count()
+        py_ts.append(time.perf_counter() - t0)
+    py_ts.sort()
+    calibration = {
+        "workload": "spark.range(500M).sum codegen",
+        "sec_median": round(cal_ts[len(cal_ts) // 2], 4),
+        "sec_best": round(cal_ts[0], 4),
+        "python_roundtrip_workload": "32-task identity mapInPandas",
+        "python_roundtrip_sec_median": round(py_ts[len(py_ts) // 2], 4),
+    }
+    print(f"# host calibration: {calibration}", file=sys.stderr)
     # materialize the Native-file fixtures outside the timed region: the
     # reference's benchmark (BASELINE.md) reads a pre-existing file, so
     # fixture *generation* is scaffolding, not the measured scan
@@ -596,6 +637,7 @@ def main() -> None:
                 "r13_ops": r13_ops,
                 "r13_ops_total": round(r13_total, 4),
                 "mutation_components": mutation_components,
+                "host_calibration": calibration,
                 "sf": sf_dir,
             }
         )
