@@ -26,9 +26,11 @@ def register(spark) -> None:
     from .sources.native_datasource import ClickHouseNativeDataSource
     from .sources.scan_datasource import ClickHouseScanDataSource
     from .sources.table_functions import register_table_functions
+    from .sources.url_table import ClickHouseURLDataSource
 
     spark.dataSource.register(ClickHouseNativeDataSource)
     spark.dataSource.register(ClickHouseScanDataSource)
+    spark.dataSource.register(ClickHouseURLDataSource)
     register_table_functions(spark)
 
 

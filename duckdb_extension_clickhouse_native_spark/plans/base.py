@@ -586,6 +586,9 @@ GRADING_WINDOW = [
     # never driver-graded: r13 recall graders (VERDICT r12 item 8)
     "sim_matryoshka_recall",  # NEVER GRADED (r13)
     "sim_cascade_recall",  # NEVER GRADED (r13)
+    # never driver-graded: r13 url()/format() table functions
+    "tf_url_csv_scan",  # NEVER GRADED (r13: per-URL fan-out)
+    "tf_format_inline",  # NEVER GRADED (r13: inline literal decode)
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -599,8 +602,6 @@ GRADING_WINDOW = [
     "join_left_outer",  # green r6
     "join_right_outer",  # green r6
     "join_semi_anti",  # green r6
-    "multimodal_features",  # green r6
-    "multimodal_frame_sample",  # green r6
 ]
 
 

@@ -1639,6 +1639,8 @@ def _mutation_delete_update_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.read.format("clickhouse_native")
         .schema(infer_native_schema({"path": out}))
+        # the mutated tree is many small parts: read packed (r13)
+        .option("max_partition_bytes", str(128 * 1024 * 1024))
         .load(out)
     )
     return (
@@ -1718,6 +1720,8 @@ def _mutation_ttl_rollup_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.read.format("clickhouse_native")
         .schema(infer_native_schema({"path": out}))
+        # the mutated tree is many small parts: read packed (r13)
+        .option("max_partition_bytes", str(128 * 1024 * 1024))
         .load(out)
     )
     return (

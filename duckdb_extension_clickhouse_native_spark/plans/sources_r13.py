@@ -264,3 +264,160 @@ REGISTRY.df_query(
     "the same aggregates from the RAW orders columns, never touching "
     "JSON — full independence of the extraction path",
 )
+
+
+# --- url() / format() table functions -----------------------------------------
+# ClickHouse reads remote files with url('http://...', fmt) and inline
+# literals with format(fmt, '...') (docs: table-functions/url,
+# /format).  The entry serves a deterministic orders subset over a
+# real local HTTP server as CSVWithNamesAndTypes split across TWO urls
+# (one Spark input partition per URL — the at-scale fan-out shape) and
+# aggregates through the clickhouse_url DataSource; the oracle
+# recomputes from the raw parquet, never touching HTTP or CSV.
+
+_URL_SERVERS: dict = {}
+
+
+def _orders_csv_urls(sf_dir: str) -> str:
+    """Two-URL CSVWithNamesAndTypes export of the o_orderkey % 97 == 0
+    subset of orders (even keys on one URL, odd on the other), served
+    by a process-cached local HTTP server."""
+    import io as _io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    key = ("orders-csv", sf_dir)
+    hit = _URL_SERVERS.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    import numpy as np
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 97 == 0))
+    keys = t.column("o_orderkey").to_numpy()
+    bodies = {}
+    for name, rem in (("/even.csv", 0), ("/odd.csv", 1)):
+        piece = t.filter(pa.array((keys // 97) % 2 == rem))
+        buf = _io.BytesIO()
+        write_csv(
+            buf,
+            piece.to_batches(),
+            [from_arrow(f.type) for f in piece.schema],
+        )
+        bodies[name] = buf.getvalue()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server contract
+            body = bodies.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    urls = f"http://{host}:{port}/even.csv,http://{host}:{port}/odd.csv"
+    _URL_SERVERS[key] = urls
+    return urls
+
+
+def _tf_url_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    urls = _orders_csv_urls(sf_dir)
+    df = (
+        spark.read.format("clickhouse_url")
+        .option("url", urls)
+        .option("format", "CSVWithNamesAndTypes")
+        .load()
+    )
+    if df.rdd.getNumPartitions() != 2:
+        raise AssertionError("one partition per URL regressed")
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_url_csv_scan",
+    _tf_url_csv_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MAX(o_orderkey) AS max_k
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "url", "tf", "csv"],
+    description="url() table function: two-URL CSVWithNamesAndTypes "
+    "fan-out (one partition per URL) over a real local HTTP server, "
+    "decoded by the shared wire decoders; oracle from raw parquet",
+)
+
+
+def _tf_format_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # format(JSONCompactEachRowWithNamesAndTypes, <literal>): the
+    # literal is built from constants (no table dependence), decoded
+    # driver-side into a local relation; oracle is a VALUES list.
+    from ..sources.url_table import format_table
+
+    lit = (
+        '["k", "name", "score"]\n'
+        '["Int64", "String", "Float64"]\n'
+        '[1, "alpha", 1.5]\n'
+        '[2, "beta", -2.25]\n'
+        '[3, "gamma", 0.0]\n'
+        '[4, "delta", 12.625]\n'
+    )
+    df = format_table(spark, "JSONCompactEachRowWithNamesAndTypes", lit)
+    return df.select(
+        "k", "name", F.col("score").cast("double").alias("score")
+    ).orderBy("k")
+
+
+REGISTRY.df_query(
+    "tf_format_inline",
+    _tf_format_inline,
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
+      (2, 'beta', -2.25),
+      (3, 'gamma', 0.0),
+      (4, 'delta', 12.625)
+    ) AS t(k, name, score)
+    ORDER BY k
+    """,
+    tags=["source", "tf", "format", "json"],
+    description="format() table function: inline "
+    "JSONCompactEachRowWithNamesAndTypes literal decoded into a local "
+    "relation; oracle is a literal VALUES table",
+)

@@ -1,0 +1,222 @@
+"""ClickHouse ``url()`` and ``format()`` table functions.
+
+ClickHouse reads remote files with ``SELECT * FROM url('http://...',
+'CSVWithNamesAndTypes')`` and inline literals with ``SELECT * FROM
+format(JSONCompactEachRow, '...')`` (docs: sql-reference/
+table-functions/url and /format).  The Spark-first analogues:
+
+* ``clickhouse_url`` DataSource (+ ``url_table`` helper): executor-side
+  HTTP(S) GET decoded by the SAME wire-format decoders the
+  ``clickhouse_scan`` source uses — one stream is one input partition
+  (a single URL has no server-side split; parallelism at scale comes
+  from many URLs — pass a comma-separated list and each URL becomes a
+  partition).
+* ``format_table(spark, fmt, data)``: decode an inline literal
+  driver-side (inline data is literal-sized by definition) into a
+  DataFrame through the same decoders.
+
+Supported formats are the SELF-DESCRIBING subset (names+types in the
+stream): Native, CSVWithNamesAndTypes, TSVWithNamesAndTypes,
+RowBinaryWithNamesAndTypes, JSONCompactEachRowWithNamesAndTypes,
+ArrowStream, Parquet, ORC — matching the wire formats the scan source
+speaks. Formats that need an out-of-band structure argument
+(plain CSV/TSV/JSONEachRow/Values/Npy) are refused with a named error
+(ClickHouse's url() takes a ``structure`` parameter there; pass data
+through a self-describing format instead).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# format alias (lowercased, ClickHouse spelling tolerated) -> iter fn name
+_FORMAT_DECODERS = {
+    "native": "native",
+    "csv": "csv",
+    "csvwithnamesandtypes": "csv",
+    "tsv": "tsv",
+    "tabseparatedwithnamesandtypes": "tsv",
+    "tsvwithnamesandtypes": "tsv",
+    "rowbinary": "rowbinary",
+    "rowbinarywithnamesandtypes": "rowbinary",
+    "jsoncompacteachrow": "jsoncompact",
+    "jsoncompacteachrowwithnamesandtypes": "jsoncompact",
+    "arrowstream": "arrowstream",
+    "parquet": "parquet",
+    "orc": "orc",
+}
+
+_STRUCTURE_NEEDED = {
+    "jsoneachrow", "values", "npy", "tskv", "csvplain", "tsvplain",
+}
+
+
+def _decoder_for(fmt: str):
+    key = fmt.strip().lower()
+    if key in _STRUCTURE_NEEDED:
+        raise ValueError(
+            f"format {fmt!r} is not self-describing (needs a structure "
+            "argument); use a WithNamesAndTypes / Native / Arrow / "
+            "Parquet / ORC form"
+        )
+    kind = _FORMAT_DECODERS.get(key)
+    if kind is None:
+        raise ValueError(
+            f"unsupported url()/format() format {fmt!r}; one of "
+            f"{sorted(set(_FORMAT_DECODERS))}"
+        )
+
+    if kind == "native":
+        from ..native.codec import iter_blocks
+
+        return iter_blocks
+    if kind == "csv":
+        from ..native.textformats import iter_csv_blocks
+
+        return iter_csv_blocks
+    if kind == "tsv":
+        from ..native.textformats import iter_tsv_blocks
+
+        return iter_tsv_blocks
+    if kind == "rowbinary":
+        from ..native.rowbinary import iter_rowbinary_blocks
+
+        return iter_rowbinary_blocks
+    if kind == "jsoncompact":
+        from ..native.jsoneachrow import iter_jsoncompact_blocks
+
+        return iter_jsoncompact_blocks
+    if kind == "arrowstream":
+        from ..native.arrowwire import iter_arrow_blocks
+
+        return iter_arrow_blocks
+    if kind == "parquet":
+        from ..native.arrowwire import iter_parquet_blocks
+
+        return iter_parquet_blocks
+    from ..native.arrowwire import iter_orc_blocks
+
+    return iter_orc_blocks
+
+
+def _http_get(url: str):
+    """Plain GET returning a binary stream (http/https only — the
+    url() contract; file paths go through the native DataSource)."""
+    from urllib.request import urlopen
+
+    if not url.lower().startswith(("http://", "https://")):
+        raise ValueError(f"url() needs an http(s):// URL, got {url!r}")
+    return urlopen(url, timeout=60)
+
+
+def _decode_stream(buf, fmt: str) -> Iterator:
+    """Blocks from a stream. Parquet/ORC footers live at EOF, so those
+    two buffer the body first; everything else streams."""
+    decode = _decoder_for(fmt)
+    key = fmt.strip().lower()
+    if _FORMAT_DECODERS.get(key) in ("parquet", "orc"):
+        data = buf.read()
+        buf = io.BytesIO(data)
+    return decode(buf)
+
+
+# one probe per (url, fmt) per process: schema discovery decodes the
+# stream's header/first block driver-side, the executor re-fetches
+_SCHEMA_CACHE: dict = {}
+
+
+def _probe_schema(url: str, fmt: str):
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    key = (url, fmt.strip().lower())
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _http_get(url) as resp:
+        blocks = _decode_stream(resp, fmt)
+        try:
+            first = next(iter(blocks))
+        except StopIteration:
+            raise ValueError(
+                f"url() cannot infer a schema from a zero-block "
+                f"{fmt} stream at {url!r}"
+            )
+    schema = from_arrow_schema(first.to_record_batch().schema)
+    _SCHEMA_CACHE[key] = schema
+    return schema
+
+
+class URLPartition(InputPartition):
+    def __init__(self, url: str):
+        self.url = url
+
+
+class ClickHouseURLReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.urls = [
+            u.strip() for u in (options.get("url") or "").split(",") if u.strip()
+        ]
+        if not self.urls:
+            raise ValueError("clickhouse_url requires a url option")
+        self.fmt = options.get("format", "CSVWithNamesAndTypes")
+        _decoder_for(self.fmt)  # validate at plan time
+
+    def partitions(self):
+        return [URLPartition(u) for u in self.urls]
+
+    def read(self, partition: URLPartition) -> Iterator:
+        with _http_get(partition.url) as resp:
+            for blk in _decode_stream(resp, self.fmt):
+                yield blk.to_record_batch()
+
+
+class ClickHouseURLDataSource(DataSource):
+    """``spark.read.format("clickhouse_url").option("url", ...)
+    .option("format", "CSVWithNamesAndTypes").load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickhouse_url"
+
+    def schema(self):
+        opts = dict(self.options)
+        urls = [u.strip() for u in (opts.get("url") or "").split(",") if u.strip()]
+        if not urls:
+            raise ValueError("clickhouse_url requires a url option")
+        return _probe_schema(urls[0], opts.get("format", "CSVWithNamesAndTypes"))
+
+    def reader(self, schema) -> ClickHouseURLReader:
+        return ClickHouseURLReader(dict(self.options))
+
+
+def url_table(spark, url: str, fmt: str = "CSVWithNamesAndTypes"):
+    """The ``url(url, format)`` table function as a DataFrame. A
+    comma-separated URL list fans out one partition per URL."""
+    from ..plans.base import ensure_session
+
+    ensure_session(spark)
+    return (
+        spark.read.format("clickhouse_url")
+        .option("url", url)
+        .option("format", fmt)
+        .load()
+    )
+
+
+def format_table(spark, fmt: str, data):
+    """The ``format(fmt, data)`` table function: decode an inline
+    literal (str or bytes) into a DataFrame. Literal-sized by
+    definition, so the decode runs driver-side and the result enters
+    the plan as a local relation (Catalyst can broadcast or fold it)."""
+    import pyarrow as pa
+
+    raw = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+    blocks = list(_decode_stream(io.BytesIO(raw), fmt))
+    if not blocks:
+        raise ValueError(f"format() literal decoded to zero {fmt} blocks")
+    batches = [b.to_record_batch() for b in blocks]
+    tbl = pa.Table.from_batches(batches)
+    return spark.createDataFrame(tbl)

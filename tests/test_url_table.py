@@ -1,0 +1,89 @@
+"""url() / format() table functions (r13): executor-side HTTP GET
+decoded by the shared wire-format decoders, one partition per URL;
+inline literals decode driver-side into a local relation.  The
+conformance entries (tf_url_csv_scan / tf_format_inline) grade values
+against oracles; these pins cover the contracts around them."""
+
+from __future__ import annotations
+
+import io
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+    format_table,
+    url_table,
+)
+
+
+def _serve(bodies: dict) -> str:
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = bodies.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    return f"http://{host}:{port}"
+
+
+def _native_body() -> bytes:
+    from duckdb_extension_clickhouse_native_spark.native.types import parse_type
+    from duckdb_extension_clickhouse_native_spark.native.codec import write_block
+
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3], type=pa.int64()), pa.array(["a", "b", "c"])],
+        names=["k", "v"],
+    )
+    buf = io.BytesIO()
+    write_block(buf, rb, [parse_type("Int64"), parse_type("String")])
+    return buf.getvalue()
+
+
+def test_url_native_roundtrip(spark):
+    base = _serve({"/t.native": _native_body()})
+    df = url_table(spark, f"{base}/t.native", "Native")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_url_multi_url_fanout(spark):
+    base = _serve({"/a": _native_body(), "/b": _native_body()})
+    df = url_table(spark, f"{base}/a,{base}/b", "Native")
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 6
+
+
+def test_url_refuses_non_http():
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        _http_get,
+    )
+
+    with pytest.raises(ValueError, match="http"):
+        _http_get("file:///etc/passwd")
+
+
+def test_format_refuses_structureless_formats(spark):
+    with pytest.raises(ValueError, match="not self-describing"):
+        format_table(spark, "JSONEachRow", '{"a": 1}')
+    with pytest.raises(ValueError, match="unsupported"):
+        format_table(spark, "NoSuchFormat", "x")
+
+
+def test_format_csv_with_names_and_types(spark):
+    lit = "\"k\",\"v\"\n\"Int64\",\"String\"\n1,\"x\"\n2,\"y\"\n"
+    df = format_table(spark, "CSVWithNamesAndTypes", lit)
+    assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y")]
