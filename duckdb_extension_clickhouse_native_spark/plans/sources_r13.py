@@ -421,3 +421,90 @@ REGISTRY.df_query(
     "JSONCompactEachRowWithNamesAndTypes literal decoded into a local "
     "relation; oracle is a literal VALUES table",
 )
+
+
+def _tf_url_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INSERT INTO FUNCTION url(...) then read back: the orders subset
+    # POSTs as RowBinaryWithNamesAndTypes to a store-and-serve HTTP
+    # server, returns through the url() GET path, and aggregates —
+    # proving the encode half against the decode half end to end.
+    # The oracle recomputes from raw parquet (no HTTP, no RowBinary).
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from .base import ensure_session, load_tables
+    from ..sources.url_table import url_insert, url_table
+
+    ensure_session(spark)
+    key = ("rw-server",)
+    base = _URL_SERVERS.get(key)
+    if base is None:
+        store: dict = {}
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                body = store.get(self.path)
+                if body is None:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                store[self.path] = self.rfile.read(n)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+        _URL_SERVERS[key] = base
+
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    subset = t.filter("o_orderkey % 101 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # unique target path per sf_dir: concurrent grades must not collide
+    import hashlib as _hl
+
+    path = "/rt-" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    url_insert(subset, base + path, "RowBinaryWithNamesAndTypes")
+    back = url_table(spark, base + path, "RowBinaryWithNamesAndTypes")
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.min("o_orderkey").alias("min_k"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_url_insert_roundtrip",
+    _tf_url_insert_roundtrip,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MIN(o_orderkey) AS min_k
+    FROM orders WHERE o_orderkey % 101 = 0
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "url", "tf", "rowbinary", "write"],
+    description="INSERT INTO FUNCTION url(...): executor-side "
+    "RowBinaryWithNamesAndTypes POST then url() read-back, aggregate "
+    "vs raw-parquet oracle — encode and decode halves prove each other",
+)

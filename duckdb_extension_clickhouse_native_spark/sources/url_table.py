@@ -220,3 +220,65 @@ def format_table(spark, fmt: str, data):
     batches = [b.to_record_batch() for b in blocks]
     tbl = pa.Table.from_batches(batches)
     return spark.createDataFrame(tbl)
+
+
+# writer half: INSERT INTO FUNCTION url('http://...', fmt)
+_KIND_TO_WRITER = {
+    "native": "native",
+    "csv": "csv",
+    "tsv": "tsv",
+    "rowbinary": "rowbinary",
+    "jsoncompact": "jsoneachrow",  # write_jsoncompact lives under that key
+    "arrowstream": "arrowstream",
+    "parquet": "parquet",
+    "orc": "orc",
+}
+
+
+def url_insert(df, url: str, fmt: str = "CSVWithNamesAndTypes") -> int:
+    """``INSERT INTO FUNCTION url(url, fmt)``: encode ``df`` with the
+    shared wire writers and POST it as ONE request body. The encode
+    and POST run executor-side (repartition(1) + mapInArrow — the
+    into_outfile single-writer shape; the driver only sees the 1-row
+    row count). Returns the number of rows posted."""
+    from ..operators.outfile import _resolve_writer
+
+    key = fmt.strip().lower()
+    kind = _FORMAT_DECODERS.get(key)
+    if kind is None or key in _STRUCTURE_NEEDED:
+        raise ValueError(
+            f"unsupported url() INSERT format {fmt!r}; one of "
+            f"{sorted(set(_FORMAT_DECODERS))}"
+        )
+    writer_key = _KIND_TO_WRITER[kind]
+    if not url.lower().startswith(("http://", "https://")):
+        raise ValueError(f"url() needs an http(s):// URL, got {url!r}")
+
+    def post_single(batches):
+        import pyarrow as pa_exec
+        from urllib.request import Request, urlopen
+
+        from ..native.rowbinary import derive_wire_types
+
+        writer = _resolve_writer(writer_key)
+        buf = io.BytesIO()
+        # wire-NULL contract (r10): Nullable(...) is declared exactly
+        # where nulls exist, scanning ALL batches before encoding
+        chunks, ch_types = derive_wire_types(batches)
+        n = writer(buf, chunks, ch_types) or sum(
+            b.num_rows for b in chunks
+        )
+        req = Request(
+            url,
+            data=buf.getvalue(),
+            method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urlopen(req, timeout=60) as resp:
+            resp.read()
+        yield pa_exec.RecordBatch.from_arrays(
+            [pa_exec.array([int(n)], type=pa_exec.int64())], names=["n"]
+        )
+
+    out = df.repartition(1).mapInArrow(post_single, "n bigint")
+    return int(out.collect()[0]["n"])

@@ -87,3 +87,66 @@ def test_format_csv_with_names_and_types(spark):
     lit = "\"k\",\"v\"\n\"Int64\",\"String\"\n1,\"x\"\n2,\"y\"\n"
     df = format_table(spark, "CSVWithNamesAndTypes", lit)
     assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y")]
+
+
+def _serve_rw() -> tuple:
+    """Server that stores POST bodies and serves them back on GET."""
+    store: dict = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = store.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            store[self.path] = self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    return f"http://{host}:{port}", store
+
+
+@pytest.mark.parametrize(
+    "fmt", ["Native", "CSVWithNamesAndTypes", "RowBinaryWithNamesAndTypes",
+            "ArrowStream", "Parquet"]
+)
+def test_url_insert_roundtrip(spark, fmt):
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        url_insert,
+    )
+
+    base, store = _serve_rw()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    n = url_insert(df, f"{base}/out", fmt)
+    assert n == 3
+    assert store["/out"]  # body arrived
+    back = url_table(spark, f"{base}/out", fmt)
+    assert sorted(map(tuple, back.collect()), key=lambda r: r[0]) == [
+        (1, "a"), (2, "b"), (3, None),
+    ]
+
+
+def test_url_insert_refuses_structureless(spark):
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        url_insert,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unsupported"):
+        url_insert(df, "http://127.0.0.1:1/x", "Npy")
