@@ -131,6 +131,48 @@ def make_scan_udtf():
     return udtf(ClickHouseScanUDTF)
 
 
+def make_url_udtf():
+    """UDTF class for ``clickhouse_url(url, fmt)`` — the SQL-invocable
+    form of the url() table function (docs: table-functions/url);
+    schema probed from the stream header at analyze time."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ClickHouseURLUDTF:
+        @staticmethod
+        def analyze(
+            url: AnalyzeArgument, fmt: Optional[AnalyzeArgument] = None
+        ) -> AnalyzeResult:
+            from .url_table import _probe_schema
+
+            if url.value is None:
+                raise ValueError(
+                    "clickhouse_url(url, fmt) requires a literal URL"
+                )
+            f = "CSVWithNamesAndTypes" if fmt is None else str(fmt.value)
+            first = str(url.value).split(",")[0].strip()
+            return AnalyzeResult(schema=_probe_schema(first, f))
+
+        def eval(self, url: str, fmt: Optional[str] = None) -> Iterator[tuple]:
+            from .url_table import _decode_stream, _http_get
+
+            f = fmt or "CSVWithNamesAndTypes"
+            for one in url.split(","):
+                one = one.strip()
+                if not one:
+                    continue
+                with _http_get(one) as resp:
+                    names = None
+                    for blk in _decode_stream(resp, f):
+                        rb = blk.to_record_batch()
+                        if names is None:
+                            names = rb.schema.names
+                        for row in rb.to_pylist():
+                            yield tuple(row[n] for n in names)
+
+    return udtf(ClickHouseURLUDTF)
+
+
 def make_parts_udtf():
     """UDTF for ``clickhouse_native_parts(path)`` — the system.parts
     analogue: one row of metadata per Native part file, read from the
@@ -226,6 +268,7 @@ def register_table_functions(spark: SparkSession) -> None:
     spark.udtf.register("clickhouse_native", make_native_udtf())
     spark.udtf.register("clickhouse_scan", make_scan_udtf())
     spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
+    spark.udtf.register("clickhouse_url", make_url_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
 
 

@@ -150,3 +150,14 @@ def test_url_insert_refuses_structureless(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="unsupported"):
         url_insert(df, "http://127.0.0.1:1/x", "Npy")
+
+
+def test_url_sql_udtf(spark):
+    """Pure-SQL invocation: SELECT * FROM clickhouse_url('http://...',
+    'Native') — the reference's SQL table-function shape."""
+    base = _serve({"/t.native": _native_body()})
+    rows = spark.sql(
+        f"SELECT k, v FROM clickhouse_url('{base}/t.native', 'Native') "
+        "ORDER BY k"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
