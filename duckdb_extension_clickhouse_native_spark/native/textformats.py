@@ -551,3 +551,85 @@ def write_tskv(
             buf.write(("\t".join(fields) + "\n").encode())
             rows += 1
     return rows
+
+
+def iter_csv_plain_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode HEADERLESS ``FORMAT CSV`` (ClickHouse's plain CSV has no
+    name/type rows — WithNamesAndTypes is the self-describing
+    spelling); the schema arrives out of band (url()'s ``structure``
+    argument)."""
+    for _name, t in names_types:
+        _check_supported(t)
+
+    def rows():
+        while True:
+            rec = _read_csv_record(buf)
+            if rec is None:
+                return
+            if (
+                len(rec) == 1
+                and rec[0] == ("", False)
+                and not _empty_line_is_row(names_types)
+            ):
+                continue
+            if len(rec) != len(names_types):
+                raise ValueError(
+                    f"CSV row has {len(rec)} values, structure declares "
+                    f"{len(names_types)} columns"
+                )
+            out = []
+            for (raw, was_quoted), (_name, t) in zip(rec, names_types):
+                if raw == "\\N" and not was_quoted:
+                    out.append(None)
+                else:
+                    out.append(_from_text(raw, t))
+            yield out
+
+    return _blocks_from_rows(
+        names_types, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )
+
+
+def iter_tsv_plain_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode HEADERLESS ``FORMAT TSV`` with an out-of-band structure
+    (see iter_csv_plain_blocks)."""
+    for _name, t in names_types:
+        _check_supported(t)
+
+    def rows():
+        while True:
+            line = buf.readline()
+            if not line:
+                return
+            text = line.decode("utf-8").rstrip("\n").rstrip("\r")
+            if not text and not _empty_line_is_row(names_types):
+                continue
+            raw_fields = _split_tsv_line(text)
+            if len(raw_fields) != len(names_types):
+                raise ValueError(
+                    f"TSV row has {len(raw_fields)} values, structure "
+                    f"declares {len(names_types)} columns"
+                )
+            out = []
+            for raw, (_name, t) in zip(raw_fields, names_types):
+                if raw == "\\N":
+                    out.append(None)
+                else:
+                    out.append(_from_text(tsv_unescape(raw), t))
+            yield out
+
+    return _blocks_from_rows(
+        names_types, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )

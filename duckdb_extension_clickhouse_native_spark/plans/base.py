@@ -590,6 +590,7 @@ GRADING_WINDOW = [
     "tf_url_csv_scan",  # NEVER GRADED (r13: per-URL fan-out)
     "tf_format_inline",  # NEVER GRADED (r13: inline literal decode)
     "tf_url_insert_roundtrip",  # NEVER GRADED (r13: POST write half)
+    "tf_url_structure_scan",  # NEVER GRADED (r13: 3-arg url())
     # changed-path re-proofs: r13 fast-twin promotions execute the new
     # plan under the already-graded name (precedent: r11 kmeans/PQ)
     "cte_recursive_calendar",  # green r12; r13 sequence() spine default
@@ -601,7 +602,6 @@ GRADING_WINDOW = [
     "explode_token_freq",  # green r6
     "join_full_outer",  # green r6
     "join_left_outer",  # green r6
-    "join_right_outer",  # green r6
 ]
 
 

@@ -508,3 +508,88 @@ REGISTRY.df_query(
     "RowBinaryWithNamesAndTypes POST then url() read-back, aggregate "
     "vs raw-parquet oracle — encode and decode halves prove each other",
 )
+
+
+def _tf_url_structure_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the THREE-argument url(url, 'TSV', structure): headerless plain
+    # TSV (ClickHouse's default interchange text) with the schema
+    # declared out of band — nation served as raw TSV lines.
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from .base import ensure_session
+    from ..sources.url_table import url_table
+
+    ensure_session(spark)
+    key = ("nation-tsv", sf_dir)
+    base = _URL_SERVERS.get(key)
+    if base is None:
+        import pyarrow.parquet as pq
+
+        from ..native.textformats import tsv_escape
+
+        t = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        lines = []
+        for row in t.to_pylist():
+            lines.append(
+                "\t".join(
+                    [
+                        str(row["n_nationkey"]),
+                        tsv_escape(row["n_name"]),
+                        str(row["n_regionkey"]),
+                    ]
+                )
+            )
+        body = ("\n".join(lines) + "\n").encode("utf-8")
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                if self.path != "/nation.tsv":
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+        _URL_SERVERS[key] = base
+
+    df = url_table(
+        spark,
+        f"{base}/nation.tsv",
+        "TSV",
+        structure="n_nationkey Int64, n_name String, n_regionkey Int64",
+    )
+    return (
+        df.groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_name").alias("first_nation"),
+            F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("region")
+    )
+
+
+REGISTRY.df_query(
+    "tf_url_structure_scan",
+    _tf_url_structure_scan,
+    oracle="""
+    SELECT n_regionkey AS region,
+           COUNT(*) AS n,
+           MIN(n_name) AS first_nation,
+           CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
+    FROM nation GROUP BY n_regionkey ORDER BY region
+    """,
+    tags=["source", "url", "tf", "tsv", "structure"],
+    description="three-argument url(url, 'TSV', structure): headerless "
+    "plain TSV decoded with an out-of-band 'name Type' structure; "
+    "oracle from raw parquet",
+)

@@ -141,19 +141,28 @@ def make_url_udtf():
     class ClickHouseURLUDTF:
         @staticmethod
         def analyze(
-            url: AnalyzeArgument, fmt: Optional[AnalyzeArgument] = None
+            url: AnalyzeArgument,
+            fmt: Optional[AnalyzeArgument] = None,
+            structure: Optional[AnalyzeArgument] = None,
         ) -> AnalyzeResult:
             from .url_table import _probe_schema
 
             if url.value is None:
                 raise ValueError(
-                    "clickhouse_url(url, fmt) requires a literal URL"
+                    "clickhouse_url(url, fmt[, structure]) requires a "
+                    "literal URL"
                 )
             f = "CSVWithNamesAndTypes" if fmt is None else str(fmt.value)
+            st = None if structure is None else str(structure.value)
             first = str(url.value).split(",")[0].strip()
-            return AnalyzeResult(schema=_probe_schema(first, f))
+            return AnalyzeResult(schema=_probe_schema(first, f, st))
 
-        def eval(self, url: str, fmt: Optional[str] = None) -> Iterator[tuple]:
+        def eval(
+            self,
+            url: str,
+            fmt: Optional[str] = None,
+            structure: Optional[str] = None,
+        ) -> Iterator[tuple]:
             from .url_table import _decode_stream, _http_get
 
             f = fmt or "CSVWithNamesAndTypes"
@@ -163,7 +172,7 @@ def make_url_udtf():
                     continue
                 with _http_get(one) as resp:
                     names = None
-                    for blk in _decode_stream(resp, f):
+                    for blk in _decode_stream(resp, f, structure):
                         rb = blk.to_record_batch()
                         if names is None:
                             names = rb.schema.names

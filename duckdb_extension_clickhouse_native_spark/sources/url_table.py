@@ -49,9 +49,65 @@ _FORMAT_DECODERS = {
     "orc": "orc",
 }
 
+# formats whose stream carries NO names/types: ClickHouse's url()
+# takes a third ``structure`` argument ('name Type, ...') for these
 _STRUCTURE_NEEDED = {
     "jsoneachrow", "values", "npy", "tskv", "csvplain", "tsvplain",
 }
+
+# structured-decoder dispatch: format key -> (module, fn) taking
+# (buf, names_types, ...). Plain 'CSV'/'TSV' WITH a structure are the
+# headerless ClickHouse spellings (csvplain/tsvplain internally).
+_STRUCTURED_DECODERS = {
+    "jsoneachrow": ("jsoneachrow", "iter_jsonobjects_blocks"),
+    "values": ("valuesformat", "iter_values_blocks"),
+    "tskv": ("textformats", "iter_tskv_blocks"),
+    "npy": ("npyformat", "iter_npy_blocks"),
+    "csvplain": ("textformats", "iter_csv_plain_blocks"),
+    "tsvplain": ("textformats", "iter_tsv_plain_blocks"),
+    "csv": ("textformats", "iter_csv_plain_blocks"),
+    "tabseparated": ("textformats", "iter_tsv_plain_blocks"),
+    "tsv": ("textformats", "iter_tsv_plain_blocks"),
+}
+
+
+def parse_structure(structure: str):
+    """ClickHouse url()/format() structure string ('k Int64, v
+    Nullable(String)') -> [(name, CHType)]."""
+    from ..native.types import _split_top_level, parse_type
+
+    out = []
+    for item in _split_top_level(structure):
+        piece = item.strip()
+        sp = piece.find(" ")
+        if sp <= 0:
+            raise ValueError(
+                f"structure items need 'name Type': {structure!r}"
+            )
+        out.append((piece[:sp], parse_type(piece[sp + 1 :].strip())))
+    if not out:
+        raise ValueError(f"empty structure: {structure!r}")
+    return out
+
+
+def _structured_decoder_for(fmt: str, structure: str):
+    """Decoder closure for a structure-carrying format (the url(url,
+    fmt, structure) three-argument form)."""
+    import importlib
+
+    key = fmt.strip().lower()
+    entry = _STRUCTURED_DECODERS.get(key)
+    if entry is None:
+        raise ValueError(
+            f"format {fmt!r} does not take a structure argument; "
+            f"structured formats: {sorted(set(_STRUCTURED_DECODERS))}"
+        )
+    names_types = parse_structure(structure)
+    mod = importlib.import_module(
+        f"duckdb_extension_clickhouse_native_spark.native.{entry[0]}"
+    )
+    fn = getattr(mod, entry[1])
+    return lambda buf: fn(buf, names_types)
 
 
 def _decoder_for(fmt: str):
@@ -60,7 +116,7 @@ def _decoder_for(fmt: str):
         raise ValueError(
             f"format {fmt!r} is not self-describing (needs a structure "
             "argument); use a WithNamesAndTypes / Native / Arrow / "
-            "Parquet / ORC form"
+            "Parquet / ORC form, or pass structure='name Type, ...'"
         )
     kind = _FORMAT_DECODERS.get(key)
     if kind is None:
@@ -112,9 +168,12 @@ def _http_get(url: str):
     return urlopen(url, timeout=60)
 
 
-def _decode_stream(buf, fmt: str) -> Iterator:
+def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
     """Blocks from a stream. Parquet/ORC footers live at EOF, so those
-    two buffer the body first; everything else streams."""
+    two buffer the body first; everything else streams. A ``structure``
+    switches to the headerless decoders (the three-argument url())."""
+    if structure:
+        return _structured_decoder_for(fmt, structure)(buf)
     decode = _decoder_for(fmt)
     key = fmt.strip().lower()
     if _FORMAT_DECODERS.get(key) in ("parquet", "orc"):
@@ -128,9 +187,22 @@ def _decode_stream(buf, fmt: str) -> Iterator:
 _SCHEMA_CACHE: dict = {}
 
 
-def _probe_schema(url: str, fmt: str):
+def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    if structure:
+        # schema comes from the declared structure, zero fetches
+        from pyspark.sql.types import StructField, StructType
+
+        from .native_datasource import _ch_to_spark
+
+        _structured_decoder_for(fmt, structure)  # validate format+structure
+        return StructType(
+            [
+                StructField(n, _ch_to_spark(t), True)
+                for n, t in parse_structure(structure)
+            ]
+        )
     key = (url, fmt.strip().lower())
     hit = _SCHEMA_CACHE.get(key)
     if hit is not None:
@@ -162,14 +234,18 @@ class ClickHouseURLReader(DataSourceReader):
         if not self.urls:
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
-        _decoder_for(self.fmt)  # validate at plan time
+        self.structure = (options.get("structure") or "").strip() or None
+        if self.structure:  # validate at plan time
+            _structured_decoder_for(self.fmt, self.structure)
+        else:
+            _decoder_for(self.fmt)
 
     def partitions(self):
         return [URLPartition(u) for u in self.urls]
 
     def read(self, partition: URLPartition) -> Iterator:
         with _http_get(partition.url) as resp:
-            for blk in _decode_stream(resp, self.fmt):
+            for blk in _decode_stream(resp, self.fmt, self.structure):
                 yield blk.to_record_batch()
 
 
@@ -186,35 +262,48 @@ class ClickHouseURLDataSource(DataSource):
         urls = [u.strip() for u in (opts.get("url") or "").split(",") if u.strip()]
         if not urls:
             raise ValueError("clickhouse_url requires a url option")
-        return _probe_schema(urls[0], opts.get("format", "CSVWithNamesAndTypes"))
+        return _probe_schema(
+            urls[0],
+            opts.get("format", "CSVWithNamesAndTypes"),
+            (opts.get("structure") or "").strip() or None,
+        )
 
     def reader(self, schema) -> ClickHouseURLReader:
         return ClickHouseURLReader(dict(self.options))
 
 
-def url_table(spark, url: str, fmt: str = "CSVWithNamesAndTypes"):
-    """The ``url(url, format)`` table function as a DataFrame. A
-    comma-separated URL list fans out one partition per URL."""
+def url_table(
+    spark,
+    url: str,
+    fmt: str = "CSVWithNamesAndTypes",
+    structure: Optional[str] = None,
+):
+    """The ``url(url, format[, structure])`` table function as a
+    DataFrame. A comma-separated URL list fans out one partition per
+    URL; ``structure`` ('name Type, ...') enables the headerless
+    formats (plain CSV/TSV, JSONEachRow, Values, TSKV, Npy)."""
     from ..plans.base import ensure_session
 
     ensure_session(spark)
-    return (
+    r = (
         spark.read.format("clickhouse_url")
         .option("url", url)
         .option("format", fmt)
-        .load()
     )
+    if structure:
+        r = r.option("structure", structure)
+    return r.load()
 
 
-def format_table(spark, fmt: str, data):
-    """The ``format(fmt, data)`` table function: decode an inline
-    literal (str or bytes) into a DataFrame. Literal-sized by
+def format_table(spark, fmt: str, data, structure: Optional[str] = None):
+    """The ``format(fmt, data[, structure])`` table function: decode an
+    inline literal (str or bytes) into a DataFrame. Literal-sized by
     definition, so the decode runs driver-side and the result enters
     the plan as a local relation (Catalyst can broadcast or fold it)."""
     import pyarrow as pa
 
     raw = data.encode("utf-8") if isinstance(data, str) else bytes(data)
-    blocks = list(_decode_stream(io.BytesIO(raw), fmt))
+    blocks = list(_decode_stream(io.BytesIO(raw), fmt, structure))
     if not blocks:
         raise ValueError(f"format() literal decoded to zero {fmt} blocks")
     batches = [b.to_record_batch() for b in blocks]

@@ -161,3 +161,49 @@ def test_url_sql_udtf(spark):
         "ORDER BY k"
     ).collect()
     assert [tuple(r) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_url_structure_plain_csv(spark):
+    """The three-argument url(url, 'CSV', structure): headerless CSV
+    with an out-of-band 'name Type' structure — ClickHouse's plain-CSV
+    contract (WithNamesAndTypes is the self-describing spelling)."""
+    base = _serve({"/p.csv": b'1,"a"\n2,"\\N"\n3,"c"\n'})
+    df = url_table(
+        spark, f"{base}/p.csv", "CSV", structure="k Int64, v String"
+    )
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    rows = sorted(map(tuple, df.collect()))
+    # quoted "\N" is the literal string, per the CSV NULL contract
+    assert rows == [(1, "a"), (2, "\\N"), (3, "c")]
+
+
+def test_url_structure_jsoneachrow(spark):
+    body = b'{"k": 1, "v": "x"}\n{"k": 2, "v": null}\n'
+    base = _serve({"/j": body})
+    df = url_table(
+        spark, f"{base}/j", "JSONEachRow",
+        structure="k Int64, v Nullable(String)",
+    )
+    assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, None)]
+
+
+def test_format_structure_values(spark):
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        format_table,
+    )
+
+    df = format_table(
+        spark, "Values", "(1, 'a'), (2, 'b')", structure="k Int64, v String"
+    )
+    assert sorted(map(tuple, df.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_structure_rejected_for_selfdescribing(spark):
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        _structured_decoder_for,
+    )
+
+    with pytest.raises(ValueError, match="does not take a structure"):
+        _structured_decoder_for("Native", "k Int64")
+    with pytest.raises(ValueError, match="'name Type'"):
+        _structured_decoder_for("CSV", "Int64")
