@@ -182,6 +182,66 @@ def make_url_udtf():
     return udtf(ClickHouseURLUDTF)
 
 
+def make_format_udtf():
+    """UDTF for ``clickhouse_format(fmt, data[, structure])`` — the
+    SQL-invocable form of the format() table function (docs:
+    table-functions/format); the literal decodes at analyze time for
+    the schema and again at eval time for the rows."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ClickHouseFormatUDTF:
+        @staticmethod
+        def analyze(
+            fmt: AnalyzeArgument,
+            data: AnalyzeArgument,
+            structure: Optional[AnalyzeArgument] = None,
+        ) -> AnalyzeResult:
+            import io
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            from .url_table import _decode_stream
+
+            if fmt.value is None or data.value is None:
+                raise ValueError(
+                    "clickhouse_format(fmt, data[, structure]) requires "
+                    "literal arguments"
+                )
+            st = None if structure is None else str(structure.value)
+            raw = str(data.value).encode("utf-8")
+            blocks = iter(_decode_stream(io.BytesIO(raw), str(fmt.value), st))
+            try:
+                first = next(blocks)
+            except StopIteration:
+                raise ValueError("format() literal decoded to zero blocks")
+            return AnalyzeResult(
+                schema=from_arrow_schema(first.to_record_batch().schema)
+            )
+
+        def eval(
+            self,
+            fmt: str,
+            data: str,
+            structure: Optional[str] = None,
+        ) -> Iterator[tuple]:
+            import io
+
+            from .url_table import _decode_stream
+
+            names = None
+            for blk in _decode_stream(
+                io.BytesIO(data.encode("utf-8")), fmt, structure
+            ):
+                rb = blk.to_record_batch()
+                if names is None:
+                    names = rb.schema.names
+                for row in rb.to_pylist():
+                    yield tuple(row[n] for n in names)
+
+    return udtf(ClickHouseFormatUDTF)
+
+
 def make_parts_udtf():
     """UDTF for ``clickhouse_native_parts(path)`` — the system.parts
     analogue: one row of metadata per Native part file, read from the
@@ -278,6 +338,7 @@ def register_table_functions(spark: SparkSession) -> None:
     spark.udtf.register("clickhouse_scan", make_scan_udtf())
     spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
     spark.udtf.register("clickhouse_url", make_url_udtf())
+    spark.udtf.register("clickhouse_format", make_format_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
 
 

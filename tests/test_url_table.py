@@ -207,3 +207,11 @@ def test_structure_rejected_for_selfdescribing(spark):
         _structured_decoder_for("Native", "k Int64")
     with pytest.raises(ValueError, match="'name Type'"):
         _structured_decoder_for("CSV", "Int64")
+
+
+def test_format_sql_udtf(spark):
+    rows = spark.sql(
+        "SELECT * FROM clickhouse_format('Values', '(1, ''a''), (2, ''b'')',"
+        " 'k Int64, v String') ORDER BY k"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
