@@ -288,11 +288,20 @@ def iter_jsoncompact_blocks(
     *,
     lossy_uint64: bool = False,
     block_rows: int = 65_536,
+    schema: Optional[List[Tuple[str, CHType]]] = None,
 ) -> Iterator[Block]:
     """Decode a JSONCompactEachRowWithNamesAndTypes stream into Blocks
     with the SAME Arrow schema the Native path produces for these CH
-    types (so the scan source's downstream is format-agnostic)."""
-    schema = read_jsoncompact_header(buf)
+    types (so the scan source's downstream is format-agnostic).
+
+    ``schema`` switches to HEADERLESS ``FORMAT JSONCompactEachRow``
+    (plain spelling: no names/types rows; structure arrives out of
+    band, url()'s third argument)."""
+    if schema is None:
+        schema = read_jsoncompact_header(buf)
+    else:
+        for _name, t in schema:
+            _check_supported(t)
     lossy_cols = [
         lossy_uint64 and _col_needs_lossy(t) for _name, t in schema
     ]
@@ -331,6 +340,25 @@ def iter_jsoncompact_blocks(
         yield Block(n_rows=n, columns=cols)
         if n < block_rows:
             return
+
+
+def iter_jsoncompact_plain_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode HEADERLESS ``FORMAT JSONCompactEachRow`` with an
+    out-of-band structure (url()'s third argument) — the plain spelling
+    carries no names/types rows, so the WithNamesAndTypes decoder would
+    eat the first two data rows as a bogus header."""
+    return iter_jsoncompact_blocks(
+        buf,
+        lossy_uint64=lossy_uint64,
+        block_rows=block_rows,
+        schema=list(names_types),
+    )
 
 
 def write_jsoncompact(

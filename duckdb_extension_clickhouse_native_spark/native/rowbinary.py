@@ -300,6 +300,7 @@ def iter_rowbinary_blocks(
     *,
     lossy_uint64: bool = False,
     block_rows: int = 65_536,
+    schema: Optional[List[Tuple[str, CHType]]] = None,
 ) -> Iterator[Block]:
     """Decode a RowBinaryWithNamesAndTypes stream into Blocks with the
     SAME Arrow schema the Native path produces for these CH types.
@@ -307,8 +308,16 @@ def iter_rowbinary_blocks(
     Fast path: an all-fixed-width non-nullable schema decodes each
     chunk with one numpy structured view (no per-row Python); anything
     else walks rows sequentially (row-major layout — documented slow
-    path, Native is the columnar format)."""
-    schema = read_rowbinary_header(buf)
+    path, Native is the columnar format).
+
+    ``schema`` switches to HEADERLESS ``FORMAT RowBinary`` (ClickHouse's
+    plain spelling carries no names/types rows — the structure arrives
+    out of band, url()'s third argument)."""
+    if schema is None:
+        schema = read_rowbinary_header(buf)
+    else:
+        for _name, t in schema:
+            _check_supported(t)
     rec = _all_fixed(schema)
     if rec is not None:
         while True:
@@ -359,6 +368,25 @@ def iter_rowbinary_blocks(
         yield Block(n_rows=n, columns=cols)
         if n < block_rows:
             return
+
+
+def iter_rowbinary_plain_blocks(
+    buf: BinaryIO,
+    names_types: List[Tuple[str, CHType]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode HEADERLESS ``FORMAT RowBinary`` with an out-of-band
+    structure (url()'s third argument) — plain RowBinary carries no
+    names/types prefix, so reading it through the WithNamesAndTypes
+    decoder would consume the first rows as a bogus header."""
+    return iter_rowbinary_blocks(
+        buf,
+        lossy_uint64=lossy_uint64,
+        block_rows=block_rows,
+        schema=list(names_types),
+    )
 
 
 def _fixed_col_to_arrow(col: np.ndarray, t: CHType, lossy_uint64: bool) -> pa.Array:

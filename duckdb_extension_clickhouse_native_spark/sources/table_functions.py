@@ -166,16 +166,30 @@ def make_url_udtf():
             from .url_table import _decode_stream, _http_get
 
             f = fmt or "CSVWithNamesAndTypes"
+            # ONE name order for the whole result — the first stream's
+            # (analyze() probed the first URL, so this matches the
+            # declared schema). A later URL with the same columns in a
+            # different order must realign by name, not emit in its own
+            # stream order (r13 ADVICE: silent cross-column
+            # misalignment); a different column SET is a named error.
+            names = None
             for one in url.split(","):
                 one = one.strip()
                 if not one:
                     continue
                 with _http_get(one) as resp:
-                    names = None
                     for blk in _decode_stream(resp, f, structure):
                         rb = blk.to_record_batch()
                         if names is None:
-                            names = rb.schema.names
+                            names = list(rb.schema.names)
+                        elif set(rb.schema.names) != set(names):
+                            raise ValueError(
+                                "clickhouse_url: URL "
+                                f"{one!r} returned columns "
+                                f"{sorted(rb.schema.names)}, expected "
+                                f"{sorted(names)} (all URLs in the "
+                                "list must serve the same column set)"
+                            )
                         for row in rb.to_pylist():
                             yield tuple(row[n] for n in names)
 

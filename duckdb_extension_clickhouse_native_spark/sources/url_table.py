@@ -19,10 +19,12 @@ Supported formats are the SELF-DESCRIBING subset (names+types in the
 stream): Native, CSVWithNamesAndTypes, TSVWithNamesAndTypes,
 RowBinaryWithNamesAndTypes, JSONCompactEachRowWithNamesAndTypes,
 ArrowStream, Parquet, ORC — matching the wire formats the scan source
-speaks. Formats that need an out-of-band structure argument
-(plain CSV/TSV/JSONEachRow/Values/Npy) are refused with a named error
-(ClickHouse's url() takes a ``structure`` parameter there; pass data
-through a self-describing format instead).
+speaks. Formats that need an out-of-band structure argument (the
+HEADERLESS plain spellings CSV/TSV/TabSeparated/RowBinary/
+JSONCompactEachRow, plus JSONEachRow/Values/TSKV/Npy) are refused with
+a named error when no ``structure`` is supplied (ClickHouse's url()
+takes a ``structure`` parameter there; pass one, or use a
+self-describing *WithNamesAndTypes / Native / Arrow form).
 """
 
 from __future__ import annotations
@@ -32,17 +34,20 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-# format alias (lowercased, ClickHouse spelling tolerated) -> iter fn name
+# format alias (lowercased, ClickHouse spelling tolerated) -> iter fn
+# name. ONLY self-describing spellings belong here: the plain 'CSV' /
+# 'TSV' / 'RowBinary' / 'JSONCompactEachRow' names are HEADERLESS in
+# ClickHouse — routing them to a WithNamesAndTypes decoder would eat
+# the first data rows as a bogus header (r13 ADVICE: url_table(url,
+# 'CSV') on headerless data failed with "unsupported ClickHouse type:
+# '2'", and data whose second row parses as type names would silently
+# misparse). They live in _STRUCTURE_NEEDED instead.
 _FORMAT_DECODERS = {
     "native": "native",
-    "csv": "csv",
     "csvwithnamesandtypes": "csv",
-    "tsv": "tsv",
     "tabseparatedwithnamesandtypes": "tsv",
     "tsvwithnamesandtypes": "tsv",
-    "rowbinary": "rowbinary",
     "rowbinarywithnamesandtypes": "rowbinary",
-    "jsoncompacteachrow": "jsoncompact",
     "jsoncompacteachrowwithnamesandtypes": "jsoncompact",
     "arrowstream": "arrowstream",
     "parquet": "parquet",
@@ -53,11 +58,13 @@ _FORMAT_DECODERS = {
 # takes a third ``structure`` argument ('name Type, ...') for these
 _STRUCTURE_NEEDED = {
     "jsoneachrow", "values", "npy", "tskv", "csvplain", "tsvplain",
+    "csv", "tsv", "tabseparated", "rowbinary", "jsoncompacteachrow",
 }
 
 # structured-decoder dispatch: format key -> (module, fn) taking
-# (buf, names_types, ...). Plain 'CSV'/'TSV' WITH a structure are the
-# headerless ClickHouse spellings (csvplain/tsvplain internally).
+# (buf, names_types, ...). Plain 'CSV'/'TSV'/'RowBinary'/
+# 'JSONCompactEachRow' WITH a structure are the headerless ClickHouse
+# spellings.
 _STRUCTURED_DECODERS = {
     "jsoneachrow": ("jsoneachrow", "iter_jsonobjects_blocks"),
     "values": ("valuesformat", "iter_values_blocks"),
@@ -68,6 +75,8 @@ _STRUCTURED_DECODERS = {
     "csv": ("textformats", "iter_csv_plain_blocks"),
     "tabseparated": ("textformats", "iter_tsv_plain_blocks"),
     "tsv": ("textformats", "iter_tsv_plain_blocks"),
+    "rowbinary": ("rowbinary", "iter_rowbinary_plain_blocks"),
+    "jsoncompacteachrow": ("jsoneachrow", "iter_jsoncompact_plain_blocks"),
 }
 
 
@@ -182,11 +191,6 @@ def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
     return decode(buf)
 
 
-# one probe per (url, fmt) per process: schema discovery decodes the
-# stream's header/first block driver-side, the executor re-fetches
-_SCHEMA_CACHE: dict = {}
-
-
 def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -203,10 +207,7 @@ def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
                 for n, t in parse_structure(structure)
             ]
         )
-    key = (url, fmt.strip().lower())
-    hit = _SCHEMA_CACHE.get(key)
-    if hit is not None:
-        return hit
+    _decoder_for(fmt)  # format refusals fire BEFORE any fetch
     with _http_get(url) as resp:
         blocks = _decode_stream(resp, fmt)
         try:
@@ -216,9 +217,7 @@ def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
                 f"url() cannot infer a schema from a zero-block "
                 f"{fmt} stream at {url!r}"
             )
-    schema = from_arrow_schema(first.to_record_batch().schema)
-    _SCHEMA_CACHE[key] = schema
-    return schema
+    return from_arrow_schema(first.to_record_batch().schema)
 
 
 class URLPartition(InputPartition):
@@ -227,7 +226,7 @@ class URLPartition(InputPartition):
 
 
 class ClickHouseURLReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, field_names: Optional[list] = None):
         self.urls = [
             u.strip() for u in (options.get("url") or "").split(",") if u.strip()
         ]
@@ -239,6 +238,11 @@ class ClickHouseURLReader(DataSourceReader):
             _structured_decoder_for(self.fmt, self.structure)
         else:
             _decoder_for(self.fmt)
+        # the plan-time column order (probed from the FIRST URL): every
+        # partition realigns its batches to it by NAME — a later URL
+        # serving the same columns in a different order must not
+        # misassign values positionally (r13 ADVICE)
+        self.field_names = list(field_names) if field_names else None
 
     def partitions(self):
         return [URLPartition(u) for u in self.urls]
@@ -246,7 +250,18 @@ class ClickHouseURLReader(DataSourceReader):
     def read(self, partition: URLPartition) -> Iterator:
         with _http_get(partition.url) as resp:
             for blk in _decode_stream(resp, self.fmt, self.structure):
-                yield blk.to_record_batch()
+                rb = blk.to_record_batch()
+                names = self.field_names
+                if names is not None and list(rb.schema.names) != names:
+                    if set(rb.schema.names) != set(names):
+                        raise ValueError(
+                            f"clickhouse_url: URL {partition.url!r} "
+                            f"returned columns {sorted(rb.schema.names)},"
+                            f" expected {sorted(names)} (all URLs must "
+                            "serve the same column set)"
+                        )
+                    rb = rb.select(names)
+                yield rb
 
 
 class ClickHouseURLDataSource(DataSource):
@@ -258,18 +273,27 @@ class ClickHouseURLDataSource(DataSource):
         return "clickhouse_url"
 
     def schema(self):
+        # memoized PER INSTANCE (one probe per load()), never globally:
+        # a process-wide (url, fmt) cache served a STALE schema when the
+        # URL's content changed between loads — the POST-then-GET
+        # store-and-serve pattern (r13 ADVICE). A fresh load always
+        # re-probes; repeat schema() calls on one plan reuse the probe.
+        memo = getattr(self, "_schema_memo", None)
+        if memo is not None:
+            return memo
         opts = dict(self.options)
         urls = [u.strip() for u in (opts.get("url") or "").split(",") if u.strip()]
         if not urls:
             raise ValueError("clickhouse_url requires a url option")
-        return _probe_schema(
+        self._schema_memo = _probe_schema(
             urls[0],
             opts.get("format", "CSVWithNamesAndTypes"),
             (opts.get("structure") or "").strip() or None,
         )
+        return self._schema_memo
 
     def reader(self, schema) -> ClickHouseURLReader:
-        return ClickHouseURLReader(dict(self.options))
+        return ClickHouseURLReader(dict(self.options), schema.fieldNames())
 
 
 def url_table(
@@ -335,8 +359,14 @@ def url_insert(df, url: str, fmt: str = "CSVWithNamesAndTypes") -> int:
     key = fmt.strip().lower()
     kind = _FORMAT_DECODERS.get(key)
     if kind is None or key in _STRUCTURE_NEEDED:
+        hint = (
+            " (headerless plain spelling — INSERT writes the "
+            "self-describing stream; use the WithNamesAndTypes form)"
+            if key in _STRUCTURE_NEEDED
+            else ""
+        )
         raise ValueError(
-            f"unsupported url() INSERT format {fmt!r}; one of "
+            f"unsupported url() INSERT format {fmt!r}{hint}; one of "
             f"{sorted(set(_FORMAT_DECODERS))}"
         )
     writer_key = _KIND_TO_WRITER[kind]
