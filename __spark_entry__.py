@@ -31,6 +31,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     relational,
     sources,
     sources_r13,
+    sources_r14,
     stats,
     streaming_queries,
     timeseries,

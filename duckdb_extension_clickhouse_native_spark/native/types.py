@@ -45,9 +45,15 @@ class CHType:
     scale: int = 0  # DateTime64 precision
     nullable: bool = False
     tuple_names: list[str] = field(default_factory=list)  # Nested field names
+    # original ClickHouse spelling when the type is an alias for a
+    # structural layout (geo types: 'Point' IS Tuple(Float64, Float64)
+    # on the wire) — keeps headers/DESCRIBE rendering the alias
+    display: Optional[str] = None
 
     @property
     def name(self) -> str:
+        if self.display is not None:
+            return self.display
         if self.base in ("LowCardinality", "Array") and self.inner is not None:
             inner = self.inner.name
             if self.inner.nullable:
@@ -89,6 +95,16 @@ BIG_INT_WIDTH: dict[str, int] = {
     "UInt128": 16,
     "Int256": 32,
     "UInt256": 32,
+}
+
+# geo-type aliases -> the structural spelling with the SAME wire bytes
+_GEO_TYPE_EQUIV: dict[str, str] = {
+    "Point": "Tuple(Float64, Float64)",
+    "Ring": "Array(Point)",
+    "LineString": "Array(Point)",
+    "MultiLineString": "Array(LineString)",
+    "Polygon": "Array(Ring)",
+    "MultiPolygon": "Array(Polygon)",
 }
 
 _ENUM_ITEM = re.compile(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)")
@@ -223,6 +239,46 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
             t.tuple_names.append(piece[:sp])
             t.tuple_items.append(parse_type(piece[sp + 1 :].strip()))
         return t
+    if base in _GEO_TYPE_EQUIV and params is None:
+        # geo types (docs: sql-reference/data-types/geo) are ALIASES
+        # for nested Array/Tuple layouts — identical Native wire bytes
+        # (Point = Tuple(Float64, Float64), Ring/LineString =
+        # Array(Point), Polygon = Array(Ring), MultiPolygon =
+        # Array(Polygon)); the codec already decodes those, so only the
+        # NAME mapping lives here (ref analogue: the type dispatch at
+        # lib.rs:106-141, whose unsupported arm geo tables used to hit).
+        g = parse_type(_GEO_TYPE_EQUIV[base])
+        g.display = base
+        return g
+    if base == "AggregateFunction":
+        # AggregatingMergeTree state columns: the payload is ClickHouse's
+        # INTERNAL serialized aggregation state (version-dependent, no
+        # public layout contract) — refuse loudly by name rather than
+        # falling through to the generic unsupported path. The engine's
+        # merge SEMANTICS are available: re-aggregate from raw rows, or
+        # use the partial-state operators (operators/projections.py,
+        # the agg_state_merge entry).
+        raise UnsupportedTypeError(
+            f"AggregateFunction state columns cannot be decoded "
+            f"({type_str!r}): the serialized state layout is "
+            "ClickHouse-internal. Re-aggregate from raw data, or use "
+            "the engine's partial-state merge operators "
+            "(agg_state_merge, projections) on data this engine wrote."
+        )
+    if base == "SimpleAggregateFunction":
+        # SimpleAggregateFunction(f, T) stores PLAIN values of T — the
+        # wire layout is exactly T (docs: data-types/
+        # simpleaggregatefunction), so decode as the inner type.
+        if params is None:
+            raise UnsupportedTypeError(
+                f"SimpleAggregateFunction needs parameters: {type_str!r}"
+            )
+        parts = _split_top_level(params)
+        if len(parts) < 2:
+            raise UnsupportedTypeError(
+                f"SimpleAggregateFunction needs (f, T): {type_str!r}"
+            )
+        return parse_type(", ".join(parts[1:]))
     if base == "Object":
         # Object('json') — the pre-24.x spelling of the JSON type
         if params is None or params.strip().strip("'").lower() != "json":

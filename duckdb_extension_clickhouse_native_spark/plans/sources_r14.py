@@ -1,0 +1,264 @@
+"""Round-14 source conformance: url() globs and geo types.
+
+* ``tf_url_glob_scan`` — ClickHouse URL glob expansion (docs:
+  sql-reference/table-functions/url, 'Globs in URL'): the entry reads
+  ``.../{even,odd}/part{1..2}.csv`` — alternation × numeric range
+  expanding to four URLs, one Spark input partition each (the at-scale
+  fan-out a 1000-shard export would use: ``part{1..1000}.csv``).  The
+  r13 url() surface took an explicit comma-separated list only; the
+  ClickHouse spelling now parses (VERDICT r13 item 4).  Oracle
+  recomputes from the raw parquet, never touching HTTP, CSV, or globs.
+
+* ``native_geo_scan`` — Point / Ring / Polygon / MultiPolygon decode
+  (VERDICT r13 item 3).  On the Native wire these are exactly nested
+  Array/Tuple layouts (Point = Tuple(Float64, Float64), Ring =
+  Array(Point), Polygon = Array(Ring), MultiPolygon = Array(Polygon) —
+  ClickHouse docs: sql-reference/data-types/geo), which the codec
+  already decodes; the type parser maps the names (reference analogue:
+  the type-string dispatch at lib.rs:106-141, whose Unsupported arm a
+  geo-enabled table previously hit).  The fixture derives
+  deterministic geometry from the driver's orders parquet; the oracle
+  computes the same coordinate aggregates directly from the raw
+  columns, never touching geometry types.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY
+
+_GLOB_SERVERS: dict = {}
+
+
+def _orders_glob_urls(sf_dir: str) -> str:
+    """Four-way CSVWithNamesAndTypes export of the o_orderkey % 89 == 0
+    orders subset, served at /{even,odd}/part{1,2}.csv by a
+    process-cached local HTTP server; returns the GLOB spelling."""
+    import io as _io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    key = ("orders-glob", sf_dir)
+    hit = _GLOB_SERVERS.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 89 == 0))
+    keys = t.column("o_orderkey").to_numpy()
+    paths = [
+        "/even/part1.csv",  # slice 0
+        "/even/part2.csv",  # slice 1
+        "/odd/part1.csv",  # slice 2
+        "/odd/part2.csv",  # slice 3
+    ]
+    bodies = {}
+    for idx, name in enumerate(paths):
+        piece = t.filter(pa.array((keys // 89) % 4 == idx))
+        buf = _io.BytesIO()
+        write_csv(
+            buf,
+            piece.to_batches(),
+            [from_arrow(f.type) for f in piece.schema],
+        )
+        bodies[name] = buf.getvalue()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server contract
+            body = bodies.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    spec = f"http://{host}:{port}/{{even,odd}}/part{{1..2}}.csv"
+    _GLOB_SERVERS[key] = spec
+    return spec
+
+
+def _tf_url_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    spec = _orders_glob_urls(sf_dir)
+    df = (
+        spark.read.format("clickhouse_url")
+        .option("url", spec)
+        .option("format", "CSVWithNamesAndTypes")
+        .load()
+    )
+    if df.rdd.getNumPartitions() != 4:
+        raise AssertionError(
+            "glob expansion must plan one partition per expanded URL"
+        )
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+
+
+def _geo_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> geo columns, all coordinates INTEGRAL doubles so sums
+    are exact and order-independent:
+      x  = o_orderkey % 360 - 180;  y = (o_orderkey // 7) % 180 - 90
+      pt    Point        = (x, y)
+      ring  Ring         = [(x,y), (x+1,y), (x,y+1)]
+      poly  Polygon      = [ring, [(x,y), (x+2,y+2)]]
+      mpoly MultiPolygon = [poly] (+ [[(x,y)]] when o_orderkey is odd)
+    """
+    import pyarrow as pa
+
+    from ..native.types import parse_type, to_arrow
+    from ..native.writer import write_native_file
+    from .sources import _materialize_fixture
+
+    t_pt = parse_type("Point")
+    t_ring = parse_type("Ring")
+    t_poly = parse_type("Polygon")
+    t_mpoly = parse_type("MultiPolygon")
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        pts, rings, polys, mpolys = [], [], [], []
+        for k in keys:
+            x = float(k % 360 - 180)
+            y = float((k // 7) % 180 - 90)
+            pt = {"_1": x, "_2": y}
+            ring = [pt, {"_1": x + 1, "_2": y}, {"_1": x, "_2": y + 1}]
+            poly = [ring, [pt, {"_1": x + 2, "_2": y + 2}]]
+            pts.append(pt)
+            rings.append(ring)
+            polys.append(poly)
+            mpolys.append([poly] if k % 2 == 0 else [poly, [[pt]]])
+        batch = pa.table(
+            {
+                "o_orderstatus": pa.array(status, type=pa.string()),
+                "pt": pa.array(pts, type=to_arrow(t_pt)),
+                "ring": pa.array(rings, type=to_arrow(t_ring)),
+                "poly": pa.array(polys, type=to_arrow(t_poly)),
+                "mpoly": pa.array(mpolys, type=to_arrow(t_mpoly)),
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("String"), t_pt, t_ring, t_poly, t_mpoly],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-geo", write)
+
+
+def _native_geo_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _geo_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    lng = lambda c: c.cast("long")  # noqa: E731 — integral doubles
+    return (
+        df.select(
+            "o_orderstatus",
+            lng(F.col("pt._1")).alias("x"),
+            lng(F.col("pt._2")).alias("y"),
+            F.aggregate(
+                "ring",
+                F.lit(0).cast("long"),
+                lambda a, p: a + p["_1"].cast("long"),
+            ).alias("ring_x"),
+            F.size("poly").alias("n_rings"),
+            F.size("mpoly").alias("n_polys"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).alias("cross"),
+            F.sum("ring_x").alias("ring_x"),
+            F.sum("n_rings").cast("long").alias("rings"),
+            F.sum("n_polys").cast("long").alias("polys"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_geo_scan",
+    _native_geo_scan,
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus,
+             (o_orderkey % 360 - 180) AS x,
+             ((o_orderkey // 7) % 180 - 90) AS y,
+             o_orderkey % 2 AS odd
+      FROM orders
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * y) AS BIGINT) AS cross,
+           CAST(SUM(3 * x + 1) AS BIGINT) AS ring_x,
+           CAST(SUM(2) AS BIGINT) AS rings,
+           CAST(SUM(1 + odd) AS BIGINT) AS polys
+    FROM g GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "geo", "types"],
+    description="Point/Ring/Polygon/MultiPolygon decode through the "
+    "full write -> Native bytes (headers literally spell the geo "
+    "names) -> scan path; oracle recomputes every coordinate "
+    "aggregate from raw o_orderkey arithmetic, never touching "
+    "geometry types",
+)
+
+
+REGISTRY.df_query(
+    "tf_url_glob_scan",
+    _tf_url_glob_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MIN(o_orderkey) AS min_k,
+           MAX(o_orderkey) AS max_k
+    FROM orders WHERE o_orderkey % 89 = 0
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "url", "tf", "glob"],
+    description="url() glob expansion: {even,odd}/part{1..2}.csv "
+    "(alternation x numeric range) -> four URLs, one partition each, "
+    "through the clickhouse_url DataSource; oracle from raw parquet",
+)

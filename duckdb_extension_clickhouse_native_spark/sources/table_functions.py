@@ -145,7 +145,7 @@ def make_url_udtf():
             fmt: Optional[AnalyzeArgument] = None,
             structure: Optional[AnalyzeArgument] = None,
         ) -> AnalyzeResult:
-            from .url_table import _probe_schema
+            from .url_table import _probe_schema, expand_urls
 
             if url.value is None:
                 raise ValueError(
@@ -154,8 +154,10 @@ def make_url_udtf():
                 )
             f = "CSVWithNamesAndTypes" if fmt is None else str(fmt.value)
             st = None if structure is None else str(structure.value)
-            first = str(url.value).split(",")[0].strip()
-            return AnalyzeResult(schema=_probe_schema(first, f, st))
+            urls = expand_urls(str(url.value))
+            if not urls:
+                raise ValueError("clickhouse_url requires a URL")
+            return AnalyzeResult(schema=_probe_schema(urls[0], f, st))
 
         def eval(
             self,
@@ -163,7 +165,7 @@ def make_url_udtf():
             fmt: Optional[str] = None,
             structure: Optional[str] = None,
         ) -> Iterator[tuple]:
-            from .url_table import _decode_stream, _http_get
+            from .url_table import _decode_stream, _http_get, expand_urls
 
             f = fmt or "CSVWithNamesAndTypes"
             # ONE name order for the whole result — the first stream's
@@ -173,10 +175,7 @@ def make_url_udtf():
             # stream order (r13 ADVICE: silent cross-column
             # misalignment); a different column SET is a named error.
             names = None
-            for one in url.split(","):
-                one = one.strip()
-                if not one:
-                    continue
+            for one in expand_urls(url):
                 with _http_get(one) as resp:
                     for blk in _decode_stream(resp, f, structure):
                         rb = blk.to_record_batch()

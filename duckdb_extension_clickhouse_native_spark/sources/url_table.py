@@ -80,6 +80,82 @@ _STRUCTURED_DECODERS = {
 }
 
 
+# ClickHouse caps glob expansion (glob_expansion_max_elements = 1000);
+# same cap here — an unbounded {1..10000000} must refuse, not plan 10M
+# partitions
+_GLOB_MAX_ELEMENTS = 1000
+
+
+def expand_url_globs(url: str) -> list:
+    """ClickHouse url() glob expansion (docs: sql-reference/
+    table-functions/url — 'Globs in URL'): ``{N..M}`` inclusive numeric
+    ranges (zero-padded when the left endpoint carries a leading zero,
+    the ``{01..12}`` spelling), ``{a,b,c}`` alternation, multiple
+    groups expanding as a cartesian product.  Returns the expanded URL
+    list — each element becomes one input partition, so a 32-shard
+    export reads as ``part{1..32}.csv`` with 32-way parallelism."""
+    import re
+
+    i = url.find("{")
+    if i < 0:
+        if "}" in url:
+            raise ValueError(f"url() glob: unbalanced '}}' in {url!r}")
+        return [url]
+    j = url.find("}", i)
+    if j < 0:
+        raise ValueError(f"url() glob: unbalanced '{{' in {url!r}")
+    head, body, tail = url[:i], url[i + 1 : j], url[j + 1 :]
+    m = re.fullmatch(r"(\d+)\.\.(\d+)", body)
+    if m:
+        lo_s, hi_s = m.group(1), m.group(2)
+        lo, hi = int(lo_s), int(hi_s)
+        if hi < lo:
+            raise ValueError(
+                f"url() glob: descending range {{{body}}} in {url!r}"
+            )
+        width = len(lo_s) if lo_s.startswith("0") and len(lo_s) > 1 else 0
+        pieces = [str(v).zfill(width) for v in range(lo, hi + 1)]
+    else:
+        if not body:
+            raise ValueError(f"url() glob: empty group {{}} in {url!r}")
+        pieces = body.split(",")
+    out: list = []
+    for piece in pieces:
+        out.extend(expand_url_globs(head + piece + tail))
+        if len(out) > _GLOB_MAX_ELEMENTS:
+            raise ValueError(
+                f"url() glob expands past {_GLOB_MAX_ELEMENTS} URLs "
+                f"(ClickHouse glob_expansion_max_elements): {url!r}"
+            )
+    return out
+
+
+def expand_urls(spec: str) -> list:
+    """Full url-list resolution: split a comma-separated URL list on
+    TOP-LEVEL commas only (commas inside ``{a,b}`` groups belong to the
+    glob), then glob-expand each element."""
+    urls: list = []
+    depth = 0
+    cur: list = []
+    for ch in spec:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            urls.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    urls.append("".join(cur))
+    out: list = []
+    for u in urls:
+        u = u.strip()
+        if u:
+            out.extend(expand_url_globs(u))
+    return out
+
+
 def parse_structure(structure: str):
     """ClickHouse url()/format() structure string ('k Int64, v
     Nullable(String)') -> [(name, CHType)]."""
@@ -227,9 +303,7 @@ class URLPartition(InputPartition):
 
 class ClickHouseURLReader(DataSourceReader):
     def __init__(self, options: dict, field_names: Optional[list] = None):
-        self.urls = [
-            u.strip() for u in (options.get("url") or "").split(",") if u.strip()
-        ]
+        self.urls = expand_urls(options.get("url") or "")
         if not self.urls:
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
@@ -282,7 +356,7 @@ class ClickHouseURLDataSource(DataSource):
         if memo is not None:
             return memo
         opts = dict(self.options)
-        urls = [u.strip() for u in (opts.get("url") or "").split(",") if u.strip()]
+        urls = expand_urls(opts.get("url") or "")
         if not urls:
             raise ValueError("clickhouse_url requires a url option")
         self._schema_memo = _probe_schema(
@@ -304,8 +378,11 @@ def url_table(
 ):
     """The ``url(url, format[, structure])`` table function as a
     DataFrame. A comma-separated URL list fans out one partition per
-    URL; ``structure`` ('name Type, ...') enables the headerless
-    formats (plain CSV/TSV, JSONEachRow, Values, TSKV, Npy)."""
+    URL, and ClickHouse URL globs expand first — ``part{1..32}.csv``
+    numeric ranges (``{01..12}`` zero-padded), ``{a,b}`` alternation,
+    cartesian across groups; ``structure`` ('name Type, ...') enables
+    the headerless formats (plain CSV/TSV/RowBinary/JSONCompactEachRow,
+    JSONEachRow, Values, TSKV, Npy)."""
     from ..plans.base import ensure_session
 
     ensure_session(spark)
