@@ -240,6 +240,8 @@ def main() -> None:
     fixture = build_fixture(
         scan_rows, 32, os.path.join(tempfile.gettempdir(), "chsql_scale_probe")
     )
+    # DEFAULT path — packing is on by default since r14 (VERDICT r13
+    # item 2): 32 tiny files bin to ~cores/2 partitions
     scan_df = spark.read.format("clickhouse_native").load(fixture)
     # the scan number is the headline baseline comparison and jitters
     # +-30% with machine state at ~0.5 s. The HEADLINE is the MEDIAN
@@ -258,52 +260,54 @@ def main() -> None:
     total += median_scan
     mrps = scan_rows / median_scan / 1e6
     print(
-        f"# native_scan_10m_count: median {median_scan:.3f}s "
+        f"# native_scan_10m_count (default, packed): median "
+        f"{median_scan:.3f}s "
         f"({mrps:.1f} M rows/s vs reference 10.5 M rows/s; "
-        f"best {scan_ts[0]:.3f}s)",
+        f"best {scan_ts[0]:.3f}s, "
+        f"{scan_df.rdd.getNumPartitions()} partitions)",
         file=sys.stderr,
     )
-    # packed scan (r13, VERDICT item 7): same fixture read with
-    # Spark-file-source-style partition packing (max_partition_bytes —
-    # bins 32 tiny files into ~cores/2 partitions; a python-DS task
-    # occupies a JVM thread AND a python worker, so half the cores is
-    # the measured sweet spot for overhead-dominated scans, SCALE.md).
-    packed_df = (
+    # per-file opt-out (max_partition_bytes=0): the pre-r14 default,
+    # kept as the comparison series — the DEFAULT series above is the
+    # packed plan now (r13 VERDICT item 2 flipped it)
+    perfile_df = (
         spark.read.format("clickhouse_native")
-        .option("max_partition_bytes", str(128 * 1024 * 1024))
+        .option("max_partition_bytes", "0")
         .load(fixture)
     )
-    packed_df.count()  # untimed warmup
-    packed_ts: list[float] = []
+    perfile_df.count()  # untimed warmup
+    perfile_ts: list[float] = []
     for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
-        n = packed_df.count()
-        packed_ts.append(time.perf_counter() - t0)
+        n = perfile_df.count()
+        perfile_ts.append(time.perf_counter() - t0)
     assert n == scan_rows
-    packed_ts.sort()
-    median_packed = packed_ts[len(packed_ts) // 2]
-    results["native_scan_10m_count_packed"] = round(median_packed, 4)
+    perfile_ts.sort()
+    median_perfile = perfile_ts[len(perfile_ts) // 2]
+    results["native_scan_10m_count_perfile"] = round(median_perfile, 4)
     print(
-        f"# native_scan_10m_count_packed: median {median_packed:.3f}s "
-        f"({scan_rows / median_packed / 1e6:.1f} M rows/s, "
-        f"{packed_df.rdd.getNumPartitions()} partitions)",
+        f"# native_scan_10m_count_perfile (opt-out): median "
+        f"{median_perfile:.3f}s "
+        f"({scan_rows / median_perfile / 1e6:.1f} M rows/s, "
+        f"{perfile_df.rdd.getNumPartitions()} partitions)",
         file=sys.stderr,
     )
     scan_throughput = {
         "rows": scan_rows,
         "files": 32,
-        "count_sec": round(median_scan, 4),  # the headline == median
+        # the headline == median of the DEFAULT plan (packed since r14)
+        "count_sec": round(median_scan, 4),
         "count_sec_best": round(scan_ts[0], 4),
         "count_sec_median": round(median_scan, 4),
         "count_sec_max": round(scan_ts[-1], 4),
         "runs": len(scan_ts),
         "mrows_per_sec": round(mrps, 1),
         "mrows_per_sec_best": round(scan_rows / scan_ts[0] / 1e6, 1),
-        # partition-packing lever (one task per ~target bytes instead
-        # of one per tiny file — the 100 TB-relevant layout knob)
-        "count_sec_packed_median": round(median_packed, 4),
-        "mrows_per_sec_packed": round(scan_rows / median_packed / 1e6, 1),
-        "packed_partitions": packed_df.rdd.getNumPartitions(),
+        "default_partitions": scan_df.rdd.getNumPartitions(),
+        # pre-r14 one-partition-per-file plan (opt-out series)
+        "count_sec_perfile_median": round(median_perfile, 4),
+        "mrows_per_sec_perfile": round(scan_rows / median_perfile / 1e6, 1),
+        "perfile_partitions": perfile_df.rdd.getNumPartitions(),
         "baseline_mrows_per_sec": 10.5,
     }
     def materialize(df) -> None:

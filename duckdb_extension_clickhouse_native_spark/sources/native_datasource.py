@@ -496,17 +496,25 @@ class ClickHouseNativeReader(DataSourceReader):
         self.arrow_batch_bytes = int(
             options.get("arrow_batch_bytes", 32 * 1024 * 1024)
         )
-        # Spark-file-source-style partition PACKING (opt-in): bin
-        # several small whole files into one input partition, exactly
-        # the FilePartition model (maxPartitionBytes + openCostInBytes
-        # + a parallelism floor). A python-DataSource task occupies a
-        # JVM task thread AND a python worker process, so for
-        # overhead-dominated scans the measured sweet spot is about
-        # HALF the cores (SCALE.md r13: 10M rows x 32 tiny files on 32
-        # cores — per-file 24.9 M rows/s, packed-to-16 30.9 M rows/s).
-        # Default 0 = one partition per file (many tests pin pruned
-        # partition counts; packing composes after pruning when on).
-        self.max_partition_bytes = int(options.get("max_partition_bytes", 0))
+        # Spark-file-source-style partition PACKING (DEFAULT ON since
+        # r14): bin several small whole files into one input partition,
+        # exactly the FilePartition model (maxPartitionBytes +
+        # openCostInBytes + a parallelism floor). A python-DataSource
+        # task occupies a JVM task thread AND a python worker process,
+        # so for overhead-dominated scans the measured sweet spot is
+        # about HALF the cores (SCALE.md r13: 10M rows x 32 tiny files
+        # on 32 cores — per-file 24.9 M rows/s, packed-to-16 30.9
+        # M rows/s; r13 VERDICT item 2 ordered the flip). Default =
+        # Spark's 128 MiB maxPartitionBytes; set 0 for one partition
+        # per file. Packing composes AFTER sidecar pruning (skipped
+        # files never join a bin), preserves hive values per member,
+        # and the parallelism floor (min_partitions ~= cores/2) keeps
+        # small fixtures at one-file bins, so pruned-count tests and
+        # partition-count assertions see per-file behavior unless a
+        # directory has genuinely more files than the floor.
+        self.max_partition_bytes = int(
+            options.get("max_partition_bytes", 128 * 1024 * 1024)
+        )
         self.open_cost_bytes = int(
             options.get("open_cost_bytes", 4 * 1024 * 1024)
         )
