@@ -532,13 +532,79 @@ _ROUND9_WINDOW = [
 # past the 50-cutoff and lead round 13 per the never-graded-first
 # policy (VERDICT r12 item 1).
 #
-# ROUND-13 WINDOW (tools/window_plan.py regenerated at registry 354):
-# the 30 never-driver-graded r12c/d/e/f entries lead (judge-swept
-# green at r12 but zero CORRECTNESS rows), then changed-path re-proofs
-# for this round's source changes (fast-twin promotions under the
-# graded names cte_recursive_calendar / text_ngram_distance), then the
-# r6-green oldest-evidence cohort fills the remainder.
+# ROUND-13 WINDOW (graded 50/50 green in CORRECTNESS_r13.json; full
+# text in git history at e54e877's parent): the 30 never-driver-graded
+# r12c/d/e/f entries + r13 parity forms/type long tail/TCP/recall/url
+# entries + changed-path re-proofs + the first 6 of the r6 cohort.
+#
+# ROUND-14 WINDOW (tools/window_plan.py regenerated at registry 367):
+# the 2 never-graded r14 entries lead (native_geo_scan,
+# tf_url_glob_scan), then 3 changed-path re-proofs — the r14 url()
+# surface rewrite (plain-spelling refusal, per-instance schema memo,
+# multi-URL name realignment, glob expansion) executes under the
+# graded names tf_url_csv_scan / tf_url_structure_scan /
+# tf_url_insert_roundtrip — then the ENTIRE r6-green oldest-evidence
+# cohort (29 rows, VERDICT r13 item 6) and the alphabetically-first 16
+# r7-green rows.  The r7 remainder rotates into round 15.
 GRADING_WINDOW = [
+    "native_geo_scan",  # NEVER GRADED (r14: geo type decode)
+    "tf_url_glob_scan",  # NEVER GRADED (r14: url glob expansion)
+    # changed-path re-proofs (r14 url surface rewrite)
+    "tf_url_csv_scan",  # green r13; r14 multi-URL realignment path
+    "tf_url_structure_scan",  # green r13; r14 plain-spelling routing
+    "tf_url_insert_roundtrip",  # green r13; r14 schema-memo scoping
+    # oldest-evidence cohort (newest green r6), alphabetical
+    "join_right_outer",  # green r6
+    "join_semi_anti",  # green r6
+    "multimodal_features",  # green r6
+    "multimodal_frame_sample",  # green r6
+    "multimodal_resize",  # green r6
+    "native_roundtrip_documents",  # green r6
+    "native_zorder_skip_scan",  # green r6
+    "q2_min_per_group",  # green r6
+    "regex_functions",  # green r6
+    "sample_hash_based",  # green r6
+    "scalar_conditional",  # green r6
+    "scalar_math_funcs",  # green r6
+    "scalar_string_funcs",  # green r6
+    "scan_project_filter",  # green r6
+    "scan_tcp_split",  # green r6
+    "scan_tcp_write_roundtrip",  # green r6
+    "sim_pairs_signlsh",  # green r6
+    "sim_topk_bruteforce",  # green r6
+    "sim_topk_ivf",  # green r6
+    "subquery_correlated_exists",  # green r6
+    "subquery_in",  # green r6
+    "text_chunking",  # green r6
+    "text_fingerprint",  # green r6
+    "text_lang_id",  # green r6
+    "text_pii_scrub",  # green r6
+    "text_quality",  # green r6
+    "text_repetition",  # green r6
+    "text_token_count",  # green r6
+    "topk_orders",  # green r6
+    # next-oldest cohort (newest green r7), alphabetical head
+    "approx_distinct_parts",  # green r7
+    "asof_join_events_orders",  # green r7
+    "bm25_topk",  # green r7
+    "cte_monthly_rank",  # green r7
+    "decontaminate_ngram",  # green r7
+    "dedup_connected_components",  # green r7
+    "dedup_minhash_lsh",  # green r7
+    "dedup_ngram_jaccard",  # green r7
+    "dedup_simhash",  # green r7
+    "dedup_substring_spans",  # green r7
+    "events_time_buckets",  # green r7
+    "grouping_sets_events",  # green r7
+    "hybrid_search_rrf",  # green r7
+    "join_bucketed_colocated",  # green r7
+    "join_cross_small",  # green r7
+    "join_non_equi_range",  # green r7
+]
+
+# (r13 window text retired to git history — see the commit referenced
+# above; the names below this line were the r13 list)
+_GRADING_WINDOW_R13 = [
     # never driver-graded (r12c tranche)
     "scalar_string_pad_split",  # NEVER GRADED (r12c)
     "agg_group_uniq_array",  # NEVER GRADED (r12c)
