@@ -600,6 +600,21 @@ def main() -> None:
     ]
     r13_ops, r13_total = run_tier(r13_names)
 
+    # eighth tier: every entry that landed AFTER the r13 definitive
+    # bench (r13 verdict item 7: sweep-at-close discipline — no
+    # registry entry without a timed row in some BENCH_local tier):
+    # the r13 third-tranche url() family + the r14 additions
+    r14_names = [
+        "tf_url_csv_scan",  # r13 tranche 2 (post-definitive-bench)
+        "tf_format_inline",  # r13 tranche 2
+        "tf_url_insert_roundtrip",  # r13 tranche 2
+        "tf_url_structure_scan",  # r13 tranche 3
+        "native_geo_scan",  # r14
+        "tf_url_glob_scan",  # r14
+        "native_variant_scan",  # r14
+    ]
+    r14_ops, r14_total = run_tier(r14_names)
+
     # hive-mutation component split (r12 verdict item 5): the graded
     # tier numbers above time build(query)+materialize end to end; this
     # section separates fixture access (cached), the mutation call
@@ -640,6 +655,8 @@ def main() -> None:
                 "r12_ops_total": round(r12_total, 4),
                 "r13_ops": r13_ops,
                 "r13_ops_total": round(r13_total, 4),
+                "r14_ops": r14_ops,
+                "r14_ops_total": round(r14_total, 4),
                 "mutation_components": mutation_components,
                 "host_calibration": calibration,
                 "sf": sf_dir,

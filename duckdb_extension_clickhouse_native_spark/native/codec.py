@@ -671,6 +671,46 @@ def decode_column(
         return pa.MapArray.from_arrays(
             pa.array(arrow_offsets, type=pa.int32()), keys, items
         )
+    if b == "Variant":
+        # public layout (cf. ClickHouse SerializationVariant, basic
+        # discriminator mode as clickhouse-connect also reads it):
+        # UInt64 mode prefix (0 = basic), one UInt8 discriminator per
+        # row (255 = NULL; indices refer to the CANONICAL sorted
+        # variant order, see parse_type), then each variant's values
+        # DENSE in canonical order
+        mode = _read_u64(buf)
+        if mode != 0:
+            raise UnsupportedTypeError(
+                f"Variant discriminator serialization mode {mode} "
+                "(only the basic row-discriminator mode 0 is supported; "
+                "compact granule mode is a MergeTree-part layout)"
+            )
+        raw = buf.read(rows)
+        if len(raw) != rows:
+            raise EOFError("EOF inside Variant discriminators")
+        disc = np.frombuffer(raw, dtype=np.uint8)
+        n_var = len(t.tuple_items)
+        bad = disc[(disc != 255) & (disc >= n_var)]
+        if bad.size:
+            raise ValueError(
+                f"Variant discriminator {int(bad[0])} out of range for "
+                f"{n_var} variants ({t.name})"
+            )
+        fields = []
+        for i, it in enumerate(t.tuple_items):
+            sel = disc == i
+            count = int(sel.sum())
+            dense = decode_column(
+                buf, it, count,
+                scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+            )
+            idx = np.zeros(rows, dtype=np.int64)
+            idx[sel] = np.arange(count)
+            take = pa.array(idx, mask=~sel)  # null index -> null value
+            fields.append(dense.take(take))
+        return pa.StructArray.from_arrays(
+            fields, [it.name for it in t.tuple_items]
+        )
     if b in ("Decimal", "Decimal32", "Decimal64", "Decimal128"):
         width = 4 if t.fixed_len <= 9 else 8 if t.fixed_len <= 18 else 16
         raw = buf.read(width * rows)
@@ -850,6 +890,19 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
         return
     if b == "Nested":
         skip_column(buf, _nested_equiv(t), rows)
+        return
+    if b == "Variant":
+        mode = _read_u64(buf)
+        if mode != 0:
+            raise UnsupportedTypeError(
+                f"Variant discriminator serialization mode {mode}"
+            )
+        raw = buf.read(rows)
+        if len(raw) != rows:
+            raise EOFError("EOF inside Variant discriminators")
+        disc = np.frombuffer(raw, dtype=np.uint8)
+        for i, it in enumerate(t.tuple_items):
+            skip_column(buf, it, int((disc == i).sum()))
         return
     if b == "JSON":
         skip_column(buf, CHType("String"), rows)
@@ -1060,10 +1113,13 @@ def _encode_fixed_np(arr: pa.Array, dtype: str) -> bytes:
 def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
-    if (t.nullable or arr.null_count > 0) and b not in ("LowCardinality", "Map"):
+    if (t.nullable or arr.null_count > 0) and b not in (
+        "LowCardinality", "Map", "Variant",
+    ):
         # nulls in a LowCardinality column live inside the dictionary
         # (index 0 placeholder), never as an outer Nullable mask;
-        # Nullable(Map) does not exist in ClickHouse (nulls -> empty map)
+        # Nullable(Map) does not exist in ClickHouse (nulls -> empty
+        # map); Variant NULLs are the 255 discriminator
         mask = np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False), dtype=np.uint8)
         buf.write(mask.tobytes())
         arr = pa.compute.fill_null(arr, _default_fill(arr.type))
@@ -1185,6 +1241,43 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
                 raise ValueError(f"negative value {n} in a {b} column")
             buf.write(n.to_bytes(width, "little", signed=signed))
         return
+    if b == "Variant":
+        # inverse of the decode branch: discriminator = index of the
+        # single non-null variant field per row (255 when all null),
+        # then each variant's values dense in canonical order
+        if not pa.types.is_struct(arr.type):
+            raise UnsupportedTypeError(
+                "Variant encode expects a struct array (one field per "
+                "variant, at most one non-null per row)"
+            )
+        if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+            arr = arr.combine_chunks()
+        parent_ok = np.asarray(
+            pa.compute.is_valid(arr).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        n = len(arr)
+        disc = np.full(n, 255, dtype=np.uint8)
+        for i in range(len(t.tuple_items)):
+            v = (
+                np.asarray(
+                    pa.compute.is_valid(arr.field(i)).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    dtype=bool,
+                )
+                & parent_ok
+            )
+            if (disc[v] != 255).any():
+                raise ValueError(
+                    "Variant row has more than one non-null variant field"
+                )
+            disc[v] = i
+        buf.write(struct.pack("<Q", 0))  # basic discriminator mode
+        buf.write(disc.tobytes())
+        for i, it in enumerate(t.tuple_items):
+            dense = arr.field(i).filter(pa.array(disc == i))
+            encode_column(buf, it, dense)
+        return
     if b == "Map":
         if not pa.types.is_map(arr.type):
             raise UnsupportedTypeError("Map encode expects a map array")
@@ -1241,6 +1334,10 @@ def _promote_nullable(t: CHType, arr: pa.Array) -> CHType:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     b = t.base
+    if b == "Variant":
+        # never promoted: NULL rows are discriminator 255, and the
+        # per-variant struct fields are null-bearing by design
+        return CHType(**{**t.__dict__})
     if b == "LowCardinality":
         eff = CHType(**{**t.__dict__})
         if arr.null_count > 0 and t.inner is not None and not t.inner.nullable:
@@ -1292,9 +1389,10 @@ def write_block(buf: BinaryIO, batch: pa.RecordBatch, ch_types: list[CHType]) ->
         t = ch_types[i]
         col = batch.column(i)
         eff = _promote_nullable(t, col)
-        if eff.base in ("LowCardinality", "Map"):
-            # Nullable may wrap neither (Map nulls round-trip as empty
-            # maps; LC nulls live inside the dictionary)
+        if eff.base in ("LowCardinality", "Map", "Variant"):
+            # Nullable may wrap none of these (Map nulls round-trip as
+            # empty maps; LC nulls live inside the dictionary; Variant
+            # nulls are the 255 discriminator)
             name = eff.name
         else:
             name = _nn(eff)

@@ -279,6 +279,34 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
                 f"SimpleAggregateFunction needs (f, T): {type_str!r}"
             )
         return parse_type(", ".join(parts[1:]))
+    if base == "Variant":
+        # Variant(T1, ..., Tn) — one value of exactly one variant per
+        # row, NULL allowed (docs: sql-reference/data-types/variant).
+        # ClickHouse canonicalizes the variant ORDER by sorting type
+        # names (Variant(String, UInt64) == Variant(UInt64, String));
+        # discriminators refer to the sorted order.  Nullable inside a
+        # Variant is invalid (NULL is discriminator 255).
+        if params is None:
+            raise UnsupportedTypeError(f"Variant needs parameters: {type_str!r}")
+        items = [parse_type(p) for p in _split_top_level(params)]
+        for it in items:
+            if it.nullable:
+                raise UnsupportedTypeError(
+                    f"Variant cannot contain Nullable types (NULL is the "
+                    f"255 discriminator): {type_str!r}"
+                )
+        items.sort(key=lambda it: it.name)
+        t.tuple_items = items
+        t.params = ", ".join(it.name for it in items)
+        return t
+    if base == "Dynamic":
+        raise UnsupportedTypeError(
+            f"Dynamic columns ({type_str!r}) carry a versioned "
+            "self-describing type prefix (ClickHouse 24.x experimental) "
+            "this engine does not decode; declare an explicit "
+            "Variant(T1, ..., Tn) column instead — the Variant wire "
+            "layout is supported."
+        )
     if base == "Object":
         # Object('json') — the pre-24.x spelling of the JSON type
         if params is None or params.strip().strip("'").lower() != "json":
@@ -393,6 +421,17 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
             [
                 pa.field(f"_{i+1}", to_arrow(it, lossy_uint64=lossy_uint64))
                 for i, it in enumerate(t.tuple_items)
+            ]
+        )
+    if b == "Variant":
+        # one nullable field PER VARIANT, named by the ClickHouse type
+        # name — mirrors ClickHouse's subcolumn access (`v.String`,
+        # `v.UInt64`): exactly one field non-null per row, all null for
+        # a NULL row
+        return pa.struct(
+            [
+                pa.field(it.name, to_arrow(it, lossy_uint64=lossy_uint64))
+                for it in t.tuple_items
             ]
         )
     if b == "LowCardinality":

@@ -244,6 +244,99 @@ REGISTRY.df_query(
 )
 
 
+def _variant_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> v Variant(String, UInt64):
+    o_orderkey % 3 == 0 -> String(o_orderstatus), == 1 -> UInt64(key),
+    == 2 -> NULL (discriminator 255)."""
+    import pyarrow as pa
+
+    from ..native.types import parse_type, to_arrow
+    from ..native.writer import write_native_file
+    from .sources import _materialize_fixture
+
+    t_v = parse_type("Variant(String, UInt64)")
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        vs = []
+        for k, s in zip(keys, status):
+            if k % 3 == 0:
+                vs.append({"String": s, "UInt64": None})
+            elif k % 3 == 1:
+                vs.append({"String": None, "UInt64": k})
+            else:
+                vs.append(None)
+        batch = pa.table(
+            {
+                "o_orderstatus": pa.array(status, type=pa.string()),
+                "v": pa.array(vs, type=to_arrow(t_v)),
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("String"), t_v],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-variant", write)
+
+
+def _native_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _variant_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    # `v.String` / `v.UInt64` — the ClickHouse variant-subcolumn
+    # access shape, carried as struct fields
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v.String").alias("n_str"),
+            F.count("v.UInt64").alias("n_int"),
+            F.sum("v.UInt64").alias("sum_int"),
+            F.sum(
+                F.when(
+                    F.col("v.String").isNull() & F.col("v.UInt64").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_null"),
+            F.sum(
+                F.when(F.col("v.String") == F.col("o_orderstatus"), 1)
+                .otherwise(0)
+            ).alias("n_str_match"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_variant_scan",
+    _native_variant_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_str,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_int,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey END)
+                AS BIGINT) AS sum_int,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_str_match
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "variant", "types"],
+    description="Variant(String, UInt64) through the full write -> "
+    "Native bytes (basic discriminator mode, canonical sorted variant "
+    "order, 255 = NULL) -> scan path with v.String / v.UInt64 "
+    "subcolumn access; oracle from raw o_orderkey arithmetic",
+)
+
+
 REGISTRY.df_query(
     "tf_url_glob_scan",
     _tf_url_glob_scan,

@@ -183,6 +183,12 @@ def _ch_to_spark(t) -> DataType:
         return StructType(
             [StructField(f"_{i+1}", _ch_to_spark(it)) for i, it in enumerate(t.tuple_items)]
         )
+    if b == "Variant":
+        # one nullable field per variant, named by the CH type name —
+        # `v.String` mirrors ClickHouse variant-subcolumn access
+        return StructType(
+            [StructField(it.name, _ch_to_spark(it)) for it in t.tuple_items]
+        )
     if b == "Map":
         from pyspark.sql.types import MapType
 
