@@ -58,7 +58,7 @@ def _check_supported(t: CHType) -> None:
     if b == "LowCardinality" and t.inner is not None:
         _check_supported(t.inner)
         return
-    if b in ("Map", "Tuple") and t.tuple_items:
+    if b in ("Map", "Tuple", "Variant") and t.tuple_items:
         for it in t.tuple_items:
             _check_supported(it)
         return
@@ -150,6 +150,23 @@ def _read_value(buf: BinaryIO, t: CHType):
             f"_{i + 1}": _read_value(buf, it)
             for i, it in enumerate(t.tuple_items)
         }
+    if b == "Variant":
+        # RowBinary variant layout (public, cf. clickhouse-connect):
+        # one UInt8 discriminator (255 = NULL) then the value in that
+        # variant's own binary form; canonical sorted variant order
+        flag = buf.read(1)
+        if not flag:
+            raise EOFError("EOF at Variant discriminator")
+        d = flag[0]
+        out = {it.name: None for it in t.tuple_items}
+        if d == 255:
+            return out
+        if d >= len(t.tuple_items):
+            raise ValueError(
+                f"Variant discriminator {d} out of range for {t.name}"
+            )
+        out[t.tuple_items[d].name] = _read_value(buf, t.tuple_items[d])
+        return out
     if b == "LowCardinality":
         # transparent in RowBinary: values travel plain
         return _read_value(buf, t.inner)
@@ -193,6 +210,9 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
     if val is None:
         if b == "Map":
             val = {}  # Nullable(Map) does not exist in CH — null == {}
+        elif b == "Variant":
+            buf.write(b"\xff")  # NULL is the 255 discriminator
+            return
         elif b == "LowCardinality":
             _write_value(buf, t.inner, val)  # inner may be Nullable
             return
@@ -263,6 +283,31 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
         vals = list(val.values()) if isinstance(val, dict) else list(val)
         for it, v in zip(t.tuple_items, vals):
             _write_value(buf, it, v)
+        return
+    if b == "Variant":
+        # dict keyed by variant type name (the Arrow struct carrier),
+        # at most one non-null; tuples of (discriminator, value) also
+        # accepted
+        if isinstance(val, dict):
+            hits = [
+                (i, val[it.name])
+                for i, it in enumerate(t.tuple_items)
+                if val.get(it.name) is not None
+            ]
+        elif val is None:
+            hits = []
+        else:
+            hits = [(int(val[0]), val[1])]
+        if len(hits) > 1:
+            raise ValueError(
+                "Variant row has more than one non-null variant field"
+            )
+        if not hits:
+            buf.write(b"\xff")
+            return
+        d, v = hits[0]
+        buf.write(bytes([d]))
+        _write_value(buf, t.tuple_items[d], v)
         return
     if b == "LowCardinality":
         _write_value(buf, t.inner, val)

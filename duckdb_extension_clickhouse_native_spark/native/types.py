@@ -250,14 +250,16 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
         g = parse_type(_GEO_TYPE_EQUIV[base])
         g.display = base
         return g
-    if base == "AggregateFunction":
+    if base == "AggregateFunction" and not unsupported_as_varchar:
         # AggregatingMergeTree state columns: the payload is ClickHouse's
         # INTERNAL serialized aggregation state (version-dependent, no
-        # public layout contract) — refuse loudly by name rather than
+        # public layout contract) — refuse loudly BY NAME rather than
         # falling through to the generic unsupported path. The engine's
         # merge SEMANTICS are available: re-aggregate from raw rows, or
         # use the partial-state operators (operators/projections.py,
-        # the agg_state_merge entry).
+        # the agg_state_merge entry). In reference-compat placeholder
+        # mode the column placeholders like any unknown type
+        # (lib.rs:168-170 — same documented desync-unless-last caveat).
         raise UnsupportedTypeError(
             f"AggregateFunction state columns cannot be decoded "
             f"({type_str!r}): the serialized state layout is "

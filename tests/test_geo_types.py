@@ -88,13 +88,15 @@ def test_geo_native_roundtrip():
 def test_aggregate_function_named_refusal():
     with pytest.raises(UnsupportedTypeError, match="agg_state_merge"):
         parse_type("AggregateFunction(uniq, String)")
-    # the refusal must fire even in reference-compat placeholder mode:
-    # the blob length is unknowable, so a placeholder would desync
-    with pytest.raises(UnsupportedTypeError, match="AggregateFunction"):
-        parse_type(
-            "AggregateFunction(quantiles(0.5, 0.9), UInt64)",
-            unsupported_as_varchar=True,
-        )
+    # reference-compat placeholder mode keeps the reference's behavior
+    # (lib.rs:168-170): the column placeholders like any unknown type —
+    # pinned in tests/test_unsupported_compat.py; strict mode (the
+    # default) is where the NAMED refusal lives
+    t = parse_type(
+        "AggregateFunction(quantiles(0.5, 0.9), UInt64)",
+        unsupported_as_varchar=True,
+    )
+    assert t.base == "Unsupported"
 
 
 def test_simple_aggregate_function_decodes_as_inner():

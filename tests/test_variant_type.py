@@ -124,6 +124,34 @@ def test_variant_compact_mode_refused():
         list(iter_blocks(io.BytesIO(patched)))
 
 
+def test_variant_rowbinary_roundtrip():
+    """RowBinary variant layout: per-row UInt8 discriminator (255 =
+    NULL) + the value in that variant's own binary form."""
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        iter_rowbinary_blocks,
+        write_rowbinary,
+    )
+
+    t = parse_type("Variant(UInt64, String)")
+    vals = [
+        {"String": "hi", "UInt64": None},
+        {"String": None, "UInt64": 9},
+        None,
+    ]
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(vals, type=to_arrow(t))], names=["v"]
+    )
+    buf = io.BytesIO()
+    write_rowbinary(buf, [rb], [t])
+    back = list(iter_rowbinary_blocks(io.BytesIO(buf.getvalue())))
+    got = back[0].to_record_batch().column(0).to_pylist()
+    assert got == [
+        {"String": "hi", "UInt64": None},
+        {"String": None, "UInt64": 9},
+        {"String": None, "UInt64": None},
+    ]
+
+
 def test_dynamic_named_refusal():
     with pytest.raises(UnsupportedTypeError, match="Variant"):
         parse_type("Dynamic")
