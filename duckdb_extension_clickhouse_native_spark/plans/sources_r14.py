@@ -337,6 +337,51 @@ REGISTRY.df_query(
 )
 
 
+def _tf_remote_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # remote('addr1,addr2', orders): the ClickHouse remote() table
+    # function over a two-shard mock cluster (disjoint o_orderkey % 2
+    # slices) — whole-table pull per shard, one Spark input partition
+    # each, initiator-side aggregation.  The address list exercises
+    # the remote() spelling through the same cluster machinery
+    # scan_remote_cluster grades with an explicit option.
+    from ..sources.mock_server import mock_clickhouse_cluster
+    from ..sources.table_functions import remote_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    urls = mock_clickhouse_cluster(sf_dir, 2)
+    df = remote_table(spark, ",".join(urls), "orders")
+    return (
+        df.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .orderBy("priority")
+    )
+
+
+REGISTRY.df_query(
+    "tf_remote_table",
+    _tf_remote_table,
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MAX(o_orderkey) AS max_k
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    tags=["source", "scan", "tf", "remote", "cluster"],
+    description="remote() table function: two-shard address list "
+    "through the cluster scan machinery (one partition per shard, "
+    "whole-table pull, initiator aggregation); oracle from raw parquet",
+)
+
+
 REGISTRY.df_query(
     "tf_url_glob_scan",
     _tf_url_glob_scan,

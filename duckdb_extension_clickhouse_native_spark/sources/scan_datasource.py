@@ -98,12 +98,16 @@ def _split_queries(query: str, options: dict) -> list[str]:
 def _cluster_urls(options: dict) -> list[str]:
     """Parse the ``cluster`` option: comma-separated shard endpoints
     (the ClickHouse ``cluster()`` / Distributed-engine analogue).
+    ClickHouse address globs expand (r14): ``http://shard{1..32}:8123``
+    numeric ranges and ``{a,b}`` alternation — the remote()/cluster()
+    shard-list spelling (docs: table-functions/remote, 'Addresses').
     Empty when unset."""
-    return [
-        u.strip()
-        for u in str(options.get("cluster", "")).split(",")
-        if u.strip()
-    ]
+    spec = str(options.get("cluster", ""))
+    if not spec.strip():
+        return []
+    from .url_table import expand_urls
+
+    return expand_urls(spec)
 
 
 def _remote_literal(v) -> Optional[str]:

@@ -449,6 +449,65 @@ def merge_native_tables(
     return out
 
 
+def _remote_urls(addresses: str, secure: bool = False) -> list:
+    """Expand a ClickHouse remote() address list ('host{1..4}:9000,
+    other:9001' — globs + commas) into transport URLs: schemeless
+    addresses get the ClickHouse defaults (tcp://host:9000, or
+    tcp+tls://host:9440 for remoteSecure); explicit URLs pass
+    through."""
+    from .url_table import expand_urls
+
+    urls = []
+    for a in expand_urls(addresses):
+        if "://" in a:
+            urls.append(a)
+        elif secure:
+            host = a if ":" in a else f"{a}:9440"
+            urls.append(f"tcp://{host}/?secure=true")
+        else:
+            urls.append(f"tcp://{a}" if ":" in a else f"tcp://{a}:9000")
+    if not urls:
+        raise ValueError("remote() requires at least one address")
+    return urls
+
+
+def remote_table(
+    spark: SparkSession,
+    addresses: str,
+    table: str,
+    *,
+    secure: bool = False,
+    **options: str,
+) -> DataFrame:
+    """ClickHouse ``remote('host{1..4}:9000', db.table)`` /
+    ``remoteSecure(...)`` table-function analogue (docs:
+    sql-reference/table-functions/remote).
+
+    ``addresses`` takes the ClickHouse spelling: a comma-separated
+    list with ``{N..M}`` / ``{a,b}`` address globs (docs:
+    table-functions/remote 'Addresses'); every expanded address is one
+    shard of a cluster read (one Spark input partition
+    per shard, shard-local pushdown — the scale path), a single
+    address is a plain scan.  Schemeless addresses get the ClickHouse
+    defaults: ``tcp://host:9000`` (``tcp://host:9440/?secure=true``
+    for remoteSecure); explicit ``http(s)://``/``tcp://`` URLs pass
+    through.  ``table`` may be ``db.table`` or bare."""
+    urls = _remote_urls(addresses, secure)
+    if not table.replace(".", "").replace("_", "").isalnum():
+        raise ValueError(f"remote() table name looks unsafe: {table!r}")
+    reader = (
+        spark.read.format("clickhouse_scan")
+        .option("query", f"SELECT * FROM {table}")
+    )
+    if len(urls) == 1:
+        reader = reader.option("url", urls[0])
+    else:
+        reader = reader.option("cluster", ",".join(urls))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def clickhouse_native_view(
     spark: SparkSession,
     path: str,
