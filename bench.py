@@ -613,6 +613,7 @@ def main() -> None:
         "tf_url_glob_scan",  # r14
         "native_variant_scan",  # r14
         "tf_remote_table",  # r14
+        "tf_file_scan",  # r14
     ]
     r14_ops, r14_total = run_tier(r14_names)
 

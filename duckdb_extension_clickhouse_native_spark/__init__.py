@@ -26,11 +26,13 @@ def register(spark) -> None:
     from .sources.native_datasource import ClickHouseNativeDataSource
     from .sources.scan_datasource import ClickHouseScanDataSource
     from .sources.table_functions import register_table_functions
+    from .sources.file_table import ClickHouseFileDataSource
     from .sources.url_table import ClickHouseURLDataSource
 
     spark.dataSource.register(ClickHouseNativeDataSource)
     spark.dataSource.register(ClickHouseScanDataSource)
     spark.dataSource.register(ClickHouseURLDataSource)
+    spark.dataSource.register(ClickHouseFileDataSource)
     register_table_functions(spark)
 
 

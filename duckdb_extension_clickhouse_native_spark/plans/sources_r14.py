@@ -337,6 +337,93 @@ REGISTRY.df_query(
 )
 
 
+_FILE_FIXTURES: dict = {}
+
+
+def _lineitem_csv_files(sf_dir: str) -> str:
+    """Four-file CSVWithNamesAndTypes export of the l_orderkey % 97 == 0
+    lineitem subset (split by (l_orderkey // 97) % 4), cached per
+    process under a content-stamped tmp dir; returns the brace-glob
+    path spec."""
+    import io as _io
+    import os as _os
+    import tempfile
+
+    key = ("lineitem-files", sf_dir)
+    hit = _FILE_FIXTURES.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    t = pq.read_table(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    keys = t.column("l_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 97 == 0))
+    keys = t.column("l_orderkey").to_numpy()
+    d = tempfile.mkdtemp(prefix="chsql_file_tf")
+    for idx in range(4):
+        piece = t.filter(pa.array((keys // 97) % 4 == idx))
+        buf = _io.BytesIO()
+        write_csv(
+            buf,
+            piece.to_batches(),
+            [from_arrow(f.type) for f in piece.schema],
+        )
+        with open(_os.path.join(d, f"part{idx + 1}.csv"), "wb") as f:
+            f.write(buf.getvalue())
+    spec = _os.path.join(d, "part{1..4}.csv")
+    _FILE_FIXTURES[key] = spec
+    return spec
+
+
+def _tf_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    spec = _lineitem_csv_files(sf_dir)
+    df = file_table(spark, spec, "CSVWithNamesAndTypes")
+    if df.rdd.getNumPartitions() != 4:
+        raise AssertionError("file() must plan one partition per file")
+    return (
+        df.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_scan",
+    _tf_file_scan,
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+    tags=["source", "file", "tf", "csv", "glob"],
+    description="file() table function: four-file brace-glob read "
+    "(part{1..4}.csv, one partition per file) through the shared wire "
+    "decoders; oracle from raw parquet",
+)
+
+
 def _tf_remote_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remote('addr1,addr2', orders): the ClickHouse remote() table
     # function over a two-shard mock cluster (disjoint o_orderkey % 2

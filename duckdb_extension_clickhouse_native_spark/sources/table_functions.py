@@ -352,6 +352,9 @@ def register_table_functions(spark: SparkSession) -> None:
     spark.udtf.register("clickhouse_native_parts", make_parts_udtf())
     spark.udtf.register("clickhouse_url", make_url_udtf())
     spark.udtf.register("clickhouse_format", make_format_udtf())
+    from .file_table import make_file_udtf
+
+    spark.udtf.register("clickhouse_file", make_file_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
 
 

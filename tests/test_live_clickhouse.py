@@ -144,3 +144,53 @@ def test_live_insert_roundtrip(spark):
         assert [(r.n, r.s) for r in rows] == [(100, 4950)]
     finally:
         _raw_exec(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_live_geo_types(spark):
+    """r14 geo decode against a real server: Point/Ring/Polygon/
+    MultiPolygon arrive as their Array/Tuple wire layouts."""
+    df = _scan(
+        spark,
+        "SELECT (1.5, -2.5)::Point AS pt, "
+        "[(0.,0.),(1.,0.),(0.,1.)]::Ring AS ring, "
+        "[[(0.,0.),(4.,0.),(4.,4.),(0.,4.)]]::Polygon AS poly",
+    )
+    r = df.collect()[0]
+    assert (r.pt["_1"], r.pt["_2"]) == (1.5, -2.5)
+    assert len(r.ring) == 3 and r.ring[1]["_1"] == 1.0
+    assert len(r.poly) == 1 and len(r.poly[0]) == 4
+
+
+def test_live_variant_decode(spark):
+    """r14 Variant decode against a real server (needs
+    allow_experimental_variant_type on pre-25.x servers): values land
+    in the type-named struct fields, NULL rows all-null."""
+    df = _scan(
+        spark,
+        "SELECT arrayJoin(["
+        "'a'::Variant(String, UInt64), "
+        "7::Variant(String, UInt64), "
+        "NULL::Variant(String, UInt64)]) AS v",
+    )
+    rows = [r.v.asDict() for r in df.collect()]
+    assert {"String": "a", "UInt64": None} in rows
+    assert {"String": None, "UInt64": 7} in rows
+    assert {"String": None, "UInt64": None} in rows
+
+
+def test_live_aggregate_function_named_refusal(spark):
+    """An AggregateFunction state column from a real server must hit
+    the NAMED refusal, not a desync or a generic unsupported error."""
+    with pytest.raises(Exception, match="AggregateFunction"):
+        _scan(spark, "SELECT uniqState(1) AS st").collect()
+
+
+def test_live_remote_table_function(spark):
+    """remote_table() against the live server itself (single-address
+    form — exercises the address normalization + query shape)."""
+    from duckdb_extension_clickhouse_native_spark.sources.table_functions import (
+        remote_table,
+    )
+
+    df = remote_table(spark, LIVE_URL, "system.one")
+    assert df.count() == 1
