@@ -614,6 +614,7 @@ def main() -> None:
         "native_variant_scan",  # r14
         "tf_remote_table",  # r14
         "tf_file_scan",  # r14
+        "tf_generate_random",  # r14
     ]
     r14_ops, r14_total = run_tier(r14_names)
 

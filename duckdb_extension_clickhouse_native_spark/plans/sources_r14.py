@@ -424,6 +424,80 @@ REGISTRY.df_query(
 )
 
 
+_GENRAND_STRUCTURE = (
+    "u8 UInt8, i32 Int32, big UInt64, f Float64, s String, "
+    "flag Bool, d Date, tags Array(UInt16), maybe Nullable(Int64)"
+)
+_GENRAND_N = 100_000
+_GENRAND_SEED = 42
+
+
+def _tf_generate_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # generateRandom(structure, seed): deterministic generator, the
+    # SAME expression tree rendered for Spark and (in the oracle)
+    # DuckDB — the oracle regenerates the data from scratch, no stored
+    # fixture. Aggregation fingerprints every column exactly (float
+    # sums go through FLOOR-to-micros fixed point).
+    from ..sources.generate_random import generate_random_table
+
+    df = generate_random_table(
+        spark, _GENRAND_STRUCTURE, _GENRAND_N, _GENRAND_SEED
+    )
+    return df.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(u8) AS BIGINT) AS sum_u8",
+        "MIN(i32) AS min_i32",
+        "MAX(i32) AS max_i32",
+        "CAST(SUM(big) AS BIGINT) AS sum_big",
+        "CAST(SUM(CAST(FLOOR(f * 1000000) AS BIGINT)) AS BIGINT)"
+        " AS f_micros",
+        "CAST(SUM(CASE WHEN s LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_s3",
+        "CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag",
+        "MAX(d) AS d_max",
+        "CAST(SUM(size(tags)) AS BIGINT) AS n_tags",
+        "CAST(SUM(AGGREGATE(tags, CAST(0 AS BIGINT), (a, x) -> a + x))"
+        " AS BIGINT) AS tag_total",
+        "CAST(COUNT(*) - COUNT(maybe) AS BIGINT) AS n_null",
+    )
+
+
+def _genrand_oracle() -> str:
+    from ..sources.generate_random import genrand_oracle_source
+
+    src = genrand_oracle_source(_GENRAND_STRUCTURE, _GENRAND_N, _GENRAND_SEED)
+    return f"""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(u8) AS BIGINT) AS sum_u8,
+           MIN(i32) AS min_i32,
+           MAX(i32) AS max_i32,
+           CAST(SUM(big) AS BIGINT) AS sum_big,
+           CAST(SUM(CAST(FLOOR(f * 1000000) AS BIGINT)) AS BIGINT)
+             AS f_micros,
+           CAST(SUM(CASE WHEN s LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_s3,
+           CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           MAX(d) AS d_max,
+           CAST(SUM(len(tags)) AS BIGINT) AS n_tags,
+           CAST(SUM(COALESCE(list_sum(tags), 0)) AS BIGINT) AS tag_total,
+           CAST(COUNT(*) - COUNT(maybe) AS BIGINT) AS n_null
+    FROM {src}
+    """
+
+
+REGISTRY.df_query(
+    "tf_generate_random",
+    _tf_generate_random,
+    oracle=_genrand_oracle(),
+    tags=["source", "tf", "generate", "table-function"],
+    description="generateRandom(structure, seed) as a deterministic "
+    "distributed generator (spark.range + codegen arithmetic, one "
+    "31-bit LCG stream per column; ints/floats/strings/bools/dates/"
+    "arrays/nullables); the DuckDB oracle REGENERATES the identical "
+    "table from the shared expression tree and fingerprints it",
+)
+
+
 def _tf_remote_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remote('addr1,addr2', orders): the ClickHouse remote() table
     # function over a two-shard mock cluster (disjoint o_orderkey % 2
