@@ -182,6 +182,14 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
             raise UnsupportedTypeError(f"{base} needs a parameter: {type_str!r}")
         inner = parse_type(params)
         if base == "Nullable":
+            if inner.base == "Variant":
+                # invalid in ClickHouse (NULL is Variant's own 255
+                # discriminator); accepting it would read a bogus
+                # null mask and desync the stream
+                raise UnsupportedTypeError(
+                    f"Nullable(Variant(...)) is not a valid ClickHouse "
+                    f"type — Variant already carries NULL: {type_str!r}"
+                )
             inner.nullable = True
             inner.params = None if inner.params is None else inner.params
             return inner

@@ -108,6 +108,10 @@ def test_variant_two_non_null_fields_refused():
 def test_variant_nullable_inner_refused():
     with pytest.raises(UnsupportedTypeError, match="255 discriminator"):
         parse_type("Variant(Nullable(String), UInt64)")
+    # the outer wrap is equally invalid — and accepting it would read
+    # a bogus null mask before the discriminators (stream desync)
+    with pytest.raises(UnsupportedTypeError, match="already carries NULL"):
+        parse_type("Nullable(Variant(String, UInt64))")
 
 
 def test_variant_compact_mode_refused():
