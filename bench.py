@@ -191,12 +191,32 @@ def main() -> None:
         py_df.count()
         py_ts.append(time.perf_counter() - t0)
     py_ts.sort()
+    # third axis (r14): a fixed SHUFFLE workload — the r14 final bench
+    # found join/shuffle-heavy TPC-H rows ~1.25x slower than r13 while
+    # codegen and python-roundtrip matched, i.e. the exchange path
+    # (serialize + spill files + fetch) drifts independently of the
+    # other two axes; future rounds difference against this number
+    sh_df = (
+        spark.range(20_000_000)
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+    )
+    sh_df.count()  # untimed warmup
+    sh_ts: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sh_df.count()
+        sh_ts.append(time.perf_counter() - t0)
+    sh_ts.sort()
     calibration = {
         "workload": "spark.range(500M).sum codegen",
         "sec_median": round(cal_ts[len(cal_ts) // 2], 4),
         "sec_best": round(cal_ts[0], 4),
         "python_roundtrip_workload": "32-task identity mapInPandas",
         "python_roundtrip_sec_median": round(py_ts[len(py_ts) // 2], 4),
+        "shuffle_workload": "range(20M) groupBy(id%100k) sum, 1 exchange",
+        "shuffle_sec_median": round(sh_ts[len(sh_ts) // 2], 4),
     }
     print(f"# host calibration: {calibration}", file=sys.stderr)
     # materialize the Native-file fixtures outside the timed region: the
