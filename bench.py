@@ -635,6 +635,7 @@ def main() -> None:
         "tf_remote_table",  # r14
         "tf_file_scan",  # r14
         "tf_generate_random",  # r14
+        "tf_url_withnames_scan",  # r14
     ]
     r14_ops, r14_total = run_tier(r14_names)
 

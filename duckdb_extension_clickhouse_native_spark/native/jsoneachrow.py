@@ -495,3 +495,128 @@ def write_jsonobjects(
             )
             rows += 1
     return rows
+
+
+def iter_jsoncompact_withnames_blocks(
+    buf: BinaryIO,
+    names_types: Optional[List[Tuple[str, CHType]]] = None,
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+    infer_rows: int = 25_000,
+) -> Iterator[Block]:
+    """Decode ``FORMAT JSONCompactEachRowWithNames`` (r14): a names row
+    then value rows.  With a structure the types match BY NAME; without
+    one they infer from the JSON values over the first ``infer_rows``
+    rows (int -> Int64, int+float -> Float64, bool -> Bool, string ->
+    String; null forces Nullable; nested arrays/objects refuse by
+    name — declare a structure for those)."""
+    import itertools
+
+    first = buf.readline()
+    if not first:
+        raise EOFError("EOF inside JSONCompactEachRowWithNames names row")
+    names = json.loads(first)
+    if not isinstance(names, list) or not all(
+        isinstance(n, str) for n in names
+    ):
+        raise ValueError(
+            "JSONCompactEachRowWithNames: first row must be the name list"
+        )
+
+    def rows_iter():
+        while True:
+            line = buf.readline()
+            if not line:
+                return
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            if len(row) != len(names):
+                raise ValueError(
+                    f"JSONCompactEachRowWithNames row has {len(row)} "
+                    f"values, names row declares {len(names)} columns"
+                )
+            yield row
+
+    it = rows_iter()
+    if names_types is not None:
+        by_name = dict(names_types)
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise ValueError(
+                f"JSONCompactEachRowWithNames: stream columns {missing} "
+                f"are not in the declared structure ({sorted(by_name)})"
+            )
+        schema = [(n, by_name[n]) for n in names]
+        prefix: list = []
+    else:
+        prefix = list(itertools.islice(it, infer_rows))
+
+        def infer(col_vals):
+            nullable = any(v is None for v in col_vals)
+            ev = [v for v in col_vals if v is not None]
+            if not ev:
+                t = parse_type("String")
+            elif all(isinstance(v, bool) for v in ev):
+                t = parse_type("Bool")
+            elif all(
+                isinstance(v, int) and not isinstance(v, bool) for v in ev
+            ):
+                if any(not -(2**63) <= v < 2**63 for v in ev):
+                    raise ValueError(
+                        "JSONCompactEachRowWithNames: integer exceeds "
+                        "Int64 — declare a structure"
+                    )
+                t = parse_type("Int64")
+            elif all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in ev
+            ):
+                t = parse_type("Float64")
+            elif all(isinstance(v, str) for v in ev):
+                t = parse_type("String")
+            else:
+                raise UnsupportedTypeError(
+                    "JSONCompactEachRowWithNames: cannot infer a type "
+                    "for mixed/nested JSON values — declare a structure "
+                    "('name Type, ...')"
+                )
+            t.nullable = nullable
+            return t
+
+        schema = [
+            (n, infer([r[i] for r in prefix])) for i, n in enumerate(names)
+        ]
+
+    lossy_cols = [
+        lossy_uint64 and _col_needs_lossy(t) for _name, t in schema
+    ]
+    all_rows = itertools.chain(prefix, it)
+    while True:
+        cols_vals: list[list] = [[] for _ in schema]
+        n = 0
+        while n < block_rows:
+            row = next(all_rows, None)
+            if row is None:
+                break
+            for i, (_name, t) in enumerate(schema):
+                v = _from_json(row[i], t)
+                if lossy_cols[i]:
+                    v = _lossy_fix(v, t)
+                cols_vals[i].append(v)
+            n += 1
+        if n == 0:
+            return
+        cols = [
+            BlockColumn(
+                name,
+                t.name,
+                t,
+                pa.array(cols_vals[i], type=to_arrow(t, lossy_uint64=lossy_uint64)),
+            )
+            for i, (name, t) in enumerate(schema)
+        ]
+        yield Block(n_rows=n, columns=cols)
+        if n < block_rows:
+            return

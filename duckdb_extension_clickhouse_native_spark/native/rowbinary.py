@@ -583,3 +583,37 @@ def _to_wire(val, t: CHType):
             for i, (it, v) in enumerate(zip(t.tuple_items, vals))
         }
     return val
+
+
+def iter_rowbinary_withnames_blocks(
+    buf: BinaryIO,
+    names_types: Optional[List[Tuple[str, CHType]]],
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+) -> Iterator[Block]:
+    """Decode ``FORMAT RowBinaryWithNames`` (r14): a varint column
+    count + names in-stream, NO types — binary payloads are not
+    inferable, so the out-of-band structure is REQUIRED and is matched
+    to the stream's names (the stream may order columns differently)."""
+    if not names_types:
+        raise UnsupportedTypeError(
+            "RowBinaryWithNames carries no type row and binary payloads "
+            "cannot be inferred — pass a structure ('name Type, ...'), "
+            "or use RowBinaryWithNamesAndTypes"
+        )
+    n_cols = read_varuint(buf)
+    names = [read_str(buf) for _ in range(n_cols)]
+    by_name = dict(names_types)
+    missing = [n for n in names if n not in by_name]
+    if missing:
+        raise ValueError(
+            f"RowBinaryWithNames: stream columns {missing} are not in "
+            f"the declared structure ({sorted(by_name)})"
+        )
+    return iter_rowbinary_blocks(
+        buf,
+        lossy_uint64=lossy_uint64,
+        block_rows=block_rows,
+        schema=[(n, by_name[n]) for n in names],
+    )

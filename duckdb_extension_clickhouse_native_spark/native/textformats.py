@@ -633,3 +633,200 @@ def iter_tsv_plain_blocks(
     return _blocks_from_rows(
         names_types, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
     )
+
+
+# -- WithNames spellings (r14) ------------------------------------------------
+# ClickHouse's most common export middle ground: a NAMES row in the
+# stream, NO types row (docs: interfaces/formats#csvwithnames).  Types
+# come from an out-of-band ``structure`` (matched BY NAME — the stream
+# may order columns differently) or, without one, from ClickHouse-style
+# schema inference over the first ``infer_rows`` rows
+# (input_format_max_rows_to_read_for_schema_inference is 25000 there):
+# Int64 -> Float64 -> Date -> DateTime -> String, Nullable when \N
+# occurs, String when any field is empty (a numeric column never
+# serializes empty; an empty numeric field would otherwise crash the
+# decode where ClickHouse would insert a default).
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}$")
+
+
+def infer_column_type(values: List[Optional[str]]) -> CHType:
+    """ClickHouse-style type inference over a column's text prefix.
+    ``None`` entries are \\N nulls (they force Nullable, no type
+    evidence)."""
+    nullable = any(v is None for v in values)
+    ev = [v for v in values if v is not None]
+
+    def done(base: str) -> CHType:
+        t = parse_type(base)
+        t.nullable = nullable
+        return t
+
+    if not ev or any(v == "" for v in ev):
+        return done("String")
+    if all(_INT_RE.match(v) and -(2**63) <= int(v) < 2**63 for v in ev):
+        return done("Int64")
+
+    def is_float(v: str) -> bool:
+        if _INT_RE.match(v):
+            return True
+        try:
+            float(v)
+            return True
+        except ValueError:
+            return False
+
+    if all(is_float(v) for v in ev):
+        return done("Float64")
+    if all(_DATE_RE.match(v) for v in ev):
+        return done("Date")
+    if all(_DATETIME_RE.match(v) for v in ev):
+        return done("DateTime")
+    return done("String")
+
+
+def _schema_by_name(
+    names: List[str], names_types: List[Tuple[str, CHType]], what: str
+) -> List[Tuple[str, CHType]]:
+    by_name = dict(names_types)
+    missing = [n for n in names if n not in by_name]
+    if missing:
+        raise ValueError(
+            f"{what}: stream columns {missing} are not in the declared "
+            f"structure ({sorted(by_name)})"
+        )
+    return [(n, by_name[n]) for n in names]
+
+
+def _withnames_blocks(
+    names: List[str],
+    rec_iter,
+    names_types: Optional[List[Tuple[str, CHType]]],
+    decode_rec,
+    *,
+    lossy_uint64: bool,
+    block_rows: int,
+    infer_rows: int,
+) -> Iterator[Block]:
+    """Shared core: resolve the schema (structure by name, else
+    inference over a buffered prefix), then decode every record —
+    buffered prefix first, then the live iterator."""
+    if names_types is not None:
+        schema = _schema_by_name(names, names_types, "WithNames")
+        prefix: list = []
+    else:
+        prefix = []
+        while len(prefix) < infer_rows:
+            rec = next(rec_iter, None)
+            if rec is None:
+                break
+            prefix.append(rec)
+        cols: list = [[] for _ in names]
+        for rec in prefix:
+            if len(rec) != len(names):
+                raise ValueError(
+                    f"WithNames row has {len(rec)} values, names row "
+                    f"declares {len(names)} columns"
+                )
+            for i, v in enumerate(rec):
+                cols[i].append(v)
+        schema = [(n, infer_column_type(cols[i])) for i, n in enumerate(names)]
+
+    def rows():
+        import itertools
+
+        for rec in itertools.chain(prefix, rec_iter):
+            if len(rec) != len(schema):
+                raise ValueError(
+                    f"WithNames row has {len(rec)} values, names row "
+                    f"declares {len(schema)} columns"
+                )
+            yield [
+                None if raw is None else decode_rec(raw, schema[i][1])
+                for i, raw in enumerate(rec)
+            ]
+
+    return _blocks_from_rows(
+        schema, rows(), lossy_uint64=lossy_uint64, block_rows=block_rows
+    )
+
+
+def iter_csv_withnames_blocks(
+    buf: BinaryIO,
+    names_types: Optional[List[Tuple[str, CHType]]] = None,
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+    infer_rows: int = 25_000,
+) -> Iterator[Block]:
+    """Decode ``FORMAT CSVWithNames``."""
+    names_rec = _read_csv_record(buf)
+    if names_rec is None:
+        raise EOFError("EOF inside CSVWithNames names row")
+    names = [f for f, _q in names_rec]
+    if names_types is not None:
+        for _n, t in names_types:
+            _check_supported(t)
+
+    def recs():
+        while True:
+            rec = _read_csv_record(buf)
+            if rec is None:
+                return
+            if len(rec) == 1 and rec[0] == ("", False) and len(names) != 1:
+                continue  # trailing blank line
+            # unquoted \N is NULL; quoted "\N" is the literal string
+            yield [
+                None if (raw == "\\N" and not quoted) else raw
+                for raw, quoted in rec
+            ]
+
+    return _withnames_blocks(
+        names,
+        recs(),
+        names_types,
+        _from_text,
+        lossy_uint64=lossy_uint64,
+        block_rows=block_rows,
+        infer_rows=infer_rows,
+    )
+
+
+def iter_tsv_withnames_blocks(
+    buf: BinaryIO,
+    names_types: Optional[List[Tuple[str, CHType]]] = None,
+    *,
+    lossy_uint64: bool = False,
+    block_rows: int = 65_536,
+    infer_rows: int = 25_000,
+) -> Iterator[Block]:
+    """Decode ``FORMAT TSVWithNames`` / ``TabSeparatedWithNames``."""
+    names = [tsv_unescape(f) for f in _split_tsv_line(_read_text_line(buf))]
+    if names_types is not None:
+        for _n, t in names_types:
+            _check_supported(t)
+
+    def recs():
+        while True:
+            line = buf.readline()
+            if not line:
+                return
+            text = line.decode("utf-8").rstrip("\n").rstrip("\r")
+            if not text and len(names) != 1:
+                continue  # trailing blank line
+            yield [
+                None if raw == "\\N" else tsv_unescape(raw)
+                for raw in _split_tsv_line(text)
+            ]
+
+    return _withnames_blocks(
+        names,
+        recs(),
+        names_types,
+        _from_text,
+        lossy_uint64=lossy_uint64,
+        block_rows=block_rows,
+        infer_rows=infer_rows,
+    )

@@ -537,16 +537,17 @@ _ROUND9_WINDOW = [
 # r12c/d/e/f entries + r13 parity forms/type long tail/TCP/recall/url
 # entries + changed-path re-proofs + the first 6 of the r6 cohort.
 #
-# ROUND-14 WINDOW (tools/window_plan.py regenerated at registry 371):
-# the 6 never-graded r14 entries lead (native_geo_scan,
+# ROUND-14 WINDOW (tools/window_plan.py regenerated at registry 372):
+# the 7 never-graded r14 entries lead (native_geo_scan,
 # tf_url_glob_scan, native_variant_scan, tf_remote_table,
-# tf_file_scan, tf_generate_random), then 3 changed-path
+# tf_file_scan, tf_generate_random, tf_url_withnames_scan), then 3
+# changed-path
 # re-proofs — the r14 url() surface rewrite (plain-spelling refusal,
 # per-instance schema memo, multi-URL name realignment, glob
 # expansion) executes under the graded names tf_url_csv_scan /
 # tf_url_structure_scan / tf_url_insert_roundtrip — then the ENTIRE
 # r6-green oldest-evidence cohort (29 rows, VERDICT r13 item 6) and
-# the alphabetically-first 12 r7-green rows.  The r7 remainder rotates
+# the alphabetically-first 10 r7-green rows.  The r7 remainder rotates
 # into round 15.
 GRADING_WINDOW = [
     "native_geo_scan",  # NEVER GRADED (r14: geo type decode)
@@ -555,6 +556,7 @@ GRADING_WINDOW = [
     "tf_remote_table",  # NEVER GRADED (r14: remote() table function)
     "tf_file_scan",  # NEVER GRADED (r14: file() table function)
     "tf_generate_random",  # NEVER GRADED (r14: generateRandom)
+    "tf_url_withnames_scan",  # NEVER GRADED (r14: CSVWithNames inference)
     # changed-path re-proofs (r14 url surface rewrite)
     "tf_url_csv_scan",  # green r13; r14 multi-URL realignment path
     "tf_url_structure_scan",  # green r13; r14 plain-spelling routing
@@ -601,7 +603,6 @@ GRADING_WINDOW = [
     "dedup_simhash",  # green r7
     "dedup_substring_spans",  # green r7
     "events_time_buckets",  # green r7
-    "grouping_sets_events",  # green r7
 ]
 
 # (r13 window text retired to git history — see the commit referenced

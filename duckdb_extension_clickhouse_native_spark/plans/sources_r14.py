@@ -424,6 +424,110 @@ REGISTRY.df_query(
 )
 
 
+_WITHNAMES_SERVERS: dict = {}
+
+
+def _orders_withnames_url(sf_dir: str) -> str:
+    """CSVWithNames (names row, NO types row) export of the
+    o_orderkey % 83 == 0 orders subset, served by a process-cached
+    local HTTP server — the entry reads it with NO structure, so the
+    types must come from inference (Int64 / String / Float64)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    key = ("orders-withnames", sf_dir)
+    hit = _WITHNAMES_SERVERS.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 83 == 0))
+    # status values are single letters (no quotes/commas inside);
+    # repr() floats round-trip exactly through the Float64 inference
+    lines = ['"o_orderkey","o_orderstatus","o_totalprice"']
+    for k, s, p in zip(
+        t.column("o_orderkey").to_pylist(),
+        t.column("o_orderstatus").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        lines.append(f'{k},"{s}",{float(p)!r}')
+    body = ("\n".join(lines) + "\n").encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server contract
+            if self.path != "/orders.csv":
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    url = f"http://{host}:{port}/orders.csv"
+    _WITHNAMES_SERVERS[key] = url
+    return url
+
+
+def _tf_url_withnames_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.url_table import url_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    url = _orders_withnames_url(sf_dir)
+    df = url_table(spark, url, "CSVWithNames")  # NO structure: inference
+    got = df.schema.simpleString()
+    want = (
+        "struct<o_orderkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double>"
+    )
+    if got != want:
+        raise AssertionError(f"inference regressed: {got} != {want}")
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_k"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_url_withnames_scan",
+    _tf_url_withnames_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 83 = 0
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "url", "tf", "csv", "inference"],
+    description="CSVWithNames (names row, no types) through url() with "
+    "NO structure — ClickHouse-style type inference (Int64/String/"
+    "Float64, asserted in-plan) then aggregation; oracle from raw "
+    "parquet",
+)
+
+
 _GENRAND_STRUCTURE = (
     "u8 UInt8, i32 Int32, big UInt64, f Float64, s String, "
     "flag Bool, d Date, tags Array(UInt16), maybe Nullable(Int64)"

@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .url_table import (
+    _WITHNAMES_DECODERS,
     _decode_stream,
-    _decoder_for,
     _structured_decoder_for,
     expand_url_globs,
+    validate_format,
 )
 
 
@@ -74,7 +75,8 @@ def expand_file_paths(spec: str) -> list:
 def _probe_file_schema(path: str, fmt: str, structure: Optional[str]):
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    if structure:
+    key = fmt.strip().lower()
+    if structure and key not in _WITHNAMES_DECODERS:
         from pyspark.sql.types import StructField, StructType
 
         from .native_datasource import _ch_to_spark
@@ -87,9 +89,9 @@ def _probe_file_schema(path: str, fmt: str, structure: Optional[str]):
                 for n, t in parse_structure(structure)
             ]
         )
-    _decoder_for(fmt)
+    validate_format(fmt, structure)
     with open(path, "rb") as f:
-        blocks = _decode_stream(f, fmt)
+        blocks = _decode_stream(f, fmt, structure)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -112,10 +114,7 @@ class ClickHouseFileReader(DataSourceReader):
             raise ValueError("clickhouse_file requires a path option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
-        if self.structure:
-            _structured_decoder_for(self.fmt, self.structure)
-        else:
-            _decoder_for(self.fmt)
+        validate_format(self.fmt, self.structure)
         self.field_names = list(field_names) if field_names else None
 
     def partitions(self):

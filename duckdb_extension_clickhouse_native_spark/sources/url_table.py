@@ -19,12 +19,18 @@ Supported formats are the SELF-DESCRIBING subset (names+types in the
 stream): Native, CSVWithNamesAndTypes, TSVWithNamesAndTypes,
 RowBinaryWithNamesAndTypes, JSONCompactEachRowWithNamesAndTypes,
 ArrowStream, Parquet, ORC — matching the wire formats the scan source
-speaks. Formats that need an out-of-band structure argument (the
-HEADERLESS plain spellings CSV/TSV/TabSeparated/RowBinary/
-JSONCompactEachRow, plus JSONEachRow/Values/TSKV/Npy) are refused with
-a named error when no ``structure`` is supplied (ClickHouse's url()
-takes a ``structure`` parameter there; pass one, or use a
-self-describing *WithNamesAndTypes / Native / Arrow form).
+speaks. The *WithNames middle spellings (r14: CSVWithNames,
+TSVWithNames/TabSeparatedWithNames, JSONCompactEachRowWithNames) carry
+NAMES but no types: they decode with a ``structure`` matched by name,
+or WITHOUT one via ClickHouse-style type inference over the first
+25000 rows (RowBinaryWithNames is the exception — binary payloads are
+uninferable, structure required). Formats that need an out-of-band
+structure argument (the HEADERLESS plain spellings CSV/TSV/
+TabSeparated/RowBinary/JSONCompactEachRow, plus JSONEachRow/Values/
+TSKV/Npy) are refused with a named error when no ``structure`` is
+supplied (ClickHouse's url() takes a ``structure`` parameter there;
+pass one, or use a self-describing *WithNamesAndTypes / Native /
+Arrow form).
 """
 
 from __future__ import annotations
@@ -78,6 +84,52 @@ _STRUCTURED_DECODERS = {
     "rowbinary": ("rowbinary", "iter_rowbinary_plain_blocks"),
     "jsoncompacteachrow": ("jsoneachrow", "iter_jsoncompact_plain_blocks"),
 }
+
+# WithNames spellings (r14): a NAMES row in the stream, NO types row —
+# decodable WITHOUT a structure via ClickHouse-style type inference
+# (except RowBinaryWithNames, whose binary payload is uninferable),
+# and WITH a structure matched to the stream's names
+_WITHNAMES_DECODERS = {
+    "csvwithnames": ("textformats", "iter_csv_withnames_blocks"),
+    "tsvwithnames": ("textformats", "iter_tsv_withnames_blocks"),
+    "tabseparatedwithnames": ("textformats", "iter_tsv_withnames_blocks"),
+    "rowbinarywithnames": ("rowbinary", "iter_rowbinary_withnames_blocks"),
+    "jsoncompacteachrowwithnames": (
+        "jsoneachrow",
+        "iter_jsoncompact_withnames_blocks",
+    ),
+}
+
+
+def _withnames_decoder_for(fmt: str, structure: Optional[str]):
+    import importlib
+
+    key = fmt.strip().lower()
+    entry = _WITHNAMES_DECODERS[key]
+    if key == "rowbinarywithnames" and not structure:
+        raise ValueError(
+            "RowBinaryWithNames carries no type row and binary payloads "
+            "cannot be inferred — pass structure='name Type, ...', or "
+            "use RowBinaryWithNamesAndTypes"
+        )
+    names_types = parse_structure(structure) if structure else None
+    mod = importlib.import_module(
+        f"duckdb_extension_clickhouse_native_spark.native.{entry[0]}"
+    )
+    fn = getattr(mod, entry[1])
+    return lambda buf: fn(buf, names_types)
+
+
+def validate_format(fmt: str, structure: Optional[str]) -> None:
+    """Plan-time format/structure validation shared by the url()/file()
+    readers — refusals fire before any fetch or file open."""
+    key = fmt.strip().lower()
+    if key in _WITHNAMES_DECODERS:
+        _withnames_decoder_for(fmt, structure)
+    elif structure:
+        _structured_decoder_for(fmt, structure)
+    else:
+        _decoder_for(fmt)
 
 
 # ClickHouse caps glob expansion (glob_expansion_max_elements = 1000);
@@ -256,7 +308,11 @@ def _http_get(url: str):
 def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
     """Blocks from a stream. Parquet/ORC footers live at EOF, so those
     two buffer the body first; everything else streams. A ``structure``
-    switches to the headerless decoders (the three-argument url())."""
+    switches to the headerless decoders (the three-argument url());
+    WithNames spellings take the structure OPTIONALLY (types infer from
+    the data when absent)."""
+    if fmt.strip().lower() in _WITHNAMES_DECODERS:
+        return _withnames_decoder_for(fmt, structure)(buf)
     if structure:
         return _structured_decoder_for(fmt, structure)(buf)
     decode = _decoder_for(fmt)
@@ -270,7 +326,8 @@ def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
 def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    if structure:
+    key = fmt.strip().lower()
+    if structure and key not in _WITHNAMES_DECODERS:
         # schema comes from the declared structure, zero fetches
         from pyspark.sql.types import StructField, StructType
 
@@ -283,9 +340,11 @@ def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
                 for n, t in parse_structure(structure)
             ]
         )
-    _decoder_for(fmt)  # format refusals fire BEFORE any fetch
+    # WithNames spellings always probe the stream — the NAMES (and,
+    # without a structure, the inferred types) live there
+    validate_format(fmt, structure)  # refusals fire BEFORE any fetch
     with _http_get(url) as resp:
-        blocks = _decode_stream(resp, fmt)
+        blocks = _decode_stream(resp, fmt, structure)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -308,10 +367,7 @@ class ClickHouseURLReader(DataSourceReader):
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
-        if self.structure:  # validate at plan time
-            _structured_decoder_for(self.fmt, self.structure)
-        else:
-            _decoder_for(self.fmt)
+        validate_format(self.fmt, self.structure)  # plan-time refusals
         # the plan-time column order (probed from the FIRST URL): every
         # partition realigns its batches to it by NAME — a later URL
         # serving the same columns in a different order must not
