@@ -549,6 +549,11 @@ def iter_jsoncompact_withnames_blocks(
                 f"are not in the declared structure ({sorted(by_name)})"
             )
         schema = [(n, by_name[n]) for n in names]
+        # named refusal HERE, not a confusing failure deep in the
+        # value-conversion loop (r14 ADVICE: the plain/WithNamesAndTypes
+        # paths check; the structure-over-names path must too)
+        for _n, _t in schema:
+            _check_supported(_t)
         prefix: list = []
     else:
         prefix = list(itertools.islice(it, infer_rows))

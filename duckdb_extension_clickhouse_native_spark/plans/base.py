@@ -606,12 +606,18 @@ GRADING_WINDOW = [
 ]
 
 # (r13 window text retired to git history — see the commit referenced
-# above; the names below this line were the r13 list)
+# above; the names below this line were the r13 list. The per-line
+# comments are the status AS OF r13 OPEN and are kept only as ledger:
+# every entry below has since been driver-graded green (r13 window
+# 50/50 + the r14 judge 372/372 sweep) — do NOT read "NEVER GRADED"
+# here as current when planning a rotation; run tools/window_plan.py,
+# whose histogram is authoritative. r15 histogram: r7:35 r8:48 r9:49
+# r10:45 r11:49 r12:49 r13:47 r14:50, never-graded 0.)
 _GRADING_WINDOW_R13 = [
     # never driver-graded (r12c tranche)
     "scalar_string_pad_split",  # NEVER GRADED (r12c)
     "agg_group_uniq_array",  # NEVER GRADED (r12c)
-    "stats_mean_ztest",  # NEVER GRADED (r12c)
+    "stats_mean_ztest",  # graded green r13 (was never-graded at r13 open)
     "quantile_timing_grid",  # NEVER GRADED (r12c)
     "agg_categorical_iv",  # NEVER GRADED (r12c)
     "tf_numbers_lcg",  # NEVER GRADED (r12c)
@@ -645,7 +651,7 @@ _GRADING_WINDOW_R13 = [
     # never driver-graded: r13 parity forms left by the fast-default
     # promotions (same oracles as their family names)
     "cte_recursive_calendar_sql",  # NEVER GRADED (r13: WITH RECURSIVE parity)
-    "text_ngram_distance_sql",  # NEVER GRADED (r13: gram-array parity)
+    "text_ngram_distance_sql",  # graded green r13 (parity form; was never-graded at r13 open)
     # never driver-graded: r13 type long tail (VERDICT r12 item 4)
     "native_nested_scan",  # NEVER GRADED (r13: Nested named fields)
     "native_int128_scan",  # NEVER GRADED (r13: Int128/UInt128 decode)

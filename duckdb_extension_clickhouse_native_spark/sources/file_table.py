@@ -25,7 +25,10 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .url_table import (
     _WITHNAMES_DECODERS,
+    _conform_batch,
     _decode_stream,
+    _plan_arrow_types,
+    _split_top_level_commas,
     _structured_decoder_for,
     expand_url_globs,
     validate_format,
@@ -41,21 +44,7 @@ def expand_file_paths(spec: str) -> list:
     import os
 
     out: list = []
-    # brace-aware comma split (commas inside {a,b} belong to the glob)
-    parts: list = []
-    depth, cur = 0, []
-    for ch in spec:
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth = max(0, depth - 1)
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
-    for piece in parts:
+    for piece in _split_top_level_commas(spec):
         piece = piece.strip()
         if not piece:
             continue
@@ -108,33 +97,34 @@ class FilePartition(InputPartition):
 
 
 class ClickHouseFileReader(DataSourceReader):
-    def __init__(self, options: dict, field_names: Optional[list] = None):
+    def __init__(self, options: dict, plan_schema=None):
         self.paths = expand_file_paths(options.get("path") or "")
         if not self.paths:
             raise ValueError("clickhouse_file requires a path option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
         validate_format(self.fmt, self.structure)
-        self.field_names = list(field_names) if field_names else None
+        self.plan_schema = plan_schema
+        self.field_names = (
+            list(plan_schema.fieldNames()) if plan_schema else None
+        )
+        self._arrow_types = None
 
     def partitions(self):
         return [FilePartition(p) for p in self.paths]
 
     def read(self, partition: FilePartition) -> Iterator:
+        if self._arrow_types is None:
+            self._arrow_types = _plan_arrow_types(self.plan_schema)
         with open(partition.path, "rb") as f:
             for blk in _decode_stream(f, self.fmt, self.structure):
-                rb = blk.to_record_batch()
-                names = self.field_names
-                if names is not None and list(rb.schema.names) != names:
-                    if set(rb.schema.names) != set(names):
-                        raise ValueError(
-                            f"file(): {partition.path!r} has columns "
-                            f"{sorted(rb.schema.names)}, expected "
-                            f"{sorted(names)} (all matched files must "
-                            "share one column set)"
-                        )
-                    rb = rb.select(names)
-                yield rb
+                yield _conform_batch(
+                    blk.to_record_batch(),
+                    self.field_names,
+                    self._arrow_types,
+                    "file()",
+                    partition.path,
+                )
 
 
 class ClickHouseFileDataSource(DataSource):
@@ -161,7 +151,7 @@ class ClickHouseFileDataSource(DataSource):
         return self._schema_memo
 
     def reader(self, schema) -> ClickHouseFileReader:
-        return ClickHouseFileReader(dict(self.options), schema.fieldNames())
+        return ClickHouseFileReader(dict(self.options), schema)
 
 
 def file_table(

@@ -919,8 +919,10 @@ class ClickHouseNativeReader(DataSourceReader):
         """Bin whole-file partitions into ~target-byte groups (Spark's
         FilePartition formula: target = min(max_partition_bytes,
         max(open_cost, ceil(total_weighted / min_partitions))) with
-        every file weighted size + open_cost). Off by default
-        (max_partition_bytes = 0); block-split ranges are already
+        every file weighted size + open_cost). DEFAULT ON since r14
+        (max_partition_bytes = 128 MiB, Spark's maxPartitionBytes
+        default; set max_partition_bytes=0 for the pre-r14 one-
+        partition-per-file behavior); block-split ranges are already
         byte-targeted and pass through unpacked. Packing composes
         AFTER sidecar pruning, so skipped files never join a bin."""
         if self.max_partition_bytes <= 0 or len(parts) <= 1:
@@ -970,6 +972,20 @@ class ClickHouseNativeReader(DataSourceReader):
                 if len(bin_parts) == 1
                 else NativeFileGroupPartition(tuple(bin_parts))
             )
+        # the chosen bin count depends on the host (min_partitions
+        # defaults to cores/2), so make the plan shape visible instead
+        # of silently host-dependent (r14 ADVICE): one log line per
+        # planned scan, and the count kept on the reader for tests
+        self.last_pack_info = (len(whole), len(packed), len(split))
+        import logging
+
+        logging.getLogger(__name__).info(
+            "clickhouse_native scan: packed %d whole files into %d "
+            "partitions (+%d block-split) target=%d bytes "
+            "min_partitions=%d",
+            len(whole), len(packed), len(split), target,
+            self.min_partitions,
+        )
         return packed + split
 
     def _evolved_stats(self, st: dict) -> dict:

@@ -182,11 +182,11 @@ def expand_url_globs(url: str) -> list:
     return out
 
 
-def expand_urls(spec: str) -> list:
-    """Full url-list resolution: split a comma-separated URL list on
-    TOP-LEVEL commas only (commas inside ``{a,b}`` groups belong to the
-    glob), then glob-expand each element."""
-    urls: list = []
+def _split_top_level_commas(spec: str) -> list:
+    """Split on TOP-LEVEL commas only — commas inside ``{a,b}`` glob
+    groups belong to the glob. Shared by url()/file()/s3() path-spec
+    resolution (one depth-tracking loop, not three drifting copies)."""
+    parts: list = []
     depth = 0
     cur: list = []
     for ch in spec:
@@ -195,13 +195,19 @@ def expand_urls(spec: str) -> list:
         elif ch == "}":
             depth = max(0, depth - 1)
         if ch == "," and depth == 0:
-            urls.append("".join(cur))
+            parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
-    urls.append("".join(cur))
+    parts.append("".join(cur))
+    return parts
+
+
+def expand_urls(spec: str) -> list:
+    """Full url-list resolution: split a comma-separated URL list on
+    top-level commas, then glob-expand each element."""
     out: list = []
-    for u in urls:
+    for u in _split_top_level_commas(spec):
         u = u.strip()
         if u:
             out.extend(expand_url_globs(u))
@@ -355,43 +361,89 @@ def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
     return from_arrow_schema(first.to_record_batch().schema)
 
 
+def _conform_batch(rb, field_names, arrow_types, source: str, where: str):
+    """Realign a decoded batch to the plan column order BY NAME, then
+    cast to the plan's Arrow types when this partition's stream decoded
+    them differently.  The cast arm exists for the WithNames-without-
+    structure spellings: each partition infers types from ITS OWN
+    stream, so a URL/file whose values all parse as ints infers Int64
+    while the plan (probed from the FIRST element) says Float64 — the
+    batches must agree with the plan schema or Spark fails with an
+    opaque executor-side Arrow mismatch (r14 ADVICE).  pyarrow's safe
+    cast refuses lossy conversions (e.g. a float stream against an
+    int plan) with a named error instead of truncating."""
+    import pyarrow as pa
+
+    if field_names is not None and list(rb.schema.names) != field_names:
+        if set(rb.schema.names) != set(field_names):
+            raise ValueError(
+                f"{source}: {where!r} returned columns "
+                f"{sorted(rb.schema.names)}, expected "
+                f"{sorted(field_names)} (all elements must serve the "
+                "same column set)"
+            )
+        rb = rb.select(field_names)
+    if arrow_types:
+        want = [arrow_types[n] for n in rb.schema.names]
+        if [f.type for f in rb.schema] != want:
+            rb = rb.cast(
+                pa.schema(
+                    [pa.field(n, t) for n, t in zip(rb.schema.names, want)]
+                )
+            )
+    return rb
+
+
+def _plan_arrow_types(plan_schema) -> dict:
+    """Plan StructType -> {name: Arrow type} for _conform_batch (lazy,
+    executor-side — pyspark's Arrow conversion is importable there)."""
+    if plan_schema is None:
+        return {}
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return {f.name: f.type for f in to_arrow_schema(plan_schema)}
+
+
 class URLPartition(InputPartition):
     def __init__(self, url: str):
         self.url = url
 
 
 class ClickHouseURLReader(DataSourceReader):
-    def __init__(self, options: dict, field_names: Optional[list] = None):
+    def __init__(self, options: dict, plan_schema=None):
         self.urls = expand_urls(options.get("url") or "")
         if not self.urls:
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
         validate_format(self.fmt, self.structure)  # plan-time refusals
-        # the plan-time column order (probed from the FIRST URL): every
-        # partition realigns its batches to it by NAME — a later URL
-        # serving the same columns in a different order must not
-        # misassign values positionally (r13 ADVICE)
-        self.field_names = list(field_names) if field_names else None
+        # the plan-time schema (probed from the FIRST URL): every
+        # partition realigns its batches to its column order by NAME —
+        # a later URL serving the same columns in a different order
+        # must not misassign values positionally (r13 ADVICE) — and
+        # casts to its types when its own stream inferred them
+        # differently (r14 ADVICE; see _conform_batch)
+        self.plan_schema = plan_schema
+        self.field_names = (
+            list(plan_schema.fieldNames()) if plan_schema else None
+        )
+        self._arrow_types: Optional[dict] = None
 
     def partitions(self):
         return [URLPartition(u) for u in self.urls]
 
     def read(self, partition: URLPartition) -> Iterator:
+        if self._arrow_types is None:
+            self._arrow_types = _plan_arrow_types(self.plan_schema)
         with _http_get(partition.url) as resp:
             for blk in _decode_stream(resp, self.fmt, self.structure):
-                rb = blk.to_record_batch()
-                names = self.field_names
-                if names is not None and list(rb.schema.names) != names:
-                    if set(rb.schema.names) != set(names):
-                        raise ValueError(
-                            f"clickhouse_url: URL {partition.url!r} "
-                            f"returned columns {sorted(rb.schema.names)},"
-                            f" expected {sorted(names)} (all URLs must "
-                            "serve the same column set)"
-                        )
-                    rb = rb.select(names)
-                yield rb
+                yield _conform_batch(
+                    blk.to_record_batch(),
+                    self.field_names,
+                    self._arrow_types,
+                    "clickhouse_url",
+                    partition.url,
+                )
 
 
 class ClickHouseURLDataSource(DataSource):
@@ -423,7 +475,7 @@ class ClickHouseURLDataSource(DataSource):
         return self._schema_memo
 
     def reader(self, schema) -> ClickHouseURLReader:
-        return ClickHouseURLReader(dict(self.options), schema.fieldNames())
+        return ClickHouseURLReader(dict(self.options), schema)
 
 
 def url_table(
