@@ -32,6 +32,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     sources,
     sources_r13,
     sources_r14,
+    sources_r15,
     stats,
     streaming_queries,
     timeseries,

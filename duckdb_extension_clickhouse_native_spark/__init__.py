@@ -27,12 +27,14 @@ def register(spark) -> None:
     from .sources.scan_datasource import ClickHouseScanDataSource
     from .sources.table_functions import register_table_functions
     from .sources.file_table import ClickHouseFileDataSource
+    from .sources.s3_table import ClickHouseS3DataSource
     from .sources.url_table import ClickHouseURLDataSource
 
     spark.dataSource.register(ClickHouseNativeDataSource)
     spark.dataSource.register(ClickHouseScanDataSource)
     spark.dataSource.register(ClickHouseURLDataSource)
     spark.dataSource.register(ClickHouseFileDataSource)
+    spark.dataSource.register(ClickHouseS3DataSource)
     register_table_functions(spark)
 
 

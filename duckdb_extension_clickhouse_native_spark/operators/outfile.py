@@ -13,9 +13,10 @@ ClickHouse semantics honored:
   "clickhouse_native")`` is the distributed path).
 * refuse-to-overwrite unless ``truncate=True`` (ClickHouse errors on
   an existing file; APPEND/TRUNCATE modifiers are 23.8+ syntax).
-* ``.gz`` / ``.zst`` filename suffixes compress, like the server's
-  extension sniffing (stdlib gzip; zstd rides the LZ4/ZSTD wire codec
-  dependency only if importable, else refuses loudly).
+* ``.gz`` / ``.zst`` / ``.br`` / ``.lz4`` / ``.bz2`` / ``.xz``
+  filename suffixes compress, like the server's extension sniffing
+  (native/contentcodec.py — pyarrow streaming codecs + stdlib; the
+  same layer file()/url() use to read the export back).
 
 Format names accept the engine's ``wire_format`` spellings (csv, tsv,
 native, parquet, arrowstream, orc, npy, rowbinary, jsoneachrow,
@@ -69,21 +70,16 @@ def _resolve_writer(fmt: str):
 def _open_sink(tmp_path: str, final_path: str):
     """Open ``tmp_path`` for writing, compressed per the FINAL
     filename's extension (the atomic-rename temp name must not defeat
-    the server's extension sniffing)."""
-    if final_path.endswith(".gz"):
-        import gzip
+    the server's extension sniffing).  Shares the contentcodec layer
+    with the file()/url() READ half (r15) — every method written here
+    (gz/zst/br/lz4/bz2/xz, pyarrow/stdlib streaming) reimports through
+    the table functions' auto-detection."""
+    from ..native.contentcodec import (
+        open_compressed_write,
+        sniff_compression,
+    )
 
-        return gzip.open(tmp_path, "wb")
-    if final_path.endswith(".zst"):
-        try:
-            import zstandard  # type: ignore
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise ValueError(
-                ".zst INTO OUTFILE needs the zstandard module; use .gz "
-                "or an uncompressed filename"
-            ) from e
-        return zstandard.open(tmp_path, "wb")
-    return open(tmp_path, "wb")
+    return open_compressed_write(tmp_path, sniff_compression(final_path))
 
 
 def into_outfile(

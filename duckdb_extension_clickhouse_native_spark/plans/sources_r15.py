@@ -1,0 +1,296 @@
+"""Round-15 source conformance: compressed url()/file() reads, the
+s3() table function, and Dynamic-type decode.
+
+* ``tf_file_compressed_scan`` — the r14 verdict's export/reimport
+  asymmetry closed: ``INTO OUTFILE 'lineitem.csv.gz'`` (the engine's
+  own writer, gzip sniffed from the FINAL filename) reimports
+  losslessly through ``file()`` whose auto-detection now mirrors
+  ClickHouse's (docs: sql-reference/table-functions/file,
+  'compression').  The fixture asserts the bytes on disk really are
+  gzip (magic 1f 8b) before the entry reads them back.
+
+* ``tf_url_compressed_scan`` — ``url('.../orders.csv.zst')`` over a
+  local HTTP server: extension-sniffed zstd through the streaming
+  decompressor in front of the shared wire decoders.
+
+* ``tf_s3_scan`` — the ``s3()`` table function (ClickHouse's most-used
+  external source): wildcard LISTING (url() can't list), one partition
+  per matched object, and the ``_path``/``_file`` virtual columns in
+  the result.  In-sandbox the store is ``file://`` through
+  pyarrow.fs — the same FileSystem API an ``s3://`` URI takes (the
+  tests/test_filesystem.py precedent); credentials/NOSIGN wiring is
+  pinned in tests/test_s3_table.py.
+
+Oracles recompute from the raw parquet with key arithmetic — never
+touching HTTP, compression, object listing, or virtual columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY
+
+_GZ_FIXTURES: dict = {}
+
+
+def _lineitem_outfile_gz(spark: SparkSession, sf_dir: str) -> str:
+    """INTO OUTFILE 'lineitem.csv.gz' of the l_orderkey % 101 == 0
+    subset — the engine's own export path writes the compressed file
+    the entry reads back. Cached per (sf_dir, parquet stamp)."""
+    key = ("lineitem-outfile-gz", os.path.abspath(sf_dir))
+    hit = _GZ_FIXTURES.get(key)
+    if hit is not None and os.path.exists(hit):
+        return hit
+
+    import tempfile
+
+    from ..operators.outfile import into_outfile
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .where(F.col("l_orderkey") % 101 == 0)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    d = tempfile.mkdtemp(prefix="chsql_outfile_gz")
+    path = os.path.join(d, "lineitem.csv.gz")
+    into_outfile(df, path, "csv", truncate=True)
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"\x1f\x8b":
+        raise AssertionError(
+            "INTO OUTFILE '.gz' must write real gzip bytes, got "
+            f"{magic!r}"
+        )
+    _GZ_FIXTURES[key] = path
+    return path
+
+
+def _tf_file_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _lineitem_outfile_gz(spark, sf_dir)
+    # NO compression argument: the extension sniff must route .gz
+    df = file_table(spark, path, "CSVWithNamesAndTypes")
+    return (
+        df.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_compressed_scan",
+    _tf_file_compressed_scan,
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+    tags=["source", "file", "tf", "compression", "gzip"],
+    description="export/reimport symmetry: INTO OUTFILE writes "
+    "lineitem.csv.gz (gzip magic asserted), file() reads it back via "
+    "extension-sniffed streaming decompression; oracle from raw "
+    "parquet",
+)
+
+
+_ZST_SERVERS: dict = {}
+
+
+def _orders_zst_url(sf_dir: str) -> str:
+    """zstd-compressed CSVWithNamesAndTypes export of the
+    o_orderkey % 79 == 0 orders subset served at /orders.csv.zst by a
+    process-cached local HTTP server."""
+    import io as _io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    key = ("orders-zst", sf_dir)
+    hit = _ZST_SERVERS.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.contentcodec import compress_bytes
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 79 == 0))
+    buf = _io.BytesIO()
+    write_csv(buf, t.to_batches(), [from_arrow(f.type) for f in t.schema])
+    body = compress_bytes(buf.getvalue(), "zstd")
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server contract
+            if self.path != "/orders.csv.zst":
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    url = f"http://{host}:{port}/orders.csv.zst"
+    _ZST_SERVERS[key] = url
+    return url
+
+
+def _tf_url_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.url_table import url_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    url = _orders_zst_url(sf_dir)
+    # NO compression argument: the .zst extension sniff must route it
+    df = url_table(spark, url, "CSVWithNamesAndTypes")
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_k"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_url_compressed_scan",
+    _tf_url_compressed_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 79 = 0
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "url", "tf", "compression", "zstd"],
+    description="url() over a .zst object: extension-sniffed zstd "
+    "streaming decompression in front of the shared CSV decoder; "
+    "oracle from raw parquet",
+)
+
+
+_S3_FIXTURES: dict = {}
+
+
+def _orders_s3_prefix(sf_dir: str) -> str:
+    """Four-object CSVWithNamesAndTypes export of the
+    o_orderkey % 73 == 0 orders subset (split by (o_orderkey // 73) %
+    4 into part1..4.csv) under a file:// prefix — the pyarrow.fs code
+    path an s3:// bucket takes."""
+    import io as _io
+    import tempfile
+
+    key = ("orders-s3", sf_dir)
+    hit = _S3_FIXTURES.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 73 == 0))
+    keys = t.column("o_orderkey").to_numpy()
+    d = tempfile.mkdtemp(prefix="chsql_s3_tf")
+    for idx in range(4):
+        piece = t.filter(pa.array((keys // 73) % 4 == idx))
+        buf = _io.BytesIO()
+        write_csv(
+            buf, piece.to_batches(), [from_arrow(f.type) for f in piece.schema]
+        )
+        with open(os.path.join(d, f"part{idx + 1}.csv"), "wb") as f:
+            f.write(buf.getvalue())
+    prefix = f"file://{d}"
+    _S3_FIXTURES[key] = prefix
+    return prefix
+
+
+def _tf_s3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.s3_table import s3_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    prefix = _orders_s3_prefix(sf_dir)
+    # '*' wildcard resolves by LISTING the store (the s3()-over-url()
+    # differentiator); _file/_path virtuals carry provenance
+    df = s3_table(
+        spark, f"{prefix}/part*.csv", "CSVWithNamesAndTypes",
+        virtual_columns=True,
+    )
+    if df.rdd.getNumPartitions() != 4:
+        raise AssertionError("s3() must plan one partition per object")
+    return (
+        df.where(F.col("_path").startswith("file://"))
+        .groupBy(F.col("_file").alias("f"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_k"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("f")
+    )
+
+
+REGISTRY.df_query(
+    "tf_s3_scan",
+    _tf_s3_scan,
+    oracle="""
+    SELECT 'part' || CAST((o_orderkey // 73) % 4 + 1 AS VARCHAR) || '.csv'
+             AS f,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 73 = 0
+    GROUP BY 1 ORDER BY f
+    """,
+    tags=["source", "s3", "tf", "listing", "virtual-columns"],
+    description="s3() table function: wildcard listing over a "
+    "pyarrow.fs store (file:// in-sandbox — the s3:// code path), one "
+    "partition per object, _path/_file virtual columns grouped in the "
+    "result; oracle recomputes the file split from key arithmetic",
+)

@@ -24,15 +24,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .url_table import (
+    _VIRTUAL_COLS,
     _WITHNAMES_DECODERS,
+    _add_virtual_fields,
+    _append_virtuals,
     _conform_batch,
     _decode_stream,
     _plan_arrow_types,
     _split_top_level_commas,
     _structured_decoder_for,
+    _truthy,
     expand_url_globs,
     validate_format,
 )
+
+
+def _open_file(path: str, compression):
+    """Open + transparent decompression (extension sniff unless an
+    explicit ``compression`` is given — ClickHouse file() semantics)."""
+    from ..native.contentcodec import open_compressed, resolve_compression
+
+    raw = open(path, "rb")
+    method = resolve_compression(path, compression)
+    if method == "none":
+        return raw
+    try:
+        return open_compressed(raw, method)
+    except Exception:
+        raw.close()
+        raise
 
 
 def expand_file_paths(spec: str) -> list:
@@ -61,9 +81,17 @@ def expand_file_paths(spec: str) -> list:
     return out
 
 
-def _probe_file_schema(path: str, fmt: str, structure: Optional[str]):
+def _probe_file_schema(
+    path: str,
+    fmt: str,
+    structure: Optional[str],
+    compression: Optional[str] = None,
+):
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    from ..native.contentcodec import normalize_compression
+
+    normalize_compression(compression)  # refusal BEFORE any open
     key = fmt.strip().lower()
     if structure and key not in _WITHNAMES_DECODERS:
         from pyspark.sql.types import StructField, StructType
@@ -79,7 +107,7 @@ def _probe_file_schema(path: str, fmt: str, structure: Optional[str]):
             ]
         )
     validate_format(fmt, structure)
-    with open(path, "rb") as f:
+    with _open_file(path, compression) as f:
         blocks = _decode_stream(f, fmt, structure)
         try:
             first = next(iter(blocks))
@@ -98,16 +126,22 @@ class FilePartition(InputPartition):
 
 class ClickHouseFileReader(DataSourceReader):
     def __init__(self, options: dict, plan_schema=None):
+        from ..native.contentcodec import normalize_compression
+
         self.paths = expand_file_paths(options.get("path") or "")
         if not self.paths:
             raise ValueError("clickhouse_file requires a path option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
         validate_format(self.fmt, self.structure)
+        self.compression = options.get("compression")
+        normalize_compression(self.compression)  # plan-time refusal
+        self.virtuals = _truthy(options.get("virtual_columns"))
         self.plan_schema = plan_schema
-        self.field_names = (
-            list(plan_schema.fieldNames()) if plan_schema else None
-        )
+        names = list(plan_schema.fieldNames()) if plan_schema else None
+        if names is not None and self.virtuals:
+            names = [n for n in names if n not in _VIRTUAL_COLS]
+        self.field_names = names
         self._arrow_types = None
 
     def partitions(self):
@@ -116,15 +150,18 @@ class ClickHouseFileReader(DataSourceReader):
     def read(self, partition: FilePartition) -> Iterator:
         if self._arrow_types is None:
             self._arrow_types = _plan_arrow_types(self.plan_schema)
-        with open(partition.path, "rb") as f:
+        with _open_file(partition.path, self.compression) as f:
             for blk in _decode_stream(f, self.fmt, self.structure):
-                yield _conform_batch(
+                rb = _conform_batch(
                     blk.to_record_batch(),
                     self.field_names,
                     self._arrow_types,
                     "file()",
                     partition.path,
                 )
+                if self.virtuals:
+                    rb = _append_virtuals(rb, partition.path)
+                yield rb
 
 
 class ClickHouseFileDataSource(DataSource):
@@ -143,11 +180,15 @@ class ClickHouseFileDataSource(DataSource):
         paths = expand_file_paths(opts.get("path") or "")
         if not paths:
             raise ValueError("clickhouse_file requires a path option")
-        self._schema_memo = _probe_file_schema(
+        schema = _probe_file_schema(
             paths[0],
             opts.get("format", "CSVWithNamesAndTypes"),
             (opts.get("structure") or "").strip() or None,
+            opts.get("compression"),
         )
+        if _truthy(opts.get("virtual_columns")):
+            schema = _add_virtual_fields(schema)
+        self._schema_memo = schema
         return self._schema_memo
 
     def reader(self, schema) -> ClickHouseFileReader:
@@ -159,9 +200,14 @@ def file_table(
     path: str,
     fmt: str = "CSVWithNamesAndTypes",
     structure: Optional[str] = None,
+    compression: Optional[str] = None,
+    virtual_columns: bool = False,
 ) -> DataFrame:
-    """The ``file(path, format[, structure])`` table function as a
-    DataFrame — one partition per matched file."""
+    """The ``file(path, format[, structure[, compression]])`` table
+    function as a DataFrame — one partition per matched file.
+    ``compression`` defaults to the extension sniff (gz/zst/br/lz4/
+    bz2/xz — anything INTO OUTFILE writes reads back);
+    ``virtual_columns`` appends ``_path``/``_file`` per file."""
     from ..plans.base import ensure_session
 
     ensure_session(spark)
@@ -172,6 +218,10 @@ def file_table(
     )
     if structure:
         r = r.option("structure", structure)
+    if compression:
+        r = r.option("compression", compression)
+    if virtual_columns:
+        r = r.option("virtual_columns", "true")
     return r.load()
 
 
@@ -188,31 +238,36 @@ def make_file_udtf():
             path: AnalyzeArgument,
             fmt: Optional[AnalyzeArgument] = None,
             structure: Optional[AnalyzeArgument] = None,
+            compression: Optional[AnalyzeArgument] = None,
         ) -> AnalyzeResult:
             if path.value is None:
                 raise ValueError(
-                    "clickhouse_file(path, fmt[, structure]) requires a "
-                    "literal path"
+                    "clickhouse_file(path, fmt[, structure[, "
+                    "compression]]) requires a literal path"
                 )
             f = "CSVWithNamesAndTypes" if fmt is None else str(fmt.value)
             st = None if structure is None else str(structure.value)
+            comp = None if compression is None else str(compression.value)
             paths = expand_file_paths(str(path.value))
             if not paths:
                 raise FileNotFoundError(
                     f"clickhouse_file: nothing matches {path.value!r}"
                 )
-            return AnalyzeResult(schema=_probe_file_schema(paths[0], f, st))
+            return AnalyzeResult(
+                schema=_probe_file_schema(paths[0], f, st, comp)
+            )
 
         def eval(
             self,
             path: str,
             fmt: Optional[str] = None,
             structure: Optional[str] = None,
+            compression: Optional[str] = None,
         ) -> Iterator[tuple]:
             f = fmt or "CSVWithNamesAndTypes"
             names = None
             for one in expand_file_paths(path):
-                with open(one, "rb") as fh:
+                with _open_file(one, compression) as fh:
                     for blk in _decode_stream(fh, f, structure):
                         rb = blk.to_record_batch()
                         if names is None:

@@ -311,6 +311,66 @@ def _http_get(url: str):
     return urlopen(url, timeout=60)
 
 
+def _open_url(url: str, compression: Optional[str]):
+    """GET + transparent decompression: an explicit ``compression``
+    option wins, then the HTTP Content-Encoding response header, then
+    the filename-extension sniff (ClickHouse's url() auto-detection —
+    docs: sql-reference/table-functions/url, 'compression method').
+    Returns a context manager yielding the DECODED stream."""
+    import contextlib
+
+    from ..native.contentcodec import open_compressed, resolve_compression
+
+    @contextlib.contextmanager
+    def cm():
+        with _http_get(url) as resp:
+            enc = None
+            headers = getattr(resp, "headers", None)
+            if headers is not None:
+                enc = headers.get("Content-Encoding")
+            method = resolve_compression(url, compression, enc)
+            yield open_compressed(resp, method)
+
+    return cm()
+
+
+# virtual provenance columns (ClickHouse: every file-ish table function
+# exposes _path and _file) — appended when virtual_columns is on
+_VIRTUAL_COLS = ("_path", "_file")
+
+
+def _append_virtuals(rb, path: str):
+    import posixpath
+
+    import pyarrow as pa
+
+    n = rb.num_rows
+    base = posixpath.basename(path.split("?", 1)[0].rstrip("/"))
+    rb = rb.append_column(
+        "_path", pa.array([path] * n, type=pa.string())
+    )
+    return rb.append_column(
+        "_file", pa.array([base] * n, type=pa.string())
+    )
+
+
+def _add_virtual_fields(schema):
+    """Plan schema + the two virtual string columns (collision with a
+    real data column is a named refusal, not a silent shadow)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    clash = [n for n in _VIRTUAL_COLS if n in schema.fieldNames()]
+    if clash:
+        raise ValueError(
+            f"virtual_columns: data already has column(s) {clash} — "
+            "the _path/_file virtuals cannot shadow real columns"
+        )
+    return StructType(
+        list(schema.fields)
+        + [StructField(n, StringType(), False) for n in _VIRTUAL_COLS]
+    )
+
+
 def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
     """Blocks from a stream. Parquet/ORC footers live at EOF, so those
     two buffer the body first; everything else streams. A ``structure``
@@ -329,9 +389,17 @@ def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
     return decode(buf)
 
 
-def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
+def _probe_schema(
+    url: str,
+    fmt: str,
+    structure: Optional[str] = None,
+    compression: Optional[str] = None,
+):
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    from ..native.contentcodec import normalize_compression
+
+    normalize_compression(compression)  # refusals fire BEFORE any fetch
     key = fmt.strip().lower()
     if structure and key not in _WITHNAMES_DECODERS:
         # schema comes from the declared structure, zero fetches
@@ -349,8 +417,8 @@ def _probe_schema(url: str, fmt: str, structure: Optional[str] = None):
     # WithNames spellings always probe the stream — the NAMES (and,
     # without a structure, the inferred types) live there
     validate_format(fmt, structure)  # refusals fire BEFORE any fetch
-    with _http_get(url) as resp:
-        blocks = _decode_stream(resp, fmt, structure)
+    with _open_url(url, compression) as stream:
+        blocks = _decode_stream(stream, fmt, structure)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -409,14 +477,23 @@ class URLPartition(InputPartition):
         self.url = url
 
 
+def _truthy(v) -> bool:
+    return str(v or "").strip().lower() in ("1", "true", "yes", "on")
+
+
 class ClickHouseURLReader(DataSourceReader):
     def __init__(self, options: dict, plan_schema=None):
+        from ..native.contentcodec import normalize_compression
+
         self.urls = expand_urls(options.get("url") or "")
         if not self.urls:
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
         validate_format(self.fmt, self.structure)  # plan-time refusals
+        self.compression = options.get("compression")
+        normalize_compression(self.compression)  # plan-time refusal
+        self.virtuals = _truthy(options.get("virtual_columns"))
         # the plan-time schema (probed from the FIRST URL): every
         # partition realigns its batches to its column order by NAME —
         # a later URL serving the same columns in a different order
@@ -424,9 +501,12 @@ class ClickHouseURLReader(DataSourceReader):
         # casts to its types when its own stream inferred them
         # differently (r14 ADVICE; see _conform_batch)
         self.plan_schema = plan_schema
-        self.field_names = (
-            list(plan_schema.fieldNames()) if plan_schema else None
-        )
+        names = list(plan_schema.fieldNames()) if plan_schema else None
+        # the plan schema carries the appended virtuals; decoded data
+        # batches don't — conform to the data prefix, append after
+        if names is not None and self.virtuals:
+            names = [n for n in names if n not in _VIRTUAL_COLS]
+        self.field_names = names
         self._arrow_types: Optional[dict] = None
 
     def partitions(self):
@@ -435,15 +515,18 @@ class ClickHouseURLReader(DataSourceReader):
     def read(self, partition: URLPartition) -> Iterator:
         if self._arrow_types is None:
             self._arrow_types = _plan_arrow_types(self.plan_schema)
-        with _http_get(partition.url) as resp:
-            for blk in _decode_stream(resp, self.fmt, self.structure):
-                yield _conform_batch(
+        with _open_url(partition.url, self.compression) as stream:
+            for blk in _decode_stream(stream, self.fmt, self.structure):
+                rb = _conform_batch(
                     blk.to_record_batch(),
                     self.field_names,
                     self._arrow_types,
                     "clickhouse_url",
                     partition.url,
                 )
+                if self.virtuals:
+                    rb = _append_virtuals(rb, partition.url)
+                yield rb
 
 
 class ClickHouseURLDataSource(DataSource):
@@ -467,11 +550,15 @@ class ClickHouseURLDataSource(DataSource):
         urls = expand_urls(opts.get("url") or "")
         if not urls:
             raise ValueError("clickhouse_url requires a url option")
-        self._schema_memo = _probe_schema(
+        schema = _probe_schema(
             urls[0],
             opts.get("format", "CSVWithNamesAndTypes"),
             (opts.get("structure") or "").strip() or None,
+            opts.get("compression"),
         )
+        if _truthy(opts.get("virtual_columns")):
+            schema = _add_virtual_fields(schema)
+        self._schema_memo = schema
         return self._schema_memo
 
     def reader(self, schema) -> ClickHouseURLReader:
@@ -483,6 +570,8 @@ def url_table(
     url: str,
     fmt: str = "CSVWithNamesAndTypes",
     structure: Optional[str] = None,
+    compression: Optional[str] = None,
+    virtual_columns: bool = False,
 ):
     """The ``url(url, format[, structure])`` table function as a
     DataFrame. A comma-separated URL list fans out one partition per
@@ -490,7 +579,10 @@ def url_table(
     numeric ranges (``{01..12}`` zero-padded), ``{a,b}`` alternation,
     cartesian across groups; ``structure`` ('name Type, ...') enables
     the headerless formats (plain CSV/TSV/RowBinary/JSONCompactEachRow,
-    JSONEachRow, Values, TSKV, Npy)."""
+    JSONEachRow, Values, TSKV, Npy).  ``compression`` defaults to the
+    ClickHouse auto-detection (filename extension + Content-Encoding:
+    gz/zst/br/lz4/bz2/xz); ``virtual_columns`` appends the ``_path`` /
+    ``_file`` provenance strings per URL."""
     from ..plans.base import ensure_session
 
     ensure_session(spark)
@@ -501,6 +593,10 @@ def url_table(
     )
     if structure:
         r = r.option("structure", structure)
+    if compression:
+        r = r.option("compression", compression)
+    if virtual_columns:
+        r = r.option("virtual_columns", "true")
     return r.load()
 
 
@@ -562,6 +658,7 @@ def url_insert(df, url: str, fmt: str = "CSVWithNamesAndTypes") -> int:
         import pyarrow as pa_exec
         from urllib.request import Request, urlopen
 
+        from ..native.contentcodec import compress_bytes, sniff_compression
         from ..native.rowbinary import derive_wire_types
 
         writer = _resolve_writer(writer_key)
@@ -572,9 +669,13 @@ def url_insert(df, url: str, fmt: str = "CSVWithNamesAndTypes") -> int:
         n = writer(buf, chunks, ch_types) or sum(
             b.num_rows for b in chunks
         )
+        # write-side extension sniffing, mirroring INTO OUTFILE: an
+        # INSERT to '.../export.csv.gz' posts a gzip body the read
+        # half (url()/file() auto-detection) reimports losslessly
+        body = compress_bytes(buf.getvalue(), sniff_compression(url))
         req = Request(
             url,
-            data=buf.getvalue(),
+            data=body,
             method="POST",
             headers={"Content-Type": "application/octet-stream"},
         )
