@@ -524,6 +524,140 @@ def _skip_strings_seekable(buf: BinaryIO, rows: int) -> None:
     _restore_surplus(buf, memoryview(data)[pos:])
 
 
+# Dynamic (docs: sql-reference/data-types/dynamic) — the any-type
+# column.  Engine wire layout, structurally modeled on ClickHouse's
+# SerializationDynamic V1 and carried by the r14 Variant machinery:
+#
+#   UInt64  structure version      (1 = V1 with max_types, 2 = V2)
+#   varuint max_dynamic_types      (V1 only — a planning hint)
+#   varuint number of variant types
+#   varuint-length type-name strings (canonical ClickHouse spellings)
+#   <Variant body over the SORTED declared set: UInt64 mode 0, one
+#    UInt8 discriminator per row (255 = NULL), dense values per type>
+#
+# The declared name 'SharedVariant' (ClickHouse's overflow carrier for
+# values past max_dynamic_types) decodes as String.  Variant member
+# types are restricted to SCALARS (ints incl. 128/256, floats, Bool,
+# String, FixedString, UUID, IPv4/6, Enum, Decimal, Date/DateTime) —
+# the type-erased struct<type,value> mapping needs a canonical text
+# rendering, which nested types don't have; a named refusal beats a
+# lossy one.
+_DYNAMIC_SCALAR_BASES = (
+    set(FIXED_WIDTH)
+    | set(BIG_INT_WIDTH)
+    | {
+        "String",
+        "FixedString",
+        "UUID",
+        "IPv4",
+        "IPv6",
+        "Decimal",
+        "Decimal32",
+        "Decimal64",
+        "Decimal128",
+    }
+)
+
+
+def _check_dynamic_member(t: CHType, name: str) -> None:
+    if t.base not in _DYNAMIC_SCALAR_BASES or t.nullable:
+        raise UnsupportedTypeError(
+            f"Dynamic variant type {name!r} is not a supported scalar — "
+            "the type-erased struct<type,value> mapping renders scalar "
+            "text only (declare an explicit Variant(...) column for "
+            "nested member types)"
+        )
+
+
+def _read_dynamic_prefix(buf: BinaryIO) -> list:
+    """[(declared_name, CHType)] in the canonical SORTED order the
+    body's discriminators refer to."""
+    version = _read_u64(buf)
+    if version not in (1, 2):
+        raise UnsupportedTypeError(
+            f"Dynamic structure serialization version {version} "
+            "(supported: 1 with max_types, 2 without)"
+        )
+    if version == 1:
+        read_varuint(buf)  # max_dynamic_types — planning hint, unused
+    n = read_varuint(buf)
+    if n > 255:
+        raise ValueError(f"Dynamic declares {n} variant types (max 255)")
+    names = []
+    for _ in range(n):
+        ln = read_varuint(buf)
+        raw = buf.read(ln)
+        if len(raw) != ln:
+            raise EOFError("EOF inside Dynamic type name")
+        names.append(raw.decode("utf-8"))
+    pairs = []
+    for nm in names:
+        t = parse_type("String") if nm == "SharedVariant" else parse_type(nm)
+        _check_dynamic_member(t, nm)
+        pairs.append((nm, t))
+    pairs.sort(key=lambda p: p[0])
+    return pairs
+
+
+def _decode_dynamic(
+    buf: BinaryIO,
+    rows: int,
+    *,
+    scrub_strings: bool,
+    lossy_uint64: bool,
+) -> pa.Array:
+    import pyarrow.compute as pc
+
+    pairs = _read_dynamic_prefix(buf)
+    mode = _read_u64(buf)
+    if mode != 0:
+        raise UnsupportedTypeError(
+            f"Dynamic/Variant discriminator serialization mode {mode} "
+            "(only the basic row-discriminator mode 0 is supported)"
+        )
+    raw = buf.read(rows)
+    if len(raw) != rows:
+        raise EOFError("EOF inside Dynamic discriminators")
+    disc = np.frombuffer(raw, dtype=np.uint8)
+    n_var = len(pairs)
+    bad = disc[(disc != 255) & (disc >= n_var)]
+    if bad.size:
+        raise ValueError(
+            f"Dynamic discriminator {int(bad[0])} out of range for "
+            f"{n_var} declared types"
+        )
+    null_mask = disc == 255
+    value_parts = []
+    for i, (_nm, it) in enumerate(pairs):
+        sel = disc == i
+        count = int(sel.sum())
+        dense = decode_column(
+            buf, it, count,
+            scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+        )
+        dense_s = pc.cast(dense, pa.string())
+        idx = np.zeros(rows, dtype=np.int64)
+        idx[sel] = np.arange(count)
+        value_parts.append(dense_s.take(pa.array(idx, mask=~sel)))
+    if value_parts:
+        value = value_parts[0]
+        for part in value_parts[1:]:
+            value = pc.if_else(pc.is_valid(value), value, part)
+    else:
+        value = pa.nulls(rows, type=pa.string())
+    name_lookup = pa.array([nm for nm, _t in pairs], type=pa.string())
+    type_col = (
+        name_lookup.take(
+            pa.array(disc.astype(np.int64), mask=null_mask)
+        )
+        if n_var
+        else pa.nulls(rows, type=pa.string())
+    )
+    return pa.StructArray.from_arrays(
+        [type_col, value], ["type", "value"], mask=pa.array(null_mask)
+    )
+
+
 def decode_column(
     buf: BinaryIO,
     t: CHType,
@@ -670,6 +804,10 @@ def decode_column(
         arrow_offsets[1:] = offsets
         return pa.MapArray.from_arrays(
             pa.array(arrow_offsets, type=pa.int32()), keys, items
+        )
+    if b == "Dynamic":
+        return _decode_dynamic(
+            buf, rows, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64
         )
     if b == "Variant":
         # public layout (cf. ClickHouse SerializationVariant, basic
@@ -904,6 +1042,20 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
         for i, it in enumerate(t.tuple_items):
             skip_column(buf, it, int((disc == i).sum()))
         return
+    if b == "Dynamic":
+        pairs = _read_dynamic_prefix(buf)
+        mode = _read_u64(buf)
+        if mode != 0:
+            raise UnsupportedTypeError(
+                f"Dynamic/Variant discriminator serialization mode {mode}"
+            )
+        raw = buf.read(rows)
+        if len(raw) != rows:
+            raise EOFError("EOF inside Dynamic discriminators")
+        disc = np.frombuffer(raw, dtype=np.uint8)
+        for i, (_nm, it) in enumerate(pairs):
+            skip_column(buf, it, int((disc == i).sum()))
+        return
     if b == "JSON":
         skip_column(buf, CHType("String"), rows)
         return
@@ -1114,7 +1266,7 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
     if (t.nullable or arr.null_count > 0) and b not in (
-        "LowCardinality", "Map", "Variant",
+        "LowCardinality", "Map", "Variant", "Dynamic",
     ):
         # nulls in a LowCardinality column live inside the dictionary
         # (index 0 placeholder), never as an outer Nullable mask;
@@ -1278,6 +1430,82 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
             dense = arr.field(i).filter(pa.array(disc == i))
             encode_column(buf, it, dense)
         return
+    if b == "Dynamic":
+        # inverse of _decode_dynamic: the variant set = the SORTED
+        # distinct type names present in the data; prefix (version 1 +
+        # max_types + names) then the Variant body, values parsed back
+        # from their canonical text
+        import pyarrow.compute as pc
+
+        if not pa.types.is_struct(arr.type) or set(
+            f.name for f in arr.type
+        ) != {"type", "value"}:
+            raise UnsupportedTypeError(
+                "Dynamic encode expects a struct<type: string, "
+                "value: string> array (the type-erased mapping)"
+            )
+        if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+            arr = arr.combine_chunks()
+        parent_ok = np.asarray(
+            pa.compute.is_valid(arr).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        types_f = pc.cast(arr.field("type"), pa.string())
+        vals_f = pc.cast(arr.field("value"), pa.string())
+        type_py = types_f.to_pylist()
+        val_ok = np.asarray(
+            pc.is_valid(vals_f).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        names = sorted(
+            {
+                nm
+                for nm, ok in zip(type_py, parent_ok)
+                if ok and nm is not None
+            }
+        )
+        if len(names) > 255:
+            raise ValueError(
+                f"Dynamic column carries {len(names)} distinct types "
+                "(max 255)"
+            )
+        pairs = []
+        for nm in names:
+            it = (
+                parse_type("String")
+                if nm == "SharedVariant"
+                else parse_type(nm)
+            )
+            _check_dynamic_member(it, nm)
+            pairs.append((nm, it))
+        n = len(arr)
+        disc = np.full(n, 255, dtype=np.uint8)
+        rank = {nm: i for i, nm in enumerate(names)}
+        for row, (nm, ok) in enumerate(zip(type_py, parent_ok)):
+            if ok and nm is not None:
+                disc[row] = rank[nm]
+            elif ok and val_ok[row]:
+                raise ValueError(
+                    "Dynamic row has a value but a NULL type tag"
+                )
+        mt = t.fixed_len or 32
+        buf.write(struct.pack("<Q", 1))  # structure version V1
+        write_varuint(buf, mt)
+        write_varuint(buf, len(pairs))
+        for nm, _it in pairs:
+            raw_nm = nm.encode("utf-8")
+            write_varuint(buf, len(raw_nm))
+            buf.write(raw_nm)
+        buf.write(struct.pack("<Q", 0))  # basic discriminator mode
+        buf.write(disc.tobytes())
+        for i, (_nm, it) in enumerate(pairs):
+            dense = vals_f.filter(pa.array(disc == i))
+            if dense.null_count:
+                raise ValueError(
+                    "Dynamic row has a type tag but a NULL value"
+                )
+            typed = pc.cast(dense, to_arrow(it))
+            encode_column(buf, it, typed)
+        return
     if b == "Map":
         if not pa.types.is_map(arr.type):
             raise UnsupportedTypeError("Map encode expects a map array")
@@ -1334,9 +1562,9 @@ def _promote_nullable(t: CHType, arr: pa.Array) -> CHType:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     b = t.base
-    if b == "Variant":
+    if b in ("Variant", "Dynamic"):
         # never promoted: NULL rows are discriminator 255, and the
-        # per-variant struct fields are null-bearing by design
+        # struct fields are null-bearing by design
         return CHType(**{**t.__dict__})
     if b == "LowCardinality":
         eff = CHType(**{**t.__dict__})
@@ -1389,10 +1617,10 @@ def write_block(buf: BinaryIO, batch: pa.RecordBatch, ch_types: list[CHType]) ->
         t = ch_types[i]
         col = batch.column(i)
         eff = _promote_nullable(t, col)
-        if eff.base in ("LowCardinality", "Map", "Variant"):
+        if eff.base in ("LowCardinality", "Map", "Variant", "Dynamic"):
             # Nullable may wrap none of these (Map nulls round-trip as
-            # empty maps; LC nulls live inside the dictionary; Variant
-            # nulls are the 255 discriminator)
+            # empty maps; LC nulls live inside the dictionary; Variant/
+            # Dynamic nulls are the 255 discriminator)
             name = eff.name
         else:
             name = _nn(eff)

@@ -182,13 +182,14 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
             raise UnsupportedTypeError(f"{base} needs a parameter: {type_str!r}")
         inner = parse_type(params)
         if base == "Nullable":
-            if inner.base == "Variant":
-                # invalid in ClickHouse (NULL is Variant's own 255
-                # discriminator); accepting it would read a bogus
+            if inner.base in ("Variant", "Dynamic"):
+                # invalid in ClickHouse (NULL is the Variant/Dynamic
+                # 255 discriminator); accepting it would read a bogus
                 # null mask and desync the stream
                 raise UnsupportedTypeError(
-                    f"Nullable(Variant(...)) is not a valid ClickHouse "
-                    f"type — Variant already carries NULL: {type_str!r}"
+                    f"Nullable({inner.base}(...)) is not a valid "
+                    f"ClickHouse type — {inner.base} already carries "
+                    f"NULL: {type_str!r}"
                 )
             inner.nullable = True
             inner.params = None if inner.params is None else inner.params
@@ -310,13 +311,31 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
         t.params = ", ".join(it.name for it in items)
         return t
     if base == "Dynamic":
-        raise UnsupportedTypeError(
-            f"Dynamic columns ({type_str!r}) carry a versioned "
-            "self-describing type prefix (ClickHouse 24.x experimental) "
-            "this engine does not decode; declare an explicit "
-            "Variant(T1, ..., Tn) column instead — the Variant wire "
-            "layout is supported."
-        )
+        # Dynamic [(max_types=N)] — the self-describing any-type column
+        # (docs: sql-reference/data-types/dynamic, 24.5+).  The variant
+        # set lives in a VERSIONED DATA PREFIX, not the type string, so
+        # a header-only bind cannot know the member types; the stable
+        # Spark mapping is therefore TYPE-ERASED:
+        # struct<type: string, value: string> (type = the ClickHouse
+        # type name of the row's value, value = its canonical text).
+        # Typed access is `CAST(d.value AS T) WHERE d.type = 'T'` —
+        # the engine-side analogue of ClickHouse's dynamicElement /
+        # `d.Int64` subcolumn reads.  The wire body rides the r14
+        # Variant machinery (codec.py decode/skip/encode arms).
+        mt = 32  # ClickHouse default max_dynamic_types
+        if params is not None:
+            m = re.fullmatch(r"\s*max_types\s*=\s*(\d+)\s*", params)
+            if m is None:
+                raise UnsupportedTypeError(
+                    f"Dynamic parameters must be max_types=N: {type_str!r}"
+                )
+            mt = int(m.group(1))
+            if not 0 < mt <= 255:
+                raise UnsupportedTypeError(
+                    f"Dynamic max_types must be in 1..255: {type_str!r}"
+                )
+        t.fixed_len = mt
+        return t
     if base == "Object":
         # Object('json') — the pre-24.x spelling of the JSON type
         if params is None or params.strip().strip("'").lower() != "json":
@@ -443,6 +462,12 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
                 pa.field(it.name, to_arrow(it, lossy_uint64=lossy_uint64))
                 for it in t.tuple_items
             ]
+        )
+    if b == "Dynamic":
+        # type-erased stable mapping (the variant set is a per-column
+        # DATA prefix, unknowable at header-only bind — see parse_type)
+        return pa.struct(
+            [pa.field("type", pa.string()), pa.field("value", pa.string())]
         )
     if b == "LowCardinality":
         assert t.inner is not None

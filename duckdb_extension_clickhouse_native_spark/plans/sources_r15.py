@@ -21,6 +21,15 @@ s3() table function, and Dynamic-type decode.
   tests/test_filesystem.py precedent); credentials/NOSIGN wiring is
   pinned in tests/test_s3_table.py.
 
+* ``native_dynamic_scan`` — the ``Dynamic`` type (VERDICT r14 item 5):
+  versioned self-describing prefix (version + max_types + member type
+  names) over the r14 Variant machinery, surfaced type-erased as
+  struct<type, value> (native/types.py parse_type docstring explains
+  why a header-only bind forces erasure).  The fixture writes all four
+  arms (Int64 / String / Bool / NULL) through the engine's own
+  encoder; typed access in the entry is the documented
+  ``CAST(d.value AS T) WHERE d.type = 'T'`` shape.
+
 Oracles recompute from the raw parquet with key arithmetic — never
 touching HTTP, compression, object listing, or virtual columns.
 """
@@ -273,6 +282,120 @@ def _tf_s3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("f")
     )
+
+
+def _dynamic_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """orders -> d Dynamic: o_orderkey % 4 == 0 -> Int64(key),
+    == 1 -> String(o_orderstatus), == 2 -> Bool(o_orderkey % 8 == 2),
+    == 3 -> NULL (discriminator 255)."""
+    import pyarrow as pa
+
+    from ..native.types import parse_type, to_arrow
+    from ..native.writer import write_native_file
+    from .sources import _materialize_fixture
+
+    t_d = parse_type("Dynamic")
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        ds = []
+        for k, s in zip(keys, status):
+            m = k % 4
+            if m == 0:
+                ds.append({"type": "Int64", "value": str(k)})
+            elif m == 1:
+                ds.append({"type": "String", "value": s})
+            elif m == 2:
+                ds.append(
+                    {
+                        "type": "Bool",
+                        "value": "true" if k % 8 == 2 else "false",
+                    }
+                )
+            else:
+                ds.append(None)
+        batch = pa.table(
+            {
+                "o_orderstatus": pa.array(status, type=pa.string()),
+                "d": pa.array(ds, type=to_arrow(t_d)),
+            }
+        )
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=[parse_type("String"), t_d],
+        )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-dynamic", write)
+
+
+def _native_dynamic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _dynamic_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("d.type") == "Int64", 1).otherwise(0)
+            ).alias("n_int"),
+            F.sum(
+                F.when(
+                    F.col("d.type") == "Int64",
+                    F.col("d.value").cast("long"),
+                )
+            ).alias("sum_int"),
+            F.sum(
+                F.when(
+                    (F.col("d.type") == "String")
+                    & (F.col("d.value") == F.col("o_orderstatus")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_str_match"),
+            F.sum(
+                F.when(
+                    (F.col("d.type") == "Bool")
+                    & (F.col("d.value") == "true"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_true"),
+            F.sum(F.when(F.col("d").isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "native_dynamic_scan",
+    _native_dynamic_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_int,
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN o_orderkey END)
+                AS BIGINT) AS sum_int,
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_str_match,
+           CAST(SUM(CASE WHEN o_orderkey % 8 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "native", "dynamic", "types"],
+    description="Dynamic type through the full write -> Native bytes "
+    "(versioned self-describing prefix: V1 + max_types + member names, "
+    "then the Variant body) -> scan path, surfaced type-erased as "
+    "struct<type,value> with CAST-based typed access; oracle from raw "
+    "o_orderkey arithmetic",
+)
 
 
 REGISTRY.df_query(

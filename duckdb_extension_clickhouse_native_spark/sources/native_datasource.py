@@ -189,6 +189,15 @@ def _ch_to_spark(t) -> DataType:
         return StructType(
             [StructField(it.name, _ch_to_spark(it)) for it in t.tuple_items]
         )
+    if b == "Dynamic":
+        # type-erased: the member set lives in the DATA prefix, not
+        # the header this bind parses (native/types.py parse_type)
+        return StructType(
+            [
+                StructField("type", StringType()),
+                StructField("value", StringType()),
+            ]
+        )
     if b == "Map":
         from pyspark.sql.types import MapType
 
