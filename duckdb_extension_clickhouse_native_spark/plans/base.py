@@ -549,60 +549,78 @@ _ROUND9_WINDOW = [
 # r6-green oldest-evidence cohort (29 rows, VERDICT r13 item 6) and
 # the alphabetically-first 10 r7-green rows.  The r7 remainder rotates
 # into round 15.
+# ROUND-14 WINDOW (graded 50/50 green in CORRECTNESS_r14.json; full
+# text in git history at 7dd1ef5's parent): 7 never-graded r14 entries
+# + 3 changed-path re-proofs + the entire r6-green cohort (29) + the
+# alphabetically-first 11 r7-green rows.
+#
+# ROUND-15 WINDOW (tools/window_plan.py histogram at rotation: r7:35
+# r8:48 r9:49 r10:45 r11:49 r12:49 r13:47 r14:50, never-graded 0 —
+# the VERDICT r14 item-3 plan executed verbatim): the 4 never-graded
+# r15 entries lead (compressed file()/url() reads, s3(), Dynamic),
+# then 8 changed-path re-proofs — the r15 compression/virtual-column
+# plumbing rewrote the url()/file() read and probe paths (every tf_*
+# below executes through _open_url/_open_file + _conform_batch now),
+# url_insert gained the compressed-POST arm, INTO OUTFILE's sink moved
+# to the shared contentcodec layer, and encode_column's never-promote
+# list gained Dynamic (native_variant_scan shares that path) — then
+# the ENTIRE r7-green oldest-evidence cohort (35 rows, VERDICT r14
+# item 3) and the alphabetically-first 3 r8-green rows.  The r8
+# remainder rotates into round 16.
 GRADING_WINDOW = [
-    "native_geo_scan",  # NEVER GRADED (r14: geo type decode)
-    "tf_url_glob_scan",  # NEVER GRADED (r14: url glob expansion)
-    "native_variant_scan",  # NEVER GRADED (r14: Variant wire support)
-    "tf_remote_table",  # NEVER GRADED (r14: remote() table function)
-    "tf_file_scan",  # NEVER GRADED (r14: file() table function)
-    "tf_generate_random",  # NEVER GRADED (r14: generateRandom)
-    "tf_url_withnames_scan",  # NEVER GRADED (r14: CSVWithNames inference)
-    # changed-path re-proofs (r14 url surface rewrite)
-    "tf_url_csv_scan",  # green r13; r14 multi-URL realignment path
-    "tf_url_structure_scan",  # green r13; r14 plain-spelling routing
-    "tf_url_insert_roundtrip",  # green r13; r14 schema-memo scoping
-    # oldest-evidence cohort (newest green r6), alphabetical
-    "join_right_outer",  # green r6
-    "join_semi_anti",  # green r6
-    "multimodal_features",  # green r6
-    "multimodal_frame_sample",  # green r6
-    "multimodal_resize",  # green r6
-    "native_roundtrip_documents",  # green r6
-    "native_zorder_skip_scan",  # green r6
-    "q2_min_per_group",  # green r6
-    "regex_functions",  # green r6
-    "sample_hash_based",  # green r6
-    "scalar_conditional",  # green r6
-    "scalar_math_funcs",  # green r6
-    "scalar_string_funcs",  # green r6
-    "scan_project_filter",  # green r6
-    "scan_tcp_split",  # green r6
-    "scan_tcp_write_roundtrip",  # green r6
-    "sim_pairs_signlsh",  # green r6
-    "sim_topk_bruteforce",  # green r6
-    "sim_topk_ivf",  # green r6
-    "subquery_correlated_exists",  # green r6
-    "subquery_in",  # green r6
-    "text_chunking",  # green r6
-    "text_fingerprint",  # green r6
-    "text_lang_id",  # green r6
-    "text_pii_scrub",  # green r6
-    "text_quality",  # green r6
-    "text_repetition",  # green r6
-    "text_token_count",  # green r6
-    "topk_orders",  # green r6
-    # next-oldest cohort (newest green r7), alphabetical head
-    "approx_distinct_parts",  # green r7
-    "asof_join_events_orders",  # green r7
-    "bm25_topk",  # green r7
-    "cte_monthly_rank",  # green r7
-    "decontaminate_ngram",  # green r7
-    "dedup_connected_components",  # green r7
-    "dedup_minhash_lsh",  # green r7
-    "dedup_ngram_jaccard",  # green r7
-    "dedup_simhash",  # green r7
-    "dedup_substring_spans",  # green r7
-    "events_time_buckets",  # green r7
+    "tf_file_compressed_scan",  # NEVER GRADED (r15: .gz reimport)
+    "tf_url_compressed_scan",  # NEVER GRADED (r15: .zst over HTTP)
+    "tf_s3_scan",  # NEVER GRADED (r15: s3() listing + virtuals)
+    "native_dynamic_scan",  # NEVER GRADED (r15: Dynamic prefix decode)
+    # changed-path re-proofs (r15 compression/virtuals/outfile rewire)
+    "tf_file_scan",  # green r14; r15 _open_file + conform path
+    "tf_url_withnames_scan",  # green r14; r15 inference-cast path
+    "tf_url_glob_scan",  # green r14; r15 _open_url path
+    "tf_url_csv_scan",  # green r14; r15 conform/compression routing
+    "tf_url_structure_scan",  # green r14; r15 structured-decoder path
+    "tf_url_insert_roundtrip",  # green r14; r15 compressed-POST arm
+    "native_variant_scan",  # green r14; r15 encode_column list change
+    "native_into_outfile",  # green r13; r15 contentcodec sink
+    # oldest-evidence cohort (newest green r7), window_plan.py order
+    "subquery_scalar_avg",  # green r7
+    "union_by_name",  # green r7
+    "values_inline_join",  # green r7
+    "q6_forecast_revenue",  # green r7
+    "join_cross_small",  # green r7
+    "native_filter_project",  # green r7
+    "native_join_mixed_sources",  # green r7
+    "native_enum_scan",  # green r7
+    "native_lossy_uint64_compat",  # green r7
+    "native_split_blocks_scan",  # green r7 (+ r15 pack-log re-proof)
+    "native_embeddings_roundtrip",  # green r7
+    "scan_remote_agg",  # green r7
+    "scan_remote_split",  # green r7
+    "scan_tcp_agg",  # green r7
+    "rollup_orders",  # green r7
+    "grouping_sets_events",  # green r7
+    "q18_large_volume",  # green r7
+    "q3_shipping_priority",  # green r7
+    "q5_local_supplier",  # green r7
+    "q10_returned_items",  # green r7
+    "join_bucketed_colocated",  # green r7
+    "sim_topk_fast",  # green r7
+    "window_frames",  # green r7
+    "setops_nations",  # green r7
+    "join_non_equi_range",  # green r7
+    "scalar_date_funcs",  # green r7
+    "json_extract_props",  # green r7
+    "pivot_event_counts",  # green r7
+    "percentiles_quantity",  # green r7
+    "q7_volume_shipping",  # green r7
+    "q9_product_profit",  # green r7
+    "hybrid_search_rrf",  # green r7
+    "stream_native_sink_agg",  # green r7
+    "pipeline_end_to_end",  # green r7
+    "sim_ann_recall",  # green r7
+    # next-oldest cohort (newest green r8), alphabetical head
+    "agg_global",  # green r8
+    "group_having",  # green r8
+    "native_type_matrix",  # green r8
 ]
 
 # (r13 window text retired to git history — see the commit referenced
