@@ -194,3 +194,44 @@ def test_live_remote_table_function(spark):
 
     df = remote_table(spark, LIVE_URL, "system.one")
     assert df.count() == 1
+
+
+def test_live_dynamic_decode(spark):
+    """r15 Dynamic decode against a real server (needs
+    allow_experimental_dynamic_type on pre-25.x servers): the
+    versioned prefix + member names + Variant body arrive type-erased
+    as struct<type, value>.  This is the parity pin for the
+    clean-room prefix layout (native/codec.py _read_dynamic_prefix) —
+    if a real server's SerializationDynamic framing differs, THIS test
+    is where it shows."""
+    df = _scan(
+        spark,
+        "SELECT arrayJoin(["
+        "42::Dynamic, 'hi'::Dynamic, NULL::Dynamic]) AS d",
+    )
+    rows = [r.d.asDict() if r.d is not None else None for r in df.collect()]
+    assert {"type": "Int64", "value": "42"} in [
+        r for r in rows if r
+    ] or {"type": "Int8", "value": "42"} in [r for r in rows if r]
+    assert {"type": "String", "value": "hi"} in [r for r in rows if r]
+    assert None in rows
+
+
+def test_live_url_compressed_read(spark):
+    """r15 compressed url(): the server's HTTP interface serves
+    FORMAT CSVWithNamesAndTypes with Content-Encoding: gzip when the
+    client asks via enable_http_compression — the url() reader's
+    header-driven decompression must decode it."""
+    if not LIVE_URL.startswith("http"):
+        pytest.skip("url() compression rides the HTTP interface")
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        url_table,
+    )
+    from urllib.parse import quote
+
+    q = quote(
+        "SELECT number AS n FROM numbers(10) FORMAT CSVWithNamesAndTypes"
+    )
+    url = f"{LIVE_URL}/?enable_http_compression=1&query={q}"
+    df = url_table(spark, url, "CSVWithNamesAndTypes")
+    assert sorted(r.n for r in df.collect()) == list(range(10))

@@ -136,3 +136,29 @@ def test_credential_options_build_explicit_fs():
 def test_scheme_required():
     with pytest.raises(ValueError, match="scheme"):
         expand_s3_paths("/local/path.csv")
+
+
+S3_TEST_PATH = os.environ.get("CHSQL_S3_TEST_PATH", "")
+
+
+@pytest.mark.skipif(
+    not S3_TEST_PATH,
+    reason="CHSQL_S3_TEST_PATH not set — real-S3 s3() integration runs "
+    "only against a reachable bucket (file://-backed conformance "
+    "covers the same pyarrow.fs code path in CI)",
+)
+def test_live_s3_table_function(spark):
+    """r15 s3() against a real object store: set CHSQL_S3_TEST_PATH to
+    an s3:// CSVWithNamesAndTypes object/glob (plus AWS_* env creds or
+    CHSQL_S3_NOSIGN=1 for a public bucket) — exercises real listing,
+    credentials, and the per-object partition plan."""
+    df = s3_table(
+        spark,
+        S3_TEST_PATH,
+        os.environ.get("CHSQL_S3_TEST_FORMAT", "CSVWithNamesAndTypes"),
+        nosign=os.environ.get("CHSQL_S3_NOSIGN", "") == "1",
+        virtual_columns=True,
+    )
+    rows = df.limit(10).collect()
+    assert rows, "s3() must return rows from the test object"
+    assert all(r["_path"].startswith("s3://") for r in rows)
