@@ -301,17 +301,55 @@ def _decoder_for(fmt: str):
     return iter_orc_blocks
 
 
-def _http_get(url: str):
+def parse_headers(spec) -> dict:
+    """ClickHouse url(..., headers('K'='v', ...)) analogue: accept a
+    dict, a JSON object string, or 'K=v, K2=v2' — returns {K: v}."""
+    if not spec:
+        return {}
+    if isinstance(spec, dict):
+        return {str(k): str(v) for k, v in spec.items()}
+    s = str(spec).strip()
+    if s.startswith("{"):
+        import json
+
+        try:
+            obj = json.loads(s)
+        except ValueError as e:
+            raise ValueError(f"url() headers: invalid JSON object: {e}")
+        if not isinstance(obj, dict):
+            raise ValueError("url() headers JSON must be an object")
+        return {str(k): str(v) for k, v in obj.items()}
+    out = {}
+    for item in s.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        if "=" not in item:
+            raise ValueError(
+                f"url() headers item {item!r} needs 'Name=value' "
+                "(or pass a JSON object)"
+            )
+        k, v = item.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def _http_get(url: str, headers: Optional[dict] = None):
     """Plain GET returning a binary stream (http/https only — the
-    url() contract; file paths go through the native DataSource)."""
-    from urllib.request import urlopen
+    url() contract; file paths go through the native DataSource).
+    ``headers`` = the ClickHouse url(..., headers(...)) argument."""
+    from urllib.request import Request, urlopen
 
     if not url.lower().startswith(("http://", "https://")):
         raise ValueError(f"url() needs an http(s):// URL, got {url!r}")
+    if headers:
+        return urlopen(Request(url, headers=headers), timeout=60)
     return urlopen(url, timeout=60)
 
 
-def _open_url(url: str, compression: Optional[str]):
+def _open_url(
+    url: str, compression: Optional[str], headers: Optional[dict] = None
+):
     """GET + transparent decompression: an explicit ``compression``
     option wins, then the HTTP Content-Encoding response header, then
     the filename-extension sniff (ClickHouse's url() auto-detection —
@@ -323,11 +361,11 @@ def _open_url(url: str, compression: Optional[str]):
 
     @contextlib.contextmanager
     def cm():
-        with _http_get(url) as resp:
+        with _http_get(url, headers) as resp:
             enc = None
-            headers = getattr(resp, "headers", None)
-            if headers is not None:
-                enc = headers.get("Content-Encoding")
+            resp_headers = getattr(resp, "headers", None)
+            if resp_headers is not None:
+                enc = resp_headers.get("Content-Encoding")
             method = resolve_compression(url, compression, enc)
             yield open_compressed(resp, method)
 
@@ -394,6 +432,7 @@ def _probe_schema(
     fmt: str,
     structure: Optional[str] = None,
     compression: Optional[str] = None,
+    headers: Optional[dict] = None,
 ):
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -417,7 +456,7 @@ def _probe_schema(
     # WithNames spellings always probe the stream — the NAMES (and,
     # without a structure, the inferred types) live there
     validate_format(fmt, structure)  # refusals fire BEFORE any fetch
-    with _open_url(url, compression) as stream:
+    with _open_url(url, compression, headers) as stream:
         blocks = _decode_stream(stream, fmt, structure)
         try:
             first = next(iter(blocks))
@@ -493,6 +532,7 @@ class ClickHouseURLReader(DataSourceReader):
         validate_format(self.fmt, self.structure)  # plan-time refusals
         self.compression = options.get("compression")
         normalize_compression(self.compression)  # plan-time refusal
+        self.headers = parse_headers(options.get("headers"))
         self.virtuals = _truthy(options.get("virtual_columns"))
         # the plan-time schema (probed from the FIRST URL): every
         # partition realigns its batches to its column order by NAME —
@@ -515,7 +555,9 @@ class ClickHouseURLReader(DataSourceReader):
     def read(self, partition: URLPartition) -> Iterator:
         if self._arrow_types is None:
             self._arrow_types = _plan_arrow_types(self.plan_schema)
-        with _open_url(partition.url, self.compression) as stream:
+        with _open_url(
+            partition.url, self.compression, self.headers
+        ) as stream:
             for blk in _decode_stream(stream, self.fmt, self.structure):
                 rb = _conform_batch(
                     blk.to_record_batch(),
@@ -555,6 +597,7 @@ class ClickHouseURLDataSource(DataSource):
             opts.get("format", "CSVWithNamesAndTypes"),
             (opts.get("structure") or "").strip() or None,
             opts.get("compression"),
+            parse_headers(opts.get("headers")),
         )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
@@ -572,6 +615,7 @@ def url_table(
     structure: Optional[str] = None,
     compression: Optional[str] = None,
     virtual_columns: bool = False,
+    headers=None,
 ):
     """The ``url(url, format[, structure])`` table function as a
     DataFrame. A comma-separated URL list fans out one partition per
@@ -597,6 +641,13 @@ def url_table(
         r = r.option("compression", compression)
     if virtual_columns:
         r = r.option("virtual_columns", "true")
+    if headers:
+        import json as _json
+
+        r = r.option(
+            "headers",
+            headers if isinstance(headers, str) else _json.dumps(headers),
+        )
     return r.load()
 
 

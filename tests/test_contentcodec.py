@@ -256,3 +256,50 @@ def test_virtual_column_collision_refuses(spark, tmp_path):
         f.write(b"_path,v\nx,1\n")
     with pytest.raises(Exception, match="virtual_columns"):
         file_table(spark, p, "CSVWithNames", virtual_columns=True).collect()
+
+
+def test_url_headers_argument(spark):
+    """ClickHouse url(..., headers('K'='v')): the headers option rides
+    every GET (probe + partition reads); dict, JSON, and K=v forms."""
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        parse_headers,
+        url_table,
+    )
+
+    assert parse_headers({"A": "1"}) == {"A": "1"}
+    assert parse_headers('{"A": "1", "B": "2"}') == {"A": "1", "B": "2"}
+    assert parse_headers("A=1, B = x y") == {"A": "1", "B": "x y"}
+    assert parse_headers(None) == {}
+    with pytest.raises(ValueError, match="headers"):
+        parse_headers("no-equals-here")
+
+    seen: list = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            seen.append(self.headers.get("X-Auth-Token"))
+            if self.headers.get("X-Auth-Token") != "sekrit":
+                self.send_error(403)
+                return
+            body = b"k,v\n1,10\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    df = url_table(
+        spark, f"{base}/t.csv", "CSVWithNames",
+        headers={"X-Auth-Token": "sekrit"},
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 10)]
+    assert seen and all(h == "sekrit" for h in seen)
+    # without the header the server refuses -> named HTTP error
+    with pytest.raises(Exception, match="403|Forbidden"):
+        url_table(spark, f"{base}/t.csv", "CSVWithNames").collect()
