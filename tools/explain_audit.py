@@ -283,6 +283,11 @@ AUDIT = [
     "catalog_check_table",
     "stream_time_slots",
     "dedup_url_canonical",
+    # round-15 additions (compressed reads, s3(), Dynamic)
+    "tf_file_compressed_scan",
+    "tf_url_compressed_scan",
+    "tf_s3_scan",
+    "native_dynamic_scan",
 ]
 
 
