@@ -62,9 +62,10 @@ def test_bench_timed_region_uses_materialize():
     import inspect
 
     src = inspect.getsource(bench.main)
-    # isolate run_tier's body
-    m = re.search(r"def run_tier\(.*?\n(.*?)\n    headline", src, re.S)
-    assert m, "run_tier not found in bench.main"
+    # isolate the shared timing loop (r15: extracted to _time_batch so
+    # the bimodality guard can re-run a whole batch)
+    m = re.search(r"def _time_batch\(.*?\n(.*?)\n    def run_tier", src, re.S)
+    assert m, "_time_batch not found in bench.main"
     body = m.group(1)
     # the timed region (between perf_counter start and the appended
     # elapsed sample — r10: median-of-5 collects samples into ts)

@@ -156,11 +156,15 @@ def test_variant_rowbinary_roundtrip():
     ]
 
 
-def test_dynamic_named_refusal():
-    with pytest.raises(UnsupportedTypeError, match="Variant"):
-        parse_type("Dynamic")
-    with pytest.raises(UnsupportedTypeError, match="Dynamic"):
-        parse_type("Dynamic(max_types=10)")
+def test_dynamic_parses_nullable_dynamic_refuses():
+    # r15: Dynamic is DECODED now (tests/test_dynamic_type.py has the
+    # full matrix); the refusal that remains is Nullable(Dynamic),
+    # invalid in ClickHouse exactly like Nullable(Variant)
+    t = parse_type("Dynamic")
+    assert t.base == "Dynamic" and t.fixed_len == 32
+    assert parse_type("Dynamic(max_types=10)").fixed_len == 10
+    with pytest.raises(UnsupportedTypeError, match="Nullable"):
+        parse_type("Nullable(Dynamic)")
 
 
 def test_variant_scan_entry_matches_oracle(spark):
