@@ -214,6 +214,30 @@ def main() -> None:
         sh_df.count()
         sh_ts.append(time.perf_counter() - t0)
     sh_ts.sort()
+    # fourth axis (r15): a fixed TEXT/HASH expression workload — the
+    # r15 bench found a text/hash-heavy cohort (rag_pipeline_topk,
+    # dedup_simhash, text_quality) drifting ~1.2x while codegen/python/
+    # shuffle all said the host was FASTER, i.e. string-expression
+    # throughput moves independently of the other three.  A FRESH plan
+    # per iteration: re-collecting ONE DataFrame lets AQE reuse its
+    # materialized shuffle stages, so the repeat measures stage-reuse
+    # overhead, not the 3M sha2+regexp evaluations (measured: 0.048 s
+    # reused vs 0.48 s fresh on the r15 host).  The three axes above
+    # keep their original same-instance semantics for cross-round
+    # comparability — their historical numbers carry the same reuse.
+    def _tx_df():
+        return spark.range(3_000_000).selectExpr(
+            "sum(length(regexp_replace(sha2(cast(id as string), 256), "
+            "'[0-9]', ''))) AS t"
+        )
+
+    _tx_df().collect()  # untimed warmup (codegen/JIT)
+    tx_ts: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _tx_df().collect()
+        tx_ts.append(time.perf_counter() - t0)
+    tx_ts.sort()
     calibration = {
         "workload": "spark.range(500M).sum codegen",
         "sec_median": round(cal_ts[len(cal_ts) // 2], 4),
@@ -222,6 +246,8 @@ def main() -> None:
         "python_roundtrip_sec_median": round(py_ts[len(py_ts) // 2], 4),
         "shuffle_workload": "range(20M) groupBy(id%100k) sum, 1 exchange",
         "shuffle_sec_median": round(sh_ts[len(sh_ts) // 2], 4),
+        "text_workload": "range(3M) sha2+regexp+length sum, fresh plan",
+        "text_sec_median": round(tx_ts[len(tx_ts) // 2], 4),
     }
     print(f"# host calibration: {calibration}", file=sys.stderr)
     # materialize the Native-file fixtures outside the timed region: the
@@ -432,6 +458,27 @@ def main() -> None:
     headline, headline_total = run_tier(HEADLINE)
     results.update(headline)
     total += headline_total
+
+    # INTRA-SESSION drift marker (r15): re-measure the codegen axis
+    # right after the headline tier — the r14 session saw identical
+    # binaries move 22.14 -> 18.51 s hours apart, and r15 saw the same
+    # query differ between tiers of ONE run; a start-vs-post-headline
+    # calibration pair makes within-run drift visible instead of
+    # inferred
+    ph_ts: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cal_df.collect()
+        ph_ts.append(time.perf_counter() - t0)
+    ph_ts.sort()
+    calibration["sec_median_postheadline"] = round(
+        ph_ts[len(ph_ts) // 2], 4
+    )
+    print(
+        f"# codegen axis post-headline: {calibration['sec_median_postheadline']}"
+        f" (start: {calibration['sec_median']})",
+        file=sys.stderr,
+    )
 
     # second tier: the FULL TPC-H set, so plan regressions on the long
     # tail (q4..q22) are caught by numbers, not just by EXPLAIN diffs.
