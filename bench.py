@@ -814,6 +814,7 @@ def main() -> None:
             "python_roundtrip_sec_median"
         ],
         "calibration_shuffle_sec": calibration["shuffle_sec_median"],
+        "calibration_text_sec": calibration["text_sec_median"],
         "bimodal": bimodal_rows,
         "detail_file": os.path.basename(detail_path),
         "sf": sf_dir,
