@@ -733,6 +733,7 @@ def main() -> None:
         "tf_url_compressed_scan",
         "tf_s3_scan",
         "native_dynamic_scan",
+        "tf_s3_insert_roundtrip",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

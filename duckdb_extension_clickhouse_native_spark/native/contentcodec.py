@@ -174,6 +174,35 @@ def compress_bytes(data: bytes, method: str) -> bytes:
     raise ValueError(f"unsupported compression method {method!r}")
 
 
+def wrap_compressed_write(raw, method: str):
+    """Streaming compressing writer over an already-open binary sink
+    (e.g. a pyarrow.fs output stream — the s3() INSERT path).  'none'
+    returns ``raw``; closing the wrapper flushes the frame but the
+    CALLER owns closing ``raw`` (stdlib wrappers don't close a
+    fileobj; pyarrow's CompressedOutputStream does — callers close
+    both, second close is a no-op)."""
+    if method in ("none", "auto"):
+        return raw
+    if method in _PYARROW_CODECS:
+        import pyarrow as pa
+
+        inner = (
+            raw
+            if isinstance(raw, pa.NativeFile)
+            else pa.PythonFile(raw, mode="w")
+        )
+        return pa.CompressedOutputStream(inner, method)
+    if method == "bz2":
+        import bz2
+
+        return bz2.BZ2File(raw, "wb")
+    if method == "xz":
+        import lzma
+
+        return lzma.LZMAFile(raw, "wb")
+    raise ValueError(f"unsupported compression method {method!r}")
+
+
 def open_compressed_write(path: str, method: str):
     """Streaming compressing writer to a local ``path`` ('none' = plain
     binary file).  Closing the returned object closes the file."""

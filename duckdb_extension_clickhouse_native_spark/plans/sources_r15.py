@@ -417,3 +417,65 @@ REGISTRY.df_query(
     "partition per object, _path/_file virtual columns grouped in the "
     "result; oracle recomputes the file split from key arithmetic",
 )
+
+
+def _tf_s3_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO FUNCTION s3('.../part_{_partition_id}.csv.gz')
+    PARTITION BY o_orderstatus, then read the objects back through
+    s3() with the _file virtual — write half + read half + compression
+    + partition fan-out in one graded plan.  A FRESH destination per
+    build (the mutation-entry precedent: the write IS the operator)."""
+    import tempfile
+
+    from ..sources.s3_table import s3_insert, s3_table
+    from .base import ensure_session, load_tables
+
+    ensure_session(spark)
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    sub = t.where(F.col("o_orderkey") % 71 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="chsql_s3_ins")
+    n = s3_insert(
+        sub,
+        f"file://{d}/part_{{_partition_id}}.csv.gz",
+        partition_by="o_orderstatus",
+    )
+    if n <= 0:
+        raise AssertionError("s3() INSERT wrote no rows")
+    df = s3_table(
+        spark, f"file://{d}/part_*.csv.gz", "CSVWithNamesAndTypes",
+        virtual_columns=True,
+    )
+    return (
+        df.groupBy(F.col("_file").alias("f"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_k"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("f")
+    )
+
+
+REGISTRY.df_query(
+    "tf_s3_insert_roundtrip",
+    _tf_s3_insert_roundtrip,
+    oracle="""
+    SELECT 'part_' || o_orderstatus || '.csv.gz' AS f,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 71 = 0
+    GROUP BY o_orderstatus ORDER BY f
+    """,
+    tags=["source", "s3", "tf", "insert", "partition-by", "compression"],
+    description="s3() write half: PARTITION BY {_partition_id} fans "
+    "one gzip object out per partition value (groupBy+applyInArrow, "
+    "one writer task per value), read back through s3() listing with "
+    "the _file virtual; oracle recomputes the object split from "
+    "o_orderstatus",
+)

@@ -381,3 +381,173 @@ def s3_cluster_table(
     if not (cluster or "").strip():
         raise ValueError("s3Cluster() needs a non-empty cluster name")
     return s3_table(spark, path, *args, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# write half: INSERT INTO FUNCTION s3(path, ..., fmt) [PARTITION BY k]
+# --------------------------------------------------------------------------
+
+# partition values become path components; anything path-shaped is a
+# named refusal (ClickHouse rejects unsafe partition keys in object
+# names the same way)
+import re as _re
+
+_SAFE_PARTITION = _re.compile(r"^[A-Za-z0-9_\-=.]+$")
+
+
+def _resolve_insert_format(fmt: str) -> str:
+    from .url_table import (
+        _FORMAT_DECODERS,
+        _KIND_TO_WRITER,
+        _STRUCTURE_NEEDED,
+    )
+
+    key = fmt.strip().lower()
+    kind = _FORMAT_DECODERS.get(key)
+    if kind is None or key in _STRUCTURE_NEEDED:
+        hint = (
+            " (headerless plain spelling — INSERT writes the "
+            "self-describing stream; use the WithNamesAndTypes form)"
+            if key in _STRUCTURE_NEEDED
+            else ""
+        )
+        raise ValueError(
+            f"unsupported s3() INSERT format {fmt!r}{hint}; one of "
+            f"{sorted(set(_FORMAT_DECODERS))}"
+        )
+    return _KIND_TO_WRITER[kind]
+
+
+def _write_object(uri: str, fs_opts: dict, batches, writer_key: str) -> int:
+    """Executor-side: encode ``batches`` with the shared wire writers
+    into ONE object at ``uri`` (compression sniffed from the key
+    extension, streaming through the fs output)."""
+    from ..native.contentcodec import (
+        resolve_compression,
+        wrap_compressed_write,
+    )
+    from ..native.rowbinary import derive_wire_types
+    from ..operators.outfile import _resolve_writer
+
+    fs, p, _scheme = _s3_fs(uri, fs_opts)
+    method = resolve_compression(uri)
+    raw = fs.open_output_stream(p, compression=None)
+    try:
+        sink = wrap_compressed_write(raw, method)
+        chunks, ch_types = derive_wire_types(list(batches))
+        n = _resolve_writer(writer_key)(sink, chunks, ch_types) or sum(
+            b.num_rows for b in chunks
+        )
+        if sink is not raw:
+            sink.close()
+    finally:
+        try:
+            raw.close()
+        except Exception:
+            pass
+    return int(n)
+
+
+def s3_insert(
+    df,
+    path: str,
+    fmt: str = "CSVWithNamesAndTypes",
+    *,
+    partition_by: Optional[str] = None,
+    access_key_id: Optional[str] = None,
+    secret_access_key: Optional[str] = None,
+    session_token: Optional[str] = None,
+    nosign: bool = False,
+    region: Optional[str] = None,
+    endpoint: Optional[str] = None,
+) -> int:
+    """``INSERT INTO FUNCTION s3(path, fmt) [PARTITION BY key]``
+    (docs: sql-reference/table-functions/s3 — 'Inserting data' and the
+    ``{_partition_id}`` spelling).
+
+    * Without ``partition_by``: ONE object, one executor writer task
+      (the INTO OUTFILE shape) — an export, not a table store.
+    * With ``partition_by='col'``: the path must contain the literal
+      ``{_partition_id}`` placeholder; rows group by the column and
+      EVERY GROUP WRITES ITS OWN OBJECT IN ITS OWN TASK
+      (groupBy().applyInArrow — the distributed path, N partition
+      values = N concurrent writers, nothing funnels through one
+      node).  Partition values become object-key components, so
+      path-shaped values ('/', '..', empty) refuse by name.
+
+    Compression is sniffed from the key extension exactly like the
+    read half — an ``INSERT`` to ``.../part_{_partition_id}.csv.gz``
+    writes gzip objects s3()/file()/url() read back.  Works on any
+    pyarrow.fs scheme (``file://`` in-sandbox, ``s3://`` with the same
+    credential options as :func:`s3_table`).  Returns rows written."""
+    writer_key = _resolve_insert_format(fmt)
+    fs_opts = {
+        k: v
+        for k, v in {
+            "access_key_id": access_key_id,
+            "secret_access_key": secret_access_key,
+            "session_token": session_token,
+            "nosign": "true" if nosign else None,
+            "region": region,
+            "endpoint": endpoint,
+        }.items()
+        if v
+    }
+    if "://" not in path:
+        raise ValueError(f"s3() needs a scheme:// URI, got {path!r}")
+
+    if partition_by is None:
+        if "{_partition_id}" in path:
+            raise ValueError(
+                "s3(): path carries {_partition_id} but no PARTITION BY "
+                "column was given"
+            )
+
+        def write_single(batches):
+            import pyarrow as pa_exec
+
+            n = _write_object(path, fs_opts, batches, writer_key)
+            yield pa_exec.RecordBatch.from_arrays(
+                [pa_exec.array([n], type=pa_exec.int64())], names=["n"]
+            )
+
+        out = df.repartition(1).mapInArrow(write_single, "n bigint")
+        return int(out.collect()[0]["n"])
+
+    if "{_partition_id}" not in path:
+        raise ValueError(
+            "s3() PARTITION BY needs a {_partition_id} placeholder in "
+            "the path (ClickHouse: 'INSERT INTO FUNCTION s3(.../"
+            "file_{_partition_id}.csv) PARTITION BY ...')"
+        )
+    if partition_by not in df.columns:
+        raise ValueError(
+            f"PARTITION BY column {partition_by!r} is not in the "
+            f"DataFrame ({df.columns})"
+        )
+
+    def write_group(table):
+        import pyarrow as pa_exec
+
+        key = table.column(partition_by)[0].as_py()
+        key_s = "" if key is None else str(key)
+        if not _SAFE_PARTITION.fullmatch(key_s):
+            raise ValueError(
+                f"s3() PARTITION BY value {key_s!r} is not a safe "
+                "object-key component ([A-Za-z0-9_-=.]+ only)"
+            )
+        uri = path.replace("{_partition_id}", key_s)
+        n = _write_object(uri, fs_opts, table.to_batches(), writer_key)
+        return pa_exec.table(
+            {
+                "k": pa_exec.array([key_s], type=pa_exec.string()),
+                "n": pa_exec.array([n], type=pa_exec.int64()),
+            }
+        )
+
+    out = df.groupBy(partition_by).applyInArrow(
+        write_group, "k string, n bigint"
+    )
+    # bounded collect: one row PER PARTITION VALUE (the convergence-
+    # scalar contract — never the data)
+    return int(sum(r["n"] for r in out.collect()))

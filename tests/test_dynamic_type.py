@@ -195,3 +195,46 @@ def test_native_file_roundtrip_and_column_skip(spark, tmp_path):
         .load(p)
     )
     assert sorted(r["k"] for r in only_k.collect()) == list(range(len(VALS)))
+
+
+def test_dynamic_type_and_element_helpers(spark, tmp_path):
+    """dynamicType / dynamicElement as pure column expressions over the
+    type-erased struct (ClickHouse subcolumn-access parity)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_clickhouse_native_spark.functions.dynamic import (
+        dynamic_element,
+        dynamic_type,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.writer import (
+        write_native_file,
+    )
+
+    t_d = parse_type("Dynamic")
+    tbl = pa.table(
+        {
+            "k": pa.array(range(len(VALS)), type=pa.int64()),
+            "d": pa.array(VALS, type=to_arrow(t_d)),
+        }
+    )
+    p = str(tmp_path / "dyn.clickhouse")
+    write_native_file(p, tbl, ch_types=[parse_type("Int64"), t_d])
+    df = spark.read.format("clickhouse_native").load(p)
+    out = df.select(
+        "k",
+        dynamic_type("d").alias("t"),
+        dynamic_element("d", "Int64").alias("i"),
+        dynamic_element(F.col("d"), "Float64").alias("f"),
+        dynamic_element("d", "Date").alias("dt"),
+    ).orderBy("k")
+    rows = out.collect()
+    assert [r["t"] for r in rows] == [
+        "Int64", "String", None, "Bool", "Float64", "Int64", "Date",
+    ]
+    assert [r["i"] for r in rows] == [42, None, None, None, None, -7, None]
+    assert [r["f"] for r in rows] == [None, None, None, None, 1.5, None, None]
+    assert str(rows[6]["dt"]) == "2020-06-01"
+    assert dict(out.dtypes)["i"] == "bigint" and dict(out.dtypes)["f"] == "double"
+    # named refusal for non-scalar member spellings
+    with pytest.raises(Exception, match="scalar"):
+        dynamic_element("d", "Array(Int64)")

@@ -162,3 +162,69 @@ def test_live_s3_table_function(spark):
     rows = df.limit(10).collect()
     assert rows, "s3() must return rows from the test object"
     assert all(r["_path"].startswith("s3://") for r in rows)
+
+
+def test_s3_insert_single_object(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.sources.s3_table import (
+        s3_insert,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    n = s3_insert(df, f"file://{tmp_path}/out.csv.zst")
+    assert n == 2
+    back = s3_table(spark, f"file://{tmp_path}/out.csv.zst")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+    # compressed bytes actually on disk (zstd magic)
+    assert (tmp_path / "out.csv.zst").read_bytes()[:4] == b"\x28\xb5\x2f\xfd"
+
+
+def test_s3_insert_partition_by(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.sources.s3_table import (
+        s3_insert,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A"), (4, "C")], "k bigint, grp string"
+    )
+    n = s3_insert(
+        df,
+        f"file://{tmp_path}/part_{{_partition_id}}.csv.gz",
+        partition_by="grp",
+    )
+    assert n == 4
+    assert sorted(os.listdir(tmp_path)) == [
+        "part_A.csv.gz", "part_B.csv.gz", "part_C.csv.gz",
+    ]
+    back = s3_table(
+        spark, f"file://{tmp_path}/part_*.csv.gz", virtual_columns=True
+    )
+    rows = sorted((r["k"], r["_file"]) for r in back.collect())
+    assert rows == [
+        (1, "part_A.csv.gz"), (2, "part_B.csv.gz"),
+        (3, "part_A.csv.gz"), (4, "part_C.csv.gz"),
+    ]
+
+
+def test_s3_insert_refusals(spark, tmp_path):
+    from duckdb_extension_clickhouse_native_spark.sources.s3_table import (
+        s3_insert,
+    )
+
+    df = spark.createDataFrame([(1, "A")], "k bigint, grp string")
+    with pytest.raises(ValueError, match="_partition_id"):
+        s3_insert(df, f"file://{tmp_path}/x.csv", partition_by="grp")
+    with pytest.raises(ValueError, match="_partition_id"):
+        s3_insert(df, f"file://{tmp_path}/y_{{_partition_id}}.csv")
+    with pytest.raises(ValueError, match="not in the"):
+        s3_insert(
+            df, f"file://{tmp_path}/z_{{_partition_id}}.csv",
+            partition_by="nope",
+        )
+    with pytest.raises(ValueError, match="unsupported s3"):
+        s3_insert(df, f"file://{tmp_path}/x.csv", fmt="CSV")
+    evil = spark.createDataFrame([(1, "../up")], "k bigint, grp string")
+    with pytest.raises(Exception, match="not a safe"):
+        s3_insert(
+            evil, f"file://{tmp_path}/w_{{_partition_id}}.csv",
+            partition_by="grp",
+        )

@@ -288,6 +288,7 @@ AUDIT = [
     "tf_url_compressed_scan",
     "tf_s3_scan",
     "native_dynamic_scan",
+    "tf_s3_insert_roundtrip",
 ]
 
 
