@@ -734,6 +734,7 @@ def main() -> None:
         "tf_s3_scan",
         "native_dynamic_scan",
         "tf_s3_insert_roundtrip",
+        "tf_file_archive_scan",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

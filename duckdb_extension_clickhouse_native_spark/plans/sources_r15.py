@@ -479,3 +479,96 @@ REGISTRY.df_query(
     "the _file virtual; oracle recomputes the object split from "
     "o_orderstatus",
 )
+
+
+_ARCHIVE_FIXTURES: dict = {}
+
+
+def _orders_zip_archive(sf_dir: str) -> str:
+    """Four-member zip (part1..4.csv, CSVWithNamesAndTypes, split by
+    (o_orderkey // 67) % 4) of the o_orderkey % 67 == 0 orders subset."""
+    import io as _io
+    import tempfile
+    import zipfile
+
+    key = ("orders-zip", sf_dir)
+    hit = _ARCHIVE_FIXTURES.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.textformats import write_csv
+    from ..native.types import from_arrow
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_numpy()
+    t = t.filter(pa.array(keys % 67 == 0))
+    keys = t.column("o_orderkey").to_numpy()
+    d = tempfile.mkdtemp(prefix="chsql_zip_tf")
+    path = os.path.join(d, "orders.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        for idx in range(4):
+            piece = t.filter(pa.array((keys // 67) % 4 == idx))
+            buf = _io.BytesIO()
+            write_csv(
+                buf,
+                piece.to_batches(),
+                [from_arrow(f.type) for f in piece.schema],
+            )
+            zf.writestr(f"part{idx + 1}.csv", buf.getvalue())
+    _ARCHIVE_FIXTURES[key] = path
+    return path
+
+
+def _tf_file_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _orders_zip_archive(sf_dir)
+    # 'archive :: member-glob' — every matched member is one partition
+    df = file_table(
+        spark, f"{path} :: part*.csv", "CSVWithNamesAndTypes",
+        virtual_columns=True,
+    )
+    if df.rdd.getNumPartitions() != 4:
+        raise AssertionError(
+            "file() archives must plan one partition per matched member"
+        )
+    return (
+        df.groupBy(F.col("_file").alias("f"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("sum_k"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("f")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_archive_scan",
+    _tf_file_archive_scan,
+    oracle="""
+    SELECT 'part' || CAST((o_orderkey // 67) % 4 + 1 AS VARCHAR) || '.csv'
+             AS f,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 67 = 0
+    GROUP BY 1 ORDER BY f
+    """,
+    tags=["source", "file", "tf", "archive", "zip"],
+    description="file('orders.zip :: part*.csv'): archive-member "
+    "reading with separator-aware member globs, one partition per "
+    "member, _file = member basename; oracle recomputes the member "
+    "split from key arithmetic",
+)

@@ -383,7 +383,10 @@ def _append_virtuals(rb, path: str):
     import pyarrow as pa
 
     n = rb.num_rows
-    base = posixpath.basename(path.split("?", 1)[0].rstrip("/"))
+    # for 'archive::member' paths (file() archives) _file is the
+    # MEMBER's basename; _path stays the full spelling
+    leaf = path.split("::")[-1]
+    base = posixpath.basename(leaf.split("?", 1)[0].rstrip("/"))
     rb = rb.append_column(
         "_path", pa.array([path] * n, type=pa.string())
     )

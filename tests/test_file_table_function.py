@@ -104,3 +104,100 @@ def test_file_scan_entry_matches_oracle(spark):
     srows = sorted(map(tuple, e.queries()[name](spark, sf).collect()))
     orows = sorted(map(tuple, con.execute(e.oracle_sql()[name]).fetchall()))
     assert srows == orows and len(srows) >= 1
+
+
+# --- archive reading (r15): file('archive :: member') ---------------
+
+
+@pytest.fixture()
+def archives(tmp_path):
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from duckdb_extension_clickhouse_native_spark.native.contentcodec import (
+        compress_bytes,
+    )
+
+    with zipfile.ZipFile(tmp_path / "data.zip", "w") as zf:
+        zf.writestr("part1.csv", "k,v\n1,10\n")
+        zf.writestr("sub/part2.csv", "k,v\n2,20\n")
+        zf.writestr("gz/part3.csv.gz", gzip.compress(b"k,v\n3,30\n"))
+    with tarfile.open(tmp_path / "data.tar.gz", "w:gz") as tf:
+        for name, body in [("a.csv", b"k,v\n4,40\n"), ("b.csv", b"k,v\n5,50\n")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        body = b"k,v\n6,60\n"
+        info = tarfile.TarInfo("z.csv")
+        info.size = len(body)
+        tf.addfile(info, io.BytesIO(body))
+    (tmp_path / "data.tar.zst").write_bytes(
+        compress_bytes(buf.getvalue(), "zstd")
+    )
+    (tmp_path / "x.7z").write_bytes(b"7z\xbc\xaf")
+    return tmp_path
+
+
+def test_archive_zip_member_glob(spark, archives):
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        expand_file_paths,
+        file_table,
+    )
+
+    # '*' must not cross '/' — top-level members only
+    got = expand_file_paths(f"{archives}/data.zip :: *.csv")
+    assert [p.split("::")[1] for p in got] == ["part1.csv"]
+    got2 = expand_file_paths(f"{archives}/data.zip :: */part2.csv")
+    assert [p.split("::")[1] for p in got2] == ["sub/part2.csv"]
+
+    df = file_table(
+        spark, f"{archives}/data.zip :: *.csv,{archives}/data.zip :: "
+        "sub/part2.csv", "CSVWithNames", virtual_columns=True,
+    )
+    rows = sorted((r["k"], r["_file"]) for r in df.collect())
+    assert rows == [(1, "part1.csv"), (2, "part2.csv")]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_archive_member_compression_composes(spark, archives):
+    """A .csv.gz member inside a zip decompresses twice, correctly."""
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_table,
+    )
+
+    df = file_table(
+        spark, f"{archives}/data.zip :: gz/part3.csv.gz", "CSVWithNames"
+    )
+    assert [tuple(r) for r in df.collect()] == [(3, 30)]
+
+
+def test_archive_tar_variants(spark, archives):
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_table,
+    )
+
+    df = file_table(spark, f"{archives}/data.tar.gz :: ?.csv", "CSVWithNames")
+    assert sorted(tuple(r) for r in df.collect()) == [(4, 40), (5, 50)]
+    # zstd tar rides the contentcodec wrapper (streaming mode)
+    df2 = file_table(spark, f"{archives}/data.tar.zst :: z.csv", "CSVWithNames")
+    assert [tuple(r) for r in df2.collect()] == [(6, 60)]
+
+
+def test_archive_refusals(archives):
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        expand_file_paths,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no member"):
+        expand_file_paths(f"{archives}/data.zip :: nope.csv")
+    with pytest.raises(ValueError, match="7z"):
+        expand_file_paths(f"{archives}/x.7z :: a.csv")
+    with pytest.raises(ValueError, match="member"):
+        expand_file_paths(f"{archives}/data.zip ::")
+    (archives / "notarchive.txt").write_bytes(b"plain")
+    with pytest.raises(ValueError, match="archive"):
+        expand_file_paths(f"{archives}/notarchive.txt :: a.csv")

@@ -289,6 +289,7 @@ AUDIT = [
     "tf_s3_scan",
     "native_dynamic_scan",
     "tf_s3_insert_roundtrip",
+    "tf_file_archive_scan",
 ]
 
 
