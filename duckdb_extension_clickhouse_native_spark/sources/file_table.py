@@ -25,6 +25,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .url_table import (
     _VIRTUAL_COLS,
+    _inference_mode,
+    merge_inferred_schemas,
     _WITHNAMES_DECODERS,
     _add_virtual_fields,
     _append_virtuals,
@@ -261,6 +263,7 @@ class ClickHouseFileReader(DataSourceReader):
         validate_format(self.fmt, self.structure)
         self.compression = options.get("compression")
         normalize_compression(self.compression)  # plan-time refusal
+        self.fill_missing = _inference_mode(options) == "union"
         self.virtuals = _truthy(options.get("virtual_columns"))
         self.plan_schema = plan_schema
         names = list(plan_schema.fieldNames()) if plan_schema else None
@@ -283,6 +286,7 @@ class ClickHouseFileReader(DataSourceReader):
                     self._arrow_types,
                     "file()",
                     partition.path,
+                    fill_missing=self.fill_missing,
                 )
                 if self.virtuals:
                     rb = _append_virtuals(rb, partition.path)
@@ -305,12 +309,27 @@ class ClickHouseFileDataSource(DataSource):
         paths = expand_file_paths(opts.get("path") or "")
         if not paths:
             raise ValueError("clickhouse_file requires a path option")
-        schema = _probe_file_schema(
-            paths[0],
-            opts.get("format", "CSVWithNamesAndTypes"),
-            (opts.get("structure") or "").strip() or None,
-            opts.get("compression"),
-        )
+        fmt = opts.get("format", "CSVWithNamesAndTypes")
+        structure = (opts.get("structure") or "").strip() or None
+        if (
+            _inference_mode(opts) == "union"
+            and len(paths) > 1
+            and not (
+                structure and fmt.strip().lower() not in _WITHNAMES_DECODERS
+            )
+        ):
+            schema = merge_inferred_schemas(
+                [
+                    _probe_file_schema(
+                        p, fmt, structure, opts.get("compression")
+                    )
+                    for p in paths
+                ]
+            )
+        else:
+            schema = _probe_file_schema(
+                paths[0], fmt, structure, opts.get("compression")
+            )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
         self._schema_memo = schema
@@ -327,6 +346,7 @@ def file_table(
     structure: Optional[str] = None,
     compression: Optional[str] = None,
     virtual_columns: bool = False,
+    schema_inference_mode: Optional[str] = None,
 ) -> DataFrame:
     """The ``file(path, format[, structure[, compression]])`` table
     function as a DataFrame — one partition per matched file.
@@ -347,6 +367,8 @@ def file_table(
         r = r.option("compression", compression)
     if virtual_columns:
         r = r.option("virtual_columns", "true")
+    if schema_inference_mode:
+        r = r.option("schema_inference_mode", schema_inference_mode)
     return r.load()
 
 

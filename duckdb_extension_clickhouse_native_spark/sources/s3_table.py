@@ -48,6 +48,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .url_table import (
     _WITHNAMES_DECODERS,
+    _inference_mode,
+    merge_inferred_schemas,
     _add_virtual_fields,
     _append_virtuals,
     _conform_batch,
@@ -259,6 +261,7 @@ class ClickHouseS3Reader(DataSourceReader):
         validate_format(self.fmt, self.structure)
         self.compression = options.get("compression")
         normalize_compression(self.compression)
+        self.fill_missing = _inference_mode(options) == "union"
         self.virtuals = _truthy(options.get("virtual_columns"))
         self.plan_schema = plan_schema
         names = list(plan_schema.fieldNames()) if plan_schema else None
@@ -282,6 +285,7 @@ class ClickHouseS3Reader(DataSourceReader):
                     self._arrow_types,
                     "s3()",
                     partition.uri,
+                    fill_missing=self.fill_missing,
                 )
                 if self.virtuals:
                     rb = _append_virtuals(rb, partition.uri)
@@ -310,13 +314,27 @@ class ClickHouseS3DataSource(DataSource):
         uris = expand_s3_paths(opts.get("path") or "", fs_opts)
         if not uris:
             raise ValueError("clickhouse_s3 requires a path option")
-        schema = _probe_s3_schema(
-            uris[0],
-            opts.get("format", "CSVWithNamesAndTypes"),
-            (opts.get("structure") or "").strip() or None,
-            opts.get("compression"),
-            fs_opts,
-        )
+        fmt = opts.get("format", "CSVWithNamesAndTypes")
+        structure = (opts.get("structure") or "").strip() or None
+        if (
+            _inference_mode(opts) == "union"
+            and len(uris) > 1
+            and not (
+                structure and fmt.strip().lower() not in _WITHNAMES_DECODERS
+            )
+        ):
+            schema = merge_inferred_schemas(
+                [
+                    _probe_s3_schema(
+                        u, fmt, structure, opts.get("compression"), fs_opts
+                    )
+                    for u in uris
+                ]
+            )
+        else:
+            schema = _probe_s3_schema(
+                uris[0], fmt, structure, opts.get("compression"), fs_opts
+            )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
         self._schema_memo = schema
@@ -340,6 +358,7 @@ def s3_table(
     region: Optional[str] = None,
     endpoint: Optional[str] = None,
     virtual_columns: bool = False,
+    schema_inference_mode: Optional[str] = None,
 ) -> DataFrame:
     """The ``s3(path [,credentials] [,format] [,structure]
     [,compression])`` table function as a DataFrame — one partition per
@@ -367,6 +386,8 @@ def s3_table(
         r = r.option("nosign", "true")
     if virtual_columns:
         r = r.option("virtual_columns", "true")
+    if schema_inference_mode:
+        r = r.option("schema_inference_mode", schema_inference_mode)
     return r.load()
 
 

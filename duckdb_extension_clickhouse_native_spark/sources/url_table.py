@@ -334,6 +334,16 @@ def parse_headers(spec) -> dict:
     return out
 
 
+def _inference_mode(options: dict) -> str:
+    m = (options.get("schema_inference_mode") or "default").strip().lower()
+    if m not in ("default", "union"):
+        raise ValueError(
+            f"schema_inference_mode must be 'default' (first element) "
+            f"or 'union' (merge all elements), got {m!r}"
+        )
+    return m
+
+
 def _http_get(url: str, headers: Optional[dict] = None):
     """Plain GET returning a binary stream (http/https only — the
     url() contract; file paths go through the native DataSource).
@@ -471,7 +481,68 @@ def _probe_schema(
     return from_arrow_schema(first.to_record_batch().schema)
 
 
-def _conform_batch(rb, field_names, arrow_types, source: str, where: str):
+def merge_inferred_schemas(schemas: list) -> "StructType":  # noqa: F821
+    """ClickHouse ``schema_inference_mode='union'`` (docs: interfaces/
+    schema-inference): merge per-element schemas — columns union in
+    first-seen order, a column missing from some element turns
+    nullable, and type conflicts WIDEN along the inference lattice
+    (Int64 -> Float64 -> String; Date -> Timestamp -> String; Bool ->
+    String; anything else -> String)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    def widen(a, b):
+        if a == b:
+            return a
+        num = (LongType(), DoubleType())
+        if a in num and b in num:
+            return DoubleType()
+        tms = (DateType(), TimestampType(), TimestampNTZType())
+        if a in tms and b in tms:
+            return a if not isinstance(a, DateType) else b
+        _ = BooleanType  # Bool vs anything else -> String (below)
+        return StringType()
+
+    order: list = []
+    types: dict = {}
+    nullable: dict = {}
+    seen_in: dict = {}
+    for i, sch in enumerate(schemas):
+        for f in sch.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.dataType
+                nullable[f.name] = bool(f.nullable)
+            else:
+                types[f.name] = widen(types[f.name], f.dataType)
+                nullable[f.name] = nullable[f.name] or bool(f.nullable)
+            seen_in.setdefault(f.name, set()).add(i)
+    n = len(schemas)
+    return StructType(
+        [
+            StructField(
+                name,
+                types[name],
+                nullable[name] or len(seen_in[name]) < n,
+            )
+            for name in order
+        ]
+    )
+
+
+def _conform_batch(
+    rb, field_names, arrow_types, source: str, where: str,
+    fill_missing: bool = False,
+):
     """Realign a decoded batch to the plan column order BY NAME, then
     cast to the plan's Arrow types when this partition's stream decoded
     them differently.  The cast arm exists for the WithNames-without-
@@ -481,17 +552,35 @@ def _conform_batch(rb, field_names, arrow_types, source: str, where: str):
     batches must agree with the plan schema or Spark fails with an
     opaque executor-side Arrow mismatch (r14 ADVICE).  pyarrow's safe
     cast refuses lossy conversions (e.g. a float stream against an
-    int plan) with a named error instead of truncating."""
+    int plan) with a named error instead of truncating.
+    ``fill_missing`` (schema_inference_mode='union'): a plan column
+    absent from this element's stream fills with NULLs instead of
+    refusing — the plan schema is the UNION of all elements there."""
     import pyarrow as pa
 
     if field_names is not None and list(rb.schema.names) != field_names:
-        if set(rb.schema.names) != set(field_names):
+        have = set(rb.schema.names)
+        extra = have - set(field_names)
+        missing = set(field_names) - have
+        if extra or (missing and not fill_missing):
             raise ValueError(
                 f"{source}: {where!r} returned columns "
                 f"{sorted(rb.schema.names)}, expected "
                 f"{sorted(field_names)} (all elements must serve the "
-                "same column set)"
+                "same column set; pass "
+                "schema_inference_mode='union' to merge differing "
+                "sets)"
             )
+        if missing:
+            for name in field_names:
+                if name not in have:
+                    rb = rb.append_column(
+                        name,
+                        pa.nulls(
+                            rb.num_rows,
+                            type=arrow_types.get(name, pa.string()),
+                        ),
+                    )
         rb = rb.select(field_names)
     if arrow_types:
         want = [arrow_types[n] for n in rb.schema.names]
@@ -536,6 +625,7 @@ class ClickHouseURLReader(DataSourceReader):
         self.compression = options.get("compression")
         normalize_compression(self.compression)  # plan-time refusal
         self.headers = parse_headers(options.get("headers"))
+        self.fill_missing = _inference_mode(options) == "union"
         self.virtuals = _truthy(options.get("virtual_columns"))
         # the plan-time schema (probed from the FIRST URL): every
         # partition realigns its batches to its column order by NAME —
@@ -568,6 +658,7 @@ class ClickHouseURLReader(DataSourceReader):
                     self._arrow_types,
                     "clickhouse_url",
                     partition.url,
+                    fill_missing=self.fill_missing,
                 )
                 if self.virtuals:
                     rb = _append_virtuals(rb, partition.url)
@@ -595,13 +686,28 @@ class ClickHouseURLDataSource(DataSource):
         urls = expand_urls(opts.get("url") or "")
         if not urls:
             raise ValueError("clickhouse_url requires a url option")
-        schema = _probe_schema(
-            urls[0],
-            opts.get("format", "CSVWithNamesAndTypes"),
-            (opts.get("structure") or "").strip() or None,
-            opts.get("compression"),
-            parse_headers(opts.get("headers")),
-        )
+        fmt = opts.get("format", "CSVWithNamesAndTypes")
+        structure = (opts.get("structure") or "").strip() or None
+        headers = parse_headers(opts.get("headers"))
+        mode = _inference_mode(opts)
+        if (
+            mode == "union"
+            and len(urls) > 1
+            and not (structure and fmt.strip().lower() not in _WITHNAMES_DECODERS)
+        ):
+            # ClickHouse schema_inference_mode='union': probe EVERY
+            # element (one fetch each — the same cost the server pays)
+            # and merge; a declared structure needs no probe at all
+            schema = merge_inferred_schemas(
+                [
+                    _probe_schema(u, fmt, structure, opts.get("compression"), headers)
+                    for u in urls
+                ]
+            )
+        else:
+            schema = _probe_schema(
+                urls[0], fmt, structure, opts.get("compression"), headers
+            )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
         self._schema_memo = schema
@@ -619,6 +725,7 @@ def url_table(
     compression: Optional[str] = None,
     virtual_columns: bool = False,
     headers=None,
+    schema_inference_mode: Optional[str] = None,
 ):
     """The ``url(url, format[, structure])`` table function as a
     DataFrame. A comma-separated URL list fans out one partition per
@@ -651,6 +758,8 @@ def url_table(
             "headers",
             headers if isinstance(headers, str) else _json.dumps(headers),
         )
+    if schema_inference_mode:
+        r = r.option("schema_inference_mode", schema_inference_mode)
     return r.load()
 
 

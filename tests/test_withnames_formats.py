@@ -130,3 +130,117 @@ def test_withnames_entry_matches_oracle(spark):
     srows = sorted(map(tuple, e.queries()[name](spark, sf).collect()))
     orows = sorted(map(tuple, con.execute(e.oracle_sql()[name]).fetchall()))
     assert srows == orows and len(srows) >= 1
+
+
+# --- schema_inference_mode='union' (r15) ------------------------------
+
+
+def test_union_mode_merges_columns_and_widens_types(spark, tmp_path):
+    """ClickHouse schema_inference_mode='union': columns union across
+    elements (missing -> NULL-filled nullable), conflicting types widen
+    (Int64+Float64 -> Float64); 'default' keeps the first-element probe
+    and refuses differing column sets with a pointer at union mode."""
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_table,
+    )
+
+    (tmp_path / "a.csv").write_bytes(b"k,v\n1,10\n")
+    (tmp_path / "b.csv").write_bytes(b"k,v,extra\n2,2.5,x\n")
+    spec = f"{tmp_path}/a.csv,{tmp_path}/b.csv"
+
+    with pytest.raises(Exception, match="union"):
+        file_table(spark, spec, "CSVWithNames").collect()
+
+    df = file_table(
+        spark, spec, "CSVWithNames", schema_inference_mode="union"
+    )
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double",
+                               "extra": "string"}
+    rows = sorted((r["k"], r["v"], r["extra"]) for r in df.collect())
+    assert rows == [(1, 10.0, None), (2, 2.5, "x")]
+
+
+def test_union_mode_parquet_through_s3(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_extension_clickhouse_native_spark.sources.s3_table import (
+        s3_table,
+    )
+
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "p1.parquet"))
+    pq.write_table(
+        pa.table({"x": [2], "y": ["b"]}), str(tmp_path / "p2.parquet")
+    )
+    df = s3_table(
+        spark, f"file://{tmp_path}/p*.parquet", "Parquet",
+        schema_inference_mode="union",
+    )
+    assert sorted((r["x"], r["y"]) for r in df.collect()) == [
+        (1, None), (2, "b"),
+    ]
+
+
+def test_union_mode_url_and_refusals(spark, tmp_path):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_table,
+    )
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        merge_inferred_schemas,
+        url_table,
+    )
+
+    bodies = {"/a.csv": b"k\n1\n", "/b.csv": b"k,w\n2,true\n"}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            b = bodies.get(self.path)
+            if b is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    df = url_table(
+        spark, f"{base}/a.csv,{base}/b.csv", "CSVWithNames",
+        schema_inference_mode="union",
+    )
+    # CSV inference has no Bool arm (JSON's does): w infers String
+    assert sorted((r["k"], r["w"]) for r in df.collect()) == [
+        (1, None), (2, "true"),
+    ]
+
+    (tmp_path / "one.csv").write_bytes(b"k\n1\n")
+    with pytest.raises(Exception, match="schema_inference_mode"):
+        file_table(
+            spark, f"{tmp_path}/one.csv", "CSVWithNames",
+            schema_inference_mode="bogus",
+        )
+
+    # widening lattice unit pins (Bool vs Int64 -> String)
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merged = merge_inferred_schemas(
+        [
+            StructType([StructField("a", BooleanType(), False)]),
+            StructType([StructField("a", LongType(), False)]),
+        ]
+    )
+    assert isinstance(merged["a"].dataType, StringType)
