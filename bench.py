@@ -735,6 +735,7 @@ def main() -> None:
         "native_dynamic_scan",
         "tf_s3_insert_roundtrip",
         "tf_file_archive_scan",
+        "tf_file_union_schema_scan",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

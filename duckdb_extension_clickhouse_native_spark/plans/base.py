@@ -573,6 +573,7 @@ GRADING_WINDOW = [
     "tf_s3_scan",  # NEVER GRADED (r15: s3() listing + virtuals)
     "tf_s3_insert_roundtrip",  # NEVER GRADED (r15: s3() write half)
     "tf_file_archive_scan",  # NEVER GRADED (r15: archive :: member)
+    "tf_file_union_schema_scan",  # NEVER GRADED (r15: union inference)
     "native_dynamic_scan",  # NEVER GRADED (r15: Dynamic prefix decode)
     # changed-path re-proofs (r15 compression/virtuals/outfile rewire)
     "tf_file_scan",  # green r14; r15 _open_file + conform path
@@ -619,8 +620,6 @@ GRADING_WINDOW = [
     "stream_native_sink_agg",  # green r7
     "pipeline_end_to_end",  # green r7
     "sim_ann_recall",  # green r7
-    # next-oldest cohort (newest green r8), alphabetical head
-    "agg_global",  # green r8
 ]
 
 # (r13 window text retired to git history — see the commit referenced

@@ -572,3 +572,99 @@ REGISTRY.df_query(
     "member, _file = member basename; oracle recomputes the member "
     "split from key arithmetic",
 )
+
+
+_UNION_FIXTURES: dict = {}
+
+
+def _orders_union_files(sf_dir: str) -> str:
+    """Two CSVWithNames files with DIFFERENT column sets/types: part1
+    has (o_orderkey, o_totalprice) for o_orderkey % 61 == 0, part2 has
+    (o_orderkey, o_orderstatus) for o_orderkey % 61 == 1 — the
+    schema_inference_mode='union' shape."""
+    import tempfile
+
+    key = ("orders-union", sf_dir)
+    hit = _UNION_FIXTURES.get(key)
+    if hit is not None:
+        return hit
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    d = tempfile.mkdtemp(prefix="chsql_union_tf")
+    lines1 = ["o_orderkey,o_totalprice"]
+    lines2 = ["o_orderkey,o_orderstatus"]
+    for k, s, p in zip(
+        t.column("o_orderkey").to_pylist(),
+        t.column("o_orderstatus").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        if k % 61 == 0:
+            lines1.append(f"{k},{float(p)!r}")
+        elif k % 61 == 1:
+            lines2.append(f'{k},"{s}"')
+    with open(os.path.join(d, "part1.csv"), "w") as f:
+        f.write("\n".join(lines1) + "\n")
+    with open(os.path.join(d, "part2.csv"), "w") as f:
+        f.write("\n".join(lines2) + "\n")
+    _UNION_FIXTURES[key] = d
+    return d
+
+
+def _tf_file_union_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _orders_union_files(sf_dir)
+    df = file_table(
+        spark,
+        f"{d}/part1.csv,{d}/part2.csv",
+        "CSVWithNames",
+        schema_inference_mode="union",
+    )
+    want = {"o_orderkey": "bigint", "o_totalprice": "double",
+            "o_orderstatus": "string"}
+    if dict(df.dtypes) != want:
+        raise AssertionError(f"union schema regressed: {df.dtypes}")
+    return df.select(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.sum("o_orderkey").alias("sum_k"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_f"),
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_union_schema_scan",
+    _tf_file_union_schema_scan,
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 61 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_price,
+           CAST(SUM(CASE WHEN o_orderkey % 61 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_status,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN o_orderkey % 61 = 0
+                    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN o_orderkey % 61 = 1 AND o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+    FROM orders WHERE o_orderkey % 61 IN (0, 1)
+    """,
+    tags=["source", "file", "tf", "schema-inference", "union"],
+    description="schema_inference_mode='union': two files with "
+    "disjoint column extras merge (schema asserted in-plan), missing "
+    "columns NULL-fill per element; oracle recomputes the per-file "
+    "split from key arithmetic",
+)

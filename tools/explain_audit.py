@@ -290,6 +290,7 @@ AUDIT = [
     "native_dynamic_scan",
     "tf_s3_insert_roundtrip",
     "tf_file_archive_scan",
+    "tf_file_union_schema_scan",
 ]
 
 
