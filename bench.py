@@ -238,6 +238,22 @@ def main() -> None:
         _tx_df().collect()
         tx_ts.append(time.perf_counter() - t0)
     tx_ts.sort()
+
+    # fresh-plan codegen pair, start half (r15): the SAME-INSTANCE
+    # cal_df re-collects ride AQE stage reuse, so a start-vs-later
+    # comparison of THAT number measures reuse depth, not drift
+    # (observed 0.0524 -> 0.0161 within one healthy run).  The drift
+    # pair therefore uses a FRESH plan at both measurement points.
+    def _fresh_cal():
+        return spark.range(500_000_000).selectExpr("sum(id) AS s")
+
+    _fresh_cal().collect()  # warmup
+    fc_ts: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fresh_cal().collect()
+        fc_ts.append(time.perf_counter() - t0)
+    fc_ts.sort()
     calibration = {
         "workload": "spark.range(500M).sum codegen",
         "sec_median": round(cal_ts[len(cal_ts) // 2], 4),
@@ -248,6 +264,7 @@ def main() -> None:
         "shuffle_sec_median": round(sh_ts[len(sh_ts) // 2], 4),
         "text_workload": "range(3M) sha2+regexp+length sum, fresh plan",
         "text_sec_median": round(tx_ts[len(tx_ts) // 2], 4),
+        "codegen_fresh_sec": round(fc_ts[len(fc_ts) // 2], 4),
     }
     print(f"# host calibration: {calibration}", file=sys.stderr)
     # materialize the Native-file fixtures outside the timed region: the
@@ -459,24 +476,30 @@ def main() -> None:
     results.update(headline)
     total += headline_total
 
-    # INTRA-SESSION drift marker (r15): re-measure the codegen axis
-    # right after the headline tier — the r14 session saw identical
-    # binaries move 22.14 -> 18.51 s hours apart, and r15 saw the same
-    # query differ between tiers of ONE run; a start-vs-post-headline
-    # calibration pair makes within-run drift visible instead of
-    # inferred
+    # INTRA-SESSION drift marker (r15): re-measure the FRESH-PLAN
+    # codegen workload right after the headline tier — the r14 session
+    # saw identical binaries move 22.14 -> 18.51 s hours apart, and
+    # r15 saw the same query differ between tiers of ONE run; a
+    # start-vs-post-headline pair of the SAME fresh-plan workload
+    # makes within-run drift visible instead of inferred (the
+    # same-instance cal_df number is NOT used here — its re-collects
+    # ride AQE stage reuse and measure reuse depth, not drift)
+    def _fresh_cal2():
+        return spark.range(500_000_000).selectExpr("sum(id) AS s")
+
     ph_ts: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
-        cal_df.collect()
+        _fresh_cal2().collect()
         ph_ts.append(time.perf_counter() - t0)
     ph_ts.sort()
-    calibration["sec_median_postheadline"] = round(
+    calibration["codegen_fresh_sec_postheadline"] = round(
         ph_ts[len(ph_ts) // 2], 4
     )
     print(
-        f"# codegen axis post-headline: {calibration['sec_median_postheadline']}"
-        f" (start: {calibration['sec_median']})",
+        "# fresh-plan codegen post-headline: "
+        f"{calibration['codegen_fresh_sec_postheadline']} (start: "
+        f"{calibration['codegen_fresh_sec']})",
         file=sys.stderr,
     )
 
