@@ -62,6 +62,9 @@ def _check_supported(t: CHType) -> None:
         for it in t.tuple_items:
             _check_supported(it)
         return
+    if b == "Dynamic":
+        # per-value layout below; member types check at read/write time
+        return
     raise UnsupportedTypeError(
         f"RowBinary support for {t.name} is not implemented — use "
         "FORMAT Native (wire_format=native), the full-fidelity path"
@@ -170,6 +173,38 @@ def _read_value(buf: BinaryIO, t: CHType):
     if b == "LowCardinality":
         # transparent in RowBinary: values travel plain
         return _read_value(buf, t.inner)
+    if b == "Dynamic":
+        # engine RowBinary layout for Dynamic (structurally modeled on
+        # ClickHouse's type-prefixed value encoding; the Native path's
+        # prefix carries the set ONCE per column, RowBinary is
+        # row-oriented so each VALUE carries its own type): varuint
+        # name length (0 = NULL) + canonical type-name string + the
+        # value in that type's RowBinary form.  Surfaces type-erased
+        # {type, value} exactly like the Native arm — the text
+        # rendering goes through the same pyarrow cast so both wires
+        # agree bit-for-bit.
+        import pyarrow.compute as _pc
+
+        from .codec import _check_dynamic_member
+
+        n = read_varuint(buf)
+        if n == 0:
+            return None
+        raw_nm = buf.read(n)
+        if len(raw_nm) != n:
+            raise EOFError("EOF inside Dynamic type name")
+        nm = raw_nm.decode("utf-8")
+        member = (
+            parse_type("String") if nm == "SharedVariant" else parse_type(nm)
+        )
+        _check_dynamic_member(member, nm)
+        val = _read_value(buf, member)
+        import pyarrow as _pa
+
+        rendered = _pc.cast(
+            _pa.array([val], type=to_arrow(member)), _pa.string()
+        )[0].as_py()
+        return {"type": nm, "value": rendered}
     raise UnsupportedTypeError(t.name)
 
 
@@ -212,6 +247,9 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
             val = {}  # Nullable(Map) does not exist in CH — null == {}
         elif b == "Variant":
             buf.write(b"\xff")  # NULL is the 255 discriminator
+            return
+        elif b == "Dynamic":
+            write_varuint(buf, 0)  # NULL is the zero-length type name
             return
         elif b == "LowCardinality":
             _write_value(buf, t.inner, val)  # inner may be Nullable
@@ -311,6 +349,41 @@ def _write_value(buf: BinaryIO, t: CHType, val) -> None:
         return
     if b == "LowCardinality":
         _write_value(buf, t.inner, val)
+        return
+    if b == "Dynamic":
+        # inverse of the read arm: varuint 0 = NULL, else name + value
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from .codec import _check_dynamic_member
+
+        if val is None or val.get("type") is None:
+            if val is not None and val.get("value") is not None:
+                raise ValueError(
+                    "Dynamic row has a value but a NULL type tag"
+                )
+            write_varuint(buf, 0)
+            return
+        nm = str(val["type"])
+        member = (
+            parse_type("String") if nm == "SharedVariant" else parse_type(nm)
+        )
+        _check_dynamic_member(member, nm)
+        if val.get("value") is None:
+            raise ValueError("Dynamic row has a type tag but a NULL value")
+        raw_nm = nm.encode("utf-8")
+        write_varuint(buf, len(raw_nm))
+        buf.write(raw_nm)
+        sc = _pc.cast(
+            _pa.array([str(val["value"])], type=_pa.string()),
+            to_arrow(member),
+        )[0]
+        typed = (
+            sc.value
+            if isinstance(sc, (_pa.Date32Scalar, _pa.TimestampScalar))
+            else sc.as_py()
+        )
+        _write_value(buf, member, typed)
         return
     raise UnsupportedTypeError(t.name)
 

@@ -238,3 +238,44 @@ def test_dynamic_type_and_element_helpers(spark, tmp_path):
     # named refusal for non-scalar member spellings
     with pytest.raises(Exception, match="scalar"):
         dynamic_element("d", "Array(Int64)")
+
+
+def test_rowbinary_dynamic_roundtrip():
+    """Dynamic in the RowBinary wire (r15): per-VALUE type-name prefix
+    (varuint length 0 = NULL) + the value in that type's RowBinary
+    form — same type-erased {type, value} carrier as the Native arm,
+    same pyarrow-cast text rendering, so both wires agree exactly."""
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        iter_rowbinary_blocks,
+        write_rowbinary,
+    )
+
+    t_d = parse_type("Dynamic")
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(VALS, type=to_arrow(t_d))], names=["d"]
+    )
+    buf = io.BytesIO()
+    write_rowbinary(buf, [rb], [t_d])
+    back = list(iter_rowbinary_blocks(io.BytesIO(buf.getvalue())))
+    assert back[0].to_record_batch().column(0).to_pylist() == VALS
+
+
+def test_rowbinary_dynamic_refusals():
+    from duckdb_extension_clickhouse_native_spark.native.rowbinary import (
+        write_rowbinary,
+    )
+
+    t_d = parse_type("Dynamic")
+    orphan = pa.RecordBatch.from_arrays(
+        [pa.array([{"type": None, "value": "x"}], type=to_arrow(t_d))],
+        names=["d"],
+    )
+    with pytest.raises(ValueError, match="NULL type"):
+        write_rowbinary(io.BytesIO(), [orphan], [t_d])
+    nested = pa.RecordBatch.from_arrays(
+        [pa.array([{"type": "Array(Int64)", "value": "[1]"}],
+                  type=to_arrow(t_d))],
+        names=["d"],
+    )
+    with pytest.raises(UnsupportedTypeError, match="scalar"):
+        write_rowbinary(io.BytesIO(), [nested], [t_d])
