@@ -429,3 +429,16 @@ def make_file_udtf():
                             yield tuple(row[n] for n in names)
 
     return udtf(ClickHouseFileUDTF)
+
+
+def file_cluster_table(
+    spark: SparkSession, cluster: str, path: str, *args, **kwargs
+) -> DataFrame:
+    """``fileCluster('cluster', path, ...)`` (docs: table-functions/
+    fileCluster): ClickHouse fans the matched-file list across cluster
+    nodes that share the path; Spark's per-file partitions already
+    schedule across every executor, so the spelling validates its
+    argument and delegates to :func:`file_table`."""
+    if not (cluster or "").strip():
+        raise ValueError("fileCluster() needs a non-empty cluster name")
+    return file_table(spark, path, *args, **kwargs)

@@ -572,3 +572,50 @@ def s3_insert(
     # bounded collect: one row PER PARTITION VALUE (the convergence-
     # scalar contract — never the data)
     return int(sum(r["n"] for r in out.collect()))
+
+
+# --------------------------------------------------------------------------
+# sibling spellings: gcs() / oss() / hdfs() (+ their Cluster forms)
+# --------------------------------------------------------------------------
+# ClickHouse exposes several storage-specific table functions that are
+# the S3 surface under another name (docs: table-functions/gcs — "an
+# alias of s3()"; /oss; /hdfs).  pyarrow.fs resolves gs:// and hdfs://
+# URIs through FileSystem.from_uri, and S3-compatible HTTPS endpoints
+# (storage.googleapis.com, OSS) take the same credential/endpoint
+# options s3() has — so these are thin argument-validating spellings
+# over the SAME listing/decode/partition machinery, not re-implementations.
+
+
+def gcs_table(spark: SparkSession, path: str, *args, **kwargs) -> DataFrame:
+    """``gcs(path [,hmac_key, hmac_secret] [,format] ...)`` — the
+    ClickHouse gcs() alias of s3(): ``gs://`` URIs ride pyarrow's GCS
+    filesystem; ``https://storage.googleapis.com/...`` S3-compat URLs
+    take ``access_key_id``/``secret_access_key`` as the HMAC pair."""
+    return s3_table(spark, path, *args, **kwargs)
+
+
+def oss_table(spark: SparkSession, path: str, *args, **kwargs) -> DataFrame:
+    """``oss(...)`` — Alibaba OSS, another documented s3() alias (use
+    ``endpoint=`` for the OSS regional endpoint)."""
+    return s3_table(spark, path, *args, **kwargs)
+
+
+def hdfs_table(
+    spark: SparkSession, path: str, *args, **kwargs
+) -> DataFrame:
+    """``hdfs(URI, format, structure)``: requires an ``hdfs://`` URI
+    (the ClickHouse signature), then the shared pyarrow.fs machinery —
+    listing globs, one partition per file, compression sniff."""
+    if not path.strip().lower().startswith("hdfs://"):
+        raise ValueError(f"hdfs() needs an hdfs:// URI, got {path!r}")
+    return s3_table(spark, path, *args, **kwargs)
+
+
+def hdfs_cluster_table(
+    spark: SparkSession, cluster: str, path: str, *args, **kwargs
+) -> DataFrame:
+    """``hdfsCluster('cluster', ...)`` — validates and delegates, like
+    s3Cluster (Spark's executor pool IS the distribution)."""
+    if not (cluster or "").strip():
+        raise ValueError("hdfsCluster() needs a non-empty cluster name")
+    return hdfs_table(spark, path, *args, **kwargs)

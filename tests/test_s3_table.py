@@ -228,3 +228,38 @@ def test_s3_insert_refusals(spark, tmp_path):
             evil, f"file://{tmp_path}/w_{{_partition_id}}.csv",
             partition_by="grp",
         )
+
+
+def test_sibling_spellings_delegate(spark, store):
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_cluster_table,
+    )
+    from duckdb_extension_clickhouse_native_spark.sources.s3_table import (
+        gcs_table,
+        hdfs_cluster_table,
+        hdfs_table,
+        oss_table,
+    )
+
+    # gcs()/oss() are documented s3() aliases — same machinery
+    assert sorted(
+        tuple(r) for r in gcs_table(
+            spark, f"{store}/part1.csv", "CSVWithNames"
+        ).collect()
+    ) == [(1, 10)]
+    assert oss_table(
+        spark, f"{store}/part?.csv", "CSVWithNames"
+    ).count() == 2
+    # hdfs() pins its scheme
+    with pytest.raises(ValueError, match="hdfs://"):
+        hdfs_table(spark, f"{store}/part1.csv", "CSVWithNames")
+    with pytest.raises(ValueError, match="cluster"):
+        hdfs_cluster_table(spark, "", "hdfs://h/x.csv")
+    # fileCluster validates and delegates to file()
+    local = store.replace("file://", "")
+    df = file_cluster_table(
+        spark, "my_cluster", f"{local}/part{{1..2}}.csv", "CSVWithNames"
+    )
+    assert df.count() == 2
+    with pytest.raises(ValueError, match="fileCluster"):
+        file_cluster_table(spark, " ", f"{local}/part1.csv")
