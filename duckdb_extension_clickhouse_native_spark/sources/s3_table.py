@@ -619,3 +619,69 @@ def hdfs_cluster_table(
     if not (cluster or "").strip():
         raise ValueError("hdfsCluster() needs a non-empty cluster name")
     return hdfs_table(spark, path, *args, **kwargs)
+
+
+def make_s3_udtf():
+    """UDTF for ``clickhouse_s3(path, fmt[, structure[, compression]])``
+    — the SQL-invocable convenience shim (rows funnel through one
+    worker; the DataSource above is the scale path).  Credentials ride
+    the environment here — the DataSource options carry explicit ones."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ClickHouseS3UDTF:
+        @staticmethod
+        def analyze(
+            path: AnalyzeArgument,
+            fmt: Optional[AnalyzeArgument] = None,
+            structure: Optional[AnalyzeArgument] = None,
+            compression: Optional[AnalyzeArgument] = None,
+        ) -> AnalyzeResult:
+            if path.value is None:
+                raise ValueError(
+                    "clickhouse_s3(path, fmt[, structure[, compression]]) "
+                    "requires a literal path"
+                )
+            f = "CSVWithNamesAndTypes" if fmt is None else str(fmt.value)
+            st = None if structure is None else str(structure.value)
+            comp = None if compression is None else str(compression.value)
+            uris = expand_s3_paths(str(path.value), {})
+            if not uris:
+                raise FileNotFoundError(
+                    f"clickhouse_s3: nothing matches {path.value!r}"
+                )
+            return AnalyzeResult(
+                schema=_probe_s3_schema(uris[0], f, st, comp, {})
+            )
+
+        def eval(
+            self,
+            path: str,
+            fmt: Optional[str] = None,
+            structure: Optional[str] = None,
+            compression: Optional[str] = None,
+        ) -> Iterator[tuple]:
+            f = fmt or "CSVWithNamesAndTypes"
+            names = None
+            for uri in expand_s3_paths(path, {}):
+                stream = _open_object(uri, {}, compression)
+                try:
+                    for blk in _decode_stream(stream, f, structure):
+                        rb = blk.to_record_batch()
+                        if names is None:
+                            names = list(rb.schema.names)
+                        elif set(rb.schema.names) != set(names):
+                            raise ValueError(
+                                f"clickhouse_s3: {uri!r} columns "
+                                f"{sorted(rb.schema.names)} != "
+                                f"{sorted(names)}"
+                            )
+                        for row in rb.to_pylist():
+                            yield tuple(row[n] for n in names)
+                finally:
+                    try:
+                        stream.close()
+                    except Exception:
+                        pass
+
+    return udtf(ClickHouseS3UDTF)

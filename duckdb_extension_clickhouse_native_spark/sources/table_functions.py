@@ -165,7 +165,7 @@ def make_url_udtf():
             fmt: Optional[str] = None,
             structure: Optional[str] = None,
         ) -> Iterator[tuple]:
-            from .url_table import _decode_stream, _http_get, expand_urls
+            from .url_table import _decode_stream, _open_url, expand_urls
 
             f = fmt or "CSVWithNamesAndTypes"
             # ONE name order for the whole result — the first stream's
@@ -174,9 +174,12 @@ def make_url_udtf():
             # different order must realign by name, not emit in its own
             # stream order (r13 ADVICE: silent cross-column
             # misalignment); a different column SET is a named error.
+            # _open_url (not the raw GET): the compression sniff must
+            # match analyze()'s probe — a .zst URL decoded compressed
+            # in analyze but raw here would fail mid-scan (r15).
             names = None
             for one in expand_urls(url):
-                with _http_get(one) as resp:
+                with _open_url(one, None) as resp:
                     for blk in _decode_stream(resp, f, structure):
                         rb = blk.to_record_batch()
                         if names is None:
@@ -355,6 +358,9 @@ def register_table_functions(spark: SparkSession) -> None:
     from .file_table import make_file_udtf
 
     spark.udtf.register("clickhouse_file", make_file_udtf())
+    from .s3_table import make_s3_udtf
+
+    spark.udtf.register("clickhouse_s3", make_s3_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
 
 
