@@ -442,3 +442,30 @@ def file_cluster_table(
     if not (cluster or "").strip():
         raise ValueError("fileCluster() needs a non-empty cluster name")
     return file_table(spark, path, *args, **kwargs)
+
+
+def file_insert(
+    df,
+    path: str,
+    fmt: str = "CSVWithNamesAndTypes",
+    *,
+    partition_by: Optional[str] = None,
+) -> int:
+    """``INSERT INTO FUNCTION file(path, fmt) [PARTITION BY col]`` —
+    the local-path spelling of the s3() write half (same machinery:
+    one file, or one file per partition value via the
+    ``{_partition_id}`` placeholder; compression sniffed from the
+    final name).  Relative/absolute local paths accepted."""
+    import os
+
+    from .s3_table import s3_insert
+
+    if "://" in path:
+        raise ValueError(
+            f"file() INSERT takes a local path, got a URI {path!r} — "
+            "use s3_insert for scheme:// destinations"
+        )
+    return s3_insert(
+        df, f"file://{os.path.abspath(path)}", fmt,
+        partition_by=partition_by,
+    )

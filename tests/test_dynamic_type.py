@@ -279,3 +279,22 @@ def test_rowbinary_dynamic_refusals():
     )
     with pytest.raises(UnsupportedTypeError, match="scalar"):
         write_rowbinary(io.BytesIO(), [nested], [t_d])
+
+
+def test_array_of_dynamic_roundtrips():
+    """Array(Dynamic): the Dynamic prefix rides inline where the inner
+    column's data begins, so nesting under Array works unchanged."""
+    t = parse_type("Array(Dynamic)")
+    vals = [
+        [{"type": "Int64", "value": "1"}, None],
+        [],
+        [{"type": "String", "value": "x"}],
+    ]
+    arr = pa.array(vals, type=to_arrow(t))
+    buf = io.BytesIO()
+    encode_column(buf, t, arr)
+    got = decode_column(
+        io.BytesIO(buf.getvalue()), t, 3,
+        scrub_strings=False, lossy_uint64=False,
+    ).to_pylist()
+    assert got == vals

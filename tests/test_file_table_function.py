@@ -201,3 +201,25 @@ def test_archive_refusals(archives):
     (archives / "notarchive.txt").write_bytes(b"plain")
     with pytest.raises(ValueError, match="archive"):
         expand_file_paths(f"{archives}/notarchive.txt :: a.csv")
+
+
+def test_file_insert_partitioned(spark, tmp_path):
+    """INSERT INTO FUNCTION file(...) — the local-path spelling of the
+    s3() write half."""
+    import os
+
+    from duckdb_extension_clickhouse_native_spark.sources.file_table import (
+        file_insert,
+        file_table,
+    )
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, grp string")
+    n = file_insert(
+        df, f"{tmp_path}/out_{{_partition_id}}.csv.gz", partition_by="grp"
+    )
+    assert n == 2
+    assert sorted(os.listdir(tmp_path)) == ["out_A.csv.gz", "out_B.csv.gz"]
+    back = file_table(spark, f"{tmp_path}/out_*.csv.gz")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "A"), (2, "B")]
+    with pytest.raises(ValueError, match="local path"):
+        file_insert(df, "s3://bucket/x.csv")
