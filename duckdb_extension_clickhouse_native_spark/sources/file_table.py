@@ -27,6 +27,7 @@ from .url_table import (
     _VIRTUAL_COLS,
     _inference_mode,
     merge_inferred_schemas,
+    probe_many,
     _WITHNAMES_DECODERS,
     _add_virtual_fields,
     _append_virtuals,
@@ -319,12 +320,12 @@ class ClickHouseFileDataSource(DataSource):
             )
         ):
             schema = merge_inferred_schemas(
-                [
-                    _probe_file_schema(
+                probe_many(
+                    lambda p: _probe_file_schema(
                         p, fmt, structure, opts.get("compression")
-                    )
-                    for p in paths
-                ]
+                    ),
+                    paths,
+                )
             )
         else:
             schema = _probe_file_schema(

@@ -50,6 +50,7 @@ from .url_table import (
     _WITHNAMES_DECODERS,
     _inference_mode,
     merge_inferred_schemas,
+    probe_many,
     _add_virtual_fields,
     _append_virtuals,
     _conform_batch,
@@ -324,12 +325,12 @@ class ClickHouseS3DataSource(DataSource):
             )
         ):
             schema = merge_inferred_schemas(
-                [
-                    _probe_s3_schema(
+                probe_many(
+                    lambda u: _probe_s3_schema(
                         u, fmt, structure, opts.get("compression"), fs_opts
-                    )
-                    for u in uris
-                ]
+                    ),
+                    uris,
+                )
             )
         else:
             schema = _probe_s3_schema(

@@ -334,6 +334,23 @@ def parse_headers(spec) -> dict:
     return out
 
 
+def probe_many(probe_fn, elements: list, max_workers: int = 16) -> list:
+    """Run ``probe_fn(element)`` over every element with a BOUNDED
+    thread pool, preserving order.  The union inference mode probes
+    every element at plan time — serial opens against a 1000-object
+    prefix would make the bind O(elements x RTT); network-bound probes
+    thread perfectly.  The first failure propagates (plan-time errors
+    must be loud, not partial)."""
+    if len(elements) <= 1:
+        return [probe_fn(e) for e in elements]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(elements))
+    ) as pool:
+        return list(pool.map(probe_fn, elements))
+
+
 def _inference_mode(options: dict) -> str:
     m = (options.get("schema_inference_mode") or "default").strip().lower()
     if m not in ("default", "union"):
@@ -347,14 +364,29 @@ def _inference_mode(options: dict) -> str:
 def _http_get(url: str, headers: Optional[dict] = None):
     """Plain GET returning a binary stream (http/https only — the
     url() contract; file paths go through the native DataSource).
-    ``headers`` = the ClickHouse url(..., headers(...)) argument."""
+    ``headers`` = the ClickHouse url(..., headers(...)) argument.
+    The OPEN retries transient transport errors with the scan source's
+    bounded-backoff policy (a GET is idempotent; HTTP error statuses
+    are NOT retried — a 403/404 repeats); mid-stream failures
+    propagate to Spark's task retry, same as the scan source."""
+    from urllib.error import HTTPError
     from urllib.request import Request, urlopen
+
+    from .retry import RETRYABLE_EXC, RetryPolicy
 
     if not url.lower().startswith(("http://", "https://")):
         raise ValueError(f"url() needs an http(s):// URL, got {url!r}")
-    if headers:
-        return urlopen(Request(url, headers=headers), timeout=60)
-    return urlopen(url, timeout=60)
+    req = Request(url, headers=headers) if headers else url
+    policy = RetryPolicy()
+    for delay in policy.backoffs():
+        try:
+            return urlopen(req, timeout=60)
+        except HTTPError:
+            raise  # a server STATUS is an answer, not a transport fault
+        except RETRYABLE_EXC:
+            if delay is None:
+                raise
+            policy.sleep(delay)
 
 
 def _open_url(
@@ -699,10 +731,12 @@ class ClickHouseURLDataSource(DataSource):
             # element (one fetch each — the same cost the server pays)
             # and merge; a declared structure needs no probe at all
             schema = merge_inferred_schemas(
-                [
-                    _probe_schema(u, fmt, structure, opts.get("compression"), headers)
-                    for u in urls
-                ]
+                probe_many(
+                    lambda u: _probe_schema(
+                        u, fmt, structure, opts.get("compression"), headers
+                    ),
+                    urls,
+                )
             )
         else:
             schema = _probe_schema(

@@ -244,3 +244,70 @@ def test_union_mode_url_and_refusals(spark, tmp_path):
         ]
     )
     assert isinstance(merged["a"].dataType, StringType)
+
+
+def test_union_probe_runs_threaded(spark, tmp_path):
+    """probe_many: the union bind probes elements through a bounded
+    pool (order preserved, first failure loud)."""
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        probe_many,
+    )
+
+    import threading
+
+    seen = []
+
+    def probe(x):
+        seen.append(threading.current_thread().name)
+        if x == "boom":
+            raise RuntimeError("probe failed for boom")
+        return x * 2
+
+    assert probe_many(probe, ["a", "b", "c"]) == ["aa", "bb", "cc"]
+    assert len({t for t in seen}) >= 1
+    with pytest.raises(RuntimeError, match="boom"):
+        probe_many(probe, ["a", "boom", "c"])
+    # single element stays inline (no pool spin-up)
+    assert probe_many(probe, ["z"]) == ["zz"]
+
+
+def test_url_get_retries_transient_failures(spark):
+    """The url() GET retries transport faults on OPEN (kill-first-
+    connection mock, the scan-source precedent); HTTP statuses are
+    answers, never retried."""
+    import socket
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from duckdb_extension_clickhouse_native_spark.sources.url_table import (
+        url_table,
+    )
+
+    state = {"n": 0}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            state["n"] += 1
+            if state["n"] == 1:
+                # kill the first connection mid-handshake
+                self.connection.setsockopt(
+                    socket.SOL_SOCKET, socket.SO_LINGER,
+                    b"\x01\x00\x00\x00\x00\x00\x00\x00",
+                )
+                self.connection.close()
+                return
+            body = b"k,v\n1,10\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    df = url_table(spark, f"{base}/d.csv", "CSVWithNames")
+    assert [tuple(r) for r in df.collect()] == [(1, 10)]
+    assert state["n"] >= 2  # first connection died, retry succeeded
