@@ -33,6 +33,7 @@ from duckdb_extension_clickhouse_native_spark.plans import (  # noqa: F401
     sources_r13,
     sources_r14,
     sources_r15,
+    sources_r15b,
     stats,
     streaming_queries,
     timeseries,

@@ -805,6 +805,13 @@ def decode_column(
         return pa.MapArray.from_arrays(
             pa.array(arrow_offsets, type=pa.int32()), keys, items
         )
+    if b == "AggregateFunction":
+        from .aggstate import decode_states
+
+        return decode_states(
+            buf, t.agg, rows,
+            scrub_strings=scrub_strings, lossy_uint64=lossy_uint64,
+        )
     if b == "Dynamic":
         return _decode_dynamic(
             buf, rows, scrub_strings=scrub_strings, lossy_uint64=lossy_uint64
@@ -1059,6 +1066,11 @@ def skip_column(buf: BinaryIO, t: CHType, rows: int) -> None:
     if b == "JSON":
         skip_column(buf, CHType("String"), rows)
         return
+    if b == "AggregateFunction":
+        from .aggstate import skip_states
+
+        skip_states(buf, t.agg, rows)
+        return
     if b in BIG_INT_WIDTH:
         _skip_bytes(buf, BIG_INT_WIDTH[b] * rows)
         return
@@ -1266,12 +1278,13 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
     if (t.nullable or arr.null_count > 0) and b not in (
-        "LowCardinality", "Map", "Variant", "Dynamic",
+        "LowCardinality", "Map", "Variant", "Dynamic", "AggregateFunction",
     ):
         # nulls in a LowCardinality column live inside the dictionary
         # (index 0 placeholder), never as an outer Nullable mask;
         # Nullable(Map) does not exist in ClickHouse (nulls -> empty
-        # map); Variant NULLs are the 255 discriminator
+        # map); Variant NULLs are the 255 discriminator; agg-state
+        # nulls (no-value min/max states) live INSIDE the state bytes
         mask = np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False), dtype=np.uint8)
         buf.write(mask.tobytes())
         arr = pa.compute.fill_null(arr, _default_fill(arr.type))
@@ -1392,6 +1405,11 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
             if not signed and n < 0:
                 raise ValueError(f"negative value {n} in a {b} column")
             buf.write(n.to_bytes(width, "little", signed=signed))
+        return
+    if b == "AggregateFunction":
+        from .aggstate import encode_states
+
+        encode_states(buf, t.agg, arr)
         return
     if b == "Variant":
         # inverse of the decode branch: discriminator = index of the
@@ -1562,9 +1580,10 @@ def _promote_nullable(t: CHType, arr: pa.Array) -> CHType:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     b = t.base
-    if b in ("Variant", "Dynamic"):
-        # never promoted: NULL rows are discriminator 255, and the
-        # struct fields are null-bearing by design
+    if b in ("Variant", "Dynamic", "AggregateFunction"):
+        # never promoted: Variant/Dynamic NULL rows are discriminator
+        # 255; agg-state nulls (no-value min/max states) live INSIDE
+        # the state bytes and Nullable(AggregateFunction) is invalid
         return CHType(**{**t.__dict__})
     if b == "LowCardinality":
         eff = CHType(**{**t.__dict__})

@@ -49,6 +49,8 @@ class CHType:
     # structural layout (geo types: 'Point' IS Tuple(Float64, Float64)
     # on the wire) — keeps headers/DESCRIBE rendering the alias
     display: Optional[str] = None
+    # parsed aggstate.AggSpec for decodable AggregateFunction(f, T...)
+    agg: Optional[object] = None
 
     @property
     def name(self) -> str:
@@ -191,6 +193,13 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
                     f"ClickHouse type — {inner.base} already carries "
                     f"NULL: {type_str!r}"
                 )
+            if inner.base == "AggregateFunction":
+                # invalid in ClickHouse: states are never NULL (an
+                # empty group simply has no row)
+                raise UnsupportedTypeError(
+                    "Nullable(AggregateFunction(...)) is not a valid "
+                    f"ClickHouse type: {type_str!r}"
+                )
             inner.nullable = True
             inner.params = None if inner.params is None else inner.params
             return inner
@@ -259,23 +268,39 @@ def parse_type(type_str: str, *, unsupported_as_varchar: bool = False) -> CHType
         g = parse_type(_GEO_TYPE_EQUIV[base])
         g.display = base
         return g
-    if base == "AggregateFunction" and not unsupported_as_varchar:
-        # AggregatingMergeTree state columns: the payload is ClickHouse's
-        # INTERNAL serialized aggregation state (version-dependent, no
-        # public layout contract) — refuse loudly BY NAME rather than
-        # falling through to the generic unsupported path. The engine's
-        # merge SEMANTICS are available: re-aggregate from raw rows, or
-        # use the partial-state operators (operators/projections.py,
-        # the agg_state_merge entry). In reference-compat placeholder
-        # mode the column placeholders like any unknown type
-        # (lib.rs:168-170 — same documented desync-unless-last caveat).
-        raise UnsupportedTypeError(
-            f"AggregateFunction state columns cannot be decoded "
-            f"({type_str!r}): the serialized state layout is "
-            "ClickHouse-internal. Re-aggregate from raw data, or use "
-            "the engine's partial-state merge operators "
-            "(agg_state_merge, projections) on data this engine wrote."
-        )
+    if base == "AggregateFunction":
+        # AggregatingMergeTree state columns.  The COMMON function
+        # family (count/sum/avg/min/max/any/anyLast/uniqExact/
+        # groupBit*/argMin/argMax) decodes via the clean-room state
+        # codec (native/aggstate.py — layouts re-expressed from
+        # ClickHouse's public serialize() implementations; the
+        # reference itself refuses these columns at lib.rs:168-170).
+        # Anything outside that family — parametrized functions,
+        # combinators, sketch states like uniq — refuses loudly BY
+        # NAME: those layouts are version-dependent sketch internals.
+        # In reference-compat placeholder mode the column placeholders
+        # like any unknown type (same desync-unless-last caveat).
+        if params is not None:
+            from .aggstate import parse_agg_spec
+
+            try:
+                t.agg = parse_agg_spec(params)
+                return t
+            except UnsupportedTypeError as e:
+                if unsupported_as_varchar:
+                    pass  # fall through to the placeholder arm below
+                else:
+                    raise UnsupportedTypeError(
+                        f"AggregateFunction state column {type_str!r} "
+                        f"cannot be decoded: {e}. Re-aggregate from raw "
+                        "data, or use the engine's partial-state merge "
+                        "operators (agg_state_merge, projections)."
+                    )
+        elif not unsupported_as_varchar:
+            raise UnsupportedTypeError(
+                f"AggregateFunction needs (function, types...): "
+                f"{type_str!r}"
+            )
     if base == "SimpleAggregateFunction":
         # SimpleAggregateFunction(f, T) stores PLAIN values of T — the
         # wire layout is exactly T (docs: data-types/
@@ -469,6 +494,11 @@ def to_arrow(t: CHType, *, lossy_uint64: bool = False) -> pa.DataType:
         return pa.struct(
             [pa.field("type", pa.string()), pa.field("value", pa.string())]
         )
+    if b == "AggregateFunction":
+        from .aggstate import arrow_type as _agg_arrow
+
+        assert t.agg is not None
+        return _agg_arrow(t.agg, lossy_uint64=lossy_uint64)
     if b == "LowCardinality":
         assert t.inner is not None
         return to_arrow(t.inner, lossy_uint64=lossy_uint64)

@@ -556,8 +556,10 @@ _ROUND9_WINDOW = [
 #
 # ROUND-15 WINDOW (tools/window_plan.py histogram at rotation: r7:35
 # r8:48 r9:49 r10:45 r11:49 r12:49 r13:47 r14:50, never-graded 0 —
-# the VERDICT r14 item-3 plan executed verbatim): the 4 never-graded
-# r15 entries lead (compressed file()/url() reads, s3(), Dynamic),
+# the VERDICT r14 item-3 plan executed verbatim): the never-graded
+# r15 entries lead (8 after the later tranches: compressed file()/
+# url() reads, s3() read+insert, archives, union inference, Dynamic,
+# and the AggregateFunction state codec),
 # then 8 changed-path re-proofs — the r15 compression/virtual-column
 # plumbing rewrote the url()/file() read and probe paths (every tf_*
 # below executes through _open_url/_open_file + _conform_batch now),
@@ -568,6 +570,11 @@ _ROUND9_WINDOW = [
 # item 3) and the alphabetically-first 3 r8-green rows.  The r8
 # remainder rotates into round 16.
 GRADING_WINDOW = [
+    # r15 fourth tranche: the AggregateFunction state codec (VERDICT
+    # r14 missing-item 4). Its decode path also touched codec.py's
+    # _promote_nullable + encode never-promote lists, which
+    # native_variant_scan / native_dynamic_scan below re-prove.
+    "native_aggstate_scan",  # NEVER GRADED (r15: agg state decode+merge)
     "tf_file_compressed_scan",  # NEVER GRADED (r15: .gz reimport)
     "tf_url_compressed_scan",  # NEVER GRADED (r15: .zst over HTTP)
     "tf_s3_scan",  # NEVER GRADED (r15: s3() listing + virtuals)

@@ -1,0 +1,163 @@
+"""Round-15 fourth tranche: AggregateFunction state-blob decode.
+
+``native_aggstate_scan`` closes the last "What's missing" item of the
+r14 verdict (item 4): reading an AggregatingMergeTree-style export
+whose columns are serialized partial-aggregation states, merging the
+states across parts with ordinary Spark aggregates, and finalizing —
+without re-scanning the raw rows.  The reference extension refuses
+these columns (the ``<unsupported:T>`` arm, lib.rs:168-170); the
+clean-room state codec lives in native/aggstate.py and the
+merge/finalize Catalyst expressions in functions/aggstates.py.
+
+Fixture shape: the ``l_orderkey % 13 == 0`` slice of lineitem is
+pre-aggregated per (l_returnflag, l_orderkey % 3) — three state rows
+per flag, so the entry MUST merge states (the ``-Merge`` semantics),
+not just finalize single rows.  The states are written through the
+engine's own ``encode_states`` into a Native file; the entry reads
+them back through the normal ``clickhouse_native`` DataSource (header
+type strings ``AggregateFunction(...)`` parsed at bind), merges per
+flag, finalizes, and the DuckDB oracle recomputes every aggregate
+from the raw parquet — decode, merge, and finalize all have to agree
+with a full recompute for the entry to hash-match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import REGISTRY
+
+
+def _aggstate_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import pyarrow as pa
+
+    from ..native.types import parse_type, to_arrow
+    from ..native.writer import write_native_file
+    from .sources import _materialize_fixture
+
+    specs = [
+        ("flag", "String"),
+        ("cnt_state", "AggregateFunction(count)"),
+        ("sum_qty_state", "AggregateFunction(sum, Int64)"),
+        ("avg_cents_state", "AggregateFunction(avg, Int64)"),
+        ("min_ship_state", "AggregateFunction(min, DateTime)"),
+        ("max_status_state", "AggregateFunction(max, String)"),
+        ("uniq_supp_state", "AggregateFunction(uniqExact, Int32)"),
+    ]
+
+    def write(out_dir: str, t: pa.Table) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", t)
+        # partial states per (flag, chunk): what an AggregatingMergeTree
+        # part would hold before the merge
+        states = con.execute(
+            """
+            SELECT l_returnflag AS flag,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS avg_num,
+                   CAST(COUNT(*) AS BIGINT) AS avg_den,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_linestatus) AS max_status,
+                   LIST(DISTINCT CAST(l_suppkey % 1000 AS INTEGER))
+                     AS uniq_supp
+            FROM t WHERE l_orderkey % 13 = 0
+            GROUP BY l_returnflag, l_orderkey % 3
+            ORDER BY flag, min_ship
+            """
+        ).arrow()
+        con.close()
+        types = [parse_type(s) for _n, s in specs]
+        cols = [
+            states.column("flag").combine_chunks().cast(to_arrow(types[0])),
+            states.column("cnt").combine_chunks().cast(to_arrow(types[1])),
+            states.column("sq").combine_chunks().cast(to_arrow(types[2])),
+            pa.StructArray.from_arrays(
+                [
+                    states.column("avg_num").combine_chunks(),
+                    states.column("avg_den").combine_chunks(),
+                ],
+                ["numerator", "denominator"],
+            ),
+            states.column("min_ship")
+            .combine_chunks()
+            .cast(to_arrow(types[4])),
+            states.column("max_status")
+            .combine_chunks()
+            .cast(to_arrow(types[5])),
+            states.column("uniq_supp")
+            .combine_chunks()
+            .cast(to_arrow(types[6])),
+        ]
+        batch = pa.table({n: c for (n, _s), c in zip(specs, cols)})
+        write_native_file(
+            os.path.join(out_dir, "part-000.clickhouse"),
+            batch,
+            ch_types=types,
+        )
+
+    return _materialize_fixture(sf_dir, "lineitem", "lineitem-aggstate", write)
+
+
+def _native_aggstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.aggstates import finalize_agg_state, merge_agg_state
+    from .base import ensure_session
+
+    ensure_session(spark)
+    path = _aggstate_fixture(spark, sf_dir)
+    df = spark.read.format("clickhouse_native").load(path)
+    merged = df.groupBy("flag").agg(
+        merge_agg_state("count", F.col("cnt_state")).alias("cnt"),
+        merge_agg_state("sum, Int64", F.col("sum_qty_state")).alias("sq"),
+        merge_agg_state("avg, Int64", F.col("avg_cents_state")).alias("av"),
+        merge_agg_state("min, DateTime", F.col("min_ship_state")).alias(
+            "ms"
+        ),
+        merge_agg_state("max, String", F.col("max_status_state")).alias(
+            "mst"
+        ),
+        merge_agg_state("uniqExact, Int32", F.col("uniq_supp_state")).alias(
+            "us"
+        ),
+    )
+    return merged.select(
+        F.col("flag"),
+        finalize_agg_state("count", F.col("cnt")).alias("n"),
+        finalize_agg_state("sum, Int64", F.col("sq")).alias("qty"),
+        finalize_agg_state("avg, Int64", F.col("av")).alias("avg_cents"),
+        finalize_agg_state("min, DateTime", F.col("ms")).alias("min_ship"),
+        finalize_agg_state("max, String", F.col("mst")).alias("max_status"),
+        finalize_agg_state("uniqExact, Int32", F.col("us")).alias(
+            "uniq_supp"
+        ),
+    ).orderBy("flag")
+
+
+REGISTRY.df_query(
+    "native_aggstate_scan",
+    _native_aggstate_scan,
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_cents,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_linestatus) AS max_status,
+           CAST(COUNT(DISTINCT (l_suppkey % 1000)) AS BIGINT) AS uniq_supp
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+    tags=["source", "native", "aggstate", "types"],
+    description="AggregateFunction state columns (count/sum/avg/min/max/"
+    "uniqExact): engine-encoded partial states per (flag, chunk) read "
+    "back through clickhouse_native, MERGED across chunks with Catalyst "
+    "aggregate expressions and finalized; oracle recomputes from raw "
+    "lineitem",
+)

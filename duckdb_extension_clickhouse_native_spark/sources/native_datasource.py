@@ -202,6 +202,15 @@ def _ch_to_spark(t) -> DataType:
         from pyspark.sql.types import MapType
 
         return MapType(_ch_to_spark(t.tuple_items[0]), _ch_to_spark(t.tuple_items[1]))
+    if b == "AggregateFunction":
+        # decoded partial-state surface (native/aggstate.py): derive
+        # the Spark type from the state codec's Arrow mapping so both
+        # sides stay in lock-step (NTZ to match DateTime above)
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        from ..native.aggstate import arrow_type as _agg_arrow
+
+        return from_arrow_type(_agg_arrow(t.agg), prefer_timestamp_ntz=True)
     from ..native.types import UnsupportedTypeError
 
     raise UnsupportedTypeError(f"no spark mapping for {t.name}")

@@ -63,8 +63,10 @@ def test_parse_type_matrix():
     assert parse_type("DateTime64(3)").scale == 3
     e = parse_type("Enum8('a' = 1, 'b' = 2)")
     assert e.enum_map == {1: "a", 2: "b"}
+    # r15: the common agg-state family DECODES now (native/aggstate.py)
+    assert parse_type("AggregateFunction(sum, UInt64)").base == "AggregateFunction"
     with pytest.raises(UnsupportedTypeError):
-        parse_type("AggregateFunction(sum, UInt64)")
+        parse_type("AggregateFunction(uniq, String)")  # sketch states refuse
 
 
 @pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference fixture absent")

@@ -217,6 +217,31 @@ def test_live_dynamic_decode(spark):
     assert None in rows
 
 
+def test_live_aggstate_decode(spark):
+    """r15 AggregateFunction state decode against a real server: the
+    -State combinator columns arrive in Native with the function's
+    serialize() layout — the parity pin for the clean-room codec in
+    native/aggstate.py (count varuint, sum raw accumulator, avg
+    numerator+varuint denominator, min/max SingleValueData, uniqExact
+    set dump).  If a server version changes a layout, THIS test is
+    where it shows."""
+    df = _scan(
+        spark,
+        "SELECT countState() AS c, sumState(number) AS s, "
+        "avgState(toInt32(number)) AS a, minState(toInt64(number)) AS mn, "
+        "maxState(toString(number)) AS mx, "
+        "uniqExactState(toInt32(number)) AS u "
+        "FROM numbers(100)",
+    )
+    r = df.collect()[0]
+    assert r.c == 100
+    assert r.s == sum(range(100))
+    assert r.a.numerator == sum(range(100)) and r.a.denominator == 100
+    assert r.mn == 0
+    assert r.mx == "99"  # max over strings: '99' beats '9'
+    assert sorted(r.u) == list(range(100))
+
+
 def test_live_url_compressed_read(spark):
     """r15 compressed url(): the server's HTTP interface serves
     FORMAT CSVWithNamesAndTypes with Content-Encoding: gzip when the

@@ -33,20 +33,20 @@ def _block_with_unknown_type(n_rows: int = 3) -> bytes:
     for i in range(n_rows):
         buf.write(i.to_bytes(8, "little", signed=True))
     write_str(buf, "mystery")
-    write_str(buf, "AggregateFunction(sum, UInt64)")
+    write_str(buf, "AggregateFunction(uniq, String)")
     # no payload bytes for the unknown column
     return buf.getvalue()
 
 
 def test_default_raises_on_unknown_type():
     with pytest.raises(UnsupportedTypeError):
-        parse_type("AggregateFunction(sum, UInt64)")
+        parse_type("AggregateFunction(uniq, String)")
     with pytest.raises(UnsupportedTypeError):
         read_block(io.BytesIO(_block_with_unknown_type()))
 
 
 def test_placeholder_mode_emits_varchar():
-    t = parse_type("AggregateFunction(sum, UInt64)", unsupported_as_varchar=True)
+    t = parse_type("AggregateFunction(uniq, String)", unsupported_as_varchar=True)
     assert t.base == "Unsupported"
     assert to_arrow(t).equals(__import__("pyarrow").string())
     blk = read_block(
@@ -54,7 +54,7 @@ def test_placeholder_mode_emits_varchar():
     )
     d = blk.to_record_batch().to_pydict()
     assert d["k"] == [0, 1, 2]
-    assert d["mystery"] == ["<unsupported:AggregateFunction(sum, UInt64)>"] * 3
+    assert d["mystery"] == ["<unsupported:AggregateFunction(uniq, String)>"] * 3
 
 
 def test_placeholder_mode_via_datasource(spark, tmp_path):
@@ -66,7 +66,7 @@ def test_placeholder_mode_via_datasource(spark, tmp_path):
         .load(str(p))
     )
     rows = {r["k"]: r["mystery"] for r in df.collect()}
-    assert rows[1] == "<unsupported:AggregateFunction(sum, UInt64)>"
+    assert rows[1] == "<unsupported:AggregateFunction(uniq, String)>"
     # strict default: the scan fails loudly instead
     with pytest.raises(Exception):
         spark.read.format("clickhouse_native").load(str(p)).collect()
