@@ -497,6 +497,40 @@ def write_jsonobjects(
     return rows
 
 
+def infer_json_type(col_vals, fmt_name: str) -> CHType:
+    """ClickHouse-style type inference over PARSED JSON values (int ->
+    Int64, int+float -> Float64, bool -> Bool, string -> String; null
+    forces Nullable; nested arrays/objects refuse by name — declare a
+    structure for those).  Shared by every names-in-band JSON format
+    (JSONCompactEachRowWithNames, JSONEachRow, JSONColumns,
+    JSONObjectEachRow, JSONCompactColumns)."""
+    nullable = any(v is None for v in col_vals)
+    ev = [v for v in col_vals if v is not None]
+    if not ev:
+        t = parse_type("String")
+    elif all(isinstance(v, bool) for v in ev):
+        t = parse_type("Bool")
+    elif all(isinstance(v, int) and not isinstance(v, bool) for v in ev):
+        if any(not -(2**63) <= v < 2**63 for v in ev):
+            raise ValueError(
+                f"{fmt_name}: integer exceeds Int64 — declare a structure"
+            )
+        t = parse_type("Int64")
+    elif all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in ev
+    ):
+        t = parse_type("Float64")
+    elif all(isinstance(v, str) for v in ev):
+        t = parse_type("String")
+    else:
+        raise UnsupportedTypeError(
+            f"{fmt_name}: cannot infer a type for mixed/nested JSON "
+            "values — declare a structure ('name Type, ...')"
+        )
+    t.nullable = nullable
+    return t
+
+
 def iter_jsoncompact_withnames_blocks(
     buf: BinaryIO,
     names_types: Optional[List[Tuple[str, CHType]]] = None,
@@ -557,41 +591,14 @@ def iter_jsoncompact_withnames_blocks(
         prefix: list = []
     else:
         prefix = list(itertools.islice(it, infer_rows))
-
-        def infer(col_vals):
-            nullable = any(v is None for v in col_vals)
-            ev = [v for v in col_vals if v is not None]
-            if not ev:
-                t = parse_type("String")
-            elif all(isinstance(v, bool) for v in ev):
-                t = parse_type("Bool")
-            elif all(
-                isinstance(v, int) and not isinstance(v, bool) for v in ev
-            ):
-                if any(not -(2**63) <= v < 2**63 for v in ev):
-                    raise ValueError(
-                        "JSONCompactEachRowWithNames: integer exceeds "
-                        "Int64 — declare a structure"
-                    )
-                t = parse_type("Int64")
-            elif all(
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                for v in ev
-            ):
-                t = parse_type("Float64")
-            elif all(isinstance(v, str) for v in ev):
-                t = parse_type("String")
-            else:
-                raise UnsupportedTypeError(
-                    "JSONCompactEachRowWithNames: cannot infer a type "
-                    "for mixed/nested JSON values — declare a structure "
-                    "('name Type, ...')"
-                )
-            t.nullable = nullable
-            return t
-
         schema = [
-            (n, infer([r[i] for r in prefix])) for i, n in enumerate(names)
+            (
+                n,
+                infer_json_type(
+                    [r[i] for r in prefix], "JSONCompactEachRowWithNames"
+                ),
+            )
+            for i, n in enumerate(names)
         ]
 
     lossy_cols = [

@@ -575,6 +575,11 @@ GRADING_WINDOW = [
     # _promote_nullable + encode never-promote lists, which
     # native_variant_scan / native_dynamic_scan below re-prove.
     "native_aggstate_scan",  # NEVER GRADED (r15: agg state decode+merge)
+    # r15 fourth tranche: raw-text/JSON-family input formats
+    # (native/rawtext.py) + JSONEachRow schema inference
+    "tf_file_lineasstring_scan",  # NEVER GRADED (r15: LineAsString)
+    "tf_file_regexp_scan",  # NEVER GRADED (r15: Regexp format)
+    "tf_file_ndjson_infer_scan",  # NEVER GRADED (r15: NDJSON inference)
     "tf_file_compressed_scan",  # NEVER GRADED (r15: .gz reimport)
     "tf_url_compressed_scan",  # NEVER GRADED (r15: .zst over HTTP)
     "tf_s3_scan",  # NEVER GRADED (r15: s3() listing + virtuals)

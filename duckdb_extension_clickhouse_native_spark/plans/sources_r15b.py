@@ -161,3 +161,178 @@ REGISTRY.df_query(
     "aggregate expressions and finalized; oracle recomputes from raw "
     "lineitem",
 )
+
+
+# ---------------------------------------------------------------------------
+# Raw-text / JSON-family input formats (native/rawtext.py)
+# ---------------------------------------------------------------------------
+
+
+def _orders_lines_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One text line per orders row (``status key cents``) — the raw
+    log-file shape LineAsString and Regexp exist for."""
+    from .sources import _materialize_fixture
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        total = t.column("o_totalprice").to_pylist()
+        import math
+
+        with open(os.path.join(out_dir, "orders.log"), "w") as f:
+            for k, s, v in zip(keys, status, total):
+                # floor, matching the oracle's FLOOR (CAST would ROUND)
+                f.write(f"{s} {k} {int(math.floor(v * 100))}\n")
+
+    return _materialize_fixture(sf_dir, "orders", "orders-lines", write)
+
+
+_LINES_ORACLE = """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """
+
+
+def _tf_file_lineasstring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineAsString + SQL-side parsing: the raw-corpus ingestion shape
+    (read lines, split in Catalyst — no Python in the row path)."""
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _orders_lines_fixture(spark, sf_dir)
+    df = file_table(spark, os.path.join(d, "orders.log"), "LineAsString")
+    parts = F.split(F.col("line"), " ")
+    return (
+        df.select(
+            parts.getItem(0).alias("status"),
+            parts.getItem(1).cast("long").alias("key"),
+            parts.getItem(2).cast("long").alias("cents_one"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").alias("key_sum"),
+            F.sum("cents_one").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_lineasstring_scan",
+    _tf_file_lineasstring_scan,
+    oracle=_LINES_ORACLE,
+    tags=["source", "file", "tf", "format", "rawtext"],
+    description="LineAsString format: raw log lines in, Catalyst "
+    "split/cast parsing, aggregates vs the orders parquet oracle",
+)
+
+
+def _tf_file_regexp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT Regexp over the same log fixture: capture groups feed the
+    declared structure, typed at decode (no SQL-side parsing)."""
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _orders_lines_fixture(spark, sf_dir)
+    df = file_table(
+        spark,
+        os.path.join(d, "orders.log"),
+        "Regexp",
+        structure="status String, key Int64, cents Int64",
+        format_regexp=r"(\S+) (\d+) (\d+)",
+    )
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").alias("key_sum"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_regexp_scan",
+    _tf_file_regexp_scan,
+    oracle=_LINES_ORACLE,
+    tags=["source", "file", "tf", "format", "rawtext", "regexp"],
+    description="Regexp input format: format_regexp capture groups -> "
+    "typed structure columns at decode; same oracle as the "
+    "LineAsString twin (independent parsers must agree)",
+)
+
+
+def _ndjson_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """NDJSON (JSONEachRow) file from orders — written WITHOUT types so
+    the reader must infer (Int64 / String / Float64 lattice)."""
+    import json as _json
+    import math
+
+    from .sources import _materialize_fixture
+
+    def write(out_dir: str, t) -> None:
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        total = t.column("o_totalprice").to_pylist()
+        with open(os.path.join(out_dir, "orders.ndjson"), "w") as f:
+            for k, s, v in zip(keys, status, total):
+                f.write(
+                    _json.dumps(
+                        {
+                            "k": k,
+                            "status": s,
+                            "cents": int(math.floor(v * 100)),
+                        },
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-ndjson", write)
+
+
+def _tf_file_ndjson_infer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONEachRow/NDJSON with NO structure: names from the objects'
+    keys, types from ClickHouse-style inference (r15 — the format used
+    to be structure-needed; ClickHouse schema-infers it)."""
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _ndjson_fixture(spark, sf_dir)
+    df = file_table(spark, os.path.join(d, "orders.ndjson"), "NDJSON")
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("key_sum"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_ndjson_infer_scan",
+    _tf_file_ndjson_infer_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "file", "tf", "format", "inference"],
+    description="NDJSON/JSONEachRow schema inference: no structure, "
+    "names from object keys + inferred Int64/String types, aggregates "
+    "vs the orders parquet oracle",
+)

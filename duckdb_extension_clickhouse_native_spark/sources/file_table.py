@@ -37,6 +37,8 @@ from .url_table import (
     _split_top_level_commas,
     _structured_decoder_for,
     _truthy,
+    format_settings,
+    structure_is_authoritative,
     expand_url_globs,
     validate_format,
 )
@@ -214,29 +216,29 @@ def _probe_file_schema(
     fmt: str,
     structure: Optional[str],
     compression: Optional[str] = None,
+    settings: Optional[dict] = None,
 ):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     from ..native.contentcodec import normalize_compression
 
     normalize_compression(compression)  # refusal BEFORE any open
-    key = fmt.strip().lower()
-    if structure and key not in _WITHNAMES_DECODERS:
+    if structure_is_authoritative(fmt, structure):
         from pyspark.sql.types import StructField, StructType
 
         from .native_datasource import _ch_to_spark
         from .url_table import parse_structure
 
-        _structured_decoder_for(fmt, structure)
+        validate_format(fmt, structure, settings)
         return StructType(
             [
                 StructField(n, _ch_to_spark(t), True)
                 for n, t in parse_structure(structure)
             ]
         )
-    validate_format(fmt, structure)
+    validate_format(fmt, structure, settings)
     with _open_file(path, compression) as f:
-        blocks = _decode_stream(f, fmt, structure)
+        blocks = _decode_stream(f, fmt, structure, settings)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -261,7 +263,8 @@ class ClickHouseFileReader(DataSourceReader):
             raise ValueError("clickhouse_file requires a path option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
-        validate_format(self.fmt, self.structure)
+        self.settings = format_settings(options)
+        validate_format(self.fmt, self.structure, self.settings)
         self.compression = options.get("compression")
         normalize_compression(self.compression)  # plan-time refusal
         self.fill_missing = _inference_mode(options) == "union"
@@ -280,7 +283,9 @@ class ClickHouseFileReader(DataSourceReader):
         if self._arrow_types is None:
             self._arrow_types = _plan_arrow_types(self.plan_schema)
         with _open_file(partition.path, self.compression) as f:
-            for blk in _decode_stream(f, self.fmt, self.structure):
+            for blk in _decode_stream(
+                f, self.fmt, self.structure, self.settings
+            ):
                 rb = _conform_batch(
                     blk.to_record_batch(),
                     self.field_names,
@@ -312,24 +317,23 @@ class ClickHouseFileDataSource(DataSource):
             raise ValueError("clickhouse_file requires a path option")
         fmt = opts.get("format", "CSVWithNamesAndTypes")
         structure = (opts.get("structure") or "").strip() or None
+        settings = format_settings(opts)
         if (
             _inference_mode(opts) == "union"
             and len(paths) > 1
-            and not (
-                structure and fmt.strip().lower() not in _WITHNAMES_DECODERS
-            )
+            and not structure_is_authoritative(fmt, structure)
         ):
             schema = merge_inferred_schemas(
                 probe_many(
                     lambda p: _probe_file_schema(
-                        p, fmt, structure, opts.get("compression")
+                        p, fmt, structure, opts.get("compression"), settings
                     ),
                     paths,
                 )
             )
         else:
             schema = _probe_file_schema(
-                paths[0], fmt, structure, opts.get("compression")
+                paths[0], fmt, structure, opts.get("compression"), settings
             )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
@@ -348,6 +352,8 @@ def file_table(
     compression: Optional[str] = None,
     virtual_columns: bool = False,
     schema_inference_mode: Optional[str] = None,
+    format_regexp: Optional[str] = None,
+    format_regexp_skip_unmatched: bool = False,
 ) -> DataFrame:
     """The ``file(path, format[, structure[, compression]])`` table
     function as a DataFrame — one partition per matched file.
@@ -370,6 +376,10 @@ def file_table(
         r = r.option("virtual_columns", "true")
     if schema_inference_mode:
         r = r.option("schema_inference_mode", schema_inference_mode)
+    if format_regexp:
+        r = r.option("format_regexp", format_regexp)
+    if format_regexp_skip_unmatched:
+        r = r.option("format_regexp_skip_unmatched", "true")
     return r.load()
 
 

@@ -59,6 +59,8 @@ from .url_table import (
     _split_top_level_commas,
     _structured_decoder_for,
     _truthy,
+    format_settings,
+    structure_is_authoritative,
     expand_url_globs,
     parse_structure,
     validate_format,
@@ -212,28 +214,28 @@ def _probe_s3_schema(
     structure: Optional[str],
     compression: Optional[str],
     fs_opts: dict,
+    settings: Optional[dict] = None,
 ):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     from ..native.contentcodec import normalize_compression
 
     normalize_compression(compression)
-    key = fmt.strip().lower()
-    if structure and key not in _WITHNAMES_DECODERS:
+    if structure_is_authoritative(fmt, structure):
         from pyspark.sql.types import StructField, StructType
 
         from .native_datasource import _ch_to_spark
 
-        _structured_decoder_for(fmt, structure)
+        validate_format(fmt, structure, settings)
         return StructType(
             [
                 StructField(n, _ch_to_spark(t), True)
                 for n, t in parse_structure(structure)
             ]
         )
-    validate_format(fmt, structure)
+    validate_format(fmt, structure, settings)
     with _open_object(uri, fs_opts, compression) as f:
-        blocks = _decode_stream(f, fmt, structure)
+        blocks = _decode_stream(f, fmt, structure, settings)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -259,7 +261,8 @@ class ClickHouseS3Reader(DataSourceReader):
             raise ValueError("clickhouse_s3 requires a path option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
-        validate_format(self.fmt, self.structure)
+        self.settings = format_settings(options)
+        validate_format(self.fmt, self.structure, self.settings)
         self.compression = options.get("compression")
         normalize_compression(self.compression)
         self.fill_missing = _inference_mode(options) == "union"
@@ -279,7 +282,9 @@ class ClickHouseS3Reader(DataSourceReader):
             self._arrow_types = _plan_arrow_types(self.plan_schema)
         f = _open_object(partition.uri, self.fs_opts, self.compression)
         try:
-            for blk in _decode_stream(f, self.fmt, self.structure):
+            for blk in _decode_stream(
+                f, self.fmt, self.structure, self.settings
+            ):
                 rb = _conform_batch(
                     blk.to_record_batch(),
                     self.field_names,
@@ -317,24 +322,25 @@ class ClickHouseS3DataSource(DataSource):
             raise ValueError("clickhouse_s3 requires a path option")
         fmt = opts.get("format", "CSVWithNamesAndTypes")
         structure = (opts.get("structure") or "").strip() or None
+        settings = format_settings(opts)
         if (
             _inference_mode(opts) == "union"
             and len(uris) > 1
-            and not (
-                structure and fmt.strip().lower() not in _WITHNAMES_DECODERS
-            )
+            and not structure_is_authoritative(fmt, structure)
         ):
             schema = merge_inferred_schemas(
                 probe_many(
                     lambda u: _probe_s3_schema(
-                        u, fmt, structure, opts.get("compression"), fs_opts
+                        u, fmt, structure, opts.get("compression"),
+                        fs_opts, settings,
                     ),
                     uris,
                 )
             )
         else:
             schema = _probe_s3_schema(
-                uris[0], fmt, structure, opts.get("compression"), fs_opts
+                uris[0], fmt, structure, opts.get("compression"),
+                fs_opts, settings,
             )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
@@ -360,6 +366,8 @@ def s3_table(
     endpoint: Optional[str] = None,
     virtual_columns: bool = False,
     schema_inference_mode: Optional[str] = None,
+    format_regexp: Optional[str] = None,
+    format_regexp_skip_unmatched: bool = False,
 ) -> DataFrame:
     """The ``s3(path [,credentials] [,format] [,structure]
     [,compression])`` table function as a DataFrame — one partition per
@@ -375,6 +383,9 @@ def s3_table(
     for k, v in [
         ("structure", structure),
         ("compression", compression),
+        ("format_regexp", format_regexp),
+        ("format_regexp_skip_unmatched",
+         "true" if format_regexp_skip_unmatched else None),
         ("access_key_id", access_key_id),
         ("secret_access_key", secret_access_key),
         ("session_token", session_token),

@@ -58,6 +58,9 @@ _FORMAT_DECODERS = {
     "arrowstream": "arrowstream",
     "parquet": "parquet",
     "orc": "orc",
+    # the full result-object format: meta carries REAL CH type names,
+    # so it is self-describing (read-only — no INSERT writer)
+    "json": "json",
 }
 
 # formats whose stream carries NO names/types: ClickHouse's url()
@@ -73,6 +76,8 @@ _STRUCTURE_NEEDED = {
 # spellings.
 _STRUCTURED_DECODERS = {
     "jsoneachrow": ("jsoneachrow", "iter_jsonobjects_blocks"),
+    "ndjson": ("jsoneachrow", "iter_jsonobjects_blocks"),
+    "jsonlines": ("jsoneachrow", "iter_jsonobjects_blocks"),
     "values": ("valuesformat", "iter_values_blocks"),
     "tskv": ("textformats", "iter_tskv_blocks"),
     "npy": ("npyformat", "iter_npy_blocks"),
@@ -98,7 +103,37 @@ _WITHNAMES_DECODERS = {
         "jsoneachrow",
         "iter_jsoncompact_withnames_blocks",
     ),
+    # r15: names-in-band / fixed-schema formats (native/rawtext.py) —
+    # structure OPTIONAL (by-name match or rename), inference otherwise
+    "lineasstring": ("rawtext", "iter_lineasstring_blocks"),
+    "jsonasstring": ("rawtext", "iter_jsonasstring_blocks"),
+    "rawblob": ("rawtext", "iter_rawblob_blocks"),
+    "jsoncolumns": ("rawtext", "iter_jsoncolumns_blocks"),
+    "jsoncompactcolumns": ("rawtext", "iter_jsoncompactcolumns_blocks"),
+    "jsonobjecteachrow": ("rawtext", "iter_jsonobjecteachrow_blocks"),
+    # JSONEachRow now schema-infers like ClickHouse; WITH a structure
+    # it keeps the zero-fetch structured path (_INFER_STRUCTURED)
+    "jsoneachrow": ("rawtext", "iter_jsoneachrow_infer_blocks"),
+    "ndjson": ("rawtext", "iter_jsoneachrow_infer_blocks"),
+    "jsonlines": ("rawtext", "iter_jsoneachrow_infer_blocks"),
 }
+
+# members of _WITHNAMES_DECODERS whose structure-given path still uses
+# the classic ZERO-FETCH structured decoders (the stream carries no
+# separate names row to match against — the structure is authoritative)
+_INFER_STRUCTURED = {"jsoneachrow", "ndjson", "jsonlines"}
+
+
+def structure_is_authoritative(fmt: str, structure) -> bool:
+    """True when a declared structure fully determines the plan schema
+    (zero probe fetches); False when the stream must be probed (names
+    in-band, or no structure at all)."""
+    key = fmt.strip().lower()
+    if not structure:
+        return False
+    if key == "regexp":
+        return True
+    return key not in _WITHNAMES_DECODERS or key in _INFER_STRUCTURED
 
 
 def _withnames_decoder_for(fmt: str, structure: Optional[str]):
@@ -120,16 +155,56 @@ def _withnames_decoder_for(fmt: str, structure: Optional[str]):
     return lambda buf: fn(buf, names_types)
 
 
-def validate_format(fmt: str, structure: Optional[str]) -> None:
+def validate_format(
+    fmt: str, structure: Optional[str], settings: Optional[dict] = None
+) -> None:
     """Plan-time format/structure validation shared by the url()/file()
     readers — refusals fire before any fetch or file open."""
     key = fmt.strip().lower()
-    if key in _WITHNAMES_DECODERS:
+    if key == "regexp":
+        _regexp_decoder_for(structure, settings)
+    elif key in _WITHNAMES_DECODERS and not (
+        structure and key in _INFER_STRUCTURED
+    ):
         _withnames_decoder_for(fmt, structure)
     elif structure:
         _structured_decoder_for(fmt, structure)
     else:
         _decoder_for(fmt)
+
+
+def _regexp_decoder_for(structure: Optional[str], settings: Optional[dict]):
+    """``FORMAT Regexp``: structure AND a ``format_regexp`` option are
+    both required (ClickHouse's format_regexp setting); group count
+    must match the structure at plan time."""
+    if not structure:
+        raise ValueError(
+            "Regexp format is not self-describing — pass "
+            "structure='name Type, ...' (capture group i feeds column i)"
+        )
+    rx = (settings or {}).get("format_regexp")
+    if not rx:
+        raise ValueError(
+            "Regexp format needs the format_regexp option (the line "
+            "pattern whose capture groups feed the structure's columns)"
+        )
+    skip = str(
+        (settings or {}).get("format_regexp_skip_unmatched") or ""
+    ).strip().lower() in ("1", "true", "yes", "on")
+    names_types = parse_structure(structure)
+
+    from ..native.rawtext import iter_regexp_blocks
+
+    import re as _re
+
+    if _re.compile(rx).groups != len(names_types):
+        raise ValueError(
+            f"format_regexp has {_re.compile(rx).groups} capture groups "
+            f"but the structure declares {len(names_types)} columns"
+        )
+    return lambda buf: iter_regexp_blocks(
+        buf, names_types, rx, skip_unmatched=skip
+    )
 
 
 # ClickHouse caps glob expansion (glob_expansion_max_elements = 1000);
@@ -288,6 +363,10 @@ def _decoder_for(fmt: str):
         from ..native.jsoneachrow import iter_jsoncompact_blocks
 
         return iter_jsoncompact_blocks
+    if kind == "json":
+        from ..native.rawtext import iter_json_blocks
+
+        return iter_json_blocks
     if kind == "arrowstream":
         from ..native.arrowwire import iter_arrow_blocks
 
@@ -299,6 +378,17 @@ def _decoder_for(fmt: str):
     from ..native.arrowwire import iter_orc_blocks
 
     return iter_orc_blocks
+
+
+def format_settings(options: dict) -> Optional[dict]:
+    """Collect format settings from reader options (the ClickHouse
+    SETTINGS analogues — today the Regexp family)."""
+    out = {
+        k: options[k]
+        for k in ("format_regexp", "format_regexp_skip_unmatched")
+        if options.get(k)
+    }
+    return out or None
 
 
 def parse_headers(spec) -> dict:
@@ -454,18 +544,28 @@ def _add_virtual_fields(schema):
     )
 
 
-def _decode_stream(buf, fmt: str, structure: Optional[str] = None) -> Iterator:
+def _decode_stream(
+    buf,
+    fmt: str,
+    structure: Optional[str] = None,
+    settings: Optional[dict] = None,
+) -> Iterator:
     """Blocks from a stream. Parquet/ORC footers live at EOF, so those
     two buffer the body first; everything else streams. A ``structure``
     switches to the headerless decoders (the three-argument url());
-    WithNames spellings take the structure OPTIONALLY (types infer from
-    the data when absent)."""
-    if fmt.strip().lower() in _WITHNAMES_DECODERS:
+    WithNames / names-in-band spellings take the structure OPTIONALLY
+    (types infer from the data when absent).  ``settings`` carries
+    format settings (format_regexp...)."""
+    key = fmt.strip().lower()
+    if key == "regexp":
+        return _regexp_decoder_for(structure, settings)(buf)
+    if key in _WITHNAMES_DECODERS and not (
+        structure and key in _INFER_STRUCTURED
+    ):
         return _withnames_decoder_for(fmt, structure)(buf)
     if structure:
         return _structured_decoder_for(fmt, structure)(buf)
     decode = _decoder_for(fmt)
-    key = fmt.strip().lower()
     if _FORMAT_DECODERS.get(key) in ("parquet", "orc"):
         data = buf.read()
         buf = io.BytesIO(data)
@@ -478,20 +578,20 @@ def _probe_schema(
     structure: Optional[str] = None,
     compression: Optional[str] = None,
     headers: Optional[dict] = None,
+    settings: Optional[dict] = None,
 ):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     from ..native.contentcodec import normalize_compression
 
     normalize_compression(compression)  # refusals fire BEFORE any fetch
-    key = fmt.strip().lower()
-    if structure and key not in _WITHNAMES_DECODERS:
+    if structure_is_authoritative(fmt, structure):
         # schema comes from the declared structure, zero fetches
         from pyspark.sql.types import StructField, StructType
 
         from .native_datasource import _ch_to_spark
 
-        _structured_decoder_for(fmt, structure)  # validate format+structure
+        validate_format(fmt, structure, settings)  # format+structure
         return StructType(
             [
                 StructField(n, _ch_to_spark(t), True)
@@ -500,9 +600,9 @@ def _probe_schema(
         )
     # WithNames spellings always probe the stream — the NAMES (and,
     # without a structure, the inferred types) live there
-    validate_format(fmt, structure)  # refusals fire BEFORE any fetch
+    validate_format(fmt, structure, settings)  # refusals BEFORE any fetch
     with _open_url(url, compression, headers) as stream:
-        blocks = _decode_stream(stream, fmt, structure)
+        blocks = _decode_stream(stream, fmt, structure, settings)
         try:
             first = next(iter(blocks))
         except StopIteration:
@@ -653,7 +753,8 @@ class ClickHouseURLReader(DataSourceReader):
             raise ValueError("clickhouse_url requires a url option")
         self.fmt = options.get("format", "CSVWithNamesAndTypes")
         self.structure = (options.get("structure") or "").strip() or None
-        validate_format(self.fmt, self.structure)  # plan-time refusals
+        self.settings = format_settings(options)
+        validate_format(self.fmt, self.structure, self.settings)
         self.compression = options.get("compression")
         normalize_compression(self.compression)  # plan-time refusal
         self.headers = parse_headers(options.get("headers"))
@@ -683,7 +784,9 @@ class ClickHouseURLReader(DataSourceReader):
         with _open_url(
             partition.url, self.compression, self.headers
         ) as stream:
-            for blk in _decode_stream(stream, self.fmt, self.structure):
+            for blk in _decode_stream(
+                stream, self.fmt, self.structure, self.settings
+            ):
                 rb = _conform_batch(
                     blk.to_record_batch(),
                     self.field_names,
@@ -721,11 +824,12 @@ class ClickHouseURLDataSource(DataSource):
         fmt = opts.get("format", "CSVWithNamesAndTypes")
         structure = (opts.get("structure") or "").strip() or None
         headers = parse_headers(opts.get("headers"))
+        settings = format_settings(opts)
         mode = _inference_mode(opts)
         if (
             mode == "union"
             and len(urls) > 1
-            and not (structure and fmt.strip().lower() not in _WITHNAMES_DECODERS)
+            and not structure_is_authoritative(fmt, structure)
         ):
             # ClickHouse schema_inference_mode='union': probe EVERY
             # element (one fetch each — the same cost the server pays)
@@ -733,14 +837,16 @@ class ClickHouseURLDataSource(DataSource):
             schema = merge_inferred_schemas(
                 probe_many(
                     lambda u: _probe_schema(
-                        u, fmt, structure, opts.get("compression"), headers
+                        u, fmt, structure, opts.get("compression"),
+                        headers, settings,
                     ),
                     urls,
                 )
             )
         else:
             schema = _probe_schema(
-                urls[0], fmt, structure, opts.get("compression"), headers
+                urls[0], fmt, structure, opts.get("compression"),
+                headers, settings,
             )
         if _truthy(opts.get("virtual_columns")):
             schema = _add_virtual_fields(schema)
@@ -760,6 +866,8 @@ def url_table(
     virtual_columns: bool = False,
     headers=None,
     schema_inference_mode: Optional[str] = None,
+    format_regexp: Optional[str] = None,
+    format_regexp_skip_unmatched: bool = False,
 ):
     """The ``url(url, format[, structure])`` table function as a
     DataFrame. A comma-separated URL list fans out one partition per
@@ -794,10 +902,20 @@ def url_table(
         )
     if schema_inference_mode:
         r = r.option("schema_inference_mode", schema_inference_mode)
+    if format_regexp:
+        r = r.option("format_regexp", format_regexp)
+    if format_regexp_skip_unmatched:
+        r = r.option("format_regexp_skip_unmatched", "true")
     return r.load()
 
 
-def format_table(spark, fmt: str, data, structure: Optional[str] = None):
+def format_table(
+    spark,
+    fmt: str,
+    data,
+    structure: Optional[str] = None,
+    settings: Optional[dict] = None,
+):
     """The ``format(fmt, data[, structure])`` table function: decode an
     inline literal (str or bytes) into a DataFrame. Literal-sized by
     definition, so the decode runs driver-side and the result enters
@@ -805,7 +923,7 @@ def format_table(spark, fmt: str, data, structure: Optional[str] = None):
     import pyarrow as pa
 
     raw = data.encode("utf-8") if isinstance(data, str) else bytes(data)
-    blocks = list(_decode_stream(io.BytesIO(raw), fmt, structure))
+    blocks = list(_decode_stream(io.BytesIO(raw), fmt, structure, settings))
     if not blocks:
         raise ValueError(f"format() literal decoded to zero {fmt} blocks")
     batches = [b.to_record_batch() for b in blocks]
@@ -847,7 +965,12 @@ def url_insert(df, url: str, fmt: str = "CSVWithNamesAndTypes") -> int:
             f"unsupported url() INSERT format {fmt!r}{hint}; one of "
             f"{sorted(set(_FORMAT_DECODERS))}"
         )
-    writer_key = _KIND_TO_WRITER[kind]
+    writer_key = _KIND_TO_WRITER.get(kind)
+    if writer_key is None:
+        raise ValueError(
+            f"format {fmt!r} is read-only for url() INSERT; one of "
+            f"{sorted(set(_KIND_TO_WRITER))}"
+        )
     if not url.lower().startswith(("http://", "https://")):
         raise ValueError(f"url() needs an http(s):// URL, got {url!r}")
 

@@ -77,8 +77,12 @@ def test_url_refuses_non_http():
 
 
 def test_format_refuses_structureless_formats(spark):
+    # r15: JSONEachRow schema-INFERS without a structure now (matching
+    # ClickHouse); Values remains structure-needed
+    df = format_table(spark, "JSONEachRow", '{"a": 1}')
+    assert [tuple(r) for r in df.collect()] == [(1,)]
     with pytest.raises(ValueError, match="not self-describing"):
-        format_table(spark, "JSONEachRow", '{"a": 1}')
+        format_table(spark, "Values", "(1),(2)")
     with pytest.raises(ValueError, match="unsupported"):
         format_table(spark, "NoSuchFormat", "x")
 
