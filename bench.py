@@ -759,6 +759,15 @@ def main() -> None:
         "tf_s3_insert_roundtrip",
         "tf_file_archive_scan",
         "tf_file_union_schema_scan",
+        # fourth tranche (agg states, raw-text/JSON formats, generated
+        # relations, external stores)
+        "native_aggstate_scan",
+        "tf_file_lineasstring_scan",
+        "tf_file_regexp_scan",
+        "tf_file_ndjson_infer_scan",
+        "tf_numbers_offset_step",
+        "tf_sqlite_scan",
+        "tf_deltalake_scan",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

@@ -25,6 +25,7 @@ def register(spark) -> None:
     functions matching the reference's invocation shape (lib.rs:363-365)."""
     from .sources.native_datasource import ClickHouseNativeDataSource
     from .sources.scan_datasource import ClickHouseScanDataSource
+    from .sources.sqlite_table import ClickHouseSqliteDataSource
     from .sources.table_functions import register_table_functions
     from .sources.file_table import ClickHouseFileDataSource
     from .sources.s3_table import ClickHouseS3DataSource
@@ -35,6 +36,10 @@ def register(spark) -> None:
     spark.dataSource.register(ClickHouseURLDataSource)
     spark.dataSource.register(ClickHouseFileDataSource)
     spark.dataSource.register(ClickHouseS3DataSource)
+    spark.dataSource.register(ClickHouseSqliteDataSource)
+    from .sources.delta_table import ClickHouseDeltaDataSource
+
+    spark.dataSource.register(ClickHouseDeltaDataSource)
     register_table_functions(spark)
 
 

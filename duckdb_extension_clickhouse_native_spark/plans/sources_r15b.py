@@ -336,3 +336,245 @@ REGISTRY.df_query(
     "names from object keys + inferred Int64/String types, aggregates "
     "vs the orders parquet oracle",
 )
+
+
+# ---------------------------------------------------------------------------
+# Generated relations + external-store table functions
+# ---------------------------------------------------------------------------
+
+
+def _tf_numbers_offset_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numbers(offset, count, step) — ClickHouse's three-argument
+    spelling over the spark.range parallel leaf (no storage, no
+    driver-side materialization at any count)."""
+    from ..sources.generator_tables import numbers_table
+
+    df = numbers_table(spark, 1_000, 100_000, step=7)
+    return df.groupBy((F.col("number") % 11).alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("number").alias("total"),
+        F.min("number").alias("mn"),
+        F.max("number").alias("mx"),
+    )
+
+
+REGISTRY.df_query(
+    "tf_numbers_offset_step",
+    _tf_numbers_offset_step,
+    oracle="""
+    SELECT range % 11 AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(range) AS BIGINT) AS total,
+           MIN(range) AS mn, MAX(range) AS mx
+    FROM range(1000, 1000 + 100000 * 7, 7)
+    GROUP BY range % 11
+    """,
+    tags=["compat", "table-function", "numbers"],
+    description="numbers(offset, count, step) spelling: arithmetic range "
+    "leaf vs DuckDB range(start, stop, step) (independent generators)",
+)
+
+
+def _sqlite_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """nation rows materialized into a SQLite database file — the
+    external-store shape sqlite() reads."""
+    from .sources import _materialize_fixture
+
+    def write(out_dir: str, t) -> None:
+        import sqlite3
+
+        db = os.path.join(out_dir, "nation.db")
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT, "
+            "n_regionkey INTEGER)"
+        )
+        con.executemany(
+            "INSERT INTO nation VALUES (?, ?, ?)",
+            list(
+                zip(
+                    t.column("n_nationkey").to_pylist(),
+                    t.column("n_name").to_pylist(),
+                    t.column("n_regionkey").to_pylist(),
+                )
+            ),
+        )
+        con.commit()
+        con.close()
+
+    return _materialize_fixture(sf_dir, "nation", "nation-sqlite", write)
+
+
+def _tf_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqlite(db, table): stdlib-sqlite3 executor read with the
+    declared-affinity type mapping; aggregates vs the parquet oracle."""
+    from ..sources.sqlite_table import sqlite_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _sqlite_fixture(spark, sf_dir)
+    df = sqlite_table(spark, os.path.join(d, "nation.db"), "nation")
+    return (
+        df.groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("rk")
+    )
+
+
+REGISTRY.df_query(
+    "tf_sqlite_scan",
+    _tf_sqlite_scan,
+    oracle="""
+    SELECT n_regionkey AS rk,
+           COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY rk
+    """,
+    tags=["source", "tf", "sqlite", "external"],
+    description="sqlite() table function: nation materialized into a "
+    "SQLite file, read back through the clickhouse_sqlite DataSource "
+    "(affinity type mapping), aggregates vs the nation parquet oracle",
+)
+
+
+def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-built Delta table over orders: partition column
+    p = o_orderkey % 3; the p=2 file is ADDED then REMOVED (a
+    compaction-style commit) — log replay must exclude it, which is
+    exactly what separates deltaLake() from file('*.parquet')."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources import _materialize_fixture
+
+    def write(out_dir: str, t) -> None:
+        log = os.path.join(out_dir, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        schema_fields = [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "o_orderstatus", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "cents", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": schema_fields}
+                    ),
+                    "partitionColumns": ["p"],
+                    "configuration": {},
+                }
+            },
+        ]
+        import math
+
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        total = t.column("o_totalprice").to_pylist()
+        by_p: dict = {0: [], 1: [], 2: []}
+        for k, s, v in zip(keys, status, total):
+            by_p[k % 3].append((k, s, int(math.floor(v * 100))))
+        for p_val, rows in by_p.items():
+            rel = f"p={p_val}/part-0.parquet"
+            os.makedirs(os.path.join(out_dir, f"p={p_val}"), exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array(
+                            [r[0] for r in rows], type=pa.int64()
+                        ),
+                        "o_orderstatus": pa.array([r[1] for r in rows]),
+                        "cents": pa.array(
+                            [r[2] for r in rows], type=pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(out_dir, rel),
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"p": str(p_val)},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+        # commit 1: the p=2 file is compacted away
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "remove": {
+                            "path": "p=2/part-0.parquet",
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+    return _materialize_fixture(sf_dir, "orders", "orders-delta", write)
+
+
+def _tf_deltalake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaLake(path): transaction-log replay (adds minus removes) +
+    typed partition-column materialization; the removed p=2 file must
+    NOT contribute rows."""
+    from ..sources.delta_table import delta_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _delta_fixture(spark, sf_dir)
+    df = delta_table(spark, d)
+    return (
+        df.groupBy("p")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+        .orderBy("p")
+    )
+
+
+REGISTRY.df_query(
+    "tf_deltalake_scan",
+    _tf_deltalake_scan,
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS INTEGER) AS p,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders WHERE o_orderkey % 3 <> 2
+    GROUP BY 1 ORDER BY p
+    """,
+    tags=["source", "tf", "delta", "lakehouse"],
+    description="deltaLake() table function: hand-built Delta log "
+    "(adds + a compaction remove), replay excludes the removed "
+    "partition, typed partition column materialized from the log; "
+    "oracle = the active subset recomputed from orders parquet",
+)

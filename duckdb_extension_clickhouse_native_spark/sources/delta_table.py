@@ -1,0 +1,299 @@
+"""ClickHouse ``deltaLake('path')`` table function (docs:
+sql-reference/table-functions/deltalake) — read a Delta Lake table.
+
+Clean-room reader of the PUBLIC Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): the table
+is a directory of parquet data files plus ``_delta_log/`` holding
+ordered JSON commits (``%020d.json``, one action object per line) and
+optional parquet checkpoints (``%020d.checkpoint.parquet`` listed by
+``_last_checkpoint``).  The ACTIVE file set is the log replay — adds
+minus removes — NOT the directory listing: a naive "read all parquet"
+returns deleted/compacted rows.  That replay is exactly what this
+module implements:
+
+* ``_last_checkpoint`` -> read the checkpoint parquet (action columns
+  ``add``/``remove``/``metaData``/``protocol``), then the JSON commits
+  AFTER it, in version order;
+* ``metaData.schemaString`` is a SPARK-JSON schema — parsed with
+  ``StructType.fromJson`` directly (Delta stores Spark's own schema
+  format, the one piece of the protocol that is natively ours);
+* partition values ride the log (``add.partitionValues``, stringly)
+  and are materialized as typed columns per the schema — partition
+  columns are NOT in the data files;
+* ``version=N`` gives time travel: replay stops at commit N.
+
+Refusals (loud, by name): deletion vectors (rows would need masking),
+column mapping modes other than none (physical names diverge), and
+reader features beyond those — honest boundaries of a clean-room
+reader, checked from ``protocol.readerFeatures``.
+
+Scale shape: one Spark input partition per active data file (the same
+planning a native Delta reader does); the log replay is driver-side
+metadata only — a 1M-file table replays one checkpoint parquet plus
+the JSON tail, no data motion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class DeltaSnapshot:
+    def __init__(self, schema, files, partition_cols):
+        self.schema = schema  # StructType (full, incl. partition cols)
+        self.files = files  # list[(data_path, {part_col: str_value})]
+        self.partition_cols = partition_cols
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "metaData" in action and action["metaData"]:
+        state["metaData"] = action["metaData"]
+    if "protocol" in action and action["protocol"]:
+        state["protocol"] = action["protocol"]
+    add = action.get("add")
+    if add:
+        if add.get("deletionVector"):
+            raise ValueError(
+                "deltaLake(): this table uses deletion vectors, which "
+                "this reader does not apply — VACUUM/OPTIMIZE the table "
+                "or read a version before they were added"
+            )
+        state["active"][add["path"]] = add.get("partitionValues") or {}
+    rem = action.get("remove")
+    if rem:
+        state["active"].pop(rem["path"], None)
+
+
+def _read_checkpoint(log: str, version: int, parts: Optional[int]) -> list:
+    import pyarrow.parquet as pq
+
+    if parts:
+        names = [
+            f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            for i in range(parts)
+        ]
+    else:
+        names = [f"{version:020d}.checkpoint.parquet"]
+    actions: list = []
+    for nm in names:
+        t = pq.read_table(os.path.join(log, nm))
+        cols = {
+            c: t.column(c).to_pylist()
+            for c in ("add", "remove", "metaData", "protocol")
+            if c in t.schema.names
+        }
+        for i in range(t.num_rows):
+            actions.append({k: v[i] for k, v in cols.items()})
+    return actions
+
+
+def load_snapshot(path: str, version: Optional[int] = None) -> DeltaSnapshot:
+    """Replay the transaction log into (schema, active file set)."""
+    from pyspark.sql.types import StructType
+
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        raise ValueError(
+            f"deltaLake(): {path!r} has no _delta_log directory — not a "
+            "Delta table (for plain parquet directories use file())"
+        )
+    state: dict = {"active": {}, "metaData": None, "protocol": None}
+    start = 0
+    lc = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(lc) and version is None:
+        with open(lc) as f:
+            meta = json.load(f)
+        cp_version = int(meta["version"])
+        for a in _read_checkpoint(log, cp_version, meta.get("parts")):
+            _apply_action(state, a)
+        start = cp_version + 1
+    commits = sorted(
+        f for f in os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    applied = start > 0
+    for nm in commits:
+        v = int(nm[:-5])
+        if v < start:
+            continue
+        if version is not None and v > version:
+            break
+        applied = True
+        with open(os.path.join(log, nm)) as f:
+            for line in f:
+                if line.strip():
+                    _apply_action(state, json.loads(line))
+    if not applied and version is not None:
+        raise ValueError(
+            f"deltaLake(): version {version} not found in {log!r}"
+        )
+    md = state["metaData"]
+    if md is None:
+        raise ValueError(
+            f"deltaLake(): no metaData action in the log at {log!r}"
+        )
+    proto = state["protocol"] or {}
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - {"timestampNtz", "vacuumProtocolCheck"}
+    if unsupported:
+        raise ValueError(
+            "deltaLake(): table requires reader features "
+            f"{sorted(unsupported)} this clean-room reader does not "
+            "implement"
+        )
+    conf = md.get("configuration") or {}
+    cm = conf.get("delta.columnMapping.mode", "none")
+    if cm not in ("none", ""):
+        raise ValueError(
+            f"deltaLake(): columnMapping mode {cm!r} is not supported "
+            "(physical column names diverge from the schema)"
+        )
+    schema = StructType.fromJson(json.loads(md["schemaString"]))
+    part_cols = list(md.get("partitionColumns") or [])
+    files = [
+        (os.path.join(path, p), pv)
+        for p, pv in sorted(state["active"].items())
+    ]
+    return DeltaSnapshot(schema, files, part_cols)
+
+
+def _typed_partition_value(raw: Optional[str], dt):
+    """Delta partition values travel as strings (PROTOCOL.md
+    'Partition Value Serialization'); null/absent and
+    __HIVE_DEFAULT_PARTITION__ mean NULL."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return int(raw)
+    if isinstance(dt, (FloatType, DoubleType)):
+        return float(raw)
+    if isinstance(dt, BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return datetime.datetime.fromisoformat(raw)
+    return raw
+
+
+class _DeltaPartition(InputPartition):
+    def __init__(self, data_path: str, part_values: dict):
+        self.data_path = data_path
+        self.part_values = part_values
+
+
+class _DeltaReader(DataSourceReader):
+    def __init__(self, options: dict, plan_schema):
+        self.path = options.get("path") or ""
+        v = options.get("version")
+        self.version = int(v) if v not in (None, "") else None
+        self.plan_schema = plan_schema
+        snap = load_snapshot(self.path, self.version)
+        self.snapshot = snap
+
+    def partitions(self):
+        return [
+            _DeltaPartition(p, pv) for p, pv in self.snapshot.files
+        ] or [_DeltaPartition("", {})]
+
+    def read(self, partition: _DeltaPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.plan_schema)
+        if not partition.data_path:
+            yield pa.RecordBatch.from_pylist([], schema=arrow_schema)
+            return
+        part_cols = {f.name for f in self.plan_schema.fields} & set(
+            partition.part_values
+        ) | {
+            c
+            for c in self.snapshot.partition_cols
+            if c in arrow_schema.names
+        }
+        spark_types = {f.name: f.dataType for f in self.plan_schema.fields}
+        data_cols = [n for n in arrow_schema.names if n not in part_cols]
+        t = pq.read_table(partition.data_path, columns=data_cols)
+        n = t.num_rows
+        arrays = []
+        for f in arrow_schema:
+            if f.name in part_cols:
+                v = _typed_partition_value(
+                    partition.part_values.get(f.name),
+                    spark_types[f.name],
+                )
+                arrays.append(
+                    pa.nulls(n, type=f.type)
+                    if v is None
+                    else pa.array([v] * n).cast(f.type)
+                )
+            else:
+                arrays.append(
+                    t.column(f.name).combine_chunks().cast(f.type)
+                )
+        tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
+        yield from tbl.to_batches(max_chunksize=65_536)
+
+
+class ClickHouseDeltaDataSource(DataSource):
+    """``spark.read.format("clickhouse_delta").option("path", ...)
+    .load()`` (+ optional ``version`` for time travel)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickhouse_delta"
+
+    def schema(self):
+        memo = getattr(self, "_schema_memo", None)
+        if memo is not None:
+            return memo
+        opts = dict(self.options)
+        v = opts.get("version")
+        snap = load_snapshot(
+            opts.get("path") or "", int(v) if v not in (None, "") else None
+        )
+        self._schema_memo = snap.schema
+        return self._schema_memo
+
+    def reader(self, schema) -> _DeltaReader:
+        return _DeltaReader(dict(self.options), schema)
+
+
+def delta_table(
+    spark: SparkSession, path: str, version: Optional[int] = None
+) -> DataFrame:
+    """The ``deltaLake(path)`` table function as a DataFrame
+    (``version`` = time travel to that commit)."""
+    from ..plans.base import ensure_session
+
+    ensure_session(spark)
+    r = spark.read.format("clickhouse_delta").option("path", path)
+    if version is not None:
+        r = r.option("version", str(version))
+    return r.load()

@@ -362,6 +362,9 @@ def register_table_functions(spark: SparkSession) -> None:
 
     spark.udtf.register("clickhouse_s3", make_s3_udtf())
     spark.udtf.register("clickhouse_native_columns", make_columns_udtf())
+    from .generator_tables import make_numbers_udtf
+
+    spark.udtf.register("clickhouse_numbers", make_numbers_udtf())
 
 
 def trivial_count(spark: SparkSession, path: str) -> DataFrame:
