@@ -768,6 +768,7 @@ def main() -> None:
         "tf_numbers_offset_step",
         "tf_sqlite_scan",
         "tf_deltalake_scan",
+        "tf_file_avro_roundtrip",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

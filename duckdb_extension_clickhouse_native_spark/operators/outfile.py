@@ -44,6 +44,7 @@ _WRITERS = {
     "parquet": ("arrowwire", "write_parquet"),
     "orc": ("arrowwire", "write_orc"),
     "npy": ("npyformat", "write_npy"),
+    "avro": ("avroformat", "write_avro"),
 }
 
 

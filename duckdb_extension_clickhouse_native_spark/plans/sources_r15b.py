@@ -578,3 +578,74 @@ REGISTRY.df_query(
     "partition, typed partition column materialized from the log; "
     "oracle = the active subset recomputed from orders parquet",
 )
+
+
+def _avro_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """INTO OUTFILE 'lineitem.avro' of the l_orderkey % 101 == 0 slice
+    — the engine's own Avro writer produces the OCF the entry reads
+    back (magic asserted; the reader is independently pinned against
+    hand-built spec bytes in tests/test_avroformat.py)."""
+    from .sources import _materialize_fixture
+
+    def write(out_dir: str, t) -> None:
+        import duckdb
+
+        from ..operators.outfile import into_outfile
+
+        con = duckdb.connect()
+        con.register("t", t)
+        sub = con.execute(
+            "SELECT l_orderkey, l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM t WHERE l_orderkey % 101 = 0"
+        ).arrow()
+        con.close()
+        df = spark.createDataFrame(sub)
+        path = os.path.join(out_dir, "lineitem.avro")
+        into_outfile(df, path, "avro", truncate=True)
+        with open(path, "rb") as f:
+            if f.read(4) != b"Obj\x01":
+                raise AssertionError("outfile must write real Avro OCF")
+
+    return _materialize_fixture(sf_dir, "lineitem", "lineitem-avro", write)
+
+
+def _tf_file_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT Avro export/reimport symmetry (the compressed-scan
+    pattern): the OCF's embedded schema makes file() self-describing."""
+    from ..sources.file_table import file_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _avro_fixture(spark, sf_dir)
+    df = file_table(spark, os.path.join(d, "lineitem.avro"), "Avro")
+    return (
+        df.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qty").alias("qty"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+REGISTRY.df_query(
+    "tf_file_avro_roundtrip",
+    _tf_file_avro_roundtrip,
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+    tags=["source", "file", "tf", "format", "avro"],
+    description="FORMAT Avro read+write: INTO OUTFILE emits a "
+    "spec-conforming OCF (magic asserted; reader pinned vs hand-built "
+    "spec bytes), file() reads it back via the embedded schema; oracle "
+    "from raw parquet",
+)

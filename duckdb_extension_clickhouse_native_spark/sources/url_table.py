@@ -61,6 +61,8 @@ _FORMAT_DECODERS = {
     # the full result-object format: meta carries REAL CH type names,
     # so it is self-describing (read-only — no INSERT writer)
     "json": "json",
+    # Avro OCF: embedded schema, read AND write (native/avroformat.py)
+    "avro": "avro",
 }
 
 # formats whose stream carries NO names/types: ClickHouse's url()
@@ -367,6 +369,10 @@ def _decoder_for(fmt: str):
         from ..native.rawtext import iter_json_blocks
 
         return iter_json_blocks
+    if kind == "avro":
+        from ..native.avroformat import iter_avro_blocks
+
+        return iter_avro_blocks
     if kind == "arrowstream":
         from ..native.arrowwire import iter_arrow_blocks
 
@@ -941,6 +947,7 @@ _KIND_TO_WRITER = {
     "arrowstream": "arrowstream",
     "parquet": "parquet",
     "orc": "orc",
+    "avro": "avro",
 }
 
 
