@@ -120,6 +120,70 @@ def iter_parquet_blocks(
         yield RawBatch(batch)
 
 
+def iter_parquetmetadata_blocks(
+    buf: BinaryIO, *, lossy_uint64: bool = False, block_rows: int = 65_536
+) -> Iterator[RawBatch]:
+    """``FORMAT ParquetMetadata`` (docs: interfaces/formats
+    #parquetmetadata): ONE row describing the parquet file — footer
+    fields plus a per-column JSON description — without decoding any
+    data pages.  The at-scale use is auditing a lake: file() globs a
+    million objects, one metadata row each, zero data I/O beyond
+    footers."""
+    import io
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = buf.read()
+    pf = pq.ParquetFile(io.BytesIO(data))
+    md = pf.metadata
+    cols = []
+    total_comp = 0
+    total_uncomp = 0
+    for ci in range(md.num_columns):
+        c0 = md.row_group(0).column(ci) if md.num_row_groups else None
+        comp = sum(
+            md.row_group(g).column(ci).total_compressed_size
+            for g in range(md.num_row_groups)
+        )
+        uncomp = sum(
+            md.row_group(g).column(ci).total_uncompressed_size
+            for g in range(md.num_row_groups)
+        )
+        total_comp += comp
+        total_uncomp += uncomp
+        cols.append(
+            _json.dumps(
+                {
+                    "name": pf.schema_arrow.names[ci]
+                    if ci < len(pf.schema_arrow.names)
+                    else md.schema.column(ci).name,
+                    "physical_type": md.schema.column(ci).physical_type,
+                    "logical_type": str(
+                        md.schema.column(ci).logical_type
+                    ),
+                    "compression": c0.compression if c0 else None,
+                    "total_compressed_size": comp,
+                    "total_uncompressed_size": uncomp,
+                },
+                separators=(",", ":"),
+            )
+        )
+    batch = pa.record_batch(
+        {
+            "num_columns": pa.array([md.num_columns], pa.int64()),
+            "num_rows": pa.array([md.num_rows], pa.int64()),
+            "num_row_groups": pa.array([md.num_row_groups], pa.int64()),
+            "format_version": pa.array([str(md.format_version)]),
+            "total_compressed_size": pa.array([total_comp], pa.int64()),
+            "total_uncompressed_size": pa.array([total_uncomp], pa.int64()),
+            "columns": pa.array([cols], pa.list_(pa.string())),
+        }
+    )
+    yield RawBatch(batch)
+
+
 def write_parquet(buf: BinaryIO, batches, ch_types=None) -> int:
     import pyarrow.parquet as pq
 

@@ -63,6 +63,8 @@ _FORMAT_DECODERS = {
     "json": "json",
     # Avro OCF: embedded schema, read AND write (native/avroformat.py)
     "avro": "avro",
+    # parquet footer introspection, one row per file (read-only)
+    "parquetmetadata": "parquetmetadata",
 }
 
 # formats whose stream carries NO names/types: ClickHouse's url()
@@ -373,6 +375,10 @@ def _decoder_for(fmt: str):
         from ..native.avroformat import iter_avro_blocks
 
         return iter_avro_blocks
+    if kind == "parquetmetadata":
+        from ..native.arrowwire import iter_parquetmetadata_blocks
+
+        return iter_parquetmetadata_blocks
     if kind == "arrowstream":
         from ..native.arrowwire import iter_arrow_blocks
 
@@ -572,7 +578,7 @@ def _decode_stream(
     if structure:
         return _structured_decoder_for(fmt, structure)(buf)
     decode = _decoder_for(fmt)
-    if _FORMAT_DECODERS.get(key) in ("parquet", "orc"):
+    if _FORMAT_DECODERS.get(key) in ("parquet", "orc", "parquetmetadata"):
         data = buf.read()
         buf = io.BytesIO(data)
     return decode(buf)
