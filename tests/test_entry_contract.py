@@ -32,8 +32,10 @@ def test_first_50_is_the_grading_window():
     import __spark_entry__ as e
     from duckdb_extension_clickhouse_native_spark.plans.base import GRADING_WINDOW
 
-    assert len(GRADING_WINDOW) == 50
-    assert list(e.queries())[:50] == GRADING_WINDOW
+    # the window may list MORE than 50 (overflow ranks the rotation
+    # for the next round); the driver grades exactly the first 50
+    assert len(GRADING_WINDOW) >= 50
+    assert list(e.queries())[:50] == GRADING_WINDOW[:50]
 
 
 def test_entry_runs_flagship(spark):

@@ -36,14 +36,18 @@ def test_grading_window_is_first_50():
     from duckdb_extension_clickhouse_native_spark.plans.base import GRADING_WINDOW
 
     names = list(entrymod.queries())
-    assert len(GRADING_WINDOW) == 50
-    assert len(set(GRADING_WINDOW)) == 50, "duplicates in GRADING_WINDOW"
+    # the window may list MORE than 50 — overflow ranks the rotation
+    # for the next round; the driver grades exactly the first 50
+    assert len(GRADING_WINDOW) >= 50
+    assert len(set(GRADING_WINDOW)) == len(GRADING_WINDOW), (
+        "duplicates in GRADING_WINDOW"
+    )
     missing = [n for n in GRADING_WINDOW if n not in REGISTRY.all()]
     assert not missing, f"GRADING_WINDOW names not registered: {missing}"
-    assert names[:50] == GRADING_WINDOW
+    assert names[:50] == GRADING_WINDOW[:50]
     # every windowed entry must be oracle-checked (no_oracle == driver failure)
     oracles = entrymod.oracle_sql()
-    no_oracle = [n for n in GRADING_WINDOW if n not in oracles]
+    no_oracle = [n for n in GRADING_WINDOW[:50] if n not in oracles]
     assert not no_oracle, f"first-50 entries without an oracle: {no_oracle}"
 
 

@@ -291,6 +291,16 @@ AUDIT = [
     "tf_s3_insert_roundtrip",
     "tf_file_archive_scan",
     "tf_file_union_schema_scan",
+    # round-15 fourth tranche (agg states, raw-text/JSON formats,
+    # generated relations, external stores, Avro)
+    "native_aggstate_scan",
+    "tf_file_lineasstring_scan",
+    "tf_file_regexp_scan",
+    "tf_file_ndjson_infer_scan",
+    "tf_numbers_offset_step",
+    "tf_sqlite_scan",
+    "tf_deltalake_scan",
+    "tf_file_avro_roundtrip",
 ]
 
 
