@@ -769,6 +769,7 @@ def main() -> None:
         "tf_sqlite_scan",
         "tf_deltalake_scan",
         "tf_file_avro_roundtrip",
+        "tf_iceberg_scan",
     ]
     r15_ops, r15_total = run_tier(r15_names)
 

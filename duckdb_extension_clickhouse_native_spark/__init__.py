@@ -38,8 +38,10 @@ def register(spark) -> None:
     spark.dataSource.register(ClickHouseS3DataSource)
     spark.dataSource.register(ClickHouseSqliteDataSource)
     from .sources.delta_table import ClickHouseDeltaDataSource
+    from .sources.iceberg_table import ClickHouseIcebergDataSource
 
     spark.dataSource.register(ClickHouseDeltaDataSource)
+    spark.dataSource.register(ClickHouseIcebergDataSource)
     register_table_functions(spark)
 
 

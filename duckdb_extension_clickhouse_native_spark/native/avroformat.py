@@ -46,6 +46,21 @@ from .types import CHType, UnsupportedTypeError, parse_type, to_arrow
 MAGIC = b"Obj\x01"
 
 
+def named_tuple_type(fields: list) -> CHType:
+    """CHType for a NAMED Tuple (``[(name, 'Type'), ...]``): the
+    writer's record arm needs field names, and ``parse_type`` keeps
+    Tuple element names only for Nested — this is the explicit
+    constructor (used by Iceberg manifest fixtures and any caller
+    writing Avro records)."""
+    t = CHType("Tuple")
+    for n, ts in fields:
+        t.tuple_names.append(n)
+        t.tuple_items.append(parse_type(ts))
+    t.params = ", ".join(f"{n} {x.name}" for n, x in
+                         zip(t.tuple_names, t.tuple_items))
+    return t
+
+
 # ----------------------------------------------------------- primitives
 
 
@@ -475,6 +490,15 @@ def _ch_to_avro_schema(name: str, t: CHType) -> dict:
                 name + "_value", inner.tuple_items[1]
             )["type"],
         }
+    elif b == "Tuple" and inner.tuple_names:
+        sch = {
+            "type": "record",
+            "name": f"{name}_r",
+            "fields": [
+                _ch_to_avro_schema(fn, ft)
+                for fn, ft in zip(inner.tuple_names, inner.tuple_items)
+            ],
+        }
     else:
         raise UnsupportedTypeError(
             f"Avro writer: no mapping for {t.name!r}"
@@ -536,6 +560,9 @@ def _encode_value(buf: BinaryIO, v, t: CHType) -> None:
                 _write_bytes(buf, str(k).encode("utf-8"))
                 _encode_value(buf, x, t.tuple_items[1])
         _write_long(buf, 0)
+    elif b == "Tuple" and t.tuple_names:
+        for fn, ft in zip(t.tuple_names, t.tuple_items):
+            _encode_value(buf, (v or {}).get(fn), ft)
     else:
         raise UnsupportedTypeError(f"Avro writer: no encoder for {t.name!r}")
 

@@ -585,6 +585,7 @@ GRADING_WINDOW = [
     "tf_sqlite_scan",  # NEVER GRADED (r15: sqlite() external read)
     "tf_deltalake_scan",  # NEVER GRADED (r15: Delta log replay)
     "tf_file_avro_roundtrip",  # NEVER GRADED (r15: Avro OCF read+write)
+    "tf_iceberg_scan",  # NEVER GRADED (r15: Iceberg manifest replay)
     "tf_file_compressed_scan",  # NEVER GRADED (r15: .gz reimport)
     "tf_url_compressed_scan",  # NEVER GRADED (r15: .zst over HTTP)
     "tf_s3_scan",  # NEVER GRADED (r15: s3() listing + virtuals)
@@ -593,20 +594,22 @@ GRADING_WINDOW = [
     "tf_file_union_schema_scan",  # NEVER GRADED (r15: union inference)
     "native_dynamic_scan",  # NEVER GRADED (r15: Dynamic prefix decode)
     # changed-path re-proofs (r15 compression/virtuals/outfile rewire)
-    # (trimmed from 8 to 5 so the full-50 window keeps >=30 of the r7
-    # cohort alongside the 15 never-graded r15 entries: tf_url_csv_scan
+    # (trimmed from 8 to 4 so the full-50 window keeps >=30 of the r7
+    # cohort alongside the 16 never-graded r15 entries: tf_url_csv_scan
     # dropped — its conform/compression route is exercised by the two
     # compressed-scan entries above; native_into_outfile dropped — the
     # outfile sink is proven by the tf_file_compressed_scan and
     # tf_file_avro_roundtrip fixtures, which assert the written bytes
     # before reimporting them; tf_url_insert_roundtrip dropped — the
     # compressed-POST arm and the read-only-format guard are pinned in
-    # tests/test_contentcodec.py + tests/test_rawtext_formats.py)
+    # tests/test_contentcodec.py + tests/test_rawtext_formats.py;
+    # native_variant_scan dropped — its changed path (encode
+    # never-promote list + _promote_nullable) is the SAME arm family
+    # the graded native_dynamic_scan and native_aggstate_scan execute)
     "tf_file_scan",  # green r14; r15 _open_file + conform path
     "tf_url_withnames_scan",  # green r14; r15 inference-cast path
     "tf_url_glob_scan",  # green r14; r15 _open_url path + GET retry
     "tf_url_structure_scan",  # green r14; r15 structured-decoder path
-    "native_variant_scan",  # green r14; r15 encode never-promote list
     # oldest-evidence cohort (newest green r7), window_plan.py order
     "subquery_scalar_avg",  # green r7
     "union_by_name",  # green r7

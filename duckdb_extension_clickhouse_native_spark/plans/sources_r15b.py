@@ -649,3 +649,200 @@ REGISTRY.df_query(
     "spec bytes), file() reads it back via the embedded schema; oracle "
     "from raw parquet",
 )
+
+
+def _iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-built Iceberg v2 table over orders (public spec layouts,
+    manifests written by the engine's own Avro writer): data files per
+    o_orderkey % 3; the CURRENT snapshot's manifest marks the p=2 file
+    status=2 (DELETED) — manifest replay must exclude it."""
+    import json as _json
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..native.avroformat import named_tuple_type, write_avro
+    from ..native.types import parse_type
+    from .sources import _materialize_fixture
+
+    df_tuple = named_tuple_type(
+        [
+            ("content", "Int32"),
+            ("file_path", "String"),
+            ("file_format", "String"),
+            ("record_count", "Int64"),
+            ("file_size_in_bytes", "Int64"),
+        ]
+    )
+
+    def write_manifest(path, entries):
+        batch = pa.record_batch(
+            {
+                "status": pa.array([e[0] for e in entries], pa.int32()),
+                "snapshot_id": pa.array([1] * len(entries), pa.int64()),
+                "data_file": pa.array(
+                    [
+                        {
+                            "content": 0,
+                            "file_path": e[1],
+                            "file_format": "PARQUET",
+                            "record_count": 1,
+                            "file_size_in_bytes": 1,
+                        }
+                        for e in entries
+                    ],
+                    type=pa.struct(
+                        [
+                            pa.field("content", pa.int32()),
+                            pa.field("file_path", pa.string()),
+                            pa.field("file_format", pa.string()),
+                            pa.field("record_count", pa.int64()),
+                            pa.field("file_size_in_bytes", pa.int64()),
+                        ]
+                    ),
+                ),
+            }
+        )
+        with open(path, "wb") as f:
+            write_avro(
+                f,
+                [batch],
+                ch_types=[
+                    parse_type("Int32"),
+                    parse_type("Nullable(Int64)"),
+                    df_tuple,
+                ],
+            )
+
+    def write(out_dir: str, t: pa.Table) -> None:
+        data = os.path.join(out_dir, "data")
+        mdir = os.path.join(out_dir, "metadata")
+        os.makedirs(data, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        keys = t.column("o_orderkey").to_pylist()
+        status = t.column("o_orderstatus").to_pylist()
+        total = t.column("o_totalprice").to_pylist()
+        by_p: dict = {0: [], 1: [], 2: []}
+        for k, s, v in zip(keys, status, total):
+            by_p[k % 3].append((k, s, int(math.floor(v * 100))))
+        paths = {}
+        for p_val, rows in by_p.items():
+            fp = os.path.join(data, f"part-{p_val}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array(
+                            [r[0] for r in rows], pa.int64()
+                        ),
+                        "o_orderstatus": pa.array([r[1] for r in rows]),
+                        "cents": pa.array(
+                            [r[2] for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                fp,
+            )
+            paths[p_val] = fp
+        write_manifest(
+            os.path.join(mdir, "m2.avro"),
+            [
+                (0, paths[0]),
+                (0, paths[1]),
+                (2, paths[2]),  # DELETED in the current snapshot
+            ],
+        )
+        ml = pa.record_batch(
+            {
+                "manifest_path": pa.array(
+                    [os.path.join(mdir, "m2.avro")], pa.string()
+                ),
+                "manifest_length": pa.array([1], pa.int64()),
+                "partition_spec_id": pa.array([0], pa.int32()),
+                "content": pa.array([0], pa.int32()),
+            }
+        )
+        with open(os.path.join(mdir, "ml2.avro"), "wb") as f:
+            write_avro(
+                f,
+                [ml],
+                ch_types=[
+                    parse_type("String"),
+                    parse_type("Int64"),
+                    parse_type("Int32"),
+                    parse_type("Int32"),
+                ],
+            )
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-0000000000ff",
+            "location": out_dir,
+            "current-snapshot-id": 2,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "type": "long",
+                         "required": False},
+                        {"id": 2, "name": "o_orderstatus",
+                         "type": "string", "required": False},
+                        {"id": 3, "name": "cents", "type": "long",
+                         "required": False},
+                    ],
+                }
+            ],
+            "current-schema-id": 0,
+            "snapshots": [
+                {
+                    "snapshot-id": 2,
+                    "manifest-list": os.path.join(mdir, "ml2.avro"),
+                }
+            ],
+        }
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write("1")
+
+    return _materialize_fixture(sf_dir, "orders", "orders-iceberg", write)
+
+
+def _tf_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg(path): metadata JSON -> manifest-list Avro -> manifest
+    Avro -> parquet; the status=2 entry must NOT contribute rows."""
+    from ..sources.iceberg_table import iceberg_table
+    from .base import ensure_session
+
+    ensure_session(spark)
+    d = _iceberg_fixture(spark, sf_dir)
+    df = iceberg_table(spark, d)
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
+REGISTRY.df_query(
+    "tf_iceberg_scan",
+    _tf_iceberg_scan,
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=["source", "tf", "iceberg", "lakehouse"],
+    description="iceberg() table function: spec-built v2 table (Avro "
+    "manifests via the engine's own writer), manifest replay excludes "
+    "the status=2 deleted file; oracle = the active subset from orders "
+    "parquet",
+)

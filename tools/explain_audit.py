@@ -301,6 +301,7 @@ AUDIT = [
     "tf_sqlite_scan",
     "tf_deltalake_scan",
     "tf_file_avro_roundtrip",
+    "tf_iceberg_scan",
 ]
 
 
