@@ -68,6 +68,12 @@ _ALTERNATIVES = {
         "refused as policy — see executable(); use a Pandas UDF / "
         "mapInArrow transform"
     ),
+    "hudi": (
+        "Hudi's timeline/MOR-compaction layout is not implemented; "
+        "deltaLake() and iceberg() cover the lakehouse formats this "
+        "engine reads — or read a Hudi COW table's latest file slices "
+        "directly via file('*.parquet') if you know the slice layout"
+    ),
 }
 
 
@@ -94,3 +100,4 @@ jdbc_table = _refuse("jdbc")
 odbc_table = _refuse("odbc")
 executable_table = _refuse("executable")
 executable_pool_table = _refuse("executablePool")
+hudi_table = _refuse("hudi")

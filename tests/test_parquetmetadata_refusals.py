@@ -52,6 +52,7 @@ def test_parquetmetadata_is_read_only_for_insert(spark):
         ("odbc_table", "JDBC driver"),
         ("executable_table", "policy"),
         ("executable_pool_table", "policy"),
+        ("hudi_table", "deltaLake"),
     ],
 )
 def test_external_server_named_refusals(fn_name, frag):
