@@ -220,6 +220,10 @@ def connected_components(
     graph and is_kept marks the canonical survivor."""
     from ..plans.base import load_tables
 
+    # NOT resized to 8 reducers (r15 optimization round measured the
+    # pagerank-style scoped_conf(shuffle.partitions, 8) at 1.58 s vs
+    # 1.47 s with the session default — per-round fixed costs, not
+    # reducer count, dominate this loop at bench scale)
     load_tables(spark, sf_dir, ["documents"])
     edges = spark.sql(_edges_sql("spark"))
     seeds = spark.sql(_seed_labels_sql("spark"))

@@ -1286,17 +1286,86 @@ _NGRAM_DIST_FAST_SPARK = f"""
     LIMIT 20
 """
 
-REGISTRY.sql_query(
+def ngram_distance_fast_df(spark: "SparkSession") -> "DataFrame":
+    """ngramDistance over the current ``documents`` view as a MAP-ONLY
+    plan (r15 optimization, guide §4.2): both per-doc quantities are
+    functions of the doc alone — n_common = needle-gram containment,
+    n_a = distinct char-4-gram count — so the posting-list explode
+    (~1 shuffle row per character: |chars| rows through two exchanges
+    at sf0.1, |corpus chars| at 100 TB) is replaced by one
+    ``mapInArrow`` that computes them per batch and ships back 3 ints
+    per doc. lower() stays in Spark codegen so the lowercase semantics
+    are exactly the SQL forms'; Python sees only (doc_id, lt). The
+    gram-set distinct runs as a per-doc set over code-point slices —
+    identical to ``substring(lt, i, 4)`` (both index code points) with
+    the GREATEST(...,0) empty-set edge of the gram-array form. Memory
+    is bounded by one doc's gram set (the same bound the gram-ARRAY
+    sql form has); the repartition spreads the CPU-bound kernel over
+    the cluster and moves only (doc_id, lt) — at sf0.1 that is ~1.5 MB.
+    Same integer arithmetic, one IEEE division -> bit-identical to the
+    shared oracle (twin pin: tests/test_ngram_fast_twin.py)."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    grams = list(_NGRAM_SEARCH_GRAMS)
+    k = len(grams)
+
+    docs = (
+        spark.table("documents")
+        .where("length(text) >= 4")
+        .selectExpr("doc_id", "lower(text) AS lt")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def counts(batches):
+        for b in batches:
+            lts = b.column(1).to_pylist()
+            n_common = [sum(1 for g in grams if g in s) for s in lts]
+            n_a = [
+                len({s[i : i + 4] for i in range(len(s) - 3)})
+                for s in lts
+            ]
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.array(n_common, type=pa.int64()),
+                    pa.array(n_a, type=pa.int64()),
+                ],
+                names=["doc_id", "n_common", "n_a"],
+            )
+
+    out = docs.mapInArrow(counts, "doc_id long, n_common long, n_a long")
+    return (
+        out.selectExpr(
+            "doc_id",
+            "n_common",
+            f"CAST(n_a + {k} - n_common AS BIGINT) AS n_union",
+            f"CAST(n_common AS DOUBLE) / (n_a + {k} - n_common)"
+            " AS ngram_sim",
+        )
+        .orderBy(F.desc("ngram_sim"), "doc_id")
+        .limit(20)
+    )
+
+
+def _ngram_distance_query(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    from .base import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    return ngram_distance_fast_df(spark)
+
+
+REGISTRY.df_query(
     "text_ngram_distance",
-    _NGRAM_DIST_FAST_SPARK,
+    _ngram_distance_query,
     oracle=_NGRAM_DIST_DUCK,
-    tables=["documents"],
     tags=["compat", "text", "similarity", "scale"],
-    description="ClickHouse ngramDistance (default = at-scale plan, "
-    "r13 promotion): n_common via 22 codegen substring probes, |A| "
-    "via posting-list explode + map-side-combined dedup — no per-doc "
-    "gram-array materialization, AQE-splittable shuffles; "
-    "text_ngram_distance_sql keeps the parity form, same oracle",
+    description="ClickHouse ngramDistance (default = at-scale plan; "
+    "r15: map-only mapInArrow kernel — n_common + distinct-gram count "
+    "computed per batch, 3 ints/doc shipped back, zero data shuffles "
+    "vs the r13 posting-list's explode of one row per character; "
+    "text_ngram_distance_sql keeps the parity form, same oracle)",
 )
 
 

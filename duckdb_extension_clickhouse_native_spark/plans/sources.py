@@ -1376,9 +1376,13 @@ def _native_block_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _block_sorted_events_fixture(spark, sf_dir)
+    # byte-skip the unreferenced columns (event_id/props/ts): block
+    # pruning composes with column pruning in the reader
+    cols = "user_id,event_type,value"
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": path}))
+        .schema(infer_native_schema({"path": path, "columns": cols}))
+        .option("columns", cols)
         .option("split_blocks", "true")
         .option("target_partition_bytes", str(64 * 1024))
         .load(path)
@@ -1826,9 +1830,13 @@ def _native_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _bloom_scatter_fixture(spark, sf_dir)
+    # prune the scan to the probed/projected columns (guide: pruning
+    # must reach the source) — text is never referenced by this entry
+    cols = "doc_id,uid,n_chars,lang"
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": path}))
+        .schema(infer_native_schema({"path": path, "columns": cols}))
+        .option("columns", cols)
         .load(path)
         .filter(F.col("uid").isin("u42", "u301", "u17"))
     )
@@ -2060,9 +2068,14 @@ def _native_set_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _set_index_fixture(spark, sf_dir)
+    # column pruning must reach the scan (no automatic pruning through
+    # the Python DataSource API): the probe never touches text/source,
+    # so byte-skip them instead of decoding ~300 chars/row for nothing
+    cols = "doc_id,grade,n_chars,lang"
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": path}))
+        .schema(infer_native_schema({"path": path, "columns": cols}))
+        .option("columns", cols)
         .load(path)
         .filter((F.col("grade") >= 14) & (F.col("grade") <= 16))
     )

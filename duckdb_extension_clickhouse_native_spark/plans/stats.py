@@ -1100,7 +1100,8 @@ _SPEARMAN_SPARK = """
       FROM bsa
     ),
     ra AS (
-      SELECT la.v, 2 * (boa.off + la.lless) + la.cnt + 1 AS r2
+      SELECT /*+ BROADCAST(boa) */
+             la.v, 2 * (boa.off + la.lless) + la.cnt + 1 AS r2
       FROM la JOIN boa ON la.bk = boa.bk
     ),
     gb AS (SELECT b AS v, COUNT(*) AS cnt FROM s GROUP BY b),
@@ -1118,11 +1119,13 @@ _SPEARMAN_SPARK = """
       FROM bsb
     ),
     rb AS (
-      SELECT lb.v, 2 * (bob.off + lb.lless) + lb.cnt + 1 AS r2
+      SELECT /*+ BROADCAST(bob) */
+             lb.v, 2 * (bob.off + lb.lless) + lb.cnt + 1 AS r2
       FROM lb JOIN bob ON lb.bk = bob.bk
     ),
     r AS (
-      SELECT ra.r2 AS ra2, rb.r2 AS rb2
+      SELECT /*+ BROADCAST(ra), SHUFFLE_HASH(rb) */
+             ra.r2 AS ra2, rb.r2 AS rb2
       FROM s JOIN ra ON s.a = ra.v JOIN rb ON s.b = rb.v
     ),
     p AS (

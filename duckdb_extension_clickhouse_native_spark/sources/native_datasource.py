@@ -2115,6 +2115,35 @@ class ClickHouseNativeDataSource(DataSource):
         return ClickHouseNativeWriter(schema, dict(self.options), overwrite)
 
 
+def _sidecar_rows_total(path: str) -> Optional[int]:
+    """Exact row count of a Native directory from its parts' stats
+    sidecars alone (no data IO). None when any part lacks a parseable
+    sidecar or carries a delete mask (masked rows are invisible to the
+    sidecar count) — callers fall back to a real count."""
+    import json as _json
+
+    from ..filesystem import resolve_paths
+    from ..native.delmask import delmask_path
+    from ..native.writer import stats_sidecar_path
+
+    try:
+        parts = [p for p in resolve_paths(path) if not p.endswith(".json")]
+    except Exception:
+        return None
+    if not parts:
+        return None
+    total = 0
+    for p in parts:
+        if os.path.exists(delmask_path(p)):
+            return None
+        try:
+            with open(stats_sidecar_path(p)) as f:
+                total += int(_json.load(f)["rows"])
+        except Exception:
+            return None
+    return total
+
+
 def compact_native_dir(
     spark,
     src: str,
@@ -2170,7 +2199,6 @@ def compact_native_dir(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-    n = df.count()
     if partition_by:
         # hive-preserving compaction: the reader surfaced the source's
         # key=value columns as data; range-cluster WITHIN partitions
@@ -2193,4 +2221,17 @@ def compact_native_dir(
     if compression:
         w = w.option("compression", compression)
     w.save(dst)
+    # the row count comes from the just-written parts' stats sidecars
+    # (metadata only) — the previous df.count() here evaluated the full
+    # dedup/cluster plan a SECOND time before the write re-evaluated it
+    # (one wasted full pass per OPTIMIZE; guide §1.2 "don't compute
+    # things you throw away")
+    n = _sidecar_rows_total(dst)
+    if n is None:  # a part without a sidecar: count the OUTPUT, not df
+        n = (
+            spark.read.format(FORMAT_NAME)
+            .schema(infer_native_schema({"path": dst}))
+            .load(dst)
+            .count()
+        )
     return n

@@ -15,6 +15,7 @@ from duckdb_extension_clickhouse_native_spark.plans.advanced import (
     _NGRAM_DIST_FAST_SPARK,
     _NGRAM_DIST_SPARK,
     _NGRAM_NEEDLE,
+    ngram_distance_fast_df,
 )
 
 
@@ -24,6 +25,10 @@ def _run_both(spark, texts):
     ).createOrReplaceTempView("documents")
     slow = [tuple(r) for r in spark.sql(_NGRAM_DIST_SPARK).collect()]
     fast = [tuple(r) for r in spark.sql(_NGRAM_DIST_FAST_SPARK).collect()]
+    # the r15 map-only mapInArrow kernel — the form registered under
+    # the family name since the optimization round — must agree too
+    arrow = [tuple(r) for r in ngram_distance_fast_df(spark).collect()]
+    assert arrow == slow
     return slow, fast
 
 
