@@ -25,6 +25,29 @@ from .base import REGISTRY, load_tables
 _LOCK = threading.Lock()
 
 
+def _write_parts(out_dir: str, table, ch_types, n_files: int = 16, **kw) -> None:
+    """Write a pyarrow table as ``n_files`` Native part files — the
+    many-part layout every real table has. A single-file fixture plans
+    ONE scan partition and serializes the whole decode on one executor
+    thread (r15 optimization round: the type-long-tail scans measured
+    1.9-2.7 s single-task at sf0.1; guide §2 — parallelism comes from
+    the input layout, and the packing floor keeps small files at one
+    bin per file)."""
+    from ..native.writer import write_native_file
+
+    per = max(1, (table.num_rows + n_files - 1) // n_files)
+    for i in range(n_files):
+        piece = table.slice(i * per, per)
+        if piece.num_rows == 0:
+            break
+        write_native_file(
+            os.path.join(out_dir, f"part-{i:03d}.clickhouse"),
+            piece,
+            ch_types=ch_types,
+            **kw,
+        )
+
+
 def _materialize_fixture(sf_dir: str, table: str, key: str, write_fn) -> str:
     """Shared fixture scaffold: cache dir keyed on the FULL source path
     plus the parquet's (mtime, size) content stamp — a regenerated or

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import REGISTRY
-from .sources import _materialize_fixture
+from .sources import _materialize_fixture, _write_parts
 
 
 def _nested_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -47,7 +47,6 @@ def _nested_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type, to_arrow
-    from ..native.writer import write_native_file
 
     nested_t = parse_type("Nested(k Int64, v String)")
 
@@ -65,13 +64,13 @@ def _nested_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "items": pa.array(items, type=to_arrow(nested_t)),
             }
         )
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
+        _write_parts(
+            out_dir,
             batch,
-            ch_types=[parse_type("Int64"), parse_type("String"), nested_t],
+            [parse_type("Int64"), parse_type("String"), nested_t],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-nested", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-nested-16p", write)
 
 
 def _native_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +124,6 @@ def _bigint_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type
-    from ..native.writer import write_native_file
 
     def write(out_dir: str, t) -> None:
         keys = t.column("o_orderkey").to_pylist()
@@ -146,17 +144,17 @@ def _bigint_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "ubig": ubig,
             }
         )
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
+        _write_parts(
+            out_dir,
             batch,
-            ch_types=[
+            [
                 parse_type("String"),
                 parse_type("Int128"),
                 parse_type("UInt128"),
             ],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-int128", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-int128-16p", write)
 
 
 def _native_int128_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +203,6 @@ def _json_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type
-    from ..native.writer import write_native_file
 
     def write(out_dir: str, t) -> None:
         keys = t.column("o_orderkey").to_pylist()
@@ -216,13 +213,9 @@ def _json_fixture(spark: SparkSession, sf_dir: str) -> str:
             for k, p, s in zip(keys, price, status)
         ]
         batch = pa.table({"j": pa.array(docs, type=pa.string())})
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
-            batch,
-            ch_types=[parse_type("JSON")],
-        )
+        _write_parts(out_dir, batch, [parse_type("JSON")])
 
-    return _materialize_fixture(sf_dir, "orders", "orders-json", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-json-16p", write)
 
 
 def _native_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

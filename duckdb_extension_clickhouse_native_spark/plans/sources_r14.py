@@ -140,7 +140,6 @@ def _geo_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type, to_arrow
-    from ..native.writer import write_native_file
     from .sources import _materialize_fixture
 
     t_pt = parse_type("Point")
@@ -171,13 +170,15 @@ def _geo_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "mpoly": pa.array(mpolys, type=to_arrow(t_mpoly)),
             }
         )
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
+        from .sources import _write_parts
+
+        _write_parts(
+            out_dir,
             batch,
-            ch_types=[parse_type("String"), t_pt, t_ring, t_poly, t_mpoly],
+            [parse_type("String"), t_pt, t_ring, t_poly, t_mpoly],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-geo", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-geo-16p", write)
 
 
 def _native_geo_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +252,6 @@ def _variant_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type, to_arrow
-    from ..native.writer import write_native_file
     from .sources import _materialize_fixture
 
     t_v = parse_type("Variant(String, UInt64)")
@@ -273,13 +273,11 @@ def _variant_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "v": pa.array(vs, type=to_arrow(t_v)),
             }
         )
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
-            batch,
-            ch_types=[parse_type("String"), t_v],
-        )
+        from .sources import _write_parts
 
-    return _materialize_fixture(sf_dir, "orders", "orders-variant", write)
+        _write_parts(out_dir, batch, [parse_type("String"), t_v])
+
+    return _materialize_fixture(sf_dir, "orders", "orders-variant-16p", write)
 
 
 def _native_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,7 +291,6 @@ def _dynamic_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
 
     from ..native.types import parse_type, to_arrow
-    from ..native.writer import write_native_file
     from .sources import _materialize_fixture
 
     t_d = parse_type("Dynamic")
@@ -321,13 +320,11 @@ def _dynamic_fixture(spark: SparkSession, sf_dir: str) -> str:
                 "d": pa.array(ds, type=to_arrow(t_d)),
             }
         )
-        write_native_file(
-            os.path.join(out_dir, "part-000.clickhouse"),
-            batch,
-            ch_types=[parse_type("String"), t_d],
-        )
+        from .sources import _write_parts
 
-    return _materialize_fixture(sf_dir, "orders", "orders-dynamic", write)
+        _write_parts(out_dir, batch, [parse_type("String"), t_d])
+
+    return _materialize_fixture(sf_dir, "orders", "orders-dynamic-16p", write)
 
 
 def _native_dynamic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
