@@ -1151,16 +1151,19 @@ def _native_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"native_stream_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .streaming_queries import stream_shuffle_sizing
+
+    with stream_shuffle_sizing(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
