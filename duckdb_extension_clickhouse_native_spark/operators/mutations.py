@@ -788,17 +788,17 @@ def _ttl_rollup_hive(
 
     if staged:
         schema = infer_native_schema({"path": stage})
-        fresh = (  # noqa: E731 — one reader per branch (r10 trap)
-            lambda: _read_staged(spark, stage, schema)
-        )
-        df = fresh()
+        # one materialized scan for both branches (r15; see
+        # _ttl_rollup_flat — the checkpoint removes both the double
+        # decode and the r10 shared-reader pushdown trap)
+        df = _read_staged(spark, stage, schema).localCheckpoint(eager=False)
         # the hive read restores partition columns, so the FULL expiry
         # conjunction (partition + data terms) applies directly; the
         # full GROUP BY (which includes the partition keys) is valid on
         # real columns and the partitioned write mirrors the tree
         cond = _conj(ttl_where)
-        kept = fresh().filter(cond.isNull() | ~cond)
-        expired = fresh().filter(cond)
+        kept = df.filter(cond.isNull() | ~cond)
+        expired = df.filter(cond)
         aggs = []
         for col in df.columns:
             if col in group_by:
@@ -867,26 +867,27 @@ def _ttl_rollup_flat(
             os.symlink(p, os.path.join(stage, os.path.basename(p)))
             for csrc, cdst in _companions(p):
                 os.symlink(csrc, os.path.join(stage, cdst))
-        # TWO independent load() relations, one per branch — NEVER
-        # branch-filter a single Python-DataSource DataFrame into a
-        # union/join: pyspark keeps ONE reader per DataSource relation,
-        # so the second branch's pushFilters pass overwrites the
-        # first's and BOTH scans execute with the last-pushed filters
-        # (measured: a disjoint union returned 988 of 1000 rows — both
-        # branches produced the second branch's 494; a disjoint
-        # self-join overlapped on 506 rows; AQE on/off irrelevant).
-        # Separate load() calls create distinct relations with their
-        # own readers. Regression test: tests/test_review_fixes_r10.py.
+        # ONE materialized scan feeds both branches (r15 optimization
+        # round). The kept/expired split used to read the staged parts
+        # through TWO independent load() relations because
+        # branch-filtering a single Python-DataSource DataFrame hits
+        # the shared-reader pushFilters overwrite (measured r10: a
+        # disjoint union returned 988 of 1000 rows; pinned in
+        # tests/test_review_fixes_r10.py) — but that decoded every
+        # touched part TWICE. localCheckpoint(eager=False) materializes
+        # the scan once at the write action and both branch filters run
+        # against the checkpointed blocks, where no DataSource pushdown
+        # exists — the trap structurally cannot apply. At cluster scale
+        # the same shape uses checkpoint() to durable storage.
         schema = infer_native_schema({"path": stage})
-        fresh = lambda: _read_staged(spark, stage, schema)  # noqa: E731
-        df = fresh()
+        df = _read_staged(spark, stage, schema).localCheckpoint(eager=False)
         # empty conjunction == constant-true expiry for this directory
         cond = _conj(ttl_where) if ttl_where else F.lit(True)
         # NULL-predicate rows (e.g. NULL ts) satisfy neither ~cond nor
         # cond — they must survive as KEPT (unexpired) rows, not vanish
         # (r10 ADVICE): a row whose TTL clock is unknown has not expired
-        kept = fresh().filter(cond.isNull() | ~cond)
-        expired = fresh().filter(cond)
+        kept = df.filter(cond.isNull() | ~cond)
+        expired = df.filter(cond)
         aggs = []
         for col in df.columns:
             if col in group_by:
