@@ -206,26 +206,24 @@ def kmeans_fast(spark, sf_dir: str, k: int = 8, iters: int = 2, dim: int = 64):
         return np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
 
     # seeds: the k smallest md5(vec_id) — the same expression as the SQL
-    # form, evaluated once (k rows collected)
-    seed_ids = [
-        r.vec_id
-        for r in spark.sql(
-            f"""
-            SELECT vec_id FROM (
-              SELECT vec_id,
-                     ROW_NUMBER() OVER (
-                       ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cid
-              FROM embeddings
-            ) WHERE cid < {k} ORDER BY cid
-            """
-        ).collect()
-    ]
-    seed_vecs = {
-        r.vec_id: r.embedding
-        for r in emb.filter(F.col("vec_id").isin(seed_ids)).collect()
-    }
+    # form. ONE job collects ids + embeddings together (r15: this was
+    # two jobs — a ranked-id collect then a filtered re-scan — one
+    # whole-job of pure launch overhead for k rows)
+    seed_rows = spark.sql(
+        f"""
+        SELECT vec_id, embedding FROM (
+          SELECT vec_id, embedding,
+                 ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cid
+          FROM embeddings
+        ) WHERE cid < {k} ORDER BY cid
+        """
+    ).collect()
     cent = np.stack(
-        [to_fixed(np.asarray(seed_vecs[v], dtype=np.float32)) for v in seed_ids]
+        [
+            to_fixed(np.asarray(r.embedding, dtype=np.float32))
+            for r in seed_rows
+        ]
     )  # (k, dim) int64
 
     def dists_to(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":

@@ -1311,11 +1311,17 @@ def ngram_distance_fast_df(spark: "SparkSession") -> "DataFrame":
     grams = list(_NGRAM_SEARCH_GRAMS)
     k = len(grams)
 
+    # NOT repartitioned before the kernel: an explicit
+    # repartition(defaultParallelism) was A/B-measured a wash here
+    # (0.67 vs 0.70 s) and actively WORSE for the multimodal kernels
+    # (python-task + arrow-boundary overheads exceed the split render
+    # cost at this row count) — the zero-exchange map-only plan wins
+    # and is the simpler 100 TB shape (input partitions already
+    # numerous at scale).
     docs = (
         spark.table("documents")
         .where("length(text) >= 4")
         .selectExpr("doc_id", "lower(text) AS lt")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def counts(batches):

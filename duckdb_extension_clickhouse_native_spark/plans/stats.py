@@ -129,6 +129,14 @@ REGISTRY.sql_query(
 )
 
 # --- moments from exact decimal power sums ----------------------------------
+# Per-row DECIMAL casts stay at precision <= 18 (r15 optimization,
+# guide §2.3 "narrower types"): Spark's Decimal keeps precision <= 18
+# values Long-backed in codegen; 19+ allocates a JVM BigDecimal per
+# row. The per-row values here are DATA-bounded (price^2 < 3.6e11,
+# q*e < 3e7 — independent of corpus size), so 18 digits is exact at
+# any scale and the same HALF_UP rounding of the same double product
+# yields bit-identical sums (A/B-verified identical; SUM widens its
+# accumulator automatically).
 REGISTRY.sql_query(
     "moments_totalprice",
     """
@@ -136,7 +144,7 @@ REGISTRY.sql_query(
       SELECT o_orderstatus,
              COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s2
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s2
       FROM orders
       GROUP BY o_orderstatus
     )
@@ -159,9 +167,9 @@ REGISTRY.sql_query(
              COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
       FROM lineitem
       GROUP BY l_returnflag
     )
@@ -485,8 +493,8 @@ REGISTRY.sql_query(
              COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
       FROM lineitem
       GROUP BY l_returnflag
     )
