@@ -114,16 +114,6 @@ def components_oracle_sql() -> str:
     """
 
 
-def _seed_labels_sql(dialect: str) -> str:
-    """Initial label = min star root across both key families — this
-    IS the first propagation round (each doc's only neighbors are its
-    roots, whose initial labels are themselves), computed as one
-    window + groupBy instead of a join round."""
-    return f"""{_star_cte(dialect)}
-    SELECT doc_id AS id, MIN(root) AS label FROM star GROUP BY doc_id
-    """
-
-
 def propagate_min_labels(
     edges: DataFrame, seed_labels: DataFrame, max_iters: int = 30
 ) -> DataFrame:
@@ -225,8 +215,29 @@ def connected_components(
     # 1.47 s with the session default — per-round fixed costs, not
     # reducer count, dominate this loop at bench scale)
     load_tables(spark, sf_dir, ["documents"])
-    edges = spark.sql(_edges_sql("spark"))
-    seeds = spark.sql(_seed_labels_sql("spark"))
+    # Build the star relation ONCE and derive both edges and seeds
+    # from it — the previous two spark.sql() calls each re-ran the
+    # full tokenize -> explode -> md5 -> window chain (guide §1.2:
+    # don't compute the same thing twice). localCheckpoint(eager=False)
+    # materializes star at the seed-sum action; both derivations then
+    # read the checkpointed blocks (the TTL-rollup precedent — no
+    # DataSource pushdown exists on checkpointed blocks, so the r10
+    # shared-reader trap structurally cannot apply).
+    star = spark.sql(
+        f"{_star_cte('spark')} SELECT doc_id, root FROM star"
+    ).localCheckpoint(eager=False)
+    edges = (
+        star.where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    # Initial label = min star root across both key families — this
+    # IS the first propagation round (each doc's only neighbors are
+    # its roots, whose initial labels are themselves), computed as a
+    # groupBy instead of a join round.
+    seeds = star.groupBy("doc_id").agg(F.min("root").alias("label")).select(
+        F.col("doc_id").alias("id"), "label"
+    )
     labels = propagate_min_labels(edges, seeds, max_iters)
     return _cluster_report(labels, "doc_id")
 
