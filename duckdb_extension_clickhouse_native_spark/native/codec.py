@@ -393,6 +393,90 @@ def _decode_strings(buf: BinaryIO, rows: int, *, scrub: bool) -> pa.Array:
     return _strings_from_parts(chunks, offsets, rows, scrub)
 
 
+def _read_exact(buf: BinaryIO, n: int) -> bytes:
+    """Read exactly n bytes (looping over short reads); EOFError if the
+    stream ends first."""
+    data = buf.read(n)
+    if len(data) == n:
+        return data
+    parts = [data]
+    got = len(data)
+    while got < n:
+        more = buf.read(n - got)
+        if not more:
+            raise EOFError("EOF inside string column")
+        parts.append(more)
+        got += len(more)
+    return b"".join(parts)
+
+
+def _decode_strings_from_lengths(
+    buf: BinaryIO, rows: int, lengths: np.ndarray, *, scrub: bool
+) -> Optional[pa.Array]:
+    """Marks-sidecar fast path: with per-row value byte lengths known
+    up front (native/marks.py — the ClickHouse ``.mrk`` analogue), the
+    sequential varuint prefix walk disappears — prefix positions are a
+    cumsum, the payload extraction one masked copy, and EVERY prefix
+    byte is verified against the reconstruction (vectorized for the
+    common 1-byte prefixes). On any mismatch (stale sidecar) the
+    consumed bytes are pushed back and None returned so the caller
+    falls back to the streaming scan decode. Only called on
+    seekable/pushback sources."""
+    if rows == 0:
+        return pa.array([], type=pa.string())
+    lens = lengths.astype(np.int64)
+    widths = varint_widths(lens)
+    starts = np.empty(rows + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(widths + lens, out=starts[1:])
+    total = int(starts[-1])
+    data = _read_exact(buf, total)
+    view = np.frombuffer(data, dtype=np.uint8)
+    prefix_at = starts[:-1]
+    one = widths == 1
+    ok = bool(
+        np.array_equal(view[prefix_at[one]], lens[one].astype(np.uint8))
+    )
+    multi = np.nonzero(~one)[0] if not one.all() else ()
+    if ok:
+        for i in multi:
+            s = int(prefix_at[i])
+            v = int(lens[i])
+            w = int(widths[i])
+            for k in range(w):
+                byte = v & 0x7F
+                v >>= 7
+                if k < w - 1:
+                    byte |= 0x80
+                if view[s + k] != byte:
+                    ok = False
+                    break
+            if not ok:
+                break
+    if not ok:
+        _restore_surplus(buf, data)
+        return None
+    mask = np.ones(total, dtype=bool)
+    mask[prefix_at[one]] = False
+    for i in multi:
+        s = int(prefix_at[i])
+        mask[s : s + int(widths[i])] = False
+    payload = view[mask]
+    offsets = np.empty(rows + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lens, out=offsets[1:])
+    if scrub:
+        pb = payload.tobytes()
+        if b"\x00" in pb or b"\xef\xbf\xbd" in pb:
+            return _strings_from_parts([pb], offsets, rows, scrub)
+    arr = pa.Array.from_buffers(
+        pa.large_string(),
+        rows,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+    )
+    return arr.cast(pa.string())
+
+
 def _decode_fixed(buf: BinaryIO, t: CHType, rows: int, *, lossy_uint64: bool) -> pa.Array:
     dtype, width = FIXED_WIDTH[t.base]
     raw = buf.read(width * rows)
@@ -1155,10 +1239,15 @@ def read_block(
     scrub_strings: bool = False,
     lossy_uint64: bool = False,
     unsupported_as_varchar: bool = False,
+    marks=None,
 ) -> Optional[Block]:
     """Read one block; None at EOF or on the 0-row end marker
     (reference lib.rs:215-224). ``columns`` projects: payloads of
-    unrequested columns are skipped, not decoded."""
+    unrequested columns are skipped, not decoded. ``marks`` (a
+    ``native.marks.BlockMarks`` for THIS block, or None) short-cuts
+    plain String columns: unwanted columns seek past their recorded
+    wire size instead of walking prefixes, wanted ones decode via the
+    vectorized length path (verified, with streaming fallback)."""
     hdr = read_block_header(buf)
     if hdr is None:
         return None
@@ -1170,7 +1259,26 @@ def read_block(
         name = read_str(buf)
         type_str = read_str(buf)
         t = parse_type(type_str, unsupported_as_varchar=unsupported_as_varchar)
-        if columns is not None and name not in columns:
+        wanted = columns is None or name in columns
+        if marks is not None and type_str == "String":
+            info = marks.col(name, n_rows)
+            if info is not None:
+                wire_bytes, lens = info
+                if not wanted:
+                    buf.seek(wire_bytes, io.SEEK_CUR)
+                    continue
+                arr = _decode_strings_from_lengths(
+                    buf, n_rows, lens, scrub=scrub_strings
+                )
+                if arr is not None:
+                    out.append(
+                        BlockColumn(
+                            name=name, type_str=type_str, ch_type=t, array=arr
+                        )
+                    )
+                    continue
+                # stale sidecar: bytes were restored; stream decode below
+        if not wanted:
             skip_column(buf, t, n_rows)
             continue
         arr = decode_column(
@@ -1187,16 +1295,27 @@ def iter_blocks(
     scrub_strings: bool = False,
     lossy_uint64: bool = False,
     unsupported_as_varchar: bool = False,
+    marks_reader=None,
 ) -> Iterator[Block]:
     """Lazy block iterator — bounded memory, unlike the reference's
-    whole-file materialization (lib.rs:274)."""
+    whole-file materialization (lib.rs:274). ``marks_reader``
+    (native.marks.MarksReader) engages the per-block string marks by
+    the block's byte offset (``buf.tell()`` before each header), so it
+    is only passed for raw uncompressed file streams."""
     while True:
+        marks = None
+        if marks_reader is not None:
+            try:
+                marks = marks_reader.block_at(buf.tell())
+            except (OSError, AttributeError):
+                marks_reader = None
         blk = read_block(
             buf,
             columns=columns,
             scrub_strings=scrub_strings,
             lossy_uint64=lossy_uint64,
             unsupported_as_varchar=unsupported_as_varchar,
+            marks=marks,
         )
         if blk is None:
             return
@@ -1215,6 +1334,12 @@ def read_file_schema(
 
     with open_input(path, buffer_size=1 << 16) as f:
         buf = maybe_compressed_reader(f, compression=compression)
+        marks = None
+        if buf is f:
+            from .marks import MarksReader
+
+            mr = MarksReader.open(path)
+            marks = mr.block_at(0) if mr is not None else None
         hdr = read_block_header(buf)
         if hdr is None:
             return []
@@ -1222,9 +1347,18 @@ def read_file_schema(
         out: list[tuple[str, CHType]] = []
         for _ in range(n_cols):
             name = read_str(buf)
-            t = parse_type(read_str(buf), unsupported_as_varchar=unsupported_as_varchar)
+            type_str = read_str(buf)
+            t = parse_type(type_str, unsupported_as_varchar=unsupported_as_varchar)
             out.append((name, t))
-            skip_column(buf, t, n_rows)
+            info = (
+                marks.col(name, n_rows)
+                if marks is not None and type_str == "String"
+                else None
+            )
+            if info is not None:
+                buf.seek(info[0], 1)  # marks: string skip is one seek
+            else:
+                skip_column(buf, t, n_rows)
         return out
 
 
@@ -1274,6 +1408,85 @@ def _encode_fixed_np(arr: pa.Array, dtype: str) -> bytes:
     return np.ascontiguousarray(np_arr.astype(dtype, copy=False)).tobytes()
 
 
+def varint_widths(lengths: np.ndarray) -> np.ndarray:
+    """Per-value varuint prefix width (1..10 bytes) for an int64 array
+    of byte lengths — one 7-bit group per width step, vectorized."""
+    widths = np.ones(len(lengths), dtype=np.int64)
+    bound = 1 << 7
+    while True:
+        over = lengths >= bound
+        if not over.any():
+            return widths
+        widths += over
+        bound <<= 7
+
+
+def _string_array_views(arr: pa.Array):
+    """(lengths:int64[n], payload:uint8-view) of a null-free arrow
+    string/binary array, honoring slice offsets; None when the array
+    is not a flat (large_)string/binary layout."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        return None
+    n = len(arr)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype, count=arr.offset + n + 1)[
+        arr.offset :
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return off[1:] - off[:-1], data[int(off[0]) : int(off[-1])]
+
+
+def _strings_wire_bytes(arr: pa.Array) -> Optional[bytes]:
+    """Serialize a null-free arrow string/binary array as Native
+    varuint-length-prefixed values in one vectorized pass — the byte
+    stream is identical to the per-row ``write_str`` loop (prefix
+    bytes verified against it in tests on hostile boundary lengths).
+    Returns None for layouts the fast path does not cover (caller
+    falls back to the row loop)."""
+    views = _string_array_views(arr)
+    if views is None:
+        return None
+    n = len(arr)
+    if n == 0:
+        return b""
+    lengths, payload = views
+    widths = varint_widths(lengths)
+    starts = np.empty(n + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(widths + lengths, out=starts[1:])
+    total = int(starts[-1])
+    out = np.empty(total, dtype=np.uint8)
+    mask = np.ones(total, dtype=bool)
+    prefix_at = starts[:-1]
+    one = widths == 1
+    p1 = prefix_at[one]
+    mask[p1] = False
+    out[p1] = lengths[one]
+    if not one.all():
+        for i in np.nonzero(~one)[0]:
+            s = int(prefix_at[i])
+            w = int(widths[i])
+            v = int(lengths[i])
+            mask[s : s + w] = False
+            for k in range(w):
+                byte = v & 0x7F
+                v >>= 7
+                if k < w - 1:
+                    byte |= 0x80
+                out[s + k] = byte
+    out[mask] = payload
+    return out.tobytes()
+
+
 def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
     """Encode one column payload in Native layout."""
     b = t.base
@@ -1290,6 +1503,13 @@ def encode_column(buf: BinaryIO, t: CHType, arr: pa.Array) -> None:
         arr = pa.compute.fill_null(arr, _default_fill(arr.type))
         t = CHType(**{**t.__dict__, "nullable": False})
     if b == "String":
+        # nulls were already filled above (the Nullable mask arm), so
+        # the vectorized wire encoder sees a null-free flat array; the
+        # row loop stays as the fallback for exotic layouts
+        fast = _strings_wire_bytes(arr) if arr.null_count == 0 else None
+        if fast is not None:
+            buf.write(fast)
+            return
         if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
             for v in arr:
                 write_str(buf, v.as_py() if v.is_valid else b"")

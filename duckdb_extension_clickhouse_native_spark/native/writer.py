@@ -497,6 +497,17 @@ def write_native_file(
         if (stats and compression is None)
         else None
     )
+    mrec = None
+    if rec is not None:
+        from .marks import MarksRecorder
+
+        mrec = MarksRecorder()
+        mrec.set_ch_types(schema.names, types)
+
+    def _on_block(offset: int, piece: pa.RecordBatch) -> None:
+        rec.on_block(offset, piece)
+        mrec.on_block(offset, piece)
+
     with open(path, "wb") as f:
         buf: BinaryIO = io.BufferedWriter(f, buffer_size=1 << 20)
         if compression is not None:
@@ -514,9 +525,13 @@ def write_native_file(
                 ch_types=types,
                 block_rows=block_rows,
                 schema=schema,
-                on_block=rec.on_block if rec else None,
+                on_block=_on_block if rec else None,
             )
         buf.flush()
+    if mrec is not None:
+        # string-column marks (native/marks.py): the per-row lengths
+        # the writer just serialized, so readers skip the varint walk
+        mrec.write(path)
     if stats:
         import json
 

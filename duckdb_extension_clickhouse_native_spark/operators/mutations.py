@@ -173,6 +173,7 @@ def _companions(p: str, base: Optional[str] = None) -> list:
     silently RESURRECTS deleted rows.  ``base`` renames the part at
     the destination (keep- prefixes)."""
     from ..native.delmask import delmask_path
+    from ..native.marks import marks_sidecar_path
     from ..native.writer import stats_sidecar_path
 
     b = base or os.path.basename(p)
@@ -183,6 +184,12 @@ def _companions(p: str, base: Optional[str] = None) -> list:
     dm = delmask_path(p)
     if os.path.exists(dm):
         out.append((dm, os.path.basename(delmask_path(b))))
+    mk = marks_sidecar_path(p)
+    if os.path.exists(mk):
+        # string-marks accel file: losing it only loses the fast path,
+        # but an untouched part should keep it (the reader's
+        # file-size staleness check still guards a content mismatch)
+        out.append((mk, os.path.basename(marks_sidecar_path(b))))
     return out
 
 

@@ -283,6 +283,11 @@ def _stage_parts(src_dir: str, paths: list, tag_seed: str) -> str:
         side = stats_sidecar_path(p)
         if os.path.exists(side):
             os.symlink(side, stats_sidecar_path(dst))
+        from ..native.marks import marks_sidecar_path
+
+        mk = marks_sidecar_path(p)
+        if os.path.exists(mk):
+            os.symlink(mk, marks_sidecar_path(dst))
         from ..native.delmask import delmask_path
 
         dm = delmask_path(p)

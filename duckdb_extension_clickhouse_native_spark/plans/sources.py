@@ -95,7 +95,9 @@ def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: in
                 block_rows=max(4096, per // 4),
             )
 
-    return _materialize_fixture(sf_dir, table, f"{table}-{n_files}", write)
+    # -mk: cache-key bump so pre-marks fixture dirs (no _*.marks
+    # sidecars) regenerate with string marks (native/marks.py)
+    return _materialize_fixture(sf_dir, table, f"{table}-{n_files}mk", write)
 
 
 def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataFrame:

@@ -70,7 +70,7 @@ def _nested_fixture(spark: SparkSession, sf_dir: str) -> str:
             [parse_type("Int64"), parse_type("String"), nested_t],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-nested-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-nested-16pmk", write)
 
 
 def _native_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +154,7 @@ def _bigint_fixture(spark: SparkSession, sf_dir: str) -> str:
             ],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-int128-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-int128-16pmk", write)
 
 
 def _native_int128_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +215,7 @@ def _json_fixture(spark: SparkSession, sf_dir: str) -> str:
         batch = pa.table({"j": pa.array(docs, type=pa.string())})
         _write_parts(out_dir, batch, [parse_type("JSON")])
 
-    return _materialize_fixture(sf_dir, "orders", "orders-json-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-json-16pmk", write)
 
 
 def _native_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

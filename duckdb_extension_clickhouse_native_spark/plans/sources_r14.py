@@ -178,7 +178,7 @@ def _geo_fixture(spark: SparkSession, sf_dir: str) -> str:
             [parse_type("String"), t_pt, t_ring, t_poly, t_mpoly],
         )
 
-    return _materialize_fixture(sf_dir, "orders", "orders-geo-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-geo-16pmk", write)
 
 
 def _native_geo_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +277,7 @@ def _variant_fixture(spark: SparkSession, sf_dir: str) -> str:
 
         _write_parts(out_dir, batch, [parse_type("String"), t_v])
 
-    return _materialize_fixture(sf_dir, "orders", "orders-variant-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-variant-16pmk", write)
 
 
 def _native_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -324,7 +324,7 @@ def _dynamic_fixture(spark: SparkSession, sf_dir: str) -> str:
 
         _write_parts(out_dir, batch, [parse_type("String"), t_d])
 
-    return _materialize_fixture(sf_dir, "orders", "orders-dynamic-16p", write)
+    return _materialize_fixture(sf_dir, "orders", "orders-dynamic-16pmk", write)
 
 
 def _native_dynamic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1196,6 +1196,14 @@ class ClickHouseNativeReader(DataSourceReader):
                     compression=self.compression,
                     verify_checksum=self.verify_checksum,
                 )
+            marks = None
+            if buf is f:
+                # raw uncompressed stream: block byte offsets are
+                # meaningful, so the string-marks sidecar (if present
+                # and not stale) can skip the per-row varint walks
+                from ..native.marks import MarksReader
+
+                marks = MarksReader.open(partition.path)
             part_val = dict(
                 zip(partition.part_keys or self.part_keys, partition.part_vals)
             )
@@ -1211,7 +1219,7 @@ class ClickHouseNativeReader(DataSourceReader):
                 # plain path: the prewhere iterator builds batches from
                 # file columns only and drops block row accounting)
                 block_iter = self._iter_blocks_prewhere(
-                    buf, want, part_val, target
+                    buf, want, part_val, target, marks_reader=marks
                 )
             else:
                 block_iter = iter_blocks(
@@ -1220,6 +1228,7 @@ class ClickHouseNativeReader(DataSourceReader):
                     scrub_strings=self.scrub_strings,
                     lossy_uint64=self.lossy_uint64,
                     unsupported_as_varchar=self.unsupported_as_varchar,
+                    marks_reader=marks,
                 )
             n = 0
             for blk in block_iter:
@@ -1328,7 +1337,7 @@ class ClickHouseNativeReader(DataSourceReader):
     def _prewhere_attr(self, f: Filter) -> str:
         return f.child.attribute[0] if isinstance(f, Not) else f.attribute[0]
 
-    def _iter_blocks_prewhere(self, buf, want, part_val, target):
+    def _iter_blocks_prewhere(self, buf, want, part_val, target, marks_reader=None):
         """PREWHERE-style late materialization, the read-time analogue
         of the planning-time sidecar pruning (ClickHouse evaluates
         PREWHERE predicates first and reads remaining columns only for
@@ -1351,6 +1360,7 @@ class ClickHouseNativeReader(DataSourceReader):
         from ..native.codec import (
             Block,
             BlockColumn,
+            _decode_strings_from_lengths,
             decode_column,
             parse_type,
             read_block_header,
@@ -1363,6 +1373,12 @@ class ClickHouseNativeReader(DataSourceReader):
         # file; their constant arrays join the mask batch separately
         file_attrs = filter_attrs - set(self.part_keys)
         while True:
+            mks = None
+            if marks_reader is not None:
+                try:
+                    mks = marks_reader.block_at(buf.tell())
+                except (OSError, AttributeError):
+                    marks_reader = None
             hdr = read_block_header(buf)
             if hdr is None:
                 return
@@ -1384,16 +1400,33 @@ class ClickHouseNativeReader(DataSourceReader):
                     type_str, unsupported_as_varchar=self.unsupported_as_varchar
                 )
                 needed = (want is None or name in want) or name in file_attrs
-                if dead or not needed:
-                    skip_column(buf, t, n_rows)
-                    continue
-                arr = decode_column(
-                    buf,
-                    t,
-                    n_rows,
-                    scrub_strings=self.scrub_strings,
-                    lossy_uint64=self.lossy_uint64,
+                minfo = (
+                    mks.col(name, n_rows)
+                    if mks is not None and type_str == "String"
+                    else None
                 )
+                if dead or not needed:
+                    if minfo is not None:
+                        # marks make the string skip a single seek —
+                        # this is the PREWHERE payoff: a dead block's
+                        # payload costs O(1), not a prefix walk
+                        buf.seek(minfo[0], 1)
+                    else:
+                        skip_column(buf, t, n_rows)
+                    continue
+                arr = None
+                if minfo is not None:
+                    arr = _decode_strings_from_lengths(
+                        buf, n_rows, minfo[1], scrub=self.scrub_strings
+                    )
+                if arr is None:
+                    arr = decode_column(
+                        buf,
+                        t,
+                        n_rows,
+                        scrub_strings=self.scrub_strings,
+                        lossy_uint64=self.lossy_uint64,
+                    )
                 decoded.append(
                     BlockColumn(name=name, type_str=type_str, ch_type=t, array=arr)
                 )
@@ -1655,6 +1688,7 @@ class _FileSink:
         index_set: tuple = (),
         index_tokenbf: tuple = (),
     ):
+        from ..native.marks import MarksRecorder
         from ..native.writer import BlockStatsRecorder
 
         self.fname = fname
@@ -1664,6 +1698,7 @@ class _FileSink:
         self._rec = BlockStatsRecorder(
             index_bloom, index_ngrambf, index_set, index_tokenbf
         )
+        self._mrec = MarksRecorder()
         self._ch_types = None
         self._raw = None
         self._buf = None
@@ -1692,18 +1727,24 @@ class _FileSink:
                 self._buf = CompressedWriter(self._raw, method=self.compression)
         if self._ch_types is None:
             self._ch_types = [from_arrow(fld.type) for fld in batch.schema]
+            self._mrec.set_ch_types(batch.schema.names, self._ch_types)
         # the recorder both builds the per-block index and maintains
         # the file-level merge — ONE stats pass, NaN-sound drops (a
         # previous inline merge kept stale min/max when a later batch
         # held NaN); block offsets are meaningless inside compressed
         # frames, so compressed sinks skip the index but keep the merge
         # by recording with a dummy offset
+
+        def _on_block(offset: int, piece) -> None:
+            self._rec.on_block(offset, piece)
+            self._mrec.on_block(offset, piece)
+
         self.rows += write_native_stream(
             self._buf,
             [batch],
             ch_types=self._ch_types,
             block_rows=self.block_rows,
-            on_block=self._rec.on_block if self._buf is self._raw else None,
+            on_block=_on_block if self._buf is self._raw else None,
         )
         if self._buf is not self._raw:
             self._rec.on_block(-1, batch)
@@ -1730,6 +1771,7 @@ class _FileSink:
         with open(tmp, "w") as sf:
             json.dump(side, sf)
         os.replace(tmp, stats_sidecar_path(self.fname))
+        self._mrec.write(self.fname)
         return self.fname
 
     def close_on_error(self) -> None:
@@ -1970,15 +2012,16 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
 
     def commit(self, messages: List[Optional[NativeWriteCommit]]) -> None:
         from ..native.delmask import remove_delmask
+        from ..native.marks import marks_sidecar_path
         from ..native.writer import stats_sidecar_path
 
         new_files = {p for m in messages if m for p in m.paths}
         for old in self._stale:
             if old not in new_files and os.path.exists(old):
                 os.remove(old)
-                side = stats_sidecar_path(old)
-                if os.path.exists(side):
-                    os.remove(side)
+                for side in (stats_sidecar_path(old), marks_sidecar_path(old)):
+                    if os.path.exists(side):
+                        os.remove(side)
                 remove_delmask(old)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -1986,6 +2029,7 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
 
     def abort(self, messages: List[Optional[NativeWriteCommit]]) -> None:
         from ..native.delmask import remove_delmask
+        from ..native.marks import marks_sidecar_path
         from ..native.writer import stats_sidecar_path
 
         for m in messages:
@@ -1994,9 +2038,9 @@ class ClickHouseNativeWriter(DataSourceArrowWriter):
             for p in m.paths:
                 if p and os.path.exists(p):
                     os.remove(p)
-                    side = stats_sidecar_path(p)
-                    if os.path.exists(side):
-                        os.remove(side)
+                    for side in (stats_sidecar_path(p), marks_sidecar_path(p)):
+                        if os.path.exists(side):
+                            os.remove(side)
                     remove_delmask(p)
 
 

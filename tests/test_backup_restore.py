@@ -64,8 +64,9 @@ def test_incremental_stores_only_changed(spark, tmp_path):
         src, b2, base_backup=b1, checksum=True, now_fn=lambda: 2.0
     )
     assert len(m2["files"]) > len(m1["files"])
-    # only the new part (+ its sidecar) stores bytes
-    assert 0 < m2["stored_files"] <= 2
+    # only the new part (+ its stats and string-marks sidecars)
+    # stores bytes; every pre-existing file is a base reference
+    assert 0 < m2["stored_files"] <= 3
     dest = str(tmp_path / "restored")
     restore_table(b2, dest)
     got = spark.read.format("clickhouse_native").load(dest).count()

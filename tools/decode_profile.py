@@ -144,6 +144,60 @@ def main() -> None:
         f"materialization): {t_skip * 1e3:.1f} ms for {n_sk:,} rows — the "
         "difference to full decode is Arrow string-array assembly"
     )
+
+    # marks sidecar (native/marks.py): per-row lengths recorded at
+    # write time remove the sequential varint walk entirely
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        _strings_wire_bytes,
+        iter_blocks,
+        write_str,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.marks import MarksReader
+
+    mr = MarksReader.open(p_str)
+    if mr is not None:
+
+        def run_file(marks, columns=None):
+            with open(p_str, "rb") as f:
+                return sum(
+                    b.n_rows
+                    for b in iter_blocks(f, columns=columns, marks_reader=marks)
+                )
+
+        t_d0, _ = _time(lambda: run_file(None))
+        t_d1, _ = _time(lambda: run_file(mr))
+        t_s0, _ = _time(lambda: run_file(None, columns=set()))
+        t_s1, _ = _time(lambda: run_file(mr, columns=set()))
+        out.append(
+            f"- marks sidecar (string column): decode {t_d0 * 1e3:.1f} -> "
+            f"{t_d1 * 1e3:.1f} ms ({t_d0 / t_d1:.1f}x, "
+            f"{n / t_d1 / 1e6:.1f} M rows/s single-thread); skip "
+            f"{t_s0 * 1e3:.1f} -> {t_s1 * 1e3:.2f} ms (one seek per block)"
+        )
+    else:
+        out.append(
+            "- marks sidecar: absent for this fixture (delete the "
+            "cached profile dir to regenerate with marks)"
+        )
+
+    # string wire ENCODE: vectorized offsets-diff path vs the per-row
+    # write_str loop (the mutation/OPTIMIZE rewrite cost)
+    words_arr = pa.array([f"word-{i % 9973}-{i % 31}" for i in range(n)])
+    t_enc_fast, fast_bytes = _time(lambda: _strings_wire_bytes(words_arr))
+
+    def enc_loop():
+        b = io.BytesIO()
+        for v in words_arr:
+            write_str(b, v.as_py())
+        return b.getvalue()
+
+    t_enc_loop, loop_bytes = _time(enc_loop, reps=2)
+    assert fast_bytes == loop_bytes
+    out.append(
+        f"- string wire ENCODE: row loop {t_enc_loop * 1e3:.1f} ms vs "
+        f"vectorized {t_enc_fast * 1e3:.1f} ms / 1M values "
+        f"({t_enc_loop / t_enc_fast:.1f}x)"
+    )
     text = "\n".join(out) + "\n"
     print(text)
     if "--write" in sys.argv:
