@@ -1317,7 +1317,7 @@ def _hive_events_fixture(spark: SparkSession, sf_dir: str) -> str:
                     os.path.join(dest, "part.clickhouse"), piece
                 )
 
-    return _materialize_fixture(sf_dir, "events", "events-hive", write)
+    return _materialize_fixture(sf_dir, "events", "events-hivemk", write)
 
 
 def _native_hive_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,7 +1390,7 @@ def _block_sorted_events_fixture(spark: SparkSession, sf_dir: str) -> str:
             block_rows=max(256, n // 32),
         )
 
-    return _materialize_fixture(sf_dir, "events", "events-blocksorted", write)
+    return _materialize_fixture(sf_dir, "events", "events-blocksortedmk", write)
 
 
 def _native_block_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,7 +1844,7 @@ def _bloom_scatter_fixture(spark: SparkSession, sf_dir: str) -> str:
                 index_bloom=["uid"],
             )
 
-    return _materialize_fixture(sf_dir, "documents", "documents-bloom16", write)
+    return _materialize_fixture(sf_dir, "documents", "documents-bloom16mk", write)
 
 
 def _native_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,7 +1929,7 @@ def _tokenbf_fixture(spark: SparkSession, sf_dir: str) -> str:
                 index_tokenbf=["text"],
             )
 
-    return _materialize_fixture(sf_dir, "documents", "documents-tokenbf16", write)
+    return _materialize_fixture(sf_dir, "documents", "documents-tokenbf16mk", write)
 
 
 def _native_tokenbf_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2080,7 +2080,7 @@ def _set_index_fixture(spark: SparkSession, sf_dir: str) -> str:
                 index_set=["grade"],
             )
 
-    return _materialize_fixture(sf_dir, "documents", "documents-setix16", write)
+    return _materialize_fixture(sf_dir, "documents", "documents-setix16mk", write)
 
 
 def _native_set_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
