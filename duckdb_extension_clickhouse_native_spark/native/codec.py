@@ -777,22 +777,66 @@ def decode_column(
         raw = buf.read(n * rows)
         if len(raw) != n * rows:
             raise EOFError("EOF inside FixedString column")
-        vals = [
-            raw[i * n : (i + 1) * n].rstrip(b"\x00").decode("utf-8", "replace")
-            for i in range(rows)
-        ]
-        return pa.array(vals, type=pa.string())
+        if rows == 0 or n == 0:
+            return pa.array([""] * rows, type=pa.string())
+        # vectorized trailing-NUL strip: per-row value length from the
+        # last nonzero byte, one masked gather for the payload; arrow's
+        # utf8 validation on the cast raises on any malformed value, in
+        # which case the original per-row 'replace' loop answers
+        m = np.frombuffer(raw, dtype=np.uint8).reshape(rows, n)
+        nz = m != 0
+        lengths = n - nz[:, ::-1].argmax(axis=1).astype(np.int64)
+        lengths[~nz.any(axis=1)] = 0
+        offsets = np.empty(rows + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(lengths, out=offsets[1:])
+        payload = m[np.arange(n)[None, :] < lengths[:, None]]
+        try:
+            arr = pa.Array.from_buffers(
+                pa.large_binary(),
+                rows,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+            )
+            return arr.cast(pa.string())
+        except pa.ArrowInvalid:
+            vals = [
+                raw[i * n : (i + 1) * n].rstrip(b"\x00").decode("utf-8", "replace")
+                for i in range(rows)
+            ]
+            return pa.array(vals, type=pa.string())
     if b == "UUID":
         raw = buf.read(16 * rows)
         if len(raw) != 16 * rows:
             raise EOFError("EOF inside UUID column")
-        vals = []
-        for i in range(rows):
-            hi, lo = struct.unpack_from("<QQ", raw, i * 16)
-            v = (hi << 64) | lo
-            h = f"{v:032x}"
-            vals.append(f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
-        return pa.array(vals, type=pa.string())
+        if rows == 0:
+            return pa.array([], type=pa.string())
+        # wire = hi u64 LE then lo u64 LE; canonical text is the
+        # big-endian hex of (hi << 64 | lo) — i.e. each half's bytes
+        # reversed. Hexlify the whole reordered buffer once and
+        # scatter the 32 hex chars per row around fixed dash columns.
+        import binascii
+
+        m = np.frombuffer(raw, dtype=np.uint8).reshape(rows, 16)
+        be = np.concatenate((m[:, 7::-1], m[:, 15:7:-1]), axis=1)
+        hx = np.frombuffer(
+            binascii.hexlify(np.ascontiguousarray(be).tobytes()), dtype=np.uint8
+        ).reshape(rows, 32)
+        out = np.empty((rows, 36), dtype=np.uint8)
+        out[:, [8, 13, 18, 23]] = ord("-")
+        # contiguous slice copies (memcpy), not one fancy-index scatter
+        # (element-wise gather: measured ~25x slower at 1M rows)
+        out[:, 0:8] = hx[:, 0:8]
+        out[:, 9:13] = hx[:, 8:12]
+        out[:, 14:18] = hx[:, 12:16]
+        out[:, 19:23] = hx[:, 16:20]
+        out[:, 24:36] = hx[:, 20:32]
+        offsets = np.arange(0, 36 * (rows + 1), 36, dtype=np.int64)
+        arr = pa.Array.from_buffers(
+            pa.large_string(),
+            rows,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())],
+        )
+        return arr.cast(pa.string())
     if b == "IPv4":
         # stored as UInt32 LE whose numeric value IS the address
         import ipaddress

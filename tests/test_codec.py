@@ -166,3 +166,71 @@ def test_projection_skips_columns():
     raw = arrow_to_native_bytes(t)
     blk = read_block(io.BytesIO(raw), columns={"s"})
     assert [c.name for c in blk.columns] == ["s"]
+
+
+def test_fixedstring_vectorized_decode_identity():
+    """The vectorized FixedString decode (trailing-NUL strip + masked
+    gather + arrow utf8 validation) must match the per-row
+    rstrip/decode('replace') semantics exactly — including interior
+    NULs, all-NUL rows, multibyte UTF-8, and INVALID UTF-8 (which
+    routes through the per-row replace fallback)."""
+    import io as _io
+
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        decode_column,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import (
+        parse_type,
+    )
+
+    cases = [
+        b"abc\x00\x00",
+        b"\x00\x00\x00\x00\x00",
+        b"ab\x00cd",
+        b"\xc3\xa9\x00\x00\x00",  # é then padding
+        b"hello",
+        b"\xff\xfe\x00\x00\x00",  # invalid UTF-8 -> replace path
+        b"a\xc3\x00\x00\x29",  # truncated sequence + interior NUL
+    ]
+    raw = b"".join(cases)
+    expected = [
+        c.rstrip(b"\x00").decode("utf-8", "replace") for c in cases
+    ]
+    got = decode_column(
+        _io.BytesIO(raw), parse_type("FixedString(5)"), len(cases)
+    ).to_pylist()
+    assert got == expected
+
+
+def test_uuid_vectorized_decode_identity():
+    """Vectorized UUID decode (half-reversed hexlify + slice scatter)
+    == the canonical (hi<<64|lo) 8-4-4-4-12 rendering, on random and
+    boundary byte patterns."""
+    import io as _io
+    import struct as _struct
+
+    import numpy as _np
+
+    from duckdb_extension_clickhouse_native_spark.native.codec import (
+        decode_column,
+    )
+    from duckdb_extension_clickhouse_native_spark.native.types import (
+        parse_type,
+    )
+
+    rng = _np.random.default_rng(11)
+    raw = (
+        b"\x00" * 16
+        + b"\xff" * 16
+        + rng.integers(0, 256, size=16 * 500, dtype=_np.uint8).tobytes()
+    )
+    rows = 502
+    expected = []
+    for i in range(rows):
+        hi, lo = _struct.unpack_from("<QQ", raw, i * 16)
+        h = f"{(hi << 64) | lo:032x}"
+        expected.append(
+            f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        )
+    got = decode_column(_io.BytesIO(raw), parse_type("UUID"), rows).to_pylist()
+    assert got == expected
