@@ -409,7 +409,9 @@ def media_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .imagecodec import encode_bmp, encode_ppm
 
     ensure_session(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread_for_python_kernels(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -527,7 +529,9 @@ def media_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .audiocodec import encode_wav
 
     ensure_session(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread_for_python_kernels(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -697,6 +701,24 @@ MEDIA_AUDIO_FEATURES_ORACLE_SQL = """
 _PNG_IDENT_PAL = bytes(i for i in range(256) for _ in range(3))
 
 
+def _spread_for_python_kernels(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow input before a CPU-bound Python kernel chain
+    (guide §2.5 input skew: the sf-scale documents parquet is one
+    row-group -> ONE scan task serializes the whole render/decode).
+    Target max(2, defaultParallelism // 4): chained mapInPandas stages
+    already pipeline across two workers per task, and r15 measured the
+    full-width repartition (32 tasks at 5k rows) strictly WORSE —
+    per-task python fan-out cost more than the split saved; r16
+    interleaved A/B at repartition(8): png 1.7 -> 1.0 s, identical
+    rows. No-op when the input is already at least that wide — a real
+    corpus arrives pre-partitioned and must not be reshuffled."""
+    spark = df.sparkSession
+    n = max(2, spark.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize GENUINE PNG files from documents with the same
     strided character pixels as the BMP/PPM table, varying the format
@@ -711,7 +733,9 @@ def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .imagecodec import encode_png, encode_png_palette
 
     ensure_session(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread_for_python_kernels(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
     def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -841,8 +865,10 @@ def media_gif_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .imagecodec import decode_media, encode_gif
 
     ensure_session(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    docs = _spread_for_python_kernels(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
     )
     pal = bytes(range(48))
 

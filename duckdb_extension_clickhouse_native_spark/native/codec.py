@@ -430,16 +430,46 @@ def _decode_strings_from_lengths(
     starts[0] = 0
     np.cumsum(widths + lens, out=starts[1:])
     total = int(starts[-1])
-    data = _read_exact(buf, total)
+    # tolerant read: a stale sidecar whose claimed total overruns the
+    # remaining stream must degrade to the streaming decode (the "stale
+    # marks are only a missed fast path" contract), not raise EOFError
+    parts = []
+    got = 0
+    while got < total:
+        chunk = buf.read(total - got)
+        if not chunk:
+            break
+        parts.append(chunk)
+        got += len(chunk)
+    data = parts[0] if len(parts) == 1 else b"".join(parts)
+    if got != total:
+        _restore_surplus(buf, data)
+        return None
     view = np.frombuffer(data, dtype=np.uint8)
     prefix_at = starts[:-1]
     one = widths == 1
     ok = bool(
         np.array_equal(view[prefix_at[one]], lens[one].astype(np.uint8))
     )
-    multi = np.nonzero(~one)[0] if not one.all() else ()
+    # the 2-byte prefix case (values 128..16383 bytes — most real text
+    # corpora) verifies vectorized like the 1-byte case; only 3+ byte
+    # prefixes (values >= 16 KiB) walk per row
+    two = np.zeros(0, dtype=np.int64)
+    rest = ()
+    if not one.all():
+        is_two = widths == 2
+        two = prefix_at[is_two]
+        if ok and two.size:
+            l2 = lens[is_two]
+            ok = bool(
+                np.array_equal(
+                    view[two], ((l2 & 0x7F) | 0x80).astype(np.uint8)
+                )
+                and np.array_equal(view[two + 1], (l2 >> 7).astype(np.uint8))
+            )
+        rest = np.nonzero(widths > 2)[0]
     if ok:
-        for i in multi:
+        for i in rest:
             s = int(prefix_at[i])
             v = int(lens[i])
             w = int(widths[i])
@@ -458,7 +488,10 @@ def _decode_strings_from_lengths(
         return None
     mask = np.ones(total, dtype=bool)
     mask[prefix_at[one]] = False
-    for i in multi:
+    if two.size:
+        mask[two] = False
+        mask[two + 1] = False
+    for i in rest:
         s = int(prefix_at[i])
         mask[s : s + int(widths[i])] = False
     payload = view[mask]
@@ -475,6 +508,43 @@ def _decode_strings_from_lengths(
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
     )
     return arr.cast(pa.string())
+
+
+def marks_col_info(marks, name: str, type_str: str, n_rows: int):
+    """The marks entry for a column IF its recorded wire shape matches
+    the block's declared type — plain ``String`` entries only for plain
+    String, ``Nullable(String)`` (flagged ``n``) entries only for the
+    nullable wire. Mismatch means a stale sidecar: return None so the
+    caller streams."""
+    if marks is None or type_str not in ("String", "Nullable(String)"):
+        return None
+    info = marks.col(name, n_rows)
+    if info is None or info[2] != (type_str != "String"):
+        return None
+    return info
+
+
+def _decode_marked_strings(
+    buf: BinaryIO, rows: int, info, *, scrub: bool
+) -> Optional[pa.Array]:
+    """Decode one marks-covered String / Nullable(String) column;
+    None on stale marks (every consumed byte restored)."""
+    _wire, lens, nullable = info
+    if not nullable:
+        return _decode_strings_from_lengths(buf, rows, lens, scrub=scrub)
+    mask_raw = buf.read(rows)
+    if len(mask_raw) != rows:
+        _restore_surplus(buf, mask_raw)
+        return None
+    arr = _decode_strings_from_lengths(buf, rows, lens, scrub=scrub)
+    if arr is None:
+        _restore_surplus(buf, mask_raw)
+        return None
+    mask = np.frombuffer(mask_raw, dtype=np.uint8).astype(bool)  # 1 = NULL
+    if mask.any():
+        valid = pa.array(~mask)
+        arr = pa.compute.if_else(valid, arr, pa.scalar(None, arr.type))
+    return arr
 
 
 def _decode_fixed(buf: BinaryIO, t: CHType, rows: int, *, lossy_uint64: bool) -> pa.Array:
@@ -1304,15 +1374,14 @@ def read_block(
         type_str = read_str(buf)
         t = parse_type(type_str, unsupported_as_varchar=unsupported_as_varchar)
         wanted = columns is None or name in columns
-        if marks is not None and type_str == "String":
-            info = marks.col(name, n_rows)
+        if marks is not None:
+            info = marks_col_info(marks, name, type_str, n_rows)
             if info is not None:
-                wire_bytes, lens = info
                 if not wanted:
-                    buf.seek(wire_bytes, io.SEEK_CUR)
+                    buf.seek(info[0], io.SEEK_CUR)
                     continue
-                arr = _decode_strings_from_lengths(
-                    buf, n_rows, lens, scrub=scrub_strings
+                arr = _decode_marked_strings(
+                    buf, n_rows, info, scrub=scrub_strings
                 )
                 if arr is not None:
                     out.append(
@@ -1394,11 +1463,7 @@ def read_file_schema(
             type_str = read_str(buf)
             t = parse_type(type_str, unsupported_as_varchar=unsupported_as_varchar)
             out.append((name, t))
-            info = (
-                marks.col(name, n_rows)
-                if marks is not None and type_str == "String"
-                else None
-            )
+            info = marks_col_info(marks, name, type_str, n_rows)
             if info is not None:
                 buf.seek(info[0], 1)  # marks: string skip is one seek
             else:
@@ -1516,7 +1581,17 @@ def _strings_wire_bytes(arr: pa.Array) -> Optional[bytes]:
     mask[p1] = False
     out[p1] = lengths[one]
     if not one.all():
-        for i in np.nonzero(~one)[0]:
+        # 2-byte prefixes (values 128..16383 bytes) scatter vectorized
+        # like the 1-byte case; only 3+ byte prefixes walk per row
+        is_two = widths == 2
+        if is_two.any():
+            p2 = prefix_at[is_two]
+            l2 = lengths[is_two]
+            mask[p2] = False
+            mask[p2 + 1] = False
+            out[p2] = (l2 & 0x7F) | 0x80
+            out[p2 + 1] = l2 >> 7
+        for i in np.nonzero(widths > 2)[0]:
             s = int(prefix_at[i])
             w = int(widths[i])
             v = int(lengths[i])

@@ -24,17 +24,20 @@ listings, like the stats sidecar)::
             {"file_bytes": <data file size when written>,
              "blocks": [{"o": <block byte offset>, "r": <rows>,
                          "c": {col: {"b": <wire bytes>,
-                                     "l": <offset into lens region>}}}]}
+                                     "l": <offset into lens region>,
+                                     "n": 1 when the wire is
+                                          Nullable(String)}}}]}
     bytes   lens region: concatenated <u4 arrays, one entry per row
 
 Staleness guards, in order: the reader refuses the sidecar unless the
 data file's CURRENT size equals ``file_bytes``; a block entry is used
 only when its recorded offset AND row count match the block being
-read; and the decode path verifies every reconstructed prefix byte
-against the stream before trusting the lengths. Marks are recorded
-only for top-level plain ``String`` columns (declared CH type String,
-block null-free — a block with nulls writes Nullable(String) and gets
-no entry, which is just a per-block fallback, not an error).
+read (and its nullable flag matches the block's declared wire type);
+and the decode path verifies every reconstructed prefix byte against
+the stream before trusting the lengths. Marks cover top-level
+``String`` AND ``Nullable(String)`` columns: a nullable entry's wire
+bytes include the leading 1-byte-per-row null mask and its lengths
+are null-filled (zero at null slots), mirroring the encoder.
 """
 
 from __future__ import annotations
@@ -73,11 +76,15 @@ class MarksRecorder:
         self._str_cols: Optional[set] = None
 
     def set_ch_types(self, names, ch_types) -> None:
+        # name -> declared nullability. Declared-Nullable columns (and
+        # null-bearing blocks of declared-String columns, which the
+        # writer promotes) record the Nullable(String) wire shape: a
+        # leading 1-byte-per-row mask, then the prefixed values with
+        # zero-length entries at null slots (the encoder null-fills).
         self._str_cols = {
-            n
+            n: bool(t.nullable)
             for n, t in zip(names, ch_types)
             if t.base == "String"
-            and not t.nullable
             and t.display is None
             and t.inner is None
         }
@@ -98,15 +105,23 @@ class MarksRecorder:
             self.blocks = []
             self._lens = []
             return
-        from .codec import _string_array_views, varint_widths
+        from .codec import _default_fill, _string_array_views, varint_widths
 
         cols: dict = {}
         for idx, name in enumerate(piece.schema.names):
-            if name not in self._str_cols:
+            declared_nullable = self._str_cols.get(name)
+            if declared_nullable is None:
                 continue
             col = piece.column(idx)
+            # wire shape mirrors the encoder: declared-Nullable columns
+            # (always) and null-bearing blocks (promoted) write a
+            # leading mask + null-filled values; null-free declared-
+            # String blocks write the plain layout
+            wire_nullable = declared_nullable or bool(col.null_count)
             if col.null_count:
-                continue
+                import pyarrow.compute as pc
+
+                col = pc.fill_null(col, _default_fill(col.type))
             views = _string_array_views(col)
             if views is None:
                 continue
@@ -114,8 +129,13 @@ class MarksRecorder:
             if len(lengths) and int(lengths.max()) >= 1 << 32:
                 continue  # a value too large for the u4 lens entries
             wire = int(varint_widths(lengths).sum()) + int(len(payload))
+            if wire_nullable:
+                wire += piece.num_rows  # the leading null-mask bytes
             self._lens.append(lengths.astype("<u4").tobytes())
-            cols[name] = {"b": wire, "l": self._lens_off}
+            entry = {"b": wire, "l": self._lens_off}
+            if wire_nullable:
+                entry["n"] = 1
+            cols[name] = entry
             self._lens_off += 4 * piece.num_rows
         self.blocks.append(
             {"o": int(offset), "r": int(piece.num_rows), "c": cols}
@@ -153,7 +173,10 @@ class BlockMarks:
         self._reader = reader
 
     def col(self, name: str, n_rows: int):
-        """(wire_bytes, lengths[u4]) for a marked column, or None."""
+        """(wire_bytes, lengths[u4], nullable_wire) for a marked
+        column, or None. ``nullable_wire`` means the recorded wire is
+        Nullable(String): ``wire_bytes`` includes the leading
+        1-byte-per-row null mask and the lengths are null-filled."""
         if self._entry["r"] != n_rows:
             return None
         info = self._entry["c"].get(name)
@@ -162,7 +185,7 @@ class BlockMarks:
         lens = self._reader._lengths(info["l"], n_rows)
         if lens is None:
             return None
-        return info["b"], lens
+        return info["b"], lens, bool(info.get("n"))
 
 
 class MarksReader:

@@ -528,10 +528,19 @@ def write_native_file(
                 on_block=_on_block if rec else None,
             )
         buf.flush()
-    if mrec is not None:
-        # string-column marks (native/marks.py): the per-row lengths
-        # the writer just serialized, so readers skip the varint walk
-        mrec.write(path)
+    # string-column marks (native/marks.py): the per-row lengths the
+    # writer just serialized, so readers skip the varint walk. When
+    # nothing was recorded (stats off, compression, no eligible column)
+    # any PRE-EXISTING sidecar from an earlier write of the same path
+    # must go — a stale-but-size-matching sidecar would pass the
+    # file_bytes guard and misdirect the unwanted-column seeks.
+    if mrec is None or mrec.write(path) is None:
+        from .marks import marks_sidecar_path
+
+        try:
+            os.remove(marks_sidecar_path(path))
+        except OSError:
+            pass
     if stats:
         import json
 

@@ -286,6 +286,48 @@ def scoped_conf(spark: SparkSession, key: str, value) -> None:
     spark.conf.set(key, str(value))
 
 
+def data_sized_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    *,
+    expansion: float = 16.0,
+    bytes_per_partition: int = 64 << 20,
+    floor: int = 2,
+) -> None:
+    """Scope ``spark.sql.shuffle.partitions`` for the CURRENT build to
+    the INPUT data size instead of the cluster core count (guide §2.2:
+    size shuffles to data, not cores) — the batch analogue of
+    ``stream_shuffle_sizing``. The dedup/text family shuffles a few MB
+    of postings at bench scale yet paid 32 reducers per exchange
+    (window sorts, cached-plan materializations — cached/checkpointed
+    subplans never AQE-coalesce, so the session default is the REAL
+    partition count there); the driver's r15 scaling block measured
+    dedup_ngram_jaccard 3x SLOWER at 32 cores than 8. Estimate =
+    on-disk parquet bytes x ``expansion`` (decompression + shingle
+    explosion), one partition per ``bytes_per_partition``: sf0.1
+    documents (~0.6 MB) sizes to the floor; a 100 TB corpus sizes to
+    ~25k partitions — the same arithmetic a production job runs, no
+    local-core constant anywhere. Override with
+    ``spark.chsql.batch.shufflePartitions``. Restored at the next
+    build (scoped_conf); never changes results — partition count only
+    moves where rows aggregate."""
+    import math
+    import os
+
+    try:
+        n = int(spark.conf.get("spark.chsql.batch.shufflePartitions"))
+    except Exception:
+        total = 0
+        for t in tables:
+            try:
+                total += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+            except OSError:
+                pass
+        n = max(floor, math.ceil(total * expansion / bytes_per_partition))
+    scoped_conf(spark, "spark.sql.shuffle.partitions", n)
+
+
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist a multi-consumer intermediate (MEMORY_AND_DISK) and
     track it so a later different build frees it. If the previous

@@ -1360,8 +1360,9 @@ class ClickHouseNativeReader(DataSourceReader):
         from ..native.codec import (
             Block,
             BlockColumn,
-            _decode_strings_from_lengths,
+            _decode_marked_strings,
             decode_column,
+            marks_col_info,
             parse_type,
             read_block_header,
             read_str,
@@ -1400,11 +1401,7 @@ class ClickHouseNativeReader(DataSourceReader):
                     type_str, unsupported_as_varchar=self.unsupported_as_varchar
                 )
                 needed = (want is None or name in want) or name in file_attrs
-                minfo = (
-                    mks.col(name, n_rows)
-                    if mks is not None and type_str == "String"
-                    else None
-                )
+                minfo = marks_col_info(mks, name, type_str, n_rows)
                 if dead or not needed:
                     if minfo is not None:
                         # marks make the string skip a single seek —
@@ -1416,8 +1413,8 @@ class ClickHouseNativeReader(DataSourceReader):
                     continue
                 arr = None
                 if minfo is not None:
-                    arr = _decode_strings_from_lengths(
-                        buf, n_rows, minfo[1], scrub=self.scrub_strings
+                    arr = _decode_marked_strings(
+                        buf, n_rows, minfo, scrub=self.scrub_strings
                     )
                 if arr is None:
                     arr = decode_column(
@@ -1771,7 +1768,15 @@ class _FileSink:
         with open(tmp, "w") as sf:
             json.dump(side, sf)
         os.replace(tmp, stats_sidecar_path(self.fname))
-        self._mrec.write(self.fname)
+        if self._mrec.write(self.fname) is None:
+            # no marks recorded (compressed sink / no eligible column):
+            # drop any stale sidecar a previous same-path write left
+            from ..native.marks import marks_sidecar_path
+
+            try:
+                os.remove(marks_sidecar_path(self.fname))
+            except OSError:
+                pass
         return self.fname
 
     def close_on_error(self) -> None:

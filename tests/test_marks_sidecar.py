@@ -129,17 +129,84 @@ def test_marks_skip_projection_identity(tmp_path):
         assert a.schema.names == ["id"]
 
 
-def test_nullable_column_gets_no_marks_but_reads(tmp_path):
+def test_nullable_column_marks_decode_identity(tmp_path):
+    # 'maybe' has nulls in every block -> recorded as Nullable(String)
+    # wire marks (flag "n"); decode via the marks reader must agree
+    # column-for-column, nulls included
     p = _write_fixture(tmp_path)
     mr = MarksReader.open(p)
-    with open(marks_sidecar_path(p).replace(".marks", ".ignore"), "w"):
-        pass
-    # 'maybe' has nulls in every block -> never marked; decode via the
-    # marks reader must still agree column-for-column
+    info = mr.block_at(0).col("maybe", 1024)
+    assert info is not None and info[2] is True  # nullable wire flag
     with_marks = _decode_all(p, marks=mr)
     without = _decode_all(p)
     for a, b in zip(with_marks, without):
         assert a.column(2).equals(b.column(2))
+        assert a.column(2).null_count > 0
+
+
+def test_nullable_marks_skip_is_seek_and_identity(tmp_path):
+    # projecting away the nullable string column goes through the
+    # marks seek (wire bytes include the null mask) — the following
+    # columns must still decode correctly
+    rows = 2000
+    p = os.path.join(str(tmp_path), "part-n.clickhouse")
+    t = pa.table(
+        {
+            "m": pa.array(
+                [
+                    None if i % 5 == 0 else f"val-{i}-" + "z" * (i % 200)
+                    for i in range(rows)
+                ]
+            ),
+            "k": pa.array(np.arange(rows, dtype=np.int64)),
+        }
+    )
+    write_native_file(p, t, block_rows=512)
+    mr = MarksReader.open(p)
+    assert mr is not None
+    with_marks = _decode_all(p, marks=mr, columns={"k"})
+    without = _decode_all(p, columns={"k"})
+    for a, b in zip(with_marks, without):
+        assert a.equals(b)
+        assert a.schema.names == ["k"]
+
+
+def test_stale_nullable_marks_fall_back(tmp_path):
+    # corrupt a nullable column's recorded lengths: verification must
+    # reject, restore the stream (mask bytes included) and the
+    # streaming decode must produce the true rows
+    rows = 256
+    p = os.path.join(str(tmp_path), "part-sn.clickhouse")
+    t = pa.table(
+        {
+            "m": pa.array(
+                [None if i % 3 == 0 else f"x{i}" * (1 + i % 4) for i in range(rows)]
+            )
+        }
+    )
+    write_native_file(p, t, block_rows=rows)
+    mr = MarksReader.open(p)
+    lens = np.frombuffer(mr._lens, dtype="<u4").copy()
+    nz = np.nonzero(lens)[0]
+    assert lens[nz[0]] != lens[nz[1]]
+    lens[nz[0]], lens[nz[1]] = lens[nz[1]], lens[nz[0]]
+    mr._lens = lens.tobytes()
+    corrupted = _decode_all(p, marks=mr)
+    truth = _decode_all(p)
+    for a, b in zip(corrupted, truth):
+        assert a.equals(b)
+
+
+def test_decode_from_lengths_short_stream_degrades():
+    # a stale sidecar claiming more bytes than the stream holds must
+    # return None with everything restored, not raise EOFError
+    arr = pa.array(["abc", "defg"], type=pa.string())
+    wire = _strings_wire_bytes(arr)
+    buf = io.BytesIO(wire)
+    huge = np.array([1000, 2000], dtype="<u4")
+    out = _decode_strings_from_lengths(buf, 2, huge, scrub=False)
+    assert out is None
+    assert buf.read() == wire
 
 
 def test_stale_marks_file_size_mismatch_refused(tmp_path):

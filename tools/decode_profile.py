@@ -180,6 +180,67 @@ def main() -> None:
             "cached profile dir to regenerate with marks)"
         )
 
+    # LONG strings (>= 128-byte values, 2-byte varint prefixes — the
+    # real-text-corpus shape): r15's marks verify walked these per row;
+    # the 2-byte prefix case is now vectorized like the 1-byte one.
+    n_long = 300_000
+    p_long = os.path.join(base, "longstrings.clickhouse")
+    if not os.path.exists(p_long):
+        longs = pa.array(
+            [
+                ("paragraph-%d " % (i % 9973)) * (12 + i % 17)
+                for i in range(n_long)
+            ]
+        )
+        write_native_file(p_long, pa.table({"s": longs}), block_rows=65_409)
+    mrl = MarksReader.open(p_long)
+    if mrl is not None:
+
+        def run_long(marks, columns=None):
+            with open(p_long, "rb") as f:
+                return sum(
+                    b.n_rows
+                    for b in iter_blocks(f, columns=columns, marks_reader=marks)
+                )
+
+        t_l0, _ = _time(lambda: run_long(None))
+        t_l1, _ = _time(lambda: run_long(mrl))
+        out.append(
+            f"- marks sidecar (LONG strings, >=128-byte values / 2-byte "
+            f"prefixes, {os.path.getsize(p_long) / 1e6:.0f} MB): decode "
+            f"{t_l0 * 1e3:.1f} -> {t_l1 * 1e3:.1f} ms for {n_long:,} rows "
+            f"({t_l0 / t_l1:.1f}x, {n_long / t_l1 / 1e6:.1f} M rows/s, "
+            f"{os.path.getsize(p_long) / t_l1 / 1e9:.2f} GB/s single-thread)"
+        )
+
+    # Nullable(String) marks (r16): nullable wire blocks now carry
+    # marks too (mask + null-filled lengths)
+    n_nul = 1_000_000
+    p_nul = os.path.join(base, "nullable.clickhouse")
+    if not os.path.exists(p_nul):
+        vals = pa.array(
+            [
+                None if i % 11 == 0 else f"word-{i % 9973}-{i % 31}"
+                for i in range(n_nul)
+            ]
+        )
+        write_native_file(p_nul, pa.table({"s": vals}), block_rows=65_409)
+    mrn = MarksReader.open(p_nul)
+    if mrn is not None:
+
+        def run_nul(marks):
+            with open(p_nul, "rb") as f:
+                return sum(b.n_rows for b in iter_blocks(f, marks_reader=marks))
+
+        t_n0, _ = _time(lambda: run_nul(None))
+        t_n1, _ = _time(lambda: run_nul(mrn))
+        out.append(
+            f"- marks sidecar (Nullable(String), 9% nulls): decode "
+            f"{t_n0 * 1e3:.1f} -> {t_n1 * 1e3:.1f} ms / 1M rows "
+            f"({t_n0 / t_n1:.1f}x, {n_nul / t_n1 / 1e6:.1f} M rows/s "
+            f"single-thread)"
+        )
+
     # string wire ENCODE: vectorized offsets-diff path vs the per-row
     # write_str loop (the mutation/OPTIMIZE rewrite cost)
     words_arr = pa.array([f"word-{i % 9973}-{i % 31}" for i in range(n)])
@@ -197,6 +258,15 @@ def main() -> None:
         f"- string wire ENCODE: row loop {t_enc_loop * 1e3:.1f} ms vs "
         f"vectorized {t_enc_fast * 1e3:.1f} ms / 1M values "
         f"({t_enc_loop / t_enc_fast:.1f}x)"
+    )
+    longs_arr = pa.array(
+        [("paragraph-%d " % (i % 9973)) * (12 + i % 17) for i in range(n_long)]
+    )
+    t_encl, _ = _time(lambda: _strings_wire_bytes(longs_arr))
+    out.append(
+        f"- string wire ENCODE (LONG values, 2-byte prefixes): "
+        f"vectorized {t_encl * 1e3:.1f} ms / {n_long:,} values "
+        f"({n_long / t_encl / 1e6:.1f} M rows/s)"
     )
     text = "\n".join(out) + "\n"
     print(text)
