@@ -208,13 +208,18 @@ def connected_components(
     """Per-doc cluster assignment: (doc_id, component, n_members,
     is_kept) where component = min doc_id reachable in the near-dup
     graph and is_kept marks the canonical survivor."""
-    from ..plans.base import load_tables
+    from ..plans.base import data_sized_shuffle, load_tables
 
-    # NOT resized to 8 reducers (r15 optimization round measured the
-    # pagerank-style scoped_conf(shuffle.partitions, 8) at 1.58 s vs
-    # 1.47 s with the session default — per-round fixed costs, not
-    # reducer count, dominate this loop at bench scale)
+    # r16: resized to the DATA after all — r15 measured a fixed
+    # scoped_conf(8) as neutral on a 32-core session, but the driver's
+    # r15 scaling block (and this round's 8-vs-32 A/B: 4.6 s at 32
+    # cores vs 1.4 s at 8 on the same host) showed the per-round
+    # checkpoints materialize at session shuffle.partitions
+    # (checkpointed plans never AQE-coalesce), so every propagation
+    # round paid 32 reducers + 32 checkpoint blocks for node-sized
+    # relations. data_sized_shuffle sizes the rounds to the corpus.
     load_tables(spark, sf_dir, ["documents"])
+    data_sized_shuffle(spark, sf_dir, ["documents"])
     # Build the star relation ONCE and derive both edges and seeds
     # from it — the previous two spark.sql() calls each re-ran the
     # full tokenize -> explode -> md5 -> window chain (guide §1.2:

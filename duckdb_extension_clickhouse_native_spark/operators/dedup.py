@@ -293,6 +293,11 @@ def minhash_lsh_query(
 
     d = SPARK
     load_tables(spark, sf_dir, ["documents"])
+    # NOT data_sized_shuffle'd (r16): the driver's r15 scaling block
+    # measured this entry at ratio 1.03 (not anti-scaling), and the
+    # r16 paired A/B read sizing as neutral-to-negative here (2.28 vs
+    # 2.65 s on a noisy host) — the verify joins benefit from the
+    # wider default
     shingled = spark.sql(f"""
       SELECT doc_id, {d['distinct'].format(arr='toks')} AS toks_d,
              {d['distinct'].format(arr=_shingles_expr(d, 'toks'))} AS sh
@@ -456,9 +461,13 @@ def simhash_query(spark, sf_dir: str, hamming_max: int = 3):
     chain once at the first action and both self-join branches read the
     materialized blocks (measured 1.92 -> 1.20 s at sf0.1; at cluster
     scale use checkpoint() to durable storage, same shape)."""
-    from ..plans.base import load_tables
+    from ..plans.base import data_sized_shuffle, load_tables
 
     load_tables(spark, sf_dir, ["documents"])
+    # the checkpointed chain materializes at session shuffle.partitions
+    # (checkpointed plans never AQE-coalesce afterwards); size it to the
+    # corpus, not the core count (r15 driver scaling: 0.90 at 32 cores)
+    data_sized_shuffle(spark, sf_dir, ["documents"])
     band_rows = spark.sql(
         simhash_sql("spark", hamming_max, chain_only=True)
     ).localCheckpoint(eager=False)
@@ -577,9 +586,14 @@ def ngram_jaccard_query(spark, sf_dir: str):
     posture: it is the unit you checkpoint before the quadratic-ish
     pairing stage, and it is small (two BIGINTs per posting,
     boilerplate shingles already dropped)."""
-    from ..plans.base import load_tables, track_persist
+    from ..plans.base import data_sized_shuffle, load_tables, track_persist
 
     load_tables(spark, sf_dir, ["documents"])
+    # the persisted index materializes at session shuffle.partitions
+    # (cached plans never AQE-coalesce: zero-size reducers each paid a
+    # window sort + cache write); size to the corpus, not the cores —
+    # the r15 driver measured this entry 3x SLOWER at 32 cores than 8
+    data_sized_shuffle(spark, sf_dir, ["documents"])
     inv = spark.sql(ngram_inverted_spark_sql())
     track_persist(inv)
     inv.createOrReplaceTempView("ngram_inverted_f")
@@ -880,9 +894,12 @@ def substring_spans_query(
         return substring_spans_twophase_query(spark, sf_dir, w)
     if strategy != "window":
         raise ValueError(f"unknown strategy {strategy!r}")
-    from ..plans.base import load_tables
+    from ..plans.base import data_sized_shuffle, load_tables
 
     load_tables(spark, sf_dir, ["documents"])
+    # gram window + islands window sized to the corpus (driver r15
+    # scaling block: 0.65 ratio at 32 vs 8 cores on this entry)
+    data_sized_shuffle(spark, sf_dir, ["documents"])
     return spark.sql(substring_spans_sql("spark", w))
 
 
@@ -907,9 +924,10 @@ def substring_spans_twophase_query(spark, sf_dir: str, w: int = 8):
     SCALE_PIPELINE.md (substring-skew section); below it the window
     wins, above it this does. Same DuckDB oracle as the window form —
     the two plans are hash-compared against each other through it."""
-    from ..plans.base import load_tables, track_persist
+    from ..plans.base import data_sized_shuffle, load_tables, track_persist
 
     load_tables(spark, sf_dir, ["documents"])
+    data_sized_shuffle(spark, sf_dir, ["documents"])
     d = SPARK
     n = d["len"].format(arr="tk")
     slice_args = ", ".join(f"element_at(tk, i + {j})" for j in range(w))

@@ -293,7 +293,7 @@ def data_sized_shuffle(
     *,
     expansion: float = 16.0,
     bytes_per_partition: int = 64 << 20,
-    floor: int = 2,
+    floor: Optional[int] = None,
 ) -> None:
     """Scope ``spark.sql.shuffle.partitions`` for the CURRENT build to
     the INPUT data size instead of the cluster core count (guide §2.2:
@@ -318,6 +318,14 @@ def data_sized_shuffle(
     try:
         n = int(spark.conf.get("spark.chsql.batch.shufflePartitions"))
     except Exception:
+        if floor is None:
+            # parallelism-relative floor, the stream_shuffle_sizing
+            # precedent: tiny corpora still engage a quarter of the
+            # cluster (measured: ngram_jaccard 2.23 s at 2 reducers vs
+            # 1.67 s at 8 on local[32]; a 128-core cluster floors at
+            # 32), while the data term takes over the moment the
+            # corpus is big enough to matter.
+            floor = max(2, spark.sparkContext.defaultParallelism // 4)
         total = 0
         for t in tables:
             try:
