@@ -595,12 +595,20 @@ _PACK_BYTES = str(128 * 1024 * 1024)
 
 
 def _read_staged(spark, stage, schema=None):
-    r = spark.read.format("clickhouse_native").option(
-        "max_partition_bytes", _PACK_BYTES
+    if schema is None:
+        # in-process header probe + explicit schema (r16): without it
+        # every staged read pays a python-worker schema() planning
+        # round-trip (~0.3 s fixed latency per mutation job); the
+        # probe itself is ~1 ms on marked parts
+        from ..sources.native_datasource import infer_native_schema
+
+        schema = infer_native_schema({"path": stage})
+    return (
+        spark.read.format("clickhouse_native")
+        .option("max_partition_bytes", _PACK_BYTES)
+        .schema(schema)
+        .load(stage)
     )
-    if schema is not None:
-        r = r.schema(schema)
-    return r.load(stage)
 
 
 def apply_ttl(

@@ -100,6 +100,23 @@ def native_fixture_dir(spark: SparkSession, sf_dir: str, table: str, n_files: in
     return _materialize_fixture(sf_dir, table, f"{table}-{n_files}mk", write)
 
 
+
+def _load_native(spark: SparkSession, path: str, **options) -> DataFrame:
+    """clickhouse_native load over an EXISTING path with the schema
+    probed in-process (r16): an un-schema'd .load() pays a
+    python-worker schema() planning round-trip (~0.3 s fixed latency
+    per query job); the driver-side header probe is ~1 ms on marked
+    parts. Same probe the worker would run — identical schema."""
+    from ..sources.native_datasource import infer_native_schema
+
+    reader = spark.read.format("clickhouse_native")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(
+        infer_native_schema({**options, "path": path})
+    ).load(path)
+
+
 def _native_df(spark: SparkSession, sf_dir: str, table: str, **options) -> DataFrame:
     from .base import ensure_session
     from ..sources.native_datasource import infer_native_schema
@@ -247,11 +264,7 @@ def _native_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out_dir = _materialize_fixture(sf_dir, "events", "events-lz4", write)
-    df = (
-        spark.read.format("clickhouse_native")
-        .option("columns", "event_type,value,user_id")
-        .load(out_dir)
-    )
+    df = _load_native(spark, out_dir, columns="event_type,value,user_id")
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
@@ -307,7 +320,7 @@ def _native_enum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _enum_fixture(spark, sf_dir)
-    df = spark.read.format("clickhouse_native").load(path)
+    df = _load_native(spark, path)
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"), F.max("event_id").alias("max_id")
     )
@@ -332,12 +345,7 @@ def _native_lossy_uint64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _enum_fixture(spark, sf_dir)
-    df = (
-        spark.read.format("clickhouse_native")
-        .option("columns", "event_id")
-        .option("lossy_uint64", "false")
-        .load(path)
-    )
+    df = _load_native(spark, path, columns="event_id", lossy_uint64="false")
     # the fixture stores event_id as Int64; emulate the reference's cast
     # chain u64 -> i32 on the Spark side with the SAME arithmetic as the
     # DuckDB oracle so the compat semantics themselves are what is tested
@@ -376,11 +384,11 @@ def _native_split_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = native_fixture_dir(spark, sf_dir, "lineitem", n_files=1)
-    df = (
-        spark.read.format("clickhouse_native")
-        .option("split_blocks", "true")
-        .option("target_partition_bytes", str(1 * 1024 * 1024))
-        .load(path)
+    df = _load_native(
+        spark,
+        path,
+        split_blocks="true",
+        target_partition_bytes=str(1 * 1024 * 1024),
     )
     return df.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
@@ -470,7 +478,7 @@ def _native_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     path = _type_matrix_fixture(spark, sf_dir)
-    df = spark.read.format("clickhouse_native").load(path)
+    df = _load_native(spark, path)
     return df.select(
         "o_orderkey",
         "order_uuid",
@@ -1603,7 +1611,7 @@ def _mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_set={"n_chars": "n_chars + 1000"},
         update_where=[("lang", "=", "de")],
     )
-    df = spark.read.format("clickhouse_native").load(out)
+    df = _load_native(spark, out)
     return df.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -3068,7 +3076,7 @@ def _mutation_column_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_expr="CAST(0.0 AS DOUBLE)",
         ttl_where=[("ts", "<", dt.datetime(2024, 7, 1))],
     )
-    df = spark.read.format("clickhouse_native").load(out)
+    df = _load_native(spark, out)
     return (
         df.groupBy("event_type")
         .agg(
@@ -3139,8 +3147,7 @@ def _mutation_materialize_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one post-evolution part: reader materializes the default, the
     # writer bakes it physically
     post = (
-        spark.read.format("clickhouse_native")
-        .load(evolved)
+        _load_native(spark, evolved)
         .filter(F.col("event_id") < 100)
         .withColumn("event_id", F.col("event_id") + F.lit(1000000))
     )
@@ -3155,7 +3162,7 @@ def _mutation_materialize_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"materialize triage regressed: {res} (want 16 rewritten, "
             ">=1 untouched physical-column part)"
         )
-    df = spark.read.format("clickhouse_native").load(out)
+    df = _load_native(spark, out)
     return df.agg(
         F.count("*").alias("n_rows"),
         F.sum("bonus_cents").alias("sum_bonus"),
@@ -3298,7 +3305,7 @@ def _optimize_dedupe_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, dst, target_files=4,
         dedupe_by=["user_id", "event_type"],
     )
-    df = spark.read.format("clickhouse_native").load(dst)
+    df = _load_native(spark, dst)
     return df.select(
         "user_id",
         "event_type",
@@ -3369,10 +3376,10 @@ def _backup_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh.rmtree(restored, ignore_errors=True)
     restore_table(bdir, restored)
 
-    live = spark.read.format("clickhouse_native").load(work)
+    live = _load_native(spark, work)
     if live.filter(F.col("event_type") == "purchase").count() != 0:
         raise AssertionError("post-backup delete did not apply to source")
-    df = spark.read.format("clickhouse_native").load(restored)
+    df = _load_native(spark, restored)
     return (
         df.groupBy("event_type")
         .agg(
@@ -3430,7 +3437,7 @@ def _catalog_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.format("clickhouse_native").mode("overwrite").save(staging)
     )
     exchange_tables(live, staging)
-    df = spark.read.format("clickhouse_native").load(live)
+    df = _load_native(spark, live)
     return (
         df.groupBy("event_type")
         .agg(
@@ -3669,7 +3676,7 @@ def _native_into_outfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     into_outfile(
         t.filter("o_orderkey % 3 = 0"), out, "native", truncate=True
     )
-    back = spark.read.format("clickhouse_native").load(out)
+    back = _load_native(spark, out)
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -3865,7 +3872,7 @@ def _optimize_compact_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.startswith("o_orderstatus=") for d in os.listdir(dst)
     ):
         raise AssertionError("compaction flattened the hive layout")
-    back = spark.read.format("clickhouse_native").load(dst)
+    back = _load_native(spark, dst)
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -3937,7 +3944,7 @@ def _mutation_freeze_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # live files outright — the frozen hard links must keep the bytes
     shutil.rmtree(os.path.join(live, "o_orderstatus=F"))
     frozen = os.path.join(snap["shadow_dir"], "o_orderstatus=F")
-    df = spark.read.format("clickhouse_native").load(frozen)
+    df = _load_native(spark, frozen)
     return df.agg(
         F.count("*").alias("n_orders"),
         F.sum(
