@@ -1474,6 +1474,12 @@ def _stream_scan_remote_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     url = mock_clickhouse_url(sf_dir)
+    # parallel window fetch (r16, §2): split each integer-cursor
+    # micro-batch window into parallelism/8 disjoint sub-ranges so the
+    # fetch+decode runs concurrently instead of through one task (the
+    # union of the sub-windows is exactly the committed range — same
+    # rows); scales with the session, floor 2
+    n_fetch = max(2, spark.sparkContext.defaultParallelism // 8)
     sdf = (
         spark.readStream.format("clickhouse_scan")
         .option(
@@ -1483,6 +1489,7 @@ def _stream_scan_remote_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("url", url)
         .option("cursor_column", "event_id")
+        .option("fetch_partitions", str(n_fetch))
         .load()
     )
     drained = _drain(sdf, "append")

@@ -715,11 +715,46 @@ class ClickHouseScanStreamReader(DataSourceStreamReader):
             # Spark requires >=1 partition; emit a no-op range
             return [ScanPartition("")]
         base = self._batch.query.rstrip().rstrip(";")
+        shards = _cluster_urls(self._batch.options)
+        # Parallel window fetch (r16, §2): an integer-cursor micro-batch
+        # window (s, e] splits into fetch_partitions disjoint sub-windows
+        # ((a_0, b_0], (a_1, b_1], ...; a_0 = s, b_last = e) so N tasks
+        # fetch and decode concurrently — the JDBC-style split read the
+        # batch side already offers, derived here from the offsets the
+        # stream tracks anyway. The union of the sub-windows is EXACTLY
+        # the committed range: same rows, any retry refetches the same
+        # sub-range. A first batch with no lower bound probes
+        # min(cursor) once (old rows are immutable per the cursor
+        # contract, so the min is stable across retries).
+        n_fetch = int(self._batch.options.get("fetch_partitions", "1") or 1)
+        if not shards and self._kind == "int" and n_fetch > 1:
+            lo = s
+            if lo is None:
+                lo = self._query_scalar(
+                    f"SELECT min({self.cursor}) AS mn FROM ({base}) AS __mn"
+                )
+                if lo is not None:
+                    lo = int(lo) - 1  # exclusive lower bound
+            if lo is not None and int(e) - int(lo) > n_fetch:
+                lo_i, hi_i = int(lo), int(e)
+                width = -(-(hi_i - lo_i) // n_fetch)  # ceil
+                parts = []
+                for i in range(n_fetch):
+                    a = lo_i + i * width
+                    b = min(lo_i + (i + 1) * width, hi_i)
+                    if a >= b:
+                        break
+                    sub = (
+                        f"SELECT * FROM ({base}) AS __inc WHERE "
+                        f"{self.cursor} > {a} AND {self.cursor} <= {b}"
+                    )
+                    parts.append(ScanPartition(sub))
+                if parts:
+                    return parts
         preds = [f"{self.cursor} <= {self._lit(e)}"]
         if s is not None:
             preds.append(f"{self.cursor} > {self._lit(s)}")
         q = f"SELECT * FROM ({base}) AS __inc WHERE " + " AND ".join(preds)
-        shards = _cluster_urls(self._batch.options)
         if shards:
             return [ScanPartition(q, url=u) for u in shards]
         return [ScanPartition(q)]

@@ -104,6 +104,54 @@ def test_non_monotonic_type_rejected(spark, growing_mock):
     )
 
 
+def test_fetch_partitions_splits_window_exactly(spark, growing_mock):
+    """fetch_partitions=N splits an integer-cursor window into N
+    disjoint sub-ranges whose union is exactly the committed range —
+    same rows, no duplicates, across two micro-batches."""
+    q, name = _start(spark, growing_mock["url"], fetch_partitions="3")
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 40
+        growing_mock["con"].execute(
+            "INSERT INTO src SELECT range + 40, 'b' || range FROM range(15)"
+        )
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert got.count() == 55
+        assert got.select("id").distinct().count() == 55
+        ids = sorted(r.id for r in got.collect())
+        assert ids == list(range(55))
+    finally:
+        q.stop()
+
+
+def test_fetch_partitions_unit_ranges():
+    """partitions() with fetch_partitions emits disjoint (a, b] windows
+    covering exactly (s, e], and probes min() for the unbounded first
+    batch."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from duckdb_extension_clickhouse_native_spark.sources.scan_datasource import (
+        ClickHouseScanStreamReader,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    r = ClickHouseScanStreamReader(
+        schema,
+        {"query": "SELECT id FROM t", "cursor_column": "id",
+         "fetch_partitions": "4", "url": "http://unused:1"},
+    )
+    parts = r.partitions({"cursor": 10}, {"cursor": 50})
+    assert len(parts) == 4
+    joined = " | ".join(p.query for p in parts)
+    for bound in ("> 10", "<= 20", "> 20", "<= 30", "> 30", "<= 40",
+                  "> 40", "<= 50"):
+        assert f"id {bound}" in joined, (bound, joined)
+    # tiny window: falls back to one partition (span <= n)
+    parts = r.partitions({"cursor": 10}, {"cursor": 12})
+    assert len(parts) == 1
+
+
 def test_cluster_cursor_polls_every_shard(spark):
     """With `cluster`, each micro-batch window fans out to every shard
     (the Distributed read path under streaming)."""
