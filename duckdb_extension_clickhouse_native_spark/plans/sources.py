@@ -1611,7 +1611,12 @@ def _mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_set={"n_chars": "n_chars + 1000"},
         update_where=[("lang", "=", "de")],
     )
-    df = _load_native(spark, out)
+    # final agg touches 3 of 5 columns: prune `text` (the corpus body,
+    # ~95% of the bytes) out of the scan (§6 column pruning; the
+    # Python DataSource API prunes via the `columns` option only)
+    df = _load_native(
+        spark, out, columns="lang,n_chars,doc_id", min_partitions="4"
+    )
     return df.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -1676,11 +1681,15 @@ def _mutation_delete_update_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no partition directory hard-linked — per-directory "
             "predicate pruning regressed"
         )
+    cols = "event_type,value,user_id"  # §6: agg needs 3 of 5 columns
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": out}))
-        # the mutated tree is many small parts: read packed (r13)
+        .schema(infer_native_schema({"path": out, "columns": cols}))
+        .option("columns", cols)
+        # the mutated tree is many small parts: read packed (r13),
+        # parallelism floor sized to the data, not the cores (r16 §2)
         .option("max_partition_bytes", str(128 * 1024 * 1024))
+        .option("min_partitions", "4")
         .load(out)
     )
     return (
@@ -1757,11 +1766,15 @@ def _mutation_ttl_rollup_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no partition directory hard-linked — day-term pruning "
             "regressed"
         )
+    cols = "event_type,value,event_id"  # §6: agg needs 3 of 5 columns
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_native_schema({"path": out}))
-        # the mutated tree is many small parts: read packed (r13)
+        .schema(infer_native_schema({"path": out, "columns": cols}))
+        .option("columns", cols)
+        # the mutated tree is many small parts: read packed (r13),
+        # parallelism floor sized to the data, not the cores (r16 §2)
         .option("max_partition_bytes", str(128 * 1024 * 1024))
+        .option("min_partitions", "4")
         .load(out)
     )
     return (
@@ -2598,9 +2611,12 @@ def _optimize_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_native_dir(
         spark, dup_dir, out_dir, target_files=4, deduplicate=True
     )
+    cols = "lang,n_chars,doc_id"  # §6: prune `text` from the final agg
     opt = (
         spark.read.format("clickhouse_native")
-        .schema(infer_schema_for(dup_dir))
+        .schema(infer_schema_for(dup_dir, columns=cols))
+        .option("columns", cols)
+        .option("min_partitions", "4")
         .load(out_dir)
     )
     return opt.groupBy("lang").agg(
@@ -2610,10 +2626,13 @@ def _optimize_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def infer_schema_for(path: str):
+def infer_schema_for(path: str, columns: "str | None" = None):
     from ..sources.native_datasource import infer_native_schema
 
-    return infer_native_schema({"path": path})
+    opts = {"path": path}
+    if columns:
+        opts["columns"] = columns
+    return infer_native_schema(opts)
 
 
 REGISTRY.df_query(
@@ -2702,9 +2721,12 @@ def _mutation_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts": "MAX(ts)",
         },
     )
+    cols = "event_type,value,ts,event_id"  # §6: agg needs 4 of 6 cols
     df = (
         spark.read.format("clickhouse_native")
-        .schema(infer_schema_for(out))
+        .schema(infer_schema_for(out, columns=cols))
+        .option("columns", cols)
+        .option("min_partitions", "4")
         .load(out)
     )
     return df.groupBy("event_type").agg(
@@ -3076,7 +3098,10 @@ def _mutation_column_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_expr="CAST(0.0 AS DOUBLE)",
         ttl_where=[("ts", "<", dt.datetime(2024, 7, 1))],
     )
-    df = _load_native(spark, out)
+    # §6: the agg touches 2 of 6 columns — skip ts/props/ids bytes
+    df = _load_native(
+        spark, out, columns="event_type,value", min_partitions="4"
+    )
     return (
         df.groupBy("event_type")
         .agg(
@@ -3162,7 +3187,10 @@ def _mutation_materialize_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"materialize triage regressed: {res} (want 16 rewritten, "
             ">=1 untouched physical-column part)"
         )
-    df = _load_native(spark, out)
+    # §6: the agg touches 2 of 7 columns — skip ts/props/value bytes
+    df = _load_native(
+        spark, out, columns="event_id,bonus_cents", min_partitions="4"
+    )
     return df.agg(
         F.count("*").alias("n_rows"),
         F.sum("bonus_cents").alias("sum_bonus"),
@@ -3305,7 +3333,11 @@ def _optimize_dedupe_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, dst, target_files=4,
         dedupe_by=["user_id", "event_type"],
     )
-    df = _load_native(spark, dst)
+    # §6: output needs 4 of 6 columns — skip ts/props bytes
+    df = _load_native(
+        spark, dst, columns="user_id,event_type,event_id,value",
+        min_partitions="4",
+    )
     return df.select(
         "user_id",
         "event_type",
@@ -3376,10 +3408,13 @@ def _backup_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh.rmtree(restored, ignore_errors=True)
     restore_table(bdir, restored)
 
-    live = _load_native(spark, work)
+    # §6: the guard count reads one column, the agg two of six
+    live = _load_native(spark, work, columns="event_type", min_partitions="4")
     if live.filter(F.col("event_type") == "purchase").count() != 0:
         raise AssertionError("post-backup delete did not apply to source")
-    df = _load_native(spark, restored)
+    df = _load_native(
+        spark, restored, columns="event_type,value", min_partitions="4"
+    )
     return (
         df.groupBy("event_type")
         .agg(
@@ -3437,7 +3472,10 @@ def _catalog_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.format("clickhouse_native").mode("overwrite").save(staging)
     )
     exchange_tables(live, staging)
-    df = _load_native(spark, live)
+    # §6: the agg touches 2 of 6 columns
+    df = _load_native(
+        spark, live, columns="event_type,value", min_partitions="4"
+    )
     return (
         df.groupBy("event_type")
         .agg(
@@ -3676,7 +3714,11 @@ def _native_into_outfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     into_outfile(
         t.filter("o_orderkey % 3 = 0"), out, "native", truncate=True
     )
-    back = _load_native(spark, out)
+    # §6: the agg touches 2 of 6 columns
+    back = _load_native(
+        spark, out, columns="o_orderstatus,o_totalprice",
+        min_partitions="4",
+    )
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -3872,7 +3914,11 @@ def _optimize_compact_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.startswith("o_orderstatus=") for d in os.listdir(dst)
     ):
         raise AssertionError("compaction flattened the hive layout")
-    back = _load_native(spark, dst)
+    # §6: the agg touches 3 columns (o_orderstatus is the hive key)
+    back = _load_native(
+        spark, dst, columns="o_orderstatus,o_totalprice,o_orderkey",
+        min_partitions="4",
+    )
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -3944,7 +3990,11 @@ def _mutation_freeze_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # live files outright — the frozen hard links must keep the bytes
     shutil.rmtree(os.path.join(live, "o_orderstatus=F"))
     frozen = os.path.join(snap["shadow_dir"], "o_orderstatus=F")
-    df = _load_native(spark, frozen)
+    # §6: the agg touches 2 of the shadow partition's payload columns
+    df = _load_native(
+        spark, frozen, columns="o_totalprice,o_orderkey",
+        min_partitions="4",
+    )
     return df.agg(
         F.count("*").alias("n_orders"),
         F.sum(
