@@ -1459,13 +1459,23 @@ def _native_sql_using_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-SQL user never touches the DataFrame API.  The view is
     (re)created per build; the aggregate then runs entirely in SQL."""
     from .base import ensure_session
+    from ..sources.native_datasource import infer_native_schema
 
     ensure_session(spark)
     path = native_fixture_dir(spark, sf_dir, "orders")
+    # explicit column list (r16): with a user schema Spark skips the
+    # python-worker schema() planning round-trip the bare USING form
+    # pays on every (re)analysis of the view — the DDL is rendered
+    # from the same driver-side header probe, so the schema is
+    # identical by construction
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in infer_native_schema({"path": path}).fields
+    )
     spark.sql("DROP VIEW IF EXISTS chsql_orders_view")
     spark.sql(
-        "CREATE TEMPORARY VIEW chsql_orders_view USING clickhouse_native "
-        f"OPTIONS (path '{path}')"
+        f"CREATE TEMPORARY VIEW chsql_orders_view ({ddl}) "
+        f"USING clickhouse_native OPTIONS (path '{path}')"
     )
     return spark.sql(
         """
@@ -2865,8 +2875,16 @@ def _native_sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "chsql_insert_tgt"
 
     def mk_view() -> None:
+        # explicit column list == the driver-side header probe (r16):
+        # skips the python-worker schema() round-trip per (re)creation
+        from ..sources.native_datasource import infer_native_schema
+
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in infer_native_schema({"path": base}).fields
+        )
         spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} ({ddl}) "
             f"USING clickhouse_native OPTIONS (path '{base}')"
         )
 
