@@ -20,7 +20,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import REGISTRY, load_tables
+from .base import REGISTRY, assert_planned_partitions, load_tables
 
 _LOCK = threading.Lock()
 
@@ -1899,12 +1899,11 @@ def _native_bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter(F.col("uid").isin("u42", "u301", "u17"))
     )
-    if df.rdd.getNumPartitions() > 3:
-        raise AssertionError(
-            f"bloom pruning regressed: planned "
-            f"{df.rdd.getNumPartitions()} partitions for a 3-value "
-            "probe over 16 hash-scattered parts"
-        )
+    assert_planned_partitions(
+        df, f"bloom:{path}", lambda n: n <= 3,
+        lambda n: f"bloom pruning regressed: planned {n} partitions "
+        "for a 3-value probe over 16 hash-scattered parts",
+    )
     return df.select(
         "doc_id",
         "uid",
@@ -1980,12 +1979,11 @@ def _native_tokenbf_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter(F.col("text").contains(" tag_7 "))
     )
-    if df.rdd.getNumPartitions() > 1:
-        raise AssertionError(
-            f"tokenbf pruning regressed: planned "
-            f"{df.rdd.getNumPartitions()} partitions for a one-token "
-            "probe over 16 parts"
-        )
+    assert_planned_partitions(
+        df, f"tokenbf:{path}", lambda n: n <= 1,
+        lambda n: f"tokenbf pruning regressed: planned {n} partitions "
+        "for a one-token probe over 16 parts",
+    )
     return df.select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     ).orderBy("doc_id")
@@ -2138,12 +2136,12 @@ def _native_set_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter((F.col("grade") >= 14) & (F.col("grade") <= 16))
     )
-    if df.rdd.getNumPartitions() > 3:
-        raise AssertionError(
-            f"set-index pruning regressed: planned "
-            f"{df.rdd.getNumPartitions()} partitions for a 3-grade "
-            "BETWEEN over 16 parts with non-contiguous grade sets"
-        )
+    assert_planned_partitions(
+        df, f"setix:{path}", lambda n: n <= 3,
+        lambda n: f"set-index pruning regressed: planned {n} "
+        "partitions for a 3-grade BETWEEN over 16 parts with "
+        "non-contiguous grade sets",
+    )
     return df.select(
         "doc_id",
         "grade",
@@ -2325,13 +2323,12 @@ def _native_projection_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     if used != "by_user":
         raise AssertionError(f"sort projection not selected: {used!r}")
     probe = df.filter((F.col("user_id") >= 3) & (F.col("user_id") <= 5))
-    got = probe.rdd.getNumPartitions()
-    if got > 6:
-        raise AssertionError(
-            f"sort-projection pruning regressed: {got} partitions "
-            "planned for a 3-user probe over a 16-file range-clustered "
-            "projection"
-        )
+    assert_planned_partitions(
+        probe, f"sortproj:{path}", lambda n: n <= 6,
+        lambda n: f"sort-projection pruning regressed: {n} partitions "
+        "planned for a 3-user probe over a 16-file range-clustered "
+        "projection",
+    )
     return (
         probe.groupBy("user_id")
         .agg(
@@ -3008,11 +3005,11 @@ def _sim_ann_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter(F.col("bucket").isin(probes))
     )
-    if df.rdd.getNumPartitions() > 5:
-        raise AssertionError(
-            f"ANN bucket pruning regressed: planned "
-            f"{df.rdd.getNumPartitions()} partitions for nprobe=5 of 16"
-        )
+    assert_planned_partitions(
+        df, f"annbuckets:{path}", lambda n: n <= 5,
+        lambda n: f"ANN bucket pruning regressed: planned {n} "
+        "partitions for nprobe=5 of 16",
+    )
     df.createOrReplaceTempView("ann_candidates")
     return spark.sql(
         """

@@ -343,8 +343,12 @@ def _tf_url_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("format", "CSVWithNamesAndTypes")
         .load()
     )
-    if df.rdd.getNumPartitions() != 2:
-        raise AssertionError("one partition per URL regressed")
+    from .base import assert_planned_partitions
+
+    assert_planned_partitions(
+        df, f"urlcsv:{urls}", lambda n: n == 2,
+        lambda n: f"one partition per URL regressed (planned {n})",
+    )
     return (
         df.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(

@@ -110,10 +110,13 @@ def _tf_url_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("format", "CSVWithNamesAndTypes")
         .load()
     )
-    if df.rdd.getNumPartitions() != 4:
-        raise AssertionError(
-            "glob expansion must plan one partition per expanded URL"
-        )
+    from .base import assert_planned_partitions
+
+    assert_planned_partitions(
+        df, f"urlglob:{spec}", lambda n: n == 4,
+        lambda n: "glob expansion must plan one partition per "
+        f"expanded URL (planned {n})",
+    )
     return (
         df.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
@@ -388,8 +391,12 @@ def _tf_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     spec = _lineitem_csv_files(sf_dir)
     df = file_table(spark, spec, "CSVWithNamesAndTypes")
-    if df.rdd.getNumPartitions() != 4:
-        raise AssertionError("file() must plan one partition per file")
+    from .base import assert_planned_partitions
+
+    assert_planned_partitions(
+        df, f"filelist:{spec}", lambda n: n == 4,
+        lambda n: f"file() must plan one partition per file ({n})",
+    )
     return (
         df.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(

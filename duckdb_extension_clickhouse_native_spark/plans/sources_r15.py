@@ -268,8 +268,12 @@ def _tf_s3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{prefix}/part*.csv", "CSVWithNamesAndTypes",
         virtual_columns=True,
     )
-    if df.rdd.getNumPartitions() != 4:
-        raise AssertionError("s3() must plan one partition per object")
+    from .base import assert_planned_partitions
+
+    assert_planned_partitions(
+        df, f"s3list:{prefix}", lambda n: n == 4,
+        lambda n: f"s3() must plan one partition per object ({n})",
+    )
     return (
         df.where(F.col("_path").startswith("file://"))
         .groupBy(F.col("_file").alias("f"))
@@ -533,10 +537,13 @@ def _tf_file_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{path} :: part*.csv", "CSVWithNamesAndTypes",
         virtual_columns=True,
     )
-    if df.rdd.getNumPartitions() != 4:
-        raise AssertionError(
-            "file() archives must plan one partition per matched member"
-        )
+    from .base import assert_planned_partitions
+
+    assert_planned_partitions(
+        df, f"filearchive:{path}", lambda n: n == 4,
+        lambda n: "file() archives must plan one partition per "
+        f"matched member (planned {n})",
+    )
     return (
         df.groupBy(F.col("_file").alias("f"))
         .agg(
